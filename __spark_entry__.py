@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship query (TPC-H Q1 shape) on sf0.001.
+queries()     -> one entry per implemented operator from SURVEY.md §2 plus the
+                 training-data pipeline operators; see
+                 tensorbase_spark/queries/* for implementations.
+oracle_sql()  -> matching DuckDB SQL per query (None/omitted for approximate
+                 operators — MinHash LSH, SimHash, IVF ANN, HLL — which get
+                 the driver's rows-only check and bounded-error pytest
+                 coverage instead).
 """
 
 from __future__ import annotations
@@ -13,26 +16,32 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from tensorbase_spark.queries import registry
+from tensorbase_spark.session import tune_session
+
+_SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    tune_session(spark)
+    reg = registry()
+    return reg["q1_pricing_summary"].fn(spark, _SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out = {}
+    for name, q in registry().items():
+        def make(fn):
+            def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+                tune_session(spark)
+                return fn(spark, sf_dir)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+            return run
+
+        out[name] = make(q.fn)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: q.oracle for name, q in registry().items() if q.oracle is not None}

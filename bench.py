@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the bench-flagged queries from the registry at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized (count + a cheap deterministic fold) so the
+whole plan executes; timings are per-query wall clock after a warm-up pass of
+the table scans (the reference's published numbers are warm, in-memory runs —
+BASELINE.md / docs/benchmarks.md "best of 3").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # sf from the dir name, e.g. .../sf0.1
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from tensorbase_spark.queries import registry
+    from tensorbase_spark.session import get_spark
+    from tensorbase_spark.sources.tables import load_tables
+
+    spark = get_spark("tensorbase_bench")
+
+    reg = {name: q for name, q in registry().items() if q.bench}
+
+    # Warm-up: pull every table through the scan once so the OS page cache is
+    # hot — parity with the reference's warm methodology (BASELINE.md).
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
+
+    timings: dict[str, float] = {}
+    for name, q in reg.items():
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        # noop sink materializes EVERY column JVM-side (count() would let
+        # Catalyst prune the projections away and under-report).
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,347 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB of documents, 1000 executors):
+- exact: one shuffle on a 128-bit content hash; group sizes are tiny
+  (duplicate cluster cardinality), no skew risk beyond pathological
+  boilerplate docs — which the md5 key spreads anyway.
+- MinHash+LSH: tokens explode -> per-doc signature agg (map-side partial
+  min), band keys explode -> self-join *within band buckets only*; the only
+  all-pairs work is inside a bucket, and bucket sizes are bounded by the
+  band-hash collision rate, not corpus size.
+- verification joins carry collect_set(token) arrays: bounded by document
+  length, independent of corpus size.
+- SimHash: same shape, 64 bitwise aggregates then 16-bit-band hamming join.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# MinHash parameters: 96 hashes = 24 bands x 4 rows.
+# P(candidate | J=0.8) = 1-(1-0.8^4)^24 ≈ 0.999997; P(candidate | J=0.3) ≈ 0.17.
+N_HASHES = 96
+N_BANDS = 24
+ROWS_PER_BAND = 4
+_MERSENNE = 2147483647  # 2^31-1
+
+# Deterministic per-hash-function coefficients (a_i, b_i) from a fixed LCG —
+# no runtime randomness, so results are reproducible across runs/engines.
+
+
+def _lcg_pairs(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    out = []
+    x = seed
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = x | 1  # odd, nonzero
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b = x
+        out.append((a, b))
+    return out
+
+
+_COEFFS = _lcg_pairs(N_HASHES)
+
+
+def tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct whitespace tokens per document: (id, token)."""
+    return (
+        docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .select("_id", F.explode(F.split(F.col("_text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+
+
+SHINGLE_N = 3
+
+
+def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = SHINGLE_N) -> DataFrame:
+    """Distinct n-word shingles per document: (id, token).
+
+    Shingles (not unigrams) are the MinHash unit — unigram sets saturate on
+    small vocabularies, while shingle sets track local word order, which is
+    what near-duplicate detection needs.
+
+    The input is repartitioned by doc id first: the driver's fixture tables
+    are single parquet files, so without this the shingle explode + hash
+    compute (the expensive part) runs in ONE scan task regardless of cluster
+    size.  The repartition shuffles only the raw docs (cheap) and unlocks
+    full-width parallelism for everything downstream.  The partition count is
+    explicit — a bare repartition(col) of a few-MB doc table gets coalesced
+    right back to one partition by AQE, which optimizes shuffle bytes, not
+    the downstream compute-per-row."""
+    from tensorbase_spark.session import default_parallelism
+
+    # CRITICAL expression-shape rule: never reference the split() inside a
+    # lambda.  element_at(split(text), i) inside a transform() lambda makes
+    # interpreted higher-order-function eval recompute the regex split for
+    # EVERY element — O(words^2) regex work per doc (a jstack of a stuck
+    # 150s-CPU task showed exactly that loop: StringSplit.nullSafeEval under
+    # ConcatWs under ArrayTransform).  And no plan shape protects you:
+    # ProjectCollapse / ColumnPruning will inline a words-array projection
+    # through an exchange right back into the lambda.  zip_with + slice keeps
+    # every split occurrence OUTSIDE the lambdas, so each evaluates once per
+    # row no matter how Catalyst rearranges the plan.
+    w = F.split(F.col(text_col), r"\s+")
+    big = F.greatest(F.size(w) - 1, F.lit(0))
+    shifted = [F.slice(w, k + 2, big) for k in range(n - 1)]  # w offset by 1..n-1
+    z = w
+    for s in shifted:
+        z = F.zip_with(z, s, lambda a, b: F.concat_ws(" ", a, b))
+    # zip_with pads the shorter side with null and concat_ws skips nulls, so
+    # the tail elements are partial shingles — slice them off.
+    sh = F.when(
+        F.size(w) >= n,
+        F.array_distinct(F.slice(z, 1, F.size(w) - (n - 1))),
+    ).otherwise(F.array(F.col(text_col)))
+    docs = docs.repartition(default_parallelism(), F.col(id_col))
+    return docs.select(F.col(id_col).alias("_id"), F.explode(sh).alias("token"))
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content-hash groupBy: one shuffle on md5(text).
+    Returns one row per duplicated content: (content_hash, n_copies, keep_id)
+    where keep_id is the smallest doc id (the canonical survivor)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(F.col(id_col)).alias("keep_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _token_base_hash() -> F.Column:
+    """Token -> positive 31-bit base hash, JVM-side (xxhash64 folded)."""
+    return F.pmod(F.xxhash64(F.col("token")), F.lit(_MERSENNE)).alias("h")
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc MinHash signature as N_HASHES columns s0..s{n-1}.
+
+    h_i(t) = (a_i * h(t) + b_i) mod (2^31-1); products stay < 2^62 (no
+    overflow in long arithmetic).  The groupBy runs partial (map-side) min
+    before the shuffle, so the shuffled volume is one signature per doc per
+    partition, not one row per token."""
+    tok = shingles(docs, text_col, id_col).select("_id", _token_base_hash())
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"s{i}")
+        for i, (a, b) in enumerate(_COEFFS)
+    ]
+    return tok.groupBy("_id").agg(*mins)
+
+
+def _band_array() -> F.Column:
+    """24 band hashes from the signature columns (4 rows per band)."""
+    bands = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        bands.append(F.xxhash64(F.lit(b), *cols))
+    return F.array(*bands)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash/LSH near-duplicate pairs, exact-Jaccard verified.
+
+    Pipeline: signatures -> band explode -> bucket self-join (candidates) ->
+    verify with exact token-set Jaccard >= threshold.
+    Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    sigs = minhash_signatures(docs, text_col, id_col)
+    bands = sigs.select(
+        "_id", F.posexplode(_band_array()).alias("band_idx", "band_hash")
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    # Verify on 64-bit shingle hashes, not strings: set-intersection over
+    # longs is ~10-20x cheaper per pair than over strings (string hashing +
+    # per-element type dispatch dominated the profile), and a 64-bit
+    # collision perturbing a Jaccard count is a ~2^-64-per-pair event.
+    tok_sets = shingles(docs, text_col, id_col).groupBy("_id").agg(
+        F.collect_set(F.xxhash64("token")).alias("toks")
+    )
+    a = tok_sets.select(F.col("_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    b = tok_sets.select(F.col("_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """63-bit SimHash per document (bit 63 left clear to stay in signed long).
+
+    Per token bit j contributes +1/-1; fingerprint bit j = sign of the sum.
+    All 63 bit-sums run in one hash-aggregate pass."""
+    tok = shingles(docs, text_col, id_col).select("_id", F.xxhash64("token").alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when((F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(63)
+    ]
+    agg = tok.groupBy("_id").agg(*bit_sums)
+    fp = reduce(
+        lambda acc, j: acc + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)),
+        range(1, 63),
+        F.when(F.col("b0") > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return agg.select(F.col("_id").alias("doc_id"), fp.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= max_hamming.
+
+    Banding: 4 x 16-bit bands; any pair within hamming<=3 shares at least one
+    exact band (pigeonhole), so the candidate join is band-bucketed — never
+    all-pairs.  Verification is bit_count(xor) on the two fingerprints."""
+    fps = simhash_fingerprints(docs, text_col, id_col)
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftrightunsigned(F.col("simhash"), 16 * k).bitwiseAND(F.lit(0xFFFF)))
+                    for k in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.col("l.simhash").alias("fp_a"),
+            F.col("r.simhash").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n_chars_col: str = "n_chars",
+    lang_col: str = "lang",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact word-bigram Jaccard near-dup pairs with deterministic blocking
+    (same lang, |n_chars| within 20) — fully SQL-expressible, so this one has
+    a DuckDB oracle.
+
+    Blocking is (lang, length-bucket): a candidate pair within +/-20 chars
+    always lands in the same or adjacent W=20 buckets, so the left side
+    explodes to {b-1, b, b+1} and the join is EQUI on (lang, bucket) — a
+    shuffled hash join whose key cardinality is n_langs * n_buckets, not
+    n_langs.  (Joining on lang alone degenerates into a per-lang all-pairs
+    cross product on ~5 partitions — quadratic AND serial at scale.)
+    Each pair matches exactly once because the right side keeps a single
+    bucket value."""
+    from tensorbase_spark.session import default_parallelism
+
+    W = 20
+    # Bigrams via zip_with(w, w[2:], concat) — every split() occurrence stays
+    # OUTSIDE the lambda so it evaluates once per row (see shingles() for the
+    # O(words^2) interpreted-eval trap this avoids).
+    w = F.split(F.col("text"), " ")
+    z = F.zip_with(
+        w,
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    # Jaccard runs on 64-bit bigram hashes, not the strings themselves:
+    # numerically identical (a collision is a ~2^-64-per-pair event; the
+    # DuckDB oracle's string-based jaccard still hash-matches) and an order
+    # of magnitude cheaper per candidate pair — string array_intersect
+    # (hash + per-element dispatch) dominated the join profile.
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.array_distinct(
+            F.transform(F.slice(z, 1, F.size(w) - 1), lambda s: F.xxhash64(s))
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    bucket = F.floor(F.col(n_chars_col) / W).cast("long")
+    d = docs.repartition(default_parallelism(), F.col("doc_id")).select(
+        F.col("doc_id"), F.col(lang_col).alias("lang"),
+        F.col(n_chars_col).alias("nc"),
+        bigrams.alias("bg"), bucket.alias("bk"),
+    )
+
+    # Two phases, like minhash_lsh_pairs: (1) candidate pairs from the CHEAP
+    # blocking predicates only — no arrays carried, so the blocking join
+    # condition stays cheap; (2) fetch each side's bigram array by doc id and
+    # verify jaccard.  Keeping the jaccard expression away from the blocking
+    # join matters: a both-sides filter gets pushed into the join condition,
+    # where Catalyst ordered it BEFORE the cheap predicates — measured 20x
+    # slower (every key-equal pair paid two array ops).  In the id-equi
+    # verify joins the pushed-in predicate only ever sees true candidate
+    # pairs, which is exactly the work the operator must do.
+    keys = d.select("doc_id", "lang", "nc", "bk")
+    a_keys = keys.select(
+        F.col("doc_id"), F.col("lang"), F.col("nc"),
+        F.explode(F.array(F.col("bk") - 1, F.col("bk"), F.col("bk") + 1)).alias("bk"),
+    )
+    # Explicit repartition: the fixture is one parquet file (one scan task);
+    # without this the blocking join runs serially regardless of cluster width.
+    a_keys = a_keys.repartition(default_parallelism(), F.col("lang"), F.col("bk")).alias("a")
+    b_keys = keys.alias("b")
+    cand = a_keys.join(
+        b_keys,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.bk") == F.col("b.bk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.nc") - F.col("b.nc")) <= 20),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+
+    arrays = d.select("doc_id", "bg")
+    aa = arrays.select(F.col("doc_id").alias("id_a"), F.col("bg").alias("bg_a"))
+    bb = arrays.select(F.col("doc_id").alias("id_b"), F.col("bg").alias("bg_b"))
+    inter = F.size(F.array_intersect("bg_a", "bg_b"))
+    union = F.size(F.array_union("bg_a", "bg_b"))
+    return (
+        cand.join(aa, "id_a")
+        .join(bb, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,110 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+All pure JVM expressions (regexp_count / array_intersect / aggregate) — no
+Python in the row path, so these run at scan speed on any corpus size.  Every
+heuristic is deterministic and mirrored exactly in the DuckDB oracle SQL in
+queries/pipeline.py.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace tokens vs BPE-ish tokens (word pieces + isolated punctuation).
+WORD_RE = r"\S+"
+BPE_RE = r"\w+|[^\w\s]"
+
+# Tiny per-language stopword profiles for the n-gram/stopword voting
+# heuristic.  Deterministic; ties broken by language name order.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "of", "and", "is", "to", "in", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "en"),
+    "zh": ("de", "shi", "le", "bu", "wo", "you", "he", "ren"),
+}
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace word count + BPE-ish token count + char stats per doc."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars_obs"),
+        F.regexp_count(t, F.lit(WORD_RE)).alias("n_words"),
+        F.regexp_count(t, F.lit(BPE_RE)).alias("n_tokens"),
+        F.size(F.array_distinct(F.split(t, r"\s+"))).alias("n_unique_words"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality score in [0,1]:
+    0.4 * length factor + 0.3 * lexical diversity + 0.3 * stopword presence.
+    The shape mirrors standard LLM-corpus quality filters (length, diversity,
+    stopword ratio)."""
+    t = F.col(text_col)
+    n_words = F.regexp_count(t, F.lit(WORD_RE)).cast("double")
+    uniq = F.size(F.array_distinct(F.split(t, r"\s+"))).cast("double")
+    en_stops = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(F.split(t, r"\s+")), en_stops))
+    length_factor = F.least(F.lit(1.0), n_words / F.lit(100.0))
+    diversity = uniq / F.greatest(n_words, F.lit(1.0))
+    stop_factor = F.least(F.lit(1.0), stop_hits.cast("double") / F.lit(3.0))
+    score = F.lit(0.4) * length_factor + F.lit(0.3) * diversity + F.lit(0.3) * stop_factor
+    return docs.select(
+        "doc_id",
+        F.round(length_factor, 6).alias("length_factor"),
+        F.round(diversity, 6).alias("diversity"),
+        F.round(stop_factor, 6).alias("stop_factor"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile voting: predicted lang = argmax over profiles of
+    distinct-word hits; ties break by lang code order.  Returns prediction
+    next to the labeled lang for accuracy auditing."""
+    words = F.array_distinct(F.split(F.col(text_col), r"\s+"))
+    scores = {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in prof])))
+        for lang, prof in sorted(LANG_PROFILES.items())
+    }
+    # argmax with name-order tie-break: fold over langs keeping the best
+    best = reduce(
+        lambda acc, lang: F.when(scores[lang] > acc["s"], F.struct(scores[lang].alias("s"), F.lit(lang).alias("l"))).otherwise(acc),
+        list(sorted(LANG_PROFILES))[1:],
+        F.struct(
+            scores[sorted(LANG_PROFILES)[0]].alias("s"),
+            F.lit(sorted(LANG_PROFILES)[0]).alias("l"),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        best["l"].alias("pred_lang"),
+        best["s"].alias("pred_hits"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting:
+    - content_md5: exact content fingerprint;
+    - rolling_hash: 31-base polynomial rolling hash over the first 64
+      character codepoints mod 2^31-1 (the classic Rabin-Karp shape) —
+      computed with aggregate() over split characters, all JVM-side."""
+    t = F.col(text_col)
+    chars = F.slice(F.filter(F.split(t, ""), lambda c: c != ""), 1, 64)
+    rolling = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(2147483647),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(t).alias("content_md5"),
+        rolling.alias("rolling_hash"),
+    )

@@ -1,0 +1,337 @@
+"""Driver-facing queries for the training-data pipeline operators
+(tensorbase_spark.pipeline.*): dedup, similarity search, text analysis,
+multimodal plumbing.
+
+Exact/deterministic operators carry a DuckDB oracle that mirrors the Spark
+logic expression-for-expression.  Approximate operators (MinHash LSH,
+SimHash, IVF) have no SQL oracle — the driver records a rows-only check and
+tests/test_pipeline.py bounds their error against the exact baselines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tensorbase_spark.pipeline import dedup, multimodal, similarity, text
+from tensorbase_spark.queries import Query
+from tensorbase_spark.sources.tables import load_table
+
+
+# --- deduplication ----------------------------------------------------------
+
+def dedup_exact(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(d)
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS content_hash, count(*) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def dedup_stats_by_source(spark, sf_dir):
+    """Per-source duplication profile — non-empty even on dup-free fixtures,
+    so the oracle check always verifies real values."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("text").alias("n_distinct_texts"),
+            (F.count("*") - F.countDistinct("text")).alias("n_dup_docs"),
+        )
+    )
+
+
+DEDUP_STATS_ORACLE = """
+SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts,
+       count(*) - count(DISTINCT text) AS n_dup_docs
+FROM documents GROUP BY source
+"""
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (approximate candidate gen, exact-Jaccard
+    verified).  No SQL oracle; recall vs the exact bigram-Jaccard op is
+    asserted in tests."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, threshold=0.8)
+
+
+def dedup_simhash(spark, sf_dir):
+    """SimHash fingerprint near-pairs at hamming<=3 (approximate)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(d, max_hamming=3)
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, threshold=0.6)
+
+
+NGRAM_JACCARD_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents
+), d AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN len(w) >= 2 THEN
+           list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+         ELSE [] END AS bg
+  FROM base
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.bg, b.bg))), 6) AS jaccard
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20
+WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.bg, b.bg))) >= 0.6
+"""
+
+
+# --- similarity search ------------------------------------------------------
+
+def _emb_queries(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb, emb.filter(F.col("vec_id") % 100 == 0)
+
+
+def sim_brute_force_topk(spark, sf_dir):
+    emb, q = _emb_queries(spark, sf_dir)
+    return similarity.brute_force_topk(emb, q, k=5)
+
+
+_COS = (
+    "list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
+    " list_transform({b}, x -> CAST(x AS DOUBLE)))"
+)
+
+SIM_BRUTE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 100 = 0
+), c AS (
+  SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+), scored AS (
+  SELECT q_id, c_id,
+         {_COS.format(a="q_vec", b="c_vec")}
+         / (sqrt({_COS.format(a="q_vec", b="q_vec")})
+            * sqrt({_COS.format(a="c_vec", b="c_vec")})) AS cos
+  FROM c, q WHERE q_id <> c_id
+), ranked AS (
+  SELECT q_id, c_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS INT) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, rank, round(cos, 6) AS cos FROM ranked WHERE rank <= 5
+"""
+
+
+def sim_ivf_topk(spark, sf_dir):
+    """IVF/LSH-bucketed ANN — the 100 TB scale path (probe nprobe buckets
+    instead of the corpus).  Approximate: rows-only check; recall vs brute
+    force asserted in tests."""
+    emb, q = _emb_queries(spark, sf_dir)
+    return similarity.ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4)
+
+
+def sim_knn_classify(spark, sf_dir):
+    emb, q = _emb_queries(spark, sf_dir)
+    return similarity.label_knn_classify(emb, q, k=10)
+
+
+SIM_KNN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 100 = 0
+), c AS (
+  SELECT vec_id AS c_id, embedding AS c_vec, label AS c_label FROM embeddings
+), scored AS (
+  SELECT q_id, c_id, c_label,
+         {_COS.format(a="q_vec", b="c_vec")}
+         / (sqrt({_COS.format(a="q_vec", b="q_vec")})
+            * sqrt({_COS.format(a="c_vec", b="c_vec")})) AS cos
+  FROM c, q WHERE q_id <> c_id
+), top AS (
+  SELECT q_id, c_label FROM (
+    SELECT q_id, c_label, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= 10
+), votes AS (
+  SELECT q_id, c_label, count(*) AS votes FROM top GROUP BY q_id, c_label
+)
+SELECT q_id, c_label AS pred_label, votes FROM (
+  SELECT q_id, c_label, votes,
+         row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, c_label) AS rn
+  FROM votes
+) WHERE rn = 1
+"""
+
+
+# --- text analysis ----------------------------------------------------------
+
+def text_token_counts(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return text.token_counts(d)
+
+
+TOKEN_COUNTS_ORACLE = r"""
+SELECT doc_id,
+       CAST(length(text) AS INT)                                   AS n_chars_obs,
+       CAST(len(regexp_extract_all(text, '\S+')) AS INT)           AS n_words,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT)   AS n_tokens,
+       CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS INT) AS n_unique_words
+FROM documents
+"""
+
+
+def text_quality_scores(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return text.quality_scores(d)
+
+
+_STOPS_SQL = "['the','a','of','and','is','to','in','that']"
+
+QUALITY_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_words,
+         CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE) AS uniq,
+         CAST(len(list_intersect(list_distinct(string_split_regex(text, '\s+')),
+                                 {_STOPS_SQL})) AS DOUBLE) AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+       round(least(1.0, n_words / 100.0), 6)                       AS length_factor,
+       round(uniq / greatest(n_words, 1.0), 6)                     AS diversity,
+       round(least(1.0, stop_hits / 3.0), 6)                       AS stop_factor,
+       round(0.4 * least(1.0, n_words / 100.0)
+             + 0.3 * (uniq / greatest(n_words, 1.0))
+             + 0.3 * least(1.0, stop_hits / 3.0), 6)               AS quality
+FROM t
+"""
+
+
+def text_lang_id(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return text.lang_id(d)
+
+
+_PROFILE_SQL = {
+    "de": "['der','die','das','und','ist','nicht','ein','mit']",
+    "en": "['the','a','of','and','is','to','in','that']",
+    "es": "['el','la','de','que','y','en','un','es']",
+    "fr": "['le','la','de','et','un','est','que','en']",
+    "zh": "['de','shi','le','bu','wo','you','he','ren']",
+}
+
+LANG_ID_ORACLE = rf"""
+WITH w AS (
+  SELECT doc_id, lang, list_distinct(string_split_regex(text, '\s+')) AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         CAST(len(list_intersect(ws, {_PROFILE_SQL['de']})) AS INT) AS s_de,
+         CAST(len(list_intersect(ws, {_PROFILE_SQL['en']})) AS INT) AS s_en,
+         CAST(len(list_intersect(ws, {_PROFILE_SQL['es']})) AS INT) AS s_es,
+         CAST(len(list_intersect(ws, {_PROFILE_SQL['fr']})) AS INT) AS s_fr,
+         CAST(len(list_intersect(ws, {_PROFILE_SQL['zh']})) AS INT) AS s_zh
+  FROM w
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+            ELSE 'zh' END AS pred_lang,
+       greatest(s_de, s_en, s_es, s_fr, s_zh) AS pred_hits
+FROM s
+"""
+
+
+def text_fingerprints(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return text.fingerprints(d)
+
+
+FINGERPRINT_ORACLE = """
+SELECT doc_id, md5(text) AS content_md5,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, least(length(text), 64) + 1),
+                          i -> CAST(unicode(text[i]) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_hash
+FROM documents
+"""
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+def multimodal_features(spark, sf_dir):
+    """Binary-column feature extraction through the Arrow/mapInPandas path
+    (decode itself is a deterministic fake; the plumbing — schema, batching,
+    UDF signature — is the real thing under test)."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.docs_as_assets(d))
+
+
+MULTIMODAL_ORACLE = """
+SELECT doc_id AS asset_id,
+       CAST(octet_length(encode(text)) AS INT)          AS n_bytes,
+       lower(hex(encode(substring(text, 1, 8))))        AS header_hex,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+       CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(text) + 1),
+                          i -> CAST(unicode(text[i]) AS BIGINT))),
+         (acc, x) -> acc + x) % 2147483648 AS checksum
+FROM documents
+"""
+
+
+def multimodal_frame_plan(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.frame_sample_plan(multimodal.docs_as_assets(d), every_n=10)
+
+
+FRAME_PLAN_ORACLE = """
+SELECT doc_id AS asset_id, CAST(unnest(range(0, octet_length(encode(text)) % 300 + 1, 10)) AS INT) AS frame_idx
+FROM documents
+"""
+
+
+def events_json_extract(spark, sf_dir):
+    """JSON property extraction from the events props column — Spark uses the
+    native get_json_object; the oracle mirrors it with a regex so no DuckDB
+    JSON extension is required."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("prop_k"),
+    )
+
+
+EVENTS_JSON_ORACLE = r"""
+SELECT event_id, CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT) AS prop_k
+FROM events
+"""
+
+
+QUERIES = {
+    "dedup_exact": Query(dedup_exact, DEDUP_EXACT_ORACLE, ("dedup",)),
+    "dedup_stats_by_source": Query(dedup_stats_by_source, DEDUP_STATS_ORACLE, ("dedup",)),
+    "dedup_minhash_lsh": Query(dedup_minhash_lsh, None, ("dedup", "approx"), bench=True),
+    "dedup_simhash": Query(dedup_simhash, None, ("dedup", "approx")),
+    "dedup_ngram_jaccard": Query(dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE, ("dedup",), bench=True),
+    "sim_brute_force_topk": Query(sim_brute_force_topk, SIM_BRUTE_ORACLE, ("similarity",), bench=True),
+    "sim_ivf_topk": Query(sim_ivf_topk, None, ("similarity", "approx")),
+    "sim_knn_classify": Query(sim_knn_classify, SIM_KNN_ORACLE, ("similarity",)),
+    "text_token_counts": Query(text_token_counts, TOKEN_COUNTS_ORACLE, ("text",)),
+    "text_quality_scores": Query(text_quality_scores, QUALITY_ORACLE, ("text",)),
+    "text_lang_id": Query(text_lang_id, LANG_ID_ORACLE, ("text",)),
+    "text_fingerprints": Query(text_fingerprints, FINGERPRINT_ORACLE, ("text",)),
+    "multimodal_features": Query(multimodal_features, MULTIMODAL_ORACLE, ("multimodal",)),
+    "multimodal_frame_plan": Query(multimodal_frame_plan, FRAME_PLAN_ORACLE, ("multimodal",)),
+    "events_json_extract": Query(events_json_extract, EVENTS_JSON_ORACLE, ("events",)),
+}

@@ -1,0 +1,227 @@
+"""DataFusion-builtin scalar/aggregate surface (SURVEY.md §2.6a) not covered
+by chfuncs.py: regex, crypto hashes, date_part/date_trunc, misc string ops,
+plus the fork-only aggregates approx_distinct (HLL) and array_agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tensorbase_spark.queries import Query
+from tensorbase_spark.sources.tables import load_table
+
+
+def regex_funcs(spark, sf_dir):
+    """regexp_match/regexp_replace (regex_expressions.rs) over document text."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), r"(\w+)", 1).alias("first_word"),
+        F.regexp_replace(F.col("text"), r"\s+", "_").alias("squashed"),
+        F.col("text").rlike("join").alias("mentions_join"),
+    ).filter(F.col("doc_id") % 5 == 0)
+
+
+REGEX_ORACLE = r"""
+SELECT doc_id,
+       coalesce(regexp_extract(text, '(\w+)', 1), '') AS first_word,
+       regexp_replace(text, '\s+', '_', 'g')          AS squashed,
+       regexp_matches(text, 'join')                   AS mentions_join
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def crypto_hash_funcs(spark, sf_dir):
+    """md5/sha2 digests (crypto_expressions.rs:339).  The engine supports the
+    full sha224/384/512 family via F.sha2; the oracle checks the md5/sha256
+    subset DuckDB implements, plus a chained double-hash."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name")).alias("h_md5"),
+        F.sha2(F.col("c_name"), 256).alias("h_sha256"),
+        F.md5(F.sha2(F.col("c_name"), 256)).alias("h_double"),
+    )
+
+
+CRYPTO_ORACLE = """
+SELECT c_custkey,
+       md5(c_name)              AS h_md5,
+       sha256(c_name)           AS h_sha256,
+       md5(sha256(c_name))      AS h_double
+FROM customer
+"""
+
+
+def datetime_extract_trunc(spark, sf_dir):
+    """date_part/date_trunc (datetime_expressions.rs:514)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.col("event_id") % 9 == 0).select(
+        "event_id",
+        F.date_part(F.lit("year"), F.col("ts")).alias("py"),
+        F.date_part(F.lit("hour"), F.col("ts")).alias("ph"),
+        F.date_trunc("day", F.col("ts")).alias("t_day"),
+        F.date_trunc("minute", F.col("ts")).alias("t_min"),
+    )
+
+
+DATETIME_EXTRACT_ORACLE = """
+SELECT event_id,
+       CAST(date_part('year', CAST(ts AS TIMESTAMP)) AS INT) AS py,
+       CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS INT) AS ph,
+       CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS t_day,
+       date_trunc('minute', CAST(ts AS TIMESTAMP)) AS t_min
+FROM events WHERE event_id % 9 = 0
+"""
+
+
+def string_parts_funcs(spark, sf_dir):
+    """split_part/strpos/translate/left/right/repeat/initcap/ascii/chr/btrim
+    (string_expressions.rs:593, unicode_expressions.rs:531)."""
+    o = load_table(spark, sf_dir, "orders")
+    pr = F.col("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        F.split_part(pr, F.lit("-"), F.lit(2)).alias("prio_word"),
+        F.instr(pr, "-").alias("dash_pos"),
+        F.translate(pr, "-", "_").alias("prio_us"),
+        F.substring(pr, 1, 1).alias("prio_digit"),
+        F.initcap(F.lower(pr)).alias("prio_title"),
+        F.ascii(pr).alias("prio_ascii"),
+        F.repeat(F.substring(pr, 1, 1), 3).alias("digit3"),
+        F.btrim(pr, F.lit("15")).alias("trim15"),
+    ).filter(F.col("o_orderkey") % 20 == 0)
+
+
+STRING_PARTS_ORACLE = """
+SELECT o_orderkey,
+       split_part(o_orderpriority, '-', 2)            AS prio_word,
+       CAST(strpos(o_orderpriority, '-') AS INT)      AS dash_pos,
+       translate(o_orderpriority, '-', '_')           AS prio_us,
+       substring(o_orderpriority, 1, 1)               AS prio_digit,
+       -- initcap: capitalize each word
+       list_aggregate(list_transform(string_split(lower(o_orderpriority), ' '),
+           w -> upper(w[1]) || w[2:]), 'string_agg', ' ') AS prio_title,
+       CAST(ascii(o_orderpriority) AS INT)            AS prio_ascii,
+       repeat(substring(o_orderpriority, 1, 1), 3)    AS digit3,
+       trim(o_orderpriority, '15')                    AS trim15
+FROM orders WHERE o_orderkey % 20 = 0
+"""
+
+
+def nullif_coalesce(spark, sf_dir):
+    """nullif + coalesce (array_expressions.rs misc surface)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nb"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("(bldg)")
+        ).alias("seg_disp"),
+        F.round(F.coalesce(F.nullif(F.col("c_acctbal"), F.lit(0.0)), F.lit(-1.0)), 2).alias("bal"),
+    )
+
+
+NULLIF_ORACLE = """
+SELECT c_custkey,
+       nullif(c_mktsegment, 'BUILDING')                         AS seg_nb,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), '(bldg)')     AS seg_disp,
+       round(coalesce(nullif(c_acctbal, 0.0), -1.0), 2)         AS bal
+FROM customer
+"""
+
+
+def agg_approx_distinct(spark, sf_dir):
+    """approx_distinct — HyperLogLog (expressions/approx_distinct.rs:44,
+    physical_plan/hyperloglog/).  Approximate by construction -> no SQL
+    oracle; correctness is bounded-error vs exact (tested in
+    tests/test_queries.py), the driver records a rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+def agg_array_collect(spark, sf_dir):
+    """array_agg (expressions/array_agg.rs) == collect_list; sorted for
+    determinism, then re-expanded to scalar stats so the hash is stable."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("orders"))
+        .select(
+            "o_custkey",
+            F.size("orders").alias("n"),
+            F.element_at("orders", 1).alias("first_order"),
+            F.element_at("orders", -1).alias("last_order"),
+        )
+    )
+
+
+ARRAY_AGG_ORACLE = """
+SELECT o_custkey, CAST(len(l) AS INT) AS n, l[1] AS first_order, l[-1] AS last_order
+FROM (SELECT o_custkey, list_sort(list(o_orderkey)) AS l FROM orders GROUP BY o_custkey)
+"""
+
+
+def grouping_sets_rollup(spark, sf_dir):
+    """ROLLUP — absent from the reference entirely (SURVEY §2.5 'not
+    implemented'), free in Spark; included as the §7-step-8 bonus."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("ls"),
+            "n",
+            "qty",
+        )
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT coalesce(l_returnflag, '<all>') AS rf,
+       coalesce(l_linestatus, '<all>') AS ls,
+       count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def pivot_status(spark, sf_dir):
+    """PIVOT — not in the reference; Spark-native wide aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "regex_funcs": Query(regex_funcs, REGEX_ORACLE, ("scalar", "regex")),
+    "crypto_hash_funcs": Query(crypto_hash_funcs, CRYPTO_ORACLE, ("scalar", "crypto")),
+    "datetime_extract_trunc": Query(datetime_extract_trunc, DATETIME_EXTRACT_ORACLE, ("scalar", "datetime")),
+    "string_parts_funcs": Query(string_parts_funcs, STRING_PARTS_ORACLE, ("scalar", "string")),
+    "nullif_coalesce": Query(nullif_coalesce, NULLIF_ORACLE, ("scalar",)),
+    "agg_approx_distinct": Query(agg_approx_distinct, None, ("agg", "approx")),
+    "agg_array_collect": Query(agg_array_collect, ARRAY_AGG_ORACLE, ("agg",)),
+    "grouping_sets_rollup": Query(grouping_sets_rollup, ROLLUP_ORACLE, ("agg", "bonus")),
+    "pivot_status": Query(pivot_status, PIVOT_ORACLE, ("agg", "bonus")),
+}

@@ -1,0 +1,64 @@
+"""Loaders for the driver's synthetic TPC-H-ish tables (TESTDATA.md).
+
+The reference's scan path mmaps only the referenced (column, partition) files
+and registers them as an in-memory table (crates/engine/src/datafusions.rs:58-188).
+Spark's equivalent — and the reason no custom scan code exists here — is the
+vectorized Parquet reader + Catalyst column pruning + predicate pushdown:
+only referenced columns and row-groups passing min/max are read.  At 100 TB
+these tables would be directory-partitioned (see catalog.py); the flat
+single-file layout is the driver's fixture format.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions that should always be broadcast when joined against a
+# fact table.  At sf1 TPC-H proportions: region 5, nation 25, supplier 100/sf,
+# part 20k/sf, customer 15k/sf rows — all << the 10 MB default broadcast
+# threshold until very large sf; lineitem/orders/events/documents are fact-side.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); Spark 4 reads it as a nanos
+        # long under spark.sql.legacy.parquet.nanosAsLong (set in session.py).
+        # Truncate to µs — exactly what DuckDB's CAST(ts AS TIMESTAMP) does,
+        # so oracle comparisons agree.
+        from pyspark.sql import functions as F, types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (idempotent) and return the dict.
+
+    SQL-form queries use these views; DataFrame-form queries use the dict.
+    """
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,123 @@
+"""Golden-value tests for the ClickHouse function shim — ported from the
+reference's own function tests (crates/datafusion_tests/tests/clickhouse.rs:
+test_to_date :15, test_to_datetime :147, test_to_year :242, test_uuid :82)
+and the JIT partition-expression goldens (crates/runtime/src/write.rs:548-571:
+toYYYYMMDD(0)=19700101, toYYYYMMDD(1095379200)=20040917)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from tensorbase_spark.functions import clickhouse as ch
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def test_to_date_from_unix_seconds(spark):
+    # clickhouse.rs golden: toDate(536457600) == '1987-01-01'
+    assert _one(spark, ch.toDate(F.lit(536457600))) == datetime.date(1987, 1, 1)
+
+
+def test_to_date_from_string(spark):
+    assert _one(spark, ch.toDate(F.lit("2004-09-17"))) == datetime.date(2004, 9, 17)
+
+
+def test_to_datetime_from_unix_seconds(spark):
+    got = _one(spark, ch.toDateTime(F.lit(1095379200)))
+    assert got == datetime.datetime(2004, 9, 17, 0, 0, 0)
+
+
+def test_to_yyyymmdd_goldens(spark):
+    # crates/runtime/src/write.rs:548-571
+    assert _one(spark, ch.toYYYYMMDD(F.lit(0))) == 19700101
+    assert _one(spark, ch.toYYYYMMDD(F.lit(1095379200))) == 20040917
+
+
+def test_to_yyyymm(spark):
+    assert _one(spark, ch.toYYYYMM(F.lit(1095379200))) == 200409
+
+
+def test_year_quarter_month_parts(spark):
+    d = F.lit("2004-09-17").cast("date")
+    assert _one(spark, ch.toYear(d)) == 2004
+    assert _one(spark, ch.toQuarter(d)) == 3
+    assert _one(spark, ch.toMonth(d)) == 9
+    assert _one(spark, ch.toDayOfYear(d)) == 261
+    assert _one(spark, ch.toDayOfMonth(d)) == 17
+
+
+def test_to_day_of_week_monday_one(spark):
+    # ClickHouse toDayOfWeek: Monday=1..Sunday=7 (clickhouse.rs:49).
+    # 2004-09-17 was a Friday; 2004-09-19 a Sunday; 2004-09-20 a Monday.
+    assert _one(spark, ch.toDayOfWeek(F.lit("2004-09-17").cast("date"))) == 5
+    assert _one(spark, ch.toDayOfWeek(F.lit("2004-09-19").cast("date"))) == 7
+    assert _one(spark, ch.toDayOfWeek(F.lit("2004-09-20").cast("date"))) == 1
+
+
+def test_time_parts(spark):
+    ts = F.lit("2004-09-17 13:45:57").cast("timestamp")
+    assert _one(spark, ch.toHour(ts)) == 13
+    assert _one(spark, ch.toMinute(ts)) == 45
+    assert _one(spark, ch.toSecond(ts)) == 57
+
+
+def test_rem_partition_expr(spark):
+    # partition expr used by the reference's ingest bench
+    # (crates/tests_integ/benches/bench_ingestion.rs:39)
+    assert _one(spark, ch.rem(F.lit(1234), 100)) == 34
+
+
+def test_starts_ends_with(spark):
+    assert _one(spark, ch.endsWith(F.lit("hello"), "lo")) is True
+    assert _one(spark, ch.startsWith(F.lit("hello"), "he")) is True
+    assert _one(spark, ch.endsWith(F.lit("hello"), "xx")) is False
+
+
+def test_uuid_roundtrip(spark):
+    u = "d1e9b0a4-5a7b-4c2d-8e3f-1a2b3c4d5e6f"
+    got = _one(spark, ch.UUIDNumToString(ch.UUIDStringToNum(F.lit(u))))
+    assert got == u
+
+
+def test_to_uuid_or_null_or_zero(spark):
+    bad = F.lit("not-a-uuid")
+    assert _one(spark, ch.toUUIDOrNull(bad)) is None
+    assert _one(spark, ch.toUUIDOrZero(bad)) == "00000000-0000-0000-0000-000000000000"
+    good = F.lit("D1E9B0A4-5A7B-4C2D-8E3F-1A2B3C4D5E6F")
+    assert _one(spark, ch.toUUIDOrNull(good)) == "d1e9b0a4-5a7b-4c2d-8e3f-1a2b3c4d5e6f"
+
+
+def test_generate_uuid_v4_shape(spark):
+    import re
+
+    got = _one(spark, ch.generateUUIDv4())
+    assert re.fullmatch(r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", got)
+
+
+def test_sql_templates_match_column_forms(spark):
+    """The SQL-text templates (dialect layer) must agree with the Column
+    builders for a representative sample."""
+    from tensorbase_spark.functions.clickhouse import CH_SQL_TEMPLATES
+
+    ts = "cast('2004-09-17 13:45:57' as timestamp)"
+    for name, args in [
+        ("toyear", [ts]),
+        ("toquarter", [ts]),
+        ("todayofweek", [ts]),
+        ("toyyyymmdd", [ts]),
+        ("tohour", [ts]),
+    ]:
+        sql = CH_SQL_TEMPLATES[name].format(*args)
+        got = spark.sql(f"SELECT {sql} AS v").collect()[0].v
+        expected = {
+            "toyear": 2004,
+            "toquarter": 3,
+            "todayofweek": 5,
+            "toyyyymmdd": 20040917,
+            "tohour": 13,
+        }[name]
+        assert got == expected, name

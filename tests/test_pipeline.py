@@ -1,0 +1,120 @@
+"""Quality bounds for the approximate pipeline operators: MinHash-LSH recall
+vs exact Jaccard on planted near-duplicates, SimHash on identical/near docs,
+IVF recall vs brute-force top-k, and the multimodal stub contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tensorbase_spark.pipeline import dedup, multimodal, similarity
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _planted_docs(spark):
+    """200 distinct docs + 10 planted near-dup pairs (one word changed) +
+    3 exact-dup pairs."""
+    base = [
+        (i, " ".join(f"w{(i * 31 + j * 7) % 997}" for j in range(40)), "en", 40)
+        for i in range(200)
+    ]
+    near = []
+    for k in range(10):
+        doc_id, text, lang, n = base[k]
+        words = text.split()
+        words[20] = "CHANGED"
+        near.append((1000 + k, " ".join(words), lang, n))
+    exact = [(2000 + k, base[k + 50][1], "en", 40) for k in range(3)]
+    rows = [(i, t, lang, len(t)) for (i, t, lang, _n) in base + near + exact]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars int")
+
+
+def test_exact_duplicates_finds_planted(spark):
+    docs = _planted_docs(spark)
+    dups = dedup.exact_duplicates(docs).collect()
+    assert len(dups) == 3
+    for r in dups:
+        assert r.n_copies == 2
+        assert r.keep_id < 2000  # canonical survivor = smallest id
+
+
+def test_minhash_lsh_recall_on_planted_pairs(spark):
+    docs = _planted_docs(spark)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.6).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # every planted near-dup pair (k, 1000+k) shares 37/43 shingles
+    # (J≈0.86 > 0.6); with 24 bands x 4 rows P(miss) < 1e-5 per pair.
+    expected = {(k, 1000 + k) for k in range(10)}
+    assert expected <= found
+    # verification step bounds false positives: every reported pair really
+    # has Jaccard >= threshold
+    for r in pairs:
+        assert r.jaccard >= 0.6
+
+
+def test_minhash_agrees_with_exact_jaccard(spark):
+    """LSH (candidate gen + exact verify) must equal the exact all-pairs
+    result for pairs above the LSH-reliable threshold."""
+    docs = _planted_docs(spark)
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    # exact baseline on the same shingle sets
+    toks = dedup.shingles(docs).groupBy("_id").agg(F.collect_set("token").alias("t"))
+    a = toks.select(F.col("_id").alias("id_a"), F.col("t").alias("ta"))
+    b = toks.select(F.col("_id").alias("id_b"), F.col("t").alias("tb"))
+    jac = F.size(F.array_intersect("ta", "tb")) / F.size(F.array_union("ta", "tb"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("j", jac)
+        .filter(F.col("j") >= 0.8)
+        .collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_near_pairs(spark):
+    docs = _planted_docs(spark)
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=3).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # exact duplicates have hamming 0 — must always be found
+    expected_exact = {(k + 50, 2000 + k) for k in range(3)}
+    assert expected_exact <= found
+    for r in pairs:
+        assert r.hamming <= 3
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    brute = similarity.brute_force_topk(emb, q, k=5).collect()
+    ivf = similarity.ivf_topk(emb, q, k=5, n_centroids=16, nprobe=8).collect()
+    truth = {(r.q_id, r.c_id) for r in brute}
+    got = {(r.q_id, r.c_id) for r in ivf}
+    recall = len(truth & got) / len(truth)
+    # nprobe=8 of 16 centroids probes half the corpus -> high recall expected
+    assert recall >= 0.6, f"IVF recall {recall:.2f} too low"
+    # scores for overlapping pairs must match the exact computation
+    bs = {(r.q_id, r.c_id): r.cos for r in brute}
+    for r in ivf:
+        if (r.q_id, r.c_id) in bs:
+            assert abs(r.cos - bs[(r.q_id, r.c_id)]) < 1e-9
+
+
+def test_multimodal_stub_contract(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_stub(b"\x89PNG")
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").limit(20)
+    feats = multimodal.extract_features(multimodal.docs_as_assets(docs))
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.n_bytes > 0
+        assert 1 <= r.width <= 640
+        assert 1 <= r.height <= 480
+        assert len(r.header_hex) <= 16

@@ -1,0 +1,72 @@
+"""BqlType parsing unit tests — ports the shape of the reference's type tests
+(crates/meta/src/types.rs:555-782) onto the Spark mapping of SURVEY.md §1.2."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from tensorbase_spark.types import parse_bql_type, spark_field
+
+
+@pytest.mark.parametrize(
+    "name,expected",
+    [
+        ("Int8", T.ByteType()),
+        ("Int16", T.ShortType()),
+        ("Int32", T.IntegerType()),
+        ("Int64", T.LongType()),
+        # unsigned widening: no unsigned ints in Spark (SURVEY §1.2)
+        ("UInt8", T.ShortType()),
+        ("UInt16", T.IntegerType()),
+        ("UInt32", T.LongType()),
+        ("UInt64", T.DecimalType(20, 0)),
+        ("Float32", T.FloatType()),
+        ("Float64", T.DoubleType()),
+        ("Date", T.DateType()),
+        ("DateTime", T.TimestampType()),
+        ("String", T.StringType()),
+        ("UUID", T.StringType()),
+        ("LowCardinality(String)", T.StringType()),
+        ("Decimal(12, 4)", T.DecimalType(12, 4)),
+        ("Decimal32(3)", T.DecimalType(9, 3)),
+        ("Decimal64(6)", T.DecimalType(18, 6)),
+    ],
+)
+def test_simple_types(name, expected):
+    assert parse_bql_type(name).spark_type == expected
+
+
+def test_nullable_wrapper():
+    p = parse_bql_type("Nullable(Int32)")
+    assert p.spark_type == T.IntegerType()
+    assert p.nullable is True
+    # non-nullable default matches the reference (nullable is opt-in,
+    # crates/lang/src/bql.pest:386-389)
+    assert parse_bql_type("Int32").nullable is False
+
+
+def test_fixed_string():
+    p = parse_bql_type("FixedString(16)")
+    assert p.spark_type == T.StringType()
+    assert p.fixed_len == 16
+    with pytest.raises(ValueError):
+        parse_bql_type("FixedString(256)")
+
+
+def test_datetime_tz():
+    p = parse_bql_type("DateTime('Asia/Shanghai')")
+    assert p.spark_type == T.TimestampType()
+    assert p.tz == "asia/shanghai"
+
+
+@pytest.mark.parametrize("bad", ["Array(Int32)", "Map(String,Int32)", "Tuple(Int8)", "Int128", "Enum8('a'=1)"])
+def test_rejects_unsupported(bad):
+    # reference also rejects these (SURVEY §1.2 "explicitly absent")
+    with pytest.raises(ValueError):
+        parse_bql_type(bad)
+
+
+def test_spark_field():
+    f = spark_field("ts", "Nullable(DateTime)")
+    assert f == T.StructField("ts", T.TimestampType(), True)
