@@ -40,14 +40,22 @@ def main() -> int:
     for df in load_tables(spark, sf_dir).values():
         df.count()
 
+    # Best-of-3 per query: the reference's published numbers are warm
+    # best-of-3 runs (BASELINE.md, docs/benchmarks.md), and on a shared host
+    # min-of-N also filters co-tenant CPU noise (measured: the same 1.2s
+    # plan spiked to 30-100s under co-tenant bursts).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name, q in reg.items():
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        # noop sink materializes EVERY column JVM-side (count() would let
-        # Catalyst prune the projections away and under-report).
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            # noop sink materializes EVERY column JVM-side (count() would let
+            # Catalyst prune the projections away and under-report).
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)

@@ -4,46 +4,29 @@ Scale design (100 TB of documents, 1000 executors):
 - exact: one shuffle on a 128-bit content hash; group sizes are tiny
   (duplicate cluster cardinality), no skew risk beyond pathological
   boilerplate docs — which the md5 key spreads anyway.
-- MinHash+LSH: tokens explode -> per-doc signature agg (map-side partial
-  min), band keys explode -> self-join *within band buckets only*; the only
-  all-pairs work is inside a bucket, and bucket sizes are bounded by the
-  band-hash collision rate, not corpus size.
-- verification joins carry collect_set(token) arrays: bounded by document
+- MinHash+LSH: per-doc signatures via an Arrow-batched pandas UDF (see
+  pipeline/hashing.py for why NOT Column higher-order functions), band keys
+  explode -> self-join *within band buckets only*; the only all-pairs work
+  is inside a bucket, and bucket sizes are bounded by the band-hash
+  collision rate, not corpus size.
+- verification joins carry per-doc shingle-hash arrays: bounded by document
   length, independent of corpus size.
-- SimHash: same shape, 64 bitwise aggregates then 16-bit-band hamming join.
+- SimHash: one fingerprint per doc (same UDF pass), 16-bit-band hamming join.
 """
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tensorbase_spark.pipeline import hashing
+
 # MinHash parameters: 96 hashes = 24 bands x 4 rows.
 # P(candidate | J=0.8) = 1-(1-0.8^4)^24 ≈ 0.999997; P(candidate | J=0.3) ≈ 0.17.
-N_HASHES = 96
-N_BANDS = 24
-ROWS_PER_BAND = 4
+N_HASHES = hashing.N_HASHES
+N_BANDS = hashing.N_BANDS
+ROWS_PER_BAND = hashing.ROWS_PER_BAND
 _MERSENNE = 2147483647  # 2^31-1
-
-# Deterministic per-hash-function coefficients (a_i, b_i) from a fixed LCG —
-# no runtime randomness, so results are reproducible across runs/engines.
-
-
-def _lcg_pairs(n: int, seed: int = 42) -> list[tuple[int, int]]:
-    out = []
-    x = seed
-    for _ in range(n):
-        x = (1103515245 * x + 12345) % (1 << 31)
-        a = x | 1  # odd, nonzero
-        x = (1103515245 * x + 12345) % (1 << 31)
-        b = x
-        out.append((a, b))
-    return out
-
-
-_COEFFS = _lcg_pairs(N_HASHES)
 
 
 def tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -116,32 +99,39 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def _token_base_hash() -> F.Column:
-    """Token -> positive 31-bit base hash, JVM-side (xxhash64 folded)."""
-    return F.pmod(F.xxhash64(F.col("token")), F.lit(_MERSENNE)).alias("h")
+def _repartitioned(docs: DataFrame, id_col: str) -> DataFrame:
+    """Docs spread over the full task width before any UDF work.
+
+    The driver's fixture tables are single parquet files, so without this
+    every pandas-UDF pass (the expensive part) runs in ONE scan task
+    regardless of cluster size.  The repartition shuffles only the raw docs
+    (cheap) and unlocks full-width parallelism downstream.  The partition
+    count is explicit — a bare repartition(col) of a few-MB table gets
+    coalesced right back to one partition by AQE, which optimizes shuffle
+    bytes, not downstream compute-per-row."""
+    from tensorbase_spark.session import default_parallelism
+
+    return docs.repartition(default_parallelism(), F.col(id_col))
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-doc MinHash signature as N_HASHES columns s0..s{n-1}.
+    """Per-doc 96-element MinHash signature: (_id, sig array<long>).
 
-    h_i(t) = (a_i * h(t) + b_i) mod (2^31-1); products stay < 2^62 (no
-    overflow in long arithmetic).  The groupBy runs partial (map-side) min
-    before the shuffle, so the shuffled volume is one signature per doc per
-    partition, not one row per token."""
-    tok = shingles(docs, text_col, id_col).select("_id", _token_base_hash())
-    mins = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"s{i}")
-        for i, (a, b) in enumerate(_COEFFS)
-    ]
-    return tok.groupBy("_id").agg(*mins)
+    One Arrow-batched UDF pass over the text — no token explode, no
+    96-aggregate shuffle; the only shuffle is the doc-spreading repartition."""
+    return _repartitioned(docs, id_col).select(
+        F.col(id_col).alias("_id"),
+        hashing.minhash_signature(F.col(text_col)).alias("sig"),
+    )
 
 
-def _band_array() -> F.Column:
-    """24 band hashes from the signature columns (4 rows per band)."""
+def _band_array(sig: F.Column) -> F.Column:
+    """24 band hashes from the signature array (4 rows per band) — plain
+    codegen expressions (GetArrayItem + xxhash64), nothing interpreted."""
     bands = []
     for b in range(N_BANDS):
-        cols = [F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        bands.append(F.xxhash64(F.lit(b), *cols))
+        elems = [sig[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
+        bands.append(F.xxhash64(F.lit(b), *elems))
     return F.array(*bands)
 
 
@@ -158,7 +148,7 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b."""
     sigs = minhash_signatures(docs, text_col, id_col)
     bands = sigs.select(
-        "_id", F.posexplode(_band_array()).alias("band_idx", "band_hash")
+        "_id", F.posexplode(_band_array(F.col("sig"))).alias("band_idx", "band_hash")
     )
     left = bands.alias("l")
     right = bands.alias("r")
@@ -175,9 +165,12 @@ def minhash_lsh_pairs(
     # Verify on 64-bit shingle hashes, not strings: set-intersection over
     # longs is ~10-20x cheaper per pair than over strings (string hashing +
     # per-element type dispatch dominated the profile), and a 64-bit
-    # collision perturbing a Jaccard count is a ~2^-64-per-pair event.
-    tok_sets = shingles(docs, text_col, id_col).groupBy("_id").agg(
-        F.collect_set(F.xxhash64("token")).alias("toks")
+    # collision perturbing a Jaccard count is a ~2^-63-per-pair event.
+    # Same UDF family as the signatures, so hash-set Jaccard == string-set
+    # Jaccard on everything but astronomically unlikely collisions.
+    tok_sets = _repartitioned(docs, id_col).select(
+        F.col(id_col).alias("_id"),
+        hashing.shingle_hash_set(F.col(text_col)).alias("toks"),
     )
     a = tok_sets.select(F.col("_id").alias("id_a"), F.col("toks").alias("toks_a"))
     b = tok_sets.select(F.col("_id").alias("id_b"), F.col("toks").alias("toks_b"))
@@ -195,22 +188,13 @@ def minhash_lsh_pairs(
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """63-bit SimHash per document (bit 63 left clear to stay in signed long).
 
-    Per token bit j contributes +1/-1; fingerprint bit j = sign of the sum.
-    All 63 bit-sums run in one hash-aggregate pass."""
-    tok = shingles(docs, text_col, id_col).select("_id", F.xxhash64("token").alias("h"))
-    bit_sums = [
-        F.sum(
-            F.when((F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(63)
-    ]
-    agg = tok.groupBy("_id").agg(*bit_sums)
-    fp = reduce(
-        lambda acc, j: acc + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)),
-        range(1, 63),
-        F.when(F.col("b0") > 0, F.lit(1)).otherwise(F.lit(0)),
+    Per shingle bit j contributes +1/-1; fingerprint bit j = sign of the sum.
+    Whole fingerprint in one Arrow-batched UDF pass — no shingle explode, no
+    63-aggregate shuffle."""
+    return _repartitioned(docs, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        hashing.simhash64(F.col(text_col)).alias("simhash"),
     )
-    return agg.select(F.col("_id").alias("doc_id"), fp.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -280,31 +264,19 @@ def ngram_jaccard_pairs(
     from tensorbase_spark.session import default_parallelism
 
     W = 20
-    # Bigrams via zip_with(w, w[2:], concat) — every split() occurrence stays
-    # OUTSIDE the lambda so it evaluates once per row (see shingles() for the
-    # O(words^2) interpreted-eval trap this avoids).
-    w = F.split(F.col("text"), " ")
-    z = F.zip_with(
-        w,
-        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
     # Jaccard runs on 64-bit bigram hashes, not the strings themselves:
-    # numerically identical (a collision is a ~2^-64-per-pair event; the
+    # numerically identical (a collision is a ~2^-63-per-pair event; the
     # DuckDB oracle's string-based jaccard still hash-matches) and an order
     # of magnitude cheaper per candidate pair — string array_intersect
-    # (hash + per-element dispatch) dominated the join profile.
-    bigrams = F.when(
-        F.size(w) >= 2,
-        F.array_distinct(
-            F.transform(F.slice(z, 1, F.size(w) - 1), lambda s: F.xxhash64(s))
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    # (hash + per-element dispatch) dominated the join profile.  The hashes
+    # come from an Arrow-batched UDF (pipeline/hashing.py) rather than
+    # split+zip_with+xxhash64 Column expressions: higher-order functions are
+    # CodegenFallback and their interpreted eval destabilized the whole JVM.
     bucket = F.floor(F.col(n_chars_col) / W).cast("long")
     d = docs.repartition(default_parallelism(), F.col("doc_id")).select(
         F.col("doc_id"), F.col(lang_col).alias("lang"),
         F.col(n_chars_col).alias("nc"),
-        bigrams.alias("bg"), bucket.alias("bk"),
+        hashing.bigram_hash_set(F.col("text")).alias("bg"), bucket.alias("bk"),
     )
 
     # Two phases, like minhash_lsh_pairs: (1) candidate pairs from the CHEAP
