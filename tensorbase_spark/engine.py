@@ -1,0 +1,578 @@
+"""TensorBase-dialect engine: the §2.1 command surface over Spark SQL.
+
+The reference's architecture is "thin dialect + storage shim over a general
+vectorized SQL engine" (SURVEY.md §0): a pest grammar classifies every
+command (crates/runtime/src/mgmt.rs:984-1057), meta commands are handled
+against a sled store, and SELECTs are re-parsed and executed by a vendored
+DataFusion.  This module is the same shape on Spark: a regex dispatcher
+classifies commands, meta/DDL commands run against the Spark catalog, and
+queries are dialect-translated and handed to spark.sql — Catalyst plays the
+role DataFusion plays in the reference.
+
+Command surface (reference citation -> here):
+- CREATE DATABASE [IF NOT EXISTS]       mgmt.rs:473
+- CREATE TABLE (+PARTITION BY expr)     mgmt.rs:649, parse.rs:480
+- SHOW DATABASES / SHOW TABLES          mgmt.rs:484,494
+- SHOW CREATE TABLE                     mgmt.rs:504
+- DESC[RIBE] TABLE                      mgmt.rs:532
+- DROP DATABASE / DROP TABLE            mgmt.rs:802,814
+- TRUNCATE TABLE                        mgmt.rs:856
+- OPTIMIZE TABLE                        mgmt.rs:923-941 (parquet compaction
+                                        here; the reference only flushes)
+- USE db                                mgmt.rs:907
+- EXPLAIN query                         bql.pest:10
+- INSERT INTO ... VALUES                mgmt.rs:1271 (literal block build)
+- INSERT INTO ... SELECT                mgmt.rs:772-800
+- INSERT INTO ... FORMAT CSV 'path'     ch/messages.rs:386-405 (client-side
+                                        CSV parse in the reference; here a
+                                        spark.read.csv ingest)
+- SELECT ...                            engine/datafusions.rs:58-188
+
+Partition keys: the reference stores a partition expression string and JIT
+compiles it with cranelift at insert time (mgmt.rs:408-469).  Here the
+expression becomes a generated ``__ptk`` column computed with built-in
+expressions at insert (functions/clickhouse.py) and a Hive-style partition
+directory — so partition pruning is native directory pruning, and the
+WHERE-rewrite in _derive_ptk_predicate ports the parse_where semantics
+(crates/lang/src/parse.rs:539-862) for predicates on the *source* column.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tensorbase_spark.functions.clickhouse import CH_FUNCTIONS, CH_SQL_TEMPLATES
+from tensorbase_spark.types import parse_bql_type
+
+PTK_COL = "__ptk"
+
+# Reference rejects blocks that split into >=1000 partitions
+# (crates/runtime/src/write.rs:52-56).
+MAX_PARTS_PER_INSERT = 1000
+
+_MONOTONIC_PTK_FNS = {
+    # fn name -> python evaluator over a date/datetime/int literal.
+    # Monotonic in the source column, so range predicates map through.
+    "toYYYYMMDD": lambda d: d.year * 10000 + d.month * 100 + d.day,
+    "toYYYYMM": lambda d: d.year * 100 + d.month,
+    "toYear": lambda d: d.year,
+    "toYYYY": lambda d: d.year,
+}
+
+
+@dataclass(frozen=True)
+class PartitionSpec:
+    """Parsed PARTITION BY clause: identity column, CH fn over a column, or
+    rem(col, n)."""
+
+    source_col: str
+    fn: str | None = None  # None = identity
+    rem_n: int | None = None
+
+    def ptk_column(self) -> F.Column:
+        if self.fn is None:
+            return F.col(self.source_col)
+        if self.fn == "rem":
+            return CH_FUNCTIONS["rem"](self.source_col, self.rem_n).cast("long")
+        return CH_FUNCTIONS[self.fn](F.col(self.source_col)).cast("long")
+
+
+_PARTITION_RE = re.compile(
+    r"^(?:(?P<fn>[A-Za-z_][A-Za-z0-9_]*)\s*\(\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)"
+    r"\s*(?:,\s*(?P<n>\d+)\s*)?\)|(?P<bare>[A-Za-z_][A-Za-z0-9_]*))$"
+)
+
+
+def parse_partition_expr(expr: str) -> PartitionSpec:
+    m = _PARTITION_RE.match(expr.strip())
+    if not m:
+        raise ValueError(f"unsupported partition expression: {expr!r}")
+    if m.group("bare"):
+        return PartitionSpec(m.group("bare"))
+    fn, col, n = m.group("fn"), m.group("col"), m.group("n")
+    if fn == "rem":
+        if n is None:
+            raise ValueError("rem(col, N) requires N")
+        return PartitionSpec(col, "rem", int(n))
+    if fn not in _MONOTONIC_PTK_FNS and fn not in CH_FUNCTIONS:
+        raise ValueError(f"unsupported partition function: {fn}")
+    if n is not None:
+        raise ValueError(f"{fn} takes one argument")
+    return PartitionSpec(col, fn)
+
+
+# ---------------------------------------------------------------------------
+# Dialect translation: ClickHouse function calls -> Spark SQL text
+# ---------------------------------------------------------------------------
+
+_IDENT_CALL = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\s*\(")
+
+
+def _split_top_level_args(s: str) -> list[str]:
+    args, depth, cur, in_str = [], 0, [], None
+    for ch in s:
+        if in_str:
+            cur.append(ch)
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in "'\"":
+            in_str = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        args.append(tail)
+    return args
+
+
+def translate_sql(sql: str) -> str:
+    """Rewrite ClickHouse function names to Spark SQL equivalents, innermost
+    calls first, string literals untouched.  Unknown names pass through —
+    Spark SQL's own surface (abs, concat, md5, ...) is a superset of the
+    DataFusion builtins the reference exposes (SURVEY §2.6)."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in "'\"":
+            j = i + 1
+            while j < n and sql[j] != ch:
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        m = _IDENT_CALL.match(sql, i)
+        if m:
+            name = m.group(0)[:-1].strip()
+            # find matching close paren
+            depth, j = 1, m.end()
+            while j < n and depth:
+                if sql[j] in "'\"":
+                    q = sql[j]
+                    j += 1
+                    while j < n and sql[j] != q:
+                        j += 1
+                elif sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                j += 1
+            inner = sql[m.end() : j - 1]
+            args = [translate_sql(a) for a in _split_top_level_args(inner)]
+            tmpl = CH_SQL_TEMPLATES.get(name.lower())
+            if tmpl:
+                try:
+                    out.append(tmpl.format(*args))
+                except IndexError:
+                    out.append(f"{name}({', '.join(args)})")
+            else:
+                out.append(f"{name}({', '.join(args)})")
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Partition-prune predicate derivation (port of parse_where semantics,
+# crates/lang/src/parse.rs:539-862 applied at engine/datafusions.rs:75-105)
+# ---------------------------------------------------------------------------
+
+
+def _parse_literal_date(lit: str):
+    s = lit.strip().strip("'\"")
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            return _dt.datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    try:
+        return int(s)
+    except ValueError:
+        return None
+
+
+def _derive_ptk_predicate(spec: PartitionSpec, where_sql: str) -> str | None:
+    """Derive an AND-able __ptk predicate from simple comparisons on the
+    partition source column.  Conservative: only top-level-looking
+    ``col OP literal`` and ``col BETWEEN a AND b`` forms; strict < / >
+    weaken to <= / >= because the ptk fn is non-injective."""
+    col = re.escape(spec.source_col)
+    preds: list[str] = []
+
+    def f(lit: str):
+        v = _parse_literal_date(lit)
+        if v is None:
+            return None
+        if spec.fn is None:
+            return v if isinstance(v, int) else f"'{lit.strip().strip(chr(39))}'"
+        if spec.fn == "rem":
+            return v % spec.rem_n if isinstance(v, int) else None
+        if isinstance(v, int):  # int literal for a date fn: unix seconds
+            v = _dt.datetime.fromtimestamp(v, _dt.timezone.utc)
+        return _MONOTONIC_PTK_FNS[spec.fn](v)
+
+    for m in re.finditer(
+        rf"\b{col}\s*(=|<=|>=|<>|!=|<|>)\s*('[^']*'|[0-9][0-9.\-]*)", where_sql
+    ):
+        op, lit = m.group(1), m.group(2)
+        v = f(lit)
+        if v is None:
+            continue
+        if op == "=":
+            preds.append(f"{PTK_COL} = {v}")
+        elif op in ("<>", "!=") or spec.fn == "rem":
+            continue  # != gives no range; rem is non-monotonic
+        elif op in ("<", "<="):
+            preds.append(f"{PTK_COL} <= {v}")
+        elif op in (">", ">="):
+            preds.append(f"{PTK_COL} >= {v}")
+    for m in re.finditer(
+        rf"\b{col}\s+between\s+('[^']*'|[0-9][0-9.\-]*)\s+and\s+('[^']*'|[0-9][0-9.\-]*)",
+        where_sql,
+        re.IGNORECASE,
+    ):
+        lo, hi = f(m.group(1)), f(m.group(2))
+        if lo is not None and hi is not None and spec.fn != "rem":
+            preds.append(f"{PTK_COL} >= {lo} AND {PTK_COL} <= {hi}")
+    if not preds:
+        return None
+    return " AND ".join(f"({p})" for p in preds)
+
+
+# ---------------------------------------------------------------------------
+# The engine
+# ---------------------------------------------------------------------------
+
+_CREATE_DB_RE = re.compile(
+    r"^create\s+database\s+(if\s+not\s+exists\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*$",
+    re.IGNORECASE,
+)
+_CREATE_TABLE_HEAD_RE = re.compile(
+    r"^create\s+table\s+(?P<ine>if\s+not\s+exists\s+)?(?P<name>[A-Za-z_][A-Za-z0-9_.]*)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _match_create_table(c: str):
+    """(if_not_exists, name, cols_text, tail) with balanced-paren column list
+    — a greedy regex would swallow PARTITION BY fn(col) into the columns."""
+    m = _CREATE_TABLE_HEAD_RE.match(c)
+    if not m:
+        return None
+    depth, i = 1, m.end()
+    while i < len(c) and depth:
+        if c[i] == "(":
+            depth += 1
+        elif c[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        return None
+    return bool(m.group("ine")), m.group("name"), c[m.end() : i - 1], c[i:].strip()
+_PARTITION_BY_RE = re.compile(
+    r"partition\s+by\s+(?P<expr>[A-Za-z_][A-Za-z0-9_]*\s*(?:\([^)]*\))?)", re.IGNORECASE
+)
+_DROP_RE = re.compile(
+    r"^drop\s+(?P<kind>database|table)\s+(?P<ie>if\s+exists\s+)?(?P<name>[A-Za-z_][A-Za-z0-9_.]*)\s*$",
+    re.IGNORECASE,
+)
+_INSERT_RE = re.compile(
+    r"^insert\s+into\s+(?P<name>[A-Za-z_][A-Za-z0-9_.]*)\s*(?:\((?P<cols>[^)]*)\)\s*)?"
+    r"(?P<rest>values\s+.*|select\s+.*|format\s+csv\s+.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+class TensorBaseEngine:
+    """`engine.sql(bql)` — the user-facing surface, matching how the
+    reference's servers hand each command string to BMS.run_commands."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._partition_specs: dict[str, PartitionSpec] = {}
+        self._create_scripts: dict[str, str] = {}
+
+    # -- helpers ------------------------------------------------------------
+
+    def _qualify(self, name: str) -> str:
+        if "." in name:
+            return name
+        return f"{self.spark.catalog.currentDatabase()}.{name}"
+
+    def _spec_for(self, name: str) -> PartitionSpec | None:
+        q = self._qualify(name)
+        if q in self._partition_specs:
+            return self._partition_specs[q]
+        # recover from table properties (engine restarted over same warehouse)
+        try:
+            rows = self.spark.sql(f"SHOW TBLPROPERTIES {q}").collect()
+        except Exception:
+            return None
+        props = {r.key: r.value for r in rows}
+        expr = props.get("tb.partition_expr")
+        if expr:
+            spec = parse_partition_expr(expr)
+            self._partition_specs[q] = spec
+            return spec
+        return None
+
+    # -- dispatcher (mirrors mgmt.rs:984-1057 rule match) --------------------
+
+    def sql(self, command: str) -> DataFrame:
+        c = command.strip().rstrip(";").strip()
+        low = c.lower()
+
+        if low.startswith("create database"):
+            return self._create_database(c)
+        if low.startswith("create table"):
+            return self._create_table(c)
+        if low in ("show databases", "show tables"):
+            return self.spark.sql(c)
+        if low.startswith("show create table"):
+            return self._show_create_table(c)
+        if low.startswith(("desc table", "describe table", "desc ", "describe ")):
+            return self._desc_table(c)
+        if low.startswith("drop"):
+            return self._drop(c)
+        if low.startswith("truncate table"):
+            return self.spark.sql(c)
+        if low.startswith("optimize table"):
+            return self._optimize(c)
+        if low.startswith("use "):
+            self.spark.catalog.setCurrentDatabase(c[4:].strip())
+            return self.spark.sql("SELECT 1 AS ok")
+        if low.startswith("explain"):
+            return self.spark.sql("EXPLAIN " + self._translate_query(c[len("explain"):]))
+        if low.startswith("insert"):
+            return self._insert(c)
+        # Rule::query — everything else goes to Catalyst, like the raw SQL
+        # string re-parse in the reference (crates/engine/src/datafusions.rs:182).
+        return self.spark.sql(self._translate_query(c))
+
+    # -- DDL ----------------------------------------------------------------
+
+    def _create_database(self, c: str) -> DataFrame:
+        m = _CREATE_DB_RE.match(c)
+        if not m:
+            raise ValueError(f"cannot parse: {c}")
+        ine = "IF NOT EXISTS " if m.group(1) else ""
+        return self.spark.sql(f"CREATE DATABASE {ine}{m.group(2)}")
+
+    def _create_table(self, c: str) -> DataFrame:
+        m = _match_create_table(c)
+        if not m:
+            raise ValueError(f"cannot parse: {c}")
+        is_ine, raw_name, cols_text, tail = m
+        name = self._qualify(raw_name)
+        ine = "IF NOT EXISTS " if is_ine else ""
+
+        cols: list[tuple[str, str]] = []  # (name, bql type)
+        for part in _split_top_level_args(cols_text):
+            toks = part.strip().split(None, 1)
+            if len(toks) != 2:
+                raise ValueError(f"cannot parse column def: {part!r}")
+            cols.append((toks[0], toks[1]))
+
+        pm = _PARTITION_BY_RE.search(tail)
+        spec = parse_partition_expr(pm.group("expr")) if pm else None
+
+        col_sql = []
+        for cname, ctype in cols:
+            p = parse_bql_type(ctype)
+            null_sql = "" if p.nullable else " NOT NULL"
+            col_sql.append(f"{cname} {p.spark_type.simpleString()}{null_sql}")
+        part_sql = ""
+        cols_txt = ", ".join(f"{cn} {ct}" for cn, ct in cols)
+        props = [
+            f"'tb.create_script' = '{c.replace(chr(39), chr(39)*2)}'",
+            f"'tb.columns' = '{cols_txt.replace(chr(39), chr(39)*2)}'",
+        ]
+        if spec is not None:
+            ptk_type = "bigint" if spec.fn else dict(cols).get(spec.source_col)
+            if spec.fn is None:
+                ptk_type = parse_bql_type(ptk_type).spark_type.simpleString()
+            col_sql.append(f"{PTK_COL} {ptk_type}")
+            part_sql = f" PARTITIONED BY ({PTK_COL})"
+            expr_txt = pm.group("expr")
+            props.append(f"'tb.partition_expr' = '{expr_txt}'")
+
+        ddl = (
+            f"CREATE TABLE {ine}{name} ({', '.join(col_sql)}) USING parquet"
+            f"{part_sql} TBLPROPERTIES ({', '.join(props)})"
+        )
+        out = self.spark.sql(ddl)
+        if spec is not None:
+            self._partition_specs[name] = spec
+        self._create_scripts[name] = c
+        return out
+
+    def _show_create_table(self, c: str) -> DataFrame:
+        name = self._qualify(c.split()[-1])
+        script = self._create_scripts.get(name)
+        if script is None:
+            try:
+                rows = self.spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+                script = {r.key: r.value for r in rows}.get("tb.create_script")
+            except Exception:
+                script = None
+        if script is None:
+            return self.spark.sql(f"SHOW CREATE TABLE {name}")
+        return self.spark.createDataFrame([(script,)], "statement: string")
+
+    def _desc_table(self, c: str) -> DataFrame:
+        """Name/type/nullable rows from stored metadata (the reference's DESC
+        also reads the metastore, mgmt.rs:532 — parquet file-source schemas
+        come back force-nullable, so the catalog props are authoritative)."""
+        name = self._qualify(c.split()[-1])
+        cols_txt = None
+        try:
+            rows = self.spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+            cols_txt = {r.key: r.value for r in rows}.get("tb.columns")
+        except Exception:
+            pass
+        if cols_txt:
+            fields = []
+            for part in _split_top_level_args(cols_txt):
+                cname, ctype = part.strip().split(None, 1)
+                p = parse_bql_type(ctype)
+                fields.append((cname, p.spark_type.simpleString(), p.nullable))
+        else:
+            fields = [
+                (f.name, f.dataType.simpleString(), f.nullable)
+                for f in self.spark.table(name).schema.fields
+                if f.name != PTK_COL
+            ]
+        return self.spark.createDataFrame(
+            fields, "col_name: string, data_type: string, nullable: boolean"
+        )
+
+    def _drop(self, c: str) -> DataFrame:
+        m = _DROP_RE.match(c)
+        if not m:
+            raise ValueError(f"cannot parse: {c}")
+        ie = "IF EXISTS " if m.group("ie") else ""
+        kind = m.group("kind").upper()
+        name = m.group("name")
+        if kind == "TABLE":
+            self._partition_specs.pop(self._qualify(name), None)
+            return self.spark.sql(f"DROP TABLE {ie}{name}")
+        return self.spark.sql(f"DROP DATABASE {ie}{name} CASCADE")
+
+    def _optimize(self, c: str) -> DataFrame:
+        """Parquet compaction: one file per (partition, shuffle task) — real
+        work, unlike the reference's flush-only OPTIMIZE (mgmt.rs:938)."""
+        name = self._qualify(c.split()[-1])
+        df = self.spark.table(name)
+        spec = self._spec_for(name)
+        tmp = df.repartition(F.col(PTK_COL)) if spec else df.coalesce(1)
+        # Spark refuses to overwrite a table from a plan that reads it —
+        # stage through a temp parquet dir first, then overwrite.
+        stage = f"{self.spark.conf.get('spark.sql.warehouse.dir')}/optimize_stage_tmp"
+        tmp.write.mode("overwrite").parquet(stage)
+        self.spark.read.parquet(stage).write.insertInto(name, overwrite=True)
+        return self.spark.sql("SELECT 1 AS ok")
+
+    # -- INSERT paths -------------------------------------------------------
+
+    def _insert(self, c: str) -> DataFrame:
+        m = _INSERT_RE.match(c)
+        if not m:
+            raise ValueError(f"cannot parse: {c}")
+        name = self._qualify(m.group("name"))
+        subset = [s.strip() for s in (m.group("cols") or "").split(",") if s.strip()]
+        rest = m.group("rest")
+        low = rest.lower()
+        if low.startswith("values"):
+            src = self.spark.sql(f"SELECT * FROM {rest}")
+        elif low.startswith("select"):
+            src = self.spark.sql(self._translate_query(rest))
+        else:  # FORMAT CSV 'path'
+            path = rest.split(None, 2)[2].strip().strip("'\"")
+            src = self.spark.read.csv(path, header=False, inferSchema=False)
+        return self.insert_df(name, src, subset or None)
+
+    def insert_df(
+        self, name: str, src: DataFrame, subset: list[str] | None = None
+    ) -> DataFrame:
+        """Append a DataFrame: positional cast to the table schema, DateTime
+        second-truncation (reference Timestamp32 is unix seconds,
+        crates/arrow/src/datatypes/datatype.rs:95), partition-key computation,
+        and the >=1000-parts-per-block guard (write.rs:52-56)."""
+        name = self._qualify(name)
+        schema = [f for f in self.spark.table(name).schema.fields if f.name != PTK_COL]
+        spec = self._spec_for(name)
+
+        targets = subset or [f.name for f in schema]
+        if len(src.columns) != len(targets):
+            raise ValueError(
+                f"INSERT column count {len(src.columns)} != target {len(targets)}"
+            )
+        by_name = {f.name: f for f in schema}
+        sel = []
+        renamed = src.toDF(*targets)
+        for f in schema:
+            if f.name in targets:
+                col = F.col(f.name).cast(f.dataType)
+                if f.dataType.simpleString() == "timestamp":
+                    col = F.date_trunc("second", col)
+                sel.append(col.alias(f.name))
+            else:
+                if not f.nullable:
+                    raise ValueError(f"column {f.name} has no default and is NOT NULL")
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+        out = renamed.select(*sel)
+        if spec is not None:
+            out = out.withColumn(PTK_COL, spec.ptk_column())
+            nparts = out.select(PTK_COL).distinct().limit(MAX_PARTS_PER_INSERT + 1).count()
+            if nparts >= MAX_PARTS_PER_INSERT:
+                raise ValueError(
+                    f"insert spans {nparts} partitions >= {MAX_PARTS_PER_INSERT} "
+                    "(reference guard, crates/runtime/src/write.rs:52-56)"
+                )
+        out.write.mode("append").insertInto(name)
+        return self.spark.sql("SELECT 1 AS ok")
+
+    # -- SELECT translation + partition pruning ------------------------------
+
+    def _translate_query(self, q: str) -> str:
+        q = translate_sql(q.strip())
+        # WHERE-rewrite: for each known partitioned table referenced, derive
+        # __ptk predicates from source-column comparisons and AND them in.
+        wm = re.search(
+            r"\bwhere\b(?P<cond>.*?)(?=\bgroup\s+by\b|\border\s+by\b|\bhaving\b|\blimit\b|$)",
+            q,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not wm:
+            return q
+        cond = wm.group("cond")
+        derived = []
+        for tbl in re.findall(r"\bfrom\s+([A-Za-z_][A-Za-z0-9_.]*)", q, re.IGNORECASE):
+            spec = self._spec_for(tbl)
+            if spec is None:
+                continue
+            p = _derive_ptk_predicate(spec, cond)
+            if p:
+                derived.append(p)
+        if not derived:
+            return q
+        new_cond = f" ({cond.strip()}) AND {' AND '.join(derived)} "
+        return q[: wm.start("cond")] + new_cond + q[wm.end("cond") :]

@@ -32,10 +32,17 @@ class Query:
 
 
 def registry() -> dict[str, Query]:
-    from tensorbase_spark.queries import chfuncs, pipeline, relational, scalars, windows
+    from tensorbase_spark.queries import (
+        chfuncs,
+        engine_queries,
+        pipeline,
+        relational,
+        scalars,
+        windows,
+    )
 
     out: dict[str, Query] = {}
-    for mod in (relational, windows, chfuncs, scalars, pipeline):
+    for mod in (relational, windows, chfuncs, scalars, pipeline, engine_queries):
         for name, q in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")

@@ -1,0 +1,104 @@
+"""Driver-facing queries exercising the §2.1 command engine end-to-end:
+CREATE DATABASE/TABLE (ClickHouse types + PARTITION BY expression), INSERT
+SELECT, dialect-translated SELECT with partition-prune rewrite — the full
+lifecycle the reference drives over its wire servers
+(crates/tests_integ/tests/sanity_checks.rs:64-113,1294).
+
+The oracle never sees the engine: it recomputes the same answer straight from
+the fixture parquet, so a hash match proves the DDL + partitioned write +
+pruned read pipeline preserves the data bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from tensorbase_spark.engine import TensorBaseEngine
+from tensorbase_spark.queries import Query
+
+_WH = "/tmp/tbs_engine_wh"
+
+
+def _fresh_engine(spark, sf_dir: str, db_hint: str) -> TensorBaseEngine:
+    """Engine over an sf-scoped scratch database (idempotent per call)."""
+    import shutil
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    db = f"tb_eng_{db_hint}_{sf_tag}"
+    eng = TensorBaseEngine(spark)
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    # a previous session's catalog may be gone while its managed-table dirs
+    # remain — Spark refuses to reuse the location, so clear it physically
+    shutil.rmtree(f"{_WH}/{db}", ignore_errors=True)
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{_WH}/{db}'")
+    eng.sql(f"use {db}")
+    return eng
+
+
+def engine_ddl_insert_select(spark, sf_dir):
+    """DDL -> INSERT SELECT (from the orders fixture) -> aggregate read-back
+    through the dialect layer (toYear)."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "dis")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_src")
+    eng.sql(
+        "create table ord_part(od Date, status String, total Float64) "
+        "partition by toYYYYMM(od)"
+    )
+    eng.sql(
+        "insert into ord_part select o_orderdate, o_orderstatus, o_totalprice "
+        "from orders_src where o_orderdate < '1998-01-01'"
+    )
+    return eng.sql(
+        "select toYear(od) as y, status, count(*) as n, "
+        "round(sum(total), 2) as s from ord_part group by toYear(od), status"
+    )
+
+
+ENGINE_DIS_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS y, o_orderstatus AS status,
+       count(*) AS n, round(sum(o_totalprice), 2) AS s
+FROM orders WHERE o_orderdate < DATE '1998-01-01'
+GROUP BY year(o_orderdate), o_orderstatus
+"""
+
+
+def engine_partition_prune(spark, sf_dir):
+    """WHERE on the partition SOURCE column: the engine derives __ptk
+    predicates (port of parse_where, crates/lang/src/parse.rs:539-862) so the
+    scan prunes partition directories natively."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "prune")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_src")
+    eng.sql(
+        "create table li_part(sd Date, qty Float64, price Float64) "
+        "partition by toYYYYMM(sd)"
+    )
+    eng.sql(
+        "insert into li_part select l_shipdate, l_quantity, l_extendedprice "
+        "from li_src where l_shipdate < '1998-01-01'"
+    )
+    return eng.sql(
+        "select toYYYYMM(sd) as ym, count(*) as n, round(sum(qty), 1) as sq, "
+        "round(sum(price), 2) as sp from li_part "
+        "where sd between '1996-03-01' and '1996-08-31' "
+        "group by toYYYYMM(sd)"
+    )
+
+
+ENGINE_PRUNE_ORACLE = """
+SELECT CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT) AS ym,
+       count(*) AS n, round(sum(l_quantity), 1) AS sq,
+       round(sum(l_extendedprice), 2) AS sp
+FROM lineitem
+WHERE l_shipdate BETWEEN DATE '1996-03-01' AND DATE '1996-08-31'
+GROUP BY year(l_shipdate)*100 + month(l_shipdate)
+"""
+
+
+QUERIES = {
+    "engine_ddl_insert_select": Query(engine_ddl_insert_select, ENGINE_DIS_ORACLE, ("engine",)),
+    "engine_partition_prune": Query(engine_partition_prune, ENGINE_PRUNE_ORACLE, ("engine",)),
+}

@@ -1,0 +1,192 @@
+"""End-to-end engine tests mirroring the reference's integration strategy
+(crates/tests_integ/tests/sanity_checks.rs): DDL stress, insert + aggregate,
+insert-select, per-type round-trips, truncate, desc, partition pruning.
+Each test runs whole commands through TensorBaseEngine.sql the way the
+reference pumps SQL strings through its wire servers."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from tensorbase_spark.engine import (
+    PTK_COL,
+    TensorBaseEngine,
+    parse_partition_expr,
+    translate_sql,
+)
+
+
+@pytest.fixture()
+def engine(spark):
+    eng = TensorBaseEngine(spark)
+    db = f"tdb_{uuid.uuid4().hex[:8]}"
+    eng.sql(f"create database {db}")
+    eng.sql(f"use {db}")
+    yield eng
+    spark.catalog.setCurrentDatabase("default")
+    eng.sql(f"drop database if exists {db}")
+
+
+def test_translate_sql_rewrites_ch_functions():
+    out = translate_sql("select toYear(d), toYYYYMMDD(d) from t where toMonth(d) = 3")
+    assert "year(d)" in out
+    assert "year(d)*10000 + month(d)*100 + dayofmonth(d)" in out
+    assert "month(d) = 3" in out
+    # string literals untouched, unknown functions pass through
+    out2 = translate_sql("select concat('toYear(x)', upper(s)) from t")
+    assert "'toYear(x)'" in out2 and "upper(s)" in out2
+
+
+def test_parse_partition_expr_forms():
+    s1 = parse_partition_expr("toYYYYMMDD(d)")
+    assert (s1.source_col, s1.fn) == ("d", "toYYYYMMDD")
+    s2 = parse_partition_expr("rem(a, 100)")
+    assert (s2.source_col, s2.fn, s2.rem_n) == ("a", "rem", 100)
+    s3 = parse_partition_expr("k")
+    assert (s3.source_col, s3.fn) == ("k", None)
+    with pytest.raises(ValueError):
+        parse_partition_expr("frobnicate(a, b, c)")
+
+
+def test_ddl_create_show_desc_drop(engine):
+    engine.sql("create table t1(a UInt64, b String, c Nullable(Float64))")
+    tables = {r.tableName for r in engine.sql("show tables").collect()}
+    assert "t1" in tables
+    desc = {r.col_name: (r.data_type, r.nullable) for r in engine.sql("desc table t1").collect()}
+    # UInt64 widens to decimal(20,0) (SURVEY §1.2); Nullable maps to nullable
+    assert desc["a"] == ("decimal(20,0)", False)
+    assert desc["b"] == ("string", False)
+    assert desc["c"] == ("double", True)
+    script = engine.sql("show create table t1").collect()[0][0]
+    assert "create table t1" in script.lower()
+    engine.sql("drop table t1")
+    assert "t1" not in {r.tableName for r in engine.sql("show tables").collect()}
+
+
+def test_insert_values_and_aggregate(engine):
+    # mirror sanity_checks.rs:64-113 (insert then sum/count)
+    engine.sql("create table tt(a Int64, b Float64)")
+    engine.sql("insert into tt values (1, 1.5), (2, 2.5), (3, 3.5)")
+    engine.sql("insert into tt values (4, 4.5)")
+    r = engine.sql("select count(*) as n, sum(a) as s, sum(b) as sb from tt").collect()[0]
+    assert (r.n, r.s, r.sb) == (4, 10, 12.0)
+
+
+def test_insert_select_and_dialect(engine):
+    engine.sql("create table src(d DateTime, v Int32)")
+    engine.sql(
+        "insert into src values ('2004-09-17 10:00:00', 1), ('2005-01-02 03:04:05', 2)"
+    )
+    engine.sql("create table agg(y Int32, n Int64)")
+    engine.sql("insert into agg select toYear(d) as y, count(*) as n from src group by toYear(d)")
+    rows = {(r.y, r.n) for r in engine.sql("select y, n from agg").collect()}
+    assert rows == {(2004, 1), (2005, 1)}
+
+
+def test_per_type_roundtrip(engine):
+    # per-type round trips like sanity_checks.rs:196-493
+    engine.sql(
+        "create table rt(i8 Int8, u16 UInt16, f32 Float32, dec Decimal(9,2), "
+        "d Date, dt DateTime, s String, fs FixedString(4), ls LowCardinality(String), "
+        "u UUID, nb Nullable(Int64))"
+    )
+    engine.sql(
+        "insert into rt values (-128, 65535, 1.5, 12345.67, '2021-06-01', "
+        "'2021-06-01 12:34:56', 'hello', 'abcd', 'low', "
+        "'61f0c404-5cb3-11e7-907b-a6006ad3dba0', NULL)"
+    )
+    r = engine.sql("select * from rt").collect()[0]
+    assert r.i8 == -128 and r.u16 == 65535
+    assert abs(r.f32 - 1.5) < 1e-6
+    assert str(r.dec) == "12345.67"
+    assert str(r.d) == "2021-06-01"
+    assert "2021-06-01 12:34:56" in str(r.dt)
+    assert r.s == "hello" and r.fs == "abcd" and r.ls == "low"
+    assert r.u == "61f0c404-5cb3-11e7-907b-a6006ad3dba0"
+    assert r.nb is None
+
+
+def test_datetime_truncates_to_seconds(engine):
+    # reference Timestamp32 stores unix seconds (datatype.rs:95)
+    engine.sql("create table ts(t DateTime)")
+    engine.sql("insert into ts values ('2021-01-01 00:00:00.999')")
+    r = engine.sql("select t from ts").collect()[0]
+    assert r.t.microsecond == 0
+
+
+def test_truncate(engine):
+    engine.sql("create table tr(a Int32)")
+    engine.sql("insert into tr values (1), (2)")
+    engine.sql("truncate table tr")
+    assert engine.sql("select count(*) as n from tr").collect()[0].n == 0
+
+
+def test_partitioned_insert_prune_and_optimize(engine, tmp_path):
+    engine.sql(
+        "create table ev(d Date, v Int64) engine=BaseStorage partition by toYYYYMMDD(d)"
+    )
+    engine.sql(
+        "insert into ev values ('2021-01-01', 1), ('2021-01-01', 2), "
+        "('2021-02-01', 3), ('2021-03-05', 4)"
+    )
+    # values come back right
+    assert engine.sql("select sum(v) as s from ev").collect()[0].s == 10
+    # predicate on the SOURCE column gets a derived __ptk predicate
+    q = engine._translate_query("select sum(v) as s from ev where d = '2021-01-01'")
+    assert f"{PTK_COL} = 20210101" in q
+    assert engine.spark.sql(q).collect()[0].s == 3
+    qr = engine._translate_query(
+        "select sum(v) as s from ev where d between '2021-01-15' and '2021-03-31'"
+    )
+    assert f"{PTK_COL} >= 20210115" in qr and f"{PTK_COL} <= 20210331" in qr
+    assert engine.spark.sql(qr).collect()[0].s == 7
+    # the derived predicate reaches the scan as a partition filter
+    plan = engine.spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and PTK_COL in plan
+    # optimize compacts without changing results
+    engine.sql("optimize table ev")
+    assert engine.sql("select sum(v) as s from ev").collect()[0].s == 10
+
+
+def test_rem_partitioning(engine):
+    # the reference's own ingest bench partitions by rem(a, N)
+    # (crates/tests_integ/benches/bench_ingestion.rs:39)
+    engine.sql("create table rm(a Int64, b Int64) partition by rem(a, 10)")
+    engine.sql("insert into rm select id, id * 2 from range(100)")
+    assert engine.sql("select count(*) as n from rm").collect()[0].n == 100
+    q = engine._translate_query("select sum(b) as s from rm where a = 42")
+    assert f"{PTK_COL} = 2" in q
+    assert engine.spark.sql(q).collect()[0].s == 84
+
+
+def test_insert_csv_format(engine, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("1,alpha\n2,beta\n3,gamma\n")
+    engine.sql("create table cs(k Int32, s String)")
+    engine.sql(f"insert into cs format csv '{p}'")
+    rows = {(r.k, r.s) for r in engine.sql("select k, s from cs").collect()}
+    assert rows == {(1, "alpha"), (2, "beta"), (3, "gamma")}
+
+
+def test_insert_partition_guard(engine):
+    engine.sql("create table pg(a Int64) partition by a")
+    with pytest.raises(Exception, match="partitions"):
+        engine.sql("insert into pg select id from range(1500)")
+
+
+def test_insert_column_subset_and_count_mismatch(engine):
+    engine.sql("create table sub(a Int32, b Nullable(String))")
+    engine.sql("insert into sub (a) values (7)")
+    r = engine.sql("select a, b from sub").collect()[0]
+    assert r.a == 7 and r.b is None
+    with pytest.raises(ValueError, match="column count"):
+        engine.sql("insert into sub values (1)")
+
+
+def test_explain_and_use(engine):
+    engine.sql("create table ex(a Int32)")
+    plan = engine.sql("explain select count(*) from ex").collect()[0][0]
+    assert "Aggregate" in plan or "aggregate" in plan.lower()
