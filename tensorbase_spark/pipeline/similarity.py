@@ -157,6 +157,32 @@ def ivf_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
+    cos >= threshold and id_a < id_b.
+
+    Exact all-pairs over a length-bucket-free self-join — at fixture scale the
+    corpus side streams against a broadcast copy, so there is no shuffle of
+    the corpus.  At 100 TB the same operator composes with assign_centroids:
+    bucket both sides by nearest centroid and only score within-bucket pairs
+    (near-dups share a centroid at any sane threshold), which bounds the
+    quadratic term by bucket size exactly like the MinHash band join bounds
+    the text path."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
 def label_knn_classify(
     emb: DataFrame,
     queries: DataFrame,

@@ -38,11 +38,12 @@ def registry() -> dict[str, Query]:
         pipeline,
         relational,
         scalars,
+        streamingq,
         windows,
     )
 
     out: dict[str, Query] = {}
-    for mod in (relational, windows, chfuncs, scalars, pipeline, engine_queries):
+    for mod in (relational, windows, chfuncs, scalars, pipeline, engine_queries, streamingq):
         for name, q in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")

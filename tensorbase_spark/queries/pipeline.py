@@ -128,6 +128,31 @@ SELECT q_id, c_id, rank, round(cos, 6) AS cos FROM ranked WHERE rank <= 5
 """
 
 
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact, oracled).  The synthetic
+    fixture embeddings are near-orthogonal (max pairwise cos ~0.51), so the
+    fixture threshold sits in the upper tail to verify real values; a
+    production near-dup run would use ~0.95."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+DEDUP_EMB_ORACLE = f"""
+WITH a AS (
+  SELECT vec_id AS id_a, embedding AS vec_a FROM embeddings
+), b AS (
+  SELECT vec_id AS id_b, embedding AS vec_b FROM embeddings
+), scored AS (
+  SELECT id_a, id_b,
+         {_COS.format(a="vec_a", b="vec_b")}
+         / (sqrt({_COS.format(a="vec_a", b="vec_a")})
+            * sqrt({_COS.format(a="vec_b", b="vec_b")})) AS cos
+  FROM a, b WHERE id_a < id_b
+)
+SELECT id_a, id_b, round(cos, 6) AS cos FROM scored WHERE cos >= 0.4
+"""
+
+
 def sim_ivf_topk(spark, sf_dir):
     """IVF/LSH-bucketed ANN — the 100 TB scale path (probe nprobe buckets
     instead of the corpus).  Approximate: rows-only check; recall vs brute
@@ -324,6 +349,7 @@ QUERIES = {
     "dedup_minhash_lsh": Query(dedup_minhash_lsh, None, ("dedup", "approx"), bench=True),
     "dedup_simhash": Query(dedup_simhash, None, ("dedup", "approx")),
     "dedup_ngram_jaccard": Query(dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE, ("dedup",), bench=True),
+    "dedup_embedding_cosine": Query(dedup_embedding_cosine, DEDUP_EMB_ORACLE, ("dedup", "similarity")),
     "sim_brute_force_topk": Query(sim_brute_force_topk, SIM_BRUTE_ORACLE, ("similarity",), bench=True),
     "sim_ivf_topk": Query(sim_ivf_topk, None, ("similarity", "approx")),
     "sim_knn_classify": Query(sim_knn_classify, SIM_KNN_ORACLE, ("similarity",)),

@@ -1,0 +1,163 @@
+"""Structured Streaming extension over the events table.
+
+The reference has NO streaming operators (SURVEY §2.10): its ingest is
+micro-batch blocks over a socket (crates/runtime/src/ch/messages.rs:67-164),
+at most an analogue of foreachBatch appends.  This module is the
+Spark-native extension a streaming events table would actually use at scale:
+
+- file-source readStream with an explicit schema (at 100 TB this is a
+  directory of hourly parquet drops or a Kafka source; the fixture is one
+  file, one batch),
+- event-time tumbling-window aggregation with a watermark — the standard
+  late-data bound; state for a window is dropped once the watermark passes
+  its end, keeping state size O(active windows × keys) regardless of
+  stream length,
+- a custom stateful operator via applyInPandasWithState — per-user running
+  aggregates held in explicit GroupState, the scale path for semantics
+  windowed aggs can't express.
+
+Both operators run with trigger(availableNow=True): process everything
+pending, then stop — which makes them deterministic functions of the fixture
+and therefore DuckDB-oracle-checkable like any batch query.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        # parquet TIMESTAMP(NANOS) arrives as long under
+        # spark.sql.legacy.parquet.nanosAsLong (session.py)
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream_src_dir(sf_dir: str) -> str:
+    """File-stream sources need a DIRECTORY to watch; the fixture is a single
+    file.  Stage a per-sf dir holding a symlink to it — on a live system this
+    directory is where hourly drops land and the stream picks up each new
+    file as its own micro-batch."""
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = f"/tmp/tbs_stream_src_{tag}"
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/events.parquet"
+    if not os.path.exists(link):
+        try:
+            os.symlink(f"{sf_dir}/events.parquet", link)
+        except FileExistsError:
+            pass
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format("parquet")
+        .load(_stream_src_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
+    """Execute an availableNow pass into a memory sink; return the sink table.
+
+    Memory sink is the test harness; production would writeStream to
+    partitioned parquet/Kafka with the same trigger semantics."""
+    name = f"tb_stream_{uuid.uuid4().hex[:10]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = result.sparkSession
+    out = spark.table(name)
+    return out
+
+
+def tumbling_window_counts(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked event-time tumbling window: (window_start, event_type,
+    n, sum_value).  Complete output mode so the single availableNow batch
+    emits every window (append mode would hold windows open past the last
+    watermark update — nothing would ever finalize on a finite fixture)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+    )
+
+
+def stateful_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    (n_events, total_value, last_ts) kept in explicit GroupState.
+
+    State survives across triggers — on the one-batch fixture the emitted
+    snapshot equals the batch aggregate (which is what the oracle checks);
+    on a live stream each trigger emits the updated rollup per active user."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("last_ts", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("last_us", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = pdf["ts"].max()
+            last_us = max(last_us, int(pd.Timestamp(mx).value // 1000))
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "last_ts": [pd.Timestamp(last_us * 1000)],
+            }
+        )
+
+    rolled = ev.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    return _run_to_memory(rolled, "update")
