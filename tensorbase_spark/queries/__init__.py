@@ -38,12 +38,22 @@ def registry() -> dict[str, Query]:
         pipeline,
         relational,
         scalars,
+        sources_q,
         streamingq,
         windows,
     )
 
     out: dict[str, Query] = {}
-    for mod in (relational, windows, chfuncs, scalars, pipeline, engine_queries, streamingq):
+    for mod in (
+        relational,
+        windows,
+        chfuncs,
+        scalars,
+        pipeline,
+        engine_queries,
+        streamingq,
+        sources_q,
+    ):
         for name, q in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")

@@ -1,0 +1,114 @@
+"""Driver-facing queries for the source surface (SURVEY §2.2): numbers()
+table function, CSV and NDJSON ingestion with declared schemas, and the
+remote() loopback path.
+
+The file-ingestion queries stage a deterministic extract of the fixture into
+/tmp, read it back through the declared-schema reader, and aggregate; the
+oracle recomputes the same aggregate straight from the parquet — a hash
+match proves the text round-trip preserves values exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tensorbase_spark.queries import Query
+from tensorbase_spark.sources import external
+from tensorbase_spark.sources.tables import load_table
+
+_STAGE = "/tmp/tbs_sources_stage"
+
+
+def numbers_table_function(spark, sf_dir):
+    n = external.numbers(spark, 100000)
+    return n.filter((F.col("number") % 7) == 3).agg(
+        F.count("*").alias("n"),
+        F.sum("number").alias("s"),
+        F.min("number").alias("lo"),
+        F.max("number").alias("hi"),
+    )
+
+
+NUMBERS_ORACLE = """
+SELECT count(*) AS n, CAST(sum(range) AS BIGINT) AS s,
+       min(range) AS lo, max(range) AS hi
+FROM range(100000) WHERE range % 7 = 3
+"""
+
+
+def _stage_dir(sf_dir: str, kind: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return f"{_STAGE}/{tag}/{kind}"
+
+
+def csv_ingest_roundtrip(spark, sf_dir):
+    """supplier -> CSV (header, overwrite) -> declared-schema read -> agg."""
+    d = _stage_dir(sf_dir, "csv")
+    src = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal", "s_name"
+    )
+    src.coalesce(1).write.mode("overwrite").option("header", True).csv(d)
+    back = external.read_csv(
+        spark,
+        d,
+        [
+            ("s_suppkey", "Int64"),
+            ("s_nationkey", "Int64"),
+            ("s_acctbal", "Float64"),
+            ("s_name", "String"),
+        ],
+        header=True,
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"), F.round(F.sum("s_acctbal"), 2).alias("bal")
+    )
+
+
+CSV_INGEST_ORACLE = """
+SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+def ndjson_ingest_roundtrip(spark, sf_dir):
+    """events subset -> NDJSON -> declared-schema read -> agg."""
+    d = _stage_dir(sf_dir, "ndjson")
+    src = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    src.coalesce(1).write.mode("overwrite").json(d)
+    back = external.read_ndjson(
+        spark,
+        d,
+        [("event_id", "Int64"), ("event_type", "String"), ("value", "Nullable(Float64)")],
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v")
+    )
+
+
+NDJSON_INGEST_ORACLE = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS v
+FROM events GROUP BY event_type
+"""
+
+
+def remote_loopback(spark, sf_dir):
+    """remote() federation through the loopback scheme: register the nation
+    fixture as a catalog view, read it back via remote(), join-aggregate."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("tb_remote_nation")
+    r = external.remote(spark, "local:", "tb_remote_nation")
+    return r.groupBy("n_regionkey").agg(F.count("*").alias("n_nations"))
+
+
+REMOTE_ORACLE = """
+SELECT n_regionkey, count(*) AS n_nations FROM nation GROUP BY n_regionkey
+"""
+
+
+QUERIES = {
+    "numbers_table_function": Query(numbers_table_function, NUMBERS_ORACLE, ("sources",)),
+    "csv_ingest_roundtrip": Query(csv_ingest_roundtrip, CSV_INGEST_ORACLE, ("sources",)),
+    "ndjson_ingest_roundtrip": Query(ndjson_ingest_roundtrip, NDJSON_INGEST_ORACLE, ("sources",)),
+    "remote_loopback": Query(remote_loopback, REMOTE_ORACLE, ("sources",)),
+}
