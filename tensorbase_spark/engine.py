@@ -176,7 +176,9 @@ def translate_sql(sql: str) -> str:
             inner = sql[m.end() : j - 1]
             args = [translate_sql(a) for a in _split_top_level_args(inner)]
             tmpl = CH_SQL_TEMPLATES.get(name.lower())
-            if tmpl:
+            if callable(tmpl):
+                out.append(tmpl(args))
+            elif tmpl:
                 try:
                     out.append(tmpl.format(*args))
                 except IndexError:

@@ -228,3 +228,51 @@ CH_SQL_TEMPLATES = {
     "startswith": "startswith({0}, {1})",
     "generateuuidv4": "uuid()",
 }
+
+
+def _digest_sql(args: list[str]) -> str:
+    """digest(expr, 'algo') (crypto_expressions.rs; name map functions.rs:467).
+    The algorithm argument must be a string literal, as in the reference."""
+    algo = args[1].strip().strip("'\"").lower()
+    if algo == "md5":
+        return f"md5({args[0]})"
+    if algo.startswith("sha") and algo[3:] in ("224", "256", "384", "512"):
+        return f"sha2({args[0]}, {algo[3:]})"
+    raise ValueError(f"digest: unsupported algorithm {algo!r}")
+
+
+def _trunc_sql(args: list[str]) -> str:
+    # DataFusion trunc(x) is numeric truncation toward zero
+    # (math_expressions.rs); Spark's trunc is date-only, so rewrite the
+    # 1-arg form and pass the date form through.
+    if len(args) == 1:
+        return f"cast(cast({args[0]} as bigint) as double)"
+    return f"trunc({', '.join(args)})"
+
+
+# DataFusion-builtin names whose Spark SQL spelling or semantics differ
+# (name map functions.rs:410-520).  Names not listed here (abs, ceil, concat,
+# split_part, btrim, bit_length, ...) are spelled identically in Spark SQL
+# and pass through translate_sql untouched.  Values are either .format
+# templates or callables over the translated argument fragments.
+CH_SQL_TEMPLATES.update(
+    {
+        # DataFusion log(x) IS log10 (functions.rs:749) — Spark log(x) is ln.
+        "log": "log10({0})",
+        "trunc": _trunc_sql,
+        "strpos": "locate({1}, {0})",
+        "to_hex": "hex({0})",
+        "chr": "char({0})",
+        "sha224": "sha2({0}, 224)",
+        "sha256": "sha2({0}, 256)",
+        "sha384": "sha2({0}, 384)",
+        "sha512": "sha2({0}, 512)",
+        "digest": _digest_sql,
+        # regexp_match returns the array of matches (regex_expressions.rs:235)
+        "regexp_match": "regexp_extract_all({0}, {1}, 0)",
+        "to_timestamp_seconds": "timestamp_seconds({0})",
+        "to_timestamp_millis": "timestamp_millis({0})",
+        "to_timestamp_micros": "timestamp_micros({0})",
+        "random": "rand()",
+    }
+)

@@ -214,6 +214,106 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def math_trig_funcs(spark, sf_dir):
+    """Trig/log tail of the math surface: sin/cos/tan/asin/acos/atan/log2/
+    signum (math_expressions.rs:231; name map functions.rs:410-430).  The
+    dialect layer maps DataFusion's log->log10 (functions.rs:749) and
+    trunc->toward-zero truncation; both exercised here via the same Column
+    expressions engine.sql would produce."""
+    s = load_table(spark, sf_dir, "supplier")
+    x = (F.col("s_acctbal") % 1000.0) / 1000.0  # in (-1, 1): asin/acos-safe
+    return s.select(
+        "s_suppkey",
+        F.round(F.sin(x), 6).alias("sin_x"),
+        F.round(F.cos(x), 6).alias("cos_x"),
+        F.round(F.tan(x), 6).alias("tan_x"),
+        F.round(F.asin(x), 6).alias("asin_x"),
+        F.round(F.acos(x), 6).alias("acos_x"),
+        F.round(F.atan(x), 6).alias("atan_x"),
+        F.round(F.log2(F.col("s_suppkey") + 1), 6).alias("log2_k"),
+        F.round(F.log10(F.col("s_suppkey") + 1), 6).alias("log10_k"),
+        F.signum(F.col("s_acctbal")).alias("sign_bal"),
+        (F.col("s_acctbal").cast("bigint").cast("double")).alias("trunc_bal"),
+    )
+
+
+MATH_TRIG_ORACLE = """
+SELECT s_suppkey,
+       round(sin(s_acctbal % 1000.0 / 1000.0), 6)  AS sin_x,
+       round(cos(s_acctbal % 1000.0 / 1000.0), 6)  AS cos_x,
+       round(tan(s_acctbal % 1000.0 / 1000.0), 6)  AS tan_x,
+       round(asin(s_acctbal % 1000.0 / 1000.0), 6) AS asin_x,
+       round(acos(s_acctbal % 1000.0 / 1000.0), 6) AS acos_x,
+       round(atan(s_acctbal % 1000.0 / 1000.0), 6) AS atan_x,
+       round(log2(s_suppkey + 1), 6)               AS log2_k,
+       round(log10(s_suppkey + 1), 6)              AS log10_k,
+       CAST(sign(s_acctbal) AS DOUBLE)             AS sign_bal,
+       CAST(trunc(s_acctbal) AS DOUBLE)            AS trunc_bal
+FROM supplier
+"""
+
+
+def string_width_funcs(spark, sf_dir):
+    """Length/pad/trim/position tail of the string surface: bit_length,
+    char_length, octet_length, ltrim/rtrim, rpad, substr, strpos->locate,
+    to_hex->hex, chr (string_expressions.rs:593, unicode_expressions.rs:531)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_partkey") % 7 == 0).select(
+        "p_partkey",
+        F.bit_length("p_name").alias("bits"),
+        F.char_length("p_name").alias("chars"),
+        F.octet_length("p_name").alias("octets"),
+        F.ltrim(F.rtrim(F.col("p_name"))).alias("trimmed"),
+        F.rpad(F.col("p_brand"), 12, ".").alias("padded"),
+        F.substring("p_name", 3, 8).alias("sub"),
+        F.locate(" ", F.col("p_name")).alias("pos_space"),
+        F.hex(F.col("p_partkey")).alias("hexkey"),
+        F.expr("char(ascii(p_name))").alias("first_ch"),
+    )
+
+
+STRING_WIDTH_ORACLE = """
+SELECT p_partkey,
+       CAST(bit_length(p_name) AS INT)           AS bits,
+       CAST(length(p_name) AS INT)               AS chars,
+       CAST(octet_length(encode(p_name)) AS INT) AS octets,
+       ltrim(rtrim(p_name))                      AS trimmed,
+       rpad(p_brand, 12, '.')                    AS padded,
+       substring(p_name, 3, 8)                   AS sub,
+       CAST(strpos(p_name, ' ') AS INT)          AS pos_space,
+       to_hex(p_partkey)                         AS hexkey,
+       chr(ascii(p_name))                        AS first_ch
+FROM part WHERE p_partkey % 7 = 0
+"""
+
+
+def timestamp_family(spark, sf_dir):
+    """to_timestamp_{seconds,millis,micros} constructors plus the volatile
+    pair now()/random() reduced to deterministic predicates
+    (datetime_expressions.rs:514; volatility functions.rs:375-380)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    secs = F.col("o_orderdate").cast("timestamp").cast("long")
+    return o.select(
+        "o_orderkey",
+        F.timestamp_seconds(secs).alias("ts_s"),
+        F.timestamp_millis(secs * 1000).alias("ts_ms"),
+        F.timestamp_micros(secs * 1000000).alias("ts_us"),
+        (F.now() >= F.lit("2020-01-01").cast("timestamp")).alias("now_ok"),
+        F.rand().between(0.0, 1.0).alias("rand_ok"),
+    )
+
+
+TIMESTAMP_FAMILY_ORACLE = """
+SELECT o_orderkey,
+       make_timestamp(epoch(CAST(o_orderdate AS TIMESTAMP))::BIGINT * 1000000) AS ts_s,
+       epoch_ms(epoch(CAST(o_orderdate AS TIMESTAMP))::BIGINT * 1000)          AS ts_ms,
+       make_timestamp(epoch(CAST(o_orderdate AS TIMESTAMP))::BIGINT * 1000000) AS ts_us,
+       now() >= TIMESTAMP '2020-01-01'                                         AS now_ok,
+       random() BETWEEN 0.0 AND 1.0                                            AS rand_ok
+FROM orders WHERE o_orderkey % 11 = 0
+"""
+
+
 QUERIES = {
     "regex_funcs": Query(regex_funcs, REGEX_ORACLE, ("scalar", "regex")),
     "crypto_hash_funcs": Query(crypto_hash_funcs, CRYPTO_ORACLE, ("scalar", "crypto")),
@@ -224,4 +324,7 @@ QUERIES = {
     "agg_array_collect": Query(agg_array_collect, ARRAY_AGG_ORACLE, ("agg",)),
     "grouping_sets_rollup": Query(grouping_sets_rollup, ROLLUP_ORACLE, ("agg", "bonus")),
     "pivot_status": Query(pivot_status, PIVOT_ORACLE, ("agg", "bonus")),
+    "math_trig_funcs": Query(math_trig_funcs, MATH_TRIG_ORACLE, ("scalar", "math")),
+    "string_width_funcs": Query(string_width_funcs, STRING_WIDTH_ORACLE, ("scalar", "string")),
+    "timestamp_family": Query(timestamp_family, TIMESTAMP_FAMILY_ORACLE, ("scalar", "datetime")),
 }

@@ -40,6 +40,28 @@ def test_translate_sql_rewrites_ch_functions():
     assert "'toYear(x)'" in out2 and "upper(s)" in out2
 
 
+def test_translate_sql_datafusion_builtin_names():
+    # DataFusion log(x) is log10 (functions.rs:749); ln/log10 pass through.
+    assert translate_sql("select log(x), ln(x), log10(x) from t") == (
+        "select log10(x), ln(x), log10(x) from t"
+    )
+    assert translate_sql("select strpos(s, '-') from t") == "select locate('-', s) from t"
+    assert translate_sql("select to_hex(n), chr(65) from t") == "select hex(n), char(65) from t"
+    assert (
+        translate_sql("select digest(s, 'sha384'), digest(s, 'md5') from t")
+        == "select sha2(s, 384), md5(s) from t"
+    )
+    assert translate_sql("select sha512(s) from t") == "select sha2(s, 512) from t"
+    # 1-arg trunc is numeric toward-zero; 2-arg date trunc passes through
+    assert "cast(cast(x as bigint) as double)" in translate_sql("select trunc(x) from t")
+    assert translate_sql("select trunc(d, 'MM') from t") == "select trunc(d, 'MM') from t"
+    assert (
+        translate_sql("select to_timestamp_seconds(n) from t")
+        == "select timestamp_seconds(n) from t"
+    )
+    assert translate_sql("select random() from t") == "select rand() from t"
+
+
 def test_parse_partition_expr_forms():
     s1 = parse_partition_expr("toYYYYMMDD(d)")
     assert (s1.source_col, s1.fn) == ("d", "toYYYYMMDD")
