@@ -276,3 +276,28 @@ CH_SQL_TEMPLATES.update(
         "random": "rand()",
     }
 )
+
+
+def _remote_sql(args: list[str]) -> str:
+    # remote('addr', db.table) table function (grammar bql.pest:133-139,
+    # exec crates/runtime/src/read.rs:151-228).  The SQL-text form resolves
+    # the local: loopback scheme against the session catalog; JDBC federation
+    # needs reader options, so it lives in sources.external.remote.
+    addr = args[0].strip().strip("'\"")
+    tbl = args[1].strip().strip("'\"")
+    if addr.startswith("local:"):
+        return tbl
+    raise ValueError(
+        f"remote({addr!r}): SQL-text form supports the local: loopback only; "
+        "use tensorbase_spark.sources.external.remote for JDBC"
+    )
+
+
+CH_SQL_TEMPLATES.update(
+    {
+        # numbers(N) table function (bql.pest:349-353) -> Spark's range()
+        # table-valued function: a parallel synthetic scan, splittable by range.
+        "numbers": "(select id as number from range({0}))",
+        "remote": _remote_sql,
+    }
+)

@@ -62,6 +62,21 @@ def test_translate_sql_datafusion_builtin_names():
     assert translate_sql("select random() from t") == "select rand() from t"
 
 
+def test_numbers_and_remote_table_functions(engine):
+    # numbers(N) -> range() synthetic scan (bql.pest:349-353)
+    r = engine.sql(
+        "select count(*) as n, sum(number) as s from numbers(1000) where number % 2 = 0"
+    ).collect()[0]
+    assert (r.n, r.s) == (500, 249500)
+    # remote() local: loopback resolves against the session catalog
+    engine.sql("create table rsrc(a Int64)")
+    engine.sql("insert into rsrc values (1), (2), (3)")
+    r2 = engine.sql("select sum(a) as s from remote('local:', rsrc)").collect()[0]
+    assert r2.s == 6
+    with pytest.raises(Exception, match="loopback"):
+        translate_sql("select * from remote('jdbc:mysql://h/db', t)")
+
+
 def test_parse_partition_expr_forms():
     s1 = parse_partition_expr("toYYYYMMDD(d)")
     assert (s1.source_col, s1.fn) == ("d", "toYYYYMMDD")
