@@ -41,11 +41,9 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Deterministic quality score in [0,1]:
-    0.4 * length factor + 0.3 * lexical diversity + 0.3 * stopword presence.
-    The shape mirrors standard LLM-corpus quality filters (length, diversity,
-    stopword ratio)."""
+def quality_factors(text_col: str = "text") -> dict[str, F.Column]:
+    """The unrounded factor Columns behind quality_scores — reusable inline
+    so composed pipelines don't need a self-join to attach scores."""
     t = F.col(text_col)
     n_words = F.regexp_count(t, F.lit(WORD_RE)).cast("double")
     uniq = F.size(F.array_distinct(F.split(t, r"\s+"))).cast("double")
@@ -55,6 +53,22 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     diversity = uniq / F.greatest(n_words, F.lit(1.0))
     stop_factor = F.least(F.lit(1.0), stop_hits.cast("double") / F.lit(3.0))
     score = F.lit(0.4) * length_factor + F.lit(0.3) * diversity + F.lit(0.3) * stop_factor
+    return {
+        "length_factor": length_factor,
+        "diversity": diversity,
+        "stop_factor": stop_factor,
+        "quality": score,
+    }
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality score in [0,1]:
+    0.4 * length factor + 0.3 * lexical diversity + 0.3 * stopword presence.
+    The shape mirrors standard LLM-corpus quality filters (length, diversity,
+    stopword ratio)."""
+    fs = quality_factors(text_col)
+    length_factor, diversity = fs["length_factor"], fs["diversity"]
+    stop_factor, score = fs["stop_factor"], fs["quality"]
     return docs.select(
         "doc_id",
         F.round(length_factor, 6).alias("length_factor"),
@@ -107,4 +121,36 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.md5(t).alias("content_md5"),
         rolling.alias("rolling_hash"),
+    )
+
+
+# PII patterns kept engine-portable (no lookarounds, no \b edge semantics
+# differences): email, international-ish phone, 13-19 digit card runs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9 ()-]{6,}[0-9]"
+PII_CARD_RE = r"[0-9]{13,19}"
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Regex PII scrubbing — email -> <EMAIL>, phone -> <PHONE>, long digit
+    runs -> <NUM> — plus whitespace normalization.  All regexp_replace, so
+    the whole pass is one codegen'd projection: at 100 TB this is a
+    map-only stage with zero shuffle, the cheapest possible shape.
+
+    Order matters: emails first (their local part may contain digits), then
+    contiguous 13-19 digit card runs (the looser phone pattern would consume
+    them), then phones."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_CARD_RE, "<NUM>")
+    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
+    red = F.trim(F.regexp_replace(red, r"\s+", " "))
+    return docs.withColumn("redacted", red).withColumn(
+        "n_redactions",
+        (
+            F.size(F.split(F.col("redacted"), "<EMAIL>", -1))
+            + F.size(F.split(F.col("redacted"), "<PHONE>", -1))
+            + F.size(F.split(F.col("redacted"), "<NUM>", -1))
+            - F.lit(3)
+        ).cast("int"),
     )

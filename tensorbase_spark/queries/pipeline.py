@@ -10,9 +10,10 @@ tests/test_pipeline.py bounds their error against the exact baselines.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from tensorbase_spark.pipeline import dedup, multimodal, similarity, text
+from tensorbase_spark.pipeline import dedup, multimodal, sampling, similarity, text
 from tensorbase_spark.queries import Query
 from tensorbase_spark.sources.tables import load_table
 
@@ -343,6 +344,139 @@ FROM events
 """
 
 
+# --- corpus construction ----------------------------------------------------
+
+def corpus_sample_stratified(spark, sf_dir):
+    """Deterministic hash-bucket stratified sampling, summarized per source.
+    Membership is md5(doc_id)-derived, so the oracle reproduces the exact
+    sample — this is what makes the sample auditable at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    s = sampling.stratified_sample(
+        d, key="doc_id", stratum="source", quotas={"src0": 80, "src1": 50}, default=25
+    )
+    return s.groupBy("source").agg(
+        F.count("*").alias("n_kept"), F.sum("n_chars").alias("chars_kept")
+    )
+
+
+SAMPLE_STRATIFIED_ORACLE = """
+WITH b AS (
+  SELECT source, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+FROM b
+WHERE bucket < (CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50 ELSE 25 END)
+GROUP BY source
+"""
+
+
+def text_pii_redaction(spark, sf_dir):
+    """PII scrubbing over documents salted with synthetic email/phone/card
+    strings (the fixture corpus contains none), so the redaction rules are
+    exercised for real and the redaction count is verifiable."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    did = F.col("doc_id").cast("string")
+    salted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), did, F.lit("@ex-corp.io  tel +1 (555) 000-"),
+            did, F.lit(" card 4111111111111111"),
+        ),
+    )
+    return text.pii_redact(salted).select("doc_id", "redacted", "n_redactions")
+
+
+PII_REDACTION_ORACLE = r"""
+WITH salted AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex-corp.io  tel +1 (555) 000-'
+              || CAST(doc_id AS VARCHAR) || ' card 4111111111111111' AS text
+  FROM documents WHERE doc_id % 13 = 0
+), red AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{13,19}', '<NUM>', 'g'),
+             '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g'),
+           '\s+', ' ', 'g')) AS redacted
+  FROM salted
+)
+SELECT doc_id, redacted,
+       CAST(len(string_split(redacted, '<EMAIL>')) + len(string_split(redacted, '<PHONE>'))
+            + len(string_split(redacted, '<NUM>')) - 3 AS INT) AS n_redactions
+FROM red
+"""
+
+
+def corpus_quality_pipeline(spark, sf_dir):
+    """End-to-end corpus prep: quality-score -> filter -> exact-dedup (keep
+    lowest doc_id per content hash) -> per-source token-budget accounting.
+    One declarative plan: scan-side scoring, a single shuffle for the dedup
+    window, map-side-combined final aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.withColumn("quality", text.quality_factors()["quality"])
+    kept = scored.filter(F.col("quality") >= 0.55)
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    dd = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return dd.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.regexp_count(F.col("text"), F.lit(r"\S+"))).alias("total_words"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+CORPUS_PIPELINE_ORACLE = rf"""
+WITH scored AS (
+  SELECT doc_id, text, source,
+         0.4 * least(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0)
+       + 0.3 * (CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
+                / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0))
+       + 0.3 * least(1.0, CAST(len(list_intersect(list_distinct(string_split_regex(text, '\s+')),
+                                                  {_STOPS_SQL})) AS DOUBLE) / 3.0) AS quality
+  FROM documents
+), kept AS (
+  SELECT * FROM scored WHERE quality >= 0.55
+), dd AS (
+  SELECT * FROM kept
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_words,
+       round(avg(quality), 6) AS avg_quality
+FROM dd GROUP BY source
+"""
+
+
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization summary (scale, L1 norm of the
+    quantized vector, max, saturation count)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8(e)
+
+
+QUANTIZE_ORACLE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         127.0 / greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS scale
+  FROM embeddings
+), q AS (
+  SELECT vec_id, scale,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INT)) AS qv
+  FROM s
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+       CAST(list_max(qv) AS INT) AS q_max,
+       CAST(len(list_filter(qv, x -> x = 127 OR x = -127)) AS INT) AS n_sat
+FROM q
+"""
+
+
 QUERIES = {
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_ORACLE, ("dedup",)),
     "dedup_stats_by_source": Query(dedup_stats_by_source, DEDUP_STATS_ORACLE, ("dedup",)),
@@ -360,4 +494,14 @@ QUERIES = {
     "multimodal_features": Query(multimodal_features, MULTIMODAL_ORACLE, ("multimodal",)),
     "multimodal_frame_plan": Query(multimodal_frame_plan, FRAME_PLAN_ORACLE, ("multimodal",)),
     "events_json_extract": Query(events_json_extract, EVENTS_JSON_ORACLE, ("events",)),
+    "corpus_sample_stratified": Query(
+        corpus_sample_stratified, SAMPLE_STRATIFIED_ORACLE, ("corpus", "sampling")
+    ),
+    "text_pii_redaction": Query(text_pii_redaction, PII_REDACTION_ORACLE, ("text", "corpus")),
+    "corpus_quality_pipeline": Query(
+        corpus_quality_pipeline, CORPUS_PIPELINE_ORACLE, ("corpus", "dedup", "text")
+    ),
+    "embedding_quantize_int8": Query(
+        embedding_quantize_int8, QUANTIZE_ORACLE, ("similarity", "corpus")
+    ),
 }

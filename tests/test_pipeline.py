@@ -118,3 +118,51 @@ def test_multimodal_stub_contract(spark):
         assert 1 <= r.width <= 640
         assert 1 <= r.height <= 480
         assert len(r.header_hex) <= 16
+
+
+def test_pii_redact_rules_and_order(spark):
+    from tensorbase_spark.pipeline import text as T
+
+    rows = [
+        (1, "mail me at a.user+x@sub.ex-corp.io thanks"),
+        (2, "call +1 (555) 010-9988 now"),
+        (3, "card 4111111111111111 on file"),
+        (4, "clean text with no pii at all"),
+        (5, "two  spaced\t tokens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in T.pii_redact(df).collect()}
+    assert out[1].redacted == "mail me at <EMAIL> thanks" and out[1].n_redactions == 1
+    assert out[2].redacted == "call <PHONE> now" and out[2].n_redactions == 1
+    # 16 contiguous digits must become <NUM>, not <PHONE> (rule order)
+    assert out[3].redacted == "card <NUM> on file" and out[3].n_redactions == 1
+    assert out[4].n_redactions == 0
+    assert out[5].redacted == "two spaced tokens"  # whitespace normalization
+
+
+def test_stratified_sample_deterministic(spark):
+    from tensorbase_spark.pipeline import sampling
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "src0").otherwise("srcX").alias("source"),
+    )
+    s1 = sampling.stratified_sample(docs, "doc_id", "source", {"src0": 80}, default=20)
+    s2 = sampling.stratified_sample(docs, "doc_id", "source", {"src0": 80}, default=20)
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    assert ids1 == sorted(r.doc_id for r in s2.collect())  # same membership
+    by_src = {r.source: r.n for r in s1.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # quotas hold to within hash noise (1000 keys per stratum)
+    assert 0.7 < by_src["src0"] / 1000 < 0.9
+    assert 0.12 < by_src["srcX"] / 1000 < 0.28
+
+
+def test_quantize_int8_bounds(spark):
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    q = similarity.quantize_int8(emb)
+    rows = q.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert r.scale > 0
+        assert -127 <= r.q_max <= 127
+        assert r.n_sat >= 1  # the max-|v| element always saturates to +/-127
