@@ -317,3 +317,52 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Undirected connected components over near-dup pairs:
+    (id_a, id_b) -> (doc_id, cluster_id) with cluster_id = min doc_id in the
+    component.  This is the step that turns pairwise near-dup detection into
+    an actual deduplicated corpus (keep cluster_id == doc_id, drop the rest).
+
+    Iterative min-label propagation: label(n) <- min(label(n), labels of
+    neighbors), repeated until a fixpoint.  Converges in O(component
+    diameter) rounds — near-dup graphs are overwhelmingly tiny star/clique
+    components, so 3-4 rounds in practice.  Each round is one shuffle join
+    keyed on node id; localCheckpoint() truncates the plan lineage so round
+    N's plan doesn't re-derive rounds 1..N-1 (the classic iterative-algorithm
+    trap on Spark).  The only driver-side work is a convergence count.
+    At larger diameters swap in large-star/small-star (Kiveris et al.) —
+    same join shape, fewer rounds."""
+    edges = pairs.select("id_a", "id_b")
+    sym = edges.union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("id_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.alias("e")
+            .join(labels.alias("l"), F.col("e.id_b") == F.col("l.node"))
+            .select(F.col("e.id_a").alias("node"), F.col("l.label").alias("label"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor_min)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

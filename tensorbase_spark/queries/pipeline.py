@@ -344,6 +344,43 @@ FROM events
 """
 
 
+def dedup_neardup_clusters(spark, sf_dir):
+    """Near-dup pairs -> connected components -> per-doc cluster assignment
+    with cluster size.  The iterative label propagation is genuinely
+    non-SQL in Spark, but the fixpoint it computes is transitive closure —
+    which DuckDB's recursive CTE can replay exactly, so this iterative
+    operator still gets a full value-hash oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.6)
+    cc = dedup.connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+
+
+def _neardup_clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({NGRAM_JACCARD_ORACLE}) p
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach AS (
+  SELECT id AS src, id AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), cc AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT cc.doc_id, cc.cluster_id, s.cluster_size
+FROM cc JOIN (
+  SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id
+) s USING (cluster_id)
+"""
+
+
 # --- corpus construction ----------------------------------------------------
 
 def corpus_sample_stratified(spark, sf_dir):
@@ -494,6 +531,9 @@ QUERIES = {
     "multimodal_features": Query(multimodal_features, MULTIMODAL_ORACLE, ("multimodal",)),
     "multimodal_frame_plan": Query(multimodal_frame_plan, FRAME_PLAN_ORACLE, ("multimodal",)),
     "events_json_extract": Query(events_json_extract, EVENTS_JSON_ORACLE, ("events",)),
+    "dedup_neardup_clusters": Query(
+        dedup_neardup_clusters, _neardup_clusters_oracle(), ("dedup", "graph")
+    ),
     "corpus_sample_stratified": Query(
         corpus_sample_stratified, SAMPLE_STRATIFIED_ORACLE, ("corpus", "sampling")
     ),

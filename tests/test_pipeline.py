@@ -166,3 +166,11 @@ def test_quantize_int8_bounds(spark):
         assert r.scale > 0
         assert -127 <= r.q_max <= 127
         assert r.n_sat >= 1  # the max-|v| element always saturates to +/-127
+
+
+def test_connected_components_on_synthetic_graph(spark):
+    # chain 1-2-3-4 (diameter > 1 round), clique 10-11-12, pair 20-21
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    cc = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
