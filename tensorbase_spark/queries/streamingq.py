@@ -34,7 +34,37 @@ FROM events GROUP BY user_id
 """
 
 
+def stream_sliding_window(spark, sf_dir):
+    return sev.sliding_window_counts(spark, sf_dir)
+
+
+# Each event falls into 2 windows (2h window, 1h slide): the ones starting at
+# trunc(ts) and trunc(ts) - 1h — replayed in batch with a 2-row offset join.
+STREAM_SLIDING_ORACLE = """
+WITH e AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type, value FROM events
+), x AS (
+  SELECT h - k * INTERVAL 1 HOUR AS window_start, event_type, value
+  FROM e, (VALUES (0), (1)) AS t(k)
+)
+SELECT window_start, event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM x GROUP BY 1, 2
+"""
+
+
+def stream_dedup_users(spark, sf_dir):
+    return sev.streaming_dedup_users(spark, sf_dir)
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": Query(stream_tumbling_window, STREAM_TUMBLING_ORACLE, ("streaming",)),
     "stream_stateful_rollup": Query(stream_stateful_rollup, STREAM_STATEFUL_ORACLE, ("streaming",)),
+    "stream_sliding_window": Query(stream_sliding_window, STREAM_SLIDING_ORACLE, ("streaming",)),
+    "stream_dedup_users": Query(stream_dedup_users, STREAM_DEDUP_ORACLE, ("streaming",)),
 }

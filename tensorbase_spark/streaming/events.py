@@ -161,3 +161,37 @@ def stateful_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
     return _run_to_memory(rolled, "update")
+
+
+def sliding_window_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding windows (each event lands in window_len/slide
+    windows).  State is O(active windows x keys) exactly like tumbling; the
+    overlap factor multiplies shuffle rows, not state lifetime."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+    )
+
+
+def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup at ingest: dropDuplicates on (user_id,
+    event_type) with a watermark bounding the dedup state — the streaming
+    face of the corpus exact-dedup operator.  The deduped stream lands in
+    the sink in append mode (first occurrence wins, emitted immediately);
+    the per-type count over the sink is then deterministic."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "24 hours")
+    dd = ev.dropDuplicates(["user_id", "event_type"])
+    sink = _run_to_memory(dd, "append")
+    return sink.groupBy("event_type").agg(F.count("*").alias("n_unique_users"))
