@@ -1,0 +1,69 @@
+"""Physical-plan assertions: lock in the scale-critical plan shapes
+documented in PLANS.md so a refactor that silently degrades them (loses a
+pushdown, drops to row-at-a-time Python, un-fuses top-k) fails the suite.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry.queries()
+
+
+def _formatted(spark, df) -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_q3_topk_fused_and_pushed(spark, queries):
+    plan = _formatted(spark, queries["q3_shipping_priority"](spark, SF))
+    assert "TakeOrderedAndProject" in plan  # no global sort for ORDER BY+LIMIT
+    assert "PushedFilters: [IsNotNull" in plan  # predicates reach parquet
+    # column pruning: the orders scan must not read o_comment/o_totalprice
+    assert "o_comment" not in plan
+
+
+def test_q5_broadcast_join_chain(spark, queries):
+    plan = _formatted(spark, queries["q5_local_supplier"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4  # dims broadcast, fact streams
+    assert "SortMergeJoin" not in plan  # nothing demoted at fixture scale
+
+
+def test_q1_partial_final_aggregate(spark, queries):
+    plan = _formatted(spark, queries["q1_pricing_summary"](spark, SF))
+    tree = plan.split("\n\n")[0]  # operator tree only (details repeat names)
+    assert tree.count("HashAggregate") >= 2  # map-side combine before shuffle
+    # exactly two shuffles: the group-by and the final ORDER BY range sort
+    assert tree.count("Exchange") == 2
+
+
+def test_text_ops_stay_jvm_side(spark, queries):
+    for name in ("text_token_counts", "text_quality_scores", "text_lang_id",
+                 "text_fingerprints", "text_pii_redaction"):
+        plan = _formatted(spark, queries[name](spark, SF))
+        assert "EvalPython" not in plan, f"{name} fell off the codegen path"
+
+
+def test_minhash_single_arrow_stage(spark, queries):
+    plan = _formatted(spark, queries["dedup_minhash_lsh"](spark, SF))
+    # the signature UDF is Arrow-batched (it appears once per self-join
+    # branch in the tree), and nothing falls back to row-at-a-time Python
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sampling_is_map_only(spark, queries):
+    from pyspark.sql import functions as F
+    from tensorbase_spark.pipeline import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    s = sampling.stratified_sample(docs, "doc_id", "source", {"src0": 80})
+    plan = _formatted(spark, s)
+    assert "Exchange" not in plan  # deterministic sampling shuffles nothing
