@@ -361,6 +361,18 @@ class TensorBaseEngine:
         if low.startswith("use "):
             self.spark.catalog.setCurrentDatabase(c[4:].strip())
             return self.spark.sql("SELECT 1 AS ok")
+        if low.startswith("explain analyze"):
+            # AnalyzeExec analogue (physical_plan/analyze.rs:39): execute the
+            # query, then return the final (AQE-resolved) physical plan.
+            df = self.spark.sql(self._translate_query(c[len("explain analyze"):]))
+            # drain the query's own execution (like AnalyzeExec consuming and
+            # discarding the stream) so the AQE-final plan is observable
+            for _ in df.toLocalIterator():
+                pass
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return self.spark.createDataFrame(
+                [(line,) for line in plan.split("\n")], "plan: string"
+            )
         if low.startswith("explain"):
             return self.spark.sql("EXPLAIN " + self._translate_query(c[len("explain"):]))
         if low.startswith("insert"):

@@ -227,3 +227,8 @@ def test_explain_and_use(engine):
     engine.sql("create table ex(a Int32)")
     plan = engine.sql("explain select count(*) from ex").collect()[0][0]
     assert "Aggregate" in plan or "aggregate" in plan.lower()
+    engine.sql("insert into ex values (1), (2)")
+    lines = [r.plan for r in engine.sql("explain analyze select sum(a) as s from ex").collect()]
+    text = "\n".join(lines)
+    assert "HashAggregate" in text
+    assert "isFinalPlan=true" in text  # plan was actually executed (AQE final)
