@@ -73,6 +73,10 @@ def test_numbers_and_remote_table_functions(engine):
     engine.sql("insert into rsrc values (1), (2), (3)")
     r2 = engine.sql("select sum(a) as s from remote('local:', rsrc)").collect()[0]
     assert r2.s == 6
+    # INSERT from remote (mgmt.rs:744-770): pull through the same table fn
+    engine.sql("create table rdst(a Int64)")
+    engine.sql("insert into rdst select a from remote('local:', rsrc)")
+    assert engine.sql("select sum(a) as s from rdst").collect()[0].s == 6
     with pytest.raises(Exception, match="loopback"):
         translate_sql("select * from remote('jdbc:mysql://h/db', t)")
 
