@@ -292,6 +292,7 @@ def _match_create_table(c: str):
 _PARTITION_BY_RE = re.compile(
     r"partition\s+by\s+(?P<expr>[A-Za-z_][A-Za-z0-9_]*\s*(?:\([^)]*\))?)", re.IGNORECASE
 )
+_SETTINGS_RE = re.compile(r"\bsettings\s+(?P<kv>.+)$", re.IGNORECASE | re.DOTALL)
 _DROP_RE = re.compile(
     r"^drop\s+(?P<kind>database|table)\s+(?P<ie>if\s+exists\s+)?(?P<name>[A-Za-z_][A-Za-z0-9_.]*)\s*$",
     re.IGNORECASE,
@@ -408,6 +409,23 @@ class TensorBaseEngine:
         pm = _PARTITION_BY_RE.search(tail)
         spec = parse_partition_expr(pm.group("expr")) if pm else None
 
+        # SETTINGS k=v, ... (grammar bql.pest:31-54).  The reference treats
+        # settings as opaque storage hints; here bucket_by/buckets map to
+        # Spark bucketing — the co-located-join lever: two tables bucketed on
+        # the same key with the same bucket count join with ZERO Exchange.
+        settings: dict[str, str] = {}
+        sm = _SETTINGS_RE.search(tail)
+        if sm:
+            for kv in sm.group("kv").split(","):
+                k, _, v = kv.partition("=")
+                if k.strip():
+                    settings[k.strip().lower()] = v.strip().strip("'\"")
+        bucket_sql = ""
+        if "bucket_by" in settings:
+            bcol = settings["bucket_by"]
+            nb = int(settings.get("buckets", "8"))
+            bucket_sql = f" CLUSTERED BY ({bcol}) SORTED BY ({bcol}) INTO {nb} BUCKETS"
+
         col_sql = []
         for cname, ctype in cols:
             p = parse_bql_type(ctype)
@@ -430,7 +448,7 @@ class TensorBaseEngine:
 
         ddl = (
             f"CREATE TABLE {ine}{name} ({', '.join(col_sql)}) USING parquet"
-            f"{part_sql} TBLPROPERTIES ({', '.join(props)})"
+            f"{part_sql}{bucket_sql} TBLPROPERTIES ({', '.join(props)})"
         )
         out = self.spark.sql(ddl)
         if spec is not None:

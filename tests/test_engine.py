@@ -236,3 +236,26 @@ def test_explain_and_use(engine):
     text = "\n".join(lines)
     assert "HashAggregate" in text
     assert "isFinalPlan=true" in text  # plan was actually executed (AQE final)
+
+
+def test_bucketed_tables_join_without_shuffle(engine):
+    spark = engine.spark
+    engine.sql("create table bf(k Int64, v Float64) settings bucket_by=k, buckets=4")
+    engine.sql("create table bd(k Int64, name String) settings bucket_by=k, buckets=4")
+    engine.sql("insert into bf values " + ", ".join(f"({i % 50}, {i}.5)" for i in range(200)))
+    engine.sql("insert into bd values " + ", ".join(f"({i}, 'n{i}')" for i in range(50)))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = engine.sql(
+            "select bd.name as name, sum(bf.v) as s from bf join bd on bf.k = bd.k group by bd.name"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # both sides arrive pre-bucketed on k: the join itself needs no Exchange
+        # (the only exchange allowed is the group-by on name)
+        join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert join_part.count("Exchange") == 0, plan
+        assert len(df.collect()) == 50
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
