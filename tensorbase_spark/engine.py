@@ -112,6 +112,16 @@ def parse_partition_expr(expr: str) -> PartitionSpec:
 
 _IDENT_CALL = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\s*\(")
 
+# SQL keywords that may legally precede a parenthesized expression —
+# "select (a+b)", "where (x)", "in (1,2)" — and must not be rewritten as
+# function calls (which would eat the whitespace and re-nest the args).
+_SQL_KEYWORDS = frozenset(
+    """select from where group by order having limit offset and or not on
+    join in as case when then else end between union all distinct values
+    exists over partition rows range interval with using cross inner left
+    right full semi anti is like""".split()
+)
+
 
 def _split_top_level_args(s: str) -> list[str]:
     args, depth, cur, in_str = [], 0, [], None
@@ -158,6 +168,13 @@ def translate_sql(sql: str) -> str:
             i = j + 1
             continue
         m = _IDENT_CALL.match(sql, i)
+        if m and m.group(0)[:-1].strip().lower() in _SQL_KEYWORDS:
+            # keyword + '(' is not a call: emit the keyword verbatim and let
+            # the parenthesized expression be scanned normally
+            kw_len = len(m.group(0)) - 1
+            out.append(sql[i : i + kw_len])
+            i += kw_len
+            continue
         if m:
             name = m.group(0)[:-1].strip()
             # find matching close paren
