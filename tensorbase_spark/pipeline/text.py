@@ -154,3 +154,34 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
             - F.lit(3)
         ).cast("int"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame, text_col: str = "text", size: int = 50, overlap: int = 10
+) -> DataFrame:
+    """Sliding-window document chunking: word windows of `size` tokens with
+    `overlap` tokens of context between consecutive chunks — the standard
+    long-document -> training-sequence splitter.
+
+    Pure JVM: split -> sequence/explode over chunk starts -> slice.  Chunk
+    count per doc is ceil((n_words - overlap) / stride) (min 1), so output
+    volume scales with corpus token count, not doc count; the explode is
+    generator-codegen (no shuffle), and downstream ops see chunks as ordinary
+    rows.  At 100 TB this stage is map-only."""
+    stride = size - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than size")
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.size(w) - F.lit(overlap)) / F.lit(stride)).cast("long")
+    )
+    d = docs.withColumn("__w", w).withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    )
+    chunk_words = F.slice(F.col("__w"), F.col("chunk_idx") * stride + 1, size)
+    return d.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(chunk_words, " ").alias("chunk"),
+        F.size(chunk_words).alias("n_tokens"),
+    )

@@ -381,6 +381,27 @@ FROM cc JOIN (
 """
 
 
+def text_chunking(spark, sf_dir):
+    """Sliding-window chunking (50-word windows, 10-word overlap) — the
+    long-document -> training-sequence splitter."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return text.chunk_documents(d, size=50, overlap=10)
+
+
+TEXT_CHUNKING_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id, CAST(s AS INT) AS chunk_idx,
+       array_to_string(w[s*40+1 : s*40+50], ' ') AS chunk,
+       CAST(len(w[s*40+1 : s*40+50]) AS INT) AS n_tokens
+FROM d, LATERAL (
+  SELECT unnest(range(0, greatest(1, CAST(ceil((len(w) - 10) / 40.0) AS BIGINT)))) AS s
+) t
+"""
+
+
 # --- corpus construction ----------------------------------------------------
 
 def corpus_sample_stratified(spark, sf_dir):
@@ -538,6 +559,7 @@ QUERIES = {
         corpus_sample_stratified, SAMPLE_STRATIFIED_ORACLE, ("corpus", "sampling")
     ),
     "text_pii_redaction": Query(text_pii_redaction, PII_REDACTION_ORACLE, ("text", "corpus")),
+    "text_chunking": Query(text_chunking, TEXT_CHUNKING_ORACLE, ("text", "corpus")),
     "corpus_quality_pipeline": Query(
         corpus_quality_pipeline, CORPUS_PIPELINE_ORACLE, ("corpus", "dedup", "text")
     ),

@@ -174,3 +174,19 @@ def test_connected_components_on_synthetic_graph(spark):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     cc = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from tensorbase_spark.pipeline import text as T
+
+    long_text = " ".join(f"w{i}" for i in range(95))
+    df = spark.createDataFrame([(1, long_text), (2, "short doc")], "doc_id long, text string")
+    chunks = {(r.doc_id, r.chunk_idx): r for r in T.chunk_documents(df, size=50, overlap=10).collect()}
+    # 95 words, stride 40 -> ceil(85/40) = 3 chunks
+    assert sorted(k for k in chunks if k[0] == 1) == [(1, 0), (1, 1), (1, 2)]
+    c0, c1, c2 = chunks[(1, 0)], chunks[(1, 1)], chunks[(1, 2)]
+    assert c0.n_tokens == 50 and c0.chunk.startswith("w0 ") and c0.chunk.endswith(" w49")
+    assert c1.chunk.startswith("w40 ")  # 10-word overlap with chunk 0
+    assert c2.n_tokens == 95 - 80  # trailing partial chunk
+    # short docs still produce exactly one chunk
+    assert chunks[(2, 0)].chunk == "short doc" and chunks[(2, 0)].n_tokens == 2
