@@ -91,3 +91,20 @@ def remote(
         raise RuntimeError(
             f"remote({addr!r}) needs the JDBC driver jar on spark.jars: {e}"
         ) from e
+
+
+def read_avro(spark: SparkSession, path: str, cols: list[tuple[str, str]] | None = None):
+    """Avro ingestion (the fork's AvroExec, physical_plan/file_format/avro.rs:39
+    — which the reference never routes to either).  Spark's avro datasource is
+    an external module; this container ships no spark-avro jar, so the reader
+    raises a clear error until one is on spark.jars.packages."""
+    reader = spark.read
+    if cols is not None:
+        reader = reader.schema(bql_schema(cols))
+    try:
+        return reader.format("avro").load(path)
+    except Exception as e:
+        raise RuntimeError(
+            "read_avro needs the spark-avro module on the classpath "
+            "(spark.jars.packages=org.apache.spark:spark-avro_2.13:<version>)"
+        ) from e

@@ -34,3 +34,11 @@ def test_all_queries_return_dataframe(spark):
     for name, fn in qs.items():
         df = fn(spark, SF0001)
         assert df.columns, f"{name} returned no columns"
+
+
+def test_read_avro_gated_error(spark):
+    import pytest
+    from tensorbase_spark.sources import external
+
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        external.read_avro(spark, "/tmp/nonexistent.avro")
