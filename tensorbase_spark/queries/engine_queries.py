@@ -98,7 +98,39 @@ GROUP BY year(l_shipdate)*100 + month(l_shipdate)
 """
 
 
+def ch_aggregate_combinators(spark, sf_dir):
+    """ClickHouse -If combinators / uniqExact / notEmpty through the dialect
+    layer — forms the reference's grammar rejects but every ClickHouse user
+    writes; here they rewrite to codegen'd Spark aggregates (FILTER-style)."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ev_src")
+    return eng.sql(
+        "select event_type, countIf(value > 50) as n_hi, "
+        "round(sumIf(value, value > 50), 4) as s_hi, "
+        "round(avgIf(value, value <= 50), 4) as a_lo, "
+        "uniqExact(user_id) as u, "
+        "countIf(notEmpty(props)) as n_props "
+        "from ev_src group by event_type"
+    )
+
+
+CH_COMBINATORS_ORACLE = """
+SELECT event_type,
+       count(*) FILTER (WHERE value > 50)                 AS n_hi,
+       round(sum(value) FILTER (WHERE value > 50), 4)     AS s_hi,
+       round(avg(value) FILTER (WHERE value <= 50), 4)    AS a_lo,
+       count(DISTINCT user_id)                            AS u,
+       count(*) FILTER (WHERE length(props) > 0)          AS n_props
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "engine_ddl_insert_select": Query(engine_ddl_insert_select, ENGINE_DIS_ORACLE, ("engine",)),
     "engine_partition_prune": Query(engine_partition_prune, ENGINE_PRUNE_ORACLE, ("engine",)),
+    "ch_aggregate_combinators": Query(
+        ch_aggregate_combinators, CH_COMBINATORS_ORACLE, ("engine", "dialect")
+    ),
 }
