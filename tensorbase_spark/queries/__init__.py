@@ -35,6 +35,7 @@ def registry() -> dict[str, Query]:
     from tensorbase_spark.queries import (
         chfuncs,
         engine_queries,
+        funnelq,
         pipeline,
         relational,
         scalars,
@@ -51,6 +52,7 @@ def registry() -> dict[str, Query]:
         scalars,
         pipeline,
         engine_queries,
+        funnelq,
         streamingq,
         sources_q,
     ):

@@ -1,0 +1,66 @@
+"""Driver-facing behavioral-analytics queries (operators/funnel.py):
+windowFunnel and retention analogues over the events table.
+"""
+
+from __future__ import annotations
+
+from tensorbase_spark.operators import funnel
+from tensorbase_spark.queries import Query
+from tensorbase_spark.sources.tables import load_table
+
+STEPS = ["view", "click", "purchase"]
+
+
+def events_window_funnel(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return funnel.funnel_histogram(ev, STEPS, window="7 days")
+
+
+WINDOW_FUNNEL_ORACLE = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= t1.t1 GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= t2.t2 GROUP BY e.user_id
+), d AS (
+  SELECT u.user_id,
+         CASE WHEN t1 IS NULL THEN 0
+              WHEN t2 IS NULL OR t2 > t1 + INTERVAL 7 DAY THEN 1
+              WHEN t3 IS NULL OR t3 > t1 + INTERVAL 7 DAY THEN 2
+              ELSE 3 END AS funnel_depth
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+)
+SELECT funnel_depth, count(*) AS n_users FROM d GROUP BY funnel_depth
+"""
+
+
+def events_retention(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return funnel.retention(ev, ["signup", "view", "click", "purchase"])
+
+
+RETENTION_ORACLE = """
+WITH f AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS f0,
+         max(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS f1,
+         max(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS f2,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS f3
+  FROM events GROUP BY user_id
+)
+SELECT CAST(sum(f0) AS BIGINT)      AS n_base,
+       CAST(sum(f0 * f1) AS BIGINT) AS ret_view,
+       CAST(sum(f0 * f2) AS BIGINT) AS ret_click,
+       CAST(sum(f0 * f3) AS BIGINT) AS ret_purchase
+FROM f
+"""
+
+
+QUERIES = {
+    "events_window_funnel": Query(events_window_funnel, WINDOW_FUNNEL_ORACLE, ("events", "funnel")),
+    "events_retention": Query(events_retention, RETENTION_ORACLE, ("events", "funnel")),
+}

@@ -190,3 +190,31 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert c2.n_tokens == 95 - 80  # trailing partial chunk
     # short docs still produce exactly one chunk
     assert chunks[(2, 0)].chunk == "short doc" and chunks[(2, 0)].n_tokens == 2
+
+
+def test_funnel_depths_chain_and_window(spark):
+    import datetime as dt
+    from tensorbase_spark.operators import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    day = dt.timedelta(days=1)
+    rows = [
+        # u1: full chain within window -> 3
+        (1, t0, "view"), (1, t0 + h, "click"), (1, t0 + 2 * h, "purchase"),
+        # u2: click BEFORE view never counts (chain order) -> 1
+        (2, t0, "click"), (2, t0 + h, "view"),
+        # u3: purchase outside the 7-day window -> 2
+        (3, t0, "view"), (3, t0 + h, "click"), (3, t0 + 8 * day, "purchase"),
+        # u4: no step-1 event at all -> 0
+        (4, t0, "error"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    d = {r.user_id: r.funnel_depth for r in
+         funnel.funnel_depths(ev, ["view", "click", "purchase"], "7 days").collect()}
+    assert d == {1: 3, 2: 1, 3: 2, 4: 0}
+
+    r = funnel.retention(ev, ["view", "click"]).collect()[0]
+    # retention is order-free (unlike the funnel): u2's click counts even
+    # though it preceded the view; u4 (no view) is excluded from the base
+    assert (r.n_base, r.ret_click) == (3, 3)
