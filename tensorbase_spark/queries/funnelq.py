@@ -60,7 +60,47 @@ FROM f
 """
 
 
+def join_asof(spark, sf_dir):
+    """As-of join: each purchase matched to the user's latest view at-or-
+    before the purchase (operators/asof.py — one shuffle + window carry,
+    not a range join)."""
+    from pyspark.sql import functions as F
+
+    from tensorbase_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"), "value"
+    )
+    out = asof_join(
+        purchases, views, on="user_id", ts="ts", payload=["view_id", "value"],
+        tiebreak="view_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_view_id").alias("matched_view"),
+        F.round("asof_value", 4).alias("view_value"),
+    )
+
+
+JOIN_ASOF_ORACLE = """
+SELECT p.event_id, p.user_id, v.event_id AS matched_view,
+       round(v.value, 4) AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+QUALIFY row_number() OVER (
+  PARTITION BY p.event_id ORDER BY v.ts DESC NULLS LAST, v.event_id DESC
+) = 1
+"""
+
+
 QUERIES = {
     "events_window_funnel": Query(events_window_funnel, WINDOW_FUNNEL_ORACLE, ("events", "funnel")),
     "events_retention": Query(events_retention, RETENTION_ORACLE, ("events", "funnel")),
+    "join_asof": Query(join_asof, JOIN_ASOF_ORACLE, ("join", "asof")),
 }

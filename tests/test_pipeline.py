@@ -218,3 +218,32 @@ def test_funnel_depths_chain_and_window(spark):
     # retention is order-free (unlike the funnel): u2's click counts even
     # though it preceded the view; u4 (no view) is excluded from the base
     assert (r.n_base, r.ret_click) == (3, 3)
+
+
+def test_asof_join_ties_nulls_and_no_match(spark):
+    import datetime as dt
+    from tensorbase_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    trades = spark.createDataFrame(
+        [(1, 100, t(10)), (2, 100, t(5)), (3, 200, t(10)), (4, 300, t(10))],
+        "trade_id long, sym long, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (100, t(10), 10, 1.5),     # equal-ts quote matches trade 1 (inclusive)
+            (100, t(10), 11, None),    # equal ts, larger tiebreak wins; null payload
+            (100, t(1), 5, 9.9),       # earlier quote matches trade 2
+            (200, t(11), 20, 2.0),     # AFTER trade 3 -> no match
+        ],
+        "sym long, ts timestamp, quote_id long, px double",
+    )
+    out = {r.trade_id: r for r in asof_join(
+        trades, quotes, on="sym", ts="ts", payload=["quote_id", "px"], tiebreak="quote_id"
+    ).collect()}
+    # trade 1: quote 11 wins the equal-ts tie; its px is genuinely NULL and
+    # must NOT be back-filled from quote 10 (row integrity)
+    assert out[1].asof_quote_id == 11 and out[1].asof_px is None
+    assert out[2].asof_quote_id == 5 and abs(out[2].asof_px - 9.9) < 1e-9
+    assert out[3].asof_quote_id is None  # only future quotes exist
+    assert out[4].asof_quote_id is None  # no quotes for sym at all
