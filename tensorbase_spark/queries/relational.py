@@ -583,6 +583,89 @@ WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
 """
 
 
+def join_range_bands(spark, sf_dir):
+    """Banded range join: parts priced into static bands via a broadcast
+    BETWEEN join.  With a small band table this IS the optimal plan
+    (BroadcastNestedLoopJoin over 10 rows); when both sides are large the
+    same operator buckets the intervals to a fixed width, explodes, and
+    equi-joins on bucket + residual BETWEEN — see operators/asof.py for the
+    sibling time variant."""
+    from pyspark.sql import functions as F
+
+    from tensorbase_spark.sources.tables import load_table
+
+    bands = spark.createDataFrame(
+        [(i, 900.0 + i * 10, 900.0 + (i + 1) * 10) for i in range(10)],
+        "band int, lo double, hi double",
+    )
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+JOIN_RANGE_BANDS_ORACLE = """
+WITH bands AS (
+  SELECT i AS band, 900.0 + i * 10 AS lo, 900.0 + (i + 1) * 10 AS hi
+  FROM (SELECT unnest(range(0, 10)) AS i)
+)
+SELECT CAST(band AS INT) AS band, count(*) AS n_parts,
+       round(avg(p_retailprice), 2) AS avg_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""
+
+
+def rollup_hierarchy(spark, sf_dir):
+    """Hypertable-style hierarchical rollup: minute aggregates from raw,
+    hour FROM the minute rollup, day FROM the hour rollup — each coarser
+    granularity reads the previous (already tiny) aggregate, never the raw
+    table.  At 100 TB this is the difference between three raw scans and
+    one: the continuous-aggregate pattern."""
+    from pyspark.sql import functions as F
+
+    from tensorbase_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("bucket")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    hour = minute.groupBy(
+        F.date_trunc("hour", F.col("bucket")).alias("bucket")
+    ).agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+    day = hour.groupBy(
+        F.date_trunc("day", F.col("bucket")).alias("bucket")
+    ).agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+    lvl = lambda df, g: df.select(F.lit(g).alias("grain"), "bucket", "n", F.round("v", 4).alias("v"))
+    return lvl(hour, "hour").unionByName(lvl(day, "day"))
+
+
+ROLLUP_HIERARCHY_ORACLE = """
+WITH m AS (
+  SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS bucket,
+         count(*) AS n, sum(value) AS v
+  FROM events GROUP BY 1
+), h AS (
+  SELECT date_trunc('hour', bucket) AS bucket, CAST(sum(n) AS BIGINT) AS n, sum(v) AS v
+  FROM m GROUP BY 1
+), d AS (
+  SELECT date_trunc('day', bucket) AS bucket, CAST(sum(n) AS BIGINT) AS n, sum(v) AS v
+  FROM h GROUP BY 1
+)
+SELECT 'hour' AS grain, bucket, n, round(v, 4) AS v FROM h
+UNION ALL
+SELECT 'day' AS grain, bucket, n, round(v, 4) AS v FROM d
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": Query(q1_pricing_summary, Q1_ORACLE, ("agg", "tpch"), bench=True),
     "q3_shipping_priority": Query(q3_shipping_priority, Q3_ORACLE, ("join", "tpch"), bench=True),
@@ -611,4 +694,6 @@ QUERIES = {
     "distinct_select": Query(distinct_select, DISTINCT_ORACLE, ("setop",)),
     "cte_revenue": Query(cte_revenue, CTE_ORACLE, ("cte",)),
     "scalar_subquery_agg": Query(scalar_subquery_agg, SCALAR_SUBQ_ORACLE, ("subquery",)),
+    "join_range_bands": Query(join_range_bands, JOIN_RANGE_BANDS_ORACLE, ("join", "range")),
+    "rollup_hierarchy": Query(rollup_hierarchy, ROLLUP_HIERARCHY_ORACLE, ("agg", "rollup")),
 }
