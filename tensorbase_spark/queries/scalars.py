@@ -314,6 +314,85 @@ FROM orders WHERE o_orderkey % 11 = 0
 """
 
 
+def agg_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles (Spark percentile == DuckDB
+    quantile_cont) per group — the reference fork has no quantile aggregate
+    at all; Spark's is exact and distributed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.percentile("l_quantity", [0.25, 0.5, 0.75, 0.9]).alias("qs"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("qs")[0], 4).alias("q25"),
+            F.round(F.col("qs")[1], 4).alias("q50"),
+            F.round(F.col("qs")[2], 4).alias("q75"),
+            F.round(F.col("qs")[3], 4).alias("q90"),
+        )
+    )
+
+
+QUANTILES_ORACLE = """
+WITH q AS (
+  SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75, 0.9]) AS qs
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, round(qs[1], 4) AS q25, round(qs[2], 4) AS q50,
+       round(qs[3], 4) AS q75, round(qs[4], 4) AS q90
+FROM q
+"""
+
+
+def agg_top_k_words(spark, sf_dir):
+    """Corpus heavy hitters: explode -> count -> top 20 (ClickHouse topK's
+    exact sibling; partial aggregation collapses per-partition counts before
+    the shuffle, so this scales to any vocabulary)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+    return (
+        w.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+
+
+TOP_K_WORDS_ORACLE = r"""
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+GROUP BY word ORDER BY n DESC, word LIMIT 20
+"""
+
+
+def array_functions(spark, sf_dir):
+    """Nested-array surface (array_expressions.rs + Spark higher-order
+    functions): construct, aggregate, filter, sort, contains."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 0)
+    arr = F.array("l_quantity", "l_discount", "l_tax")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x), 4).alias("arr_sum"),
+        F.size(F.filter(arr, lambda x: x > 0.1)).alias("n_gt"),
+        F.round(F.element_at(F.array_sort(arr), -1), 4).alias("arr_max"),
+        F.array_contains(arr, F.lit(0.0)).alias("has_zero"),
+    )
+
+
+ARRAY_FUNCS_ORACLE = """
+WITH t AS (
+  SELECT l_orderkey, l_linenumber, [l_quantity, l_discount, l_tax] AS arr
+  FROM lineitem WHERE l_orderkey % 500 = 0
+)
+SELECT l_orderkey, l_linenumber,
+       round(list_aggregate(arr, 'sum'), 4)         AS arr_sum,
+       CAST(len(list_filter(arr, x -> x > 0.1)) AS INT) AS n_gt,
+       round(list_sort(arr)[3], 4)                  AS arr_max,
+       list_contains(arr, 0.0)                      AS has_zero
+FROM t
+"""
+
+
 QUERIES = {
     "regex_funcs": Query(regex_funcs, REGEX_ORACLE, ("scalar", "regex")),
     "crypto_hash_funcs": Query(crypto_hash_funcs, CRYPTO_ORACLE, ("scalar", "crypto")),
@@ -327,4 +406,7 @@ QUERIES = {
     "math_trig_funcs": Query(math_trig_funcs, MATH_TRIG_ORACLE, ("scalar", "math")),
     "string_width_funcs": Query(string_width_funcs, STRING_WIDTH_ORACLE, ("scalar", "string")),
     "timestamp_family": Query(timestamp_family, TIMESTAMP_FAMILY_ORACLE, ("scalar", "datetime")),
+    "agg_quantiles": Query(agg_quantiles, QUANTILES_ORACLE, ("agg", "stats")),
+    "agg_top_k_words": Query(agg_top_k_words, TOP_K_WORDS_ORACLE, ("agg", "text")),
+    "array_functions": Query(array_functions, ARRAY_FUNCS_ORACLE, ("scalar", "array")),
 }
