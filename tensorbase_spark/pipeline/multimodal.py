@@ -114,3 +114,42 @@ def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("thumb", T.BinaryType(), True),
+        T.StructField("t_width", T.IntegerType(), True),
+        T.StructField("t_height", T.IntegerType(), True),
+    ]
+)
+
+
+def thumbnails(assets: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Binary-in/binary-out resize stage (decode/resample stubbed: the
+    "thumbnail" is a deterministic prefix of the payload; a real impl swaps
+    _fake_features + the slice for PIL/libvips calls — the Spark shape is
+    identical).  This is the one multimodal stage whose OUTPUT is also large
+    binary, so at 100 TB it writes straight to partitioned parquet rather
+    than flowing into an aggregate; mapInPandas keeps each Arrow batch's
+    payload bytes bounded."""
+
+    def _thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w, h, t = [], [], []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    w.append(None), h.append(None), t.append(None)
+                    continue
+                n, _hdr, width, height, _ck = _fake_features(payload)
+                scale = max(width, height) / max_dim
+                tw = max(1, int(width / scale)) if scale > 1 else width
+                th = max(1, int(height / scale)) if scale > 1 else height
+                t.append(bytes(payload)[: tw * th // 8 + 1])
+                w.append(tw), h.append(th)
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "thumb": t, "t_width": w, "t_height": h}
+            )
+
+    return assets.mapInPandas(_thumb, THUMB_SCHEMA)

@@ -402,6 +402,37 @@ FROM d, LATERAL (
 """
 
 
+def multimodal_thumbnails(spark, sf_dir):
+    """Binary-in/binary-out resize stage (pipeline/multimodal.py thumbnails):
+    fake-decoded dims scaled to fit 64px, thumbnail = payload byte prefix.
+    The oracle verifies the binary output via md5 (the fixture payload is
+    ASCII text bytes, so DuckDB's char-prefix == the byte prefix)."""
+    d = load_table(spark, sf_dir, "documents")
+    th = multimodal.thumbnails(multimodal.docs_as_assets(d), max_dim=64)
+    return th.select(
+        "asset_id", "t_width", "t_height", F.md5("thumb").alias("thumb_md5")
+    )
+
+
+MULTIMODAL_THUMBS_ORACLE = """
+WITH a AS (
+  SELECT doc_id AS asset_id, text, octet_length(encode(text)) AS n FROM documents
+), dims AS (
+  SELECT asset_id, text, (n % 640) + 1 AS w, ((n * 7) % 480) + 1 AS h FROM a
+), s AS (
+  SELECT asset_id, text, w, h, greatest(w, h) / 64.0 AS scale FROM dims
+), t AS (
+  SELECT asset_id,
+         CASE WHEN scale > 1 THEN greatest(1, CAST(floor(w / scale) AS INT)) ELSE w END AS tw,
+         CASE WHEN scale > 1 THEN greatest(1, CAST(floor(h / scale) AS INT)) ELSE h END AS th,
+         text FROM s
+)
+SELECT asset_id, CAST(tw AS INT) AS t_width, CAST(th AS INT) AS t_height,
+       md5(substring(text, 1, tw * th // 8 + 1)) AS thumb_md5
+FROM t
+"""
+
+
 # --- corpus construction ----------------------------------------------------
 
 def corpus_sample_stratified(spark, sf_dir):
@@ -551,6 +582,9 @@ QUERIES = {
     "text_fingerprints": Query(text_fingerprints, FINGERPRINT_ORACLE, ("text",)),
     "multimodal_features": Query(multimodal_features, MULTIMODAL_ORACLE, ("multimodal",)),
     "multimodal_frame_plan": Query(multimodal_frame_plan, FRAME_PLAN_ORACLE, ("multimodal",)),
+    "multimodal_thumbnails": Query(
+        multimodal_thumbnails, MULTIMODAL_THUMBS_ORACLE, ("multimodal",)
+    ),
     "events_json_extract": Query(events_json_extract, EVENTS_JSON_ORACLE, ("events",)),
     "dedup_neardup_clusters": Query(
         dedup_neardup_clusters, _neardup_clusters_oracle(), ("dedup", "graph")
