@@ -235,3 +235,63 @@ def quantize_int8(
         F.array_max(q).alias("q_max"),
         F.size(F.filter(q, lambda x: (x == 127) | (x == -127))).alias("n_sat"),
     )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: vectors written as parquet PARTITIONED BY
+    centroid_id, centroids as a side table.  This is the storage layout that
+    makes ANN work at 100 TB — a probe reads only nprobe/nlist of the corpus
+    via *directory-level partition pruning*, before parquet even opens a
+    footer.  Rebuild is a single pass (one broadcast join + window)."""
+    cents, assigned = assign_centroids(emb, n_centroids, id_col, vec_col)
+    assigned.select(
+        F.col("v_id").alias(id_col), F.col("v_vec").alias(vec_col), "centroid_id"
+    ).write.mode("overwrite").partitionBy("centroid_id").parquet(f"{path}/vectors")
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_search_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index.  The probe set becomes an IN filter on
+    the partition column, so the scan shows PartitionFilters and touches only
+    the probed directories (asserted in tests/test_plans.py)."""
+    cents = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    vecs = spark.read.parquet(f"{path}/vectors")
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    q_cent = q.crossJoin(cents).withColumn(
+        "cos_c", cosine(F.col("q_vec"), F.col("cent_vec"))
+    )
+    wq = W.partitionBy("q_id").orderBy(F.col("cos_c").desc(), F.col("centroid_id"))
+    probes = (
+        q_cent.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "q_vec", "centroid_id")
+    )
+    # partition-prune the index scan to the union of probed buckets (a tiny
+    # driver-side collect of at most n_queries * nprobe ints)
+    probe_ids = sorted({r.centroid_id for r in probes.select("centroid_id").distinct().collect()})
+    candidates = vecs.filter(F.col("centroid_id").isin(probe_ids))
+    scored = (
+        probes.join(candidates, "centroid_id")
+        .filter(F.col("q_id") != F.col(id_col))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col(vec_col)))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col(id_col).alias("c_id"), "rank", F.round("cos", 6).alias("cos"))
+    )

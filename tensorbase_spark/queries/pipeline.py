@@ -162,6 +162,19 @@ def sim_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4)
 
 
+def sim_ivf_indexed(spark, sf_dir):
+    """Persistent IVF index: build (parquet partitioned by centroid_id) then
+    search with directory-level partition pruning — identical results to the
+    in-memory IVF (asserted in tests), but the scan reads only the probed
+    buckets (PartitionFilters in the plan)."""
+    import os
+
+    emb, q = _emb_queries(spark, sf_dir)
+    idx = f"/tmp/tbs_ivf_index/{os.path.basename(sf_dir.rstrip('/'))}"
+    similarity.build_ivf_index(emb, idx, n_centroids=16)
+    return similarity.ivf_search_indexed(spark, idx, q, k=5, nprobe=4)
+
+
 def sim_knn_classify(spark, sf_dir):
     emb, q = _emb_queries(spark, sf_dir)
     return similarity.label_knn_classify(emb, q, k=10)
@@ -575,6 +588,7 @@ QUERIES = {
     "dedup_embedding_cosine": Query(dedup_embedding_cosine, DEDUP_EMB_ORACLE, ("dedup", "similarity")),
     "sim_brute_force_topk": Query(sim_brute_force_topk, SIM_BRUTE_ORACLE, ("similarity",), bench=True),
     "sim_ivf_topk": Query(sim_ivf_topk, None, ("similarity", "approx")),
+    "sim_ivf_indexed": Query(sim_ivf_indexed, None, ("similarity", "approx", "index")),
     "sim_knn_classify": Query(sim_knn_classify, SIM_KNN_ORACLE, ("similarity",)),
     "text_token_counts": Query(text_token_counts, TOKEN_COUNTS_ORACLE, ("text",)),
     "text_quality_scores": Query(text_quality_scores, QUALITY_ORACLE, ("text",)),

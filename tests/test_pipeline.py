@@ -247,3 +247,18 @@ def test_asof_join_ties_nulls_and_no_match(spark):
     assert out[2].asof_quote_id == 5 and abs(out[2].asof_px - 9.9) < 1e-9
     assert out[3].asof_quote_id is None  # only future quotes exist
     assert out[4].asof_quote_id is None  # no quotes for sym at all
+
+
+def test_ivf_indexed_matches_in_memory(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, idx, n_centroids=16)
+    got = similarity.ivf_search_indexed(spark, idx, q, k=5, nprobe=8)
+    mem = similarity.ivf_topk(emb, q, k=5, n_centroids=16, nprobe=8)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in mem.collect()}
+    # the index scan must be partition-pruned to the probed buckets
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [centroid_id" in plan
