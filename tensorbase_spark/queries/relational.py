@@ -583,6 +583,122 @@ WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
 """
 
 
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan + conjunctive filter + single agg — the
+    query whose whole cost is scan bandwidth; every predicate pushes to
+    parquet."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+    )
+
+
+Q6_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape: fact-fact join + CASE-conditional aggregation
+    (grouped on l_linestatus — the driver's lineitem fixture carries no
+    shipmode/receiptdate columns, TESTDATA.md)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    hi = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(hi).cast("long").alias("high_line_count"),
+            F.sum(1 - hi).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_ORACLE = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape: broadcast dim join + conditional/total ratio."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q14_ORACLE = """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-filtered subquery driving a semi-selective
+    multi-join + top-k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.round("sum_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(sum_qty, 2) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
 def join_range_bands(spark, sf_dir):
     """Banded range join: parts priced into static bands via a broadcast
     BETWEEN join.  With a small band table this IS the optimal plan
@@ -695,5 +811,9 @@ QUERIES = {
     "cte_revenue": Query(cte_revenue, CTE_ORACLE, ("cte",)),
     "scalar_subquery_agg": Query(scalar_subquery_agg, SCALAR_SUBQ_ORACLE, ("subquery",)),
     "join_range_bands": Query(join_range_bands, JOIN_RANGE_BANDS_ORACLE, ("join", "range")),
+    "q6_forecast_revenue": Query(q6_forecast_revenue, Q6_ORACLE, ("tpch",)),
+    "q12_shipmode_priority": Query(q12_shipmode_priority, Q12_ORACLE, ("tpch",)),
+    "q14_promo_effect": Query(q14_promo_effect, Q14_ORACLE, ("tpch",)),
+    "q18_large_orders": Query(q18_large_orders, Q18_ORACLE, ("tpch",)),
     "rollup_hierarchy": Query(rollup_hierarchy, ROLLUP_HIERARCHY_ORACLE, ("agg", "rollup")),
 }
