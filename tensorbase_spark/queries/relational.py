@@ -811,7 +811,9 @@ QUERIES = {
     "cte_revenue": Query(cte_revenue, CTE_ORACLE, ("cte",)),
     "scalar_subquery_agg": Query(scalar_subquery_agg, SCALAR_SUBQ_ORACLE, ("subquery",)),
     "join_range_bands": Query(join_range_bands, JOIN_RANGE_BANDS_ORACLE, ("join", "range")),
-    "q6_forecast_revenue": Query(q6_forecast_revenue, Q6_ORACLE, ("tpch",)),
+    # q6 is the closest shape to the reference's published headline number
+    # (single-column scan+sum, BASELINE.md docs/benchmarks.md:3-14)
+    "q6_forecast_revenue": Query(q6_forecast_revenue, Q6_ORACLE, ("tpch",), bench=True),
     "q12_shipmode_priority": Query(q12_shipmode_priority, Q12_ORACLE, ("tpch",)),
     "q14_promo_effect": Query(q14_promo_effect, Q14_ORACLE, ("tpch",)),
     "q18_large_orders": Query(q18_large_orders, Q18_ORACLE, ("tpch",)),
