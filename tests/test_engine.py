@@ -259,3 +259,16 @@ def test_bucketed_tables_join_without_shuffle(engine):
         assert len(df.collect()) == 50
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_insert_parts_guard(engine):
+    # reference rejects blocks splitting into >=1000 partitions (write.rs:52-56)
+    engine.sql("create table pg(k Int64, v Int64) partition by k")
+    engine.sql("insert into pg values " + ", ".join(f"({i}, {i})" for i in range(5)))
+    assert engine.sql("select count(*) as n from pg").collect()[0].n == 5
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="1000"):
+        engine.insert_df(
+            "pg",
+            engine.spark.range(1200).selectExpr("id as k", "id as v"),
+        )

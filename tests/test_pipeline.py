@@ -262,3 +262,16 @@ def test_ivf_indexed_matches_in_memory(spark, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "PartitionFilters: [centroid_id" in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    from tensorbase_spark.operators.skew import salted_join
+
+    # heavily skewed fact: 90% of rows share key 0
+    fact = spark.range(2000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 50 END AS k", "id AS v"
+    )
+    dim = spark.range(50).selectExpr("id AS k", "concat('d', id) AS name")
+    plain = fact.join(dim, "k").selectExpr("k", "v", "name")
+    salted = salted_join(fact, dim, on="k", n_salts=8).selectExpr("k", "v", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
