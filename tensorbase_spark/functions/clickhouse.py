@@ -302,11 +302,30 @@ CH_SQL_TEMPLATES.update(
     }
 )
 
+def _datediff_sql(args: list[str]) -> str:
+    """CH dateDiff('unit', start, end) = end - start; Spark's 2-arg
+    datediff(end, start) passes through untouched."""
+    if len(args) == 2:
+        return f"datediff({args[0]}, {args[1]})"
+    unit = args[0].strip().strip("'\"").lower()
+    if unit == "day":
+        return f"datediff({args[2]}, {args[1]})"
+    if unit == "month":
+        return (
+            f"((year({args[2]}) * 12 + month({args[2]})) - "
+            f"(year({args[1]}) * 12 + month({args[1]})))"
+        )
+    if unit == "year":
+        return f"(year({args[2]}) - year({args[1]}))"
+    raise ValueError(f"dateDiff: unsupported unit {unit!r}")
+
+
 # ClickHouse-dialect extensions beyond the vendored fork's list: the -If
-# aggregate combinators, uniq family, arrayJoin, and string predicates any
-# ClickHouse user writes daily.  The reference would reject these at the
-# grammar (bql.pest has no combinator forms); supporting them makes the
-# dialect a practical superset.  All rewrite to codegen'd Spark built-ins.
+# aggregate combinators, uniq family, arrayJoin, everyday date helpers, and
+# string predicates any ClickHouse user writes daily.  The reference would
+# reject these at the grammar (bql.pest has no combinator forms); supporting
+# them makes the dialect a practical superset.  All rewrite to codegen'd
+# Spark built-ins.
 CH_SQL_TEMPLATES.update(
     {
         "countif": "count_if({0})",
@@ -321,5 +340,17 @@ CH_SQL_TEMPLATES.update(
         "notempty": "(char_length({0}) > 0)",
         "lcase": "lower({0})",
         "ucase": "upper({0})",
+        "tostartofmonth": "date_trunc('month', {0})",
+        "tostartofquarter": "date_trunc('quarter', {0})",
+        "tostartofyear": "date_trunc('year', {0})",
+        "tostartofday": "date_trunc('day', {0})",
+        "tostartofhour": "date_trunc('hour', {0})",
+        "tomonday": "date_sub({0}, (((dayofweek({0}) + 5) % 7)))",
+        "adddays": "date_add({0}, {1})",
+        "subtractdays": "date_sub({0}, {1})",
+        "addmonths": "add_months({0}, {1})",
+        "datediff": _datediff_sql,
+        "yesterday": "date_sub(current_date(), 1)",
+        "today": "current_date()",
     }
 )

@@ -272,3 +272,29 @@ def test_insert_parts_guard(engine):
             "pg",
             engine.spark.range(1200).selectExpr("id as k", "id as v"),
         )
+
+
+def test_uint64_sum_does_not_overflow(engine):
+    # SURVEY §7(a): UInt64 -> Decimal(20,0) so sum() exceeds Int64 range
+    engine.sql("create table u64(a UInt64)")
+    engine.sql("insert into u64 values (9223372036854775807), (9223372036854775807), (2)")
+    r = engine.sql("select sum(a) as s, max(a) as m from u64").collect()[0]
+    assert int(r.s) == 2**64 - 2 + 2  # 2 * (2^63 - 1) + 2 = 2^64
+    assert int(r.m) == 2**63 - 1
+
+
+def test_ch_date_helper_extensions(engine):
+    engine.sql("create table dh(d Date)")
+    engine.sql("insert into dh values ('2021-06-17')")  # a Thursday
+    r = engine.sql(
+        "select toStartOfMonth(d) as som, toMonday(d) as mon, "
+        "addDays(d, 10) as plus10, addMonths(d, 2) as plus2m, "
+        "dateDiff('day', d, addDays(d, 10)) as dd, "
+        "dateDiff('month', d, addMonths(d, 14)) as dm "
+        "from dh"
+    ).collect()[0]
+    assert str(r.som).startswith("2021-06-01")
+    assert str(r.mon) == "2021-06-14"  # Monday of that week
+    assert str(r.plus10) == "2021-06-27"
+    assert str(r.plus2m) == "2021-08-17"
+    assert (r.dd, r.dm) == (10, 14)
