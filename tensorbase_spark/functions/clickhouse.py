@@ -354,3 +354,22 @@ CH_SQL_TEMPLATES.update(
         "today": "current_date()",
     }
 )
+
+
+def _json_tmpl(fmt: str):
+    # JSONExtract*(json, 'key') -> get_json_object with a '$.key' path
+    def f(args: list[str]) -> str:
+        key = args[1].strip().strip("'\"")
+        return fmt.format(args[0], f"'$.{key}'")
+
+    return f
+
+
+CH_SQL_TEMPLATES.update(
+    {
+        "jsonextractstring": _json_tmpl("get_json_object({0}, {1})"),
+        "jsonextractint": _json_tmpl("cast(get_json_object({0}, {1}) as bigint)"),
+        "jsonextractfloat": _json_tmpl("cast(get_json_object({0}, {1}) as double)"),
+        "jsonhas": _json_tmpl("(get_json_object({0}, {1}) is not null)"),
+    }
+)

@@ -127,10 +127,35 @@ FROM events GROUP BY event_type
 """
 
 
+def ch_json_extract(spark, sf_dir):
+    """ClickHouse JSONExtract family through the dialect (-> get_json_object,
+    JVM-side JSON path eval) over the events props column."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("evj_src")
+    return eng.sql(
+        "select event_type, sum(JSONExtractInt(props, 'k')) as sum_k, "
+        "countIf(JSONHas(props, 'k')) as n_with_k, "
+        "max(JSONExtractString(props, 'k')) as max_k_str "
+        "from evj_src group by event_type"
+    )
+
+
+CH_JSON_ORACLE = """
+SELECT event_type,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)  AS sum_k,
+       count(*) FILTER (WHERE props->>'$.k' IS NOT NULL)   AS n_with_k,
+       max(props->>'$.k')                                  AS max_k_str
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "engine_ddl_insert_select": Query(engine_ddl_insert_select, ENGINE_DIS_ORACLE, ("engine",)),
     "engine_partition_prune": Query(engine_partition_prune, ENGINE_PRUNE_ORACLE, ("engine",)),
     "ch_aggregate_combinators": Query(
         ch_aggregate_combinators, CH_COMBINATORS_ORACLE, ("engine", "dialect")
     ),
+    "ch_json_extract": Query(ch_json_extract, CH_JSON_ORACLE, ("engine", "dialect", "json")),
 }

@@ -221,12 +221,47 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+def window_range_frame(spark, sf_dir):
+    """RANGE frame (value-based, not row-based): 30-day trailing revenue per
+    order, partitioned by priority — ties on the same date all see the same
+    frame, so the result is deterministic where a ROWS frame would not be.
+    Reference frame support: logical_plan/window_frames.rs:130 (fork-only)."""
+    from pyspark.sql import Window as W
+
+    from tensorbase_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    secs = F.col("o_orderdate").cast("timestamp").cast("long")
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy(secs)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return (
+        o.withColumn("trailing_30d", F.round(F.sum("o_totalprice").over(w), 2))
+        .filter(F.col("o_orderkey") % 17 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_orderdate", "trailing_30d")
+    )
+
+
+WINDOW_RANGE_ORACLE = """
+SELECT o_orderkey, o_orderpriority, o_orderdate,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_orderpriority ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+       ), 2) AS trailing_30d
+FROM orders
+QUALIFY o_orderkey % 17 = 0
+"""
+
+
 QUERIES = {
     "window_row_number": Query(window_row_number, WINDOW_RN_ORACLE, ("window",)),
     "window_rank_dense": Query(window_rank_dense, WINDOW_RANK_ORACLE, ("window",)),
     "window_lag_lead": Query(window_lag_lead, WINDOW_LAG_ORACLE, ("window",)),
     "window_running_sum": Query(window_running_sum, WINDOW_RUNNING_ORACLE, ("window",), bench=True),
     "window_first_last_ntile": Query(window_first_last_ntile, WINDOW_FLN_ORACLE, ("window",)),
+    "window_range_frame": Query(window_range_frame, WINDOW_RANGE_ORACLE, ("window",)),
     "events_tumbling_window": Query(events_tumbling_window, EVENTS_TUMBLING_ORACLE, ("events",), bench=True),
     "events_sessionize": Query(events_sessionize, EVENTS_SESSION_ORACLE, ("events",), bench=True),
 }
