@@ -699,6 +699,93 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
 """
 
 
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS correlated subquery -> left-semi join
+    (the reference's grammar accepts IN-subqueries but DataFusion 6 errors
+    at runtime, SURVEY §2.3; Catalyst plans the semi join natively)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: 4-way join over returned lineitems, revenue top-20
+    customers."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: OR of conjunctive brand/quantity band predicates —
+    the stress test for predicate normalization and partial pushdown."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    c1 = (F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11)
+    c2 = (F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20)
+    c3 = F.col("p_brand").isin("Brand#3", "Brand#4") & (F.col("l_quantity") >= 25)
+    return j.filter(c1 | c2 | c3).agg(
+        F.count("*").alias("n"),
+        _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+    )
+
+
+Q19_ORACLE = """
+SELECT count(*) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand IN ('Brand#3', 'Brand#4') AND l_quantity >= 25)
+"""
+
+
 def join_range_bands(spark, sf_dir):
     """Banded range join: parts priced into static bands via a broadcast
     BETWEEN join.  With a small band table this IS the optimal plan
@@ -817,5 +904,8 @@ QUERIES = {
     "q12_shipmode_priority": Query(q12_shipmode_priority, Q12_ORACLE, ("tpch",)),
     "q14_promo_effect": Query(q14_promo_effect, Q14_ORACLE, ("tpch",)),
     "q18_large_orders": Query(q18_large_orders, Q18_ORACLE, ("tpch",)),
+    "q4_order_priority": Query(q4_order_priority, Q4_ORACLE, ("tpch",)),
+    "q10_returned_items": Query(q10_returned_items, Q10_ORACLE, ("tpch",)),
+    "q19_disjunctive_predicates": Query(q19_disjunctive_predicates, Q19_ORACLE, ("tpch",)),
     "rollup_hierarchy": Query(rollup_hierarchy, ROLLUP_HIERARCHY_ORACLE, ("agg", "rollup")),
 }
