@@ -558,6 +558,27 @@ class TensorBaseEngine:
             src = self.spark.read.csv(path, header=False, inferSchema=False)
         return self.insert_df(name, src, subset or None)
 
+    def _bql_cols_for(self, name: str) -> dict:
+        """BQL-declared column types from table properties (cached):
+        carries information Spark's schema loses, e.g. FixedString(n)."""
+        if not hasattr(self, "_bql_cols_cache"):
+            self._bql_cols_cache = {}
+        if name in self._bql_cols_cache:
+            return self._bql_cols_cache[name]
+        out: dict = {}
+        try:
+            rows = self.spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+            cols_txt = {r.key: r.value for r in rows}.get("tb.columns")
+            if cols_txt:
+                for part in _split_top_level_args(cols_txt):
+                    toks = part.strip().split(None, 1)
+                    if len(toks) == 2:
+                        out[toks[0]] = parse_bql_type(toks[1])
+        except Exception:
+            pass
+        self._bql_cols_cache[name] = out
+        return out
+
     def insert_df(
         self, name: str, src: DataFrame, subset: list[str] | None = None
     ) -> DataFrame:
@@ -568,6 +589,7 @@ class TensorBaseEngine:
         name = self._qualify(name)
         schema = [f for f in self.spark.table(name).schema.fields if f.name != PTK_COL]
         spec = self._spec_for(name)
+        bql_cols = self._bql_cols_for(name)
 
         targets = subset or [f.name for f in schema]
         if len(src.columns) != len(targets):
@@ -582,6 +604,19 @@ class TensorBaseEngine:
                 col = F.col(f.name).cast(f.dataType)
                 if f.dataType.simpleString() == "timestamp":
                     col = F.date_trunc("second", col)
+                p = bql_cols.get(f.name)
+                if p is not None and p.fixed_len is not None:
+                    # FixedString(n): the reference stores exactly-n bytes and
+                    # rejects longer values at write time; enforce in-plan
+                    # (codegen'd conditional, no extra pass over the data)
+                    col = F.when(F.length(col) <= p.fixed_len, col).otherwise(
+                        F.raise_error(
+                            F.lit(
+                                f"value too long for FixedString({p.fixed_len}) "
+                                f"column {f.name}"
+                            )
+                        )
+                    )
                 sel.append(col.alias(f.name))
             else:
                 if not f.nullable:

@@ -298,3 +298,11 @@ def test_ch_date_helper_extensions(engine):
     assert str(r.plus10) == "2021-06-27"
     assert str(r.plus2m) == "2021-08-17"
     assert (r.dd, r.dm) == (10, 14)
+
+
+def test_fixedstring_length_enforced_on_write(engine):
+    engine.sql("create table fsx(fs FixedString(4))")
+    engine.sql("insert into fsx values ('abcd')")  # exact fit OK
+    with pytest.raises(Exception, match="FixedString"):
+        engine.sql("insert into fsx values ('abcde')")
+    assert engine.sql("select count(*) as n from fsx").collect()[0].n == 1
