@@ -699,6 +699,54 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
 """
 
 
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional nation-pair volume by year — the same
+    dimension table joined twice under different roles."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
 def q4_order_priority(spark, sf_dir):
     """TPC-H Q4 shape: EXISTS correlated subquery -> left-semi join
     (the reference's grammar accepts IN-subqueries but DataFusion 6 errors
@@ -907,5 +955,6 @@ QUERIES = {
     "q4_order_priority": Query(q4_order_priority, Q4_ORACLE, ("tpch",)),
     "q10_returned_items": Query(q10_returned_items, Q10_ORACLE, ("tpch",)),
     "q19_disjunctive_predicates": Query(q19_disjunctive_predicates, Q19_ORACLE, ("tpch",)),
+    "q7_volume_shipping": Query(q7_volume_shipping, Q7_ORACLE, ("tpch",)),
     "rollup_hierarchy": Query(rollup_hierarchy, ROLLUP_HIERARCHY_ORACLE, ("agg", "rollup")),
 }
