@@ -62,8 +62,38 @@ FROM events GROUP BY event_type
 """
 
 
+def stream_session_window(spark, sf_dir):
+    return sev.session_window_rollup(spark, sf_dir)
+
+
+# session_window semantics replayed in batch: new session when the gap to the
+# previous event (at Spark's microsecond precision) is >= the 30-min gap.
+STREAM_SESSION_ORACLE = """
+WITH m AS (
+  SELECT user_id, value, event_id,
+         make_timestamp(epoch_ns(ts) // 1000) AS tsu
+  FROM events
+), flagged AS (
+  SELECT user_id, value, tsu, event_id,
+         CASE WHEN lag(tsu) OVER w IS NULL
+                OR tsu - lag(tsu) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS ns
+  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+), numbered AS (
+  SELECT user_id, value, tsu,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT min(tsu) AS session_start, user_id, count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM numbered GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": Query(stream_tumbling_window, STREAM_TUMBLING_ORACLE, ("streaming",)),
+    "stream_session_window": Query(stream_session_window, STREAM_SESSION_ORACLE, ("streaming",)),
     "stream_stateful_rollup": Query(stream_stateful_rollup, STREAM_STATEFUL_ORACLE, ("streaming",)),
     "stream_sliding_window": Query(stream_sliding_window, STREAM_SLIDING_ORACLE, ("streaming",)),
     "stream_dedup_users": Query(stream_dedup_users, STREAM_DEDUP_ORACLE, ("streaming",)),

@@ -195,3 +195,22 @@ def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = ev.dropDuplicates(["user_id", "event_type"])
     sink = _run_to_memory(dd, "append")
     return sink.groupBy("event_type").agg(F.count("*").alias("n_unique_users"))
+
+
+def session_window_rollup(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Streaming session windows: F.session_window merges events whose gap to
+    the previous event is under `gap`; state per open session is dropped once
+    the watermark passes session end.  Completes the windows trio
+    (tumbling / sliding / session)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "24 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("session_start"), "user_id", "n_events", "session_value"
+    )
