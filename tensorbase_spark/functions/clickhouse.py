@@ -371,5 +371,13 @@ CH_SQL_TEMPLATES.update(
         "jsonextractint": _json_tmpl("cast(get_json_object({0}, {1}) as bigint)"),
         "jsonextractfloat": _json_tmpl("cast(get_json_object({0}, {1}) as double)"),
         "jsonhas": _json_tmpl("(get_json_object({0}, {1}) is not null)"),
+        # CH string predicates (upstream; the fork's grammar has no LIKE at
+        # all, SURVEY §2.3 — the function forms cover the same ground)
+        "match": "({0} rlike {1})",
+        "like": "({0} like {1})",
+        "notlike": "({0} not like {1})",
+        "ilike": "(lower({0}) like lower({1}))",
+        "position": "locate({1}, {0})",
+        "positioncaseinsensitive": "locate(lower({1}), lower({0}))",
     }
 )

@@ -306,3 +306,16 @@ def test_fixedstring_length_enforced_on_write(engine):
     with pytest.raises(Exception, match="FixedString"):
         engine.sql("insert into fsx values ('abcde')")
     assert engine.sql("select count(*) as n from fsx").collect()[0].n == 1
+
+
+def test_ch_string_predicate_extensions(engine):
+    engine.sql("create table sp(s String)")
+    engine.sql("insert into sp values ('Hello World'), ('spark engine'), ('HELLO')")
+    r = engine.sql(
+        "select countIf(match(s, '^[A-Z]')) as caps, "
+        "countIf(like(s, '%World%')) as w, "
+        "countIf(ilike(s, 'hello%')) as h, "
+        "max(position(s, 'o')) as p "
+        "from sp"
+    ).collect()[0]
+    assert (r.caps, r.w, r.h, r.p) == (2, 1, 2, 5)
