@@ -152,7 +152,12 @@ FROM events GROUP BY event_type
 
 
 QUERIES = {
-    "engine_ddl_insert_select": Query(engine_ddl_insert_select, ENGINE_DIS_ORACLE, ("engine",)),
+    # bench=True: the closest analogue to the reference's second published
+    # metric, ingest throughput (README "recap" item 2; BASELINE.md) — times
+    # DDL + partitioned insert-select + dialect read-back end to end.
+    "engine_ddl_insert_select": Query(
+        engine_ddl_insert_select, ENGINE_DIS_ORACLE, ("engine",), bench=True
+    ),
     "engine_partition_prune": Query(engine_partition_prune, ENGINE_PRUNE_ORACLE, ("engine",)),
     "ch_aggregate_combinators": Query(
         ch_aggregate_combinators, CH_COMBINATORS_ORACLE, ("engine", "dialect")
