@@ -91,8 +91,19 @@ FROM numbered GROUP BY user_id, sid
 """
 
 
+def stream_append_ingest(spark, sf_dir):
+    return sev.append_ingest_to_parquet(spark, sf_dir)
+
+
+STREAM_APPEND_ORACLE = """
+SELECT CAST(ts AS DATE) AS day, count(*) AS n, round(sum(value), 4) AS v
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": Query(stream_tumbling_window, STREAM_TUMBLING_ORACLE, ("streaming",)),
+    "stream_append_ingest": Query(stream_append_ingest, STREAM_APPEND_ORACLE, ("streaming", "ingest")),
     "stream_session_window": Query(stream_session_window, STREAM_SESSION_ORACLE, ("streaming",)),
     "stream_stateful_rollup": Query(stream_stateful_rollup, STREAM_STATEFUL_ORACLE, ("streaming",)),
     "stream_sliding_window": Query(stream_sliding_window, STREAM_SLIDING_ORACLE, ("streaming",)),

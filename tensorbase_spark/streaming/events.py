@@ -214,3 +214,34 @@ def session_window_rollup(
     return out.select(
         F.col("w.start").alias("session_start"), "user_id", "n_events", "session_value"
     )
+
+
+def append_ingest_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ingest analogue (SURVEY §2.10): micro-batch appends
+    into partitioned columnar storage.  readStream -> writeStream to parquet
+    PARTITIONED BY day with a checkpoint, availableNow trigger — exactly-once
+    file-sink semantics; on a live system each hourly drop lands as its own
+    micro-batch and failures replay from the checkpoint.  Returns the
+    per-day rollup read back from the SINK (proving the round trip)."""
+    import os
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    dst = f"/tmp/tbs_stream_sink/{tag}"
+    chk = f"{dst}__chk"
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.rmtree(chk, ignore_errors=True)
+    ev = read_events_stream(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", dst)
+        .option("checkpointLocation", chk)
+        .partitionBy("day")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(dst)
+    return back.groupBy("day").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v")
+    )
