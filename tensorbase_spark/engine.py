@@ -314,6 +314,11 @@ _DROP_RE = re.compile(
     r"^drop\s+(?P<kind>database|table)\s+(?P<ie>if\s+exists\s+)?(?P<name>[A-Za-z_][A-Za-z0-9_.]*)\s*$",
     re.IGNORECASE,
 )
+_INSERT_REMOTE_RE = re.compile(
+    r"^insert\s+into\s+function\s+remote\s*\(\s*(?P<addr>'[^']*')\s*,\s*"
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_.]*)\s*\)\s*(?P<rest>values\s+.*|select\s+.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _INSERT_RE = re.compile(
     r"^insert\s+into\s+(?P<name>[A-Za-z_][A-Za-z0-9_.]*)\s*(?:\((?P<cols>[^)]*)\)\s*)?"
     r"(?P<rest>values\s+.*|select\s+.*|format\s+csv\s+.*)$",
@@ -542,6 +547,19 @@ class TensorBaseEngine:
     # -- INSERT paths -------------------------------------------------------
 
     def _insert(self, c: str) -> DataFrame:
+        rm = _INSERT_REMOTE_RE.match(c)
+        if rm:
+            # INSERT INTO FUNCTION remote(...) — push rows to a remote table
+            # (grammar bql.pest:81 select_remote target; exec mgmt.rs:744-770).
+            # The local: loopback resolves to the session catalog; JDBC write
+            # needs a driver jar, same policy as sources/external.py remote.
+            addr = rm.group("addr").strip("'\"")
+            if not addr.startswith("local:"):
+                raise ValueError(
+                    f"insert into function remote({addr!r}): only the local: "
+                    "loopback scheme is supported without a JDBC driver jar"
+                )
+            c = f"insert into {rm.group('name')} {rm.group('rest')}"
         m = _INSERT_RE.match(c)
         if not m:
             raise ValueError(f"cannot parse: {c}")

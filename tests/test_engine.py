@@ -319,3 +319,12 @@ def test_ch_string_predicate_extensions(engine):
         "from sp"
     ).collect()[0]
     assert (r.caps, r.w, r.h, r.p) == (2, 1, 2, 5)
+
+
+def test_insert_into_function_remote(engine):
+    # grammar bql.pest:81: INSERT INTO FUNCTION remote(...) — push target
+    engine.sql("create table rtarget(a Int64)")
+    engine.sql("insert into function remote('local:', rtarget) values (7), (8)")
+    assert engine.sql("select sum(a) as s from rtarget").collect()[0].s == 15
+    with pytest.raises(ValueError, match="loopback"):
+        engine.sql("insert into function remote('jdbc:mysql://h/db', t) values (1)")
