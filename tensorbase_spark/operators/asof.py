@@ -39,15 +39,24 @@ def asof_join(
     payload = payload or [c for c in right.columns if c not in (on, rts)]
     tb = tiebreak or (payload[0] if payload else rts)
 
+    reserved = {"__side", "__tb", "__m"} | {f"asof_{c}" for c in payload}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(f"asof_join: left columns collide with internals: {sorted(clash)}")
+
     l_marked = left.withColumn("__side", F.lit(1))
     r_marked = (
-        right.select(
+        # a NULL-ts right row can never satisfy right.ts <= left.ts — drop it
+        # here, else NULLS FIRST ordering would carry it into every left row
+        # that has no genuine predecessor
+        right.filter(F.col(rts).isNotNull())
+        .select(
             F.col(on),
             F.col(rts).alias(ts),
+            F.col(tb).alias("__tb"),  # tiebreak need not be in payload
             *[F.col(c).alias(f"__r_{c}") for c in payload],
         )
         .withColumn("__side", F.lit(0))
-        .withColumn("__tb", F.col(f"__r_{tb}") if tb in payload else F.lit(0))
     )
     u = l_marked.unionByName(r_marked, allowMissingColumns=True)
 

@@ -56,9 +56,11 @@ def funnel_depths(
     return g.select("user_id", depth.alias("funnel_depth"))
 
 
-def funnel_histogram(events: DataFrame, steps: list[str], window: str = "7 days") -> DataFrame:
+def funnel_histogram(
+    events: DataFrame, steps: list[str], window: str = "7 days", **cols
+) -> DataFrame:
     return (
-        funnel_depths(events, steps, window)
+        funnel_depths(events, steps, window, **cols)
         .groupBy("funnel_depth")
         .agg(F.count("*").alias("n_users"))
     )

@@ -25,11 +25,25 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join fact⋈dim on `on` with the shuffle spread over n_salts
-    buckets per key.  Deterministic: the salt is a hash of the fact row's
-    whole key tuple, not rand(), so retries and re-runs shuffle
-    identically."""
+    buckets per key.
+
+    The salt is derived from each fact row's partition-local position
+    (monotonically_increasing_id), so even byte-identical duplicate rows of
+    a hot key — the classic dirty-ingest skew — spread evenly over the
+    buckets; a content hash would send all duplicates to one reducer.
+    Stable for a fixed input layout (ids derive from partition id + row
+    position), including task retries.
+
+    Only fact-preserving join types are allowed: the dim side is replicated
+    n_salts ways, so 'right'/'full' would emit each unmatched dim row
+    n_salts times."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched dim rows "
+            "n_salts times; use a plain join for right/full outer"
+        )
     fact_s = fact.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )
     dim_s = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

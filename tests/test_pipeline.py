@@ -275,3 +275,44 @@ def test_salted_join_matches_plain_join(spark):
     plain = fact.join(dim, "k").selectExpr("k", "v", "name")
     salted = salted_join(fact, dim, on="k", n_salts=8).selectExpr("k", "v", "name")
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_asof_join_null_ts_and_external_tiebreak(spark):
+    import datetime as dt
+    from tensorbase_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    trades = spark.createDataFrame(
+        [(1, 100, t(10)), (2, 200, t(10))], "trade_id long, sym long, ts timestamp"
+    )
+    quotes = spark.createDataFrame(
+        [
+            (100, None, 1, 5.0),   # NULL-ts quote: must never match anything
+            (200, t(5), 2, 6.0),
+            (200, t(5), 3, 7.0),   # same ts, larger quote_id -> wins tiebreak
+        ],
+        "sym long, ts timestamp, quote_id long, px double",
+    )
+    # tiebreak column deliberately NOT in payload
+    out = {r.trade_id: r for r in asof_join(
+        trades, quotes, on="sym", ts="ts", payload=["px"], tiebreak="quote_id"
+    ).collect()}
+    assert out[1].asof_px is None       # only a NULL-ts quote exists for sym 100
+    assert out[2].asof_px == 7.0        # deterministic tie resolution
+
+
+def test_salted_join_guards_and_spread(spark):
+    import pytest as _pytest
+    from tensorbase_spark.operators.skew import salted_join
+
+    fact = spark.range(100).selectExpr("0 AS k", "'same' AS v")  # identical rows
+    dim = spark.createDataFrame([(0, "d0")], "k long, name string")
+    with _pytest.raises(ValueError, match="right/full"):
+        salted_join(fact, dim, on="k", how="right")
+    out = salted_join(fact, dim, on="k", n_salts=8)
+    assert out.count() == 100
+    # identical duplicate rows must spread over salts, not collapse into one
+    spread = fact.withColumn(
+        "s", F.pmod(F.monotonically_increasing_id(), F.lit(8))
+    ).select("s").distinct().count()
+    assert spread > 1
