@@ -26,17 +26,6 @@ from tensorbase_spark.pipeline import hashing
 N_HASHES = hashing.N_HASHES
 N_BANDS = hashing.N_BANDS
 ROWS_PER_BAND = hashing.ROWS_PER_BAND
-_MERSENNE = 2147483647  # 2^31-1
-
-
-def tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct whitespace tokens per document: (id, token)."""
-    return (
-        docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-        .select("_id", F.explode(F.split(F.col("_text"), r"\s+")).alias("token"))
-        .filter(F.col("token") != "")
-        .distinct()
-    )
 
 
 SHINGLE_N = 3
@@ -57,8 +46,6 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n:
     explicit — a bare repartition(col) of a few-MB doc table gets coalesced
     right back to one partition by AQE, which optimizes shuffle bytes, not
     the downstream compute-per-row."""
-    from tensorbase_spark.session import default_parallelism
-
     # CRITICAL expression-shape rule: never reference the split() inside a
     # lambda.  element_at(split(text), i) inside a transform() lambda makes
     # interpreted higher-order-function eval recompute the regex split for
@@ -81,8 +68,9 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n:
         F.size(w) >= n,
         F.array_distinct(F.slice(z, 1, F.size(w) - (n - 1))),
     ).otherwise(F.array(F.col(text_col)))
-    docs = docs.repartition(default_parallelism(), F.col(id_col))
-    return docs.select(F.col(id_col).alias("_id"), F.explode(sh).alias("token"))
+    return _repartitioned(docs, id_col).select(
+        F.col(id_col).alias("_id"), F.explode(sh).alias("token")
+    )
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -208,6 +196,11 @@ def simhash_near_pairs(
     Banding: 4 x 16-bit bands; any pair within hamming<=3 shares at least one
     exact band (pigeonhole), so the candidate join is band-bucketed — never
     all-pairs.  Verification is bit_count(xor) on the two fingerprints."""
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash_near_pairs: 4x16-bit banding guarantees recall only for "
+            f"max_hamming <= 3 (pigeonhole); got {max_hamming}"
+        )
     fps = simhash_fingerprints(docs, text_col, id_col)
     bands = fps.select(
         "doc_id",
@@ -302,7 +295,7 @@ def ngram_jaccard_pairs(
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.bk") == F.col("b.bk"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.abs(F.col("a.nc") - F.col("b.nc")) <= 20),
+        & (F.abs(F.col("a.nc") - F.col("b.nc")) <= W),  # must equal the bucket width
     ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
 
     arrays = d.select("doc_id", "bg")
@@ -365,4 +358,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silently returning partial clusters would split duplicate families
+        # into several "canonical" survivors — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter or switch to "
+            "large-star/small-star for high-diameter graphs"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

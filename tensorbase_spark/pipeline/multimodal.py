@@ -108,9 +108,11 @@ def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
     with_frames = assets.withColumn(
         "n_frames", (F.octet_length("payload") % 300 + 1).cast("int")
     )
+    # explode_outer: a NULL-payload asset keeps one row (frame_idx NULL),
+    # matching extract_features' all-NULL-feature-row contract
     return with_frames.select(
         "asset_id",
-        F.explode(
+        F.explode_outer(
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )

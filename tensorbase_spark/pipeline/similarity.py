@@ -38,8 +38,14 @@ def cosine_expr(a, b) -> F.Column:
     aggregate are CodegenFallback — interpreted per element — and measured
     wall time on the same plan varied 40x with JIT profile luck.  Kept for
     tests and tiny inputs; the operators below use the Arrow-vectorized
-    pandas_udf, which is the right shape for dense math at 100 TB."""
-    return _dot_expr(a, b) / (F.sqrt(_dot_expr(a, a)) * F.sqrt(_dot_expr(b, b)))
+    pandas_udf, which is the right shape for dense math at 100 TB.
+
+    Zero-norm guard: a zero vector's cosine is defined as 0, never NaN —
+    NaN compares GREATER than everything in Spark ordering, so an unguarded
+    failed-embedding row would rank first in every top-k and pass every
+    >= threshold filter."""
+    den = F.sqrt(_dot_expr(a, a)) * F.sqrt(_dot_expr(b, b))
+    return F.when(den > 0, _dot_expr(a, b) / den).otherwise(F.lit(0.0))
 
 
 # DoubleType() instance (not the "double" DDL string): string return types
@@ -49,11 +55,19 @@ def cosine_expr(a, b) -> F.Column:
 def _cosine_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
     # Arrow hands each array column as a Series of np arrays; stacking gives
     # (batch, dim) matrices and one einsum per batch does all the dots.
-    ma = np.stack(a.to_numpy()).astype(np.float64)
-    mb = np.stack(b.to_numpy()).astype(np.float64)
-    num = np.einsum("ij,ij->i", ma, mb)
-    den = np.sqrt(np.einsum("ij,ij->i", ma, ma)) * np.sqrt(np.einsum("ij,ij->i", mb, mb))
-    return pd.Series(num / den)
+    # NULL embeddings yield NULL (not a stage-killing np.stack crash); zero
+    # vectors yield 0.0, never NaN (NaN sorts above everything in Spark).
+    valid = (a.notna() & b.notna()).to_numpy()
+    out = np.full(len(a), np.nan)  # NaN -> Arrow null -> Spark NULL
+    if valid.any():
+        ma = np.stack(a[valid].to_numpy()).astype(np.float64)
+        mb = np.stack(b[valid].to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.sqrt(np.einsum("ij,ij->i", ma, ma)) * np.sqrt(
+            np.einsum("ij,ij->i", mb, mb)
+        )
+        out[valid] = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
+    return pd.Series(out)
 
 
 def cosine(a, b) -> F.Column:
@@ -279,7 +293,8 @@ def ivf_search_indexed(
         q_cent.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
         .select("q_id", "q_vec", "centroid_id")
-    )
+        .localCheckpoint()  # the collect below would otherwise re-run the
+    )                       # centroid scoring when the returned plan executes
     # partition-prune the index scan to the union of probed buckets (a tiny
     # driver-side collect of at most n_queries * nprobe ints)
     probe_ids = sorted({r.centroid_id for r in probes.select("centroid_id").distinct().collect()})

@@ -37,7 +37,7 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(t).alias("n_chars_obs"),
         F.regexp_count(t, F.lit(WORD_RE)).alias("n_words"),
         F.regexp_count(t, F.lit(BPE_RE)).alias("n_tokens"),
-        F.size(F.array_distinct(F.split(t, r"\s+"))).alias("n_unique_words"),
+        F.size(F.array_distinct(F.array_remove(F.split(t, r"\s+"), ""))).alias("n_unique_words"),
     )
 
 
@@ -46,9 +46,10 @@ def quality_factors(text_col: str = "text") -> dict[str, F.Column]:
     so composed pipelines don't need a self-join to attach scores."""
     t = F.col(text_col)
     n_words = F.regexp_count(t, F.lit(WORD_RE)).cast("double")
-    uniq = F.size(F.array_distinct(F.split(t, r"\s+"))).cast("double")
+    words = F.array_distinct(F.array_remove(F.split(t, r"\s+"), ""))
+    uniq = F.size(words).cast("double")
     en_stops = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
-    stop_hits = F.size(F.array_intersect(F.array_distinct(F.split(t, r"\s+")), en_stops))
+    stop_hits = F.size(F.array_intersect(words, en_stops))
     length_factor = F.least(F.lit(1.0), n_words / F.lit(100.0))
     diversity = uniq / F.greatest(n_words, F.lit(1.0))
     stop_factor = F.least(F.lit(1.0), stop_hits.cast("double") / F.lit(3.0))
@@ -82,7 +83,7 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-profile voting: predicted lang = argmax over profiles of
     distinct-word hits; ties break by lang code order.  Returns prediction
     next to the labeled lang for accuracy auditing."""
-    words = F.array_distinct(F.split(F.col(text_col), r"\s+"))
+    words = F.array_distinct(F.array_remove(F.split(F.col(text_col), r"\s+"), ""))
     scores = {
         lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in prof])))
         for lang, prof in sorted(LANG_PROFILES.items())
@@ -141,19 +142,19 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     contiguous 13-19 digit card runs (the looser phone pattern would consume
     them), then phones."""
     t = F.col(text_col)
-    red = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
-    red = F.regexp_replace(red, PII_CARD_RE, "<NUM>")
-    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
-    red = F.trim(F.regexp_replace(red, r"\s+", " "))
-    return docs.withColumn("redacted", red).withColumn(
-        "n_redactions",
-        (
-            F.size(F.split(F.col("redacted"), "<EMAIL>", -1))
-            + F.size(F.split(F.col("redacted"), "<PHONE>", -1))
-            + F.size(F.split(F.col("redacted"), "<NUM>", -1))
-            - F.lit(3)
-        ).cast("int"),
+    r1 = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    r2 = F.regexp_replace(r1, PII_CARD_RE, "<NUM>")
+    r3 = F.regexp_replace(r2, PII_PHONE_RE, "<PHONE>")
+    red = F.trim(F.regexp_replace(r3, r"\s+", " "))
+    # count the matches each stage actually replaced — counting tag strings
+    # in the output would miscount documents that already contain the
+    # literal markers (e.g. a re-ingested, previously-redacted corpus)
+    n = (
+        F.regexp_count(t, F.lit(PII_EMAIL_RE))
+        + F.regexp_count(r1, F.lit(PII_CARD_RE))
+        + F.regexp_count(r2, F.lit(PII_PHONE_RE))
     )
+    return docs.withColumn("redacted", red).withColumn("n_redactions", n.cast("int"))
 
 
 def chunk_documents(

@@ -219,7 +219,7 @@ SELECT doc_id,
        CAST(length(text) AS INT)                                   AS n_chars_obs,
        CAST(len(regexp_extract_all(text, '\S+')) AS INT)           AS n_words,
        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT)   AS n_tokens,
-       CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS INT) AS n_unique_words
+       CAST(len(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS INT) AS n_unique_words
 FROM documents
 """
 
@@ -235,8 +235,8 @@ QUALITY_ORACLE = rf"""
 WITH t AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_words,
-         CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE) AS uniq,
-         CAST(len(list_intersect(list_distinct(string_split_regex(text, '\s+')),
+         CAST(len(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS DOUBLE) AS uniq,
+         CAST(len(list_intersect(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> '')),
                                  {_STOPS_SQL})) AS DOUBLE) AS stop_hits
   FROM documents
 )
@@ -266,7 +266,7 @@ _PROFILE_SQL = {
 
 LANG_ID_ORACLE = rf"""
 WITH w AS (
-  SELECT doc_id, lang, list_distinct(string_split_regex(text, '\s+')) AS ws
+  SELECT doc_id, lang, list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws
   FROM documents
 ), s AS (
   SELECT doc_id, lang,
@@ -508,10 +508,15 @@ WITH salted AS (
            '\s+', ' ', 'g')) AS redacted
   FROM salted
 )
-SELECT doc_id, redacted,
-       CAST(len(string_split(redacted, '<EMAIL>')) + len(string_split(redacted, '<PHONE>'))
-            + len(string_split(redacted, '<NUM>')) - 3 AS INT) AS n_redactions
-FROM red
+SELECT r.doc_id, r.redacted, n.n_redactions
+FROM red r JOIN (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{13,19}'))
+            + len(regexp_extract_all(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{13,19}', '<NUM>', 'g'), '\+?[0-9][0-9 ()-]{6,}[0-9]'))
+          AS INT) AS n_redactions
+  FROM salted
+) n USING (doc_id)
 """
 
 
@@ -536,9 +541,9 @@ CORPUS_PIPELINE_ORACLE = rf"""
 WITH scored AS (
   SELECT doc_id, text, source,
          0.4 * least(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0)
-       + 0.3 * (CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
+       + 0.3 * (CAST(len(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS DOUBLE)
                 / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0))
-       + 0.3 * least(1.0, CAST(len(list_intersect(list_distinct(string_split_regex(text, '\s+')),
+       + 0.3 * least(1.0, CAST(len(list_intersect(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> '')),
                                                   {_STOPS_SQL})) AS DOUBLE) / 3.0) AS quality
   FROM documents
 ), kept AS (

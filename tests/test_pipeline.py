@@ -316,3 +316,51 @@ def test_salted_join_guards_and_spread(spark):
         "s", F.pmod(F.monotonically_increasing_id(), F.lit(8))
     ).select("s").distinct().count()
     assert spread > 1
+
+
+def test_cosine_zero_vector_and_null_guard(spark):
+    from tensorbase_spark.pipeline.similarity import cosine, cosine_expr
+
+    rows = [
+        (1, [1.0, 0.0], [1.0, 0.0]),
+        (2, [0.0, 0.0], [1.0, 0.0]),   # zero vector: cos must be 0, not NaN
+        (3, None, [1.0, 0.0]),         # NULL embedding: cos must be NULL
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    got = {r.id: (r.c, r.ce) for r in df.select(
+        "id", cosine(F.col("a"), F.col("b")).alias("c"),
+        cosine_expr(F.col("a"), F.col("b")).alias("ce"),
+    ).collect()}
+    assert got[1] == (1.0, 1.0)
+    assert got[2] == (0.0, 0.0)        # guarded, not NaN
+    assert got[3][0] is None           # pandas-UDF path: NULL in -> NULL out
+
+
+def test_quality_ignores_empty_tokens(spark):
+    from tensorbase_spark.pipeline import text as T
+
+    df = spark.createDataFrame(
+        [(1, "  a b c"), (2, "   ")], "doc_id long, text string"
+    )
+    q = {r.doc_id: r for r in T.quality_scores(df).collect()}
+    assert q[1].diversity <= 1.0       # leading-space '' token must not inflate
+    assert q[2].quality == 0.0         # whitespace-only doc scores zero
+    tc = {r.doc_id: r.n_unique_words for r in T.token_counts(df).collect()}
+    assert tc[1] == 3 and tc[2] == 0
+
+
+def test_pii_count_ignores_preexisting_tags(spark):
+    from tensorbase_spark.pipeline import text as T
+
+    df = spark.createDataFrame(
+        [(1, "already has <NUM> and <EMAIL> markers"), (2, "mail a@b.io")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_redactions for r in T.pii_redact(df).collect()}
+    assert out[1] == 0 and out[2] == 1
+
+
+def test_simhash_max_hamming_guard(spark):
+    docs = _planted_docs(spark)
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_near_pairs(docs, max_hamming=4)
