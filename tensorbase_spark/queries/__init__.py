@@ -41,12 +41,14 @@ def registry() -> dict[str, Query]:
         scalars,
         sources_q,
         streamingq,
+        tpch_extra,
         windows,
     )
 
     out: dict[str, Query] = {}
     for mod in (
         relational,
+        tpch_extra,
         windows,
         chfuncs,
         scalars,
