@@ -34,6 +34,7 @@ class Query:
 def registry() -> dict[str, Query]:
     from tensorbase_spark.queries import (
         chfuncs,
+        curation_q,
         engine_queries,
         funnelq,
         pipeline,
@@ -53,6 +54,7 @@ def registry() -> dict[str, Query]:
         chfuncs,
         scalars,
         pipeline,
+        curation_q,
         engine_queries,
         funnelq,
         streamingq,

@@ -364,3 +364,90 @@ def test_simhash_max_hamming_guard(spark):
     docs = _planted_docs(spark)
     with pytest.raises(ValueError, match="max_hamming"):
         dedup.simhash_near_pairs(docs, max_hamming=4)
+
+
+# --- curation ops -----------------------------------------------------------
+
+
+def test_pack_sequences_budget_overrun_bounded(spark):
+    """Each bin's token total may exceed the budget by at most one doc (the
+    straddling doc), and docs stay contiguous in key order within a bin."""
+    from tensorbase_spark.pipeline import curation
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    toks = F.size(F.split(F.col("text"), " "))
+    packed = curation.pack_sequences(
+        docs, shard="source", key="doc_id", n_tokens=toks, budget=400
+    )
+    rows = packed.select("source", "bin_id", "doc_id", "n_tokens", "start_tok").collect()
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault((r.source, r.bin_id), []).append(r)
+    for (_, _), members in by_bin.items():
+        members.sort(key=lambda r: r.doc_id)
+        total = sum(r.n_tokens for r in members)
+        max_doc = max(r.n_tokens for r in members)
+        assert total <= 400 + max_doc
+        # contiguity: starting offsets are the running sum
+        run = members[0].start_tok
+        for r in members:
+            assert r.start_tok == run
+            run += r.n_tokens
+
+
+def test_split_partitions_and_deterministic(spark):
+    from tensorbase_spark.pipeline import curation
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    s1 = curation.train_val_test_split(docs, key="doc_id").select("doc_id", "split")
+    s2 = curation.train_val_test_split(docs, key="doc_id").select("doc_id", "split")
+    m1 = dict((r.doc_id, r.split) for r in s1.collect())
+    m2 = dict((r.doc_id, r.split) for r in s2.collect())
+    assert m1 == m2
+    assert set(m1.values()) <= {"train", "val", "test"}
+    assert len(m1) == docs.count()
+    # roughly 80/10/10 (hash-uniform; loose bounds at 50 docs)
+    n = len(m1)
+    assert sum(1 for v in m1.values() if v == "train") > n // 2
+
+
+def test_cap_per_stratum_bound_and_preference(spark):
+    from tensorbase_spark.pipeline import curation
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    capped = curation.cap_per_stratum(
+        docs, stratum="source", key="doc_id", cap=2,
+        order_by=[F.col("n_chars").desc(), F.col("doc_id")],
+    )
+    rows = capped.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, []).append(r)
+    full = {}
+    for r in docs.collect():
+        full.setdefault(r.source, []).append(r)
+    for src, kept in per.items():
+        assert len(kept) <= 2
+        want = sorted(full[src], key=lambda r: (-r.n_chars, r.doc_id))[:2]
+        assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in want)
+
+
+def test_contamination_pairs_shared_grams_verified(spark):
+    """Cross-check one reported pair by recomputing its shared 5-grams in
+    Python."""
+    from tensorbase_spark.pipeline import curation
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    pairs = curation.contamination_pairs(corpus, bench, min_shared=3).collect()
+    assert pairs, "expected planted overlap in synthetic corpus"
+    texts = {r.doc_id: r.text for r in docs.collect()}
+
+    def grams(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 5]) for i in range(len(w) - 4)}
+
+    p = pairs[0]
+    shared = grams(texts[p.bench_doc_id]) & grams(texts[p.corpus_doc_id])
+    assert len(shared) == p.shared_ngrams
