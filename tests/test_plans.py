@@ -67,3 +67,48 @@ def test_sampling_is_map_only(spark, queries):
     s = sampling.stratified_sample(docs, "doc_id", "source", {"src0": 80})
     plan = _formatted(spark, s)
     assert "Exchange" not in plan  # deterministic sampling shuffles nothing
+
+
+def test_q21_single_shuffle_window_census(spark, queries):
+    """Both collect_set windows (supplier census + late census) must share
+    ONE sort+exchange on l_orderkey — the whole point of the window
+    formulation over a correlated self-join (PLANS.md §7)."""
+    plan = _formatted(spark, queries["q21_suppliers_kept_waiting"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 2
+    assert tree.count("Sort") == 1  # one shared window sort
+    # two data shuffles total: window partition + final group-by
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 2
+    assert "SortMergeJoin" not in tree  # orders side broadcasts
+
+
+def test_q17_threshold_join_broadcasts(spark, queries):
+    """The per-part avg-quantity thresholds and the part dim must both
+    broadcast — the fact table is the only shuffled input."""
+    plan = _formatted(spark, queries["q17_small_quantity_revenue"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 2
+
+
+def test_q2_window_min_no_extra_shuffle(spark, queries):
+    """Min-per-part via window: the window sort must reuse the groupBy
+    partitioning — costs's aggregate and the window both key on l_partkey."""
+    plan = _formatted(spark, queries["q2_min_cost_supplier"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("SortMergeJoin") == 0
+    assert tree.count("Window") == 1
+
+
+def test_pack_sequences_one_shuffle(spark, queries):
+    plan = _formatted(spark, queries["corpus_pack_sequences"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    # window partition on source; the final groupBy(source, bin_id) can
+    # reuse it map-side only if co-partitioned — allow <= 2 exchanges
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") <= 2
+    assert "EvalPython" not in plan
+
+
+def test_contamination_shingles_jvm_side(spark, queries):
+    plan = _formatted(spark, queries["corpus_contamination_scan"](spark, SF))
+    assert "EvalPython" not in plan  # transform/slice/md5 stay in codegen
+    assert "BroadcastHashJoin" in plan  # benchmark side broadcast
