@@ -342,16 +342,28 @@ class TensorBaseEngine:
             return name
         return f"{self.spark.catalog.currentDatabase()}.{name}"
 
+    def _table_props(self, qualified: str) -> dict:
+        """tb.* properties of a MANAGED engine table; {} for temp views /
+        missing tables without going through a failing (and noisily logged)
+        SHOW TBLPROPERTIES analysis."""
+        try:
+            t = self.spark.catalog.getTable(qualified)
+        except Exception:
+            return {}
+        if (t.tableType or "").upper() not in ("MANAGED", "EXTERNAL"):
+            return {}
+        try:
+            rows = self.spark.sql(f"SHOW TBLPROPERTIES {qualified}").collect()
+        except Exception:
+            return {}
+        return {r.key: r.value for r in rows}
+
     def _spec_for(self, name: str) -> PartitionSpec | None:
         q = self._qualify(name)
         if q in self._partition_specs:
             return self._partition_specs[q]
         # recover from table properties (engine restarted over same warehouse)
-        try:
-            rows = self.spark.sql(f"SHOW TBLPROPERTIES {q}").collect()
-        except Exception:
-            return None
-        props = {r.key: r.value for r in rows}
+        props = self._table_props(q)
         expr = props.get("tb.partition_expr")
         if expr:
             spec = parse_partition_expr(expr)
@@ -482,11 +494,7 @@ class TensorBaseEngine:
         name = self._qualify(c.split()[-1])
         script = self._create_scripts.get(name)
         if script is None:
-            try:
-                rows = self.spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
-                script = {r.key: r.value for r in rows}.get("tb.create_script")
-            except Exception:
-                script = None
+            script = self._table_props(name).get("tb.create_script")
         if script is None:
             return self.spark.sql(f"SHOW CREATE TABLE {name}")
         return self.spark.createDataFrame([(script,)], "statement: string")
@@ -496,12 +504,7 @@ class TensorBaseEngine:
         also reads the metastore, mgmt.rs:532 — parquet file-source schemas
         come back force-nullable, so the catalog props are authoritative)."""
         name = self._qualify(c.split()[-1])
-        cols_txt = None
-        try:
-            rows = self.spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
-            cols_txt = {r.key: r.value for r in rows}.get("tb.columns")
-        except Exception:
-            pass
+        cols_txt = self._table_props(name).get("tb.columns")
         if cols_txt:
             fields = []
             for part in _split_top_level_args(cols_txt):
@@ -585,8 +588,7 @@ class TensorBaseEngine:
             return self._bql_cols_cache[name]
         out: dict = {}
         try:
-            rows = self.spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
-            cols_txt = {r.key: r.value for r in rows}.get("tb.columns")
+            cols_txt = self._table_props(name).get("tb.columns")
             if cols_txt:
                 for part in _split_top_level_args(cols_txt):
                     toks = part.strip().split(None, 1)

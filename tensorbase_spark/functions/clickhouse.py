@@ -381,3 +381,201 @@ CH_SQL_TEMPLATES.update(
         "positioncaseinsensitive": "locate(lower({1}), lower({0}))",
     }
 )
+
+
+def _multiif_sql(args: list[str]) -> str:
+    """multiIf(c1, v1, c2, v2, ..., else) -> CASE chain (ClickHouse
+    conditional; upstream dialect — the fork has no such builtin)."""
+    if len(args) < 3 or len(args) % 2 == 0:
+        raise ValueError("multiIf needs cond/value pairs plus an else")
+    parts = ["CASE"]
+    for i in range(0, len(args) - 1, 2):
+        parts.append(f"WHEN {args[i]} THEN {args[i + 1]}")
+    parts.append(f"ELSE {args[-1]} END")
+    return "(" + " ".join(parts) + ")"
+
+
+def _arraycount_sql(args: list[str]) -> str:
+    if len(args) == 1:
+        return f"size(filter({args[0]}, x -> x != 0))"
+    return f"size(filter({args[1]}, {args[0]}))"
+
+
+def _arraysum_sql(args: list[str]) -> str:
+    if len(args) == 1:
+        return f"aggregate({args[0]}, cast(0 as double), (acc, x) -> acc + x)"
+    # arraySum(lambda, arr): map then fold
+    return (
+        f"aggregate(transform({args[1]}, {args[0]}), "
+        "cast(0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def _arraystringconcat_sql(args: list[str]) -> str:
+    sep = args[1] if len(args) > 1 else "''"
+    return f"array_join({args[0]}, {sep})"
+
+
+def _splitbychar_sql(args: list[str]) -> str:
+    # split(str, regex) in Spark: \Q...\E quotes the literal separator
+    return f"split({args[1]}, concat('\\\\Q', {args[0]}, '\\\\E'))"
+
+
+_CH_FMT_TO_JAVA = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%M": "mm", "%S": "ss", "%j": "DDD", "%e": "d",
+    "%F": "yyyy-MM-dd", "%T": "HH:mm:ss", "%%": "%",
+}
+
+
+def _formatdatetime_sql(args: list[str]) -> str:
+    """formatDateTime(ts, '%Y-%m-%d') with the common strftime codes mapped
+    to Java datetime patterns; the format must be a string literal."""
+    fmt = args[1].strip()
+    if not (fmt.startswith("'") and fmt.endswith("'")):
+        raise ValueError("formatDateTime: format must be a string literal")
+    body = fmt[1:-1]
+    out, i = [], 0
+    while i < len(body):
+        if body[i] == "%" and i + 1 < len(body):
+            code = body[i : i + 2]
+            if code not in _CH_FMT_TO_JAVA:
+                raise ValueError(f"formatDateTime: unsupported code {code}")
+            out.append(_CH_FMT_TO_JAVA[code])
+            i += 2
+        else:
+            # literal chars inside a Java pattern need quoting when they are
+            # letters; quote runs of non-% chars wholesale
+            j = i
+            while j < len(body) and body[j] != "%":
+                j += 1
+            lit = body[i:j]
+            out.append("'" + lit.replace("'", "''") + "'" if lit.strip(" -:/,.") else lit)
+            i = j
+    return f"date_format({args[0]}, '{''.join(out)}')"
+
+
+# Cast family (BqlType widening per SURVEY §1.2: UInt8->Short, UInt16->Int,
+# UInt32->Long, UInt64->Decimal(20,0)).  With ANSI off a failed cast yields
+# NULL, which makes the OrNull forms plain casts and OrZero a coalesce.
+CH_SQL_TEMPLATES.update(
+    {
+        "toint8": "cast({0} as tinyint)",
+        "toint16": "cast({0} as smallint)",
+        "toint32": "cast({0} as int)",
+        "toint64": "cast({0} as bigint)",
+        "touint8": "cast({0} as smallint)",
+        "touint16": "cast({0} as int)",
+        "touint32": "cast({0} as bigint)",
+        "touint64": "cast({0} as decimal(20,0))",
+        "tofloat32": "cast({0} as float)",
+        "tofloat64": "cast({0} as double)",
+        "tostring": "cast({0} as string)",
+        "toint32ornull": "cast({0} as int)",
+        "toint64ornull": "cast({0} as bigint)",
+        "tofloat64ornull": "cast({0} as double)",
+        "toint32orzero": "coalesce(cast({0} as int), 0)",
+        "toint64orzero": "coalesce(cast({0} as bigint), 0)",
+        "tofloat64orzero": "coalesce(cast({0} as double), cast(0 as double))",
+        "todecimal32": "cast({0} as decimal(9, {1}))",
+        "todecimal64": "cast({0} as decimal(18, {1}))",
+    }
+)
+
+# Array functions & higher-order lambdas.  ClickHouse puts the lambda FIRST
+# (arrayMap(x -> e, arr)); Spark puts the array first — the templates
+# reorder.  Lambda arrow syntax is identical, so fragments pass through.
+CH_SQL_TEMPLATES.update(
+    {
+        "arraymap": "transform({1}, {0})",
+        "arrayfilter": "filter({1}, {0})",
+        "arrayexists": "exists({1}, {0})",
+        "arrayall": "forall({1}, {0})",
+        "arraycount": _arraycount_sql,
+        "arraysum": _arraysum_sql,
+        "arrayavg": "(aggregate({0}, cast(0 as double), (acc, x) -> acc + x)"
+                    " / size({0}))",
+        "arraymin": "array_min({0})",
+        "arraymax": "array_max({0})",
+        "arraydistinct": "array_distinct({0})",
+        "arrayuniq": "size(array_distinct({0}))",
+        "arraysort": "sort_array({0})",
+        "arrayreversesort": "sort_array({0}, false)",
+        "arrayreverse": "reverse({0})",
+        "arrayconcat": "concat({0}, {1})",
+        "arrayslice": "slice({0}, {1}, {2})",
+        "arrayflatten": "flatten({0})",
+        "arrayenumerate": "sequence(1, size({0}))",
+        "has": "array_contains({0}, {1})",
+        "indexof": "array_position({0}, {1})",
+        "arrayelement": "element_at({0}, {1})",
+        "arraypushback": "concat({0}, array({1}))",
+        "arraypushfront": "concat(array({1}), {0})",
+        "arraystringconcat": _arraystringconcat_sql,
+    }
+)
+
+# Conditionals, arithmetic, bit ops (upstream ClickHouse function spellings
+# of plain operators — common in machine-generated CH SQL).
+CH_SQL_TEMPLATES.update(
+    {
+        "multiif": _multiif_sql,
+        "ifnull": "nvl({0}, {1})",
+        "assumenotnull": "({0})",
+        "isnull": "({0} is null)",
+        "isnotnull": "({0} is not null)",
+        "plus": "({0} + {1})",
+        "minus": "({0} - {1})",
+        "multiply": "({0} * {1})",
+        "divide": "({0} / {1})",
+        "intdiv": "({0} div {1})",
+        "intdivorzero": "(case when {1} = 0 then 0 else {0} div {1} end)",
+        "modulo": "({0} % {1})",
+        "moduloorzero": "(case when {1} = 0 then 0 else {0} % {1} end)",
+        "negate": "(- {0})",
+        "bitand": "({0} & {1})",
+        "bitor": "({0} | {1})",
+        "bitxor": "({0} ^ {1})",
+        "bitnot": "(~ {0})",
+        "bitshiftleft": "shiftleft({0}, {1})",
+        "bitshiftright": "shiftright({0}, {1})",
+        "bitcount": "bit_count({0})",
+    }
+)
+
+# Finer-grained datetime helpers + string split family.
+CH_SQL_TEMPLATES.update(
+    {
+        "tostartofweek": "date_sub(to_date({0}), (dayofweek({0}) - 1))",
+        "tostartofminute": "date_trunc('minute', {0})",
+        "tostartoffiveminutes":
+            "timestamp_seconds(floor(unix_timestamp({0}) / 300) * 300)",
+        "tostartoftenminutes":
+            "timestamp_seconds(floor(unix_timestamp({0}) / 600) * 600)",
+        "tostartoffifteenminutes":
+            "timestamp_seconds(floor(unix_timestamp({0}) / 900) * 900)",
+        "addhours": "timestampadd(HOUR, {1}, {0})",
+        "addminutes": "timestampadd(MINUTE, {1}, {0})",
+        "addseconds": "timestampadd(SECOND, {1}, {0})",
+        "addweeks": "date_add({0}, 7 * ({1}))",
+        "addyears": "add_months({0}, 12 * ({1}))",
+        "subtractmonths": "add_months({0}, - ({1}))",
+        "subtractyears": "add_months({0}, -12 * ({1}))",
+        "tounixtimestamp": "unix_timestamp({0})",
+        "fromunixtimestamp": "timestamp_seconds({0})",
+        "formatdatetime": _formatdatetime_sql,
+        "splitbychar": _splitbychar_sql,
+        "splitbystring": _splitbychar_sql,
+        "lengthutf8": "char_length({0})",
+        "lowerutf8": "lower({0})",
+        "upperutf8": "upper({0})",
+        "reverseutf8": "reverse({0})",
+        "substringutf8": "substring({0}, {1}, {2})",
+        "trimleft": "ltrim({0})",
+        "trimright": "rtrim({0})",
+        "trimboth": "trim({0})",
+        "leftpad": "lpad({0}, {1}, {2})",
+        "rightpad": "rpad({0}, {1}, {2})",
+        "concatwithseparator": lambda args: f"concat_ws({', '.join(args)})",
+    }
+)

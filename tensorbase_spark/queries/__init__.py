@@ -33,6 +33,7 @@ class Query:
 
 def registry() -> dict[str, Query]:
     from tensorbase_spark.queries import (
+        chdialect,
         chfuncs,
         curation_q,
         engine_queries,
@@ -52,6 +53,7 @@ def registry() -> dict[str, Query]:
         tpch_extra,
         windows,
         chfuncs,
+        chdialect,
         scalars,
         pipeline,
         curation_q,

@@ -1,0 +1,128 @@
+"""Dialect-surface queries for the extended ClickHouse function families
+(array HOFs, cast family, multiIf/arithmetic/bit ops, sub-hour time buckets,
+string split/pad) — all through ``TensorBaseEngine.sql`` so the SQL-text
+rewriter (functions/clickhouse.py CH_SQL_TEMPLATES) is what's exercised.
+
+The reference's grammar would reject every one of these (bql.pest has no
+lambda arrows, no combinators); they are upstream-ClickHouse spellings that
+make the dialect a practical superset (COVERAGE.md §2.6).  Everything
+rewrites to built-in Spark expressions — codegen'd, no Python.
+"""
+
+from __future__ import annotations
+
+from tensorbase_spark.engine import TensorBaseEngine
+from tensorbase_spark.queries import Query
+from tensorbase_spark.sources.tables import load_table
+
+
+def ch_array_hofs(spark, sf_dir):
+    """arrayMap/arrayFilter/arraySum/arrayCount/arrayMax + lambda reorder
+    (CH puts the lambda first, Spark the array).  Integer-valued arrays so
+    the fold results are exact in both engines."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_hof")
+    return eng.sql(
+        "select l_returnflag, "
+        "sum(arraySum(x -> x * x, array(l_orderkey % 97, l_suppkey))) as s_sq, "
+        "sum(arrayCount(x -> x > 50, array(l_orderkey % 97, l_suppkey))) as n_hi, "
+        "max(arrayMax(arrayMap(x -> x + 1, array(l_orderkey % 97, l_suppkey)))) as mx, "
+        "min(arrayMin(arraySort(array(l_suppkey, l_orderkey % 97)))) as mn "
+        "from li_hof group by l_returnflag"
+    )
+
+
+CH_ARRAY_HOFS_ORACLE = """
+SELECT l_returnflag,
+       CAST(sum(list_aggregate(list_transform([l_orderkey % 97, l_suppkey],
+                                              x -> x * x), 'sum')) AS DOUBLE) AS s_sq,
+       CAST(sum(len(list_filter([l_orderkey % 97, l_suppkey],
+                                x -> x > 50))) AS BIGINT)                     AS n_hi,
+       max(list_max(list_transform([l_orderkey % 97, l_suppkey],
+                                   x -> x + 1)))                              AS mx,
+       min(list_min(list_sort([l_suppkey, l_orderkey % 97])))                 AS mn
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def ch_cast_multiif(spark, sf_dir):
+    """multiIf -> CASE chain; toInt64/toUInt64 cast family (UInt64 widens to
+    Decimal(20,0) per SURVEY §1.2); intDiv/modulo spellings."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_cast")
+    return eng.sql(
+        "select multiIf(o_totalprice > 150000, 'big', "
+        "o_totalprice > 50000, 'mid', 'small') as bucket, "
+        "count(*) as n, "
+        "sum(toInt64(o_orderstatus = 'F')) as n_f, "
+        "max(toUInt64(o_orderkey)) as mx_key, "
+        "sum(intDiv(o_orderkey, 1000)) as s_div, "
+        "sum(modulo(o_custkey, 7)) as s_mod "
+        "from ord_cast group by bucket"
+    )
+
+
+CH_CAST_MULTIIF_ORACLE = """
+SELECT CASE WHEN o_totalprice > 150000 THEN 'big'
+            WHEN o_totalprice > 50000 THEN 'mid'
+            ELSE 'small' END                              AS bucket,
+       count(*)                                           AS n,
+       CAST(sum(CAST(o_orderstatus = 'F' AS BIGINT)) AS BIGINT) AS n_f,
+       CAST(max(o_orderkey) AS DECIMAL(20,0))             AS mx_key,
+       CAST(sum(o_orderkey // 1000) AS BIGINT)            AS s_div,
+       CAST(sum(o_custkey % 7) AS BIGINT)                 AS s_mod
+FROM orders GROUP BY bucket
+"""
+
+
+def ch_minute_buckets(spark, sf_dir):
+    """Sub-hour time buckets (toStartOfFifteenMinutes) + formatDateTime —
+    the telemetry-rollup idiom; epoch-floor bucketing pushes to codegen."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ev_min")
+    return eng.sql(
+        "select toStartOfFifteenMinutes(ts) as bucket, "
+        "formatDateTime(toStartOfDay(ts), '%Y-%m-%d') as day_str, "
+        "count(*) as n, uniqExact(user_id) as u "
+        "from ev_min group by bucket, day_str"
+    )
+
+
+CH_MINUTE_BUCKETS_ORACLE = """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000) AS bucket,
+       strftime(date_trunc('day', ts), '%Y-%m-%d')                            AS day_str,
+       count(*)                                                               AS n,
+       count(DISTINCT user_id)                                                AS u
+FROM events GROUP BY bucket, day_str
+"""
+
+
+def ch_split_pad(spark, sf_dir):
+    """splitByChar / arraySlice / arrayStringConcat / leftPad / toString —
+    the string-wrangling idioms; \\Q..\\E-quoted literal separator."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("doc_split")
+    return eng.sql(
+        "select doc_id, "
+        "arrayStringConcat(arraySlice(splitByChar(' ', text), 1, 5), '_') as head5, "
+        "leftPad(toString(doc_id), 6, '0') as padded, "
+        "arrayUniq(splitByChar(' ', text)) as n_uniq_words "
+        "from doc_split where doc_id < 50"
+    )
+
+
+CH_SPLIT_PAD_ORACLE = """
+SELECT doc_id,
+       array_to_string(string_split(text, ' ')[1:5], '_') AS head5,
+       lpad(CAST(doc_id AS VARCHAR), 6, '0')              AS padded,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_words
+FROM documents WHERE doc_id < 50
+"""
+
+
+QUERIES = {
+    "ch_array_hofs": Query(ch_array_hofs, CH_ARRAY_HOFS_ORACLE, ("dialect", "array")),
+    "ch_cast_multiif": Query(ch_cast_multiif, CH_CAST_MULTIIF_ORACLE, ("dialect",)),
+    "ch_minute_buckets": Query(ch_minute_buckets, CH_MINUTE_BUCKETS_ORACLE, ("dialect", "datetime")),
+    "ch_split_pad": Query(ch_split_pad, CH_SPLIT_PAD_ORACLE, ("dialect", "string")),
+}

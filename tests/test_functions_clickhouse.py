@@ -121,3 +121,49 @@ def test_sql_templates_match_column_forms(spark):
             "tohour": 13,
         }[name]
         assert got == expected, name
+
+
+def test_dialect_array_hofs_and_casts(spark):
+    """Lambda reorder (CH lambda-first -> Spark array-first), cast family
+    widening, multiIf, bit ops, sub-hour buckets — golden values."""
+    from tensorbase_spark.engine import translate_sql
+
+    row = spark.sql(translate_sql(
+        "select arrayMap(x -> x * 2, array(1, 2, 3)) as m, "
+        "arrayFilter(x -> x > 1, array(1, 2, 3)) as f, "
+        "arraySum(array(1, 2, 3)) as s, "
+        "arraySum(x -> x * x, array(1, 2, 3)) as ssq, "
+        "arrayCount(x -> x > 1, array(1, 2, 3)) as c, "
+        "arrayUniq(array(1, 1, 2)) as u, "
+        "arrayStringConcat(array('a', 'b'), '-') as j, "
+        "multiIf(2 > 1, 'a', 'b') as mi, "
+        "toInt64('12') as i64, "
+        "toUInt64(7) as u64, "
+        "toFloat64OrZero('bad') as fz, "
+        "intDiv(7, 2) as idiv, "
+        "bitAnd(6, 3) as band, "
+        "bitShiftLeft(1, 4) as bsl, "
+        "splitByChar(',', 'a,b,c') as sp, "
+        "leftPad('7', 3, '0') as lp, "
+        "formatDateTime(timestamp'2001-02-03 04:05:06', '%Y-%m-%d %H:%M:%S') as fd, "
+        "toUnixTimestamp(timestamp'1970-01-01 00:01:00') as ut"
+    )).collect()[0]
+    assert row.m == [2, 4, 6] and row.f == [2, 3]
+    assert row.s == 6.0 and row.ssq == 14.0 and row.c == 2 and row.u == 2
+    assert row.j == "a-b" and row.mi == "a"
+    assert row.i64 == 12 and int(row.u64) == 7 and row.fz == 0.0
+    assert row.idiv == 3 and row.band == 2 and row.bsl == 16
+    assert row.sp == ["a", "b", "c"] and row.lp == "007"
+    assert row.fd == "2001-02-03 04:05:06"
+    assert row.ut == 60
+
+
+def test_dialect_fifteen_minute_bucket(spark):
+    from tensorbase_spark.engine import translate_sql
+
+    row = spark.sql(translate_sql(
+        "select toStartOfFifteenMinutes(timestamp'2001-02-03 04:22:33') as b, "
+        "addHours(timestamp'2001-02-03 04:22:33', 2) as ah"
+    )).collect()[0]
+    assert str(row.b) == "2001-02-03 04:15:00"
+    assert str(row.ah) == "2001-02-03 06:22:33"
