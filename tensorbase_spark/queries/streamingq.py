@@ -101,6 +101,29 @@ FROM events GROUP BY 1
 """
 
 
+
+
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join (streaming last-touch attribution):
+    purchases x preceding-hour clicks per user, both sides watermarked so
+    join state is bounded by the horizon (events.py
+    stream_stream_attribution_join)."""
+    return sev.stream_stream_attribution_join(spark, sf_dir)
+
+
+STREAM_STREAM_JOIN_ORACLE = """
+SELECT p.user_id AS p_user,
+       count(DISTINCT p.event_id)    AS n_attributed_purchases,
+       count(*)                      AS n_click_touches,
+       round(sum(c.value), 4)        AS touch_value
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+GROUP BY p.user_id
+"""
+
 QUERIES = {
     "stream_tumbling_window": Query(stream_tumbling_window, STREAM_TUMBLING_ORACLE, ("streaming",)),
     "stream_append_ingest": Query(stream_append_ingest, STREAM_APPEND_ORACLE, ("streaming", "ingest")),
@@ -108,4 +131,5 @@ QUERIES = {
     "stream_stateful_rollup": Query(stream_stateful_rollup, STREAM_STATEFUL_ORACLE, ("streaming",)),
     "stream_sliding_window": Query(stream_sliding_window, STREAM_SLIDING_ORACLE, ("streaming",)),
     "stream_dedup_users": Query(stream_dedup_users, STREAM_DEDUP_ORACLE, ("streaming",)),
+    "stream_stream_join": Query(stream_stream_join, STREAM_STREAM_JOIN_ORACLE, ("streaming", "join")),
 }

@@ -245,3 +245,56 @@ def append_ingest_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("day").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v")
     )
+
+
+def stream_stream_attribution_join(
+    spark: SparkSession, sf_dir: str, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joins the clicks the same
+    user made in the preceding `horizon` — streaming last-touch attribution.
+
+    Both sides carry watermarks, and the join condition bounds click_ts to
+    [purchase_ts - horizon, purchase_ts]; Spark derives from these the state
+    retention for EACH side (a click can be dropped once the watermark
+    passes click_ts + horizon; a purchase once it passes purchase_ts) — the
+    state stays O(events inside the horizon window) on an unbounded stream.
+    The fixture runs one availableNow batch, so the attribution counts are a
+    deterministic function of the events table and DuckDB-oracle-checkable
+    as a plain interval self-join."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            p_user = c_user AND
+            click_ts >= purchase_ts - INTERVAL {horizon} AND
+            click_ts <= purchase_ts
+            """
+        ),
+        "inner",
+    )
+    sink = _run_to_memory(joined, "append")
+    return sink.groupBy("p_user").agg(
+        F.countDistinct("purchase_id").alias("n_attributed_purchases"),
+        F.count("*").alias("n_click_touches"),
+        F.round(F.sum("click_value"), 4).alias("touch_value"),
+    )
