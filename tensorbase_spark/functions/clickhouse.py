@@ -576,6 +576,12 @@ CH_SQL_TEMPLATES.update(
         "trimboth": "trim({0})",
         "leftpad": "lpad({0}, {1}, {2})",
         "rightpad": "rpad({0}, {1}, {2})",
+        # CH median/medianExact (the quantile(level)(expr) parameterized
+        # syntax is out of scope for the rewriter; the alias forms cover the
+        # common spelling).  percentile() is Spark's exact interpolated
+        # quantile — matching CH medianExact semantics.
+        "median": "percentile({0}, 0.5)",
+        "medianexact": "percentile({0}, 0.5)",
         "concatwithseparator": lambda args: f"concat_ws({', '.join(args)})",
     }
 )

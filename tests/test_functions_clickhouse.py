@@ -167,3 +167,13 @@ def test_dialect_fifteen_minute_bucket(spark):
     )).collect()[0]
     assert str(row.b) == "2001-02-03 04:15:00"
     assert str(row.ah) == "2001-02-03 06:22:33"
+
+
+def test_dialect_median(spark):
+    from tensorbase_spark.engine import translate_sql
+
+    row = spark.sql(translate_sql(
+        "select median(x) as m, medianExact(x) as me "
+        "from values (1.0), (2.0), (3.0), (10.0) as t(x)"
+    )).collect()[0]
+    assert row.m == 2.5 and row.me == 2.5
