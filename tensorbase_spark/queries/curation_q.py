@@ -130,6 +130,115 @@ GROUP BY source, start_tok // 400
 """
 
 
+def corpus_build_end_to_end(spark, sf_dir):
+    """Flagship curation composition — one declarative plan chaining:
+    exact dedup (min doc_id per content hash) -> benchmark-contamination
+    removal (vs src0, >=3 shared 5-grams) -> cap 15 docs/source ->
+    hash-deterministic train/val/test split -> 512-token packing per
+    (split, source) shard.  Summary per (split, source) with an id checksum
+    pinning exact membership.
+
+    Plan shape: dedup window (shuffle on md5(text)), anti join against the
+    broadcast contaminated-id set, cap window (shuffle on source), split as
+    a pure map, pack window co-partitioned with the final groupBy — 3 data
+    shuffles end to end, no Python."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w_dd = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    dd = d.withColumn("rn", F.row_number().over(w_dd)).filter(F.col("rn") == 1).drop("rn")
+
+    bench = dd.filter(F.col("source") == "src0")
+    corpus = dd.filter(F.col("source") != "src0")
+    dirty = (
+        curation.contamination_pairs(corpus, bench, min_shared=3)
+        .select(F.col("corpus_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = corpus.join(F.broadcast(dirty), "doc_id", "left_anti")
+
+    capped = curation.cap_per_stratum(
+        clean, stratum="source", key="doc_id", cap=15,
+        order_by=[F.col("n_chars").desc(), F.col("doc_id")],
+    ).drop("stratum_rank")
+
+    split = curation.train_val_test_split(capped, key="doc_id", test_pct=10, val_pct=10)
+    toks = F.size(F.split(F.col("text"), " "))
+    packed = curation.pack_sequences(
+        split, shard="split", key="doc_id", n_tokens=toks, budget=512
+    )
+    # pack_sequences partitions by one shard column; recompute bins per
+    # (split, source) via the same start-offset rule for the summary
+    w_pk = (
+        W.partitionBy("split", "source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    start = F.sum("n_tokens").over(w_pk) - F.col("n_tokens")
+    with_bins = packed.withColumn(
+        "bin2", ((start - start % 512) / 512).cast("long")
+    )
+    return with_bins.groupBy("split", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("bin2").alias("n_bins"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+CORPUS_BUILD_ORACLE = """
+WITH dd AS (
+  SELECT * FROM documents
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM dd
+),
+grams AS (
+  SELECT DISTINCT doc_id, source, md5(array_to_string(w[i:i+4], ' ')) AS gram
+  FROM toks, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+  WHERE len(w) >= 5
+),
+dirty AS (
+  SELECT DISTINCT c.doc_id
+  FROM grams b JOIN grams c ON b.gram = c.gram
+  WHERE b.source = 'src0' AND c.source <> 'src0'
+  GROUP BY b.doc_id, c.doc_id
+  HAVING count(*) >= 3
+),
+clean AS (
+  SELECT * FROM dd
+  WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM dirty)
+),
+capped AS (
+  SELECT * FROM clean
+  QUALIFY row_number() OVER (PARTITION BY source
+                             ORDER BY n_chars DESC, doc_id) <= 15
+),
+split AS (
+  SELECT *, CASE WHEN b < 10 THEN 'test' WHEN b < 20 THEN 'val'
+                 ELSE 'train' END AS split
+  FROM (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 100 AS b FROM capped)
+),
+packed AS (
+  SELECT split, source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         (sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+            OVER (PARTITION BY split, source ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING)
+          - CAST(len(string_split(text, ' ')) AS BIGINT)) // 512 AS bin2
+  FROM split
+)
+SELECT split, source, count(*) AS n_docs,
+       CAST(count(DISTINCT bin2) AS BIGINT) AS n_bins,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM packed
+GROUP BY split, source
+"""
+
+
 QUERIES = {
     "corpus_split_train_val_test": Query(
         corpus_split_train_val_test, SPLIT_ORACLE, ("corpus", "curation")
@@ -140,5 +249,8 @@ QUERIES = {
     ),
     "corpus_pack_sequences": Query(
         corpus_pack_sequences, PACK_ORACLE, ("corpus", "curation")
+    ),
+    "corpus_build_end_to_end": Query(
+        corpus_build_end_to_end, CORPUS_BUILD_ORACLE, ("corpus", "curation"), bench=True
     ),
 }
