@@ -43,13 +43,111 @@ import datetime as _dt
 import re
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tensorbase_spark.functions.clickhouse import CH_FUNCTIONS, CH_SQL_TEMPLATES
 from tensorbase_spark.types import parse_bql_type
 
 PTK_COL = "__ptk"
+
+
+def _order_col(key: str):
+    """'expr [asc|desc]' fragment -> ordered Column."""
+    m = re.match(r"(?is)^(.*?)\s+(asc|desc)\s*$", key.strip())
+    if m:
+        c = F.expr(m.group(1))
+        return c.desc() if m.group(2).lower() == "desc" else c.asc()
+    return F.expr(key.strip())
+
+
+def _split_depth0(text: str, sep: str = ",") -> list[str]:
+    out, depth, cur, i, n = [], 0, [], 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in "'\"":
+            j = i + 1
+            while j < n and text[j] != ch:
+                j += 1
+            cur.append(text[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        out.append("".join(cur))
+    return [p.strip() for p in out if p.strip()]
+
+
+_LIMIT_BY_RE = re.compile(r"(?is)\blimit\s+(\d+)\s+by\s+")
+
+
+def _extract_limit_by(sql: str):
+    """Detect a top-level ClickHouse `LIMIT n BY col[, ...] [LIMIT m]` tail.
+
+    Returns (base_sql, n, by_cols, order_keys, final_limit) or None.  Only
+    the outermost query is rewritten (depth-0 scan, quotes respected); an
+    ORDER BY is required so per-group selection is deterministic."""
+    # depth-0 scan to find the clause outside subqueries/strings
+    i, n_len, m = 0, len(sql), None
+    while i < n_len:
+        ch = sql[i]
+        if ch in "'\"":
+            j = i + 1
+            while j < n_len and sql[j] != ch:
+                j += 1
+            i = j + 1
+            continue
+        if ch == "(":
+            depth = 1
+            j = i + 1
+            while j < n_len and depth:
+                if sql[j] in "'\"":
+                    q = sql[j]
+                    j += 1
+                    while j < n_len and sql[j] != q:
+                        j += 1
+                elif sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                j += 1
+            i = j
+            continue
+        m = _LIMIT_BY_RE.match(sql, i)
+        if m:
+            break
+        i += 1
+    if not m:
+        return None
+    n_per_group = int(m.group(1))
+    tail = sql[m.end() :]
+    fl = re.search(r"(?is)\blimit\s+(\d+)\s*$", tail)
+    if fl:
+        by_txt, final_limit = tail[: fl.start()], int(fl.group(1))
+    else:
+        by_txt, final_limit = tail, None
+    by_cols = _split_depth0(by_txt)
+    if not by_cols:
+        raise ValueError("LIMIT BY: empty column list")
+    base = sql[: m.start()].rstrip()
+    om = re.search(
+        r"(?is)\border\s+by\b(?P<keys>(?:[^()']|'[^']*'|\([^()]*\))*)$", base
+    )
+    if not om:
+        raise ValueError(
+            "LIMIT BY requires an ORDER BY for deterministic per-group rows"
+        )
+    order_keys = _split_depth0(om.group("keys"))
+    return base, n_per_group, by_cols, order_keys, final_limit
 
 # Reference rejects blocks that split into >=1000 partitions
 # (crates/runtime/src/write.rs:52-56).
@@ -414,7 +512,30 @@ class TensorBaseEngine:
             return self._insert(c)
         # Rule::query — everything else goes to Catalyst, like the raw SQL
         # string re-parse in the reference (crates/engine/src/datafusions.rs:182).
+        lb = _extract_limit_by(c)
+        if lb is not None:
+            return self._run_limit_by(*lb)
         return self.spark.sql(self._translate_query(c))
+
+    def _run_limit_by(self, base_sql, n, by_cols, order_keys, final_limit):
+        """ClickHouse `LIMIT n BY cols` (upstream; the fork's grammar has
+        only a plain limit, bql.pest:194): keep the first n rows per group in
+        result order — top-n-per-group as a clause.  Planned as ONE window
+        (row_number over the BY partition in the ORDER BY order) — a single
+        shuffle on the group key; the final ORDER BY + LIMIT fuses to
+        TakeOrderedAndProject.  An ORDER BY is required for determinism
+        (ClickHouse without it is arbitrary-order; the engine refuses)."""
+        df = self.spark.sql(self._translate_query(base_sql))
+        w = Window.partitionBy(*[F.expr(c) for c in by_cols]).orderBy(
+            *[_order_col(k) for k in order_keys]
+        )
+        out = (
+            df.withColumn("__lb_rn", F.row_number().over(w))
+            .filter(F.col("__lb_rn") <= n)
+            .drop("__lb_rn")
+            .orderBy(*[_order_col(k) for k in order_keys])
+        )
+        return out.limit(final_limit) if final_limit is not None else out
 
     # -- DDL ----------------------------------------------------------------
 

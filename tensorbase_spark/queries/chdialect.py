@@ -120,9 +120,37 @@ FROM documents WHERE doc_id < 50
 """
 
 
+
+
+def ch_limit_by(spark, sf_dir):
+    """ClickHouse LIMIT n BY cols (top-n-per-group as a clause): the 2
+    highest-value orders per priority.  The engine rewrites the clause into
+    one row_number window over the BY partition (single shuffle) + the
+    fused final TakeOrderedAndProject."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_lb")
+    return eng.sql(
+        "select o_orderpriority, o_orderkey, o_totalprice from ord_lb "
+        "order by o_totalprice desc, o_orderkey limit 2 by o_orderpriority"
+    )
+
+
+CH_LIMIT_BY_ORACLE = """
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 2
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
 QUERIES = {
     "ch_array_hofs": Query(ch_array_hofs, CH_ARRAY_HOFS_ORACLE, ("dialect", "array")),
     "ch_cast_multiif": Query(ch_cast_multiif, CH_CAST_MULTIIF_ORACLE, ("dialect",)),
     "ch_minute_buckets": Query(ch_minute_buckets, CH_MINUTE_BUCKETS_ORACLE, ("dialect", "datetime")),
     "ch_split_pad": Query(ch_split_pad, CH_SPLIT_PAD_ORACLE, ("dialect", "string")),
+    "ch_limit_by": Query(ch_limit_by, CH_LIMIT_BY_ORACLE, ("dialect", "clause")),
 }

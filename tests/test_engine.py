@@ -328,3 +328,34 @@ def test_insert_into_function_remote(engine):
     assert engine.sql("select sum(a) as s from rtarget").collect()[0].s == 15
     with pytest.raises(ValueError, match="loopback"):
         engine.sql("insert into function remote('jdbc:mysql://h/db', t) values (1)")
+
+
+def test_limit_by_clause(spark):
+    """ClickHouse LIMIT n BY cols: first n rows per group in result order;
+    optional trailing LIMIT applies after; ORDER BY is mandatory."""
+    import pytest as _pytest
+
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    spark.createDataFrame(
+        [("p1", 1, 10.0), ("p1", 2, 30.0), ("p1", 3, 20.0),
+         ("p2", 4, 50.0), ("p2", 5, 40.0), ("p2", 6, 60.0)],
+        "grp string, id int, v double",
+    ).createOrReplaceTempView("lb_t")
+    rows = [tuple(r) for r in eng.sql(
+        "select grp, id, v from lb_t order by v desc, id limit 2 by grp"
+    ).collect()]
+    assert rows == [("p2", 6, 60.0), ("p2", 4, 50.0), ("p1", 2, 30.0), ("p1", 3, 20.0)]
+    rows = [tuple(r) for r in eng.sql(
+        "select grp, id, v from lb_t order by v desc, id limit 2 by grp limit 3"
+    ).collect()]
+    assert rows == [("p2", 6, 60.0), ("p2", 4, 50.0), ("p1", 2, 30.0)]
+    # no ORDER BY -> refuse (nondeterministic per-group selection)
+    with _pytest.raises(ValueError, match="ORDER BY"):
+        eng.sql("select grp, id from lb_t limit 2 by grp")
+    # a subquery's plain LIMIT must NOT trigger the rewrite
+    n = eng.sql(
+        "select count(*) as n from (select id from lb_t order by id limit 4)"
+    ).collect()[0].n
+    assert n == 4
