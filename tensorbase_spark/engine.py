@@ -87,6 +87,57 @@ def _split_depth0(text: str, sep: str = ",") -> list[str]:
     return [p.strip() for p in out if p.strip()]
 
 
+def _preprocess_ch_clauses(sql: str) -> str:
+    """Clause-level ClickHouse tolerance so real CH queries run unmodified:
+
+    - trailing ``SETTINGS k = v[, ...]`` and ``FORMAT Name`` are execution/
+      wire directives with no Spark analogue -> stripped (the reference
+      parses SETTINGS in DDL only, bql.pest:31-54; FORMAT is a wire-protocol
+      concern, out of scope per SURVEY §7);
+    - ``PREWHERE cond`` is ClickHouse's manual scan-stage filter; Catalyst
+      pushes predicates to the scan on its own, so it merges into WHERE
+      (both present -> AND, matching CH applying both);
+    - ``GLOBAL IN`` / ``GLOBAL JOIN`` distribute the right side to every
+      node — exactly what Spark's broadcast/shuffle planning decides itself
+      -> the keyword drops; ``ALL JOIN`` is CH's explicit standard-SQL
+      join -> the modifier drops.
+    """
+    out = sql
+    # SETTINGS ... [FORMAT x] tail (depth-0 guaranteed: both only legal at
+    # statement end; conservative regexes keep string literals intact by
+    # requiring simple ident/number tokens)
+    out = re.sub(
+        r"(?is)\bsettings\s+[A-Za-z_][\w]*\s*=\s*[\w.'\"-]+"
+        r"(?:\s*,\s*[A-Za-z_][\w]*\s*=\s*[\w.'\"-]+)*\s*(?=\bformat\b|$)",
+        " ",
+        out,
+    )
+    out = re.sub(r"(?is)\bformat\s+[A-Za-z][\w]*\s*$", " ", out)
+    out = re.sub(r"(?is)\bglobal\s+(not\s+in|in|join|left|right|inner|full)\b", r"\1", out)
+    out = re.sub(r"(?is)\ball\s+(inner|left|right|full)\s+join\b", r"\1 join", out)
+    # PREWHERE: merge into WHERE
+    pw = re.search(
+        r"(?is)\bprewhere\b(?P<cond>.*?)(?=\bwhere\b|\bgroup\s+by\b|\border\s+by\b|"
+        r"\bhaving\b|\blimit\b|\bunion\b|$)",
+        out,
+    )
+    if pw:
+        cond = pw.group("cond").strip()
+        rest = out[pw.end():]
+        out = out[: pw.start()]
+        wm = re.match(
+            r"(?is)\s*where\b(?P<c2>.*?)(?=\bgroup\s+by\b|\border\s+by\b|"
+            r"\bhaving\b|\blimit\b|\bunion\b|$)",
+            rest,
+        )
+        if wm:
+            c2 = wm.group("c2").strip()
+            out += f" where ({cond}) and ({c2}) " + rest[wm.end():]
+        else:
+            out += f" where {cond} " + rest
+    return out
+
+
 _LIMIT_BY_RE = re.compile(r"(?is)\blimit\s+(\d+)\s+by\s+")
 
 
@@ -473,6 +524,8 @@ class TensorBaseEngine:
 
     def sql(self, command: str) -> DataFrame:
         c = command.strip().rstrip(";").strip()
+        if re.match(r"(?is)^(select|with|explain)\b", c):
+            c = _preprocess_ch_clauses(c).strip()
         low = c.lower()
 
         if low.startswith("create database"):

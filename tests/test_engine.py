@@ -359,3 +359,46 @@ def test_limit_by_clause(spark):
         "select count(*) as n from (select id from lb_t order by id limit 4)"
     ).collect()[0].n
     assert n == 4
+
+
+def test_ch_clause_tolerance(engine):
+    """Real-world ClickHouse queries carry SETTINGS/FORMAT/PREWHERE/GLOBAL
+    modifiers (bql.pest DDL SETTINGS; PREWHERE/GLOBAL are CH-server dialect).
+    They must run unmodified: SETTINGS/FORMAT strip, PREWHERE merges into
+    WHERE, GLOBAL/ALL join modifiers drop."""
+    engine.sql("create table ct(a Int64, b String)")
+    engine.sql("insert into ct values (1,'x'), (2,'y'), (3,'x'), (4,'z')")
+    # SETTINGS + FORMAT tail
+    r = engine.sql(
+        "select sum(a) as s from ct settings max_threads = 4, "
+        "max_memory_usage = 1000000 format TabSeparated"
+    ).collect()[0]
+    assert r.s == 10
+    # PREWHERE alone -> WHERE
+    assert engine.sql(
+        "select count(*) as n from ct prewhere b = 'x'"
+    ).collect()[0].n == 2
+    # PREWHERE + WHERE -> AND of both (CH applies both stages)
+    assert engine.sql(
+        "select count(*) as n from ct prewhere b = 'x' where a > 1"
+    ).collect()[0].n == 1
+    # PREWHERE with trailing clauses preserved
+    rows = engine.sql(
+        "select a from ct prewhere a > 1 order by a desc limit 2"
+    ).collect()
+    assert [r.a for r in rows] == [4, 3]
+    # GLOBAL IN / GLOBAL NOT IN / ALL JOIN modifiers
+    assert engine.sql(
+        "select count(*) as n from ct where a global in (select a from ct where b = 'x')"
+    ).collect()[0].n == 2
+    assert engine.sql(
+        "select count(*) as n from ct where a global not in (select a from ct where b = 'x')"
+    ).collect()[0].n == 2
+    assert engine.sql(
+        "select count(*) as n from ct t1 all inner join ct t2 on t1.a = t2.a"
+    ).collect()[0].n == 4
+    # a column literally named like the keyword must not be eaten:
+    # 'format' inside a string literal stays intact
+    assert engine.sql(
+        "select count(*) as n from ct where b != 'format csv'"
+    ).collect()[0].n == 4
