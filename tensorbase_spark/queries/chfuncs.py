@@ -84,7 +84,9 @@ def ch_to_date_datetime(spark, sf_dir):
     applied to a column of unix seconds derived from events."""
     e = load_table(spark, sf_dir, "events")
     secs = e.select(
-        F.col("event_id"), F.col("ts").cast("long").alias("unix_sec")
+        F.col("event_id"),
+        # NTZ-safe epoch extraction (see windows.events_sessionize)
+        F.col("ts").cast("timestamp").cast("long").alias("unix_sec"),
     )
     return secs.select(
         "event_id",

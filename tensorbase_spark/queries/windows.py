@@ -181,7 +181,11 @@ def events_sessionize(spark, sf_dir):
     at all (no OVER in BQL); in Spark it is two window passes, no Python."""
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)
+    # ts may arrive as TIMESTAMP_NTZ (parquet timestamp without UTC flag);
+    # Spark forbids NTZ->BIGINT directly, so hop through TIMESTAMP (session
+    # TZ is pinned UTC, so the epoch value is unchanged).
+    t_sec = F.col("ts").cast("timestamp").cast("long")
+    gap = t_sec - F.lag(t_sec, 1).over(w)
     sess = e.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),

@@ -38,14 +38,19 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark 4 reads it as a nanos
-        # long under spark.sql.legacy.parquet.nanosAsLong (set in session.py).
-        # Truncate to µs — exactly what DuckDB's CAST(ts AS TIMESTAMP) does,
-        # so oracle comparisons agree.
+        # Fixture generations vary: ts has been parquet TIMESTAMP(NANOS)
+        # (read as a nanos long under spark.sql.legacy.parquet.nanosAsLong)
+        # and timestamp[us] with isAdjustedToUTC=false (read as
+        # TIMESTAMP_NTZ).  Normalize both to TIMESTAMP; session TZ is pinned
+        # UTC so the NTZ cast preserves the stored wall-clock instant and
+        # matches DuckDB's reading of the same file.
         from pyspark.sql import functions as F, types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -32,9 +32,10 @@ from pyspark.sql import types as T
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        # parquet TIMESTAMP(NANOS) arrives as long under
-        # spark.sql.legacy.parquet.nanosAsLong (session.py)
-        T.StructField("ts", T.LongType()),
+        # fixture parquet stores timestamp[us] with isAdjustedToUTC=false,
+        # which Spark reads as TIMESTAMP_NTZ; normalized to TIMESTAMP (UTC
+        # session) in read_events_stream
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -68,7 +69,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(_stream_src_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
