@@ -8,8 +8,11 @@
   nprobe instead of the full corpus.  At 100 TB the bucketed corpus would be
   written bucketBy(centroid_id) so repeated query batches never reshuffle.
 
-Centroids are deterministic (lowest vec_ids) — no runtime randomness, so
-results are reproducible and oracle-checkable.
+Centroids are deterministic k-means: trained on a bounded, hash-ordered
+sample driver-side (the standard IVF practice — index libraries train coarse
+quantizers on a sample, never the corpus), maximin init + fixed Lloyd
+iterations in numpy.  No runtime randomness anywhere, so results are
+reproducible and oracle-checkable.
 """
 
 from __future__ import annotations
@@ -103,33 +106,105 @@ def brute_force_topk(
     )
 
 
-def assign_centroids(
+def train_centroids(
     emb: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
-    """IVF bucketing: centroids = the n lowest-id vectors (deterministic);
-    every vector is assigned to its nearest centroid by cosine.
+    sample_size: int = 4096,
+    iters: int = 5,
+) -> DataFrame:
+    """Deterministic spherical k-means coarse quantizer.
 
-    Returns (centroids, assigned) where assigned has centroid_id per row.
-    One broadcast join + one window — a single pass over the corpus."""
-    cents = (
-        emb.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec"))
+    Training runs driver-side on a BOUNDED sample (at most ``sample_size``
+    rows — the FAISS/IVF convention; at 100 TB you never Lloyd-iterate the
+    corpus, you train the quantizer on ~100k sampled vectors and broadcast
+    it).  Determinism, with no seeds: the sample is the ``sample_size``
+    lowest md5(id) rows (a uniform but reproducible pseudo-sample), init is
+    maximin/farthest-point, ties break on the lowest index, and the Lloyd
+    iteration count is fixed.  Empty clusters keep their previous centroid.
+
+    Returns a tiny (n_centroids)-row DataFrame (centroid_id, cent_vec) meant
+    to be broadcast."""
+    sample = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
+        .limit(sample_size)
+        .collect()
     )
+    x = np.array([r.v for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms > 0, norms, 1.0)
+    k = min(n_centroids, len(x))
+    # maximin init: start from row 0 (hash-ordered, so pseudo-random), then
+    # repeatedly take the point least similar to its nearest chosen centroid
+    chosen = [0]
+    best_sim = x @ x[0]
+    for _ in range(1, k):
+        nxt = int(np.argmin(best_sim))
+        chosen.append(nxt)
+        best_sim = np.maximum(best_sim, x @ x[nxt])
+    cents = x[chosen].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)  # argmax -> lowest index on ties
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    spark = emb.sparkSession
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.LongType(), False),
+            T.StructField("cent_vec", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, [float(v) for v in cents[i]]) for i in range(k)], schema
+    )
+
+
+def _assign_multi(
+    emb: DataFrame,
+    cents: DataFrame,
+    probes: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Assign every vector to its ``probes`` nearest centroids (multi-probe).
+    One broadcast of the tiny centroid table + one window — a single pass
+    over the corpus, no corpus shuffle."""
     scored = emb.select(
         F.col(id_col).alias("v_id"), F.col(vec_col).alias("v_vec")
     ).crossJoin(F.broadcast(cents)).withColumn(
         "cos_c", cosine(F.col("v_vec"), F.col("cent_vec"))
     )
     w = W.partitionBy("v_id").orderBy(F.col("cos_c").desc(), F.col("centroid_id"))
-    assigned = (
+    return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= probes)
         .select("v_id", "v_vec", "centroid_id")
     )
+
+
+def assign_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF bucketing: deterministic k-means centroids (train_centroids);
+    every vector is assigned to its nearest centroid by cosine.
+
+    Returns (centroids, assigned) where assigned has centroid_id per row.
+    One broadcast join + one window — a single pass over the corpus."""
+    cents = train_centroids(emb, n_centroids, id_col, vec_col)
+    assigned = _assign_multi(emb, cents, 1, id_col, vec_col)
     return cents, assigned
 
 
@@ -176,20 +251,46 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_centroids: int = 16,
+    probes: int = 6,
+    exact: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
     cos >= threshold and id_a < id_b.
 
-    Exact all-pairs over a length-bucket-free self-join — at fixture scale the
-    corpus side streams against a broadcast copy, so there is no shuffle of
-    the corpus.  At 100 TB the same operator composes with assign_centroids:
-    bucket both sides by nearest centroid and only score within-bucket pairs
-    (near-dups share a centroid at any sane threshold), which bounds the
-    quadratic term by bucket size exactly like the MinHash band join bounds
-    the text path."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    Default path is BUCKETED, never all-pairs: every vector is multi-probe
+    assigned to its ``probes`` nearest k-means centroids, candidate pairs
+    come from an equi-join on centroid_id (candidates only where the probe
+    sets intersect), and cosine is scored on candidates alone.  The
+    quadratic term is bounded by bucket size — the same topology as the
+    MinHash band join on the text side.  At 100 TB: raise n_centroids so
+    corpus/n_centroids fits an executor (65k centroids for ~10^10 docs),
+    keep probes small (2-4 at production thresholds ~0.95; the fixture
+    default 6/16 holds recall at the test threshold 0.4, far below any real
+    near-dup bar — verified exhaustively against the exact path in tests).
+
+    ``exact=True`` is the all-pairs baseline used only as the small-N test
+    oracle."""
+    if exact:
+        a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+        b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+        pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        cents = train_centroids(emb, n_centroids, id_col, vec_col)
+        assigned = _assign_multi(emb, cents, probes, id_col, vec_col)
+        a = assigned.select(
+            F.col("v_id").alias("id_a"), F.col("v_vec").alias("vec_a"), "centroid_id"
+        )
+        b = assigned.select(
+            F.col("v_id").alias("id_b"), F.col("v_vec").alias("vec_b"), "centroid_id"
+        )
+        # equi-join on centroid_id; a pair probing p shared buckets appears p
+        # times, deduped before scoring so cosine runs once per candidate
+        pairs = (
+            a.join(b, "centroid_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     return (
         pairs.withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("cos") >= threshold)

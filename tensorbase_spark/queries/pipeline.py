@@ -130,10 +130,14 @@ SELECT q_id, c_id, rank, round(cos, 6) AS cos FROM ranked WHERE rank <= 5
 
 
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact, oracled).  The synthetic
-    fixture embeddings are near-orthogonal (max pairwise cos ~0.51), so the
-    fixture threshold sits in the upper tail to verify real values; a
-    production near-dup run would use ~0.95."""
+    """Embedding-cosine near-dup pairs via the BUCKETED path (multi-probe
+    k-means buckets, equi-join on centroid_id, cosine on candidates only —
+    never all-pairs), checked against the all-pairs DuckDB oracle: on the
+    fixtures the bucketed candidate set loses no qualifying pair, so the
+    hash must match exactly.  The synthetic fixture embeddings are
+    near-orthogonal (max pairwise cos ~0.51), so the fixture threshold sits
+    in the upper tail to verify real values; a production near-dup run would
+    use ~0.95 (where fewer probes suffice)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(emb, threshold=0.4)
 

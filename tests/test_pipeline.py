@@ -105,6 +105,50 @@ def test_ivf_recall_vs_brute_force(spark):
             assert abs(r.cos - bs[(r.q_id, r.c_id)]) < 1e-9
 
 
+def test_embedding_near_dup_bucketed_matches_exact(spark):
+    """The default (bucketed) near-dup path must reproduce the exact
+    all-pairs result on the fixture — 100% recall at the test threshold —
+    and its candidate-pair join must be an equi-join on centroid_id, not a
+    cross join of the corpus."""
+    import re
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b, r.cos)
+        for r in similarity.embedding_near_dup_pairs(emb, 0.4, exact=True).collect()
+    }
+    bucketed_df = similarity.embedding_near_dup_pairs(emb, 0.4)
+    bucketed = {(r.id_a, r.id_b, r.cos) for r in bucketed_df.collect()}
+    assert len(exact) > 0
+    assert bucketed == exact
+    plan = bucketed_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # the pair-generation join carries centroid_id as an equi-join key
+    # (the only cross joins left are the 16-row centroid-table broadcasts
+    # in the assignment step; the corpus never cross-joins itself)
+    assert re.search(r"keys(?: \[\d+\])?: \[centroid_id", plan), plan
+
+
+def test_train_centroids_deterministic(spark):
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    c1 = similarity.train_centroids(emb, 16).collect()
+    c2 = similarity.train_centroids(emb, 16).collect()
+    assert [(r.centroid_id, r.cent_vec) for r in sorted(c1, key=lambda r: r.centroid_id)] == [
+        (r.centroid_id, r.cent_vec) for r in sorted(c2, key=lambda r: r.centroid_id)
+    ]
+    # centroids are unit-norm (spherical k-means)
+    for r in c1:
+        n = sum(v * v for v in r.cent_vec) ** 0.5
+        assert abs(n - 1.0) < 1e-9
+    # buckets are reasonably balanced on the fixture: no bucket holds more
+    # than 4x its fair share (the lowest-id heuristic this replaced could
+    # put most of the corpus in one bucket)
+    _, assigned = similarity.assign_centroids(emb, 16)
+    sizes = [r.n for r in assigned.groupBy("centroid_id").agg(F.count("*").alias("n")).collect()]
+    assert max(sizes) <= 4 * (emb.count() / 16)
+
+
 def test_multimodal_stub_contract(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_stub(b"\x89PNG")
