@@ -377,12 +377,32 @@ def _parse_literal_date(lit: str):
         return None
 
 
-def _derive_ptk_predicate(spec: PartitionSpec, where_sql: str) -> str | None:
+_NON_ALIAS_KEYWORDS = frozenset(
+    "on where group order having limit join inner left right full cross outer "
+    "union using settings natural global all semi anti format prewhere "
+    "select".split()
+)
+
+
+def _derive_ptk_predicate(
+    spec: PartitionSpec, where_sql: str, qualifier: str | None = None
+) -> str | None:
     """Derive an AND-able __ptk predicate from simple comparisons on the
     partition source column.  Conservative: only top-level-looking
     ``col OP literal`` and ``col BETWEEN a AND b`` forms; strict < / >
-    weaken to <= / >= because the ptk fn is non-injective."""
-    col = re.escape(spec.source_col)
+    weaken to <= / >= because the ptk fn is non-injective.
+
+    ``qualifier`` is set when more than one table is referenced (JOINs):
+    only ``qualifier.col`` comparisons are trusted (an unqualified column in
+    a join could belong to either side), and the emitted predicate
+    qualifies ``__ptk`` so two partitioned tables in one query stay
+    unambiguous."""
+    if qualifier:
+        col = re.escape(qualifier) + r"\." + re.escape(spec.source_col)
+        ptk_ref = f"{qualifier}.{PTK_COL}"
+    else:
+        col = re.escape(spec.source_col)
+        ptk_ref = PTK_COL
     preds: list[str] = []
 
     def f(lit: str):
@@ -405,13 +425,13 @@ def _derive_ptk_predicate(spec: PartitionSpec, where_sql: str) -> str | None:
         if v is None:
             continue
         if op == "=":
-            preds.append(f"{PTK_COL} = {v}")
+            preds.append(f"{ptk_ref} = {v}")
         elif op in ("<>", "!=") or spec.fn == "rem":
             continue  # != gives no range; rem is non-monotonic
         elif op in ("<", "<="):
-            preds.append(f"{PTK_COL} <= {v}")
+            preds.append(f"{ptk_ref} <= {v}")
         elif op in (">", ">="):
-            preds.append(f"{PTK_COL} >= {v}")
+            preds.append(f"{ptk_ref} >= {v}")
     for m in re.finditer(
         rf"\b{col}\s+between\s+('[^']*'|[0-9][0-9.\-]*)\s+and\s+('[^']*'|[0-9][0-9.\-]*)",
         where_sql,
@@ -419,7 +439,7 @@ def _derive_ptk_predicate(spec: PartitionSpec, where_sql: str) -> str | None:
     ):
         lo, hi = f(m.group(1)), f(m.group(2))
         if lo is not None and hi is not None and spec.fn != "rem":
-            preds.append(f"{PTK_COL} >= {lo} AND {PTK_COL} <= {hi}")
+            preds.append(f"{ptk_ref} >= {lo} AND {ptk_ref} <= {hi}")
     if not preds:
         return None
     return " AND ".join(f"({p})" for p in preds)
@@ -843,11 +863,26 @@ class TensorBaseEngine:
             return q
         cond = wm.group("cond")
         derived = []
-        for tbl in re.findall(r"\bfrom\s+([A-Za-z_][A-Za-z0-9_.]*)", q, re.IGNORECASE):
+        # tables enter via FROM or any JOIN variant; capture the optional
+        # alias so multi-table predicates stay unambiguous (__ptk exists on
+        # every partitioned table, so the derived predicate must qualify it)
+        refs = re.findall(
+            r"\b(?:from|join)\s+([A-Za-z_][A-Za-z0-9_.]*)"
+            r"(?:\s+(?:as\s+)?([A-Za-z_][A-Za-z0-9_]*))?",
+            q,
+            re.IGNORECASE,
+        )
+        multi = len(refs) > 1
+        for tbl, alias in refs:
+            if alias.lower() in _NON_ALIAS_KEYWORDS:
+                alias = ""
             spec = self._spec_for(tbl)
             if spec is None:
                 continue
-            p = _derive_ptk_predicate(spec, cond)
+            qualifier = alias or tbl.split(".")[-1]
+            p = _derive_ptk_predicate(
+                spec, cond, qualifier=qualifier if multi else None
+            )
             if p:
                 derived.append(p)
         if not derived:

@@ -98,6 +98,53 @@ GROUP BY year(l_shipdate)*100 + month(l_shipdate)
 """
 
 
+def engine_join_prune(spark, sf_dir):
+    """Two PARTITIONED tables joined, WHERE carrying source-column ranges for
+    BOTH: the engine derives alias-qualified __ptk predicates for every
+    table referenced via FROM *or* JOIN, so both scans prune partition
+    directories (asserted in tests/test_plans.py).  Reference only prunes
+    the FROM table's ptk range (datafusions.rs:75-105); this closes the gap
+    for the join case."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "jprune")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_src")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_src")
+    eng.sql(
+        "create table jp_ord(ok Int64, od Date, total Float64) "
+        "partition by toYYYYMM(od)"
+    )
+    eng.sql(
+        "create table jp_li(ok Int64, sd Date, qty Float64) "
+        "partition by toYYYYMM(sd)"
+    )
+    eng.sql(
+        "insert into jp_ord select o_orderkey, o_orderdate, o_totalprice "
+        "from ord_src where o_orderdate < '1997-01-01'"
+    )
+    eng.sql(
+        "insert into jp_li select l_orderkey, l_shipdate, l_quantity "
+        "from li_src where l_shipdate < '1997-01-01'"
+    )
+    return eng.sql(
+        "select toYYYYMM(o.od) as ym, count(*) as n, round(sum(l.qty), 1) as sq "
+        "from jp_ord o join jp_li l on o.ok = l.ok "
+        "where o.od between '1996-01-01' and '1996-06-30' "
+        "and l.sd between '1996-01-01' and '1996-09-30' "
+        "group by toYYYYMM(o.od)"
+    )
+
+
+ENGINE_JOIN_PRUNE_ORACLE = """
+SELECT CAST(year(o.o_orderdate)*100 + month(o.o_orderdate) AS BIGINT) AS ym,
+       count(*) AS n, round(sum(l.l_quantity), 1) AS sq
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+  AND l.l_shipdate  BETWEEN DATE '1996-01-01' AND DATE '1996-09-30'
+GROUP BY year(o.o_orderdate)*100 + month(o.o_orderdate)
+"""
+
+
 def ch_aggregate_combinators(spark, sf_dir):
     """ClickHouse -If combinators / uniqExact / notEmpty through the dialect
     layer — forms the reference's grammar rejects but every ClickHouse user
@@ -159,6 +206,7 @@ QUERIES = {
         engine_ddl_insert_select, ENGINE_DIS_ORACLE, ("engine",), bench=True
     ),
     "engine_partition_prune": Query(engine_partition_prune, ENGINE_PRUNE_ORACLE, ("engine",)),
+    "engine_join_prune": Query(engine_join_prune, ENGINE_JOIN_PRUNE_ORACLE, ("engine",)),
     "ch_aggregate_combinators": Query(
         ch_aggregate_combinators, CH_COMBINATORS_ORACLE, ("engine", "dialect")
     ),

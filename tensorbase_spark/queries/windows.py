@@ -146,6 +146,55 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
 """
 
 
+def window_cume_dist(spark, sf_dir):
+    """cume_dist (window_functions.rs:40-45 CumeDist): cumulative
+    distribution of part sizes within each brand."""
+    p = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy("p_size")
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+WINDOW_CUME_ORACLE = """
+SELECT p_partkey, p_brand, p_size,
+       round(cume_dist() OVER (PARTITION BY p_brand ORDER BY p_size), 6) AS cd
+FROM part
+"""
+
+
+def window_nth_value(spark, sf_dir):
+    """nth_value (window_functions.rs NthValue): the 2nd- and 3rd-highest
+    account balances visible to each supplier row within its nation, over
+    the full-partition frame (nth_value needs the whole partition or later
+    rows would see NULL)."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = (
+        W.partitionBy("s_nationkey")
+        .orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.nth_value("s_acctbal", 2).over(w), 2).alias("second_bal"),
+        F.round(F.nth_value("s_acctbal", 3).over(w), 2).alias("third_bal"),
+    )
+
+
+WINDOW_NTH_ORACLE = """
+SELECT s_suppkey, s_nationkey,
+       round(nth_value(s_acctbal, 2) OVER w, 2) AS second_bal,
+       round(nth_value(s_acctbal, 3) OVER w, 2) AS third_bal
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 # --- event-time analytics over the events table -----------------------------
 
 def events_tumbling_window(spark, sf_dir):
@@ -265,6 +314,8 @@ QUERIES = {
     "window_lag_lead": Query(window_lag_lead, WINDOW_LAG_ORACLE, ("window",)),
     "window_running_sum": Query(window_running_sum, WINDOW_RUNNING_ORACLE, ("window",), bench=True),
     "window_first_last_ntile": Query(window_first_last_ntile, WINDOW_FLN_ORACLE, ("window",)),
+    "window_cume_dist": Query(window_cume_dist, WINDOW_CUME_ORACLE, ("window",)),
+    "window_nth_value": Query(window_nth_value, WINDOW_NTH_ORACLE, ("window",)),
     "window_range_frame": Query(window_range_frame, WINDOW_RANGE_ORACLE, ("window",)),
     "events_tumbling_window": Query(events_tumbling_window, EVENTS_TUMBLING_ORACLE, ("events",), bench=True),
     "events_sessionize": Query(events_sessionize, EVENTS_SESSION_ORACLE, ("events",), bench=True),

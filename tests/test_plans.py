@@ -112,3 +112,25 @@ def test_contamination_shingles_jvm_side(spark, queries):
     plan = _formatted(spark, queries["corpus_contamination_scan"](spark, SF))
     assert "EvalPython" not in plan  # transform/slice/md5 stay in codegen
     assert "BroadcastHashJoin" in plan  # benchmark side broadcast
+
+
+def test_join_prune_both_scans_partition_filtered(spark, queries):
+    """engine_join_prune: the __ptk rewrite must reach BOTH partitioned
+    tables — the FROM side and the JOIN side — as directory-level
+    PartitionFilters (engine gap fix; the reference prunes only the FROM
+    table, datafusions.rs:75-105)."""
+    import re
+
+    plan = _formatted(spark, queries["engine_join_prune"](spark, SF))
+    filters = re.findall(r"PartitionFilters: \[[^\]]*__ptk[^\]]*\]", plan)
+    ranged = [f for f in filters if ">=" in f and "<=" in f]
+    assert len(ranged) >= 2, f"expected both scans pruned, got: {filters}"
+
+
+def test_embedding_near_dup_equijoin(spark, queries):
+    """dedup_embedding_cosine must pair-generate via an equi-join on
+    centroid_id — the corpus never cross-joins itself (VERDICT r1 fix)."""
+    import re
+
+    plan = _formatted(spark, queries["dedup_embedding_cosine"](spark, SF))
+    assert re.search(r"keys(?: \[\d+\])?: \[centroid_id", plan), plan
