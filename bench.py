@@ -46,17 +46,22 @@ def main() -> int:
     # plan spiked to 30-100s under co-tenant bursts).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    p50s: dict[str, float] = {}
     for name, q in reg.items():
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             # noop sink materializes EVERY column JVM-side (count() would let
             # Catalyst prune the projections away and under-report).
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[0], 4)
+        # p50 alongside best-of-N: round-over-round regressions show in the
+        # median even when a lucky best run masks them
+        p50s[name] = round(samples[len(samples) // 2], 4)
+        print(f"  {name}: best {timings[name]:.3f}s p50 {p50s[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -66,6 +71,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_p50": p50s,
+                "total_p50": round(sum(p50s.values()), 4),
                 "sf": sf,
             }
         )

@@ -31,6 +31,64 @@ class Query:
     bench: bool = False  # include in bench.py headline set
 
 
+# Queries the round-1 driver already hash-verified (CORRECTNESS_r01.json).
+# The driver checks the FIRST ~50 registry entries per round, so these go
+# LAST: every slot ahead of them buys a fresh hard-correctness row for a
+# query family that has none yet (VERDICT r1 item #1).
+R01_VERIFIED = frozenset(
+    """q1_pricing_summary q3_shipping_priority q5_local_supplier
+    filter_predicates between_in_null case_cast join_inner_agg
+    join_left_count join_right_full join_cross_filter join_semi join_anti
+    join_using agg_basic_stats agg_count_distinct agg_having
+    agg_group_by_expr count_star orderby_limit_topk sort_multi_key
+    setop_union_all setop_union setop_intersect setop_except
+    distinct_select cte_revenue scalar_subquery_agg join_range_bands
+    q6_forecast_revenue q12_shipmode_priority q14_promo_effect
+    q18_large_orders q4_order_priority q10_returned_items
+    q19_disjunctive_predicates q7_volume_shipping rollup_hierarchy
+    q2_min_cost_supplier q8_market_share q9_product_type_profit
+    q11_important_part_share q13_customer_distribution q15_top_supplier
+    q16_supplier_relationship q17_small_quantity_revenue
+    q20_potential_promotion q21_suppliers_kept_waiting
+    q22_global_sales_opportunity window_row_number window_rank_dense""".split()
+)
+
+# Hand-prioritized head of the registry: the ~50 unverified queries whose
+# driver rows buy the most SURVEY §2 / pipeline operator coverage.  Windows
+# (§2.7), ClickHouse function families (§2.6), dialect extensions, engine
+# lifecycle (§2.1/§4.3), sources (§2.2), then the core LLM-pipeline ops.
+PRIORITY_HEAD = [
+    # §2.7 windows + event-time analytics
+    "window_lag_lead", "window_running_sum", "window_first_last_ntile",
+    "window_cume_dist", "window_nth_value", "window_range_frame",
+    "events_tumbling_window", "events_sessionize",
+    # §2.6 ClickHouse function families
+    "ch_date_parts", "ch_time_parts", "ch_to_date_datetime",
+    "ch_string_funcs", "ch_uuid_roundtrip", "ch_math_funcs",
+    # CH dialect extensions (ch_minute_buckets yields its slot to the
+    # genuine-JDBC federation row; the family is covered by the other four)
+    "ch_array_hofs", "ch_cast_multiif",
+    "ch_split_pad", "ch_limit_by",
+    # §2.6 DataFusion-builtin function families
+    "regex_funcs", "crypto_hash_funcs", "datetime_extract_trunc",
+    "string_parts_funcs", "nullif_coalesce", "agg_array_collect",
+    "grouping_sets_rollup", "math_trig_funcs", "string_width_funcs",
+    "timestamp_family",
+    # §2.1 engine lifecycle + §4.3 pruning
+    "engine_ddl_insert_select", "engine_partition_prune",
+    "engine_join_prune", "ch_aggregate_combinators", "ch_json_extract",
+    # §2.2 sources (incl. genuine JDBC federation over embedded Derby)
+    "numbers_table_function", "csv_ingest_roundtrip",
+    "ndjson_ingest_roundtrip", "remote_loopback", "remote_jdbc_federation",
+    # LLM-pipeline core (oracle-backed)
+    "dedup_exact", "dedup_stats_by_source", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "dedup_neardup_clusters",
+    "sim_brute_force_topk", "sim_knn_classify", "embedding_quantize_int8",
+    "text_token_counts", "text_quality_scores", "text_lang_id",
+    "multimodal_png_decode",
+]
+
+
 def registry() -> dict[str, Query]:
     from tensorbase_spark.queries import (
         chdialect,
@@ -66,4 +124,16 @@ def registry() -> dict[str, Query]:
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")
             out[name] = q
-    return out
+
+    head = [n for n in PRIORITY_HEAD if n in out]
+    mid_unverified = [
+        n for n in out if n not in PRIORITY_HEAD and n not in R01_VERIFIED
+    ]
+    # oracle-backed before rows-only: a hash row is a stronger signal
+    mid_unverified.sort(key=lambda n: out[n].oracle is None)
+    tail_verified = [
+        n for n in out if n in R01_VERIFIED and n not in PRIORITY_HEAD
+    ]
+    ordered = head + mid_unverified + tail_verified
+    assert len(ordered) == len(out)
+    return {n: out[n] for n in ordered}

@@ -951,7 +951,7 @@ QUERIES = {
     "q6_forecast_revenue": Query(q6_forecast_revenue, Q6_ORACLE, ("tpch",), bench=True),
     "q12_shipmode_priority": Query(q12_shipmode_priority, Q12_ORACLE, ("tpch",)),
     "q14_promo_effect": Query(q14_promo_effect, Q14_ORACLE, ("tpch",)),
-    "q18_large_orders": Query(q18_large_orders, Q18_ORACLE, ("tpch",)),
+    "q18_large_orders": Query(q18_large_orders, Q18_ORACLE, ("tpch",), bench=True),
     "q4_order_priority": Query(q4_order_priority, Q4_ORACLE, ("tpch",)),
     "q10_returned_items": Query(q10_returned_items, Q10_ORACLE, ("tpch",)),
     "q19_disjunctive_predicates": Query(q19_disjunctive_predicates, Q19_ORACLE, ("tpch",)),

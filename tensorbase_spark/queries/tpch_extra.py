@@ -489,6 +489,6 @@ QUERIES = {
     "q16_supplier_relationship": Query(q16_supplier_relationship, Q16_ORACLE, ("tpch", "join")),
     "q17_small_quantity_revenue": Query(q17_small_quantity_revenue, Q17_ORACLE, ("tpch", "subquery")),
     "q20_potential_promotion": Query(q20_potential_promotion, Q20_ORACLE, ("tpch", "subquery")),
-    "q21_suppliers_kept_waiting": Query(q21_suppliers_kept_waiting, Q21_ORACLE, ("tpch", "subquery")),
+    "q21_suppliers_kept_waiting": Query(q21_suppliers_kept_waiting, Q21_ORACLE, ("tpch", "subquery"), bench=True),
     "q22_global_sales_opportunity": Query(q22_global_sales_opportunity, Q22_ORACLE, ("tpch", "subquery")),
 }

@@ -7,9 +7,11 @@
   MySQL (grammar bql.pest:133-139; exec crates/runtime/src/read.rs:151-228,
   crates/engine/src/remote.rs:8,49).  Spark-native: the JDBC datasource, which
   also pushes filters/projections down to the remote — more than the
-  reference's full-scatter-then-concat.  This container ships no JDBC driver
-  jars, so the reader is config-only here; `local:` is a loopback scheme that
-  serves the same call path from the session catalog for tests.
+  reference's full-scatter-then-concat.  Exercised genuinely against embedded
+  Derby (`jdbc:derby:` — a real JDBC database that ships inside Spark's own
+  classpath); ClickHouse/MySQL URLs work the same way once their driver jar
+  is on spark.jars.  `local:` is a loopback scheme that serves the same call
+  path from the session catalog for tests.
 - read_csv / read_ndjson: explicit-BQL-schema file ingestion — the Spark
   counterpart of the fork's CsvExec/NdJsonExec file sources the reference
   never routes to (physical_plan/file_format/{csv,json}.rs).

@@ -29,19 +29,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        # fixture parquet stores timestamp[us] with isAdjustedToUTC=false,
-        # which Spark reads as TIMESTAMP_NTZ; normalized to TIMESTAMP (UTC
-        # session) in read_events_stream
-        T.StructField("ts", T.TimestampNTZType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _event_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _stream_src_dir(sf_dir: str) -> str:
@@ -64,11 +62,24 @@ def _stream_src_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture, normalized to a UTC
+    TIMESTAMP ts.
+
+    The stream schema is derived from the ACTUAL file (one cheap batch
+    footer probe) rather than hardcoded: fixture generations differ — nanos
+    stored as long (read via the session's nanosAsLong flag), timestamp[us]
+    with isAdjustedToUTC=false (TIMESTAMP_NTZ), or a plain UTC timestamp —
+    and a file-schema mismatch that batch reads tolerate would fail
+    readStream outright."""
+    src = f"{sf_dir}/events.parquet"
+    ts_type = spark.read.parquet(src).schema["ts"].dataType
     raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(_event_schema(ts_type))
         .format("parquet")
         .load(_stream_src_dir(sf_dir))
     )
+    if isinstance(ts_type, T.LongType):  # nanos-as-long generation
+        return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
