@@ -39,6 +39,20 @@ def main() -> int:
     # hot — parity with the reference's warm methodology (BASELINE.md).
     for df in load_tables(spark, sf_dir).values():
         df.count()
+    # Warm the Arrow/pandas-UDF path too: the first Python-UDF stage of a
+    # session pays the Python worker-daemon spin-up (~1-2 s); without this,
+    # whichever Arrow query happens to run first absorbs it and per-query
+    # times aren't attributable round over round.
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _warm(v):
+        return v * 1.0
+
+    spark.range(10000).select(_warm(F.col("id").cast("double"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     # Best-of-3 per query: the reference's published numbers are warm
     # best-of-3 runs (BASELINE.md, docs/benchmarks.md), and on a shared host
