@@ -845,6 +845,15 @@ class TensorBaseEngine:
                     f"insert spans {nparts} partitions >= {MAX_PARTS_PER_INSERT} "
                     "(reference guard, crates/runtime/src/write.rs:52-56)"
                 )
+            # partition-aligned write: without this every task writes one
+            # file per ptk value it happens to see (tasks x partitions small
+            # files — the classic Hive-partitioned-append failure at scale);
+            # hash-clustering on __ptk bounds it at ~one file per partition.
+            # The guard job above already paid for knowing nparts, so the
+            # shuffle width is sized to it.  The reference gets this for
+            # free from its per-(part, column) append files (write.rs:69-136).
+            if nparts > 1:
+                out = out.repartition(min(nparts, 200), F.col(PTK_COL))
         out.write.mode("append").insertInto(name)
         return self.spark.sql("SELECT 1 AS ok")
 

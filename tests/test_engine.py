@@ -192,6 +192,30 @@ def test_partitioned_insert_prune_and_optimize(engine, tmp_path):
     assert engine.sql("select sum(v) as s from ev").collect()[0].s == 10
 
 
+def test_partitioned_insert_writes_one_file_per_partition(engine):
+    """The insert path hash-clusters rows on __ptk before the write, so a
+    wide insert lands ~one file per partition dir instead of
+    tasks x partitions small files (the write pattern the reference gets
+    from its per-(part,column) append files, write.rs:69-136)."""
+    import os
+
+    engine.sql("create table fpp(d Date, v Int64) partition by toYYYYMM(d)")
+    # 3 months x many input partitions (range() is split across cores)
+    engine.sql(
+        "insert into fpp select date_add('2021-01-01', cast(id % 90 as int)), id "
+        "from range(9000)"
+    )
+    loc = engine.spark.sql("DESCRIBE TABLE EXTENDED fpp").filter(
+        "col_name = 'Location'"
+    ).collect()[0].data_type.replace("file:", "")
+    part_dirs = [p for p in os.listdir(loc) if p.startswith(f"{PTK_COL}=")]
+    assert len(part_dirs) == 3
+    for p in part_dirs:
+        files = [f for f in os.listdir(f"{loc}/{p}") if f.endswith(".parquet")]
+        assert len(files) == 1, f"{p}: {len(files)} files"
+    assert engine.sql("select count(*) as n from fpp").collect()[0].n == 9000
+
+
 def test_rem_partitioning(engine):
     # the reference's own ingest bench partitions by rem(a, N)
     # (crates/tests_integ/benches/bench_ingestion.rs:39)
