@@ -352,6 +352,24 @@ CH_SQL_TEMPLATES.update(
         "datediff": _datediff_sql,
         "yesterday": "date_sub(current_date(), 1)",
         "today": "current_date()",
+        # everyday CH aggregates (upstream ClickHouse; absent from the fork's
+        # aggregates.rs:52-67 list — dialect superset, all Spark built-ins)
+        "argmax": "max_by({0}, {1})",
+        "argmin": "min_by({0}, {1})",
+        # any(expr) aggregate vs `> ANY (subquery)` comparison: only the
+        # aggregate form rewrites; a subquery argument passes through
+        "any": lambda args: (
+            f"any ({', '.join(args)})"
+            if len(args) == 1 and args[0].lstrip().lower().startswith(("select", "with"))
+            else f"any_value({args[0]})"
+        ),
+        "anylast": "any_value({0})",
+        "grouparray": "collect_list({0})",
+        "groupuniqarray": "collect_set({0})",
+        "median": "percentile({0}, 0.5)",
+        # CH array membership helpers
+        "has": "array_contains({0}, {1})",
+        "indexof": "array_position({0}, {1})",
     }
 )
 

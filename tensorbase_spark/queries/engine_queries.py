@@ -174,6 +174,39 @@ FROM events GROUP BY event_type
 """
 
 
+def ch_agg_extras(spark, sf_dir):
+    """Everyday ClickHouse aggregates through the dialect: argMax/argMin
+    (→ max_by/min_by, deterministic via the unique event_id ordering
+    column), median (→ exact interpolated percentile), any over a
+    group-dependent expression, groupUniqArray+arraySort (set collected,
+    sorted for a deterministic hash).  All absent from the fork's aggregate
+    list (physical_plan/aggregates.rs:52-67) — dialect superset."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("eva_src")
+    return eng.sql(
+        "select event_type, "
+        "argMax(user_id, event_id) as last_user, "
+        "argMin(user_id, event_id) as first_user, "
+        "round(median(value), 4) as med_v, "
+        "any(upper(event_type)) as typ, "
+        "arraySort(groupUniqArray(user_id % 100)) as u_buckets "
+        "from eva_src group by event_type"
+    )
+
+
+CH_AGG_EXTRAS_ORACLE = """
+SELECT event_type,
+       arg_max(user_id, event_id)             AS last_user,
+       arg_min(user_id, event_id)             AS first_user,
+       round(median(value), 4)                AS med_v,
+       upper(event_type)                      AS typ,
+       list_sort(list(DISTINCT user_id % 100)) AS u_buckets
+FROM events GROUP BY event_type
+"""
+
+
 def ch_json_extract(spark, sf_dir):
     """ClickHouse JSONExtract family through the dialect (-> get_json_object,
     JVM-side JSON path eval) over the events props column."""
@@ -211,4 +244,5 @@ QUERIES = {
         ch_aggregate_combinators, CH_COMBINATORS_ORACLE, ("engine", "dialect")
     ),
     "ch_json_extract": Query(ch_json_extract, CH_JSON_ORACLE, ("engine", "dialect", "json")),
+    "ch_agg_extras": Query(ch_agg_extras, CH_AGG_EXTRAS_ORACLE, ("engine", "dialect")),
 }

@@ -40,6 +40,19 @@ def test_translate_sql_rewrites_ch_functions():
     assert "'toYear(x)'" in out2 and "upper(s)" in out2
 
 
+def test_translate_sql_aggregate_extras():
+    out = translate_sql("select argMax(u, t), argMin(u, t), median(v) from t")
+    assert "max_by(u, t)" in out and "min_by(u, t)" in out
+    assert "percentile(v, 0.5)" in out
+    assert "collect_list(x)" in translate_sql("select groupArray(x) from t")
+    assert "collect_set(x)" in translate_sql("select groupUniqArray(x) from t")
+    assert "array_contains(a, 3)" in translate_sql("select has(a, 3) from t")
+    # any(expr) aggregate rewrites; `> ANY (subquery)` comparison must not
+    assert "any_value(x)" in translate_sql("select any(x) from t")
+    sub = translate_sql("select * from t where v > any (select v from u)")
+    assert "any_value" not in sub and "any (select" in sub
+
+
 def test_translate_sql_datafusion_builtin_names():
     # DataFusion log(x) is log10 (functions.rs:749); ln/log10 pass through.
     assert translate_sql("select log(x), ln(x), log10(x) from t") == (
