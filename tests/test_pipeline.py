@@ -105,6 +105,37 @@ def test_ivf_recall_vs_brute_force(spark):
             assert abs(r.cos - bs[(r.q_id, r.c_id)]) < 1e-9
 
 
+def test_connected_components_star_matches_propagation(spark):
+    """large-star/small-star must compute the same components as min-label
+    propagation on a mixed graph (cliques + chains + pairs + isolated-ish)."""
+    edges = (
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+        + [(100 + i, 100 + i + 1) for i in range(30)]  # 31-node chain
+        + [(200, 205), (205, 203), (203, 209), (209, 201)]
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    # propagation needs O(diameter)=31 rounds for the chain; star needs O(log n)
+    prop = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs, max_iter=40).collect()
+    }
+    star = {r.doc_id: r.cluster_id for r in dedup.connected_components_star(pairs).collect()}
+    assert star == prop
+
+
+def test_connected_components_star_high_diameter(spark):
+    """A 400-node chain: diameter 399 — propagation's 20-round budget cannot
+    close it, the star algorithm converges in O(log n) rounds.  Every node
+    must label to the chain head."""
+    n = 400
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    out = dedup.connected_components_star(pairs).collect()
+    assert len(out) == n + 1
+    assert all(r.cluster_id == 0 for r in out)
+
+
 def test_embedding_near_dup_bucketed_matches_exact(spark):
     """The default (bucketed) near-dup path must reproduce the exact
     all-pairs result on the fixture — 100% recall at the test threshold —
