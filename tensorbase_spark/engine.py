@@ -46,7 +46,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tensorbase_spark.functions.clickhouse import CH_FUNCTIONS, CH_SQL_TEMPLATES
+from tensorbase_spark.functions.clickhouse import (
+    CH_FUNCTIONS,
+    CH_PARAMETRIC_TEMPLATES,
+    CH_SQL_TEMPLATES,
+)
 from tensorbase_spark.types import parse_bql_type
 
 PTK_COL = "__ptk"
@@ -341,6 +345,34 @@ def translate_sql(sql: str) -> str:
                 j += 1
             inner = sql[m.end() : j - 1]
             args = [translate_sql(a) for a in _split_top_level_args(inner)]
+            # ClickHouse parametric-aggregate call shape: name(params)(args)
+            # — quantile(0.5)(x), quantiles(0.25, 0.75)(x).  Only names in
+            # the parametric table consume the second group.
+            ptmpl = CH_PARAMETRIC_TEMPLATES.get(name.lower())
+            if ptmpl is not None:
+                k = j
+                while k < n and sql[k] in " \t\r\n":
+                    k += 1
+                if k < n and sql[k] == "(":
+                    depth2, j2 = 1, k + 1
+                    while j2 < n and depth2:
+                        if sql[j2] in "'\"":
+                            q = sql[j2]
+                            j2 += 1
+                            while j2 < n and sql[j2] != q:
+                                j2 += 1
+                        elif sql[j2] == "(":
+                            depth2 += 1
+                        elif sql[j2] == ")":
+                            depth2 -= 1
+                        j2 += 1
+                    inner2 = sql[k + 1 : j2 - 1]
+                    args2 = [
+                        translate_sql(a) for a in _split_top_level_args(inner2)
+                    ]
+                    out.append(ptmpl(args, args2))
+                    i = j2
+                    continue
             tmpl = CH_SQL_TEMPLATES.get(name.lower())
             if callable(tmpl):
                 out.append(tmpl(args))

@@ -374,6 +374,21 @@ CH_SQL_TEMPLATES.update(
 )
 
 
+# ClickHouse parametric aggregates — the curried name(params)(args) call
+# shape (quantile(0.5)(x)).  Values are callables (params, args) -> SQL.
+# CH's quantile* family is approximate (reservoir/t-digest); the Spark
+# rewrite uses the exact interpolated percentile, which is deterministic and
+# matches DuckDB's quantile_cont for oracle checks — documented superset.
+CH_PARAMETRIC_TEMPLATES = {
+    "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantileexact": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantiletdigest": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantiletiming": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    "quantilesexact": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+}
+
+
 def _json_tmpl(fmt: str):
     # JSONExtract*(json, 'key') -> get_json_object with a '$.key' path
     def f(args: list[str]) -> str:

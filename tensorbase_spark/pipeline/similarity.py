@@ -246,6 +246,84 @@ def ivf_topk(
     )
 
 
+def _hyperplanes(dim: int, n_bits: int, n_tables: int) -> np.ndarray:
+    """Deterministic random hyperplanes for sign-LSH: fixed-seed Gaussian,
+    shape (n_tables, n_bits, dim).  No runtime randomness — the same planes
+    every run, so results are reproducible."""
+    rng = np.random.RandomState(0x5EED)
+    return rng.standard_normal((n_tables, n_bits, dim))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 10,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH (random hyperplane) bucketed ANN — the alternative scale
+    path to IVF: each vector hashes to one bucket per table (sign bits of
+    n_bits hyperplane dot products packed into an int), candidates are
+    corpus rows sharing ANY table's bucket with the query (equi-join on
+    (table_idx, bucket)), and exact cosine ranks candidates only.
+
+    vs IVF: no training pass at all (planes are data-independent), recall
+    tuned by n_tables instead of nprobe, buckets are 2^n_bits per table.
+    At 100 TB: one corpus pass computes all signatures (Arrow-batched),
+    bucket keys are near-uniform by construction (no centroid skew), and
+    the join is the same bounded band-join topology as MinHash."""
+    dim = len(
+        emb.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0]
+    )
+    planes = _hyperplanes(dim, n_bits, n_tables)
+    powers = 1 << np.arange(n_bits)
+
+    from pyspark.sql import types as T
+
+    sig_schema = T.ArrayType(T.LongType())
+
+    @pandas_udf(sig_schema)
+    def _buckets(v: pd.Series) -> pd.Series:
+        out = []
+        for vec in v:
+            if vec is None:
+                out.append(None)
+                continue
+            x = np.asarray(vec, dtype=np.float64)
+            bits = (np.einsum("tbd,d->tb", planes, x) > 0).astype(np.int64)
+            out.append((bits @ powers).tolist())
+        return pd.Series(out)
+
+    def bucketize(df: DataFrame, prefix: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                F.col(vec_col).alias(f"{prefix}_vec"),
+                F.posexplode(_buckets(F.col(vec_col))).alias(
+                    "table_idx", "bucket"
+                ),
+            )
+        )
+
+    c = bucketize(emb, "c")
+    q = bucketize(queries, "q")
+    cand = (
+        q.join(c, ["table_idx", "bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_vec", "c_id", "c_vec")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    scored = cand.withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

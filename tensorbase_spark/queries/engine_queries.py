@@ -207,6 +207,35 @@ FROM events GROUP BY event_type
 """
 
 
+def ch_quantile_family(spark, sf_dir):
+    """ClickHouse parametric-aggregate call shape through the dialect:
+    quantile(p)(x) / quantileExact(p)(x) / quantiles(p1,p2)(x) — the curried
+    form every production CH query uses for latency percentiles.  Rewrites
+    to Spark's exact interpolated percentile (deterministic; CH's own
+    quantile is sampling-approximate, so this is a correctness superset)."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("evq_src")
+    return eng.sql(
+        "select event_type, "
+        "round(quantile(0.5)(value), 4) as med, "
+        "round(quantileExact(0.95)(value), 4) as p95, "
+        "arrayMap(x -> round(x, 4), quantiles(0.25, 0.75)(value)) as iqr "
+        "from evq_src group by event_type"
+    )
+
+
+CH_QUANTILE_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4)  AS med,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       list_transform(quantile_cont(value, [0.25, 0.75]),
+                      x -> round(x, 4))     AS iqr
+FROM events GROUP BY event_type
+"""
+
+
 def ch_json_extract(spark, sf_dir):
     """ClickHouse JSONExtract family through the dialect (-> get_json_object,
     JVM-side JSON path eval) over the events props column."""
@@ -245,4 +274,5 @@ QUERIES = {
     ),
     "ch_json_extract": Query(ch_json_extract, CH_JSON_ORACLE, ("engine", "dialect", "json")),
     "ch_agg_extras": Query(ch_agg_extras, CH_AGG_EXTRAS_ORACLE, ("engine", "dialect")),
+    "ch_quantile_family": Query(ch_quantile_family, CH_QUANTILE_ORACLE, ("engine", "dialect")),
 }

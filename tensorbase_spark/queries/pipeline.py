@@ -179,6 +179,15 @@ def sim_ivf_indexed(spark, sf_dir):
     return similarity.ivf_search_indexed(spark, idx, q, k=5, nprobe=4)
 
 
+def sim_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed ANN (the training-free alternative to IVF: deterministic
+    random hyperplanes, one bucket per hash table, candidates from an
+    equi-join on (table, bucket)).  Approximate: rows-only check; recall vs
+    brute force asserted in tests."""
+    emb, q = _emb_queries(spark, sf_dir)
+    return similarity.lsh_topk(emb, q, k=5, n_bits=4, n_tables=16)
+
+
 def sim_knn_classify(spark, sf_dir):
     emb, q = _emb_queries(spark, sf_dir)
     return similarity.label_knn_classify(emb, q, k=10)
@@ -648,6 +657,7 @@ QUERIES = {
     "dedup_embedding_cosine": Query(dedup_embedding_cosine, DEDUP_EMB_ORACLE, ("dedup", "similarity")),
     "sim_brute_force_topk": Query(sim_brute_force_topk, SIM_BRUTE_ORACLE, ("similarity",), bench=True),
     "sim_ivf_topk": Query(sim_ivf_topk, None, ("similarity", "approx")),
+    "sim_lsh_topk": Query(sim_lsh_topk, None, ("similarity", "approx")),
     "sim_ivf_indexed": Query(sim_ivf_indexed, None, ("similarity", "approx", "index")),
     "sim_knn_classify": Query(sim_knn_classify, SIM_KNN_ORACLE, ("similarity",)),
     "text_token_counts": Query(text_token_counts, TOKEN_COUNTS_ORACLE, ("text",)),

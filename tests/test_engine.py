@@ -53,6 +53,16 @@ def test_translate_sql_aggregate_extras():
     assert "any_value" not in sub and "any (select" in sub
 
 
+def test_translate_sql_parametric_aggregates():
+    out = translate_sql("select quantile(0.5)(v), quantiles(0.25, 0.75)(v) from t")
+    assert "percentile(v, 0.5)" in out
+    assert "percentile(v, array(0.25, 0.75))" in out
+    assert "percentile(lat, 0.95)" in translate_sql("select quantileExact(0.95)(lat) from t")
+    # non-curried quantile( stays untouched; nested args translate
+    assert "quantile(v)" in translate_sql("select quantile(v) from t")
+    assert "percentile(year(d), 0.9)" in translate_sql("select quantile(0.9)(toYear(d)) from t")
+
+
 def test_translate_sql_datafusion_builtin_names():
     # DataFusion log(x) is log10 (functions.rs:749); ln/log10 pass through.
     assert translate_sql("select log(x), ln(x), log10(x) from t") == (

@@ -180,6 +180,30 @@ def test_train_centroids_deterministic(spark):
     assert max(sizes) <= 4 * (emb.count() / 16)
 
 
+def test_lsh_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    brute = similarity.brute_force_topk(emb, q, k=5).collect()
+    lsh = similarity.lsh_topk(emb, q, k=5, n_bits=4, n_tables=16).collect()
+    truth = {(r.q_id, r.c_id) for r in brute}
+    got = {(r.q_id, r.c_id) for r in lsh}
+    recall = len(truth & got) / len(truth)
+    # near-orthogonal fixture vectors are LSH's worst case: a top-5
+    # "neighbor" sits at cos ~0.3-0.5 (P(bit match) ~0.6), so the fixture
+    # needs short codes + many tables (4 bits x 16 tables -> expected
+    # recall ~0.85); production near-dup thresholds (~0.95, P ~0.9) get
+    # the same recall from the 10-bit x 8-table defaults.
+    assert recall >= 0.6, f"LSH recall {recall:.2f} too low"
+    # deterministic: same planes, same result
+    again = {(r.q_id, r.c_id) for r in similarity.lsh_topk(emb, q, k=5, n_bits=4, n_tables=16).collect()}
+    assert again == got
+    # scores for overlapping pairs must match the exact computation
+    bs = {(r.q_id, r.c_id): r.cos for r in brute}
+    for r in lsh:
+        if (r.q_id, r.c_id) in bs:
+            assert abs(r.cos - bs[(r.q_id, r.c_id)]) < 1e-9
+
+
 def test_multimodal_feature_contract(spark):
     docs = spark.read.parquet(f"{SF0001}/documents.parquet").limit(20)
     feats = multimodal.extract_features(multimodal.docs_as_assets(docs))
