@@ -215,6 +215,46 @@ def test_partitioned_insert_prune_and_optimize(engine, tmp_path):
     assert engine.sql("select sum(v) as s from ev").collect()[0].s == 10
 
 
+def test_optimize_sort_by_preserves_and_sorts(engine):
+    engine.sql("create table os(d Date, v Int64) partition by toYYYYMM(d)")
+    engine.sql(
+        "insert into os select date_add('2021-01-01', cast(id % 60 as int)), "
+        "(id * 37) % 1000 from range(5000)"
+    )
+    before = engine.sql("select sum(v) as s, count(*) as n from os").collect()[0]
+    engine.sql("optimize table os sort by v")
+    after = engine.sql("select sum(v) as s, count(*) as n from os").collect()[0]
+    assert (before.s, before.n) == (after.s, after.n)
+    # within each rewritten file rows are sorted by v: min/max row-group
+    # stats become selective -> spot-check per-file monotonic first/last
+    import os as _os
+
+    loc = engine.spark.sql("DESCRIBE TABLE EXTENDED os").filter(
+        "col_name = 'Location'"
+    ).collect()[0].data_type.replace("file:", "")
+    part = sorted(p for p in _os.listdir(loc) if p.startswith(f"{PTK_COL}="))[0]
+    f = [x for x in _os.listdir(f"{loc}/{part}") if x.endswith(".parquet")][0]
+    vals = [r.v for r in engine.spark.read.parquet(f"{loc}/{part}/{f}").collect()]
+    assert vals == sorted(vals)
+
+
+def test_insert_into_function_remote_jdbc(engine, tmp_path):
+    """INSERT INTO FUNCTION remote('jdbc:derby:...') pushes rows over a real
+    JDBC connection (mgmt.rs:744-770 analogue), read back via remote()."""
+    from tensorbase_spark.sources import external
+
+    url = f"jdbc:derby:{tmp_path}/push_db;create=true"
+    engine.sql("create table src_push(a Int64, b String)")
+    engine.sql("insert into src_push values (1, 'x'), (2, 'y'), (3, 'z')")
+    engine.sql(
+        f"insert into function remote('{url}', pushed) select * from src_push"
+    )
+    back = external.remote(
+        engine.spark, url, "pushed", driver="org.apache.derby.jdbc.EmbeddedDriver"
+    )
+    assert sorted((r.a, r.b) for r in back.collect()) == [(1, "x"), (2, "y"), (3, "z")]
+
+
 def test_partitioned_insert_writes_one_file_per_partition(engine):
     """The insert path hash-clusters rows on __ptk before the write, so a
     wide insert lands ~one file per partition dir instead of
@@ -373,8 +413,12 @@ def test_insert_into_function_remote(engine):
     engine.sql("create table rtarget(a Int64)")
     engine.sql("insert into function remote('local:', rtarget) values (7), (8)")
     assert engine.sql("select sum(a) as s from rtarget").collect()[0].s == 15
-    with pytest.raises(ValueError, match="loopback"):
+    # jdbc: without a driver jar on the classpath -> clear error (Derby is
+    # the only driver bundled with Spark; see test_insert_into_function_remote_jdbc)
+    with pytest.raises(RuntimeError, match="JDBC driver"):
         engine.sql("insert into function remote('jdbc:mysql://h/db', t) values (1)")
+    with pytest.raises(ValueError, match="unsupported"):
+        engine.sql("insert into function remote('tcp://h:9000', t) values (1)")
 
 
 def test_limit_by_clause(spark):
