@@ -107,6 +107,69 @@ def decode_image_meta(payload: bytes | None) -> tuple[str, int | None, int | Non
     return ("bin", None, None)
 
 
+def decode_audio_meta(
+    payload: bytes | None,
+) -> tuple[str, int | None, int | None, int | None, int | None]:
+    """(format, sample_rate, n_channels, bits, n_frames) from REAL bytes —
+    RIFF/WAVE header parse with struct: 'fmt ' chunk carries rate/channels/
+    bits, 'data' chunk length / block size gives the exact frame count
+    (an int — duration_s = n_frames/rate is left to callers so no float
+    rounding ambiguity enters oracle comparisons).  Non-WAV payloads ->
+    ('bin', None, ...) — honest NULLs."""
+    if payload is None:
+        return ("bin", None, None, None, None)
+    b = bytes(payload)
+    try:
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            rate = channels = bits = None
+            data_len = None
+            i = 12
+            while i + 8 <= len(b):
+                tag = b[i : i + 4]
+                (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+                if tag == b"fmt " and i + 24 <= len(b):
+                    channels, rate = struct.unpack("<HI", b[i + 10 : i + 16])
+                    (bits,) = struct.unpack("<H", b[i + 22 : i + 24])
+                elif tag == b"data":
+                    data_len = size
+                i += 8 + size + (size & 1)  # chunks are word-aligned
+            if rate and channels and bits:
+                frames = (
+                    data_len // (channels * (bits // 8))
+                    if data_len is not None
+                    else None
+                )
+                return ("wav", rate, channels, bits, frames)
+    except (struct.error, IndexError, ZeroDivisionError):
+        pass
+    return ("bin", None, None, None, None)
+
+
+def encode_wav(
+    n_samples: int, sample_rate: int = 16000, sample_fn=None
+) -> bytes:
+    """Deterministic stdlib PCM16 mono WAV encoder: sample_fn(i) -> int16.
+    Synthesizes REAL audio payloads for the decode round-trip."""
+    if sample_fn is None:
+        sample_fn = lambda i: (i * 773) % 65536 - 32768  # noqa: E731
+    data = b"".join(
+        struct.pack("<h", max(-32768, min(32767, sample_fn(i))))
+        for i in range(n_samples)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def encode_png(width: int, height: int, pixel_fn) -> bytes:
     """Deterministic stdlib PNG encoder (grayscale 8-bit): pixel_fn(x, y)
     -> 0..255.  Used to synthesize REAL image payloads for the decode

@@ -393,6 +393,76 @@ FROM documents WHERE doc_id % 5 = 0
 """
 
 
+def multimodal_wav_decode(spark, sf_dir):
+    """REAL audio decode round-trip: synthesize a valid PCM16 WAV per
+    document (stdlib struct encoder; sample count + rate derived from
+    doc_id), parse the RIFF/fmt/data chunks back from the actual bytes.
+    Oracle recomputes rate/frame-count from doc_id arithmetic — hash
+    matches only if the byte-level round trip is faithful."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    assets = d.select(F.col("doc_id").alias("asset_id"))
+
+    def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids = pdf["asset_id"]
+            payloads = [
+                multimodal.encode_wav(
+                    int(i) % 400 + 100, 8000 * (int(i) % 3 + 1)
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    wav_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    wavs = assets.mapInPandas(_synth, wav_schema)
+
+    meta_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("format", T.StringType(), True),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_channels", T.IntegerType(), True),
+            T.StructField("bits", T.IntegerType(), True),
+            T.StructField("n_frames", T.LongType(), True),
+        ]
+    )
+
+    def _decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            metas = pdf["payload"].map(multimodal.decode_audio_meta)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "format": metas.map(lambda t: t[0]),
+                    "sample_rate": metas.map(lambda t: t[1]),
+                    "n_channels": metas.map(lambda t: t[2]),
+                    "bits": metas.map(lambda t: t[3]),
+                    "n_frames": metas.map(lambda t: t[4]),
+                }
+            )
+
+    return wavs.mapInPandas(_decode, meta_schema)
+
+
+MULTIMODAL_WAV_ORACLE = """
+SELECT doc_id AS asset_id, 'wav' AS format,
+       CAST(8000 * (doc_id % 3 + 1) AS INT) AS sample_rate,
+       1 AS n_channels, 16 AS bits,
+       CAST(doc_id % 400 + 100 AS BIGINT) AS n_frames
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
 def multimodal_frame_plan(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return multimodal.frame_sample_plan(multimodal.docs_as_assets(d), every_n=10)
@@ -666,6 +736,7 @@ QUERIES = {
     "text_fingerprints": Query(text_fingerprints, FINGERPRINT_ORACLE, ("text",)),
     "multimodal_features": Query(multimodal_features, MULTIMODAL_ORACLE, ("multimodal",)),
     "multimodal_png_decode": Query(multimodal_png_decode, MULTIMODAL_PNG_ORACLE, ("multimodal",)),
+    "multimodal_wav_decode": Query(multimodal_wav_decode, MULTIMODAL_WAV_ORACLE, ("multimodal",)),
     "multimodal_frame_plan": Query(multimodal_frame_plan, FRAME_PLAN_ORACLE, ("multimodal",)),
     "multimodal_thumbnails": Query(
         multimodal_thumbnails, MULTIMODAL_THUMBS_ORACLE, ("multimodal",)

@@ -248,6 +248,24 @@ def test_decode_image_meta_real_formats():
     assert multimodal.decode_image_meta(None) == ("bin", None, None)
 
 
+def test_decode_audio_meta_wav_roundtrip():
+    wav = multimodal.encode_wav(16000, 16000)  # 1 second PCM16 mono
+    fmt, rate, ch, bits, frames = multimodal.decode_audio_meta(wav)
+    assert (fmt, rate, ch, bits) == ("wav", 16000, 1, 16)
+    assert frames == 16000  # duration_s = frames/rate = 1.0, exact
+    # stdlib wave module agrees with our parser on our encoder's output
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(wav)) as w:
+        assert w.getframerate() == 16000
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        assert w.getnframes() == 16000
+    assert multimodal.decode_audio_meta(b"RIFFxxxxNOPE") == ("bin", None, None, None, None)
+    assert multimodal.decode_audio_meta(None) == ("bin", None, None, None, None)
+
+
 def test_pii_redact_rules_and_order(spark):
     from tensorbase_spark.pipeline import text as T
 
