@@ -134,3 +134,13 @@ def test_embedding_near_dup_equijoin(spark, queries):
 
     plan = _formatted(spark, queries["dedup_embedding_cosine"](spark, SF))
     assert re.search(r"keys(?: \[\d+\])?: \[centroid_id", plan), plan
+
+
+def test_lsh_topk_bucket_equijoin(spark, queries):
+    """sim_lsh_topk candidates come from an equi-join on (table_idx, bucket)
+    — never a cross join of query x corpus."""
+    import re
+
+    plan = _formatted(spark, queries["sim_lsh_topk"](spark, SF))
+    assert re.search(r"keys(?: \[\d+\])?: \[table_idx", plan), plan
+    assert "CartesianProduct" not in plan
