@@ -545,6 +545,22 @@ CH_SQL_TEMPLATES.update(
         "arraypushback": "concat({0}, array({1}))",
         "arraypushfront": "concat(array({1}), {0})",
         "arraystringconcat": _arraystringconcat_sql,
+        # arrayFirst: NULL when no element matches (CH returns the type's
+        # default value there — NULL is the honest Spark spelling)
+        "arrayfirst": "element_at(filter({1}, {0}), 1)",
+        # both engines return 0 for "no match" (Spark array_position contract)
+        "arrayfirstindex": "array_position(transform({1}, {0}), true)",
+        "arrayzip": "arrays_zip({0}, {1})",
+        # adjacent deltas, first element 0 — zip with the 1-shifted array
+        "arraydifference": (
+            "zip_with({0}, concat(array(element_at({0}, 1)), "
+            "slice({0}, 1, size({0}) - 1)), (a, b) -> a - b)"
+        ),
+        "arraycumsum": (
+            "aggregate({0}, cast(array() as array<double>), "
+            "(acc, x) -> concat(acc, array(coalesce(element_at(acc, -1), "
+            "cast(0 as double)) + x)))"
+        ),
     }
 )
 

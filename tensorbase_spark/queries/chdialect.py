@@ -45,6 +45,40 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def ch_array_hofs2(spark, sf_dir):
+    """arrayFirst/arrayFirstIndex/arrayDifference/arrayCumSum — the second
+    HOF tier real ClickHouse queries lean on.  Row-level output over a
+    pruned lineitem slice so every lambda result is value-checked; NULL
+    when arrayFirst finds nothing (CH's default-value there; NULL is the
+    honest Spark spelling, and the oracle mirrors it)."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_hof2")
+    return eng.sql(
+        "select l_orderkey, l_linenumber, "
+        "arrayFirst(x -> x > 5, array(l_suppkey % 13, l_orderkey % 7, l_partkey % 11)) as first_hi, "
+        "arrayFirstIndex(x -> x > 5, array(l_suppkey % 13, l_orderkey % 7, l_partkey % 11)) as first_idx, "
+        "arraySum(x -> x, arrayDifference(array(l_suppkey % 13, l_orderkey % 7, l_partkey % 11))) as diff_sum, "
+        "element_at(arrayCumSum(array(l_suppkey % 13, l_orderkey % 7, l_partkey % 11)), 2) as cum2 "
+        "from li_hof2 where l_orderkey % 500 = 0"
+    )
+
+
+CH_ARRAY_HOFS2_ORACLE = """
+WITH d AS (
+  SELECT l_orderkey, l_linenumber,
+         [l_suppkey % 13, l_orderkey % 7, l_partkey % 11] AS arr
+  FROM lineitem WHERE l_orderkey % 500 = 0
+)
+SELECT l_orderkey, l_linenumber,
+       list_filter(arr, x -> x > 5)[1]                              AS first_hi,
+       CAST(coalesce(list_position(list_transform(arr, x -> x > 5), true), 0)
+            AS BIGINT)                                              AS first_idx,
+       CAST(arr[3] - arr[1] AS DOUBLE)                              AS diff_sum,
+       CAST(arr[1] + arr[2] AS DOUBLE)                              AS cum2
+FROM d
+"""
+
+
 def ch_cast_multiif(spark, sf_dir):
     """multiIf -> CASE chain; toInt64/toUInt64 cast family (UInt64 widens to
     Decimal(20,0) per SURVEY §1.2); intDiv/modulo spellings."""
@@ -149,6 +183,7 @@ ORDER BY o_totalprice DESC, o_orderkey
 
 QUERIES = {
     "ch_array_hofs": Query(ch_array_hofs, CH_ARRAY_HOFS_ORACLE, ("dialect", "array")),
+    "ch_array_hofs2": Query(ch_array_hofs2, CH_ARRAY_HOFS2_ORACLE, ("dialect", "array")),
     "ch_cast_multiif": Query(ch_cast_multiif, CH_CAST_MULTIIF_ORACLE, ("dialect",)),
     "ch_minute_buckets": Query(ch_minute_buckets, CH_MINUTE_BUCKETS_ORACLE, ("dialect", "datetime")),
     "ch_split_pad": Query(ch_split_pad, CH_SPLIT_PAD_ORACLE, ("dialect", "string")),
