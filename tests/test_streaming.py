@@ -51,3 +51,40 @@ def test_stateful_rollup_matches_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_schema_probe_nanos_long_generation(spark, tmp_path):
+    """The stream schema is derived from the actual file: a nanos-as-long
+    fixture generation (ts stored as int64 nanoseconds) must stream and
+    normalize to the same UTC timestamps the NTZ generation produces."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dir = str(tmp_path / "sfnanos")
+    import os
+
+    os.makedirs(sf_dir)
+    base_us = 1_600_000_000_000_000  # 2020-09-13 12:26:40 UTC, microseconds
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [(base_us + i * 3_600_000_000) * 1000 for i in range(3)],
+                pa.int64(),
+            ),
+            "user_id": pa.array([10, 10, 20], pa.int64()),
+            "event_type": pa.array(["a", "b", "a"]),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    pq.write_table(tbl, f"{sf_dir}/events.parquet")
+    out = sev.tumbling_window_counts(spark, sf_dir, window="1 hour")
+    rows = sorted(
+        ((r.window_start.isoformat(), r.event_type, r.n) for r in out.collect())
+    )
+    assert rows == [
+        ("2020-09-13T12:00:00", "a", 1),
+        ("2020-09-13T13:00:00", "b", 1),
+        ("2020-09-13T14:00:00", "a", 1),
+    ]
