@@ -411,7 +411,16 @@ CH_SQL_TEMPLATES.update(
         "notlike": "({0} not like {1})",
         "ilike": "(lower({0}) like lower({1}))",
         "position": "locate({1}, {0})",
+        "positionutf8": "locate({1}, {0})",
         "positioncaseinsensitive": "locate(lower({1}), lower({0}))",
+        "base64encode": "base64({0})",
+        "base64decode": "cast(unbase64({0}) as string)",
+        "trybase64decode": "cast(unbase64({0}) as string)",  # ANSI off: NULL on bad input
+        "ifempty": "(case when {0} is null or char_length({0}) = 0 then {1} else {0} end)",
+        "countsubstrings": (
+            "cast((char_length({0}) - char_length(replace({0}, {1}, '')))"
+            " / char_length({1}) as int)"
+        ),
     }
 )
 

@@ -53,6 +53,18 @@ def test_translate_sql_aggregate_extras():
     assert "any_value" not in sub and "any (select" in sub
 
 
+def test_translate_sql_string_extras(spark):
+    out = spark.sql(
+        translate_sql(
+            "select base64Decode(base64Encode('hi')) as rt, "
+            "ifEmpty('', 'alt') as e1, ifEmpty('x', 'alt') as e2, "
+            "countSubstrings('abcabcab', 'ab') as n, "
+            "positionUTF8('haystack', 'stack') as p"
+        )
+    ).collect()[0]
+    assert (out.rt, out.e1, out.e2, out.n, out.p) == ("hi", "alt", "x", 3, 4)
+
+
 def test_translate_sql_parametric_aggregates():
     out = translate_sql("select quantile(0.5)(v), quantiles(0.25, 0.75)(v) from t")
     assert "percentile(v, 0.5)" in out
