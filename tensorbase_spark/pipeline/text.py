@@ -186,3 +186,37 @@ def chunk_documents(
         F.array_join(chunk_words, " ").alias("chunk"),
         F.size(chunk_words).alias("n_tokens"),
     )
+
+
+URL_RE = r"https?://[^\s]+"
+URL_HOST_RE = r"^https?://([^/\s]+)"
+
+
+def url_extract(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """URL + domain extraction: (doc_id, url, host) one row per URL found.
+
+    The standard pretraining-pipeline signal for domain-level filtering,
+    URL dedup, and per-host quota capping.  Pure built-in expressions
+    (regexp_extract_all + explode + regexp_extract) — whole-stage codegen,
+    no Python; at 100 TB the explode fans out by URLs-per-doc (bounded),
+    and the usual downstream groupBy(host) shuffles on a key whose skew
+    (mega-hosts) AQE splits."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)
+    return (
+        docs.select("doc_id", F.explode(urls).alias("url"))
+        .withColumn("host", F.regexp_extract("url", URL_HOST_RE, 1))
+    )
+
+
+def host_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-host URL counts over the corpus — the aggregation that feeds
+    domain quotas and blocklists."""
+    return (
+        url_extract(docs, text_col)
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("url").alias("n_unique_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )

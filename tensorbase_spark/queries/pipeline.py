@@ -491,6 +491,44 @@ FROM events
 """
 
 
+def text_url_extract(spark, sf_dir):
+    """URL/domain extraction + per-host profile (pipeline/text.py).  The
+    fixture text has no URLs, so deterministic ones are appended per doc
+    (host varies by doc_id) — the oracle re-derives them with the same
+    regexes, so the hash checks the real extract/explode/group pipeline."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    with_urls = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://mirror.org/x"),
+        ),
+    )
+    return text.host_profile(with_urls)
+
+
+TEXT_URL_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         text || ' see https://site' || (doc_id % 7)
+              || '.example.com/p/' || doc_id || ' and http://mirror.org/x' AS t
+  FROM documents WHERE doc_id % 4 = 0
+), u AS (
+  SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\\s]+')) AS url FROM d
+), h AS (
+  SELECT doc_id, url, regexp_extract(url, '^https?://([^/\\s]+)', 1) AS host FROM u
+)
+SELECT host, count(*) AS n_urls,
+       count(DISTINCT url) AS n_unique_urls,
+       count(DISTINCT doc_id) AS n_docs
+FROM h GROUP BY host
+"""
+
+
 def dedup_neardup_clusters(spark, sf_dir):
     """Near-dup pairs -> connected components -> per-doc cluster assignment
     with cluster size.  The iterative label propagation is genuinely
@@ -734,6 +772,7 @@ QUERIES = {
     "text_quality_scores": Query(text_quality_scores, QUALITY_ORACLE, ("text",)),
     "text_lang_id": Query(text_lang_id, LANG_ID_ORACLE, ("text",)),
     "text_fingerprints": Query(text_fingerprints, FINGERPRINT_ORACLE, ("text",)),
+    "text_url_extract": Query(text_url_extract, TEXT_URL_ORACLE, ("text",)),
     "multimodal_features": Query(multimodal_features, MULTIMODAL_ORACLE, ("multimodal",)),
     "multimodal_png_decode": Query(multimodal_png_decode, MULTIMODAL_PNG_ORACLE, ("multimodal",)),
     "multimodal_wav_decode": Query(multimodal_wav_decode, MULTIMODAL_WAV_ORACLE, ("multimodal",)),
