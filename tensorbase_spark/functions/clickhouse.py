@@ -15,6 +15,8 @@ Each function accepts a Column or a column name string, like pyspark itself.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -357,16 +359,26 @@ CH_SQL_TEMPLATES.update(
         "argmax": "max_by({0}, {1})",
         "argmin": "min_by({0}, {1})",
         # any(expr) aggregate vs `> ANY (subquery)` comparison: only the
-        # aggregate form rewrites; a subquery argument passes through
+        # aggregate form rewrites; a subquery argument passes through.  A
+        # real subquery needs a SELECT/WITH *keyword* (word boundary, maybe
+        # parenthesized) — a column merely named `selection`/`withdrawn`
+        # must still take the any_value rewrite.
         "any": lambda args: (
             f"any ({', '.join(args)})"
-            if len(args) == 1 and args[0].lstrip().lower().startswith(("select", "with"))
+            if len(args) == 1
+            and _re.match(r"(?is)\s*\(*\s*(select|with)\b", args[0])
             else f"any_value({args[0]})"
         ),
         "anylast": "any_value({0})",
         "grouparray": "collect_list({0})",
         "groupuniqarray": "collect_set({0})",
         "median": "percentile({0}, 0.5)",
+        # ClickHouse's non-curried shorthand quantile(x) defaults to p=0.5;
+        # the curried quantile(p)(x) form is handled by the parametric table
+        # (translate_sql tries CH_PARAMETRIC_TEMPLATES first and only falls
+        # through here when there is no second argument group).
+        "quantile": "percentile({0}, 0.5)",
+        "quantileexact": "percentile({0}, 0.5)",
         # CH array membership helpers
         "has": "array_contains({0}, {1})",
         "indexof": "array_position({0}, {1})",
@@ -560,10 +572,13 @@ CH_SQL_TEMPLATES.update(
         # both engines return 0 for "no match" (Spark array_position contract)
         "arrayfirstindex": "array_position(transform({1}, {0}), true)",
         "arrayzip": "arrays_zip({0}, {1})",
-        # adjacent deltas, first element 0 — zip with the 1-shifted array
+        # adjacent deltas, first element 0 — zip with the 1-shifted array.
+        # Empty-array guard: slice(x, 1, size-1) would get length -1 and
+        # throw; CH returns [] there, so short-circuit size() = 0.
         "arraydifference": (
-            "zip_with({0}, concat(array(element_at({0}, 1)), "
-            "slice({0}, 1, size({0}) - 1)), (a, b) -> a - b)"
+            "(case when size({0}) = 0 then slice({0}, 1, 0) "
+            "else zip_with({0}, concat(array(element_at({0}, 1)), "
+            "slice({0}, 1, size({0}) - 1)), (a, b) -> a - b) end)"
         ),
         "arraycumsum": (
             "aggregate({0}, cast(array() as array<double>), "

@@ -53,39 +53,63 @@ R01_VERIFIED = frozenset(
     q22_global_sales_opportunity window_row_number window_rank_dense""".split()
 )
 
-# Hand-prioritized head of the registry: the ~50 unverified queries whose
-# driver rows buy the most SURVEY §2 / pipeline operator coverage.  Windows
-# (§2.7), ClickHouse function families (§2.6), dialect extensions, engine
-# lifecycle (§2.1/§4.3), sources (§2.2), then the core LLM-pipeline ops.
+# Round-2 driver-verified set (CORRECTNESS_r02.json) — like R01_VERIFIED,
+# these queries already have green rows and yield their head slots.
+R02_VERIFIED = frozenset(
+    """window_lag_lead window_running_sum window_first_last_ntile
+    window_cume_dist window_nth_value window_range_frame
+    events_tumbling_window events_sessionize ch_date_parts ch_time_parts
+    ch_to_date_datetime ch_string_funcs ch_uuid_roundtrip ch_math_funcs
+    ch_array_hofs ch_split_pad ch_limit_by regex_funcs crypto_hash_funcs
+    datetime_extract_trunc string_parts_funcs nullif_coalesce
+    agg_array_collect grouping_sets_rollup math_trig_funcs
+    string_width_funcs timestamp_family engine_ddl_insert_select
+    engine_partition_prune engine_join_prune ch_aggregate_combinators
+    ch_json_extract numbers_table_function csv_ingest_roundtrip
+    ndjson_ingest_roundtrip remote_loopback remote_jdbc_federation
+    dedup_exact dedup_stats_by_source dedup_ngram_jaccard
+    dedup_embedding_cosine dedup_neardup_clusters sim_brute_force_topk
+    sim_knn_classify embedding_quantize_int8 text_token_counts
+    text_quality_scores text_lang_id multimodal_png_decode""".split()
+)
+
+# Round-3 head: the driver checks the FIRST ~50 registry entries per round.
+# Every query here lacks a green driver row across r1∪r2 (r2 verdict #1):
+# the 34 never-verified oracle-backed queries, the re-slotted ch_cast_multiif
+# (hash-fragile Decimal column fixed this round), the 5 new oracle-backed
+# companions for the approximate families (verdict #5), then the 6 rows-only
+# approximates (weaker rows-only driver rows, but rows nonetheless).
 PRIORITY_HEAD = [
-    # §2.7 windows + event-time analytics
-    "window_lag_lead", "window_running_sum", "window_first_last_ntile",
-    "window_cume_dist", "window_nth_value", "window_range_frame",
-    "events_tumbling_window", "events_sessionize",
-    # §2.6 ClickHouse function families
-    "ch_date_parts", "ch_time_parts", "ch_to_date_datetime",
-    "ch_string_funcs", "ch_uuid_roundtrip", "ch_math_funcs",
-    # CH dialect extensions (ch_minute_buckets yields its slot to the
-    # genuine-JDBC federation row; the family is covered by the other four)
-    "ch_array_hofs", "ch_cast_multiif",
-    "ch_split_pad", "ch_limit_by",
-    # §2.6 DataFusion-builtin function families
-    "regex_funcs", "crypto_hash_funcs", "datetime_extract_trunc",
-    "string_parts_funcs", "nullif_coalesce", "agg_array_collect",
-    "grouping_sets_rollup", "math_trig_funcs", "string_width_funcs",
-    "timestamp_family",
-    # §2.1 engine lifecycle + §4.3 pruning
-    "engine_ddl_insert_select", "engine_partition_prune",
-    "engine_join_prune", "ch_aggregate_combinators", "ch_json_extract",
-    # §2.2 sources (incl. genuine JDBC federation over embedded Derby)
-    "numbers_table_function", "csv_ingest_roundtrip",
-    "ndjson_ingest_roundtrip", "remote_loopback", "remote_jdbc_federation",
-    # LLM-pipeline core (oracle-backed)
-    "dedup_exact", "dedup_stats_by_source", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "dedup_neardup_clusters",
-    "sim_brute_force_topk", "sim_knn_classify", "embedding_quantize_int8",
-    "text_token_counts", "text_quality_scores", "text_lang_id",
-    "multimodal_png_decode",
+    # streaming (Spark-native extension, §2.10)
+    "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
+    "stream_stateful_rollup", "stream_dedup_users", "stream_stream_join",
+    "stream_append_ingest",
+    # corpus curation pipeline
+    "corpus_quality_pipeline", "corpus_split_train_val_test",
+    "corpus_cap_per_source", "corpus_contamination_scan",
+    "corpus_pack_sequences", "corpus_build_end_to_end",
+    "corpus_sample_stratified",
+    # event analytics + as-of join
+    "events_window_funnel", "events_retention", "events_json_extract",
+    "join_asof", "pivot_status",
+    # text analysis extras
+    "text_fingerprints", "text_pii_redaction", "text_url_extract",
+    "text_chunking",
+    # multimodal plumbing
+    "multimodal_wav_decode", "multimodal_features", "multimodal_thumbnails",
+    "multimodal_frame_plan",
+    # dialect/aggregate stragglers
+    "ch_agg_extras", "ch_quantile_family", "ch_array_hofs2",
+    "ch_minute_buckets", "agg_quantiles", "agg_top_k_words",
+    "array_functions",
+    # re-slotted after the r2 hash fail (Decimal -> Int64 hash column)
+    "ch_cast_multiif",
+    # new oracle-backed companions for the approximate families
+    "sim_ivf_full_probe", "sim_lsh_full_cover", "dedup_minhash_bands_sql",
+    "dedup_simhash_fp_sql", "agg_approx_distinct_check",
+    # rows-only approximates (driver records a rows-only check)
+    "agg_approx_distinct", "dedup_minhash_lsh", "dedup_simhash",
+    "sim_ivf_topk", "sim_lsh_topk", "sim_ivf_indexed",
 ]
 
 
@@ -125,14 +149,15 @@ def registry() -> dict[str, Query]:
                 raise ValueError(f"duplicate query name: {name}")
             out[name] = q
 
+    verified = R01_VERIFIED | R02_VERIFIED
     head = [n for n in PRIORITY_HEAD if n in out]
     mid_unverified = [
-        n for n in out if n not in PRIORITY_HEAD and n not in R01_VERIFIED
+        n for n in out if n not in PRIORITY_HEAD and n not in verified
     ]
     # oracle-backed before rows-only: a hash row is a stronger signal
     mid_unverified.sort(key=lambda n: out[n].oracle is None)
     tail_verified = [
-        n for n in out if n in R01_VERIFIED and n not in PRIORITY_HEAD
+        n for n in out if n in verified and n not in PRIORITY_HEAD
     ]
     ordered = head + mid_unverified + tail_verified
     assert len(ordered) == len(out)

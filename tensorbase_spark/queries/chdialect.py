@@ -81,7 +81,10 @@ FROM d
 
 def ch_cast_multiif(spark, sf_dir):
     """multiIf -> CASE chain; toInt64/toUInt64 cast family (UInt64 widens to
-    Decimal(20,0) per SURVEY §1.2); intDiv/modulo spellings."""
+    Decimal(20,0) per SURVEY §1.2 — asserted in tests/test_types.py; the
+    driver-hashed column narrows back via toInt64 because Decimal
+    canonicalization differs between hashers, r2 verdict #1); intDiv/modulo
+    spellings."""
     eng = TensorBaseEngine(spark)
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_cast")
     return eng.sql(
@@ -89,7 +92,7 @@ def ch_cast_multiif(spark, sf_dir):
         "o_totalprice > 50000, 'mid', 'small') as bucket, "
         "count(*) as n, "
         "sum(toInt64(o_orderstatus = 'F')) as n_f, "
-        "max(toUInt64(o_orderkey)) as mx_key, "
+        "toInt64(max(toUInt64(o_orderkey))) as mx_key, "
         "sum(intDiv(o_orderkey, 1000)) as s_div, "
         "sum(modulo(o_custkey, 7)) as s_mod "
         "from ord_cast group by bucket"
@@ -102,7 +105,7 @@ SELECT CASE WHEN o_totalprice > 150000 THEN 'big'
             ELSE 'small' END                              AS bucket,
        count(*)                                           AS n,
        CAST(sum(CAST(o_orderstatus = 'F' AS BIGINT)) AS BIGINT) AS n_f,
-       CAST(max(o_orderkey) AS DECIMAL(20,0))             AS mx_key,
+       CAST(max(o_orderkey) AS BIGINT)                    AS mx_key,
        CAST(sum(o_orderkey // 1000) AS BIGINT)            AS s_div,
        CAST(sum(o_custkey % 7) AS BIGINT)                 AS s_mod
 FROM orders GROUP BY bucket

@@ -188,6 +188,163 @@ def sim_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, q, k=5, n_bits=4, n_tables=16)
 
 
+def sim_ivf_full_probe(spark, sf_dir):
+    """Driver-evidence companion for the IVF path (r2 verdict #5): with
+    nprobe = n_centroids every bucket is probed, so the ENTIRE IVF machinery
+    (deterministic k-means training, centroid assignment, probe equi-join,
+    candidate ranking) must reproduce the exact brute-force top-k — which is
+    what the SQL oracle computes.  The hash row proves the bucketed plumbing
+    loses nothing when coverage is total; recall at partial nprobe stays
+    asserted in tests/test_pipeline.py."""
+    emb, q = _emb_queries(spark, sf_dir)
+    return similarity.ivf_topk(emb, q, k=5, n_centroids=8, nprobe=8)
+
+
+def sim_lsh_full_cover(spark, sf_dir):
+    """Driver-evidence companion for the sign-LSH path: with n_bits=0 every
+    vector lands in the single bucket of the single table, so the LSH
+    plumbing (hyperplane pandas UDF, posexplode bucketing, (table, bucket)
+    equi-join, candidate dedup, ranking) must reproduce exact brute-force
+    top-k — the SQL oracle.  Recall at real bit-widths stays in tests."""
+    emb, q = _emb_queries(spark, sf_dir)
+    return similarity.lsh_topk(emb, q, k=5, n_bits=0, n_tables=1)
+
+
+_WORDS_EXPR = "array_distinct(filter(split(lower(text), '[^a-z0-9]+'), w -> w != ''))"
+
+
+def dedup_minhash_bands_sql(spark, sf_dir):
+    """Driver-evidence companion for the MinHash-LSH family: a REAL min-wise
+    hashing scheme (8 independent salted permutations; permutation b ranks a
+    word by md5(b || ':' || word)) whose hash function both engines share —
+    so candidate generation AND the exact-Jaccard verify are deterministic
+    and the DuckDB oracle mirrors them end to end.  The production operator
+    (pipeline/dedup.py minhash_lsh_pairs) keeps its xxhash-vectorized
+    signatures and rows-only check; this row proves the band-join topology
+    (band equi-join -> pair dedup -> verify-on-candidates) cross-engine.
+
+    Scale shape: same as the production op — one pass for signatures, an
+    equi-join on (band, sig), and the verify join rejoins words by doc_id so
+    word arrays never ride through the band shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.expr(_WORDS_EXPR).alias("words"))
+    bands = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("band"),
+        "words",
+    ).select(
+        "doc_id",
+        "band",
+        F.expr(
+            "array_min(transform(words, w -> md5(concat(cast(band as string), ':', w))))"
+        ).alias("sig"),
+    )
+    a = bands.select(F.col("doc_id").alias("id_a"), "band", "sig")
+    b = bands.select(F.col("doc_id").alias("id_b"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    wa = docs.select(F.col("doc_id").alias("id_a"), F.col("words").alias("w_a"))
+    wb = docs.select(F.col("doc_id").alias("id_b"), F.col("words").alias("w_b"))
+    verified = (
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("w_a", "w_b")).cast("double")
+                / F.size(F.array_union("w_a", "w_b")),
+                6,
+            ),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= 0.95).select("id_a", "id_b", "jaccard")
+
+
+_WORDS_SQL = (
+    "list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    " w -> w <> ''))"
+)
+
+MINHASH_BANDS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+), sigs AS (
+  SELECT doc_id, band,
+         list_min(list_transform(words,
+                  w -> md5(CAST(band AS VARCHAR) || ':' || w))) AS sig
+  FROM d CROSS JOIN range(8) t(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT cand.id_a, cand.id_b,
+         round(CAST(len(list_intersect(da.words, db.words)) AS DOUBLE)
+               / len(list_distinct(list_concat(da.words, db.words))), 6) AS jaccard
+  FROM cand
+  JOIN d da ON cand.id_a = da.doc_id
+  JOIN d db ON cand.id_b = db.doc_id
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.95
+"""
+
+
+def dedup_simhash_fp_sql(spark, sf_dir):
+    """Driver-evidence companion for the SimHash family: a 16-bit simhash
+    whose per-word bit source is shared by both engines — bit i of a word is
+    ascii(hex digit i of md5(word)) mod 2, the fingerprint bit is the sign
+    of the +1/-1 vote sum over the doc's distinct words.  Deterministic in
+    both engines, so the per-doc fingerprint gets a hash row; the production
+    64-bit xxhash operator (dedup.simhash_near_pairs) keeps its rows-only
+    check + pytest hamming bounds.
+
+    Shape: explode(words) x explode(16 bits) -> two hash aggregations —
+    shuffle rows ∝ 16 x total words, the same partial/final agg topology the
+    production signature pass uses."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.expr(_WORDS_EXPR).alias("words"))
+    votes = (
+        docs.select("doc_id", F.explode("words").alias("word"))
+        .select("doc_id", "word", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("i"))
+        .groupBy("doc_id", "i")
+        .agg(
+            F.sum(
+                F.expr("(ascii(substring(md5(word), i + 1, 1)) % 2) * 2 - 1")
+            ).alias("vote")
+        )
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("case when vote > 0 then shiftleft(1L, i) else 0L end")
+            ).alias("fp16")
+        )
+        .select("doc_id", "fp16")
+    )
+
+
+SIMHASH_FP_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+), w AS (
+  SELECT doc_id, unnest(words) AS word FROM d
+), votes AS (
+  SELECT doc_id, i,
+         sum((ascii(substr(md5(word), i + 1, 1)) % 2) * 2 - 1) AS vote
+  FROM w CROSS JOIN range(16) t(i)
+  GROUP BY doc_id, i
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS fp16
+FROM votes GROUP BY doc_id
+"""
+
+
 def sim_knn_classify(spark, sf_dir):
     emb, q = _emb_queries(spark, sf_dir)
     return similarity.label_knn_classify(emb, q, k=10)
@@ -766,6 +923,12 @@ QUERIES = {
     "sim_brute_force_topk": Query(sim_brute_force_topk, SIM_BRUTE_ORACLE, ("similarity",), bench=True),
     "sim_ivf_topk": Query(sim_ivf_topk, None, ("similarity", "approx")),
     "sim_lsh_topk": Query(sim_lsh_topk, None, ("similarity", "approx")),
+    "sim_ivf_full_probe": Query(sim_ivf_full_probe, SIM_BRUTE_ORACLE, ("similarity",)),
+    "sim_lsh_full_cover": Query(sim_lsh_full_cover, SIM_BRUTE_ORACLE, ("similarity",)),
+    "dedup_minhash_bands_sql": Query(
+        dedup_minhash_bands_sql, MINHASH_BANDS_ORACLE, ("dedup",)
+    ),
+    "dedup_simhash_fp_sql": Query(dedup_simhash_fp_sql, SIMHASH_FP_ORACLE, ("dedup",)),
     "sim_ivf_indexed": Query(sim_ivf_indexed, None, ("similarity", "approx", "index")),
     "sim_knn_classify": Query(sim_knn_classify, SIM_KNN_ORACLE, ("similarity",)),
     "text_token_counts": Query(text_token_counts, TOKEN_COUNTS_ORACLE, ("text",)),

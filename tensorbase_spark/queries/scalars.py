@@ -143,6 +143,41 @@ def agg_approx_distinct(spark, sf_dir):
     )
 
 
+def agg_approx_distinct_check(spark, sf_dir):
+    """Driver-evidence companion for the HLL family (r2 verdict #5): emit
+    the EXACT distinct count (oracle-checkable) plus a boolean asserting the
+    HLL estimate landed within 10% of it.  Spark's HLL is deterministic for
+    a given dataset, so the boolean is stable; the oracle computes the exact
+    side and claims TRUE — a hash match therefore certifies the HLL error
+    bound cross-engine instead of the rows-only check the raw operator
+    gets.  (Default rsd=0.05; the 10% gate leaves 2 sigma of headroom.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact_parts = F.countDistinct("l_partkey")
+    exact_orders = F.countDistinct("l_orderkey")
+    return li.groupBy("l_returnflag").agg(
+        exact_parts.alias("exact_parts"),
+        exact_orders.alias("exact_orders"),
+        (
+            F.abs(F.approx_count_distinct("l_partkey") - exact_parts)
+            <= 0.10 * exact_parts
+        ).alias("hll_parts_ok"),
+        (
+            F.abs(F.approx_count_distinct("l_orderkey") - exact_orders)
+            <= 0.10 * exact_orders
+        ).alias("hll_orders_ok"),
+    )
+
+
+APPROX_DISTINCT_CHECK_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey)  AS exact_parts,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS hll_parts_ok,
+       TRUE AS hll_orders_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def agg_array_collect(spark, sf_dir):
     """array_agg (expressions/array_agg.rs) == collect_list; sorted for
     determinism, then re-expanded to scalar stats so the hash is stable."""
@@ -400,6 +435,9 @@ QUERIES = {
     "string_parts_funcs": Query(string_parts_funcs, STRING_PARTS_ORACLE, ("scalar", "string")),
     "nullif_coalesce": Query(nullif_coalesce, NULLIF_ORACLE, ("scalar",)),
     "agg_approx_distinct": Query(agg_approx_distinct, None, ("agg", "approx")),
+    "agg_approx_distinct_check": Query(
+        agg_approx_distinct_check, APPROX_DISTINCT_CHECK_ORACLE, ("agg", "approx")
+    ),
     "agg_array_collect": Query(agg_array_collect, ARRAY_AGG_ORACLE, ("agg",)),
     "grouping_sets_rollup": Query(grouping_sets_rollup, ROLLUP_ORACLE, ("agg", "bonus")),
     "pivot_status": Query(pivot_status, PIVOT_ORACLE, ("agg", "bonus")),

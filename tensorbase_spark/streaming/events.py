@@ -52,12 +52,19 @@ def _stream_src_dir(sf_dir: str) -> str:
     tag = os.path.basename(sf_dir.rstrip("/"))
     d = f"/tmp/tbs_stream_src_{tag}"
     os.makedirs(d, exist_ok=True)
+    target = f"{sf_dir}/events.parquet"
     link = f"{d}/events.parquet"
-    if not os.path.exists(link):
-        try:
-            os.symlink(f"{sf_dir}/events.parquet", link)
-        except FileExistsError:
-            pass
+    # Always (re)link atomically via a tempname+rename: os.path.exists() is
+    # False for a BROKEN symlink, so a link left by a prior session pointing
+    # at a deleted tmp dir would silently persist and the stream would read
+    # zero files (r2 verdict #2).  rename() replaces any stale entry.
+    tmp = f"{link}.{os.getpid()}.tmp"
+    try:
+        os.symlink(target, tmp)
+        os.rename(tmp, link)
+    finally:
+        if os.path.lexists(tmp):
+            os.remove(tmp)
     return d
 
 
@@ -79,7 +86,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(_stream_src_dir(sf_dir))
     )
     if isinstance(ts_type, T.LongType):  # nanos-as-long generation
-        return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # Integer division, NOT `/` : `/` computes in double, and int64
+        # epoch-nanos (~1.7e18) exceed 2^53, so the long->double round trip
+        # can shift the resulting microsecond by 1 for arbitrary inputs.
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

@@ -51,6 +51,11 @@ def test_translate_sql_aggregate_extras():
     assert "any_value(x)" in translate_sql("select any(x) from t")
     sub = translate_sql("select * from t where v > any (select v from u)")
     assert "any_value" not in sub and "any (select" in sub
+    sub2 = translate_sql("select * from t where v > any ((select v from u))")
+    assert "any_value" not in sub2
+    # a column merely NAMED select-ish still takes the aggregate rewrite
+    assert "any_value(selection)" in translate_sql("select any(selection) from t")
+    assert "any_value(withdrawn)" in translate_sql("select any(withdrawn) from t")
 
 
 def test_translate_sql_string_extras(spark):
@@ -65,13 +70,29 @@ def test_translate_sql_string_extras(spark):
     assert (out.rt, out.e1, out.e2, out.n, out.p) == ("hi", "alt", "x", 3, 4)
 
 
+def test_translate_sql_array_difference_empty(spark):
+    # CH returns [] for arrayDifference([]); the naive slice(x,1,size-1)
+    # would throw on length -1 (ADVICE r2)
+    out = spark.sql(
+        translate_sql(
+            "select arrayDifference(array(7, 3, 10)) as d, "
+            "arrayDifference(array()) as e, "
+            "arrayDifference(array(5)) as one"
+        )
+    ).collect()[0]
+    assert out.d == [0, -4, 7]
+    assert out.e == []
+    assert out.one == [0]
+
+
 def test_translate_sql_parametric_aggregates():
     out = translate_sql("select quantile(0.5)(v), quantiles(0.25, 0.75)(v) from t")
     assert "percentile(v, 0.5)" in out
     assert "percentile(v, array(0.25, 0.75))" in out
     assert "percentile(lat, 0.95)" in translate_sql("select quantileExact(0.95)(lat) from t")
-    # non-curried quantile( stays untouched; nested args translate
-    assert "quantile(v)" in translate_sql("select quantile(v) from t")
+    # non-curried shorthand defaults to the CH median p=0.5; nested args translate
+    assert "percentile(v, 0.5)" in translate_sql("select quantile(v) from t")
+    assert "percentile(v, 0.5)" in translate_sql("select quantileExact(v) from t")
     assert "percentile(year(d), 0.9)" in translate_sql("select quantile(0.9)(toYear(d)) from t")
 
 

@@ -70,3 +70,15 @@ def test_rejects_unsupported(bad):
 def test_spark_field():
     f = spark_field("ts", "Nullable(DateTime)")
     assert f == T.StructField("ts", T.TimestampType(), True)
+
+
+def test_touint64_widens_to_decimal20(spark):
+    """SURVEY §1.2: UInt64 has no Spark equivalent — toUInt64 widens to
+    Decimal(20,0).  Runtime echo of the type-map row above; the driver-hashed
+    ch_cast_multiif query narrows back via toInt64 because Decimal
+    canonicalization differs between hashers (r2 verdict #1)."""
+    from tensorbase_spark.engine import translate_sql
+
+    df = spark.sql(translate_sql("select toUInt64(9223372036854775807) as u"))
+    assert dict(df.dtypes)["u"] == "decimal(20,0)"
+    assert int(df.collect()[0].u) == 9223372036854775807
