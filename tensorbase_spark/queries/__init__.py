@@ -104,6 +104,8 @@ PRIORITY_HEAD = [
     "array_functions",
     # re-slotted after the r2 hash fail (Decimal -> Int64 hash column)
     "ch_cast_multiif",
+    # the last §2.2 partial closed: pure-Python Avro codec, distributed
+    "avro_ingest_roundtrip",
     # new oracle-backed companions for the approximate families
     "sim_ivf_full_probe", "sim_lsh_full_cover", "dedup_minhash_bands_sql",
     "dedup_simhash_fp_sql", "agg_approx_distinct_check",

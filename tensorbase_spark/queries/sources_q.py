@@ -93,6 +93,74 @@ FROM events GROUP BY event_type
 """
 
 
+AVRO_SCHEMA = {
+    "type": "record",
+    "name": "orders_slice",
+    "fields": [
+        {"name": "o_orderkey", "type": "long"},
+        {"name": "o_custkey", "type": "long"},
+        {"name": "o_orderstatus", "type": "string"},
+        {"name": "o_totalprice", "type": "double"},
+        {"name": "o_orderdate", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+    ],
+}
+
+
+def avro_ingest_roundtrip(spark, sf_dir):
+    """The fork's AvroExec equivalent (physical_plan/file_format/avro.rs:39),
+    end to end and fully distributed: orders -> per-partition Avro object
+    containers encoded on EXECUTORS (sources/avro_py.py pure-Python codec;
+    one partition writes codec=null, the other deflate, so both decode
+    paths get driver coverage) -> external.read_avro (binaryFile +
+    mapInPandas decode, files as the parallel grain) -> aggregate.  The
+    oracle recomputes the aggregate straight from parquet, so a hash match
+    proves typed values (incl. timestamps) survive the Avro round trip."""
+    import shutil
+
+    d = _stage_dir(sf_dir, "avro")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+
+    def write_part(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from tensorbase_spark.sources import avro_py
+
+        rows = []
+        for pdf in batches:
+            pdf = pdf.assign(
+                o_orderdate=pdf["o_orderdate"].astype("int64") // 1000
+            )
+            rows.extend(pdf.to_dict("records"))
+        pid = TaskContext.get().partitionId()
+        if rows:
+            codec = "deflate" if pid % 2 == 0 else "null"
+            with open(f"{d}/part-{pid:05d}.avro", "wb") as fh:
+                fh.write(avro_py.write_container(AVRO_SCHEMA, rows, codec=codec))
+        yield pd.DataFrame({"n": [len(rows)]})
+
+    src.repartition(2, "o_orderkey").mapInPandas(write_part, "n long").collect()
+    back = external.read_avro(spark, d)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.min("o_orderdate").alias("first_ts"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+AVRO_INGEST_ORACLE = """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue,
+       CAST(min(o_orderdate) AS TIMESTAMP) AS first_ts,
+       max(o_orderkey) AS max_key
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def remote_loopback(spark, sf_dir):
     """remote() federation through the loopback scheme: register the nation
     fixture as a catalog view, read it back via remote(), join-aggregate."""
@@ -155,6 +223,7 @@ QUERIES = {
     "numbers_table_function": Query(numbers_table_function, NUMBERS_ORACLE, ("sources",)),
     "csv_ingest_roundtrip": Query(csv_ingest_roundtrip, CSV_INGEST_ORACLE, ("sources",)),
     "ndjson_ingest_roundtrip": Query(ndjson_ingest_roundtrip, NDJSON_INGEST_ORACLE, ("sources",)),
+    "avro_ingest_roundtrip": Query(avro_ingest_roundtrip, AVRO_INGEST_ORACLE, ("sources",)),
     "remote_loopback": Query(remote_loopback, REMOTE_ORACLE, ("sources",)),
     "remote_jdbc_federation": Query(remote_jdbc_federation, REMOTE_JDBC_ORACLE, ("sources",)),
 }

@@ -95,18 +95,96 @@ def remote(
         ) from e
 
 
-def read_avro(spark: SparkSession, path: str, cols: list[tuple[str, str]] | None = None):
+def read_avro(
+    spark: SparkSession, path: str, cols: list[tuple[str, str]] | None = None
+) -> DataFrame:
     """Avro ingestion (the fork's AvroExec, physical_plan/file_format/avro.rs:39
-    — which the reference never routes to either).  Spark's avro datasource is
-    an external module; this container ships no spark-avro jar, so the reader
-    raises a clear error until one is on spark.jars.packages."""
-    reader = spark.read
-    if cols is not None:
-        reader = reader.schema(bql_schema(cols))
+    — which the reference never routes to either; its reader is
+    crates/datafusion/src/avro_to_arrow/).
+
+    No spark-avro jar ships in this container, so the decode is the
+    spec-level pure-Python codec in sources/avro_py.py, distributed the
+    Spark-native way: ``binaryFile`` ships whole files to executors and
+    ``mapInPandas`` decodes them there — files are the parallel grain
+    (a 100 TB ingest is many files; spark-avro's intra-file split needs
+    Hadoop sync scanning that buys nothing once file count >> executors).
+    If the spark-avro datasource IS on the classpath, it is preferred.
+
+    Caveats of the fallback path: per-file 2 GB binaryFile cap; the Avro
+    schema is read from the FIRST file driver-side (all files must share
+    one writer schema — same contract as the fork's AvroExec, which takes
+    one schema for the whole scan).  An explicit BQL schema in ``cols``
+    overrides column types (names must match the writer schema).
+    """
     try:
+        reader = spark.read
+        if cols is not None:
+            reader = reader.schema(bql_schema(cols))
         return reader.format("avro").load(path)
-    except Exception as e:
-        raise RuntimeError(
-            "read_avro needs the spark-avro module on the classpath "
-            "(spark.jars.packages=org.apache.spark:spark-avro_2.13:<version>)"
-        ) from e
+    except Exception:
+        pass  # no spark-avro module -> pure-Python distributed decode
+
+    import glob
+    import os
+
+    from tensorbase_spark.sources import avro_py
+
+    probe = sorted(glob.glob(os.path.join(path, "*.avro"))) if os.path.isdir(path) else [path]
+    if not probe:
+        raise FileNotFoundError(f"no avro files under {path!r}")
+    # header-only parse of the first file: the metadata map sits before any
+    # data block, so 1 MiB is ample and no block decode happens driver-side
+    with open(probe[0], "rb") as fh:
+        header = fh.read(1 << 20)
+    r = avro_py._Reader(header)
+    if r.read(4) != avro_py.MAGIC:
+        raise ValueError(f"{probe[0]!r} is not an avro object container")
+    import json as _json
+
+    writer_schema = _json.loads(r.map_bytes()["avro.schema"])
+    out_schema = (
+        bql_schema(cols) if cols is not None else avro_py.avro_record_to_struct(writer_schema)
+    )
+    field_specs = [(f["name"], f["type"]) for f in writer_schema["fields"]]
+    names = [f.name for f in out_schema.fields]
+
+    def _logical(t):
+        if isinstance(t, list):
+            nn = [s for s in t if s != "null"]
+            return _logical(nn[0]) if len(nn) == 1 else None
+        if isinstance(t, dict):
+            return t.get("logicalType")
+        return None
+
+    def decode(batches):
+        import datetime as dt
+
+        import pandas as pd
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                _, rows = avro_py.parse_container(bytes(row["content"]))
+                cols_out = {}
+                for name, ftype in field_specs:
+                    if name not in names:
+                        continue
+                    vals = [rr.get(name) for rr in rows]
+                    lt = _logical(ftype)
+                    if lt == "date":
+                        vals = [
+                            None if v is None else dt.date(1970, 1, 1) + dt.timedelta(days=v)
+                            for v in vals
+                        ]
+                    elif lt == "timestamp-millis":
+                        vals = [None if v is None else pd.Timestamp(v * 1_000_000) for v in vals]
+                    elif lt == "timestamp-micros":
+                        vals = [None if v is None else pd.Timestamp(v * 1_000) for v in vals]
+                    cols_out[name] = vals
+                yield pd.DataFrame(cols_out, columns=names)
+
+    files = (
+        spark.read.format("binaryFile")
+        .load(path if os.path.isdir(path) else probe)
+        .select("path", "content")
+    )
+    return files.mapInPandas(decode, schema=out_schema)
