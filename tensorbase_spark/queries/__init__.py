@@ -106,6 +106,8 @@ PRIORITY_HEAD = [
     "ch_cast_multiif",
     # the last §2.2 partial closed: pure-Python Avro codec, distributed
     "avro_ingest_roundtrip",
+    # new r3: zero-Exchange co-located join via SETTINGS bucket_by
+    "engine_bucketed_join",
     # new oracle-backed companions for the approximate families
     "sim_ivf_full_probe", "sim_lsh_full_cover", "dedup_minhash_bands_sql",
     "dedup_simhash_fp_sql", "agg_approx_distinct_check",

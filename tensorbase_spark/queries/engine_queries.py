@@ -145,6 +145,54 @@ GROUP BY year(o.o_orderdate)*100 + month(o.o_orderdate)
 """
 
 
+def engine_bucketed_join(spark, sf_dir):
+    """SETTINGS bucket_by/buckets -> Spark bucketed tables: two tables
+    bucketed on the join key with the same bucket count join with ZERO
+    Exchange (asserted in tests/test_plans.py), and the downstream GROUP BY
+    on the same key reuses the bucket distribution — no shuffle anywhere in
+    the plan.  This is the co-located-join lever at 100 TB: the reference's
+    storage has no analogue (its per-partition CoPa files co-locate only by
+    partition key, parts.rs:101-121); Spark bucketing extends co-location to
+    join keys.  The MERGE hint pins sort-merge so the demonstration doesn't
+    degrade to a broadcast at small SF."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "bkt")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("bk_ord_src")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("bk_li_src")
+    eng.sql(
+        "create table bk_ord(ok Int64, od Date, total Float64) "
+        "settings bucket_by=ok, buckets=8"
+    )
+    eng.sql(
+        "create table bk_li(ok Int64, qty Float64, price Float64) "
+        "settings bucket_by=ok, buckets=8"
+    )
+    eng.sql(
+        "insert into bk_ord select o_orderkey, o_orderdate, o_totalprice "
+        "from bk_ord_src where o_orderdate < '1997-01-01'"
+    )
+    eng.sql(
+        "insert into bk_li select l_orderkey, l_quantity, l_extendedprice "
+        "from bk_li_src"
+    )
+    return eng.sql(
+        "select /*+ MERGE(l) */ o.ok as ok, count(*) as n, "
+        "round(sum(l.qty), 1) as sq, round(sum(l.price), 2) as sp "
+        "from bk_ord o join bk_li l on o.ok = l.ok group by o.ok"
+    )
+
+
+ENGINE_BUCKETED_ORACLE = """
+SELECT o_orderkey AS ok, count(*) AS n,
+       round(sum(l_quantity), 1) AS sq,
+       round(sum(l_extendedprice), 2) AS sp
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderdate < DATE '1997-01-01'
+GROUP BY o_orderkey
+"""
+
+
 def ch_aggregate_combinators(spark, sf_dir):
     """ClickHouse -If combinators / uniqExact / notEmpty through the dialect
     layer — forms the reference's grammar rejects but every ClickHouse user
@@ -269,6 +317,9 @@ QUERIES = {
     ),
     "engine_partition_prune": Query(engine_partition_prune, ENGINE_PRUNE_ORACLE, ("engine",)),
     "engine_join_prune": Query(engine_join_prune, ENGINE_JOIN_PRUNE_ORACLE, ("engine",)),
+    "engine_bucketed_join": Query(
+        engine_bucketed_join, ENGINE_BUCKETED_ORACLE, ("engine", "join")
+    ),
     "ch_aggregate_combinators": Query(
         ch_aggregate_combinators, CH_COMBINATORS_ORACLE, ("engine", "dialect")
     ),

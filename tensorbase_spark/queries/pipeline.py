@@ -919,10 +919,12 @@ QUERIES = {
     "dedup_minhash_lsh": Query(dedup_minhash_lsh, None, ("dedup", "approx"), bench=True),
     "dedup_simhash": Query(dedup_simhash, None, ("dedup", "approx")),
     "dedup_ngram_jaccard": Query(dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE, ("dedup",), bench=True),
-    "dedup_embedding_cosine": Query(dedup_embedding_cosine, DEDUP_EMB_ORACLE, ("dedup", "similarity")),
+    "dedup_embedding_cosine": Query(
+        dedup_embedding_cosine, DEDUP_EMB_ORACLE, ("dedup", "similarity"), bench=True
+    ),
     "sim_brute_force_topk": Query(sim_brute_force_topk, SIM_BRUTE_ORACLE, ("similarity",), bench=True),
     "sim_ivf_topk": Query(sim_ivf_topk, None, ("similarity", "approx")),
-    "sim_lsh_topk": Query(sim_lsh_topk, None, ("similarity", "approx")),
+    "sim_lsh_topk": Query(sim_lsh_topk, None, ("similarity", "approx"), bench=True),
     "sim_ivf_full_probe": Query(sim_ivf_full_probe, SIM_BRUTE_ORACLE, ("similarity",)),
     "sim_lsh_full_cover": Query(sim_lsh_full_cover, SIM_BRUTE_ORACLE, ("similarity",)),
     "dedup_minhash_bands_sql": Query(

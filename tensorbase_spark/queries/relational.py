@@ -77,9 +77,15 @@ def q3_shipping_priority(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
     )
+    # Join order matters without CBO: reduce orders by the BUILDING-segment
+    # customers FIRST (5x selectivity), so the side entering the big
+    # lineitem join is as small as possible — at sf0.1 AQE then broadcasts
+    # the reduced orders side and lineitem never shuffles for the join; at
+    # 100 TB it degrades gracefully to the same single orderkey co-shuffle
+    # the naive order pays (r2 verdict #4).
+    ord_cust = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(ord_cust, li.l_orderkey == ord_cust.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))

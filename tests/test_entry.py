@@ -36,9 +36,11 @@ def test_all_queries_return_dataframe(spark):
         assert df.columns, f"{name} returned no columns"
 
 
-def test_read_avro_gated_error(spark):
+def test_read_avro_missing_path_error(spark):
+    """The pure-Python Avro fallback (no spark-avro jar in this build) must
+    fail fast driver-side on a missing path, not ship a doomed job."""
     import pytest
     from tensorbase_spark.sources import external
 
-    with pytest.raises(RuntimeError, match="spark-avro"):
+    with pytest.raises(FileNotFoundError):
         external.read_avro(spark, "/tmp/nonexistent.avro")

@@ -144,3 +144,14 @@ def test_lsh_topk_bucket_equijoin(spark, queries):
     plan = _formatted(spark, queries["sim_lsh_topk"](spark, SF))
     assert re.search(r"keys(?: \[\d+\])?: \[table_idx", plan), plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_zero_exchange(spark, queries):
+    """engine_bucketed_join: both tables bucketed on the join key with equal
+    bucket counts -> SortMergeJoin directly over bucketed scans, and the
+    GROUP BY on the same key reuses the distribution — the WHOLE plan runs
+    with zero Exchange (the co-located-join lever at 100 TB)."""
+    plan = _formatted(spark, queries["engine_bucketed_join"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" in tree
+    assert "Exchange" not in tree, tree
