@@ -133,9 +133,27 @@ def minhash_lsh_pairs(
 
     Pipeline: signatures -> band explode -> bucket self-join (candidates) ->
     verify with exact token-set Jaccard >= threshold.
-    Returns (id_a, id_b, jaccard) with id_a < id_b."""
-    sigs = minhash_signatures(docs, text_col, id_col)
-    bands = sigs.select(
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Signature and verify-set come from ONE Arrow pass (minhash_features),
+    persisted MEMORY_AND_DISK because three plan branches consume it (band
+    explode + both verify joins) — without the persist each branch would
+    re-shingle the corpus.  The persist is the local stand-in for the
+    materialize-features-to-storage step a 100 TB run would do anyway
+    (compare the IVF index in pipeline/similarity.py, which persists its
+    assignments to partitioned parquet)."""
+    from pyspark.storagelevel import StorageLevel
+
+    feats = (
+        _repartitioned(docs, id_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            hashing.minhash_features(F.col(text_col)).alias("ft"),
+        )
+        .select("_id", F.col("ft.sig").alias("sig"), F.col("ft.toks").alias("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands = feats.select(
         "_id", F.posexplode(_band_array(F.col("sig"))).alias("band_idx", "band_hash")
     )
     left = bands.alias("l")
@@ -156,12 +174,8 @@ def minhash_lsh_pairs(
     # collision perturbing a Jaccard count is a ~2^-63-per-pair event.
     # Same UDF family as the signatures, so hash-set Jaccard == string-set
     # Jaccard on everything but astronomically unlikely collisions.
-    tok_sets = _repartitioned(docs, id_col).select(
-        F.col(id_col).alias("_id"),
-        hashing.shingle_hash_set(F.col(text_col)).alias("toks"),
-    )
-    a = tok_sets.select(F.col("_id").alias("id_a"), F.col("toks").alias("toks_a"))
-    b = tok_sets.select(F.col("_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    a = feats.select(F.col("_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    b = feats.select(F.col("_id").alias("id_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size(F.array_union("toks_a", "toks_b"))
     return (

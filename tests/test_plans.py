@@ -128,12 +128,17 @@ def test_join_prune_both_scans_partition_filtered(spark, queries):
 
 
 def test_embedding_near_dup_equijoin(spark, queries):
-    """dedup_embedding_cosine must pair-generate via an equi-join on
-    centroid_id — the corpus never cross-joins itself (VERDICT r1 fix)."""
+    """dedup_embedding_cosine pair-generates per centroid bucket: one
+    corpus shuffle keyed on centroid_id into applyInPandas blocked GEMM —
+    the corpus never cross-joins itself (VERDICT r1 fix; r3 replaced the
+    per-pair equi-join rows with in-bucket GEMM, 11.1 s -> ~1 s at sf0.1)."""
     import re
 
     plan = _formatted(spark, queries["dedup_embedding_cosine"](spark, SF))
-    assert re.search(r"keys(?: \[\d+\])?: \[centroid_id", plan), plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert re.search(r"hashpartitioning\(centroid_id", plan), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_lsh_topk_bucket_equijoin(spark, queries):
