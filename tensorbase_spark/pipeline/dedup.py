@@ -312,7 +312,12 @@ def ngram_jaccard_pairs(
         & (F.abs(F.col("a.nc") - F.col("b.nc")) <= W),  # must equal the bucket width
     ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
 
-    arrays = d.select("doc_id", "bg")
+    # persist: both verify branches need the bigram arrays; without it the
+    # Arrow UDF pass runs twice (the keys/blocking branch never pays it —
+    # Catalyst prunes the unused bg column out of that Project entirely)
+    from pyspark.storagelevel import StorageLevel
+
+    arrays = d.select("doc_id", "bg").persist(StorageLevel.MEMORY_AND_DISK)
     aa = arrays.select(F.col("doc_id").alias("id_a"), F.col("bg").alias("bg_a"))
     bb = arrays.select(F.col("doc_id").alias("id_b"), F.col("bg").alias("bg_b"))
     inter = F.size(F.array_intersect("bg_a", "bg_b"))
