@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tensorbase_spark.pipeline import hashing
 from tensorbase_spark.pipeline.sampling import hash_bucket
 
 
@@ -63,15 +64,6 @@ def cap_per_stratum(
     )
 
 
-def _shingles(text_col: str, n: int) -> F.Column:
-    """Array of md5-hashed word n-grams — built-in HOFs only (JVM-side)."""
-    toks = F.split(F.col(text_col), " ")
-    return F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
-    )
-
-
 def contamination_pairs(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -82,12 +74,19 @@ def contamination_pairs(
 ) -> DataFrame:
     """(benchmark doc, corpus doc, shared n-gram count) for pairs sharing at
     least ``min_shared`` distinct word n-grams — the standard benchmark-
-    decontamination scan.  Only docs with >= n tokens shingle."""
+    decontamination scan.  Only docs with >= n tokens shingle.
+
+    Grams are 64-bit hashes from ONE Arrow-batched pass (the per-doc set is
+    already distinct, so no (doc, gram) distinct shuffle exists at all) —
+    the r2 shape built md5 strings through interpreted transform/slice
+    lambdas and then paid two distinct shuffles: 2.6 s -> 1.2 s at sf0.1
+    for identical shared counts (a hash collision perturbing a count is a
+    ~2^-64-per-pair event; same reasoning as the minhash verify sets)."""
+    gram_udf = hashing.word_ngram_hash_set(n)
+
     def explode_shingles(df: DataFrame, out_key: str) -> DataFrame:
-        return (
-            df.filter(F.size(F.split(F.col(text), " ")) >= n)
-            .select(F.col(key).alias(out_key), F.explode(_shingles(text, n)).alias("gram"))
-            .distinct()
+        return df.select(
+            F.col(key).alias(out_key), F.explode(gram_udf(F.col(text))).alias("gram")
         )
 
     bench_grams = explode_shingles(benchmark, "bench_doc_id")

@@ -152,6 +152,33 @@ def simhash64(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def word_ngram_hash_set(n: int):
+    """Factory: pandas UDF producing the DISTINCT 64-bit hashes of
+    single-space word n-grams per document (empty array below n words) —
+    the same gram definition as the curation oracle's
+    string_split(text, ' ') + array_to_string(w[i:i+n-1], ' ') (split on the
+    literal space KEEPING empties, join with a single space).  Counting
+    shared hashes == counting shared gram strings modulo a ~2^-64-per-pair
+    collision."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def _grams(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            w = (t if t is not None else "").split(" ")
+            if len(w) < n:
+                out.append(np.array([], dtype=np.int64))
+                continue
+            seen = {
+                h64_bytes((" ".join(w[i : i + n])).encode("utf-8", "surrogatepass"))
+                for i in range(len(w) - n + 1)
+            }
+            out.append(np.fromiter(seen, dtype=np.int64))
+        return pd.Series(out)
+
+    return _grams
+
+
 @pandas_udf(ArrayType(LongType()))
 def bigram_hash_set(texts: pd.Series) -> pd.Series:
     """Distinct 64-bit hashes of single-space word bigrams — EXACTLY the

@@ -108,10 +108,18 @@ def test_pack_sequences_one_shuffle(spark, queries):
     assert "EvalPython" not in plan
 
 
-def test_contamination_shingles_jvm_side(spark, queries):
+def test_contamination_shingles_arrow_batched(spark, queries):
+    """Gram hashing is ONE Arrow-batched pass per side (r3: replaced the
+    interpreted transform/slice/md5 lambdas AND both (doc, gram) distinct
+    shuffles — the per-doc hash set is already distinct); no row-at-a-time
+    Python anywhere; the benchmark side broadcasts."""
     plan = _formatted(spark, queries["corpus_contamination_scan"](spark, SF))
-    assert "EvalPython" not in plan  # transform/slice/md5 stay in codegen
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # benchmark side broadcast
+    tree = plan.split("\n\n")[0]
+    # no distinct shuffles left: the only Exchange feeds the final groupBy
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") <= 1
 
 
 def test_join_prune_both_scans_partition_filtered(spark, queries):
