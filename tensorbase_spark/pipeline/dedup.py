@@ -256,18 +256,29 @@ def ngram_jaccard_pairs(
     lang_col: str = "lang",
     threshold: float = 0.6,
 ) -> DataFrame:
-    """Exact word-bigram Jaccard near-dup pairs with deterministic blocking
-    (same lang, |n_chars| within 20) — fully SQL-expressible, so this one has
-    a DuckDB oracle.
+    """Exact word-bigram Jaccard near-dup pairs over (same lang, |n_chars|
+    within 20) — fully SQL-expressible, so this one has a DuckDB oracle.
 
-    Blocking is (lang, length-bucket): a candidate pair within +/-20 chars
-    always lands in the same or adjacent W=20 buckets, so the left side
-    explodes to {b-1, b, b+1} and the join is EQUI on (lang, bucket) — a
-    shuffled hash join whose key cardinality is n_langs * n_buckets, not
-    n_langs.  (Joining on lang alone degenerates into a per-lang all-pairs
-    cross product on ~5 partitions — quadratic AND serial at scale.)
-    Each pair matches exactly once because the right side keeps a single
-    bucket value."""
+    Candidate generation is PREFIX FILTERING (SSJoin/Bayardo): under any
+    global total order on grams, two sets with J >= t MUST share an element
+    inside each one's prefix of the floor((1-t)*|S|)+1 smallest grams —
+    if the smallest shared gram x were outside A's prefix, A would hold
+    >= floor((1-t)|A|)+1 grams smaller than x and disjoint from B, forcing
+    J < t.  So candidates come from an equi-join on the exploded prefix
+    grams (64-bit hash order), which is similarity-aware: candidate volume
+    tracks the corpus's actual shared-phrase density, not its size.  The
+    r2 length-bucket blocking this replaces ((lang, 20-char bucket)
+    equi-join) was quadratic in corpus size whenever lengths concentrate —
+    a 10x corpus with 1x duplicate density took ~100x candidate pairs
+    (measured 51 s vs ~9 s for this plan; PLANS.md §8).  At sf0.1 the
+    prefix join is ~3x slower than the blocking join was (4 s vs 1.3 s:
+    the fixture's template-generated docs share many phrases, so ~150k
+    candidate pairs genuinely share rare grams) — the constant is paid for
+    an asymptotic class.  The cheap (lang, +/-20 chars) predicates ride
+    along as join residuals, preserving the operator's documented pair
+    domain and its oracle.  (df-ascending gram order — textbook ppjoin —
+    was measured and cut candidates by only 3% on this corpus while adding
+    two shuffles; hash order keeps the plan two stages shorter.)"""
     from tensorbase_spark.session import default_parallelism
 
     W = 20
@@ -279,11 +290,19 @@ def ngram_jaccard_pairs(
     # come from an Arrow-batched UDF (pipeline/hashing.py) rather than
     # split+zip_with+xxhash64 Column expressions: higher-order functions are
     # CodegenFallback and their interpreted eval destabilized the whole JVM.
-    bucket = F.floor(F.col(n_chars_col) / W).cast("long")
-    d = docs.repartition(default_parallelism(), F.col("doc_id")).select(
-        F.col("doc_id"), F.col(lang_col).alias("lang"),
-        F.col(n_chars_col).alias("nc"),
-        hashing.bigram_hash_set(F.col("text")).alias("bg"), bucket.alias("bk"),
+    # persist: the prefix branch AND both verify branches consume the
+    # bigram arrays — one Arrow pass total, cached MEMORY_AND_DISK (the
+    # local stand-in for materializing features once at 100 TB)
+    from pyspark.storagelevel import StorageLevel
+
+    d = (
+        docs.repartition(default_parallelism(), F.col("doc_id"))
+        .select(
+            F.col("doc_id"), F.col(lang_col).alias("lang"),
+            F.col(n_chars_col).alias("nc"),
+            hashing.bigram_hash_set(F.col("text")).alias("bg"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # Two phases, like minhash_lsh_pairs: (1) candidate pairs from the CHEAP
@@ -295,29 +314,29 @@ def ngram_jaccard_pairs(
     # slower (every key-equal pair paid two array ops).  In the id-equi
     # verify joins the pushed-in predicate only ever sees true candidate
     # pairs, which is exactly the work the operator must do.
-    keys = d.select("doc_id", "lang", "nc", "bk")
-    a_keys = keys.select(
-        F.col("doc_id"), F.col("lang"), F.col("nc"),
-        F.explode(F.array(F.col("bk") - 1, F.col("bk"), F.col("bk") + 1)).alias("bk"),
+    # prefix of the floor((1-t)*|bg|)+1 smallest gram hashes per doc; the
+    # join key is the single gram hash (high cardinality, clean shuffle)
+    plen = (F.floor(F.size("bg") * F.lit(1.0 - threshold)) + 1).cast("int")
+    pref = d.select(
+        "doc_id", "lang", "nc",
+        F.explode(F.slice(F.array_sort("bg"), F.lit(1), plen)).alias("gram"),
     )
-    # Explicit repartition: the fixture is one parquet file (one scan task);
-    # without this the blocking join runs serially regardless of cluster width.
-    a_keys = a_keys.repartition(default_parallelism(), F.col("lang"), F.col("bk")).alias("a")
-    b_keys = keys.alias("b")
-    cand = a_keys.join(
-        b_keys,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.bk") == F.col("b.bk"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.abs(F.col("a.nc") - F.col("b.nc")) <= W),  # must equal the bucket width
-    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    a_keys = pref.alias("a")
+    b_keys = pref.alias("b")
+    cand = (
+        a_keys.join(
+            b_keys,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.abs(F.col("a.nc") - F.col("b.nc")) <= W),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        # a pair can share several prefix grams; verify each pair once
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
-    # persist: both verify branches need the bigram arrays; without it the
-    # Arrow UDF pass runs twice (the keys/blocking branch never pays it —
-    # Catalyst prunes the unused bg column out of that Project entirely)
-    from pyspark.storagelevel import StorageLevel
-
-    arrays = d.select("doc_id", "bg").persist(StorageLevel.MEMORY_AND_DISK)
+    arrays = d.select("doc_id", "bg")
     aa = arrays.select(F.col("doc_id").alias("id_a"), F.col("bg").alias("bg_a"))
     bb = arrays.select(F.col("doc_id").alias("id_b"), F.col("bg").alias("bg_b"))
     inter = F.size(F.array_intersect("bg_a", "bg_b"))
