@@ -270,15 +270,17 @@ def ngram_jaccard_pairs(
     r2 length-bucket blocking this replaces ((lang, 20-char bucket)
     equi-join) was quadratic in corpus size whenever lengths concentrate —
     a 10x corpus with 1x duplicate density took ~100x candidate pairs
-    (measured 51 s vs ~9 s for this plan; PLANS.md §8).  At sf0.1 the
-    prefix join is ~3x slower than the blocking join was (4 s vs 1.3 s:
-    the fixture's template-generated docs share many phrases, so ~150k
-    candidate pairs genuinely share rare grams) — the constant is paid for
-    an asymptotic class.  The cheap (lang, +/-20 chars) predicates ride
-    along as join residuals, preserving the operator's documented pair
-    domain and its oracle.  (df-ascending gram order — textbook ppjoin —
-    was measured and cut candidates by only 3% on this corpus while adding
-    two shuffles; hash order keeps the plan two stages shorter.)"""
+    (measured 51 s vs 6.3 s for this plan; PLANS.md §8).  The ppjoin
+    POSITIONAL filter then prunes candidates before the verify joins (the
+    fixture's template docs share many phrases, so ~150k pairs share a
+    rare prefix gram; the rank bound keeps only pairs that can still reach
+    the threshold — measured 4.1 s -> 1.7 s at sf0.1, within noise of the
+    old blocking join while scaling an asymptotic class better).  The
+    cheap (lang, +/-20 chars) predicates ride along as join residuals,
+    preserving the operator's documented pair domain and its oracle.
+    (df-ascending gram order — the other half of textbook ppjoin — was
+    measured and cut candidates by only 3% on this corpus while adding two
+    shuffles; hash order keeps the plan two stages shorter.)"""
     from tensorbase_spark.session import default_parallelism
 
     W = 20
@@ -315,14 +317,25 @@ def ngram_jaccard_pairs(
     # verify joins the pushed-in predicate only ever sees true candidate
     # pairs, which is exactly the work the operator must do.
     # prefix of the floor((1-t)*|bg|)+1 smallest gram hashes per doc; the
-    # join key is the single gram hash (high cardinality, clean shuffle)
+    # join key is the single gram hash (high cardinality, clean shuffle).
+    # posexplode keeps each gram's RANK in the full sorted set for the
+    # positional filter below.
     plen = (F.floor(F.size("bg") * F.lit(1.0 - threshold)) + 1).cast("int")
     pref = d.select(
-        "doc_id", "lang", "nc",
-        F.explode(F.slice(F.array_sort("bg"), F.lit(1), plen)).alias("gram"),
+        "doc_id", "lang", "nc", F.size("bg").alias("sz"),
+        F.posexplode(F.slice(F.array_sort("bg"), F.lit(1), plen)).alias("pos", "gram"),
     )
     a_keys = pref.alias("a")
     b_keys = pref.alias("b")
+    # Positional filter (ppjoin): the pair's smallest shared gram x (= the
+    # min observed rank on BOTH sides, since rank order == gram order)
+    # bounds the intersection: |A∩B| <= min(|A|-rank_A(x), |B|-rank_B(x)),
+    # while J >= t forces |A∩B| >= t(|A|+|B|)/(1+t).  Pairs failing the
+    # bound can't reach the threshold and never enter the verify joins —
+    # the pair groupBy replaces the dedup shuffle, so this costs nothing.
+    # (+1e-9 slack: a float-inexact threshold must never drop a boundary
+    # pair; a false keep just pays one verify row.)
+    req = F.lit(threshold / (1.0 + threshold)) * (F.col("sza") + F.col("szb"))
     cand = (
         a_keys.join(
             b_keys,
@@ -331,9 +344,19 @@ def ngram_jaccard_pairs(
             & (F.col("a.lang") == F.col("b.lang"))
             & (F.abs(F.col("a.nc") - F.col("b.nc")) <= W),
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        # a pair can share several prefix grams; verify each pair once
-        .dropDuplicates(["id_a", "id_b"])
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(
+            F.min("a.pos").alias("mpa"), F.min("b.pos").alias("mpb"),
+            F.min("a.sz").alias("sza"), F.min("b.sz").alias("szb"),
+        )
+        .filter(
+            F.least(F.col("sza") - F.col("mpa"), F.col("szb") - F.col("mpb"))
+            + F.lit(1e-9)
+            >= req
+        )
+        .select("id_a", "id_b")
     )
 
     arrays = d.select("doc_id", "bg")
