@@ -106,8 +106,10 @@ PRIORITY_HEAD = [
     "ch_cast_multiif",
     # the last §2.2 partial closed: pure-Python Avro codec, distributed
     "avro_ingest_roundtrip",
-    # new r3: zero-Exchange co-located join via SETTINGS bucket_by
+    # new r3: zero-Exchange co-located join via SETTINGS bucket_by; the
+    # meta-DDL lifecycle (CREATE/INSERT/OPTIMIZE SORT BY/DESC) hash row
     "engine_bucketed_join",
+    "engine_meta_lifecycle",
     # new oracle-backed companions for the approximate families
     "sim_ivf_full_probe", "sim_lsh_full_cover", "dedup_minhash_bands_sql",
     "dedup_simhash_fp_sql", "agg_approx_distinct_check",

@@ -145,6 +145,63 @@ GROUP BY year(o.o_orderdate)*100 + month(o.o_orderdate)
 """
 
 
+def engine_meta_lifecycle(spark, sf_dir):
+    """The meta-DDL lifecycle the reference drives over its wire protocol
+    (sanity_checks.rs): CREATE TABLE (partitioned) -> INSERT SELECT ->
+    OPTIMIZE TABLE ... SORT BY (real compaction rewrite, engine.py
+    _optimize) -> DESC TABLE -> aggregate read-back — one driver-hashable
+    result proving DESC reports the declared BQL schema AND the compaction
+    preserved every row.  Output is (item, value): one 'col:<name>:<type>'
+    row per DESC entry (value NULL) plus numeric summary rows; numbers stay
+    DOUBLE so no engine-specific float-to-string formatting enters the
+    hash."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "meta")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("meta_src")
+    eng.sql(
+        "create table ml_ord(ok Int64, od Date, status String, total Float64) "
+        "partition by toYYYYMM(od)"
+    )
+    eng.sql(
+        "insert into ml_ord select o_orderkey, o_orderdate, o_orderstatus, "
+        "o_totalprice from meta_src where o_orderdate < '1996-01-01'"
+    )
+    eng.sql("optimize table ml_ord sort by ok")
+
+    from pyspark.sql import functions as F
+
+    desc = eng.sql("desc table ml_ord").select(
+        F.concat_ws(":", F.lit("col"), F.col("col_name"), F.col("data_type")).alias("item"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    summary = eng.sql(
+        "select count(*) as n, min(ok) as mn, max(ok) as mx, "
+        "round(sum(total), 2) as s from ml_ord"
+    )
+    melted = summary.selectExpr(
+        "stack(4, 'n', cast(n as double), 'min_ok', cast(mn as double), "
+        "'max_ok', cast(mx as double), 'sum_total', s) as (item, value)"
+    )
+    return desc.unionAll(melted)
+
+
+ENGINE_META_ORACLE = """
+SELECT 'col:ok:bigint' AS item, CAST(NULL AS DOUBLE) AS value
+UNION ALL SELECT 'col:od:date', NULL
+UNION ALL SELECT 'col:status:string', NULL
+UNION ALL SELECT 'col:total:double', NULL
+UNION ALL
+SELECT item, value FROM (
+  SELECT unnest(['n', 'min_ok', 'max_ok', 'sum_total']) AS item,
+         unnest([CAST(count(*) AS DOUBLE), CAST(min(o_orderkey) AS DOUBLE),
+                 CAST(max(o_orderkey) AS DOUBLE),
+                 round(sum(o_totalprice), 2)]) AS value
+  FROM orders WHERE o_orderdate < DATE '1996-01-01'
+)
+"""
+
+
 def engine_bucketed_join(spark, sf_dir):
     """SETTINGS bucket_by/buckets -> Spark bucketed tables: two tables
     bucketed on the join key with the same bucket count join with ZERO
@@ -319,6 +376,9 @@ QUERIES = {
     "engine_join_prune": Query(engine_join_prune, ENGINE_JOIN_PRUNE_ORACLE, ("engine",)),
     "engine_bucketed_join": Query(
         engine_bucketed_join, ENGINE_BUCKETED_ORACLE, ("engine", "join")
+    ),
+    "engine_meta_lifecycle": Query(
+        engine_meta_lifecycle, ENGINE_META_ORACLE, ("engine", "ddl")
     ),
     "ch_aggregate_combinators": Query(
         ch_aggregate_combinators, CH_COMBINATORS_ORACLE, ("engine", "dialect")
