@@ -522,7 +522,7 @@ _INSERT_REMOTE_RE = re.compile(
 )
 _INSERT_RE = re.compile(
     r"^insert\s+into\s+(?P<name>[A-Za-z_][A-Za-z0-9_.]*)\s*(?:\((?P<cols>[^)]*)\)\s*)?"
-    r"(?P<rest>values\s+.*|select\s+.*|format\s+csv\s+.*)$",
+    r"(?P<rest>values\s+.*|select\s+.*|format\s+\w+\s+.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -844,9 +844,36 @@ class TensorBaseEngine:
             src = self.spark.sql(f"SELECT * FROM {rest}")
         elif low.startswith("select"):
             src = self.spark.sql(self._translate_query(rest))
-        else:  # FORMAT CSV 'path'
-            path = rest.split(None, 2)[2].strip().strip("'\"")
-            src = self.spark.read.csv(path, header=False, inferSchema=False)
+        else:  # FORMAT <Name> 'path'
+            toks = rest.split(None, 2)
+            fmt = toks[1].lower()
+            path = toks[2].strip().strip("'\"")
+            if fmt == "csv":
+                src = self.spark.read.csv(path, header=False, inferSchema=False)
+            elif fmt in ("jsoneachrow", "ndjson"):
+                # JSONEachRow carries field NAMES (upstream-ClickHouse
+                # format; the fork's grammar stops at CSV — dialect
+                # superset): read with the TARGET schema so field order in
+                # the file is irrelevant, then project positionally for
+                # insert_df.
+                from pyspark.sql import types as T
+
+                schema = [
+                    f for f in self.spark.table(name).schema.fields
+                    if f.name != PTK_COL
+                ]
+                tgt = subset or [f.name for f in schema]
+                by_name = {f.name: f for f in schema}
+                missing = [n for n in tgt if n not in by_name]
+                if missing:
+                    raise ValueError(f"unknown insert columns: {missing}")
+                st = T.StructType([by_name[n] for n in tgt])
+                src = self.spark.read.schema(st).json(path).select(*tgt)
+            else:
+                raise ValueError(
+                    f"INSERT FORMAT {toks[1]}: supported formats are CSV "
+                    "and JSONEachRow"
+                )
         return self.insert_df(name, src, subset or None)
 
     def _bql_cols_for(self, name: str) -> dict:

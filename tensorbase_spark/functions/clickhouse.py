@@ -336,6 +336,9 @@ CH_SQL_TEMPLATES.update(
         "minif": "min(if({1}, {0}, null))",
         "maxif": "max(if({1}, {0}, null))",
         "uniq": "approx_count_distinct({0})",
+        "uniqcombined": "approx_count_distinct({0})",
+        "uniqcombined64": "approx_count_distinct({0})",
+        "uniqhll12": "approx_count_distinct({0})",
         "uniqexact": "count(distinct {0})",
         "arrayjoin": "explode({0})",
         "empty": "(char_length({0}) = 0)",

@@ -526,3 +526,25 @@ def test_ch_clause_tolerance(engine):
     assert engine.sql(
         "select count(*) as n from ct where b != 'format csv'"
     ).collect()[0].n == 4
+
+
+def test_insert_jsoneachrow_format(engine, tmp_path):
+    """INSERT ... FORMAT JSONEachRow (upstream-CH format, dialect superset):
+    fields match by NAME against the target schema, so file field order is
+    irrelevant and extra fields are ignored."""
+    p = tmp_path / "in.ndjson"
+    p.write_text(
+        '{"s": "alpha", "k": 1}\n'
+        '{"k": 2, "s": "beta", "extra": true}\n'
+        '{"k": 3, "s": "gamma"}\n'
+    )
+    engine.sql("create table js(k Int32, s String)")
+    engine.sql(f"insert into js format JSONEachRow '{p}'")
+    rows = {(r.k, r.s) for r in engine.sql("select k, s from js").collect()}
+    assert rows == {(1, "alpha"), (2, "beta"), (3, "gamma")}
+
+
+def test_insert_unknown_format_rejected(engine, tmp_path):
+    engine.sql("create table uf(k Int32)")
+    with pytest.raises(ValueError, match="supported formats"):
+        engine.sql(f"insert into uf format Parquet '{tmp_path}/x'")

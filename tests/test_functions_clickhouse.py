@@ -177,3 +177,18 @@ def test_dialect_median(spark):
         "from values (1.0), (2.0), (3.0), (10.0) as t(x)"
     )).collect()[0]
     assert row.m == 2.5 and row.me == 2.5
+
+
+def test_dialect_uniq_family_aliases(spark):
+    """uniqCombined/uniqCombined64/uniqHLL12 all rewrite to
+    approx_count_distinct, uniqExact to exact count distinct — upstream-CH
+    spellings over a 3-distinct-value column give the exact answer at this
+    cardinality (HLL error ~0 for tiny sets)."""
+    from tensorbase_spark.engine import translate_sql
+
+    spark.range(100).selectExpr("id % 3 AS v").createOrReplaceTempView("uqv")
+    row = spark.sql(translate_sql(
+        "select uniq(v) as u, uniqCombined(v) as uc, uniqCombined64(v) as uc64, "
+        "uniqHLL12(v) as uh, uniqExact(v) as ue from uqv"
+    )).collect()[0]
+    assert (row.u, row.uc, row.uc64, row.uh, row.ue) == (3, 3, 3, 3, 3)
