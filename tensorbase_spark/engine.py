@@ -142,6 +142,185 @@ def _preprocess_ch_clauses(sql: str) -> str:
     return out
 
 
+_ARRAY_JOIN_RE = re.compile(r"(?is)\b(left\s+)?array\s+join\b")
+_AJ_CLAUSE_END_RE = re.compile(
+    r"(?is)\b(where|prewhere|group\s+by|having|order\s+by|limit|union|"
+    r"settings|format|inner\s+join|left\s+join|right\s+join|full\s+join|"
+    r"cross\s+join|join|lateral)\b"
+)
+
+
+def _scan_depth0(sql: str, start: int, match_fn):
+    """Walk ``sql`` from ``start`` at paren-depth 0 (strings and
+    parenthesized groups skipped whole); return the first regex match the
+    callable yields, or None."""
+    i, n = start, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in "'\"":
+            j = i + 1
+            while j < n and sql[j] != ch:
+                j += 1
+            i = j + 1
+            continue
+        if ch == "(":
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if sql[j] in "'\"":
+                    q = sql[j]
+                    j += 1
+                    while j < n and sql[j] != q:
+                        j += 1
+                elif sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                j += 1
+            i = j
+            continue
+        m = match_fn(sql, i)
+        if m:
+            return m
+        i += 1
+    return None
+
+
+def _replace_ident_outside_subqueries(sql: str, ident: str, repl: str) -> str:
+    """Replace bare (unqualified, non-call) references to ``ident`` with
+    ``repl`` everywhere except inside string literals and inside
+    subqueries — ClickHouse's unaliased ``ARRAY JOIN arr`` shadows the
+    array column ``arr`` throughout the enclosing query only."""
+    pat = re.compile(rf"(?is)(?<![\w.$]){re.escape(ident)}(?![\w.$])(?!\s*\()")
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in "'\"":
+            j = i + 1
+            while j < n and sql[j] != ch:
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            # peek: subquery gets copied verbatim, plain group is scanned
+            k = i + 1
+            while k < n and sql[k] in " \t\r\n":
+                k += 1
+            if re.match(r"(?is)(select|with)\b", sql[k:] or ""):
+                depth, j = 1, i + 1
+                while j < n and depth:
+                    if sql[j] in "'\"":
+                        q = sql[j]
+                        j += 1
+                        while j < n and sql[j] != q:
+                            j += 1
+                    elif sql[j] == "(":
+                        depth += 1
+                    elif sql[j] == ")":
+                        depth -= 1
+                    j += 1
+                out.append(sql[i:j])
+                i = j
+                continue
+            out.append(ch)
+            i += 1
+            continue
+        m = pat.match(sql, i)
+        if m:
+            out.append(repl)
+            i = m.end()
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _split_alias(item: str):
+    """'expr AS alias' | 'expr alias'? -> (expr, alias|None); only the
+    trailing depth-0 AS is an alias."""
+    m = re.match(r"(?is)^(.*?)\s+as\s+([A-Za-z_]\w*)\s*$", item)
+    if m and m.group(1).count("(") == m.group(1).count(")"):
+        return m.group(1).strip(), m.group(2)
+    return item.strip(), None
+
+
+def _rewrite_array_join(sql: str) -> str:
+    """ClickHouse ``[LEFT] ARRAY JOIN item [, item ...]`` clause ->
+    Spark ``LATERAL VIEW [OUTER] explode/inline``.
+
+    The reference's grammar has no ARRAY JOIN (bql.pest); this is the
+    upstream-ClickHouse clause, part of the dialect-superset surface like
+    LIMIT BY.  Semantics mapping:
+
+    - one item       -> ``LATERAL VIEW explode(expr) __ajt AS alias``
+    - k items        -> ``LATERAL VIEW inline(arrays_zip(e1..ek)) __ajt AS
+      a1..ak`` (ClickHouse walks the arrays in lockstep; arrays_zip
+      NULL-pads ragged lengths where ClickHouse errors)
+    - LEFT variant   -> ``LATERAL VIEW OUTER`` (empty/NULL array keeps the
+      row; the exploded value is NULL — ClickHouse emits the type's default
+      value there, NULL is the honest Spark spelling)
+    - an unaliased bare-identifier item (``ARRAY JOIN arr``) shadows the
+      source column per ClickHouse scoping: references to ``arr`` in the
+      enclosing query (not in subqueries) rebind to the exploded value and
+      the output column keeps the name ``arr``.
+    """
+    m = _scan_depth0(sql, 0, _ARRAY_JOIN_RE.match)
+    if m is None:
+        return sql
+    is_left = bool(m.group(1))
+    em = _scan_depth0(sql, m.end(), _AJ_CLAUSE_END_RE.match)
+    end = em.start() if em else len(sql)
+    items = _split_depth0(sql[m.end() : end])
+    if not items:
+        raise ValueError("ARRAY JOIN: empty item list")
+    exprs, aliases, bare_renames = [], [], []
+    for k, it in enumerate(items):
+        expr, alias = _split_alias(it)
+        if alias is None:
+            if re.match(r"(?is)^[A-Za-z_]\w*$", expr):
+                # unaliased bare column: shadow it (CH scoping)
+                alias = f"__aj{k}"
+                bare_renames.append((expr, alias))
+            else:
+                raise ValueError(
+                    f"ARRAY JOIN item {expr!r} needs an AS alias (only a "
+                    "bare array column can shadow its own name)"
+                )
+        exprs.append(expr)
+        aliases.append(alias)
+    outer = "OUTER " if is_left else ""
+    if len(exprs) == 1:
+        lateral = f" LATERAL VIEW {outer}explode({exprs[0]}) __ajt AS {aliases[0]} "
+    else:
+        lateral = (
+            f" LATERAL VIEW {outer}inline(arrays_zip({', '.join(exprs)})) "
+            f"__ajt AS {', '.join(aliases)} "
+        )
+    head, tail = sql[: m.start()], sql[end:]
+    if bare_renames:
+        for ident, alias in bare_renames:
+            new_head = _replace_ident_outside_subqueries(head, ident, alias)
+            # select-list items that are exactly the bare ident keep the
+            # user-visible column name: `arr` -> `__aj0 AS arr`
+            sm = re.match(r"(?is)^(\s*select\s+(?:distinct\s+)?)(.*)$", new_head, re.DOTALL)
+            fm = re.search(r"(?is)\bfrom\b", new_head) if sm else None
+            if sm and fm and fm.start() >= sm.end(1):
+                lead = sm.group(1)
+                body, rest = new_head[sm.end(1) : fm.start()], new_head[fm.start() :]
+                parts = [
+                    f"{p.strip()} AS {ident}"
+                    if p.strip().lower() == alias.lower()
+                    else p.strip()
+                    for p in _split_depth0(body)
+                ]
+                new_head = lead + ", ".join(parts) + " " + rest
+            head = new_head
+            tail = _replace_ident_outside_subqueries(tail, ident, alias)
+    # recurse: ClickHouse allows at most one ARRAY JOIN clause, but the
+    # rewrite is cheap to re-check and idempotent on the emitted text
+    return _rewrite_array_join(head.rstrip() + lateral + tail.lstrip())
+
+
 _LIMIT_BY_RE = re.compile(r"(?is)\blimit\s+(\d+)\s+by\s+")
 
 
@@ -577,7 +756,7 @@ class TensorBaseEngine:
     def sql(self, command: str) -> DataFrame:
         c = command.strip().rstrip(";").strip()
         if re.match(r"(?is)^(select|with|explain)\b", c):
-            c = _preprocess_ch_clauses(c).strip()
+            c = _rewrite_array_join(_preprocess_ch_clauses(c)).strip()
         low = c.lower()
 
         if low.startswith("create database"):

@@ -159,6 +159,30 @@ FROM documents WHERE doc_id < 50
 
 
 
+def ch_array_join_clause(spark, sf_dir):
+    """ClickHouse ARRAY JOIN clause (upstream-CH; the fork's grammar has no
+    ARRAY JOIN) -> LATERAL VIEW explode.  The explode happens map-side —
+    no extra shuffle beyond the final GROUP BY, so at 100 TB the plan is
+    scan -> generate -> partial agg -> exchange(tok) -> final agg."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_aj")
+    return eng.sql(
+        "select tok, count(*) as n, sum(modulo(o_orderkey, 100)) as s "
+        "from ord_aj array join splitByChar('-', o_orderpriority) as tok "
+        "where o_orderkey < 5000 group by tok"
+    )
+
+
+CH_ARRAY_JOIN_ORACLE = """
+SELECT u.tok                                   AS tok,
+       count(*)                                AS n,
+       CAST(sum(o_orderkey % 100) AS BIGINT)   AS s
+FROM orders, UNNEST(string_split(o_orderpriority, '-')) AS u(tok)
+WHERE o_orderkey < 5000
+GROUP BY u.tok
+"""
+
+
 def ch_limit_by(spark, sf_dir):
     """ClickHouse LIMIT n BY cols (top-n-per-group as a clause): the 2
     highest-value orders per priority.  The engine rewrites the clause into
@@ -191,4 +215,7 @@ QUERIES = {
     "ch_minute_buckets": Query(ch_minute_buckets, CH_MINUTE_BUCKETS_ORACLE, ("dialect", "datetime")),
     "ch_split_pad": Query(ch_split_pad, CH_SPLIT_PAD_ORACLE, ("dialect", "string")),
     "ch_limit_by": Query(ch_limit_by, CH_LIMIT_BY_ORACLE, ("dialect", "clause")),
+    "ch_array_join_clause": Query(
+        ch_array_join_clause, CH_ARRAY_JOIN_ORACLE, ("dialect", "clause", "array")
+    ),
 }

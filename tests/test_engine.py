@@ -548,3 +548,35 @@ def test_insert_unknown_format_rejected(engine, tmp_path):
     engine.sql("create table uf(k Int32)")
     with pytest.raises(ValueError, match="supported formats"):
         engine.sql(f"insert into uf format Parquet '{tmp_path}/x'")
+
+
+def test_array_join_clause_forms(engine):
+    """ClickHouse ARRAY JOIN -> LATERAL VIEW: aliased expr, multi-array
+    lockstep (zip), LEFT (row kept, NULL value), and the unaliased bare
+    column that shadows its own name through the enclosing query."""
+    engine.spark.sql(
+        "select 1 as k, array(1,2) as xs, array('a','b') as ys, "
+        "'p-q' as s, array(7,8,7) as arr"
+    ).createOrReplaceTempView("aj_t")
+    eng = engine
+    rows = eng.sql(
+        "select k, w from aj_t array join splitByChar('-', s) as w"
+    ).collect()
+    assert {(r.k, r.w) for r in rows} == {(1, "p"), (1, "q")}
+    rows = eng.sql(
+        "select k, a, b from aj_t array join xs as a, ys as b"
+    ).collect()
+    assert {(r.a, r.b) for r in rows} == {(1, "a"), (2, "b")}
+    engine.spark.sql("select 3 as k, array() as xs").createOrReplaceTempView("aj_e")
+    rows = eng.sql("select k, x from aj_e left array join xs as x").collect()
+    assert [(r.k, r.x) for r in rows] == [(3, None)]
+    rows = eng.sql(
+        "select arr, count(*) as n from aj_t array join arr "
+        "group by arr order by arr"
+    ).collect()
+    assert [(r.arr, r.n) for r in rows] == [(7, 2), (8, 1)]
+
+
+def test_array_join_requires_alias_for_exprs(engine):
+    with pytest.raises(ValueError, match="needs an AS alias"):
+        engine.sql("select 1 from aj_t array join splitByChar('-', s)")
