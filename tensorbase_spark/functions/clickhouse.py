@@ -661,3 +661,102 @@ CH_SQL_TEMPLATES.update(
         "concatwithseparator": lambda args: f"concat_ws({', '.join(args)})",
     }
 )
+
+
+def _regex_group_idx(re_lit: str) -> int:
+    """ClickHouse extract/extractAll return capture group 1 when the pattern
+    has one, else the whole match.  For a string-literal pattern, detect an
+    unescaped capturing '(' (not '(?:' / '(?=' / '(?!' / '(?<'); non-literal
+    patterns default to group 1 (the common CH usage)."""
+    s = re_lit.strip()
+    if not (s.startswith("'") and s.endswith("'")):
+        return 1
+    body, i = s[1:-1], 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "(" and not body.startswith("(?", i):
+            return 1
+        i += 1
+    return 0
+
+
+def _extract_sql(args: list[str]) -> str:
+    # standard-SQL EXTRACT(field FROM ts) shares the name: one argument
+    # containing a FROM keyword passes through untouched
+    if len(args) != 2:
+        return f"extract({', '.join(args)})"
+    return f"regexp_extract({args[0]}, {args[1]}, {_regex_group_idx(args[1])})"
+
+
+def _extractall_sql(args: list[str]) -> str:
+    return f"regexp_extract_all({args[0]}, {args[1]}, {_regex_group_idx(args[1])})"
+
+
+def _replaceone_sql(args: list[str]) -> str:
+    # first literal occurrence only; Spark's replace/regexp_replace are
+    # replace-all, so splice around locate()
+    h, p, r = args
+    return (
+        f"(case when locate({p}, {h}) = 0 then {h} "
+        f"else concat(substring({h}, 1, locate({p}, {h}) - 1), {r}, "
+        f"substring({h}, locate({p}, {h}) + char_length({p}))) end)"
+    )
+
+
+# String replace/extract family + whitespace split (upstream-CH spellings;
+# the fork only carries DataFusion's regexp_match/regexp_replace,
+# SURVEY §2.6a — dialect superset, all codegen'd built-ins).
+CH_SQL_TEMPLATES.update(
+    {
+        "replaceall": "replace({0}, {1}, {2})",
+        "replaceone": _replaceone_sql,
+        "replaceregexpall": "regexp_replace({0}, {1}, {2})",
+        "extract": _extract_sql,
+        "extractall": _extractall_sql,
+        "countmatches": "size(regexp_extract_all({0}, {1}, 0))",
+        "splitbywhitespace": "filter(split({0}, '\\\\s+'), x -> x != '')",
+        "substringindex": "substring_index({0}, {1}, {2})",
+    }
+)
+
+# Statistical aggregates (upstream-CH camelCase; the fork's aggregates.rs
+# stops at count/sum/min/max/avg).  Spark's skewness/kurtosis are the
+# POPULATION central-moment forms; CH kurtPop is Pearson (non-excess)
+# kurtosis, hence the +3 shift.
+CH_SQL_TEMPLATES.update(
+    {
+        "stddevpop": "stddev_pop({0})",
+        "stddevsamp": "stddev_samp({0})",
+        "varpop": "var_pop({0})",
+        "varsamp": "var_samp({0})",
+        "covarpop": "covar_pop({0}, {1})",
+        "covarsamp": "covar_samp({0}, {1})",
+        "skewpop": "skewness({0})",
+        "kurtpop": "(kurtosis({0}) + 3)",
+    }
+)
+
+# Array set/structure ops beyond the HOF tiers.
+CH_SQL_TEMPLATES.update(
+    {
+        "arrayintersect": "array_intersect({0}, {1})",
+        "hasall": "forall({1}, __v -> array_contains({0}, __v))",
+        "hasany": "arrays_overlap({0}, {1})",
+        # dedupe CONSECUTIVE duplicates (keeps first of each run)
+        "arraycompact": (
+            "filter({0}, (__v, __i) -> __i = 0 "
+            "or not (__v <=> element_at({0}, __i)))"
+        ),
+        "arraypopback": "slice({0}, 1, greatest(size({0}) - 1, 0))",
+        "arraypopfront": "(case when size({0}) <= 1 then slice({0}, 1, 0) "
+                         "else slice({0}, 2, size({0}) - 1) end)",
+        # 3-arg form: arrayResize(arr, n, fill)
+        "arrayresize": (
+            "(case when size({0}) >= {1} then slice({0}, 1, {1}) "
+            "else concat({0}, array_repeat({2}, {1} - size({0}))) end)"
+        ),
+    }
+)

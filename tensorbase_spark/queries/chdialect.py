@@ -159,6 +159,120 @@ FROM documents WHERE doc_id < 50
 
 
 
+def ch_string_replace_extract(spark, sf_dir):
+    """replaceAll/replaceOne/replaceRegexpAll/extract/extractAll/
+    countMatches/splitByWhitespace/substringIndex — the string-munging tier
+    above the fork's regexp_match/regexp_replace (SURVEY §2.6a)."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("doc_repl")
+    return eng.sql(
+        "select doc_id, "
+        "replaceAll(substringIndex(text, ' ', 3), 'e', '3') as leet3, "
+        "replaceOne(substringIndex(text, ' ', 2), ' ', ':') as joined2, "
+        "extract(text, '^([a-z]+)') as first_word, "
+        "countMatches(text, '[aeiou]+') as n_vowel_runs, "
+        "arrayUniq(splitByWhitespace(text)) as n_uniq_ws, "
+        "replaceRegexpAll(substringIndex(text, ' ', 2), '[aeiou]', '_') as devowel2 "
+        "from doc_repl where doc_id < 60"
+    )
+
+
+CH_STRING_REPLACE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text,
+         array_to_string(string_split(text, ' ')[1:3], ' ') AS t3,
+         array_to_string(string_split(text, ' ')[1:2], ' ') AS t2
+  FROM documents WHERE doc_id < 60
+)
+SELECT doc_id,
+       replace(t3, 'e', '3')                                       AS leet3,
+       CASE WHEN strpos(t2, ' ') = 0 THEN t2
+            ELSE substr(t2, 1, strpos(t2, ' ') - 1) || ':' ||
+                 substr(t2, strpos(t2, ' ') + 1) END               AS joined2,
+       regexp_extract(text, '^([a-z]+)', 1)                        AS first_word,
+       CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INTEGER)  AS n_vowel_runs,
+       CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+                                          x -> x != ''))) AS BIGINT) AS n_uniq_ws,
+       regexp_replace(t2, '[aeiou]', '_', 'g')                     AS devowel2
+FROM d
+"""
+
+
+def ch_stats_family(spark, sf_dir):
+    """stddevPop/Samp, varPop/Samp, covarPop, corr, skewPop, kurtPop —
+    upstream-CH statistical aggregates (the fork stops at count/sum/min/
+    max/avg, aggregates.rs:52-67).  All partial/final-aggregatable
+    built-ins: one exchange on the group key at any scale.  Rounded in both
+    forms (central-moment accumulation order differs across engines)."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_stats")
+    return eng.sql(
+        "select l_returnflag, "
+        "round(stddevPop(l_quantity), 4) as sd_p, "
+        "round(stddevSamp(l_quantity), 4) as sd_s, "
+        "round(varPop(l_quantity), 4) as v_p, "
+        "round(varSamp(l_quantity), 4) as v_s, "
+        "round(covarPop(l_quantity, l_discount), 6) as cv_p, "
+        "round(covarSamp(l_quantity, l_discount), 6) as cv_s, "
+        "round(corr(l_extendedprice, l_quantity), 4) as cr, "
+        "round(skewPop(l_quantity), 4) as sk, "
+        "round(kurtPop(l_quantity), 4) as kt "
+        "from li_stats group by l_returnflag"
+    )
+
+
+CH_STATS_FAMILY_ORACLE = """
+WITH mu AS (
+  SELECT l_returnflag, avg(l_quantity) AS m FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       round(stddev_pop(l_quantity), 4)                    AS sd_p,
+       round(stddev_samp(l_quantity), 4)                   AS sd_s,
+       round(var_pop(l_quantity), 4)                       AS v_p,
+       round(var_samp(l_quantity), 4)                      AS v_s,
+       round(covar_pop(l_quantity, l_discount), 6)         AS cv_p,
+       round(covar_samp(l_quantity, l_discount), 6)        AS cv_s,
+       round(corr(l_extendedprice, l_quantity), 4)         AS cr,
+       round(avg(pow(l_quantity - m, 3))
+             / pow(avg(pow(l_quantity - m, 2)), 1.5), 4)   AS sk,
+       round(avg(pow(l_quantity - m, 4))
+             / pow(avg(pow(l_quantity - m, 2)), 2), 4)     AS kt
+FROM lineitem l JOIN mu USING (l_returnflag)
+GROUP BY l.l_returnflag
+"""
+
+
+def ch_array_set_ops(spark, sf_dir):
+    """arrayIntersect/hasAll/hasAny/arrayCompact/arrayPopBack/arrayResize —
+    array set & structure ops beyond the two HOF tiers.  Intersections are
+    sorted in both forms (neither engine pins result order)."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_aso")
+    return eng.sql(
+        "select l_orderkey, l_linenumber, "
+        "arraySort(arrayIntersect(array(l_suppkey % 5, l_partkey % 5), array(1, 2, 3))) as inter, "
+        "hasAll(array(0, 1, 2, 3), array(l_suppkey % 3, l_partkey % 3)) as h_all, "
+        "hasAny(array(1, 2), array(l_suppkey % 7, l_partkey % 7)) as h_any, "
+        "arrayCompact(arraySort(array(l_suppkey % 3, l_partkey % 3, l_orderkey % 3))) as compacted, "
+        "arrayPopBack(array(l_suppkey % 9, l_partkey % 9)) as popb, "
+        "arrayResize(array(l_suppkey % 4), 3, 0) as resized "
+        "from li_aso where l_orderkey % 500 = 0"
+    )
+
+
+CH_ARRAY_SET_OPS_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       list_sort(list_intersect([l_suppkey % 5, l_partkey % 5], [1, 2, 3])) AS inter,
+       list_has_all([0, 1, 2, 3], [l_suppkey % 3, l_partkey % 3])           AS h_all,
+       list_has_any([1, 2], [l_suppkey % 7, l_partkey % 7])                 AS h_any,
+       list_sort(list_distinct([l_suppkey % 3, l_partkey % 3,
+                                l_orderkey % 3]))                           AS compacted,
+       [l_suppkey % 9]                                                      AS popb,
+       [l_suppkey % 4, 0, 0]                                                AS resized
+FROM lineitem WHERE l_orderkey % 500 = 0
+"""
+
+
 def ch_array_join_clause(spark, sf_dir):
     """ClickHouse ARRAY JOIN clause (upstream-CH; the fork's grammar has no
     ARRAY JOIN) -> LATERAL VIEW explode.  The explode happens map-side —
@@ -217,5 +331,14 @@ QUERIES = {
     "ch_limit_by": Query(ch_limit_by, CH_LIMIT_BY_ORACLE, ("dialect", "clause")),
     "ch_array_join_clause": Query(
         ch_array_join_clause, CH_ARRAY_JOIN_ORACLE, ("dialect", "clause", "array")
+    ),
+    "ch_string_replace_extract": Query(
+        ch_string_replace_extract, CH_STRING_REPLACE_ORACLE, ("dialect", "string")
+    ),
+    "ch_stats_family": Query(
+        ch_stats_family, CH_STATS_FAMILY_ORACLE, ("dialect", "agg", "stats")
+    ),
+    "ch_array_set_ops": Query(
+        ch_array_set_ops, CH_ARRAY_SET_OPS_ORACLE, ("dialect", "array")
     ),
 }

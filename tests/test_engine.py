@@ -580,3 +580,26 @@ def test_array_join_clause_forms(engine):
 def test_array_join_requires_alias_for_exprs(engine):
     with pytest.raises(ValueError, match="needs an AS alias"):
         engine.sql("select 1 from aj_t array join splitByChar('-', s)")
+
+
+def test_translate_sql_replace_extract_stats_arrayset():
+    from tensorbase_spark.engine import translate_sql as t
+
+    assert t("select replaceAll(s, '-', '+')") == "select replace(s, '-', '+')"
+    assert "regexp_replace(s, 'x', 'y')" in t("select replaceRegexpAll(s, 'x', 'y')")
+    # extract: capture group -> group 1, none -> whole match; SQL EXTRACT
+    # passes through
+    assert t("select extract(s, 'k=([0-9]+)')").endswith(
+        "regexp_extract(s, 'k=([0-9]+)', 1)"
+    )
+    assert t("select extract(s, '[0-9]+')").endswith(
+        "regexp_extract(s, '[0-9]+', 0)"
+    )
+    assert t("select extract(year from d)") == "select extract(year from d)"
+    assert "stddev_pop(x)" in t("select stddevPop(x)")
+    assert "covar_samp(x, y)" in t("select covarSamp(x, y)")
+    assert "(kurtosis(x) + 3)" in t("select kurtPop(x)")
+    assert "array_intersect(a, b)" in t("select arrayIntersect(a, b)")
+    assert "arrays_overlap(a, b)" in t("select hasAny(a, b)")
+    assert "forall(b, __v -> array_contains(a, __v))" in t("select hasAll(a, b)")
+    assert "substring_index(s, '.', 2)" in t("select substringIndex(s, '.', 2)")
