@@ -239,6 +239,20 @@ GROUP BY split, source
 """
 
 
+def corpus_bloom_decontaminate(spark, sf_dir):
+    """Same contract as corpus_contamination_scan but through the Bloom
+    prefilter (curation.bloom_decontaminate_pairs): broadcast (block, bits)
+    bitmap probes drop ~99% of corpus grams map-side before the exact gram
+    join, and the exact verify makes the output IDENTICAL to the plain
+    scan — hence this query reuses the same DuckDB oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    corpus = d.filter(F.col("source") != "src0")
+    return curation.bloom_decontaminate_pairs(
+        corpus, bench, key="doc_id", text="text", n=5, min_shared=3
+    )
+
+
 QUERIES = {
     "corpus_split_train_val_test": Query(
         corpus_split_train_val_test, SPLIT_ORACLE, ("corpus", "curation")
@@ -246,6 +260,10 @@ QUERIES = {
     "corpus_cap_per_source": Query(corpus_cap_per_source, CAP_ORACLE, ("corpus", "curation")),
     "corpus_contamination_scan": Query(
         corpus_contamination_scan, CONTAMINATION_ORACLE, ("corpus", "curation", "dedup")
+    ),
+    "corpus_bloom_decontaminate": Query(
+        corpus_bloom_decontaminate, CONTAMINATION_ORACLE,
+        ("corpus", "curation", "dedup"),
     ),
     "corpus_pack_sequences": Query(
         corpus_pack_sequences, PACK_ORACLE, ("corpus", "curation")

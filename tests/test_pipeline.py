@@ -600,3 +600,23 @@ def test_contamination_pairs_shared_grams_verified(spark):
     p = pairs[0]
     shared = grams(texts[p.bench_doc_id]) & grams(texts[p.corpus_doc_id])
     assert len(shared) == p.shared_ngrams
+
+
+def test_bloom_decontaminate_matches_exact_scan(spark):
+    """The Bloom prefilter must be invisible in the result: FPs are removed
+    by the exact verify join, FNs are impossible by construction."""
+    from tensorbase_spark.pipeline import curation
+    from tensorbase_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = d.filter(F.col("source") == "src0")
+    corpus = d.filter(F.col("source") != "src0")
+    exact = curation.contamination_pairs(corpus, bench, min_shared=2)
+    bloom = curation.bloom_decontaminate_pairs(corpus, bench, min_shared=2)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, bloom.collect()))
+    # the prefilter is really in the plan: two bitmap probe joins + the
+    # exact gram join, all broadcast (map-side at any scale)
+    plan = bloom._sc._jvm.PythonSQLUtils.explainString(
+        bloom._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("BroadcastHashJoin") >= 3
