@@ -715,6 +715,15 @@ class TensorBaseEngine:
         self._partition_specs: dict[str, PartitionSpec] = {}
         self._create_scripts: dict[str, str] = {}
 
+    def bootstrap_system(self) -> None:
+        """Create the ``system`` database + empty ``system.numbers (number
+        Int64)`` table the reference provisions at boot (mgmt.rs:232-250).
+        Optional (the ``numbers(N)`` table function covers the common use);
+        idempotent."""
+        self.sql("create database if not exists system")
+        if not self.spark.catalog.tableExists("system.numbers"):
+            self.sql("create table system.numbers (number Int64)")
+
     # -- helpers ------------------------------------------------------------
 
     def _qualify(self, name: str) -> str:
@@ -830,7 +839,22 @@ class TensorBaseEngine:
         ine = "IF NOT EXISTS " if m.group(1) else ""
         return self.spark.sql(f"CREATE DATABASE {ine}{m.group(2)}")
 
+    _CTAS_RE = re.compile(
+        r"(?is)^create\s+table\s+(?P<ine>if\s+not\s+exists\s+)?"
+        r"(?P<name>[\w.]+)\s+as\s+(?P<q>(select|with)\b.*)$"
+    )
+
     def _create_table(self, c: str) -> DataFrame:
+        # CTAS (beyond the reference: bql.pest:31-54 only has column-list
+        # CREATE; standard-SQL convenience, schema inferred from the query)
+        cm = self._CTAS_RE.match(c)
+        if cm:
+            name = self._qualify(cm.group("name"))
+            if cm.group("ine") and self.spark.catalog.tableExists(name):
+                return self.spark.sql("SELECT 1 AS ok")
+            df = self.sql(cm.group("q"))
+            df.write.saveAsTable(name)
+            return self.spark.sql("SELECT 1 AS ok")
         m = _match_create_table(c)
         if not m:
             raise ValueError(f"cannot parse: {c}")

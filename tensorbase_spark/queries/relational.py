@@ -923,8 +923,44 @@ SELECT 'day' AS grain, bucket, n, round(v, 4) AS v FROM d
 """
 
 
+def join_skew_salted(spark, sf_dir):
+    """Hot-key-safe equi-join via explicit salting (operators/skew.py):
+    lineitem facts spread over 8 salt buckets per l_suppkey, supplier dim
+    exploded 8 ways — the shuffle key becomes (key, salt) so a hot supplier
+    lands on 8 reducers instead of 1.  Salting is result-invisible, so the
+    oracle is the PLAIN join: the post-join aggregate hash-checks that
+    salting changed the distribution and nothing else."""
+    from tensorbase_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, sup, on="suppkey", n_salts=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+JOIN_SKEW_SALTED_ORACLE = """
+SELECT s_nationkey, count(*) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": Query(q1_pricing_summary, Q1_ORACLE, ("agg", "tpch"), bench=True),
+    "join_skew_salted": Query(
+        join_skew_salted, JOIN_SKEW_SALTED_ORACLE, ("join", "skew")
+    ),
     "q3_shipping_priority": Query(q3_shipping_priority, Q3_ORACLE, ("join", "tpch"), bench=True),
     "q5_local_supplier": Query(q5_local_supplier, Q5_ORACLE, ("join", "tpch"), bench=True),
     "filter_predicates": Query(filter_predicates, FILTER_PRED_ORACLE, ("filter",)),

@@ -603,3 +603,25 @@ def test_translate_sql_replace_extract_stats_arrayset():
     assert "arrays_overlap(a, b)" in t("select hasAny(a, b)")
     assert "forall(b, __v -> array_contains(a, __v))" in t("select hasAll(a, b)")
     assert "substring_index(s, '.', 2)" in t("select substringIndex(s, '.', 2)")
+
+
+def test_bootstrap_system_numbers(engine):
+    """The reference provisions system.numbers at boot (mgmt.rs:232-250);
+    bootstrap_system() mirrors it, idempotently."""
+    engine.bootstrap_system()
+    engine.bootstrap_system()
+    engine.sql("insert into system.numbers select id from range(7)")
+    r = engine.sql("select count(*) as n, sum(number) as s from system.numbers").collect()[0]
+    assert (r.n, r.s) == (7, 21)
+    engine.sql("drop table system.numbers")
+    engine.sql("drop database system")
+
+
+def test_create_table_as_select(engine):
+    engine.sql("create table ctas_t as select id as a, id * 2 as b from range(4)")
+    assert engine.sql("select sum(a) as s, sum(b) as t from ctas_t").collect()[0][:] == (6, 12)
+    engine.sql("create table if not exists ctas_t as select 99 as a")  # no-op
+    assert engine.sql("select count(*) as n from ctas_t").collect()[0].n == 4
+    with pytest.raises(Exception):
+        engine.sql("create table ctas_t as select 1 as a")
+    engine.sql("drop table ctas_t")
