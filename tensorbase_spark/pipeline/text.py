@@ -220,3 +220,41 @@ def host_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
         )
     )
+
+
+def unigram_logprob(docs: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-unigram-LM document scoring — the classic cheap perplexity
+    proxy for pretraining-data quality filtering (rare-word-heavy or
+    garbled docs score low; boilerplate scores high).
+
+    Two-phase, all JVM:
+    1. vocab: explode whitespace tokens -> groupBy(token).count() plus the
+       corpus total (one shuffle on token; partial aggregation makes the
+       exchange proportional to VOCABULARY size, not corpus size).
+    2. score: re-explode tokens, join the vocab (token-key equi-join —
+       Zipfian skew on hot tokens is exactly what AQE skew splitting
+       handles; vocab also broadcasts while it fits), then
+       avg(ln(count/total)) per doc.
+
+    OOV is impossible by construction (vocab comes from the scored corpus).
+    At 100 TB the vocab table is bounded (~1e7 rows) while the token stream
+    is not — the join must stream the tokens and never shuffle-by-doc until
+    the final per-doc aggregate.
+    """
+    toks = docs.select(
+        F.col(key),
+        F.explode(F.array_remove(F.split(F.col(text_col), r"\s+"), "")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("tok_n"))
+    total = vocab.agg(F.sum("tok_n").alias("corpus_n"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("tok_n") / F.col("corpus_n"))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -458,6 +458,31 @@ FROM s
 """
 
 
+def text_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram-LM scoring (pipeline/text.py unigram_logprob): vocab
+    built once over the corpus (shuffle bounded by vocabulary size), token
+    stream joins it broadcast, per-doc avg ln p(token).  Slice keeps the
+    driver compare small; vocab is still built over ALL documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.unigram_logprob(d).filter(F.col("doc_id") < 200)
+
+
+UNIGRAM_LOGPROB_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, u.tok
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS u(tok)
+),
+vocab AS (SELECT tok, count(*) AS tok_n FROM toks GROUP BY tok),
+total AS (SELECT sum(tok_n) AS corpus_n FROM vocab)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln(tok_n / corpus_n)), 4) AS avg_logprob
+FROM toks JOIN vocab USING (tok), total
+WHERE doc_id < 200
+GROUP BY doc_id
+"""
+
+
 def text_fingerprints(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return text.fingerprints(d)
@@ -937,6 +962,9 @@ QUERIES = {
     "text_quality_scores": Query(text_quality_scores, QUALITY_ORACLE, ("text",)),
     "text_lang_id": Query(text_lang_id, LANG_ID_ORACLE, ("text",)),
     "text_fingerprints": Query(text_fingerprints, FINGERPRINT_ORACLE, ("text",)),
+    "text_unigram_logprob": Query(
+        text_unigram_logprob, UNIGRAM_LOGPROB_ORACLE, ("text", "agg")
+    ),
     "text_url_extract": Query(text_url_extract, TEXT_URL_ORACLE, ("text",)),
     "multimodal_features": Query(multimodal_features, MULTIMODAL_ORACLE, ("multimodal",)),
     "multimodal_png_decode": Query(multimodal_png_decode, MULTIMODAL_PNG_ORACLE, ("multimodal",)),
