@@ -113,6 +113,11 @@ PRIORITY_HEAD = [
     # new oracle-backed companions for the approximate families
     "sim_ivf_full_probe", "sim_lsh_full_cover", "dedup_minhash_bands_sql",
     "dedup_simhash_fp_sql", "agg_approx_distinct_check",
+    # late-r3 additions (oracle-backed, stronger evidence than the
+    # rows-only block below, so they take the earlier slots)
+    "ch_array_join_clause", "ch_string_replace_extract", "ch_stats_family",
+    "ch_array_set_ops", "corpus_bloom_decontaminate", "join_skew_salted",
+    "text_unigram_logprob",
     # rows-only approximates (driver records a rows-only check)
     "agg_approx_distinct", "dedup_minhash_lsh", "dedup_simhash",
     "sim_ivf_topk", "sim_lsh_topk", "sim_ivf_indexed",
