@@ -625,3 +625,17 @@ def test_create_table_as_select(engine):
     with pytest.raises(Exception):
         engine.sql("create table ctas_t as select 1 as a")
     engine.sql("drop table ctas_t")
+
+
+def test_array_join_literal_and_subquery_safety():
+    """The rewriter must not touch 'array join' inside string literals, and
+    bare-ident shadowing must not leak into subqueries."""
+    from tensorbase_spark.engine import _rewrite_array_join as rw
+
+    sql = "select 'array join arr' as s from t"
+    assert rw(sql) == sql
+    out = rw(
+        "select arr, (select max(arr) from u) as mx from t array join arr"
+    )
+    assert "(select max(arr) from u)" in out  # subquery untouched
+    assert "explode(arr)" in out

@@ -168,3 +168,21 @@ def test_bucketed_join_zero_exchange(spark, queries):
     tree = plan.split("\n\n")[0]
     assert "SortMergeJoin" in tree
     assert "Exchange" not in tree, tree
+
+
+def test_unigram_logprob_jvm_and_broadcast(spark, queries):
+    """Vocab join must broadcast (token stream streams; no shuffle-by-doc
+    before the final per-doc aggregate) and everything stays JVM-side."""
+    plan = _formatted(spark, queries["text_unigram_logprob"](spark, SF))
+    assert "EvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row corpus total
+
+
+def test_array_join_explode_is_generate(spark, queries):
+    """ARRAY JOIN lowers to a map-side Generate feeding the aggregate —
+    no extra Exchange beyond the group-by."""
+    plan = _formatted(spark, queries["ch_array_join_clause"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "Generate" in tree
+    assert tree.count("Exchange") == 1
