@@ -974,7 +974,7 @@ class TensorBaseEngine:
         compaction-time accelerator at 100 TB)."""
         m = re.match(
             r"(?is)^optimize\s+table\s+(?P<name>[A-Za-z_][A-Za-z0-9_.]*)"
-            r"(?:\s+sort\s+by\s+(?P<sort>.+))?\s*$",
+            r"(?:\s+sort\s+by\s+(?P<sort>.+?)|\s+zorder\s+by\s+(?P<z>.+?))?\s*$",
             c,
         )
         if not m:
@@ -982,6 +982,8 @@ class TensorBaseEngine:
         name = self._qualify(m.group("name"))
         df = self.spark.table(name)
         spec = self._spec_for(name)
+        if m.group("z"):
+            return self._optimize_zorder(name, df, spec, m.group("z"))
         tmp = df.repartition(F.col(PTK_COL)) if spec else df.coalesce(1)
         if m.group("sort"):
             keys = [_order_col(k) for k in _split_depth0(m.group("sort"))]
@@ -991,6 +993,79 @@ class TensorBaseEngine:
         stage = f"{self.spark.conf.get('spark.sql.warehouse.dir')}/optimize_stage_tmp"
         tmp.write.mode("overwrite").parquet(stage)
         self.spark.read.parquet(stage).write.insertInto(name, overwrite=True)
+        return self.spark.sql("SELECT 1 AS ok")
+
+    _ZORDER_BITS = 8  # 256 quantile buckets per column
+
+    def _zorder_key(self, df: DataFrame, cols: list[str]) -> DataFrame:
+        """Append ``__zkey``: the Morton (Z-order) interleave of each
+        column's quantile-bucket id.
+
+        Buckets come from approxQuantile boundaries (one sketch pass per
+        column, driver cost = 255 doubles) applied through an ML Bucketizer
+        (JVM, vectorized) — rank-based, so skewed distributions still fill
+        all 256 buckets where linear min/max bucketing would collapse.
+        NULL/NaN land in the top bucket (clamped)."""
+        from pyspark.ml.feature import Bucketizer
+
+        n_buckets = 1 << self._ZORDER_BITS
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        work, tmp_cols = df, []
+        for i, col in enumerate(cols):
+            zin, zb = f"__zin{i}", f"__zb{i}"
+            work = work.withColumn(zin, F.col(col).cast("double"))
+            qs = work.stat.approxQuantile(zin, probs, 0.001)
+            splits = sorted({q for q in qs if q == q})  # dedupe, drop NaN
+            splits = [float("-inf")] + splits + [float("inf")]
+            work = Bucketizer(
+                splits=splits, inputCol=zin, outputCol=zb, handleInvalid="keep"
+            ).transform(work)
+            tmp_cols += [zin, zb]
+        k = len(cols)
+        terms = [
+            f"shiftleft((cast(least(__zb{i}, {n_buckets - 1}) as bigint) "
+            f">> {j}) & 1, {j * k + i})"
+            for j in range(self._ZORDER_BITS)
+            for i in range(k)
+        ]
+        return work.withColumn("__zkey", F.expr(" | ".join(terms))).drop(*tmp_cols)
+
+    def _optimize_zorder(self, name: str, df: DataFrame, spec, zexpr: str) -> DataFrame:
+        """``OPTIMIZE TABLE t ZORDER BY (c1, c2[, ...])`` — multi-dimensional
+        clustering (beyond the reference, whose OPTIMIZE only flushes,
+        mgmt.rs:938): rows are laid out along the Morton curve of the named
+        columns, so parquet row-group/file min-max stats become selective on
+        EVERY zorder column at once — selective scans prune on c2 even when
+        c1 is absent from the predicate, where a plain SORT BY only serves
+        its leading column.  File count = ceil(rows / tb.optimize.rowsPerFile
+        [default 1 Mi]); partitioned tables cluster within each partition."""
+        cols = [x.strip() for x in _split_depth0(zexpr.strip().strip("()"))]
+        if not cols:
+            raise ValueError("ZORDER BY: empty column list")
+        for col in cols:
+            t = dict(df.dtypes).get(col)
+            if t is None:
+                raise ValueError(f"ZORDER BY: unknown column {col!r}")
+            if t in ("string", "binary") or t.startswith(("array", "map", "struct")):
+                raise ValueError(
+                    f"ZORDER BY: column {col!r} of type {t} is not orderable "
+                    "numerically; zorder supports numeric/date/timestamp"
+                )
+        rows_per_file = int(self.spark.conf.get("tb.optimize.rowsPerFile", "1048576"))
+        n_files = max(1, -(-df.count() // rows_per_file))
+        work = self._zorder_key(df, cols)
+        parts = [F.col(PTK_COL)] if spec else []
+        tmp = (
+            work.repartitionByRange(n_files, *parts, F.col("__zkey"))
+            .sortWithinPartitions(*parts, F.col("__zkey"))
+            .drop("__zkey")
+        )
+        # localCheckpoint breaks the read-own-table lineage (so insertInto
+        # overwrite is legal) AND pins one output file per range partition —
+        # a parquet stage dir would get re-combined by the small-file
+        # coalescing of the re-read, shredding the clustered boundaries
+        tmp = tmp.localCheckpoint(eager=True)
+        tmp.write.insertInto(name, overwrite=True)
         return self.spark.sql("SELECT 1 AS ok")
 
     # -- INSERT paths -------------------------------------------------------

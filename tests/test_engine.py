@@ -639,3 +639,54 @@ def test_array_join_literal_and_subquery_safety():
     )
     assert "(select max(arr) from u)" in out  # subquery untouched
     assert "explode(arr)" in out
+
+
+def test_optimize_zorder_clusters_both_columns(engine):
+    """OPTIMIZE ... ZORDER BY (a, b): every output file's min-max range must
+    be localized on BOTH columns (a plain SORT BY a leaves b's per-file
+    range at ~100%).  Verified from the parquet footers the scans prune on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spark = engine.spark
+    engine.sql("create table zt(a Int64, b Int64)")
+    # decorrelated dimensions: b is a pseudo-random permutation of a's range
+    engine.sql(
+        "insert into zt select id, (id * 2654435761) % 4096 from range(4096)"
+    )
+    old = spark.conf.get("tb.optimize.rowsPerFile", None)
+    spark.conf.set("tb.optimize.rowsPerFile", "512")
+    try:
+        engine.sql("optimize table zt zorder by (a, b)")
+    finally:
+        if old is None:
+            spark.conf.unset("tb.optimize.rowsPerFile")
+        else:
+            spark.conf.set("tb.optimize.rowsPerFile", old)
+    # layout must not change content
+    r = engine.sql(
+        "select count(*) as n, sum(a) as sa, sum(b) as sb from zt"
+    ).collect()[0]
+    assert r.n == 4096 and r.sa == 4096 * 4095 // 2
+
+    loc = next(
+        row[1] for row in spark.sql("DESCRIBE FORMATTED zt").collect()
+        if (row[0] or "").strip().lower() == "location"
+    ).replace("file:", "")
+    files = glob.glob(f"{loc}/*.parquet")
+    assert len(files) >= 4  # 4096 rows / 512 per file, modulo range skew
+
+    def avg_range(col_idx):
+        spans = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            mn = min(md.row_group(g).column(col_idx).statistics.min for g in range(md.num_row_groups))
+            mx = max(md.row_group(g).column(col_idx).statistics.max for g in range(md.num_row_groups))
+            spans.append((mx - mn) / 4095.0)
+        return sum(spans) / len(spans)
+
+    # Morton layout: each file covers a fraction of BOTH dimensions
+    assert avg_range(0) < 0.7, f"a not clustered: {avg_range(0):.2f}"
+    assert avg_range(1) < 0.7, f"b not clustered: {avg_range(1):.2f}"
+    engine.sql("drop table zt")
