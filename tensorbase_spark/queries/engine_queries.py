@@ -365,6 +365,34 @@ FROM events GROUP BY event_type
 """
 
 
+def engine_zorder_read(spark, sf_dir):
+    """DDL -> INSERT SELECT -> OPTIMIZE ZORDER BY (two decorrelated
+    columns) -> selective range read-back.  The layout rewrite must be
+    result-invisible (hash vs the plain oracle); the clustering itself is
+    asserted from parquet footers in tests/test_engine.py."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "zord")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_zsrc")
+    eng.sql("create table li_z(ok Int64, sk Int64, qty Float64)")
+    eng.sql(
+        "insert into li_z select l_orderkey, l_suppkey, l_quantity from li_zsrc"
+    )
+    eng.sql("optimize table li_z zorder by (ok, sk)")
+    return eng.sql(
+        "select count(*) as n, round(sum(qty), 2) as s, min(ok) as mn, max(sk) as mx "
+        "from li_z where ok between 1000 and 3000 and sk between 10 and 60"
+    )
+
+
+ENGINE_ZORDER_ORACLE = """
+SELECT count(*) AS n, round(sum(l_quantity), 2) AS s,
+       min(l_orderkey) AS mn, max(l_suppkey) AS mx
+FROM lineitem
+WHERE l_orderkey BETWEEN 1000 AND 3000 AND l_suppkey BETWEEN 10 AND 60
+"""
+
+
 QUERIES = {
     # bench=True: the closest analogue to the reference's second published
     # metric, ingest throughput (README "recap" item 2; BASELINE.md) — times
@@ -376,6 +404,9 @@ QUERIES = {
     "engine_join_prune": Query(engine_join_prune, ENGINE_JOIN_PRUNE_ORACLE, ("engine",)),
     "engine_bucketed_join": Query(
         engine_bucketed_join, ENGINE_BUCKETED_ORACLE, ("engine", "join")
+    ),
+    "engine_zorder_read": Query(
+        engine_zorder_read, ENGINE_ZORDER_ORACLE, ("engine", "ddl")
     ),
     "engine_meta_lifecycle": Query(
         engine_meta_lifecycle, ENGINE_META_ORACLE, ("engine", "ddl")
