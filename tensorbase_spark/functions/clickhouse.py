@@ -760,3 +760,39 @@ CH_SQL_TEMPLATES.update(
         ),
     }
 )
+
+
+_INTERVAL_SECS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _tostartofinterval_sql(args: list[str]) -> str:
+    """toStartOfInterval(ts, INTERVAL n unit) -> epoch-floor bucketing for
+    second/minute/hour/day units; month/quarter/year route to date_trunc
+    only for n=1 (CH's multi-month grids are origin-dependent)."""
+    m = _re.match(r"(?is)^interval\s+(\d+)\s+(\w+)s?$", args[1].strip())
+    if not m:
+        raise ValueError(f"toStartOfInterval: cannot parse {args[1]!r}")
+    n, unit = int(m.group(1)), m.group(2).lower().rstrip("s")
+    if unit in _INTERVAL_SECS:
+        step = n * _INTERVAL_SECS[unit]
+        return f"timestamp_seconds(floor(unix_timestamp({args[0]}) / {step}) * {step})"
+    if unit in ("month", "quarter", "year") and n == 1:
+        return f"date_trunc('{unit}', {args[0]})"
+    raise ValueError(f"toStartOfInterval: unsupported INTERVAL {n} {unit}")
+
+
+CH_SQL_TEMPLATES.update(
+    {
+        "monthname": "date_format({0}, 'MMMM')",
+        "dayname": "date_format({0}, 'EEEE')",
+        # CH toWeek default mode 0 differs (Sunday-start, Jan-1-partial);
+        # toISOWeek is the unambiguous one and Spark's weekofyear IS ISO
+        "toisoweek": "weekofyear({0})",
+        "toisoyear": "year(date_sub({0}, (((dayofweek({0}) + 5) % 7)) - 3))",
+        "tostartofinterval": _tostartofinterval_sql,
+        # timeSlot = toStartOfInterval(ts, 30 min) (CH docs)
+        "timeslot": "timestamp_seconds(floor(unix_timestamp({0}) / 1800) * 1800)",
+        "tolastdayofmonth": "last_day({0})",
+        "todaysinmonth": "day(last_day({0}))",
+    }
+)

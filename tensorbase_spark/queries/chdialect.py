@@ -322,6 +322,34 @@ WHERE rn <= 2
 ORDER BY o_totalprice DESC, o_orderkey
 """
 
+def ch_calendar_funcs(spark, sf_dir):
+    """monthName/dayName/toISOWeek/toStartOfInterval/timeSlot/
+    toLastDayOfMonth/toDaysInMonth — the calendar tier above the fork's
+    toYear..toSecond list (clickhouse.rs:39-59)."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ev_cal")
+    return eng.sql(
+        "select toISOWeek(ts) as wk, monthName(ts) as mn, dayName(ts) as dn, "
+        "toStartOfInterval(ts, interval 10 minute) as b10, "
+        "timeSlot(ts) as slot, toLastDayOfMonth(ts) as ld, "
+        "toDaysInMonth(ts) as dim, count(*) as n "
+        "from ev_cal group by wk, mn, dn, b10, slot, ld, dim"
+    )
+
+
+CH_CALENDAR_ORACLE = """
+SELECT CAST(weekofyear(ts) AS INT)                                          AS wk,
+       monthname(ts)                                                        AS mn,
+       dayname(ts)                                                          AS dn,
+       make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000)  AS b10,
+       make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000) AS slot,
+       last_day(ts)                                                         AS ld,
+       CAST(day(last_day(ts)) AS INT)                                       AS dim,
+       count(*)                                                             AS n
+FROM events GROUP BY wk, mn, dn, b10, slot, ld, dim
+"""
+
+
 QUERIES = {
     "ch_array_hofs": Query(ch_array_hofs, CH_ARRAY_HOFS_ORACLE, ("dialect", "array")),
     "ch_array_hofs2": Query(ch_array_hofs2, CH_ARRAY_HOFS2_ORACLE, ("dialect", "array")),
@@ -329,6 +357,9 @@ QUERIES = {
     "ch_minute_buckets": Query(ch_minute_buckets, CH_MINUTE_BUCKETS_ORACLE, ("dialect", "datetime")),
     "ch_split_pad": Query(ch_split_pad, CH_SPLIT_PAD_ORACLE, ("dialect", "string")),
     "ch_limit_by": Query(ch_limit_by, CH_LIMIT_BY_ORACLE, ("dialect", "clause")),
+    "ch_calendar_funcs": Query(
+        ch_calendar_funcs, CH_CALENDAR_ORACLE, ("dialect", "datetime")
+    ),
     "ch_array_join_clause": Query(
         ch_array_join_clause, CH_ARRAY_JOIN_ORACLE, ("dialect", "clause", "array")
     ),

@@ -690,3 +690,17 @@ def test_optimize_zorder_clusters_both_columns(engine):
     assert avg_range(0) < 0.7, f"a not clustered: {avg_range(0):.2f}"
     assert avg_range(1) < 0.7, f"b not clustered: {avg_range(1):.2f}"
     engine.sql("drop table zt")
+
+
+def test_translate_sql_calendar_funcs():
+    from tensorbase_spark.engine import translate_sql as t
+
+    assert "date_format(d, 'MMMM')" in t("select monthName(d)")
+    assert "weekofyear(d)" in t("select toISOWeek(d)")
+    assert "floor(unix_timestamp(ts) / 600) * 600" in t(
+        "select toStartOfInterval(ts, interval 10 minute)"
+    )
+    assert "date_trunc('month', ts)" in t(
+        "select toStartOfInterval(ts, interval 1 month)"
+    )
+    assert "last_day(d)" in t("select toLastDayOfMonth(d)")
