@@ -397,8 +397,13 @@ CH_SQL_TEMPLATES.update(
 CH_PARAMETRIC_TEMPLATES = {
     "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileexact": lambda p, a: f"percentile({a[0]}, {p[0]})",
-    "quantiletdigest": lambda p, a: f"percentile({a[0]}, {p[0]})",
-    "quantiletiming": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    # CH's tdigest/timing variants are EXPLICITLY sketch-based; Spark's
+    # bounded-memory analogue is approx_percentile (accuracy 10000), not the
+    # exact percentile — which buffers every group value and cannot run on a
+    # 100 TB group.  quantile/quantileExact keep the exact mapping (CH
+    # quantileExact is exact and buffering by contract too).
+    "quantiletdigest": lambda p, a: f"approx_percentile({a[0]}, {p[0]}, 10000)",
+    "quantiletiming": lambda p, a: f"approx_percentile({a[0]}, {p[0]}, 10000)",
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     "quantilesexact": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
 }

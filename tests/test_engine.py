@@ -704,3 +704,17 @@ def test_translate_sql_calendar_funcs():
         "select toStartOfInterval(ts, interval 1 month)"
     )
     assert "last_day(d)" in t("select toLastDayOfMonth(d)")
+
+
+def test_quantile_tdigest_is_sketch_based(spark):
+    """quantileTDigest must rewrite to the bounded-memory approx_percentile
+    (CH's tdigest contract) — exact percentile would buffer whole groups.
+    Accuracy is bounded against the exact form."""
+    from tensorbase_spark.engine import translate_sql as t
+
+    sql = t("select quantileTDigest(0.9)(v) as q from vals_td")
+    assert "approx_percentile(v, 0.9, 10000)" in sql
+    spark.range(10001).selectExpr("cast(id as double) as v").createOrReplaceTempView("vals_td")
+    approx = spark.sql(sql).collect()[0].q
+    exact = spark.sql("select percentile(v, 0.9) as q from vals_td").collect()[0].q
+    assert abs(approx - exact) <= 10001 / 10000 * 10  # within sketch accuracy
