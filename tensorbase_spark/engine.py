@@ -1241,6 +1241,9 @@ class TensorBaseEngine:
     # -- SELECT translation + partition pruning ------------------------------
 
     def _translate_query(self, q: str) -> str:
+        # clause rewrites apply on every query path (plain SELECT, EXPLAIN,
+        # INSERT ... SELECT, remote push): idempotent on already-clean text
+        q = _rewrite_array_join(_preprocess_ch_clauses(q.strip()))
         q = translate_sql(q.strip())
         # WHERE-rewrite: for each known partitioned table referenced, derive
         # __ptk predicates from source-column comparisons and AND them in.

@@ -663,6 +663,8 @@ CH_SQL_TEMPLATES.update(
         # quantile — matching CH medianExact semantics.
         "median": "percentile({0}, 0.5)",
         "medianexact": "percentile({0}, 0.5)",
+        "mediantdigest": "approx_percentile({0}, 0.5, 10000)",
+        "mediantiming": "approx_percentile({0}, 0.5, 10000)",
         "concatwithseparator": lambda args: f"concat_ws({', '.join(args)})",
     }
 )

@@ -718,3 +718,12 @@ def test_quantile_tdigest_is_sketch_based(spark):
     approx = spark.sql(sql).collect()[0].q
     exact = spark.sql("select percentile(v, 0.9) as q from vals_td").collect()[0].q
     assert abs(approx - exact) <= 10001 / 10000 * 10  # within sketch accuracy
+
+
+def test_insert_select_with_array_join(engine):
+    engine.spark.sql(
+        "select array(1,2,3) as xs union all select array(4,5) as xs"
+    ).createOrReplaceTempView("ins_aj_src")
+    engine.sql("create table ins_aj(v Int64)")
+    engine.sql("insert into ins_aj select x from ins_aj_src array join xs as x")
+    assert engine.sql("select sum(v) as s, count(*) as n from ins_aj").collect()[0][:] == (15, 5)
