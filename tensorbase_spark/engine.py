@@ -104,9 +104,21 @@ def _preprocess_ch_clauses(sql: str) -> str:
     - ``GLOBAL IN`` / ``GLOBAL JOIN`` distribute the right side to every
       node — exactly what Spark's broadcast/shuffle planning decides itself
       -> the keyword drops; ``ALL JOIN`` is CH's explicit standard-SQL
-      join -> the modifier drops.
+      join -> the modifier drops;
+    - ``GROUP BY ... WITH TOTALS`` (upstream-CH; the fork's grammar has
+      only a plain group_by, bql.pest:192) -> ``GROUP BY GROUPING SETS
+      ((cols), ())``: one extra grouping set reuses the same partial
+      aggregation, so the totals row costs no second scan.  Difference
+      documented as a superset: CH renders type defaults (0/'') in the
+      totals row's key columns, grouping sets render NULL — the standard
+      SQL marker.
     """
     out = sql
+    out = re.sub(
+        r"(?is)\bgroup\s+by\s+(?P<cols>.+?)\s+with\s+totals\b",
+        lambda m: f"group by grouping sets (({m.group('cols')}), ())",
+        out,
+    )
     # SETTINGS ... [FORMAT x] tail (depth-0 guaranteed: both only legal at
     # statement end; conservative regexes keep string literals intact by
     # requiring simple ident/number tokens)
@@ -382,6 +394,33 @@ def _extract_limit_by(sql: str):
         )
     order_keys = _split_depth0(om.group("keys"))
     return base, n_per_group, by_cols, order_keys, final_limit
+
+_WITH_FILL_RE = re.compile(
+    r"(?is)\border\s+by\s+(?P<col>[A-Za-z_][\w]*)\s+(?P<dir>asc\s+|desc\s+)?"
+    r"with\s+fill"
+    r"(?:\s+from\s+(?P<frm>-?\d+))?"
+    r"(?:\s+to\s+(?P<to>-?\d+))?"
+    r"(?:\s+step\s+(?P<step>-?\d+))?\s*$"
+)
+
+
+def _extract_with_fill(sql: str):
+    """Detect a trailing ClickHouse ``ORDER BY col [ASC|DESC] WITH FILL
+    [FROM a] [TO b] [STEP s]`` (upstream-CH gap-filling; the fork's grammar
+    has only a plain order_by, bql.pest:193).  Returns
+    (base_sql, col, desc, frm, to, step) or None.  One integer fill column
+    supported — the common time-bucket shape."""
+    m = _WITH_FILL_RE.search(sql)
+    if not m:
+        return None
+    frm = int(m.group("frm")) if m.group("frm") is not None else None
+    to = int(m.group("to")) if m.group("to") is not None else None
+    step = int(m.group("step")) if m.group("step") is not None else 1
+    if step == 0:
+        raise ValueError("WITH FILL STEP must be nonzero")
+    desc = (m.group("dir") or "").strip().lower() == "desc"
+    return sql[: m.start()].rstrip(), m.group("col"), desc, frm, to, step
+
 
 # Reference rejects blocks that split into >=1000 partitions
 # (crates/runtime/src/write.rs:52-56).
@@ -808,6 +847,9 @@ class TensorBaseEngine:
         lb = _extract_limit_by(c)
         if lb is not None:
             return self._run_limit_by(*lb)
+        wf = _extract_with_fill(c)
+        if wf is not None:
+            return self._run_with_fill(*wf)
         return self.spark.sql(self._translate_query(c))
 
     def _run_limit_by(self, base_sql, n, by_cols, order_keys, final_limit):
@@ -829,6 +871,59 @@ class TensorBaseEngine:
             .orderBy(*[_order_col(k) for k in order_keys])
         )
         return out.limit(final_limit) if final_limit is not None else out
+
+    def _run_with_fill(self, base_sql, col, desc, frm, to, step):
+        """ClickHouse ``ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]``:
+        densify the fill column over an arithmetic sequence, keeping every
+        original row.  FROM is inclusive, TO exclusive (CH contract); with
+        either bound omitted the observed min/max (inclusive) stand in — a
+        bounded 1-row collect, like the reference's metadata lookups.
+
+        Plan: the sequence side is a single generated literal row exploded
+        (tiny by construction — a fill domain is a time axis, not data) and
+        broadcast into a full outer join with the query result; non-fill
+        columns take their type default (0 / '' — CH's documented fill
+        behavior) in generated rows.  No data-sized shuffle is introduced:
+        at 100 TB the aggregate under the fill has already reduced to the
+        group cardinality before this join runs."""
+        df = self.spark.sql(self._translate_query(base_sql))
+        if col not in df.columns:
+            raise ValueError(f"WITH FILL column {col!r} not in result")
+        if frm is None or to is None:
+            lo, hi = df.agg(F.min(col), F.max(col)).first()
+            if lo is None:  # empty result: nothing to densify
+                return df.orderBy(F.col(col).desc() if desc else F.col(col))
+            frm = int(lo) if frm is None else frm
+            to = int(hi) + 1 if to is None else to
+        dt = dict(df.dtypes)[col]
+        seq = (
+            self.spark.range(1)
+            .select(
+                F.explode(
+                    F.sequence(F.lit(frm), F.lit(to - (1 if step > 0 else -1)), F.lit(step))
+                ).alias(col)
+            )
+            .select(F.col(col).cast(dt))
+        )
+        # rows to generate = fill domain minus observed values; original rows
+        # (in or out of the fill range) always survive.  Anti join broadcasts
+        # the observed-value side (group-cardinality sized); full-outer is
+        # avoided on purpose — Spark cannot broadcast any side of one.
+        missing = seq.join(F.broadcast(df.select(col).distinct()), [col], "left_anti")
+        gen_cols = []
+        for name, typ in df.dtypes:
+            if name == col:
+                gen_cols.append(F.col(col))
+                continue
+            base = typ.split("(")[0]
+            if base in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal"):
+                gen_cols.append(F.lit(0).cast(typ).alias(name))
+            elif base == "string":
+                gen_cols.append(F.lit("").alias(name))
+            else:
+                gen_cols.append(F.lit(None).cast(typ).alias(name))
+        out = df.unionByName(missing.select(*gen_cols))
+        return out.orderBy(F.col(col).desc() if desc else F.col(col))
 
     # -- DDL ----------------------------------------------------------------
 

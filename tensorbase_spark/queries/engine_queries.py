@@ -365,6 +365,67 @@ FROM events GROUP BY event_type
 """
 
 
+def ch_with_totals(spark, sf_dir):
+    """Upstream-CH ``GROUP BY ... WITH TOTALS`` through the clause layer:
+    rewritten to GROUPING SETS ((keys), ()) so the totals row reuses the
+    same partial aggregates (one scan, one shuffle).  NULL marks the totals
+    row's key columns (standard grouping-sets semantics; CH renders type
+    defaults — documented superset difference in engine.py)."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("evt_src")
+    return eng.sql(
+        "select event_type, count(*) as n, round(sum(value), 4) as s, "
+        "uniqExact(user_id) as u "
+        "from evt_src where value > 25 "
+        "group by event_type with totals"
+    )
+
+
+CH_WITH_TOTALS_ORACLE = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS s,
+       count(DISTINCT user_id) AS u
+FROM events WHERE value > 25
+GROUP BY GROUPING SETS ((event_type), ())
+"""
+
+
+def ch_with_fill(spark, sf_dir):
+    """Upstream-CH ``ORDER BY col WITH FILL FROM a TO b STEP s`` (gap-filled
+    time axis): the engine densifies the day-of-month axis with generated
+    rows carrying type defaults (0) for the non-fill columns.  The sequence
+    side is literal-generated and the observed-value side of the anti join
+    broadcasts — no data-sized shuffle beyond the aggregate's own
+    (engine.py _run_with_fill)."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("owf_src")
+    return eng.sql(
+        "select toDayOfMonth(od) as d, count(*) as n, round(sum(total), 2) as s "
+        "from (select o_orderdate as od, o_totalprice as total, "
+        "o_orderstatus as st from owf_src) "
+        "where od between '1995-03-01' and '1995-03-31' and st = 'P' "
+        "group by toDayOfMonth(od) "
+        "order by d with fill from 1 to 32 step 1"
+    )
+
+
+CH_WITH_FILL_ORACLE = """
+SELECT CAST(gs.d AS INT) AS d, coalesce(q.n, 0) AS n, coalesce(q.s, 0.0) AS s
+FROM generate_series(1, 31) gs(d)
+LEFT JOIN (
+  SELECT day(o_orderdate) AS d, count(*) AS n, round(sum(o_totalprice), 2) AS s
+  FROM orders
+  WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
+    AND o_orderstatus = 'P'
+  GROUP BY day(o_orderdate)
+) q ON q.d = gs.d
+ORDER BY d
+"""
+
+
 def engine_zorder_read(spark, sf_dir):
     """DDL -> INSERT SELECT -> OPTIMIZE ZORDER BY (two decorrelated
     columns) -> selective range read-back.  The layout rewrite must be
@@ -417,4 +478,6 @@ QUERIES = {
     "ch_json_extract": Query(ch_json_extract, CH_JSON_ORACLE, ("engine", "dialect", "json")),
     "ch_agg_extras": Query(ch_agg_extras, CH_AGG_EXTRAS_ORACLE, ("engine", "dialect")),
     "ch_quantile_family": Query(ch_quantile_family, CH_QUANTILE_ORACLE, ("engine", "dialect")),
+    "ch_with_totals": Query(ch_with_totals, CH_WITH_TOTALS_ORACLE, ("engine", "dialect", "agg")),
+    "ch_with_fill": Query(ch_with_fill, CH_WITH_FILL_ORACLE, ("engine", "dialect")),
 }

@@ -727,3 +727,50 @@ def test_insert_select_with_array_join(engine):
     engine.sql("create table ins_aj(v Int64)")
     engine.sql("insert into ins_aj select x from ins_aj_src array join xs as x")
     assert engine.sql("select sum(v) as s, count(*) as n from ins_aj").collect()[0][:] == (15, 5)
+
+
+def test_with_totals_rewrite_and_exec(engine):
+    """GROUP BY ... WITH TOTALS -> GROUPING SETS ((keys), ()): per-key rows
+    plus one NULL-keyed totals row from the same aggregation."""
+    from tensorbase_spark.engine import _preprocess_ch_clauses
+
+    assert (
+        "grouping sets ((a, b), ())"
+        in _preprocess_ch_clauses("select a, b, sum(v) from t group by a, b with totals")
+    )
+    engine.spark.sql(
+        "select * from values ('x', 1), ('x', 2), ('y', 10) as t(k, v)"
+    ).createOrReplaceTempView("wt_src")
+    rows = engine.sql(
+        "select k, sum(v) as s from wt_src group by k with totals"
+    ).collect()
+    got = {(r.k, r.s) for r in rows}
+    assert got == {("x", 3), ("y", 10), (None, 13)}
+
+
+def test_with_fill_bounds_and_defaults(engine):
+    """WITH FILL: FROM inclusive / TO exclusive, generated rows carry type
+    defaults (0 for numerics, '' for strings), original rows outside the
+    fill range survive."""
+    engine.spark.sql(
+        "select * from values (2, 'a', 10.0), (4, 'b', 20.0), (9, 'c', 30.0) "
+        "as t(d, tag, v)"
+    ).createOrReplaceTempView("wf_src")
+    rows = engine.sql(
+        "select d, tag, sum(v) as s from wf_src group by d, tag "
+        "order by d with fill from 1 to 6 step 1"
+    ).collect()
+    assert [r.d for r in rows] == [1, 2, 3, 4, 5, 9]  # 9 survives out-of-range
+    by_d = {r.d: r for r in rows}
+    assert by_d[3].tag == "" and by_d[3].s == 0.0  # type defaults
+    assert by_d[2].tag == "a" and by_d[2].s == 10.0
+
+
+def test_with_fill_desc_and_inferred_bounds(engine):
+    engine.spark.sql(
+        "select * from values (5, 1), (8, 1) as t(d, v)"
+    ).createOrReplaceTempView("wfd_src")
+    rows = engine.sql(
+        "select d, sum(v) as s from wfd_src group by d order by d desc with fill"
+    ).collect()
+    assert [r.d for r in rows] == [8, 7, 6, 5]  # inferred min/max, desc order
