@@ -105,6 +105,72 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style intra-document repetition filters (Rae et al. 2021,
+    "Scaling Language Models", table A1 — public): duplicate-line fraction,
+    duplicate-line CHARACTER fraction, and top word-2-gram fraction, with
+    the paper's flag thresholds (0.30 / 0.18).
+
+    Plan shape: the line metrics are pure JVM higher-order functions — zero
+    shuffle, O(lines²) per doc, bounded because lines-per-doc is small and
+    independent of corpus size.  The 2-gram mode CANNOT be a per-doc HOF
+    (O(words²) explodes on long docs), so bigrams explode → map-side-combined
+    count → per-doc max/sum: one shuffle keyed (doc_id, gram), linear in
+    corpus size.  No Python anywhere in the row path."""
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0, F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines
+    ).otherwise(F.lit(0.0))
+    line_chars = F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x))
+    dup_lines = F.filter(
+        lines, lambda x: F.size(F.filter(lines, lambda y: y == x)) > 1
+    )
+    dup_chars = F.aggregate(dup_lines, F.lit(0), lambda a, x: a + F.length(x))
+    dup_line_char_frac = F.when(
+        line_chars > 0, dup_chars / line_chars
+    ).otherwise(F.lit(0.0))
+    ws = F.filter(
+        F.split(F.regexp_replace(F.lower(t), "[^a-z0-9]+", " "), " "),
+        lambda x: x != "",
+    )
+    # guard: Spark's sequence(1, 0) runs DESCENDING, not empty
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        dup_line_frac.alias("_dlf"),
+        dup_line_char_frac.alias("_dlcf"),
+        bigrams.alias("_bgs"),
+    )
+    top = (
+        base.select("doc_id", F.explode("_bgs").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c") / F.sum("c")).alias("_tbf"))
+    )
+    joined = base.drop("_bgs").join(top, "doc_id", "left")
+    tbf = F.coalesce(F.col("_tbf"), F.lit(0.0))
+    return joined.select(
+        "doc_id",
+        "n_lines",
+        F.round("_dlf", 6).alias("dup_line_frac"),
+        F.round("_dlcf", 6).alias("dup_line_char_frac"),
+        F.round(tbf, 6).alias("top_bigram_frac"),
+        ((F.col("_dlf") > 0.3) | (tbf > 0.18)).alias("is_repetitive"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprinting:
     - content_md5: exact content fingerprint;

@@ -483,6 +483,52 @@ GROUP BY doc_id
 """
 
 
+def text_repetition_filters(spark, sf_dir):
+    """Gopher repetition filters (pipeline/text.py repetition_scores): line
+    metrics are shuffle-free JVM HOFs; the top-2-gram mode is one
+    (doc_id, gram)-keyed shuffle with map-side combine."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.repetition_scores(d)
+
+
+TEXT_REPETITION_ORACLE = r"""
+WITH l AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines,
+         list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                     x -> x <> '') AS ws
+  FROM documents
+), m AS (
+  SELECT doc_id, len(lines) AS n_lines,
+         CASE WHEN len(lines) > 0
+              THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+              ELSE 0.0 END AS dlf,
+         CASE WHEN coalesce(list_sum(list_transform(lines, x -> length(x))), 0) > 0
+              THEN CAST(coalesce(list_sum(list_transform(
+                       list_filter(lines, x -> len(list_filter(lines, y -> y = x)) > 1),
+                       x -> length(x))), 0) AS DOUBLE)
+                   / list_sum(list_transform(lines, x -> length(x)))
+              ELSE 0.0 END AS dlcf,
+         CASE WHEN len(ws) >= 2
+              THEN list_transform(generate_series(1, len(ws) - 1),
+                                  i -> ws[i] || ' ' || ws[i + 1])
+              ELSE [] END AS bgs
+  FROM l
+), bg AS (
+  SELECT doc_id, g, count(*) AS c FROM m, UNNEST(bgs) AS u(g) GROUP BY doc_id, g
+), top AS (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS tbf FROM bg GROUP BY doc_id
+)
+SELECT m.doc_id, CAST(n_lines AS INT) AS n_lines,
+       round(dlf, 6)                   AS dup_line_frac,
+       round(dlcf, 6)                  AS dup_line_char_frac,
+       round(coalesce(tbf, 0.0), 6)    AS top_bigram_frac,
+       (dlf > 0.3 OR coalesce(tbf, 0.0) > 0.18) AS is_repetitive
+FROM m LEFT JOIN top ON m.doc_id = top.doc_id
+"""
+
+
 def text_fingerprints(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return text.fingerprints(d)
@@ -962,6 +1008,9 @@ QUERIES = {
     "text_quality_scores": Query(text_quality_scores, QUALITY_ORACLE, ("text",)),
     "text_lang_id": Query(text_lang_id, LANG_ID_ORACLE, ("text",)),
     "text_fingerprints": Query(text_fingerprints, FINGERPRINT_ORACLE, ("text",)),
+    "text_repetition_filters": Query(
+        text_repetition_filters, TEXT_REPETITION_ORACLE, ("text", "quality")
+    ),
     "text_unigram_logprob": Query(
         text_unigram_logprob, UNIGRAM_LOGPROB_ORACLE, ("text", "agg")
     ),

@@ -620,3 +620,36 @@ def test_bloom_decontaminate_matches_exact_scan(spark):
         bloom._jdf.queryExecution(), "formatted"
     )
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_repetition_scores_known_values(spark):
+    """Hand-computable Gopher metrics: 4 lines with one duplicated pair;
+    'spam spam spam spam' has top bigram 'spam spam' = 3/3 of bigrams."""
+    from tensorbase_spark.pipeline import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b\nc d\na b\nx y z"),  # 4 lines, 'a b' twice
+            (2, "spam spam spam spam"),   # 1 line, all bigrams identical
+            (3, ""),                      # degenerate: no lines, no words
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in t.repetition_scores(docs).collect()}
+    assert rows[1].n_lines == 4
+    assert rows[1].dup_line_frac == 0.25              # 1 - 3 distinct / 4
+    assert rows[1].dup_line_char_frac == 0.428571     # 6 of 14 line chars
+    assert rows[1].top_bigram_frac == 0.25            # 'a b' 2 of 8 bigrams
+    assert rows[2].top_bigram_frac == 1.0 and rows[2].is_repetitive
+    assert rows[3].dup_line_frac == 0.0 and not rows[3].is_repetitive
+
+
+def test_repetition_metrics_stay_jvm_side(spark):
+    """Line metrics are pure JVM HOFs; the only Python-free shuffle is the
+    bigram-mode aggregation — no Python eval anywhere in the plan."""
+    from tensorbase_spark.pipeline import text as t
+    from tensorbase_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    txt = t.repetition_scores(d)._jdf.queryExecution().toString()
+    assert "EvalPython" not in txt
