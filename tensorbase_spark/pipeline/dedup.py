@@ -16,7 +16,7 @@ Scale design (100 TB of documents, 1000 executors):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tensorbase_spark.pipeline import hashing
@@ -523,4 +523,60 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame
             F.coalesce(F.least("mn", "node"), F.col("node")).alias("cluster_id"),
         )
         .select(F.col("node").alias("doc_id"), "cluster_id")
+    )
+
+
+def line_dedup_global(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style corpus-WIDE duplicate-span removal (Raffel et al. 2020 §2.2,
+    public: "we discarded all but one of any three-sentence span occurring
+    more than once"), at line granularity: every non-empty trimmed line that
+    appears anywhere else in the corpus survives only at its FIRST
+    occurrence (min (doc_id, position) — deterministic), all later copies
+    drop, and each document is re-assembled from its surviving lines.
+
+    Plan: posexplode lines -> ONE window shuffle keyed by line content
+    (row_number over (doc_id, pos) picks the canonical copy; map-side
+    nothing to combine, but the key is the line so skew == true duplicate
+    mass) -> one doc-keyed shuffle to re-assemble.  Linear in corpus size,
+    no self-join, no collect.  Returns per-doc summary with the rebuilt
+    text's md5 so results stay hashable at any scale."""
+    lines = docs.select(
+        id_col,
+        F.posexplode(
+            F.filter(
+                F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+                lambda x: x != "",
+            )
+        ).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy(id_col, "pos")
+    ranked = lines.withColumn("__rn", F.row_number().over(w))
+    rebuilt = (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") == 1, F.struct("pos", "line")
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("kept_text"),
+        )
+    )
+    return rebuilt.select(
+        id_col,
+        "n_lines",
+        "n_kept",
+        (F.col("n_lines") - F.col("n_kept")).alias("n_dropped"),
+        F.md5(F.col("kept_text")).alias("kept_md5"),
     )

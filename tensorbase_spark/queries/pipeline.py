@@ -529,6 +529,40 @@ FROM m LEFT JOIN top ON m.doc_id = top.doc_id
 """
 
 
+def dedup_lines_global(spark, sf_dir):
+    """C4-style corpus-wide duplicate-line removal (pipeline/dedup.py
+    line_dedup_global): one line-keyed window shuffle + one doc-keyed
+    re-assembly shuffle, linear in corpus size."""
+    from tensorbase_spark.pipeline import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.line_dedup_global(d)
+
+
+DEDUP_LINES_GLOBAL_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS ls
+  FROM documents
+), lines AS (
+  SELECT doc_id, i AS pos, ls[i] AS line
+  FROM d, UNNEST(generate_series(1, len(ls))) AS t(i)
+), ranked AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lines
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       count(*) FILTER (WHERE rn = 1) AS n_kept,
+       count(*) - count(*) FILTER (WHERE rn = 1) AS n_dropped,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE rn = 1),
+                    '')) AS kept_md5
+FROM ranked GROUP BY doc_id
+"""
+
+
 def text_fingerprints(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return text.fingerprints(d)
@@ -1010,6 +1044,9 @@ QUERIES = {
     "text_fingerprints": Query(text_fingerprints, FINGERPRINT_ORACLE, ("text",)),
     "text_repetition_filters": Query(
         text_repetition_filters, TEXT_REPETITION_ORACLE, ("text", "quality")
+    ),
+    "dedup_lines_global": Query(
+        dedup_lines_global, DEDUP_LINES_GLOBAL_ORACLE, ("dedup", "corpus")
     ),
     "text_unigram_logprob": Query(
         text_unigram_logprob, UNIGRAM_LOGPROB_ORACLE, ("text", "agg")

@@ -653,3 +653,19 @@ def test_repetition_metrics_stay_jvm_side(spark):
     d = load_table(spark, "/root/testdata/sf0.001", "documents")
     txt = t.repetition_scores(d)._jdf.queryExecution().toString()
     assert "EvalPython" not in txt
+
+
+def test_line_dedup_global_first_occurrence_wins(spark):
+    """C4 semantics: a line shared by two docs survives only in the earliest
+    (doc_id, pos); within a doc the second copy also drops."""
+    from tensorbase_spark.pipeline import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b\nc d\na b"), (2, "c d\nzz")], "doc_id int, text string"
+    )
+    rows = {r.doc_id: r for r in dedup.line_dedup_global(docs).collect()}
+    assert (rows[1].n_lines, rows[1].n_kept, rows[1].n_dropped) == (3, 2, 1)
+    assert (rows[2].n_lines, rows[2].n_kept) == (2, 1)  # 'c d' lost to doc 1
+    import hashlib
+    assert rows[1].kept_md5 == hashlib.md5(b"a b\nc d").hexdigest()
+    assert rows[2].kept_md5 == hashlib.md5(b"zz").hexdigest()
