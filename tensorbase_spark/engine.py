@@ -395,6 +395,13 @@ def _extract_limit_by(sql: str):
     order_keys = _split_depth0(om.group("keys"))
     return base, n_per_group, by_cols, order_keys, final_limit
 
+_SAMPLE_RE = re.compile(
+    r"(?is)\bfrom\s+(?P<tbl>[A-Za-z_][\w.]*)"
+    r"(?:\s+(?:as\s+)?(?P<alias>[A-Za-z_]\w*))?"
+    r"\s+sample\s+(?P<k>\d+\s*/\s*\d+|0?\.\d+|1(?:\.0+)?)\b"
+)
+
+
 _WITH_FILL_RE = re.compile(
     r"(?is)\border\s+by\s+(?P<col>[A-Za-z_][\w]*)\s+(?P<dir>asc\s+|desc\s+)?"
     r"with\s+fill"
@@ -983,6 +990,7 @@ class TensorBaseEngine:
             bcol = settings["bucket_by"]
             nb = int(settings.get("buckets", "8"))
             bucket_sql = f" CLUSTERED BY ({bcol}) SORTED BY ({bcol}) INTO {nb} BUCKETS"
+        sample_by = settings.get("sample_by")
 
         col_sql = []
         for cname, ctype in cols:
@@ -1003,6 +1011,8 @@ class TensorBaseEngine:
             part_sql = f" PARTITIONED BY ({PTK_COL})"
             expr_txt = pm.group("expr")
             props.append(f"'tb.partition_expr' = '{expr_txt}'")
+        if sample_by:
+            props.append(f"'tb.sample_by' = '{sample_by}'")
 
         ddl = (
             f"CREATE TABLE {ine}{name} ({', '.join(col_sql)}) USING parquet"
@@ -1335,10 +1345,48 @@ class TensorBaseEngine:
 
     # -- SELECT translation + partition pruning ------------------------------
 
+    def _rewrite_sample(self, q: str) -> str:
+        """ClickHouse ``FROM t SAMPLE k`` (upstream-CH; requires the table's
+        declared sampling key — here ``SETTINGS sample_by=col``).  CH samples
+        by a range over intHash32(key); the same contract re-expressed with
+        an engine-portable hash: 256 md5-prefix buckets over the sampling
+        key, keep the first round(k*256).  Deterministic (same rows every
+        run, a superset of CH's consistent-sampling guarantee), granularity
+        1/256, and the predicate is a pure scan filter — sampling never
+        shuffles and composes with partition pruning."""
+
+        def repl(m):
+            tbl = m.group("tbl")
+            alias = m.group("alias") or tbl.split(".")[-1]
+            k = m.group("k").replace(" ", "")
+            frac = (
+                int(k.split("/")[0]) / int(k.split("/")[1]) if "/" in k else float(k)
+            )
+            if not 0.0 < frac <= 1.0:
+                raise ValueError(f"SAMPLE fraction out of (0, 1]: {k}")
+            scol = self._table_props(self._qualify(tbl)).get("tb.sample_by")
+            if not scol:
+                raise ValueError(
+                    f"SAMPLE requires SETTINGS sample_by=<col> on table {tbl}"
+                )
+            n = max(1, round(frac * 256))
+            if n >= 256:
+                return f"from {tbl} {alias}"
+            h = f"md5(cast({scol} as string))"
+            bucket = (
+                f"(instr('0123456789abcdef', substr({h}, 1, 1)) - 1) * 16"
+                f" + instr('0123456789abcdef', substr({h}, 2, 1)) - 1"
+            )
+            return f"from (select * from {tbl} where {bucket} < {n}) {alias}"
+
+        return _SAMPLE_RE.sub(repl, q)
+
     def _translate_query(self, q: str) -> str:
         # clause rewrites apply on every query path (plain SELECT, EXPLAIN,
         # INSERT ... SELECT, remote push): idempotent on already-clean text
         q = _rewrite_array_join(_preprocess_ch_clauses(q.strip()))
+        if re.search(r"(?is)\bsample\s", q):
+            q = self._rewrite_sample(q)
         q = translate_sql(q.strip())
         # WHERE-rewrite: for each known partitioned table referenced, derive
         # __ptk predicates from source-column comparisons and AND them in.

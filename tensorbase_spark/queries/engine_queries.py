@@ -426,6 +426,40 @@ ORDER BY d
 """
 
 
+def ch_sample_clause(spark, sf_dir):
+    """Upstream-CH ``FROM t SAMPLE k`` over a declared sampling key
+    (``SETTINGS sample_by``): deterministic 256-bucket md5-prefix sampling
+    (engine.py _rewrite_sample) — a pure scan filter, so it composes with
+    pruning and never shuffles.  The aggregate proves the sampled subset is
+    stable across engines (the oracle recomputes the same bucket predicate
+    in DuckDB)."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "smp")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("smp_src")
+    eng.sql(
+        "create table so_ord(ok Int64, status String, total Float64) "
+        "settings sample_by=ok"
+    )
+    eng.sql(
+        "insert into so_ord select o_orderkey, o_orderstatus, o_totalprice "
+        "from smp_src"
+    )
+    return eng.sql(
+        "select status, count(*) as n, round(sum(total), 2) as s "
+        "from so_ord sample 0.25 group by status"
+    )
+
+
+CH_SAMPLE_ORACLE = """
+SELECT o_orderstatus AS status, count(*) AS n, round(sum(o_totalprice), 2) AS s
+FROM orders
+WHERE (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+      + instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1 < 64
+GROUP BY o_orderstatus
+"""
+
+
 def engine_zorder_read(spark, sf_dir):
     """DDL -> INSERT SELECT -> OPTIMIZE ZORDER BY (two decorrelated
     columns) -> selective range read-back.  The layout rewrite must be
@@ -480,4 +514,5 @@ QUERIES = {
     "ch_quantile_family": Query(ch_quantile_family, CH_QUANTILE_ORACLE, ("engine", "dialect")),
     "ch_with_totals": Query(ch_with_totals, CH_WITH_TOTALS_ORACLE, ("engine", "dialect", "agg")),
     "ch_with_fill": Query(ch_with_fill, CH_WITH_FILL_ORACLE, ("engine", "dialect")),
+    "ch_sample_clause": Query(ch_sample_clause, CH_SAMPLE_ORACLE, ("engine", "dialect")),
 }

@@ -774,3 +774,26 @@ def test_with_fill_desc_and_inferred_bounds(engine):
         "select d, sum(v) as s from wfd_src group by d order by d desc with fill"
     ).collect()
     assert [r.d for r in rows] == [8, 7, 6, 5]  # inferred min/max, desc order
+
+
+def test_sample_clause_deterministic_and_bounded(engine):
+    """SAMPLE k keeps a deterministic md5-bucket subset: repeatable, roughly
+    k of the table, SAMPLE 1 is the identity, and SAMPLE without a declared
+    sample_by is refused."""
+    engine.spark.range(2000).selectExpr("id as k", "id * 2 as v").createOrReplaceTempView(
+        "smp_unit_src"
+    )
+    engine.sql("create table smp_t(k Int64, v Int64) settings sample_by=k")
+    engine.sql("insert into smp_t select k, v from smp_unit_src")
+    n1 = engine.sql("select count(*) as n from smp_t sample 0.25").collect()[0].n
+    n2 = engine.sql("select count(*) as n from smp_t sample 1/4").collect()[0].n
+    assert n1 == n2  # 0.25 and 1/4 are the same bucket set
+    assert 0.15 * 2000 < n1 < 0.35 * 2000  # ~64/256 of uniformly hashed keys
+    full = engine.sql("select count(*) as n from smp_t sample 1").collect()[0].n
+    assert full == 2000
+    engine.sql("create table smp_nokey(k Int64)")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="sample_by"):
+        engine.sql("select count(*) from smp_nokey sample 0.5").collect()
+    engine.sql("drop table smp_t")
+    engine.sql("drop table smp_nokey")
