@@ -566,3 +566,187 @@ def ivf_search_indexed(
         .filter(F.col("rank") <= k)
         .select("q_id", F.col(id_col).alias("c_id"), "rank", F.round("cos", 6).alias("cos"))
     )
+
+
+def _train_pq_np(
+    emb: DataFrame,
+    m: int,
+    ksub: int,
+    id_col: str,
+    vec_col: str,
+    sample_size: int = 4096,
+    iters: int = 8,
+) -> np.ndarray:
+    """Deterministic product-quantizer training (FAISS PQ convention, public:
+    Jégou et al. 2011 "Product Quantization for Nearest Neighbor Search"):
+    split the (L2-normalized) vector into m contiguous subvectors and run an
+    independent small L2 k-means per subspace on the same bounded
+    hash-ordered sample train_centroids uses.  Maximin init + fixed Lloyd
+    count, ties to the lowest index — no seeds, bit-identical every run.
+    Returns codebooks of shape (m, ksub, dim//m)."""
+    sample = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([r.v for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms > 0, norms, 1.0)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    ks = min(ksub, len(x))
+    books = np.empty((m, ks, dsub))
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        # maximin init on L2 distance, start from row 0 of the hash order
+        chosen = [0]
+        d2 = ((xs - xs[0]) ** 2).sum(axis=1)
+        for _ in range(1, ks):
+            nxt = int(np.argmax(d2))
+            chosen.append(nxt)
+            d2 = np.minimum(d2, ((xs - xs[nxt]) ** 2).sum(axis=1))
+        cb = xs[chosen].copy()
+        for _ in range(iters):
+            # argmin over ||x-c||^2; ties -> lowest code (np.argmin contract)
+            dist = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(dist, axis=1)
+            for c in range(ks):
+                members = xs[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books[j] = cb
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as m small codes (nearest codebook entry per
+    subspace, on the normalized vector).  One Arrow-batched pass; the
+    codebooks ride the UDF closure (m*ksub*dsub doubles — KBs).  The encoded
+    corpus is dim*8 / m bytes-per-vector smaller: the representation that
+    makes 100 TB of embeddings scannable from memory."""
+    from pyspark.sql import types as T
+
+    m, ks, dsub = codebooks.shape
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _codes(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        X = X / np.where(n > 0, n, 1.0)
+        out = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            xs = X[:, j * dsub : (j + 1) * dsub]
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 -> argmin over c
+            d = -2.0 * (xs @ codebooks[j].T) + (codebooks[j] ** 2).sum(axis=1)
+            out[:, j] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("v_id"), _codes(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 256,
+    cand_mult: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k with exact re-rank (the FAISS
+    IVFPQ+refine shape):
+
+    1. train codebooks on a bounded sample (driver, deterministic);
+    2. encode the corpus once (Arrow pass — the only full-corpus work);
+    3. ADC scan: per partition, score every code against every query with a
+       per-query lookup table (LUT[j][code] = q_sub . codeword) — a numpy
+       gather+sum per batch, no float vectors touched — and emit only each
+       batch's top candidates per query;
+    4. global candidate cut to k*cand_mult per query (window over the skinny
+       ADC rows), then EXACT cosine re-rank of just those candidates.
+
+    Queries ride the closure as a (nq, dim) matrix (bounded by contract —
+    same envelope as brute_force_topk's broadcast).  Corpus bytes moved:
+    m ints per row in stage 3, k*cand_mult vectors per query in stage 4."""
+    from pyspark.sql import types as T
+
+    books = _train_pq_np(emb, m, ksub, id_col, vec_col)
+    codes = pq_encode(emb, books, id_col, vec_col)
+
+    qrows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .collect()
+    )
+    q_ids = np.array([r.q_id for r in qrows])
+    Q = np.stack([np.asarray(r.q_vec, dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / np.where(qn > 0, qn, 1.0)
+    dsub = Q.shape[1] // m
+    # LUT[j]: (nq, ksub) dot products of query subvector vs codebook entries
+    lut = np.stack(
+        [Qn[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)]
+    )
+    k2 = k * cand_mult
+
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("c_id", T.LongType()),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+
+    def _adc_scan(batches):
+        for pdf in batches:
+            ids = pdf["v_id"].to_numpy()
+            C = np.stack(pdf["codes"].to_numpy())  # (nb, m) int codes
+            # sum_j LUT[j][:, C[:, j]] -> (nq, nb) approximate dot products
+            s = lut[0][:, C[:, 0]]
+            for j in range(1, m):
+                s = s + lut[j][:, C[:, j]]
+            nb = len(ids)
+            top = min(k2 + 1, nb)  # +1 absorbs a query matching itself
+            # per-batch top candidates per query; ties -> lower c_id (lexsort)
+            order = np.lexsort((np.broadcast_to(ids, s.shape), -s), axis=1)[:, :top]
+            qi = np.repeat(np.arange(len(q_ids)), top)
+            yield pd.DataFrame(
+                {
+                    "q_id": q_ids[qi],
+                    "c_id": ids[order.ravel()],
+                    "adc": np.take_along_axis(s, order, axis=1).ravel(),
+                }
+            )
+
+    adc = codes.mapInPandas(_adc_scan, schema=out_schema).filter(
+        F.col("q_id") != F.col("c_id")
+    )
+    wa = W.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("c_id"))
+    cand = adc.withColumn("rn", F.row_number().over(wa)).filter(F.col("rn") <= k2)
+    # exact re-rank on the candidate set only
+    c = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        cand.select("q_id", "c_id")
+        .join(c, "c_id")
+        .join(F.broadcast(q), "q_id")
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", F.round("cos", 6).alias("cos"))
+    )

@@ -200,6 +200,28 @@ def sim_ivf_full_probe(spark, sf_dir):
     return similarity.ivf_topk(emb, q, k=5, n_centroids=8, nprobe=8)
 
 
+def sim_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (pipeline/similarity.py pq_topk — FAISS
+    PQ+refine shape): corpus encoded once to m=8 one-byte codes (64x smaller
+    than the float64 vectors), ADC scan via per-query lookup tables, exact
+    re-rank on k*cand_mult candidates.  Approximate: rows-only check; recall
+    vs brute force asserted in tests."""
+    emb, q = _emb_queries(spark, sf_dir)
+    return similarity.pq_topk(emb, q, k=5)
+
+
+def sim_pq_rerank_full(spark, sf_dir):
+    """Driver-evidence companion for the PQ path: with cand_mult covering
+    the whole corpus the ADC stage keeps every row, so the exact re-rank
+    must reproduce brute-force top-k regardless of codebook quality — the
+    SQL oracle.  The hash row proves the full PQ pipeline (deterministic
+    codebook training, Arrow encode, LUT ADC scan, candidate cut, re-rank
+    joins) loses nothing when coverage is total; recall at the production
+    cand_mult stays in tests/test_pipeline.py."""
+    emb, q = _emb_queries(spark, sf_dir)
+    return similarity.pq_topk(emb, q, k=5, cand_mult=10**7)
+
+
 def sim_lsh_full_cover(spark, sf_dir):
     """Driver-evidence companion for the sign-LSH path: with n_bits=0 every
     vector lands in the single bucket of the single table, so the LSH
@@ -1032,6 +1054,8 @@ QUERIES = {
     "sim_lsh_topk": Query(sim_lsh_topk, None, ("similarity", "approx"), bench=True),
     "sim_ivf_full_probe": Query(sim_ivf_full_probe, SIM_BRUTE_ORACLE, ("similarity",)),
     "sim_lsh_full_cover": Query(sim_lsh_full_cover, SIM_BRUTE_ORACLE, ("similarity",)),
+    "sim_pq_topk": Query(sim_pq_topk, None, ("similarity", "approx")),
+    "sim_pq_rerank_full": Query(sim_pq_rerank_full, SIM_BRUTE_ORACLE, ("similarity",)),
     "dedup_minhash_bands_sql": Query(
         dedup_minhash_bands_sql, MINHASH_BANDS_ORACLE, ("dedup",)
     ),

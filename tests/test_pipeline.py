@@ -669,3 +669,36 @@ def test_line_dedup_global_first_occurrence_wins(spark):
     import hashlib
     assert rows[1].kept_md5 == hashlib.md5(b"a b\nc d").hexdigest()
     assert rows[2].kept_md5 == hashlib.md5(b"zz").hexdigest()
+
+
+def test_pq_recall_and_exact_scores(spark):
+    """PQ+re-rank: high recall vs brute force at the default params on the
+    fixture, overlap scores EXACTLY equal (re-rank computes true cosine),
+    and bit-identical across runs (deterministic codebooks, no seeds)."""
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    brute = similarity.brute_force_topk(emb, q, k=5).collect()
+    pq = similarity.pq_topk(emb, q, k=5).collect()
+    truth = {(r.q_id, r.c_id) for r in brute}
+    got = {(r.q_id, r.c_id) for r in pq}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"PQ recall {recall:.2f} too low"
+    bs = {(r.q_id, r.c_id): r.cos for r in brute}
+    for r in pq:
+        if (r.q_id, r.c_id) in bs:
+            assert r.cos == bs[(r.q_id, r.c_id)]
+    pq2 = similarity.pq_topk(emb, q, k=5).collect()
+    assert sorted(map(tuple, pq)) == sorted(map(tuple, pq2))
+
+
+def test_pq_codes_are_compact(spark):
+    """The encoded corpus is m small ints per vector — the 100 TB memory
+    story; codes must be valid codebook indices."""
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    books = similarity._train_pq_np(emb, 8, 256, "vec_id", "embedding")
+    assert books.shape == (8, 256, 8)  # dim 64 / m 8
+    codes = similarity.pq_encode(emb, books).collect()
+    assert len(codes) == emb.count()
+    for r in codes[:20]:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 256 for c in r.codes)
