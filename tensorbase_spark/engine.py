@@ -496,7 +496,7 @@ _IDENT_CALL = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\s*\(")
 _SQL_KEYWORDS = frozenset(
     """select from where group by order having limit offset and or not on
     join in as case when then else end between union all distinct values
-    exists over partition rows range interval with using cross inner left
+    exists over partition rows interval with using cross inner left
     right full semi anti is like""".split()
 )
 
@@ -599,6 +599,13 @@ def translate_sql(sql: str) -> str:
                     i = j2
                     continue
             tmpl = CH_SQL_TEMPLATES.get(name.lower())
+            # range() is both Spark's table function (FROM range(n)) and
+            # ClickHouse's scalar array generator; only the scalar position
+            # takes the CH rewrite
+            if name.lower() == "range" and re.search(
+                r"(?is)(?:^|[\s(])(from|join)\s*$", "".join(out)
+            ):
+                tmpl = None
             if callable(tmpl):
                 out.append(tmpl(args))
             elif tmpl:

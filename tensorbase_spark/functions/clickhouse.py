@@ -389,6 +389,71 @@ CH_SQL_TEMPLATES.update(
 )
 
 
+# Everyday-ClickHouse tier 3 (all upstream-CH names the fork's grammar could
+# pass through as func_call_expr but the fork never registered — dialect
+# superset; every rewrite is a JVM built-in expression).
+CH_SQL_TEMPLATES.update(
+    {
+        "countequal": "size(filter({0}, v -> v = {1}))",
+        "arrayproduct": "aggregate({0}, cast(1.0 as double), (a, x) -> a * x)",
+        # CH range(n) = [0 .. n-1]; range(a, b[, s]) end-exclusive.  Spark's
+        # sequence() is end-INCLUSIVE and auto-descends when start > stop, so
+        # the empty case needs an explicit guard.
+        "range": lambda args: (
+            f"(case when {args[0]} <= 0 then array() "
+            f"else sequence(0, {args[0]} - 1) end)"
+            if len(args) == 1
+            else (
+                f"(case when {args[1]} <= {args[0]} then array() "
+                f"else sequence({args[0]}, {args[1]} - 1"
+                + (f", {args[2]}" if len(args) > 2 else "")
+                + ") end)"
+            )
+        ),
+        # dateAdd/dateSub(unit, n, d) — unit arrives as an ident or literal
+        "dateadd": lambda args: (
+            f"timestampadd({args[0].strip(chr(39))}, {args[1]}, {args[2]})"
+        ),
+        "datesub": lambda args: (
+            f"timestampadd({args[0].strip(chr(39))}, -({args[1]}), {args[2]})"
+        ),
+        "now64": "now()",
+        "mid": "substring({0}, {1}, {2})",
+        # CH locate/position take (haystack, needle) — Spark's locate is the
+        # REVERSED (needle, haystack); instr keeps CH's order
+        "locate": "instr({0}, {1})",
+        "splitbyregexp": "filter(split({1}, {0}), x -> x != '')",
+        "alphatokens": "filter(split({0}, '[^A-Za-z]+'), x -> x != '')",
+        "bittest": "cast((shiftright({0}, {1}) & 1) as tinyint)",
+        "exp2": "power(2, {0})",
+        "exp10": "power(10, {0})",
+        "intexp2": "cast(power(2, {0}) as bigint)",
+        "intexp10": "cast(power(10, {0}) as bigint)",
+        "roundtoexp2": "cast(power(2, floor(log2({0}))) as bigint)",
+        "ord": "ascii({0})",
+        "unbin": "conv({0}, 2, 10)",
+        "appendtrailingcharifabsent": "if(endswith({0}, {1}), {0}, concat({0}, {1}))",
+        "tonullable": "({0})",
+        "assumenotnull": "({0})",
+        # overflow wraps already (ANSI off — DataFusion-6 parity, session.py);
+        # Kahan compensation is moot in double aggregation with codegen'd sum
+        "sumwithoverflow": "sum({0})",
+        "sumkahan": "sum({0})",
+        "groupbitand": "bit_and({0})",
+        "groupbitor": "bit_or({0})",
+        "groupbitxor": "bit_xor({0})",
+        # CH greatCircleDistance(lon1, lat1, lon2, lat2) -> meters (haversine,
+        # CH uses R=6371km-based great-circle; documented 6371e3 sphere)
+        "greatcircledistance": (
+            "(2 * 6371000.0 * asin(sqrt("
+            "power(sin(radians(({3}) - ({1})) / 2), 2) + "
+            "cos(radians({1})) * cos(radians({3})) * "
+            "power(sin(radians(({2}) - ({0})) / 2), 2))))"
+        ),
+    }
+)
+
+
 # ClickHouse parametric aggregates — the curried name(params)(args) call
 # shape (quantile(0.5)(x)).  Values are callables (params, args) -> SQL.
 # CH's quantile* family is approximate (reservoir/t-digest); the Spark

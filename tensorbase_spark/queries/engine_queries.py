@@ -460,6 +460,55 @@ GROUP BY o_orderstatus
 """
 
 
+def ch_everyday_funcs3(spark, sf_dir):
+    """Tier-3 everyday-CH scalar/aggregate names through the dialect
+    (functions/clickhouse.py tier-3 block): bit tests, integer exponentials,
+    CH-argument-order locate, alphaTokens, range, dateAdd, trailing-char
+    append, haversine greatCircleDistance, and the groupBit* aggregates —
+    every rewrite a JVM built-in expression."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ef3_src")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "sum(bitTest(o_orderkey, 0)) as n_odd, "
+        "groupBitOr(cast(o_orderkey % 16 as int)) as bor, "
+        "groupBitXor(cast(o_orderkey % 16 as int)) as bxor, "
+        "max(intExp2(cast(o_orderkey % 10 as int))) as ie_mx, "
+        "max(roundToExp2(cast(o_orderkey % 100 + 1 as int))) as r2_mx, "
+        "max(locate(o_orderpriority, '-')) as dash_pos, "
+        "max(mid(o_orderpriority, 3, 4)) as pri_mid, "
+        "max(appendTrailingCharIfAbsent(o_orderstatus, '!')) as st_bang, "
+        "max(alphaTokens(o_orderpriority)) as toks, "
+        "max(dateAdd('day', 10, o_orderdate)) as d10, "
+        "round(max(greatCircleDistance(-0.1278, 51.5074, 2.3522, 48.8566)), 1) as gcd_m "
+        "from ef3_src where o_orderkey < 2000 group by o_orderstatus"
+    )
+
+
+CH_EVERYDAY3_ORACLE = """
+SELECT o_orderstatus AS st,
+       sum(CAST((o_orderkey >> 0) & 1 AS TINYINT))            AS n_odd,
+       bit_or(CAST(o_orderkey % 16 AS INT))                   AS bor,
+       bit_xor(CAST(o_orderkey % 16 AS INT))                  AS bxor,
+       max(CAST(power(2, o_orderkey % 10) AS BIGINT))         AS ie_mx,
+       max(CAST(power(2, floor(log2(o_orderkey % 100 + 1))) AS BIGINT)) AS r2_mx,
+       max(CAST(instr(o_orderpriority, '-') AS INT))          AS dash_pos,
+       max(substr(o_orderpriority, 3, 4))                     AS pri_mid,
+       max(CASE WHEN ends_with(o_orderstatus, '!') THEN o_orderstatus
+                ELSE o_orderstatus || '!' END)                AS st_bang,
+       max(list_filter(string_split_regex(o_orderpriority, '[^A-Za-z]+'),
+                       x -> x <> ''))                         AS toks,
+       max(CAST(o_orderdate + INTERVAL 10 DAY AS TIMESTAMP))  AS d10,
+       round(max(2 * 6371000.0 * asin(sqrt(
+           power(sin(radians(48.8566 - 51.5074) / 2), 2)
+           + cos(radians(51.5074)) * cos(radians(48.8566))
+             * power(sin(radians(2.3522 - (-0.1278)) / 2), 2)))), 1) AS gcd_m
+FROM orders WHERE o_orderkey < 2000 GROUP BY o_orderstatus
+"""
+
+
 def engine_zorder_read(spark, sf_dir):
     """DDL -> INSERT SELECT -> OPTIMIZE ZORDER BY (two decorrelated
     columns) -> selective range read-back.  The layout rewrite must be
@@ -515,4 +564,7 @@ QUERIES = {
     "ch_with_totals": Query(ch_with_totals, CH_WITH_TOTALS_ORACLE, ("engine", "dialect", "agg")),
     "ch_with_fill": Query(ch_with_fill, CH_WITH_FILL_ORACLE, ("engine", "dialect")),
     "ch_sample_clause": Query(ch_sample_clause, CH_SAMPLE_ORACLE, ("engine", "dialect")),
+    "ch_everyday_funcs3": Query(
+        ch_everyday_funcs3, CH_EVERYDAY3_ORACLE, ("engine", "dialect")
+    ),
 }

@@ -192,3 +192,25 @@ def test_dialect_uniq_family_aliases(spark):
         "uniqHLL12(v) as uh, uniqExact(v) as ue from uqv"
     )).collect()[0]
     assert (row.u, row.uc, row.uc64, row.uh, row.ue) == (3, 3, 3, 3, 3)
+
+
+def test_tier3_templates_translate():
+    from tensorbase_spark.engine import translate_sql as t
+
+    assert "size(filter(xs, v -> v = 2))" in t("select countEqual(xs, 2)")
+    assert "sequence(0, n - 1)" in t("select range(n)")
+    assert "timestampadd(day, 5, d)" in t("select dateAdd('day', 5, d)")
+    assert "instr(h, n)" in t("select locate(h, n)")  # CH arg order kept
+    assert "bit_xor(v)" in t("select groupBitXor(v)")
+    assert "asin(sqrt(" in t("select greatCircleDistance(a, b, c, d)")
+    # window RANGE frames must survive the range() template (keyword context)
+    out = t("select sum(v) over (order by d range between interval 1 day preceding and current row)")
+    assert "range between interval 1 day preceding" in out
+
+
+def test_range_scalar_vs_table_function_position():
+    from tensorbase_spark.engine import translate_sql as t
+
+    assert "sequence(0, 3 - 1)" in t("select range(3) as r")
+    assert "from range(5000)" in t("select id from range(5000)")
+    assert "join range(10)" in t("select * from t join range(10) on true")
