@@ -118,9 +118,11 @@ PRIORITY_HEAD = [
     "ch_array_join_clause", "ch_string_replace_extract", "ch_stats_family",
     "ch_array_set_ops", "corpus_bloom_decontaminate", "join_skew_salted",
     "text_unigram_logprob",
-    # rows-only approximates (driver records a rows-only check)
-    "agg_approx_distinct", "dedup_minhash_lsh", "dedup_simhash",
-    "sim_ivf_topk", "sim_lsh_topk", "sim_ivf_indexed",
+    # queries past this point flow through mid_unverified ordering:
+    # oracle-backed additions (this round's WITH TOTALS/FILL, SAMPLE,
+    # tier-3 funcs, repetition filters, global line dedup, PQ full-cover,
+    # zorder, calendar) first, then the rows-only approximates
+    # (agg_approx_distinct, minhash/simhash, ivf/lsh/pq topk).
 ]
 
 
