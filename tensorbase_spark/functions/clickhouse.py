@@ -442,6 +442,10 @@ CH_SQL_TEMPLATES.update(
         "groupbitand": "bit_and({0})",
         "groupbitor": "bit_or({0})",
         "groupbitxor": "bit_xor({0})",
+        # anyHeavy approximates the most frequent value; Spark's exact mode
+        # (ties -> NULL-safe arbitrary in Spark, so pin determinism with
+        # mode() which takes the first in sort order on ties in 4.x)
+        "anyheavy": "mode({0})",
         # CH greatCircleDistance(lon1, lat1, lon2, lat2) -> meters (haversine,
         # CH uses R=6371km-based great-circle; documented 6371e3 sphere)
         "greatcircledistance": (
@@ -452,6 +456,28 @@ CH_SQL_TEMPLATES.update(
         ),
     }
 )
+
+
+def _sequence_match_tmpl(params: list[str], args: list[str]) -> str:
+    """sequenceMatch('(?1).*(?2)')(ts, c1, c2): true when some c1 event
+    precedes some c2 event — exactly `min(ts | c1) < max(ts | c2)` in one
+    aggregation pass.  Only the 2-step chain pattern compiles to a single
+    aggregate expression; longer chains are event funnels — use the
+    windowFunnel operator (operators/funnel.py), which CH users reach for at
+    that complexity anyway."""
+    pat = params[0].strip().strip("'\"").replace(" ", "")
+    if pat != "(?1).*(?2)" or len(args) != 3:
+        raise ValueError(
+            "sequenceMatch: only the '(?1).*(?2)' 2-step chain is supported "
+            "as an aggregate; use windowFunnel for longer sequences"
+        )
+    ts, c1, c2 = args
+    # CH returns 0 when either step never fires; the bare comparison would
+    # be NULL there
+    return (
+        f"coalesce(min(case when {c1} then {ts} end)"
+        f" < max(case when {c2} then {ts} end), false)"
+    )
 
 
 # ClickHouse parametric aggregates — the curried name(params)(args) call
@@ -471,6 +497,10 @@ CH_PARAMETRIC_TEMPLATES = {
     "quantiletiming": lambda p, a: f"approx_percentile({a[0]}, {p[0]}, 10000)",
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     "quantilesexact": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    # uniqUpTo(N)(x): exact distinct count, saturating at N+1 (CH contract:
+    # "up to N, N+1 means more than N")
+    "uniqupto": lambda p, a: f"least(count(distinct {a[0]}), {p[0]} + 1)",
+    "sequencematch": _sequence_match_tmpl,
 }
 
 

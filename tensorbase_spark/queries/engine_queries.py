@@ -509,6 +509,37 @@ FROM orders WHERE o_orderkey < 2000 GROUP BY o_orderstatus
 """
 
 
+def ch_sequence_uniq(spark, sf_dir):
+    """Event-analytics aggregate tier: sequenceMatch 2-step chain compiled
+    to one aggregation pass (functions/clickhouse.py _sequence_match_tmpl),
+    saturating uniqUpTo, and anyHeavy over a uniquely-moded expression —
+    per user-bucket, the grain CH users run these at."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("evs_src")
+    return eng.sql(
+        "select user_id % 50 as ub, "
+        "sequenceMatch('(?1).*(?2)')(ts, value < 10, value > 90) as esc, "
+        "uniqUpTo(5)(event_type) as u5, "
+        "anyHeavy(if(value > 1, 'hi', 'lo')) as heavy, "
+        "count(*) as n "
+        "from evs_src group by user_id % 50"
+    )
+
+
+CH_SEQUENCE_UNIQ_ORACLE = """
+SELECT user_id % 50 AS ub,
+       coalesce(min(CASE WHEN value < 10 THEN CAST(ts AS TIMESTAMP) END)
+                < max(CASE WHEN value > 90 THEN CAST(ts AS TIMESTAMP) END),
+                false)                                   AS esc,
+       least(count(DISTINCT event_type), 6)              AS u5,
+       mode(CASE WHEN value > 1 THEN 'hi' ELSE 'lo' END) AS heavy,
+       count(*)                                          AS n
+FROM events GROUP BY user_id % 50
+"""
+
+
 def engine_zorder_read(spark, sf_dir):
     """DDL -> INSERT SELECT -> OPTIMIZE ZORDER BY (two decorrelated
     columns) -> selective range read-back.  The layout rewrite must be
@@ -566,5 +597,8 @@ QUERIES = {
     "ch_sample_clause": Query(ch_sample_clause, CH_SAMPLE_ORACLE, ("engine", "dialect")),
     "ch_everyday_funcs3": Query(
         ch_everyday_funcs3, CH_EVERYDAY3_ORACLE, ("engine", "dialect")
+    ),
+    "ch_sequence_uniq": Query(
+        ch_sequence_uniq, CH_SEQUENCE_UNIQ_ORACLE, ("engine", "dialect", "agg")
     ),
 }

@@ -214,3 +214,15 @@ def test_range_scalar_vs_table_function_position():
     assert "sequence(0, 3 - 1)" in t("select range(3) as r")
     assert "from range(5000)" in t("select id from range(5000)")
     assert "join range(10)" in t("select * from t join range(10) on true")
+
+
+def test_sequence_match_and_uniq_upto_translate():
+    from tensorbase_spark.engine import translate_sql as t
+    import pytest as _pytest
+
+    out = t("select sequenceMatch('(?1).*(?2)')(ts, a, b) as m")
+    assert "min(case when a then ts end)" in out
+    assert "coalesce(" in out  # no-step groups are false, not NULL
+    assert "least(count(distinct x), 5 + 1)" in t("select uniqUpTo(5)(x)")
+    with _pytest.raises(ValueError, match="windowFunnel"):
+        t("select sequenceMatch('(?1).*(?2).*(?3)')(ts, a, b, c)")
