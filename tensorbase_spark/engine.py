@@ -837,6 +837,8 @@ class TensorBaseEngine:
             return self.spark.sql(c)
         if low.startswith("optimize table"):
             return self._optimize(c)
+        if low.startswith("alter table"):
+            return self._alter(c)
         if low.startswith("use "):
             self.spark.catalog.setCurrentDatabase(c[4:].strip())
             return self.spark.sql("SELECT 1 AS ok")
@@ -1105,6 +1107,110 @@ class TensorBaseEngine:
         stage = f"{self.spark.conf.get('spark.sql.warehouse.dir')}/optimize_stage_tmp"
         tmp.write.mode("overwrite").parquet(stage)
         self.spark.read.parquet(stage).write.insertInto(name, overwrite=True)
+        return self.spark.sql("SELECT 1 AS ok")
+
+    def _alter(self, c: str) -> DataFrame:
+        """ClickHouse mutations + light schema evolution (upstream-CH
+        surface; the reference's storage is strictly append-only — beyond
+        reference, kept because production CH corpora rely on them):
+
+        - ``ALTER TABLE t DELETE WHERE cond``
+        - ``ALTER TABLE t UPDATE col = expr[, ...] WHERE cond``
+        - ``ALTER TABLE t ADD COLUMN name BqlType``
+
+        Mutations rewrite data PARTITION-SELECTIVELY: the WHERE derives a
+        ``__ptk`` predicate exactly like reads do, so only affected partition
+        directories are read and rewritten (dynamic partition overwrite);
+        partitions the mutation fully empties are dropped via
+        DROP PARTITION.  I/O ∝ affected partitions — the same contract CH
+        mutations have (rewrite touched parts, not the table)."""
+        m = re.match(
+            r"(?is)^alter\s+table\s+(?P<name>[\w.]+)\s+"
+            r"(?P<kind>delete|update|add\s+column)\s+(?P<rest>.+)$",
+            c,
+        )
+        if not m:
+            raise ValueError(f"cannot parse: {c}")
+        name = self._qualify(m.group("name"))
+        kind = re.sub(r"\s+", " ", m.group("kind").lower())
+        rest = m.group("rest").strip()
+
+        if kind == "add column":
+            toks = rest.split(None, 1)
+            if len(toks) != 2:
+                raise ValueError(f"cannot parse column def: {rest!r}")
+            cname, ctype = toks
+            p = parse_bql_type(ctype)
+            self.spark.sql(
+                f"ALTER TABLE {name} ADD COLUMNS ({cname} {p.spark_type.simpleString()})"
+            )
+            cols_txt = self._table_props(name).get("tb.columns")
+            if cols_txt:  # keep DESC TABLE authoritative
+                new_txt = f"{cols_txt}, {cname} {ctype}".replace("'", "''")
+                self.spark.sql(
+                    f"ALTER TABLE {name} SET TBLPROPERTIES ('tb.columns' = '{new_txt}')"
+                )
+            return self.spark.sql("SELECT 1 AS ok")
+
+        if kind == "delete":
+            wm = re.match(r"(?is)^where\s+(?P<cond>.+)$", rest)
+            if not wm:
+                raise ValueError("ALTER ... DELETE requires WHERE")
+            cond = translate_sql(wm.group("cond"))
+            assigns: list[tuple[str, str]] = []
+        else:
+            wm = re.search(r"(?is)\bwhere\s+(?P<cond>.+)$", rest)
+            if not wm:
+                raise ValueError("ALTER ... UPDATE requires WHERE (CH contract)")
+            cond = translate_sql(wm.group("cond"))
+            assigns = []
+            for part in _split_depth0(rest[: wm.start()]):
+                col, _, expr = part.partition("=")
+                if not col.strip() or not expr.strip():
+                    raise ValueError(f"cannot parse assignment: {part!r}")
+                assigns.append((col.strip(), translate_sql(expr.strip())))
+
+        df = self.spark.table(name)
+        spec = self._spec_for(name)
+        ptk_pred = _derive_ptk_predicate(spec, cond) if spec else None
+        affected = df.filter(ptk_pred) if ptk_pred else df
+        hit = F.coalesce(F.expr(cond), F.lit(False))
+        if kind == "delete":
+            new = affected.filter(~hit)
+        else:
+            amap = dict(assigns)
+            out_cols = []
+            for col in df.columns:
+                if col in amap:
+                    out_cols.append(
+                        F.when(hit, F.expr(amap[col]))
+                        .otherwise(F.col(col))
+                        .cast(df.schema[col].dataType)
+                        .alias(col)
+                    )
+                else:
+                    out_cols.append(F.col(col))
+            new = affected.select(*out_cols)
+
+        stage = f"{self.spark.conf.get('spark.sql.warehouse.dir')}/mutate_stage_tmp"
+        new.write.mode("overwrite").parquet(stage)
+        staged = self.spark.read.parquet(stage)
+        if ptk_pred is not None:
+            # bounded collects: partition-value lists, not data
+            before = {r[0] for r in affected.select(PTK_COL).distinct().collect()}
+            after = {r[0] for r in staged.select(PTK_COL).distinct().collect()}
+            prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                staged.write.insertInto(name, overwrite=True)
+            finally:
+                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            for v in sorted(before - after):  # fully-emptied partitions
+                self.spark.sql(
+                    f"ALTER TABLE {name} DROP IF EXISTS PARTITION ({PTK_COL} = '{v}')"
+                )
+        else:
+            staged.write.insertInto(name, overwrite=True)
         return self.spark.sql("SELECT 1 AS ok")
 
     _ZORDER_BITS = 8  # 256 quantile buckets per column

@@ -540,6 +540,67 @@ FROM events GROUP BY user_id % 50
 """
 
 
+def engine_mutations(spark, sf_dir):
+    """ClickHouse mutations through the engine (engine.py _alter): DELETE
+    rewrites ONLY the partitions its WHERE touches (ptk derivation — same
+    pruning as reads), UPDATE applies conditionally inside the affected
+    partitions, ADD COLUMN evolves the schema with NULL backfill.  The
+    oracle recomputes the post-mutation state from the raw fixture, so the
+    hash proves the partition-selective rewrite is exact."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "mut")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("mut_src")
+    eng.sql(
+        "create table mu_ord(ok Int64, od Date, status String, total Float64) "
+        "partition by toYYYYMM(od)"
+    )
+    eng.sql(
+        "insert into mu_ord select o_orderkey, o_orderdate, o_orderstatus, "
+        "o_totalprice from mut_src where o_orderdate < '1997-01-01'"
+    )
+    # delete one quarter; the ptk predicate limits the rewrite to 199601-03
+    eng.sql(
+        "alter table mu_ord delete where od between '1996-01-01' and '1996-03-31'"
+    )
+    # conditional update inside one month's partitions
+    eng.sql(
+        "alter table mu_ord update total = total * 2, status = lower(status) "
+        "where od between '1996-06-01' and '1996-06-30' and ok % 2 = 0"
+    )
+    eng.sql("alter table mu_ord add column note String")
+    return eng.sql(
+        "select toYYYYMM(od) as ym, status, count(*) as n, "
+        "round(sum(total), 2) as s, count(note) as n_note "
+        "from mu_ord group by toYYYYMM(od), status"
+    )
+
+
+ENGINE_MUTATIONS_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS ok, o_orderdate AS od, o_orderstatus AS status,
+         o_totalprice AS total
+  FROM orders WHERE o_orderdate < DATE '1997-01-01'
+), deleted AS (
+  SELECT * FROM base
+  WHERE NOT (od BETWEEN DATE '1996-01-01' AND DATE '1996-03-31')
+), updated AS (
+  SELECT ok, od,
+         CASE WHEN od BETWEEN DATE '1996-06-01' AND DATE '1996-06-30'
+                   AND ok % 2 = 0
+              THEN lower(status) ELSE status END AS status,
+         CASE WHEN od BETWEEN DATE '1996-06-01' AND DATE '1996-06-30'
+                   AND ok % 2 = 0
+              THEN total * 2 ELSE total END AS total
+  FROM deleted
+)
+SELECT CAST(year(od)*100 + month(od) AS BIGINT) AS ym, status,
+       count(*) AS n, round(sum(total), 2) AS s,
+       CAST(0 AS BIGINT) AS n_note
+FROM updated GROUP BY year(od)*100 + month(od), status
+"""
+
+
 def engine_zorder_read(spark, sf_dir):
     """DDL -> INSERT SELECT -> OPTIMIZE ZORDER BY (two decorrelated
     columns) -> selective range read-back.  The layout rewrite must be
@@ -600,5 +661,8 @@ QUERIES = {
     ),
     "ch_sequence_uniq": Query(
         ch_sequence_uniq, CH_SEQUENCE_UNIQ_ORACLE, ("engine", "dialect", "agg")
+    ),
+    "engine_mutations": Query(
+        engine_mutations, ENGINE_MUTATIONS_ORACLE, ("engine", "ddl")
     ),
 }

@@ -797,3 +797,42 @@ def test_sample_clause_deterministic_and_bounded(engine):
         engine.sql("select count(*) from smp_nokey sample 0.5").collect()
     engine.sql("drop table smp_t")
     engine.sql("drop table smp_nokey")
+
+
+def test_alter_mutations_partition_selective(engine, tmp_path):
+    """DELETE/UPDATE must rewrite ONLY partitions their WHERE touches: an
+    untouched partition's physical files stay byte-identical (same paths,
+    same mtimes), and a fully-emptied partition disappears."""
+    import os
+
+    spark = engine.spark
+    spark.sql(
+        "select * from values (1, date'2020-01-05', 10.0), "
+        "(2, date'2020-01-20', 20.0), (3, date'2020-02-10', 30.0), "
+        "(4, date'2020-03-01', 40.0) as t(k, d, v)"
+    ).createOrReplaceTempView("mu_unit_src")
+    engine.sql("create table mu_t(k Int64, d Date, v Float64) partition by toYYYYMM(d)")
+    engine.sql("insert into mu_t select k, d, v from mu_unit_src")
+
+    loc = spark.sql("DESCRIBE TABLE EXTENDED mu_t").filter("col_name = 'Location'").first().data_type
+    loc = loc.replace("file:", "")
+    def files(ptk):
+        d = f"{loc}/__ptk={ptk}"
+        return {f: os.path.getmtime(f"{d}/{f}") for f in os.listdir(d)} if os.path.isdir(d) else None
+
+    feb_before = files(202002)
+    # delete everything in 202001 (full partition drop) — 202002/202003 untouched
+    engine.sql("alter table mu_t delete where d between '2020-01-01' and '2020-01-31'")
+    assert files(202001) is None  # emptied partition dropped
+    assert files(202002) == feb_before  # untouched partition not rewritten
+    # conditional update confined to 202003
+    engine.sql("alter table mu_t update v = v + 1 where d >= '2020-03-01'")
+    assert files(202002) == feb_before
+    rows = {r.k: r.v for r in engine.sql("select k, v from mu_t").collect()}
+    assert rows == {3: 30.0, 4: 41.0}
+    # add column: NULL backfill, DESC reports it
+    engine.sql("alter table mu_t add column tag String")
+    assert engine.sql("select count(tag) as n from mu_t").collect()[0].n == 0
+    descs = {r.col_name: r.data_type for r in engine.sql("desc table mu_t").collect()}
+    assert descs.get("tag") == "string"
+    engine.sql("drop table mu_t")
