@@ -767,6 +767,9 @@ class TensorBaseEngine:
         self.spark = spark
         self._partition_specs: dict[str, PartitionSpec] = {}
         self._create_scripts: dict[str, str] = {}
+        # materialized views: src table -> [(mv, tgt, select, src_as_written)]
+        self._mvs: dict[str, list[tuple[str, str, str, str]]] = {}
+        self._mv_depth = 0
 
     def bootstrap_system(self) -> None:
         """Create the ``system`` database + empty ``system.numbers (number
@@ -823,6 +826,8 @@ class TensorBaseEngine:
 
         if low.startswith("create database"):
             return self._create_database(c)
+        if low.startswith("create materialized view"):
+            return self._create_materialized_view(c)
         if low.startswith("create table"):
             return self._create_table(c)
         if low in ("show databases", "show tables"):
@@ -1108,6 +1113,51 @@ class TensorBaseEngine:
         tmp.write.mode("overwrite").parquet(stage)
         self.spark.read.parquet(stage).write.insertInto(name, overwrite=True)
         return self.spark.sql("SELECT 1 AS ok")
+
+    _MV_RE = re.compile(
+        r"(?is)^create\s+materialized\s+view\s+(?P<mv>[\w.]+)\s+to\s+"
+        r"(?P<tgt>[\w.]+)\s+as\s+(?P<sel>select\b.+)$"
+    )
+
+    def _create_materialized_view(self, c: str) -> DataFrame:
+        """ClickHouse ``CREATE MATERIALIZED VIEW mv TO tgt AS SELECT ...
+        FROM src`` (upstream-CH; beyond the reference's append-only storage).
+        CH semantics preserved exactly: the view is an INSERT TRIGGER — the
+        SELECT runs over each inserted BLOCK only, never over existing data,
+        and the (partial) result appends to ``tgt``.  Readers re-aggregate
+        the target (sum of partial sums), which is why MV selects use
+        re-aggregatable functions.  This is the continuous-aggregation lever
+        at ingest scale: each block's aggregation is map-side-sized, and the
+        target grows with group cardinality, not row count."""
+        m = self._MV_RE.match(c)
+        if not m:
+            raise ValueError(f"cannot parse: {c}")
+        mv = self._qualify(m.group("mv"))
+        tgt = self._qualify(m.group("tgt"))
+        sel = m.group("sel").strip()
+        fm = re.search(r"(?is)\bfrom\s+([A-Za-z_][\w.]*)", sel)
+        if not fm:
+            raise ValueError("materialized view SELECT needs a FROM table")
+        src = self._qualify(fm.group(1))
+        if not self.spark.catalog.tableExists(tgt):
+            raise ValueError(f"TO table {tgt} must exist (CH contract)")
+        self._mvs.setdefault(src, []).append((mv, tgt, sel, fm.group(1)))
+        return self.spark.sql("SELECT 1 AS ok")
+
+    def _propagate_mvs(self, name: str, block: DataFrame) -> None:
+        """Run every materialized view registered on ``name`` over the
+        just-inserted block and append the partial result to its target."""
+        for mv, tgt, sel, src_txt in self._mvs.get(name, []):
+            view = f"__mv_block_{abs(hash(mv)) % 10**8}"
+            block.createOrReplaceTempView(view)
+            # swap the source table reference for the block view (depth-0
+            # word-boundary replace keeps subquery/internal idents intact)
+            sel_block = re.sub(
+                rf"(?is)\b(from|join)\s+{re.escape(src_txt)}\b",
+                rf"\1 {view}",
+                sel,
+            )
+            self.insert_df(tgt, self.spark.sql(self._translate_query(sel_block)))
 
     def _alter(self, c: str) -> DataFrame:
         """ClickHouse mutations + light schema evolution (upstream-CH
@@ -1454,6 +1504,17 @@ class TensorBaseEngine:
             if nparts > 1:
                 out = out.repartition(min(nparts, 200), F.col(PTK_COL))
         out.write.mode("append").insertInto(name)
+        if self._mvs.get(name):
+            # CH materialized views are insert triggers: each view's SELECT
+            # runs over the inserted block only (cast, target-named), and
+            # chains are allowed with a cycle guard
+            if self._mv_depth >= 8:
+                raise ValueError("materialized-view chain deeper than 8 (cycle?)")
+            self._mv_depth += 1
+            try:
+                self._propagate_mvs(name, out.drop(PTK_COL))
+            finally:
+                self._mv_depth -= 1
         return self.spark.sql("SELECT 1 AS ok")
 
     # -- SELECT translation + partition pruning ------------------------------

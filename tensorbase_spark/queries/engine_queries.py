@@ -601,6 +601,49 @@ FROM updated GROUP BY year(od)*100 + month(od), status
 """
 
 
+def engine_materialized_view(spark, sf_dir):
+    """ClickHouse materialized view as an INSERT trigger (engine.py
+    _create_materialized_view): each inserted block is aggregated through
+    the view's SELECT and the partial result appends to the TO table;
+    reading the target re-aggregates (sum of partial sums) — the CH
+    continuous-aggregation idiom.  Two disjoint inserts prove per-block
+    processing; the oracle recomputes the same rollup from the raw fixture,
+    so the hash proves no row is double-counted or missed."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "mview")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("mvq_src")
+    eng.sql("create table mv_raw(ok Int64, od Date, status String, total Float64)")
+    eng.sql("create table mv_daily(ym Int64, status String, n Int64, s Float64)")
+    eng.sql(
+        "create materialized view mv_roll to mv_daily as "
+        "select toYYYYMM(od) as ym, status, count(*) as n, sum(total) as s "
+        "from mv_raw group by toYYYYMM(od), status"
+    )
+    eng.sql(
+        "insert into mv_raw select o_orderkey, o_orderdate, o_orderstatus, "
+        "o_totalprice from mvq_src where o_orderdate < '1996-01-01'"
+    )
+    eng.sql(
+        "insert into mv_raw select o_orderkey, o_orderdate, o_orderstatus, "
+        "o_totalprice from mvq_src "
+        "where o_orderdate >= '1996-01-01' and o_orderdate < '1997-01-01'"
+    )
+    return eng.sql(
+        "select ym, status, sum(n) as n, round(sum(s), 2) as s "
+        "from mv_daily group by ym, status"
+    )
+
+
+ENGINE_MV_ORACLE = """
+SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS ym,
+       o_orderstatus AS status, count(*) AS n,
+       round(sum(o_totalprice), 2) AS s
+FROM orders WHERE o_orderdate < DATE '1997-01-01'
+GROUP BY year(o_orderdate)*100 + month(o_orderdate), o_orderstatus
+"""
+
+
 def engine_zorder_read(spark, sf_dir):
     """DDL -> INSERT SELECT -> OPTIMIZE ZORDER BY (two decorrelated
     columns) -> selective range read-back.  The layout rewrite must be
@@ -664,5 +707,8 @@ QUERIES = {
     ),
     "engine_mutations": Query(
         engine_mutations, ENGINE_MUTATIONS_ORACLE, ("engine", "ddl")
+    ),
+    "engine_materialized_view": Query(
+        engine_materialized_view, ENGINE_MV_ORACLE, ("engine", "ddl", "agg")
     ),
 }

@@ -836,3 +836,28 @@ def test_alter_mutations_partition_selective(engine, tmp_path):
     descs = {r.col_name: r.data_type for r in engine.sql("desc table mu_t").collect()}
     assert descs.get("tag") == "string"
     engine.sql("drop table mu_t")
+
+
+def test_materialized_view_block_semantics(engine):
+    """CH MV contract: the SELECT runs over each inserted BLOCK, never over
+    existing rows — so the target holds one partial row per (block, group),
+    and pre-MV data is NOT back-filled."""
+    engine.sql("create table mvt_raw(k String, v Int64)")
+    engine.sql("create table mvt_agg(k String, s Int64)")
+    # pre-MV insert must never reach the target
+    engine.sql("insert into mvt_raw values ('a', 100)")
+    engine.sql(
+        "create materialized view mvt_mv to mvt_agg as "
+        "select k, sum(v) as s from mvt_raw group by k"
+    )
+    engine.sql("insert into mvt_raw values ('a', 1), ('b', 2)")
+    engine.sql("insert into mvt_raw values ('a', 10)")
+    parts = sorted((r.k, r.s) for r in engine.sql("select k, s from mvt_agg").collect())
+    assert parts == [("a", 1), ("a", 10), ("b", 2)]  # per-block partials
+    final = {
+        r.k: r.s
+        for r in engine.sql("select k, sum(s) as s from mvt_agg group by k").collect()
+    }
+    assert final == {"a": 11, "b": 2}  # reader re-aggregates; 100 not backfilled
+    engine.sql("drop table mvt_raw")
+    engine.sql("drop table mvt_agg")
