@@ -818,8 +818,34 @@ class TensorBaseEngine:
 
     # -- dispatcher (mirrors mgmt.rs:984-1057 rule match) --------------------
 
+    _OUTFILE_RE = re.compile(
+        r"(?is)\binto\s+outfile\s+'(?P<p>[^']+)'\s*"
+        r"(?:format\s+(?P<f>\w+))?\s*$"
+    )
+
     def sql(self, command: str) -> DataFrame:
         c = command.strip().rstrip(";").strip()
+        if re.match(r"(?is)^(select|with)\b", c):
+            # ClickHouse export surface: SELECT ... INTO OUTFILE 'p' [FORMAT x]
+            # — extracted before clause preprocessing (which strips trailing
+            # FORMAT as a wire directive)
+            ofm = self._OUTFILE_RE.search(c)
+            if ofm:
+                df = self.sql(c[: ofm.start()])
+                fmt = (ofm.group("f") or "csvwithnames").lower()
+                path = ofm.group("p")
+                w = df.write.mode("overwrite")
+                if fmt in ("csv", "csvwithnames"):
+                    w.option("header", fmt == "csvwithnames").csv(path)
+                elif fmt == "parquet":
+                    w.parquet(path)
+                elif fmt in ("jsoneachrow", "ndjson"):
+                    w.json(path)
+                else:
+                    raise ValueError(f"INTO OUTFILE FORMAT {fmt}: unsupported")
+                return self.spark.createDataFrame(
+                    [(df.count(), path)], "rows_exported: long, path: string"
+                )
         if re.match(r"(?is)^(select|with|explain)\b", c):
             c = _rewrite_array_join(_preprocess_ch_clauses(c)).strip()
         low = c.lower()
@@ -1415,10 +1441,14 @@ class TensorBaseEngine:
                     raise ValueError(f"unknown insert columns: {missing}")
                 st = T.StructType([by_name[n] for n in tgt])
                 src = self.spark.read.schema(st).json(path).select(*tgt)
+            elif fmt == "parquet":
+                # upstream-CH file-format breadth (the fork's grammar stops
+                # at CSV, bql.pest:91); schema comes from the file
+                src = self.spark.read.parquet(path)
             else:
                 raise ValueError(
-                    f"INSERT FORMAT {toks[1]}: supported formats are CSV "
-                    "and JSONEachRow"
+                    f"INSERT FORMAT {toks[1]}: supported formats are CSV, "
+                    "JSONEachRow and Parquet"
                 )
         return self.insert_df(name, src, subset or None)
 

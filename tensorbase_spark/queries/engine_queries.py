@@ -644,6 +644,37 @@ GROUP BY year(o_orderdate)*100 + month(o_orderdate), o_orderstatus
 """
 
 
+def engine_outfile_roundtrip(spark, sf_dir):
+    """CH import/export surface end to end: SELECT ... INTO OUTFILE FORMAT
+    Parquet (engine.py sql outfile branch) -> INSERT ... FORMAT Parquet into
+    a fresh table -> aggregate read-back.  The oracle recomputes from the
+    raw fixture, so the hash proves the export+ingest cycle is lossless
+    (dates, strings, doubles)."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "outf")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("outf_src")
+    out = f"/tmp/tbs_outfile_{os.path.basename(sf_dir.rstrip('/'))}.parquet"
+    eng.sql(
+        "select o_orderkey as ok, o_orderdate as od, o_orderstatus as st, "
+        "o_totalprice as total from outf_src where o_orderkey % 7 = 0 "
+        f"into outfile '{out}' format Parquet"
+    )
+    eng.sql("create table of_ord(ok Int64, od Date, st String, total Float64)")
+    eng.sql(f"insert into of_ord format Parquet '{out}'")
+    return eng.sql(
+        "select st, count(*) as n, min(ok) as mn, max(ok) as mx, "
+        "round(sum(total), 2) as s from of_ord group by st"
+    )
+
+
+ENGINE_OUTFILE_ORACLE = """
+SELECT o_orderstatus AS st, count(*) AS n, min(o_orderkey) AS mn,
+       max(o_orderkey) AS mx, round(sum(o_totalprice), 2) AS s
+FROM orders WHERE o_orderkey % 7 = 0 GROUP BY o_orderstatus
+"""
+
+
 def engine_zorder_read(spark, sf_dir):
     """DDL -> INSERT SELECT -> OPTIMIZE ZORDER BY (two decorrelated
     columns) -> selective range read-back.  The layout rewrite must be
@@ -710,5 +741,8 @@ QUERIES = {
     ),
     "engine_materialized_view": Query(
         engine_materialized_view, ENGINE_MV_ORACLE, ("engine", "ddl", "agg")
+    ),
+    "engine_outfile_roundtrip": Query(
+        engine_outfile_roundtrip, ENGINE_OUTFILE_ORACLE, ("engine", "io")
     ),
 }

@@ -861,3 +861,30 @@ def test_materialized_view_block_semantics(engine):
     assert final == {"a": 11, "b": 2}  # reader re-aggregates; 100 not backfilled
     engine.sql("drop table mvt_raw")
     engine.sql("drop table mvt_agg")
+
+
+def test_into_outfile_and_parquet_insert_roundtrip(engine, tmp_path):
+    """CH import/export surface: SELECT INTO OUTFILE FORMAT Parquet, then
+    INSERT ... FORMAT Parquet reads it back bit-for-bit."""
+    spark = engine.spark
+    spark.sql(
+        "select * from values (1, 'x', 1.5), (2, 'y', 2.5) as t(k, tag, v)"
+    ).createOrReplaceTempView("of_src")
+    out = f"{tmp_path}/export.parquet"
+    r = engine.sql(
+        f"select k, tag, v from of_src order by k into outfile '{out}' format Parquet"
+    ).collect()[0]
+    assert r.rows_exported == 2
+    engine.sql("create table of_t(k Int64, tag String, v Float64)")
+    engine.sql(f"insert into of_t format Parquet '{out}'")
+    rows = sorted(tuple(r) for r in engine.sql("select k, tag, v from of_t").collect())
+    assert rows == [(1, "x", 1.5), (2, "y", 2.5)]
+    # CSV export honours CSVWithNames header
+    out2 = f"{tmp_path}/export_csv"
+    r2 = engine.sql(
+        f"select k, tag from of_src into outfile '{out2}' format CSVWithNames"
+    ).collect()[0]
+    assert r2.rows_exported == 2
+    got = spark.read.option("header", True).csv(out2)
+    assert set(got.columns) == {"k", "tag"}
+    engine.sql("drop table of_t")
