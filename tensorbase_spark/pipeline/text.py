@@ -324,3 +324,114 @@ def unigram_logprob(docs: DataFrame, key: str = "doc_id", text_col: str = "text"
             ),
         )
     )
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 200,
+    text_col: str = "text",
+    sample_size: int = 2048,
+) -> list[tuple[str, str]]:
+    """Deterministic byte-pair-encoding training (Sennrich et al. 2016,
+    public): collect a bounded hash-ordered text sample driver-side (the
+    same convention as centroid/codebook training — at 100 TB you train the
+    tokenizer on a sample and broadcast it, never on the corpus), build a
+    word-frequency table, then greedily merge the most frequent symbol pair
+    ``n_merges`` times.  Ties break lexicographically — no seeds, the same
+    merge list every run."""
+    import re as _re
+
+    rows = (
+        docs.select(F.col("doc_id").alias("i"), F.col(text_col).alias("t"))
+        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
+        .limit(sample_size)
+        .collect()
+    )
+    freq: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        for w in _re.findall(r"[a-z0-9]+", (r.t or "").lower()):
+            sym = tuple(w) + ("</w>",)
+            freq[sym] = freq.get(sym, 0) + 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, n in freq.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        # max count, ties -> lexicographically smallest pair
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_freq: dict[tuple[str, ...], int] = {}
+        for sym, n in freq.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            t = tuple(out)
+            new_freq[t] = new_freq.get(t, 0) + n
+        freq = new_freq
+    return merges
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained BPE merge list to every document (GPT-2-style greedy
+    rank application per word) and return per-doc token statistics.  One
+    Arrow-batched pass; the merge table rides the closure (KBs).  Python is
+    justified here the same way the MinHash signatures are: the inner loop
+    is a data-dependent while-loop over symbol sequences that no JVM
+    expression expresses; everything around it stays in the JVM."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def _encode_word(w: str, cache: dict) -> int:
+        hit = cache.get(w)
+        if hit is not None:
+            return hit
+        sym = list(w) + ["</w>"]
+        while len(sym) > 1:
+            best, bi = None, -1
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            sym[bi : bi + 2] = [sym[bi] + sym[bi + 1]]
+        cache[w] = len(sym)
+        return len(sym)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_words", T.IntegerType()),
+            T.StructField("n_bpe_tokens", T.IntegerType()),
+        ]
+    )
+
+    def _scan(batches):
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            ids, nw, nt = [], [], []
+            for i, t in zip(pdf["doc_id"], pdf[text_col]):
+                words = _re.findall(r"[a-z0-9]+", (t or "").lower())
+                ids.append(i)
+                nw.append(len(words))
+                nt.append(sum(_encode_word(w, cache) for w in words))
+            yield pd.DataFrame({"doc_id": ids, "n_words": nw, "n_bpe_tokens": nt})
+
+    return docs.select("doc_id", text_col).mapInPandas(_scan, schema=out_schema)

@@ -585,6 +585,17 @@ FROM ranked GROUP BY doc_id
 """
 
 
+def text_bpe_tokenize(spark, sf_dir):
+    """Real BPE (pipeline/text.py): merges trained on the bounded
+    hash-ordered sample driver-side, broadcast via closure, one
+    Arrow-batched encode pass with a per-worker word cache.  Rows-only by
+    nature (no SQL engine can replay BPE); determinism + golden merges
+    asserted in tests/test_pipeline.py."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = text.train_bpe_merges(d, n_merges=200)
+    return text.bpe_token_counts(d, merges)
+
+
 def text_fingerprints(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return text.fingerprints(d)
@@ -1072,6 +1083,7 @@ QUERIES = {
     "dedup_lines_global": Query(
         dedup_lines_global, DEDUP_LINES_GLOBAL_ORACLE, ("dedup", "corpus")
     ),
+    "text_bpe_tokenize": Query(text_bpe_tokenize, None, ("text", "approx")),
     "text_unigram_logprob": Query(
         text_unigram_logprob, UNIGRAM_LOGPROB_ORACLE, ("text", "agg")
     ),

@@ -702,3 +702,27 @@ def test_pq_codes_are_compact(spark):
     for r in codes[:20]:
         assert len(r.codes) == 8
         assert all(0 <= c < 256 for c in r.codes)
+
+
+def test_bpe_train_and_encode_golden(spark):
+    """Hand-checkable BPE: corpus of repeated 'low lower' words — the first
+    merges must fuse the frequent 'lo'/'low' units, token counts shrink
+    accordingly, and training is deterministic."""
+    from tensorbase_spark.pipeline import text as t
+
+    docs = spark.createDataFrame(
+        [(i, "low low low lower lower newest") for i in range(8)],
+        "doc_id long, text string",
+    )
+    merges = t.train_bpe_merges(docs, n_merges=10)
+    assert merges == t.train_bpe_merges(docs, n_merges=10)  # deterministic
+    assert ("l", "o") in merges[:3]  # 'lo' is a top pair in this corpus
+    out = {r.doc_id: r for r in t.bpe_token_counts(docs, merges).collect()}
+    assert out[0].n_words == 6
+    # with 10 merges on a 3-word vocabulary every word fuses to 1-2 tokens
+    assert out[0].n_bpe_tokens <= 2 * out[0].n_words
+    assert out[0].n_bpe_tokens >= out[0].n_words  # >= one token per word
+    # untrained text still encodes (falls back to characters)
+    docs2 = spark.createDataFrame([(1, "zzzq")], "doc_id long, text string")
+    r = t.bpe_token_counts(docs2, merges).collect()[0]
+    assert r.n_bpe_tokens == 5  # z z z q </w>
