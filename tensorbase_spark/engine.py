@@ -891,6 +891,25 @@ class TensorBaseEngine:
             return self._insert(c)
         # Rule::query — everything else goes to Catalyst, like the raw SQL
         # string re-parse in the reference (crates/engine/src/datafusions.rs:182).
+        dom = re.match(
+            r"(?is)^select\s+distinct\s+on\s*\((?P<cols>[^()]+)\)\s+(?P<rest>.+)$", c
+        )
+        if dom is not None:
+            # ClickHouse DISTINCT ON (cols): first row per group in result
+            # order — exactly LIMIT 1 BY cols, so it shares that plan (one
+            # row_number window, one shuffle on the group key)
+            base = f"select {dom.group('rest')}"
+            om = re.search(
+                r"(?is)\border\s+by\b(?P<keys>(?:[^()']|'[^']*'|\([^()]*\))*)$", base
+            )
+            if not om:
+                raise ValueError(
+                    "DISTINCT ON requires an ORDER BY for deterministic rows"
+                )
+            return self._run_limit_by(
+                base, 1, _split_depth0(dom.group("cols")),
+                _split_depth0(om.group("keys")), None,
+            )
         lb = _extract_limit_by(c)
         if lb is not None:
             return self._run_limit_by(*lb)

@@ -675,6 +675,31 @@ FROM orders WHERE o_orderkey % 7 = 0 GROUP BY o_orderstatus
 """
 
 
+def ch_distinct_on(spark, sf_dir):
+    """ClickHouse ``SELECT DISTINCT ON (cols)`` (first row per group in
+    result order) through the engine — shares the LIMIT 1 BY plan: one
+    row_number window over the group key, never a self-join."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("don_q_src")
+    return eng.sql(
+        "select distinct on (st) st, ok, total from "
+        "(select o_orderstatus as st, o_orderkey as ok, o_totalprice as total "
+        "from don_q_src) order by st, total desc, ok"
+    )
+
+
+CH_DISTINCT_ON_ORACLE = """
+SELECT st, ok, total FROM (
+  SELECT o_orderstatus AS st, o_orderkey AS ok, o_totalprice AS total,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
 def engine_zorder_read(spark, sf_dir):
     """DDL -> INSERT SELECT -> OPTIMIZE ZORDER BY (two decorrelated
     columns) -> selective range read-back.  The layout rewrite must be
@@ -745,4 +770,5 @@ QUERIES = {
     "engine_outfile_roundtrip": Query(
         engine_outfile_roundtrip, ENGINE_OUTFILE_ORACLE, ("engine", "io")
     ),
+    "ch_distinct_on": Query(ch_distinct_on, CH_DISTINCT_ON_ORACLE, ("engine", "dialect")),
 }

@@ -888,3 +888,16 @@ def test_into_outfile_and_parquet_insert_roundtrip(engine, tmp_path):
     got = spark.read.option("header", True).csv(out2)
     assert set(got.columns) == {"k", "tag"}
     engine.sql("drop table of_t")
+
+
+def test_distinct_on_first_row_per_group(engine):
+    engine.spark.sql(
+        "select * from values ('a', 1, 10), ('a', 2, 20), ('b', 1, 5) as t(k, seq, v)"
+    ).createOrReplaceTempView("don_src")
+    rows = engine.sql(
+        "select distinct on (k) k, seq, v from don_src order by k, seq"
+    ).collect()
+    assert sorted((r.k, r.seq, r.v) for r in rows) == [("a", 1, 10), ("b", 1, 5)]
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="ORDER BY"):
+        engine.sql("select distinct on (k) k, v from don_src")
