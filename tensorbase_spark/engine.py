@@ -407,16 +407,19 @@ _WITH_FILL_RE = re.compile(
     r"with\s+fill"
     r"(?:\s+from\s+(?P<frm>-?\d+))?"
     r"(?:\s+to\s+(?P<to>-?\d+))?"
-    r"(?:\s+step\s+(?P<step>-?\d+))?\s*$"
+    r"(?:\s+step\s+(?P<step>-?\d+))?"
+    r"(?:\s+interpolate\s*\((?P<interp>[^()]*)\))?\s*$"
 )
 
 
 def _extract_with_fill(sql: str):
     """Detect a trailing ClickHouse ``ORDER BY col [ASC|DESC] WITH FILL
-    [FROM a] [TO b] [STEP s]`` (upstream-CH gap-filling; the fork's grammar
-    has only a plain order_by, bql.pest:193).  Returns
-    (base_sql, col, desc, frm, to, step) or None.  One integer fill column
-    supported — the common time-bucket shape."""
+    [FROM a] [TO b] [STEP s] [INTERPOLATE (cols)]`` (upstream-CH
+    gap-filling; the fork's grammar has only a plain order_by, bql.pest:193).
+    Returns (base_sql, col, desc, frm, to, step, interp_cols) or None.  One
+    integer fill column supported — the common time-bucket shape;
+    INTERPOLATE columns carry the previous row's value forward instead of
+    taking the type default."""
     m = _WITH_FILL_RE.search(sql)
     if not m:
         return None
@@ -426,7 +429,10 @@ def _extract_with_fill(sql: str):
     if step == 0:
         raise ValueError("WITH FILL STEP must be nonzero")
     desc = (m.group("dir") or "").strip().lower() == "desc"
-    return sql[: m.start()].rstrip(), m.group("col"), desc, frm, to, step
+    interp = [
+        s.strip() for s in (m.group("interp") or "").split(",") if s.strip()
+    ]
+    return sql[: m.start()].rstrip(), m.group("col"), desc, frm, to, step, interp
 
 
 # Reference rejects blocks that split into >=1000 partitions
@@ -938,7 +944,7 @@ class TensorBaseEngine:
         )
         return out.limit(final_limit) if final_limit is not None else out
 
-    def _run_with_fill(self, base_sql, col, desc, frm, to, step):
+    def _run_with_fill(self, base_sql, col, desc, frm, to, step, interp=()):
         """ClickHouse ``ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]``:
         densify the fill column over an arithmetic sequence, keeping every
         original row.  FROM is inclusive, TO exclusive (CH contract); with
@@ -982,14 +988,31 @@ class TensorBaseEngine:
                 gen_cols.append(F.col(col))
                 continue
             base = typ.split("(")[0]
-            if base in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal"):
+            if name in interp:
+                # INTERPOLATE: generated rows start NULL, then carry the
+                # previous row's value forward below
+                gen_cols.append(F.lit(None).cast(typ).alias(name))
+            elif base in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal"):
                 gen_cols.append(F.lit(0).cast(typ).alias(name))
             elif base == "string":
                 gen_cols.append(F.lit("").alias(name))
             else:
                 gen_cols.append(F.lit(None).cast(typ).alias(name))
         out = df.unionByName(missing.select(*gen_cols))
-        return out.orderBy(F.col(col).desc() if desc else F.col(col))
+        order = F.col(col).desc() if desc else F.col(col).asc()
+        if interp:
+            # carry-forward along the fill axis.  The single-partition window
+            # is safe by construction: the frame is the (bounded) fill domain
+            # plus the aggregate's group rows, not corpus data.
+            w = (
+                Window.orderBy(order)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            for name in interp:
+                if name not in df.columns:
+                    raise ValueError(f"INTERPOLATE column {name!r} not in result")
+                out = out.withColumn(name, F.last(name, ignorenulls=True).over(w))
+        return out.orderBy(order)
 
     # -- DDL ----------------------------------------------------------------
 

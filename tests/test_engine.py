@@ -901,3 +901,17 @@ def test_distinct_on_first_row_per_group(engine):
     import pytest as _pytest
     with _pytest.raises(Exception, match="ORDER BY"):
         engine.sql("select distinct on (k) k, v from don_src")
+
+
+def test_with_fill_interpolate_carries_forward(engine):
+    engine.spark.sql(
+        "select * from values (1, 10.0, 'a'), (4, 40.0, 'd') as t(d, v, tag)"
+    ).createOrReplaceTempView("wfi_src")
+    rows = engine.sql(
+        "select d, v, tag from wfi_src "
+        "order by d with fill from 1 to 6 step 1 interpolate (v)"
+    ).collect()
+    assert [(r.d, r.v, r.tag) for r in rows] == [
+        (1, 10.0, "a"), (2, 10.0, ""), (3, 10.0, ""),
+        (4, 40.0, "d"), (5, 40.0, ""),
+    ]  # v carries forward; tag (not interpolated) takes the type default
