@@ -750,3 +750,49 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "rank", F.round("cos", 6).alias("cos"))
     )
+
+
+def l2_normalize(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Unit-normalize every vector with pure JVM higher-order functions
+    (aggregate for the norm, transform for the scale) — codegen'd, zero
+    Python, zero shuffle.  The standard pre-pass that turns dot products
+    into cosines downstream."""
+    v = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+    safe = F.greatest(norm, F.lit(1e-300))
+    return emb.select(
+        F.col(id_col),
+        F.round(norm, 6).alias("norm"),
+        F.transform(v, lambda x: F.round(x.cast("double") / safe, 6)).alias("unit_vec"),
+    )
+
+
+def mean_pool(
+    emb: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean of embeddings per group (centroid pooling — the
+    per-source/per-cluster representative vector).  posexplode -> partial
+    avg per (group, position) -> re-assemble sorted.  Two shuffles, both
+    map-side combined and bounded by groups x dim, never by corpus size."""
+    pos = (
+        emb.select(group_col, F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy(group_col, "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"), F.count("*").alias("n"))
+    )
+    return (
+        pos.groupBy(group_col)
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: F.round(s["m"], 6),
+            ).alias("mean_vec"),
+        )
+    )

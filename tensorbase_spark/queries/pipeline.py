@@ -222,6 +222,47 @@ def sim_pq_rerank_full(spark, sf_dir):
     return similarity.pq_topk(emb, q, k=5, cand_mult=10**7)
 
 
+def embedding_l2_normalize(spark, sf_dir):
+    """Unit-normalization as pure JVM HOFs (similarity.l2_normalize) —
+    zero Python, zero shuffle, the standard cosine pre-pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.l2_normalize(emb)
+
+
+_EMB_DBL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+EMB_L2_ORACLE = f"""
+WITH d AS (SELECT vec_id, {_EMB_DBL} AS v FROM embeddings)
+SELECT vec_id,
+       round(sqrt(list_dot_product(v, v)), 6) AS norm,
+       list_transform(v, x -> round(x / greatest(sqrt(list_dot_product(v, v)),
+                                                 1e-300), 6)) AS unit_vec
+FROM d
+"""
+
+
+def embedding_mean_pool(spark, sf_dir):
+    """Per-label centroid pooling (similarity.mean_pool): posexplode ->
+    (group, position) partial averages -> sorted re-assembly.  Both shuffles
+    are map-side combined and bounded by groups x dim, not corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mean_pool(emb, "label")
+
+
+EMB_MEAN_POOL_ORACLE = """
+WITH pos AS (
+  SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m,
+         count(*) AS n
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+  GROUP BY label, i
+)
+SELECT label, max(n) AS n_vecs,
+       list_transform(list_sort(list(struct_pack(pos := pos, m := m))),
+                      s -> round(s.m, 6)) AS mean_vec
+FROM pos GROUP BY label
+"""
+
+
 def sim_lsh_full_cover(spark, sf_dir):
     """Driver-evidence companion for the sign-LSH path: with n_bits=0 every
     vector lands in the single bucket of the single table, so the LSH
@@ -1067,6 +1108,12 @@ QUERIES = {
     "sim_lsh_full_cover": Query(sim_lsh_full_cover, SIM_BRUTE_ORACLE, ("similarity",)),
     "sim_pq_topk": Query(sim_pq_topk, None, ("similarity", "approx")),
     "sim_pq_rerank_full": Query(sim_pq_rerank_full, SIM_BRUTE_ORACLE, ("similarity",)),
+    "embedding_l2_normalize": Query(
+        embedding_l2_normalize, EMB_L2_ORACLE, ("similarity", "embedding")
+    ),
+    "embedding_mean_pool": Query(
+        embedding_mean_pool, EMB_MEAN_POOL_ORACLE, ("similarity", "embedding")
+    ),
     "dedup_minhash_bands_sql": Query(
         dedup_minhash_bands_sql, MINHASH_BANDS_ORACLE, ("dedup",)
     ),
