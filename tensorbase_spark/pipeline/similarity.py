@@ -796,3 +796,98 @@ def mean_pool(
             ).alias("mean_vec"),
         )
     )
+
+
+def _pca_moments_np(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """EXACT full-corpus first and second moments, distributed: each
+    partition emits one (n, sum_x, X^T X) partial (an Arrow batch of
+    dim + dim² doubles — KBs), the driver combines.  Unlike the sampled
+    centroid/codebook training, PCA moments are cheap to make exact: the
+    reduction is a fixed-size matrix sum, so corpus size only adds
+    partials, never state."""
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("g", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _partials(batches):
+        n, s, g = 0, None, None
+        for pdf in batches:
+            vs = pdf[pdf.columns[0]].dropna()
+            if not len(vs):
+                continue
+            X = np.stack(vs.to_numpy()).astype(np.float64)
+            n += len(X)
+            s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
+            gg = X.T @ X
+            g = gg if g is None else g + gg
+        if n:
+            yield _pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]})
+
+    parts = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(vec_col)
+        .mapInPandas(_partials, schema=schema)
+        .collect()
+    )
+    n = sum(r.n for r in parts)
+    s = np.sum([np.asarray(r.s) for r in parts], axis=0)
+    dim = len(s)
+    g = np.sum([np.asarray(r.g).reshape(dim, dim) for r in parts], axis=0)
+    return n, s, g
+
+
+def pca_train(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact full-corpus PCA: covariance from the distributed moments, then
+    a deterministic driver-side eigh (dim x dim — trivial for embedding
+    dims).  Sign convention: each component's largest-|coord| entry is made
+    positive, so the basis is bit-stable across runs.  Returns
+    (mean, components[k, dim], eigvals[k] descending)."""
+    n, s, g = _pca_moments_np(emb, id_col, vec_col)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)  # population covariance
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, vals[order]
+
+
+def pca_project(
+    emb: DataFrame,
+    mean: np.ndarray,
+    comps: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project every vector onto the PCA basis — one Arrow pass, the
+    (mean, components) ride the closure.  The k-dim output is the
+    dimensionality-reduction lever: downstream ANN/clustering shuffles
+    shrink by dim/k."""
+    from pyspark.sql import types as T
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def _proj(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64) - mean
+        P = X @ comps.T
+        return pd.Series(list(P))
+
+    return emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), _proj(F.col(vec_col)).alias("pca_vec")
+    )

@@ -263,6 +263,31 @@ FROM pos GROUP BY label
 """
 
 
+def embedding_pca_variance(spark, sf_dir):
+    """Cross-engine check of the DISTRIBUTED moment computation behind PCA
+    (similarity._pca_moments_np): the sum of ALL eigenvalues of the
+    population covariance equals the total per-coordinate variance, which
+    the DuckDB oracle computes element-wise from the raw vectors.  A hash
+    match proves the partition-partial (n, Σx, XᵀX) reduction is exact.
+    The eigh/projection side (orthonormality, reconstruction, sign
+    stability) is asserted in tests/test_pipeline.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    _mean, _comps, vals = similarity.pca_train(emb, k=dim)
+    return spark.createDataFrame(
+        [(float(round(vals.sum(), 6)),)], "total_var: double"
+    )
+
+
+EMB_PCA_VAR_ORACLE = """
+SELECT round(sum(v), 6) AS total_var FROM (
+  SELECT var_pop(CAST(embedding[i] AS DOUBLE)) AS v
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+  GROUP BY i
+)
+"""
+
+
 def sim_lsh_full_cover(spark, sf_dir):
     """Driver-evidence companion for the sign-LSH path: with n_bits=0 every
     vector lands in the single bucket of the single table, so the LSH
@@ -1113,6 +1138,9 @@ QUERIES = {
     ),
     "embedding_mean_pool": Query(
         embedding_mean_pool, EMB_MEAN_POOL_ORACLE, ("similarity", "embedding")
+    ),
+    "embedding_pca_variance": Query(
+        embedding_pca_variance, EMB_PCA_VAR_ORACLE, ("similarity", "embedding")
     ),
     "dedup_minhash_bands_sql": Query(
         dedup_minhash_bands_sql, MINHASH_BANDS_ORACLE, ("dedup",)

@@ -726,3 +726,24 @@ def test_bpe_train_and_encode_golden(spark):
     docs2 = spark.createDataFrame([(1, "zzzq")], "doc_id long, text string")
     r = t.bpe_token_counts(docs2, merges).collect()[0]
     assert r.n_bpe_tokens == 5  # z z z q </w>
+
+
+def test_pca_orthonormal_deterministic_reconstruction(spark):
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    import numpy as np
+
+    mean, comps, vals = similarity.pca_train(emb, k=8)
+    mean2, comps2, vals2 = similarity.pca_train(emb, k=8)
+    assert np.array_equal(comps, comps2) and np.array_equal(vals, vals2)
+    # orthonormal basis, eigenvalues descending and non-negative
+    assert np.allclose(comps @ comps.T, np.eye(8), atol=1e-9)
+    assert np.all(np.diff(vals) <= 1e-12) and vals[-1] >= -1e-9
+    proj = {r.vec_id: np.asarray(r.pca_vec) for r in similarity.pca_project(emb, mean, comps).collect()}
+    assert len(next(iter(proj.values()))) == 8
+    # more components -> reconstruction error shrinks (monotone capture)
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()])
+    def recon_err(k):
+        m, c, _ = similarity.pca_train(emb, k=k)
+        P = (X - m) @ c.T
+        return float(((X - m - P @ c) ** 2).mean())
+    assert recon_err(16) < recon_err(4)
