@@ -131,6 +131,9 @@ def _preprocess_ch_clauses(sql: str) -> str:
     out = re.sub(r"(?is)\bformat\s+[A-Za-z][\w]*\s*$", " ", out)
     out = re.sub(r"(?is)\bglobal\s+(not\s+in|in|join|left|right|inner|full)\b", r"\1", out)
     out = re.sub(r"(?is)\ball\s+(inner|left|right|full)\s+join\b", r"\1 join", out)
+    # CH join-strictness word order: SEMI/ANTI LEFT JOIN -> Spark's native
+    # LEFT SEMI/ANTI JOIN
+    out = re.sub(r"(?is)\b(semi|anti)\s+left\s+join\b", r"left \1 join", out)
     # PREWHERE: merge into WHERE
     pw = re.search(
         r"(?is)\bprewhere\b(?P<cond>.*?)(?=\bwhere\b|\bgroup\s+by\b|\border\s+by\b|"
@@ -897,6 +900,12 @@ class TensorBaseEngine:
             return self._insert(c)
         # Rule::query — everything else goes to Catalyst, like the raw SQL
         # string re-parse in the reference (crates/engine/src/datafusions.rs:182).
+        if re.search(r"(?is)\basof\s+(left\s+)?join\b", c):
+            am = self._ASOF_RE.match(c)
+            if am:
+                return self._run_asof_join(am)
+        if re.search(r"(?is)\bany\s+(left\s+|inner\s+)?join\b", c):
+            c = self._rewrite_any_join(c)
         dom = re.match(
             r"(?is)^select\s+distinct\s+on\s*\((?P<cols>[^()]+)\)\s+(?P<rest>.+)$", c
         )
@@ -1590,6 +1599,112 @@ class TensorBaseEngine:
         return self.spark.sql("SELECT 1 AS ok")
 
     # -- SELECT translation + partition pruning ------------------------------
+
+    _ANY_JOIN_RE = re.compile(
+        r"(?is)\bany\s+(?P<jt>left\s+|inner\s+)?join\s+(?P<tbl>[\w.]+)"
+        r"(?:\s+(?:as\s+)?(?P<alias>[A-Za-z_]\w*))?\s+"
+        r"(?:using\s*\((?P<using>[^()]+)\)|on\s+(?P<on>[^()]+?))"
+        r"(?=\s+(?:where|group|order|having|limit|union|left|right|inner|"
+        r"cross|join|any|asof)\b|\s*$)"
+    )
+
+    def _rewrite_any_join(self, q: str) -> str:
+        """ClickHouse ``ANY [LEFT|INNER] JOIN``: at most one right row per
+        key.  CH picks an arbitrary matching row; here the right side
+        dedupes DETERMINISTICALLY (row_number over the key, all columns as
+        the tiebreak order) before the join — a strict refinement of the CH
+        contract.  The dedup is one window on the join key the join was
+        going to shuffle on anyway."""
+
+        def repl(m):
+            tbl = m.group("tbl")
+            alias = m.group("alias") or tbl.split(".")[-1]
+            cols = [c for c in self.spark.table(tbl).columns if c != PTK_COL]
+            if m.group("using"):
+                keys = [k.strip() for k in m.group("using").split(",")]
+                cond = f"using ({m.group('using')})"
+            else:
+                on = m.group("on")
+                keys = [
+                    mm.group(1)
+                    for mm in re.finditer(
+                        rf"(?is)\b(?:{re.escape(alias)}|{re.escape(tbl)})\.(\w+)", on
+                    )
+                ]
+                if not keys:
+                    raise ValueError(
+                        f"ANY JOIN: cannot find {alias}.<col> keys in ON {on!r}"
+                    )
+                cond = f"on {on}"
+            order = ", ".join(cols)
+            dedup = (
+                f"(select {', '.join(cols)} from (select *, row_number() over "
+                f"(partition by {', '.join(keys)} order by {order}) as __any_rn "
+                f"from {tbl}) where __any_rn = 1)"
+            )
+            return f"{(m.group('jt') or '').strip()} join {dedup} {alias} {cond}".strip()
+
+        return self._ANY_JOIN_RE.sub(repl, q)
+
+    _ASOF_RE = re.compile(
+        r"(?is)^select\s+(?P<sel>.+?)\s+from\s+(?P<lt>[\w.]+)"
+        r"(?:\s+(?!asof\b)(?:as\s+)?(?P<la>[A-Za-z_]\w*))?\s+"
+        r"asof\s+(?:left\s+)?join\s+(?P<rt>[\w.]+)"
+        r"(?:\s+(?:as\s+)?(?P<ra>[A-Za-z_]\w*))?\s+on\s+(?P<cond>.+?)"
+        r"(?P<tail>\s+(?:where|group|order|limit)\b.*)?$"
+    )
+
+    def _run_asof_join(self, m) -> DataFrame:
+        """ClickHouse ``ASOF JOIN`` clause: one equality key + one ``>=``
+        inequality; lowers to the union+window as-of operator
+        (operators/asof.py — ONE shuffle on the key, linear scan per
+        partition; never a range join).  Matched right columns surface under
+        their own names when free, ``asof_<name>`` on collision."""
+        from tensorbase_spark.operators.asof import asof_join
+
+        la = m.group("la") or m.group("lt").split(".")[-1]
+        ra = m.group("ra") or m.group("rt").split(".")[-1]
+        eq = ineq = None
+        for part in re.split(r"(?is)\s+and\s+", m.group("cond").strip()):
+            pm = re.match(
+                r"(?is)^\s*(\w+)\.(\w+)\s*(>=|=|==)\s*(\w+)\.(\w+)\s*$", part
+            )
+            if not pm:
+                raise ValueError(f"ASOF JOIN: cannot parse conjunct {part!r}")
+            a_ref, a_col, op, b_ref, b_col = pm.groups()
+            if a_ref == ra or (op == ">=" and a_ref == ra):
+                # normalize to left-side first
+                a_ref, a_col, b_ref, b_col = b_ref, b_col, a_ref, a_col
+                op = "<=" if op == ">=" else op
+            if op in ("=", "=="):
+                eq = (a_col, b_col)
+            elif op == ">=":
+                ineq = (a_col, b_col)
+            else:
+                raise ValueError(f"ASOF JOIN: unsupported operator in {part!r}")
+        if not eq or not ineq:
+            raise ValueError("ASOF JOIN needs one equality and one >= conjunct")
+        lt = self.spark.table(m.group("lt"))
+        rt = self.spark.table(m.group("rt"))
+        lk, rk = eq
+        lts, rts = ineq
+        if rk != lk:
+            rt = rt.withColumnRenamed(rk, lk)
+        joined = asof_join(lt, rt, on=lk, ts=lts, right_ts=rts)
+        for c in joined.columns:
+            if c.startswith("asof_") and c[5:] not in lt.columns:
+                joined = joined.withColumnRenamed(c, c[5:])
+        view = "__asof_q"
+        joined.createOrReplaceTempView(view)
+        sel = m.group("sel")
+        tail = m.group("tail") or ""
+        # matched-right columns live unqualified on the view
+        strip = rf"(?is)\b(?:{re.escape(la)}|{re.escape(ra)})\."
+        sel = re.sub(strip, "", sel)
+        tail = re.sub(strip, "", tail)
+        return self.spark.sql(
+            self._translate_query(f"select {sel} from {view}{tail}")
+        )
 
     def _rewrite_sample(self, q: str) -> str:
         """ClickHouse ``FROM t SAMPLE k`` (upstream-CH; requires the table's

@@ -700,6 +700,95 @@ SELECT st, ok, total FROM (
 """
 
 
+def ch_join_strictness(spark, sf_dir):
+    """ClickHouse join-strictness grammar through the engine: SEMI LEFT /
+    ANTI LEFT (word-order rewrite to Spark's native left semi/anti) and
+    ANY LEFT JOIN (deterministic one-row-per-key dedup of the right side —
+    a strict refinement of CH's arbitrary-row contract).  Counts + sums per
+    branch in one result."""
+    from pyspark.sql import functions as F
+
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("js_cust")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("js_ord")
+    semi = eng.sql(
+        "select count(*) as v from js_cust semi left join js_ord "
+        "on js_cust.c_custkey = js_ord.o_custkey"
+    ).select(F.lit("semi").alias("branch"), "v")
+    anti = eng.sql(
+        "select count(*) as v from js_cust anti left join js_ord "
+        "on js_cust.c_custkey = js_ord.o_custkey"
+    ).select(F.lit("anti").alias("branch"), "v")
+    anyj = eng.sql(
+        "select count(*) as v from js_cust any left join js_ord o "
+        "on js_cust.c_custkey = o.o_custkey"
+    ).select(F.lit("any").alias("branch"), "v")
+    return semi.unionAll(anti).unionAll(anyj)
+
+
+CH_JOIN_STRICTNESS_ORACLE = """
+SELECT 'semi' AS branch,
+       (SELECT count(*) FROM customer SEMI JOIN orders
+        ON c_custkey = o_custkey) AS v
+UNION ALL
+SELECT 'anti',
+       (SELECT count(*) FROM customer ANTI JOIN orders
+        ON c_custkey = o_custkey)
+UNION ALL
+SELECT 'any',
+       (SELECT count(*) FROM customer LEFT JOIN (
+          SELECT o_custkey FROM (
+            SELECT o_custkey, row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_custkey) AS rn FROM orders
+          ) WHERE rn = 1
+        ) o ON c_custkey = o.o_custkey)
+"""
+
+
+def ch_asof_join_sql(spark, sf_dir):
+    """ClickHouse ``ASOF JOIN`` SQL clause (engine.py _run_asof_join):
+    every click event attaches the latest preceding purchase value of the
+    same user.  Lowers to the union+window as-of operator — one shuffle on
+    user_id, linear scan, never a range join.  The DuckDB oracle uses its
+    NATIVE ASOF JOIN, so the hash cross-checks two independent as-of
+    implementations."""
+    from pyspark.sql import functions as F
+
+    from tensorbase_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    ).createOrReplaceTempView("asof_clicks")
+    # unique (user, ts) on the right side: equal-ts ambiguity would make
+    # any two as-of implementations legitimately disagree
+    ev.filter(F.col("event_type") == "purchase").groupBy("user_id", "ts").agg(
+        F.max("value").alias("pval")
+    ).createOrReplaceTempView("asof_purch")
+    eng = TensorBaseEngine(spark)
+    return eng.sql(
+        "select l.event_id, l.user_id, l.ts, round(r.pval, 4) as pval "
+        "from asof_clicks l asof left join asof_purch r "
+        "on l.user_id = r.user_id and l.ts >= r.ts"
+    )
+
+
+CH_ASOF_SQL_ORACLE = """
+WITH clicks AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+  WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS pval
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts, round(p.pval, 4) AS pval
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 def engine_zorder_read(spark, sf_dir):
     """DDL -> INSERT SELECT -> OPTIMIZE ZORDER BY (two decorrelated
     columns) -> selective range read-back.  The layout rewrite must be
@@ -771,4 +860,10 @@ QUERIES = {
         engine_outfile_roundtrip, ENGINE_OUTFILE_ORACLE, ("engine", "io")
     ),
     "ch_distinct_on": Query(ch_distinct_on, CH_DISTINCT_ON_ORACLE, ("engine", "dialect")),
+    "ch_join_strictness": Query(
+        ch_join_strictness, CH_JOIN_STRICTNESS_ORACLE, ("engine", "dialect", "join")
+    ),
+    "ch_asof_join_sql": Query(
+        ch_asof_join_sql, CH_ASOF_SQL_ORACLE, ("engine", "dialect", "join")
+    ),
 }

@@ -547,7 +547,7 @@ def test_insert_jsoneachrow_format(engine, tmp_path):
 def test_insert_unknown_format_rejected(engine, tmp_path):
     engine.sql("create table uf(k Int32)")
     with pytest.raises(ValueError, match="supported formats"):
-        engine.sql(f"insert into uf format Parquet '{tmp_path}/x'")
+        engine.sql(f"insert into uf format Arrow '{tmp_path}/x'")
 
 
 def test_array_join_clause_forms(engine):
@@ -915,3 +915,28 @@ def test_with_fill_interpolate_carries_forward(engine):
         (1, 10.0, "a"), (2, 10.0, ""), (3, 10.0, ""),
         (4, 40.0, "d"), (5, 40.0, ""),
     ]  # v carries forward; tag (not interpolated) takes the type default
+
+
+def test_join_strictness_and_asof_sql(engine):
+    spark = engine.spark
+    spark.sql("select * from values (1, 'x'), (2, 'y'), (3, 'z') as t(id, tag)").createOrReplaceTempView("js_l")
+    spark.sql("select * from values (1, 'r1'), (1, 'r2'), (2, 'r3') as t(id, val)").createOrReplaceTempView("js_r")
+    assert engine.sql(
+        "select count(*) as n from js_l semi left join js_r on js_l.id = js_r.id"
+    ).collect()[0].n == 2
+    assert engine.sql(
+        "select count(*) as n from js_l anti left join js_r on js_l.id = js_r.id"
+    ).collect()[0].n == 1
+    # ANY: exactly one right row per key, deterministically the smallest
+    rows = sorted(tuple(r) for r in engine.sql(
+        "select js_l.id, r.val from js_l any left join js_r r on js_l.id = r.id"
+    ).collect())
+    assert rows == [(1, "r1"), (2, "r3"), (3, None)]
+    # ASOF: latest right.ts <= left.ts per key
+    spark.sql("select * from values (1, 10, 'T1'), (1, 25, 'T2'), (2, 5, 'T3') as t(k, ts, trade)").createOrReplaceTempView("asof_t")
+    spark.sql("select * from values (1, 8, 1.0), (1, 20, 2.0), (2, 9, 9.0) as t(k, ts, px)").createOrReplaceTempView("asof_q2")
+    got = sorted(tuple(r) for r in engine.sql(
+        "select t.trade, q.px from asof_t t asof left join asof_q2 q "
+        "on t.k = q.k and t.ts >= q.ts"
+    ).collect())
+    assert got == [("T1", 1.0), ("T2", 2.0), ("T3", None)]
