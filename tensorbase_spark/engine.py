@@ -882,6 +882,22 @@ class TensorBaseEngine:
         if low.startswith("use "):
             self.spark.catalog.setCurrentDatabase(c[4:].strip())
             return self.spark.sql("SELECT 1 AS ok")
+        if low.startswith("set "):
+            # ClickHouse session SET: map the knobs with a Spark analogue,
+            # accept-and-ignore the rest (CH has ~400 settings; an engine
+            # that rejects them can't run real CH scripts)
+            sm = re.match(r"(?is)^set\s+(\w+)\s*=\s*(.+)$", c)
+            if not sm:
+                raise ValueError(f"cannot parse: {c}")
+            k, v = sm.group(1).lower(), sm.group(2).strip().strip("'\"")
+            mapped = {
+                "max_threads": "spark.sql.shuffle.partitions",
+                "max_memory_usage": None,  # executor memory is launch-time
+                "join_algorithm": None,  # AQE picks strategies
+            }
+            if k in mapped and mapped[k]:
+                self.spark.conf.set(mapped[k], v)
+            return self.spark.sql("SELECT 1 AS ok")
         if low.startswith("explain analyze"):
             # AnalyzeExec analogue (physical_plan/analyze.rs:39): execute the
             # query, then return the final (AQE-resolved) physical plan.
@@ -895,7 +911,12 @@ class TensorBaseEngine:
                 [(line,) for line in plan.split("\n")], "plan: string"
             )
         if low.startswith("explain"):
-            return self.spark.sql("EXPLAIN " + self._translate_query(c[len("explain"):]))
+            # CH EXPLAIN variants (PLAN/PIPELINE/ESTIMATE/SYNTAX/AST) all map
+            # to the one plan surface Spark exposes
+            body = re.sub(
+                r"(?is)^\s*(plan|pipeline|estimate|syntax|ast)\b", "", c[len("explain"):]
+            )
+            return self.spark.sql("EXPLAIN " + self._translate_query(body))
         if low.startswith("insert"):
             return self._insert(c)
         # Rule::query — everything else goes to Catalyst, like the raw SQL

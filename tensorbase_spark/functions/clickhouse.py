@@ -446,6 +446,24 @@ CH_SQL_TEMPLATES.update(
         # (ties -> NULL-safe arbitrary in Spark, so pin determinism with
         # mode() which takes the first in sort order on ties in 4.x)
         "anyheavy": "mode({0})",
+        # CH arrayFold((acc, x) -> ..., arr, init) vs Spark
+        # aggregate(arr, init, (acc, x) -> ...): same lambda arrow syntax,
+        # different argument order
+        "arrayfold": "aggregate({1}, {2}, {0})",
+        # arrayReduce('agg', arr): the common aggregator names as HOFs
+        "arrayreduce": lambda args: {
+            "'sum'": f"aggregate({args[1]}, cast(0.0 as double), (a, x) -> a + x)",
+            "'max'": f"array_max({args[1]})",
+            "'min'": f"array_min({args[1]})",
+            "'avg'": (
+                f"(aggregate({args[1]}, cast(0.0 as double), (a, x) -> a + x)"
+                f" / size({args[1]}))"
+            ),
+            "'count'": f"size({args[1]})",
+        }.get(
+            args[0].strip().lower(),
+            f"arrayReduce({', '.join(args)})",  # unknown aggregator: pass through
+        ),
         # CH greatCircleDistance(lon1, lat1, lon2, lat2) -> meters (haversine,
         # CH uses R=6371km-based great-circle; documented 6371e3 sphere)
         "greatcircledistance": (

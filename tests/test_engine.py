@@ -940,3 +940,18 @@ def test_join_strictness_and_asof_sql(engine):
         "on t.k = q.k and t.ts >= q.ts"
     ).collect())
     assert got == [("T1", 1.0), ("T2", 2.0), ("T3", None)]
+
+
+def test_set_explain_variants_array_fold(engine):
+    r = engine.sql(
+        "select arrayFold((acc, x) -> acc + x, array(1, 2, 3), 0) as f, "
+        "arrayReduce('sum', array(1.0, 2.0)) as s, "
+        "arrayReduce('max', array(3, 9, 1)) as mx"
+    ).collect()[0]
+    assert (r.f, r.s, r.mx) == (6, 3.0, 9)
+    prev = engine.spark.conf.get("spark.sql.shuffle.partitions")
+    engine.sql("set max_threads = 16")
+    assert engine.spark.conf.get("spark.sql.shuffle.partitions") == "16"
+    engine.spark.conf.set("spark.sql.shuffle.partitions", prev)
+    engine.sql("set unknown_ch_setting = 1")  # accepted, ignored
+    assert len(engine.sql("explain estimate select 1").collect()) > 0
