@@ -1131,7 +1131,10 @@ QUERIES = {
     "sim_lsh_topk": Query(sim_lsh_topk, None, ("similarity", "approx"), bench=True),
     "sim_ivf_full_probe": Query(sim_ivf_full_probe, SIM_BRUTE_ORACLE, ("similarity",)),
     "sim_lsh_full_cover": Query(sim_lsh_full_cover, SIM_BRUTE_ORACLE, ("similarity",)),
-    "sim_pq_topk": Query(sim_pq_topk, None, ("similarity", "approx")),
+    # bench=True: third tracked ANN path (after LSH and the bucketed
+    # near-dup) — PQ is the compressed-scan shape, worth round-over-round
+    # timing like the others
+    "sim_pq_topk": Query(sim_pq_topk, None, ("similarity", "approx"), bench=True),
     "sim_pq_rerank_full": Query(sim_pq_rerank_full, SIM_BRUTE_ORACLE, ("similarity",)),
     "embedding_l2_normalize": Query(
         embedding_l2_normalize, EMB_L2_ORACLE, ("similarity", "embedding")
