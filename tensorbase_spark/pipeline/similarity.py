@@ -611,8 +611,10 @@ def _train_pq_np(
             d2 = np.minimum(d2, ((xs - xs[nxt]) ** 2).sum(axis=1))
         cb = xs[chosen].copy()
         for _ in range(iters):
-            # argmin over ||x-c||^2; ties -> lowest code (np.argmin contract)
-            dist = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            # argmin over ||x-c||^2 = const - 2 x.c + ||c||^2: one GEMM per
+            # iter instead of the O(n*k*d) broadcast-subtract temporary
+            # (ties -> lowest code, np.argmin contract)
+            dist = -2.0 * (xs @ cb.T) + (cb**2).sum(axis=1)
             assign = np.argmin(dist, axis=1)
             for c in range(ks):
                 members = xs[assign == c]
