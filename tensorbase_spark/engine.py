@@ -753,7 +753,7 @@ _PARTITION_BY_RE = re.compile(
 )
 _SETTINGS_RE = re.compile(r"\bsettings\s+(?P<kv>.+)$", re.IGNORECASE | re.DOTALL)
 _DROP_RE = re.compile(
-    r"^drop\s+(?P<kind>database|table)\s+(?P<ie>if\s+exists\s+)?(?P<name>[A-Za-z_][A-Za-z0-9_.]*)\s*$",
+    r"^drop\s+(?P<kind>database|table|view)\s+(?P<ie>if\s+exists\s+)?(?P<name>[A-Za-z_][A-Za-z0-9_.]*)\s*$",
     re.IGNORECASE,
 )
 _INSERT_REMOTE_RE = re.compile(
@@ -1177,6 +1177,8 @@ class TensorBaseEngine:
         if kind == "TABLE":
             self._partition_specs.pop(self._qualify(name), None)
             return self.spark.sql(f"DROP TABLE {ie}{name}")
+        if kind == "VIEW":
+            return self.spark.sql(f"DROP VIEW {ie}{name}")
         return self.spark.sql(f"DROP DATABASE {ie}{name} CASCADE")
 
     def _optimize(self, c: str) -> DataFrame:

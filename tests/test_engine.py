@@ -955,3 +955,16 @@ def test_set_explain_variants_array_fold(engine):
     engine.spark.conf.set("spark.sql.shuffle.partitions", prev)
     engine.sql("set unknown_ch_setting = 1")  # accepted, ignored
     assert len(engine.sql("explain estimate select 1").collect()) > 0
+
+
+def test_create_view_through_dialect(engine):
+    """Plain CREATE VIEW passes through with dialect translation applied
+    (the reference has no views — upstream-CH surface; Spark persists the
+    view over the engine's managed tables)."""
+    engine.sql("create table vw_src(a Int64, d Date)")
+    engine.sql("insert into vw_src values (1, '2020-05-05'), (2, '2021-01-01')")
+    engine.sql("create view vw_v as select a, toYear(d) as y from vw_src")
+    rows = sorted(tuple(r) for r in engine.sql("select a, y from vw_v").collect())
+    assert rows == [(1, 2020), (2, 2021)]
+    engine.sql("drop view vw_v")
+    engine.sql("drop table vw_src")
