@@ -91,3 +91,50 @@ def test_ptk_spark_python_agreement(spark):
         assert r.ymd == _MONOTONIC_PTK_FNS["toYYYYMMDD"](r.d)
         assert r.ym == _MONOTONIC_PTK_FNS["toYYYYMM"](r.d)
         assert r.y == _MONOTONIC_PTK_FNS["toYear"](r.d)
+
+
+@given(
+    st.integers(min_value=-50, max_value=50),
+    st.integers(min_value=1, max_value=60),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=100, deadline=None)
+def test_with_fill_domain_arithmetic(frm, span, step):
+    """The fill-domain extractor must parse any FROM/TO/STEP combination and
+    preserve the base SQL byte-for-byte."""
+    from tensorbase_spark.engine import _extract_with_fill
+
+    to = frm + span
+    base = "select d, n from t group by d"
+    got = _extract_with_fill(
+        f"{base} order by d with fill from {frm} to {to} step {step}"
+    )
+    assert got is not None
+    b, col, desc, f_, t_, s_, interp = got
+    assert (b, col, desc, f_, t_, s_, interp) == (base, "d", False, frm, to, step, [])
+    # expected fill values, CH contract: FROM inclusive, TO exclusive
+    expected = list(range(frm, to, step))
+    assert all(frm <= v < to for v in expected)
+
+
+@given(st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True))
+@settings(max_examples=100, deadline=None)
+def test_sample_rewrite_ident_safe(tbl):
+    """SAMPLE parsing must never fire on identifiers that merely contain
+    'sample', and fraction forms 0.25 and 1/4 must parse identically."""
+    from tensorbase_spark.engine import _SAMPLE_RE
+
+    assert _SAMPLE_RE.search(f"select * from {tbl}_sample where x = 1") is None
+    m1 = _SAMPLE_RE.search(f"select * from {tbl} sample 0.25")
+    m2 = _SAMPLE_RE.search(f"select * from {tbl} sample 1/4")
+    assert m1 and m2 and m1.group("tbl") == tbl == m2.group("tbl")
+
+
+@given(st.lists(st.sampled_from(["countEqual", "arrayProduct", "bitTest",
+                                 "locate", "exp2", "ord", "mid"]),
+                min_size=1, max_size=4))
+@settings(max_examples=100, deadline=None)
+def test_tier3_templates_fixpoint(fns):
+    sql = "select " + ", ".join(f"{f}(a, b)" for f in fns) + " from t"
+    once = translate_sql(sql)
+    assert translate_sql(once) == once
