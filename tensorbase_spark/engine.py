@@ -1257,7 +1257,12 @@ class TensorBaseEngine:
                 rf"\1 {view}",
                 sel,
             )
-            self.insert_df(tgt, self.spark.sql(self._translate_query(sel_block)))
+            # the block's OWN session, not self.spark: under foreachBatch the
+            # batch DataFrame lives in a micro-batch-scoped session clone,
+            # and its temp view is invisible from the parent session
+            self.insert_df(
+                tgt, block.sparkSession.sql(self._translate_query(sel_block))
+            )
 
     def _alter(self, c: str) -> DataFrame:
         """ClickHouse mutations + light schema evolution (upstream-CH
@@ -1608,6 +1613,11 @@ class TensorBaseEngine:
             if nparts > 1:
                 out = out.repartition(min(nparts, 200), F.col(PTK_COL))
         out.write.mode("append").insertInto(name)
+        if out.sparkSession is not self.spark:
+            # a foreachBatch micro-batch session clone wrote the files; the
+            # engine session's cached file listing for the table is stale
+            # until refreshed (same-session writes invalidate automatically)
+            self.spark.catalog.refreshTable(name)
         if self._mvs.get(name):
             # CH materialized views are insert triggers: each view's SELECT
             # runs over the inserted block only (cast, target-named), and

@@ -133,3 +133,63 @@ QUERIES = {
     "stream_dedup_users": Query(stream_dedup_users, STREAM_DEDUP_ORACLE, ("streaming",)),
     "stream_stream_join": Query(stream_stream_join, STREAM_STREAM_JOIN_ORACLE, ("streaming", "join")),
 }
+
+
+def stream_mv_ingest(spark, sf_dir):
+    """Streaming ingest through the ENGINE with a materialized view attached
+    (engine.py _create_materialized_view): readStream -> foreachBatch ->
+    engine.insert_df, so every micro-batch fires the MV trigger and appends
+    its partial rollup to the TO table — the CH continuous-aggregation
+    pattern under streaming ingest.  availableNow + a fresh checkpoint make
+    the run deterministic; the oracle recomputes the rollup from the raw
+    fixture, proving no block is lost or double-counted across micro-batch
+    boundaries."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tensorbase_spark.queries.engine_queries import _fresh_engine
+    from tensorbase_spark.streaming.events import read_events_stream
+
+    eng = _fresh_engine(spark, sf_dir, "smv")
+    db = spark.catalog.currentDatabase()
+    eng.sql("create table smv_raw(ts DateTime, typ String, v Float64)")
+    eng.sql("create table smv_daily(d Date, typ String, n Int64, s Float64)")
+    eng.sql(
+        "create materialized view smv_roll to smv_daily as "
+        "select toDate(ts) as d, typ, count(*) as n, sum(v) as s "
+        "from smv_raw group by toDate(ts), typ"
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    chk = f"/tmp/tbs_stream_mv_chk/{tag}"
+    shutil.rmtree(chk, ignore_errors=True)
+    ev = read_events_stream(spark, sf_dir).select("ts", "event_type", "value")
+
+    def sink(batch, _bid):
+        eng.insert_df(f"{db}.smv_raw", batch)
+
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return eng.sql(
+        "select d, typ, sum(n) as n, round(sum(s), 4) as s "
+        "from smv_daily group by d, typ"
+    )
+
+
+STREAM_MV_ORACLE = """
+SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, event_type AS typ,
+       count(*) AS n, round(sum(value), 4) AS s
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES["stream_mv_ingest"] = Query(
+    stream_mv_ingest, STREAM_MV_ORACLE, ("streaming", "ingest", "engine")
+)

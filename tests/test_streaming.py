@@ -158,3 +158,28 @@ def test_stream_nanos_not_multiple_of_256(spark, tmp_path):
     ev = sev.read_events_stream(spark, sf_dir)
     got = sev._run_to_memory(ev.select("ts"), "append").collect()[0].ts
     assert pd.Timestamp(got).value == (ns // 1000) * 1000
+
+
+def test_stream_mv_ingest_matches_batch(spark):
+    """foreachBatch -> engine.insert_df fires the materialized-view trigger
+    per micro-batch; the re-aggregated MV target equals the batch rollup."""
+    from pyspark.sql import functions as F
+
+    from tensorbase_spark.queries.streamingq import stream_mv_ingest
+    from tensorbase_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.d, r.typ): (r.n, r.s) for r in stream_mv_ingest(spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    want = {
+        (r.d, r.typ): (r.n, r.s)
+        for r in ev.groupBy(
+            F.to_date("ts").alias("d"), F.col("event_type").alias("typ")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .collect()
+    }
+    assert got == want
+    spark.catalog.setCurrentDatabase("default")
