@@ -893,3 +893,173 @@ def pca_project(
     return emb.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), _proj(F.col(vec_col)).alias("pca_vec")
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 256,
+    cand_mult: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the production ANN index shape (FAISS IVFPQ, Jégou et al.
+    2011): coarse k-means buckets prune the corpus to nprobe/nlist, residual
+    product quantization compresses what remains to m bytes/vector, ADC
+    scores candidates from lookup tables, and an exact re-rank fixes the
+    top-k.
+
+    One Arrow pass encodes the corpus (nearest centroid + residual codes —
+    centroids AND codebooks ride the closure); search touches only probed
+    buckets via an applyInPandas group per centroid (the same equi-join-on-
+    centroid_id topology the plain IVF uses, so at 100 TB the encoded
+    corpus would be written PARTITIONED BY centroid_id and a probe reads
+    nprobe directories of m-byte codes).  Residual PQ matters: residuals
+    are centered near zero, so the same codebook budget quantizes them
+    ~one centroid-radius finer than raw vectors."""
+    from pyspark.sql import types as T
+
+    # ---- driver-side training on the bounded hash-ordered sample ----
+    cents = _train_centroids_np(emb, n_centroids, id_col, vec_col)  # unit rows
+    nlist = len(cents)
+    sample = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
+        .limit(4096)
+        .collect()
+    )
+    xs = np.stack([np.asarray(r.v, dtype=np.float64) for r in sample])
+    n = np.linalg.norm(xs, axis=1, keepdims=True)
+    xs = xs / np.where(n > 0, n, 1.0)
+    dim = xs.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    res = xs - cents[np.argmax(xs @ cents.T, axis=1)]
+    # per-subspace k-means on RESIDUALS (maximin init, fixed Lloyd, GEMM form)
+    ks = min(ksub, len(res))
+    books = np.empty((m, ks, dsub))
+    for j in range(m):
+        rj = res[:, j * dsub : (j + 1) * dsub]
+        chosen = [0]
+        d2 = ((rj - rj[0]) ** 2).sum(axis=1)
+        for _ in range(1, ks):
+            nxt = int(np.argmax(d2))
+            chosen.append(nxt)
+            d2 = np.minimum(d2, ((rj - rj[nxt]) ** 2).sum(axis=1))
+        cb = rj[chosen].copy()
+        for _ in range(8):
+            dist = -2.0 * (rj @ cb.T) + (cb**2).sum(axis=1)
+            assign = np.argmin(dist, axis=1)
+            for c in range(ks):
+                members = rj[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books[j] = cb
+
+    # ---- one Arrow pass: nearest centroid + residual codes ----
+    enc_schema = T.StructType(
+        [
+            T.StructField("v_id", T.LongType()),
+            T.StructField("centroid_id", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def _encode(batches):
+        for pdf in batches:
+            ids = pdf["v_id"].to_numpy()
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            nn = np.linalg.norm(X, axis=1, keepdims=True)
+            X = X / np.where(nn > 0, nn, 1.0)
+            cid = np.argmax(X @ cents.T, axis=1)
+            R = X - cents[cid]
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                rj = R[:, j * dsub : (j + 1) * dsub]
+                d = -2.0 * (rj @ books[j].T) + (books[j] ** 2).sum(axis=1)
+                codes[:, j] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {"v_id": ids, "centroid_id": cid.astype(np.int32), "codes": list(codes)}
+            )
+
+    enc = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("v_id"), F.col(vec_col).alias("v"))
+        .mapInPandas(_encode, schema=enc_schema)
+    )
+
+    # ---- query side: probe sets + per-bucket ADC via applyInPandas ----
+    qrows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .collect()
+    )
+    q_ids = np.array([r.q_id for r in qrows])
+    Q = np.stack([np.asarray(r.q_vec, dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / np.where(qn > 0, qn, 1.0)
+    sim_qc = Qn @ cents.T  # (nq, nlist): query . centroid term of the score
+    order = np.argsort(-sim_qc, axis=1)[:, : min(nprobe, nlist)]
+    probing = {int(c): np.nonzero((order == c).any(axis=1))[0] for c in range(nlist)}
+    lut = np.stack(
+        [Qn[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)]
+    )
+    k2 = k * cand_mult
+
+    adc_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("c_id", T.LongType()),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+
+    def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = int(pdf["centroid_id"].iloc[0])
+        qi = probing.get(cid)
+        if qi is None or not len(qi):
+            return pd.DataFrame({"q_id": [], "c_id": [], "adc": []})
+        ids = pdf["v_id"].to_numpy()
+        C = np.stack(pdf["codes"].to_numpy())
+        s = lut[0][qi][:, C[:, 0]]
+        for j in range(1, m):
+            s = s + lut[j][qi][:, C[:, j]]
+        s = s + sim_qc[qi, cid][:, None]  # q.(centroid + residual)
+        top = min(k2 + 1, len(ids))
+        o = np.lexsort((np.broadcast_to(ids, s.shape), -s), axis=1)[:, :top]
+        rep = np.repeat(qi, top)
+        return pd.DataFrame(
+            {
+                "q_id": q_ids[rep],
+                "c_id": ids[o.ravel()],
+                "adc": np.take_along_axis(s, o, axis=1).ravel(),
+            }
+        )
+
+    adc = (
+        enc.groupBy("centroid_id")
+        .applyInPandas(_score_bucket, schema=adc_schema)
+        .filter(F.col("q_id") != F.col("c_id"))
+    )
+    wa = W.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("c_id"))
+    cand = adc.withColumn("rn", F.row_number().over(wa)).filter(F.col("rn") <= k2)
+    c = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        cand.select("q_id", "c_id")
+        .join(c, "c_id")
+        .join(F.broadcast(q), "q_id")
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", F.round("cos", 6).alias("cos"))
+    )

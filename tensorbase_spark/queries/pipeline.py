@@ -288,6 +288,27 @@ SELECT round(sum(v), 6) AS total_var FROM (
 """
 
 
+def sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ combined index (similarity.ivfpq_topk — FAISS IVFPQ shape):
+    coarse buckets prune to nprobe/nlist of the corpus, residual PQ
+    compresses the rest to m bytes/vector, per-bucket ADC, exact re-rank.
+    Approximate: rows-only; recall + full-cover equivalence in tests."""
+    emb, q = _emb_queries(spark, sf_dir)
+    return similarity.ivfpq_topk(emb, q, k=5, n_centroids=16, nprobe=8)
+
+
+def sim_ivfpq_full_cover(spark, sf_dir):
+    """Driver-evidence companion for IVF-PQ: probing every bucket with an
+    unbounded candidate cut makes the exact re-rank reproduce brute-force
+    top-k — the SQL oracle — regardless of quantization quality.  The hash
+    row proves the whole encode→probe→ADC→re-rank pipeline loses nothing at
+    full coverage."""
+    emb, q = _emb_queries(spark, sf_dir)
+    return similarity.ivfpq_topk(
+        emb, q, k=5, n_centroids=16, nprobe=16, cand_mult=10**6
+    )
+
+
 def sim_lsh_full_cover(spark, sf_dir):
     """Driver-evidence companion for the sign-LSH path: with n_bits=0 every
     vector lands in the single bucket of the single table, so the LSH
@@ -1136,6 +1157,10 @@ QUERIES = {
     # timing like the others
     "sim_pq_topk": Query(sim_pq_topk, None, ("similarity", "approx"), bench=True),
     "sim_pq_rerank_full": Query(sim_pq_rerank_full, SIM_BRUTE_ORACLE, ("similarity",)),
+    "sim_ivfpq_topk": Query(sim_ivfpq_topk, None, ("similarity", "approx")),
+    "sim_ivfpq_full_cover": Query(
+        sim_ivfpq_full_cover, SIM_BRUTE_ORACLE, ("similarity",)
+    ),
     "embedding_l2_normalize": Query(
         embedding_l2_normalize, EMB_L2_ORACLE, ("similarity", "embedding")
     ),

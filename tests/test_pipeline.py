@@ -747,3 +747,27 @@ def test_pca_orthonormal_deterministic_reconstruction(spark):
         P = (X - m) @ c.T
         return float(((X - m - P @ c) ** 2).mean())
     assert recon_err(16) < recon_err(4)
+
+
+def test_ivfpq_recall_exact_scores_and_full_cover(spark):
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    brute = similarity.brute_force_topk(emb, q, k=5).collect()
+    truth = {(r.q_id, r.c_id) for r in brute}
+    got_df = similarity.ivfpq_topk(emb, q, k=5, n_centroids=16, nprobe=8)
+    got_rows = got_df.collect()
+    got = {(r.q_id, r.c_id) for r in got_rows}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"IVF-PQ recall {recall:.2f} too low"
+    bs = {(r.q_id, r.c_id): r.cos for r in brute}
+    for r in got_rows:
+        if (r.q_id, r.c_id) in bs:
+            assert r.cos == bs[(r.q_id, r.c_id)]  # re-rank = exact cosine
+    # full coverage must reproduce brute force exactly
+    full = similarity.ivfpq_topk(
+        emb, q, k=5, n_centroids=16, nprobe=16, cand_mult=10**6
+    ).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, brute))
+    # determinism
+    again = similarity.ivfpq_topk(emb, q, k=5, n_centroids=16, nprobe=8).collect()
+    assert sorted(map(tuple, got_rows)) == sorted(map(tuple, again))
