@@ -1077,7 +1077,25 @@ class TensorBaseEngine:
         ine = "IF NOT EXISTS " if is_ine else ""
 
         cols: list[tuple[str, str]] = []  # (name, bql type)
+        bloom_cols: list[str] = []
         for part in _split_top_level_args(cols_text):
+            # ClickHouse skip-index entry: INDEX name col TYPE bloom_filter
+            # [GRANULARITY n] (upstream-CH; the reference has no skip
+            # indexes).  Maps to parquet-native bloom filters written per
+            # row group on that column — the same point-lookup skipping a
+            # CH bloom_filter index provides, at the storage layer Spark
+            # already prunes with.
+            im = re.match(
+                r"(?is)^\s*index\s+\w+\s+(?P<col>\w+)\s+type\s+"
+                r"(?P<it>\w+)(?:\s*\(.*?\))?(?:\s+granularity\s+\d+)?\s*$",
+                part,
+            )
+            if im:
+                if im.group("it").lower() in ("bloom_filter", "tokenbf_v1", "ngrambf_v1"):
+                    bloom_cols.append(im.group("col"))
+                # minmax/set indexes: parquet column statistics already
+                # give min/max row-group skipping — accepted, no-op
+                continue
             toks = part.strip().split(None, 1)
             if len(toks) != 2:
                 raise ValueError(f"cannot parse column def: {part!r}")
@@ -1125,6 +1143,8 @@ class TensorBaseEngine:
             props.append(f"'tb.partition_expr' = '{expr_txt}'")
         if sample_by:
             props.append(f"'tb.sample_by' = '{sample_by}'")
+        if bloom_cols:
+            props.append(f"'tb.bloom_cols' = '{','.join(bloom_cols)}'")
 
         ddl = (
             f"CREATE TABLE {ine}{name} ({', '.join(col_sql)}) USING parquet"
@@ -1612,7 +1632,24 @@ class TensorBaseEngine:
             # free from its per-(part, column) append files (write.rs:69-136).
             if nparts > 1:
                 out = out.repartition(min(nparts, 200), F.col(PTK_COL))
-        out.write.mode("append").insertInto(name)
+        bloom = [
+            c.strip()
+            for c in self._table_props(name).get("tb.bloom_cols", "").split(",")
+            if c.strip()
+        ]
+        hc = self.spark.sparkContext._jsc.hadoopConfiguration()
+        try:
+            for bc in bloom:
+                # parquet-mr writer honors these per-column hadoop keys; the
+                # table-property indirection is needed because insertInto
+                # carries no writer options
+                hc.set(f"parquet.bloom.filter.enabled#{bc}", "true")
+                hc.set(f"parquet.bloom.filter.expected.ndv#{bc}", "100000")
+            out.write.mode("append").insertInto(name)
+        finally:
+            for bc in bloom:
+                hc.unset(f"parquet.bloom.filter.enabled#{bc}")
+                hc.unset(f"parquet.bloom.filter.expected.ndv#{bc}")
         if out.sparkSession is not self.spark:
             # a foreachBatch micro-batch session clone wrote the files; the
             # engine session's cached file listing for the table is stale

@@ -968,3 +968,41 @@ def test_create_view_through_dialect(engine):
     assert rows == [(1, 2020), (2, 2021)]
     engine.sql("drop view vw_v")
     engine.sql("drop table vw_src")
+
+
+def test_bloom_filter_skip_index(engine):
+    """CH skip-index DDL (INDEX x col TYPE bloom_filter) -> parquet-native
+    bloom filters: the indexed column's row groups carry a bloom filter,
+    un-indexed columns don't; minmax indexes are accepted as no-ops
+    (parquet stats already provide them)."""
+    import glob
+
+    spark = engine.spark
+    engine.sql(
+        "create table bf_eng(k Int64, s String, "
+        "index ix_k k type bloom_filter granularity 3, "
+        "index ix_s s type minmax)"
+    )
+    spark.range(5000).selectExpr("id as k", "cast(id as string) as s").createOrReplaceTempView("bf_src")
+    engine.sql("insert into bf_eng select k, s from bf_src")
+    loc = (
+        spark.sql("DESCRIBE TABLE EXTENDED bf_eng")
+        .filter("col_name='Location'").first().data_type.replace("file:", "")
+    )
+    f = glob.glob(f"{loc}/*.parquet")[0]
+    jvm = spark._jvm
+    inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(f), spark._jsc.hadoopConfiguration()
+    )
+    r = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+    rg = r.getRowGroups().get(0)
+    offs = {
+        str(rg.getColumns().get(i).getPath()): rg.getColumns().get(i).getBloomFilterOffset()
+        for i in range(rg.getColumns().size())
+    }
+    r.close()
+    assert offs["[k]"] >= 0, offs   # bloom written for the indexed column
+    assert offs["[s]"] == -1, offs  # and only that column
+    # the lifecycle must still answer correctly
+    assert engine.sql("select count(*) as n from bf_eng where k = 4321").collect()[0].n == 1
+    engine.sql("drop table bf_eng")
