@@ -186,3 +186,39 @@ def test_array_join_explode_is_generate(spark, queries):
     tree = plan.split("\n\n")[0]
     assert "Generate" in tree
     assert tree.count("Exchange") == 1
+
+
+def test_asof_sql_plan_single_key_shuffle(spark, queries):
+    """The ASOF JOIN clause must lower to the union+window operator — one
+    hashpartitioning on the key, no range/nested-loop join anywhere."""
+    plan = _formatted(spark, queries["ch_asof_join_sql"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_any_join_no_cartesian(spark, queries):
+    plan = _formatted(spark, queries["ch_join_strictness"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_filters_codegen_only(spark, queries):
+    """Both repetition metric families must stay JVM-side (the lambda-CSE
+    regression would first show as a wall-clock blowup, but EvalPython-free
+    + no CartesianProduct is the structural part we can pin)."""
+    plan = _formatted(spark, queries["text_repetition_filters"](spark, SF))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_bucket_topology(spark, queries):
+    """IVF-PQ's ADC stage must be the per-bucket applyInPandas over
+    centroid_id — the corpus shuffles ONCE on centroid_id and never
+    cross-joins itself."""
+    import re
+
+    plan = _formatted(spark, queries["sim_ivfpq_topk"](spark, SF))
+    assert "FlatMapGroupsInPandas" in plan
+    assert re.search(r"hashpartitioning\(centroid_id", plan), plan
+    assert "CartesianProduct" not in plan
