@@ -104,3 +104,54 @@ QUERIES = {
     "events_retention": Query(events_retention, RETENTION_ORACLE, ("events", "funnel")),
     "join_asof": Query(join_asof, JOIN_ASOF_ORACLE, ("join", "asof")),
 }
+
+
+def events_anomaly_zscore(spark, sf_dir):
+    """Windowed anomaly detection — the observability query CH clusters run
+    all day: hourly event counts per type, each hour scored against ITS
+    TYPE's own distribution (population z-score over a window), |z| > 2
+    flagged.  One groupBy to the hourly grain, one window keyed event_type
+    (group cardinality, not corpus) — the raw stream is reduced before any
+    per-type state exists."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tensorbase_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type")
+    mu = F.avg("n").over(w)
+    sd = F.stddev_pop("n").over(w)
+    z = F.when(sd > 0, (F.col("n") - mu) / sd).otherwise(F.lit(0.0))
+    return hourly.select(
+        "h",
+        "event_type",
+        "n",
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 2).alias("is_anomaly"),
+    )
+
+
+EVENTS_ANOMALY_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT h, event_type, n,
+         avg(n) OVER (PARTITION BY event_type) AS mu,
+         stddev_pop(n) OVER (PARTITION BY event_type) AS sd
+  FROM hourly
+)
+SELECT h, event_type, n,
+       round(CASE WHEN sd > 0 THEN (n - mu) / sd ELSE 0.0 END, 4) AS z,
+       (abs(CASE WHEN sd > 0 THEN (n - mu) / sd ELSE 0.0 END) > 2) AS is_anomaly
+FROM scored
+"""
+
+QUERIES["events_anomaly_zscore"] = Query(
+    events_anomaly_zscore, EVENTS_ANOMALY_ORACLE, ("events", "analytics")
+)
