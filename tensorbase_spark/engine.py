@@ -608,6 +608,21 @@ def translate_sql(sql: str) -> str:
                     i = j2
                     continue
             tmpl = CH_SQL_TEMPLATES.get(name.lower())
+            # Generic ClickHouse -If combinator: <Agg>If(args..., cond) works
+            # on EVERY aggregate in CH.  When no explicit template exists
+            # (countIf/sumIf/... do), peel the suffix, translate the stem
+            # call recursively, and attach standard-SQL FILTER — so
+            # uniqExactIf / medianIf / argMaxIf / anyIf all compose without
+            # per-name entries.
+            if tmpl is None and len(args) >= 2 and name.lower().endswith("if"):
+                stem = name[:-2]
+                if stem.lower() in CH_SQL_TEMPLATES or stem.lower() in (
+                    "count", "sum", "avg", "min", "max", "stddev", "corr"
+                ):
+                    stem_sql = translate_sql(f"{stem}({', '.join(args[:-1])})")
+                    out.append(f"{stem_sql} filter (where {args[-1]})")
+                    i = j
+                    continue
             # range() is both Spark's table function (FROM range(n)) and
             # ClickHouse's scalar array generator; only the scalar position
             # takes the CH rewrite

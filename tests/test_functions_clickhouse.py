@@ -226,3 +226,16 @@ def test_sequence_match_and_uniq_upto_translate():
     assert "least(count(distinct x), 5 + 1)" in t("select uniqUpTo(5)(x)")
     with _pytest.raises(ValueError, match="windowFunnel"):
         t("select sequenceMatch('(?1).*(?2).*(?3)')(ts, a, b, c)")
+
+
+def test_generic_if_combinator():
+    from tensorbase_spark.engine import translate_sql as t
+
+    assert (
+        t("select uniqExactIf(u, v > 5) from t")
+        == "select count(distinct u) filter (where v > 5) from t"
+    )
+    assert "percentile(v, 0.5) filter (where c)" in t("select medianIf(v, c) from t")
+    assert "max_by(u, ts) filter (where c)" in t("select argMaxIf(u, ts, c) from t")
+    # multiIf is a scalar conditional, never a combinator
+    assert "filter" not in t("select multiIf(a, 1, b, 2, 3) from t")
