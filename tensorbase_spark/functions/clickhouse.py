@@ -442,6 +442,16 @@ CH_SQL_TEMPLATES.update(
         "groupbitand": "bit_and({0})",
         "groupbitor": "bit_or({0})",
         "groupbitxor": "bit_xor({0})",
+        # CH -Array combinators: the aggregate runs over all elements of all
+        # array arguments in the group (sumArray([1,2]) + sumArray([3]) = 6)
+        "sumarray": "sum(aggregate({0}, cast(0.0 as double), (a, x) -> a + x))",
+        "countarray": "sum(size({0}))",
+        "avgarray": (
+            "(sum(aggregate({0}, cast(0.0 as double), (a, x) -> a + x))"
+            " / sum(size({0})))"
+        ),
+        "minarray": "min(array_min({0}))",
+        "maxarray": "max(array_max({0}))",
         # anyHeavy approximates the most frequent value; Spark's exact mode
         # (ties -> NULL-safe arbitrary in Spark, so pin determinism with
         # mode() which takes the first in sort order on ties in 4.x)

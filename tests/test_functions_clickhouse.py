@@ -239,3 +239,15 @@ def test_generic_if_combinator():
     assert "max_by(u, ts) filter (where c)" in t("select argMaxIf(u, ts, c) from t")
     # multiIf is a scalar conditional, never a combinator
     assert "filter" not in t("select multiIf(a, 1, b, 2, 3) from t")
+
+
+def test_array_combinators(spark):
+    from tensorbase_spark.engine import translate_sql as t
+
+    spark.sql(
+        "select * from values (array(1.0, 2.0)), (array(3.0)) as t(a)"
+    ).createOrReplaceTempView("arrc_src")
+    r = spark.sql(
+        t("select sumArray(a) as s, countArray(a) as c, avgArray(a) as av from arrc_src")
+    ).collect()[0]
+    assert (r.s, r.c, r.av) == (6.0, 3, 2.0)
