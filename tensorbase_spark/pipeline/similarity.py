@@ -921,11 +921,24 @@ def ivfpq_topk(
     nprobe directories of m-byte codes).  Residual PQ matters: residuals
     are centered near zero, so the same codebook budget quantizes them
     ~one centroid-radius finer than raw vectors."""
-    from pyspark.sql import types as T
+    cents, books = _train_ivfpq_np(emb, n_centroids, m, ksub, id_col, vec_col)
+    enc = _ivfpq_encode(emb, cents, books, id_col, vec_col)
+    return _ivfpq_search(
+        enc, emb, queries, cents, books, k, nprobe, cand_mult, id_col, vec_col
+    )
 
-    # ---- driver-side training on the bounded hash-ordered sample ----
+
+def _train_ivfpq_np(
+    emb: DataFrame,
+    n_centroids: int,
+    m: int,
+    ksub: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side IVF-PQ training on the bounded hash-ordered sample:
+    spherical coarse centroids + per-subspace residual codebooks."""
     cents = _train_centroids_np(emb, n_centroids, id_col, vec_col)  # unit rows
-    nlist = len(cents)
     sample = (
         emb.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
@@ -961,8 +974,20 @@ def ivfpq_topk(
                 if len(members):
                     cb[c] = members.mean(axis=0)
         books[j] = cb
+    return cents, books
 
-    # ---- one Arrow pass: nearest centroid + residual codes ----
+
+def _ivfpq_encode(
+    emb: DataFrame,
+    cents: np.ndarray,
+    books: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One Arrow pass: nearest centroid + residual codes per vector."""
+    from pyspark.sql import types as T
+
+    m, _ks, dsub = books.shape
     enc_schema = T.StructType(
         [
             T.StructField("v_id", T.LongType()),
@@ -988,12 +1013,29 @@ def ivfpq_topk(
                 {"v_id": ids, "centroid_id": cid.astype(np.int32), "codes": list(codes)}
             )
 
-    enc = (
+    return (
         emb.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("v_id"), F.col(vec_col).alias("v"))
         .mapInPandas(_encode, schema=enc_schema)
     )
 
+
+def _ivfpq_search(
+    enc: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    cents: np.ndarray,
+    books: np.ndarray,
+    k: int,
+    nprobe: int,
+    cand_mult: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    from pyspark.sql import types as T  # noqa: F401 (schema types below)
+
+    m, _ks, dsub = books.shape
+    nlist = len(cents)
     # ---- query side: probe sets + per-bucket ADC via applyInPandas ----
     qrows = (
         queries.filter(F.col(vec_col).isNotNull())
@@ -1062,4 +1104,99 @@ def ivfpq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF-PQ index: the m-byte-per-vector code table written as
+    parquet PARTITIONED BY centroid_id, plus the trained centroids and
+    codebooks as side tables.  This is the 100 TB layout in full: a probe
+    reads nprobe/nlist DIRECTORIES of codes (directory pruning before any
+    footer opens), and each directory holds m ints per vector instead of
+    the raw embedding — pruning x compression compose."""
+    cents, books = _train_ivfpq_np(emb, n_centroids, m, ksub, id_col, vec_col)
+    enc = _ivfpq_encode(emb, cents, books, id_col, vec_col)
+    enc.write.mode("overwrite").partitionBy("centroid_id").parquet(f"{path}/codes")
+    spark = emb.sparkSession
+    from pyspark.sql import types as T
+
+    cent_schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.IntegerType(), False),
+            T.StructField("vec", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(len(cents))], cent_schema
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    book_schema = T.StructType(
+        [
+            T.StructField("subspace", T.IntegerType(), False),
+            T.StructField("code", T.IntegerType(), False),
+            T.StructField("vec", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+    rows = [
+        (j, c, [float(x) for x in books[j, c]])
+        for j in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    spark.createDataFrame(rows, book_schema).write.mode("overwrite").parquet(
+        f"{path}/codebooks"
+    )
+
+
+def ivfpq_search_indexed(
+    spark,
+    path: str,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    cand_mult: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF-PQ index: centroids/codebooks load driver-side
+    (tiny), the probe set becomes an IN filter on the codes table's
+    partition column (PartitionFilters — only probed directories are read),
+    ADC + exact re-rank run exactly as the in-memory path, so results are
+    identical (asserted in tests)."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.stack(
+        [np.asarray(r.vec) for r in sorted(cent_rows, key=lambda r: r.centroid_id)]
+    )
+    book_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    mm = max(r.subspace for r in book_rows) + 1
+    ks = max(r.code for r in book_rows) + 1
+    dsub = len(book_rows[0].vec)
+    books = np.empty((mm, ks, dsub))
+    for r in book_rows:
+        books[r.subspace, r.code] = r.vec
+    # probe-set partition pruning: nprobe nearest centroids per query,
+    # unioned into an IN filter on the partition column (a bounded
+    # driver-side computation over the collected query matrix)
+    qrows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(vec_col).alias("q_vec"))
+        .collect()
+    )
+    Q = np.stack([np.asarray(r.q_vec, dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / np.where(qn > 0, qn, 1.0)
+    order = np.argsort(-(Qn @ cents.T), axis=1)[:, : min(nprobe, len(cents))]
+    probe_ids = sorted({int(c) for c in order.ravel()})
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    return _ivfpq_search(
+        codes, emb, queries, cents, books, k, nprobe, cand_mult, id_col, vec_col
     )

@@ -309,6 +309,19 @@ def sim_ivfpq_full_cover(spark, sf_dir):
     )
 
 
+def sim_ivfpq_indexed(spark, sf_dir):
+    """Persistent IVF-PQ index (similarity.build_ivfpq_index): m-byte codes
+    parquet PARTITIONED BY centroid_id + centroid/codebook side tables; a
+    probe directory-prunes the codes scan (PartitionFilters asserted in
+    tests) and returns results identical to the in-memory path."""
+    import os
+
+    emb, q = _emb_queries(spark, sf_dir)
+    idx = f"/tmp/tbs_ivfpq_index/{os.path.basename(sf_dir.rstrip('/'))}"
+    similarity.build_ivfpq_index(emb, idx, n_centroids=16)
+    return similarity.ivfpq_search_indexed(spark, idx, emb, q, k=5, nprobe=8)
+
+
 def sim_lsh_full_cover(spark, sf_dir):
     """Driver-evidence companion for the sign-LSH path: with n_bits=0 every
     vector lands in the single bucket of the single table, so the LSH
@@ -1158,6 +1171,7 @@ QUERIES = {
     "sim_pq_topk": Query(sim_pq_topk, None, ("similarity", "approx"), bench=True),
     "sim_pq_rerank_full": Query(sim_pq_rerank_full, SIM_BRUTE_ORACLE, ("similarity",)),
     "sim_ivfpq_topk": Query(sim_ivfpq_topk, None, ("similarity", "approx")),
+    "sim_ivfpq_indexed": Query(sim_ivfpq_indexed, None, ("similarity", "approx")),
     "sim_ivfpq_full_cover": Query(
         sim_ivfpq_full_cover, SIM_BRUTE_ORACLE, ("similarity",)
     ),

@@ -771,3 +771,26 @@ def test_ivfpq_recall_exact_scores_and_full_cover(spark):
     # determinism
     again = similarity.ivfpq_topk(emb, q, k=5, n_centroids=16, nprobe=8).collect()
     assert sorted(map(tuple, got_rows)) == sorted(map(tuple, again))
+
+
+def test_ivfpq_indexed_matches_in_memory(spark, tmp_path):
+    """The persisted IVF-PQ index must return IDENTICAL results to the
+    in-memory path, and the probed scan must be partition-pruned on
+    centroid_id."""
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = f"{tmp_path}/ivfpq"
+    similarity.build_ivfpq_index(emb, idx, n_centroids=16)
+    got_df = similarity.ivfpq_search_indexed(spark, idx, emb, q, k=5, nprobe=8)
+    got = sorted(tuple(r) for r in got_df.collect())
+    mem = sorted(
+        tuple(r)
+        for r in similarity.ivfpq_topk(emb, q, k=5, n_centroids=16, nprobe=8).collect()
+    )
+    assert got == mem
+    plan = got_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    # the probe IN-filter must reach the partition column of the codes scan
+    assert "centroid_id" in plan.split("PartitionFilters", 1)[1][:300], plan
