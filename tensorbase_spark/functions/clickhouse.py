@@ -442,6 +442,20 @@ CH_SQL_TEMPLATES.update(
         "groupbitand": "bit_and({0})",
         "groupbitor": "bit_or({0})",
         "groupbitxor": "bit_xor({0})",
+        # text-search helpers (the functions CH pairs with tokenbf skip
+        # indexes; here the bloom-filter DDL covers the storage side and
+        # these cover the expression side)
+        "hastoken": (
+            "array_contains(filter(split({0}, '[^A-Za-z0-9]+'), x -> x != ''), {1})"
+        ),
+        "hastokencaseinsensitive": (
+            "array_contains(filter(split(lower({0}), '[^a-z0-9]+'), x -> x != ''),"
+            " lower({1}))"
+        ),
+        "multisearchany": "exists({1}, x -> instr({0}, x) > 0)",
+        "multisearchanycaseinsensitive": (
+            "exists({1}, x -> instr(lower({0}), lower(x)) > 0)"
+        ),
         # CH -Array combinators: the aggregate runs over all elements of all
         # array arguments in the group (sumArray([1,2]) + sumArray([3]) = 6)
         "sumarray": "sum(aggregate({0}, cast(0.0 as double), (a, x) -> a + x))",

@@ -251,3 +251,17 @@ def test_array_combinators(spark):
         t("select sumArray(a) as s, countArray(a) as c, avgArray(a) as av from arrc_src")
     ).collect()[0]
     assert (r.s, r.c, r.av) == (6.0, 3, 2.0)
+
+
+def test_text_search_helpers(spark):
+    from tensorbase_spark.engine import translate_sql as t
+
+    r = spark.sql(
+        t(
+            "select hasToken('the Quick fox', 'Quick') as a, "
+            "hasToken('the Quick fox', 'quick') as b, "
+            "hasTokenCaseInsensitive('the Quick fox', 'quick') as c, "
+            "multiSearchAny('haystack here', array('xyz', 'stack')) as d"
+        )
+    ).collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (True, False, True, True)
