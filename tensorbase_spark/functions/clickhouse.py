@@ -442,6 +442,17 @@ CH_SQL_TEMPLATES.update(
         "groupbitand": "bit_and({0})",
         "groupbitor": "bit_or({0})",
         "groupbitxor": "bit_xor({0})",
+        # enumeration + identity/introspection odds and ends
+        # occurrence index per element: rank of this occurrence among equal
+        # values so far — O(n²) HOF, bounded by array length (CH's own is
+        # per-block quadratic too)
+        "arrayenumerateuniq": (
+            "transform({0}, (v, i) -> size(filter(slice({0}, 1, i + 1), u -> u = v)))"
+        ),
+        "tolowcardinality": "({0})",  # dictionary encoding is storage-level here
+        "materialize": "({0})",
+        "ignore": lambda args: "(0)",
+        "totypename": "typeof({0})",
         # text-search helpers (the functions CH pairs with tokenbf skip
         # indexes; here the bloom-filter DDL covers the storage side and
         # these cover the expression side)
@@ -704,7 +715,10 @@ CH_SQL_TEMPLATES.update(
         "arrayconcat": "concat({0}, {1})",
         "arrayslice": "slice({0}, {1}, {2})",
         "arrayflatten": "flatten({0})",
-        "arrayenumerate": "sequence(1, size({0}))",
+        "arrayenumerate": (
+            # sequence(1, 0) DESCENDS in Spark — empty arrays need the guard
+            "(case when size({0}) = 0 then array() else sequence(1, size({0})) end)"
+        ),
         "has": "array_contains({0}, {1})",
         "indexof": "array_position({0}, {1})",
         "arrayelement": "element_at({0}, {1})",

@@ -265,3 +265,20 @@ def test_text_search_helpers(spark):
         )
     ).collect()[0]
     assert (r.a, r.b, r.c, r.d) == (True, False, True, True)
+
+
+def test_enumeration_and_identity_helpers(spark):
+    from tensorbase_spark.engine import translate_sql as t
+
+    r = spark.sql(
+        t(
+            "select arrayEnumerate(array('a','b')) as e, "
+            "arrayEnumerate(array()) as e0, "
+            "arrayEnumerateUniq(array('a','b','a','a')) as eu, "
+            "toLowCardinality('x') as lc, materialize(7) as mz, "
+            "ignore(1, 2) as ig, toTypeName(array(1)) as tn"
+        )
+    ).collect()[0]
+    assert r.e == [1, 2] and r.e0 == []  # sequence(1,0) would descend
+    assert r.eu == [1, 1, 2, 3]
+    assert (r.lc, r.mz, r.ig, r.tn) == ("x", 7, 0, "array<int>")
