@@ -580,3 +580,73 @@ def line_dedup_global(
         (F.col("n_lines") - F.col("n_kept")).alias("n_dropped"),
         F.md5(F.col("kept_text")).alias("kept_md5"),
     )
+
+
+def build_exact_index(
+    docs: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Persist the exact-dedup fingerprint store: one (content md5 ->
+    canonical doc id) row per distinct content, parquet at ``path``.
+
+    This is the INCREMENTAL-dedup layout: at 100 TB you dedup each incoming
+    shard against the accumulated store instead of re-mining the whole
+    corpus — the store is ~bytes-per-doc tiny relative to the corpus (32-hex
+    hash + id), append-only, and mergeable (min canonical id is
+    associative).  The same pattern extends to the MinHash band-key store
+    (band rows instead of md5 rows); the exact store keeps this operator
+    fully oracle-checkable."""
+    (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(F.min(F.col(id_col)).alias("canonical_id"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def incremental_dedup_against(
+    spark,
+    path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a new batch against a persisted fingerprint store (see
+    build_exact_index): per batch doc -> (verdict, canonical_id).
+
+    'dup_of_store'  — content already in the store (canonical_id = stored id)
+    'dup_in_batch'  — new content, but a smaller batch id has the same
+                      content (first occurrence in this batch wins)
+    'new'           — first sighting anywhere (doc enters the store next
+                      merge; canonical_id = own id)
+
+    Plan: ONE md5-keyed window dedups within the batch, then a left join
+    against the store on the 32-hex key.  The batch side is the small side
+    by construction (a shard vs the world): at 100 TB broadcast the BATCH
+    fingerprints, stream the store — Spark's join planning picks that up
+    from sizes, no hint needed.  No full-corpus rescan anywhere."""
+    store = spark.read.parquet(path)
+    w = Window.partitionBy("content_md5").orderBy(id_col)
+    b = (
+        batch.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("content_md5")
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        # same partition key as __rn -> both window functions share ONE
+        # shuffle; this is the within-batch canonical (first occurrence)
+        .withColumn(
+            "__batch_min",
+            F.min(F.col(id_col)).over(Window.partitionBy("content_md5")),
+        )
+    )
+    joined = b.join(store, "content_md5", "left")
+    return joined.select(
+        F.col(id_col),
+        F.col("content_md5"),
+        F.when(F.col("canonical_id").isNotNull(), F.lit("dup_of_store"))
+        .when(F.col("__rn") > 1, F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+        .alias("verdict"),
+        F.coalesce(F.col("canonical_id"), F.col("__batch_min")).alias(
+            "canonical_id"
+        ),
+    )

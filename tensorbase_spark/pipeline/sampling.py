@@ -13,7 +13,7 @@ dictionary filters) and costs one codegen'd projection per row.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -38,3 +38,72 @@ def stratified_sample(
     return df.withColumn("__bucket", hash_bucket(F.col(key))).filter(
         F.col("__bucket") < quota
     ).drop("__bucket")
+
+
+def temperature_sample(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    alpha: float = 0.5,
+    budget: int = 1000,
+) -> DataFrame:
+    """Temperature-scaled stratum sampling (the multilingual-pretraining
+    rebalance: sample stratum *s* with probability ∝ count(s)^alpha, alpha<1
+    up-weighting tail languages/sources — XLM/mT5's q_l ∝ p_l^α).
+
+    Deterministic twofold: per-stratum quotas derive from exact counts
+    (weights rounded to 6 dp so the tiny weight sum is exact in double and
+    any engine reproduces the same quotas), and membership within a stratum
+    is the md5-rank order (not rand()), so the same rows are kept on every
+    re-run, retry, and engine.
+
+    Scale: count aggregate (one partial-agg shuffle), a broadcast join of
+    the few-row quota table back onto the corpus, and ONE row_number window
+    shuffled on the stratum key.  At 100 TB the window is the cost — same
+    shape as cap_per_stratum; if strata are few and huge, the rank can be
+    replaced by a per-stratum hash-bucket threshold (pure map) at the cost
+    of ±1/sqrt(n) quota jitter."""
+    w = F.round(F.pow(F.count("*"), F.lit(alpha)), 6)
+    quotas = df.groupBy(F.col(stratum).alias("__s")).agg(w.alias("__w"))
+    total_w = quotas.agg(F.sum("__w").alias("__tw"))
+    quotas = quotas.crossJoin(F.broadcast(total_w)).select(
+        "__s",
+        F.floor(F.lit(float(budget)) * F.col("__w") / F.col("__tw") + F.lit(1e-9))
+        .cast("long")
+        .alias("__quota"),
+    )
+    rank_w = Window.partitionBy(stratum).orderBy(
+        F.md5(F.col(key).cast("string")), F.col(key)
+    )
+    return (
+        df.join(F.broadcast(quotas), F.col(stratum) == F.col("__s"))
+        .withColumn("sample_rank", F.row_number().over(rank_w))
+        .filter(F.col("sample_rank") <= F.col("__quota"))
+        .drop("__s", "__quota")
+    )
+
+
+def shuffle_shards(
+    df: DataFrame, key: str, n_shards: int = 8, seed: str = "shard"
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    ``shard`` in [0, n_shards) and a dense ``position`` within its shard,
+    both pure functions of the row key — the md5-of-(seed||key) order is
+    uniform pseudo-random but exactly reproducible by any engine (unlike
+    rand() or a cluster-layout-dependent repartition).  Changing ``seed``
+    re-deals the whole ordering for a new epoch.
+
+    Scale: shard assignment is a pure map; the position is one row_number
+    window shuffled on the shard key — n_shards partitions of |df|/n_shards
+    rows each, the same layout the downstream trainer reads, so the shuffle
+    that materializes shards IS the training-data write."""
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(key).cast("string")))
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).alias(
+        "shard"
+    )
+    pos_w = Window.partitionBy("shard").orderBy(F.md5(
+        F.concat(F.lit(seed), F.lit("#"), F.col(key).cast("string"))
+    ), F.col(key))
+    return df.withColumn("shard", shard).withColumn(
+        "position", F.row_number().over(pos_w).cast("long")
+    )

@@ -106,6 +106,39 @@ def brute_force_topk(
     )
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark-leak scan: corpus items whose embedding is
+    near-identical (cosine >= threshold) to any benchmark item — catches the
+    paraphrased/reformatted contamination the n-gram scan misses.
+
+    Exact, not bucketed: benchmarks are tiny relative to a 100 TB corpus,
+    so the right plan is broadcast(benchmark) x streaming corpus — a
+    map-side Arrow-batched cosine with NO shuffle of the corpus at all
+    (same shape as brute_force_topk).  If the benchmark side ever outgrows
+    the broadcast threshold, swap the benchmark side into the IVF index and
+    probe per corpus row."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec")
+    )
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"), F.col(vec_col).alias("b_vec")
+    )
+    return (
+        c.crossJoin(F.broadcast(b))
+        .withColumn("cos", cosine(F.col("c_vec"), F.col("b_vec")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            "corpus_id", "bench_id", F.round("cos", 6).alias("cos")
+        )
+    )
+
+
 def _train_centroids_np(
     emb: DataFrame,
     n_centroids: int,

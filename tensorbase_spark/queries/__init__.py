@@ -118,6 +118,10 @@ PRIORITY_HEAD = [
     "ch_array_join_clause", "ch_string_replace_extract", "ch_stats_family",
     "ch_array_set_ops", "corpus_bloom_decontaminate", "join_skew_salted",
     "text_unigram_logprob",
+    # session-3 additions: incremental-index dedup, temperature sampling,
+    # deterministic shard shuffle, embedding-space decontamination
+    "dedup_incremental_index", "corpus_temperature_sample",
+    "corpus_shuffle_shards", "contamination_semantic",
     # queries past this point flow through mid_unverified ordering:
     # oracle-backed additions (this round's WITH TOTALS/FILL, SAMPLE,
     # tier-3 funcs, repetition filters, global line dedup, PQ full-cover,

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from tensorbase_spark.pipeline import curation
+from tensorbase_spark.pipeline import curation, sampling
 from tensorbase_spark.queries import Query
 from tensorbase_spark.sources.tables import load_table
 
@@ -253,6 +253,107 @@ def corpus_bloom_decontaminate(spark, sf_dir):
     )
 
 
+def corpus_temperature_sample(spark, sf_dir):
+    """Temperature-scaled multilingual rebalance (q_l ∝ n_l^0.5, budget 200
+    docs): tail languages up-weight vs raw proportions.  Per-lang summary
+    with an id checksum pins exact membership (the md5-rank order makes the
+    kept set engine-independent)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = sampling.temperature_sample(
+        d, stratum="lang", key="doc_id", alpha=0.5, budget=200
+    )
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_checksum")
+    )
+
+
+TEMPERATURE_ORACLE = """
+WITH q AS (
+  SELECT lang AS s, round(pow(count(*), 0.5), 6) AS w FROM documents GROUP BY lang
+),
+tw AS (SELECT sum(w) AS tw FROM q),
+quotas AS (
+  SELECT s, CAST(floor(200.0 * w / tw + 1e-9) AS BIGINT) AS quota FROM q, tw
+),
+ranked AS (
+  SELECT d.lang, d.doc_id, quota,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+           AS r
+  FROM documents d JOIN quotas ON d.lang = quotas.s
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM ranked WHERE r <= quota GROUP BY lang
+"""
+
+
+def corpus_shuffle_shards(spark, sf_dir):
+    """Deterministic global training-order shuffle into 8 shards; per-shard
+    summary with a position-weighted checksum pinning the EXACT within-shard
+    order (not just membership)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = sampling.shuffle_shards(d, key="doc_id", n_shards=8, seed="shard")
+    return s.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.sum(F.col("position") * F.col("doc_id")).alias("order_checksum"),
+    )
+
+
+SHUFFLE_SHARDS_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 8 AS shard,
+         md5('shard#' || CAST(doc_id AS VARCHAR)) AS ph
+  FROM documents
+),
+p AS (
+  SELECT shard, doc_id,
+         row_number() OVER (PARTITION BY shard ORDER BY ph, doc_id) AS position
+  FROM s
+)
+SELECT shard, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       CAST(sum(position * doc_id) AS BIGINT) AS order_checksum
+FROM p GROUP BY shard
+"""
+
+
+def contamination_semantic(spark, sf_dir):
+    """Embedding-space benchmark-leak scan (catches paraphrase contamination
+    the n-gram scan can't): label-0 embeddings play the benchmark, the rest
+    the corpus; exact broadcast-benchmark cosine, no corpus shuffle.  The
+    fixture embeddings are near-orthogonal so 0.35 sits in the upper tail —
+    production would use ~0.95."""
+    from tensorbase_spark.pipeline import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("label") == 0)
+    corpus = emb.filter(F.col("label") != 0)
+    return similarity.semantic_contamination(corpus, bench, threshold=0.35)
+
+
+_COS_D = (
+    "list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
+    " list_transform({b}, x -> CAST(x AS DOUBLE)))"
+)
+
+CONTAMINATION_SEMANTIC_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id AS bench_id, embedding AS b_vec FROM embeddings WHERE label = 0
+), c AS (
+  SELECT vec_id AS corpus_id, embedding AS c_vec FROM embeddings WHERE label <> 0
+), scored AS (
+  SELECT corpus_id, bench_id,
+         {_COS_D.format(a="c_vec", b="b_vec")}
+         / (sqrt({_COS_D.format(a="c_vec", b="c_vec")})
+            * sqrt({_COS_D.format(a="b_vec", b="b_vec")})) AS cos
+  FROM c, b
+)
+SELECT corpus_id, bench_id, round(cos, 6) AS cos FROM scored WHERE cos >= 0.35
+"""
+
+
 QUERIES = {
     "corpus_split_train_val_test": Query(
         corpus_split_train_val_test, SPLIT_ORACLE, ("corpus", "curation")
@@ -270,5 +371,16 @@ QUERIES = {
     ),
     "corpus_build_end_to_end": Query(
         corpus_build_end_to_end, CORPUS_BUILD_ORACLE, ("corpus", "curation"), bench=True
+    ),
+    "corpus_temperature_sample": Query(
+        corpus_temperature_sample, TEMPERATURE_ORACLE, ("corpus", "sampling")
+    ),
+    "corpus_shuffle_shards": Query(
+        corpus_shuffle_shards, SHUFFLE_SHARDS_ORACLE, ("corpus", "sampling")
+    ),
+    "contamination_semantic": Query(
+        contamination_semantic,
+        CONTAMINATION_SEMANTIC_ORACLE,
+        ("corpus", "curation", "similarity"),
     ),
 }

@@ -53,6 +53,43 @@ FROM documents GROUP BY source
 """
 
 
+def dedup_incremental_index(spark, sf_dir):
+    """Incremental dedup against a PERSISTED fingerprint store — the 100 TB
+    operational shape: the corpus's (content md5 -> canonical id) store is
+    built once (here from the doc_id % 5 != 0 'historical' docs), written to
+    parquet, and each incoming shard (doc_id % 5 == 0) is verdicted against
+    it with one batch-keyed window + one store join — no full-corpus
+    re-scan.  Fully deterministic -> full DuckDB oracle."""
+    import os
+
+    d = load_table(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    path = f"/tmp/tbs_exact_index/{os.path.basename(sf_dir.rstrip('/'))}"
+    dedup.build_exact_index(hist, path)
+    return dedup.incremental_dedup_against(spark, path, batch)
+
+
+DEDUP_INCREMENTAL_ORACLE = """
+WITH store AS (
+  SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id
+  FROM documents WHERE doc_id % 5 <> 0 GROUP BY md5(text)
+),
+b AS (
+  SELECT doc_id, md5(text) AS content_md5,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS batch_min
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT b.doc_id, b.content_md5,
+       CASE WHEN s.canonical_id IS NOT NULL THEN 'dup_of_store'
+            WHEN b.rn > 1 THEN 'dup_in_batch'
+            ELSE 'new' END AS verdict,
+       CAST(COALESCE(s.canonical_id, b.batch_min) AS BIGINT) AS canonical_id
+FROM b LEFT JOIN store s USING (content_md5)
+"""
+
+
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs (approximate candidate gen, exact-Jaccard
     verified).  No SQL oracle; recall vs the exact bigram-Jaccard op is
@@ -1153,6 +1190,9 @@ FROM q
 
 QUERIES = {
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_ORACLE, ("dedup",)),
+    "dedup_incremental_index": Query(
+        dedup_incremental_index, DEDUP_INCREMENTAL_ORACLE, ("dedup", "corpus")
+    ),
     "dedup_stats_by_source": Query(dedup_stats_by_source, DEDUP_STATS_ORACLE, ("dedup",)),
     "dedup_minhash_lsh": Query(dedup_minhash_lsh, None, ("dedup", "approx"), bench=True),
     "dedup_simhash": Query(dedup_simhash, None, ("dedup", "approx")),

@@ -794,3 +794,99 @@ def test_ivfpq_indexed_matches_in_memory(spark, tmp_path):
     assert "PartitionFilters" in plan
     # the probe IN-filter must reach the partition column of the codes scan
     assert "centroid_id" in plan.split("PartitionFilters", 1)[1][:300], plan
+
+
+def test_temperature_sample_quotas_and_determinism(spark):
+    """alpha=0.5 up-weights tail strata vs raw proportions; membership is
+    deterministic; quotas derive from sqrt weights."""
+    import math
+
+    from tensorbase_spark.pipeline import sampling
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    s = sampling.temperature_sample(docs, stratum="lang", key="doc_id", alpha=0.5, budget=200)
+    got = {r.lang: r.n for r in s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    counts = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    w = {k: round(math.sqrt(v), 6) for k, v in counts.items()}
+    tw = sum(w.values())
+    expect = {k: min(counts[k], int(200 * w[k] / tw + 1e-9)) for k in counts}
+    assert got == expect
+    # tail share must rise vs raw proportion (the point of temperature < 1)
+    tail = min(counts, key=counts.get)
+    assert got[tail] / sum(got.values()) > counts[tail] / sum(counts.values())
+    again = {
+        r.lang: r.n
+        for r in sampling.temperature_sample(
+            docs, stratum="lang", key="doc_id", alpha=0.5, budget=200
+        ).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert again == got
+
+
+def test_shuffle_shards_uniform_dense_and_seeded(spark):
+    from tensorbase_spark.pipeline import sampling
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    s = sampling.shuffle_shards(docs, key="doc_id", n_shards=8).select(
+        "doc_id", "shard", "position"
+    )
+    rows = s.collect()
+    assert len(rows) == docs.count()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.position)
+    # dense 1..n positions per shard
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # rough uniformity over 8 shards at 500 docs
+    sizes = [len(v) for v in by_shard.values()]
+    assert len(by_shard) == 8 and min(sizes) > 30
+    # a different seed re-deals the order
+    s2 = sampling.shuffle_shards(docs, key="doc_id", n_shards=8, seed="epoch2")
+    m1 = {(r.doc_id): (r.shard, r.position) for r in rows}
+    m2 = {(r.doc_id): (r.shard, r.position) for r in s2.collect()}
+    assert m1 != m2 and set(m1) == set(m2)
+
+
+def test_incremental_dedup_verdicts(spark, tmp_path):
+    """Planted store/batch interplay: store dup, in-batch dup, genuinely new."""
+    from tensorbase_spark.pipeline import dedup as dd
+
+    hist = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+        "doc_id long, text string",
+    )
+    idx = f"{tmp_path}/exact_index"
+    dd.build_exact_index(hist, idx)
+    got = {
+        r.doc_id: (r.verdict, r.canonical_id)
+        for r in dd.incremental_dedup_against(spark, idx, batch).collect()
+    }
+    assert got == {
+        10: ("dup_of_store", 1),   # 'alpha' canonicalizes to min store id
+        11: ("new", 11),           # first 'gamma' anywhere
+        12: ("dup_in_batch", 11),  # second 'gamma' in the same batch
+        13: ("new", 13),
+    }
+
+
+def test_semantic_contamination_broadcast_no_corpus_shuffle(spark):
+    """The corpus side must not shuffle: benchmark broadcasts, cosine is
+    map-side (one Arrow stage), and every returned pair verifies >= tau."""
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    bench = emb.filter(F.col("label") == 0)
+    corpus = emb.filter(F.col("label") != 0)
+    df = similarity.semantic_contamination(corpus, bench, threshold=0.35)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastExchange" in plan
+    # the only Exchange allowed is the broadcast of the benchmark side
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning", plan), plan
+    rows = df.collect()
+    assert rows and all(r.cos >= 0.35 for r in rows)
