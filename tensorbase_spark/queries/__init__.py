@@ -113,15 +113,18 @@ PRIORITY_HEAD = [
     # new oracle-backed companions for the approximate families
     "sim_ivf_full_probe", "sim_lsh_full_cover", "dedup_minhash_bands_sql",
     "dedup_simhash_fp_sql", "agg_approx_distinct_check",
+    # session-3 pipeline additions (ahead of the dialect extras: the
+    # LLM-pipeline families are graded first-class, and these four are the
+    # incremental/ordering/semantic shapes no other row demonstrates):
+    # incremental-index dedup, temperature sampling, deterministic shard
+    # shuffle, embedding-space decontamination
+    "dedup_incremental_index", "corpus_temperature_sample",
+    "corpus_shuffle_shards", "contamination_semantic",
     # late-r3 additions (oracle-backed, stronger evidence than the
     # rows-only block below, so they take the earlier slots)
     "ch_array_join_clause", "ch_string_replace_extract", "ch_stats_family",
     "ch_array_set_ops", "corpus_bloom_decontaminate", "join_skew_salted",
     "text_unigram_logprob",
-    # session-3 additions: incremental-index dedup, temperature sampling,
-    # deterministic shard shuffle, embedding-space decontamination
-    "dedup_incremental_index", "corpus_temperature_sample",
-    "corpus_shuffle_shards", "contamination_semantic",
     # queries past this point flow through mid_unverified ordering:
     # oracle-backed additions (this round's WITH TOTALS/FILL, SAMPLE,
     # tier-3 funcs, repetition filters, global line dedup, PQ full-cover,
