@@ -193,3 +193,134 @@ FROM events GROUP BY 1, 2
 QUERIES["stream_mv_ingest"] = Query(
     stream_mv_ingest, STREAM_MV_ORACLE, ("streaming", "ingest", "engine")
 )
+
+
+def stream_incremental_dedup(spark, sf_dir):
+    """Continuous-ingest dedup: the documents fixture is staged as FOUR
+    files, streamed one file per micro-batch (maxFilesPerTrigger=1), and
+    each micro-batch is (a) verdicted against the fingerprint store built
+    from the batches before it (pipeline.dedup.incremental_dedup_against)
+    and (b) merged into the store (versioned parquet; min canonical id is
+    associative+commutative, so the FINAL store is micro-batch-boundary
+    invariant — which is what makes a streaming query with nondeterministic
+    batching fully oracle-checkable).  Returns the final store summarized
+    per md5-prefix bucket plus the arrival-verdict totals (n_first_seen /
+    n_dup_arrivals are batching-invariant too: first sightings == distinct
+    contents).
+
+    100 TB shape: this is the standing ingestion service — each shard lands,
+    is verdicted against the accumulated store (store-side join, batch side
+    small), and appends only new fingerprints.  The full corpus is never
+    rescanned; store versions are bounded by compaction (here: rewrite per
+    batch at fixture scale)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tensorbase_spark.pipeline import dedup
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = f"/tmp/tbs_stream_dedup_stage/{tag}"
+    store_base = f"/tmp/tbs_stream_dedup_store/{tag}"
+    chk = f"/tmp/tbs_stream_dedup_chk/{tag}"
+    for p in (stage, store_base, chk):
+        shutil.rmtree(p, ignore_errors=True)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for i in range(4):
+        (
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{stage}/b{i}")
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stage}/b*")
+    )
+
+    state = {"version": -1, "n_first": 0, "n_dup": 0}
+
+    def _store_path() -> str:
+        return f"{store_base}/v{state['version']}"
+
+    def sink(batch, _bid):
+        fps = batch.groupBy(F.md5("text").alias("content_md5")).agg(
+            F.min("doc_id").alias("canonical_id")
+        )
+        if state["version"] < 0:
+            merged = fps
+            n_batch = batch.count()
+            n_first = fps.count()
+            state["n_first"] += n_first
+            state["n_dup"] += n_batch - n_first
+        else:
+            verdicts = dedup.incremental_dedup_against(
+                batch.sparkSession, _store_path(), batch
+            )
+            # bounded driver-side metadata: <= 3 rows per micro-batch
+            counts = dict(
+                (r.verdict, r.n)
+                for r in verdicts.groupBy("verdict")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+            state["n_first"] += counts.get("new", 0)
+            state["n_dup"] += counts.get("dup_of_store", 0) + counts.get(
+                "dup_in_batch", 0
+            )
+            store = batch.sparkSession.read.parquet(_store_path())
+            merged = (
+                store.unionByName(fps)
+                .groupBy("content_md5")
+                .agg(F.min("canonical_id").alias("canonical_id"))
+            )
+        state["version"] += 1
+        merged.write.mode("overwrite").parquet(_store_path())
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = spark.read.parquet(_store_path())
+    summary = final.groupBy(
+        F.substring("content_md5", 1, 1).alias("bucket")
+    ).agg(
+        F.count("*").alias("n_contents"),
+        F.sum("canonical_id").alias("id_checksum"),
+    )
+    totals = spark.createDataFrame(
+        [(state["n_first"], state["n_dup"])], "n_first_seen long, n_dup_arrivals long"
+    )
+    return summary.crossJoin(totals)
+
+
+STREAM_INCREMENTAL_DEDUP_ORACLE = """
+WITH store AS (
+  SELECT md5(text) AS h, min(doc_id) AS mid FROM documents GROUP BY md5(text)
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_first_seen,
+         CAST((SELECT count(*) FROM documents) - count(*) AS BIGINT)
+           AS n_dup_arrivals
+  FROM store
+)
+SELECT substr(h, 1, 1) AS bucket, count(*) AS n_contents,
+       CAST(sum(mid) AS BIGINT) AS id_checksum, n_first_seen, n_dup_arrivals
+FROM store, tot
+GROUP BY substr(h, 1, 1), n_first_seen, n_dup_arrivals
+"""
+
+
+QUERIES["stream_incremental_dedup"] = Query(
+    stream_incremental_dedup,
+    STREAM_INCREMENTAL_DEDUP_ORACLE,
+    ("streaming", "dedup", "corpus"),
+)

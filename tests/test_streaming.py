@@ -183,3 +183,38 @@ def test_stream_mv_ingest_matches_batch(spark):
     }
     assert got == want
     spark.catalog.setCurrentDatabase("default")
+
+
+def test_stream_incremental_dedup_planted_dups(spark, tmp_path, monkeypatch):
+    """Verdict totals and the final store must be micro-batch-boundary
+    invariant: plant cross-batch and within-batch dups (doc_id % 4 splits
+    batches, so ids 0/1/2/3 land in different micro-batches) and check
+    n_first_seen == distinct contents, n_dup_arrivals == the rest."""
+    from pyspark.sql import functions as F
+
+    from tensorbase_spark.queries.streamingq import stream_incremental_dedup
+
+    sf = f"{tmp_path}/sfplant"
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha", "en", "s0", 5),
+            (1, "alpha", "en", "s0", 5),   # cross-batch dup of 0
+            (2, "beta", "en", "s0", 4),
+            (3, "beta", "en", "s0", 4),    # cross-batch dup of 2
+            (4, "gamma", "en", "s0", 5),
+            (8, "gamma", "en", "s0", 5),   # same-batch dup of 4 (both %4==0)
+            (5, "delta", "en", "s0", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = stream_incremental_dedup(spark, sf)
+    rows = out.collect()
+    assert rows
+    assert rows[0].n_first_seen == 4   # alpha beta gamma delta
+    assert rows[0].n_dup_arrivals == 3
+    # store canonicals are the global min ids regardless of arrival batch
+    total = sum(r.n_contents for r in rows)
+    checksum = sum(r.id_checksum for r in rows)
+    assert total == 4
+    assert checksum == 0 + 2 + 4 + 5
