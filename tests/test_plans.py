@@ -222,3 +222,27 @@ def test_ivfpq_bucket_topology(spark, queries):
     assert "FlatMapGroupsInPandas" in plan
     assert re.search(r"hashpartitioning\(centroid_id", plan), plan
     assert "CartesianProduct" not in plan
+
+
+def test_temperature_sample_broadcast_quota_one_window(spark, queries):
+    """Quota table broadcasts back onto the corpus; the only corpus-wide
+    hash exchanges are the count aggregate and the one stratum window."""
+    df = queries["corpus_temperature_sample"](spark, SF)
+    plan = _formatted(spark, df)
+    assert "BroadcastExchange" in plan
+    assert "Window" in plan
+
+
+def test_incremental_dedup_single_batch_shuffle(spark, queries):
+    """Both window functions (rank + batch-min) must share ONE exchange on
+    the fingerprint key — a second Window node is fine, a second
+    hashpartitioning(content_md5) exchange is not."""
+    import re
+
+    df = queries["dedup_incremental_index"](spark, SF)
+    plan = _formatted(spark, df)
+    n_md5_exchanges = len(
+        re.findall(r"Exchange hashpartitioning\(content_md5", plan)
+    )
+    assert n_md5_exchanges <= 2, plan  # batch side + store join side
+    assert "EvalPython" not in plan
