@@ -46,6 +46,7 @@ def temperature_sample(
     key: str,
     alpha: float = 0.5,
     budget: int = 1000,
+    method: str = "rank",
 ) -> DataFrame:
     """Temperature-scaled stratum sampling (the multilingual-pretraining
     rebalance: sample stratum *s* with probability ∝ count(s)^alpha, alpha<1
@@ -58,28 +59,55 @@ def temperature_sample(
     re-run, retry, and engine.
 
     Scale: count aggregate (one partial-agg shuffle), a broadcast join of
-    the few-row quota table back onto the corpus, and ONE row_number window
-    shuffled on the stratum key.  At 100 TB the window is the cost — same
-    shape as cap_per_stratum; if strata are few and huge, the rank can be
-    replaced by a per-stratum hash-bucket threshold (pure map) at the cost
-    of ±1/sqrt(n) quota jitter."""
+    the few-row quota table back onto the corpus, then EITHER
+    - ``method="rank"`` (default, exact): ONE row_number window shuffled on
+      the stratum key.  Exact quotas, but each stratum is a single window
+      partition — with few huge strata (5 languages over 100 TB) the head
+      stratum serializes on one reducer.  Right for many-strata corpora
+      (domains, sources) and for the oracle-checked fixture path; or
+    - ``method="threshold"`` (scale path): keep a row iff its md5 bucket
+      over ``resolution`` falls under quota*resolution/n_s — a PURE MAP
+      (no shuffle, no skew, no hotspot) whose kept-set is still a
+      deterministic function of the key; quota lands within
+      ±O(sqrt(quota)) of exact (binomial jitter), which is immaterial for
+      sampling but not hash-stable across engines — hence rank stays the
+      oracle form."""
     w = F.round(F.pow(F.count("*"), F.lit(alpha)), 6)
-    quotas = df.groupBy(F.col(stratum).alias("__s")).agg(w.alias("__w"))
+    quotas = df.groupBy(F.col(stratum).alias("__s")).agg(
+        w.alias("__w"), F.count("*").alias("__n")
+    )
     total_w = quotas.agg(F.sum("__w").alias("__tw"))
     quotas = quotas.crossJoin(F.broadcast(total_w)).select(
         "__s",
+        "__n",
         F.floor(F.lit(float(budget)) * F.col("__w") / F.col("__tw") + F.lit(1e-9))
         .cast("long")
         .alias("__quota"),
     )
+    joined = df.join(F.broadcast(quotas), F.col(stratum) == F.col("__s"))
+    if method == "threshold":
+        resolution = 1 << 20
+        bucket = (
+            F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % resolution
+        )
+        cut = F.least(
+            F.lit(resolution).cast("long"),
+            (F.lit(resolution) * F.col("__quota") / F.col("__n")).cast("long"),
+        )
+        return (
+            joined.filter(bucket < cut)
+            .withColumn("sample_rank", F.lit(None).cast("long"))
+            .drop("__s", "__n", "__quota")
+        )
     rank_w = Window.partitionBy(stratum).orderBy(
         F.md5(F.col(key).cast("string")), F.col(key)
     )
     return (
-        df.join(F.broadcast(quotas), F.col(stratum) == F.col("__s"))
-        .withColumn("sample_rank", F.row_number().over(rank_w))
+        joined.withColumn("sample_rank", F.row_number().over(rank_w))
         .filter(F.col("sample_rank") <= F.col("__quota"))
-        .drop("__s", "__quota")
+        .drop("__s", "__n", "__quota")
     )
 
 

@@ -890,3 +890,42 @@ def test_semantic_contamination_broadcast_no_corpus_shuffle(spark):
     assert not re.search(r"Exchange hashpartitioning", plan), plan
     rows = df.collect()
     assert rows and all(r.cos >= 0.35 for r in rows)
+
+
+def test_temperature_sample_threshold_map_only(spark):
+    """The scale path must be a pure map after the broadcast quota join
+    (no window, no hashpartitioning Exchange) and land within binomial
+    jitter of the exact quotas, deterministically."""
+    import math
+    import re
+
+    from tensorbase_spark.pipeline import sampling
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    s = sampling.temperature_sample(
+        docs, stratum="lang", key="doc_id", alpha=0.5, budget=200,
+        method="threshold",
+    )
+    plan = s._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    # the only exchanges feed the tiny quota aggregate, never the corpus:
+    # corpus-side rows flow scan -> broadcast join -> filter with no
+    # repartitioning (the quota side is < |strata| rows)
+    got = {r.lang: r.n for r in s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    counts = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    w = {k: round(math.sqrt(v), 6) for k, v in counts.items()}
+    tw = sum(w.values())
+    for k, v in counts.items():
+        exact = min(v, int(200 * w[k] / tw + 1e-9))
+        assert abs(got.get(k, 0) - exact) <= 4 * math.sqrt(exact) + 2, (k, got, exact)
+    again = {
+        r.lang: r.n
+        for r in sampling.temperature_sample(
+            docs, stratum="lang", key="doc_id", alpha=0.5, budget=200,
+            method="threshold",
+        ).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert again == got
