@@ -1316,7 +1316,8 @@ class TensorBaseEngine:
         mutations have (rewrite touched parts, not the table)."""
         m = re.match(
             r"(?is)^alter\s+table\s+(?P<name>[\w.]+)\s+"
-            r"(?P<kind>delete|update|add\s+column)\s+(?P<rest>.+)$",
+            r"(?P<kind>delete|update|add\s+column|drop\s+column|rename\s+column)"
+            r"\s+(?P<rest>.+)$",
             c,
         )
         if not m:
@@ -1324,6 +1325,9 @@ class TensorBaseEngine:
         name = self._qualify(m.group("name"))
         kind = re.sub(r"\s+", " ", m.group("kind").lower())
         rest = m.group("rest").strip()
+
+        if kind in ("drop column", "rename column"):
+            return self._alter_columns(name, kind, rest)
 
         if kind == "add column":
             toks = rest.split(None, 1)
@@ -1401,6 +1405,90 @@ class TensorBaseEngine:
                 )
         else:
             staged.write.insertInto(name, overwrite=True)
+        return self.spark.sql("SELECT 1 AS ok")
+
+    def _alter_columns(self, name: str, kind: str, rest: str) -> DataFrame:
+        """CH light-weight schema changes beyond ADD COLUMN:
+        ``DROP COLUMN col`` / ``RENAME COLUMN old TO new`` (upstream-CH;
+        the reference's meta layer is create/drop-table only, mgmt.rs).
+
+        Key columns are refused like CH refuses mutating its partition /
+        sorting keys: the partition-expr source column and any bucket_by
+        column cannot be dropped or renamed.  The rewrite is one eager pass
+        (CH rewrites affected parts lazily; same I/O bound — every part
+        holds the column), re-created under the SAME partition/bucket
+        layout from a regenerated create script, so DESC TABLE /
+        SHOW CREATE TABLE stay authoritative."""
+        script = self._create_scripts.get(name) or self._table_props(name).get(
+            "tb.create_script"
+        )
+        if not script:
+            raise ValueError(
+                f"{name}: ALTER {kind.upper()} requires an engine-created "
+                "table (no stored create script)"
+            )
+        if kind == "drop column":
+            old, new = rest.split()[0].strip(), None
+        else:
+            rm = re.match(r"(?is)^(?P<old>\w+)\s+to\s+(?P<new>\w+)\s*$", rest)
+            if not rm:
+                raise ValueError(f"cannot parse: RENAME COLUMN {rest!r}")
+            old, new = rm.group("old"), rm.group("new")
+
+        spec = self._spec_for(name)
+        if spec is not None and spec.source_col.lower() == old.lower():
+            raise ValueError(f"{old} is the partition key source column")
+        sm = _SETTINGS_RE.search(script)
+        if sm and re.search(
+            rf"(?i)bucket_by\s*=\s*['\"]?{re.escape(old)}\b", sm.group("kv")
+        ):
+            raise ValueError(f"{old} is the bucket key column")
+
+        parsed = _match_create_table(script)
+        if not parsed:
+            raise ValueError(f"{name}: cannot re-parse stored create script")
+        _ine, _raw, cols_text, tail = parsed
+        new_parts, hit = [], False
+        for part in _split_top_level_args(cols_text):
+            toks = part.strip().split(None, 1)
+            if (
+                len(toks) == 2
+                and toks[0].lower() == old.lower()
+                and toks[0].lower() != "index"
+            ):
+                hit = True
+                if kind == "rename column":
+                    new_parts.append(f"{new} {toks[1]}")
+            else:
+                new_parts.append(part.strip())
+        if not hit:
+            raise ValueError(f"{name}: no such column {old}")
+        if kind == "drop column" and len(new_parts) == 0:
+            raise ValueError(f"{name}: cannot drop the last column")
+        new_script = f"create table {name} ({', '.join(new_parts)})"
+        if tail:
+            new_script += f" {tail}"
+
+        df = self.spark.table(name)
+        actual = next(c2 for c2 in df.columns if c2.lower() == old.lower())
+        new_df = (
+            df.drop(actual)
+            if kind == "drop column"
+            else df.withColumnRenamed(actual, new)
+        )
+        stage = (
+            f"{self.spark.conf.get('spark.sql.warehouse.dir')}/alter_cols_stage_tmp"
+        )
+        new_df.write.mode("overwrite").parquet(stage)
+        staged = self.spark.read.parquet(stage)
+
+        self.spark.sql(f"DROP TABLE {name}")
+        self._partition_specs.pop(name, None)
+        self._create_scripts.pop(name, None)
+        self._create_table(new_script)
+        order = self.spark.table(name).columns
+        staged.select(*order).write.insertInto(name)
+        self.spark.catalog.refreshTable(name)
         return self.spark.sql("SELECT 1 AS ok")
 
     _ZORDER_BITS = 8  # 256 quantile buckets per column

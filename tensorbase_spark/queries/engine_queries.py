@@ -867,3 +867,46 @@ QUERIES = {
         ch_asof_join_sql, CH_ASOF_SQL_ORACLE, ("engine", "dialect", "join")
     ),
 }
+
+
+def engine_alter_columns(spark, sf_dir):
+    """Schema evolution beyond ADD COLUMN (engine.py _alter_columns):
+    RENAME COLUMN then DROP COLUMN, each a single partition-layout-
+    preserving rewrite.  The read-back filters on the partition source so
+    the hash also proves the partition spec (and its pruning) survived the
+    table re-creation."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "acol")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("acol_src")
+    eng.sql(
+        "create table ac_ord(ok Int64, od Date, status String, total Float64, "
+        "prio String) partition by toYYYYMM(od)"
+    )
+    eng.sql(
+        "insert into ac_ord select o_orderkey, o_orderdate, o_orderstatus, "
+        "o_totalprice, o_orderpriority from acol_src "
+        "where o_orderdate < '1996-01-01'"
+    )
+    eng.sql("alter table ac_ord rename column total to amount")
+    eng.sql("alter table ac_ord drop column prio")
+    return eng.sql(
+        "select toYYYYMM(od) as ym, status, count(*) as n, "
+        "round(sum(amount), 2) as amt from ac_ord "
+        "where od >= '1995-07-01' group by toYYYYMM(od), status"
+    )
+
+
+ENGINE_ALTER_COLS_ORACLE = """
+SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS ym,
+       o_orderstatus AS status, count(*) AS n,
+       round(sum(o_totalprice), 2) AS amt
+FROM orders
+WHERE o_orderdate < DATE '1996-01-01' AND o_orderdate >= DATE '1995-07-01'
+GROUP BY year(o_orderdate)*100 + month(o_orderdate), o_orderstatus
+"""
+
+
+QUERIES["engine_alter_columns"] = Query(
+    engine_alter_columns, ENGINE_ALTER_COLS_ORACLE, ("engine", "ddl")
+)

@@ -1006,3 +1006,47 @@ def test_bloom_filter_skip_index(engine):
     # the lifecycle must still answer correctly
     assert engine.sql("select count(*) as n from bf_eng where k = 4321").collect()[0].n == 1
     engine.sql("drop table bf_eng")
+
+
+def test_alter_drop_rename_column(engine):
+    """DROP/RENAME COLUMN: data survives under the same partition layout,
+    DESC and the partition spec stay authoritative, key columns refuse."""
+    import pytest
+
+    spark = engine.spark
+    engine.sql(
+        "create table ac_t(k Int64, d Date, v Float64, tag String) "
+        "partition by toYYYYMM(d)"
+    )
+    engine.sql(
+        "insert into ac_t values (1, '2020-01-05', 10.5, 'a'), "
+        "(2, '2020-02-10', 20.5, 'b'), (3, '2020-02-11', 30.5, 'c')"
+    )
+
+    engine.sql("alter table ac_t rename column v to val")
+    rows = {r.k: (r.val, r.tag) for r in engine.sql("select k, val, tag from ac_t").collect()}
+    assert rows == {1: (10.5, "a"), 2: (20.5, "b"), 3: (30.5, "c")}
+    descs = {r.col_name: r.data_type for r in engine.sql("desc table ac_t").collect()}
+    assert "val" in descs and "v" not in descs
+
+    engine.sql("alter table ac_t drop column tag")
+    descs = {r.col_name: r.data_type for r in engine.sql("desc table ac_t").collect()}
+    assert "tag" not in descs
+    assert engine.sql("select sum(val) as s from ac_t").collect()[0].s == 61.5
+
+    # partition pruning still works after the rewrite (spec survived)
+    pr = engine.sql("select k from ac_t where d >= '2020-02-01'")
+    plan = pr._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [" in plan and "__ptk" in plan
+    assert {r.k for r in pr.collect()} == {2, 3}
+
+    # key columns refuse, like CH
+    with pytest.raises(Exception, match="partition key"):
+        engine.sql("alter table ac_t drop column d")
+    with pytest.raises(Exception, match="partition key"):
+        engine.sql("alter table ac_t rename column d to dd")
+    with pytest.raises(Exception, match="no such column"):
+        engine.sql("alter table ac_t drop column nope")
+    engine.sql("drop table ac_t")
