@@ -894,6 +894,8 @@ class TensorBaseEngine:
             return self._optimize(c)
         if low.startswith("alter table"):
             return self._alter(c)
+        if low.startswith(("rename table", "exchange tables")):
+            return self._rename_tables(c)
         if low.startswith("use "):
             self.spark.catalog.setCurrentDatabase(c[4:].strip())
             return self.spark.sql("SELECT 1 AS ok")
@@ -1405,6 +1407,46 @@ class TensorBaseEngine:
                 )
         else:
             staged.write.insertInto(name, overwrite=True)
+        return self.spark.sql("SELECT 1 AS ok")
+
+    def _rename_tables(self, c: str) -> DataFrame:
+        """``RENAME TABLE a TO b[, c TO d]`` and ``EXCHANGE TABLES a AND b``
+        (upstream-CH catalog ops; the reference's meta layer has only
+        create/drop, mgmt.rs:802-814).  Pure metadata: Spark's catalog
+        rename moves no data for the rename itself; EXCHANGE is the
+        atomic-swap spelling, realized as rename through a temp name."""
+        low = re.sub(r"\s+", " ", c.strip().lower())
+        if low.startswith("exchange tables"):
+            m = re.match(
+                r"(?is)^exchange\s+tables\s+(?P<a>[\w.]+)\s+and\s+(?P<b>[\w.]+)\s*$",
+                c,
+            )
+            if not m:
+                raise ValueError(f"cannot parse: {c}")
+            a, b = self._qualify(m.group("a")), self._qualify(m.group("b"))
+            tmp = f"{a}__xchg_tmp"
+            pairs = [(a, tmp), (b, a), (tmp, b)]
+        else:
+            pairs = []
+            for part in c.strip()[len("rename table"):].split(","):
+                pm = re.match(r"(?is)^\s*(?P<a>[\w.]+)\s+to\s+(?P<b>[\w.]+)\s*$", part)
+                if not pm:
+                    raise ValueError(f"cannot parse rename pair: {part!r}")
+                pairs.append(
+                    (self._qualify(pm.group("a")), self._qualify(pm.group("b")))
+                )
+        for src, dst in pairs:
+            self.spark.sql(f"ALTER TABLE {src} RENAME TO {dst}")
+            for reg in (self._partition_specs, self._create_scripts):
+                if src in reg:
+                    reg[dst] = reg.pop(src)
+            script = self._create_scripts.get(dst)
+            if script:  # keep SHOW CREATE TABLE authoritative
+                self._create_scripts[dst] = re.sub(
+                    r"(?is)^(create\s+table\s+(?:if\s+not\s+exists\s+)?)[\w.]+",
+                    rf"\g<1>{dst}",
+                    script,
+                )
         return self.spark.sql("SELECT 1 AS ok")
 
     def _alter_columns(self, name: str, kind: str, rest: str) -> DataFrame:

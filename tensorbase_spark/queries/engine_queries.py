@@ -890,9 +890,10 @@ def engine_alter_columns(spark, sf_dir):
     )
     eng.sql("alter table ac_ord rename column total to amount")
     eng.sql("alter table ac_ord drop column prio")
+    eng.sql("rename table ac_ord to ac_ord2")
     return eng.sql(
         "select toYYYYMM(od) as ym, status, count(*) as n, "
-        "round(sum(amount), 2) as amt from ac_ord "
+        "round(sum(amount), 2) as amt from ac_ord2 "
         "where od >= '1995-07-01' group by toYYYYMM(od), status"
     )
 

@@ -1050,3 +1050,29 @@ def test_alter_drop_rename_column(engine):
     with pytest.raises(Exception, match="no such column"):
         engine.sql("alter table ac_t drop column nope")
     engine.sql("drop table ac_t")
+
+
+def test_rename_and_exchange_tables(engine):
+    """RENAME TABLE pairs + EXCHANGE TABLES swap; partition specs and
+    create scripts follow the names (pruning works under the new name)."""
+    engine.sql("create table rn_a(k Int64, d Date) partition by toYYYYMM(d)")
+    engine.sql("insert into rn_a values (1, '2020-01-05'), (2, '2020-02-06')")
+    engine.sql("create table rn_b(k Int64, d Date) partition by toYYYYMM(d)")
+    engine.sql("insert into rn_b values (10, '2021-03-07')")
+
+    engine.sql("rename table rn_a to rn_c")
+    assert {r.k for r in engine.sql("select k from rn_c").collect()} == {1, 2}
+    # spec followed the rename: source-column WHERE still prunes
+    plan = engine.sql("select k from rn_c where d >= '2020-02-01'")._jdf \
+        .queryExecution().explainString(
+            engine.spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+    assert "__ptk" in plan
+    stmt = engine.sql("show create table rn_c").collect()[0].statement
+    assert "rn_c" in stmt and "rn_a" not in stmt
+
+    engine.sql("exchange tables rn_c and rn_b")
+    assert {r.k for r in engine.sql("select k from rn_c").collect()} == {10}
+    assert {r.k for r in engine.sql("select k from rn_b").collect()} == {1, 2}
+    engine.sql("drop table rn_b")
+    engine.sql("drop table rn_c")
