@@ -1075,7 +1075,37 @@ class TensorBaseEngine:
         r"(?P<name>[\w.]+)\s+as\s+(?P<q>(select|with)\b.*)$"
     )
 
+    _CLONE_RE = re.compile(
+        r"(?is)^create\s+table\s+(?P<ine>if\s+not\s+exists\s+)?"
+        r"(?P<name>[\w.]+)\s+as\s+(?P<src>[\w.]+)\s*$"
+    )
+
     def _create_table(self, c: str) -> DataFrame:
+        # CH schema clone: CREATE TABLE b AS a (no SELECT) copies the
+        # structure — columns, partition expr, settings — with NO data
+        # (upstream-CH; distinct from CTAS below, which matches only when
+        # the AS body is a query).  Realized by re-running the source's
+        # stored create script under the new name.
+        km = self._CLONE_RE.match(c)
+        if km and not re.match(r"(?is)^(select|with)$", km.group("src")):
+            name = self._qualify(km.group("name"))
+            if km.group("ine") and self.spark.catalog.tableExists(name):
+                return self.spark.sql("SELECT 1 AS ok")
+            src = self._qualify(km.group("src"))
+            script = self._create_scripts.get(src) or self._table_props(src).get(
+                "tb.create_script"
+            )
+            if not script:
+                raise ValueError(
+                    f"{src}: CREATE TABLE ... AS <table> requires an "
+                    "engine-created source (no stored create script)"
+                )
+            new_script = re.sub(
+                r"(?is)^(create\s+table\s+)(?:if\s+not\s+exists\s+)?[\w.]+",
+                rf"\g<1>{name}",
+                script,
+            )
+            return self._create_table(new_script)
         # CTAS (beyond the reference: bql.pest:31-54 only has column-list
         # CREATE; standard-SQL convenience, schema inferred from the query)
         cm = self._CTAS_RE.match(c)

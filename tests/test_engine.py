@@ -1076,3 +1076,27 @@ def test_rename_and_exchange_tables(engine):
     assert {r.k for r in engine.sql("select k from rn_b").collect()} == {1, 2}
     engine.sql("drop table rn_b")
     engine.sql("drop table rn_c")
+
+
+def test_create_table_as_table_clones_schema(engine):
+    """CREATE TABLE b AS a (CH schema clone, no SELECT): same columns and
+    partition expr, zero rows; CTAS with a real query is untouched."""
+    engine.sql("create table cl_a(k Int64, d Date, v Float64) partition by toYYYYMM(d)")
+    engine.sql("insert into cl_a values (1, '2020-01-05', 1.5)")
+    engine.sql("create table cl_b as cl_a")
+    assert engine.sql("select count(*) as n from cl_b").collect()[0].n == 0
+    da = {r.col_name: r.data_type for r in engine.sql("desc table cl_a").collect()}
+    db = {r.col_name: r.data_type for r in engine.sql("desc table cl_b").collect()}
+    assert da == db
+    # the clone's partition spec is live: inserts route through __ptk
+    engine.sql("insert into cl_b values (9, '2021-06-01', 9.5)")
+    plan = engine.sql("select k from cl_b where d >= '2021-01-01'")._jdf \
+        .queryExecution().explainString(
+            engine.spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+    assert "__ptk" in plan
+    # CTAS still works (AS SELECT body)
+    engine.sql("create table cl_c as select k, v from cl_a")
+    assert engine.sql("select count(*) as n from cl_c").collect()[0].n == 1
+    for t in ("cl_a", "cl_b", "cl_c"):
+        engine.sql(f"drop table {t}")
