@@ -1520,23 +1520,32 @@ class TensorBaseEngine:
         if not parsed:
             raise ValueError(f"{name}: cannot re-parse stored create script")
         _ine, _raw, cols_text, tail = parsed
+        script_parts = [p.strip() for p in _split_top_level_args(cols_text)]
+        index_parts = [
+            p for p in script_parts if p.lower().startswith("index ")
+        ]
+        # column defs come from tb.columns (authoritative: ADD COLUMN updates
+        # it but not the original script), index entries from the script
+        cols_txt = self._table_props(name).get("tb.columns")
+        col_parts = (
+            [p.strip() for p in _split_top_level_args(cols_txt)]
+            if cols_txt
+            else [p for p in script_parts if not p.lower().startswith("index ")]
+        )
         new_parts, hit = [], False
-        for part in _split_top_level_args(cols_text):
-            toks = part.strip().split(None, 1)
-            if (
-                len(toks) == 2
-                and toks[0].lower() == old.lower()
-                and toks[0].lower() != "index"
-            ):
+        for part in col_parts:
+            toks = part.split(None, 1)
+            if len(toks) == 2 and toks[0].lower() == old.lower():
                 hit = True
                 if kind == "rename column":
                     new_parts.append(f"{new} {toks[1]}")
             else:
-                new_parts.append(part.strip())
+                new_parts.append(part)
         if not hit:
             raise ValueError(f"{name}: no such column {old}")
         if kind == "drop column" and len(new_parts) == 0:
             raise ValueError(f"{name}: cannot drop the last column")
+        new_parts += index_parts
         new_script = f"create table {name} ({', '.join(new_parts)})"
         if tail:
             new_script += f" {tail}"

@@ -1100,3 +1100,20 @@ def test_create_table_as_table_clones_schema(engine):
     assert engine.sql("select count(*) as n from cl_c").collect()[0].n == 1
     for t in ("cl_a", "cl_b", "cl_c"):
         engine.sql(f"drop table {t}")
+
+
+def test_alter_drop_column_added_earlier(engine):
+    """A column created via ALTER ADD COLUMN must be rename/droppable:
+    tb.columns (which ADD maintains) is the authoritative list, not the
+    original create script."""
+    engine.sql("create table aa_t(k Int64)")
+    engine.sql("insert into aa_t values (1), (2)")
+    engine.sql("alter table aa_t add column tag String")
+    engine.sql("alter table aa_t rename column tag to label")
+    descs = {r.col_name for r in engine.sql("desc table aa_t").collect()}
+    assert "label" in descs and "tag" not in descs
+    engine.sql("alter table aa_t drop column label")
+    descs = {r.col_name for r in engine.sql("desc table aa_t").collect()}
+    assert descs == {"k"}
+    assert engine.sql("select sum(k) as s from aa_t").collect()[0].s == 3
+    engine.sql("drop table aa_t")
