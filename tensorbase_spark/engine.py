@@ -1545,7 +1545,17 @@ class TensorBaseEngine:
             raise ValueError(f"{name}: no such column {old}")
         if kind == "drop column" and len(new_parts) == 0:
             raise ValueError(f"{name}: cannot drop the last column")
-        new_parts += index_parts
+        # keep skip-index entries consistent: an INDEX on the dropped column
+        # goes away with it; on a renamed column it follows the new name
+        fixed_idx = []
+        for p in index_parts:
+            im = re.match(r"(?is)^(index\s+\w+\s+)(\w+)(\s+.*)$", p)
+            if im and im.group(2).lower() == old.lower():
+                if kind == "drop column":
+                    continue
+                p = f"{im.group(1)}{new}{im.group(3)}"
+            fixed_idx.append(p)
+        new_parts += fixed_idx
         new_script = f"create table {name} ({', '.join(new_parts)})"
         if tail:
             new_script += f" {tail}"

@@ -1117,3 +1117,24 @@ def test_alter_drop_column_added_earlier(engine):
     assert descs == {"k"}
     assert engine.sql("select sum(k) as s from aa_t").collect()[0].s == 3
     engine.sql("drop table aa_t")
+
+
+def test_alter_columns_bloom_index_follows(engine):
+    """A skip-index (bloom) on a renamed column follows the new name;
+    dropping the column drops its index entry — later inserts must not
+    try to write a bloom filter for a ghost column."""
+    engine.sql(
+        "create table bi_t(k Int64, u String, "
+        "index iu u type bloom_filter granularity 3)"
+    )
+    engine.sql("insert into bi_t values (1, 'a')")
+    engine.sql("alter table bi_t rename column u to uid")
+    engine.sql("insert into bi_t values (2, 'b')")
+    stmt = engine.sql("show create table bi_t").collect()[0].statement
+    assert "uid" in stmt
+    engine.sql("alter table bi_t drop column uid")
+    engine.sql("insert into bi_t values (3)")
+    assert engine.sql("select sum(k) as s from bi_t").collect()[0].s == 6
+    stmt = engine.sql("show create table bi_t").collect()[0].statement
+    assert "index" not in stmt.lower()
+    engine.sql("drop table bi_t")
