@@ -804,6 +804,56 @@ class TensorBaseEngine:
         if not self.spark.catalog.tableExists("system.numbers"):
             self.sql("create table system.numbers (number Int64)")
 
+    def _refresh_system_parts(self) -> None:
+        """Materialize the ``system.parts`` introspection view (upstream-CH's
+        most-queried system table; the reference keeps part sizes in sled,
+        parts.rs:238-304): one row per (database, table, partition) of the
+        CURRENT database's engine tables, with row counts from parquet
+        FOOTERS (metadata-only reads — the local stand-in for a metastore
+        stats query; never a data scan), file counts and bytes on disk.
+        Un-partitioned tables report partition='all'."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        db = self.spark.catalog.currentDatabase()
+        rows = []
+        for t in self.spark.catalog.listTables(db):
+            if (t.tableType or "").upper() not in ("MANAGED", "EXTERNAL"):
+                continue
+            qualified = f"{db}.{t.name}"
+            try:
+                loc = (
+                    self.spark.sql(f"DESCRIBE TABLE EXTENDED {qualified}")
+                    .filter("col_name = 'Location'")
+                    .first()
+                    .data_type.replace("file:", "")
+                )
+            except Exception:
+                continue
+            if not os.path.isdir(loc):
+                continue
+            parts: dict[str, list[int]] = {}  # partition -> [rows, bytes, files]
+            for dirpath, _dirs, files in os.walk(loc):
+                pfs = [f for f in files if f.endswith(".parquet")]
+                if not pfs:
+                    continue
+                rel = os.path.relpath(dirpath, loc)
+                partition = rel.split("=", 1)[1] if "=" in rel else "all"
+                agg = parts.setdefault(partition, [0, 0, 0])
+                for f in pfs:
+                    p = os.path.join(dirpath, f)
+                    agg[0] += pq.ParquetFile(p).metadata.num_rows
+                    agg[1] += os.path.getsize(p)
+                    agg[2] += 1
+            for partition, (n, b, nf) in sorted(parts.items()):
+                rows.append((db, t.name, partition, n, b, nf))
+        self.spark.createDataFrame(
+            rows,
+            "database string, table string, partition string, "
+            "rows long, bytes_on_disk long, part_count long",
+        ).createOrReplaceGlobalTempView("tb_system_parts")
+
     # -- helpers ------------------------------------------------------------
 
     def _qualify(self, name: str) -> str:
@@ -872,6 +922,11 @@ class TensorBaseEngine:
                 )
         if re.match(r"(?is)^(select|with|explain)\b", c):
             c = _rewrite_array_join(_preprocess_ch_clauses(c)).strip()
+            if re.search(r"(?is)\bsystem\.parts\b", c):
+                self._refresh_system_parts()
+                c = re.sub(
+                    r"(?is)\bsystem\.parts\b", "global_temp.tb_system_parts", c
+                )
         low = c.lower()
 
         if low.startswith("create database"):

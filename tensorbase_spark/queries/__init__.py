@@ -121,6 +121,7 @@ PRIORITY_HEAD = [
     "dedup_incremental_index", "corpus_temperature_sample",
     "corpus_shuffle_shards", "contamination_semantic",
     "stream_incremental_dedup", "engine_alter_columns",
+    "engine_system_parts",
     # late-r3 additions (oracle-backed, stronger evidence than the
     # rows-only block below, so they take the earlier slots)
     "ch_array_join_clause", "ch_string_replace_extract", "ch_stats_family",

@@ -911,3 +911,37 @@ GROUP BY year(o_orderdate)*100 + month(o_orderdate), o_orderstatus
 QUERIES["engine_alter_columns"] = Query(
     engine_alter_columns, ENGINE_ALTER_COLS_ORACLE, ("engine", "ddl")
 )
+
+
+def engine_system_parts(spark, sf_dir):
+    """system.parts introspection (engine.py _refresh_system_parts): row
+    counts come from parquet FOOTERS only, so a hash match against the
+    oracle's recount from the raw fixture proves the partitioned write
+    placed every row in the right partition — without scanning data."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "sysp")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sysp_src")
+    eng.sql(
+        "create table sp_ord(ok Int64, od Date) partition by toYYYYMM(od)"
+    )
+    eng.sql(
+        "insert into sp_ord select o_orderkey, o_orderdate from sysp_src "
+        "where o_orderdate < '1996-01-01'"
+    )
+    return eng.sql(
+        "select partition, rows from system.parts where table = 'sp_ord'"
+    )
+
+
+ENGINE_SYSTEM_PARTS_ORACLE = """
+SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS VARCHAR) AS partition,
+       count(*) AS rows
+FROM orders WHERE o_orderdate < DATE '1996-01-01'
+GROUP BY year(o_orderdate)*100 + month(o_orderdate)
+"""
+
+
+QUERIES["engine_system_parts"] = Query(
+    engine_system_parts, ENGINE_SYSTEM_PARTS_ORACLE, ("engine", "introspection")
+)

@@ -1138,3 +1138,33 @@ def test_alter_columns_bloom_index_follows(engine):
     stmt = engine.sql("show create table bi_t").collect()[0].statement
     assert "index" not in stmt.lower()
     engine.sql("drop table bi_t")
+
+
+def test_system_parts_introspection(engine):
+    """system.parts: one row per (table, partition) of the current db with
+    footer-derived row counts — no data scan involved."""
+    engine.sql("create table sp_t(k Int64, d Date) partition by toYYYYMM(d)")
+    engine.sql(
+        "insert into sp_t values (1, '2020-01-05'), (2, '2020-01-06'), "
+        "(3, '2020-02-07')"
+    )
+    engine.sql("create table sp_u(k Int64)")
+    engine.sql("insert into sp_u values (1), (2)")
+    rows = {
+        (r.table, r.partition): (r.rows, r.part_count)
+        for r in engine.sql(
+            "select table, partition, rows, part_count from system.parts "
+            "where table in ('sp_t', 'sp_u')"
+        ).collect()
+    }
+    assert rows[("sp_t", "202001")][0] == 2
+    assert rows[("sp_t", "202002")][0] == 1
+    assert rows[("sp_u", "all")][0] == 2
+    assert all(pc >= 1 for _, pc in rows.values())
+    # bytes visible and positive
+    b = engine.sql(
+        "select sum(bytes_on_disk) as b from system.parts where table = 'sp_t'"
+    ).collect()[0].b
+    assert b > 0
+    engine.sql("drop table sp_t")
+    engine.sql("drop table sp_u")
