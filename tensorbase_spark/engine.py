@@ -854,6 +854,54 @@ class TensorBaseEngine:
             "rows long, bytes_on_disk long, part_count long",
         ).createOrReplaceGlobalTempView("tb_system_parts")
 
+    def _refresh_system_tables(self) -> None:
+        """``system.tables`` / ``system.columns`` (upstream-CH introspection;
+        the reference reads the same from sled for SHOW/DESC, mgmt.rs:484-532):
+        current database's engine tables with their create scripts and
+        declared-BQL column metadata.  Catalog-only — no filesystem I/O."""
+        db = self.spark.catalog.currentDatabase()
+        trows, crows = [], []
+        for t in self.spark.catalog.listTables(db):
+            if (t.tableType or "").upper() not in ("MANAGED", "EXTERNAL"):
+                continue
+            qualified = f"{db}.{t.name}"
+            props = self._table_props(qualified)
+            trows.append(
+                (
+                    db,
+                    t.name,
+                    "BaseStorage",
+                    props.get("tb.partition_expr"),
+                    self._create_scripts.get(qualified)
+                    or props.get("tb.create_script"),
+                )
+            )
+            cols_txt = props.get("tb.columns")
+            if cols_txt:
+                for pos, part in enumerate(_split_top_level_args(cols_txt), 1):
+                    cname, ctype = part.strip().split(None, 1)
+                    p = parse_bql_type(ctype)
+                    crows.append(
+                        (db, t.name, cname, ctype.strip(), pos, p.nullable)
+                    )
+            else:
+                for pos, f in enumerate(self.spark.table(qualified).schema, 1):
+                    if f.name == PTK_COL:
+                        continue
+                    crows.append(
+                        (db, t.name, f.name, f.dataType.simpleString(), pos, f.nullable)
+                    )
+        self.spark.createDataFrame(
+            trows,
+            "database string, name string, engine string, "
+            "partition_key string, create_table_query string",
+        ).createOrReplaceGlobalTempView("tb_system_tables")
+        self.spark.createDataFrame(
+            crows,
+            "database string, table string, name string, type string, "
+            "position int, is_nullable boolean",
+        ).createOrReplaceGlobalTempView("tb_system_columns")
+
     # -- helpers ------------------------------------------------------------
 
     def _qualify(self, name: str) -> str:
@@ -926,6 +974,13 @@ class TensorBaseEngine:
                 self._refresh_system_parts()
                 c = re.sub(
                     r"(?is)\bsystem\.parts\b", "global_temp.tb_system_parts", c
+                )
+            if re.search(r"(?is)\bsystem\.(tables|columns)\b", c):
+                self._refresh_system_tables()
+                c = re.sub(
+                    r"(?is)\bsystem\.(tables|columns)\b",
+                    r"global_temp.tb_system_\1",
+                    c,
                 )
         low = c.lower()
 

@@ -1168,3 +1168,29 @@ def test_system_parts_introspection(engine):
     assert b > 0
     engine.sql("drop table sp_t")
     engine.sql("drop table sp_u")
+
+
+def test_system_tables_and_columns(engine):
+    """system.tables / system.columns: declared-BQL metadata, catalog-only."""
+    engine.sql(
+        "create table st_t(k Int64, s Nullable(String), d Date) "
+        "partition by toYYYYMM(d)"
+    )
+    trow = engine.sql(
+        "select engine, partition_key, create_table_query from system.tables "
+        "where name = 'st_t'"
+    ).collect()[0]
+    assert trow.engine == "BaseStorage"
+    assert "toYYYYMM" in trow.partition_key
+    assert "create table st_t" in trow.create_table_query.lower()
+    cols = {
+        r.name: (r.type, r.position, r.is_nullable)
+        for r in engine.sql(
+            "select name, type, position, is_nullable from system.columns "
+            "where table = 'st_t'"
+        ).collect()
+    }
+    assert cols["k"] == ("Int64", 1, False)
+    assert cols["s"][0] == "Nullable(String)" and cols["s"][2] is True
+    assert cols["d"][1] == 3
+    engine.sql("drop table st_t")
