@@ -73,65 +73,54 @@ R02_VERIFIED = frozenset(
     text_quality_scores text_lang_id multimodal_png_decode""".split()
 )
 
-# Round-3 head: the driver checks the FIRST ~50 registry entries per round.
-# Every query here lacks a green driver row across r1∪r2 (r2 verdict #1):
-# the 34 never-verified oracle-backed queries, the re-slotted ch_cast_multiif
-# (hash-fragile Decimal column fixed this round), the 5 new oracle-backed
-# companions for the approximate families (verdict #5), then the 6 rows-only
-# approximates (weaker rows-only driver rows, but rows nonetheless).
+# Round-3 driver-verified set (CORRECTNESS_r03.json hash-green rows).
+R03_VERIFIED = frozenset(
+    """stream_tumbling_window stream_sliding_window stream_session_window
+    stream_stateful_rollup stream_dedup_users stream_stream_join
+    stream_append_ingest corpus_quality_pipeline corpus_split_train_val_test
+    corpus_cap_per_source corpus_contamination_scan corpus_build_end_to_end
+    corpus_sample_stratified events_window_funnel events_retention
+    events_json_extract join_asof pivot_status text_fingerprints
+    text_pii_redaction text_url_extract text_chunking multimodal_wav_decode
+    multimodal_features multimodal_thumbnails multimodal_frame_plan
+    ch_array_hofs2 ch_minute_buckets agg_quantiles agg_top_k_words
+    array_functions ch_cast_multiif avro_ingest_roundtrip
+    engine_bucketed_join engine_meta_lifecycle sim_ivf_full_probe
+    sim_lsh_full_cover dedup_minhash_bands_sql dedup_simhash_fp_sql
+    agg_approx_distinct_check dedup_incremental_index
+    corpus_temperature_sample corpus_shuffle_shards contamination_semantic
+    stream_incremental_dedup engine_alter_columns engine_system_parts""".split()
+)
+
+# Round-4 head: the driver checks the FIRST ~50 registry entries per round.
+# Leads with the three r3 non-green rows (now hash-hardened: array outputs
+# stringified, pack-sequences token count made engine-identical), then every
+# oracle-backed query that has never had a driver row across r1∪r2∪r3, then
+# the rows-only approximates (each family already has a hash-verified
+# companion; these buy the weaker rows-only evidence on the approximate
+# forms themselves).
 PRIORITY_HEAD = [
-    # streaming (Spark-native extension, §2.10)
-    "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
-    "stream_stateful_rollup", "stream_dedup_users", "stream_stream_join",
-    "stream_append_ingest",
-    # corpus curation pipeline
-    "corpus_quality_pipeline", "corpus_split_train_val_test",
-    "corpus_cap_per_source", "corpus_contamination_scan",
-    "corpus_pack_sequences", "corpus_build_end_to_end",
-    "corpus_sample_stratified",
-    # event analytics + as-of join
-    "events_window_funnel", "events_retention", "events_json_extract",
-    "join_asof", "pivot_status",
-    # text analysis extras
-    "text_fingerprints", "text_pii_redaction", "text_url_extract",
-    "text_chunking",
-    # multimodal plumbing
-    "multimodal_wav_decode", "multimodal_features", "multimodal_thumbnails",
-    "multimodal_frame_plan",
-    # dialect/aggregate stragglers
-    "ch_agg_extras", "ch_quantile_family", "ch_array_hofs2",
-    "ch_minute_buckets", "agg_quantiles", "agg_top_k_words",
-    "array_functions",
-    # re-slotted after the r2 hash fail (Decimal -> Int64 hash column)
-    "ch_cast_multiif",
-    # the last §2.2 partial closed: pure-Python Avro codec, distributed
-    "avro_ingest_roundtrip",
-    # new r3: zero-Exchange co-located join via SETTINGS bucket_by; the
-    # meta-DDL lifecycle (CREATE/INSERT/OPTIMIZE SORT BY/DESC) hash row
-    "engine_bucketed_join",
-    "engine_meta_lifecycle",
-    # new oracle-backed companions for the approximate families
-    "sim_ivf_full_probe", "sim_lsh_full_cover", "dedup_minhash_bands_sql",
-    "dedup_simhash_fp_sql", "agg_approx_distinct_check",
-    # session-3 pipeline additions (ahead of the dialect extras: the
-    # LLM-pipeline families are graded first-class, and these four are the
-    # incremental/ordering/semantic shapes no other row demonstrates):
-    # incremental-index dedup, temperature sampling, deterministic shard
-    # shuffle, embedding-space decontamination
-    "dedup_incremental_index", "corpus_temperature_sample",
-    "corpus_shuffle_shards", "contamination_semantic",
-    "stream_incremental_dedup", "engine_alter_columns",
-    "engine_system_parts",
-    # late-r3 additions (oracle-backed, stronger evidence than the
-    # rows-only block below, so they take the earlier slots)
+    # r3 fixes, re-slotted for fresh rows
+    "ch_agg_extras", "ch_quantile_family", "corpus_pack_sequences",
+    # never-verified oracle-backed: dialect clause/function coverage
     "ch_array_join_clause", "ch_string_replace_extract", "ch_stats_family",
-    "ch_array_set_ops", "corpus_bloom_decontaminate", "join_skew_salted",
-    "text_unigram_logprob",
-    # queries past this point flow through mid_unverified ordering:
-    # oracle-backed additions (this round's WITH TOTALS/FILL, SAMPLE,
-    # tier-3 funcs, repetition filters, global line dedup, PQ full-cover,
-    # zorder, calendar) first, then the rows-only approximates
-    # (agg_approx_distinct, minhash/simhash, ivf/lsh/pq topk).
+    "ch_array_set_ops", "ch_calendar_funcs", "ch_with_totals", "ch_with_fill",
+    "ch_sample_clause", "ch_everyday_funcs3", "ch_sequence_uniq",
+    "ch_distinct_on", "ch_join_strictness", "ch_asof_join_sql",
+    # engine DDL/DML lifecycle
+    "engine_mutations", "engine_materialized_view", "engine_outfile_roundtrip",
+    "engine_zorder_read", "stream_mv_ingest",
+    # joins / events
+    "join_skew_salted", "events_anomaly_zscore",
+    # LLM-pipeline oracle-backed
+    "corpus_bloom_decontaminate", "text_unigram_logprob",
+    "text_repetition_filters", "dedup_lines_global", "text_bpe_merges_check",
+    "sim_pq_rerank_full", "sim_ivfpq_full_cover", "embedding_l2_normalize",
+    "embedding_mean_pool", "embedding_pca_variance",
+    # rows-only approximates (hash companions are all green above/r3)
+    "agg_approx_distinct", "dedup_minhash_lsh", "dedup_simhash",
+    "sim_ivf_topk", "sim_lsh_topk", "sim_pq_topk", "sim_ivfpq_topk",
+    "sim_ivf_indexed", "sim_ivfpq_indexed", "text_bpe_tokenize",
 ]
 
 
@@ -171,7 +160,7 @@ def registry() -> dict[str, Query]:
                 raise ValueError(f"duplicate query name: {name}")
             out[name] = q
 
-    verified = R01_VERIFIED | R02_VERIFIED
+    verified = R01_VERIFIED | R02_VERIFIED | R03_VERIFIED
     head = [n for n in PRIORITY_HEAD if n in out]
     mid_unverified = [
         n for n in out if n not in PRIORITY_HEAD and n not in verified

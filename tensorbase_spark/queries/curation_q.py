@@ -98,22 +98,32 @@ HAVING count(*) >= 3
 
 def corpus_pack_sequences(spark, sf_dir):
     """Pack docs into 400-token bins per source shard (contiguous greedy by
-    doc_id), summarized per bin.  last_doc/first_doc pin exact layout."""
+    doc_id), summarized per bin.  last_doc/first_doc pin exact layout.
+
+    Hash-hardened (r3 driver mismatch): the token count is the separator
+    count + 1 — an expression with identical semantics in Spark and DuckDB
+    (no reliance on either engine's split() trailing-empty behavior) — and
+    every hashed numeric column carries an explicit BIGINT cast in both
+    forms."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.size(F.split(F.col("text"), " "))
+    toks = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), F.lit(" "), F.lit("")))
+        + F.lit(1)
+    ).cast("long")
     packed = curation.pack_sequences(d, shard="source", key="doc_id", n_tokens=toks, budget=400)
-    return packed.groupBy("source", "bin_id").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("bin_tokens"),
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"),
+    return packed.groupBy("source", F.col("bin_id").cast("long").alias("bin_id")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
     )
 
 
 PACK_ORACLE = """
 WITH t AS (
   SELECT doc_id, source,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
   FROM documents
 ),
 c AS (
@@ -122,9 +132,11 @@ c AS (
                              ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
   FROM t
 )
-SELECT source, start_tok // 400 AS bin_id, count(*) AS n_docs,
+SELECT source, CAST(start_tok // 400 AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
-       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
 FROM c
 GROUP BY source, start_tok // 400
 """

@@ -283,9 +283,11 @@ def ch_agg_extras(spark, sf_dir):
     """Everyday ClickHouse aggregates through the dialect: argMax/argMin
     (→ max_by/min_by, deterministic via the unique event_id ordering
     column), median (→ exact interpolated percentile), any over a
-    group-dependent expression, groupUniqArray+arraySort (set collected,
-    sorted for a deterministic hash).  All absent from the fork's aggregate
-    list (physical_plan/aggregates.rs:52-67) — dialect superset."""
+    group-dependent expression, groupUniqArray+arraySort+arrayStringConcat
+    (set collected, sorted, then serialized to a CSV string — raw ARRAY
+    cells are unhashable in the driver's pandas canonicalizer).  All absent
+    from the fork's aggregate list (physical_plan/aggregates.rs:52-67) —
+    dialect superset."""
     from tensorbase_spark.sources.tables import load_table
 
     eng = TensorBaseEngine(spark)
@@ -296,7 +298,8 @@ def ch_agg_extras(spark, sf_dir):
         "argMin(user_id, event_id) as first_user, "
         "round(median(value), 4) as med_v, "
         "any(upper(event_type)) as typ, "
-        "arraySort(groupUniqArray(user_id % 100)) as u_buckets "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "arraySort(groupUniqArray(user_id % 100))), ',') as u_buckets "
         "from eva_src group by event_type"
     )
 
@@ -307,7 +310,7 @@ SELECT event_type,
        arg_min(user_id, event_id)             AS first_user,
        round(median(value), 4)                AS med_v,
        upper(event_type)                      AS typ,
-       list_sort(list(DISTINCT user_id % 100)) AS u_buckets
+       array_to_string(list_sort(list(DISTINCT user_id % 100)), ',') AS u_buckets
 FROM events GROUP BY event_type
 """
 
@@ -317,7 +320,10 @@ def ch_quantile_family(spark, sf_dir):
     quantile(p)(x) / quantileExact(p)(x) / quantiles(p1,p2)(x) — the curried
     form every production CH query uses for latency percentiles.  Rewrites
     to Spark's exact interpolated percentile (deterministic; CH's own
-    quantile is sampling-approximate, so this is a correctness superset)."""
+    quantile is sampling-approximate, so this is a correctness superset).
+    The quantiles() array is serialized to a CSV string of 1e4-scaled
+    integers — integer rendering is engine-identical, and raw ARRAY cells
+    are unhashable in the driver's pandas canonicalizer."""
     from tensorbase_spark.sources.tables import load_table
 
     eng = TensorBaseEngine(spark)
@@ -326,7 +332,8 @@ def ch_quantile_family(spark, sf_dir):
         "select event_type, "
         "round(quantile(0.5)(value), 4) as med, "
         "round(quantileExact(0.95)(value), 4) as p95, "
-        "arrayMap(x -> round(x, 4), quantiles(0.25, 0.75)(value)) as iqr "
+        "arrayStringConcat(arrayMap(x -> toString(toInt64(round(x * 10000))), "
+        "quantiles(0.25, 0.75)(value)), ',') as iqr "
         "from evq_src group by event_type"
     )
 
@@ -335,8 +342,8 @@ CH_QUANTILE_ORACLE = """
 SELECT event_type,
        round(quantile_cont(value, 0.5), 4)  AS med,
        round(quantile_cont(value, 0.95), 4) AS p95,
-       list_transform(quantile_cont(value, [0.25, 0.75]),
-                      x -> round(x, 4))     AS iqr
+       array_to_string(list_transform(quantile_cont(value, [0.25, 0.75]),
+                      x -> CAST(round(x * 10000) AS BIGINT)), ',') AS iqr
 FROM events GROUP BY event_type
 """
 
