@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import re
+import threading
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -54,6 +55,10 @@ from tensorbase_spark.functions.clickhouse import (
 from tensorbase_spark.types import parse_bql_type
 
 PTK_COL = "__ptk"
+
+# serializes bloom-writing inserts: the per-column parquet bloom keys are
+# set/unset on the process-global Hadoop configuration around insertInto
+_BLOOM_WRITE_LOCK = threading.Lock()
 
 
 def _order_col(key: str):
@@ -114,8 +119,11 @@ def _preprocess_ch_clauses(sql: str) -> str:
       SQL marker.
     """
     out = sql
+    # bind to the GROUP BY immediately preceding WITH TOTALS: a tempered
+    # capture that cannot cross another GROUP BY, so a subquery/CTE group-by
+    # earlier in the statement is never swallowed into the grouping sets
     out = re.sub(
-        r"(?is)\bgroup\s+by\s+(?P<cols>.+?)\s+with\s+totals\b",
+        r"(?is)\bgroup\s+by\s+(?P<cols>(?:(?!\bgroup\s+by\b).)+?)\s+with\s+totals\b",
         lambda m: f"group by grouping sets (({m.group('cols')}), ())",
         out,
     )
@@ -959,14 +967,24 @@ class TensorBaseEngine:
                 w = df.write.mode("overwrite")
                 if fmt in ("csv", "csvwithnames"):
                     w.option("header", fmt == "csvwithnames").csv(path)
+                    exported = (
+                        self.spark.read.schema(df.schema)
+                        .option("header", fmt == "csvwithnames")
+                        .csv(path)
+                    )
                 elif fmt == "parquet":
                     w.parquet(path)
+                    exported = self.spark.read.parquet(path)
                 elif fmt in ("jsoneachrow", "ndjson"):
                     w.json(path)
+                    exported = self.spark.read.schema(df.schema).json(path)
                 else:
                     raise ValueError(f"INTO OUTFILE FORMAT {fmt}: unsupported")
+                # rows_exported from the files just written (a metadata-cheap
+                # count over the export) — counting the source df would
+                # re-execute the full query a second time
                 return self.spark.createDataFrame(
-                    [(df.count(), path)], "rows_exported: long, path: string"
+                    [(exported.count(), path)], "rows_exported: long, path: string"
                 )
         if re.match(r"(?is)^(select|with|explain)\b", c):
             c = _rewrite_array_join(_preprocess_ch_clauses(c)).strip()
@@ -1012,18 +1030,21 @@ class TensorBaseEngine:
         if low.startswith("set "):
             # ClickHouse session SET: map the knobs with a Spark analogue,
             # accept-and-ignore the rest (CH has ~400 settings; an engine
-            # that rejects them can't run real CH scripts)
-            sm = re.match(r"(?is)^set\s+(\w+)\s*=\s*(.+)$", c)
-            if not sm:
-                raise ValueError(f"cannot parse: {c}")
-            k, v = sm.group(1).lower(), sm.group(2).strip().strip("'\"")
+            # that rejects them can't run real CH scripts).  CH allows
+            # multi-assignment (SET a = 1, b = 'x') — split on depth-0
+            # commas so a later assignment never leaks into the prior value.
             mapped = {
                 "max_threads": "spark.sql.shuffle.partitions",
                 "max_memory_usage": None,  # executor memory is launch-time
                 "join_algorithm": None,  # AQE picks strategies
             }
-            if k in mapped and mapped[k]:
-                self.spark.conf.set(mapped[k], v)
+            for assign in _split_depth0(c[4:]):
+                sm = re.match(r"(?is)^\s*(\w+)\s*=\s*(.+?)\s*$", assign)
+                if not sm:
+                    raise ValueError(f"cannot parse SET assignment: {assign!r}")
+                k, v = sm.group(1).lower(), sm.group(2).strip().strip("'\"")
+                if k in mapped and mapped[k]:
+                    self.spark.conf.set(mapped[k], v)
             return self.spark.sql("SELECT 1 AS ok")
         if low.startswith("explain analyze"):
             # AnalyzeExec analogue (physical_plan/analyze.rs:39): execute the
@@ -1580,6 +1601,19 @@ class TensorBaseEngine:
             for reg in (self._partition_specs, self._create_scripts):
                 if src in reg:
                     reg[dst] = reg.pop(src)
+            # materialized views follow the rename: re-key views whose
+            # SOURCE is the renamed table (the stored SELECT/src_as_written
+            # keep the old spelling — _propagate_mvs swaps that exact text
+            # for the block view, so they keep firing on inserts into the
+            # new name), and re-point views whose TARGET is the renamed
+            # table so rollups keep landing in the moved table.
+            if src in self._mvs:
+                self._mvs[dst] = self._mvs.pop(src)
+            for key, views in self._mvs.items():
+                self._mvs[key] = [
+                    (mv, dst if tgt == src else tgt, sel, src_txt)
+                    for mv, tgt, sel, src_txt in views
+                ]
             script = self._create_scripts.get(dst)
             if script:  # keep SHOW CREATE TABLE authoritative
                 self._create_scripts[dst] = re.sub(
@@ -1941,19 +1975,28 @@ class TensorBaseEngine:
             for c in self._table_props(name).get("tb.bloom_cols", "").split(",")
             if c.strip()
         ]
-        hc = self.spark.sparkContext._jsc.hadoopConfiguration()
-        try:
-            for bc in bloom:
-                # parquet-mr writer honors these per-column hadoop keys; the
-                # table-property indirection is needed because insertInto
-                # carries no writer options
-                hc.set(f"parquet.bloom.filter.enabled#{bc}", "true")
-                hc.set(f"parquet.bloom.filter.expected.ndv#{bc}", "100000")
+        if bloom:
+            # The per-column bloom keys live on the process-global Hadoop
+            # configuration (insertInto carries no writer options), so
+            # concurrent bloom-writing inserts — e.g. a streaming
+            # foreachBatch block landing while a batch insert runs — would
+            # race on set/unset; serialize them behind a process lock.
+            # Inserts without bloom columns skip the lock (no shared state).
+            hc = self.spark.sparkContext._jsc.hadoopConfiguration()
+            with _BLOOM_WRITE_LOCK:
+                try:
+                    for bc in bloom:
+                        # parquet-mr writer honors these per-column hadoop
+                        # keys
+                        hc.set(f"parquet.bloom.filter.enabled#{bc}", "true")
+                        hc.set(f"parquet.bloom.filter.expected.ndv#{bc}", "100000")
+                    out.write.mode("append").insertInto(name)
+                finally:
+                    for bc in bloom:
+                        hc.unset(f"parquet.bloom.filter.enabled#{bc}")
+                        hc.unset(f"parquet.bloom.filter.expected.ndv#{bc}")
+        else:
             out.write.mode("append").insertInto(name)
-        finally:
-            for bc in bloom:
-                hc.unset(f"parquet.bloom.filter.enabled#{bc}")
-                hc.unset(f"parquet.bloom.filter.expected.ndv#{bc}")
         if out.sparkSession is not self.spark:
             # a foreachBatch micro-batch session clone wrote the files; the
             # engine session's cached file listing for the table is stale

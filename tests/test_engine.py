@@ -748,6 +748,47 @@ def test_with_totals_rewrite_and_exec(engine):
     assert got == {("x", 3), ("y", 10), (None, 13)}
 
 
+def test_with_totals_binds_to_nearest_group_by(engine):
+    """A subquery GROUP BY before the outer WITH TOTALS must not be captured
+    by the grouping-sets rewrite (the rewrite binds to the GROUP BY
+    immediately preceding WITH TOTALS, not the first in the statement)."""
+    from tensorbase_spark.engine import _preprocess_ch_clauses
+
+    rewritten = _preprocess_ch_clauses(
+        "select t, sum(n) from (select a as t, count(*) as n from x group by a) z "
+        "group by t with totals"
+    )
+    assert "group by a) z" in rewritten  # inner GROUP BY untouched
+    assert "grouping sets ((t), ())" in rewritten
+
+    engine.spark.sql(
+        "select * from values ('x', 1), ('x', 2), ('y', 10) as t(k, v)"
+    ).createOrReplaceTempView("wtn_src")
+    rows = engine.sql(
+        "select k, sum(s) as s from (select k, sum(v) as s from wtn_src "
+        "group by k) z group by k with totals"
+    ).collect()
+    assert {(r.k, r.s) for r in rows} == {("x", 3), ("y", 10), (None, 13)}
+
+
+def test_set_multi_assignment(engine):
+    """CH's multi-assignment SET: each depth-0 comma-separated k=v pair is
+    processed independently — a later assignment must never leak into the
+    prior value (previously 'SET max_threads = 4, join_algorithm = ...'
+    wrote the whole tail into spark.sql.shuffle.partitions)."""
+    prev = engine.spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        engine.sql("set max_threads = 4, join_algorithm = 'hash'")
+        assert engine.spark.conf.get("spark.sql.shuffle.partitions") == "4"
+        # later shuffles still run (the conf value is a clean number)
+        assert engine.sql(
+            "select k, count(*) as n from (select 1 as k union all select 1 as k) "
+            "t group by k"
+        ).collect()[0].n == 2
+    finally:
+        engine.spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def test_with_fill_bounds_and_defaults(engine):
     """WITH FILL: FROM inclusive / TO exclusive, generated rows carry type
     defaults (0 for numerics, '' for strings), original rows outside the
@@ -1076,6 +1117,31 @@ def test_rename_and_exchange_tables(engine):
     assert {r.k for r in engine.sql("select k from rn_b").collect()} == {1, 2}
     engine.sql("drop table rn_b")
     engine.sql("drop table rn_c")
+
+
+def test_rename_table_migrates_materialized_views(engine):
+    """RENAME TABLE re-keys the MV registry: a view on the renamed SOURCE
+    keeps firing on inserts into the new name, and a view whose TARGET is
+    renamed keeps landing rows in the moved table."""
+    engine.sql("create table rmv_raw(k String, v Int64)")
+    engine.sql("create table rmv_agg(k String, s Int64)")
+    engine.sql(
+        "create materialized view rmv_mv to rmv_agg as "
+        "select k, sum(v) as s from rmv_raw group by k"
+    )
+    engine.sql("insert into rmv_raw values ('a', 1)")
+
+    engine.sql("rename table rmv_raw to rmv_raw2")
+    engine.sql("insert into rmv_raw2 values ('b', 2)")  # must still fire
+    got = sorted((r.k, r.s) for r in engine.sql("select k, s from rmv_agg").collect())
+    assert got == [("a", 1), ("b", 2)]
+
+    engine.sql("rename table rmv_agg to rmv_agg2")
+    engine.sql("insert into rmv_raw2 values ('c', 3)")  # lands in moved target
+    got = sorted((r.k, r.s) for r in engine.sql("select k, s from rmv_agg2").collect())
+    assert got == [("a", 1), ("b", 2), ("c", 3)]
+    engine.sql("drop table rmv_raw2")
+    engine.sql("drop table rmv_agg2")
 
 
 def test_create_table_as_table_clones_schema(engine):
