@@ -139,6 +139,15 @@ def _preprocess_ch_clauses(sql: str) -> str:
     out = re.sub(r"(?is)\bformat\s+[A-Za-z][\w]*\s*$", " ", out)
     out = re.sub(r"(?is)\bglobal\s+(not\s+in|in|join|left|right|inner|full)\b", r"\1", out)
     out = re.sub(r"(?is)\ball\s+(inner|left|right|full)\s+join\b", r"\1 join", out)
+    # FROM t [AS a] FINAL: ReplacingMergeTree's merge-time visibility
+    # modifier.  This engine's tables are plain appends (no merge-time dedup
+    # table engines), so every row is always visible and the modifier drops
+    # — documented superset difference (like GLOBAL above).
+    out = re.sub(
+        r"(?is)\b(from|join)\s+([\w.]+(?:\s+(?:as\s+)?[A-Za-z_]\w*)?)\s+final\b",
+        r"\1 \2",
+        out,
+    )
     # CH join-strictness word order: SEMI/ANTI LEFT JOIN -> Spark's native
     # LEFT SEMI/ANTI JOIN
     out = re.sub(r"(?is)\b(semi|anti)\s+left\s+join\b", r"left \1 join", out)
@@ -791,6 +800,48 @@ _INSERT_RE = re.compile(
 )
 
 
+@dataclass(frozen=True)
+class DictionarySpec:
+    """An upstream-CH external dictionary emulated over a source table.
+
+    CH loads the source into an in-RAM hash table per node and dictGet is a
+    point lookup (no reference analogue — upstream surface).  The Spark-first
+    spelling of the same thing: each ``dictGet`` rewrites to an uncorrelated
+    SCALAR SUBQUERY building ``map_from_entries`` over the (deduplicated)
+    source — Catalyst executes it once and broadcasts the map value into the
+    main plan's expressions, exactly the per-node hash table CH keeps.
+    Sized for dimension tables (CH's own contract: dictionaries live in RAM);
+    a corpus-sized mapping belongs in a join, not a dictionary."""
+
+    name: str
+    key: str                 # primary-key column in the source table
+    source: str              # qualified source table
+    attrs: dict              # attr -> (bql_type_lower, default_sql | None)
+
+
+_CREATE_DICT_RE = re.compile(
+    r"(?is)^create\s+dictionary\s+(?P<ine>if\s+not\s+exists\s+)?"
+    r"(?P<name>[\w.]+)\s*\((?P<cols>.*)\)\s*"
+    r"primary\s+key\s+(?P<key>[\w\s,]+?)\s*"
+    r"source\s*\(\s*clickhouse\s*\((?P<src>[^()]*)\)\s*\)(?P<tail>.*)$"
+)
+
+_DICT_CALL_RE = re.compile(r"(?i)\bdict(?:get\w*|has)\s*\(")
+
+
+def _dict_type_default(bql_type: str) -> str:
+    """CH dictGet on a missing key returns the attribute's declared DEFAULT,
+    else the type default.  Numeric -> 0, String -> '', temporal -> NULL
+    (CH renders 1970-01-01 there; NULL is the honest Spark spelling and is
+    documented as the superset difference)."""
+    t = bql_type.lower()
+    if t.startswith(("uint", "int", "float", "decimal")):
+        return "0"
+    if t.startswith(("string", "fixedstring", "uuid")):
+        return "''"
+    return "null"
+
+
 class TensorBaseEngine:
     """`engine.sql(bql)` — the user-facing surface, matching how the
     reference's servers hand each command string to BMS.run_commands."""
@@ -802,6 +853,8 @@ class TensorBaseEngine:
         # materialized views: src table -> [(mv, tgt, select, src_as_written)]
         self._mvs: dict[str, list[tuple[str, str, str, str]]] = {}
         self._mv_depth = 0
+        # upstream-CH external dictionaries: qualified name -> spec
+        self._dicts: dict[str, DictionarySpec] = {}
 
     def bootstrap_system(self) -> None:
         """Create the ``system`` database + empty ``system.numbers (number
@@ -972,6 +1025,15 @@ class TensorBaseEngine:
                         .option("header", fmt == "csvwithnames")
                         .csv(path)
                     )
+                elif fmt in (
+                    "tsv", "tabseparated", "tsvwithnames", "tabseparatedwithnames"
+                ):
+                    hdr = fmt.endswith("withnames")
+                    w.option("header", hdr).option("sep", "\t").csv(path)
+                    exported = (
+                        self.spark.read.schema(df.schema)
+                        .option("header", hdr).option("sep", "\t").csv(path)
+                    )
                 elif fmt == "parquet":
                     w.parquet(path)
                     exported = self.spark.read.parquet(path)
@@ -1006,6 +1068,15 @@ class TensorBaseEngine:
             return self._create_database(c)
         if low.startswith("create materialized view"):
             return self._create_materialized_view(c)
+        if low.startswith("create dictionary"):
+            return self._create_dictionary(c)
+        if low.startswith("drop dictionary"):
+            return self._drop_dictionary(c)
+        if low.strip() == "show dictionaries":
+            return self.spark.createDataFrame(
+                [(n,) for n in sorted(self._dicts)] or [("",)],
+                "name: string",
+            ).filter("name != ''")
         if low.startswith("create table"):
             return self._create_table(c)
         if low in ("show databases", "show tables"):
@@ -1442,6 +1513,159 @@ class TensorBaseEngine:
         self._mvs.setdefault(src, []).append((mv, tgt, sel, fm.group(1)))
         return self.spark.sql("SELECT 1 AS ok")
 
+    def _create_dictionary(self, c: str) -> DataFrame:
+        """Upstream-CH ``CREATE DICTIONARY d (key T, attr T [DEFAULT lit],
+        ...) PRIMARY KEY key SOURCE(CLICKHOUSE(TABLE 't' [DB 'db']))
+        LAYOUT(...) LIFETIME(...)``.
+
+        LAYOUT and LIFETIME are accepted and ignored: layout picks CH's
+        in-RAM hash structure and lifetime its refresh cadence — here every
+        lookup's scalar subquery reads the live source table, so the
+        dictionary is always "fresh" and the layout is Catalyst's broadcast
+        map.  Attribute types are validated as BQL types; declared DEFAULTs
+        feed the dictGet missing-key result (CH contract)."""
+        m = _CREATE_DICT_RE.match(c.strip())
+        if not m:
+            raise ValueError(f"cannot parse: {c}")
+        name = self._qualify(m.group("name"))
+        if name in self._dicts:
+            if m.group("ine"):
+                return self.spark.sql("SELECT 1 AS ok")
+            raise ValueError(f"dictionary {name} already exists")
+        key = m.group("key").strip()
+        if "," in key:
+            raise ValueError(
+                "composite PRIMARY KEY dictionaries are not supported "
+                "(use a join for multi-column lookups)"
+            )
+        src_body = m.group("src")
+        tm = re.search(r"(?is)\btable\s+'([^']+)'", src_body)
+        if not tm:
+            raise ValueError("SOURCE(CLICKHOUSE(...)) needs TABLE '...'")
+        dbm = re.search(r"(?is)\bdb\s+'([^']+)'", src_body)
+        # a bare table name resolves at lookup time like any Spark reference
+        # (temp views included) — only an explicit DB pins the database
+        source = f"{dbm.group(1)}.{tm.group(1)}" if dbm else tm.group(1)
+        attrs: dict[str, tuple[str, str | None]] = {}
+        for part in _split_top_level_args(m.group("cols")):
+            cm = re.match(
+                r"(?is)^\s*(?P<col>\w+)\s+(?P<typ>[\w()0-9, ]+?)"
+                r"(?:\s+default\s+(?P<dflt>.+?))?\s*$",
+                part,
+            )
+            if not cm:
+                raise ValueError(f"cannot parse dictionary column: {part!r}")
+            parse_bql_type(cm.group("typ").strip())  # validate
+            attrs[cm.group("col")] = (
+                cm.group("typ").strip(),
+                cm.group("dflt").strip() if cm.group("dflt") else None,
+            )
+        if key not in attrs:
+            raise ValueError(f"PRIMARY KEY {key} is not a declared column")
+        self._dicts[name] = DictionarySpec(name, key, source, attrs)
+        return self.spark.sql("SELECT 1 AS ok")
+
+    def _drop_dictionary(self, c: str) -> DataFrame:
+        m = re.match(
+            r"(?is)^drop\s+dictionary\s+(?P<ie>if\s+exists\s+)?(?P<name>[\w.]+)\s*$",
+            c.strip(),
+        )
+        if not m:
+            raise ValueError(f"cannot parse: {c}")
+        name = self._qualify(m.group("name"))
+        if name not in self._dicts and not m.group("ie"):
+            raise ValueError(f"no such dictionary: {name}")
+        self._dicts.pop(name, None)
+        return self.spark.sql("SELECT 1 AS ok")
+
+    def _dict_spec(self, name_lit: str) -> DictionarySpec:
+        name = name_lit.strip().strip("'\"")
+        spec = self._dicts.get(self._qualify(name)) or self._dicts.get(name)
+        if spec is None:
+            raise ValueError(f"no such dictionary: {name}")
+        return spec
+
+    _DICT_TYPED_CASTS = {
+        "string": "string", "int8": "tinyint", "int16": "smallint",
+        "int32": "int", "int64": "bigint", "uint8": "smallint",
+        "uint16": "int", "uint32": "bigint", "uint64": "bigint",
+        "float32": "float", "float64": "double",
+        "date": "date", "datetime": "timestamp",
+    }
+
+    def _rewrite_dict_funcs(self, q: str) -> str:
+        """Rewrite dictGet/dictGet<Type>[OrDefault|OrNull]/dictHas calls to
+        scalar-subquery map lookups (see DictionarySpec).  The lookup map is
+        built from a ``GROUP BY key`` subquery, so duplicate source keys
+        cannot trip Spark's duplicate-map-key check (CH leaves duplicates
+        undefined; ``max`` makes it deterministic here)."""
+        while True:
+            m = _DICT_CALL_RE.search(q)
+            if m is None:
+                return q
+            # matching close paren, quote-aware
+            depth, j, n = 1, m.end(), len(q)
+            while j < n and depth:
+                if q[j] in "'\"":
+                    quote = q[j]
+                    j += 1
+                    while j < n and q[j] != quote:
+                        j += 1
+                elif q[j] == "(":
+                    depth += 1
+                elif q[j] == ")":
+                    depth -= 1
+                j += 1
+            fname = q[m.start() : m.end() - 1].strip().lower()
+            args = [
+                self._rewrite_dict_funcs(a)
+                for a in _split_top_level_args(q[m.end() : j - 1])
+            ]
+            spec = self._dict_spec(args[0])
+            if fname == "dicthas":
+                repl = (
+                    f"array_contains((select collect_set({spec.key}) "
+                    f"from {spec.source}), {args[1]})"
+                )
+            else:
+                fm = re.match(
+                    r"^dictget(?P<typ>[a-z0-9]*?)(?P<suffix>ordefault|ornull)?$",
+                    fname,
+                )
+                if not fm:
+                    raise ValueError(f"unsupported dictionary function: {fname}")
+                typ, suffix = fm.group("typ"), fm.group("suffix")
+                attr = args[1].strip().strip("'\"")
+                if attr not in spec.attrs:
+                    raise ValueError(
+                        f"dictionary {spec.name} has no attribute {attr}"
+                    )
+                lookup = (
+                    f"element_at((select map_from_entries(collect_list("
+                    f"struct(k, v))) from (select {spec.key} as k, "
+                    f"max({attr}) as v from {spec.source} "
+                    f"group by {spec.key})), {args[2]})"
+                )
+                if suffix == "ornull":
+                    repl = lookup
+                elif suffix == "ordefault":
+                    if len(args) < 4:
+                        raise ValueError(f"{fname} needs a default argument")
+                    repl = f"coalesce({lookup}, {args[3]})"
+                else:
+                    declared = spec.attrs[attr][1]
+                    dflt = declared or _dict_type_default(spec.attrs[attr][0])
+                    repl = (
+                        lookup if dflt == "null"
+                        else f"coalesce({lookup}, {dflt})"
+                    )
+                if typ:
+                    cast_to = self._DICT_TYPED_CASTS.get(typ)
+                    if cast_to is None:
+                        raise ValueError(f"unsupported dictGet type: {typ}")
+                    repl = f"cast({repl} as {cast_to})"
+            q = q[: m.start()] + repl + q[j:]
+
     def _propagate_mvs(self, name: str, block: DataFrame) -> None:
         """Run every materialized view registered on ``name`` over the
         just-inserted block and append the partial result to its target."""
@@ -1859,6 +2083,15 @@ class TensorBaseEngine:
             path = toks[2].strip().strip("'\"")
             if fmt == "csv":
                 src = self.spark.read.csv(path, header=False, inferSchema=False)
+            elif fmt in ("tsv", "tabseparated", "tsvwithnames", "tabseparatedwithnames"):
+                # upstream-CH TabSeparated family: CSV reader with a tab
+                # separator; *WithNames carries a header row
+                src = self.spark.read.csv(
+                    path,
+                    sep="\t",
+                    header=fmt.endswith("withnames"),
+                    inferSchema=False,
+                )
             elif fmt in ("jsoneachrow", "ndjson"):
                 # JSONEachRow carries field NAMES (upstream-ClickHouse
                 # format; the fork's grammar stops at CSV — dialect
@@ -1885,7 +2118,7 @@ class TensorBaseEngine:
             else:
                 raise ValueError(
                     f"INSERT FORMAT {toks[1]}: supported formats are CSV, "
-                    "JSONEachRow and Parquet"
+                    "TSV/TabSeparated[WithNames], JSONEachRow and Parquet"
                 )
         return self.insert_df(name, src, subset or None)
 
@@ -2163,6 +2396,8 @@ class TensorBaseEngine:
         # clause rewrites apply on every query path (plain SELECT, EXPLAIN,
         # INSERT ... SELECT, remote push): idempotent on already-clean text
         q = _rewrite_array_join(_preprocess_ch_clauses(q.strip()))
+        if _DICT_CALL_RE.search(q):
+            q = self._rewrite_dict_funcs(q)
         if re.search(r"(?is)\bsample\s", q):
             q = self._rewrite_sample(q)
         q = translate_sql(q.strip())

@@ -954,3 +954,84 @@ CH_SQL_TEMPLATES.update(
         "todaysinmonth": "day(last_day({0}))",
     }
 )
+
+
+# URL function family (upstream ClickHouse URL functions — the single most
+# common CH web-analytics surface; the fork registers none of these).  All
+# map to Spark's JVM-side parse_url / string builtins.  CH returns '' (not
+# NULL) for absent URL parts — coalesce matches that contract.
+def _ipv4stringtonum_sql(args: list[str]) -> str:
+    a = args[0]
+    return (
+        f"(cast(element_at(split({a}, '\\\\.'), 1) as bigint) * 16777216"
+        f" + cast(element_at(split({a}, '\\\\.'), 2) as bigint) * 65536"
+        f" + cast(element_at(split({a}, '\\\\.'), 3) as bigint) * 256"
+        f" + cast(element_at(split({a}, '\\\\.'), 4) as bigint))"
+    )
+
+
+def _transform_sql(args: list[str]) -> str:
+    """ClickHouse transform(x, from_array, to_array[, default]) -> a
+    broadcast-free map lookup (element_at over map_from_arrays, JVM-side).
+    Spark's own 2-arg transform(arr, lambda) HOF passes through unchanged
+    (CH spells that arrayMap)."""
+    if len(args) == 4:
+        return (
+            f"coalesce(element_at(map_from_arrays({args[1]}, {args[2]}),"
+            f" {args[0]}), {args[3]})"
+        )
+    if len(args) == 3:
+        # 3-arg CH form: unmatched keys keep x itself (same-type contract)
+        return (
+            f"coalesce(element_at(map_from_arrays({args[1]}, {args[2]}),"
+            f" {args[0]}), {args[0]})"
+        )
+    return f"transform({', '.join(args)})"
+
+
+CH_SQL_TEMPLATES.update(
+    {
+        "protocol": "coalesce(parse_url({0}, 'PROTOCOL'), '')",
+        "domain": "coalesce(parse_url({0}, 'HOST'), '')",
+        "domainwithoutwww": (
+            "coalesce(regexp_replace(parse_url({0}, 'HOST'), '^www\\\\.', ''), '')"
+        ),
+        "topleveldomain": (
+            "coalesce(substring_index(parse_url({0}, 'HOST'), '.', -1), '')"
+        ),
+        "path": "coalesce(parse_url({0}, 'PATH'), '')",
+        "pathfull": (
+            "concat(coalesce(parse_url({0}, 'PATH'), ''), "
+            "coalesce(concat('?', parse_url({0}, 'QUERY')), ''))"
+        ),
+        "querystring": "coalesce(parse_url({0}, 'QUERY'), '')",
+        "fragment": "coalesce(parse_url({0}, 'REF'), '')",
+        "extracturlparameter": "coalesce(parse_url({0}, 'QUERY', {1}), '')",
+        "cutquerystring": "substring_index({0}, '?', 1)",
+        "cutfragment": "substring_index({0}, '#', 1)",
+        # IPv4 numeric <-> dotted-quad (pure arithmetic, codegen'd)
+        "ipv4numtostring": (
+            "concat(cast(({0} div 16777216) % 256 as string), '.', "
+            "cast(({0} div 65536) % 256 as string), '.', "
+            "cast(({0} div 256) % 256 as string), '.', "
+            "cast({0} % 256 as string))"
+        ),
+        "ipv4stringtonum": _ipv4stringtonum_sql,
+        "isipv4string": (
+            "({0} rlike '^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\\\.)"
+            "{{3}}(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$')"
+        ),
+        "transform": _transform_sql,
+    }
+)
+
+# topK(k)(x): CH's heavy-hitter aggregate (SpaceSaving sketch).  The rewrite
+# is the deterministic exact form — frequency-desc, value-asc tie-break —
+# buffered per group like collect_list; the truly-sketched path at 100 TB is
+# the windowed groupBy in queries/pipeline.py (agg_top_k_words).  Returns
+# the top-k VALUES as an array, like CH.
+CH_PARAMETRIC_TEMPLATES["topk"] = lambda p, a: (
+    f"transform(slice(array_sort(transform(array_distinct(collect_list({a[0]})), "
+    f"v -> struct(-size(filter(collect_list({a[0]}), y -> y <=> v)) as negn, "
+    f"v as v))), 1, {p[0]}), s -> s.v)"
+)

@@ -107,6 +107,9 @@ PRIORITY_HEAD = [
     "ch_array_set_ops", "ch_calendar_funcs", "ch_with_totals", "ch_with_fill",
     "ch_sample_clause", "ch_everyday_funcs3", "ch_sequence_uniq",
     "ch_distinct_on", "ch_join_strictness", "ch_asof_join_sql",
+    # round-4 dialect additions: URL/IP/transform function families and the
+    # external-dictionary surface (broadcast scalar-subquery map lookups)
+    "ch_url_ip_funcs", "ch_dictionary_lookup",
     # engine DDL/DML lifecycle
     "engine_mutations", "engine_materialized_view", "engine_outfile_roundtrip",
     "engine_zorder_read", "stream_mv_ingest",

@@ -350,8 +350,57 @@ FROM events GROUP BY wk, mn, dn, b10, slot, ld, dim
 """
 
 
+def ch_url_ip_funcs(spark, sf_dir):
+    """Upstream-CH URL + IPv4 function families and transform(), all absent
+    from the fork's registry: URLs synthesized from order columns are parsed
+    back with domain/topLevelDomain/path/extractURLParameter (Spark
+    parse_url, JVM-side); IPv4StringToNum/isIPv4String are closed-form
+    arithmetic; transform() maps status codes through a literal lookup.
+    The oracle recomputes every part from the SOURCE columns, so the parse
+    itself is what the hash verifies."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_url")
+    return eng.sql(
+        "select domain(url) as dom, "
+        "topLevelDomain(url) as tld, "
+        "transform(st, array('O', 'F'), array('open', 'final'), 'other') as status, "
+        "count(*) as n, "
+        "sum(toInt64(extractURLParameter(url, 'k'))) as sum_k, "
+        "countIf(isIPv4String(ip)) as n_valid_ip, "
+        "sumIf(IPv4StringToNum(ip), isIPv4String(ip)) as ip_sum, "
+        "max(path(url)) as mx_path "
+        "from (select concat('https://www.shop', toString(o_custkey % 3), "
+        "'.example.com/p/', toString(o_orderkey), '?k=', "
+        "toString(o_orderkey % 97), '&x=a') as url, "
+        "concat(toString(o_orderkey % 300), '.10.0.', "
+        "toString(o_custkey % 256)) as ip, "
+        "o_orderstatus as st from ord_url) "
+        "group by dom, tld, status"
+    )
+
+
+CH_URL_IP_ORACLE = """
+SELECT 'www.shop' || CAST(o_custkey % 3 AS VARCHAR) || '.example.com' AS dom,
+       'com'                                                          AS tld,
+       CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'final'
+            ELSE 'other' END                                          AS status,
+       count(*)                                                       AS n,
+       CAST(sum(o_orderkey % 97) AS BIGINT)                           AS sum_k,
+       count(*) FILTER (WHERE o_orderkey % 300 <= 255)                AS n_valid_ip,
+       CAST(sum((o_orderkey % 300) * 16777216 + 10 * 65536
+                + (o_custkey % 256))
+            FILTER (WHERE o_orderkey % 300 <= 255) AS BIGINT)         AS ip_sum,
+       max('/p/' || CAST(o_orderkey AS VARCHAR))                      AS mx_path
+FROM orders
+GROUP BY dom, tld, status
+"""
+
+
 QUERIES = {
     "ch_array_hofs": Query(ch_array_hofs, CH_ARRAY_HOFS_ORACLE, ("dialect", "array")),
+    "ch_url_ip_funcs": Query(
+        ch_url_ip_funcs, CH_URL_IP_ORACLE, ("dialect", "string", "url")
+    ),
     "ch_array_hofs2": Query(ch_array_hofs2, CH_ARRAY_HOFS2_ORACLE, ("dialect", "array")),
     "ch_cast_multiif": Query(ch_cast_multiif, CH_CAST_MULTIIF_ORACLE, ("dialect",)),
     "ch_minute_buckets": Query(ch_minute_buckets, CH_MINUTE_BUCKETS_ORACLE, ("dialect", "datetime")),

@@ -952,3 +952,55 @@ GROUP BY year(o_orderdate)*100 + month(o_orderdate)
 QUERIES["engine_system_parts"] = Query(
     engine_system_parts, ENGINE_SYSTEM_PARTS_ORACLE, ("engine", "introspection")
 )
+
+
+def ch_dictionary_lookup(spark, sf_dir):
+    """Upstream-CH external dictionaries (no reference analogue): CREATE
+    DICTIONARY over the nation dimension, then dictGet/dictGetOrDefault/
+    dictHas point lookups inside an aggregation over customer.  The Spark
+    realization is a broadcast scalar-subquery map (engine.py
+    DictionarySpec) — Catalyst builds the key->attr map once and ships it
+    into the expressions, the same per-node hash table CH keeps in RAM.
+    The oracle is the equivalent LEFT JOIN, so the hash verifies the lookup
+    semantics including both missing-key default paths."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("dict_nation_src")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("dict_cust_src")
+    eng.sql(
+        "create dictionary if not exists nation_dict ("
+        "n_nationkey UInt64, n_name String DEFAULT 'UNKNOWN', "
+        "n_regionkey Int32) "
+        "primary key n_nationkey "
+        "source(clickhouse(table 'dict_nation_src')) "
+        "layout(hashed()) lifetime(min 0 max 300)"
+    )
+    return eng.sql(
+        "select dictGet('nation_dict', 'n_name', c_nationkey) as nation, "
+        "toInt64(dictGet('nation_dict', 'n_regionkey', c_nationkey)) as region_key, "
+        "dictGetOrDefault('nation_dict', 'n_name', c_custkey % 30, 'OUT') as mod_nation, "
+        "countIf(dictHas('nation_dict', c_custkey % 30)) as n_mod_hit, "
+        "count(*) as n, round(sum(c_acctbal), 2) as bal "
+        "from dict_cust_src "
+        "group by nation, region_key, mod_nation"
+    )
+
+
+CH_DICTIONARY_ORACLE = """
+SELECT n.n_name                                    AS nation,
+       CAST(n.n_regionkey AS BIGINT)               AS region_key,
+       coalesce(m.n_name, 'OUT')                   AS mod_nation,
+       count(*) FILTER (WHERE m.n_nationkey IS NOT NULL) AS n_mod_hit,
+       count(*)                                    AS n,
+       round(sum(c_acctbal), 2)                    AS bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN nation m ON c.c_custkey % 30 = m.n_nationkey
+GROUP BY nation, region_key, mod_nation
+"""
+
+
+QUERIES["ch_dictionary_lookup"] = Query(
+    ch_dictionary_lookup, CH_DICTIONARY_ORACLE, ("engine", "dialect", "dictionary")
+)

@@ -748,6 +748,90 @@ def test_with_totals_rewrite_and_exec(engine):
     assert got == {("x", 3), ("y", 10), (None, 13)}
 
 
+def test_dictionary_ddl_and_lookups(engine):
+    """CREATE DICTIONARY + the dictGet family: dictGet falls back to the
+    declared DEFAULT then the type default on a missing key; OrDefault takes
+    the call-site default; OrNull stays NULL; typed variants cast; dictHas
+    probes membership.  LAYOUT/LIFETIME accepted-and-ignored."""
+    import pytest
+
+    engine.sql("create table dict_dim(k Int64, name String, w Float64)")
+    engine.sql("insert into dict_dim values (1, 'a', 1.5), (2, 'b', 2.5)")
+    engine.sql(
+        "create dictionary d_test (k UInt64, name String DEFAULT '??', w Float64) "
+        "primary key k source(clickhouse(table 'dict_dim')) "
+        "layout(hashed()) lifetime(min 0 max 300)"
+    )
+    r = engine.sql(
+        "select dictGet('d_test', 'name', 2) as n2, "
+        "dictGet('d_test', 'name', 9) as n9, "          # declared DEFAULT
+        "dictGet('d_test', 'w', 9) as w9, "              # type default 0
+        "dictGetOrDefault('d_test', 'name', 9, 'zz') as nd, "
+        "dictGetOrNull('d_test', 'w', 9) as wn, "
+        "dictGetString('d_test', 'name', 1) as ts, "
+        "dictGetFloat64('d_test', 'w', 2) as tf, "
+        "dictHas('d_test', 1) as h1, dictHas('d_test', 9) as h9"
+    ).collect()[0]
+    assert (r.n2, r.n9, r.w9, r.nd, r.wn, r.ts, r.tf, r.h1, r.h9) == (
+        "b", "??", 0.0, "zz", None, "a", 2.5, True, False
+    )
+    # duplicate create refuses; IF NOT EXISTS doesn't; unknown attr refuses
+    with pytest.raises(Exception, match="already exists"):
+        engine.sql(
+            "create dictionary d_test (k UInt64, name String) primary key k "
+            "source(clickhouse(table 'dict_dim'))"
+        )
+    engine.sql(
+        "create dictionary if not exists d_test (k UInt64, name String) "
+        "primary key k source(clickhouse(table 'dict_dim'))"
+    )
+    with pytest.raises(Exception, match="no attribute"):
+        engine.sql("select dictGet('d_test', 'nope', 1)")
+    names = [r.name for r in engine.sql("show dictionaries").collect()]
+    assert len(names) == 1 and names[0].endswith(".d_test")
+    engine.sql("drop dictionary d_test")
+    with pytest.raises(Exception, match="no such dictionary"):
+        engine.sql("select dictGet('d_test', 'name', 1)")
+    engine.sql("drop dictionary if exists d_test")  # idempotent
+    engine.sql("drop table dict_dim")
+
+
+def test_tsv_insert_and_outfile_roundtrip(engine, tmp_path):
+    """TabSeparated family: INTO OUTFILE FORMAT TSVWithNames writes
+    tab-separated files, INSERT FORMAT TSV reads them back (upstream-CH
+    format breadth; the fork's grammar stops at CSV)."""
+    engine.sql("create table tsv_t(k Int64, tag String)")
+    engine.sql("insert into tsv_t values (1, 'a'), (2, 'b')")
+    out = f"{tmp_path}/tsv_out"
+    r = engine.sql(
+        f"select k, tag from tsv_t into outfile '{out}' format TSVWithNames"
+    ).collect()[0]
+    assert r.rows_exported == 2
+    engine.sql("create table tsv_t2(k Int64, tag String)")
+    engine.sql(f"insert into tsv_t2 format TSVWithNames '{out}'")
+    assert sorted(tuple(x) for x in engine.sql("select k, tag from tsv_t2").collect()) \
+        == [(1, "a"), (2, "b")]
+    engine.sql("drop table tsv_t")
+    engine.sql("drop table tsv_t2")
+
+
+def test_final_modifier_drops(engine):
+    """FROM t FINAL (ReplacingMergeTree visibility modifier) is accepted and
+    dropped — plain-append tables always show every row."""
+    engine.spark.sql(
+        "select * from values (1, 'x'), (2, 'y') as t(k, v)"
+    ).createOrReplaceTempView("fin_src")
+    assert engine.sql("select count(*) as n from fin_src final").collect()[0].n == 2
+    assert engine.sql(
+        "select count(*) as n from fin_src as f final where f.k = 1"
+    ).collect()[0].n == 1
+    # joined table with FINAL too
+    rows = engine.sql(
+        "select a.k from fin_src a join fin_src b final on a.k = b.k"
+    ).collect()
+    assert {r.k for r in rows} == {1, 2}
+
+
 def test_with_totals_binds_to_nearest_group_by(engine):
     """A subquery GROUP BY before the outer WITH TOTALS must not be captured
     by the grouping-sets rewrite (the rewrite binds to the GROUP BY
