@@ -70,6 +70,49 @@ def _order_col(key: str):
     return F.expr(key.strip())
 
 
+_STAR_REPLACE_RE = re.compile(
+    r"(?is)\*(?P<exc>\s+except\s*\((?P<exccols>[^()]*)\))?\s+replace\s*\("
+)
+
+
+def _rewrite_star_replace(sql: str) -> str:
+    """``* [EXCEPT (...)] REPLACE(expr AS col, ...)`` -> ``* EXCEPT
+    (cols...), expr AS col, ...`` (see _preprocess_ch_clauses)."""
+    while True:
+        m = _STAR_REPLACE_RE.search(sql)
+        if m is None:
+            return sql
+        depth, j, n = 1, m.end(), len(sql)
+        while j < n and depth:
+            if sql[j] in "'\"":
+                q = sql[j]
+                j += 1
+                while j < n and sql[j] != q:
+                    j += 1
+            elif sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        repls = []
+        for part in _split_top_level_args(sql[m.end() : j - 1]):
+            rm = re.match(r"(?is)^(?P<e>.+)\s+as\s+(?P<c>\w+)\s*$", part.strip())
+            if not rm:
+                raise ValueError(f"cannot parse REPLACE item: {part!r}")
+            repls.append((rm.group("e"), rm.group("c")))
+        exc = [
+            c.strip()
+            for c in (m.group("exccols") or "").split(",")
+            if c.strip()
+        ]
+        cols = exc + [c for _, c in repls]
+        new = (
+            f"* except ({', '.join(cols)}), "
+            + ", ".join(f"{e} as {c}" for e, c in repls)
+        )
+        sql = sql[: m.start()] + new + sql[j:]
+
+
 def _split_depth0(text: str, sep: str = ",") -> list[str]:
     out, depth, cur, i, n = [], 0, [], 0, len(text)
     while i < n:
@@ -146,6 +189,19 @@ def _preprocess_ch_clauses(sql: str) -> str:
     out = re.sub(
         r"(?is)\b(from|join)\s+([\w.]+(?:\s+(?:as\s+)?[A-Za-z_]\w*)?)\s+final\b",
         r"\1 \2",
+        out,
+    )
+    # SELECT * [EXCEPT (...)] REPLACE(expr AS col, ...) — CH column
+    # modifiers.  Spark has native `* EXCEPT (...)`; REPLACE rewrites to
+    # EXCEPT + appended expressions (replaced columns move to the END of the
+    # projection — documented position difference; CH keeps them in place)
+    out = _rewrite_star_replace(out)
+    # CH's unparenthesized single-column form `* EXCEPT col`; the EXCEPT
+    # set operation is excluded by requiring a bare identifier that is not
+    # SELECT/ALL/DISTINCT
+    out = re.sub(
+        r"(?is)\*\s+except\s+(?!\(|all\b|distinct\b|select\b)(\w+)\b",
+        r"* except (\1)",
         out,
     )
     # CH join-strictness word order: SEMI/ANTI LEFT JOIN -> Spark's native

@@ -1035,3 +1035,40 @@ CH_PARAMETRIC_TEMPLATES["topk"] = lambda p, a: (
     f"v -> struct(-size(filter(collect_list({a[0]}), y -> y <=> v)) as negn, "
     f"v as v))), 1, {p[0]}), s -> s.v)"
 )
+
+
+# -State / -Merge combinators (upstream-CH partial-aggregate idiom: MVs
+# store <agg>State, readers finish with <agg>Merge).  This engine's MV
+# propagation stores plain partials, so the faithful Spark mapping is:
+# State -> the partial's plain representation (sum/count/min/max pass
+# through; uniq keeps the distinct SET, avg keeps a (sum, count) struct —
+# the actual sufficient statistics), Merge -> the re-aggregation of those
+# representations.  Two-level Merge(State) composes to the exact global
+# aggregate (hash-verified in ch_state_merge).
+CH_SQL_TEMPLATES.update(
+    {
+        "countstate": lambda args: f"count({args[0]})" if args and args[0].strip() else "count(*)",
+        "countmerge": "cast(sum({0}) as bigint)",
+        "sumstate": "sum({0})",
+        "summerge": "sum({0})",
+        "minstate": "min({0})",
+        "minmerge": "min({0})",
+        "maxstate": "max({0})",
+        "maxmerge": "max({0})",
+        "anystate": "any_value({0})",
+        "anymerge": "any_value({0})",
+        "uniqstate": "collect_set({0})",
+        "uniqexactstate": "collect_set({0})",
+        "uniqmerge": "size(array_distinct(flatten(collect_list({0}))))",
+        "uniqexactmerge": "size(array_distinct(flatten(collect_list({0}))))",
+        "grouparraystate": "collect_list({0})",
+        "grouparraymerge": "flatten(collect_list({0}))",
+        "avgstate": "named_struct('s', sum(cast({0} as double)), 'c', count({0}))",
+        "avgmerge": "(sum({0}.s) / sum({0}.c))",
+        # -SimpleState: CH's "state == plain value" marker for monoidal aggs
+        "sumsimplestate": "sum({0})",
+        "minsimplestate": "min({0})",
+        "maxsimplestate": "max({0})",
+        "anysimplestate": "any_value({0})",
+    }
+)

@@ -109,7 +109,8 @@ PRIORITY_HEAD = [
     "ch_distinct_on", "ch_join_strictness", "ch_asof_join_sql",
     # round-4 dialect additions: URL/IP/transform function families and the
     # external-dictionary surface (broadcast scalar-subquery map lookups)
-    "ch_url_ip_funcs", "ch_dictionary_lookup",
+    "ch_url_ip_funcs", "ch_dictionary_lookup", "ch_state_merge",
+    "ch_star_modifiers",
     # engine DDL/DML lifecycle
     "engine_mutations", "engine_materialized_view", "engine_outfile_roundtrip",
     "engine_zorder_read", "stream_mv_ingest",

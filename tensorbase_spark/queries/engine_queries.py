@@ -1004,3 +1004,82 @@ GROUP BY nation, region_key, mod_nation
 QUERIES["ch_dictionary_lookup"] = Query(
     ch_dictionary_lookup, CH_DICTIONARY_ORACLE, ("engine", "dialect", "dictionary")
 )
+
+
+def ch_state_merge(spark, sf_dir):
+    """CH -State/-Merge combinators (the partial-aggregate idiom MVs use:
+    writers store <agg>State, readers finish with <agg>Merge).  States map
+    to their actual sufficient statistics (sum/count/min/max pass through,
+    uniqState keeps the distinct set, avgState a (sum,count) struct) and
+    Merge re-aggregates them — so this two-level Merge(State) plan must
+    reproduce the direct one-level aggregate, which is exactly what the
+    oracle computes.  Dialect superset: the fork has no combinators at all
+    (physical_plan/aggregates.rs)."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ev_sm")
+    return eng.sql(
+        "select event_type, "
+        "countMerge(cs) as n, "
+        "round(sumMerge(ss), 4) as s, "
+        "uniqMerge(us) as u, "
+        "round(avgMerge(avs), 4) as avg_v, "
+        "round(minMerge(mns), 4) as mn, "
+        "round(maxMerge(mxs), 4) as mx "
+        "from (select event_type, user_id % 8 as bucket, "
+        "countState() as cs, sumState(value) as ss, uniqState(user_id) as us, "
+        "avgState(value) as avs, minState(value) as mns, maxState(value) as mxs "
+        "from ev_sm group by event_type, user_id % 8) "
+        "group by event_type"
+    )
+
+
+CH_STATE_MERGE_ORACLE = """
+SELECT event_type,
+       count(*)                    AS n,
+       round(sum(value), 4)        AS s,
+       count(DISTINCT user_id)     AS u,
+       round(avg(value), 4)        AS avg_v,
+       round(min(value), 4)        AS mn,
+       round(max(value), 4)        AS mx
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES["ch_state_merge"] = Query(
+    ch_state_merge, CH_STATE_MERGE_ORACLE, ("dialect", "agg", "combinator")
+)
+
+
+def ch_star_modifiers(spark, sf_dir):
+    """CH star column modifiers: ``* EXCEPT col`` (bare single-column form)
+    and ``* EXCEPT (...) REPLACE(expr AS col)`` — REPLACE rewrites to
+    EXCEPT + appended expression (engine.py _rewrite_star_replace; Spark
+    4's native ``* EXCEPT (...)`` does the pruning, so the scan's
+    ReadSchema drops the excluded columns).  Column position moves to the
+    end under REPLACE (documented difference); the driver hash is
+    name-sorted so semantics are what's verified."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_star")
+    return eng.sql(
+        "select * except (o_orderdate, o_orderpriority) "
+        "replace(round(o_totalprice / 1000, 3) as o_totalprice, "
+        "lower(o_orderstatus) as o_orderstatus) "
+        "from ord_star where o_orderkey % 50 = 0"
+    )
+
+
+CH_STAR_MODIFIERS_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       round(o_totalprice / 1000, 3) AS o_totalprice,
+       lower(o_orderstatus)          AS o_orderstatus
+FROM orders WHERE o_orderkey % 50 = 0
+"""
+
+
+QUERIES["ch_star_modifiers"] = Query(
+    ch_star_modifiers, CH_STAR_MODIFIERS_ORACLE, ("dialect", "clause")
+)

@@ -748,6 +748,49 @@ def test_with_totals_rewrite_and_exec(engine):
     assert got == {("x", 3), ("y", 10), (None, 13)}
 
 
+def test_star_except_replace_modifiers(engine):
+    """CH star modifiers: bare `* EXCEPT col`, parenthesized EXCEPT passes
+    through to Spark's native form, REPLACE rewrites to EXCEPT + appended
+    expression, combined EXCEPT+REPLACE works, and the EXCEPT set
+    operation is untouched."""
+    engine.spark.sql(
+        "select 1 as a, 2 as b, 3 as c union all select 4, 5, 6"
+    ).createOrReplaceTempView("star_src")
+    assert engine.sql("select * except b from star_src").columns == ["a", "c"]
+    assert engine.sql("select * except (b, c) from star_src").columns == ["a"]
+    rows = engine.sql("select * replace(a * 10 as a) from star_src").collect()
+    assert sorted((r.a, r.b, r.c) for r in rows) == [(10, 2, 3), (40, 5, 6)]
+    rows = engine.sql(
+        "select * except (c) replace(b + 1 as b) from star_src"
+    ).collect()
+    assert sorted((r.a, r.b) for r in rows) == [(1, 3), (4, 6)]
+    assert [r.a for r in engine.sql(
+        "select a from star_src except select 4 as a"
+    ).collect()] == [1]
+
+
+def test_state_merge_combinators(engine):
+    """-State/-Merge: two-level Merge(State) must reproduce the direct
+    aggregate (states are the actual sufficient statistics)."""
+    engine.spark.sql(
+        "select * from values ('x', 1, 1.0), ('x', 1, 3.0), ('x', 2, 5.0), "
+        "('y', 3, 2.0), ('y', 3, 4.0) as t(g, u, v)"
+    ).createOrReplaceTempView("smc_src")
+    rows = engine.sql(
+        "select g, countMerge(cs) as n, sumMerge(ss) as s, uniqMerge(us) as u, "
+        "round(avgMerge(avs), 4) as a, minMerge(mns) as mn, maxMerge(mxs) as mx "
+        "from (select g, u % 2 as bucket, countState() as cs, sumState(v) as ss, "
+        "uniqState(u) as us, avgState(v) as avs, minState(v) as mns, "
+        "maxState(v) as mxs from smc_src group by g, u % 2) "
+        "group by g order by g"
+    ).collect()
+    got = [(r.g, r.n, float(r.s), r.u, r.a, float(r.mn), float(r.mx)) for r in rows]
+    assert got == [
+        ("x", 3, 9.0, 2, 3.0, 1.0, 5.0),
+        ("y", 2, 6.0, 1, 3.0, 2.0, 4.0),
+    ]
+
+
 def test_dictionary_ddl_and_lookups(engine):
     """CREATE DICTIONARY + the dictGet family: dictGet falls back to the
     declared DEFAULT then the type default on a missing key; OrDefault takes
