@@ -2236,6 +2236,19 @@ class TensorBaseEngine:
                             )
                         )
                     )
+                if p is not None and getattr(p, "enum_values", None):
+                    # Enum8/16: CH rejects values outside the declared set at
+                    # write time; same in-plan guard shape as FixedString
+                    col = F.when(
+                        col.isNull() | col.isin(*p.enum_values), col
+                    ).otherwise(
+                        F.raise_error(
+                            F.concat(
+                                F.lit(f"invalid Enum value for column {f.name}: "),
+                                col,
+                            )
+                        )
+                    )
                 sel.append(col.alias(f.name))
             else:
                 if not f.nullable:

@@ -64,6 +64,43 @@ _FIXEDSTRING_RE = re.compile(r"^fixedstring\s*\(\s*(\d+)\s*\)$")
 _NULLABLE_RE = re.compile(r"^nullable\s*\((.*)\)$", re.DOTALL)
 _LOWCARD_RE = re.compile(r"^lowcardinality\s*\((.*)\)$", re.DOTALL)
 _DATETIME_TZ_RE = re.compile(r"^datetime\s*\(\s*'([^']*)'\s*\)$")
+_ARRAY_RE = re.compile(r"^array\s*\((.*)\)$", re.DOTALL)
+_MAP_RE = re.compile(r"^map\s*\((.*)\)$", re.DOTALL)
+_TUPLE_RE = re.compile(r"^tuple\s*\((.*)\)$", re.DOTALL)
+_ENUM_RE = re.compile(r"^enum(?:8|16)?\s*\((.*)\)$", re.DOTALL)
+_CODEC_RE = re.compile(r"(?is)\s+codec\s*\(.*\)\s*$")
+
+
+def _split_commas(text: str) -> list[str]:
+    """Depth-0 comma split, quote-aware (local copy; engine.py has the
+    canonical one but importing it here would be circular)."""
+    out, depth, cur, i, n = [], 0, [], 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in "'\"":
+            q = c
+            cur.append(c)
+            i += 1
+            while i < n:
+                cur.append(text[i])
+                if text[i] == q:
+                    break
+                i += 1
+        elif c == "(":
+            depth += 1
+            cur.append(c)
+        elif c == ")":
+            depth -= 1
+            cur.append(c)
+        elif c == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    if cur:
+        out.append("".join(cur).strip())
+    return out
 
 
 @dataclass(frozen=True)
@@ -72,16 +109,72 @@ class ParsedType:
     nullable: bool = False
     fixed_len: int | None = None  # FixedString(n) length check, enforced on write
     tz: str | None = None  # DateTime('TZ') display timezone
+    enum_values: tuple | None = None  # Enum8/16 allowed strings, enforced on write
 
 
 def parse_bql_type(name: str) -> ParsedType:
     """Parse a ClickHouse/BQL type name into its Spark mapping.
 
-    Raises ValueError for types the reference also rejects (Array, Map, Tuple,
-    Enum, Int128 — SURVEY §1.2 'explicitly absent').
+    The reference rejects Array/Map/Tuple/Enum (SURVEY §1.2 'explicitly
+    absent'); upstream ClickHouse has all four and every real schema uses
+    them, so they parse here as a documented dialect superset: Array(T) ->
+    ArrayType, Map(K, V) -> MapType, Tuple -> StructType (named or
+    positional _1.._n fields), Enum8/16('a' = 1, ...) -> StringType with
+    the allowed-value set enforced at insert (like CH rejects unknown enum
+    values).  A trailing ``CODEC(...)`` annotation is accepted and dropped:
+    codecs pick CH's column compression; parquet + Spark's codec config
+    covers the same ground at the storage layer.
     """
-    s = name.strip()
+    s = _CODEC_RE.sub("", name.strip())
     low = s.lower()
+
+    m = _ARRAY_RE.match(low)
+    if m:
+        inner = parse_bql_type(m.group(1))
+        return ParsedType(T.ArrayType(inner.spark_type, True))
+
+    m = _MAP_RE.match(low)
+    if m:
+        parts = _split_commas(m.group(1))
+        if len(parts) != 2:
+            raise ValueError(f"Map needs exactly (K, V): {name}")
+        k, v = parse_bql_type(parts[0]), parse_bql_type(parts[1])
+        return ParsedType(T.MapType(k.spark_type, v.spark_type, True))
+
+    m = _TUPLE_RE.match(low)
+    if m:
+        fields = []
+        for i, part in enumerate(_split_commas(m.group(1)), 1):
+            try:  # positional element: the part IS a type
+                fields.append(
+                    T.StructField(f"_{i}", parse_bql_type(part).spark_type, True)
+                )
+                continue
+            except ValueError:
+                pass
+            nm = re.match(r"^(?P<fname>[a-z_]\w*)\s+(?P<ftyp>.+)$", part)
+            if not nm:  # named element: 'name Type'
+                raise ValueError(f"cannot parse tuple element: {part!r}")
+            fields.append(
+                T.StructField(
+                    nm.group("fname"),
+                    parse_bql_type(nm.group("ftyp")).spark_type,
+                    True,
+                )
+            )
+        return ParsedType(T.StructType(fields))
+
+    m = _ENUM_RE.match(low)
+    if m:
+        values = []
+        for part in _split_commas(m.group(1)):
+            em = re.match(r"^\s*'(?P<v>[^']*)'\s*(?:=\s*-?\d+\s*)?$", part)
+            if not em:
+                raise ValueError(f"cannot parse enum member: {part!r}")
+            values.append(em.group("v"))
+        if not values:
+            raise ValueError(f"empty enum: {name}")
+        return ParsedType(T.StringType(), enum_values=tuple(values))
 
     m = _NULLABLE_RE.match(low)
     if m:

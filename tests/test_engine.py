@@ -748,6 +748,36 @@ def test_with_totals_rewrite_and_exec(engine):
     assert got == {("x", 3), ("y", 10), (None, 13)}
 
 
+def test_compound_types_ddl_roundtrip(engine):
+    """Array/Map/Tuple columns round-trip through CREATE/INSERT/SELECT;
+    Enum values outside the declared set are rejected at insert (in-plan
+    guard, like FixedString); CODEC annotations are accepted and dropped.
+    CH array subscripts stay available via arrayElement (1-based);
+    a raw [n] subscript keeps Spark's indexing — documented difference."""
+    import pytest
+
+    engine.sql(
+        "create table cty(a Array(Int64), m Map(String, Int64), "
+        "t Tuple(x Int64, y String), e Enum8('red' = 1, 'green' = 2) "
+        "CODEC(ZSTD))"
+    )
+    engine.sql(
+        "insert into cty select array(1, 2, 3), map('k', 5), "
+        "named_struct('x', 7, 'y', 'z'), 'red'"
+    )
+    r = engine.sql(
+        "select arrayElement(a, 1) as a1, m['k'] as mk, t.x as tx, "
+        "t.y as ty, e from cty"
+    ).collect()[0]
+    assert (r.a1, r.mk, r.tx, r.ty, r.e) == (1, 5, 7, "z", "red")
+    with pytest.raises(Exception, match="invalid Enum"):
+        engine.sql(
+            "insert into cty select array(1), map('k', 1), "
+            "named_struct('x', 1, 'y', 'y'), 'blue'"
+        )
+    engine.sql("drop table cty")
+
+
 def test_star_except_replace_modifiers(engine):
     """CH star modifiers: bare `* EXCEPT col`, parenthesized EXCEPT passes
     through to Spark's native form, REPLACE rewrites to EXCEPT + appended

@@ -60,11 +60,37 @@ def test_datetime_tz():
     assert p.tz == "asia/shanghai"
 
 
-@pytest.mark.parametrize("bad", ["Array(Int32)", "Map(String,Int32)", "Tuple(Int8)", "Int128", "Enum8('a'=1)"])
+@pytest.mark.parametrize("bad", ["Int128", "Enum8('a' = )", "Map(String)"])
 def test_rejects_unsupported(bad):
-    # reference also rejects these (SURVEY §1.2 "explicitly absent")
     with pytest.raises(ValueError):
         parse_bql_type(bad)
+
+
+def test_compound_types_parse():
+    """Array/Map/Tuple/Enum are upstream-CH staples the reference rejects
+    (SURVEY §1.2) — documented dialect superset; CODEC annotations drop."""
+    assert parse_bql_type("Array(Int32)").spark_type == T.ArrayType(
+        T.IntegerType(), True
+    )
+    assert parse_bql_type("Array(Nullable(String))").spark_type == T.ArrayType(
+        T.StringType(), True
+    )
+    assert parse_bql_type("Map(String, Int64)").spark_type == T.MapType(
+        T.StringType(), T.LongType(), True
+    )
+    st = parse_bql_type("Tuple(Int64, String)").spark_type
+    assert [f.name for f in st.fields] == ["_1", "_2"]
+    st = parse_bql_type("Tuple(x Int64, y String)").spark_type
+    assert [(f.name, f.dataType) for f in st.fields] == [
+        ("x", T.LongType()),
+        ("y", T.StringType()),
+    ]
+    p = parse_bql_type("Enum8('red' = 1, 'green' = 2)")
+    assert p.spark_type == T.StringType() and p.enum_values == ("red", "green")
+    p = parse_bql_type("Enum16('a', 'b')")  # implicit numbering form
+    assert p.enum_values == ("a", "b")
+    assert parse_bql_type("String CODEC(ZSTD(3))").spark_type == T.StringType()
+    assert parse_bql_type("Int64 CODEC(Delta, LZ4)").spark_type == T.LongType()
 
 
 def test_spark_field():
