@@ -840,6 +840,14 @@ _PARTITION_BY_RE = re.compile(
     r"partition\s+by\s+(?P<expr>[A-Za-z_][A-Za-z0-9_]*\s*(?:\([^)]*\))?)", re.IGNORECASE
 )
 _SETTINGS_RE = re.compile(r"\bsettings\s+(?P<kv>.+)$", re.IGNORECASE | re.DOTALL)
+# CH MergeTree DDL tail clauses: ORDER BY is the storage sort key (applied
+# at OPTIMIZE compaction here — same laziness as CH merges), TTL the row
+# expiry expression (enforced at OPTIMIZE, CH's merge-time TTL semantics)
+_ORDER_BY_DDL_RE = re.compile(
+    r"(?is)\border\s+by\s+(?P<e>.+?)"
+    r"(?=\bpartition\s+by\b|\bprimary\s+key\b|\bsample\s+by\b|\bttl\b|\bsettings\b|$)"
+)
+_TTL_DDL_RE = re.compile(r"(?is)\bttl\s+(?P<e>.+?)(?=\bsettings\b|$)")
 _DROP_RE = re.compile(
     r"^drop\s+(?P<kind>database|table|view)\s+(?P<ie>if\s+exists\s+)?(?P<name>[A-Za-z_][A-Za-z0-9_.]*)\s*$",
     re.IGNORECASE,
@@ -1450,6 +1458,14 @@ class TensorBaseEngine:
             props.append(f"'tb.sample_by' = '{sample_by}'")
         if bloom_cols:
             props.append(f"'tb.bloom_cols' = '{','.join(bloom_cols)}'")
+        om = _ORDER_BY_DDL_RE.search(tail)
+        if om:
+            ob = om.group("e").strip().strip("()").replace("'", "''")
+            props.append(f"'tb.order_by' = '{ob}'")
+        tm = _TTL_DDL_RE.search(tail)
+        if tm:
+            ttl = tm.group("e").strip().replace("'", "''")
+            props.append(f"'tb.ttl' = '{ttl}'")
 
         ddl = (
             f"CREATE TABLE {ine}{name} ({', '.join(col_sql)}) USING parquet"
@@ -1515,9 +1531,16 @@ class TensorBaseEngine:
         become selective on the sort columns — subsequent range predicates
         prune row groups inside partitions (the engine's answer to the
         reference's implicit append-order locality, and the standard
-        compaction-time accelerator at 100 TB)."""
+        compaction-time accelerator at 100 TB).
+
+        A declared DDL ``ORDER BY`` becomes the default sort when no SORT
+        BY/ZORDER BY is given, and a declared ``TTL expr`` deletes expired
+        rows during the rewrite — CH's merge-time TTL semantics exactly
+        (rows past expiry linger until a merge; OPTIMIZE [FINAL] forces
+        one)."""
         m = re.match(
             r"(?is)^optimize\s+table\s+(?P<name>[A-Za-z_][A-Za-z0-9_.]*)"
+            r"(?:\s+final)?"
             r"(?:\s+sort\s+by\s+(?P<sort>.+?)|\s+zorder\s+by\s+(?P<z>.+?))?\s*$",
             c,
         )
@@ -1526,11 +1549,22 @@ class TensorBaseEngine:
         name = self._qualify(m.group("name"))
         df = self.spark.table(name)
         spec = self._spec_for(name)
+        props = self._table_props(name)
+        ttl = props.get("tb.ttl")
+        if ttl:
+            # keep rows whose expiry lies in the future; NULL expiry keeps
+            # the row (CH contract for NULL TTL values)
+            expiry = translate_sql(ttl)
+            df = df.filter(
+                F.expr(f"({expiry}) > current_timestamp()")
+                | F.expr(f"({expiry}) is null")
+            )
         if m.group("z"):
             return self._optimize_zorder(name, df, spec, m.group("z"))
         tmp = df.repartition(F.col(PTK_COL)) if spec else df.coalesce(1)
-        if m.group("sort"):
-            keys = [_order_col(k) for k in _split_depth0(m.group("sort"))]
+        sort_txt = m.group("sort") or props.get("tb.order_by")
+        if sort_txt:
+            keys = [_order_col(k) for k in _split_depth0(sort_txt)]
             tmp = tmp.sortWithinPartitions(*keys)
         # Spark refuses to overwrite a table from a plan that reads it —
         # stage through a temp parquet dir first, then overwrite.

@@ -748,6 +748,27 @@ def test_with_totals_rewrite_and_exec(engine):
     assert got == {("x", 3), ("y", 10), (None, 13)}
 
 
+def test_ttl_and_ddl_order_by(engine):
+    """MergeTree DDL tail: TTL expr deletes expired rows at OPTIMIZE
+    (CH's merge-time TTL — rows linger until a merge; OPTIMIZE FINAL
+    forces one); a declared ORDER BY becomes the default compaction sort.
+    NULL TTL values keep the row."""
+    engine.sql(
+        "create table ttl_u(k Int64, d Nullable(DateTime)) "
+        "engine = MergeTree order by k ttl d + interval 30 day"
+    )
+    engine.sql(
+        "insert into ttl_u values (1, '2020-01-01 00:00:00'), "
+        "(2, '2099-01-01 00:00:00'), (3, null)"
+    )
+    assert sorted(r.k for r in engine.sql("select k from ttl_u").collect()) == [1, 2, 3]
+    engine.sql("optimize table ttl_u final")
+    assert sorted(r.k for r in engine.sql("select k from ttl_u").collect()) == [2, 3]
+    stmt = engine.sql("show create table ttl_u").collect()[0].statement
+    assert "ttl" in stmt.lower()  # SHOW CREATE stays authoritative
+    engine.sql("drop table ttl_u")
+
+
 def test_compound_types_ddl_roundtrip(engine):
     """Array/Map/Tuple columns round-trip through CREATE/INSERT/SELECT;
     Enum values outside the declared set are rejected at insert (in-plan
