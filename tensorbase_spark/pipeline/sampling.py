@@ -135,3 +135,40 @@ def shuffle_shards(
     return df.withColumn("shard", shard).withColumn(
         "position", F.row_number().over(pos_w).cast("long")
     )
+
+
+def mixture_to_budget(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    n_tokens: Column,
+    weights: dict[str, float],
+    budget: int,
+) -> DataFrame:
+    """Sample a corpus down to a TOKEN budget with a declared mixture —
+    the training-mix construction step ("40% web, 30% code, ..." at N
+    tokens total).  Each stratum's token quota is ``budget * w / sum(w)``;
+    membership is greedy in md5-hash order (not rand()), a doc is kept when
+    its cumulative-token START offset lies under the quota (overrun bounded
+    by one doc per stratum — the pack_sequences convention).  Strata
+    without a declared weight contribute nothing.
+
+    Scale shape: one window shuffle on the stratum key; membership is a
+    deterministic function of (key hash, quota), so retries/re-runs/other
+    engines reproduce the same mix exactly — DuckDB-oracle-checkable."""
+    total_w = sum(weights.values())
+    quota = F.lit(0.0)
+    for name, w in sorted(weights.items()):
+        quota = F.when(
+            F.col(stratum) == name, F.lit(budget * w / total_w)
+        ).otherwise(quota)
+    w_ord = (
+        Window.partitionBy(stratum)
+        .orderBy(F.md5(F.col(key).cast("string")), key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = df.withColumn("n_tokens", n_tokens.cast("long"))
+    start = F.sum("n_tokens").over(w_ord) - F.col("n_tokens")
+    return d.withColumn("__start", start).filter(F.col("__start") < quota).drop(
+        "__start"
+    )

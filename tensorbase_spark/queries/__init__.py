@@ -110,14 +110,15 @@ PRIORITY_HEAD = [
     # round-4 dialect additions: URL/IP/transform function families and the
     # external-dictionary surface (broadcast scalar-subquery map lookups)
     "ch_url_ip_funcs", "ch_dictionary_lookup", "ch_state_merge",
-    "ch_star_modifiers",
+    "ch_star_modifiers", "engine_ttl_lifecycle",
     # engine DDL/DML lifecycle
     "engine_mutations", "engine_materialized_view", "engine_outfile_roundtrip",
     "engine_zorder_read", "stream_mv_ingest",
     # joins / events
     "join_skew_salted", "events_anomaly_zscore",
     # LLM-pipeline oracle-backed
-    "corpus_bloom_decontaminate", "text_unigram_logprob",
+    "corpus_bloom_decontaminate", "corpus_mixture_to_budget",
+    "text_unigram_logprob",
     "text_repetition_filters", "dedup_lines_global", "text_bpe_merges_check",
     "sim_pq_rerank_full", "sim_ivfpq_full_cover", "embedding_l2_normalize",
     "embedding_mean_pool", "embedding_pca_variance",

@@ -299,6 +299,58 @@ FROM ranked WHERE r <= quota GROUP BY lang
 """
 
 
+def corpus_mixture_to_budget(spark, sf_dir):
+    """Training-mix construction: sample the corpus to a 2000-token budget
+    with declared source weights (40/30/15/10/5 across src0-src4; other
+    sources contribute nothing).  Greedy selection in md5-hash order with
+    a cumulative-token cutoff — the kept set is an engine-independent
+    function of (key hash, quota), so the per-source summary with an id
+    checksum pins exact membership."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), F.lit(" "), F.lit("")))
+        + F.lit(1)
+    )
+    s = sampling.mixture_to_budget(
+        d,
+        stratum="source",
+        key="doc_id",
+        n_tokens=toks,
+        weights={"src0": 0.4, "src1": 0.3, "src2": 0.15, "src3": 0.1, "src4": 0.05},
+        budget=2000,
+    )
+    return s.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+MIXTURE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT) AS nt
+  FROM documents
+),
+w AS (
+  SELECT * FROM (VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.15),
+                        ('src3', 0.1), ('src4', 0.05)) AS v(source, wt)
+),
+c AS (
+  SELECT t.source, t.doc_id, t.nt, w.wt,
+         sum(t.nt) OVER (PARTITION BY t.source
+                         ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id
+                         ROWS UNBOUNDED PRECEDING) - t.nt AS st
+  FROM t JOIN w USING (source)
+)
+SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS tokens,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM c WHERE st < 2000.0 * wt / 1.0
+GROUP BY source
+"""
+
+
 def corpus_shuffle_shards(spark, sf_dir):
     """Deterministic global training-order shuffle into 8 shards; per-shard
     summary with a position-weighted checksum pinning the EXACT within-shard
@@ -386,6 +438,9 @@ QUERIES = {
     ),
     "corpus_temperature_sample": Query(
         corpus_temperature_sample, TEMPERATURE_ORACLE, ("corpus", "sampling")
+    ),
+    "corpus_mixture_to_budget": Query(
+        corpus_mixture_to_budget, MIXTURE_ORACLE, ("corpus", "sampling")
     ),
     "corpus_shuffle_shards": Query(
         corpus_shuffle_shards, SHUFFLE_SHARDS_ORACLE, ("corpus", "sampling")

@@ -1083,3 +1083,45 @@ FROM orders WHERE o_orderkey % 50 = 0
 QUERIES["ch_star_modifiers"] = Query(
     ch_star_modifiers, CH_STAR_MODIFIERS_ORACLE, ("dialect", "clause")
 )
+
+
+def engine_ttl_lifecycle(spark, sf_dir):
+    """TTL lifecycle driver row: rows whose TTL expression is a fixed
+    far-future timestamp survive OPTIMIZE, rows expiring at their (1990s)
+    order date are deleted — deterministic despite TTL comparing against
+    now().  Also exercises the DDL ORDER BY default compaction sort and
+    OPTIMIZE FINAL spelling."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ttl_ord_src")
+    eng.sql("drop table if exists t_ttl_q")
+    eng.sql(
+        "create table t_ttl_q(ok Int64, od DateTime) engine = MergeTree "
+        "order by ok "
+        "ttl multiIf(ok % 3 = 0, toDateTime('2099-01-01 00:00:00'), od)"
+    )
+    eng.sql(
+        "insert into t_ttl_q select o_orderkey, o_orderdate "
+        "from ttl_ord_src where o_orderkey % 50 = 0"
+    )
+    eng.sql("optimize table t_ttl_q final")
+    out = eng.sql(
+        "select count(*) as n, sum(ok) as s, min(ok) as mn, max(ok) as mx "
+        "from t_ttl_q"
+    )
+    return out
+
+
+ENGINE_TTL_ORACLE = """
+SELECT count(*)                      AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS s,
+       CAST(min(o_orderkey) AS BIGINT) AS mn,
+       CAST(max(o_orderkey) AS BIGINT) AS mx
+FROM orders WHERE o_orderkey % 50 = 0 AND o_orderkey % 3 = 0
+"""
+
+
+QUERIES["engine_ttl_lifecycle"] = Query(
+    engine_ttl_lifecycle, ENGINE_TTL_ORACLE, ("engine", "ddl", "ttl")
+)

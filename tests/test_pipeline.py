@@ -929,3 +929,57 @@ def test_temperature_sample_threshold_map_only(spark):
         ).groupBy("lang").agg(F.count("*").alias("n")).collect()
     }
     assert again == got
+
+
+def test_mixture_to_budget_quotas_and_determinism(spark):
+    """mixture_to_budget: per-stratum tokens stay within one doc of the
+    quota, unweighted strata contribute nothing, and the kept set is
+    identical on re-run (hash-ordered greedy, no rand())."""
+    from pyspark.sql import functions as F
+
+    from tensorbase_spark.pipeline import sampling
+    from tensorbase_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    toks = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), F.lit(" "), F.lit("")))
+        + F.lit(1)
+    )
+    weights = {"src0": 0.6, "src1": 0.4}
+    s = sampling.mixture_to_budget(
+        docs, stratum="source", key="doc_id", n_tokens=toks,
+        weights=weights, budget=800,
+    )
+    per = {
+        r.source: (r.n, r.t, r.ids)
+        for r in s.groupBy("source").agg(
+            F.count("*").alias("n"),
+            F.sum("n_tokens").alias("t"),
+            F.sum("doc_id").alias("ids"),
+        ).collect()
+    }
+    assert set(per) <= {"src0", "src1"}  # unweighted strata excluded
+    max_doc = {
+        r.source: r.m
+        for r in docs.withColumn("nt", toks)
+        .groupBy("source").agg(F.max("nt").alias("m")).collect()
+    }
+    for src, q in (("src0", 480.0), ("src1", 320.0)):
+        n, t, _ = per[src]
+        assert t < q + max_doc[src], (src, t, q)  # overrun < one doc
+        # greedy fills the quota unless the stratum ran out of docs
+        total = docs.filter(F.col("source") == src).count()
+        assert t >= min(q, total) - max_doc[src] or n == total
+    again = {
+        r.source: (r.n, r.t, r.ids)
+        for r in sampling.mixture_to_budget(
+            docs, stratum="source", key="doc_id", n_tokens=toks,
+            weights=weights, budget=800,
+        ).groupBy("source").agg(
+            F.count("*").alias("n"),
+            F.sum("n_tokens").alias("t"),
+            F.sum("doc_id").alias("ids"),
+        ).collect()
+    }
+    assert again == per
