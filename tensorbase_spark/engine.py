@@ -1793,18 +1793,48 @@ class TensorBaseEngine:
         mutations have (rewrite touched parts, not the table)."""
         m = re.match(
             r"(?is)^alter\s+table\s+(?P<name>[\w.]+)\s+"
-            r"(?P<kind>delete|update|add\s+column|drop\s+column|rename\s+column)"
-            r"\s+(?P<rest>.+)$",
+            r"(?P<kind>delete|update|add\s+column|drop\s+column|rename\s+column"
+            r"|modify\s+column|modify\s+ttl|materialize\s+ttl)"
+            r"(?:\s+(?P<rest>.+))?$",
             c,
         )
         if not m:
             raise ValueError(f"cannot parse: {c}")
         name = self._qualify(m.group("name"))
         kind = re.sub(r"\s+", " ", m.group("kind").lower())
-        rest = m.group("rest").strip()
+        rest = (m.group("rest") or "").strip()
 
-        if kind in ("drop column", "rename column"):
+        if kind in ("drop column", "rename column", "modify column"):
             return self._alter_columns(name, kind, rest)
+
+        if kind == "modify ttl":
+            if not rest:
+                raise ValueError("ALTER ... MODIFY TTL needs an expression")
+            ttl = rest.replace("'", "''")
+            self.spark.sql(
+                f"ALTER TABLE {name} SET TBLPROPERTIES ('tb.ttl' = '{ttl}')"
+            )
+            script = self._create_scripts.get(name)
+            if script:  # SHOW CREATE TABLE stays authoritative
+                if _TTL_DDL_RE.search(script):
+                    script = _TTL_DDL_RE.sub(f"ttl {rest} ", script).rstrip()
+                else:
+                    sm0 = _SETTINGS_RE.search(script)
+                    if sm0:
+                        script = (
+                            script[: sm0.start()].rstrip()
+                            + f" ttl {rest} "
+                            + script[sm0.start():]
+                        )
+                    else:
+                        script = script.rstrip() + f" ttl {rest}"
+                self._create_scripts[name] = script
+            return self.spark.sql("SELECT 1 AS ok")
+
+        if kind == "materialize ttl":
+            # apply the expiry now: the same rewrite OPTIMIZE performs (CH
+            # MATERIALIZE TTL also rewrites affected parts)
+            return self._optimize(f"optimize table {name}")
 
         if kind == "add column":
             toks = rest.split(None, 1)
@@ -1939,8 +1969,9 @@ class TensorBaseEngine:
 
     def _alter_columns(self, name: str, kind: str, rest: str) -> DataFrame:
         """CH light-weight schema changes beyond ADD COLUMN:
-        ``DROP COLUMN col`` / ``RENAME COLUMN old TO new`` (upstream-CH;
-        the reference's meta layer is create/drop-table only, mgmt.rs).
+        ``DROP COLUMN col`` / ``RENAME COLUMN old TO new`` /
+        ``MODIFY COLUMN col NewType`` (upstream-CH; the reference's meta
+        layer is create/drop-table only, mgmt.rs).
 
         Key columns are refused like CH refuses mutating its partition /
         sorting keys: the partition-expr source column and any bucket_by
@@ -1957,8 +1988,16 @@ class TensorBaseEngine:
                 f"{name}: ALTER {kind.upper()} requires an engine-created "
                 "table (no stored create script)"
             )
+        new_type = None
         if kind == "drop column":
             old, new = rest.split()[0].strip(), None
+        elif kind == "modify column":
+            mm = re.match(r"(?is)^(?P<col>\w+)\s+(?P<typ>.+?)\s*$", rest)
+            if not mm:
+                raise ValueError(f"cannot parse: MODIFY COLUMN {rest!r}")
+            old, new = mm.group("col"), None
+            new_type = mm.group("typ")
+            parse_bql_type(new_type)  # validate before any rewrite
         else:
             rm = re.match(r"(?is)^(?P<old>\w+)\s+to\s+(?P<new>\w+)\s*$", rest)
             if not rm:
@@ -1997,6 +2036,8 @@ class TensorBaseEngine:
                 hit = True
                 if kind == "rename column":
                     new_parts.append(f"{new} {toks[1]}")
+                elif kind == "modify column":
+                    new_parts.append(f"{toks[0]} {new_type}")
             else:
                 new_parts.append(part)
         if not hit:
@@ -2020,11 +2061,17 @@ class TensorBaseEngine:
 
         df = self.spark.table(name)
         actual = next(c2 for c2 in df.columns if c2.lower() == old.lower())
-        new_df = (
-            df.drop(actual)
-            if kind == "drop column"
-            else df.withColumnRenamed(actual, new)
-        )
+        if kind == "drop column":
+            new_df = df.drop(actual)
+        elif kind == "modify column":
+            # ANSI off: an unconvertible value becomes NULL, the documented
+            # lenient-cast contract of the toT-OrNull family
+            new_df = df.withColumn(
+                actual,
+                F.col(actual).cast(parse_bql_type(new_type).spark_type),
+            )
+        else:
+            new_df = df.withColumnRenamed(actual, new)
         stage = (
             f"{self.spark.conf.get('spark.sql.warehouse.dir')}/alter_cols_stage_tmp"
         )

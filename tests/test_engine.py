@@ -748,6 +748,33 @@ def test_with_totals_rewrite_and_exec(engine):
     assert got == {("x", 3), ("y", 10), (None, 13)}
 
 
+def test_modify_column_and_ttl(engine):
+    """ALTER TABLE MODIFY COLUMN retypes data under the same layout (lenient
+    cast: unconvertible -> NULL); MODIFY TTL swaps the expiry expression and
+    MATERIALIZE TTL applies it immediately."""
+    import pytest
+
+    engine.sql("create table mc_t(k Int64, v String, d DateTime)")
+    engine.sql(
+        "insert into mc_t values (1, '10', '2020-01-01 00:00:00'), "
+        "(2, 'xx', '2099-01-01 00:00:00')"
+    )
+    engine.sql("alter table mc_t modify column v Int64")
+    rows = {r.k: r.v for r in engine.sql("select k, v from mc_t").collect()}
+    assert rows == {1: 10, 2: None}  # lenient cast
+    descs = {r.col_name: r.data_type for r in engine.sql("desc table mc_t").collect()}
+    assert descs["v"].lower() in ("int64", "bigint")
+    with pytest.raises(Exception, match="no such column"):
+        engine.sql("alter table mc_t modify column nope Int64")
+
+    engine.sql("alter table mc_t modify ttl d + interval 1 day")
+    stmt = engine.sql("show create table mc_t").collect()[0].statement
+    assert "ttl d + interval 1 day" in stmt.lower()
+    engine.sql("alter table mc_t materialize ttl")
+    assert [r.k for r in engine.sql("select k from mc_t").collect()] == [2]
+    engine.sql("drop table mc_t")
+
+
 def test_ttl_and_ddl_order_by(engine):
     """MergeTree DDL tail: TTL expr deletes expired rows at OPTIMIZE
     (CH's merge-time TTL — rows linger until a merge; OPTIMIZE FINAL
