@@ -204,6 +204,15 @@ def _preprocess_ch_clauses(sql: str) -> str:
         r"* except (\1)",
         out,
     )
+    # CH/MySQL `LIMIT offset, count` -> standard LIMIT count OFFSET offset
+    # (the LIMIT n BY cols clause has no comma between numbers, so the
+    # two-number comma form is unambiguous; the rare offset form OF LIMIT BY
+    # is excluded by the BY lookahead)
+    out = re.sub(
+        r"(?is)\blimit\s+(\d+)\s*,\s*(\d+)(?!\s*by\b)",
+        r"limit \2 offset \1",
+        out,
+    )
     # CH join-strictness word order: SEMI/ANTI LEFT JOIN -> Spark's native
     # LEFT SEMI/ANTI JOIN
     out = re.sub(r"(?is)\b(semi|anti)\s+left\s+join\b", r"left \1 join", out)

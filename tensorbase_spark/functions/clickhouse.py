@@ -1072,3 +1072,18 @@ CH_SQL_TEMPLATES.update(
         "anysimplestate": "any_value({0})",
     }
 )
+
+
+# Sketch-family aliases: CH's alternative approximate backends all map to
+# Spark's HLL++ / t-digest equivalents (explicitly-approximate contract).
+CH_SQL_TEMPLATES.update(
+    {
+        "uniqtheta": "approx_count_distinct({0})",
+    }
+)
+CH_PARAMETRIC_TEMPLATES.update(
+    {
+        "quantiledeterministic": lambda p, a: f"percentile({a[0]}, {p[0]})",
+        "quantilebfloat16": lambda p, a: f"approx_percentile({a[0]}, {p[0]}, 10000)",
+    }
+)

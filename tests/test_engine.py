@@ -748,6 +748,25 @@ def test_with_totals_rewrite_and_exec(engine):
     assert got == {("x", 3), ("y", 10), (None, 13)}
 
 
+def test_limit_offset_group_by_all(engine):
+    """CH `LIMIT offset, count` rewrites to LIMIT/OFFSET; GROUP BY ALL and
+    ORDER BY ALL pass through to Spark's native forms; LIMIT n BY is
+    untouched by the comma rewrite."""
+    engine.spark.sql(
+        "select * from values (1,'a'),(2,'a'),(3,'b'),(4,'b'),(5,'c') as t(k, g)"
+    ).createOrReplaceTempView("lim_src")
+    assert [r.k for r in engine.sql(
+        "select k from lim_src order by k limit 1, 2"
+    ).collect()] == [2, 3]
+    rows = engine.sql(
+        "select g, count(*) as n from lim_src group by all order by all"
+    ).collect()
+    assert [(r.g, r.n) for r in rows] == [("a", 2), ("b", 2), ("c", 1)]
+    assert sorted(r.k for r in engine.sql(
+        "select k, g from lim_src order by k limit 1 by g"
+    ).collect()) == [1, 3, 5]
+
+
 def test_modify_column_and_ttl(engine):
     """ALTER TABLE MODIFY COLUMN retypes data under the same layout (lenient
     cast: unconvertible -> NULL); MODIFY TTL swaps the expiry expression and
