@@ -928,6 +928,8 @@ class TensorBaseEngine:
         self._mv_depth = 0
         # upstream-CH external dictionaries: qualified name -> spec
         self._dicts: dict[str, DictionarySpec] = {}
+        # system.query_log rows: (event_time, query, kind, type, exc, ms)
+        self._query_log: list[tuple] = []
 
     def bootstrap_system(self) -> None:
         """Create the ``system`` database + empty ``system.numbers (number
@@ -1080,6 +1082,36 @@ class TensorBaseEngine:
     )
 
     def sql(self, command: str) -> DataFrame:
+        """Run one dialect command and log it into ``system.query_log``
+        (upstream-CH's query journal; one row per top-level engine.sql call
+        with kind/status/elapsed — SELECTs log dispatch+planning time, since
+        Spark DataFrames execute lazily at the caller's action; documented
+        difference vs CH's completion-time rows)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        km = re.match(r"\s*([A-Za-z]+)", command or "")
+        kind = km.group(1).lower() if km else ""
+        try:
+            out = self._dispatch(command)
+        except Exception as e:
+            self._query_log.append(
+                (
+                    _dt.datetime.now(), command.strip(), kind,
+                    "ExceptionBeforeStart", type(e).__name__,
+                    round((_time.perf_counter() - t0) * 1000, 3),
+                )
+            )
+            raise
+        self._query_log.append(
+            (
+                _dt.datetime.now(), command.strip(), kind, "QueryFinish",
+                None, round((_time.perf_counter() - t0) * 1000, 3),
+            )
+        )
+        return out
+
+    def _dispatch(self, command: str) -> DataFrame:
         c = command.strip().rstrip(";").strip()
         if re.match(r"(?is)^(select|with)\b", c):
             # ClickHouse export surface: SELECT ... INTO OUTFILE 'p' [FORMAT x]
@@ -1087,7 +1119,7 @@ class TensorBaseEngine:
             # FORMAT as a wire directive)
             ofm = self._OUTFILE_RE.search(c)
             if ofm:
-                df = self.sql(c[: ofm.start()])
+                df = self._dispatch(c[: ofm.start()])
                 fmt = (ofm.group("f") or "csvwithnames").lower()
                 path = ofm.group("p")
                 w = df.write.mode("overwrite")
@@ -1133,6 +1165,13 @@ class TensorBaseEngine:
                 c = re.sub(
                     r"(?is)\bsystem\.(tables|columns)\b",
                     r"global_temp.tb_system_\1",
+                    c,
+                )
+            if re.search(r"(?is)\bsystem\.query_log\b", c):
+                self._refresh_query_log()
+                c = re.sub(
+                    r"(?is)\bsystem\.query_log\b",
+                    "global_temp.tb_system_query_log",
                     c,
                 )
         low = c.lower()
@@ -1784,6 +1823,19 @@ class TensorBaseEngine:
             self.insert_df(
                 tgt, block.sparkSession.sql(self._translate_query(sel_block))
             )
+
+    _QUERY_LOG_SCHEMA = (
+        "event_time timestamp, query string, query_kind string, "
+        "type string, exception string, query_duration_ms double"
+    )
+
+    def _refresh_query_log(self) -> None:
+        """Materialize ``system.query_log`` from this engine's in-memory
+        journal (bounded: one tuple per top-level sql() call; the current
+        query is appended after dispatch, so it never sees itself)."""
+        self.spark.createDataFrame(
+            self._query_log, self._QUERY_LOG_SCHEMA
+        ).createOrReplaceGlobalTempView("tb_system_query_log")
 
     def _alter(self, c: str) -> DataFrame:
         """ClickHouse mutations + light schema evolution (upstream-CH

@@ -1125,3 +1125,43 @@ FROM orders WHERE o_orderkey % 50 = 0 AND o_orderkey % 3 = 0
 QUERIES["engine_ttl_lifecycle"] = Query(
     engine_ttl_lifecycle, ENGINE_TTL_ORACLE, ("engine", "ddl", "ttl")
 )
+
+
+def engine_query_log(spark, sf_dir):
+    """system.query_log introspection (upstream-CH query journal; the
+    reference has no system tables at all): a FRESH engine runs a fixed
+    command sequence — including one failing statement — then aggregates
+    its own log by (kind, type).  Timestamps/durations are excluded from
+    the hashed output; the (kind, type, count) contract is deterministic.
+    The log query itself is appended AFTER dispatch, so it never counts
+    itself."""
+    eng = TensorBaseEngine(spark)
+    eng.sql("drop table if exists qlog_seq_t")
+    eng.sql("create table qlog_seq_t(k Int64)")
+    eng.sql("insert into qlog_seq_t values (1), (2)")
+    eng.sql("select count(*) as n from qlog_seq_t")
+    try:
+        eng.sql("select dictGet('no_such_dict', 'a', 1)")
+    except ValueError:
+        pass
+    eng.sql("drop table qlog_seq_t")
+    return eng.sql(
+        "select query_kind, type, count(*) as n from system.query_log "
+        "group by query_kind, type"
+    )
+
+
+ENGINE_QUERY_LOG_ORACLE = """
+SELECT * FROM (VALUES
+  ('create', 'QueryFinish', CAST(1 AS BIGINT)),
+  ('drop',   'QueryFinish', CAST(2 AS BIGINT)),
+  ('insert', 'QueryFinish', CAST(1 AS BIGINT)),
+  ('select', 'ExceptionBeforeStart', CAST(1 AS BIGINT)),
+  ('select', 'QueryFinish', CAST(1 AS BIGINT))
+) AS t(query_kind, type, n)
+"""
+
+
+QUERIES["engine_query_log"] = Query(
+    engine_query_log, ENGINE_QUERY_LOG_ORACLE, ("engine", "introspection")
+)

@@ -748,6 +748,46 @@ def test_with_totals_rewrite_and_exec(engine):
     assert got == {("x", 3), ("y", 10), (None, 13)}
 
 
+def test_system_query_log(engine):
+    """system.query_log: one row per top-level sql() call with kind/type/
+    duration; failed statements log ExceptionBeforeStart with the exception
+    class; the log query never counts itself."""
+    import pytest
+
+    base = {
+        (r.query_kind, r.type): r.n
+        for r in engine.sql(
+            "select query_kind, type, count(*) as n from system.query_log "
+            "group by query_kind, type"
+        ).collect()
+    }
+    engine.sql("select 41 as x")
+    with pytest.raises(ValueError):
+        engine.sql("select dictGet('qlg_missing', 'a', 1)")
+    after = {
+        (r.query_kind, r.type): r.n
+        for r in engine.sql(
+            "select query_kind, type, count(*) as n from system.query_log "
+            "group by query_kind, type"
+        ).collect()
+    }
+    # +1 finished select (the base log query itself) +1 ok +1 failed
+    assert after[("select", "QueryFinish")] == base.get(("select", "QueryFinish"), 0) + 2
+    assert (
+        after[("select", "ExceptionBeforeStart")]
+        == base.get(("select", "ExceptionBeforeStart"), 0) + 1
+    )
+    exc = engine.sql(
+        "select exception from system.query_log "
+        "where type = 'ExceptionBeforeStart' order by event_time desc limit 1"
+    ).collect()[0].exception
+    assert exc == "ValueError"
+    dur = engine.sql(
+        "select min(query_duration_ms) as m from system.query_log"
+    ).collect()[0].m
+    assert dur >= 0.0
+
+
 def test_limit_offset_group_by_all(engine):
     """CH `LIMIT offset, count` rewrites to LIMIT/OFFSET; GROUP BY ALL and
     ORDER BY ALL pass through to Spark's native forms; LIMIT n BY is
