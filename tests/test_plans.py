@@ -246,3 +246,15 @@ def test_incremental_dedup_single_batch_shuffle(spark, queries):
     )
     assert n_md5_exchanges <= 2, plan  # batch side + store join side
     assert "EvalPython" not in plan
+
+
+def test_dictionary_lookup_no_corpus_join(spark, queries):
+    """dictGet must NOT join the corpus: each lookup is an uncorrelated
+    scalar subquery whose map result inlines into the expressions, so the
+    main plan over customer has zero join nodes and shuffles only for its
+    own GROUP BY."""
+    plan = _formatted(spark, queries["ch_dictionary_lookup"](spark, SF))
+    main = plan.split("===== Subqueries =====")[0]
+    assert "Join" not in main, main
+    assert "Subquery" in plan  # the dictionary-map subqueries exist
+    assert "EvalPython" not in plan
