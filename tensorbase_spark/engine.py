@@ -892,6 +892,44 @@ class DictionarySpec:
     attrs: dict              # attr -> (bql_type_lower, default_sql | None)
 
 
+@dataclass(frozen=True)
+class ProjectionSpec:
+    """A ClickHouse aggregate projection emulated as a hidden pre-aggregated
+    table + automatic query rewrite (upstream-CH; the reference has no
+    projections).
+
+    CH stores per-part pre-aggregated projection data and re-aggregates at
+    read; here the hidden table accumulates one PARTIAL row-group per
+    inserted block (maintained through the same insert-trigger machinery as
+    materialized views), and a matching GROUP BY query is rewritten to
+    re-aggregate the partials — sum->sum, count->sum, min->min, max->max.
+    Re-aggregation is what makes COARSER group-bys (any subset of the
+    projection dims) eligible, which is the projection's whole point: the
+    rewritten scan reads |groups| rows instead of |table| rows.  The
+    rewrite is conservative — any shape it cannot prove (joins, subqueries,
+    non-dim filters, unsupported aggregates, missing aliases) falls back to
+    the base table, so it can never change results, only plans."""
+
+    name: str
+    table: str               # hidden projection table
+    dims: tuple              # dimension columns (lowercase)
+    # normalized agg expr "sum(x)"/"count(*)" -> (partial col, merge fn)
+    aggs: dict
+
+
+_ADD_PROJ_RE = re.compile(
+    r"(?is)^(?P<kind>add|materialize|drop)\s+projection\s+(?P<p>\w+)"
+    r"(?:\s*\(\s*select\s+(?P<items>.+?)\s+group\s+by\s+(?P<dims>.+?)\s*\)\s*)?$"
+)
+
+
+def _norm_agg(expr: str) -> str:
+    """Canonical text of an aggregate call: lowercase, no spaces,
+    count()/count(1) -> count(*)."""
+    e = re.sub(r"\s+", "", expr.lower())
+    return "count(*)" if e in ("count()", "count(1)") else e
+
+
 _CREATE_DICT_RE = re.compile(
     r"(?is)^create\s+dictionary\s+(?P<ine>if\s+not\s+exists\s+)?"
     r"(?P<name>[\w.]+)\s*\((?P<cols>.*)\)\s*"
@@ -930,6 +968,8 @@ class TensorBaseEngine:
         self._dicts: dict[str, DictionarySpec] = {}
         # system.query_log rows: (event_time, query, kind, type, exc, ms)
         self._query_log: list[tuple] = []
+        # CH projections: src table -> [ProjectionSpec]
+        self._projections: dict[str, list[ProjectionSpec]] = {}
 
     def bootstrap_system(self) -> None:
         """Create the ``system`` database + empty ``system.numbers (number
@@ -1564,7 +1604,11 @@ class TensorBaseEngine:
         kind = m.group("kind").upper()
         name = m.group("name")
         if kind == "TABLE":
-            self._partition_specs.pop(self._qualify(name), None)
+            q = self._qualify(name)
+            self._partition_specs.pop(q, None)
+            for spec in self._projections.pop(q, []):  # projections die too
+                self.spark.sql(f"DROP TABLE IF EXISTS {spec.table}")
+            self._mvs.pop(q, None)
             return self.spark.sql(f"DROP TABLE {ie}{name}")
         if kind == "VIEW":
             return self.spark.sql(f"DROP VIEW {ie}{name}")
@@ -1824,6 +1868,195 @@ class TensorBaseEngine:
                 tgt, block.sparkSession.sql(self._translate_query(sel_block))
             )
 
+    _PROJ_MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+    def _alter_projection(self, name: str, verb: str, rest: str) -> DataFrame:
+        """``ALTER TABLE t ADD PROJECTION p (SELECT dims..., aggs... GROUP
+        BY dims)`` / ``DROP PROJECTION p`` / ``MATERIALIZE PROJECTION p``
+        (see ProjectionSpec).  ADD builds the hidden table from existing
+        data immediately (CH defers to MATERIALIZE; eager is the simpler
+        contract) and registers maintenance through the MV trigger path —
+        every subsequent insert appends one partial row-group."""
+        pm = re.match(
+            r"(?is)^(?P<p>\w+)\s*(?:\(\s*(?P<body>select\s+.+)\)\s*)?$",
+            rest or "",
+        )
+        if not pm:
+            raise ValueError(f"cannot parse: {verb.upper()} PROJECTION {rest!r}")
+        p = pm.group("p")
+        mv_name = f"{name}__proj_{p}"
+        existing = [s for s in self._projections.get(name, []) if s.name == p]
+
+        if verb == "drop":
+            if not existing:
+                raise ValueError(f"{name}: no such projection {p}")
+            spec = existing[0]
+            self._projections[name] = [
+                s for s in self._projections[name] if s.name != p
+            ]
+            self._mvs[name] = [
+                t for t in self._mvs.get(name, []) if t[0] != mv_name
+            ]
+            self.spark.sql(f"DROP TABLE IF EXISTS {spec.table}")
+            return self.spark.sql("SELECT 1 AS ok")
+
+        if verb == "materialize":
+            if not existing:
+                raise ValueError(f"{name}: no such projection {p}")
+            spec = existing[0]
+            sel = next(t[2] for t in self._mvs[name] if t[0] == mv_name)
+            # unregister during the rebuild so the SELECT reads the BASE
+            # table (the projection rewrite would otherwise route it to the
+            # very table being overwritten)
+            all_specs = self._projections[name]
+            self._projections[name] = [s for s in all_specs if s.name != p]
+            try:
+                self.spark.sql(self._translate_query(sel)).write.mode(
+                    "overwrite"
+                ).saveAsTable(spec.table)
+            finally:
+                self._projections[name] = all_specs
+            return self.spark.sql("SELECT 1 AS ok")
+
+        # ADD
+        if existing:
+            raise ValueError(f"{name}: projection {p} already exists")
+        bm = re.match(
+            r"(?is)^select\s+(?P<items>.+?)\s+group\s+by\s+(?P<dims>.+)$",
+            (pm.group("body") or "").strip(),
+        )
+        if not bm:
+            raise ValueError(
+                "ADD PROJECTION needs (SELECT dims..., aggs... GROUP BY dims)"
+            )
+        dims = []
+        for d in _split_depth0(bm.group("dims")):
+            if not re.match(r"^[A-Za-z_]\w*$", d.strip()):
+                raise ValueError(
+                    f"projection dims must be plain columns: {d!r}"
+                )
+            dims.append(d.strip().lower())
+        aggs: dict = {}
+        sel_items = []
+        for it in _split_top_level_args(bm.group("items")):
+            s = it.strip()
+            if s.lower() in dims:
+                sel_items.append(s)
+                continue
+            am = re.match(
+                r"(?is)^(?P<fn>sum|count|min|max)\s*\((?P<arg>[^()]*|\*)\)"
+                r"(?:\s+as\s+(?P<alias>\w+))?$",
+                s,
+            )
+            if not am:
+                raise ValueError(
+                    f"projection aggregates support sum/count/min/max: {s!r}"
+                )
+            fn = am.group("fn").lower()
+            key = _norm_agg(f"{fn}({am.group('arg')})")
+            arg_id = re.sub(r"\W+", "_", am.group("arg").strip()) or "all"
+            alias = am.group("alias") or (
+                "cnt_all" if key == "count(*)" else f"{fn}_{arg_id}"
+            )
+            aggs[key] = (alias, self._PROJ_MERGE[fn])
+            sel_items.append(f"{key} as {alias}")
+        proj_table = f"{name}__proj_{p}"
+        sel = (
+            f"select {', '.join(sel_items)} from {name} "
+            f"group by {', '.join(dims)}"
+        )
+        # no projection named p is registered on THIS engine, so any
+        # same-named hidden table is stale debris from a previous engine
+        # instance (projection registries are per-engine, like _mvs)
+        self.spark.sql(f"DROP TABLE IF EXISTS {proj_table}")
+        self.spark.sql(self._translate_query(sel)).write.saveAsTable(proj_table)
+        self._projections.setdefault(name, []).append(
+            ProjectionSpec(p, proj_table, tuple(dims), aggs)
+        )
+        # maintenance rides the MV trigger: per-block partial append
+        self._mvs.setdefault(name, []).append((mv_name, proj_table, sel, name))
+        return self.spark.sql("SELECT 1 AS ok")
+
+    _PROJ_Q_RE = re.compile(
+        r"(?is)^\s*select\s+(?P<items>.+?)\s+from\s+(?P<tbl>[A-Za-z_][\w.]*)"
+        r"(?:\s+where\s+(?P<w>.+?))?"
+        r"\s+group\s+by\s+(?P<g>.+?)"
+        r"(?P<rest>\s+(?:having|order\s+by|limit)\b.*)?$"
+    )
+    _PROJ_COND_WORDS = frozenset(
+        "and or not in between like is null true false".split()
+    )
+
+    def _try_projection_rewrite(self, q: str) -> str:
+        """Automatic projection use (see ProjectionSpec): rewrite a simple
+        single-table GROUP BY over a projection's dims to re-aggregate the
+        hidden partial table.  Conservative by construction — any shape it
+        cannot prove falls back to the base table."""
+        if re.search(r"(?is)\b(join|union|intersect|except|distinct)\b", q):
+            return q
+        if re.search(r"(?is)\(\s*select\b", q):
+            return q
+        m = self._PROJ_Q_RE.match(q)
+        if not m:
+            return q
+        specs = self._projections.get(self._qualify(m.group("tbl")))
+        if not specs:
+            return q
+        gcols = [c.strip().lower() for c in _split_depth0(m.group("g"))]
+        items = _split_top_level_args(m.group("items"))
+        rest = m.group("rest") or ""
+        if "(" in rest:  # raw agg exprs in HAVING/ORDER would not re-agg
+            return q
+        w = m.group("w")
+        for spec in specs:
+            if not set(gcols) <= set(spec.dims):
+                continue
+            if w is not None:
+                idents = {
+                    t.lower()
+                    for t in re.findall(
+                        r"[A-Za-z_]\w*", re.sub(r"'[^']*'", "", w)
+                    )
+                } - self._PROJ_COND_WORDS
+                if not idents <= set(spec.dims):
+                    continue  # non-dim filter: partials would double-count
+            new_items, ok = [], True
+            for it in items:
+                s = it.strip()
+                dm = re.match(r"(?is)^([A-Za-z_]\w*)(\s+as\s+\w+)?$", s)
+                if dm and dm.group(1).lower() in spec.dims:
+                    new_items.append(s)
+                    continue
+                am = re.match(r"(?is)^(?P<e>.+?)\s+as\s+(?P<a>\w+)$", s)
+                if not am:
+                    ok = False
+                    break
+                e = am.group("e").strip()
+                # round(agg, n) distributes over the merge — unwrap it
+                rm_ = re.match(
+                    r"(?is)^round\s*\(\s*(?P<inner>.+)\s*,\s*(?P<n>\d+)\s*\)$", e
+                )
+                inner = rm_.group("inner") if rm_ else e
+                hit = spec.aggs.get(_norm_agg(inner))
+                if not hit:
+                    ok = False
+                    break
+                pcol, mfn = hit
+                expr = f"{mfn}({pcol})"
+                if _norm_agg(inner).startswith("count("):
+                    expr = f"cast({expr} as bigint)"
+                if rm_:
+                    expr = f"round({expr}, {rm_.group('n')})"
+                new_items.append(f"{expr} as {am.group('a')}")
+            if not ok:
+                continue
+            where_sql = f" where {w}" if w else ""
+            return (
+                f"select {', '.join(new_items)} from {spec.table}"
+                f"{where_sql} group by {m.group('g')}{rest}"
+            )
+        return q
+
     _QUERY_LOG_SCHEMA = (
         "event_time timestamp, query string, query_kind string, "
         "type string, exception string, query_duration_ms double"
@@ -1855,7 +2088,8 @@ class TensorBaseEngine:
         m = re.match(
             r"(?is)^alter\s+table\s+(?P<name>[\w.]+)\s+"
             r"(?P<kind>delete|update|add\s+column|drop\s+column|rename\s+column"
-            r"|modify\s+column|modify\s+ttl|materialize\s+ttl)"
+            r"|modify\s+column|modify\s+ttl|materialize\s+ttl"
+            r"|add\s+projection|drop\s+projection|materialize\s+projection)"
             r"(?:\s+(?P<rest>.+))?$",
             c,
         )
@@ -1867,6 +2101,9 @@ class TensorBaseEngine:
 
         if kind in ("drop column", "rename column", "modify column"):
             return self._alter_columns(name, kind, rest)
+
+        if kind.endswith("projection"):
+            return self._alter_projection(name, kind.split()[0], rest)
 
         if kind == "modify ttl":
             if not rest:
@@ -2014,6 +2251,10 @@ class TensorBaseEngine:
             # table so rollups keep landing in the moved table.
             if src in self._mvs:
                 self._mvs[dst] = self._mvs.pop(src)
+            if src in self._projections:
+                # hidden projection tables keep their (derived) names; the
+                # registry key follows so rewrite + maintenance keep working
+                self._projections[dst] = self._projections.pop(src)
             for key, views in self._mvs.items():
                 self._mvs[key] = [
                     (mv, dst if tgt == src else tgt, sel, src_txt)
@@ -2609,6 +2850,8 @@ class TensorBaseEngine:
         q = _rewrite_array_join(_preprocess_ch_clauses(q.strip()))
         if _DICT_CALL_RE.search(q):
             q = self._rewrite_dict_funcs(q)
+        if self._projections:
+            q = self._try_projection_rewrite(q)
         if re.search(r"(?is)\bsample\s", q):
             q = self._rewrite_sample(q)
         q = translate_sql(q.strip())

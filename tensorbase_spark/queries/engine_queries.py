@@ -1093,9 +1093,8 @@ def engine_ttl_lifecycle(spark, sf_dir):
     OPTIMIZE FINAL spelling."""
     from tensorbase_spark.sources.tables import load_table
 
-    eng = TensorBaseEngine(spark)
+    eng = _fresh_engine(spark, sf_dir, "ttl")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("ttl_ord_src")
-    eng.sql("drop table if exists t_ttl_q")
     eng.sql(
         "create table t_ttl_q(ok Int64, od DateTime) engine = MergeTree "
         "order by ok "
@@ -1135,7 +1134,7 @@ def engine_query_log(spark, sf_dir):
     the hashed output; the (kind, type, count) contract is deterministic.
     The log query itself is appended AFTER dispatch, so it never counts
     itself."""
-    eng = TensorBaseEngine(spark)
+    eng = _fresh_engine(spark, sf_dir, "qlog")
     eng.sql("drop table if exists qlog_seq_t")
     eng.sql("create table qlog_seq_t(k Int64)")
     eng.sql("insert into qlog_seq_t values (1), (2)")
@@ -1153,6 +1152,7 @@ def engine_query_log(spark, sf_dir):
 
 ENGINE_QUERY_LOG_ORACLE = """
 SELECT * FROM (VALUES
+  ('use',    'QueryFinish', CAST(1 AS BIGINT)),
   ('create', 'QueryFinish', CAST(1 AS BIGINT)),
   ('drop',   'QueryFinish', CAST(2 AS BIGINT)),
   ('insert', 'QueryFinish', CAST(1 AS BIGINT)),
@@ -1164,4 +1164,56 @@ SELECT * FROM (VALUES
 
 QUERIES["engine_query_log"] = Query(
     engine_query_log, ENGINE_QUERY_LOG_ORACLE, ("engine", "introspection")
+)
+
+
+def engine_projection_rollup(spark, sf_dir):
+    """CH projections (ALTER TABLE ADD PROJECTION + automatic use; the
+    reference has none): a per-(status, priority) aggregate projection is
+    built over an orders copy, MORE rows are inserted (maintained through
+    the MV trigger as a partial row-group), then a COARSER per-status
+    rollup runs — the engine rewrites it to re-aggregate the hidden
+    partial table (plan-asserted in tests/test_plans.py; sum->sum,
+    count->sum merges).  The oracle computes the same rollup directly
+    from the base data, so the hash proves rewrite + partial maintenance
+    lose nothing."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "proj")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("proj_ord_src")
+    eng.sql(
+        "create table proj_orders_q(st String, pri String, price Float64)"
+    )
+    eng.sql(
+        "insert into proj_orders_q select o_orderstatus, o_orderpriority, "
+        "o_totalprice from proj_ord_src where o_orderkey % 2 = 0"
+    )
+    eng.sql(
+        "alter table proj_orders_q add projection by_st_pri "
+        "(select st, pri, sum(price) as sp, count(*) as c, "
+        "max(price) as mx group by st, pri)"
+    )
+    eng.sql(
+        "insert into proj_orders_q select o_orderstatus, o_orderpriority, "
+        "o_totalprice from proj_ord_src where o_orderkey % 2 = 1"
+    )
+    return eng.sql(
+        "select st, round(sum(price), 2) as total, count(*) as n, "
+        "round(max(price), 2) as mx "
+        "from proj_orders_q group by st"
+    )
+
+
+ENGINE_PROJECTION_ORACLE = """
+SELECT o_orderstatus AS st,
+       round(sum(o_totalprice), 2) AS total,
+       count(*)                    AS n,
+       round(max(o_totalprice), 2) AS mx
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES["engine_projection_rollup"] = Query(
+    engine_projection_rollup, ENGINE_PROJECTION_ORACLE,
+    ("engine", "ddl", "projection")
 )

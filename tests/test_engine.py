@@ -748,6 +748,55 @@ def test_with_totals_rewrite_and_exec(engine):
     assert got == {("x", 3), ("y", 10), (None, 13)}
 
 
+def test_projection_lifecycle_and_rewrite(engine):
+    """ADD PROJECTION builds + maintains a hidden partial table (inserts
+    after ADD flow through the MV trigger); matching GROUP BY queries —
+    including COARSER group-bys and dim-only filters — rewrite to
+    re-aggregate it (plan scans the hidden table); non-dim filters,
+    unsupported aggregates, and unaliased aggregates fall back to the base
+    table with identical results; MATERIALIZE rebuilds; DROP PROJECTION
+    and DROP TABLE clean up."""
+    import pytest
+
+    def plan_of(q):
+        return "\n".join(r[0] for r in engine.sql("explain " + q).collect())
+
+    engine.sql("create table prj_t(d1 String, d2 Int64, x Float64)")
+    engine.sql("insert into prj_t values ('a', 1, 10.0), ('a', 1, 20.0), ('b', 2, 5.0)")
+    engine.sql(
+        "alter table prj_t add projection p1 "
+        "(select d1, d2, sum(x) as sx, count(*) as c group by d1, d2)"
+    )
+    engine.sql("insert into prj_t values ('a', 1, 30.0), ('b', 3, 7.0)")
+
+    q = "select d1, sum(x) as sx, count(*) as n from prj_t group by d1 order by d1"
+    assert "__proj_p1" in plan_of(q)  # rewrite fired (coarser group-by)
+    assert [tuple(r) for r in engine.sql(q).collect()] == [
+        ("a", 60.0, 3), ("b", 12.0, 2)
+    ]
+    # dim filter stays eligible; non-dim filter falls back
+    qf = "select d2, sum(x) as sx from prj_t where d1 = 'a' group by d2"
+    assert "__proj_p1" in plan_of(qf)
+    assert [tuple(r) for r in engine.sql(qf).collect()] == [(1, 60.0)]
+    qx = "select d1, sum(x) as sx from prj_t where x > 6 group by d1 order by d1"
+    assert "__proj_p1" not in plan_of(qx)
+    assert [tuple(r) for r in engine.sql(qx).collect()] == [("a", 60.0), ("b", 7.0)]
+    assert "__proj_p1" not in plan_of("select d1, avg(x) as a from prj_t group by d1")
+
+    engine.sql("alter table prj_t materialize projection p1")
+    assert [tuple(r) for r in engine.sql(q).collect()] == [
+        ("a", 60.0, 3), ("b", 12.0, 2)
+    ]
+    with pytest.raises(Exception, match="already exists"):
+        engine.sql("alter table prj_t add projection p1 (select d1, count(*) as c group by d1)")
+    engine.sql("alter table prj_t drop projection p1")
+    assert "__proj_p1" not in plan_of(q)
+    assert [tuple(r) for r in engine.sql(q).collect()] == [
+        ("a", 60.0, 3), ("b", 12.0, 2)
+    ]
+    engine.sql("drop table prj_t")
+
+
 def test_system_query_log(engine):
     """system.query_log: one row per top-level sql() call with kind/type/
     duration; failed statements log ExceptionBeforeStart with the exception

@@ -258,3 +258,10 @@ def test_dictionary_lookup_no_corpus_join(spark, queries):
     assert "Join" not in main, main
     assert "Subquery" in plan  # the dictionary-map subqueries exist
     assert "EvalPython" not in plan
+
+
+def test_projection_rollup_scans_hidden_table(spark, queries):
+    """The coarser per-status rollup must be answered from the hidden
+    partial table, not the base table scan."""
+    plan = _formatted(spark, queries["engine_projection_rollup"](spark, SF))
+    assert "proj_orders_q__proj_by_st_pri" in plan, plan
