@@ -1087,3 +1087,28 @@ CH_PARAMETRIC_TEMPLATES.update(
         "quantilebfloat16": lambda p, a: f"approx_percentile({a[0]}, {p[0]}, 10000)",
     }
 )
+
+
+# Map/Tuple function family (upstream-CH; pairs with the Map(K,V)/Tuple
+# compound types in types.py).  All JVM built-ins.
+CH_SQL_TEMPLATES.update(
+    {
+        "mapkeys": "map_keys({0})",
+        "mapvalues": "map_values({0})",
+        "mapcontains": "array_contains(map_keys({0}), {1})",
+        "mapfromarrays": "map_from_arrays({0}, {1})",
+        "maplength": "size({0})",
+        # CH tuple(...) builds an unnamed tuple with positional elements;
+        # emit explicit _1.._n field names (matching the Tuple(...) DDL
+        # type's positional naming) so 1-based tupleElement resolves —
+        # Spark's bare struct() would name fields after source columns
+        "tuple": lambda args: "named_struct({})".format(
+            ", ".join(f"'_{i}', {a}" for i, a in enumerate(args, 1))
+        ),
+        "tupleelement": lambda args: (
+            f"({args[0]})._{args[1].strip()}"
+            if args[1].strip().isdigit()
+            else f"({args[0]}).{args[1].strip().strip(chr(39))}"
+        ),
+    }
+)

@@ -1217,3 +1217,43 @@ QUERIES["engine_projection_rollup"] = Query(
     engine_projection_rollup, ENGINE_PROJECTION_ORACLE,
     ("engine", "ddl", "projection")
 )
+
+
+def ch_map_tuple_funcs(spark, sf_dir):
+    """Map/Tuple function family through the dialect (pairs with the
+    Map/Tuple compound types): maps constructed from event columns, probed
+    with mapContains/mapValues/mapLength, tuples with 1-based
+    tupleElement.  The oracle recomputes every result column-wise from the
+    SOURCE columns, so the map/tuple semantics are what the hash
+    verifies."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ev_mt")
+    return eng.sql(
+        "select event_type, "
+        "countIf(mapContains(m, 'k1')) as n_k1, "
+        "round(sum(arraySum(mapValues(m))), 4) as sv, "
+        "sum(mapLength(m)) as ml, "
+        "max(tupleElement(tp, 2)) as mx_u "
+        "from (select event_type, "
+        "mapFromArrays(array(concat('k', toString(user_id % 3))), "
+        "array(value)) as m, "
+        "tuple(value, user_id) as tp "
+        "from ev_mt) group by event_type"
+    )
+
+
+CH_MAP_TUPLE_ORACLE = """
+SELECT event_type,
+       count(*) FILTER (WHERE user_id % 3 = 1) AS n_k1,
+       round(sum(value), 4)                    AS sv,
+       CAST(count(*) AS BIGINT)                AS ml,
+       CAST(max(user_id) AS BIGINT)            AS mx_u
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES["ch_map_tuple_funcs"] = Query(
+    ch_map_tuple_funcs, CH_MAP_TUPLE_ORACLE, ("dialect", "map", "tuple")
+)
