@@ -161,7 +161,16 @@ def _preprocess_ch_clauses(sql: str) -> str:
       totals row's key columns, grouping sets render NULL — the standard
       SQL marker.
     """
-    out = sql
+    # string literals are OPAQUE to every clause rewrite below: mask them
+    # behind \x00N\x00 placeholders first (a literal like 'from t final'
+    # must survive verbatim — property-tested in test_preprocess_props.py)
+    lits: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    out = re.sub(r"'(?:[^']|'')*'|\"[^\"]*\"", _mask, sql)
     # bind to the GROUP BY immediately preceding WITH TOTALS: a tempered
     # capture that cannot cross another GROUP BY, so a subquery/CTE group-by
     # earlier in the statement is never swallowed into the grouping sets
@@ -174,8 +183,8 @@ def _preprocess_ch_clauses(sql: str) -> str:
     # statement end; conservative regexes keep string literals intact by
     # requiring simple ident/number tokens)
     out = re.sub(
-        r"(?is)\bsettings\s+[A-Za-z_][\w]*\s*=\s*[\w.'\"-]+"
-        r"(?:\s*,\s*[A-Za-z_][\w]*\s*=\s*[\w.'\"-]+)*\s*(?=\bformat\b|$)",
+        r"(?is)\bsettings\s+[A-Za-z_][\w]*\s*=\s*[\w.'\"\x00-]+"
+        r"(?:\s*,\s*[A-Za-z_][\w]*\s*=\s*[\w.'\"\x00-]+)*\s*(?=\bformat\b|$)",
         " ",
         out,
     )
@@ -236,7 +245,7 @@ def _preprocess_ch_clauses(sql: str) -> str:
             out += f" where ({cond}) and ({c2}) " + rest[wm.end():]
         else:
             out += f" where {cond} " + rest
-    return out
+    return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], out)
 
 
 _ARRAY_JOIN_RE = re.compile(r"(?is)\b(left\s+)?array\s+join\b")
