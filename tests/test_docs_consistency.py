@@ -1,0 +1,39 @@
+"""The coverage ledger must match the registry (r3 verdict #3: stale totals
+in COVERAGE.md).  Parses the Totals line and compares against registry()."""
+
+from __future__ import annotations
+
+import re
+
+
+def test_coverage_totals_match_registry():
+    from tensorbase_spark.queries import registry
+
+    reg = registry()
+    text = open("COVERAGE.md").read()
+    m = re.search(
+        r"\*\*Totals:\s*(\d+)\s+driver queries,\s*(\d+)\s+with full DuckDB"
+        r"\s+value-hash oracles,\s*(\d+)\s+rows-only",
+        text,
+    )
+    assert m, "COVERAGE.md Totals line missing or reworded"
+    total, oracle, rows_only = (int(g) for g in m.groups())
+    assert total == len(reg), (total, len(reg))
+    n_oracle = sum(1 for q in reg.values() if q.oracle)
+    assert oracle == n_oracle, (oracle, n_oracle)
+    assert rows_only == len(reg) - n_oracle, (rows_only, len(reg) - n_oracle)
+
+
+def test_priority_head_names_exist():
+    from tensorbase_spark.queries import PRIORITY_HEAD, registry
+
+    reg = registry()
+    missing = [n for n in PRIORITY_HEAD if n not in reg]
+    assert not missing, f"PRIORITY_HEAD names not in registry: {missing}"
+
+
+def test_oracle_keys_subset_of_queries():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
