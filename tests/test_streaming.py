@@ -218,3 +218,59 @@ def test_stream_incremental_dedup_planted_dups(spark, tmp_path, monkeypatch):
     checksum = sum(r.id_checksum for r in rows)
     assert total == 4
     assert checksum == 0 + 2 + 4 + 5
+
+
+def test_stream_ingest_maintains_projection(spark):
+    """Projections ride the MV insert trigger, so STREAMING ingest through
+    foreachBatch -> engine.insert_df appends one partial row-group per
+    micro-batch to the hidden projection table; the rewritten rollup over
+    the streamed table equals the direct batch aggregate."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tensorbase_spark.queries.engine_queries import _fresh_engine
+    from tensorbase_spark.sources.tables import load_table
+    from tensorbase_spark.streaming.events import read_events_stream
+
+    sf = "/root/testdata/sf0.001"
+    eng = _fresh_engine(spark, sf, "sproj")
+    db = spark.catalog.currentDatabase()
+    eng.sql("create table spj_raw(typ String, u Int64, v Float64)")
+    eng.sql(
+        "alter table spj_raw add projection by_typ "
+        "(select typ, sum(v) as sv, count(*) as c group by typ)"
+    )
+    chk = "/tmp/tbs_stream_proj_chk"
+    shutil.rmtree(chk, ignore_errors=True)
+    ev = read_events_stream(spark, sf).select(
+        F.col("event_type").alias("typ"),
+        F.col("user_id").alias("u"),
+        F.col("value").alias("v"),
+    )
+
+    def sink(batch, _bid):
+        eng.insert_df(f"{db}.spj_raw", batch)
+
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    roll = "select typ, round(sum(v), 4) as sv, count(*) as n from spj_raw group by typ"
+    plan = "\n".join(r[0] for r in eng.sql("explain " + roll).collect())
+    assert "__proj_by_typ" in plan  # answered from the partial table
+    got = {(r.typ): (r.sv, r.n) for r in eng.sql(roll).collect()}
+    evb = load_table(spark, sf, "events")
+    want = {
+        r.typ: (r.sv, r.n)
+        for r in evb.groupBy(F.col("event_type").alias("typ"))
+        .agg(F.round(F.sum("value"), 4).alias("sv"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+    spark.catalog.setCurrentDatabase("default")
