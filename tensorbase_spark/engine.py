@@ -291,6 +291,45 @@ def _scan_depth0(sql: str, start: int, match_fn):
     return None
 
 
+_QUALIFY_RE = re.compile(r"(?is)\bqualify\b")
+_QUALIFY_TAIL_RE = re.compile(r"(?is)\b(order\s+by|limit|union)\b")
+_TOP_FROM_RE = re.compile(r"(?is)\bfrom\b")
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """``SELECT ... QUALIFY cond [ORDER BY/LIMIT ...]`` (the window-filter
+    clause ClickHouse/DuckDB/Snowflake share; the dedup idiom is
+    ``qualify row_number() over (...) = 1``).  Spark has no QUALIFY, but
+    the equivalent plan is one wrap: the condition becomes an extra select
+    item (lateral alias references and window functions are both legal
+    there), an outer ``* EXCEPT`` filters on it and drops it.  Only the
+    OUTERMOST query is rewritten (depth-0 scan, quotes respected);
+    ORDER BY/LIMIT after QUALIFY stay outside the wrap, so they see the
+    filtered rows — the QUALIFY contract.  Limitation: a select alias may
+    not appear INSIDE the window spec of the condition (Spark forbids
+    lateral alias references in window expressions) — reference the
+    underlying expression there instead."""
+    m = _scan_depth0(sql, 0, _QUALIFY_RE.match)
+    if m is None:
+        return sql
+    head = sql[: m.start()].rstrip()
+    after = sql[m.end():]
+    tm = _scan_depth0(after, 0, _QUALIFY_TAIL_RE.match)
+    cond = after[: tm.start()].strip() if tm else after.strip()
+    rest = " " + after[tm.start():].strip() if tm else ""
+    fm = _scan_depth0(head, 0, _TOP_FROM_RE.match)
+    if fm is None:
+        raise ValueError("QUALIFY requires a FROM clause")
+    inner = (
+        head[: fm.start()].rstrip()
+        + f", ({cond}) as __qualify "
+        + head[fm.start():]
+    )
+    return (
+        f"select * except (__qualify) from ({inner}) where __qualify{rest}"
+    )
+
+
 def _replace_ident_outside_subqueries(sql: str, ident: str, repl: str) -> str:
     """Replace bare (unqualified, non-call) references to ``ident`` with
     ``repl`` everywhere except inside string literals and inside
@@ -2861,6 +2900,8 @@ class TensorBaseEngine:
             q = self._rewrite_dict_funcs(q)
         if self._projections:
             q = self._try_projection_rewrite(q)
+        if _QUALIFY_RE.search(q):
+            q = _rewrite_qualify(q)
         if re.search(r"(?is)\bsample\s", q):
             q = self._rewrite_sample(q)
         q = translate_sql(q.strip())

@@ -111,7 +111,7 @@ PRIORITY_HEAD = [
     # external-dictionary surface (broadcast scalar-subquery map lookups)
     "ch_url_ip_funcs", "ch_dictionary_lookup", "ch_state_merge",
     "ch_star_modifiers", "engine_ttl_lifecycle", "engine_query_log",
-    "engine_projection_rollup", "ch_map_tuple_funcs",
+    "engine_projection_rollup", "ch_map_tuple_funcs", "ch_qualify_dedup",
     # engine DDL/DML lifecycle
     "engine_mutations", "engine_materialized_view", "engine_outfile_roundtrip",
     "engine_zorder_read", "stream_mv_ingest",

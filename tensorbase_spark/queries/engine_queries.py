@@ -1257,3 +1257,37 @@ FROM events GROUP BY event_type
 QUERIES["ch_map_tuple_funcs"] = Query(
     ch_map_tuple_funcs, CH_MAP_TUPLE_ORACLE, ("dialect", "map", "tuple")
 )
+
+
+def ch_qualify_dedup(spark, sf_dir):
+    """QUALIFY clause (window filter; the dedup idiom every
+    CH/DuckDB/Snowflake user writes): keep the longest document per
+    (lang, source), ties broken by doc_id.  The engine rewrites QUALIFY to
+    a wrapped window + ``* EXCEPT`` filter (engine.py _rewrite_qualify);
+    the oracle uses DuckDB's NATIVE QUALIFY, so the rewrite is checked
+    against a first-class implementation of the clause."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("doc_qf")
+    return eng.sql(
+        "select lang, source, doc_id, n_chars from doc_qf "
+        "where n_chars > 50 "
+        "qualify row_number() over (partition by lang, source "
+        "order by n_chars desc, doc_id) = 1 "
+        "order by lang, source"
+    )
+
+
+CH_QUALIFY_ORACLE = """
+SELECT lang, source, doc_id, n_chars FROM documents
+WHERE n_chars > 50
+QUALIFY row_number() OVER (PARTITION BY lang, source
+                           ORDER BY n_chars DESC, doc_id) = 1
+ORDER BY lang, source
+"""
+
+
+QUERIES["ch_qualify_dedup"] = Query(
+    ch_qualify_dedup, CH_QUALIFY_ORACLE, ("dialect", "clause", "window")
+)

@@ -748,6 +748,33 @@ def test_with_totals_rewrite_and_exec(engine):
     assert got == {("x", 3), ("y", 10), (None, 13)}
 
 
+def test_qualify_clause(engine):
+    """QUALIFY -> wrapped window + * EXCEPT filter: the dedup idiom, with
+    WHERE composing before and ORDER BY/LIMIT after the filter; select
+    aliases usable in the condition (outside the window spec)."""
+    engine.spark.sql(
+        "select * from values ('a',1,10.0),('a',2,20.0),('b',3,5.0),('b',4,9.0)"
+        " as t(g, k, v)"
+    ).createOrReplaceTempView("qf_src")
+    rows = engine.sql(
+        "select g, k from qf_src "
+        "qualify row_number() over (partition by g order by v desc) = 1 "
+        "order by g"
+    ).collect()
+    assert [tuple(r) for r in rows] == [("a", 2), ("b", 4)]
+    rows = engine.sql(
+        "select g, k from qf_src where k > 1 "
+        "qualify rank() over (partition by g order by k) = 1 order by g limit 5"
+    ).collect()
+    assert [tuple(r) for r in rows] == [("a", 2), ("b", 3)]
+    # alias reference OUTSIDE the window spec is fine
+    rows = engine.sql(
+        "select g, v * 2 as vv from qf_src "
+        "qualify max(v) over (partition by g) = v order by g"
+    ).collect()
+    assert [tuple(r) for r in rows] == [("a", 40.0), ("b", 18.0)]
+
+
 def test_projection_lifecycle_and_rewrite(engine):
     """ADD PROJECTION builds + maintains a hidden partial table (inserts
     after ADD flow through the MV trigger); matching GROUP BY queries —
