@@ -27,8 +27,22 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v) -> str:
+    """Driver-faithful cell normalizer.
+
+    The driver canonicalizes with pandas ``sort_values`` + ``factorize``,
+    which CANNOT hash list/array/dict cells (``TypeError: unhashable type:
+    'numpy.ndarray'`` — cost 4 driver slots in r3 AND r4).  This replica
+    therefore REJECTS container cells instead of leniently serializing
+    them: an oracle-backed query with an ARRAY/MAP output must stringify
+    it (arrayStringConcat ↔ array_to_string; 1e6-scaled ints for floats)."""
     if v is None:
         return "NULL"
+    if isinstance(v, (list, tuple, dict, set)):
+        raise TypeError(
+            "unhashable container cell — the driver's pandas canonicalizer "
+            "cannot hash ARRAY/MAP outputs; serialize to a string in both "
+            f"the Spark query and the oracle (got {type(v).__name__}: {v!r})"
+        )
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -39,8 +53,6 @@ def _norm_cell(v) -> str:
         return "true" if v else "false"
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     try:
         import decimal
 
@@ -49,6 +61,34 @@ def _norm_cell(v) -> str:
     except Exception:
         pass
     return str(v)
+
+
+def _norm_cell_lenient(v) -> str:
+    """diff_sample-only variant that serializes containers for debugging."""
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell_lenient(x) for x in v) + "]"
+    return _norm_cell(v)
+
+
+def assert_driver_hashable(schema, name: str) -> None:
+    """Fail fast on any output column the driver canonicalizer cannot hash
+    (ArrayType/MapType — numpy arrays / dicts in pandas).  Applied to every
+    oracle-backed query by compare_query, which tests/test_oracle_parity.py
+    sweeps over the full registry — so an unhashable output schema can
+    never reach the driver again."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType))
+    ]
+    if bad:
+        raise TypeError(
+            f"{name}: columns {bad} are ArrayType/MapType — the driver's "
+            "pandas canonicalizer cannot hash them; serialize to strings "
+            "(arrayStringConcat / array_to_string, 1e6-scaled ints for floats)"
+        )
 
 
 def value_hash(rows: list[tuple], col_names: list[str]) -> str:
@@ -81,6 +121,7 @@ class CompareResult:
 
 def compare_query(spark, con, name: str, fn, oracle: str, sf_dir: str) -> CompareResult:
     sdf = fn(spark, sf_dir)
+    assert_driver_hashable(sdf.schema, name)
     spark_cols = [f.name for f in sdf.schema.fields]
     spark_rows = [tuple(r) for r in sdf.collect()]
 
@@ -109,7 +150,9 @@ def diff_sample(spark, con, name: str, fn, oracle: str, sf_dir: str, limit: int 
 
     def lines(rows, cols):
         order = sorted(range(len(cols)), key=lambda i: cols[i])
-        return sorted("\x1f".join(_norm_cell(r[i]) for i in order) for r in rows)
+        return sorted(
+            "\x1f".join(_norm_cell_lenient(r[i]) for i in order) for r in rows
+        )
 
     sl, ol = lines(s_rows, spark_cols), lines(o_rows, o_cols)
     only_s = [l for l in sl if l not in set(ol)][:limit]

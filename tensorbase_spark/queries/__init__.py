@@ -92,44 +92,43 @@ R03_VERIFIED = frozenset(
     stream_incremental_dedup engine_alter_columns engine_system_parts""".split()
 )
 
-# Round-4 head: the driver checks the FIRST ~50 registry entries per round.
-# Leads with the three r3 non-green rows (now hash-hardened: array outputs
-# stringified, pack-sequences token count made engine-identical), then every
-# oracle-backed query that has never had a driver row across r1∪r2∪r3, then
-# the rows-only approximates (each family already has a hash-verified
-# companion; these buy the weaker rows-only evidence on the approximate
-# forms themselves).
+# Round-4 driver-verified set (CORRECTNESS_r04.json hash-green rows, plus
+# the rows-only approximates that got their rows-only driver evidence).
+R04_VERIFIED = frozenset(
+    """ch_agg_extras ch_quantile_family corpus_pack_sequences
+    ch_array_join_clause ch_string_replace_extract ch_stats_family
+    ch_calendar_funcs ch_with_totals ch_with_fill ch_sample_clause
+    ch_sequence_uniq ch_distinct_on ch_join_strictness ch_asof_join_sql
+    ch_url_ip_funcs ch_dictionary_lookup ch_state_merge ch_star_modifiers
+    engine_ttl_lifecycle engine_query_log engine_projection_rollup
+    ch_map_tuple_funcs ch_qualify_dedup engine_mutations
+    engine_materialized_view engine_outfile_roundtrip engine_zorder_read
+    stream_mv_ingest join_skew_salted events_anomaly_zscore
+    corpus_bloom_decontaminate corpus_mixture_to_budget text_unigram_logprob
+    text_repetition_filters dedup_lines_global text_bpe_merges_check
+    sim_pq_rerank_full sim_ivfpq_full_cover embedding_pca_variance
+    sim_ivf_indexed sim_ivfpq_indexed agg_approx_distinct dedup_minhash_lsh
+    dedup_simhash sim_ivf_topk sim_lsh_topk""".split()
+)
+
+# Round-5 head: the driver checks roughly the FIRST 45-50 registry entries
+# per round (the r4 window was 48 — budget for 45).  Leads with the four r4
+# canonicalizer failures (array outputs now serialized to strings; the local
+# gate is now driver-faithful so this class cannot recur), then the three
+# rows-only forms the r4 window clipped, then every NEW round-5 oracle-backed
+# query.  Everything else is driver-verified across r1∪r2∪r3∪r4 and yields
+# its head slot.
 PRIORITY_HEAD = [
-    # r3 fixes, re-slotted for fresh rows
-    "ch_agg_extras", "ch_quantile_family", "corpus_pack_sequences",
-    # never-verified oracle-backed: dialect clause/function coverage
-    "ch_array_join_clause", "ch_string_replace_extract", "ch_stats_family",
-    "ch_array_set_ops", "ch_calendar_funcs", "ch_with_totals", "ch_with_fill",
-    "ch_sample_clause", "ch_everyday_funcs3", "ch_sequence_uniq",
-    "ch_distinct_on", "ch_join_strictness", "ch_asof_join_sql",
-    # round-4 dialect additions: URL/IP/transform function families and the
-    # external-dictionary surface (broadcast scalar-subquery map lookups)
-    "ch_url_ip_funcs", "ch_dictionary_lookup", "ch_state_merge",
-    "ch_star_modifiers", "engine_ttl_lifecycle", "engine_query_log",
-    "engine_projection_rollup", "ch_map_tuple_funcs", "ch_qualify_dedup",
-    # engine DDL/DML lifecycle
-    "engine_mutations", "engine_materialized_view", "engine_outfile_roundtrip",
-    "engine_zorder_read", "stream_mv_ingest",
-    # joins / events
-    "join_skew_salted", "events_anomaly_zscore",
-    # LLM-pipeline oracle-backed
-    "corpus_bloom_decontaminate", "corpus_mixture_to_budget",
-    "text_unigram_logprob",
-    "text_repetition_filters", "dedup_lines_global", "text_bpe_merges_check",
-    "sim_pq_rerank_full", "sim_ivfpq_full_cover", "embedding_l2_normalize",
-    "embedding_mean_pool", "embedding_pca_variance",
-    # rows-only approximates (hash companions are all green above/r3);
-    # the bench-tracked indexed-ANN paths lead, the two entries whose
-    # families have the strongest standalone companions go last (the ~50
-    # driver window may clip them)
-    "sim_ivf_indexed", "sim_ivfpq_indexed", "agg_approx_distinct",
-    "dedup_minhash_lsh", "dedup_simhash", "sim_ivf_topk", "sim_lsh_topk",
+    # r4 canonicalizer fixes, re-slotted for fresh hash rows
+    "ch_array_set_ops", "ch_everyday_funcs3", "embedding_l2_normalize",
+    "embedding_mean_pool",
+    # rows-only forms clipped by the r4 window (families have green
+    # hash companions; these complete 199/199 driver coverage)
     "sim_pq_topk", "sim_ivfpq_topk", "text_bpe_tokenize",
+    # new round-5 oracle-backed queries (appended as implemented)
+    "engine_explain_catalog", "engine_projection_mutation",
+    "engine_optimize_compaction", "engine_enum_case", "engine_order_by_expr",
+    "ch_qualify_distinct", "engine_projection_alias",
 ]
 
 
@@ -169,7 +168,7 @@ def registry() -> dict[str, Query]:
                 raise ValueError(f"duplicate query name: {name}")
             out[name] = q
 
-    verified = R01_VERIFIED | R02_VERIFIED | R03_VERIFIED
+    verified = R01_VERIFIED | R02_VERIFIED | R03_VERIFIED | R04_VERIFIED
     head = [n for n in PRIORITY_HEAD if n in out]
     mid_unverified = [
         n for n in out if n not in PRIORITY_HEAD and n not in verified

@@ -245,30 +245,37 @@ GROUP BY l.l_returnflag
 def ch_array_set_ops(spark, sf_dir):
     """arrayIntersect/hasAll/hasAny/arrayCompact/arrayPopBack/arrayResize —
     array set & structure ops beyond the two HOF tiers.  Intersections are
-    sorted in both forms (neither engine pins result order)."""
+    sorted in both forms (neither engine pins result order), and every array
+    output is serialized to a CSV string — raw ARRAY cells are unhashable in
+    the driver's pandas canonicalizer."""
     eng = TensorBaseEngine(spark)
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_aso")
     return eng.sql(
         "select l_orderkey, l_linenumber, "
-        "arraySort(arrayIntersect(array(l_suppkey % 5, l_partkey % 5), array(1, 2, 3))) as inter, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "arraySort(arrayIntersect(array(l_suppkey % 5, l_partkey % 5), array(1, 2, 3)))), ',') as inter, "
         "hasAll(array(0, 1, 2, 3), array(l_suppkey % 3, l_partkey % 3)) as h_all, "
         "hasAny(array(1, 2), array(l_suppkey % 7, l_partkey % 7)) as h_any, "
-        "arrayCompact(arraySort(array(l_suppkey % 3, l_partkey % 3, l_orderkey % 3))) as compacted, "
-        "arrayPopBack(array(l_suppkey % 9, l_partkey % 9)) as popb, "
-        "arrayResize(array(l_suppkey % 4), 3, 0) as resized "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "arrayCompact(arraySort(array(l_suppkey % 3, l_partkey % 3, l_orderkey % 3)))), ',') as compacted, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "arrayPopBack(array(l_suppkey % 9, l_partkey % 9))), ',') as popb, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "arrayResize(array(l_suppkey % 4), 3, 0)), ',') as resized "
         "from li_aso where l_orderkey % 500 = 0"
     )
 
 
 CH_ARRAY_SET_OPS_ORACLE = """
 SELECT l_orderkey, l_linenumber,
-       list_sort(list_intersect([l_suppkey % 5, l_partkey % 5], [1, 2, 3])) AS inter,
+       coalesce(array_to_string(list_sort(list_intersect(
+           [l_suppkey % 5, l_partkey % 5], [1, 2, 3])), ','), '')           AS inter,
        list_has_all([0, 1, 2, 3], [l_suppkey % 3, l_partkey % 3])           AS h_all,
        list_has_any([1, 2], [l_suppkey % 7, l_partkey % 7])                 AS h_any,
-       list_sort(list_distinct([l_suppkey % 3, l_partkey % 3,
-                                l_orderkey % 3]))                           AS compacted,
-       [l_suppkey % 9]                                                      AS popb,
-       [l_suppkey % 4, 0, 0]                                                AS resized
+       array_to_string(list_sort(list_distinct([l_suppkey % 3, l_partkey % 3,
+                                l_orderkey % 3])), ',')                     AS compacted,
+       array_to_string([l_suppkey % 9], ',')                                AS popb,
+       array_to_string([l_suppkey % 4, 0, 0], ',')                          AS resized
 FROM lineitem WHERE l_orderkey % 500 = 0
 """
 

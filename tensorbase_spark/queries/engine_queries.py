@@ -487,7 +487,7 @@ def ch_everyday_funcs3(spark, sf_dir):
         "max(locate(o_orderpriority, '-')) as dash_pos, "
         "max(mid(o_orderpriority, 3, 4)) as pri_mid, "
         "max(appendTrailingCharIfAbsent(o_orderstatus, '!')) as st_bang, "
-        "max(alphaTokens(o_orderpriority)) as toks, "
+        "arrayStringConcat(max(alphaTokens(o_orderpriority)), ',') as toks, "
         "max(dateAdd('day', 10, o_orderdate)) as d10, "
         "round(max(greatCircleDistance(-0.1278, 51.5074, 2.3522, 48.8566)), 1) as gcd_m "
         "from ef3_src where o_orderkey < 2000 group by o_orderstatus"
@@ -505,8 +505,8 @@ SELECT o_orderstatus AS st,
        max(substr(o_orderpriority, 3, 4))                     AS pri_mid,
        max(CASE WHEN ends_with(o_orderstatus, '!') THEN o_orderstatus
                 ELSE o_orderstatus || '!' END)                AS st_bang,
-       max(list_filter(string_split_regex(o_orderpriority, '[^A-Za-z]+'),
-                       x -> x <> ''))                         AS toks,
+       array_to_string(max(list_filter(string_split_regex(o_orderpriority,
+                       '[^A-Za-z]+'), x -> x <> '')), ',')    AS toks,
        max(CAST(o_orderdate + INTERVAL 10 DAY AS TIMESTAMP))  AS d10,
        round(max(2 * 6371000.0 * asin(sqrt(
            power(sin(radians(48.8566 - 51.5074) / 2), 2)

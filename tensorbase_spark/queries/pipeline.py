@@ -295,9 +295,23 @@ def sim_pq_rerank_full(spark, sf_dir):
 
 def embedding_l2_normalize(spark, sf_dir):
     """Unit-normalization as pure JVM HOFs (similarity.l2_normalize) —
-    zero Python, zero shuffle, the standard cosine pre-pass."""
+    zero Python, zero shuffle, the standard cosine pre-pass.  The unit
+    vector is serialized to a CSV string of 1e6-scaled integers for the
+    driver hash (raw ARRAY cells are unhashable in its pandas
+    canonicalizer; integer rendering is engine-identical)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.l2_normalize(emb)
+    out = similarity.l2_normalize(emb)
+    return out.select(
+        "vec_id",
+        "norm",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "unit_vec",
+                lambda x: F.round(x * 1000000).cast("long").cast("string"),
+            ),
+        ).alias("unit_vec"),
+    )
 
 
 _EMB_DBL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -306,8 +320,10 @@ EMB_L2_ORACLE = f"""
 WITH d AS (SELECT vec_id, {_EMB_DBL} AS v FROM embeddings)
 SELECT vec_id,
        round(sqrt(list_dot_product(v, v)), 6) AS norm,
-       list_transform(v, x -> round(x / greatest(sqrt(list_dot_product(v, v)),
-                                                 1e-300), 6)) AS unit_vec
+       array_to_string(list_transform(v,
+           x -> CAST(round(round(x / greatest(sqrt(list_dot_product(v, v)),
+                                              1e-300), 6) * 1000000)
+                     AS BIGINT)), ',') AS unit_vec
 FROM d
 """
 
@@ -317,7 +333,19 @@ def embedding_mean_pool(spark, sf_dir):
     (group, position) partial averages -> sorted re-assembly.  Both shuffles
     are map-side combined and bounded by groups x dim, not corpus size."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.mean_pool(emb, "label")
+    out = similarity.mean_pool(emb, "label")
+    # serialize the centroid to 1e6-scaled integers for the driver hash
+    return out.select(
+        "label",
+        "n_vecs",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "mean_vec",
+                lambda x: F.round(x * 1000000).cast("long").cast("string"),
+            ),
+        ).alias("mean_vec"),
+    )
 
 
 EMB_MEAN_POOL_ORACLE = """
@@ -328,8 +356,9 @@ WITH pos AS (
   GROUP BY label, i
 )
 SELECT label, max(n) AS n_vecs,
-       list_transform(list_sort(list(struct_pack(pos := pos, m := m))),
-                      s -> round(s.m, 6)) AS mean_vec
+       array_to_string(list_transform(list_sort(list(struct_pack(pos := pos,
+                                                                 m := m))),
+           s -> CAST(round(round(s.m, 6) * 1000000) AS BIGINT)), ',') AS mean_vec
 FROM pos GROUP BY label
 """
 

@@ -27,6 +27,37 @@ def test_oracle_parity(spark, duck, name):
     assert r.hash_match, f"{name}: value hash mismatch"
 
 
+def test_oracle_gate_rejects_array_outputs(spark, duck):
+    """The driver's pandas canonicalizer cannot hash ARRAY/MAP cells
+    (TypeError: unhashable type 'numpy.ndarray' — cost 4 driver slots in
+    BOTH r3 and r4).  The local gate must be driver-faithful: compare_query
+    rejects any oracle-backed query whose output schema has an
+    ArrayType/MapType column, BEFORE collecting.  Because
+    test_oracle_parity sweeps the full registry through compare_query,
+    this guard makes an unhashable output schema un-shippable."""
+
+    def bad_fn(s, _sf):
+        return s.sql("select array(1, 2) as a, 1 as b")
+
+    with pytest.raises(TypeError, match="ArrayType/MapType"):
+        compare_query(spark, duck, "bad", bad_fn, "SELECT 1 AS b", SF0001)
+
+    def bad_map(s, _sf):
+        return s.sql("select map('k', 1) as m")
+
+    with pytest.raises(TypeError, match="ArrayType/MapType"):
+        compare_query(spark, duck, "badmap", bad_map, "SELECT 1 AS m", SF0001)
+
+
+def test_norm_cell_rejects_containers():
+    """value_hash must also crash on container cells coming from the DuckDB
+    side (lists in fetchall rows), exactly like the driver would."""
+    from tensorbase_spark.oracle import value_hash
+
+    with pytest.raises(TypeError, match="unhashable container"):
+        value_hash([(1, [1, 2])], ["a", "b"])
+
+
 @pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_queries_run(spark, name):
     """Approximate operators (no SQL oracle): must run and return a stable
