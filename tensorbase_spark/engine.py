@@ -62,12 +62,15 @@ _BLOOM_WRITE_LOCK = threading.Lock()
 
 
 def _order_col(key: str):
-    """'expr [asc|desc]' fragment -> ordered Column."""
+    """'expr [asc|desc]' fragment -> ordered Column.  The expression goes
+    through the CH-dialect translator first so DDL sort keys like
+    ``cityHash64(id)`` resolve to their Spark equivalents (translate_sql
+    is defined below in this module; resolution happens at call time)."""
     m = re.match(r"(?is)^(.*?)\s+(asc|desc)\s*$", key.strip())
     if m:
-        c = F.expr(m.group(1))
+        c = F.expr(translate_sql(m.group(1)))
         return c.desc() if m.group(2).lower() == "desc" else c.asc()
-    return F.expr(key.strip())
+    return F.expr(translate_sql(key.strip()))
 
 
 _STAR_REPLACE_RE = re.compile(
@@ -111,6 +114,24 @@ def _rewrite_star_replace(sql: str) -> str:
             + ", ".join(f"{e} as {c}" for e, c in repls)
         )
         sql = sql[: m.start()] + new + sql[j:]
+
+
+def _strip_outer_parens(text: str) -> str:
+    """Strip ONE balanced outer paren pair (``(a, f(b))`` -> ``a, f(b)``).
+    A bare ``.strip("()")`` would also eat the trailing paren of a
+    function-call key — ``cityHash64(id)`` must survive intact."""
+    t = text.strip()
+    while t.startswith("(") and t.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(t):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(t) - 1:
+                    return t  # outer parens don't wrap the whole string
+        t = t[1:-1].strip()
+    return t
 
 
 def _split_depth0(text: str, sep: str = ",") -> list[str]:
@@ -317,6 +338,20 @@ def _rewrite_qualify(sql: str) -> str:
     tm = _scan_depth0(after, 0, _QUALIFY_TAIL_RE.match)
     cond = after[: tm.start()].strip() if tm else after.strip()
     rest = " " + after[tm.start():].strip() if tm else ""
+    # SELECT DISTINCT: QUALIFY evaluates BEFORE the distinct (the shared
+    # DuckDB/Snowflake clause order: ... WINDOW -> QUALIFY -> DISTINCT).
+    # Folding __qualify into the distinct projection would let duplicate
+    # rows of the ORIGINAL projection survive as distinct (row, __qualify)
+    # pairs — so the distinct moves OUTSIDE the filter wrap instead.
+    outer_distinct = ""
+    if re.match(r"(?is)^\s*select\s+distinct\b", head):
+        if re.match(r"(?is)^\s*select\s+distinct\s+on\b", head):
+            raise ValueError(
+                "DISTINCT ON with QUALIFY is not supported — apply the "
+                "window filter in a subquery instead"
+            )
+        head = re.sub(r"(?is)^(\s*select\s+)distinct\b", r"\1", head, count=1)
+        outer_distinct = "distinct "
     fm = _scan_depth0(head, 0, _TOP_FROM_RE.match)
     if fm is None:
         raise ValueError("QUALIFY requires a FROM clause")
@@ -326,7 +361,8 @@ def _rewrite_qualify(sql: str) -> str:
         + head[fm.start():]
     )
     return (
-        f"select * except (__qualify) from ({inner}) where __qualify{rest}"
+        f"select {outer_distinct}* except (__qualify) from ({inner}) "
+        f"where __qualify{rest}"
     )
 
 
@@ -1018,6 +1054,9 @@ class TensorBaseEngine:
         self._query_log: list[tuple] = []
         # CH projections: src table -> [ProjectionSpec]
         self._projections: dict[str, list[ProjectionSpec]] = {}
+        # OPTIMIZE compaction target (bytes per output file for
+        # unpartitioned tables); SET optimize_target_file_bytes overrides
+        self._optimize_file_bytes: int = 128 << 20
 
     def bootstrap_system(self) -> None:
         """Create the ``system`` database + empty ``system.numbers (number
@@ -1288,7 +1327,11 @@ class TensorBaseEngine:
         if low.startswith("drop"):
             return self._drop(c)
         if low.startswith("truncate table"):
-            return self.spark.sql(c)
+            out = self.spark.sql(c)
+            tm = re.match(r"(?is)^truncate\s+table\s+([\w.]+)", c)
+            if tm:  # same staleness class as mutations: empty the rollups too
+                self._rebuild_projections(self._qualify(tm.group(1)))
+            return out
         if low.startswith("optimize table"):
             return self._optimize(c)
         if low.startswith("alter table"):
@@ -1314,7 +1357,9 @@ class TensorBaseEngine:
                 if not sm:
                     raise ValueError(f"cannot parse SET assignment: {assign!r}")
                 k, v = sm.group(1).lower(), sm.group(2).strip().strip("'\"")
-                if k in mapped and mapped[k]:
+                if k == "optimize_target_file_bytes":
+                    self._optimize_file_bytes = max(1, int(v))
+                elif k in mapped and mapped[k]:
                     self.spark.conf.set(mapped[k], v)
             return self.spark.sql("SELECT 1 AS ok")
         if low.startswith("explain analyze"):
@@ -1596,7 +1641,7 @@ class TensorBaseEngine:
             props.append(f"'tb.bloom_cols' = '{','.join(bloom_cols)}'")
         om = _ORDER_BY_DDL_RE.search(tail)
         if om:
-            ob = om.group("e").strip().strip("()").replace("'", "''")
+            ob = _strip_outer_parens(om.group("e")).replace("'", "''")
             props.append(f"'tb.order_by' = '{ob}'")
         tm = _TTL_DDL_RE.search(tail)
         if tm:
@@ -1700,8 +1745,22 @@ class TensorBaseEngine:
                 | F.expr(f"({expiry}) is null")
             )
         if m.group("z"):
-            return self._optimize_zorder(name, df, spec, m.group("z"))
-        tmp = df.repartition(F.col(PTK_COL)) if spec else df.coalesce(1)
+            out = self._optimize_zorder(name, df, spec, m.group("z"))
+            if ttl:
+                self._rebuild_projections(name)
+            return out
+        if spec:
+            tmp = df.repartition(F.col(PTK_COL))
+        else:
+            # size-based compaction: one shuffle task per target-file-size
+            # slice of the CURRENT table bytes.  coalesce(1) here would be a
+            # single-task full-table rewrite — a scale-killer at 100 TB for
+            # any unpartitioned table; a byte-budgeted repartition keeps the
+            # rewrite wide and the output files merge-sized.
+            n_files = max(
+                1, -(-self._table_bytes(name) // self._optimize_file_bytes)
+            )
+            tmp = df.repartition(n_files)
         sort_txt = m.group("sort") or props.get("tb.order_by")
         if sort_txt:
             keys = [_order_col(k) for k in _split_depth0(sort_txt)]
@@ -1711,7 +1770,33 @@ class TensorBaseEngine:
         stage = f"{self.spark.conf.get('spark.sql.warehouse.dir')}/optimize_stage_tmp"
         tmp.write.mode("overwrite").parquet(stage)
         self.spark.read.parquet(stage).write.insertInto(name, overwrite=True)
+        if ttl:  # the rewrite dropped expired rows — refresh hidden rollups
+            self._rebuild_projections(name)
         return self.spark.sql("SELECT 1 AS ok")
+
+    def _table_bytes(self, name: str) -> int:
+        """Bytes on disk of an engine table's parquet files (filesystem
+        metadata only — the same walk _refresh_system_parts does; a real
+        metastore supplies this from stats)."""
+        import os
+
+        try:
+            loc = (
+                self.spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+                .filter("col_name = 'Location'")
+                .first()
+                .data_type.replace("file:", "")
+            )
+        except Exception:
+            return 0
+        total = 0
+        for dirpath, _dirs, files in os.walk(loc):
+            total += sum(
+                os.path.getsize(os.path.join(dirpath, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return total
 
     _MV_RE = re.compile(
         r"(?is)^create\s+materialized\s+view\s+(?P<mv>[\w.]+)\s+to\s+"
@@ -1917,6 +2002,50 @@ class TensorBaseEngine:
             )
 
     _PROJ_MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+    def _rebuild_projections(self, name: str) -> None:
+        """Re-derive every registered projection's hidden table from the
+        post-mutation base table.  ClickHouse rewrites projection parts as
+        part of every mutation; here the mutation paths (ALTER DELETE/
+        UPDATE, TTL expiry at OPTIMIZE/MATERIALIZE TTL, MODIFY/DROP/RENAME
+        COLUMN) call this so _try_projection_rewrite can never route a
+        GROUP BY to stale pre-mutation aggregates.  A projection whose
+        SELECT no longer analyzes (e.g. its dim or agg column was dropped
+        or renamed) is unregistered — queries fall back to the base table,
+        CH's behavior for broken projections being to refuse the mutation;
+        dropping the acceleration instead keeps results correct without
+        blocking schema evolution."""
+        specs = self._projections.get(name)
+        if not specs:
+            return
+        mv_name_of = {s.name: f"{name}__proj_{s.name}" for s in specs}
+        # unregister during the rebuild so each SELECT reads the BASE table
+        self._projections[name] = []
+        kept: list[ProjectionSpec] = []
+        try:
+            for spec in specs:
+                sel = next(
+                    (t[2] for t in self._mvs.get(name, [])
+                     if t[0] == mv_name_of[spec.name]),
+                    None,
+                )
+                if sel is None:
+                    continue
+                try:
+                    self.spark.sql(self._translate_query(sel)).write.mode(
+                        "overwrite"
+                    ).saveAsTable(spec.table)
+                    kept.append(spec)
+                except Exception:
+                    # select no longer valid against the mutated base —
+                    # drop the projection and its insert trigger
+                    self._mvs[name] = [
+                        t for t in self._mvs.get(name, [])
+                        if t[0] != mv_name_of[spec.name]
+                    ]
+                    self.spark.sql(f"DROP TABLE IF EXISTS {spec.table}")
+        finally:
+            self._projections[name] = kept
 
     def _alter_projection(self, name: str, verb: str, rest: str) -> DataFrame:
         """``ALTER TABLE t ADD PROJECTION p (SELECT dims..., aggs... GROUP
@@ -2258,6 +2387,9 @@ class TensorBaseEngine:
                 )
         else:
             staged.write.insertInto(name, overwrite=True)
+        # CH rewrites projection parts with every mutation — keep the
+        # hidden rollups consistent with the post-mutation base
+        self._rebuild_projections(name)
         return self.spark.sql("SELECT 1 AS ok")
 
     def _rename_tables(self, c: str) -> DataFrame:
@@ -2435,6 +2567,9 @@ class TensorBaseEngine:
         order = self.spark.table(name).columns
         staged.select(*order).write.insertInto(name)
         self.spark.catalog.refreshTable(name)
+        # a projection over a dropped/renamed/retyped column is rebuilt
+        # against the new schema or unregistered if its SELECT broke
+        self._rebuild_projections(name)
         return self.spark.sql("SELECT 1 AS ok")
 
     _ZORDER_BITS = 8  # 256 quantile buckets per column
@@ -2481,7 +2616,7 @@ class TensorBaseEngine:
         c1 is absent from the predicate, where a plain SORT BY only serves
         its leading column.  File count = ceil(rows / tb.optimize.rowsPerFile
         [default 1 Mi]); partitioned tables cluster within each partition."""
-        cols = [x.strip() for x in _split_depth0(zexpr.strip().strip("()"))]
+        cols = [x.strip() for x in _split_depth0(_strip_outer_parens(zexpr))]
         if not cols:
             raise ValueError("ZORDER BY: empty column list")
         for col in cols:

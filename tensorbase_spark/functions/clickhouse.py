@@ -280,6 +280,34 @@ CH_SQL_TEMPLATES.update(
 )
 
 
+def _xxhash64_sql(args: list[str]) -> str:
+    # CH's 64-bit hash family (cityHash64/sipHash64/farmHash64/intHash64)
+    # is used for sharding, sampling and sort-scatter — all care about
+    # distribution quality, not the exact CH bit pattern (which differs
+    # between CH versions anyway).  Spark's variadic xxhash64 is the
+    # JVM-codegen'd equivalent.  Documented value divergence from CH.
+    return f"xxhash64({', '.join(args)})"
+
+
+CH_SQL_TEMPLATES.update(
+    {
+        "cityhash64": _xxhash64_sql,
+        "siphash64": _xxhash64_sql,
+        "farmhash64": _xxhash64_sql,
+        "farmfingerprint64": _xxhash64_sql,
+        "inthash64": _xxhash64_sql,
+        # 32-bit bucket hash -> Spark's murmur3 (also distribution-only)
+        "inthash32": "hash({0})",
+        # halfMD5: first 8 md5 bytes read big-endian as UInt64 — EXACTLY
+        # reproducible from the hex digest (CH reads big-endian)
+        "halfmd5": (
+            "cast(conv(substring(md5(cast({0} as string)), 1, 16), 16, 10) "
+            "as decimal(20,0))"
+        ),
+    }
+)
+
+
 def _remote_sql(args: list[str]) -> str:
     # remote('addr', db.table) table function (grammar bql.pest:133-139,
     # exec crates/runtime/src/read.rs:151-228).  The SQL-text form resolves

@@ -61,13 +61,18 @@ _DECIMAL_RE = re.compile(r"^decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
 _DECIMAL32_RE = re.compile(r"^decimal32\s*\(\s*(\d+)\s*\)$")
 _DECIMAL64_RE = re.compile(r"^decimal64\s*\(\s*(\d+)\s*\)$")
 _FIXEDSTRING_RE = re.compile(r"^fixedstring\s*\(\s*(\d+)\s*\)$")
-_NULLABLE_RE = re.compile(r"^nullable\s*\((.*)\)$", re.DOTALL)
-_LOWCARD_RE = re.compile(r"^lowcardinality\s*\((.*)\)$", re.DOTALL)
-_DATETIME_TZ_RE = re.compile(r"^datetime\s*\(\s*'([^']*)'\s*\)$")
-_ARRAY_RE = re.compile(r"^array\s*\((.*)\)$", re.DOTALL)
-_MAP_RE = re.compile(r"^map\s*\((.*)\)$", re.DOTALL)
-_TUPLE_RE = re.compile(r"^tuple\s*\((.*)\)$", re.DOTALL)
-_ENUM_RE = re.compile(r"^enum(?:8|16)?\s*\((.*)\)$", re.DOTALL)
+_NULLABLE_RE = re.compile(r"(?i)^nullable\s*\((.*)\)$", re.DOTALL)
+_LOWCARD_RE = re.compile(r"(?i)^lowcardinality\s*\((.*)\)$", re.DOTALL)
+_DATETIME_TZ_RE = re.compile(r"(?i)^datetime\s*\(\s*'([^']*)'\s*\)$")
+# DateTime64(precision[, 'TZ']): Spark timestamps are fixed µs precision —
+# the precision digit is accepted and dropped (µs covers CH's 0-6 range)
+_DATETIME64_RE = re.compile(
+    r"(?i)^datetime64\s*\(\s*\d+\s*(?:,\s*'([^']*)')?\s*\)$"
+)
+_ARRAY_RE = re.compile(r"(?i)^array\s*\((.*)\)$", re.DOTALL)
+_MAP_RE = re.compile(r"(?i)^map\s*\((.*)\)$", re.DOTALL)
+_TUPLE_RE = re.compile(r"(?i)^tuple\s*\((.*)\)$", re.DOTALL)
+_ENUM_RE = re.compile(r"(?i)^enum(?:8|16)?\s*\((.*)\)$", re.DOTALL)
 _CODEC_RE = re.compile(r"(?is)\s+codec\s*\(.*\)\s*$")
 
 
@@ -128,12 +133,12 @@ def parse_bql_type(name: str) -> ParsedType:
     s = _CODEC_RE.sub("", name.strip())
     low = s.lower()
 
-    m = _ARRAY_RE.match(low)
+    m = _ARRAY_RE.match(s)
     if m:
         inner = parse_bql_type(m.group(1))
         return ParsedType(T.ArrayType(inner.spark_type, True))
 
-    m = _MAP_RE.match(low)
+    m = _MAP_RE.match(s)
     if m:
         parts = _split_commas(m.group(1))
         if len(parts) != 2:
@@ -141,7 +146,7 @@ def parse_bql_type(name: str) -> ParsedType:
         k, v = parse_bql_type(parts[0]), parse_bql_type(parts[1])
         return ParsedType(T.MapType(k.spark_type, v.spark_type, True))
 
-    m = _TUPLE_RE.match(low)
+    m = _TUPLE_RE.match(s)
     if m:
         fields = []
         for i, part in enumerate(_split_commas(m.group(1)), 1):
@@ -152,7 +157,7 @@ def parse_bql_type(name: str) -> ParsedType:
                 continue
             except ValueError:
                 pass
-            nm = re.match(r"^(?P<fname>[a-z_]\w*)\s+(?P<ftyp>.+)$", part)
+            nm = re.match(r"(?i)^(?P<fname>[a-z_]\w*)\s+(?P<ftyp>.+)$", part)
             if not nm:  # named element: 'name Type'
                 raise ValueError(f"cannot parse tuple element: {part!r}")
             fields.append(
@@ -164,7 +169,7 @@ def parse_bql_type(name: str) -> ParsedType:
             )
         return ParsedType(T.StructType(fields))
 
-    m = _ENUM_RE.match(low)
+    m = _ENUM_RE.match(s)
     if m:
         values = []
         for part in _split_commas(m.group(1)):
@@ -176,15 +181,23 @@ def parse_bql_type(name: str) -> ParsedType:
             raise ValueError(f"empty enum: {name}")
         return ParsedType(T.StringType(), enum_values=tuple(values))
 
-    m = _NULLABLE_RE.match(low)
+    m = _NULLABLE_RE.match(s)
     if m:
         inner = parse_bql_type(m.group(1))
-        return ParsedType(inner.spark_type, True, inner.fixed_len, inner.tz)
+        return ParsedType(
+            inner.spark_type, True, inner.fixed_len, inner.tz, inner.enum_values
+        )
 
-    m = _LOWCARD_RE.match(low)
+    m = _LOWCARD_RE.match(s)
     if m:
         inner = parse_bql_type(m.group(1))
-        return ParsedType(inner.spark_type, inner.nullable, inner.fixed_len, inner.tz)
+        return ParsedType(
+            inner.spark_type,
+            inner.nullable,
+            inner.fixed_len,
+            inner.tz,
+            inner.enum_values,
+        )
 
     if low in _SIMPLE:
         return ParsedType(_SIMPLE[low])
@@ -211,7 +224,11 @@ def parse_bql_type(name: str) -> ParsedType:
             raise ValueError(f"FixedString length out of range: {name}")
         return ParsedType(T.StringType(), fixed_len=n)
 
-    m = _DATETIME_TZ_RE.match(low)
+    m = _DATETIME_TZ_RE.match(s)
+    if m:
+        return ParsedType(T.TimestampType(), tz=m.group(1))
+
+    m = _DATETIME64_RE.match(s)
     if m:
         return ParsedType(T.TimestampType(), tz=m.group(1))
 

@@ -1600,3 +1600,167 @@ def test_system_tables_and_columns(engine):
     assert cols["s"][0] == "Nullable(String)" and cols["s"][2] is True
     assert cols["d"][1] == 3
     engine.sql("drop table st_t")
+
+
+# --- round-5: projection freshness through mutations (ClickHouse rewrites
+# --- projection parts with every mutation; VERDICT r4 / ADVICE items) ------
+
+def _proj_plan_uses(engine, query: str, hidden: str) -> bool:
+    plan = "\n".join(r[0] for r in engine.sql(f"explain {query}").collect())
+    return hidden in plan
+
+
+def test_projection_rebuilt_after_mutations(engine):
+    """ALTER DELETE/UPDATE must refresh the hidden rollup so the automatic
+    projection rewrite never serves pre-mutation aggregates."""
+    engine.sql("create table pm_t (d Int32, x Int64)")
+    engine.sql("insert into pm_t values (1, 10), (1, 20), (2, 5)")
+    engine.sql("alter table pm_t add projection p (select d, sum(x) group by d)")
+    q = "select d, sum(x) as s from pm_t group by d"
+    assert _proj_plan_uses(engine, q, "__proj_p")
+
+    engine.sql("alter table pm_t delete where x = 20")
+    assert {(r[0], r[1]) for r in engine.sql(q).collect()} == {(1, 10), (2, 5)}
+    # still routed through the (rebuilt) projection
+    assert _proj_plan_uses(engine, q, "__proj_p")
+
+    engine.sql("alter table pm_t update x = 100 where d = 2")
+    assert {(r[0], r[1]) for r in engine.sql(q).collect()} == {(1, 10), (2, 100)}
+
+    engine.sql("truncate table pm_t")
+    assert engine.sql(q).collect() == []
+    engine.sql("drop table pm_t")
+
+
+def test_projection_rebuilt_after_ttl_optimize(engine):
+    """TTL row expiry at OPTIMIZE rewrites the base — the rollup follows."""
+    engine.sql(
+        "create table pt_t (d Int32, ts DateTime, x Int64) "
+        "ttl ts + interval 1 day"
+    )
+    engine.sql(
+        "insert into pt_t values (1, timestamp'2000-01-01 00:00:00', 7), "
+        "(1, now(), 3)"
+    )
+    engine.sql("alter table pt_t add projection p (select d, sum(x) group by d)")
+    engine.sql("optimize table pt_t final")
+    rows = [(r[0], r[1]) for r in engine.sql(
+        "select d, sum(x) as s from pt_t group by d").collect()]
+    assert rows == [(1, 3)]
+    engine.sql("drop table pt_t")
+
+
+def test_projection_dropped_when_column_mutates_away(engine):
+    """DROP COLUMN invalidating the projection SELECT unregisters it —
+    queries fall back to the base table instead of erroring or going
+    stale; a survivable MODIFY COLUMN rebuilds instead."""
+    engine.sql("create table pd_t (d Int32, x Int64, y Int64)")
+    engine.sql("insert into pd_t values (1, 10, 1), (2, 5, 2)")
+    engine.sql("alter table pd_t add projection p (select d, sum(x) group by d)")
+    q = "select d, sum(x) as s from pd_t group by d"
+    assert _proj_plan_uses(engine, q, "__proj_p")
+
+    engine.sql("alter table pd_t modify column x Int32")  # rebuilds
+    assert {(r[0], r[1]) for r in engine.sql(q).collect()} == {(1, 10), (2, 5)}
+    assert _proj_plan_uses(engine, q, "__proj_p")
+
+    engine.sql("alter table pd_t drop column x")  # breaks the SELECT
+    rows = {(r[0], r[1]) for r in engine.sql(
+        "select d, sum(y) as s from pd_t group by d").collect()}
+    assert rows == {(1, 1), (2, 2)}
+    engine.sql("drop table pd_t")
+
+
+def test_optimize_unpartitioned_size_based_compaction(engine, spark):
+    """OPTIMIZE on an unpartitioned table must NOT collapse to one task /
+    one file: output file count follows bytes / optimize_target_file_bytes
+    (VERDICT r4 #3 — coalesce(1) is a scale-killer at 100 TB)."""
+    import os
+
+    engine.sql("set optimize_target_file_bytes = 2000")
+    engine.sql("create table oc_t (id Int64, s String)")
+    engine.sql(
+        "insert into oc_t select id as id, repeat(uuid(), 10) as s "
+        "from range(5000)"
+    )
+    engine.sql("optimize table oc_t")
+    loc = (
+        spark.sql("DESCRIBE TABLE EXTENDED oc_t")
+        .filter("col_name='Location'")
+        .first()
+        .data_type.replace("file:", "")
+    )
+    n_files = sum(1 for f in os.listdir(loc) if f.endswith(".parquet"))
+    assert n_files > 1
+    assert engine.sql("select count(*) as n from oc_t").collect()[0][0] == 5000
+    engine.sql("drop table oc_t")
+
+
+def test_ddl_order_by_function_key_survives_optimize(engine):
+    """ORDER BY cityHash64(id) / mixed tuples: balanced-paren normalization
+    keeps the call intact and OPTIMIZE's within-partition sort runs it
+    through the dialect translator (ADVICE r4 medium)."""
+    engine.sql("create table ob_t (id Int64, v Int64) order by cityHash64(id)")
+    engine.sql("insert into ob_t values (1, 2), (3, 4)")
+    engine.sql("optimize table ob_t")
+    assert engine.sql("select count(*) as n from ob_t").collect()[0][0] == 2
+    engine.sql("create table ob_u (a Int64, b Int64) order by (a, cityHash64(b))")
+    engine.sql("insert into ob_u values (1, 2)")
+    engine.sql("optimize table ob_u")
+    assert engine.sql("select count(*) as n from ob_u").collect()[0][0] == 1
+    engine.sql("drop table ob_t")
+    engine.sql("drop table ob_u")
+
+
+def test_qualify_with_distinct(engine):
+    """QUALIFY evaluates BEFORE DISTINCT (DuckDB/Snowflake clause order);
+    the rewrite moves the distinct outside the filter wrap so duplicate
+    projections can't survive as distinct (row, __qualify) pairs
+    (ADVICE r4 low)."""
+    engine.sql("create table qd_t (g Int32, v Int64)")
+    engine.sql("insert into qd_t values (1,1),(1,1),(1,2),(2,3)")
+    rows = sorted(
+        tuple(r)
+        for r in engine.sql(
+            "select distinct g from qd_t qualify "
+            "row_number() over (partition by g, v order by v) = 1"
+        ).collect()
+    )
+    assert rows == [(1,), (2,)]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="DISTINCT ON"):
+        engine.sql(
+            "select distinct on (g) g, v from qd_t qualify "
+            "row_number() over (partition by g order by v) = 1"
+        )
+    engine.sql("drop table qd_t")
+
+
+def test_enum_case_preserved_and_enforced():
+    """Enum member values keep their declared case (ADVICE r4 medium) —
+    a lowercased member set would reject every legitimate write."""
+    from tensorbase_spark.types import parse_bql_type
+
+    t = parse_bql_type("Enum8('GET' = 1, 'Post' = 2)")
+    assert t.enum_values == ("GET", "Post")
+    t2 = parse_bql_type("Nullable(Enum16('Alpha' = 1))")
+    assert t2.enum_values == ("Alpha",) and t2.nullable
+    assert parse_bql_type("DateTime('Asia/Istanbul')").tz == "Asia/Istanbul"
+    assert parse_bql_type("DateTime64(3, 'Asia/Istanbul')").tz == "Asia/Istanbul"
+    st = parse_bql_type("Tuple(Name String, N Int32)").spark_type
+    assert st.simpleString() == "struct<Name:string,N:int>"
+
+
+def test_enum_column_write_roundtrip(engine):
+    """Mixed-case enum values must insert cleanly and unknown values must
+    still be rejected (the insert guard is case-sensitive, like CH)."""
+    engine.sql("create table en_t (id Int64, m Enum8('GET' = 1, 'Post' = 2))")
+    engine.sql("insert into en_t values (1, 'GET'), (2, 'Post')")
+    got = {r[1] for r in engine.sql("select id, m from en_t").collect()}
+    assert got == {"GET", "Post"}
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        engine.sql("insert into en_t values (3, 'get')")
+    engine.sql("drop table en_t")
