@@ -2182,8 +2182,6 @@ class TensorBaseEngine:
         gcols = [c.strip().lower() for c in _split_depth0(m.group("g"))]
         items = _split_top_level_args(m.group("items"))
         rest = m.group("rest") or ""
-        if "(" in rest:  # raw agg exprs in HAVING/ORDER would not re-agg
-            return q
         w = m.group("w")
         for spec in specs:
             if not set(gcols) <= set(spec.dims):
@@ -2227,12 +2225,102 @@ class TensorBaseEngine:
                 new_items.append(f"{expr} as {am.group('a')}")
             if not ok:
                 continue
+            new_rest = rest
+            if "(" in rest:
+                # HAVING/ORDER BY tails with raw agg calls: each call must
+                # itself be a registered projection aggregate, rewritten to
+                # its merged form; anything unprovable falls back to base
+                sel_aliases = {
+                    a.lower()
+                    for a in re.findall(r"(?is)\s+as\s+(\w+)", m.group("items"))
+                }
+                new_rest = self._merge_agg_tail(rest, spec, sel_aliases)
+                if new_rest is None:
+                    continue
             where_sql = f" where {w}" if w else ""
             return (
                 f"select {', '.join(new_items)} from {spec.table}"
-                f"{where_sql} group by {m.group('g')}{rest}"
+                f"{where_sql} group by {m.group('g')}{new_rest}"
             )
         return q
+
+    def _merge_agg_tail(
+        self, tail: str, spec: "ProjectionSpec", aliases: set
+    ) -> str | None:
+        """Rewrite raw aggregate calls in a HAVING/ORDER BY/LIMIT tail to
+        their merged forms over the hidden partial table (``sum(x)`` ->
+        ``sum(sum_x)``); return None unless EVERY call is a registered
+        projection aggregate (or round() over one) and every bare
+        identifier is a dim, a select alias, or a keyword — the
+        conservative contract of the rewriter."""
+        out, i, n = [], 0, len(tail)
+        while i < n:
+            ch = tail[i]
+            if ch in "'\"":
+                j = i + 1
+                while j < n and tail[j] != ch:
+                    j += 1
+                out.append(tail[i : j + 1])
+                i = j + 1
+                continue
+            cm = re.compile(r"[A-Za-z_]\w*\s*\(").match(tail, i)
+            if cm:
+                depth, j = 1, cm.end()
+                while j < n and depth:
+                    if tail[j] in "'\"":
+                        qch = tail[j]
+                        j += 1
+                        while j < n and tail[j] != qch:
+                            j += 1
+                    elif tail[j] == "(":
+                        depth += 1
+                    elif tail[j] == ")":
+                        depth -= 1
+                    j += 1
+                call = tail[i:j]
+                fname = call[: call.index("(")].strip().lower()
+                if fname == "round":
+                    parts = _split_top_level_args(call[call.index("(") + 1 : -1])
+                    if len(parts) != 2:
+                        return None
+                    sub = self._merge_agg_tail(parts[0], spec, aliases)
+                    if sub is None:
+                        return None
+                    out.append(f"round({sub}, {parts[1]})")
+                else:
+                    hit = spec.aggs.get(_norm_agg(call))
+                    if not hit:
+                        return None
+                    pcol, mfn = hit
+                    if pcol.lower() in aliases:
+                        # a select alias shadows the hidden partial column —
+                        # Spark would resolve mfn(pcol) against the OUTPUT
+                        # aggregate (nested-agg error); fall back to base
+                        return None
+                    expr = f"{mfn}({pcol})"
+                    if _norm_agg(call).startswith("count("):
+                        expr = f"cast({expr} as bigint)"
+                    out.append(expr)
+                i = j
+                continue
+            im = re.compile(r"[A-Za-z_]\w*").match(tail, i)
+            if im:
+                tok = im.group(0).lower()
+                if (
+                    tok not in self._PROJ_COND_WORDS
+                    and tok
+                    not in ("having", "order", "by", "limit", "asc", "desc",
+                            "nulls", "first", "last")
+                    and tok not in spec.dims
+                    and tok not in aliases
+                ):
+                    return None
+                out.append(im.group(0))
+                i = im.end()
+                continue
+            out.append(ch)
+            i += 1
+        return "".join(out)
 
     _QUERY_LOG_SCHEMA = (
         "event_time timestamp, query string, query_kind string, "

@@ -448,3 +448,163 @@ def bpe_token_counts(
             yield pd.DataFrame({"doc_id": ids, "n_words": nw, "n_bpe_tokens": nt})
 
     return docs.select("doc_id", text_col).mapInPandas(_scan, schema=out_schema)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BM25 retrieval (Robertson/Spärck Jones; the lexical
+    ranking half of every RAG / retrieval-curation pipeline): top-k
+    documents per query string.
+
+    Plan shape at 100 TB: tokenize map-side (split, JVM), ONE shuffle for
+    per-(doc, term) tf, df/N/avgdl as term-level and 1-row aggregates
+    (broadcast back), query terms broadcast (queries are human-sized), one
+    keyed shuffle for per-(query, doc) score sums, and a top-k window per
+    query.  Nothing touches Python; candidate rows ∝ docs containing a
+    query term, never corpus × queries.
+    """
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, qs in queries
+            for t in dict.fromkeys(qs.lower().split())
+        ],
+        "q_id long, term string",
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    # dl/avgdl need every token; tf and df only need QUERY terms — the
+    # broadcast semi-restriction happens before the keyed shuffle, so the
+    # expensive aggregations run over candidate rows, not the corpus
+    qterms = qdf.select("term").distinct()
+    toks_q = toks.join(F.broadcast(qterms), "term")
+    tf = toks_q.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count("*").cast("double").alias("n_docs")
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("q_id", "doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "doc_id", "rank", "score")
+    )
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT word
+    n-grams whose first corpus occurrence (min doc_id) is this doc — the
+    content-freshness signal incremental corpus builds rank new crawls by.
+    Two keyed shuffles (per-gram min, per-doc re-aggregate); gram
+    generation is a map-side JVM transform over the token array."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    # guard: sequence(1, 0) DESCENDS in Spark — docs with < n words must
+    # yield no grams, not a bogus [1, 0] index walk
+    grams = (
+        docs.select("doc_id", words.alias("__w"))
+        .filter(F.size("__w") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__w") - (n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i, n)),
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )
+
+
+def substring_window_dupes(
+    docs: DataFrame, win: int = 40, stride: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Window-granular exact-substring duplication (the scalable stand-in
+    for suffix-array substring dedup, Lee et al. 2022 'Deduplicating
+    Training Data Makes Language Models Better'): slide fixed-size char
+    windows with a stride, hash each, and report per-doc how many of its
+    windows also occur verbatim in ANOTHER doc.  One shuffle on the
+    window hash (count distinct docs per window), one per-doc
+    re-aggregate; window generation is map-side."""
+    t = F.col(text_col)
+    wins = docs.filter(F.length(t) >= win).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - (win - 1), F.lit(stride)),
+                    lambda i: F.md5(t.substr(i, F.lit(win))),
+                )
+            )
+        ).alias("wh"),
+    )
+    shared = wins.groupBy("wh").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    return (
+        wins.join(shared, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum((F.col("n_docs_with") > 1).cast("long")).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_windows"), 6).alias(
+                "dup_fraction"
+            ),
+        )
+    )

@@ -129,6 +129,8 @@ PRIORITY_HEAD = [
     "engine_explain_catalog", "engine_projection_mutation",
     "engine_optimize_compaction", "engine_enum_case", "engine_order_by_expr",
     "ch_qualify_distinct", "engine_projection_alias",
+    "text_bm25_topk", "text_ngram_novelty", "dedup_substring_windows",
+    "ch_prewhere", "ch_group_by_all", "ch_setop_all",
 ]
 
 

@@ -429,3 +429,98 @@ QUERIES = {
         ch_array_set_ops, CH_ARRAY_SET_OPS_ORACLE, ("dialect", "array")
     ),
 }
+
+
+# --- round 5: PREWHERE, GROUP BY ALL, bag-semantics set ops ---------------
+
+def ch_prewhere(spark, sf_dir):
+    """ClickHouse PREWHERE (the manual scan-stage filter every production
+    CH query uses; engine.py merges it into WHERE because Catalyst's
+    pushdown IS the prewhere stage — the parquet scan evaluates the
+    predicate before wide columns materialize).  Combined PREWHERE+WHERE
+    must AND together."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_pw")
+    return eng.sql(
+        "select l_returnflag as rf, count(*) as n, "
+        "round(sum(l_extendedprice), 2) as s "
+        "from li_pw prewhere l_quantity > 30 where l_discount < 0.05 "
+        "group by l_returnflag"
+    )
+
+
+CH_PREWHERE_ORACLE = """
+SELECT l_returnflag AS rf, count(*) AS n,
+       round(sum(l_extendedprice), 2) AS s
+FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05
+GROUP BY l_returnflag
+"""
+
+
+def ch_group_by_all(spark, sf_dir):
+    """GROUP BY ALL (upstream-CH and DuckDB share it): every non-aggregate
+    select item becomes a grouping key.  Spark 3.4+ supports the clause
+    natively; the oracle runs DuckDB's native form — first-class
+    implementations checked against each other."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_gba")
+    return eng.sql(
+        "select o_orderstatus as st, toYear(o_orderdate) as y, "
+        "count(*) as n, round(sum(o_totalprice), 2) as s "
+        "from ord_gba where o_orderkey < 20000 group by all"
+    )
+
+
+CH_GROUP_BY_ALL_ORACLE = """
+SELECT o_orderstatus AS st, CAST(year(o_orderdate) AS INT) AS y,
+       count(*) AS n, round(sum(o_totalprice), 2) AS s
+FROM orders WHERE o_orderkey < 20000 GROUP BY ALL
+"""
+
+
+def ch_setop_all(spark, sf_dir):
+    """Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL — CH and
+    Spark both keep duplicate multiplicity): multiplicity-sensitive
+    differences between two overlapping order slices, counted per
+    status so the result is aggregate-stable."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_sa")
+    return eng.sql(
+        "select st, count(*) as n from ("
+        "  select o_orderstatus as st from ord_sa where o_orderkey % 7 < 5"
+        "  except all"
+        "  select o_orderstatus as st from ord_sa where o_orderkey % 7 < 2"
+        ") group by st "
+        "union all "
+        "select concat('i_', st) as st, count(*) as n from ("
+        "  select o_orderstatus as st from ord_sa where o_orderkey % 5 < 3"
+        "  intersect all"
+        "  select o_orderstatus as st from ord_sa where o_orderkey % 3 < 2"
+        ") group by st"
+    )
+
+
+CH_SETOP_ALL_ORACLE = """
+SELECT st, count(*) AS n FROM (
+  SELECT o_orderstatus AS st FROM orders WHERE o_orderkey % 7 < 5
+  EXCEPT ALL
+  SELECT o_orderstatus AS st FROM orders WHERE o_orderkey % 7 < 2
+) GROUP BY st
+UNION ALL
+SELECT concat('i_', st) AS st, count(*) AS n FROM (
+  SELECT o_orderstatus AS st FROM orders WHERE o_orderkey % 5 < 3
+  INTERSECT ALL
+  SELECT o_orderstatus AS st FROM orders WHERE o_orderkey % 3 < 2
+) GROUP BY st
+"""
+
+
+QUERIES["ch_prewhere"] = Query(
+    ch_prewhere, CH_PREWHERE_ORACLE, ("dialect", "clause")
+)
+QUERIES["ch_group_by_all"] = Query(
+    ch_group_by_all, CH_GROUP_BY_ALL_ORACLE, ("dialect", "clause", "agg")
+)
+QUERIES["ch_setop_all"] = Query(
+    ch_setop_all, CH_SETOP_ALL_ORACLE, ("dialect", "setop")
+)

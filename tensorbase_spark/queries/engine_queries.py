@@ -1291,3 +1291,283 @@ ORDER BY lang, source
 QUERIES["ch_qualify_dedup"] = Query(
     ch_qualify_dedup, CH_QUALIFY_ORACLE, ("dialect", "clause", "window")
 )
+
+
+# --- round 5: mutation-time projection freshness, wide compaction, Enum
+# --- case, function sort keys, QUALIFY x DISTINCT, catalog surfaces --------
+
+def engine_projection_mutation(spark, sf_dir):
+    """Projection freshness through mutations (engine.py
+    _rebuild_projections; CH rewrites projection parts with every
+    mutation): ADD PROJECTION, then ALTER DELETE + ALTER UPDATE, then a
+    GROUP BY that the automatic rewrite routes through the hidden rollup.
+    The oracle recomputes the post-mutation state from the raw fixture, so
+    a hash match proves the rollup reflects the mutated base — the exact
+    staleness bug ADVICE r4 flagged."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "pjm")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("pjm_src")
+    eng.sql("create table pj_ord(ok Int64, status String, total Float64)")
+    eng.sql(
+        "insert into pj_ord select o_orderkey, o_orderstatus, o_totalprice "
+        "from pjm_src"
+    )
+    eng.sql(
+        "alter table pj_ord add projection by_status "
+        "(select status, sum(total), count(*) group by status)"
+    )
+    eng.sql("alter table pj_ord delete where ok % 10 = 3")
+    eng.sql("alter table pj_ord update total = total * 2 where ok % 10 = 4")
+    return eng.sql(
+        "select status, count(*) as n, round(sum(total), 2) as s "
+        "from pj_ord group by status"
+    )
+
+
+ENGINE_PROJ_MUTATION_ORACLE = """
+SELECT o_orderstatus AS status, count(*) AS n,
+       round(sum(CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice * 2
+                      ELSE o_totalprice END), 2) AS s
+FROM orders WHERE o_orderkey % 10 <> 3
+GROUP BY o_orderstatus
+"""
+
+
+def engine_projection_alias(spark, sf_dir):
+    """Projection rewrite breadth (engine.py _merge_agg_tail): aliased dim
+    in the select list plus HAVING and ORDER BY over RAW aggregate calls —
+    both rewritten to merged forms over the hidden partial table.  The
+    plan-level routing is asserted in tests/test_engine.py; this row hash-
+    proves the merged re-aggregation returns exactly the base-table
+    answer."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "pja")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("pja_src")
+    eng.sql("create table pj_li(rf String, qty Float64)")
+    eng.sql("insert into pj_li select l_returnflag, l_quantity from pja_src")
+    eng.sql(
+        "alter table pj_li add projection by_rf "
+        "(select rf, sum(qty), count(*) group by rf)"
+    )
+    return eng.sql(
+        "select rf as flag, round(sum(qty), 2) as q_total, count(*) as n "
+        "from pj_li group by rf having count(*) > 10 "
+        "order by sum(qty) desc"
+    )
+
+
+ENGINE_PROJ_ALIAS_ORACLE = """
+SELECT l_returnflag AS flag, round(sum(l_quantity), 2) AS q_total,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag HAVING count(*) > 10
+ORDER BY sum(l_quantity) DESC
+"""
+
+
+def engine_optimize_compaction(spark, sf_dir):
+    """Size-based OPTIMIZE compaction (VERDICT r4 #3): an UNPARTITIONED
+    table rewritten under a byte budget (SET optimize_target_file_bytes)
+    — a wide repartition, never coalesce(1).  The post-OPTIMIZE aggregate
+    hash proves the multi-task rewrite is lossless; the >1-output-files
+    assertion lives in tests/test_engine.py (file counts scale with sf)."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "cmp")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("cmp_src")
+    eng.sql("create table cmp_li(ok Int64, qty Float64, price Float64)")
+    eng.sql(
+        "insert into cmp_li select l_orderkey, l_quantity, l_extendedprice "
+        "from cmp_src"
+    )
+    eng.sql("set optimize_target_file_bytes = 65536")
+    eng.sql("optimize table cmp_li")
+    return eng.sql(
+        "select ok % 7 as bucket, count(*) as n, round(sum(qty), 2) as q, "
+        "round(sum(price), 2) as p from cmp_li group by ok % 7"
+    )
+
+
+ENGINE_COMPACTION_ORACLE = """
+SELECT l_orderkey % 7 AS bucket, count(*) AS n,
+       round(sum(l_quantity), 2) AS q,
+       round(sum(l_extendedprice), 2) AS p
+FROM lineitem GROUP BY l_orderkey % 7
+"""
+
+
+def engine_enum_case(spark, sf_dir):
+    """Enum columns with MIXED-CASE members (types.py parse_bql_type;
+    ADVICE r4: lowercased member sets made such columns un-writable).
+    Status codes map to CamelCase enum values on insert; the group-by
+    read-back hash proves declared case round-trips through the
+    insert-time membership guard."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "enm")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("enm_src")
+    eng.sql(
+        "create table en_ord(ok Int64, "
+        "st Enum8('Open' = 1, 'Finished' = 2, 'Pending' = 3))"
+    )
+    eng.sql(
+        "insert into en_ord select o_orderkey, "
+        "multiIf(o_orderstatus = 'O', 'Open', o_orderstatus = 'F', "
+        "'Finished', 'Pending') from enm_src"
+    )
+    return eng.sql(
+        "select st, count(*) as n, max(ok) as mx from en_ord group by st"
+    )
+
+
+ENGINE_ENUM_CASE_ORACLE = """
+SELECT CASE WHEN o_orderstatus = 'O' THEN 'Open'
+            WHEN o_orderstatus = 'F' THEN 'Finished'
+            ELSE 'Pending' END AS st,
+       count(*) AS n, max(o_orderkey) AS mx
+FROM orders GROUP BY 1
+"""
+
+
+def engine_order_by_expr(spark, sf_dir):
+    """Function-call DDL sort keys (ADVICE r4: ``.strip("()")`` mangled
+    them): ORDER BY (status, cityHash64(ok)) survives DDL storage, and
+    OPTIMIZE's within-partition sort evaluates it through the dialect
+    translator (cityHash64 -> xxhash64).  The post-OPTIMIZE selective
+    aggregate hash proves the sorted rewrite is lossless."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "obe")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("obe_src")
+    eng.sql(
+        "create table ob_ord(ok Int64, status String, total Float64) "
+        "order by (status, cityHash64(ok))"
+    )
+    eng.sql(
+        "insert into ob_ord select o_orderkey, o_orderstatus, o_totalprice "
+        "from obe_src"
+    )
+    eng.sql("optimize table ob_ord")
+    return eng.sql(
+        "select status, count(*) as n, round(sum(total), 2) as s "
+        "from ob_ord where ok % 3 = 1 group by status"
+    )
+
+
+ENGINE_ORDER_BY_EXPR_ORACLE = """
+SELECT o_orderstatus AS status, count(*) AS n,
+       round(sum(o_totalprice), 2) AS s
+FROM orders WHERE o_orderkey % 3 = 1
+GROUP BY o_orderstatus
+"""
+
+
+def ch_qualify_distinct(spark, sf_dir):
+    """QUALIFY under SELECT DISTINCT (ADVICE r4: the window filter must
+    evaluate BEFORE the distinct — the DuckDB/Snowflake clause order).
+    The engine rewrites to filter-then-distinct (engine.py
+    _rewrite_qualify); the oracle runs DuckDB's NATIVE QUALIFY+DISTINCT,
+    so the hash checks the rewrite against a first-class implementation
+    of the combined clauses."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("doc_qdx")
+    # rows that are their source's longest document share (lang, source)
+    # duplicates in the projection — the distinct must collapse them AFTER
+    # the window filter
+    return eng.sql(
+        "select distinct lang, source from doc_qdx "
+        "qualify n_chars >= max(n_chars) over (partition by source) * 0.5 "
+        "order by lang, source"
+    )
+
+
+CH_QUALIFY_DISTINCT_ORACLE = """
+SELECT DISTINCT lang, source FROM documents
+QUALIFY n_chars >= max(n_chars) OVER (PARTITION BY source) * 0.5
+ORDER BY lang, source
+"""
+
+
+def engine_explain_catalog(spark, sf_dir):
+    """Catalog/introspection surfaces under driver evidence (VERDICT r4
+    stretch #7): SHOW DATABASES / SHOW TABLES / SHOW CREATE TABLE / DESC /
+    EXPLAIN / USE / TRUNCATE each reduced to a stable (check, val) row —
+    normalized so both engines can state the expected catalog content."""
+    eng = _fresh_engine(spark, sf_dir, "cat")
+    db = spark.catalog.currentDatabase()
+    eng.sql("create table cat_t(k Int64, s Nullable(String)) ")
+    eng.sql("insert into cat_t values (1, 'a'), (2, null)")
+
+    dbs = {r[0] for r in eng.sql("show databases").collect()}
+    tbls = {r.tableName for r in eng.sql("show tables").collect()}
+    create = eng.sql("show create table cat_t").collect()[0][0].lower()
+    desc = {
+        r[0]: r[1] for r in eng.sql("describe table cat_t").collect()
+    }
+    bql = {
+        r[0]: r[1]
+        for r in eng.sql(
+            "select name, type from system.columns where table = 'cat_t'"
+        ).collect()
+    }
+    plan_rows = eng.sql("explain select k from cat_t where k = 1").collect()
+    eng.sql("truncate table cat_t")
+    n_after = eng.sql("select count(*) as n from cat_t").collect()[0][0]
+
+    rows = [
+        ("db_listed", str(db in dbs).lower()),
+        ("table_listed", str("cat_t" in tbls).lower()),
+        ("create_has_types", str("nullable(string)" in create).lower()),
+        ("desc_k_type", desc.get("k", "")),
+        ("desc_s_type", desc.get("s", "")),
+        ("bql_k_type", bql.get("k", "")),
+        ("bql_s_type", bql.get("s", "")),
+        ("explain_nonempty", str(len(plan_rows) > 0).lower()),
+        ("truncate_empties", str(n_after == 0).lower()),
+    ]
+    return spark.createDataFrame(rows, "chk string, val string")
+
+
+ENGINE_EXPLAIN_CATALOG_ORACLE = """
+SELECT * FROM (VALUES
+    ('db_listed', 'true'),
+    ('table_listed', 'true'),
+    ('create_has_types', 'true'),
+    ('desc_k_type', 'bigint'),
+    ('desc_s_type', 'string'),
+    ('bql_k_type', 'Int64'),
+    ('bql_s_type', 'Nullable(String)'),
+    ('explain_nonempty', 'true'),
+    ('truncate_empties', 'true')
+) AS t(chk, val)
+"""
+
+
+QUERIES["engine_projection_mutation"] = Query(
+    engine_projection_mutation, ENGINE_PROJ_MUTATION_ORACLE,
+    ("engine", "ddl", "projection"),
+)
+QUERIES["engine_projection_alias"] = Query(
+    engine_projection_alias, ENGINE_PROJ_ALIAS_ORACLE,
+    ("engine", "ddl", "projection"),
+)
+QUERIES["engine_optimize_compaction"] = Query(
+    engine_optimize_compaction, ENGINE_COMPACTION_ORACLE, ("engine", "ddl")
+)
+QUERIES["engine_enum_case"] = Query(
+    engine_enum_case, ENGINE_ENUM_CASE_ORACLE, ("engine", "types")
+)
+QUERIES["engine_order_by_expr"] = Query(
+    engine_order_by_expr, ENGINE_ORDER_BY_EXPR_ORACLE, ("engine", "ddl")
+)
+QUERIES["ch_qualify_distinct"] = Query(
+    ch_qualify_distinct, CH_QUALIFY_DISTINCT_ORACLE,
+    ("dialect", "clause", "window"),
+)
+QUERIES["engine_explain_catalog"] = Query(
+    engine_explain_catalog, ENGINE_EXPLAIN_CATALOG_ORACLE,
+    ("engine", "catalog"),
+)

@@ -1388,3 +1388,137 @@ QUERIES = {
         embedding_quantize_int8, QUANTIZE_ORACLE, ("similarity", "corpus")
     ),
 }
+
+
+# --- round 5: lexical retrieval + substring/novelty text dedup signals ----
+
+_BM25_QUERIES = [
+    (1, "spark window query"),
+    (2, "customer order line"),
+    (3, "filter merge sort table"),
+]
+
+
+def text_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval (text.bm25_topk — the lexical half of RAG /
+    retrieval curation): 3 fixed query strings over the documents corpus.
+    The DuckDB oracle recomputes the exact Robertson formula term by term,
+    so the hash proves tokenize → tf/df/dl/avgdl → score → top-k end to
+    end.  Query-term broadcast restriction keeps the shuffles candidate-
+    sized (see the operator docstring)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.bm25_topk(d, _BM25_QUERIES, k=5)
+
+
+BM25_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, u.term
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                          x -> x <> '')) AS u(term)
+), q(q_id, term) AS (
+  VALUES (1, 'spark'), (1, 'window'), (1, 'query'),
+         (2, 'customer'), (2, 'order'), (2, 'line'),
+         (3, 'filter'), (3, 'merge'), (3, 'sort'), (3, 'table')
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT q.q_id, tf.doc_id,
+         round(sum(
+           ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN dfreq ON dfreq.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY q.q_id, tf.doc_id
+)
+SELECT q_id, doc_id, rank, score FROM (
+  SELECT q_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def text_ngram_novelty(spark, sf_dir):
+    """Per-doc word-3-gram novelty (text.ngram_novelty): the fraction of a
+    doc's distinct 3-grams first seen (min doc_id) in that doc — the
+    freshness signal incremental corpus builds rank new crawls by."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.ngram_novelty(d, n=3)
+
+
+NGRAM_NOVELTY_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(ws[i : i + 2], ' ') AS gram
+  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+  WHERE len(ws) >= 3
+), first AS (
+  SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+)
+SELECT g.doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM grams g JOIN first f ON f.gram = g.gram
+GROUP BY g.doc_id
+"""
+
+
+def dedup_substring_windows(spark, sf_dir):
+    """Window-granular exact-substring duplication
+    (text.substring_window_dupes; Lee et al. 2022 substring dedup at
+    stride granularity): per-doc count of 40-char windows that occur
+    verbatim in another doc."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.substring_window_dupes(d, win=40, stride=10)
+
+
+SUBSTRING_WINDOWS_ORACLE = """
+WITH wins AS (
+  SELECT DISTINCT doc_id, md5(substr(text, i, 40)) AS wh
+  FROM documents,
+       UNNEST(generate_series(1, length(text) - 39, 10)) AS t(i)
+  WHERE length(text) >= 40
+), shared AS (
+  SELECT wh, count(DISTINCT doc_id) AS n_docs_with FROM wins GROUP BY wh
+)
+SELECT w.doc_id, count(*) AS n_windows,
+       CAST(sum(CASE WHEN s.n_docs_with > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_shared,
+       round(sum(CASE WHEN s.n_docs_with > 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+FROM wins w JOIN shared s ON s.wh = w.wh
+GROUP BY w.doc_id
+"""
+
+
+QUERIES["text_bm25_topk"] = Query(
+    text_bm25_topk, BM25_ORACLE, ("text", "similarity", "retrieval"),
+    bench=True,
+)
+QUERIES["text_ngram_novelty"] = Query(
+    text_ngram_novelty, NGRAM_NOVELTY_ORACLE, ("text", "dedup")
+)
+QUERIES["dedup_substring_windows"] = Query(
+    dedup_substring_windows, SUBSTRING_WINDOWS_ORACLE, ("dedup", "text")
+)

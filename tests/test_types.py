@@ -55,9 +55,13 @@ def test_fixed_string():
 
 
 def test_datetime_tz():
+    # tz IDs are case-sensitive in the JVM — declared case must survive
     p = parse_bql_type("DateTime('Asia/Shanghai')")
     assert p.spark_type == T.TimestampType()
-    assert p.tz == "asia/shanghai"
+    assert p.tz == "Asia/Shanghai"
+    p64 = parse_bql_type("DateTime64(3, 'Asia/Shanghai')")
+    assert p64.spark_type == T.TimestampType()
+    assert p64.tz == "Asia/Shanghai"
 
 
 @pytest.mark.parametrize("bad", ["Int128", "Enum8('a' = )", "Map(String)"])
