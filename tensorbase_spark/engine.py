@@ -317,6 +317,28 @@ _QUALIFY_TAIL_RE = re.compile(r"(?is)\b(order\s+by|limit|union)\b")
 _TOP_FROM_RE = re.compile(r"(?is)\bfrom\b")
 
 
+_WITH_TIES_RE = re.compile(
+    r"(?is)\border\s+by\s+(?P<keys>.+?)\s+limit\s+(?P<n>\d+)\s+with\s+ties\s*$"
+)
+
+
+def _rewrite_limit_with_ties(sql: str) -> str:
+    """``ORDER BY keys LIMIT n WITH TIES`` (ClickHouse/standard-SQL FETCH
+    WITH TIES): rows tying with the n-th sort key survive the limit.
+    Spark has no WITH TIES, but rank() over the same ordering IS the
+    semantics: rank <= n admits exactly the ties.  One window over the
+    global ordering — same shuffle the ORDER BY itself needs."""
+    m = _scan_depth0(sql, 0, _WITH_TIES_RE.match)
+    if m is None:
+        return sql
+    head, keys, n = sql[: m.start()].rstrip(), m.group("keys").strip(), m.group("n")
+    return (
+        f"select * except (__rk) from (select *, rank() over "
+        f"(order by {keys}) as __rk from ({head})) "
+        f"where __rk <= {n} order by {keys}"
+    )
+
+
 def _rewrite_qualify(sql: str) -> str:
     """``SELECT ... QUALIFY cond [ORDER BY/LIMIT ...]`` (the window-filter
     clause ClickHouse/DuckDB/Snowflake share; the dedup idiom is
@@ -3125,6 +3147,8 @@ class TensorBaseEngine:
             q = self._try_projection_rewrite(q)
         if _QUALIFY_RE.search(q):
             q = _rewrite_qualify(q)
+        if re.search(r"(?is)\bwith\s+ties\b", q):
+            q = _rewrite_limit_with_ties(q)
         if re.search(r"(?is)\bsample\s", q):
             q = self._rewrite_sample(q)
         q = translate_sql(q.strip())

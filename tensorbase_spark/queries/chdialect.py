@@ -524,3 +524,62 @@ QUERIES["ch_group_by_all"] = Query(
 QUERIES["ch_setop_all"] = Query(
     ch_setop_all, CH_SETOP_ALL_ORACLE, ("dialect", "setop")
 )
+
+
+def ch_limit_with_ties(spark, sf_dir):
+    """``ORDER BY k LIMIT n WITH TIES`` (CH / standard FETCH ... WITH
+    TIES): rows tying with the n-th key survive.  The engine rewrites to
+    rank() over the same ordering (engine.py _rewrite_limit_with_ties);
+    the oracle states the tie semantics explicitly via rank in DuckDB
+    (which has no WITH TIES) — two formulations, one contract.  The date
+    sort key guarantees real ties at the boundary."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_wt")
+    return eng.sql(
+        "select o_orderkey, o_orderdate from ord_wt "
+        "order by o_orderdate limit 51 with ties"
+    )
+
+
+CH_LIMIT_WITH_TIES_ORACLE = """
+SELECT o_orderkey, o_orderdate FROM (
+  SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+         rank() OVER (ORDER BY o_orderdate) AS rk
+  FROM orders
+) WHERE rk <= 51
+"""
+
+
+def ch_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE (upstream-CH 24.x and Spark 4 both added it):
+    a recursively generated line-number sequence LEFT JOINed against the
+    per-line-number row counts — both engines run their native recursive
+    CTE machinery."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_rc")
+    return eng.sql(
+        "with recursive seq(n) as ("
+        "  select 1 union all select n + 1 from seq where n < 10"
+        ") "
+        "select n, count(l.l_orderkey) as cnt "
+        "from seq left join li_rc l on l.l_linenumber = seq.n "
+        "group by n"
+    )
+
+
+CH_RECURSIVE_CTE_ORACLE = """
+WITH RECURSIVE seq(n) AS (
+  SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 10
+)
+SELECT n, count(l.l_orderkey) AS cnt
+FROM seq LEFT JOIN lineitem l ON l.l_linenumber = seq.n
+GROUP BY n
+"""
+
+
+QUERIES["ch_limit_with_ties"] = Query(
+    ch_limit_with_ties, CH_LIMIT_WITH_TIES_ORACLE, ("dialect", "clause")
+)
+QUERIES["ch_recursive_cte"] = Query(
+    ch_recursive_cte, CH_RECURSIVE_CTE_ORACLE, ("dialect", "cte")
+)

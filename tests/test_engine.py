@@ -1798,3 +1798,32 @@ def test_projection_rewrite_aliased_dims_and_having(engine):
     assert not _proj_plan_uses(engine, q5, "__proj_p")
     assert engine.sql(q5).collect() == []
     engine.sql("drop table pr_t")
+
+
+def test_limit_with_ties(engine):
+    """LIMIT n WITH TIES admits rows tying with the n-th sort key
+    (engine.py _rewrite_limit_with_ties)."""
+    engine.sql("create table wt_t (k Int32, v Int64)")
+    engine.sql("insert into wt_t values (1,1),(2,2),(2,3),(3,4)")
+    rows = sorted(
+        tuple(r)
+        for r in engine.sql(
+            "select k, v from wt_t order by k limit 2 with ties"
+        ).collect()
+    )
+    assert rows == [(1, 1), (2, 2), (2, 3)]  # the tie at k=2 survives
+    # plain LIMIT unchanged
+    assert (
+        len(engine.sql("select k from wt_t order by k, v limit 2").collect())
+        == 2
+    )
+    engine.sql("drop table wt_t")
+
+
+def test_recursive_cte_native(engine):
+    """WITH RECURSIVE passes through to Spark 4's native recursive CTE."""
+    r = engine.sql(
+        "with recursive s(n) as (select 1 union all select n+1 from s "
+        "where n < 6) select sum(n) as t from s"
+    ).collect()
+    assert r[0][0] == 21
