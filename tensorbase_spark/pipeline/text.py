@@ -462,20 +462,21 @@ def bm25_topk(
     ranking half of every RAG / retrieval-curation pipeline): top-k
     documents per query string.
 
-    Plan shape at 100 TB: tokenize map-side (split, JVM), ONE shuffle for
-    per-(doc, term) tf, df/N/avgdl as term-level and 1-row aggregates
-    (broadcast back), query terms broadcast (queries are human-sized), one
-    keyed shuffle for per-(query, doc) score sums, and a top-k window per
-    query.  Nothing touches Python; candidate rows ∝ docs containing a
-    query term, never corpus × queries.
+    Plan shape at 100 TB: tokenize map-side (split, JVM), tf and df
+    restricted to the BROADCAST query terms before their keyed shuffles
+    (candidate rows ∝ docs containing a query term, never corpus ×
+    queries), dl/avgdl as map-side-combined per-doc partials + a 1-row
+    broadcast, and a top-k window per query.  Nothing touches Python.
+    (A zero-shuffle variant computing every per-term tf in one
+    F.aggregate pass over the token array was built and measured 1.7-2.4×
+    SLOWER at sf0.1: nested HOF lambdas run interpreted, outside
+    whole-stage codegen — the explode plan stays codegen'd end to end.
+    PLANS.md §13.)
     """
     spark = docs.sparkSession
+    term_lists = [(qid, list(dict.fromkeys(qs.lower().split()))) for qid, qs in queries]
     qdf = spark.createDataFrame(
-        [
-            (qid, t)
-            for qid, qs in queries
-            for t in dict.fromkeys(qs.lower().split())
-        ],
+        [(qid, t) for qid, ts in term_lists for t in ts],
         "q_id long, term string",
     )
     toks = docs.select(

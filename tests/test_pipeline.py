@@ -983,3 +983,79 @@ def test_mixture_to_budget_quotas_and_determinism(spark):
         ).collect()
     }
     assert again == per
+
+
+# --- round-5 text operators: BM25, n-gram novelty, substring windows ------
+
+def test_bm25_ranks_relevant_doc_first(spark):
+    from tensorbase_spark.pipeline import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark query engine spark spark"),
+            (2, "spark appears once here in a much longer document " + "pad " * 30),
+            (3, "nothing relevant whatsoever in this row"),
+            (4, "query engine without the main term"),
+        ],
+        "doc_id long, text string",
+    )
+    out = T.bm25_topk(docs, [(1, "spark")], k=3).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    # doc 1: high tf, short doc -> must outrank the long doc with tf=1;
+    # doc 3/4 contain no query term -> absent
+    assert ranked[0] == 1
+    assert set(ranked) == {1, 2}
+    assert all(r.score > 0 for r in out)
+
+
+def test_bm25_multi_query_isolation(spark):
+    from tensorbase_spark.pipeline import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "gamma delta")],
+        "doc_id long, text string",
+    )
+    out = T.bm25_topk(docs, [(1, "alpha"), (2, "gamma")], k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, set()).add(r.doc_id)
+    assert by_q[1] == {1}
+    assert by_q[2] == {2, 3}
+
+
+def test_ngram_novelty_copy_has_zero(spark):
+    from tensorbase_spark.pipeline import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),
+            (2, "one two three four five six"),  # verbatim copy, later id
+            (3, "totally different words entirely here now"),
+            (4, "aa bb"),  # < 3 words -> no grams, no row
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in T.ngram_novelty(docs, n=3).collect()}
+    assert rows[1].novelty == 1.0
+    assert rows[2].novelty == 0.0  # every gram first seen in doc 1
+    assert rows[3].novelty == 1.0
+    assert 4 not in rows
+
+
+def test_substring_windows_flag_verbatim_overlap(spark):
+    from tensorbase_spark.pipeline import text as T
+
+    shared = "Z" * 80  # long verbatim run shared by docs 1 and 2
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique tail one " + "a" * 40),
+            (2, "different head " + shared),
+            (3, "x" * 100),  # no overlap with anyone
+            (4, "short"),  # < window -> no row
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in T.substring_window_dupes(docs, win=40, stride=10).collect()}
+    assert rows[1].n_shared > 0 and rows[2].n_shared > 0
+    assert rows[3].n_shared == 0 and rows[3].dup_fraction == 0.0
+    assert 4 not in rows
