@@ -583,3 +583,37 @@ QUERIES["ch_limit_with_ties"] = Query(
 QUERIES["ch_recursive_cte"] = Query(
     ch_recursive_cte, CH_RECURSIVE_CTE_ORACLE, ("dialect", "cte")
 )
+
+
+def ch_named_window(spark, sf_dir):
+    """Named WINDOW clause (CH/standard SQL: one spec shared by several
+    window functions — the telemetry-dashboard idiom).  Spark and DuckDB
+    both bind the name natively; the hash checks frame semantics end to
+    end across three functions over one spec."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ev_nw")
+    return eng.sql(
+        "select event_id, user_id, "
+        "round(sum(value) over w, 6) as run_sum, "
+        "cast(floor(round(sum(value) over w, 6) / (count(*) over w) * 10000 + 0.5) as bigint) as run_avg, "
+        "count(*) over w as run_n "
+        "from ev_nw where user_id % 100 = 7 "
+        "window w as (partition by user_id order by ts, event_id "
+        "rows between unbounded preceding and current row)"
+    )
+
+
+CH_NAMED_WINDOW_ORACLE = """
+SELECT event_id, user_id,
+       round(sum(value) OVER w, 6) AS run_sum,
+       CAST(floor(round(sum(value) OVER w, 6) / (count(*) OVER w) * 10000 + 0.5) AS BIGINT) AS run_avg,
+       count(*) OVER w AS run_n
+FROM events WHERE user_id % 100 = 7
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+QUERIES["ch_named_window"] = Query(
+    ch_named_window, CH_NAMED_WINDOW_ORACLE, ("dialect", "window", "clause")
+)
