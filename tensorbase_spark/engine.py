@@ -2025,6 +2025,65 @@ class TensorBaseEngine:
 
     _PROJ_MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
+    def _alter_partition(self, name: str, verb: str, rest: str) -> DataFrame:
+        """ClickHouse partition management (upstream-CH `ALTER TABLE ...
+        {DROP|DETACH|ATTACH|MOVE} PARTITION 'v'`; the reference's storage
+        has no partition ops at all — parts.rs only tracks sizes):
+
+        - DROP PARTITION 'v'        — metadata-only directory drop;
+        - DETACH PARTITION 'v'      — partition rows parked under
+          `<warehouse>/<table>__detached/<v>` then dropped (CH's detached/
+          dir), I/O ∝ one partition;
+        - ATTACH PARTITION 'v'      — parked rows re-appended, parking dir
+          removed;
+        - MOVE PARTITION 'v' TO TABLE t2 — rows appended to t2 (schemas
+          aligned by name), then dropped from the source.
+
+        Every verb touches exactly one partition directory — never a table
+        scan — and refreshes registered projections afterward."""
+        import shutil
+
+        pm = re.match(
+            r"(?is)^'?(?P<v>[^'\s]+)'?\s*(?:\s+to\s+table\s+(?P<tgt>[\w.]+))?\s*$",
+            rest or "",
+        )
+        if not pm:
+            raise ValueError(f"cannot parse: {verb.upper()} PARTITION {rest!r}")
+        if self._spec_for(name) is None:
+            raise ValueError(f"{name} is not partitioned")
+        v = pm.group("v")
+        wh = self.spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        parked = f"{wh}/{name.replace('.', '_')}__detached/{v}"
+        part_rows = self.spark.table(name).filter(
+            F.col(PTK_COL).cast("string") == v
+        )
+
+        if verb == "move":
+            tgt = self._qualify(pm.group("tgt") or "")
+            if not pm.group("tgt"):
+                raise ValueError("MOVE PARTITION needs TO TABLE target")
+            cols = self.spark.table(tgt).columns
+            part_rows.select(*cols).write.insertInto(tgt)
+            self._rebuild_projections(tgt)
+        elif verb == "detach":
+            part_rows.drop(PTK_COL).write.mode("overwrite").parquet(parked)
+        elif verb == "attach":
+            import os
+
+            if not os.path.isdir(parked):
+                raise ValueError(f"{name}: no detached partition {v!r}")
+            order = [c for c in self.spark.table(name).columns if c != PTK_COL]
+            self.insert_df(name, self.spark.read.parquet(parked).select(*order))
+            shutil.rmtree(parked, ignore_errors=True)
+            self._rebuild_projections(name)
+            return self.spark.sql("SELECT 1 AS ok")
+
+        self.spark.sql(
+            f"ALTER TABLE {name} DROP IF EXISTS PARTITION ({PTK_COL} = '{v}')"
+        )
+        self._rebuild_projections(name)
+        return self.spark.sql("SELECT 1 AS ok")
+
     def _rebuild_projections(self, name: str) -> None:
         """Re-derive every registered projection's hidden table from the
         post-mutation base table.  ClickHouse rewrites projection parts as
@@ -2376,7 +2435,9 @@ class TensorBaseEngine:
             r"(?is)^alter\s+table\s+(?P<name>[\w.]+)\s+"
             r"(?P<kind>delete|update|add\s+column|drop\s+column|rename\s+column"
             r"|modify\s+column|modify\s+ttl|materialize\s+ttl"
-            r"|add\s+projection|drop\s+projection|materialize\s+projection)"
+            r"|add\s+projection|drop\s+projection|materialize\s+projection"
+            r"|drop\s+partition|detach\s+partition|attach\s+partition"
+            r"|move\s+partition)"
             r"(?:\s+(?P<rest>.+))?$",
             c,
         )
@@ -2391,6 +2452,9 @@ class TensorBaseEngine:
 
         if kind.endswith("projection"):
             return self._alter_projection(name, kind.split()[0], rest)
+
+        if kind.endswith("partition"):
+            return self._alter_partition(name, kind.split()[0], rest)
 
         if kind == "modify ttl":
             if not rest:

@@ -1571,3 +1571,58 @@ QUERIES["engine_explain_catalog"] = Query(
     engine_explain_catalog, ENGINE_EXPLAIN_CATALOG_ORACLE,
     ("engine", "catalog"),
 )
+
+
+def engine_partition_ops(spark, sf_dir):
+    """Partition management DDL (engine.py _alter_partition; upstream-CH
+    ALTER TABLE {DROP|DETACH|ATTACH|MOVE} PARTITION — the reference's
+    storage has no partition ops at all): detach a month and re-attach it
+    (round-trip must be lossless), drop a month, move a month into a second
+    table, then aggregate BOTH tables.  The oracle recomputes the end state
+    from the raw fixture, so the hash proves every verb touched exactly the
+    right partition."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "pop")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("pop_src")
+    eng.sql(
+        "create table po_ord(ok Int64, od Date, total Float64) "
+        "partition by toYYYYMM(od)"
+    )
+    eng.sql(
+        "insert into po_ord select o_orderkey, o_orderdate, o_totalprice "
+        "from pop_src where o_orderdate between '1995-01-01' and '1995-06-30'"
+    )
+    eng.sql("create table po_arch(ok Int64, od Date, total Float64) "
+            "partition by toYYYYMM(od)")
+    eng.sql("alter table po_ord detach partition '199502'")
+    eng.sql("alter table po_ord attach partition '199502'")  # lossless
+    eng.sql("alter table po_ord drop partition '199503'")
+    eng.sql("alter table po_ord move partition '199504' to table po_arch")
+    return eng.sql(
+        "select 'live' as tbl, toYYYYMM(od) as ym, count(*) as n, "
+        "round(sum(total), 2) as s from po_ord group by toYYYYMM(od) "
+        "union all "
+        "select 'arch' as tbl, toYYYYMM(od) as ym, count(*) as n, "
+        "round(sum(total), 2) as s from po_arch group by toYYYYMM(od)"
+    )
+
+
+ENGINE_PARTITION_OPS_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS ok, o_orderdate AS od, o_totalprice AS total,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym
+  FROM orders
+  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'
+)
+SELECT 'live' AS tbl, ym, count(*) AS n, round(sum(total), 2) AS s
+FROM base WHERE ym NOT IN (199503, 199504) GROUP BY ym
+UNION ALL
+SELECT 'arch' AS tbl, ym, count(*) AS n, round(sum(total), 2) AS s
+FROM base WHERE ym = 199504 GROUP BY ym
+"""
+
+
+QUERIES["engine_partition_ops"] = Query(
+    engine_partition_ops, ENGINE_PARTITION_OPS_ORACLE, ("engine", "ddl")
+)

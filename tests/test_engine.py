@@ -1827,3 +1827,43 @@ def test_recursive_cte_native(engine):
         "where n < 6) select sum(n) as t from s"
     ).collect()
     assert r[0][0] == 21
+
+
+def test_partition_management_ddl(engine, spark):
+    """DROP/DETACH/ATTACH/MOVE PARTITION (engine.py _alter_partition):
+    detach parks one partition's rows and drops the directory; attach
+    restores them losslessly; move appends to the target then drops from
+    the source; every verb is single-partition I/O."""
+    engine.sql("create table pm_p (d Date, x Int64) partition by toYYYYMM(d)")
+    engine.sql(
+        "insert into pm_p values (date'2020-01-05', 1), (date'2020-01-20', 2), "
+        "(date'2020-02-10', 3), (date'2020-03-15', 4)"
+    )
+
+    def tot():
+        return tuple(
+            engine.sql(
+                "select coalesce(sum(x),0) as s, count(*) as n from pm_p"
+            ).collect()[0]
+        )
+
+    engine.sql("alter table pm_p detach partition '202001'")
+    assert tot() == (7, 2)
+    engine.sql("alter table pm_p attach partition '202001'")
+    assert tot() == (10, 4)
+    engine.sql("alter table pm_p drop partition '202002'")
+    assert tot() == (7, 3)
+    engine.sql("create table pm_p2 (d Date, x Int64) partition by toYYYYMM(d)")
+    engine.sql("alter table pm_p move partition '202003' to table pm_p2")
+    assert tot() == (3, 2)
+    assert engine.sql("select sum(x) as s from pm_p2").collect()[0][0] == 4
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no detached partition"):
+        engine.sql("alter table pm_p attach partition '209901'")
+    with _pytest.raises(Exception, match="not partitioned"):
+        engine.sql("create table pm_flat (x Int64)")
+        engine.sql("alter table pm_flat drop partition 'all'")
+    engine.sql("drop table pm_p")
+    engine.sql("drop table pm_p2")
+    engine.sql("drop table pm_flat")
