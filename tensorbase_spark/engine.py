@@ -1139,6 +1139,44 @@ class TensorBaseEngine:
             "rows long, bytes_on_disk long, part_count long",
         ).createOrReplaceGlobalTempView("tb_system_parts")
 
+    def _refresh_detached_parts(self) -> None:
+        """``system.detached_parts`` (upstream-CH introspection over the
+        detached/ directory): one row per partition currently parked by
+        DETACH PARTITION, with row/byte/file counts from parquet footers —
+        metadata-only, like _refresh_system_parts."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        wh = self.spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        rows = []
+        if os.path.isdir(wh):
+            for entry in sorted(os.listdir(wh)):
+                if not entry.endswith("__detached"):
+                    continue
+                qualified = entry[: -len("__detached")]
+                db, _, tbl = qualified.rpartition(".")
+                root = os.path.join(wh, entry)
+                for part in sorted(os.listdir(root)):
+                    pdir = os.path.join(root, part)
+                    if not os.path.isdir(pdir):
+                        continue
+                    n = b = nf = 0
+                    for dirpath, _dirs, files in os.walk(pdir):
+                        for f in files:
+                            if not f.endswith(".parquet"):
+                                continue
+                            p = os.path.join(dirpath, f)
+                            n += pq.ParquetFile(p).metadata.num_rows
+                            b += os.path.getsize(p)
+                            nf += 1
+                    rows.append((db, tbl, part, n, b, nf))
+        self.spark.createDataFrame(
+            rows,
+            "database string, table string, partition string, "
+            "rows long, bytes_on_disk long, part_count long",
+        ).createOrReplaceGlobalTempView("tb_system_detached_parts")
+
     def _refresh_system_tables(self) -> None:
         """``system.tables`` / ``system.columns`` (upstream-CH introspection;
         the reference reads the same from sled for SHOW/DESC, mgmt.rs:484-532):
@@ -1304,6 +1342,13 @@ class TensorBaseEngine:
                 )
         if re.match(r"(?is)^(select|with|explain)\b", c):
             c = _rewrite_array_join(_preprocess_ch_clauses(c)).strip()
+            if re.search(r"(?is)\bsystem\.detached_parts\b", c):
+                self._refresh_detached_parts()
+                c = re.sub(
+                    r"(?is)\bsystem\.detached_parts\b",
+                    "global_temp.tb_system_detached_parts",
+                    c,
+                )
             if re.search(r"(?is)\bsystem\.parts\b", c):
                 self._refresh_system_parts()
                 c = re.sub(
@@ -2053,7 +2098,7 @@ class TensorBaseEngine:
             raise ValueError(f"{name} is not partitioned")
         v = pm.group("v")
         wh = self.spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
-        parked = f"{wh}/{name.replace('.', '_')}__detached/{v}"
+        parked = f"{wh}/{name}__detached/{v}"  # name keeps its db.table dot
         part_rows = self.spark.table(name).filter(
             F.col(PTK_COL).cast("string") == v
         )

@@ -1867,3 +1867,26 @@ def test_partition_management_ddl(engine, spark):
     engine.sql("drop table pm_p")
     engine.sql("drop table pm_p2")
     engine.sql("drop table pm_flat")
+
+
+def test_system_detached_parts(engine):
+    """system.detached_parts mirrors the DETACH PARTITION parking dir."""
+    engine.sql("create table dp_t (d Date, x Int64) partition by toYYYYMM(d)")
+    engine.sql(
+        "insert into dp_t values (date'2021-01-05', 1), (date'2021-02-10', 2)"
+    )
+    engine.sql("alter table dp_t detach partition '202101'")
+    rows = engine.sql(
+        "select table, partition, rows from system.detached_parts "
+        "where table = 'dp_t'"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].partition == "202101" and rows[0].rows == 1
+    engine.sql("alter table dp_t attach partition '202101'")
+    assert (
+        engine.sql(
+            "select count(*) as n from system.detached_parts where table = 'dp_t'"
+        ).collect()[0][0]
+        == 0
+    )
+    engine.sql("drop table dp_t")
