@@ -589,7 +589,7 @@ def _extract_limit_by(sql: str):
 _SAMPLE_RE = re.compile(
     r"(?is)\bfrom\s+(?P<tbl>[A-Za-z_][\w.]*)"
     r"(?:\s+(?:as\s+)?(?P<alias>[A-Za-z_]\w*))?"
-    r"\s+sample\s+(?P<k>\d+\s*/\s*\d+|0?\.\d+|1(?:\.0+)?)\b"
+    r"\s+sample\s+(?P<k>\d+\s*/\s*\d+|0?\.\d+|\d+(?:\.0+)?)\b"
 )
 
 
@@ -3227,6 +3227,12 @@ class TensorBaseEngine:
             frac = (
                 int(k.split("/")[0]) / int(k.split("/")[1]) if "/" in k else float(k)
             )
+            if frac > 1.0:
+                # CH's SAMPLE n row-count form: approximate target rows ->
+                # fraction of the current table size (footer-count read;
+                # parquet aggregate pushdown makes it metadata-only)
+                total = self.spark.table(self._qualify(tbl)).count()
+                frac = min(1.0, frac / max(total, 1))
             if not 0.0 < frac <= 1.0:
                 raise ValueError(f"SAMPLE fraction out of (0, 1]: {k}")
             scol = self._table_props(self._qualify(tbl)).get("tb.sample_by")

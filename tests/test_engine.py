@@ -1890,3 +1890,16 @@ def test_system_detached_parts(engine):
         == 0
     )
     engine.sql("drop table dp_t")
+
+
+def test_sample_row_count_form(engine):
+    """CH's SAMPLE n (approximate row target) alongside SAMPLE k fraction:
+    n converts to a fraction of the footer-counted table size."""
+    engine.sql("create table sn_t (id Int64, v Int64) settings sample_by='id'")
+    engine.sql("insert into sn_t select id as id, id * 2 as v from range(10000)")
+    n = engine.sql("select count(*) as n from sn_t sample 1000").collect()[0][0]
+    assert 500 <= n <= 2000  # 1/256-bucket granularity around the target
+    # deterministic: same rows every run
+    n2 = engine.sql("select count(*) as n from sn_t sample 1000").collect()[0][0]
+    assert n == n2
+    engine.sql("drop table sn_t")
