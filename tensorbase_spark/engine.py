@@ -1683,6 +1683,28 @@ class TensorBaseEngine:
             bucket_sql = f" CLUSTERED BY ({bcol}) SORTED BY ({bcol}) INTO {nb} BUCKETS"
         sample_by = settings.get("sample_by")
 
+        # CODEC(...) annotations: CH picks a per-COLUMN compression; parquet
+        # compression is per-FILE, so the first general-purpose codec named
+        # anywhere in the table becomes the table's parquet codec (encoding
+        # codecs like Delta/DoubleDelta/Gorilla are already covered by
+        # parquet's native encodings and stay no-ops).
+        _CODEC_MAP = {
+            "zstd": "zstd", "lz4": "lz4", "lz4hc": "lz4",
+            "gzip": "gzip", "snappy": "snappy", "none": "uncompressed",
+        }
+        compression = settings.get("codec")
+        for _cn, ctype in cols:
+            if compression:
+                break
+            cm_ = re.search(r"(?is)\bcodec\s*\(\s*(\w+)", ctype)
+            if cm_ and cm_.group(1).lower() in _CODEC_MAP:
+                compression = cm_.group(1).lower()
+        opt_sql = (
+            f" OPTIONS ('compression' = '{_CODEC_MAP[compression]}')"
+            if compression and compression in _CODEC_MAP
+            else ""
+        )
+
         col_sql = []
         for cname, ctype in cols:
             p = parse_bql_type(ctype)
@@ -1717,7 +1739,7 @@ class TensorBaseEngine:
 
         ddl = (
             f"CREATE TABLE {ine}{name} ({', '.join(col_sql)}) USING parquet"
-            f"{part_sql}{bucket_sql} TBLPROPERTIES ({', '.join(props)})"
+            f"{opt_sql}{part_sql}{bucket_sql} TBLPROPERTIES ({', '.join(props)})"
         )
         out = self.spark.sql(ddl)
         if spec is not None:

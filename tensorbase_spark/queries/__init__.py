@@ -132,7 +132,8 @@ PRIORITY_HEAD = [
     "text_bm25_topk", "text_ngram_novelty", "dedup_substring_windows",
     "ch_prewhere", "ch_group_by_all", "ch_setop_all",
     "ch_limit_with_ties", "ch_recursive_cte", "ch_named_window",
-    "engine_partition_ops",
+    "engine_partition_ops", "ch_ilike_ops", "window_interval_range",
+    "engine_codec_compression",
 ]
 
 

@@ -617,3 +617,65 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 QUERIES["ch_named_window"] = Query(
     ch_named_window, CH_NAMED_WINDOW_ORACLE, ("dialect", "window", "clause")
 )
+
+
+def ch_ilike_ops(spark, sf_dir):
+    """LIKE / NOT LIKE / ILIKE / match() pattern predicates (everyday CH
+    filtering; ilike is case-insensitive LIKE, match is an RE2 regex test
+    — Spark's rlike/ilike are first-class since 3.3)."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_ilk")
+    return eng.sql(
+        "select count(*) as n_all, "
+        "sum(toInt64(p_name like '%green%')) as n_like, "
+        "sum(toInt64(p_name ilike '%GREEN%')) as n_ilike, "
+        "sum(toInt64(p_name not like '%a%')) as n_notlike, "
+        "sum(toInt64(match(p_type, '^ECONOMY'))) as n_match "
+        "from part_ilk"
+    )
+
+
+CH_ILIKE_ORACLE = """
+SELECT count(*) AS n_all,
+       CAST(sum(CAST(p_name LIKE '%green%' AS BIGINT)) AS BIGINT) AS n_like,
+       CAST(sum(CAST(p_name ILIKE '%GREEN%' AS BIGINT)) AS BIGINT) AS n_ilike,
+       CAST(sum(CAST(p_name NOT LIKE '%a%' AS BIGINT)) AS BIGINT) AS n_notlike,
+       CAST(sum(CAST(regexp_matches(p_type, '^ECONOMY') AS BIGINT)) AS BIGINT) AS n_match
+FROM part
+"""
+
+
+def window_interval_range(spark, sf_dir):
+    """RANGE BETWEEN INTERVAL frames over event time (the rolling-window
+    telemetry idiom: per-user 1-hour trailing sums) — Spark and DuckDB
+    both bind interval range frames natively; the running sum is emitted
+    6-dp-rounded and the running avg derived from it (identical-double
+    rule, see ch_named_window)."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ev_ivr")
+    return eng.sql(
+        "select event_id, user_id, "
+        "round(sum(value) over (partition by user_id order by ts "
+        "range between interval 1 hour preceding and current row), 6) as h_sum, "
+        "count(*) over (partition by user_id order by ts "
+        "range between interval 1 hour preceding and current row) as h_n "
+        "from ev_ivr where user_id % 50 = 3"
+    )
+
+
+WINDOW_INTERVAL_RANGE_ORACLE = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 6) AS h_sum,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS h_n
+FROM events WHERE user_id % 50 = 3
+"""
+
+
+QUERIES["ch_ilike_ops"] = Query(
+    ch_ilike_ops, CH_ILIKE_ORACLE, ("dialect", "string")
+)
+QUERIES["window_interval_range"] = Query(
+    window_interval_range, WINDOW_INTERVAL_RANGE_ORACLE, ("window", "dialect")
+)

@@ -1626,3 +1626,39 @@ FROM base WHERE ym = 199504 GROUP BY ym
 QUERIES["engine_partition_ops"] = Query(
     engine_partition_ops, ENGINE_PARTITION_OPS_ORACLE, ("engine", "ddl")
 )
+
+
+def engine_codec_compression(spark, sf_dir):
+    """Column CODEC annotations honored at the storage layer (engine.py
+    _create_table: the first general-purpose codec — ZSTD/LZ4/GZIP/NONE —
+    becomes the table's parquet compression OPTION; encoding codecs like
+    DoubleDelta are parquet-native already).  The aggregate hash proves a
+    zstd-compressed table round-trips identically; the .zstd.parquet file
+    suffix is asserted in tests/test_engine.py."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "cdc")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("cdc_src")
+    eng.sql(
+        "create table cd_li(ok Int64, rf String CODEC(ZSTD), qty Float64)"
+    )
+    eng.sql(
+        "insert into cd_li select l_orderkey, l_returnflag, l_quantity "
+        "from cdc_src where l_orderkey % 3 = 0"
+    )
+    return eng.sql(
+        "select rf, count(*) as n, round(sum(qty), 2) as q "
+        "from cd_li group by rf"
+    )
+
+
+ENGINE_CODEC_ORACLE = """
+SELECT l_returnflag AS rf, count(*) AS n, round(sum(l_quantity), 2) AS q
+FROM lineitem WHERE l_orderkey % 3 = 0
+GROUP BY l_returnflag
+"""
+
+
+QUERIES["engine_codec_compression"] = Query(
+    engine_codec_compression, ENGINE_CODEC_ORACLE, ("engine", "ddl", "storage")
+)

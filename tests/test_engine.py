@@ -1903,3 +1903,25 @@ def test_sample_row_count_form(engine):
     n2 = engine.sql("select count(*) as n from sn_t sample 1000").collect()[0][0]
     assert n == n2
     engine.sql("drop table sn_t")
+
+
+def test_codec_maps_to_parquet_compression(engine, spark):
+    """CODEC(ZSTD) on any column makes the table's parquet files zstd;
+    encoding-only codecs (DoubleDelta) stay on the session default."""
+    import os
+
+    engine.sql("create table cz_t (id Int64, s String CODEC(ZSTD))")
+    engine.sql("insert into cz_t values (1, 'a'), (2, 'b')")
+    loc = (
+        spark.sql("DESCRIBE TABLE EXTENDED cz_t")
+        .filter("col_name='Location'")
+        .first()
+        .data_type.replace("file:", "")
+    )
+    files = [f for f in os.listdir(loc) if f.endswith(".parquet")]
+    assert files and all(".zstd." in f for f in files)
+    assert engine.sql("select count(*) as n from cz_t").collect()[0][0] == 2
+    engine.sql("create table cd_t (id Int64 CODEC(DoubleDelta), v Float64)")
+    engine.sql("insert into cd_t values (1, 2.0)")
+    engine.sql("drop table cz_t")
+    engine.sql("drop table cd_t")
