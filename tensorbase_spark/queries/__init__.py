@@ -133,7 +133,8 @@ PRIORITY_HEAD = [
     "ch_prewhere", "ch_group_by_all", "ch_setop_all",
     "ch_limit_with_ties", "ch_recursive_cte", "ch_named_window",
     "engine_partition_ops", "ch_ilike_ops", "window_interval_range",
-    "engine_codec_compression",
+    "engine_codec_compression", "dedup_url_canonical",
+    "events_transition_matrix",
 ]
 
 

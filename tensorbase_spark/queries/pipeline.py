@@ -1522,3 +1522,107 @@ QUERIES["text_ngram_novelty"] = Query(
 QUERIES["dedup_substring_windows"] = Query(
     dedup_substring_windows, SUBSTRING_WINDOWS_ORACLE, ("dedup", "text")
 )
+
+
+def dedup_url_canonical(spark, sf_dir):
+    """Canonical-URL dedup (the CommonCrawl-style pipeline step: one doc
+    per canonical URL): scheme dropped, host lowercased, query string and
+    fragment and trailing slash stripped — then keep min(doc_id) per
+    canonical URL and report collision groups.  The fixture has no URLs,
+    so deterministic ones are synthesized per doc (same-canonical variants
+    differ by scheme/query/slash); the oracle re-derives the whole
+    normalization with the same expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(
+            F.lit("http://")
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.Site")).otherwise(
+            F.lit("www.site")
+        ),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/page/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("?utm_source=s"), (F.col("doc_id") % 3).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(F.lower(url), r"^https?://", ""), r"[?#].*$", ""
+    )
+    canon = F.regexp_replace(canon, r"/$", "")
+    return (
+        d.select(F.col("doc_id"), canon.alias("curl"))
+        .groupBy("curl")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+DEDUP_URL_CANONICAL_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         concat(
+           CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,
+           CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' ELSE 'www.site' END,
+           CAST(doc_id % 5 AS VARCHAR), '.example.com/page/',
+           CAST(doc_id % 40 AS VARCHAR),
+           CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+           CASE WHEN doc_id % 2 = 0
+                THEN concat('?utm_source=s', CAST(doc_id % 3 AS VARCHAR))
+                ELSE '' END
+         ) AS url
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(lower(url), '^https?://', ''),
+             '[?#].*$', ''),
+           '/$', '') AS curl
+  FROM u
+)
+SELECT curl, count(*) AS n_docs, CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM c GROUP BY curl HAVING count(*) > 1
+"""
+
+
+def events_transition_matrix(spark, sf_dir):
+    """Per-user event-type transition counts (the Markov-chain /
+    user-path analytics primitive): lead(event_type) over each user's
+    time-ordered stream, then count (from, to) pairs.  One window shuffle
+    on user_id, one keyed aggregation — linear at any event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id",
+        F.col("event_type").alias("from_t"),
+        F.lead("event_type").over(w).alias("to_t"),
+    ).filter(F.col("to_t").isNotNull())
+    return (
+        steps.groupBy("from_t", "to_t")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+EVENTS_TRANSITION_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type AS from_t,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_t
+  FROM events
+)
+SELECT from_t, to_t, count(*) AS n
+FROM s WHERE to_t IS NOT NULL
+GROUP BY from_t, to_t
+"""
+
+
+QUERIES["dedup_url_canonical"] = Query(
+    dedup_url_canonical, DEDUP_URL_CANONICAL_ORACLE, ("dedup", "text", "url")
+)
+QUERIES["events_transition_matrix"] = Query(
+    events_transition_matrix, EVENTS_TRANSITION_ORACLE, ("events", "window")
+)
