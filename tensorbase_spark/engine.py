@@ -1079,6 +1079,16 @@ class TensorBaseEngine:
         # OPTIMIZE compaction target (bytes per output file for
         # unpartitioned tables); SET optimize_target_file_bytes overrides
         self._optimize_file_bytes: int = 128 << 20
+        # upstream-CH query result cache (SET use_query_cache = 1):
+        # key -> (catalog_version, pandas result, schema).  Any
+        # catalog-mutating statement bumps the version, invalidating
+        # everything at once (CH invalidates on table change; a whole-cache
+        # epoch is the conservative spelling of that)
+        self._use_query_cache: bool = False
+        self._cache_version: int = 0
+        self._result_cache: dict[str, tuple] = {}
+        self._query_cache_max_rows: int = 100_000
+        self._query_cache_max_entries: int = 64
 
     def bootstrap_system(self) -> None:
         """Create the ``system`` database + empty ``system.numbers (number
@@ -1279,6 +1289,27 @@ class TensorBaseEngine:
         t0 = _time.perf_counter()
         km = re.match(r"\s*([A-Za-z]+)", command or "")
         kind = km.group(1).lower() if km else ""
+        c_norm = (command or "").strip().rstrip(";").strip()
+        cache_key = None
+        if (
+            self._use_query_cache
+            and kind in ("select", "with")
+            and not self._OUTFILE_RE.search(c_norm)
+            and not re.search(r"(?is)\bsystem\.", c_norm)
+        ):
+            # unqualified names resolve against the current database — it
+            # is part of the result identity
+            cache_key = f"{self.spark.catalog.currentDatabase()}\x1f{c_norm}"
+            hit = self._result_cache.get(cache_key)
+            if hit is not None and hit[0] == self._cache_version:
+                _ver, pdf, schema = hit
+                self._query_log.append(
+                    (
+                        _dt.datetime.now(), c_norm, kind, "QueryCacheHit",
+                        None, round((_time.perf_counter() - t0) * 1000, 3),
+                    )
+                )
+                return self.spark.createDataFrame(pdf, schema=schema)
         try:
             out = self._dispatch(command)
         except Exception as e:
@@ -1296,6 +1327,22 @@ class TensorBaseEngine:
                 None, round((_time.perf_counter() - t0) * 1000, 3),
             )
         )
+        if cache_key is not None:
+            # caching is opt-in and materializing: the result is executed
+            # once here (CH's cache also stores completed result blocks)
+            pdf = out.toPandas()
+            if len(pdf) <= self._query_cache_max_rows:
+                if len(self._result_cache) >= self._query_cache_max_entries:
+                    self._result_cache.pop(next(iter(self._result_cache)))
+                self._result_cache[cache_key] = (
+                    self._cache_version, pdf, out.schema
+                )
+            return self.spark.createDataFrame(pdf, schema=out.schema)
+        if kind not in (
+            "select", "with", "explain", "show", "describe", "desc", "use"
+        ):
+            # any possibly-mutating statement starts a new cache epoch
+            self._cache_version += 1
         return out
 
     def _dispatch(self, command: str) -> DataFrame:
@@ -1426,6 +1473,10 @@ class TensorBaseEngine:
                 k, v = sm.group(1).lower(), sm.group(2).strip().strip("'\"")
                 if k == "optimize_target_file_bytes":
                     self._optimize_file_bytes = max(1, int(v))
+                elif k == "use_query_cache":
+                    self._use_query_cache = v.strip().lower() in ("1", "true")
+                    if not self._use_query_cache:
+                        self._result_cache.clear()
                 elif k in mapped and mapped[k]:
                     self.spark.conf.set(mapped[k], v)
             return self.spark.sql("SELECT 1 AS ok")

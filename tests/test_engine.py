@@ -1925,3 +1925,27 @@ def test_codec_maps_to_parquet_compression(engine, spark):
     engine.sql("insert into cd_t values (1, 2.0)")
     engine.sql("drop table cz_t")
     engine.sql("drop table cd_t")
+
+
+def test_query_result_cache(engine):
+    """SET use_query_cache = 1 (upstream-CH query cache): a repeated SELECT
+    is served from the cached result blocks (system.query_log records
+    QueryCacheHit); ANY mutating statement starts a new epoch and the next
+    run recomputes against fresh data."""
+    engine.sql("create table qc_t (k Int64, v Int64)")
+    engine.sql("insert into qc_t values (1, 10), (2, 20)")
+    engine.sql("set use_query_cache = 1")
+    q = "select k, sum(v) as s from qc_t group by k"
+    r1 = sorted(tuple(r) for r in engine.sql(q).collect())
+    r2 = sorted(tuple(r) for r in engine.sql(q).collect())
+    assert r1 == r2 == [(1, 10), (2, 20)]
+    hits = engine.sql(
+        "select count(*) as n from system.query_log where type = 'QueryCacheHit'"
+    ).collect()[0][0]
+    assert hits >= 1
+    # mutation invalidates: fresh data visible immediately
+    engine.sql("insert into qc_t values (1, 5)")
+    r3 = sorted(tuple(r) for r in engine.sql(q).collect())
+    assert r3 == [(1, 15), (2, 20)]
+    engine.sql("set use_query_cache = 0")
+    engine.sql("drop table qc_t")
