@@ -1662,3 +1662,52 @@ GROUP BY l_returnflag
 QUERIES["engine_codec_compression"] = Query(
     engine_codec_compression, ENGINE_CODEC_ORACLE, ("engine", "ddl", "storage")
 )
+
+
+def engine_query_cache(spark, sf_dir):
+    """Query result cache (engine.py sql(); upstream-CH use_query_cache):
+    the same SELECT twice — second run served from cached result blocks
+    (QueryCacheHit in system.query_log) — then a mutation, which starts a
+    new cache epoch, and a final run that must see the post-mutation data.
+    The hash covers the final (post-invalidation) values plus the
+    hit-observed flag."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "qch")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("qch_src")
+    eng.sql("create table qc_ord(ok Int64, status String, total Float64)")
+    eng.sql(
+        "insert into qc_ord select o_orderkey, o_orderstatus, o_totalprice "
+        "from qch_src where o_orderkey % 5 = 0"
+    )
+    eng.sql("set use_query_cache = 1")
+    q = (
+        "select status, count(*) as n, round(sum(total), 2) as s "
+        "from qc_ord group by status"
+    )
+    eng.sql(q).collect()
+    eng.sql(q).collect()  # served from cache
+    hits = eng.sql(
+        "select count(*) as n from system.query_log "
+        "where type = 'QueryCacheHit'"
+    ).collect()[0][0]
+    eng.sql("alter table qc_ord delete where ok % 10 = 0")  # new epoch
+    out = eng.sql(q)
+    from pyspark.sql import functions as F
+
+    return out.select(
+        "status", "n", "s", F.lit(bool(hits >= 1)).alias("cache_hit_seen")
+    )
+
+
+ENGINE_QUERY_CACHE_ORACLE = """
+SELECT o_orderstatus AS status, count(*) AS n,
+       round(sum(o_totalprice), 2) AS s, true AS cache_hit_seen
+FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0
+GROUP BY o_orderstatus
+"""
+
+
+QUERIES["engine_query_cache"] = Query(
+    engine_query_cache, ENGINE_QUERY_CACHE_ORACLE, ("engine", "cache")
+)
