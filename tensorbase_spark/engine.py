@@ -317,6 +317,66 @@ _QUALIFY_TAIL_RE = re.compile(r"(?is)\b(order\s+by|limit|union)\b")
 _TOP_FROM_RE = re.compile(r"(?is)\bfrom\b")
 
 
+def _replace_ident_everywhere(sql: str, ident: str, repl: str) -> str:
+    """Replace bare references to ``ident`` throughout ``sql`` (string
+    literals excluded) — CH's scalar WITH aliases scope over the whole
+    query including subqueries, unlike ARRAY JOIN shadowing."""
+    pat = re.compile(rf"(?is)(?<![\w.$]){re.escape(ident)}(?![\w.$])(?!\s*\()")
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in "'\"":
+            j = i + 1
+            while j < n and sql[j] != ch:
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        m = pat.match(sql, i)
+        if m:
+            out.append(repl)
+            i = m.end()
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+_SCALAR_WITH_ITEM_RE = re.compile(r"(?is)^(?P<e>.+?)\s+as\s+(?P<id>\w+)$")
+_CTE_ITEM_RE = re.compile(r"(?is)^\w+\s*(?:\([^)]*\))?\s+as\s*\(")
+
+
+def _rewrite_scalar_with(sql: str) -> str:
+    """ClickHouse's expression-alias WITH (``WITH 5 AS n SELECT n*2``,
+    ``WITH (SELECT max(k) FROM t) AS mx SELECT ...``): each alias inlines
+    as a parenthesized expression over the whole query body.  Standard
+    CTEs (``WITH name AS (SELECT ...)``) and WITH RECURSIVE pass through
+    untouched; mixed forms are left to Spark (CH allows mixing, but the
+    conservative bail keeps CTE semantics exactly native)."""
+    m = re.match(r"(?is)^\s*with\s+", sql)
+    if m is None or re.match(r"(?is)^\s*with\s+recursive\b", sql):
+        return sql
+    body_m = _scan_depth0(sql, m.end(), re.compile(r"(?is)\bselect\b").match)
+    if body_m is None:
+        return sql
+    items_txt = sql[m.end() : body_m.start()].rstrip().rstrip(",")
+    items = _split_depth0(items_txt)
+    pairs = []
+    for it in items:
+        if _CTE_ITEM_RE.match(it.strip()):
+            return sql  # standard CTE (or mixed) — native path
+        sm = _SCALAR_WITH_ITEM_RE.match(it.strip())
+        if not sm:
+            return sql
+        pairs.append((sm.group("id"), sm.group("e").strip()))
+    body = sql[body_m.start():]
+    # later aliases may reference earlier ones (CH allows it): substitute
+    # in reverse declaration order so inner references expand too
+    for ident, expr in reversed(pairs):
+        body = _replace_ident_everywhere(body, ident, f"({expr})")
+    return body
+
+
 _WITH_TIES_RE = re.compile(
     r"(?is)\border\s+by\s+(?P<keys>.+?)\s+limit\s+(?P<n>\d+)\s+with\s+ties\s*$"
 )
@@ -3329,6 +3389,8 @@ class TensorBaseEngine:
         # clause rewrites apply on every query path (plain SELECT, EXPLAIN,
         # INSERT ... SELECT, remote push): idempotent on already-clean text
         q = _rewrite_array_join(_preprocess_ch_clauses(q.strip()))
+        if re.match(r"(?is)^\s*with\b", q):
+            q = _rewrite_scalar_with(q)
         if _DICT_CALL_RE.search(q):
             q = self._rewrite_dict_funcs(q)
         if self._projections:

@@ -134,7 +134,7 @@ PRIORITY_HEAD = [
     "ch_limit_with_ties", "ch_recursive_cte", "ch_named_window",
     "engine_partition_ops", "ch_ilike_ops", "window_interval_range",
     "engine_codec_compression", "dedup_url_canonical",
-    "events_transition_matrix", "engine_query_cache",
+    "events_transition_matrix", "engine_query_cache", "ch_scalar_with",
 ]
 
 

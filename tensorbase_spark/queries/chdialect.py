@@ -679,3 +679,38 @@ QUERIES["ch_ilike_ops"] = Query(
 QUERIES["window_interval_range"] = Query(
     window_interval_range, WINDOW_INTERVAL_RANGE_ORACLE, ("window", "dialect")
 )
+
+
+def ch_scalar_with(spark, sf_dir):
+    """ClickHouse's expression-alias WITH (``WITH expr AS ident SELECT``):
+    constants, scalar subqueries, and aliases referencing earlier aliases
+    all inline over the whole query body (engine.py _rewrite_scalar_with);
+    standard CTEs and WITH RECURSIVE stay on Spark's native path.  The
+    oracle spells the same query with the aliases expanded by hand."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_sw")
+    return eng.sql(
+        "with 0.05 as disc_cap, "
+        "(select avg(l_quantity) from li_sw) as avg_qty, "
+        "avg_qty * 1.5 as qty_hi "
+        "select l_returnflag as rf, count(*) as n, "
+        "round(sum(l_extendedprice), 2) as s "
+        "from li_sw "
+        "where l_discount < disc_cap and l_quantity > qty_hi "
+        "group by l_returnflag"
+    )
+
+
+CH_SCALAR_WITH_ORACLE = """
+SELECT l_returnflag AS rf, count(*) AS n,
+       round(sum(l_extendedprice), 2) AS s
+FROM lineitem
+WHERE l_discount < 0.05
+  AND l_quantity > (SELECT avg(l_quantity) FROM lineitem) * 1.5
+GROUP BY l_returnflag
+"""
+
+
+QUERIES["ch_scalar_with"] = Query(
+    ch_scalar_with, CH_SCALAR_WITH_ORACLE, ("dialect", "clause")
+)

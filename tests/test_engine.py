@@ -1949,3 +1949,30 @@ def test_query_result_cache(engine):
     assert r3 == [(1, 15), (2, 20)]
     engine.sql("set use_query_cache = 0")
     engine.sql("drop table qc_t")
+
+
+def test_scalar_with_forms(engine, spark):
+    """CH expression-alias WITH: constants, scalar subqueries, chained
+    aliases; standard CTEs and WITH RECURSIVE stay native."""
+    spark.createDataFrame([(1, 2.0), (4, 3.0)], "k int, v double") \
+        .createOrReplaceTempView("sw_t")
+    assert sorted(
+        tuple(r) for r in engine.sql(
+            "with 5 as n select k + n as s from sw_t").collect()
+    ) == [(6,), (9,)]
+    assert sorted(
+        tuple(r) for r in engine.sql(
+            "with (select max(k) from sw_t) as mx select k, mx from sw_t"
+        ).collect()
+    ) == [(1, 4), (4, 4)]
+    assert sorted(
+        tuple(r) for r in engine.sql(
+            "with 2 as a, a * 3 as b select k * b as s from sw_t").collect()
+    ) == [(6,), (24,)]
+    assert engine.sql(
+        "with c as (select k from sw_t where k > 1) select count(*) as n from c"
+    ).collect()[0][0] == 1
+    assert engine.sql(
+        "with recursive s(n) as (select 1 union all select n+1 from s "
+        "where n < 3) select sum(n) as t from s"
+    ).collect()[0][0] == 6
