@@ -1144,6 +1144,8 @@ class TensorBaseEngine:
         # catalog-mutating statement bumps the version, invalidating
         # everything at once (CH invalidates on table change; a whole-cache
         # epoch is the conservative spelling of that)
+        # CH query parameters: SET param_x = v binds {x:Type} placeholders
+        self._params: dict[str, str] = {}
         self._use_query_cache: bool = False
         self._cache_version: int = 0
         self._result_cache: dict[str, tuple] = {}
@@ -1537,6 +1539,9 @@ class TensorBaseEngine:
                     self._use_query_cache = v.strip().lower() in ("1", "true")
                     if not self._use_query_cache:
                         self._result_cache.clear()
+                elif k.startswith("param_") and len(k) > 6:
+                    # CH query parameters: SET param_x = v binds {x:Type}
+                    self._params[k[6:]] = v
                 elif k in mapped and mapped[k]:
                     self.spark.conf.set(mapped[k], v)
             return self.spark.sql("SELECT 1 AS ok")
@@ -3343,6 +3348,45 @@ class TensorBaseEngine:
             self._translate_query(f"select {sel} from {view}{tail}")
         )
 
+    _PARAM_RE = re.compile(r"\{(?P<n>\w+)\s*:\s*(?P<t>[^{}]+)\}")
+
+    def _bind_query_params(self, q: str) -> str:
+        """ClickHouse query parameters: ``{name:Type}`` placeholders bound
+        from ``SET param_name = value`` (CH's prepared-statement surface).
+        Each placeholder becomes CAST('value' AS <spark type>) — typed,
+        injection-safe, constant-folded by Catalyst.  String literals in
+        the query text are left untouched."""
+
+        def repl(m: re.Match) -> str:
+            name = m.group("n")
+            if name not in self._params:
+                raise ValueError(
+                    f"query parameter {{{name}}} is not set "
+                    f"(SET param_{name} = ...)"
+                )
+            t = parse_bql_type(m.group("t").strip()).spark_type.simpleString()
+            v = self._params[name].replace("'", "''")
+            return f"CAST('{v}' AS {t})"
+
+        out, i, n = [], 0, len(q)
+        while i < n:
+            ch = q[i]
+            if ch in "'\"":
+                j = i + 1
+                while j < n and q[j] != ch:
+                    j += 1
+                out.append(q[i : j + 1])
+                i = j + 1
+                continue
+            m = self._PARAM_RE.match(q, i)
+            if m:
+                out.append(repl(m))
+                i = m.end()
+                continue
+            out.append(ch)
+            i += 1
+        return "".join(out)
+
     def _rewrite_sample(self, q: str) -> str:
         """ClickHouse ``FROM t SAMPLE k`` (upstream-CH; requires the table's
         declared sampling key — here ``SETTINGS sample_by=col``).  CH samples
@@ -3389,6 +3433,8 @@ class TensorBaseEngine:
         # clause rewrites apply on every query path (plain SELECT, EXPLAIN,
         # INSERT ... SELECT, remote push): idempotent on already-clean text
         q = _rewrite_array_join(_preprocess_ch_clauses(q.strip()))
+        if "{" in q:
+            q = self._bind_query_params(q)
         if re.match(r"(?is)^\s*with\b", q):
             q = _rewrite_scalar_with(q)
         if _DICT_CALL_RE.search(q):

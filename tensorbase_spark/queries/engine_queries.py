@@ -1711,3 +1711,38 @@ GROUP BY o_orderstatus
 QUERIES["engine_query_cache"] = Query(
     engine_query_cache, ENGINE_QUERY_CACHE_ORACLE, ("engine", "cache")
 )
+
+
+def engine_query_params(spark, sf_dir):
+    """ClickHouse query parameters ({name:Type} bound via SET param_name —
+    the prepared-statement surface; engine.py _bind_query_params casts the
+    bound string to the declared BQL type, injection-safe).  The oracle
+    spells the same query with the parameter values inlined."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("qp_src")
+    eng.sql("set param_status = F, param_lo = 1000, param_cut = 1997-01-01")
+    return eng.sql(
+        "select toYear(o_orderdate) as y, count(*) as n, "
+        "round(sum(o_totalprice), 2) as s from qp_src "
+        "where o_orderstatus = {status:String} "
+        "and o_orderkey > {lo:Int64} "
+        "and o_orderdate < {cut:Date} "
+        "group by toYear(o_orderdate)"
+    )
+
+
+ENGINE_QUERY_PARAMS_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS y, count(*) AS n,
+       round(sum(o_totalprice), 2) AS s
+FROM orders
+WHERE o_orderstatus = 'F' AND o_orderkey > 1000
+  AND o_orderdate < DATE '1997-01-01'
+GROUP BY year(o_orderdate)
+"""
+
+
+QUERIES["engine_query_params"] = Query(
+    engine_query_params, ENGINE_QUERY_PARAMS_ORACLE, ("engine", "params")
+)

@@ -1976,3 +1976,20 @@ def test_scalar_with_forms(engine, spark):
         "with recursive s(n) as (select 1 union all select n+1 from s "
         "where n < 3) select sum(n) as t from s"
     ).collect()[0][0] == 6
+
+
+def test_query_parameters(engine, spark):
+    """{name:Type} placeholders bind from SET param_name; unbound params
+    error clearly; braces inside string literals stay verbatim."""
+    spark.createDataFrame([(1, "a"), (7, "b")], "k int, s string") \
+        .createOrReplaceTempView("qp_t")
+    engine.sql("set param_lo = 2, param_tag = b")
+    rows = engine.sql(
+        "select k, s from qp_t where k > {lo:Int64} and s = {tag:String}"
+    ).collect()
+    assert [tuple(r) for r in rows] == [(7, "b")]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="param_missing"):
+        engine.sql("select {missing:Int64} as x")
+    assert engine.sql("select '{lo:Int64}' as lit").collect()[0][0] == "{lo:Int64}"
