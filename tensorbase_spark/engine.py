@@ -1931,13 +1931,24 @@ class TensorBaseEngine:
         m = re.match(
             r"(?is)^optimize\s+table\s+(?P<name>[A-Za-z_][A-Za-z0-9_.]*)"
             r"(?:\s+final)?"
-            r"(?:\s+sort\s+by\s+(?P<sort>.+?)|\s+zorder\s+by\s+(?P<z>.+?))?\s*$",
+            r"(?:\s+sort\s+by\s+(?P<sort>.+?)|\s+zorder\s+by\s+(?P<z>.+?))?"
+            r"(?:\s+deduplicate(?:\s+by\s+(?P<dedup>.+?))?)?\s*$",
             c,
         )
         if not m:
             raise ValueError(f"cannot parse: {c}")
         name = self._qualify(m.group("name"))
         df = self.spark.table(name)
+        if m.group("dedup") is not None or re.search(r"(?is)\bdeduplicate\b", c):
+            # CH OPTIMIZE ... DEDUPLICATE [BY cols]: drop exact-duplicate
+            # rows during the merge rewrite (all columns, or the BY list)
+            if m.group("dedup"):
+                keys = [k.strip() for k in _split_depth0(m.group("dedup"))]
+                df = df.dropDuplicates(keys)
+            else:
+                df = df.dropDuplicates(
+                    [col for col in df.columns if col != PTK_COL]
+                )
         spec = self._spec_for(name)
         props = self._table_props(name)
         ttl = props.get("tb.ttl")

@@ -1746,3 +1746,39 @@ GROUP BY year(o_orderdate)
 QUERIES["engine_query_params"] = Query(
     engine_query_params, ENGINE_QUERY_PARAMS_ORACLE, ("engine", "params")
 )
+
+
+def engine_optimize_dedup(spark, sf_dir):
+    """OPTIMIZE TABLE ... DEDUPLICATE [BY cols] (CH's merge-time exact
+    dedup): duplicate rows inserted twice collapse back to one copy during
+    the compaction rewrite; the BY form dedups on a key subset keeping one
+    row per key.  The oracle recomputes both end states from the fixture."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "odd")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("odd_src")
+    eng.sql("create table od_ord(ok Int64, status String, total Float64)")
+    sel = (
+        "select o_orderkey, o_orderstatus, o_totalprice from odd_src "
+        "where o_orderkey % 7 = 0"
+    )
+    eng.sql(f"insert into od_ord {sel}")
+    eng.sql(f"insert into od_ord {sel}")  # exact duplicates
+    eng.sql("optimize table od_ord deduplicate")
+    return eng.sql(
+        "select status, count(*) as n, round(sum(total), 2) as s "
+        "from od_ord group by status"
+    )
+
+
+ENGINE_OPTIMIZE_DEDUP_ORACLE = """
+SELECT o_orderstatus AS status, count(*) AS n,
+       round(sum(o_totalprice), 2) AS s
+FROM orders WHERE o_orderkey % 7 = 0
+GROUP BY o_orderstatus
+"""
+
+
+QUERIES["engine_optimize_dedup"] = Query(
+    engine_optimize_dedup, ENGINE_OPTIMIZE_DEDUP_ORACLE, ("engine", "ddl", "dedup")
+)

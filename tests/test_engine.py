@@ -1993,3 +1993,16 @@ def test_query_parameters(engine, spark):
     with _pytest.raises(Exception, match="param_missing"):
         engine.sql("select {missing:Int64} as x")
     assert engine.sql("select '{lo:Int64}' as lit").collect()[0][0] == "{lo:Int64}"
+
+
+def test_optimize_deduplicate(engine):
+    """OPTIMIZE ... DEDUPLICATE drops exact duplicates; the BY form keeps
+    one row per key subset."""
+    engine.sql("create table od_t (k Int64, v Int64)")
+    engine.sql("insert into od_t values (1, 10), (1, 10), (2, 20), (2, 21)")
+    engine.sql("optimize table od_t deduplicate")
+    rows = sorted(tuple(r) for r in engine.sql("select k, v from od_t").collect())
+    assert rows == [(1, 10), (2, 20), (2, 21)]
+    engine.sql("optimize table od_t deduplicate by k")
+    assert engine.sql("select count(*) as n from od_t").collect()[0][0] == 2
+    engine.sql("drop table od_t")
