@@ -91,3 +91,73 @@ def test_set_multi_assignment_split_depth0():
 
     parts = _split_depth0("a = 1, b = 'x,y', c = f(1, 2)")
     assert parts == ["a = 1", "b = 'x,y'", "c = f(1, 2)"]
+
+
+# --- round-5 rewrites: scalar WITH, LIMIT WITH TIES, balanced parens ------
+
+def test_scalar_with_leaves_ctes_untouched():
+    from tensorbase_spark.engine import _rewrite_scalar_with
+
+    ctes = [
+        "with c as (select a from t) select * from c",
+        "with c as (select a from t), d as (select b from u) "
+        "select * from c join d on c.a = d.b",
+        "with recursive s(n) as (select 1 union all select n+1 from s "
+        "where n < 5) select * from s",
+        # mixed CH + CTE: conservative bail, untouched
+        "with 5 as n, c as (select a from t) select * from c",
+        "select a from t",  # no WITH at all
+    ]
+    for q in ctes:
+        assert _rewrite_scalar_with(q) == q, q
+
+
+def test_scalar_with_inlines_and_respects_strings():
+    from tensorbase_spark.engine import _rewrite_scalar_with
+
+    out = _rewrite_scalar_with("with 5 as n select n, 'n' as lit from t")
+    assert "(5)" in out and "'n'" in out and "with" not in out.lower()
+    # chained aliases expand through each other
+    out2 = _rewrite_scalar_with("with 2 as a, a + 1 as b select b from t")
+    assert "((2) + 1)" in out2
+
+
+def test_with_ties_only_rewrites_the_clause():
+    from tensorbase_spark.engine import _rewrite_limit_with_ties
+
+    plain = [
+        "select a from t order by a limit 5",
+        "select a from t limit 5",
+        "select 'limit 5 with ties' as s from t",
+    ]
+    for q in plain:
+        assert _rewrite_limit_with_ties(q) == q, q
+    out = _rewrite_limit_with_ties("select a from t order by a limit 5 with ties")
+    assert "rank() over" in out and "__rk <= 5" in out
+
+
+def test_strip_outer_parens_balanced_only():
+    from tensorbase_spark.engine import _strip_outer_parens
+
+    assert _strip_outer_parens("(a, b)") == "a, b"
+    assert _strip_outer_parens("cityHash64(id)") == "cityHash64(id)"
+    assert _strip_outer_parens("(a, f(b))") == "a, f(b)"
+    assert _strip_outer_parens("((x))") == "x"
+    assert _strip_outer_parens("(a) + (b)") == "(a) + (b)"
+
+
+def test_param_binder_skips_literals_and_plain_text():
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    class _Stub(TensorBaseEngine):
+        def __init__(self):  # no SparkSession needed for the binder
+            self._params = {"x": "7"}
+
+    e = _Stub()
+    assert e._bind_query_params("select 1") == "select 1"
+    out = e._bind_query_params("select {x:Int64} as v, '{x:Int64}' as lit")
+    assert "CAST('7' AS bigint)" in out and "'{x:Int64}'" in out
+    import pytest as _p
+
+    with _p.raises(ValueError, match="param_y"):
+        e._bind_query_params("select {y:Int64}")
