@@ -559,6 +559,31 @@ def build_ivf_index(
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def ivf_index_append(
+    spark,
+    path: str,
+    new_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental add to a persisted IVF index (the continuous-ingest
+    path): new vectors are assigned to the EXISTING centroids — no
+    retrain, the Faiss-style append contract; centroid drift is handled
+    by periodic full rebuilds — and appended as NEW files inside their
+    centroid partition directories.  Single pass, partition-local
+    appends, existing files untouched; searches see the union
+    immediately."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    assigned = _assign_multi(new_vecs, cents, 1, id_col, vec_col)
+    assigned.select(
+        F.col("v_id").alias(id_col),
+        F.col("v_vec").alias(vec_col),
+        "centroid_id",
+    ).write.mode("append").partitionBy("centroid_id").parquet(
+        f"{path}/vectors"
+    )
+
+
 def ivf_search_indexed(
     spark,
     path: str,

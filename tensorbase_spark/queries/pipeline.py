@@ -1626,3 +1626,30 @@ QUERIES["dedup_url_canonical"] = Query(
 QUERIES["events_transition_matrix"] = Query(
     events_transition_matrix, EVENTS_TRANSITION_ORACLE, ("events", "window")
 )
+
+
+def sim_ivf_index_append(spark, sf_dir):
+    """Incremental vector-index ingest (similarity.ivf_index_append — the
+    continuous-ingest path): the index is BUILT from only half the corpus,
+    the other half APPENDS against the frozen centroids (no retrain,
+    partition-local file appends), then a FULL-probe search (nprobe =
+    n_centroids) must reproduce the exact brute-force top-k over the WHOLE
+    corpus — proving the appended vectors are searchable and nothing was
+    lost or duplicated.  Partial-nprobe recall stays covered by
+    tests/test_pipeline.py and the sim_ivf_indexed bench row."""
+    import os
+    import shutil
+
+    emb, q = _emb_queries(spark, sf_dir)
+    idx = f"/tmp/tbs_ivf_append/{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(idx, ignore_errors=True)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    similarity.build_ivf_index(half_a, idx, n_centroids=8)
+    similarity.ivf_index_append(spark, idx, half_b)
+    return similarity.ivf_search_indexed(spark, idx, q, k=5, nprobe=8)
+
+
+QUERIES["sim_ivf_index_append"] = Query(
+    sim_ivf_index_append, SIM_BRUTE_ORACLE, ("similarity", "index", "ingest")
+)

@@ -1059,3 +1059,34 @@ def test_substring_windows_flag_verbatim_overlap(spark):
     assert rows[1].n_shared > 0 and rows[2].n_shared > 0
     assert rows[3].n_shared == 0 and rows[3].dup_fraction == 0.0
     assert 4 not in rows
+
+
+def test_ivf_index_append_equals_rebuild(spark, tmp_path):
+    """Appending to a persisted IVF index must leave every vector
+    searchable exactly once: full-probe search over (build half + append
+    half) equals brute force over the whole set."""
+    from tensorbase_spark.pipeline import similarity
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_append")
+    similarity.build_ivf_index(emb.filter("vec_id % 2 = 0"), idx, n_centroids=4)
+    similarity.ivf_index_append(spark, idx, emb.filter("vec_id % 2 = 1"))
+    q = emb.filter("vec_id % 100 = 0")
+    got = sorted(
+        tuple(r)
+        for r in similarity.ivf_search_indexed(spark, idx, q, k=3, nprobe=4).collect()
+    )
+    want = sorted(
+        tuple(r) for r in similarity.brute_force_topk(emb, q, k=3).collect()
+    )
+    assert got == want
+    # appended rows live in NEW files; the original build files are intact
+    import os
+
+    n_files = sum(
+        1
+        for _d, _s, fs in os.walk(f"{idx}/vectors")
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert n_files > 4  # strictly more files than the 4-partition build alone
