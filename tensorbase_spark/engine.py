@@ -1557,11 +1557,39 @@ class TensorBaseEngine:
             return self.spark.createDataFrame(
                 [(line,) for line in plan.split("\n")], "plan: string"
             )
+        if re.match(r"(?is)^explain\s+estimate\b", c):
+            # CH EXPLAIN ESTIMATE: per-referenced-table part/row/byte
+            # counts (not a plan) — served from the same parquet-footer
+            # walk system.parts uses, so it is metadata-only
+            body = c[len("explain"):].strip()[len("estimate"):]
+            db = self.spark.catalog.currentDatabase()
+            refs = {
+                self._qualify(t)
+                for t, _a in re.findall(
+                    r"(?is)\b(?:from|join)\s+([A-Za-z_][\w.]*)"
+                    r"(?:\s+(?:as\s+)?([A-Za-z_]\w*))?",
+                    body,
+                )
+            }
+            self._refresh_system_parts()
+            parts = self.spark.table("global_temp.tb_system_parts")
+            names = [r.split(".", 1)[1] for r in sorted(refs) if "." in r]
+            return (
+                parts.filter(
+                    (F.col("database") == db) & F.col("table").isin(names)
+                )
+                .groupBy("database", "table")
+                .agg(
+                    F.sum("part_count").alias("parts"),
+                    F.sum("rows").alias("rows"),
+                    F.sum("bytes_on_disk").alias("bytes_on_disk"),
+                )
+            )
         if low.startswith("explain"):
-            # CH EXPLAIN variants (PLAN/PIPELINE/ESTIMATE/SYNTAX/AST) all map
-            # to the one plan surface Spark exposes
+            # CH EXPLAIN variants (PLAN/PIPELINE/SYNTAX/AST) all map to the
+            # one plan surface Spark exposes
             body = re.sub(
-                r"(?is)^\s*(plan|pipeline|estimate|syntax|ast)\b", "", c[len("explain"):]
+                r"(?is)^\s*(plan|pipeline|syntax|ast)\b", "", c[len("explain"):]
             )
             return self.spark.sql("EXPLAIN " + self._translate_query(body))
         if low.startswith("insert"):

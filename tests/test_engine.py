@@ -1335,7 +1335,11 @@ def test_set_explain_variants_array_fold(engine):
     assert engine.spark.conf.get("spark.sql.shuffle.partitions") == "16"
     engine.spark.conf.set("spark.sql.shuffle.partitions", prev)
     engine.sql("set unknown_ch_setting = 1")  # accepted, ignored
-    assert len(engine.sql("explain estimate select 1").collect()) > 0
+    # EXPLAIN ESTIMATE now returns per-table part counts (CH semantics):
+    # a table-less query estimates nothing; schema is the estimate shape
+    est = engine.sql("explain estimate select 1")
+    assert est.columns == ["database", "table", "parts", "rows", "bytes_on_disk"]
+    assert est.collect() == []
 
 
 def test_create_view_through_dialect(engine):
@@ -2006,3 +2010,14 @@ def test_optimize_deduplicate(engine):
     engine.sql("optimize table od_t deduplicate by k")
     assert engine.sql("select count(*) as n from od_t").collect()[0][0] == 2
     engine.sql("drop table od_t")
+
+
+def test_explain_estimate_part_counts(engine):
+    """EXPLAIN ESTIMATE returns per-table parts/rows/bytes from parquet
+    footers (CH's estimate surface), not a plan."""
+    engine.sql("create table ee_t (k Int64)")
+    engine.sql("insert into ee_t select id as k from range(321)")
+    r = engine.sql("explain estimate select * from ee_t where k > 5").collect()
+    assert len(r) == 1 and r[0].rows == 321 and r[0].parts >= 1
+    assert r[0].bytes_on_disk > 0
+    engine.sql("drop table ee_t")
