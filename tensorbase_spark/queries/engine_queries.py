@@ -1514,6 +1514,7 @@ def engine_explain_catalog(spark, sf_dir):
         ).collect()
     }
     plan_rows = eng.sql("explain select k from cat_t where k = 1").collect()
+    est = eng.sql("explain estimate select * from cat_t").collect()
     eng.sql("truncate table cat_t")
     n_after = eng.sql("select count(*) as n from cat_t").collect()[0][0]
 
@@ -1526,6 +1527,7 @@ def engine_explain_catalog(spark, sf_dir):
         ("bql_k_type", bql.get("k", "")),
         ("bql_s_type", bql.get("s", "")),
         ("explain_nonempty", str(len(plan_rows) > 0).lower()),
+        ("estimate_rows", str(est[0].rows) if est else "none"),
         ("truncate_empties", str(n_after == 0).lower()),
     ]
     return spark.createDataFrame(rows, "chk string, val string")
@@ -1541,6 +1543,7 @@ SELECT * FROM (VALUES
     ('bql_k_type', 'Int64'),
     ('bql_s_type', 'Nullable(String)'),
     ('explain_nonempty', 'true'),
+    ('estimate_rows', '2'),
     ('truncate_empties', 'true')
 ) AS t(chk, val)
 """
