@@ -1143,7 +1143,9 @@ class TensorBaseEngine:
         # key -> (catalog_version, pandas result, schema).  Any
         # catalog-mutating statement bumps the version, invalidating
         # everything at once (CH invalidates on table change; a whole-cache
-        # epoch is the conservative spelling of that)
+        # epoch is the conservative spelling of that).  Caveat, like CH's:
+        # data changed OUTSIDE engine.sql() (temp-view replacement, direct
+        # file writes) is invisible — enable it for engine-table workloads
         # CH query parameters: SET param_x = v binds {x:Type} placeholders
         self._params: dict[str, str] = {}
         self._use_query_cache: bool = False
