@@ -27,15 +27,23 @@ def funnel_depths(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    strict_increase: bool = False,
 ) -> DataFrame:
-    """Per-user funnel depth in [0, len(steps)] -> (user_id, funnel_depth)."""
+    """Per-user funnel depth in [0, len(steps)] -> (user_id, funnel_depth).
+
+    ``strict_increase`` is CH windowFunnel('strict_increase'): each chained
+    step must occur STRICTLY after the previous one — simultaneous events
+    cannot satisfy two consecutive steps."""
     arr = F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("t")))
     g = events.groupBy(F.col(user_col).alias("user_id")).agg(arr.alias("evs"))
 
     def step_min(prev, step):
-        cond = (lambda e: e["t"] == step) if prev is None else (
-            lambda e: (e["t"] == step) & (e["ts"] >= prev)
-        )
+        if prev is None:
+            cond = lambda e: e["t"] == step
+        elif strict_increase:
+            cond = lambda e: (e["t"] == step) & (e["ts"] > prev)
+        else:
+            cond = lambda e: (e["t"] == step) & (e["ts"] >= prev)
         return F.array_min(F.transform(F.filter(F.col("evs"), cond), lambda e: e["ts"]))
 
     ts_cols = []

@@ -155,3 +155,42 @@ FROM scored
 QUERIES["events_anomaly_zscore"] = Query(
     events_anomaly_zscore, EVENTS_ANOMALY_ORACLE, ("events", "analytics")
 )
+
+
+def events_funnel_strict(spark, sf_dir):
+    """windowFunnel('strict_increase') semantics (operators/funnel.py):
+    each chained step must occur STRICTLY after the previous one, so
+    simultaneous events can't satisfy two consecutive steps.  Same
+    one-shuffle collect + HOF chain as the base funnel; the oracle chains
+    mins with strict > comparisons."""
+    ev = load_table(spark, sf_dir, "events")
+    return funnel.funnel_histogram(
+        ev, STEPS, window="7 days", strict_increase=True
+    )
+
+
+WINDOW_FUNNEL_STRICT_ORACLE = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id
+), d AS (
+  SELECT u.user_id,
+         CASE WHEN t1 IS NULL THEN 0
+              WHEN t2 IS NULL OR t2 > t1 + INTERVAL 7 DAY THEN 1
+              WHEN t3 IS NULL OR t3 > t1 + INTERVAL 7 DAY THEN 2
+              ELSE 3 END AS funnel_depth
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+)
+SELECT funnel_depth, count(*) AS n_users FROM d GROUP BY funnel_depth
+"""
+
+
+QUERIES["events_funnel_strict"] = Query(
+    events_funnel_strict, WINDOW_FUNNEL_STRICT_ORACLE, ("events", "funnel")
+)
