@@ -2286,6 +2286,16 @@ class TensorBaseEngine:
             tgt = self._qualify(pm.group("tgt") or "")
             if not pm.group("tgt"):
                 raise ValueError("MOVE PARTITION needs TO TABLE target")
+            # CH requires identical structure for MOVE PARTITION: a target
+            # with a DIFFERENT partition expression would inherit a wrong
+            # __ptk from the source rows
+            src_expr = self._table_props(name).get("tb.partition_expr")
+            tgt_expr = self._table_props(tgt).get("tb.partition_expr")
+            if tgt_expr is not None and tgt_expr != src_expr:
+                raise ValueError(
+                    f"MOVE PARTITION: {name} and {tgt} have different "
+                    f"partition expressions ({src_expr!r} vs {tgt_expr!r})"
+                )
             cols = self.spark.table(tgt).columns
             part_rows.select(*cols).write.insertInto(tgt)
             self._rebuild_projections(tgt)

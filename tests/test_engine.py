@@ -2021,3 +2021,17 @@ def test_explain_estimate_part_counts(engine):
     assert len(r) == 1 and r[0].rows == 321 and r[0].parts >= 1
     assert r[0].bytes_on_disk > 0
     engine.sql("drop table ee_t")
+
+
+def test_move_partition_rejects_mismatched_layout(engine):
+    """MOVE PARTITION into a table with a different partition expression
+    must refuse (the source __ptk would be wrong in the target)."""
+    engine.sql("create table mp_a (d Date, x Int64) partition by toYYYYMM(d)")
+    engine.sql("create table mp_b (d Date, x Int64) partition by toYear(d)")
+    engine.sql("insert into mp_a values (date'2020-01-05', 1)")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="different partition"):
+        engine.sql("alter table mp_a move partition '202001' to table mp_b")
+    engine.sql("drop table mp_a")
+    engine.sql("drop table mp_b")
