@@ -451,3 +451,86 @@ QUERIES = {
         ("corpus", "curation", "similarity"),
     ),
 }
+
+
+def corpus_rag_prep_end_to_end(spark, sf_dir):
+    """Second flagship composition — the RAG/retrieval corpus prep:
+    exact dedup (min doc_id per content hash) -> quality floor (the same
+    deterministic length/diversity/stopword score the quality pipeline
+    uses) -> sliding-window chunking (50-word windows, 10 overlap) ->
+    per-(source) passage summary with token totals and an id-checksum
+    pinning exact chunk membership.
+
+    Plan shape: dedup window (one shuffle on md5(text)), quality filter
+    map-side, chunking as generator-codegen explode (no shuffle), one
+    final keyed aggregation — 2 data shuffles end to end, no Python."""
+    from pyspark.sql import Window as W
+
+    from tensorbase_spark.pipeline import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    w_dd = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    dd = (
+        d.withColumn("rn", F.row_number().over(w_dd))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    q = T.quality_factors()
+    good = dd.filter(q["quality"] >= 0.5)
+    chunks = T.chunk_documents(good, size=50, overlap=10)
+    return (
+        chunks.join(good.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("doc_id") * 1000 + F.col("chunk_idx")).alias(
+                "membership_checksum"
+            ),
+        )
+    )
+
+
+CORPUS_RAG_PREP_ORACLE = r"""
+WITH dd AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+), q AS (
+  SELECT doc_id, source, text,
+         0.4 * least(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0)
+       + 0.3 * (CAST(len(list_distinct(list_filter(
+                   string_split_regex(text, '\s+'), x -> x <> '')))
+                 AS DOUBLE)
+                / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0))
+       + 0.3 * least(1.0, CAST(len(list_intersect(
+                   list_distinct(list_filter(string_split_regex(text, '\s+'),
+                                             x -> x <> '')),
+                   ['the','a','of','and','is','to','in','that']))
+                 AS DOUBLE) / 3.0) AS quality
+  FROM dd
+), good AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+  FROM q WHERE quality >= 0.5
+), chunks AS (
+  SELECT doc_id, source, CAST(s AS INT) AS chunk_idx,
+         CAST(len(w[s*40+1 : s*40+50]) AS BIGINT) AS n_tokens
+  FROM good, LATERAL (
+    SELECT unnest(range(0, greatest(1,
+        CAST(ceil((len(w) - 10) / 40.0) AS BIGINT)))) AS s
+  ) t
+)
+SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(doc_id * 1000 + chunk_idx) AS BIGINT) AS membership_checksum
+FROM chunks GROUP BY source
+"""
+
+
+QUERIES["corpus_rag_prep_end_to_end"] = Query(
+    corpus_rag_prep_end_to_end, CORPUS_RAG_PREP_ORACLE,
+    ("corpus", "curation", "rag"),
+)
