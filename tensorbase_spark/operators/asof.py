@@ -29,12 +29,19 @@ def asof_join(
     right_ts: str | None = None,
     payload: list[str] | None = None,
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: left columns + `asof_<payload>` columns from the
-    matched right row (NULL when no right row precedes the left row).
+    matched right row (NULL when no right row matches the left row).
 
+    direction: "backward" (default — greatest right.ts <= left.ts, the
+    latest-quote-before-each-trade shape) or "forward" (smallest
+    right.ts >= left.ts — the next-reading-after-each-event shape; same
+    one-shuffle union+window plan scanning in reverse time order).
     payload: right columns to attach (default: all but key/ts).
     tiebreak: right column ordering equal-ts right rows (last one wins)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     rts = right_ts or ts
     payload = payload or [c for c in right.columns if c not in (on, rts)]
     tb = tiebreak or (payload[0] if payload else rts)
@@ -62,9 +69,10 @@ def asof_join(
 
     # right rows sort before left rows at equal ts (inclusive match); among
     # equal-ts right rows the greatest tiebreak sorts last and is carried
+    ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts).asc(), F.col("__side").asc(), F.col("__tb").asc_nulls_first())
+        .orderBy(ts_order, F.col("__side").asc(), F.col("__tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # carry the whole right row as ONE struct so a NULL payload value can

@@ -135,7 +135,7 @@ PRIORITY_HEAD = [
     "engine_partition_ops", "ch_ilike_ops", "window_interval_range",
     "engine_codec_compression", "dedup_url_canonical",
     "events_transition_matrix", "engine_query_cache", "ch_scalar_with",
-    "engine_query_params", "engine_optimize_dedup", "sim_ivf_index_append", "events_funnel_strict", "corpus_rag_prep_end_to_end",
+    "engine_query_params", "engine_optimize_dedup", "sim_ivf_index_append", "events_funnel_strict", "corpus_rag_prep_end_to_end", "join_asof_forward",
 ]
 
 

@@ -194,3 +194,49 @@ SELECT funnel_depth, count(*) AS n_users FROM d GROUP BY funnel_depth
 QUERIES["events_funnel_strict"] = Query(
     events_funnel_strict, WINDOW_FUNNEL_STRICT_ORACLE, ("events", "funnel")
 )
+
+
+def join_asof_forward(spark, sf_dir):
+    """FORWARD as-of join (operators/asof.py direction='forward'): each
+    click matched to the user's EARLIEST purchase at-or-after the click —
+    the next-conversion-after-each-touch shape; same one-shuffle
+    union+window plan scanning in reverse time order."""
+    from pyspark.sql import functions as F
+
+    from tensorbase_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", ts="ts",
+        payload=["purchase_id", "value"], tiebreak="purchase_id",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_purchase_id").alias("next_purchase"),
+        F.round("asof_value", 4).alias("purchase_value"),
+    )
+
+
+JOIN_ASOF_FORWARD_ORACLE = """
+SELECT c.event_id, c.user_id, p.event_id AS next_purchase,
+       round(p.value, 4) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts >= c.ts
+QUALIFY row_number() OVER (
+  PARTITION BY c.event_id ORDER BY p.ts ASC NULLS LAST, p.event_id DESC
+) = 1
+"""
+
+
+QUERIES["join_asof_forward"] = Query(
+    join_asof_forward, JOIN_ASOF_FORWARD_ORACLE, ("join", "asof")
+)
