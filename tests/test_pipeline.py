@@ -1090,3 +1090,27 @@ def test_ivf_index_append_equals_rebuild(spark, tmp_path):
         if f.endswith(".parquet")
     )
     assert n_files > 4  # strictly more files than the 4-partition build alone
+
+
+def test_asof_join_forward_direction(spark):
+    """direction='forward': earliest right row at-or-after each left row;
+    equal timestamps match (inclusive); no successor -> NULL."""
+    from tensorbase_spark.operators.asof import asof_join
+
+    L = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (1, 99, "l3"), (2, 5, "l4")],
+        "k int, ts int, lid string",
+    )
+    R = spark.createDataFrame(
+        [(1, 9, "a"), (1, 20, "b"), (1, 30, "c"), (2, 1, "d")],
+        "k int, ts int, v string",
+    )
+    out = {
+        r.lid: r.asof_v
+        for r in asof_join(L, R, on="k", ts="ts", direction="forward").collect()
+    }
+    assert out == {"l1": "b", "l2": "b", "l3": None, "l4": None}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(L, R, on="k", ts="ts", direction="sideways")
