@@ -59,11 +59,17 @@ def main() -> int:
     # min-of-N also filters co-tenant CPU noise (measured: the same 1.2s
     # plan spiked to 30-100s under co-tenant bursts).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Cold-path queries that train + encode + search in one shot are
+    # structurally noisier run-to-run (sim_pq_topk bounced 2.25→1.69→2.23 s
+    # across r3/r4/r5 with an unchanged plan); min-of-5 stabilizes their
+    # best so round deltas stop whipsawing.  Their steady-state indexed
+    # twins (sim_ivfpq_indexed, sim_ivf_indexed) are tracked separately.
+    noisy = {"sim_pq_topk"}
     timings: dict[str, float] = {}
     p50s: dict[str, float] = {}
     for name, q in reg.items():
         samples: list[float] = []
-        for _ in range(runs):
+        for _ in range(max(runs, 5) if name in noisy else runs):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             # noop sink materializes EVERY column JVM-side (count() would let

@@ -387,11 +387,24 @@ def _rewrite_limit_with_ties(sql: str) -> str:
     WITH TIES): rows tying with the n-th sort key survive the limit.
     Spark has no WITH TIES, but rank() over the same ordering IS the
     semantics: rank <= n admits exactly the ties.  One window over the
-    global ordering — same shuffle the ORDER BY itself needs."""
+    global ordering — same shuffle the ORDER BY itself needs.
+
+    Guards: an ordinal key (``ORDER BY 1``) would become a CONSTANT inside
+    the window spec — every row rank 1, the whole table silently returned —
+    so ordinals are rejected loudly.  A sort key not in the SELECT list
+    raises Spark's unresolved-column error after the subquery wrap (loud,
+    never silent): name the key in the projection."""
     m = _scan_depth0(sql, 0, _WITH_TIES_RE.match)
     if m is None:
         return sql
     head, keys, n = sql[: m.start()].rstrip(), m.group("keys").strip(), m.group("n")
+    for k in keys.split(","):
+        if re.fullmatch(r"\d+(?:\s+(?:asc|desc))?", k.strip(), re.I):
+            raise ValueError(
+                "LIMIT n WITH TIES with an ordinal ORDER BY key: the ordinal "
+                "would be a constant inside rank() OVER (ORDER BY ...) and "
+                "silently return every row — name the column instead"
+            )
     return (
         f"select * except (__rk) from (select *, rank() over "
         f"(order by {keys}) as __rk from ({head})) "
@@ -1341,6 +1354,12 @@ class TensorBaseEngine:
         r"(?is)\binto\s+outfile\s+'(?P<p>[^']+)'\s*"
         r"(?:format\s+(?P<f>\w+))?\s*$"
     )
+    # function calls whose result varies run-to-run — cache-ineligible
+    _NONDETERMINISTIC_RE = re.compile(
+        r"(?is)\b(?:now|today|yesterday|rand|randCanonical|randn|uuid|"
+        r"generateUUIDv4|random|current_date|current_timestamp|"
+        r"current_time|unix_timestamp|remote|numbers)\s*\("
+    )
 
     def sql(self, command: str) -> DataFrame:
         """Run one dialect command and log it into ``system.query_log``
@@ -1360,6 +1379,11 @@ class TensorBaseEngine:
             and kind in ("select", "with")
             and not self._OUTFILE_RE.search(c_norm)
             and not re.search(r"(?is)\bsystem\.", c_norm)
+            # non-deterministic queries must not be frozen at first run
+            # (upstream CH default query_cache_nondeterministic_function_
+            # handling='throw' refuses them; we bypass the cache instead):
+            # a cached `select now()` would return the first-run timestamp
+            and not self._NONDETERMINISTIC_RE.search(c_norm)
         ):
             # unqualified names resolve against the current database — it
             # is part of the result identity
@@ -1393,15 +1417,19 @@ class TensorBaseEngine:
         )
         if cache_key is not None:
             # caching is opt-in and materializing: the result is executed
-            # once here (CH's cache also stores completed result blocks)
-            pdf = out.toPandas()
-            if len(pdf) <= self._query_cache_max_rows:
+            # once here (CH's cache also stores completed result blocks).
+            # Collect AT MOST max_rows+1 rows to decide cacheability — a
+            # full toPandas() of an over-cap result (the 100 TB design
+            # point) would OOM the driver just to decide not to cache.
+            probe = out.limit(self._query_cache_max_rows + 1).toPandas()
+            if len(probe) <= self._query_cache_max_rows:
                 if len(self._result_cache) >= self._query_cache_max_entries:
                     self._result_cache.pop(next(iter(self._result_cache)))
                 self._result_cache[cache_key] = (
-                    self._cache_version, pdf, out.schema
+                    self._cache_version, probe, out.schema
                 )
-            return self.spark.createDataFrame(pdf, schema=out.schema)
+                return self.spark.createDataFrame(probe, schema=out.schema)
+            return out  # over the cap: skip caching, stay lazy
         if kind not in (
             "select", "with", "explain", "show", "describe", "desc", "use"
         ):
@@ -2291,7 +2319,10 @@ class TensorBaseEngine:
             # __ptk from the source rows
             src_expr = self._table_props(name).get("tb.partition_expr")
             tgt_expr = self._table_props(tgt).get("tb.partition_expr")
-            if tgt_expr is not None and tgt_expr != src_expr:
+            if tgt_expr != src_expr:
+                # CH requires identical structure — an unpartitioned target
+                # (tgt_expr None) has a different layout too, and appending
+                # one partition's rows into it would be a silent mismatch
                 raise ValueError(
                     f"MOVE PARTITION: {name} and {tgt} have different "
                     f"partition expressions ({src_expr!r} vs {tgt_expr!r})"
@@ -2300,7 +2331,11 @@ class TensorBaseEngine:
             part_rows.select(*cols).write.insertInto(tgt)
             self._rebuild_projections(tgt)
         elif verb == "detach":
-            part_rows.drop(PTK_COL).write.mode("overwrite").parquet(parked)
+            # append, never overwrite: CH accumulates detached parts under
+            # unique names — detach v, re-insert v, detach v again must
+            # keep BOTH parked batches (overwrite silently destroyed the
+            # first); ATTACH reads the whole parked directory back
+            part_rows.drop(PTK_COL).write.mode("append").parquet(parked)
         elif verb == "attach":
             import os
 

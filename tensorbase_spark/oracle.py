@@ -119,9 +119,53 @@ class CompareResult:
         return self.spark_rows == self.oracle_rows and self.cols_match and self.hash_match
 
 
+def _spark_numeric_kind(dt) -> str | None:
+    """'i' for integer-family Spark types, 'f' for float-family, else None."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "i"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "f"
+    return None
+
+
+def assert_dtype_faithful(sdf_schema, con, oracle: str, name: str) -> None:
+    """Fail on any cross-side int-vs-float dtype skew the DRIVER would see.
+
+    The driver canonicalizes both sides through pandas.  DuckDB's integer
+    ``sum`` returns HUGEINT, which pandas materializes as **float64** —
+    against Spark's int64 that hashes ``499.0`` vs ``499`` (the exact
+    `ch_everyday_funcs3` r4+r5 failure).  ``fetchall()`` hides this (Python
+    ints both sides), so this check pulls the oracle's dtypes via
+    ``con.execute(oracle).df()`` — the driver's own path — and rejects any
+    column that is integer-kind on one side and float-kind on the other.
+    Columns containing NULLs are skipped (pandas degrades nullable ints to
+    float64 on BOTH sides, which is not a skew)."""
+    odf = con.execute(oracle).df()
+    spark_kind = {f.name: _spark_numeric_kind(f.dataType) for f in sdf_schema.fields}
+    for col in odf.columns:
+        sk = spark_kind.get(col)
+        if sk is None:
+            continue
+        k = odf[col].dtype.kind  # 'i'/'u' int, 'f' float, else skip
+        ok = "i" if k in ("i", "u") else ("f" if k == "f" else None)
+        if ok is None or ok == sk:
+            continue
+        if odf[col].isna().any():
+            continue  # nullable-int degradation, same on both sides
+        raise TypeError(
+            f"{name}: column '{col}' is {'int' if sk == 'i' else 'float'}-kind "
+            f"in Spark but {odf[col].dtype} in DuckDB-via-pandas (the driver's "
+            "path) — cast the oracle (e.g. CAST(sum(...) AS BIGINT); DuckDB "
+            "integer sums are HUGEINT -> pandas float64) so dtypes agree"
+        )
+
+
 def compare_query(spark, con, name: str, fn, oracle: str, sf_dir: str) -> CompareResult:
     sdf = fn(spark, sf_dir)
     assert_driver_hashable(sdf.schema, name)
+    assert_dtype_faithful(sdf.schema, con, oracle, name)
     spark_cols = [f.name for f in sdf.schema.fields]
     spark_rows = [tuple(r) for r in sdf.collect()]
 

@@ -312,13 +312,16 @@ def unigram_logprob(docs: DataFrame, key: str = "doc_id", text_col: str = "text"
        exchange proportional to VOCABULARY size, not corpus size).
     2. score: re-explode tokens, join the vocab (token-key equi-join —
        Zipfian skew on hot tokens is exactly what AQE skew splitting
-       handles; vocab also broadcasts while it fits), then
-       avg(ln(count/total)) per doc.
+       handles), then avg(ln(count/total)) per doc.
 
     OOV is impossible by construction (vocab comes from the scored corpus).
-    At 100 TB the vocab table is bounded (~1e7 rows) while the token stream
-    is not — the join must stream the tokens and never shuffle-by-doc until
-    the final per-doc aggregate.
+    The vocab join deliberately carries NO broadcast hint: a whitespace
+    vocabulary over 100 TB of web text (URLs, numbers, typos — Heaps' law)
+    runs to 1e9+ rows, past Spark's 8 GB broadcast hard limit, and a forced
+    hint would OOM the driver instead of degrading.  Catalyst/AQE picks
+    broadcast while the vocab fits ``autoBroadcastJoinThreshold`` and falls
+    back to a skew-split sort-merge join when it doesn't — the token stream
+    is never shuffled by doc until the final per-doc aggregate.
     """
     toks = docs.select(
         F.col(key),
@@ -327,7 +330,7 @@ def unigram_logprob(docs: DataFrame, key: str = "doc_id", text_col: str = "text"
     vocab = toks.groupBy("tok").agg(F.count("*").alias("tok_n"))
     total = vocab.agg(F.sum("tok_n").alias("corpus_n"))
     return (
-        toks.join(F.broadcast(vocab), "tok")
+        toks.join(vocab, "tok")
         .crossJoin(F.broadcast(total))
         .groupBy(key)
         .agg(

@@ -496,7 +496,7 @@ def ch_everyday_funcs3(spark, sf_dir):
 
 CH_EVERYDAY3_ORACLE = """
 SELECT o_orderstatus AS st,
-       sum(CAST((o_orderkey >> 0) & 1 AS TINYINT))            AS n_odd,
+       CAST(sum(CAST((o_orderkey >> 0) & 1 AS TINYINT)) AS BIGINT) AS n_odd,
        bit_or(CAST(o_orderkey % 16 AS INT))                   AS bor,
        bit_xor(CAST(o_orderkey % 16 AS INT))                  AS bxor,
        max(CAST(power(2, o_orderkey % 10) AS BIGINT))         AS ie_mx,

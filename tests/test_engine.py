@@ -1955,6 +1955,102 @@ def test_query_result_cache(engine):
     engine.sql("drop table qc_t")
 
 
+def test_query_cache_nondeterministic_bypass(engine):
+    """Non-deterministic SELECTs (now(), rand(), uuid(), ...) bypass the
+    cache — upstream CH refuses to cache them by default
+    (query_cache_nondeterministic_function_handling='throw'); a cached
+    `select now()` would freeze the first-run timestamp."""
+    engine.sql("set use_query_cache = 1")
+    engine.sql("select now() as t")
+    engine.sql("select now() as t")
+    engine.sql("select rand() as r")
+    engine.sql("select rand() as r")
+    hits = engine.sql(
+        "select count(*) as n from system.query_log where type = 'QueryCacheHit'"
+    ).collect()[0][0]
+    assert hits == 0
+    engine.sql("set use_query_cache = 0")
+
+
+def test_query_cache_over_cap_stays_lazy(engine):
+    """A result over _query_cache_max_rows is never fully materialized on
+    the driver: the cacheability probe collects at most max_rows+1 rows,
+    skips caching, and returns the original lazy DataFrame (the 100 TB
+    SELECT must not OOM the driver just to decide not to cache)."""
+    engine.sql("create table qcl_t (id Int64)")
+    engine.sql("insert into qcl_t select id as id from range(50)")
+    engine.sql("set use_query_cache = 1")
+    old = engine._query_cache_max_rows
+    engine._query_cache_max_rows = 10
+    try:
+        q = "select id from qcl_t"
+        out = engine.sql(q)
+        assert out.count() == 50  # full result, not clipped by the probe
+        assert not engine._result_cache  # over cap -> not cached
+        engine.sql(q)
+        hits = engine.sql(
+            "select count(*) as n from system.query_log "
+            "where type = 'QueryCacheHit'"
+        ).collect()[0][0]
+        assert hits == 0
+        # under the cap still caches
+        small = "select count(*) as n from qcl_t"
+        engine.sql(small)
+        engine.sql(small)
+        hits = engine.sql(
+            "select count(*) as n from system.query_log "
+            "where type = 'QueryCacheHit'"
+        ).collect()[0][0]
+        assert hits == 1
+    finally:
+        engine._query_cache_max_rows = old
+        engine.sql("set use_query_cache = 0")
+        engine.sql("drop table qcl_t")
+
+
+def test_limit_with_ties_ordinal_rejected(engine):
+    """ORDER BY <ordinal> LIMIT n WITH TIES fails loudly: the ordinal would
+    be a constant inside rank() OVER and silently return every row."""
+    import pytest as _pytest
+
+    engine.sql("create table wto_t (k Int32)")
+    engine.sql("insert into wto_t values (1),(2),(3)")
+    with _pytest.raises(ValueError, match="ordinal"):
+        engine.sql("select k from wto_t order by 1 limit 2 with ties")
+    engine.sql("drop table wto_t")
+
+
+def test_detach_accumulates_parked_batches(engine):
+    """DETACH twice on the same partition value keeps BOTH parked batches
+    (CH accumulates detached parts); mode('overwrite') used to destroy the
+    first batch silently."""
+    engine.sql("create table da_t (d Date, x Int64) partition by toYYYYMM(d)")
+    engine.sql("insert into da_t values (date'2022-01-05', 1)")
+    engine.sql("alter table da_t detach partition '202201'")
+    engine.sql("insert into da_t values (date'2022-01-20', 2)")
+    engine.sql("alter table da_t detach partition '202201'")
+    engine.sql("alter table da_t attach partition '202201'")
+    rows = engine.sql(
+        "select sum(x) as s, count(*) as n from da_t"
+    ).collect()[0]
+    assert tuple(rows) == (3, 2)  # both parked batches restored
+    engine.sql("drop table da_t")
+
+
+def test_move_partition_unpartitioned_target_rejected(engine):
+    """MOVE PARTITION into an UNPARTITIONED table is rejected (CH requires
+    identical structure; tgt_expr=None is a different layout, not a match)."""
+    import pytest as _pytest
+
+    engine.sql("create table mp_src (d Date, x Int64) partition by toYYYYMM(d)")
+    engine.sql("insert into mp_src values (date'2022-03-05', 1)")
+    engine.sql("create table mp_flat (d Date, x Int64)")
+    with _pytest.raises(ValueError, match="different partition expressions"):
+        engine.sql("alter table mp_src move partition '202203' to table mp_flat")
+    engine.sql("drop table mp_src")
+    engine.sql("drop table mp_flat")
+
+
 def test_scalar_with_forms(engine, spark):
     """CH expression-alias WITH: constants, scalar subqueries, chained
     aliases; standard CTEs and WITH RECURSIVE stay native."""

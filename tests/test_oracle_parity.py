@@ -49,6 +49,33 @@ def test_oracle_gate_rejects_array_outputs(spark, duck):
         compare_query(spark, duck, "badmap", bad_map, "SELECT 1 AS m", SF0001)
 
 
+def test_oracle_gate_rejects_dtype_skew(spark, duck):
+    """DuckDB's integer sum returns HUGEINT, which pandas (the driver's
+    canonicalization path) materializes as float64 — against Spark's int64
+    that hashes 499.0 vs 499 with rows and schema matching (the exact
+    ch_everyday_funcs3 r4+r5 driver failures).  fetchall() hides the skew
+    (Python ints both sides), so compare_query pulls the oracle's pandas
+    dtypes and rejects any int-vs-float kind mismatch BEFORE hashing;
+    an explicit CAST(... AS BIGINT) in the oracle passes."""
+
+    def f(s, _sf):
+        return s.sql("select cast(3 as bigint) as n")
+
+    with pytest.raises(TypeError, match="HUGEINT"):
+        compare_query(
+            spark, duck, "skew", f,
+            "SELECT sum(CAST(x AS TINYINT)) AS n FROM (VALUES (1),(1),(1)) t(x)",
+            SF0001,
+        )
+    r = compare_query(
+        spark, duck, "cast_ok", f,
+        "SELECT CAST(sum(CAST(x AS TINYINT)) AS BIGINT) AS n "
+        "FROM (VALUES (1),(1),(1)) t(x)",
+        SF0001,
+    )
+    assert r.ok
+
+
 def test_norm_cell_rejects_containers():
     """value_hash must also crash on container cells coming from the DuckDB
     side (lists in fetchall rows), exactly like the driver would."""

@@ -171,8 +171,10 @@ def test_bucketed_join_zero_exchange(spark, queries):
 
 
 def test_unigram_logprob_jvm_and_broadcast(spark, queries):
-    """Vocab join must broadcast (token stream streams; no shuffle-by-doc
-    before the final per-doc aggregate) and everything stays JVM-side."""
+    """Vocab join broadcasts while the vocab fits (CATALYST's choice — the
+    code carries no hint: a 100 TB whitespace vocab runs to 1e9+ rows past
+    the 8 GB broadcast limit, where a forced hint would OOM the driver
+    instead of degrading to skew-split sort-merge) and stays JVM-side."""
     plan = _formatted(spark, queries["text_unigram_logprob"](spark, SF))
     assert "EvalPython" not in plan
     assert plan.count("BroadcastHashJoin") >= 1
