@@ -229,6 +229,9 @@ CH_SQL_TEMPLATES = {
     "endswith": "endswith({0}, {1})",
     "startswith": "startswith({0}, {1})",
     "generateuuidv4": "uuid()",
+    # introspection (upstream-CH session functions; SHOW-adjacent surface)
+    "currentdatabase": "current_database()",
+    "currentuser": "current_user()",
 }
 
 
