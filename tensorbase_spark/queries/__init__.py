@@ -140,6 +140,7 @@ R05_VERIFIED = frozenset(
 PRIORITY_HEAD = [
     "ch_everyday_funcs3",
     # new round-6 oracle-backed queries (appended as implemented)
+    "stream_corpus_maintenance",
 ]
 
 

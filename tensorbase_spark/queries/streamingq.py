@@ -324,3 +324,213 @@ QUERIES["stream_incremental_dedup"] = Query(
     STREAM_INCREMENTAL_DEDUP_ORACLE,
     ("streaming", "dedup", "corpus"),
 )
+
+
+def stream_corpus_maintenance(spark, sf_dir):
+    """Continuous-corpus-maintenance flagship: streaming ingest ->
+    incremental dedup -> IVF index append -> BM25 refresh, end to end —
+    the standing service that keeps a retrieval corpus AND its vector
+    index fresh as shards land (VERDICT r5 stretch #6; composes
+    dedup.incremental_dedup_against, similarity.build_ivf_index/
+    ivf_index_append, text.bm25_topk — each individually driver-verified).
+
+    Shape: the documents fixture is staged as FOUR arrival batches keyed
+    on doc_id % 4 and streamed one file per micro-batch.  Each batch is
+    (a) verdicted against the accumulated fingerprint store — only 'new'
+    content is ADMITTED; (b) admitted docs append to the serving corpus;
+    (c) admitted docs' embeddings are assigned to the FROZEN seed
+    centroids and appended partition-locally into the IVF index (the
+    Faiss append contract — no retrain, no rewrite of existing files);
+    (d) the store merges the batch fingerprints (min canonical id —
+    associative, so the final store is batch-boundary invariant).
+
+    After ingest, the corpus is canonical-REMAPPED through the final
+    store (each doc takes its content's global-min doc_id — also batch-
+    invariant) and the refresh runs: BM25 top-k over the maintained
+    corpus plus index-integrity counters (vector count + id checksum read
+    back from the index directories).  Batch ARRIVAL order is the staged
+    file order (Spark's file source orders by mtime then path; b0..b3 are
+    written sequentially AND sort lexicographically), which the oracle
+    mirrors with ORDER BY doc_id % 4, doc_id inside its arrival window.
+
+    100 TB shape: per shard, the verdict join is store-side-streamed with
+    the small batch broadcast, the corpus append writes only admitted
+    rows, the index append touches only the assigned centroid partitions,
+    and the BM25 refresh is the separately-audited candidate-sized plan
+    (PLANS.md §13).  The full corpus is never rescanned."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window, functions as F
+
+    from tensorbase_spark.pipeline import dedup, similarity
+    from tensorbase_spark.pipeline import text as T
+    from tensorbase_spark.queries.pipeline import _BM25_QUERIES
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"/tmp/tbs_corpus_maint/{tag}"
+    stage, store_base = f"{base}/stage", f"{base}/store"
+    corpus_dir, idx, chk = f"{base}/corpus", f"{base}/ivf", f"{base}/chk"
+    shutil.rmtree(base, ignore_errors=True)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for i in range(4):
+        (
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{stage}/b{i}")
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stage}/b*")
+    )
+    state = {"version": -1}
+
+    def _store_path() -> str:
+        return f"{store_base}/v{state['version']}"
+
+    def sink(batch, _bid):
+        s = batch.sparkSession
+        fps = batch.groupBy(F.md5("text").alias("content_md5")).agg(
+            F.min("doc_id").alias("canonical_id")
+        )
+        if state["version"] < 0:
+            # seed batch: everything distinct-within-batch is admitted
+            w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            admitted = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            merged = fps
+        else:
+            verdicts = dedup.incremental_dedup_against(
+                s, _store_path(), batch
+            )
+            admitted = batch.join(
+                verdicts.filter(F.col("verdict") == "new").select("doc_id"),
+                "doc_id",
+            )
+            merged = (
+                s.read.parquet(_store_path())
+                .unionByName(fps)
+                .groupBy("content_md5")
+                .agg(F.min("canonical_id").alias("canonical_id"))
+            )
+        admitted.select("doc_id", "text").write.mode("append").parquet(
+            corpus_dir
+        )
+        new_vecs = (
+            s.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .join(
+                admitted.select(F.col("doc_id").alias("vec_id")), "vec_id"
+            )
+            .select("vec_id", "embedding")
+        )
+        if state["version"] < 0:
+            similarity.build_ivf_index(new_vecs, idx, n_centroids=8)
+        else:
+            similarity.ivf_index_append(s, idx, new_vecs)
+        state["version"] += 1
+        merged.write.mode("overwrite").parquet(_store_path())
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # canonical remap: every corpus doc takes its content's GLOBAL-min id
+    # from the final store (min is associative -> batch-invariant)
+    store_final = spark.read.parquet(_store_path())
+    corpus = (
+        spark.read.parquet(corpus_dir)
+        .withColumn("content_md5", F.md5("text"))
+        .join(store_final, "content_md5")
+        .select(F.col("canonical_id").alias("doc_id"), "text")
+    )
+    hits = T.bm25_topk(corpus, _BM25_QUERIES, k=5)
+    idx_vecs = spark.read.parquet(f"{idx}/vectors")
+    integ = corpus.agg(
+        F.count("*").cast("long").alias("n_corpus_docs")
+    ).crossJoin(
+        idx_vecs.agg(
+            F.count("*").cast("long").alias("n_indexed_vecs"),
+            F.coalesce(F.sum("vec_id"), F.lit(0))
+            .cast("long")
+            .alias("indexed_checksum"),
+        )
+    )
+    return hits.crossJoin(F.broadcast(integ))
+
+
+STREAM_CORPUS_MAINT_ORACLE = r"""
+WITH arrival AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY doc_id % 4, doc_id) AS rn,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+  FROM documents
+), admitted AS (
+  SELECT doc_id, text, canonical_id FROM arrival WHERE rn = 1
+), corpus AS (
+  SELECT canonical_id AS doc_id, text FROM admitted
+), integ AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_corpus_docs,
+         CAST(count(e.vec_id) AS BIGINT) AS n_indexed_vecs,
+         CAST(coalesce(sum(e.vec_id), 0) AS BIGINT) AS indexed_checksum
+  FROM embeddings e JOIN admitted a ON e.vec_id = a.doc_id
+), toks AS (
+  SELECT doc_id, u.term
+  FROM corpus,
+       UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                          x -> x <> '')) AS u(term)
+), q(q_id, term) AS (
+  VALUES (1, 'spark'), (1, 'window'), (1, 'query'),
+         (2, 'customer'), (2, 'order'), (2, 'line'),
+         (3, 'filter'), (3, 'merge'), (3, 'sort'), (3, 'table')
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT q.q_id, tf.doc_id,
+         round(sum(
+           ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN dfreq ON dfreq.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY q.q_id, tf.doc_id
+)
+SELECT q_id, doc_id, rank, score,
+       n_corpus_docs, n_indexed_vecs, indexed_checksum
+FROM (
+  SELECT q_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM scored
+) CROSS JOIN integ
+WHERE rank <= 5
+"""
+
+
+QUERIES["stream_corpus_maintenance"] = Query(
+    stream_corpus_maintenance,
+    STREAM_CORPUS_MAINT_ORACLE,
+    ("streaming", "dedup", "similarity", "retrieval", "flagship"),
+)
