@@ -2602,7 +2602,10 @@ class TensorBaseEngine:
         ``sum(sum_x)``); return None unless EVERY call is a registered
         projection aggregate (or round() over one) and every bare
         identifier is a dim, a select alias, or a keyword — the
-        conservative contract of the rewriter."""
+        conservative contract of the rewriter.  A select alias that
+        SHADOWS the partial column (``sum(x) as sum_x``) no longer bails:
+        the merged call table-qualifies the column
+        (``sum(<hidden>.sum_x)``), which pins resolution to the input."""
         out, i, n = [], 0, len(tail)
         while i < n:
             ch = tail[i]
@@ -2644,9 +2647,11 @@ class TensorBaseEngine:
                     pcol, mfn = hit
                     if pcol.lower() in aliases:
                         # a select alias shadows the hidden partial column —
-                        # Spark would resolve mfn(pcol) against the OUTPUT
-                        # aggregate (nested-agg error); fall back to base
-                        return None
+                        # Spark resolves a bare mfn(pcol) in an ORDER BY
+                        # tail against the OUTPUT aggregate (MISSING_
+                        # ATTRIBUTES); TABLE-qualifying the column forces
+                        # resolution to the hidden table's input column
+                        pcol = f"{spec.table}.{pcol}"
                     expr = f"{mfn}({pcol})"
                     if _norm_agg(call).startswith("count("):
                         expr = f"cast({expr} as bigint)"

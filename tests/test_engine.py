@@ -1794,6 +1794,18 @@ def test_projection_rewrite_aliased_dims_and_having(engine):
     assert sorted(tuple(r) for r in engine.sql(q3).collect()) == [
         (1, 30.0), (2, 45.0)]
 
+    # alias SHADOWS the hidden partial column (sum(x) as sum_x vs partial
+    # col sum_x): the merged tail must table-qualify instead of bailing —
+    # still routed to the hidden table (VERDICT r5 stretch #7)
+    q3b = ("select d, sum(x) as sum_x from pr_t group by d "
+           "order by sum(x) desc limit 1")
+    assert _proj_plan_uses(engine, q3b, "__proj_p")
+    assert [tuple(r) for r in engine.sql(q3b).collect()] == [(2, 45)]
+    q3c = ("select d, sum(x) as sum_x, count(*) as cnt_all from pr_t "
+           "group by d having sum(x) > 40 order by count(*) desc, sum(x)")
+    assert _proj_plan_uses(engine, q3c, "__proj_p")
+    assert [tuple(r) for r in engine.sql(q3c).collect()] == [(2, 45, 2)]
+
     # unregistered aggregate in the tail: conservative fallback, correct
     q4 = "select d, sum(x) as s from pr_t group by d having max(x) > 25"
     assert not _proj_plan_uses(engine, q4, "__proj_p")
