@@ -46,6 +46,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from tensorbase_spark.functions.clickhouse import (
     CH_FUNCTIONS,
@@ -212,10 +213,11 @@ def _preprocess_ch_clauses(sql: str) -> str:
     out = re.sub(r"(?is)\bformat\s+[A-Za-z][\w]*\s*$", " ", out)
     out = re.sub(r"(?is)\bglobal\s+(not\s+in|in|join|left|right|inner|full)\b", r"\1", out)
     out = re.sub(r"(?is)\ball\s+(inner|left|right|full)\s+join\b", r"\1 join", out)
-    # FROM t [AS a] FINAL: ReplacingMergeTree's merge-time visibility
-    # modifier.  This engine's tables are plain appends (no merge-time dedup
-    # table engines), so every row is always visible and the modifier drops
-    # — documented superset difference (like GLOBAL above).
+    # FROM t [AS a] FINAL fallback: Replacing/SummingMergeTree tables get
+    # the real merge-result rewrite FIRST (TensorBaseEngine._rewrite_final,
+    # which runs before this preprocessing); any FINAL still present here
+    # refers to a plain-append table where every row is always visible, so
+    # the modifier drops — documented superset difference (like GLOBAL).
     out = re.sub(
         r"(?is)\b(from|join)\s+([\w.]+(?:\s+(?:as\s+)?[A-Za-z_]\w*)?)\s+final\b",
         r"\1 \2",
@@ -1480,6 +1482,11 @@ class TensorBaseEngine:
                     [(exported.count(), path)], "rows_exported: long, path: string"
                 )
         if re.match(r"(?is)^(select|with|explain)\b", c):
+            # merge-engine FINAL must rewrite BEFORE preprocessing drops the
+            # plain-append FINAL fallback (idempotent; _translate_query also
+            # hooks it for inner paths like INSERT ... SELECT and MVs)
+            if re.search(r"(?is)\bfinal\b", c):
+                c = self._rewrite_final(c)
             c = _rewrite_array_join(_preprocess_ch_clauses(c)).strip()
             if re.search(r"(?is)\bsystem\.detached_parts\b", c):
                 self._refresh_detached_parts()
@@ -1906,6 +1913,23 @@ class TensorBaseEngine:
         if om:
             ob = _strip_outer_parens(om.group("e")).replace("'", "''")
             props.append(f"'tb.order_by' = '{ob}'")
+        # ENGINE = ReplacingMergeTree([ver]) / SummingMergeTree([cols]):
+        # merge-semantics table engines (upstream-CH; the reference's only
+        # engine is BaseStorage, mgmt.rs).  Storage stays plain parquet
+        # appends; the MERGE RESULT is served by the FROM ... FINAL rewrite
+        # (_rewrite_final) and materialized by OPTIMIZE ... FINAL.
+        em = re.search(
+            r"(?is)\bengine\s*=\s*(?P<eng>\w+)"
+            r"(?:\s*\(\s*(?P<args>[^)]*?)\s*\))?", tail
+        )
+        if em:
+            eng_name = em.group("eng")
+            props.append(f"'tb.engine' = '{eng_name}'")
+            args = (em.group("args") or "").strip()
+            if eng_name.lower() == "replacingmergetree" and args:
+                props.append(f"'tb.ver_col' = '{args}'")
+            elif eng_name.lower() == "summingmergetree" and args:
+                props.append(f"'tb.sum_cols' = '{args}'")
         tm = _TTL_DDL_RE.search(tail)
         if tm:
             ttl = tm.group("e").strip().replace("'", "''")
@@ -1997,6 +2021,15 @@ class TensorBaseEngine:
             raise ValueError(f"cannot parse: {c}")
         name = self._qualify(m.group("name"))
         df = self.spark.table(name)
+        props0 = self._table_props(name)
+        eng0 = (props0.get("tb.engine") or "").lower()
+        if re.search(r"(?is)\bfinal\b", c) and eng0 in (
+            "replacingmergetree", "summingmergetree"
+        ):
+            # OPTIMIZE ... FINAL on a merge-semantics engine MATERIALIZES
+            # the merge (CH forces an unscheduled merge): after this, plain
+            # reads equal FINAL reads.  Per-partition, like CH merges.
+            df = self._merged_result_df(name, df, props0, eng0)
         if m.group("dedup") is not None or re.search(r"(?is)\bdeduplicate\b", c):
             # CH OPTIMIZE ... DEDUPLICATE [BY cols]: drop exact-duplicate
             # rows during the merge rewrite (all columns, or the BY list)
@@ -3520,9 +3553,148 @@ class TensorBaseEngine:
 
         return _SAMPLE_RE.sub(repl, q)
 
+    _NUMERIC_SPARK_TYPES = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    )
+
+    def _merged_result_df(self, name: str, df: DataFrame, props: dict, eng: str) -> DataFrame:
+        """DataFrame form of the merge result (used by OPTIMIZE ... FINAL
+        to MATERIALIZE it): per-partition like CH merges — __ptk joins the
+        merge keys, so rows never merge across partitions."""
+        keys = [
+            k.strip()
+            for k in (props.get("tb.order_by") or "").split(",")
+            if k.strip()
+        ]
+        if not keys:
+            raise ValueError(f"{name}: {eng} requires a declared ORDER BY key")
+        pkeys = keys + ([PTK_COL] if PTK_COL in df.columns else [])
+        if eng == "replacingmergetree":
+            ver = props.get("tb.ver_col")
+            if not ver:
+                raise ValueError(
+                    f"{name}: ReplacingMergeTree merge needs a version column"
+                )
+            others = [c for c in df.columns if c not in pkeys and c != ver]
+            w = Window.partitionBy(*pkeys).orderBy(
+                F.col(ver).desc(), *[F.col(o).desc() for o in others]
+            )
+            return (
+                df.withColumn("__rmt_rn", F.row_number().over(w))
+                .filter(F.col("__rmt_rn") == 1)
+                .drop("__rmt_rn")
+            )
+        listed = {
+            s.strip()
+            for s in (props.get("tb.sum_cols") or "").split(",")
+            if s.strip()
+        }
+        aggs = []
+        for f in df.schema.fields:
+            if f.name in pkeys:
+                continue
+            is_num = isinstance(f.dataType, self._NUMERIC_SPARK_TYPES)
+            if (f.name in listed) if listed else is_num:
+                aggs.append(F.sum(f.name).cast(f.dataType).alias(f.name))
+            else:
+                aggs.append(F.min(f.name).alias(f.name))
+        return df.groupBy(*pkeys).agg(*aggs).select(*df.columns)
+
+    _FINAL_REF_RE = re.compile(
+        r"(?is)\b(?P<kw>from|join)\s+(?P<t>[A-Za-z_][\w.]*)"
+        r"(?P<al>\s+(?:as\s+)?(?!final\b)[A-Za-z_]\w*)?\s+final\b"
+    )
+
+    def _rewrite_final(self, q: str) -> str:
+        """``FROM t [AS a] FINAL`` over a merge-semantics table engine:
+        serve the MERGE RESULT without waiting for a physical merge —
+        exactly CH's FINAL contract.
+
+        - ``ReplacingMergeTree(ver)``: one row per ORDER BY key, max
+          ``ver`` wins (row_number window; remaining columns break ver
+          ties deterministically — CH leaves same-version ties
+          part-order-defined, a documented difference).
+        - ``SummingMergeTree[(cols)]``: one row per ORDER BY key, listed
+          (default: all numeric non-key) columns summed, other non-key
+          columns take ``min`` (CH takes an arbitrary first value —
+          min is the deterministic stand-in, documented).
+
+        Tables with any other engine keep the historical behavior: FINAL
+        drops (plain appends are always fully visible) via
+        _preprocess_ch_clauses."""
+        def _sub(m: re.Match) -> str:
+            name = self._qualify(m.group("t"))
+            try:
+                props = self._table_props(name)
+            except Exception:
+                return m.group(0)
+            eng = (props.get("tb.engine") or "").lower()
+            key_txt = props.get("tb.order_by")
+            cols_txt = props.get("tb.columns")
+            if eng not in ("replacingmergetree", "summingmergetree") or (
+                not key_txt or not cols_txt
+            ):
+                return m.group(0)  # fallback: generic FINAL drop downstream
+            keys = [k.strip() for k in key_txt.split(",")]
+            cols = []
+            for part in _split_top_level_args(cols_txt):
+                cn, ct = part.strip().split(None, 1)
+                cols.append((cn, ct))
+            alias = (m.group("al") or "").strip()
+            alias = re.sub(r"(?is)^as\s+", "", alias) or m.group("t").split(".")[-1]
+            # per-partition merge, like CH: __ptk joins the merge keys
+            pkeys = list(keys)
+            if props.get("tb.partition_expr") is not None:
+                pkeys.append(PTK_COL)
+            if eng == "replacingmergetree":
+                ver = props.get("tb.ver_col")
+                if not ver:
+                    return m.group(0)
+                tie = [
+                    f"{cn} desc"
+                    for cn, _ in cols
+                    if cn not in pkeys and cn != ver
+                ]
+                order = ", ".join([f"{ver} desc"] + tie)
+                sel = ", ".join(cn for cn, _ in cols)
+                inner_sel = sel if PTK_COL not in pkeys else f"{sel}, {PTK_COL}"
+                inner = (
+                    f"(select {sel} from (select {inner_sel}, row_number() over "
+                    f"(partition by {', '.join(pkeys)} order by {order}) "
+                    f"as __rmt_rn from {name}) where __rmt_rn = 1) {alias}"
+                )
+            else:
+                listed = {
+                    s.strip()
+                    for s in (props.get("tb.sum_cols") or "").split(",")
+                    if s.strip()
+                }
+                items = list(keys)
+                for cn, ct in cols:
+                    if cn in keys:
+                        continue
+                    is_num = isinstance(
+                        parse_bql_type(ct).spark_type,
+                        self._NUMERIC_SPARK_TYPES,
+                    )
+                    summed = cn in listed if listed else is_num
+                    items.append(
+                        f"sum({cn}) as {cn}" if summed else f"min({cn}) as {cn}"
+                    )
+                inner = (
+                    f"(select {', '.join(items)} from {name} "
+                    f"group by {', '.join(pkeys)}) {alias}"
+                )
+            return f"{m.group('kw')} {inner}"
+
+        return self._FINAL_REF_RE.sub(_sub, q)
+
     def _translate_query(self, q: str) -> str:
         # clause rewrites apply on every query path (plain SELECT, EXPLAIN,
         # INSERT ... SELECT, remote push): idempotent on already-clean text
+        if re.search(r"(?is)\bfinal\b", q):
+            q = self._rewrite_final(q)
         q = _rewrite_array_join(_preprocess_ch_clauses(q.strip()))
         if "{" in q:
             q = self._bind_query_params(q)

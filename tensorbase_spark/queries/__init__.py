@@ -141,6 +141,7 @@ PRIORITY_HEAD = [
     "ch_everyday_funcs3",
     # new round-6 oracle-backed queries (appended as implemented)
     "stream_corpus_maintenance",
+    "engine_replacing_final", "engine_summing_final",
 ]
 
 

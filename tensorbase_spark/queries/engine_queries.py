@@ -1785,3 +1785,106 @@ GROUP BY o_orderstatus
 QUERIES["engine_optimize_dedup"] = Query(
     engine_optimize_dedup, ENGINE_OPTIMIZE_DEDUP_ORACLE, ("engine", "ddl", "dedup")
 )
+
+
+def engine_replacing_final(spark, sf_dir):
+    """ReplacingMergeTree + SELECT ... FINAL + OPTIMIZE ... FINAL
+    (engine.py _rewrite_final / _merged_result_df; upstream-CH's most-used
+    mutable-data pattern — the reference has only BaseStorage appends).
+    Every order is an upsert of its customer's row keyed on o_custkey with
+    o_orderkey as the version; FINAL must serve the max-version row per
+    key WITHOUT a physical merge, and OPTIMIZE ... FINAL must materialize
+    the same result so plain reads equal FINAL reads afterwards."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "rmt")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rmt_src")
+    eng.sql(
+        "create table rv_t (k Int64, v Float64, ver Int64) "
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY k"
+    )
+    eng.sql(
+        "insert into rv_t select o_custkey, o_totalprice, o_orderkey "
+        "from rmt_src"
+    )
+    n_raw = eng.sql("select count(*) as n from rv_t").collect()[0][0]
+    final_read = eng.sql(
+        "select count(*) as n, round(sum(v), 4) as sv, max(ver) as mxv "
+        "from rv_t final"
+    ).collect()[0]
+    eng.sql("optimize table rv_t final")
+    return eng.sql(
+        f"select {n_raw} as n_raw, {final_read[0]} as n_final, "
+        f"cast({final_read[1]} as double) as sv_final, "
+        f"{final_read[2]} as mxv_final, count(*) as n_merged, "
+        "round(sum(v), 4) as sv_merged from rv_t"
+    )
+
+
+ENGINE_REPLACING_FINAL_ORACLE = """
+WITH latest AS (
+  SELECT o_custkey AS k, o_totalprice AS v, o_orderkey AS ver,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+), fin AS (SELECT * FROM latest WHERE rn = 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_raw,
+       CAST(count(*) AS BIGINT)     AS n_final,
+       round(sum(v), 4)             AS sv_final,
+       max(ver)                     AS mxv_final,
+       CAST(count(*) AS BIGINT)     AS n_merged,
+       round(sum(v), 4)             AS sv_merged
+FROM fin
+"""
+
+
+QUERIES["engine_replacing_final"] = Query(
+    engine_replacing_final, ENGINE_REPLACING_FINAL_ORACLE,
+    ("engine", "ddl", "merge-tree"),
+)
+
+
+def engine_summing_final(spark, sf_dir):
+    """SummingMergeTree + FINAL (engine.py _rewrite_final): per-key
+    continuous pre-aggregation — numeric non-key columns sum, others take
+    the deterministic min stand-in; OPTIMIZE ... FINAL materializes the
+    rollup so the table physically holds |keys| rows afterwards."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "smt")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("smt_src")
+    eng.sql(
+        "create table sm_t (k String, cnt Int64, amt Float64) "
+        "ENGINE = SummingMergeTree ORDER BY k"
+    )
+    eng.sql(
+        "insert into sm_t select o_orderpriority, 1, o_totalprice "
+        "from smt_src"
+    )
+    pre = eng.sql(
+        "select k, cnt, round(amt, 4) as amt from sm_t final"
+    )
+    pre.collect()  # FINAL read works pre-merge
+    eng.sql("optimize table sm_t final")
+    return eng.sql(
+        "select k, cnt, round(amt, 4) as amt, "
+        "(select count(*) from sm_t) as n_physical from sm_t final"
+    )
+
+
+ENGINE_SUMMING_FINAL_ORACLE = """
+WITH rolled AS (
+  SELECT o_orderpriority AS k, CAST(count(*) AS BIGINT) AS cnt,
+         round(sum(o_totalprice), 4) AS amt
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT k, cnt, amt,
+       (SELECT CAST(count(*) AS BIGINT) FROM rolled) AS n_physical
+FROM rolled
+"""
+
+
+QUERIES["engine_summing_final"] = Query(
+    engine_summing_final, ENGINE_SUMMING_FINAL_ORACLE,
+    ("engine", "ddl", "merge-tree"),
+)

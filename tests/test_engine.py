@@ -2063,6 +2063,79 @@ def test_move_partition_unpartitioned_target_rejected(engine):
     engine.sql("drop table mp_flat")
 
 
+def test_replacing_merge_tree_final(engine):
+    """ENGINE=ReplacingMergeTree(ver) + FROM t FINAL serves the max-version
+    row per ORDER BY key without a merge; OPTIMIZE ... FINAL materializes
+    it; per-PARTITION like CH (same key in different partitions does NOT
+    merge)."""
+    engine.sql(
+        "create table rmt_t (k Int64, v String, ver Int64) "
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY k"
+    )
+    engine.sql(
+        "insert into rmt_t values (1,'old',1),(1,'new',2),(2,'only',1)"
+    )
+    rows = sorted(
+        tuple(r) for r in engine.sql("select k, v from rmt_t final").collect()
+    )
+    assert rows == [(1, "new"), (2, "only")]
+    # plain read still sees every version until the merge
+    assert engine.sql("select count(*) as n from rmt_t").collect()[0][0] == 3
+    engine.sql("optimize table rmt_t final")
+    assert engine.sql("select count(*) as n from rmt_t").collect()[0][0] == 2
+    assert sorted(
+        tuple(r) for r in engine.sql("select k, v from rmt_t").collect()
+    ) == [(1, "new"), (2, "only")]
+
+    # per-partition: the same key in two partitions keeps both rows
+    engine.sql(
+        "create table rmt_p (d Date, k Int64, ver Int64) "
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY k partition by toYYYYMM(d)"
+    )
+    engine.sql(
+        "insert into rmt_p values (date'2024-01-05', 7, 1), "
+        "(date'2024-02-05', 7, 2), (date'2024-01-20', 7, 3)"
+    )
+    n = engine.sql("select count(*) as n from rmt_p final").collect()[0][0]
+    assert n == 2  # jan merges (ver 3 wins), feb survives separately
+    engine.sql("drop table rmt_t")
+    engine.sql("drop table rmt_p")
+
+
+def test_summing_merge_tree_final(engine):
+    """ENGINE=SummingMergeTree sums numeric non-key columns per key under
+    FINAL; an explicit column list restricts which columns sum (others take
+    the deterministic min stand-in)."""
+    engine.sql(
+        "create table smt_t (k String, cnt Int64, amt Float64, note String) "
+        "ENGINE = SummingMergeTree ORDER BY k"
+    )
+    engine.sql(
+        "insert into smt_t values ('a',1,2.5,'x'),('a',2,0.5,'y'),('b',5,1.0,'z')"
+    )
+    rows = sorted(
+        tuple(r)
+        for r in engine.sql(
+            "select k, cnt, amt, note from smt_t final"
+        ).collect()
+    )
+    assert rows == [("a", 3, 3.0, "x"), ("b", 5, 1.0, "z")]
+    engine.sql("optimize table smt_t final")
+    assert engine.sql("select count(*) as n from smt_t").collect()[0][0] == 2
+    # explicit sum-column list: only cnt sums, amt takes min
+    engine.sql(
+        "create table smt_l (k String, cnt Int64, amt Float64) "
+        "ENGINE = SummingMergeTree(cnt) ORDER BY k"
+    )
+    engine.sql("insert into smt_l values ('a',1,9.0),('a',2,3.0)")
+    assert [
+        tuple(r)
+        for r in engine.sql("select k, cnt, amt from smt_l final").collect()
+    ] == [("a", 3, 3.0)]
+    engine.sql("drop table smt_t")
+    engine.sql("drop table smt_l")
+
+
 def test_scalar_with_forms(engine, spark):
     """CH expression-alias WITH: constants, scalar subqueries, chained
     aliases; standard CTEs and WITH RECURSIVE stay native."""
