@@ -201,6 +201,15 @@ def _preprocess_ch_clauses(sql: str) -> str:
         lambda m: f"group by grouping sets (({m.group('cols')}), ())",
         out,
     )
+    # CH suffix forms GROUP BY cols WITH ROLLUP / WITH CUBE -> the standard
+    # prefix spellings Spark parses natively (same tempered capture as
+    # WITH TOTALS so an earlier subquery group-by is never swallowed)
+    out = re.sub(
+        r"(?is)\bgroup\s+by\s+(?P<cols>(?:(?!\bgroup\s+by\b).)+?)"
+        r"\s+with\s+(?P<kind>rollup|cube)\b",
+        lambda m: f"group by {m.group('kind').lower()}({m.group('cols')})",
+        out,
+    )
     # SETTINGS ... [FORMAT x] tail (depth-0 guaranteed: both only legal at
     # statement end; conservative regexes keep string literals intact by
     # requiring simple ident/number tokens)
@@ -268,6 +277,8 @@ def _preprocess_ch_clauses(sql: str) -> str:
             out += f" where ({cond}) and ({c2}) " + rest[wm.end():]
         else:
             out += f" where {cond} " + rest
+    if re.search(r"(?is)\bpaste\s+join\b", out):
+        out = _rewrite_paste_join(out)
     return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], out)
 
 
@@ -597,6 +608,83 @@ def _rewrite_array_join(sql: str) -> str:
     # recurse: ClickHouse allows at most one ARRAY JOIN clause, but the
     # rewrite is cheap to re-check and idempotent on the emitted text
     return _rewrite_array_join(head.rstrip() + lateral + tail.lstrip())
+
+
+_PASTE_JOIN_RE = re.compile(r"(?is)\)\s*paste\s+join\s*\(")
+_TRAILING_ORDER_RE = re.compile(
+    r"(?is)\border\s+by\s+(?P<k>[^()]+?)"
+    r"(?:\s+limit\s+\d+(?:\s+offset\s+\d+)?)?\s*$"
+)
+
+
+def _rewrite_paste_join(sql: str) -> str:
+    """ClickHouse ``(q1) PASTE JOIN (q2)`` — positional (row-number) join:
+    row i of the left result pairs with row i of the right (upstream-CH
+    23.8+; DuckDB spells it POSITIONAL JOIN, which the oracle uses).
+
+    Spark has no positional join; the deterministic spelling is a
+    row_number window per side joined on the number.  CH pastes in
+    delivery order, which is only meaningful when the subqueries are
+    ordered — so each side MUST carry a trailing ORDER BY, which becomes
+    its window ordering (Spark would otherwise drop an inner sort
+    entirely); the sort keys must be in the side's projection, since the
+    window evaluates over the subquery's output.  Sides of unequal length
+    pair up to the shorter (inner join on the row number)."""
+    while True:
+        m = _PASTE_JOIN_RE.search(sql)
+        if m is None:
+            return sql
+        # scan BACK from the ')' at m.start() to its matching '('
+        depth, i = 0, m.start()
+        while i >= 0:
+            if sql[i] == ")":
+                depth += 1
+            elif sql[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        if i < 0:
+            raise ValueError("PASTE JOIN: unbalanced left subquery")
+        # scan FORWARD from the '(' at m.end()-1 to its matching ')'
+        depth, j = 0, m.end() - 1
+        n = len(sql)
+        while j < n:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if j >= n:
+            raise ValueError("PASTE JOIN: unbalanced right subquery")
+        left_body = sql[i + 1 : m.start()].strip()
+        right_body = sql[m.end() : j].strip()
+        sides = []
+        for side, body in (("left", left_body), ("right", right_body)):
+            om = _TRAILING_ORDER_RE.search(body)
+            if om is None:
+                raise ValueError(
+                    f"PASTE JOIN: the {side} subquery needs a trailing "
+                    "ORDER BY — positional pairing is undefined on an "
+                    "unordered result (CH pastes in delivery order; Spark "
+                    "drops inner sorts)"
+                )
+            # the body stays INTACT: with a LIMIT the trailing ORDER BY is
+            # top-k (Spark keeps it); without one Spark drops the bare
+            # inner sort — either way the row_number window re-imposes the
+            # declared order deterministically
+            sides.append((body, om.group("k").strip()))
+        (lb, lk), (rb, rk) = sides
+        repl = (
+            f"(select * except (__pj_l, __pj_r) from "
+            f"(select *, row_number() over (order by {lk}) as __pj_l "
+            f"from ({lb})) __pl join "
+            f"(select *, row_number() over (order by {rk}) as __pj_r "
+            f"from ({rb})) __pr on __pl.__pj_l = __pr.__pj_r)"
+        )
+        sql = sql[:i] + repl + sql[j + 1 :]
 
 
 _LIMIT_BY_RE = re.compile(r"(?is)\blimit\s+(\d+)\s+by\s+")

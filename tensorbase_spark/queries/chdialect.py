@@ -714,3 +714,86 @@ GROUP BY l_returnflag
 QUERIES["ch_scalar_with"] = Query(
     ch_scalar_with, CH_SCALAR_WITH_ORACLE, ("dialect", "clause")
 )
+
+
+def ch_paste_join(spark, sf_dir):
+    """PASTE JOIN — CH's positional join (engine.py _rewrite_paste_join):
+    row i of the left ordered subquery pairs with row i of the right.
+    The classic use is ranking alignment: the k-th cheapest order zipped
+    with the k-th most recent one.  Spark lowering: row_number window per
+    side joined on the number (each side's trailing ORDER BY becomes its
+    window ordering); DuckDB's POSITIONAL JOIN is the oracle."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_pj")
+    return eng.sql(
+        "select cheap_key, round(cheap_price, 2) as cheap_price, recent_key "
+        "from ("
+        "  select o_orderkey as cheap_key, o_totalprice as cheap_price "
+        "  from ord_pj where o_orderkey % 11 = 0 "
+        "  order by cheap_price, cheap_key limit 40"
+        ") paste join ("
+        "  select o_orderdate as od, o_orderkey as recent_key from ord_pj "
+        "  where o_orderkey % 13 = 0 "
+        "  order by od desc, recent_key limit 40"
+        ")"
+    )
+
+
+CH_PASTE_JOIN_ORACLE = """
+SELECT cheap_key, round(cheap_price, 2) AS cheap_price, recent_key
+FROM (
+  SELECT o_orderkey AS cheap_key, o_totalprice AS cheap_price
+  FROM orders WHERE o_orderkey % 11 = 0
+  ORDER BY cheap_price, cheap_key LIMIT 40
+) POSITIONAL JOIN (
+  SELECT o_orderdate AS od, o_orderkey AS recent_key FROM orders
+  WHERE o_orderkey % 13 = 0
+  ORDER BY od DESC, recent_key LIMIT 40
+)
+"""
+
+
+def ch_rollup_cube_suffix(spark, sf_dir):
+    """GROUP BY cols WITH ROLLUP / WITH CUBE — CH's suffix spellings of the
+    standard prefix forms (engine.py _preprocess_ch_clauses, same tempered
+    rewrite as WITH TOTALS).  Subtotal rows keep NULL keys (standard SQL
+    grouping-set markers; CH renders type defaults — documented
+    difference covered by the WITH TOTALS note)."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_rc")
+    return eng.sql(
+        "select coalesce(st, 'ALL') as st, coalesce(pri, 'ALL') as pri, "
+        "count(*) as n, round(sum(tp), 2) as s from ("
+        "  select o_orderstatus as st, o_orderpriority as pri, "
+        "  o_totalprice as tp from ord_rc where o_orderkey % 3 = 0"
+        ") group by st, pri with rollup "
+        "union all "
+        "select coalesce(st, 'ALL') as st, 'cube' as pri, count(*) as n, "
+        "round(sum(tp), 2) as s from ("
+        "  select o_orderstatus as st, o_totalprice as tp from ord_rc "
+        "  where o_orderkey % 5 = 0"
+        ") group by st with cube"
+    )
+
+
+CH_ROLLUP_CUBE_ORACLE = """
+SELECT coalesce(st, 'ALL') AS st, coalesce(pri, 'ALL') AS pri,
+       count(*) AS n, round(sum(tp), 2) AS s FROM (
+  SELECT o_orderstatus AS st, o_orderpriority AS pri,
+         o_totalprice AS tp FROM orders WHERE o_orderkey % 3 = 0
+) GROUP BY ROLLUP (st, pri)
+UNION ALL
+SELECT coalesce(st, 'ALL') AS st, 'cube' AS pri, count(*) AS n,
+       round(sum(tp), 2) AS s FROM (
+  SELECT o_orderstatus AS st, o_totalprice AS tp FROM orders
+  WHERE o_orderkey % 5 = 0
+) GROUP BY CUBE (st)
+"""
+
+
+QUERIES["ch_paste_join"] = Query(
+    ch_paste_join, CH_PASTE_JOIN_ORACLE, ("dialect", "join")
+)
+QUERIES["ch_rollup_cube_suffix"] = Query(
+    ch_rollup_cube_suffix, CH_ROLLUP_CUBE_ORACLE, ("dialect", "agg")
+)

@@ -2063,6 +2063,50 @@ def test_move_partition_unpartitioned_target_rejected(engine):
     engine.sql("drop table mp_flat")
 
 
+def test_paste_join_positional(engine, spark):
+    """(q1) PASTE JOIN (q2) — positional pairing of two ORDERED subqueries
+    (engine.py _rewrite_paste_join); a side without a trailing ORDER BY is
+    rejected (pairing undefined on an unordered result)."""
+    import pytest as _pytest
+
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, s string"
+    ).createOrReplaceTempView("pjt")
+    rows = sorted(
+        tuple(r)
+        for r in engine.sql(
+            "select s, rk from (select k, s from pjt order by k desc) "
+            "paste join (select k as rk from pjt order by rk)"
+        ).collect()
+    )
+    assert rows == [("a", 3), ("b", 2), ("c", 1)]  # reversed zips ascending
+    with _pytest.raises(ValueError, match="ORDER BY"):
+        engine.sql(
+            "select * from (select k from pjt) paste join "
+            "(select k as rk from pjt order by rk)"
+        )
+
+
+def test_group_by_with_rollup_cube_suffix(engine, spark):
+    """GROUP BY cols WITH ROLLUP / WITH CUBE (CH suffix spellings) rewrite
+    to the standard prefix forms."""
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "s string, k int"
+    ).createOrReplaceTempView("rct")
+    ru = sorted(
+        (r[0] or "_", r[1])
+        for r in engine.sql(
+            "select s, count(*) as n from rct group by s with rollup"
+        ).collect()
+    )
+    assert ru == [("_", 3), ("a", 2), ("b", 1)]
+    n_cube = engine.sql(
+        "select count(*) as n from (select s, k, count(*) as n from rct "
+        "group by s, k with cube)"
+    ).collect()[0][0]
+    assert n_cube == 3 + 2 + 3 + 1  # (s,k), (s), (k), ()
+
+
 def test_replacing_merge_tree_final(engine):
     """ENGINE=ReplacingMergeTree(ver) + FROM t FINAL serves the max-version
     row per ORDER BY key without a merge; OPTIMIZE ... FINAL materializes
