@@ -1608,6 +1608,8 @@ class TensorBaseEngine:
             return self._create_database(c)
         if low.startswith("create materialized view"):
             return self._create_materialized_view(c)
+        if re.match(r"(?is)^create\s+(or\s+replace\s+)?view\b", low):
+            return self._create_view(c)
         if low.startswith("create dictionary"):
             return self._create_dictionary(c)
         if low.startswith("drop dictionary"):
@@ -2081,6 +2083,27 @@ class TensorBaseEngine:
         if kind == "VIEW":
             return self.spark.sql(f"DROP VIEW {ie}{name}")
         return self.spark.sql(f"DROP DATABASE {ie}{name} CASCADE")
+
+    _CREATE_VIEW_RE = re.compile(
+        r"(?is)^create\s+(?P<orr>or\s+replace\s+)?view\s+"
+        r"(?P<ine>if\s+not\s+exists\s+)?(?P<name>[\w.]+)\s+as\s+(?P<q>.+)$"
+    )
+
+    def _create_view(self, c: str) -> DataFrame:
+        """Plain (non-materialized) CREATE VIEW — upstream-CH's stored-query
+        view: the body is translated through the dialect layer ONCE at
+        definition time and stored as Spark view text, so reads expand it
+        like CH substitutes the view's SELECT.  (Materialized views are the
+        separate _create_materialized_view trigger machinery.)"""
+        m = self._CREATE_VIEW_RE.match(c)
+        if not m:
+            raise ValueError(f"cannot parse: {c}")
+        name = self._qualify(m.group("name"))
+        if m.group("ine") and self.spark.catalog.tableExists(name):
+            return self.spark.sql("SELECT 1 AS ok")
+        orr = "OR REPLACE " if m.group("orr") else ""
+        body = self._translate_query(m.group("q"))
+        return self.spark.sql(f"CREATE {orr}VIEW {name} AS {body}")
 
     def _optimize(self, c: str) -> DataFrame:
         """Parquet compaction: one file per (partition, shuffle task) — real

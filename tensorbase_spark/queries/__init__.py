@@ -142,7 +142,7 @@ PRIORITY_HEAD = [
     # new round-6 oracle-backed queries (appended as implemented)
     "stream_corpus_maintenance",
     "engine_replacing_final", "engine_summing_final",
-    "ch_paste_join", "ch_rollup_cube_suffix",
+    "ch_paste_join", "ch_rollup_cube_suffix", "engine_plain_view",
 ]
 
 

@@ -1888,3 +1888,48 @@ QUERIES["engine_summing_final"] = Query(
     engine_summing_final, ENGINE_SUMMING_FINAL_ORACLE,
     ("engine", "ddl", "merge-tree"),
 )
+
+
+def engine_plain_view(spark, sf_dir):
+    """Plain CREATE [OR REPLACE] VIEW (engine.py _create_view; upstream-CH
+    stored-query views — distinct from the MV trigger machinery): the body
+    goes through the dialect layer at definition time (toYear here), OR
+    REPLACE swaps the definition in place, and reads through the view see
+    the new body."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "vw")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("vw_src")
+    eng.sql("create table vo_t (ok Int64, d Date, tp Float64)")
+    eng.sql("insert into vo_t select o_orderkey, o_orderdate, o_totalprice from vw_src")
+    eng.sql(
+        "create view v_year as select toYear(d) as y, count(*) as n, "
+        "round(sum(tp), 2) as s from vo_t group by toYear(d)"
+    )
+    eng.sql("create view if not exists v_year as select 1 as nope")  # no-op
+    first = eng.sql("select count(*) as n from v_year").collect()[0][0]
+    eng.sql(
+        "create or replace view v_year as select toYear(d) as y, count(*) as n, "
+        "round(sum(tp), 2) as s from vo_t where ok % 2 = 0 group by toYear(d)"
+    )
+    return eng.sql(
+        f"select y, n, s, {first} as n_years_all from v_year"
+    )
+
+
+ENGINE_PLAIN_VIEW_ORACLE = """
+WITH all_years AS (
+  SELECT CAST(count(DISTINCT year(o_orderdate)) AS BIGINT) AS n_years_all
+  FROM orders
+)
+SELECT year(o_orderdate) AS y, count(*) AS n,
+       round(sum(o_totalprice), 2) AS s,
+       (SELECT n_years_all FROM all_years) AS n_years_all
+FROM orders WHERE o_orderkey % 2 = 0
+GROUP BY year(o_orderdate)
+"""
+
+
+QUERIES["engine_plain_view"] = Query(
+    engine_plain_view, ENGINE_PLAIN_VIEW_ORACLE, ("engine", "ddl", "view")
+)

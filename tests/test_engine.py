@@ -2063,6 +2063,30 @@ def test_move_partition_unpartitioned_target_rejected(engine):
     engine.sql("drop table mp_flat")
 
 
+def test_plain_view_lifecycle(engine):
+    """CREATE [OR REPLACE] VIEW / IF NOT EXISTS / DROP VIEW with a
+    dialect-translated body (engine.py _create_view)."""
+    engine.sql("create table pv_t (d Date, x Int64)")
+    engine.sql(
+        "insert into pv_t values (date'2023-01-05', 1), (date'2024-02-05', 2)"
+    )
+    engine.sql(
+        "create view pv_v as select toYear(d) as y, sum(x) as s "
+        "from pv_t group by toYear(d)"
+    )
+    assert sorted(
+        tuple(r) for r in engine.sql("select y, s from pv_v").collect()
+    ) == [(2023, 1), (2024, 2)]
+    engine.sql("create view if not exists pv_v as select 1 as nope")
+    assert "y" in engine.sql("select * from pv_v").columns  # unchanged
+    engine.sql(
+        "create or replace view pv_v as select count(*) as n from pv_t"
+    )
+    assert engine.sql("select n from pv_v").collect()[0][0] == 2
+    engine.sql("drop view pv_v")
+    engine.sql("drop table pv_t")
+
+
 def test_paste_join_positional(engine, spark):
     """(q1) PASTE JOIN (q2) — positional pairing of two ORDERED subqueries
     (engine.py _rewrite_paste_join); a side without a trailing ORDER BY is
