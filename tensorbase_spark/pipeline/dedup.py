@@ -650,3 +650,95 @@ def incremental_dedup_against(
             "canonical_id"
         ),
     )
+
+
+def keep_best_duplicate(
+    docs: DataFrame,
+    quality: F.Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-form dedup that keeps the BEST cluster member, not the
+    first: documents are clustered on a normalized content key (lowercased,
+    punctuation stripped, whitespace collapsed — so case/punct variants of
+    the same text cluster together), and within a cluster the member with
+    the highest ``quality`` survives (ties: smallest id).  This is how
+    production corpus dedup actually chooses survivors — dropping the
+    mangled OCR copy and keeping the clean one — versus the min-id
+    convention of exact dedup.
+
+    Plan: ONE md5-keyed window (rank by quality desc within cluster); the
+    normalization is codegen'd regex work map-side.  Same scale shape as
+    exact dedup — one keyed shuffle, no all-pairs anything."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    key = F.md5(norm)
+    w = Window.partitionBy("cluster_key").orderBy(
+        F.col("__q").desc(), F.col(id_col)
+    )
+    return (
+        docs.withColumn("cluster_key", key)
+        .withColumn("__q", quality)
+        .withColumn("cluster_size", F.count("*").over(
+            Window.partitionBy("cluster_key")))
+        .withColumn("__rn", F.row_number().over(w))
+        .select(
+            F.col(id_col),
+            "cluster_key",
+            F.col("cluster_size"),
+            (F.col("__rn") == 1).alias("kept"),
+            F.round(F.col("__q"), 6).alias("quality"),
+        )
+    )
+
+
+def edit_distance_neardups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_prefix: int = 12,
+    cmp_chars: int = 80,
+) -> DataFrame:
+    """Edit-distance near-dup probe: for every document sharing a
+    normalized PREFIX BLOCK with at least one other, the minimum
+    Levenshtein distance to a block partner (and that partner's id).
+
+    Blocking is the scale story: candidate pairs exist only WITHIN a
+    prefix block (first ``block_prefix`` lowercased chars), so the join is
+    an equi-join on the block key — never all-pairs; the same pigeonhole
+    trade every blocked-matching system makes (records sharing no block
+    are assumed distant).  The comparison window is capped at
+    ``cmp_chars`` chars because Levenshtein is O(len^2) per pair — a
+    bounded-cost verify, like the MinHash verify-on-candidates step.
+    Both Spark and DuckDB ship the same classic DP levenshtein, which is
+    what makes this operator fully oracle-checkable."""
+    base = docs.select(
+        F.col(id_col),
+        F.substring(F.lower(F.col(text_col)), 1, block_prefix).alias("blk"),
+        F.substring(F.lower(F.col(text_col)), 1, cmp_chars).alias("cmp"),
+    )
+    a = base.select(
+        F.col(id_col).alias("a_id"), "blk", F.col("cmp").alias("a_cmp")
+    )
+    b = base.select(
+        F.col(id_col).alias("b_id"), "blk", F.col("cmp").alias("b_cmp")
+    )
+    pairs = a.join(b, "blk").filter(F.col("a_id") != F.col("b_id"))
+    scored = pairs.withColumn(
+        "dist", F.levenshtein(F.col("a_cmp"), F.col("b_cmp"))
+    )
+    w = Window.partitionBy("a_id").orderBy("dist", "b_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("a_id").alias(id_col),
+            F.col("b_id").alias("nn_id"),
+            F.col("dist").alias("nn_dist"),
+        )
+    )

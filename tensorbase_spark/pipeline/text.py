@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Whitespace tokens vs BPE-ish tokens (word pieces + isolated punctuation).
@@ -612,3 +612,51 @@ def substring_window_dupes(
             ),
         )
     )
+
+
+def zipf_stats(
+    docs: DataFrame, top_n: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """Corpus Zipf statistics: the least-squares slope/intercept of
+    ln(freq) on ln(rank) over the top-``top_n`` tokens, plus vocab/token
+    totals — the standard one-number corpus-health probe (natural text
+    sits near slope -1; templated or synthetic corpora drift off it; a
+    pre/post-dedup slope shift flags boilerplate removal).
+
+    Plan: token explode map-side, ONE keyed shuffle for the frequency
+    table, a distributed top-k (orderBy+limit = TakeOrdered — never a
+    global sort), then the regression over top_n rows via covar_pop/
+    var_pop — driver never sees more than the single result row.
+    Rank ties share a frequency, so the (rank, freq) multiset — and the
+    slope — is tie-order invariant."""
+    toks = docs.select(
+        F.explode(
+            F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+        ).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    totals = freq.agg(
+        F.count("*").alias("vocab_size"),
+        F.sum("n").alias("n_tokens"),
+    )
+    top = freq.orderBy(F.col("n").desc(), "tok").limit(top_n)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("n").desc(), "tok")),
+    ).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    reg = ranked.agg(
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("__slope"),
+        F.avg("x").alias("__mx"),
+        F.avg("y").alias("__my"),
+        F.count("*").alias("n_ranked"),
+    ).select(
+        F.round("__slope", 6).alias("zipf_slope"),
+        F.round(F.col("__my") - F.col("__slope") * F.col("__mx"), 6).alias(
+            "zipf_intercept"
+        ),
+        "n_ranked",
+    )
+    return reg.crossJoin(F.broadcast(totals))

@@ -1653,3 +1653,151 @@ def sim_ivf_index_append(spark, sf_dir):
 QUERIES["sim_ivf_index_append"] = Query(
     sim_ivf_index_append, SIM_BRUTE_ORACLE, ("similarity", "index", "ingest")
 )
+
+
+def dedup_keep_best(spark, sf_dir):
+    """Keep-BEST-duplicate dedup (dedup.keep_best_duplicate): clusters on
+    the punctuation/case-normalized content key and keeps the
+    highest-quality member per cluster (production survivor choice — drop
+    the mangled copy, keep the clean one — vs exact dedup's min-id).
+    Summarized per source: kept counts, cluster stats, id checksum of the
+    survivors."""
+    from tensorbase_spark.pipeline import dedup
+    from tensorbase_spark.pipeline import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    verdicts = dedup.keep_best_duplicate(d, T.quality_factors()["quality"])
+    return (
+        verdicts.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.max("cluster_size").alias("max_cluster"),
+            F.sum(F.when(F.col("kept"), F.col("doc_id"))).alias(
+                "kept_id_checksum"
+            ),
+        )
+    )
+
+
+DEDUP_KEEP_BEST_ORACLE = r"""
+WITH q AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS cluster_key,
+         0.4 * least(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0)
+       + 0.3 * (CAST(len(list_distinct(list_filter(
+                   string_split_regex(text, '\s+'), x -> x <> '')))
+                 AS DOUBLE)
+                / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0))
+       + 0.3 * least(1.0, CAST(len(list_intersect(
+                   list_distinct(list_filter(string_split_regex(text, '\s+'),
+                                             x -> x <> '')),
+                   ['the','a','of','and','is','to','in','that']))
+                 AS DOUBLE) / 3.0) AS quality
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, cluster_key,
+         count(*) OVER (PARTITION BY cluster_key) AS cluster_size,
+         row_number() OVER (PARTITION BY cluster_key
+                            ORDER BY quality DESC, doc_id) AS rn
+  FROM q
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(max(cluster_size) AS BIGINT) AS max_cluster,
+       CAST(sum(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+         AS kept_id_checksum
+FROM ranked GROUP BY source
+"""
+
+
+def dedup_edit_distance(spark, sf_dir):
+    """Edit-distance near-dup probe (dedup.edit_distance_neardups):
+    prefix-blocked candidate pairs, bounded-window Levenshtein verify,
+    min-distance partner per doc — summarized per distance decile so the
+    result is aggregate-stable."""
+    from tensorbase_spark.pipeline import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    nn = dedup.edit_distance_neardups(d)
+    return nn.groupBy((F.col("nn_dist") - F.col("nn_dist") % 10).alias(
+        "dist_bucket"
+    )).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.min("nn_dist").alias("min_dist"),
+    )
+
+
+DEDUP_EDIT_DISTANCE_ORACLE = """
+WITH base AS (
+  SELECT doc_id, substr(lower(text), 1, 12) AS blk,
+         substr(lower(text), 1, 80) AS cmp
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         levenshtein(a.cmp, b.cmp) AS dist
+  FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id <> b.doc_id
+), nn AS (
+  SELECT a_id AS doc_id, b_id AS nn_id, dist AS nn_dist,
+         row_number() OVER (PARTITION BY a_id ORDER BY dist, b_id) AS rn
+  FROM pairs
+)
+SELECT (nn_dist - nn_dist % 10) AS dist_bucket,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       min(nn_dist) AS min_dist
+FROM nn WHERE rn = 1 GROUP BY 1
+"""
+
+
+def text_zipf_slope(spark, sf_dir):
+    """Corpus Zipf slope/intercept over the top-1000 tokens
+    (text.zipf_stats) — the one-number corpus-health probe; computed via
+    covar_pop/var_pop so the oracle reproduces the identical least-squares
+    arithmetic."""
+    from tensorbase_spark.pipeline import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    return T.zipf_stats(d, top_n=1000)
+
+
+TEXT_ZIPF_ORACLE = r"""
+WITH toks AS (
+  SELECT u.tok FROM documents,
+       UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                          x -> x <> '')) AS u(tok)
+), freq AS (
+  SELECT tok, count(*) AS n FROM toks GROUP BY tok
+), totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+         CAST(sum(n) AS BIGINT) AS n_tokens FROM freq
+), top AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+  FROM freq ORDER BY n DESC, tok LIMIT 1000
+), xy AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y FROM top
+), reg AS (
+  SELECT covar_pop(x, y) / var_pop(x) AS slope,
+         avg(x) AS mx, avg(y) AS my,
+         CAST(count(*) AS BIGINT) AS n_ranked
+  FROM xy
+)
+SELECT round(slope, 6) AS zipf_slope,
+       round(my - slope * mx, 6) AS zipf_intercept,
+       n_ranked, vocab_size, n_tokens
+FROM reg CROSS JOIN totals
+"""
+
+
+QUERIES["dedup_keep_best"] = Query(
+    dedup_keep_best, DEDUP_KEEP_BEST_ORACLE, ("dedup", "quality")
+)
+QUERIES["dedup_edit_distance"] = Query(
+    dedup_edit_distance, DEDUP_EDIT_DISTANCE_ORACLE, ("dedup", "similarity")
+)
+QUERIES["text_zipf_slope"] = Query(
+    text_zipf_slope, TEXT_ZIPF_ORACLE, ("text", "stats")
+)

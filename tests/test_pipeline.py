@@ -1114,3 +1114,71 @@ def test_asof_join_forward_direction(spark):
 
     with _pytest.raises(ValueError, match="direction"):
         asof_join(L, R, on="k", ts="ts", direction="sideways")
+
+
+def test_keep_best_duplicate_survivor_choice(spark):
+    """keep_best_duplicate clusters case/punct variants together and keeps
+    the HIGHEST-quality member (here: the longer, stopword-bearing copy),
+    not the min-id one."""
+    from pyspark.sql import functions as F
+
+    from tensorbase_spark.pipeline.dedup import keep_best_duplicate
+    from tensorbase_spark.pipeline.text import quality_factors
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),                    # variant of 2, lower quality
+            (2, "hello world"),                      # same cluster as 1
+            (3, "the quick brown fox is a of and to in that good text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.kept, r.cluster_size)
+        for r in keep_best_duplicate(docs, quality_factors()["quality"]).collect()
+    }
+    assert out[3] == (True, 1)
+    assert out[1][1] == 2 and out[2][1] == 2  # clustered together
+    assert sum(1 for k, (kept, _) in out.items() if kept) == 2
+    # identical quality (identical normalized text) -> min id survives
+    assert out[1][0] is True and out[2][0] is False
+
+
+def test_edit_distance_neardups_blocked(spark):
+    """edit_distance_neardups pairs only WITHIN a prefix block and reports
+    the min-distance partner; exact duplicates come back at distance 0."""
+    from tensorbase_spark.pipeline.dedup import edit_distance_neardups
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+            (3, "alpha beta gamma delta epsilon zetX"),   # 1 edit from 1/2
+            (4, "omega psi chi phi upsilon tau"),          # different block
+        ],
+        "doc_id long, text string",
+    )
+    nn = {r.doc_id: (r.nn_id, r.nn_dist)
+          for r in edit_distance_neardups(docs).collect()}
+    assert nn[1] == (2, 0)
+    assert nn[2] == (1, 0)
+    assert nn[3][1] == 1
+    assert 4 not in nn  # alone in its block -> no candidate pair
+
+
+def test_zipf_stats_slope_shape(spark):
+    """zipf_stats: a geometric frequency profile has a strongly negative
+    slope; totals count the whole vocab, not just the ranked head."""
+    from pyspark.sql import functions as F
+
+    from tensorbase_spark.pipeline.text import zipf_stats
+
+    rows = []
+    for i, (w, n) in enumerate([("the", 64), ("of", 32), ("and", 16),
+                                ("to", 8), ("in", 4), ("that", 2)]):
+        rows.extend([(100 + i * 1000 + j, w) for j in range(n)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = zipf_stats(docs, top_n=4).collect()[0]
+    assert r.zipf_slope < -1.0
+    assert r.n_ranked == 4
+    assert r.vocab_size == 6 and r.n_tokens == 126
