@@ -392,6 +392,8 @@ CH_SQL_TEMPLATES.update(
         # aggregates.rs:52-67 list — dialect superset, all Spark built-ins)
         "argmax": "max_by({0}, {1})",
         "argmin": "min_by({0}, {1})",
+        "avgweighted": "(sum(({0}) * ({1})) / sum({1}))",
+        "boundingratio": "((max({1}) - min({1})) / (max({0}) - min({0})))",
         # any(expr) aggregate vs `> ANY (subquery)` comparison: only the
         # aggregate form rewrites; a subquery argument passes through.  A
         # real subquery needs a SELECT/WITH *keyword* (word boundary, maybe

@@ -797,3 +797,38 @@ QUERIES["ch_paste_join"] = Query(
 QUERIES["ch_rollup_cube_suffix"] = Query(
     ch_rollup_cube_suffix, CH_ROLLUP_CUBE_ORACLE, ("dialect", "agg")
 )
+
+
+def ch_weighted_aggs(spark, sf_dir):
+    """avgWeighted / boundingRatio / argMin / argMax — the everyday CH
+    aggregate tier beyond the fork's aggregates.rs list (all rewrite to
+    Spark built-ins: weighted mean as sum-product ratio, boundingRatio as
+    the (max y - min y)/(max x - min x) slope, arg extremes as
+    max_by/min_by)."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_wa")
+    return eng.sql(
+        "select l_returnflag, "
+        "round(avgWeighted(l_extendedprice, l_quantity), 4) as w_price, "
+        "round(boundingRatio(l_orderkey, l_extendedprice), 6) as brat, "
+        "argMax(l_orderkey, l_extendedprice) as k_of_max_price, "
+        "argMin(l_orderkey, l_extendedprice) as k_of_min_price "
+        "from li_wa group by l_returnflag"
+    )
+
+
+CH_WEIGHTED_AGGS_ORACLE = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+         AS w_price,
+       round((max(l_extendedprice) - min(l_extendedprice))
+             / (max(l_orderkey) - min(l_orderkey)), 6) AS brat,
+       arg_max(l_orderkey, l_extendedprice) AS k_of_max_price,
+       arg_min(l_orderkey, l_extendedprice) AS k_of_min_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+QUERIES["ch_weighted_aggs"] = Query(
+    ch_weighted_aggs, CH_WEIGHTED_AGGS_ORACLE, ("dialect", "agg")
+)
