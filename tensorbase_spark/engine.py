@@ -2020,6 +2020,14 @@ class TensorBaseEngine:
                 props.append(f"'tb.ver_col' = '{args}'")
             elif eng_name.lower() == "summingmergetree" and args:
                 props.append(f"'tb.sum_cols' = '{args}'")
+            if eng_name.lower() == "aggregatingmergetree":
+                agg_pairs = [
+                    f"{cn}:{parse_bql_type(ct).agg_fn}"
+                    for cn, ct in cols
+                    if parse_bql_type(ct).agg_fn
+                ]
+                if agg_pairs:
+                    props.append(f"'tb.agg_fns' = '{','.join(agg_pairs)}'")
         tm = _TTL_DDL_RE.search(tail)
         if tm:
             ttl = tm.group("e").strip().replace("'", "''")
@@ -2135,7 +2143,7 @@ class TensorBaseEngine:
         props0 = self._table_props(name)
         eng0 = (props0.get("tb.engine") or "").lower()
         if re.search(r"(?is)\bfinal\b", c) and eng0 in (
-            "replacingmergetree", "summingmergetree"
+            "replacingmergetree", "summingmergetree", "aggregatingmergetree"
         ):
             # OPTIMIZE ... FINAL on a merge-semantics engine MATERIALIZES
             # the merge (CH forces an unscheduled merge): after this, plain
@@ -3696,6 +3704,45 @@ class TensorBaseEngine:
                 .filter(F.col("__rmt_rn") == 1)
                 .drop("__rmt_rn")
             )
+        if eng == "aggregatingmergetree":
+            fns = dict(
+                p.split(":")
+                for p in (props.get("tb.agg_fns") or "").split(",")
+                if ":" in p
+            )
+            aggs = []
+            for f in df.schema.fields:
+                if f.name in pkeys:
+                    continue
+                fn = fns.get(f.name)
+                if fn in ("count", "sum"):
+                    aggs.append(F.sum(f.name).cast(f.dataType).alias(f.name))
+                elif fn == "min":
+                    aggs.append(F.min(f.name).alias(f.name))
+                elif fn == "max":
+                    aggs.append(F.max(f.name).alias(f.name))
+                elif fn == "any":
+                    aggs.append(F.any_value(f.name).alias(f.name))
+                elif fn == "avg":
+                    aggs.append(
+                        F.struct(
+                            F.sum(F.col(f.name)["s"]).alias("s"),
+                            F.sum(F.col(f.name)["c"]).alias("c"),
+                        ).alias(f.name)
+                    )
+                elif fn in ("uniq", "uniqexact"):
+                    aggs.append(
+                        F.array_distinct(
+                            F.flatten(F.collect_list(f.name))
+                        ).alias(f.name)
+                    )
+                elif fn == "grouparray":
+                    aggs.append(
+                        F.flatten(F.collect_list(f.name)).alias(f.name)
+                    )
+                else:  # non-state column: deterministic stand-in
+                    aggs.append(F.min(f.name).alias(f.name))
+            return df.groupBy(*pkeys).agg(*aggs).select(*df.columns)
         listed = {
             s.strip()
             for s in (props.get("tb.sum_cols") or "").split(",")
@@ -3743,9 +3790,9 @@ class TensorBaseEngine:
             eng = (props.get("tb.engine") or "").lower()
             key_txt = props.get("tb.order_by")
             cols_txt = props.get("tb.columns")
-            if eng not in ("replacingmergetree", "summingmergetree") or (
-                not key_txt or not cols_txt
-            ):
+            if eng not in (
+                "replacingmergetree", "summingmergetree", "aggregatingmergetree"
+            ) or (not key_txt or not cols_txt):
                 return m.group(0)  # fallback: generic FINAL drop downstream
             keys = [k.strip() for k in key_txt.split(",")]
             cols = []
@@ -3774,6 +3821,33 @@ class TensorBaseEngine:
                     f"(select {sel} from (select {inner_sel}, row_number() over "
                     f"(partition by {', '.join(pkeys)} order by {order}) "
                     f"as __rmt_rn from {name}) where __rmt_rn = 1) {alias}"
+                )
+            elif eng == "aggregatingmergetree":
+                fns = dict(
+                    p.split(":")
+                    for p in (props.get("tb.agg_fns") or "").split(",")
+                    if ":" in p
+                )
+                combine = {
+                    "count": "cast(sum({c}) as bigint)",
+                    "sum": "sum({c})",
+                    "min": "min({c})",
+                    "max": "max({c})",
+                    "any": "any_value({c})",
+                    "avg": "named_struct('s', sum({c}.s), 'c', sum({c}.c))",
+                    "uniq": "array_distinct(flatten(collect_list({c})))",
+                    "uniqexact": "array_distinct(flatten(collect_list({c})))",
+                    "grouparray": "flatten(collect_list({c}))",
+                }
+                items = list(keys)
+                for cn, ct in cols:
+                    if cn in keys:
+                        continue
+                    tmpl = combine.get(fns.get(cn, ""), "min({c})")
+                    items.append(f"{tmpl.format(c=cn)} as {cn}")
+                inner = (
+                    f"(select {', '.join(items)} from {name} "
+                    f"group by {', '.join(pkeys)}) {alias}"
                 )
             else:
                 listed = {

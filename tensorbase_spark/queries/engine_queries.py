@@ -1933,3 +1933,82 @@ GROUP BY year(o_orderdate)
 QUERIES["engine_plain_view"] = Query(
     engine_plain_view, ENGINE_PLAIN_VIEW_ORACLE, ("engine", "ddl", "view")
 )
+
+
+def engine_aggregating_mv(spark, sf_dir):
+    """THE ClickHouse continuous-aggregation pattern, end to end:
+    AggregateFunction-typed columns + ENGINE = AggregatingMergeTree + a
+    materialized view writing -State partials per ingest block + OPTIMIZE
+    FINAL compacting states + -Merge reads (types.py AggregateFunction;
+    engine.py _merged_result_df / _rewrite_final / MV trigger).  Events
+    ingest in two blocks so the MV provably accumulates per-block states;
+    the -Merge read must equal the direct aggregate over the raw fixture
+    both BEFORE and after the physical state merge."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "amv")
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("amv_src")
+    eng.sql("create table raw_ev (d Date, typ String, uid Int64, v Float64)")
+    eng.sql(
+        "create table agg_daily (d Date, typ String, "
+        "n AggregateFunction(count, Int64), "
+        "u AggregateFunction(uniq, Int64), "
+        "s AggregateFunction(sum, Float64), "
+        "mx AggregateFunction(max, Float64)) "
+        "ENGINE = AggregatingMergeTree ORDER BY d, typ"
+    )
+    eng.sql(
+        "create materialized view amv_roll to agg_daily as "
+        "select d, typ, countState(uid) as n, uniqState(uid) as u, "
+        "sumState(v) as s, maxState(v) as mx from raw_ev group by d, typ"
+    )
+    base = (
+        "select toDate(ts) as d, event_type as typ, user_id as uid, "
+        "value as v from amv_src"
+    )
+    eng.sql(f"insert into raw_ev {base} where user_id % 2 = 0")
+    eng.sql(f"insert into raw_ev {base} where user_id % 2 = 1")
+    pre = eng.sql(
+        "select count(*) as n_state_rows from agg_daily"
+    ).collect()[0][0]
+    eng.sql("optimize table agg_daily final")
+    post = eng.sql(
+        "select count(*) as n_state_rows from agg_daily"
+    ).collect()[0][0]
+    return eng.sql(
+        "select typ, countMerge(n) as n_events, uniqMerge(u) as n_users, "
+        "round(sumMerge(s), 4) as sv, round(maxMerge(mx), 4) as mxv, "
+        f"cast({pre} as bigint) as n_state_rows_pre, "
+        f"cast({post} as bigint) as n_state_rows_post "
+        "from agg_daily group by typ"
+    )
+
+
+ENGINE_AGGREGATING_MV_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type AS typ FROM events
+), grain AS (
+  SELECT count(*) AS n FROM (
+    SELECT CAST(ts AS DATE) AS d, event_type, user_id % 2 AS blk
+    FROM events GROUP BY 1, 2, 3
+  )
+), merged_grain AS (
+  SELECT count(*) AS n FROM (
+    SELECT CAST(ts AS DATE) AS d, event_type FROM events GROUP BY 1, 2
+  )
+)
+SELECT event_type AS typ,
+       CAST(count(*) AS BIGINT)          AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 4)              AS sv,
+       round(max(value), 4)              AS mxv,
+       (SELECT CAST(n AS BIGINT) FROM grain)        AS n_state_rows_pre,
+       (SELECT CAST(n AS BIGINT) FROM merged_grain) AS n_state_rows_post
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES["engine_aggregating_mv"] = Query(
+    engine_aggregating_mv, ENGINE_AGGREGATING_MV_ORACLE,
+    ("engine", "ddl", "merge-tree", "mv"),
+)

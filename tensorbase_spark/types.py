@@ -69,6 +69,7 @@ _DATETIME_TZ_RE = re.compile(r"(?i)^datetime\s*\(\s*'([^']*)'\s*\)$")
 _DATETIME64_RE = re.compile(
     r"(?i)^datetime64\s*\(\s*\d+\s*(?:,\s*'([^']*)')?\s*\)$"
 )
+_AGGFN_RE = re.compile(r"(?i)^aggregatefunction\s*\((.*)\)$", re.DOTALL)
 _ARRAY_RE = re.compile(r"(?i)^array\s*\((.*)\)$", re.DOTALL)
 _MAP_RE = re.compile(r"(?i)^map\s*\((.*)\)$", re.DOTALL)
 _TUPLE_RE = re.compile(r"(?i)^tuple\s*\((.*)\)$", re.DOTALL)
@@ -115,6 +116,7 @@ class ParsedType:
     fixed_len: int | None = None  # FixedString(n) length check, enforced on write
     tz: str | None = None  # DateTime('TZ') display timezone
     enum_values: tuple | None = None  # Enum8/16 allowed strings, enforced on write
+    agg_fn: str | None = None  # AggregateFunction(fn, ...) column's fn name
 
 
 def parse_bql_type(name: str) -> ParsedType:
@@ -132,6 +134,50 @@ def parse_bql_type(name: str) -> ParsedType:
     """
     s = _CODEC_RE.sub("", name.strip())
     low = s.lower()
+
+    m = _AGGFN_RE.match(s)
+    if m:
+        # AggregateFunction(fn[, ArgType...]) — upstream-CH's stored-state
+        # column type (pairs with ENGINE=AggregatingMergeTree and the
+        # -State/-Merge combinators).  CH stores opaque binary states; the
+        # faithful open mapping here stores the PLAIN sufficient statistic
+        # the -State templates produce (functions/clickhouse.py): sum/count
+        # -> the running number, min/max/any -> the value, avg -> a
+        # (sum, count) struct, uniq/groupArray -> the element array.
+        parts = _split_commas(m.group(1))
+        fn = parts[0].strip().lower()
+        arg = parse_bql_type(parts[1]) if len(parts) > 1 else None
+        if fn == "count":
+            st: T.DataType = T.LongType()
+        elif fn == "sum":
+            if arg is None:
+                raise ValueError(f"AggregateFunction(sum) needs an arg type: {name}")
+            st = (
+                T.DoubleType()
+                if isinstance(arg.spark_type, (T.FloatType, T.DoubleType))
+                else T.LongType()
+            )
+        elif fn in ("min", "max", "any"):
+            if arg is None:
+                raise ValueError(f"AggregateFunction({fn}) needs an arg type: {name}")
+            st = arg.spark_type
+        elif fn == "avg":
+            st = T.StructType(
+                [
+                    T.StructField("s", T.DoubleType(), True),
+                    T.StructField("c", T.LongType(), True),
+                ]
+            )
+        elif fn in ("uniq", "uniqexact", "grouparray"):
+            if arg is None:
+                raise ValueError(f"AggregateFunction({fn}) needs an arg type: {name}")
+            st = T.ArrayType(arg.spark_type, True)
+        else:
+            raise ValueError(
+                f"unsupported AggregateFunction fn {fn!r} (supported: count, "
+                f"sum, min, max, any, avg, uniq, uniqExact, groupArray)"
+            )
+        return ParsedType(st, agg_fn=fn)
 
     m = _ARRAY_RE.match(s)
     if m:

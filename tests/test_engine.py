@@ -2204,6 +2204,46 @@ def test_summing_merge_tree_final(engine):
     engine.sql("drop table smt_l")
 
 
+def test_aggregating_merge_tree_state_lifecycle(engine):
+    """AggregateFunction columns + AggregatingMergeTree: -State inserts
+    accumulate per-block state rows; -Merge reads are block-invariant;
+    OPTIMIZE FINAL compacts states without changing any -Merge result;
+    FROM t FINAL combines states on the fly."""
+    engine.sql(
+        "create table amt_t (k String, n AggregateFunction(count, Int64), "
+        "u AggregateFunction(uniq, Int64), a AggregateFunction(avg, Float64)) "
+        "ENGINE = AggregatingMergeTree ORDER BY k"
+    )
+    engine.sql("create table amt_raw (k String, uid Int64, v Float64)")
+    engine.sql(
+        "insert into amt_raw values ('x', 1, 2.0), ('x', 2, 4.0), ('y', 1, 6.0)"
+    )
+    ins = (
+        "insert into amt_t select k, countState(uid) as n, "
+        "uniqState(uid) as u, avgState(v) as a from amt_raw {w} group by k"
+    )
+    engine.sql(ins.format(w="where uid = 1"))
+    engine.sql(ins.format(w="where uid > 1"))
+    assert engine.sql("select count(*) as c from amt_t").collect()[0][0] == 3
+
+    read = (
+        "select k, countMerge(n) as n, uniqMerge(u) as u, "
+        "round(avgMerge(a), 4) as a from amt_t group by k"
+    )
+    expect = [("x", 2, 2, 3.0), ("y", 1, 1, 6.0)]
+    assert sorted(tuple(r) for r in engine.sql(read).collect()) == expect
+    # FINAL combines states on the fly (still state-typed -> Merge on top)
+    assert sorted(
+        tuple(r)
+        for r in engine.sql(read.replace("from amt_t", "from amt_t final")).collect()
+    ) == expect
+    engine.sql("optimize table amt_t final")
+    assert engine.sql("select count(*) as c from amt_t").collect()[0][0] == 2
+    assert sorted(tuple(r) for r in engine.sql(read).collect()) == expect
+    engine.sql("drop table amt_t")
+    engine.sql("drop table amt_raw")
+
+
 def test_scalar_with_forms(engine, spark):
     """CH expression-alias WITH: constants, scalar subqueries, chained
     aliases; standard CTEs and WITH RECURSIVE stay native."""
