@@ -2020,6 +2020,23 @@ class TensorBaseEngine:
                 props.append(f"'tb.ver_col' = '{args}'")
             elif eng_name.lower() == "summingmergetree" and args:
                 props.append(f"'tb.sum_cols' = '{args}'")
+            elif eng_name.lower() == "versionedcollapsingmergetree":
+                if len([a for a in args.split(",") if a.strip()]) != 2:
+                    raise ValueError(
+                        "VersionedCollapsingMergeTree needs (sign, version)"
+                    )
+                props.append(f"'tb.collapse_cols' = '{args}'")
+            elif eng_name.lower() == "collapsingmergetree":
+                # plain Collapsing FINAL depends on INSERTION order ("the
+                # last written +1 survives"), which parquet appends do not
+                # preserve; the versioned variant is the deterministic
+                # spelling this engine supports
+                raise ValueError(
+                    "CollapsingMergeTree: use "
+                    "VersionedCollapsingMergeTree(sign, version) — plain "
+                    "collapsing's 'last written row wins' depends on "
+                    "insertion order, which this storage does not preserve"
+                )
             if eng_name.lower() == "aggregatingmergetree":
                 agg_pairs = [
                     f"{cn}:{parse_bql_type(ct).agg_fn}"
@@ -2143,7 +2160,8 @@ class TensorBaseEngine:
         props0 = self._table_props(name)
         eng0 = (props0.get("tb.engine") or "").lower()
         if re.search(r"(?is)\bfinal\b", c) and eng0 in (
-            "replacingmergetree", "summingmergetree", "aggregatingmergetree"
+            "replacingmergetree", "summingmergetree",
+            "aggregatingmergetree", "versionedcollapsingmergetree",
         ):
             # OPTIMIZE ... FINAL on a merge-semantics engine MATERIALIZES
             # the merge (CH forces an unscheduled merge): after this, plain
@@ -3677,6 +3695,22 @@ class TensorBaseEngine:
         T.FloatType, T.DoubleType, T.DecimalType,
     )
 
+    @staticmethod
+    def _collapsing_cols(name: str, props: dict) -> tuple[str, str]:
+        """(sign, version) columns of a VersionedCollapsingMergeTree —
+        stored from the ENGINE args at CREATE."""
+        args = [
+            s.strip()
+            for s in (props.get("tb.collapse_cols") or "").split(",")
+            if s.strip()
+        ]
+        if len(args) != 2:
+            raise ValueError(
+                f"{name}: VersionedCollapsingMergeTree needs (sign, version) "
+                "engine arguments"
+            )
+        return args[0], args[1]
+
     def _merged_result_df(self, name: str, df: DataFrame, props: dict, eng: str) -> DataFrame:
         """DataFrame form of the merge result (used by OPTIMIZE ... FINAL
         to MATERIALIZE it): per-partition like CH merges — __ptk joins the
@@ -3703,6 +3737,22 @@ class TensorBaseEngine:
                 df.withColumn("__rmt_rn", F.row_number().over(w))
                 .filter(F.col("__rmt_rn") == 1)
                 .drop("__rmt_rn")
+            )
+        if eng == "versionedcollapsingmergetree":
+            sign, ver = self._collapsing_cols(name, props)
+            others = [c for c in df.columns if c not in pkeys and c not in (sign, ver)]
+            slice_keys = [*pkeys, ver]
+            w_net = Window.partitionBy(*slice_keys)
+            w_rn = Window.partitionBy(*slice_keys, sign).orderBy(
+                *[F.col(o) for o in others] or [F.lit(1)]
+            )
+            return (
+                df.withColumn("__vc_net", F.sum(sign).over(w_net))
+                .withColumn("__vc_rn", F.row_number().over(w_rn))
+                .filter(
+                    (F.col(sign) == 1) & (F.col("__vc_rn") <= F.col("__vc_net"))
+                )
+                .drop("__vc_net", "__vc_rn")
             )
         if eng == "aggregatingmergetree":
             fns = dict(
@@ -3791,7 +3841,8 @@ class TensorBaseEngine:
             key_txt = props.get("tb.order_by")
             cols_txt = props.get("tb.columns")
             if eng not in (
-                "replacingmergetree", "summingmergetree", "aggregatingmergetree"
+                "replacingmergetree", "summingmergetree",
+                "aggregatingmergetree", "versionedcollapsingmergetree",
             ) or (not key_txt or not cols_txt):
                 return m.group(0)  # fallback: generic FINAL drop downstream
             keys = [k.strip() for k in key_txt.split(",")]
@@ -3821,6 +3872,23 @@ class TensorBaseEngine:
                     f"(select {sel} from (select {inner_sel}, row_number() over "
                     f"(partition by {', '.join(pkeys)} order by {order}) "
                     f"as __rmt_rn from {name}) where __rmt_rn = 1) {alias}"
+                )
+            elif eng == "versionedcollapsingmergetree":
+                sign, ver = self._collapsing_cols(name, props)
+                others = [
+                    cn for cn, _ in cols
+                    if cn not in pkeys and cn not in (sign, ver)
+                ]
+                slice_keys = ", ".join([*pkeys, ver])
+                rn_order = ", ".join(others) if others else "1"
+                sel = ", ".join(cn for cn, _ in cols)
+                inner_sel = sel if PTK_COL not in pkeys else f"{sel}, {PTK_COL}"
+                inner = (
+                    f"(select {sel} from (select {inner_sel}, "
+                    f"sum({sign}) over (partition by {slice_keys}) as __vc_net, "
+                    f"row_number() over (partition by {slice_keys}, {sign} "
+                    f"order by {rn_order}) as __vc_rn from {name}) "
+                    f"where {sign} = 1 and __vc_rn <= __vc_net) {alias}"
                 )
             elif eng == "aggregatingmergetree":
                 fns = dict(

@@ -144,7 +144,7 @@ PRIORITY_HEAD = [
     "engine_replacing_final", "engine_summing_final",
     "ch_paste_join", "ch_rollup_cube_suffix", "engine_plain_view",
     "dedup_keep_best", "dedup_edit_distance", "text_zipf_slope",
-    "ch_weighted_aggs", "engine_aggregating_mv",
+    "ch_weighted_aggs", "engine_aggregating_mv", "engine_collapsing_cdc",
 ]
 
 

@@ -2012,3 +2012,70 @@ QUERIES["engine_aggregating_mv"] = Query(
     engine_aggregating_mv, ENGINE_AGGREGATING_MV_ORACLE,
     ("engine", "ddl", "merge-tree", "mv"),
 )
+
+
+def engine_collapsing_cdc(spark, sf_dir):
+    """VersionedCollapsingMergeTree — CH's CDC/state-update engine
+    (engine.py _merged_result_df versionedcollapsing branch): every order
+    inserts a +1 state at version 1; even-keyed orders then UPDATE —
+    a -1 cancel of version 1 plus a +1 state at version 2 with a 10%%
+    price bump.  FROM t FINAL must collapse the cancelled pairs and serve
+    odd orders at v1 and even orders at v2; OPTIMIZE FINAL materializes
+    the collapse (row count drops from 2n_even extra rows to n)."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "vcc")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("vcc_src")
+    eng.sql(
+        "create table bal (ok Int64, st String, amt Float64, "
+        "sign Int8, ver Int64) "
+        "ENGINE = VersionedCollapsingMergeTree(sign, ver) ORDER BY ok"
+    )
+    eng.sql(
+        "insert into bal select o_orderkey, o_orderstatus, o_totalprice, "
+        "1, 1 from vcc_src"
+    )
+    eng.sql(
+        "insert into bal select o_orderkey, o_orderstatus, o_totalprice, "
+        "-1, 1 from vcc_src where o_orderkey % 2 = 0"
+    )
+    eng.sql(
+        "insert into bal select o_orderkey, o_orderstatus, "
+        "o_totalprice * 1.1, 1, 2 from vcc_src where o_orderkey % 2 = 0"
+    )
+    n_raw = eng.sql("select count(*) as n from bal").collect()[0][0]
+    eng.sql("optimize table bal final")
+    n_merged = eng.sql("select count(*) as n from bal").collect()[0][0]
+    return eng.sql(
+        "select st, count(*) as n, round(sum(amt), 2) as s, "
+        "max(ver) as mx_ver, "
+        f"cast({n_raw} as bigint) as n_raw, "
+        f"cast({n_merged} as bigint) as n_merged "
+        "from bal final group by st"
+    )
+
+
+ENGINE_COLLAPSING_CDC_ORACLE = """
+WITH fin AS (
+  SELECT o_orderstatus AS st,
+         CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS amt,
+         CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 1 END AS ver
+  FROM orders
+), counts AS (
+  SELECT CAST((SELECT count(*) FROM orders)
+              + 2 * (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+              AS BIGINT) AS n_raw,
+         (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_merged
+)
+SELECT st, count(*) AS n, round(sum(amt), 2) AS s,
+       CAST(max(ver) AS BIGINT) AS mx_ver, n_raw, n_merged
+FROM fin CROSS JOIN counts
+GROUP BY st, n_raw, n_merged
+"""
+
+
+QUERIES["engine_collapsing_cdc"] = Query(
+    engine_collapsing_cdc, ENGINE_COLLAPSING_CDC_ORACLE,
+    ("engine", "ddl", "merge-tree", "cdc"),
+)

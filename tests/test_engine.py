@@ -2204,6 +2204,43 @@ def test_summing_merge_tree_final(engine):
     engine.sql("drop table smt_l")
 
 
+def test_versioned_collapsing_merge_tree(engine):
+    """VersionedCollapsingMergeTree(sign, ver): a -1 row cancels the +1 row
+    of the SAME (key, version) slice; FINAL serves the uncancelled states;
+    OPTIMIZE FINAL materializes the collapse; plain CollapsingMergeTree is
+    rejected with a pointer to the versioned spelling (its 'last written
+    wins' needs insertion order this storage does not preserve)."""
+    import pytest as _pytest
+
+    engine.sql(
+        "create table vct (uid Int64, bal Float64, sign Int8, ver Int64) "
+        "ENGINE = VersionedCollapsingMergeTree(sign, ver) ORDER BY uid"
+    )
+    engine.sql("insert into vct values (1, 10.0, 1, 1), (2, 20.0, 1, 1)")
+    engine.sql("insert into vct values (1, 10.0, -1, 1), (1, 35.0, 1, 2)")
+    fin = sorted(
+        tuple(r)
+        for r in engine.sql("select uid, bal, ver from vct final").collect()
+    )
+    assert fin == [(1, 35.0, 2), (2, 20.0, 1)]
+    # cancel EVERYTHING for uid 2: the key vanishes from FINAL
+    engine.sql("insert into vct values (2, 20.0, -1, 1)")
+    assert [
+        tuple(r)
+        for r in engine.sql(
+            "select uid from vct final order by uid"
+        ).collect()
+    ] == [(1,)]
+    engine.sql("optimize table vct final")
+    assert engine.sql("select count(*) as n from vct").collect()[0][0] == 1
+    with _pytest.raises(ValueError, match="VersionedCollapsingMergeTree"):
+        engine.sql(
+            "create table clt (k Int64, sign Int8) "
+            "ENGINE = CollapsingMergeTree(sign) ORDER BY k"
+        )
+    engine.sql("drop table vct")
+
+
 def test_aggregating_merge_tree_state_lifecycle(engine):
     """AggregateFunction columns + AggregatingMergeTree: -State inserts
     accumulate per-block state rows; -Merge reads are block-invariant;
