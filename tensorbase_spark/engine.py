@@ -2244,7 +2244,7 @@ class TensorBaseEngine:
 
     _MV_RE = re.compile(
         r"(?is)^create\s+materialized\s+view\s+(?P<mv>[\w.]+)\s+to\s+"
-        r"(?P<tgt>[\w.]+)\s+as\s+(?P<sel>select\b.+)$"
+        r"(?P<tgt>[\w.]+)\s+(?P<pop>populate\s+)?as\s+(?P<sel>select\b.+)$"
     )
 
     def _create_materialized_view(self, c: str) -> DataFrame:
@@ -2270,6 +2270,12 @@ class TensorBaseEngine:
         if not self.spark.catalog.tableExists(tgt):
             raise ValueError(f"TO table {tgt} must exist (CH contract)")
         self._mvs.setdefault(src, []).append((mv, tgt, sel, fm.group(1)))
+        if m.group("pop"):
+            # POPULATE: backfill the target from the source's EXISTING rows
+            # once at creation (upstream-CH; rows inserted DURING the
+            # backfill can be missed there — here creation is synchronous,
+            # so the documented CH caveat does not arise)
+            self.insert_df(tgt, self.spark.sql(self._translate_query(sel)))
         return self.spark.sql("SELECT 1 AS ok")
 
     def _create_dictionary(self, c: str) -> DataFrame:

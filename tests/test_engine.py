@@ -2204,6 +2204,30 @@ def test_summing_merge_tree_final(engine):
     engine.sql("drop table smt_l")
 
 
+def test_materialized_view_populate(engine):
+    """CREATE MATERIALIZED VIEW ... TO tgt POPULATE AS ... backfills the
+    target from EXISTING source rows at creation; later inserts still fire
+    the per-block trigger on top."""
+    engine.sql("create table mvp_src (k String, v Int64)")
+    engine.sql("insert into mvp_src values ('a', 1), ('b', 2)")
+    engine.sql("create table mvp_tgt (k String, s Int64)")
+    engine.sql(
+        "create materialized view mvp_v to mvp_tgt populate as "
+        "select k, sum(v) as s from mvp_src group by k"
+    )
+    assert sorted(
+        tuple(r) for r in engine.sql(
+            "select k, sum(s) as s from mvp_tgt group by k").collect()
+    ) == [("a", 1), ("b", 2)]  # backfilled without any post-MV insert
+    engine.sql("insert into mvp_src values ('a', 10)")
+    assert sorted(
+        tuple(r) for r in engine.sql(
+            "select k, sum(s) as s from mvp_tgt group by k").collect()
+    ) == [("a", 11), ("b", 2)]
+    engine.sql("drop table mvp_src")
+    engine.sql("drop table mvp_tgt")
+
+
 def test_versioned_collapsing_merge_tree(engine):
     """VersionedCollapsingMergeTree(sign, ver): a -1 row cancels the +1 row
     of the SAME (key, version) slice; FINAL serves the uncancelled states;
