@@ -161,6 +161,80 @@ def _split_depth0(text: str, sep: str = ",") -> list[str]:
     return [p.strip() for p in out if p.strip()]
 
 
+_BRACKET_KEYWORDS = frozenset(
+    """select from where when then else and or not in as by on between
+    having group order limit offset union all distinct values case end
+    join array_join interpolate with fill step to using settings
+    intersect except return returns lateral""".split()
+)
+
+
+def _rewrite_bracket_arrays(sql: str) -> str:
+    """ClickHouse bracket syntax, both meanings, on literal-masked text:
+
+    - ``[e1, e2, ...]`` ARRAY LITERALS -> ``array(e1, e2, ...)`` — a ``[``
+      NOT preceded by a value (or preceded by a keyword word) opens one;
+    - ``expr[i]`` SUBSCRIPTS -> ``element_at(expr, i)`` — CH (and DuckDB)
+      subscripts are 1-BASED with negative-from-end, which is exactly
+      ``element_at``'s contract, while Spark's native ``[]`` is 0-based;
+      the rewrite walks back over the subscripted primary (identifier
+      chain, or a balanced ``(...)``/``[...]`` group plus any call name)
+      and wraps it, so CH indexing semantics hold for arrays AND maps.
+
+    A stack tracks which ``]`` closes which form."""
+    out: list[str] = []
+    stack: list[str] = []  # 'lit' | 'sub' | 'plain'
+    for ch in sql:
+        if ch == "[":
+            # previous significant char + previous word decide the meaning
+            j = len(out) - 1
+            while j >= 0 and out[j].isspace():
+                j -= 1
+            prev = out[j] if j >= 0 else ""
+            is_value = bool(prev) and (
+                prev.isalnum() or prev in (")", "]", "_", "`", "\x00")
+            )
+            if is_value and (prev.isalpha() or prev == "_"):
+                # walk the word back: keywords do not subscript
+                w = j
+                while w >= 0 and (out[w].isalnum() or out[w] == "_"):
+                    w -= 1
+                if "".join(out[w + 1 : j + 1]).lower() in _BRACKET_KEYWORDS:
+                    is_value = False
+            if not is_value:
+                stack.append("lit")
+                out.extend("array(")
+                continue
+            # subscript: wrap the preceding primary in element_at(...)
+            k = j
+            if out[k] in (")", "]"):
+                close, open_ = out[k], "(" if out[k] == ")" else "["
+                depth = 0
+                while k >= 0:
+                    if out[k] == close:
+                        depth += 1
+                    elif out[k] == open_:
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k -= 1
+                k -= 1  # step before the opener; a call name may precede
+            # identifier chain (name, dots, backticks, masked literals)
+            while k >= 0 and (
+                out[k].isalnum() or out[k] in ("_", ".", "`", "\x00")
+            ):
+                k -= 1
+            out[k + 1 : k + 1] = list("element_at(")
+            out.extend(", ")
+            stack.append("sub")
+        elif ch == "]":
+            kind = stack.pop() if stack else "plain"
+            out.append("]" if kind == "plain" else ")")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def _preprocess_ch_clauses(sql: str) -> str:
     """Clause-level ClickHouse tolerance so real CH queries run unmodified:
 
@@ -193,6 +267,11 @@ def _preprocess_ch_clauses(sql: str) -> str:
         return f"\x00{len(lits) - 1}\x00"
 
     out = re.sub(r"'(?:[^']|'')*'|\"[^\"]*\"", _mask, sql)
+    # ClickHouse bracket ARRAY LITERALS: `[1, 2, 3]` -> `array(1, 2, 3)`.
+    # The same bracket is Spark's SUBSCRIPT (`arr[1]`) — the classic lexer
+    # distinction applies: a '[' after a value (identifier, ')', ']', or a
+    # masked literal) subscripts; anywhere else it opens an array literal.
+    out = _rewrite_bracket_arrays(out)
     # bind to the GROUP BY immediately preceding WITH TOTALS: a tempered
     # capture that cannot cross another GROUP BY, so a subquery/CTE group-by
     # earlier in the statement is never swallowed into the grouping sets
@@ -759,11 +838,21 @@ _SAMPLE_RE = re.compile(
 _WITH_FILL_RE = re.compile(
     r"(?is)\border\s+by\s+(?P<col>[A-Za-z_][\w]*)\s+(?P<dir>asc\s+|desc\s+)?"
     r"with\s+fill"
-    r"(?:\s+from\s+(?P<frm>-?\d+))?"
-    r"(?:\s+to\s+(?P<to>-?\d+))?"
-    r"(?:\s+step\s+(?P<step>-?\d+))?"
+    r"(?:\s+from\s+(?P<frm>-?\d+|(?:date\s*)?'[^']*'))?"
+    r"(?:\s+to\s+(?P<to>-?\d+|(?:date\s*)?'[^']*'))?"
+    r"(?:\s+step\s+(?P<step>-?\d+|interval\s+-?\d+\s+\w+))?"
     r"(?:\s+interpolate\s*\((?P<interp>[^()]*)\))?\s*$"
 )
+
+
+def _fill_bound(raw: str | None):
+    """FROM/TO bound: int, or a date/timestamp literal string."""
+    if raw is None:
+        return None
+    raw = raw.strip()
+    if re.match(r"^-?\d+$", raw):
+        return int(raw)
+    return re.sub(r"(?is)^date\s*", "", raw).strip("'")
 
 
 def _extract_with_fill(sql: str):
@@ -777,10 +866,18 @@ def _extract_with_fill(sql: str):
     m = _WITH_FILL_RE.search(sql)
     if not m:
         return None
-    frm = int(m.group("frm")) if m.group("frm") is not None else None
-    to = int(m.group("to")) if m.group("to") is not None else None
-    step = int(m.group("step")) if m.group("step") is not None else 1
-    if step == 0:
+    frm = _fill_bound(m.group("frm"))
+    to = _fill_bound(m.group("to"))
+    step_raw = m.group("step")
+    step: int | tuple
+    if step_raw is None:
+        step = 1
+    elif re.match(r"(?is)^interval", step_raw):
+        im = re.match(r"(?is)^interval\s+(-?\d+)\s+(\w+)$", step_raw.strip())
+        step = (int(im.group(1)), im.group(2).lower())
+    else:
+        step = int(step_raw)
+    if step == 0 or (isinstance(step, tuple) and step[0] == 0):
         raise ValueError("WITH FILL STEP must be nonzero")
     desc = (m.group("dir") or "").strip().lower() == "desc"
     interp = [
@@ -1793,22 +1890,59 @@ class TensorBaseEngine:
         df = self.spark.sql(self._translate_query(base_sql))
         if col not in df.columns:
             raise ValueError(f"WITH FILL column {col!r} not in result")
-        if frm is None or to is None:
-            lo, hi = df.agg(F.min(col), F.max(col)).first()
-            if lo is None:  # empty result: nothing to densify
-                return df.orderBy(F.col(col).desc() if desc else F.col(col))
-            frm = int(lo) if frm is None else frm
-            to = int(hi) + 1 if to is None else to
         dt = dict(df.dtypes)[col]
-        seq = (
-            self.spark.range(1)
-            .select(
-                F.explode(
-                    F.sequence(F.lit(frm), F.lit(to - (1 if step > 0 else -1)), F.lit(step))
-                ).alias(col)
+        temporal = dt == "date" or dt.startswith("timestamp")
+        if temporal:
+            # date/timestamp axis: STEP INTERVAL n unit (default 1 day) —
+            # the time-series densification WITH FILL exists for.  FROM
+            # inclusive, TO exclusive (CH contract); observed max stands in
+            # INCLUSIVELY when TO is omitted.
+            n, unit = step if isinstance(step, tuple) else (int(step), "day")
+            lo = hi = None
+            if frm is None or to is None:
+                lo, hi = df.agg(F.min(col), F.max(col)).first()
+                if lo is None:
+                    return df.orderBy(F.col(col).desc() if desc else F.col(col))
+            start = F.lit(frm).cast(dt) if frm is not None else F.lit(lo)
+            stop = F.lit(to).cast(dt) if to is not None else F.lit(hi)
+            # bind the bounds as typed columns, then explode the sequence
+            one = self.spark.range(1).select(
+                start.cast(dt).alias("__fill_start"),
+                stop.cast(dt).alias("__fill_stop"),
             )
-            .select(F.col(col).cast(dt))
-        )
+            seq = one.select(
+                F.explode(
+                    F.expr(
+                        f"sequence(__fill_start, __fill_stop, interval {n} {unit})"
+                    )
+                ).alias(col)
+            ).select(F.col(col).cast(dt))
+            if to is not None:  # exclusive upper bound
+                seq = seq.filter(
+                    F.col(col) < F.lit(to).cast(dt)
+                    if n > 0
+                    else F.col(col) > F.lit(to).cast(dt)
+                )
+        else:
+            if frm is None or to is None:
+                lo, hi = df.agg(F.min(col), F.max(col)).first()
+                if lo is None:  # empty result: nothing to densify
+                    return df.orderBy(F.col(col).desc() if desc else F.col(col))
+                frm = int(lo) if frm is None else frm
+                to = int(hi) + 1 if to is None else to
+            if isinstance(step, tuple):
+                raise ValueError(
+                    "WITH FILL STEP INTERVAL needs a date/timestamp column"
+                )
+            seq = (
+                self.spark.range(1)
+                .select(
+                    F.explode(
+                        F.sequence(F.lit(frm), F.lit(to - (1 if step > 0 else -1)), F.lit(step))
+                    ).alias(col)
+                )
+                .select(F.col(col).cast(dt))
+            )
         # rows to generate = fill domain minus observed values; original rows
         # (in or out of the fill range) always survive.  Anti join broadcasts
         # the observed-value side (group-cardinality sized); full-outer is

@@ -1145,3 +1145,131 @@ CH_SQL_TEMPLATES.update(
         ),
     }
 )
+
+
+def _age_sql(args: list[str]) -> str:
+    """age('unit', d1, d2) — COMPLETE units between two dates/timestamps
+    (CH semantics: truncating, unlike dateDiff's boundary counting)."""
+    unit = args[0].strip().strip("'\"").lower()
+    a, b = args[1], args[2]
+    if unit == "day":
+        return f"datediff(cast({b} as date), cast({a} as date))"
+    if unit == "month":
+        return f"cast(floor(months_between(cast({b} as date), cast({a} as date))) as bigint)"
+    if unit == "year":
+        return (
+            f"cast(floor(months_between(cast({b} as date), "
+            f"cast({a} as date)) / 12) as bigint)"
+        )
+    if unit in ("hour", "minute", "second"):
+        div = {"hour": 3600, "minute": 60, "second": 1}[unit]
+        return (
+            f"cast(floor((unix_timestamp(cast({b} as timestamp)) - "
+            f"unix_timestamp(cast({a} as timestamp))) / {div}) as bigint)"
+        )
+    raise ValueError(f"age: unsupported unit {unit!r}")
+
+
+def _datename_sql(args: list[str]) -> str:
+    """dateName('part', d): the English name/number string of a date part."""
+    part = args[0].strip().strip("'\"").lower()
+    d = args[1]
+    fmt = {
+        "year": "yyyy", "month": "MMMM", "weekday": "EEEE",
+        "dayofmonth": "d", "day": "d", "hour": "H", "minute": "m",
+        "second": "s",
+    }.get(part)
+    if fmt is None:
+        if part == "quarter":
+            return f"cast(quarter({d}) as string)"
+        raise ValueError(f"dateName: unsupported part {part!r}")
+    return f"date_format(cast({d} as timestamp), '{fmt}')"
+
+
+def _format_readable_size_sql(args: list[str]) -> str:
+    """formatReadableSize(bytes) — '117.74 MiB'-style rendering (CH's
+    1024-based units, two decimals)."""
+    x = f"cast({args[0]} as double)"
+    tiers = [("B", 1), ("KiB", 1024.0), ("MiB", 1024.0**2),
+             ("GiB", 1024.0**3), ("TiB", 1024.0**4)]
+    sql = f"format_string('%.2f PiB', {x} / {1024.0**5})"
+    for unit, div in reversed(tiers):
+        cond = f"abs({x}) < {div * 1024.0}"
+        sql = (
+            f"case when {cond} then format_string('%.2f {unit}', {x} / {div}) "
+            f"else {sql} end"
+        )
+    return f"({sql})"
+
+
+def _ch_transform_sql(args: list[str]) -> str:
+    """CH transform(x, from_array, to_array[, default]) — the value mapper.
+    CLASHES with Spark's 2-arg transform(array, lambda) HOF: only the 3/4
+    arg forms take this rewrite; 2-arg passes through to the Spark HOF."""
+    if len(args) == 2:
+        return f"transform({args[0]}, {args[1]})"
+    if len(args) == 3:
+        return (
+            f"coalesce(element_at(map_from_arrays({args[1]}, {args[2]}), "
+            f"{args[0]}), {args[0]})"
+        )
+    if len(args) == 4:
+        return (
+            f"coalesce(element_at(map_from_arrays({args[1]}, {args[2]}), "
+            f"{args[0]}), {args[3]})"
+        )
+    raise ValueError("transform takes 2 (Spark HOF) or 3-4 (CH mapper) args")
+
+
+def _case_with_expression_sql(args: list[str]) -> str:
+    """caseWithExpression(x, a, ra, b, rb, ..., default) -> CASE x WHEN."""
+    if len(args) < 4 or len(args) % 2 != 0:
+        raise ValueError(
+            "caseWithExpression needs (x, match, result, ..., default)"
+        )
+    x, default = args[0], args[-1]
+    whens = "".join(
+        f" when {args[i]} then {args[i + 1]}"
+        for i in range(1, len(args) - 1, 2)
+    )
+    return f"(case {x}{whens} else {default} end)"
+
+
+CH_SQL_TEMPLATES.update(
+    {
+        "age": _age_sql,
+        "datename": _datename_sql,
+        "formatreadablesize": _format_readable_size_sql,
+        "max2": "greatest({0}, {1})",
+        "min2": "least({0}, {1})",
+        "multisearchany": "exists({1}, __n -> contains({0}, __n))",
+        "multisearchanycaseinsensitive": (
+            "exists({1}, __n -> contains(lower({0}), lower(__n)))"
+        ),
+        "transform": _ch_transform_sql,
+        "casewithexpression": _case_with_expression_sql,
+        "isnan": "isnan({0})",
+        "isfinite": "(not isnan({0}) and abs({0}) <> double('infinity'))",
+        "isinfinite": "(abs({0}) = double('infinity'))",
+        "tofixedstring": "rpad({0}, {1}, char(0))",
+        # untuple(t): expand a tuple/struct into its fields (select-list
+        # position; works for column references, CH's common use)
+        "untuple": "{0}.*",
+    }
+)
+
+# topK(k)(x): CH's is an approximate space-saving sketch; this is the
+# EXACT superset — most-frequent k elements, ties by value, as an array
+# (stringify for driver hashing).  O(n·distinct) per group in HOFs over
+# the collected list: correct for the grouped-analytics shape topK serves;
+# corpus-scale frequency work uses the dedicated pipeline operators.
+CH_PARAMETRIC_TEMPLATES.update(
+    {
+        "topk": lambda p, a: (
+            f"transform(slice(array_sort(transform(array_distinct("
+            f"collect_list({a[0]})), __v -> named_struct('c', "
+            f"-size(filter(collect_list({a[0]}), __y -> __y = __v)), "
+            f"'v', __v))), 1, {p[0]}), __s -> __s.v)"
+        ),
+    }
+)

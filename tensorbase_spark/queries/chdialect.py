@@ -832,3 +832,145 @@ FROM lineitem GROUP BY l_returnflag
 QUERIES["ch_weighted_aggs"] = Query(
     ch_weighted_aggs, CH_WEIGHTED_AGGS_ORACLE, ("dialect", "agg")
 )
+
+
+def ch_bracket_arrays(spark, sf_dir):
+    """CH bracket syntax end to end (engine.py _rewrite_bracket_arrays):
+    `[...]` array literals (the spelling every CH array query uses) and
+    1-BASED `expr[i]` subscripts with negative-from-end — lowered to
+    array()/element_at, whose contract matches CH and DuckDB exactly
+    (Spark's native [] is 0-based and would be silently off by one)."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_br")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "sum(cast(['never','low','high'][if(o_totalprice > 100000, 3, 2)] = 'high' as int)) as n_high, "
+        "max([o_orderkey % 7, o_orderkey % 5, o_orderkey % 3][1]) as m7, "
+        "max([o_orderkey % 7, o_orderkey % 5, o_orderkey % 3][-1]) as m3, "
+        "sum(cast(has([1, 3], cast(o_orderkey % 5 as int)) as int)) as n_13 "
+        "from ord_br group by o_orderstatus"
+    )
+
+
+CH_BRACKET_ARRAYS_ORACLE = """
+SELECT o_orderstatus AS st,
+       CAST(sum(CASE WHEN ['never','low','high'][
+             CASE WHEN o_totalprice > 100000 THEN 3 ELSE 2 END] = 'high'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       max([o_orderkey % 7, o_orderkey % 5, o_orderkey % 3][1]) AS m7,
+       max([o_orderkey % 7, o_orderkey % 5, o_orderkey % 3][-1]) AS m3,
+       CAST(sum(CASE WHEN list_contains([1, 3], o_orderkey % 5)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_13
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def ch_everyday_funcs4(spark, sf_dir):
+    """Fourth everyday-function tier: age (complete units), dateName,
+    transform value-mapper (CH 4-arg form vs the Spark 2-arg HOF),
+    caseWithExpression, max2/min2, formatReadableSize, topK (exact
+    superset, stringified), multiSearchAny."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e4")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "max(age('day', o_orderdate, date'1998-12-31')) as age_d, "
+        "max(age('month', o_orderdate, date'1998-12-31')) as age_m, "
+        "max(dateName('month', o_orderdate)) as mname, "
+        "sum(transform(cast(o_orderkey % 3 as int), [0, 1], [10, 20], 5)) as tsum, "
+        "max(caseWithExpression(o_orderpriority, '1-URGENT', 'u', '2-HIGH', 'h', 'x')) as cw, "
+        "max(max2(o_orderkey % 10, 5)) as m2, "
+        "min(min2(o_orderkey % 10, 5)) as n2, "
+        "formatReadableSize(max(o_orderkey)) as sz, "
+        "arrayStringConcat(topK(2)(o_orderpriority), '|') as topp, "
+        "sum(cast(multiSearchAny(o_orderpriority, ['URGENT', 'HIGH']) as int)) as n_uh "
+        "from ord_e4 group by o_orderstatus"
+    )
+
+
+CH_EVERYDAY4_ORACLE = """
+WITH pr AS (
+  SELECT o_orderstatus AS st, o_orderpriority AS p, count(*) AS c
+  FROM orders GROUP BY 1, 2
+), tk AS (
+  SELECT st, string_agg(p, '|' ORDER BY c DESC, p) FILTER (rnk <= 2) AS topp
+  FROM (SELECT st, p, c,
+               row_number() OVER (PARTITION BY st ORDER BY c DESC, p) AS rnk
+        FROM pr) GROUP BY st
+)
+SELECT o.st, max(o.age_d) AS age_d, max(o.age_m) AS age_m,
+       max(o.mname) AS mname, CAST(sum(o.t) AS BIGINT) AS tsum,
+       max(o.cw) AS cw, max(o.m2) AS m2, min(o.n2) AS n2,
+       format('{:.2f} KiB', CAST(max(o.ok) AS DOUBLE) / 1024) AS sz,
+       any_value(tk.topp) AS topp,
+       CAST(sum(o.uh) AS BIGINT) AS n_uh
+FROM (
+  SELECT o_orderstatus AS st, o_orderkey AS ok,
+         datediff('day', o_orderdate, DATE '1998-12-31') AS age_d,
+         CAST(floor(12 * (1998 - year(o_orderdate))
+              + (12 - month(o_orderdate))
+              + CASE WHEN 31 >= dayofmonth(o_orderdate) THEN 0 ELSE -1 END
+              ) AS BIGINT) AS age_m,
+         monthname(o_orderdate) AS mname,
+         CASE o_orderkey % 3 WHEN 0 THEN 10 WHEN 1 THEN 20 ELSE 5 END AS t,
+         CASE o_orderpriority WHEN '1-URGENT' THEN 'u'
+              WHEN '2-HIGH' THEN 'h' ELSE 'x' END AS cw,
+         greatest(o_orderkey % 10, 5) AS m2,
+         least(o_orderkey % 10, 5) AS n2,
+         CASE WHEN o_orderpriority LIKE '%URGENT%'
+                OR o_orderpriority LIKE '%HIGH%' THEN 1 ELSE 0 END AS uh
+  FROM orders
+) o JOIN tk ON tk.st = o.st
+GROUP BY o.st
+"""
+
+
+QUERIES["ch_bracket_arrays"] = Query(
+    ch_bracket_arrays, CH_BRACKET_ARRAYS_ORACLE, ("dialect", "array")
+)
+QUERIES["ch_everyday_funcs4"] = Query(
+    ch_everyday_funcs4, CH_EVERYDAY4_ORACLE, ("dialect", "functions")
+)
+
+
+def ch_with_fill_dates(spark, sf_dir):
+    """ORDER BY d WITH FILL over a DATE axis with STEP INTERVAL — the
+    time-series densification WITH FILL exists for (engine.py
+    _run_with_fill temporal branch): explicit FROM/TO (TO exclusive, CH
+    contract), generated gap rows take type defaults, INTERPOLATE carries
+    the previous value forward."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_wfd")
+    return eng.sql(
+        "select d, n, s from (select o_orderdate as d, count(*) as n, "
+        "round(sum(o_totalprice), 2) as s from ord_wfd "
+        "where o_orderdate >= date'1995-03-01' and o_orderdate < date'1995-03-10' "
+        "group by o_orderdate) "
+        "order by d with fill from date'1995-03-01' to date'1995-03-15' "
+        "step interval 1 day interpolate (s)"
+    )
+
+
+CH_WITH_FILL_DATES_ORACLE = """
+WITH agg AS (
+  SELECT o_orderdate AS d, CAST(count(*) AS BIGINT) AS n,
+         round(sum(o_totalprice), 2) AS s
+  FROM orders
+  WHERE o_orderdate >= DATE '1995-03-01' AND o_orderdate < DATE '1995-03-10'
+  GROUP BY o_orderdate
+), axis AS (
+  SELECT CAST(unnest(generate_series(DATE '1995-03-01', DATE '1995-03-14',
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+), united AS (
+  SELECT coalesce(axis.d, agg.d) AS d, coalesce(agg.n, 0) AS n, agg.s AS s0
+  FROM axis FULL OUTER JOIN agg ON axis.d = agg.d
+)
+SELECT d, n,
+       coalesce(s0, lag(s0 IGNORE NULLS) OVER (ORDER BY d), 0.0) AS s
+FROM united ORDER BY d
+"""
+
+
+QUERIES["ch_with_fill_dates"] = Query(
+    ch_with_fill_dates, CH_WITH_FILL_DATES_ORACLE, ("dialect", "clause")
+)

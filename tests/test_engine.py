@@ -2063,6 +2063,71 @@ def test_move_partition_unpartitioned_target_rejected(engine):
     engine.sql("drop table mp_flat")
 
 
+def test_with_fill_date_axis(engine, spark):
+    """WITH FILL over a DATE column with STEP INTERVAL n unit: auto and
+    explicit bounds (TO exclusive), INTERPOLATE carry-forward, off-step
+    original rows kept."""
+    spark.createDataFrame(
+        [("2024-01-01", 5.0), ("2024-01-04", 7.0)], "ds string, v double"
+    ).selectExpr("cast(ds as date) as d", "v").createOrReplaceTempView("wfd_t")
+    base = "select d, sum(v) as v from wfd_t group by d order by d with fill"
+    auto = [(str(r.d), r.v) for r in engine.sql(
+        f"{base} step interval 1 day").collect()]
+    assert auto == [("2024-01-01", 5.0), ("2024-01-02", 0.0),
+                    ("2024-01-03", 0.0), ("2024-01-04", 7.0)]
+    expl = [(str(r.d), r.v) for r in engine.sql(
+        f"{base} from date'2023-12-30' to date'2024-01-06' "
+        "step interval 2 day").collect()]
+    # 2024-01-06 excluded (TO exclusive); the off-step 01-04 row survives
+    assert expl == [("2023-12-30", 0.0), ("2024-01-01", 5.0),
+                    ("2024-01-03", 0.0), ("2024-01-04", 7.0),
+                    ("2024-01-05", 0.0)]
+    interp = [(str(r.d), r.v) for r in engine.sql(
+        f"{base} step interval 1 day interpolate (v)").collect()]
+    assert interp == [("2024-01-01", 5.0), ("2024-01-02", 5.0),
+                      ("2024-01-03", 5.0), ("2024-01-04", 7.0)]
+
+
+def test_bracket_array_rewrite_unit():
+    """[...] literals -> array(); expr[i] subscripts -> element_at (CH and
+    DuckDB are 1-based with negative-from-end; Spark's native [] is 0-based
+    and would be silently off by one)."""
+    from tensorbase_spark.engine import _rewrite_bracket_arrays as R
+
+    assert R("select [1,2,3] as a") == "select array(1,2,3) as a"
+    assert R("select arr[2] from t") == "select element_at(arr, 2) from t"
+    assert (
+        R("select [10,20][1] as e")
+        == "select element_at(array(10,20), 1) as e"
+    )
+    assert (
+        R("select a[1][2] from t")
+        == "select element_at(element_at(a, 1), 2) from t"
+    )
+    assert (
+        R("select f(x)[1], t.arr[i+1], m['k'] from t")
+        == "select element_at(f(x), 1), element_at(t.arr, i+1), "
+           "element_at(m, 'k') from t"
+    )
+    assert (
+        R("select case when x in (1) then [1] else [2] end")
+        == "select case when x in (1) then array(1) else array(2) end"
+    )
+    assert R("select [[1],[2,3]] as n") == (
+        "select array(array(1),array(2,3)) as n"
+    )
+
+
+def test_bracket_arrays_and_subscripts(engine, spark):
+    """Bracket syntax through the engine: literals, 1-based subscripts,
+    negative-from-end, map subscripts."""
+    rows = engine.sql(
+        "select [10,20,30][2] as a, [10,20,30][-1] as b, "
+        "map('k', 7)['k'] as c, has(['x','y'], 'y') as d"
+    ).collect()[0]
+    assert tuple(rows) == (20, 30, 7, True)
+
+
 def test_plain_view_lifecycle(engine):
     """CREATE [OR REPLACE] VIEW / IF NOT EXISTS / DROP VIEW with a
     dialect-translated body (engine.py _create_view)."""
