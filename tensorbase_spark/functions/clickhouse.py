@@ -1273,3 +1273,69 @@ CH_PARAMETRIC_TEMPLATES.update(
         ),
     }
 )
+
+
+def _round_bankers_sql(args: list[str]) -> str:
+    """roundBankers(x[, n]) -> Spark bround (half-to-even; Spark's round
+    is half-up, so plain round would be wrong on exact .5 ties)."""
+    return (
+        f"bround({args[0]})" if len(args) == 1
+        else f"bround({args[0]}, {args[1]})"
+    )
+
+
+def _to_interval_sql(unit: str):
+    """toIntervalYear/Month/Week/Day/Hour/Minute/Second(n) — interval
+    constructors usable in date arithmetic; Spark's make_interval."""
+    pos = {"year": 0, "month": 1, "week": 2, "day": 3,
+           "hour": 4, "minute": 5, "second": 6}[unit]
+
+    def tmpl(args: list[str]) -> str:
+        parts = ["0"] * 7
+        parts[pos] = f"({args[0]})"
+        return f"make_interval({', '.join(parts)})"
+
+    return tmpl
+
+
+CH_SQL_TEMPLATES.update(
+    {
+        # camelCase alias of the standard date_trunc (same arg order)
+        "datetrunc": "date_trunc({0}, {1})",
+        # toTime: keep the time-of-day, pin the date to 1970-01-02 (CH)
+        "totime": (
+            "cast(concat('1970-01-02 ', date_format({0}, 'HH:mm:ss')) "
+            "as timestamp)"
+        ),
+        "tokens": r"filter(split({0}, '\\s+'), __t -> __t <> '')",
+        # character n-grams of a string (CH ngrams(s, n))
+        "ngrams": (
+            "transform(sequence(1, greatest(length({0}) - ({1}) + 1, 0)), "
+            "__i -> substring({0}, __i, {1}))"
+        ),
+        "roundbankers": _round_bankers_sql,
+        "tointervalyear": _to_interval_sql("year"),
+        "tointervalmonth": _to_interval_sql("month"),
+        "tointervalweek": _to_interval_sql("week"),
+        "tointervalday": _to_interval_sql("day"),
+        "tointervalhour": _to_interval_sql("hour"),
+        "tointervalminute": _to_interval_sql("minute"),
+        "tointervalsecond": _to_interval_sql("second"),
+        # visitParam* — CH's fast-JSON accessors; same contract as
+        # JSONExtract* here (get_json_object path lookup)
+        "visitparamextractstring": "get_json_object({0}, concat('$.', {1}))",
+        "visitparamextractraw": "get_json_object({0}, concat('$.', {1}))",
+        "visitparamextractint": (
+            "cast(get_json_object({0}, concat('$.', {1})) as bigint)"
+        ),
+        "visitparamextractfloat": (
+            "cast(get_json_object({0}, concat('$.', {1})) as double)"
+        ),
+        "visitparamextractbool": (
+            "(get_json_object({0}, concat('$.', {1})) = 'true')"
+        ),
+        "visitparamhas": (
+            "(get_json_object({0}, concat('$.', {1})) is not null)"
+        ),
+    }
+)

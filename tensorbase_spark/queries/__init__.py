@@ -146,6 +146,7 @@ PRIORITY_HEAD = [
     "dedup_keep_best", "dedup_edit_distance", "text_zipf_slope",
     "ch_weighted_aggs", "engine_aggregating_mv", "engine_collapsing_cdc",
     "ch_bracket_arrays", "ch_everyday_funcs4", "ch_with_fill_dates",
+    "ch_everyday_funcs5",
 ]
 
 

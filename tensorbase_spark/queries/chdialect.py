@@ -974,3 +974,52 @@ FROM united ORDER BY d
 QUERIES["ch_with_fill_dates"] = Query(
     ch_with_fill_dates, CH_WITH_FILL_DATES_ORACLE, ("dialect", "clause")
 )
+
+
+def ch_everyday_funcs5(spark, sf_dir):
+    """Fifth everyday tier: dateTrunc camelCase, toTime, tokens, character
+    ngrams, roundBankers (half-to-even — plain round would be wrong on .5
+    ties), toIntervalDay arithmetic, visitParam JSON accessors."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e5")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "toDate(max(dateTrunc('month', o_orderdate))) as mtrunc, "
+        "max(toDate(o_orderdate + toIntervalDay(30))) as d30, "
+        "max(toDate(o_orderdate + toIntervalMonth(2))) as m2, "
+        "sum(roundBankers(o_orderkey % 10 + 0.5)) as rb, "
+        "max(size(tokens(o_orderpriority))) as ntok, "
+        "arrayStringConcat(ngrams(max(o_orderpriority), 3), '|') as grams, "
+        "max(visitParamExtractInt(concat('{\"k\":', o_orderkey, '}'), 'k')) as jk "
+        "from ord_e5 group by o_orderstatus"
+    )
+
+
+CH_EVERYDAY5_ORACLE = """
+WITH mx AS (
+  SELECT o_orderstatus AS st, max(o_orderpriority) AS mp
+  FROM orders GROUP BY 1
+), grams AS (
+  SELECT st, string_agg(substr(mp, i, 3), '|' ORDER BY i) AS grams
+  FROM mx, UNNEST(range(1, len(mp) - 1)) AS u(i)
+  GROUP BY st
+)
+SELECT o.o_orderstatus AS st,
+       CAST(date_trunc('month', max(o.o_orderdate)) AS DATE) AS mtrunc,
+       CAST(max(o.o_orderdate) + INTERVAL 30 DAY AS DATE) AS d30,
+       CAST(max(o.o_orderdate) + INTERVAL 2 MONTH AS DATE) AS m2,
+       sum(CASE WHEN (o.o_orderkey % 10) % 2 = 0
+                THEN o.o_orderkey % 10
+                ELSE o.o_orderkey % 10 + 1 END + 0.0) AS rb,
+       CAST(max(len(string_split_regex(o.o_orderpriority, '\\s+'))) AS INT)
+         AS ntok,
+       any_value(g.grams) AS grams,
+       max(o.o_orderkey) AS jk
+FROM orders o JOIN grams g ON g.st = o.o_orderstatus
+GROUP BY o.o_orderstatus
+"""
+
+
+QUERIES["ch_everyday_funcs5"] = Query(
+    ch_everyday_funcs5, CH_EVERYDAY5_ORACLE, ("dialect", "functions")
+)
