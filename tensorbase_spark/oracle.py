@@ -83,6 +83,19 @@ def assert_driver_hashable(schema, name: str) -> None:
         for f in schema.fields
         if isinstance(f.dataType, (T.ArrayType, T.MapType))
     ]
+    dec = [
+        f.name for f in schema.fields if isinstance(f.dataType, T.DecimalType)
+    ]
+    if dec:
+        # the driver canonicalizer str()s Decimal cells, and cross-engine
+        # scale renderings differ (Spark Decimal('24900') vs DuckDB
+        # Decimal('24900.0') — found pre-ship on ch_everyday_funcs5 r6):
+        # cast the output to DOUBLE (+ round) or BIGINT in BOTH forms
+        raise TypeError(
+            f"{name}: columns {dec} are DecimalType — the driver str()s "
+            "Decimals and engines render scales differently; cast to "
+            "DOUBLE (+round) or BIGINT in both the Spark query and oracle"
+        )
     if bad:
         raise TypeError(
             f"{name}: columns {bad} are ArrayType/MapType — the driver's "

@@ -987,7 +987,7 @@ def ch_everyday_funcs5(spark, sf_dir):
         "toDate(max(dateTrunc('month', o_orderdate))) as mtrunc, "
         "max(toDate(o_orderdate + toIntervalDay(30))) as d30, "
         "max(toDate(o_orderdate + toIntervalMonth(2))) as m2, "
-        "sum(roundBankers(o_orderkey % 10 + 0.5)) as rb, "
+        "round(sum(roundBankers(cast(o_orderkey % 10 + 0.5 as double))), 1) as rb, "
         "max(size(tokens(o_orderpriority))) as ntok, "
         "arrayStringConcat(ngrams(max(o_orderpriority), 3), '|') as grams, "
         "max(visitParamExtractInt(concat('{\"k\":', o_orderkey, '}'), 'k')) as jk "
@@ -1008,9 +1008,9 @@ SELECT o.o_orderstatus AS st,
        CAST(date_trunc('month', max(o.o_orderdate)) AS DATE) AS mtrunc,
        CAST(max(o.o_orderdate) + INTERVAL 30 DAY AS DATE) AS d30,
        CAST(max(o.o_orderdate) + INTERVAL 2 MONTH AS DATE) AS m2,
-       sum(CASE WHEN (o.o_orderkey % 10) % 2 = 0
+       round(CAST(sum(CASE WHEN (o.o_orderkey % 10) % 2 = 0
                 THEN o.o_orderkey % 10
-                ELSE o.o_orderkey % 10 + 1 END + 0.0) AS rb,
+                ELSE o.o_orderkey % 10 + 1 END) AS DOUBLE), 1) AS rb,
        CAST(max(len(string_split_regex(o.o_orderpriority, '\\s+'))) AS INT)
          AS ntok,
        any_value(g.grams) AS grams,

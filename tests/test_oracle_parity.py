@@ -49,6 +49,19 @@ def test_oracle_gate_rejects_array_outputs(spark, duck):
         compare_query(spark, duck, "badmap", bad_map, "SELECT 1 AS m", SF0001)
 
 
+def test_oracle_gate_rejects_decimal_outputs(spark, duck):
+    """The driver str()s Decimal cells and engines render scales
+    differently (Spark Decimal('24900') vs DuckDB Decimal('24900.0') —
+    caught pre-ship on ch_everyday_funcs5): DecimalType output columns are
+    rejected before collecting, like containers."""
+
+    def f(s, _sf):
+        return s.sql("select cast(1.5 as decimal(10, 2)) as d")
+
+    with pytest.raises(TypeError, match="DecimalType"):
+        compare_query(spark, duck, "dec", f, "SELECT 1.5 AS d", SF0001)
+
+
 def test_oracle_gate_rejects_dtype_skew(spark, duck):
     """DuckDB's integer sum returns HUGEINT, which pandas (the driver's
     canonicalization path) materializes as float64 — against Spark's int64
