@@ -3581,21 +3581,38 @@ class TensorBaseEngine:
         out = renamed.select(*sel)
         if spec is not None:
             out = out.withColumn(PTK_COL, spec.ptk_column())
-            nparts = out.select(PTK_COL).distinct().limit(MAX_PARTS_PER_INSERT + 1).count()
-            if nparts >= MAX_PARTS_PER_INSERT:
-                raise ValueError(
-                    f"insert spans {nparts} partitions >= {MAX_PARTS_PER_INSERT} "
-                    "(reference guard, crates/runtime/src/write.rs:52-56)"
+            if spec.fn == "rem" and spec.rem_n < MAX_PARTS_PER_INSERT:
+                # rem(col, n) bounds the partition count STATICALLY at n —
+                # the guard needs no job at all (measured: the distinct
+                # count was 19 s of a 90 s bulk ingest on the reference's
+                # own bench_ingestion.rs shape, rem(a,100) at 134M rows)
+                nparts = spec.rem_n
+            else:
+                nparts = (
+                    out.select(PTK_COL)
+                    .distinct()
+                    .limit(MAX_PARTS_PER_INSERT + 1)
+                    .count()
                 )
+                if nparts >= MAX_PARTS_PER_INSERT:
+                    raise ValueError(
+                        f"insert spans {nparts} partitions >= {MAX_PARTS_PER_INSERT} "
+                        "(reference guard, crates/runtime/src/write.rs:52-56)"
+                    )
             # partition-aligned write: without this every task writes one
             # file per ptk value it happens to see (tasks x partitions small
             # files — the classic Hive-partitioned-append failure at scale);
-            # hash-clustering on __ptk bounds it at ~one file per partition.
-            # The guard job above already paid for knowing nparts, so the
-            # shuffle width is sized to it.  The reference gets this for
-            # free from its per-(part, column) append files (write.rs:69-136).
+            # hash-clustering on __ptk bounds it at ~one file per partition
+            # at ANY shuffle width (each ptk hashes to exactly one task), so
+            # width is sized to the cluster (defaultParallelism), not to
+            # nparts — 100 writer tasks for a 256Ki-row block is pure task
+            # overhead (measured: width=100 cost ~1.17 s/block on the
+            # reference's bench_ingestion.rs shape vs ~0.9 s at core count).
+            # The reference gets the file bound for free from its per-(part,
+            # column) append files (write.rs:69-136).
             if nparts > 1:
-                out = out.repartition(min(nparts, 200), F.col(PTK_COL))
+                width = min(nparts, max(self.spark.sparkContext.defaultParallelism, 8))
+                out = out.repartition(width, F.col(PTK_COL))
         bloom = [
             c.strip()
             for c in self._table_props(name).get("tb.bloom_cols", "").split(",")
