@@ -1353,6 +1353,9 @@ class TensorBaseEngine:
         self._result_cache: dict[str, tuple] = {}
         self._query_cache_max_rows: int = 100_000
         self._query_cache_max_entries: int = 64
+        # SYSTEM STOP MERGES state: qualified table names, or "*" for all
+        self._merges_stopped: set[str] = set()
+        self._merge_tf_n: int = 0
 
     def bootstrap_system(self) -> None:
         """Create the ``system`` database + empty ``system.numbers (number
@@ -1736,6 +1739,23 @@ class TensorBaseEngine:
             return self._optimize(c)
         if low.startswith("alter table"):
             return self._alter(c)
+        if low.startswith("delete from"):
+            # upstream-CH lightweight DELETE: same visible result as the
+            # ALTER mutation (rows gone on the next read), executed through
+            # the identical partition-selective rewrite path.  CH's
+            # lightweight form differs only in WHEN the rewrite happens
+            # (mask now, merge later) — a storage detail with no Spark
+            # analogue worth emulating.
+            dm = re.match(r"(?is)^delete\s+from\s+([\w.]+)\s+where\s+(.+)$", c)
+            if not dm:
+                raise ValueError(
+                    "DELETE FROM requires WHERE (CH lightweight-delete contract)"
+                )
+            return self._alter(
+                f"alter table {dm.group(1)} delete where {dm.group(2)}"
+            )
+        if low.startswith("system "):
+            return self._system(c)
         if low.startswith(("rename table", "exchange tables")):
             return self._rename_tables(c)
         if low.startswith("use "):
@@ -2290,6 +2310,12 @@ class TensorBaseEngine:
         if not m:
             raise ValueError(f"cannot parse: {c}")
         name = self._qualify(m.group("name"))
+        if "*" in self._merges_stopped or name in self._merges_stopped:
+            # CH: OPTIMIZE cannot proceed while merges are stopped for the
+            # table (SYSTEM STOP MERGES); fail loudly rather than queue
+            raise ValueError(
+                f"merges are stopped for {name} (SYSTEM START MERGES to resume)"
+            )
         df = self.spark.table(name)
         props0 = self._table_props(name)
         eng0 = (props0.get("tb.engine") or "").lower()
@@ -2999,6 +3025,47 @@ class TensorBaseEngine:
         self.spark.createDataFrame(
             self._query_log, self._QUERY_LOG_SCHEMA
         ).createOrReplaceGlobalTempView("tb_system_query_log")
+
+    def _system(self, c: str) -> DataFrame:
+        """Upstream-CH ``SYSTEM`` maintenance verbs (the reference has no
+        SYSTEM surface; its mgmt.rs commands stop at DDL).  Only verbs with
+        a real engine-side effect do work; the rest are accepted no-ops with
+        the reason documented, mirroring how CH scripts treat them as
+        fire-and-forget:
+
+        - ``SYSTEM DROP QUERY CACHE`` — clears the result cache (real).
+        - ``SYSTEM STOP/START MERGES [t]`` — gates OPTIMIZE (the engine's
+          only merge analogue); CH likewise makes OPTIMIZE wait/fail while
+          merges are stopped.
+        - ``SYSTEM FLUSH LOGS`` — no-op: system.query_log here is
+          synchronous (appended at call time), there is no buffer to flush.
+        - ``SYSTEM RELOAD DICTIONARY name | DICTIONARIES`` — validation-only:
+          dictGet rewrites to a scalar subquery over the CURRENT source rows
+          at each query, so every lookup is already a fresh read; CH needs
+          the reload because it snapshots sources into RAM.
+        """
+        m = re.match(
+            r"(?is)^system\s+(?P<verb>drop\s+query\s+cache|flush\s+logs"
+            r"|reload\s+dictionaries|reload\s+dictionary|stop\s+merges"
+            r"|start\s+merges)(?:\s+(?P<arg>[\w.]+))?\s*$",
+            c,
+        )
+        if not m:
+            raise ValueError(f"cannot parse SYSTEM command: {c}")
+        verb = re.sub(r"\s+", " ", m.group("verb").lower())
+        arg = m.group("arg")
+        if verb == "drop query cache":
+            self._result_cache.clear()
+            self._cache_version += 1
+        elif verb == "stop merges":
+            self._merges_stopped.add(self._qualify(arg) if arg else "*")
+        elif verb == "start merges":
+            self._merges_stopped.discard(self._qualify(arg) if arg else "*")
+        elif verb == "reload dictionary":
+            if not arg or arg not in self._dicts:
+                raise ValueError(f"unknown dictionary: {arg}")
+        # flush logs / reload dictionaries: accepted no-ops (see docstring)
+        return self.spark.sql("SELECT 1 AS ok")
 
     def _alter(self, c: str) -> DataFrame:
         """ClickHouse mutations + light schema evolution (upstream-CH
@@ -4100,12 +4167,94 @@ class TensorBaseEngine:
 
         return self._FINAL_REF_RE.sub(_sub, q)
 
+    def _rewrite_table_tf(self, q: str) -> str:
+        """Upstream-CH table functions in FROM/JOIN position beyond
+        numbers()/remote() (the reference's grammar stops at those,
+        bql.pest:133-139,349-353):
+
+        - ``view(subquery)`` -> an inline derived table (CH evaluates the
+          stored text as a subquery; so does this — pure textual unwrap,
+          the inner SELECT then flows through the same translation).
+        - ``merge(['db',] 'tables_regexp')`` -> unionByName over the
+          catalog tables whose name matches (re.search, like CH's
+          unanchored re2), each side column-pruned by Catalyst
+          independently — the scan unions AFTER pushdown, so a filtered
+          read over merge() still prunes files per member table.  The
+          virtual ``_table`` column is attached only when the query text
+          references it (CH's SELECT * likewise omits it); ``__ptk`` is
+          dropped per member (partition exprs may differ across members).
+        """
+        pat = re.compile(r"(?is)\b(from|join)\s+(merge|view)\s*\(")
+        while True:
+            m = pat.search(q)
+            if not m:
+                return q
+            # paren-match from the opening '(' (last char of the match)
+            depth, j, n = 1, m.end(), len(q)
+            while j < n and depth:
+                if q[j] in "'\"":
+                    quote = q[j]
+                    j += 1
+                    while j < n and q[j] != quote:
+                        j += 1
+                elif q[j] == "(":
+                    depth += 1
+                elif q[j] == ")":
+                    depth -= 1
+                j += 1
+            inner = q[m.end() : j - 1]
+            if m.group(2).lower() == "view":
+                q = f"{q[: m.start()]}{m.group(1)} ({inner}){q[j:]}"
+                continue
+            args = [a.strip() for a in _split_depth0(inner)]
+            if len(args) == 1:
+                db, rex_txt = self.spark.catalog.currentDatabase(), args[0]
+            elif len(args) == 2:
+                db_arg = args[0].strip()
+                if re.fullmatch(r"(?is)currentdatabase\s*\(\s*\)", db_arg):
+                    db = self.spark.catalog.currentDatabase()
+                else:
+                    db = db_arg.strip("'\"")
+                rex_txt = args[1]
+            else:
+                raise ValueError(f"merge() takes 1-2 arguments, got {len(args)}")
+            rex = re.compile(rex_txt.strip("'\""))
+            names = sorted(
+                t.name
+                for t in self.spark.catalog.listTables(db)
+                if (t.tableType or "").upper() in ("MANAGED", "EXTERNAL")
+                and rex.search(t.name)
+            )
+            if not names:
+                raise ValueError(
+                    f"merge({db!r}, {rex_txt}): no tables match"
+                )
+            want_table = re.search(r"\b_table\b", q) is not None
+            merged = None
+            for t in names:
+                df = self.spark.table(f"{db}.{t}")
+                if PTK_COL in df.columns:
+                    df = df.drop(PTK_COL)
+                if want_table:
+                    df = df.withColumn("_table", F.lit(t))
+                merged = (
+                    df
+                    if merged is None
+                    else merged.unionByName(df, allowMissingColumns=True)
+                )
+            self._merge_tf_n += 1
+            vname = f"tb_merge_tf_{self._merge_tf_n}"
+            merged.createOrReplaceTempView(vname)
+            q = f"{q[: m.start()]}{m.group(1)} {vname}{q[j:]}"
+
     def _translate_query(self, q: str) -> str:
         # clause rewrites apply on every query path (plain SELECT, EXPLAIN,
         # INSERT ... SELECT, remote push): idempotent on already-clean text
         if re.search(r"(?is)\bfinal\b", q):
             q = self._rewrite_final(q)
         q = _rewrite_array_join(_preprocess_ch_clauses(q.strip()))
+        if re.search(r"(?is)\b(?:from|join)\s+(?:merge|view)\s*\(", q):
+            q = self._rewrite_table_tf(q)
         if "{" in q:
             q = self._bind_query_params(q)
         if re.match(r"(?is)^\s*with\b", q):

@@ -147,6 +147,7 @@ PRIORITY_HEAD = [
     "ch_weighted_aggs", "engine_aggregating_mv", "engine_collapsing_cdc",
     "ch_bracket_arrays", "ch_everyday_funcs4", "ch_with_fill_dates",
     "ch_everyday_funcs5",
+    "engine_lightweight_delete", "ch_merge_table_function",
 ]
 
 

@@ -2079,3 +2079,91 @@ QUERIES["engine_collapsing_cdc"] = Query(
     engine_collapsing_cdc, ENGINE_COLLAPSING_CDC_ORACLE,
     ("engine", "ddl", "merge-tree", "cdc"),
 )
+
+
+def engine_lightweight_delete(spark, sf_dir):
+    """Upstream-CH lightweight ``DELETE FROM t WHERE cond`` (engine.py
+    _dispatch delete-from branch; the reference's storage is append-only —
+    beyond-reference surface).  Routed through the same partition-selective
+    mutation rewrite as ALTER DELETE, so only partitions the predicate can
+    touch are rewritten.  Two deletes compose: a status sweep, then a
+    keyed residue delete; the read-back aggregates what survives."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "ldel")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ldel_src")
+    eng.sql(
+        "create table ord_ld(ok Int64, st String, total Float64) "
+        "partition by rem(ok, 8)"
+    )
+    eng.sql(
+        "insert into ord_ld select o_orderkey, o_orderstatus, o_totalprice "
+        "from ldel_src"
+    )
+    eng.sql("delete from ord_ld where st = 'F'")
+    eng.sql("delete from ord_ld where ok % 8 = 3 and total < 100000")
+    return eng.sql(
+        "select st, count(*) as n, round(sum(total), 2) as s "
+        "from ord_ld group by st"
+    )
+
+
+ENGINE_LIGHTWEIGHT_DELETE_ORACLE = """
+SELECT o_orderstatus AS st, count(*) AS n, round(sum(o_totalprice), 2) AS s
+FROM orders
+WHERE NOT (o_orderstatus = 'F')
+  AND NOT (o_orderkey % 8 = 3 AND o_totalprice < 100000)
+GROUP BY o_orderstatus
+"""
+
+
+QUERIES["engine_lightweight_delete"] = Query(
+    engine_lightweight_delete, ENGINE_LIGHTWEIGHT_DELETE_ORACLE,
+    ("engine", "mutation", "delete"),
+)
+
+
+def ch_merge_table_function(spark, sf_dir):
+    """Upstream-CH ``merge(['db',] 'regexp')`` + ``view(subquery)`` table
+    functions (engine.py _rewrite_table_tf; the reference's grammar stops
+    at numbers()/remote(), bql.pest:133-139,349-353).  Orders split into
+    per-year tables; merge('^ord_y') reads them as one with the ``_table``
+    virtual column, and the same total is recomputed through view() as a
+    derived table — both paths must agree."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "mrgtf")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("mrg_src")
+    for y in (1996, 1997):
+        eng.sql(f"create table ord_y{y}(ok Int64, total Float64)")
+        eng.sql(
+            f"insert into ord_y{y} select o_orderkey, o_totalprice "
+            f"from mrg_src where toYear(o_orderdate) = {y}"
+        )
+    return eng.sql(
+        "select m._table as tbl, count(*) as n, round(sum(m.total), 2) as s, "
+        "max(v.grand_n) as grand_n "
+        "from merge('^ord_y') as m "
+        "cross join view(select count(*) as grand_n from merge('^ord_y')) as v "
+        "group by m._table"
+    )
+
+
+CH_MERGE_TF_ORACLE = """
+WITH u AS (
+  SELECT 'ord_y1996' AS tbl, o_orderkey, o_totalprice FROM orders
+  WHERE year(o_orderdate) = 1996
+  UNION ALL
+  SELECT 'ord_y1997' AS tbl, o_orderkey, o_totalprice FROM orders
+  WHERE year(o_orderdate) = 1997
+)
+SELECT tbl, count(*) AS n, round(sum(o_totalprice), 2) AS s,
+       (SELECT CAST(count(*) AS BIGINT) FROM u) AS grand_n
+FROM u GROUP BY tbl
+"""
+
+
+QUERIES["ch_merge_table_function"] = Query(
+    ch_merge_table_function, CH_MERGE_TF_ORACLE,
+    ("engine", "table-function", "merge", "view"),
+)

@@ -2057,7 +2057,7 @@ def test_move_partition_unpartitioned_target_rejected(engine):
     engine.sql("create table mp_src (d Date, x Int64) partition by toYYYYMM(d)")
     engine.sql("insert into mp_src values (date'2022-03-05', 1)")
     engine.sql("create table mp_flat (d Date, x Int64)")
-    with _pytest.raises(ValueError, match="different partition expressions"):
+    with pytest.raises(ValueError, match="different partition expressions"):
         engine.sql("alter table mp_src move partition '202203' to table mp_flat")
     engine.sql("drop table mp_src")
     engine.sql("drop table mp_flat")
@@ -2169,7 +2169,7 @@ def test_paste_join_positional(engine, spark):
         ).collect()
     )
     assert rows == [("a", 3), ("b", 2), ("c", 1)]  # reversed zips ascending
-    with _pytest.raises(ValueError, match="ORDER BY"):
+    with pytest.raises(ValueError, match="ORDER BY"):
         engine.sql(
             "select * from (select k from pjt) paste join "
             "(select k as rk from pjt order by rk)"
@@ -2322,7 +2322,7 @@ def test_versioned_collapsing_merge_tree(engine):
     ] == [(1,)]
     engine.sql("optimize table vct final")
     assert engine.sql("select count(*) as n from vct").collect()[0][0] == 1
-    with _pytest.raises(ValueError, match="VersionedCollapsingMergeTree"):
+    with pytest.raises(ValueError, match="VersionedCollapsingMergeTree"):
         engine.sql(
             "create table clt (k Int64, sign Int8) "
             "ENGINE = CollapsingMergeTree(sign) ORDER BY k"
@@ -2409,7 +2409,7 @@ def test_query_parameters(engine, spark):
     assert [tuple(r) for r in rows] == [(7, "b")]
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="param_missing"):
+    with pytest.raises(Exception, match="param_missing"):
         engine.sql("select {missing:Int64} as x")
     assert engine.sql("select '{lo:Int64}' as lit").collect()[0][0] == "{lo:Int64}"
 
@@ -2446,7 +2446,99 @@ def test_move_partition_rejects_mismatched_layout(engine):
     engine.sql("insert into mp_a values (date'2020-01-05', 1)")
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="different partition"):
+    with pytest.raises(Exception, match="different partition"):
         engine.sql("alter table mp_a move partition '202001' to table mp_b")
     engine.sql("drop table mp_a")
     engine.sql("drop table mp_b")
+
+
+def test_lightweight_delete(engine):
+    """DELETE FROM t WHERE cond (upstream-CH lightweight delete) routes
+    through the ALTER DELETE mutation path — rows gone on next read."""
+    engine.sql("create table ld_t (k Int64, v String) partition by rem(k, 4)")
+    engine.sql("insert into ld_t values (1,'a'),(2,'b'),(3,'c'),(4,'d')")
+    engine.sql("delete from ld_t where k % 2 = 0")
+    assert sorted(r.k for r in engine.sql("select k from ld_t").collect()) == [1, 3]
+    with pytest.raises(Exception, match="WHERE"):
+        engine.sql("delete from ld_t")
+
+
+def test_system_stop_start_merges(engine):
+    """SYSTEM STOP MERGES gates OPTIMIZE (CH: OPTIMIZE cannot proceed while
+    merges are stopped); START MERGES re-enables; global '*' form too."""
+    engine.sql("create table sm_t (k Int64)")
+    engine.sql("insert into sm_t values (1),(2)")
+    engine.sql("system stop merges sm_t")
+    with pytest.raises(Exception, match="merges are stopped"):
+        engine.sql("optimize table sm_t")
+    engine.sql("system start merges sm_t")
+    engine.sql("optimize table sm_t")  # no raise
+    engine.sql("system stop merges")
+    with pytest.raises(Exception, match="merges are stopped"):
+        engine.sql("optimize table sm_t")
+    engine.sql("system start merges")
+    engine.sql("optimize table sm_t")
+
+
+def test_system_drop_query_cache(engine):
+    """SYSTEM DROP QUERY CACHE empties the result cache: the next identical
+    SELECT re-executes (no QueryCacheHit row for it)."""
+    engine.sql("create table sdc_t (k Int64)")
+    engine.sql("insert into sdc_t values (1),(2)")
+    engine.sql("set use_query_cache = 1")
+    engine.sql("select sum(k) as s from sdc_t")
+    engine.sql("select sum(k) as s from sdc_t")  # hit
+    engine.sql("system drop query cache")
+    engine.sql("select sum(k) as s from sdc_t")  # miss again
+    log = engine.sql(
+        "select count(*) as n from system.query_log where type = 'QueryCacheHit'"
+    ).collect()[0][0]
+    assert log == 1
+    engine.sql("set use_query_cache = 0")
+
+
+def test_system_reload_and_flush(engine):
+    """FLUSH LOGS and RELOAD DICTIONARIES are accepted no-ops (query_log is
+    synchronous; dictGet re-reads its source each query); RELOAD DICTIONARY
+    of an unknown name fails loudly."""
+    engine.sql("system flush logs")
+    engine.sql("system reload dictionaries")
+    with pytest.raises(Exception, match="unknown dictionary"):
+        engine.sql("system reload dictionary no_such_dict")
+
+
+def test_merge_table_function(engine):
+    """merge(['db',] 'regexp') unions matching tables; _table is attached
+    only when referenced; schema widens by name (missing cols -> NULL)."""
+    engine.sql("create table m_log_a (k Int64, v String)")
+    engine.sql("create table m_log_b (k Int64, v String, extra Int64)")
+    engine.sql("create table m_other (k Int64)")
+    engine.sql("insert into m_log_a values (1,'a'),(2,'b')")
+    engine.sql("insert into m_log_b values (3,'c',9)")
+    engine.sql("insert into m_other values (99)")
+    rows = engine.sql(
+        "select k, v from merge('^m_log_') order by k"
+    ).collect()
+    assert [r.k for r in rows] == [1, 2, 3]
+    per = engine.sql(
+        "select _table, count(*) as n from merge('^m_log_') "
+        "group by _table order by _table"
+    ).collect()
+    assert [(r._table, r.n) for r in per] == [("m_log_a", 2), ("m_log_b", 1)]
+    # missing column on one side -> NULL, not error
+    ex = engine.sql(
+        "select sum(coalesce(extra, 0)) as s from merge('^m_log_')"
+    ).collect()[0].s
+    assert ex == 9
+    with pytest.raises(Exception, match="no tables match"):
+        engine.sql("select * from merge('^zzz_nope')")
+
+
+def test_view_table_function(engine):
+    """view(subquery) is an inline derived table."""
+    engine.sql("create table vtf_t (k Int64)")
+    engine.sql("insert into vtf_t values (1),(2),(3)")
+    rows = engine.sql(
+        "select s.k from view(select k from vtf_t where k > 1) as s order by s.k"
+    ).collect()
+    assert [r.k for r in rows] == [2, 3]
