@@ -660,3 +660,148 @@ def zipf_stats(
         "n_ranked",
     )
     return reg.crossJoin(F.broadcast(totals))
+
+
+def gopher_quality_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wl: float = 3.0,
+    max_mean_wl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality-filter rule set (Rae et al. 2021, table A1 — public;
+    also the FineWeb/Dolma default gate): per-document boolean verdicts for
+    each rule plus the conjunction ``keep``.
+
+    Rules: word count in [min,max]; mean word length in [3,10]; symbol
+    ('#'/'...') to word ratio <= 0.1; <= 90% of lines bullet-led; <= 30%
+    of lines ellipsis-terminated; >= 80% of words contain an alphabetic
+    character; >= 2 distinct English stopwords present.
+
+    Every rule is a codegen'd expression over split/regexp counts — the
+    whole operator is ONE map-only projection, zero shuffles, the cheapest
+    possible 100 TB shape (same class as quality_scores).  Ratio
+    comparisons divide identical integer counts on both engines, so the
+    IEEE doubles — and the verdicts — are bit-identical cross-engine."""
+    t = F.col(text_col)
+    words = F.array_remove(F.split(t, r"\s+"), "")
+    n_words = F.size(words).cast("double")
+    # mean word length over the words themselves (not raw chars: separators
+    # would dilute it)
+    sum_wl = F.aggregate(
+        F.transform(words, lambda w: F.length(w)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    mean_wl = sum_wl / F.greatest(n_words, F.lit(1.0))
+    n_symbols = (F.regexp_count(t, F.lit(r"#")) + F.regexp_count(t, F.lit(r"\.\.\."))).cast("double")
+    lines = F.array_remove(F.transform(F.split(t, r"\n"), lambda x: F.trim(x)), "")
+    n_lines = F.size(lines).cast("double")
+    n_bullet = F.size(F.filter(lines, lambda x: x.rlike(r"^[-*•]"))).cast("double")
+    n_ellip = F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\.$"))).cast("double")
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))).cast("double")
+    en_stops = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(words), en_stops))
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_mean_wl = (mean_wl >= min_mean_wl) & (mean_wl <= max_mean_wl)
+    r_symbol = n_symbols / F.greatest(n_words, F.lit(1.0)) <= max_symbol_ratio
+    r_bullet = n_bullet / F.greatest(n_lines, F.lit(1.0)) <= max_bullet_ratio
+    r_ellipsis = n_ellip / F.greatest(n_lines, F.lit(1.0)) <= max_ellipsis_ratio
+    r_alpha = n_alpha / F.greatest(n_words, F.lit(1.0)) >= min_alpha_ratio
+    r_stops = stop_hits >= min_stop_hits
+    keep = r_words & r_mean_wl & r_symbol & r_bullet & r_ellipsis & r_alpha & r_stops
+    as_int = lambda c: c.cast("int")  # noqa: E731 — hash-stable driver dtype
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        as_int(r_words).alias("r_words"),
+        as_int(r_mean_wl).alias("r_mean_wl"),
+        as_int(r_symbol).alias("r_symbol"),
+        as_int(r_bullet).alias("r_bullet"),
+        as_int(r_ellipsis).alias("r_ellipsis"),
+        as_int(r_alpha).alias("r_alpha"),
+        as_int(r_stops).alias("r_stops"),
+        as_int(keep).alias("keep"),
+    )
+
+
+def c4_line_clean(
+    docs: DataFrame, text_col: str = "text", min_line_words: int = 5
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 — public):
+    keep only lines that terminate in sentence punctuation AND carry at
+    least ``min_line_words`` words; drop the whole document when it
+    contains 'lorem ipsum' or a '{' (code/boilerplate tell).
+
+    Pure JVM: split -> filter HOF -> array_join; one map-only projection,
+    zero shuffles.  Documents emptied by the line filter survive as rows
+    with clean_text='' and n_kept=0 so the caller decides retention —
+    dropping them silently here would hide the filter's aggressiveness."""
+    t = F.col(text_col)
+    lines = F.array_remove(F.transform(F.split(t, r"\n"), lambda x: F.trim(x)), "")
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike(r"[.!?\"']$")
+        & (F.size(F.array_remove(F.split(x, r"\s+"), "")) >= min_line_words),
+    )
+    doc_bad = F.lower(t).contains("lorem ipsum") | t.contains("{")
+    kept = F.when(doc_bad, F.array().cast("array<string>")).otherwise(kept)
+    return docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        doc_bad.cast("int").alias("doc_dropped"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Within-group boilerplate detection: a line is boilerplate when it
+    appears in >= ``min_docs`` DISTINCT documents of the same group
+    (site/domain/source) — headers, footers, nav chrome; the standard
+    pre-dedup cleanup for scraped corpora.
+
+    Plan: explode to (group, line-hash, doc) map-side — the shuffle
+    carries 64-bit hashes, never line text — ONE keyed shuffle for the
+    distinct-doc census, then the verdicts broadcast-or-shuffle-join back
+    onto the doc's line set by hash.  Candidates ∝ distinct lines per
+    group, not corpus size; at 100 TB the census output is the boilerplate
+    vocabulary (small by construction), so the join-back side is the only
+    data-sized pass."""
+    g, t = F.col(group_col), F.col(text_col)
+    lines = F.array_distinct(
+        F.array_remove(F.transform(F.split(t, r"\n"), lambda x: F.trim(x)), "")
+    )
+    ex = docs.select(g.alias("grp"), F.col("doc_id"), F.explode(lines).alias("line"))
+    ex = ex.withColumn("lh", F.xxhash64("line"))
+    census = (
+        ex.groupBy("grp", "lh")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("grp", "lh", F.lit(1).alias("is_bp"))
+    )
+    flagged = (
+        ex.join(census, ["grp", "lh"], "left")
+        .groupBy("grp", "doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.coalesce(F.col("is_bp"), F.lit(0))).alias("n_boilerplate"),
+        )
+    )
+    return flagged.select(
+        F.col("grp").alias(group_col),
+        "doc_id",
+        "n_lines",
+        F.col("n_boilerplate").cast("long").alias("n_boilerplate"),
+    )

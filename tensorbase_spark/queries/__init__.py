@@ -148,6 +148,7 @@ PRIORITY_HEAD = [
     "ch_bracket_arrays", "ch_everyday_funcs4", "ch_with_fill_dates",
     "ch_everyday_funcs5",
     "engine_lightweight_delete", "ch_merge_table_function",
+    "text_gopher_rules", "text_c4_clean", "text_boilerplate_lines",
 ]
 
 

@@ -1801,3 +1801,177 @@ QUERIES["dedup_edit_distance"] = Query(
 QUERIES["text_zipf_slope"] = Query(
     text_zipf_slope, TEXT_ZIPF_ORACLE, ("text", "stats")
 )
+
+
+def _lined_documents(spark, sf_dir):
+    """The fixture corpus is single-line (no \\n, no punctuation); the
+    line-structure operators need lines.  Synthesize them with literal
+    left-to-right replaces — identical semantics in Spark and DuckDB, so
+    the oracle reproduces the exact same text: ' the '->sentence break,
+    ' value '->bullet line, ' fast '->ellipsis line."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("text", F.expr("replace(text, ' the ', '.' || char(10))"))
+        .withColumn("text", F.expr("replace(text, ' value ', char(10) || '- ')"))
+        .withColumn("text", F.expr("replace(text, ' fast ', '...' || char(10))"))
+    )
+
+
+_LINED_SQL = """
+  SELECT doc_id, source,
+         replace(replace(replace(text, ' the ', '.' || chr(10)),
+                         ' value ', chr(10) || '- '),
+                 ' fast ', '...' || chr(10)) AS text
+  FROM documents
+"""
+
+
+def text_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule verdicts (pipeline/text.py gopher_quality_rules;
+    Rae et al. 2021 table A1) over line-synthesized documents — one
+    map-only codegen'd projection, zero shuffles."""
+    return text.gopher_quality_rules(_lined_documents(spark, sf_dir))
+
+
+TEXT_GOPHER_ORACLE = rf"""
+WITH base AS ({_LINED_SQL}),
+t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines,
+         CAST(len(regexp_extract_all(text, '#'))
+            + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) AS n_symbols
+  FROM base
+), m AS (
+  SELECT doc_id,
+         CAST(len(words) AS DOUBLE) AS n_words,
+         CAST(coalesce(list_aggregate(list_transform(words, w -> length(w)), 'sum'), 0) AS DOUBLE) AS sum_wl,
+         n_symbols,
+         CAST(len(lines) AS DOUBLE) AS n_lines,
+         CAST(len(list_filter(lines, x -> regexp_matches(x, '^[-*•]'))) AS DOUBLE) AS n_bullet,
+         CAST(len(list_filter(lines, x -> regexp_matches(x, '\.\.\.$'))) AS DOUBLE) AS n_ellip,
+         CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) AS n_alpha,
+         len(list_intersect(list_distinct(words), {_STOPS_SQL})) AS stop_hits
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_words AS INT) AS n_words,
+       CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS r_words,
+       CAST(sum_wl / greatest(n_words, 1.0) >= 3.0
+            AND sum_wl / greatest(n_words, 1.0) <= 10.0 AS INT) AS r_mean_wl,
+       CAST(n_symbols / greatest(n_words, 1.0) <= 0.1 AS INT) AS r_symbol,
+       CAST(n_bullet / greatest(n_lines, 1.0) <= 0.9 AS INT) AS r_bullet,
+       CAST(n_ellip / greatest(n_lines, 1.0) <= 0.3 AS INT) AS r_ellipsis,
+       CAST(n_alpha / greatest(n_words, 1.0) >= 0.8 AS INT) AS r_alpha,
+       CAST(stop_hits >= 2 AS INT) AS r_stops,
+       CAST(n_words >= 50 AND n_words <= 100000
+            AND sum_wl / greatest(n_words, 1.0) >= 3.0
+            AND sum_wl / greatest(n_words, 1.0) <= 10.0
+            AND n_symbols / greatest(n_words, 1.0) <= 0.1
+            AND n_bullet / greatest(n_lines, 1.0) <= 0.9
+            AND n_ellip / greatest(n_lines, 1.0) <= 0.3
+            AND n_alpha / greatest(n_words, 1.0) >= 0.8
+            AND stop_hits >= 2 AS INT) AS keep
+FROM m
+"""
+
+
+def text_c4_clean(spark, sf_dir):
+    """C4 line cleaning (pipeline/text.py c4_line_clean; Raffel et al. 2020
+    §2.2) over line-synthesized documents, with a 'lorem ipsum' poison
+    salted onto every 97th doc so the document-drop rule fires for real.
+    clean_text is md5'd: the value-identity check without hauling full
+    text through the driver hash."""
+    d = _lined_documents(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 97 == 0, F.concat(F.col("text"), F.lit(" lorem ipsum"))
+        ).otherwise(F.col("text")),
+    )
+    out = text.c4_line_clean(d)
+    return out.select(
+        "doc_id", "n_lines", "n_kept", "doc_dropped",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+TEXT_C4_ORACLE = rf"""
+WITH lined AS ({_LINED_SQL}),
+base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 THEN text || ' lorem ipsum' ELSE text END AS text
+  FROM lined
+), t AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines,
+         (contains(lower(text), 'lorem ipsum') OR contains(text, '{{')) AS bad
+  FROM base
+), k AS (
+  SELECT doc_id, lines, bad,
+         CASE WHEN bad THEN [] ELSE
+           list_filter(lines, x -> regexp_matches(x, '[.!?"'']$')
+             AND len(list_filter(string_split_regex(x, '\s+'), y -> y <> '')) >= 5)
+         END AS kept
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_kept,
+       CAST(bad AS INT) AS doc_dropped,
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+FROM k
+"""
+
+
+def text_boilerplate_lines(spark, sf_dir):
+    """Within-source boilerplate census (pipeline/text.py boilerplate_lines):
+    two deterministic footer lines appended per source so every source has
+    true boilerplate; the census shuffle carries 64-bit line hashes, never
+    text."""
+    d = _lined_documents(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit("\nfooter of "), F.col("source"),
+            F.lit("\ncopyright "), F.col("source"),
+        ),
+    )
+    return text.boilerplate_lines(d, min_docs=3)
+
+
+TEXT_BOILERPLATE_ORACLE = rf"""
+WITH lined AS ({_LINED_SQL}),
+base AS (
+  SELECT doc_id, source,
+         text || chr(10) || 'footer of ' || source
+              || chr(10) || 'copyright ' || source AS text
+  FROM lined
+), ex AS (
+  SELECT source AS grp, doc_id, unnest(
+    list_distinct(list_filter(list_transform(string_split(text, chr(10)),
+                                             x -> trim(x)), x -> x <> ''))
+  ) AS line
+  FROM base
+), census AS (
+  SELECT grp, line FROM ex GROUP BY grp, line
+  HAVING count(DISTINCT doc_id) >= 3
+)
+SELECT ex.grp AS source, ex.doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN c.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate
+FROM ex LEFT JOIN census c ON ex.grp = c.grp AND ex.line = c.line
+GROUP BY ex.grp, ex.doc_id
+"""
+
+
+QUERIES["text_gopher_rules"] = Query(
+    text_gopher_rules, TEXT_GOPHER_ORACLE, ("text", "quality", "gopher")
+)
+QUERIES["text_c4_clean"] = Query(
+    text_c4_clean, TEXT_C4_ORACLE, ("text", "quality", "c4")
+)
+QUERIES["text_boilerplate_lines"] = Query(
+    text_boilerplate_lines, TEXT_BOILERPLATE_ORACLE, ("text", "dedup", "boilerplate")
+)

@@ -1182,3 +1182,78 @@ def test_zipf_stats_slope_shape(spark):
     assert r.zipf_slope < -1.0
     assert r.n_ranked == 4
     assert r.vocab_size == 6 and r.n_tokens == 126
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule fires on a crafted violation; a clean doc passes."""
+    from tensorbase_spark.pipeline import text as _t
+
+    good = " ".join(["the quick brown fox jumps over a lazy dog and runs"] * 6)
+    docs = spark.createDataFrame(
+        [
+            (1, good),                              # passes everything
+            (2, "the of and is to in that a"),      # too few words
+            (3, "xx " * 60 + "the a of and"),        # mean word length < 3
+            (4, good + " " + "### " * 20),           # symbol ratio
+            (5, ("1 2 3 4 5 6 7 8 9 0 " * 6) + "the a"),  # alpha ratio
+            (6, " ".join(["zz yy ww vv uu"] * 12)),  # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in _t.gopher_quality_rules(docs).collect()}
+    assert r[1].keep == 1
+    assert r[2].r_words == 0 and r[2].keep == 0
+    assert r[3].r_mean_wl == 0
+    assert r[4].r_symbol == 0
+    assert r[5].r_alpha == 0
+    assert r[6].r_stops == 0
+
+
+def test_gopher_line_rules(spark):
+    """Bullet and ellipsis line ratios need real lines."""
+    from tensorbase_spark.pipeline import text as _t
+
+    bullets = "\n".join(["- item"] * 10)                  # 100% bullet lines
+    ellipses = "\n".join(["trailing off..."] * 5 + ["solid line"])  # 5/6
+    docs = spark.createDataFrame(
+        [(1, bullets), (2, ellipses)], "doc_id long, text string"
+    )
+    r = {x.doc_id: x for x in _t.gopher_quality_rules(docs).collect()}
+    assert r[1].r_bullet == 0
+    assert r[2].r_ellipsis == 0
+
+
+def test_c4_line_clean(spark):
+    """Line filter keeps >=5-word punctuation-terminated lines; lorem ipsum
+    and '{' drop the document wholesale (clean_text empties, flag set)."""
+    from tensorbase_spark.pipeline import text as _t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "this line has five words.\nshort one.\nno terminal punct here at all\nanother long line keeps going fine!"),
+            (2, "contains lorem ipsum so it dies. even with good lines here."),
+            (3, "function() { return 1; } has braces. and punctuation lines too."),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in _t.c4_line_clean(docs).collect()}
+    assert r[1].n_lines == 4 and r[1].n_kept == 2 and r[1].doc_dropped == 0
+    assert "five words." in r[1].clean_text and "short one." not in r[1].clean_text
+    assert r[2].doc_dropped == 1 and r[2].n_kept == 0 and r[2].clean_text == ""
+    assert r[3].doc_dropped == 1
+
+
+def test_boilerplate_lines(spark):
+    """A footer shared by >=3 docs of a group is boilerplate; unique body
+    lines are not; the same footer in a different group counts separately."""
+    from tensorbase_spark.pipeline import text as _t
+
+    rows = [(i, "siteA", f"body text {i}\nshared footer") for i in range(4)]
+    rows += [(10, "siteA", "body ten only")]          # no footer
+    rows += [(20, "siteB", "other body\nshared footer")]  # only 1 doc in B
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    r = {x.doc_id: x for x in _t.boilerplate_lines(docs, min_docs=3).collect()}
+    for i in range(4):
+        assert r[i].n_lines == 2 and r[i].n_boilerplate == 1
+    assert r[10].n_boilerplate == 0
+    assert r[20].n_boilerplate == 0  # B's footer appears in only one doc
