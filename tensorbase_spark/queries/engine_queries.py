@@ -2167,3 +2167,45 @@ QUERIES["ch_merge_table_function"] = Query(
     ch_merge_table_function, CH_MERGE_TF_ORACLE,
     ("engine", "table-function", "merge", "view"),
 )
+
+
+def engine_ingest_partitioned(spark, sf_dir):
+    """The reference's headline INGEST shape (README "~2x ClickHouse";
+    harness crates/tests_integ/benches/bench_ingestion.rs:6-40) as a
+    tracked bench row: DDL + bulk INSERT...SELECT of lineitem into a
+    rem(key, 32)-partitioned table + the reference's own sum-verify
+    read-back.  Exercises the full write path — typed cast, static
+    partition-count guard (rem() needs no guard job), partition-aligned
+    parallelism-sized shuffle, dynamic-partition commit (PLANS.md §10)."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "ing")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("ing_src")
+    eng.sql(
+        "create table li_ing(ok Int64, qty Float64, price Float64) "
+        "partition by rem(ok, 32)"
+    )
+    eng.sql(
+        "insert into li_ing select l_orderkey, l_quantity, l_extendedprice "
+        "from ing_src"
+    )
+    return eng.sql(
+        "select count(*) as n, cast(sum(cast(qty as bigint)) as bigint) as sq, "
+        "round(sum(price), 2) as sp, "
+        "cast(count(distinct ok % 32) as bigint) as n_parts from li_ing"
+    )
+
+
+ENGINE_INGEST_ORACLE = """
+SELECT count(*) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+       round(sum(l_extendedprice), 2) AS sp,
+       CAST(count(DISTINCT l_orderkey % 32) AS BIGINT) AS n_parts
+FROM lineitem
+"""
+
+
+QUERIES["engine_ingest_partitioned"] = Query(
+    engine_ingest_partitioned, ENGINE_INGEST_ORACLE,
+    ("engine", "ingest", "write-path"), bench=True,
+)
