@@ -1356,6 +1356,8 @@ class TensorBaseEngine:
         # SYSTEM STOP MERGES state: qualified table names, or "*" for all
         self._merges_stopped: set[str] = set()
         self._merge_tf_n: int = 0
+        # alias engines (Distributed/Buffer): qualified name -> target table
+        self._alias_targets: dict[str, str] = {}
 
     def bootstrap_system(self) -> None:
         """Create the ``system`` database + empty ``system.numbers (number
@@ -2164,12 +2166,54 @@ class TensorBaseEngine:
         # (_rewrite_final) and materialized by OPTIMIZE ... FINAL.
         em = re.search(
             r"(?is)\bengine\s*=\s*(?P<eng>\w+)"
-            r"(?:\s*\(\s*(?P<args>[^)]*?)\s*\))?", tail
+            # args may contain one nesting level: currentDatabase(), rand()
+            r"(?:\s*\(\s*(?P<args>[^()]*(?:\([^()]*\)[^()]*)*?)\s*\))?", tail
         )
         if em:
             eng_name = em.group("eng")
             props.append(f"'tb.engine' = '{eng_name}'")
             args = (em.group("args") or "").strip()
+            if eng_name.lower() in ("distributed", "buffer"):
+                # Alias engines (upstream-CH): both are placement/buffering
+                # layers over a TARGET table.  On one Spark cluster the
+                # "remote shards" / "flush target" IS the local target, so
+                # the faithful single-process semantics are: reads see the
+                # target (a VIEW), writes land in the target immediately
+                # (Buffer's flush thresholds are a durability-neutral
+                # optimization; Distributed's sharding_key is a placement
+                # hint — both accepted and recorded, neither changes
+                # results).  At real cluster scale the Spark analogue of
+                # Distributed is simply the shared-metastore table itself.
+                a = [x.strip().strip("'\"") for x in _split_depth0(args)]
+                if eng_name.lower() == "distributed":
+                    if len(a) < 3:
+                        raise ValueError(
+                            "Distributed needs (cluster, db, table[, sharding_key])"
+                        )
+                    tdb, ttbl = a[1], a[2]
+                else:
+                    if len(a) < 2:
+                        raise ValueError("Buffer needs (db, table, ...)")
+                    tdb, ttbl = a[0], a[1]
+                if re.fullmatch(r"(?is)currentdatabase\s*\(\s*\)", tdb):
+                    tdb = self.spark.catalog.currentDatabase()
+                target = f"{tdb}.{ttbl}"
+                if not self.spark.catalog.tableExists(target):
+                    raise ValueError(
+                        f"{eng_name} target table does not exist: {target}"
+                    )
+                tcols = [
+                    col
+                    for col in self.spark.table(target).columns
+                    if col != PTK_COL
+                ]
+                self.spark.sql(
+                    f"CREATE VIEW {name} AS SELECT {', '.join(tcols)} "
+                    f"FROM {target}"
+                )
+                self._alias_targets[name] = target
+                self._create_scripts[name] = c
+                return self.spark.sql("SELECT 1 AS ok")
             if eng_name.lower() == "replacingmergetree" and args:
                 props.append(f"'tb.ver_col' = '{args}'")
             elif eng_name.lower() == "summingmergetree" and args:
@@ -2254,6 +2298,9 @@ class TensorBaseEngine:
         name = m.group("name")
         if kind == "TABLE":
             q = self._qualify(name)
+            if q in self._alias_targets:  # Distributed/Buffer are views
+                self._alias_targets.pop(q)
+                return self.spark.sql(f"DROP VIEW {ie}{name}")
             self._partition_specs.pop(q, None)
             for spec in self._projections.pop(q, []):  # projections die too
                 self.spark.sql(f"DROP TABLE IF EXISTS {spec.table}")
@@ -3597,6 +3644,8 @@ class TensorBaseEngine:
         crates/arrow/src/datatypes/datatype.rs:95), partition-key computation,
         and the >=1000-parts-per-block guard (write.rs:52-56)."""
         name = self._qualify(name)
+        # Distributed/Buffer alias: writes land in the local target table
+        name = self._alias_targets.get(name, name)
         schema = [f for f in self.spark.table(name).schema.fields if f.name != PTK_COL]
         spec = self._spec_for(name)
         bql_cols = self._bql_cols_for(name)
@@ -3680,6 +3729,23 @@ class TensorBaseEngine:
             if nparts > 1:
                 width = min(nparts, max(self.spark.sparkContext.defaultParallelism, 8))
                 out = out.repartition(width, F.col(PTK_COL))
+        if (self._table_props(name).get("tb.engine") or "").lower() == "null":
+            # ENGINE = Null: the write is discarded, reads stay empty — but
+            # MV insert triggers still fire over the cast block (CH's
+            # standard ingest-through-Null fan-out idiom)
+            if self._mvs.get(name):
+                if self._mv_depth >= 8:
+                    raise ValueError(
+                        "materialized-view chain deeper than 8 (cycle?)"
+                    )
+                self._mv_depth += 1
+                try:
+                    self._propagate_mvs(
+                        name, out.drop(PTK_COL) if PTK_COL in out.columns else out
+                    )
+                finally:
+                    self._mv_depth -= 1
+            return self.spark.sql("SELECT 1 AS ok")
         bloom = [
             c.strip()
             for c in self._table_props(name).get("tb.bloom_cols", "").split(",")

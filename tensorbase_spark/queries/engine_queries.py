@@ -2209,3 +2209,57 @@ QUERIES["engine_ingest_partitioned"] = Query(
     engine_ingest_partitioned, ENGINE_INGEST_ORACLE,
     ("engine", "ingest", "write-path"), bench=True,
 )
+
+
+def engine_null_distributed(spark, sf_dir):
+    """ENGINE = Null + MV fan-out + Distributed/Buffer alias engines
+    (engine.py _create_table alias branch / insert_df Null branch).  The
+    CH ingest idiom end to end: rows INSERT through a Null table (storage
+    discarded), the attached MV trigger aggregates each block into a real
+    target, and a Distributed table over the target serves reads — on one
+    Spark cluster the 'remote shards' ARE the local target, so results
+    must equal aggregating the source directly; the Null table must stay
+    empty."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "nda")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("nda_src")
+    eng.sql("create table agg_day(y Int64, st String, n Int64, s Float64)")
+    eng.sql(
+        "create table null_in(ok Int64, od Date, st String, total Float64) "
+        "ENGINE = Null"
+    )
+    eng.sql(
+        "create materialized view mv_nda to agg_day as "
+        "select toYear(od) as y, st, count(*) as n, sum(total) as s "
+        "from null_in group by toYear(od), st"
+    )
+    eng.sql(
+        "insert into null_in select o_orderkey, o_orderdate, o_orderstatus, "
+        "o_totalprice from nda_src"
+    )
+    eng.sql(
+        "create table dist_rollup(y Int64, st String, n Int64, s Float64) "
+        "ENGINE = Distributed(main_cluster, currentDatabase(), agg_day, rand())"
+    )
+    return eng.sql(
+        "select y, st, n, round(s, 2) as s, "
+        "(select count(*) from null_in) as null_rows "
+        "from dist_rollup order by y, st"
+    )
+
+
+ENGINE_NULL_DIST_ORACLE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS y, o_orderstatus AS st,
+       count(*) AS n, round(sum(o_totalprice), 2) AS s,
+       CAST(0 AS BIGINT) AS null_rows
+FROM orders
+GROUP BY year(o_orderdate), o_orderstatus
+ORDER BY y, st
+"""
+
+
+QUERIES["engine_null_distributed"] = Query(
+    engine_null_distributed, ENGINE_NULL_DIST_ORACLE,
+    ("engine", "ddl", "null-engine", "distributed", "mv"),
+)

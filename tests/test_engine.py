@@ -2542,3 +2542,46 @@ def test_view_table_function(engine):
         "select s.k from view(select k from vtf_t where k > 1) as s order by s.k"
     ).collect()
     assert [r.k for r in rows] == [2, 3]
+
+
+def test_null_engine_discards_but_fires_mv(engine):
+    """ENGINE = Null: reads empty, writes discarded, MV triggers fire over
+    the inserted block (CH's ingest-through-Null fan-out)."""
+    engine.sql("create table ne_tgt (k Int64, s Float64)")
+    engine.sql("create table ne_in (k Int64, v Float64) ENGINE = Null")
+    engine.sql(
+        "create materialized view ne_mv to ne_tgt as "
+        "select k, sum(v) as s from ne_in group by k"
+    )
+    engine.sql("insert into ne_in values (1, 2.0), (1, 3.0), (2, 5.0)")
+    assert engine.sql("select count(*) as n from ne_in").collect()[0].n == 0
+    got = {r.k: r.s for r in engine.sql("select * from ne_tgt").collect()}
+    assert got == {1: 5.0, 2: 5.0}
+
+
+def test_distributed_and_buffer_alias_engines(engine):
+    """Distributed/Buffer route reads AND writes to the local target; DROP
+    removes only the alias view, never target data."""
+    engine.sql("create table ab_local (k Int64, v String)")
+    engine.sql("insert into ab_local values (1, 'a')")
+    engine.sql(
+        "create table ab_dist (k Int64, v String) "
+        "ENGINE = Distributed(c1, currentDatabase(), ab_local, rand())"
+    )
+    engine.sql(
+        "create table ab_buf (k Int64, v String) "
+        "ENGINE = Buffer(currentDatabase(), ab_local, 16, 10, 100, "
+        "10000, 1000000, 10000000, 100000000)"
+    )
+    engine.sql("insert into ab_dist values (2, 'b')")
+    engine.sql("insert into ab_buf values (3, 'c')")
+    assert engine.sql("select count(*) as n from ab_local").collect()[0].n == 3
+    assert engine.sql("select count(*) as n from ab_dist").collect()[0].n == 3
+    assert engine.sql("select count(*) as n from ab_buf").collect()[0].n == 3
+    engine.sql("drop table ab_dist")
+    engine.sql("drop table ab_buf")
+    assert engine.sql("select count(*) as n from ab_local").collect()[0].n == 3
+    with pytest.raises(Exception, match="does not exist"):
+        engine.sql(
+            "create table ab_bad (k Int64) ENGINE = Distributed(c1, nodb, notbl)"
+        )
