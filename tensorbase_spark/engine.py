@@ -324,6 +324,22 @@ def _preprocess_ch_clauses(sql: str) -> str:
         r"* except (\1)",
         out,
     )
+    # nonNegativeDerivative(metric, ts) OVER w (upstream-CH window fn):
+    # rate of change per second, negatives and the frame-first row clamp
+    # to 0 — needs the OVER text twice (value lag + time lag), so it
+    # rewrites here where the window spec is in hand.  ts must be a
+    # time type (CH contract).  The optional INTERVAL 3rd arg is not
+    # supported (unmatched forms pass through and fail loudly in Catalyst).
+    out = re.sub(
+        r"(?is)\bnonNegativeDerivative\s*\(\s*([^(),]+?)\s*,\s*([^(),]+?)\s*\)"
+        r"\s*over\s*(\((?:[^()]|\([^()]*\))*\)|[A-Za-z_]\w*)",
+        lambda m: (
+            "greatest(coalesce(({v} - lag({v}) over {w}) / "
+            "nullif(cast(to_unix_timestamp({t}) - lag(to_unix_timestamp({t})) "
+            "over {w} as double), 0.0), 0.0), 0.0)"
+        ).format(v=m.group(1), t=m.group(2), w=m.group(3)),
+        out,
+    )
     # CH/MySQL `LIMIT offset, count` -> standard LIMIT count OFFSET offset
     # (the LIMIT n BY cols clause has no comma between numbers, so the
     # two-number comma form is unambiguous; the rare offset form OF LIMIT BY

@@ -1131,6 +1131,25 @@ CH_SQL_TEMPLATES.update(
         "mapcontains": "array_contains(map_keys({0}), {1})",
         "mapfromarrays": "map_from_arrays({0}, {1})",
         "maplength": "size({0})",
+        # CH window functions lagInFrame/leadInFrame -> Spark lag/lead.
+        # Documented difference: the CH variants respect a custom frame;
+        # Spark's lag/lead are frame-agnostic — identical under the default
+        # frame, which is the overwhelmingly common spelling (CH's own docs
+        # route frame-aware cases to any()/anyLast() OVER a frame, which
+        # this dialect already supports via first/last).
+        "laginframe": lambda args: f"lag({', '.join(args)})",
+        "leadinframe": lambda args: f"lead({', '.join(args)})",
+        # simpleLinearRegression(x, y) -> Tuple(k, b) of the least-squares
+        # fit y = kx + b; positional _1/_2 naming so tupleElement works.
+        # Stateless moment sums (covar_pop/var_pop/avg) — partial->final
+        # aggregation, no ordering dependence.
+        "simplelinearregression": lambda args: (
+            "named_struct("
+            f"'_1', covar_pop({args[0]}, {args[1]}) / var_pop({args[0]}), "
+            f"'_2', avg({args[1]}) - "
+            f"(covar_pop({args[0]}, {args[1]}) / var_pop({args[0]})) * avg({args[0]})"
+            ")"
+        ),
         # CH tuple(...) builds an unnamed tuple with positional elements;
         # emit explicit _1.._n field names (matching the Tuple(...) DDL
         # type's positional naming) so 1-based tupleElement resolves —

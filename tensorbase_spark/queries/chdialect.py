@@ -1023,3 +1023,57 @@ GROUP BY o.o_orderstatus
 QUERIES["ch_everyday_funcs5"] = Query(
     ch_everyday_funcs5, CH_EVERYDAY5_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_window_timeseries(spark, sf_dir):
+    """Upstream-CH time-series window functions: nonNegativeDerivative
+    (rate-per-second, negatives and frame-first clamp to 0 — engine.py
+    clause rewrite, needs the OVER text twice), lagInFrame/leadInFrame
+    (functions/clickhouse.py), and simpleLinearRegression as the per-user
+    value-vs-time trend (tuple aggregate + tupleElement).  The inner
+    window and the outer GROUP BY share the user_id partitioning — one
+    Exchange serves the whole query."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ev_wts")
+    return eng.sql(
+        "select user_id, "
+        "round(sum(rate), 6) as sum_rate, "
+        "max(prev) as max_prev, "
+        "min(nxt) as min_next, "
+        "round(tupleElement(simpleLinearRegression(tsec, value), 1) * 1e6, 4)"
+        "  as trend_k_1e6 "
+        "from ("
+        "  select user_id, value, toUnixTimestamp(ts) as tsec, "
+        "    nonNegativeDerivative(value, ts) over w as rate, "
+        "    lagInFrame(value) over w as prev, "
+        "    leadInFrame(value, 1, 1e9) over w as nxt "
+        "  from ev_wts where user_id % 17 = 0 "
+        "  window w as (partition by user_id order by ts, event_id)"
+        ") group by user_id order by user_id"
+    )
+
+
+CH_WINDOW_TS_ORACLE = """
+WITH w AS (
+  -- CAST(floor(epoch)) mirrors CH/Spark toUnixTimestamp SECOND truncation
+  -- (DuckDB epoch() keeps fractional seconds)
+  SELECT user_id, event_id, ts, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         lead(value, 1, 1e9) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dt
+  FROM events WHERE user_id % 17 = 0
+)
+SELECT user_id,
+       round(sum(greatest(coalesce((value - prev) / nullif(CAST(dt AS DOUBLE), 0.0), 0.0), 0.0)), 6) AS sum_rate,
+       max(prev) AS max_prev,
+       min(nxt) AS min_next,
+       round((covar_pop(tsec, value) / var_pop(tsec)) * 1e6, 4) AS trend_k_1e6
+FROM w GROUP BY user_id ORDER BY user_id
+"""
+
+
+QUERIES["ch_window_timeseries"] = Query(
+    ch_window_timeseries, CH_WINDOW_TS_ORACLE, ("dialect", "window", "timeseries")
+)

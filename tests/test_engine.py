@@ -2585,3 +2585,32 @@ def test_distributed_and_buffer_alias_engines(engine):
         engine.sql(
             "create table ab_bad (k Int64) ENGINE = Distributed(c1, nodb, notbl)"
         )
+
+
+def test_window_timeseries_functions(engine, spark):
+    """nonNegativeDerivative clamps negatives and frame-first to 0 and
+    divides by SECONDS; lagInFrame/leadInFrame map to lag/lead;
+    simpleLinearRegression returns the exact (k, b) tuple."""
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10.0), (1, "2024-01-01 00:00:10", 30.0),
+         (1, "2024-01-01 00:00:20", 25.0)],
+        "k int, ts string, v double",
+    ).selectExpr("k", "cast(ts as timestamp) ts", "v").createOrReplaceTempView(
+        "wts_t"
+    )
+    rows = engine.sql(
+        "select nonNegativeDerivative(v, ts) over w as rate, "
+        "lagInFrame(v) over w as prev, "
+        "leadInFrame(v, 1, -1.0) over w as nxt "
+        "from wts_t window w as (partition by k order by ts) order by ts"
+    ).collect()
+    assert [r.rate for r in rows] == [0.0, 2.0, 0.0]
+    assert [r.prev for r in rows] == [None, 10.0, 30.0]
+    assert [r.nxt for r in rows] == [30.0, 25.0, -1.0]
+    reg = engine.sql(
+        "select tupleElement(simpleLinearRegression(x, y), 1) as k, "
+        "tupleElement(simpleLinearRegression(x, y), 2) as b "
+        "from (select cast(id as double) x, 3*cast(id as double)+7 y "
+        "from range(10))"
+    ).collect()[0]
+    assert reg.k == 3.0 and reg.b == 7.0
