@@ -213,3 +213,62 @@ def pack_sequences(
         "bin_id",
         ((F.col("start_tok") - F.col("start_tok") % budget) / budget).cast("long"),
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    is_target: F.Column,
+    key: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10_000,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public): featurize every
+    document as hashed unigram+bigram counts over ``buckets`` buckets, fit
+    add-``smoothing`` multinomials for the target slice (rows where
+    ``is_target``) and the raw corpus, and score each document
+    ``log w(x) = Σ_b c_b(x) · (log p̂_target(b) − log q̂_raw(b))`` —
+    rank/resample on ``dsir_logw`` to tilt a raw corpus toward a target
+    domain.
+
+    Plan (two corpus passes — DSIR's own fit-then-score structure):
+    gram explode is map-side JVM (split + indexed-lambda bigrams, md5
+    bucketing so any engine reproduces membership, sampling.hash_bucket);
+    the fit pass is ONE keyed shuffle whose output is ≤ ``buckets`` rows
+    per side — broadcast-sized BY CONSTRUCTION at any corpus size; the
+    score pass broadcasts the log-ratio table onto the doc-gram explode
+    and sums per doc in ONE keyed shuffle.  No Python anywhere."""
+    words = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    heads = F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0)))
+    bigrams = F.transform(
+        heads, lambda x, i: F.concat_ws(" ", x, F.element_at(words, i + F.lit(2)))
+    )
+    ex = docs.select(
+        F.col(key),
+        is_target.alias("__tgt"),
+        F.explode(F.concat(words, bigrams)).alias("gram"),
+    ).withColumn("b", hash_bucket(F.col("gram"), buckets))
+    raw_ct = ex.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.col("__tgt").cast("long")).alias("ct"),
+    )
+    tot = raw_ct.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )
+    s, sb = float(smoothing), float(smoothing) * buckets
+    ratio = raw_ct.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("ct") + s) / (F.col("tt") + sb))
+            - F.log((F.col("cr") + s) / (F.col("tr") + sb))
+        ).alias("lr"),
+    )
+    return (
+        ex.join(F.broadcast(ratio), "b")
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("lr").alias("dsir_logw"),
+        )
+    )

@@ -150,7 +150,7 @@ PRIORITY_HEAD = [
     "engine_lightweight_delete", "ch_merge_table_function",
     "text_gopher_rules", "text_c4_clean", "text_boilerplate_lines",
     "engine_ingest_partitioned", "engine_null_distributed",
-    "ch_window_timeseries",
+    "ch_window_timeseries", "corpus_dsir_weights",
 ]
 
 

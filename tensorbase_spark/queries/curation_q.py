@@ -534,3 +534,53 @@ QUERIES["corpus_rag_prep_end_to_end"] = Query(
     corpus_rag_prep_end_to_end, CORPUS_RAG_PREP_ORACLE,
     ("corpus", "curation", "rag"),
 )
+
+
+def corpus_dsir_weights(spark, sf_dir):
+    """DSIR importance resampling (pipeline/curation.py
+    dsir_importance_weights; Xie et al. 2023): target = the English slice,
+    raw = the whole corpus; every doc scored by its hashed unigram+bigram
+    log-likelihood ratio.  English docs must come out with positive
+    weights, other languages negative — the domain-tilt the method exists
+    for.  round(·, 4) absorbs summation-order wobble; the md5 bucketing
+    makes membership engine-reproducible."""
+    d = load_table(spark, sf_dir, "documents")
+    out = curation.dsir_importance_weights(d, F.col("lang") == "en")
+    return out.select(
+        "doc_id", "n_grams", F.round(F.col("dsir_logw"), 4).alias("dsir_logw")
+    )
+
+
+CORPUS_DSIR_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang,
+         unnest(w || list_transform(w[1:greatest(len(w)-1, 0)],
+                                    (x, i) -> x || ' ' || w[i+1])) AS gram
+  FROM words
+), bk AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(gram), 1, 8))::BIGINT % 10000 AS b
+  FROM grams
+), raw_ct AS (
+  SELECT b, count(*) AS cr,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+  FROM bk GROUP BY b
+), tot AS (
+  SELECT sum(cr) AS tr, sum(ct) AS tt FROM raw_ct
+), ratio AS (
+  SELECT b, ln((ct + 1.0) / (tt + 10000.0)) - ln((cr + 1.0) / (tr + 10000.0)) AS lr
+  FROM raw_ct CROSS JOIN tot
+)
+SELECT doc_id, count(*) AS n_grams, round(sum(lr), 4) AS dsir_logw
+FROM bk JOIN ratio USING (b)
+GROUP BY doc_id
+"""
+
+
+QUERIES["corpus_dsir_weights"] = Query(
+    corpus_dsir_weights, CORPUS_DSIR_ORACLE, ("corpus", "curation", "dsir")
+)

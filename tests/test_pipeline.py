@@ -1257,3 +1257,22 @@ def test_boilerplate_lines(spark):
         assert r[i].n_lines == 2 and r[i].n_boilerplate == 1
     assert r[10].n_boilerplate == 0
     assert r[20].n_boilerplate == 0  # B's footer appears in only one doc
+
+
+def test_dsir_importance_weights_tilt(spark):
+    """DSIR must assign higher log-weights to docs that look like the
+    target slice: build a corpus of two vocabularies, target = 'sci' docs;
+    every sci doc must outscore every web doc, and weights must be finite."""
+    from tensorbase_spark.pipeline import curation
+
+    sci = "quantum electron proton neutrino boson lepton quark spin"
+    web = "click here buy now free shipping best price deal sale"
+    rows = [(i, "sci", sci + f" sample {i}") for i in range(10)]
+    rows += [(100 + i, "web", web + f" page {i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, kind string, text string")
+    out = curation.dsir_importance_weights(
+        docs, F.col("kind") == "sci", buckets=1000
+    ).collect()
+    w = {r.doc_id: r.dsir_logw for r in out}
+    assert len(w) == 20 and all(v == v for v in w.values())  # no NaNs
+    assert min(w[i] for i in range(10)) > max(w[100 + i] for i in range(10))
