@@ -1774,6 +1774,48 @@ class TensorBaseEngine:
             )
         if low.startswith("system "):
             return self._system(c)
+        if low.startswith("exists table ") or re.match(
+            r"(?is)^exists\s+[\w.]+$", c
+        ):
+            # CH EXISTS [TABLE] t -> one UInt8 'result' row
+            t = c.split()[-1]
+            ok = self.spark.catalog.tableExists(self._qualify(t))
+            return self.spark.createDataFrame([(1 if ok else 0,)], "result: int")
+        if low.startswith("check table "):
+            # CH CHECK TABLE verifies part checksums; the parquet analogue
+            # is footer validation — every file's metadata must parse and
+            # the footer row total must cover the files (metadata-only,
+            # never a data scan)
+            import os
+
+            import pyarrow.parquet as pq
+
+            name = self._qualify(c.split()[-1])
+            loc = (
+                self.spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+                .filter("col_name = 'Location'")
+                .first()
+                .data_type.replace("file:", "")
+            )
+            nfiles = nrows = 0
+            for dirpath, _dirs, files in os.walk(loc):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        nrows += pq.ParquetFile(
+                            os.path.join(dirpath, f)
+                        ).metadata.num_rows
+                        nfiles += 1
+            return self.spark.createDataFrame(
+                [(1, nfiles, nrows)], "result: int, files: long, rows: long"
+            )
+        if low.strip() == "show processlist":
+            # synchronous execution: by the time a statement returns there
+            # is no other in-flight query, so the list is always empty —
+            # the schema mirrors CH's most-used columns; history lives in
+            # system.query_log
+            return self.spark.createDataFrame(
+                [], "query string, elapsed double, user string"
+            )
         if low.startswith(("rename table", "exchange tables")):
             return self._rename_tables(c)
         if low.startswith("use "):
@@ -3535,7 +3577,49 @@ class TensorBaseEngine:
 
     # -- INSERT paths -------------------------------------------------------
 
+    _INSERT_FILE_RE = re.compile(
+        r"(?is)^insert\s+into\s+(?:table\s+)?function\s+(?:file|url)\s*\(\s*"
+        r"(?P<args>[^()]*)\)\s+(?P<rest>.+)$"
+    )
+
     def _insert(self, c: str) -> DataFrame:
+        fm = self._INSERT_FILE_RE.match(c)
+        if fm:
+            # INSERT INTO FUNCTION file('path', 'Format') — upstream-CH
+            # file export (the reference has INTO OUTFILE only); url() with
+            # a file:// scheme serves the same path (no network in this
+            # environment — http targets fail loudly).
+            args = [a.strip().strip("'\"") for a in _split_depth0(fm.group("args"))]
+            if not args:
+                raise ValueError("file()/url() needs a path")
+            path = args[0]
+            if path.startswith("file://"):
+                path = path[len("file://"):]
+            elif re.match(r"(?i)^[a-z][a-z0-9+.-]*://", path):
+                raise ValueError(
+                    f"url({path!r}): only file:// is reachable here (no network)"
+                )
+            fmt = (args[1] if len(args) > 1 else "parquet").lower()
+            rest = fm.group("rest")
+            if rest.lower().startswith("values"):
+                src = self.spark.sql(f"SELECT * FROM {rest}")
+            else:
+                src = self.spark.sql(self._translate_query(rest))
+            w = src.write.mode("overwrite")
+            if fmt == "parquet":
+                w.parquet(path)
+            elif fmt in ("csv", "csvwithnames"):
+                w.option("header", fmt == "csvwithnames").csv(path)
+            elif fmt in ("tsv", "tabseparated", "tsvwithnames",
+                         "tabseparatedwithnames"):
+                w.option("header", fmt.endswith("withnames")).option(
+                    "sep", "\t"
+                ).csv(path)
+            elif fmt in ("jsoneachrow", "ndjson"):
+                w.json(path)
+            else:
+                raise ValueError(f"file() FORMAT {fmt}: unsupported")
+            return self.spark.sql("SELECT 1 AS ok")
         rm = _INSERT_REMOTE_RE.match(c)
         if rm:
             # INSERT INTO FUNCTION remote(...) — push rows to a remote table
@@ -4266,7 +4350,7 @@ class TensorBaseEngine:
           references it (CH's SELECT * likewise omits it); ``__ptk`` is
           dropped per member (partition exprs may differ across members).
         """
-        pat = re.compile(r"(?is)\b(from|join)\s+(merge|view)\s*\(")
+        pat = re.compile(r"(?is)\b(from|join)\s+(merge|view|file|url)\s*\(")
         while True:
             m = pat.search(q)
             if not m:
@@ -4287,6 +4371,61 @@ class TensorBaseEngine:
             inner = q[m.end() : j - 1]
             if m.group(2).lower() == "view":
                 q = f"{q[: m.start()]}{m.group(1)} ({inner}){q[j:]}"
+                continue
+            if m.group(2).lower() in ("file", "url"):
+                # file('path'[, 'Format'[, 'col Type, ...']]) — upstream-CH
+                # file source; url() reads the same for file:// (no network
+                # here — http fails loudly).  Declared structure beats
+                # inference (the reference's fixed-schema model); CSV
+                # without one falls back to header/inference.
+                fargs = [
+                    a.strip().strip("'\"") for a in _split_depth0(inner)
+                ]
+                if not fargs:
+                    raise ValueError("file()/url() needs a path")
+                fpath = fargs[0]
+                if fpath.startswith("file://"):
+                    fpath = fpath[len("file://"):]
+                elif re.match(r"(?i)^[a-z][a-z0-9+.-]*://", fpath):
+                    raise ValueError(
+                        f"url({fpath!r}): only file:// is reachable here "
+                        "(no network)"
+                    )
+                ffmt = (fargs[1] if len(fargs) > 1 else "parquet").lower()
+                schema = None
+                if len(fargs) > 2:
+                    from tensorbase_spark.sources.external import bql_schema
+
+                    schema = bql_schema(
+                        [
+                            tuple(p.strip().split(None, 1))
+                            for p in _split_depth0(fargs[2])
+                        ]
+                    )
+                r = self.spark.read
+                if schema is not None:
+                    r = r.schema(schema)
+                if ffmt == "parquet":
+                    fdf = r.parquet(fpath)
+                elif ffmt in ("csv", "csvwithnames"):
+                    hdr = ffmt == "csvwithnames"
+                    if schema is None:
+                        r = r.option("inferSchema", "true")
+                    fdf = r.option("header", hdr).csv(fpath)
+                elif ffmt in ("tsv", "tabseparated", "tsvwithnames",
+                              "tabseparatedwithnames"):
+                    hdr = ffmt.endswith("withnames")
+                    if schema is None:
+                        r = r.option("inferSchema", "true")
+                    fdf = r.option("header", hdr).option("sep", "\t").csv(fpath)
+                elif ffmt in ("jsoneachrow", "ndjson"):
+                    fdf = r.json(fpath)
+                else:
+                    raise ValueError(f"file() FORMAT {ffmt}: unsupported")
+                self._merge_tf_n += 1
+                vname = f"tb_file_tf_{self._merge_tf_n}"
+                fdf.createOrReplaceTempView(vname)
+                q = f"{q[: m.start()]}{m.group(1)} {vname}{q[j:]}"
                 continue
             args = [a.strip() for a in _split_depth0(inner)]
             if len(args) == 1:
@@ -4335,7 +4474,7 @@ class TensorBaseEngine:
         if re.search(r"(?is)\bfinal\b", q):
             q = self._rewrite_final(q)
         q = _rewrite_array_join(_preprocess_ch_clauses(q.strip()))
-        if re.search(r"(?is)\b(?:from|join)\s+(?:merge|view)\s*\(", q):
+        if re.search(r"(?is)\b(?:from|join)\s+(?:merge|view|file|url)\s*\(", q):
             q = self._rewrite_table_tf(q)
         if "{" in q:
             q = self._bind_query_params(q)

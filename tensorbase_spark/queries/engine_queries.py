@@ -2263,3 +2263,56 @@ QUERIES["engine_null_distributed"] = Query(
     engine_null_distributed, ENGINE_NULL_DIST_ORACLE,
     ("engine", "ddl", "null-engine", "distributed", "mv"),
 )
+
+
+def engine_file_url_roundtrip(spark, sf_dir):
+    """file()/url() table functions + INSERT INTO FUNCTION file (engine.py
+    _rewrite_table_tf / _INSERT_FILE_RE; upstream-CH file I/O surface —
+    the reference has INTO OUTFILE only).  Export a keyed slice of orders
+    to parquet, read it back through file() AND url('file://...') — both
+    paths must agree with recomputing from the source; EXISTS TABLE
+    rides along as a scalar."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "furl")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("furl_src")
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    p = f"{_WH}/tb_eng_furl_{sf_tag}_export"
+    eng.sql(
+        f"insert into function file('{p}', 'Parquet') "
+        "select o_orderkey as ok, o_orderstatus as st, o_totalprice as total "
+        "from furl_src where o_orderkey % 5 = 0"
+    )
+    eng.sql("create table furl_flag(x Int8)")
+    # EXISTS TABLE / CHECK TABLE are top-level verbs (like CH); their
+    # scalar results ride into the row as literals
+    exists_v = eng.sql("exists table furl_flag").collect()[0].result
+    check_v = eng.sql("check table furl_flag").collect()[0].result
+    return eng.sql(
+        f"select st, count(*) as n, round(sum(total), 2) as s, "
+        f"max(u.url_n) as url_n, "
+        f"cast({exists_v} as int) as tbl_exists, "
+        f"cast({check_v} as int) as tbl_check "
+        f"from file('{p}', 'Parquet') "
+        f"cross join (select count(*) as url_n "
+        f"            from url('file://{p}', 'Parquet')) u "
+        f"group by st"
+    )
+
+
+ENGINE_FILE_URL_ORACLE = """
+WITH sl AS (
+  SELECT o_orderstatus AS st, o_totalprice AS total FROM orders
+  WHERE o_orderkey % 5 = 0
+)
+SELECT st, count(*) AS n, round(sum(total), 2) AS s,
+       (SELECT count(*) FROM sl) AS url_n,
+       1 AS tbl_exists, 1 AS tbl_check
+FROM sl GROUP BY st
+"""
+
+
+QUERIES["engine_file_url_roundtrip"] = Query(
+    engine_file_url_roundtrip, ENGINE_FILE_URL_ORACLE,
+    ("engine", "table-function", "file", "io"),
+)

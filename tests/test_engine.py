@@ -2614,3 +2614,53 @@ def test_window_timeseries_functions(engine, spark):
         "from range(10))"
     ).collect()[0]
     assert reg.k == 3.0 and reg.b == 7.0
+
+
+def test_file_url_table_functions(engine):
+    """file()/url(file://) read all supported formats; INSERT INTO FUNCTION
+    file exports; http urls fail loudly (no network); unknown format too."""
+    engine.sql("create table ff_t (k Int64, v String)")
+    engine.sql("insert into ff_t values (1,'a'),(2,'b'),(3,'c')")
+    engine.sql(
+        "insert into function file('/tmp/tb_test_ff_parq', 'Parquet') "
+        "select k, v from ff_t"
+    )
+    assert (
+        engine.sql(
+            "select sum(k) as s from file('/tmp/tb_test_ff_parq', 'Parquet')"
+        ).collect()[0].s
+        == 6
+    )
+    engine.sql(
+        "insert into function file('/tmp/tb_test_ff_csv', 'CSVWithNames') "
+        "select k, v from ff_t where k < 3"
+    )
+    assert (
+        engine.sql(
+            "select sum(k) as s from file('/tmp/tb_test_ff_csv', "
+            "'CSVWithNames', 'k Int64, v String')"
+        ).collect()[0].s
+        == 3
+    )
+    assert (
+        engine.sql(
+            "select count(*) as n from url('file:///tmp/tb_test_ff_parq', 'Parquet')"
+        ).collect()[0].n
+        == 3
+    )
+    with pytest.raises(Exception, match="only file://"):
+        engine.sql("select 1 from url('http://x.test/a.csv', 'CSV')")
+    with pytest.raises(Exception, match="unsupported"):
+        engine.sql("select 1 from file('/tmp/tb_test_ff_parq', 'Pretty')")
+
+
+def test_exists_check_processlist(engine):
+    """EXISTS TABLE -> UInt8 result; CHECK TABLE validates parquet footers
+    metadata-only; SHOW PROCESSLIST is empty (synchronous execution)."""
+    engine.sql("create table ec_t (k Int64)")
+    engine.sql("insert into ec_t values (1),(2)")
+    assert engine.sql("exists table ec_t").collect()[0].result == 1
+    assert engine.sql("exists table nope_zz").collect()[0].result == 0
+    chk = engine.sql("check table ec_t").collect()[0]
+    assert chk.result == 1 and chk.rows == 2 and chk.files >= 1
+    assert engine.sql("show processlist").count() == 0
