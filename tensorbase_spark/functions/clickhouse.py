@@ -587,7 +587,40 @@ CH_PARAMETRIC_TEMPLATES = {
     # "up to N, N+1 means more than N")
     "uniqupto": lambda p, a: f"least(count(distinct {a[0]}), {p[0]} + 1)",
     "sequencematch": _sequence_match_tmpl,
+    # histogram(M)(x): CH's is an ADAPTIVE streaming histogram whose bin
+    # edges depend on arrival order (documented non-deterministic); the
+    # deterministic analogue is M equi-width bins over [min, max] — the
+    # same (lo, hi, height) tuple-array shape, engine-reproducible.  The
+    # M conditional sums expand inline, all inside one partial->final
+    # aggregate pass.
+    "histogram": lambda p, a: _histogram_tmpl(int(p[0].strip()), a[0]),
 }
+
+
+def _histogram_tmpl(m: int, x: str) -> str:
+    # Bin edges derive from the group's min/max, and SQL forbids an
+    # aggregate inside another aggregate's argument — so the group buffers
+    # once via collect_list and every edge/count is an array expression
+    # over that one buffer (Catalyst dedups the identical aggregate).
+    # Buffering-per-group is this dialect's accepted contract for exact
+    # order statistics (see quantileExact above); CH's adaptive histogram
+    # is likewise a per-group in-memory structure.
+    if not 1 <= m <= 64:
+        raise ValueError("histogram(M): M must be in [1, 64]")
+    arr = f"collect_list(cast({x} as double))"
+    lo, hi = f"array_min({arr})", f"array_max({arr})"
+    w = f"(({hi}) - ({lo})) / {m}.0"
+    bins = []
+    for i in range(m):
+        b_lo = f"({lo}) + {i} * ({w})"
+        b_hi = f"({lo}) + {i + 1} * ({w})"
+        upper = f"v < {b_hi}" if i < m - 1 else f"v <= ({hi})"
+        cnt = f"size(filter({arr}, v -> v >= ({b_lo}) and {upper}))"
+        bins.append(
+            f"named_struct('_1', {b_lo}, '_2', {b_hi}, "
+            f"'_3', cast({cnt} as double))"
+        )
+    return f"array({', '.join(bins)})"
 
 
 def _json_tmpl(fmt: str):

@@ -151,7 +151,8 @@ PRIORITY_HEAD = [
     "text_gopher_rules", "text_c4_clean", "text_boilerplate_lines",
     "engine_ingest_partitioned", "engine_null_distributed",
     "ch_window_timeseries", "corpus_dsir_weights",
-    "engine_file_url_roundtrip",
+    "engine_file_url_roundtrip", "metrics_binary_auc", "metrics_pr_points",
+    "ch_histogram_agg",
 ]
 
 

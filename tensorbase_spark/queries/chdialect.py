@@ -1077,3 +1077,61 @@ FROM w GROUP BY user_id ORDER BY user_id
 QUERIES["ch_window_timeseries"] = Query(
     ch_window_timeseries, CH_WINDOW_TS_ORACLE, ("dialect", "window", "timeseries")
 )
+
+
+def ch_histogram_agg(spark, sf_dir):
+    """histogram(M)(x) parametric aggregate (functions/clickhouse.py
+    _histogram_tmpl): M equi-width bins over [min, max] — the
+    deterministic analogue of CH's adaptive streaming histogram (whose
+    bin edges depend on arrival order; documented difference).  The M
+    conditional sums live in ONE partial->final aggregate pass.  Edges
+    stringify as 1e2-scaled ints (double->string formatting differs
+    between engines)."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_hist")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "arrayStringConcat(arrayMap(t -> concat("
+        "  toString(toInt64(floor(tupleElement(t, 1) * 100 + 0.5))), ':', "
+        "  toString(toInt64(floor(tupleElement(t, 2) * 100 + 0.5))), ':', "
+        "  toString(toInt64(tupleElement(t, 3)))), "
+        "histogram(8)(o_totalprice)), '|') as hist "
+        "from ord_hist group by o_orderstatus"
+    )
+
+
+def _hist_oracle() -> str:
+    piece = (
+        "CAST(CAST(floor((lo + i * w) * 100 + 0.5) AS BIGINT) AS VARCHAR) "
+        "|| ':' || "
+        "CAST(CAST(floor((lo + (i + 1) * w) * 100 + 0.5) AS BIGINT) AS VARCHAR) "
+        "|| ':' || CAST(cnt AS VARCHAR)"
+    )
+    return f"""
+WITH m AS (
+  SELECT o_orderstatus AS st, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+  FROM orders GROUP BY o_orderstatus
+), bins AS (
+  SELECT st, lo, hi, (hi - lo) / 8.0 AS w, g.i
+  FROM m CROSS JOIN generate_series(0, 7) g(i)
+), cnt AS (
+  SELECT b.st, b.i, b.lo, b.w,
+         sum(CASE WHEN o.o_totalprice >= b.lo + b.i * b.w
+                   AND (CASE WHEN b.i < 7
+                             THEN o.o_totalprice < b.lo + (b.i + 1) * b.w
+                             ELSE o.o_totalprice <= b.hi END)
+                  THEN 1 ELSE 0 END) AS cnt
+  FROM bins b JOIN orders o ON o.o_orderstatus = b.st
+  GROUP BY b.st, b.i, b.lo, b.w
+)
+SELECT st, string_agg({piece}, '|' ORDER BY i) AS hist
+FROM cnt GROUP BY st
+"""
+
+
+CH_HISTOGRAM_ORACLE = _hist_oracle()
+
+
+QUERIES["ch_histogram_agg"] = Query(
+    ch_histogram_agg, CH_HISTOGRAM_ORACLE, ("dialect", "aggregate", "histogram")
+)

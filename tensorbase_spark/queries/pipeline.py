@@ -1975,3 +1975,91 @@ QUERIES["text_c4_clean"] = Query(
 QUERIES["text_boilerplate_lines"] = Query(
     text_boilerplate_lines, TEXT_BOILERPLATE_ORACLE, ("text", "dedup", "boilerplate")
 )
+
+
+def metrics_binary_auc(spark, sf_dir):
+    """Distributed ROC-AUC (pipeline/metrics.py binary_auc): label = 'is
+    English', score = doc length — a weak-but-nonrandom classifier, so the
+    AUC must be strictly between 0 and 1 and engine-reproducible.  One
+    bounded keyed shuffle (<= bins rows); the rank-sum windows run over
+    bin counts, never rows."""
+    from tensorbase_spark.pipeline import metrics
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("double").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return metrics.binary_auc(d, bins=1000)
+
+
+METRICS_AUC_ORACLE = """
+WITH src AS (
+  SELECT CAST(n_chars AS DOUBLE) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), rng AS (
+  SELECT min(s) AS lo, max(s) AS hi FROM src
+), binned AS (
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE least(CAST(floor((s - lo) / (hi - lo) * 1000) AS BIGINT), 999)
+         END AS b, y
+  FROM src CROSS JOIN rng
+), per_bin AS (
+  SELECT b, sum(y) AS pos, sum(1 - y) AS neg FROM binned GROUP BY b
+), ranked AS (
+  SELECT b, pos, neg,
+         coalesce(sum(neg) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+  FROM per_bin
+)
+SELECT round((sum(pos * neg_below) + sum(pos * neg * 0.5))
+             / (sum(pos) * sum(neg)), 6) AS auc,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(neg) AS BIGINT) AS n_neg,
+       count(*) AS n_bins_used
+FROM ranked
+"""
+
+
+def metrics_pr_points(spark, sf_dir):
+    """Precision/recall calibration table (pipeline/metrics.py
+    precision_recall_points): same doc-length classifier, thresholds on
+    the raw char count.  Map-only conditional sums folded into ONE 1-row
+    aggregate, exploded back to a threshold table."""
+    from tensorbase_spark.pipeline import metrics
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("double").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return metrics.precision_recall_points(
+        d, thresholds=[100.0, 200.0, 300.0, 400.0]
+    )
+
+
+METRICS_PR_ORACLE = """
+WITH src AS (
+  SELECT CAST(n_chars AS DOUBLE) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), t AS (  -- DOUBLE literals: bare 100.0 is DECIMAL in DuckDB, which the
+           -- driver canonicalizer str()s as '100.0' vs float '100'
+  SELECT CAST(unnest([100.0, 200.0, 300.0, 400.0]) AS DOUBLE) AS threshold
+)
+SELECT t.threshold,
+       round(sum(CASE WHEN s >= t.threshold THEN y ELSE 0 END)
+             / greatest(sum(CASE WHEN s >= t.threshold THEN 1 ELSE 0 END), 1), 6) AS precision,
+       round(sum(CASE WHEN s >= t.threshold THEN y ELSE 0 END)
+             / greatest(sum(y), 1), 6) AS recall,
+       CAST(sum(CASE WHEN s >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM src CROSS JOIN t
+GROUP BY t.threshold
+"""
+
+
+QUERIES["metrics_binary_auc"] = Query(
+    metrics_binary_auc, METRICS_AUC_ORACLE, ("metrics", "eval")
+)
+QUERIES["metrics_pr_points"] = Query(
+    metrics_pr_points, METRICS_PR_ORACLE, ("metrics", "eval")
+)

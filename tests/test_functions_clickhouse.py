@@ -282,3 +282,22 @@ def test_enumeration_and_identity_helpers(spark):
     assert r.e == [1, 2] and r.e0 == []  # sequence(1,0) would descend
     assert r.eu == [1, 1, 2, 3]
     assert (r.lc, r.mz, r.ig, r.tn) == ("x", 7, 0, "array<int>")
+
+
+def test_histogram_equiwidth(spark):
+    """histogram(M)(x): M equi-width bins over [min,max]; heights sum to
+    the row count; last bin is max-inclusive."""
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    spark.createDataFrame(
+        [(float(v),) for v in [0, 1, 2, 3, 4, 5, 6, 7, 8]], "x double"
+    ).createOrReplaceTempView("hist_t")
+    row = eng.sql(
+        "select histogram(4)(x) as h from hist_t"
+    ).collect()[0].h
+    assert len(row) == 4
+    assert [b["_1"] for b in row] == [0.0, 2.0, 4.0, 6.0]
+    assert [b["_2"] for b in row] == [2.0, 4.0, 6.0, 8.0]
+    # 0,1 | 2,3 | 4,5 | 6,7,8 (last bin max-inclusive)
+    assert [b["_3"] for b in row] == [2.0, 2.0, 2.0, 3.0]

@@ -1276,3 +1276,37 @@ def test_dsir_importance_weights_tilt(spark):
     w = {r.doc_id: r.dsir_logw for r in out}
     assert len(w) == 20 and all(v == v for v in w.values())  # no NaNs
     assert min(w[i] for i in range(10)) > max(w[100 + i] for i in range(10))
+
+
+def test_binary_auc_exact_small(spark):
+    """AUC on a tiny hand-checkable set: perfect separation -> 1.0;
+    anti-separation -> 0.0; all-ties -> 0.5 (half credit)."""
+    from tensorbase_spark.pipeline import metrics
+
+    perfect = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], "score double, label int"
+    )
+    assert metrics.binary_auc(perfect, bins=100).collect()[0].auc == 1.0
+    inverted = spark.createDataFrame(
+        [(4.0, 0), (3.0, 0), (2.0, 1), (1.0, 1)], "score double, label int"
+    )
+    assert metrics.binary_auc(inverted, bins=100).collect()[0].auc == 0.0
+    ties = spark.createDataFrame(
+        [(1.0, 0), (1.0, 1), (1.0, 0), (1.0, 1)], "score double, label int"
+    )
+    assert metrics.binary_auc(ties, bins=100).collect()[0].auc == 0.5
+
+
+def test_precision_recall_points(spark):
+    """PR table at a threshold with known tp/fp."""
+    from tensorbase_spark.pipeline import metrics
+
+    d = spark.createDataFrame(
+        [(0.9, 1), (0.8, 0), (0.7, 1), (0.2, 1), (0.1, 0)],
+        "score double, label int",
+    )
+    r = {x.threshold: x for x in
+         metrics.precision_recall_points(d, thresholds=[0.5]).collect()}
+    assert r[0.5].n_kept == 3
+    assert abs(r[0.5].precision - 2 / 3) < 1e-6
+    assert abs(r[0.5].recall - 2 / 3) < 1e-6
