@@ -1808,6 +1808,8 @@ class TensorBaseEngine:
             return self.spark.createDataFrame(
                 [(1, nfiles, nrows)], "result: int, files: long, rows: long"
             )
+        if low.startswith(("backup table ", "restore table ")):
+            return self._backup_restore(c)
         if low.strip() == "show processlist":
             # synchronous execution: by the time a statement returns there
             # is no other in-flight query, so the list is always empty —
@@ -3130,6 +3132,82 @@ class TensorBaseEngine:
         self.spark.createDataFrame(
             self._query_log, self._QUERY_LOG_SCHEMA
         ).createOrReplaceGlobalTempView("tb_system_query_log")
+
+    def _backup_restore(self, c: str) -> DataFrame:
+        """Upstream-CH ``BACKUP TABLE t TO Disk('name', 'path')`` /
+        ``RESTORE TABLE t FROM Disk('name', 'path')`` (plain ``TO 'path'``
+        accepted too).  A backup is the table's parquet files byte-for-byte
+        plus its create script (the same pair CH snapshots: parts +
+        metadata SQL); RESTORE re-runs the stored DDL and copies the files
+        back, then MSCK-repairs so copied partition directories register.
+        File copy, never a data job — the CH contract (backups are IO,
+        not queries)."""
+        import os
+        import shutil
+
+        m = re.match(
+            r"(?is)^(?P<verb>backup|restore)\s+table\s+(?P<name>[\w.]+)\s+"
+            r"(?:to|from)\s+(?:disk\s*\(\s*'[^']*'\s*,\s*'(?P<p2>[^']+)'\s*\)"
+            r"|'(?P<p1>[^']+)')\s*$",
+            c,
+        )
+        if not m:
+            raise ValueError(f"cannot parse: {c}")
+        name = self._qualify(m.group("name"))
+        path = m.group("p2") or m.group("p1")
+        if m.group("verb").lower() == "backup":
+            loc = (
+                self.spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+                .filter("col_name = 'Location'")
+                .first()
+                .data_type.replace("file:", "")
+            )
+            if os.path.exists(path):
+                raise ValueError(
+                    f"backup target exists: {path} (CH refuses to overwrite)"
+                )
+            shutil.copytree(loc, os.path.join(path, "data"))
+            script = self._create_scripts.get(name) or self._table_props(
+                name
+            ).get("tb.create_script")
+            if not script:
+                raise ValueError(f"no create script recorded for {name}")
+            with open(os.path.join(path, "create.sql"), "w") as f:
+                f.write(script)
+            nfiles = sum(
+                len([x for x in fs if x.endswith(".parquet")])
+                for _d, _s, fs in os.walk(path)
+            )
+            return self.spark.createDataFrame(
+                [(1, nfiles, path)], "result: int, files: long, path: string"
+            )
+        # RESTORE: target table must not exist (CH contract)
+        if self.spark.catalog.tableExists(name):
+            raise ValueError(f"restore target exists: {name}")
+        with open(os.path.join(path, "create.sql")) as f:
+            script = f.read()
+        # re-point the stored DDL at the restore target name
+        script = re.sub(
+            r"(?is)^(create\s+table\s+(?:if\s+not\s+exists\s+)?)[\w.]+",
+            rf"\g<1>{name}",
+            script.strip(),
+        )
+        self.sql(script)
+        loc = (
+            self.spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+            .filter("col_name = 'Location'")
+            .first()
+            .data_type.replace("file:", "")
+        )
+        shutil.rmtree(loc, ignore_errors=True)
+        shutil.copytree(os.path.join(path, "data"), loc)
+        if self._spec_for(name) is not None:
+            self.spark.sql(f"MSCK REPAIR TABLE {name}")
+        self.spark.catalog.refreshTable(name)
+        n = self.spark.table(name).count()
+        return self.spark.createDataFrame(
+            [(1, n)], "result: int, rows: long"
+        )
 
     def _system(self, c: str) -> DataFrame:
         """Upstream-CH ``SYSTEM`` maintenance verbs (the reference has no

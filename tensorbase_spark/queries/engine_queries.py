@@ -2316,3 +2316,50 @@ QUERIES["engine_file_url_roundtrip"] = Query(
     engine_file_url_roundtrip, ENGINE_FILE_URL_ORACLE,
     ("engine", "table-function", "file", "io"),
 )
+
+
+def engine_backup_restore(spark, sf_dir):
+    """BACKUP TABLE / RESTORE TABLE (engine.py _backup_restore; upstream-CH
+    ops surface): a keyed orders slice is backed up (parquet files +
+    create script, file copy not a query), restored under a new name, and
+    the restored table must answer a partition-pruned aggregate
+    identically to recomputing from the source."""
+    import shutil
+
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "bkr")
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    bpath = f"{_WH}/tb_eng_bkr_{sf_tag}__backup"
+    shutil.rmtree(bpath, ignore_errors=True)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("bkr_src")
+    eng.sql(
+        "create table ord_bk(ok Int64, od Date, total Float64) "
+        "partition by toYYYYMM(od)"
+    )
+    eng.sql(
+        "insert into ord_bk select o_orderkey, o_orderdate, o_totalprice "
+        "from bkr_src where o_orderkey % 3 = 0"
+    )
+    eng.sql(f"backup table ord_bk to Disk('backups', '{bpath}')")
+    eng.sql("drop table ord_bk")
+    eng.sql(f"restore table ord_bk2 from '{bpath}'")
+    return eng.sql(
+        "select toYear(od) as y, count(*) as n, round(sum(total), 2) as s "
+        "from ord_bk2 where od >= '1995-01-01' group by toYear(od)"
+    )
+
+
+ENGINE_BACKUP_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS y, count(*) AS n,
+       round(sum(o_totalprice), 2) AS s
+FROM orders
+WHERE o_orderkey % 3 = 0 AND o_orderdate >= DATE '1995-01-01'
+GROUP BY year(o_orderdate)
+"""
+
+
+QUERIES["engine_backup_restore"] = Query(
+    engine_backup_restore, ENGINE_BACKUP_ORACLE,
+    ("engine", "backup", "ops"),
+)

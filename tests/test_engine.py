@@ -2664,3 +2664,30 @@ def test_exists_check_processlist(engine):
     chk = engine.sql("check table ec_t").collect()[0]
     assert chk.result == 1 and chk.rows == 2 and chk.files >= 1
     assert engine.sql("show processlist").count() == 0
+
+
+def test_backup_restore_roundtrip(engine, spark, tmp_path):
+    """BACKUP copies parquet files + create script; RESTORE re-runs the
+    DDL under the new name and re-registers partitions; existing targets
+    refuse on both sides."""
+    engine.sql(
+        "create table bk_t (k Int64, d Date) partition by toYYYYMM(d)"
+    )
+    engine.sql(
+        "insert into bk_t values (1,'2024-01-05'),(2,'2024-02-06'),(3,'2024-01-07')"
+    )
+    p = str(tmp_path / "bk1")
+    r = engine.sql(f"backup table bk_t to Disk('backups', '{p}')").collect()[0]
+    assert r.result == 1 and r.files >= 1
+    with pytest.raises(Exception, match="target exists"):
+        engine.sql(f"backup table bk_t to '{p}'")
+    r2 = engine.sql(f"restore table bk_t2 from '{p}'").collect()[0]
+    assert r2.rows == 3
+    assert (
+        engine.sql(
+            "select count(*) as n from bk_t2 where d >= '2024-02-01'"
+        ).collect()[0].n
+        == 1
+    )
+    with pytest.raises(Exception, match="restore target exists"):
+        engine.sql(f"restore table bk_t2 from '{p}'")
