@@ -545,7 +545,9 @@ def corpus_dsir_weights(spark, sf_dir):
     for.  round(·, 4) absorbs summation-order wobble; the md5 bucketing
     makes membership engine-reproducible."""
     d = load_table(spark, sf_dir, "documents")
-    out = curation.dsir_importance_weights(d, F.col("lang") == "en")
+    out = curation.dsir_importance_weights(
+        d, F.col("lang") == "en", hash_fn="md5"
+    )
     return out.select(
         "doc_id", "n_grams", F.round(F.col("dsir_logw"), 4).alias("dsir_logw")
     )
