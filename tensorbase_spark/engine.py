@@ -3271,7 +3271,8 @@ class TensorBaseEngine:
             r"|modify\s+column|modify\s+ttl|materialize\s+ttl"
             r"|add\s+projection|drop\s+projection|materialize\s+projection"
             r"|drop\s+partition|detach\s+partition|attach\s+partition"
-            r"|move\s+partition)"
+            r"|move\s+partition|modify\s+setting|reset\s+setting"
+            r"|comment\s+column|modify\s+comment)"
             r"(?:\s+(?P<rest>.+))?$",
             c,
         )
@@ -3289,6 +3290,49 @@ class TensorBaseEngine:
 
         if kind.endswith("partition"):
             return self._alter_partition(name, kind.split()[0], rest)
+
+        if kind in ("modify setting", "reset setting"):
+            # CH per-table SETTINGS mutation: stored as tb.setting.<k>
+            # TBLPROPERTIES (the same place CREATE ... SETTINGS lands);
+            # RESET clears.  Accept-and-record like session SET — settings
+            # with a Spark analogue act where they are read (bucket_by,
+            # optimize_target_file_bytes), the rest are CH storage knobs
+            # with no parquet meaning.
+            if kind == "modify setting":
+                for assign in _split_depth0(rest):
+                    sm2 = re.match(r"(?is)^\s*(\w+)\s*=\s*(.+?)\s*$", assign)
+                    if not sm2:
+                        raise ValueError(f"cannot parse SETTING: {assign!r}")
+                    k2, v2 = sm2.group(1).lower(), sm2.group(2).strip("'\"")
+                    self.spark.sql(
+                        f"ALTER TABLE {name} SET TBLPROPERTIES "
+                        f"('tb.setting.{k2}' = '{v2}')"
+                    )
+            else:
+                for k2 in [x.strip().lower() for x in rest.split(",") if x.strip()]:
+                    self.spark.sql(
+                        f"ALTER TABLE {name} UNSET TBLPROPERTIES IF EXISTS "
+                        f"('tb.setting.{k2}')"
+                    )
+            return self.spark.sql("SELECT 1 AS ok")
+
+        if kind in ("comment column", "modify comment"):
+            # CH comments: table comment / per-column comment — stored as
+            # TBLPROPERTIES so SHOW CREATE/DESC surfaces survive sessions
+            if kind == "modify comment":
+                txt = rest.strip().strip("'\"").replace("'", "''")
+                self.spark.sql(
+                    f"ALTER TABLE {name} SET TBLPROPERTIES ('comment' = '{txt}')"
+                )
+            else:
+                cm2 = re.match(r"(?is)^(\w+)\s+'((?:[^']|'')*)'\s*$", rest)
+                if not cm2:
+                    raise ValueError(f"cannot parse COMMENT COLUMN: {rest!r}")
+                self.spark.sql(
+                    f"ALTER TABLE {name} SET TBLPROPERTIES "
+                    f"('tb.comment.{cm2.group(1)}' = '{cm2.group(2)}')"
+                )
+            return self.spark.sql("SELECT 1 AS ok")
 
         if kind == "modify ttl":
             if not rest:

@@ -2691,3 +2691,37 @@ def test_backup_restore_roundtrip(engine, spark, tmp_path):
     )
     with pytest.raises(Exception, match="restore target exists"):
         engine.sql(f"restore table bk_t2 from '{p}'")
+
+
+def test_modify_setting_and_comments(engine, spark):
+    """ALTER TABLE MODIFY/RESET SETTING stores per-table knobs as
+    tb.setting.* props; COMMENT COLUMN / MODIFY COMMENT persist comments."""
+    engine.sql("create table ms_t (k Int64, v String)")
+    engine.sql(
+        "alter table ms_t modify setting index_granularity = 8192, "
+        "ttl_only_drop_parts = 1"
+    )
+    engine.sql("alter table ms_t comment column v 'the payload'")
+    engine.sql("alter table ms_t modify comment 'audit table'")
+    db = spark.catalog.currentDatabase()
+    props = {
+        r.key: r.value
+        for r in spark.sql(f"SHOW TBLPROPERTIES {db}.ms_t").collect()
+    }
+    assert props["tb.setting.index_granularity"] == "8192"
+    assert props["tb.comment.v"] == "the payload"
+    # 'comment' is a reserved property: Spark surfaces it as the table
+    # Comment in DESCRIBE EXTENDED rather than in SHOW TBLPROPERTIES
+    cmt = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {db}.ms_t")
+        .filter("col_name = 'Comment'")
+        .collect()
+    )
+    assert cmt and cmt[0].data_type == "audit table"
+    engine.sql("alter table ms_t reset setting index_granularity")
+    props = {
+        r.key: r.value
+        for r in spark.sql(f"SHOW TBLPROPERTIES {db}.ms_t").collect()
+    }
+    assert "tb.setting.index_granularity" not in props
+    assert props["tb.setting.ttl_only_drop_parts"] == "1"
