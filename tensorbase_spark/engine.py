@@ -1087,6 +1087,43 @@ def translate_sql(sql: str) -> str:
                     out.append(f"{stem_sql} filter (where {args[-1]})")
                     i = j
                     continue
+            # Generic -Distinct / -OrNull / -OrDefault combinators, same
+            # peel-the-suffix scheme as -If (they compose on every CH
+            # aggregate).  Spark semantics already match for -OrNull on
+            # sum/avg/min/max (empty set -> NULL); count's 0 is the one
+            # divergence, handled via nullif.  -OrDefault fills the type
+            # default (0) — CH's documented behavior for numeric aggs.
+            if tmpl is None and args and re.search(
+                r"(?i)(distinct|ornull|ordefault)$", name
+            ):
+                sfx = re.search(r"(?i)(distinct|ornull|ordefault)$", name)
+                stem = name[: -len(sfx.group(1))]
+                known = stem.lower() in CH_SQL_TEMPLATES or stem.lower() in (
+                    "count", "sum", "avg", "min", "max", "stddev", "corr",
+                )
+                if known:
+                    kind2 = sfx.group(1).lower()
+                    if kind2 == "distinct":
+                        inner2 = translate_sql(", ".join(args))
+                        stem_sql = translate_sql(f"{stem}(__D__)").replace(
+                            "__D__", f"distinct {inner2}"
+                        )
+                        # uniq*-style stems already emit DISTINCT — the
+                        # combinator is then a no-op (CH semantics)
+                        stem_sql = re.sub(
+                            r"(?i)distinct\s+distinct", "distinct", stem_sql
+                        )
+                        out.append(stem_sql)
+                    else:
+                        stem_sql = translate_sql(f"{stem}({', '.join(args)})")
+                        if stem.lower() == "count":
+                            stem_sql = f"nullif({stem_sql}, 0)"
+                        if kind2 == "ornull":
+                            out.append(stem_sql)
+                        else:
+                            out.append(f"coalesce({stem_sql}, 0)")
+                    i = j
+                    continue
             # range() is both Spark's table function (FROM range(n)) and
             # ClickHouse's scalar array generator; only the scalar position
             # takes the CH rewrite

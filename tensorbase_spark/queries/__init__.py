@@ -152,7 +152,7 @@ PRIORITY_HEAD = [
     "engine_ingest_partitioned", "engine_null_distributed",
     "ch_window_timeseries", "corpus_dsir_weights",
     "engine_file_url_roundtrip", "metrics_binary_auc", "metrics_pr_points",
-    "ch_histogram_agg", "engine_backup_restore",
+    "ch_histogram_agg", "engine_backup_restore", "ch_combinators2",
 ]
 
 

@@ -1135,3 +1135,38 @@ CH_HISTOGRAM_ORACLE = _hist_oracle()
 QUERIES["ch_histogram_agg"] = Query(
     ch_histogram_agg, CH_HISTOGRAM_ORACLE, ("dialect", "aggregate", "histogram")
 )
+
+
+def ch_combinators2(spark, sf_dir):
+    """Generic -Distinct / -OrNull / -OrDefault combinator peeling
+    (engine.py translate_sql — same suffix scheme as -If, composing on
+    every known aggregate without per-name entries): sumDistinct,
+    avgDistinct, minOrNull/countOrNull over an empty-by-filter subset
+    (NULL, not 0), maxOrDefault (type default 0)."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_cb2")
+    return eng.sql(
+        "select l_returnflag as rf, "
+        "sumDistinct(l_quantity) as sd, "
+        "round(avgDistinct(l_quantity), 4) as ad, "
+        "countOrNull(if(l_quantity > 1e9, 1, null)) as cn, "
+        "minOrNull(if(l_quantity > 1e9, l_quantity, null)) as mn, "
+        "maxOrDefault(if(l_quantity > 1e9, l_quantity, null)) as md "
+        "from li_cb2 group by l_returnflag"
+    )
+
+
+CH_COMBINATORS2_ORACLE = """
+SELECT l_returnflag AS rf,
+       sum(DISTINCT l_quantity) AS sd,
+       round(avg(DISTINCT l_quantity), 4) AS ad,
+       nullif(count(CASE WHEN l_quantity > 1e9 THEN 1 END), 0) AS cn,
+       min(CASE WHEN l_quantity > 1e9 THEN l_quantity END) AS mn,
+       coalesce(max(CASE WHEN l_quantity > 1e9 THEN l_quantity END), 0) AS md
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+QUERIES["ch_combinators2"] = Query(
+    ch_combinators2, CH_COMBINATORS2_ORACLE, ("dialect", "combinators")
+)

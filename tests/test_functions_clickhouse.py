@@ -301,3 +301,30 @@ def test_histogram_equiwidth(spark):
     assert [b["_2"] for b in row] == [2.0, 4.0, 6.0, 8.0]
     # 0,1 | 2,3 | 4,5 | 6,7,8 (last bin max-inclusive)
     assert [b["_3"] for b in row] == [2.0, 2.0, 2.0, 3.0]
+
+
+def test_generic_suffix_combinators(spark):
+    """-Distinct / -OrNull / -OrDefault peel like -If: sum/avg/min/max/
+    count stems and template stems compose; uniq* + Distinct is a no-op;
+    count's 0-on-empty diverges from CH's NULL -> nullif handles it."""
+    from tensorbase_spark.engine import TensorBaseEngine, translate_sql
+
+    out = translate_sql(
+        "select sumDistinct(x), countOrNull(y), maxOrDefault(z) from t"
+    )
+    assert "sum(distinct x)" in out
+    assert "nullif(count(y), 0)" in out
+    assert "coalesce(max(z), 0)" in out
+    eng = TensorBaseEngine(spark)
+    spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 2.0)], "k int, v double"
+    ).createOrReplaceTempView("cmb_t")
+    assert eng.sql("select sumDistinct(v) as s from cmb_t").collect()[0].s == 3.0
+    r = eng.sql(
+        "select countOrNull(v) as cn, maxOrDefault(v) as md "
+        "from cmb_t where v > 99"
+    ).collect()[0]
+    assert r.cn is None and r.md == 0.0
+    assert eng.sql(
+        "select uniqExactDistinct(k) as u from cmb_t"
+    ).collect()[0].u == 2
