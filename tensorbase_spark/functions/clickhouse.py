@@ -607,20 +607,29 @@ def _histogram_tmpl(m: int, x: str) -> str:
     # is likewise a per-group in-memory structure.
     if not 1 <= m <= 64:
         raise ValueError("histogram(M): M must be in [1, 64]")
-    arr = f"collect_list(cast({x} as double))"
-    lo, hi = f"array_min({arr})", f"array_max({arr})"
+    # The buffer must be aggregated ONCE: M textual collect_list copies
+    # each became their own aggregate buffer (measured: minutes at 150k
+    # rows/group).  Binding it through a 1-element transform lambda —
+    # transform(array(collect_list(x)), arr -> <M bins over arr>)[1] —
+    # names the single buffer `arr`, so every bin references the lambda
+    # variable, zero re-aggregation.  min/max are cheap native aggregates
+    # (Catalyst dedups identical ones) and stay outside.
+    lo, hi = f"min(cast({x} as double))", f"max(cast({x} as double))"
     w = f"(({hi}) - ({lo})) / {m}.0"
     bins = []
     for i in range(m):
         b_lo = f"({lo}) + {i} * ({w})"
         b_hi = f"({lo}) + {i + 1} * ({w})"
         upper = f"v < {b_hi}" if i < m - 1 else f"v <= ({hi})"
-        cnt = f"size(filter({arr}, v -> v >= ({b_lo}) and {upper}))"
+        cnt = f"size(filter(arr, v -> v >= ({b_lo}) and {upper}))"
         bins.append(
             f"named_struct('_1', {b_lo}, '_2', {b_hi}, "
             f"'_3', cast({cnt} as double))"
         )
-    return f"array({', '.join(bins)})"
+    return (
+        f"element_at(transform(array(collect_list(cast({x} as double))), "
+        f"arr -> array({', '.join(bins)})), 1)"
+    )
 
 
 def _json_tmpl(fmt: str):
