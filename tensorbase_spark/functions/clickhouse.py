@@ -1316,8 +1316,35 @@ CH_SQL_TEMPLATES.update(
         # untuple(t): expand a tuple/struct into its fields (select-list
         # position; works for column references, CH's common use)
         "untuple": "{0}.*",
+        # bar(x, min, max[, width=80]): unicode bar with eighth-block
+        # fractional tail — CH's exact glyph set; pure string expression
+        "bar": lambda args: _bar_sql(args),
+        "formatreadablequantity": (
+            "(case"
+            " when abs({0}) >= 1e9 then concat(cast(round({0} / 1e9, 2) as string), ' billion')"
+            " when abs({0}) >= 1e6 then concat(cast(round({0} / 1e6, 2) as string), ' million')"
+            " when abs({0}) >= 1e3 then concat(cast(round({0} / 1e3, 2) as string), ' thousand')"
+            " else cast(round(cast({0} as double), 2) as string) end)"
+        ),
     }
 )
+
+
+def _bar_sql(args: list[str]) -> str:
+    if len(args) < 3:
+        raise ValueError("bar(x, min, max[, width])")
+    x, lo, hi = args[0], args[1], args[2]
+    w = args[3] if len(args) > 3 else "80"
+    frac = (
+        f"greatest(least((cast({x} as double) - ({lo})) / "
+        f"nullif(cast(({hi}) - ({lo}) as double), 0.0), 1.0), 0.0)"
+    )
+    units = f"cast(floor({frac} * ({w}) * 8) as int)"
+    return (
+        f"concat(repeat('█', cast(({units}) / 8 as int)), "
+        f"case when ({units}) % 8 > 0 "
+        f"then substring('▏▎▍▌▋▊▉', ({units}) % 8, 1) else '' end)"
+    )
 
 # topK(k)(x): CH's is an approximate space-saving sketch; this is the
 # EXACT superset — most-frequent k elements, ties by value, as an array

@@ -328,3 +328,27 @@ def test_generic_suffix_combinators(spark):
     assert eng.sql(
         "select uniqExactDistinct(k) as u from cmb_t"
     ).collect()[0].u == 2
+
+
+def test_bar_and_readable_quantity(spark):
+    """bar() draws CH's full+eighth block glyphs; clamps outside [min,max];
+    formatReadableQuantity picks thousand/million/billion units."""
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    rows = eng.sql(
+        "select bar(5, 0, 10, 4) as half, bar(10, 0, 10, 4) as full, "
+        "bar(-3, 0, 10, 4) as clamp0, bar(99, 0, 10, 4) as clamp1, "
+        "bar(1, 0, 16, 4) as half_block, "
+        "formatReadableQuantity(1234567) as m, "
+        "formatReadableQuantity(1500) as k, "
+        "formatReadableQuantity(12) as plain"
+    ).collect()[0]
+    assert rows.half == "██"
+    assert rows.full == "████"
+    assert rows.clamp0 == ""
+    assert rows.clamp1 == "████"
+    assert rows.half_block == "▎"  # 2 of 8 eighths -> quarter block
+    assert rows.m == "1.23 million"
+    assert rows.k == "1.5 thousand"
+    assert rows.plain == "12.0"
