@@ -586,3 +586,128 @@ GROUP BY doc_id
 QUERIES["corpus_dsir_weights"] = Query(
     corpus_dsir_weights, CORPUS_DSIR_ORACLE, ("corpus", "curation", "dsir")
 )
+
+
+def corpus_classifier_loop(spark, sf_dir):
+    """Model-in-the-loop curation flagship — the loop a real corpus run
+    iterates, composed from this round's operators in ONE declarative
+    plan (no Python anywhere):
+
+    score (quality_factors expression inline) → VALIDATE the scorer
+    (pipeline/metrics.py binary_auc against the is-English label — the
+    AUC rides into the report as a broadcast scalar, never a collect) →
+    gate at a fixed quality threshold → DSIR-reweight the survivors
+    toward the English slice (md5 buckets, engine-reproducible) →
+    global top-100 by importance (orderBy+limit = TakeOrderedAndProject,
+    never a full sort) → per-source selection report.
+
+    Shuffle census: 1 bounded (≤bins) for the AUC, 2 for DSIR (bucket
+    fit + per-doc sum over the persisted features), 1 top-k, 1 report
+    group-by — every data-sized stage map-side before its shuffle."""
+    from tensorbase_spark.pipeline import curation, metrics
+    from tensorbase_spark.pipeline.text import quality_factors
+
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_factors()
+    scored = d.select(
+        "doc_id", "source", "lang", "text",
+        F.round(q["quality"], 6).alias("quality"),
+    )
+    auc = metrics.binary_auc(
+        scored.select(
+            F.col("quality").alias("score"),
+            (F.col("lang") == "en").cast("int").alias("label"),
+        ),
+        bins=1000,
+    ).select("auc")
+    kept = scored.filter(F.col("quality") >= 0.45)
+    weighted = curation.dsir_importance_weights(
+        kept, F.col("lang") == "en", hash_fn="md5"
+    )
+    top = (
+        weighted.join(kept.select("doc_id", "source"), "doc_id")
+        .orderBy(F.col("dsir_logw").desc(), "doc_id")
+        .limit(100)
+    )
+    return (
+        top.groupBy("source")
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.round(F.avg("dsir_logw"), 4).alias("avg_logw"),
+        )
+        .crossJoin(F.broadcast(auc))
+        .select("source", "n_selected", "avg_logw", "auc")
+    )
+
+
+CORPUS_CLASSIFIER_LOOP_ORACLE = r"""
+WITH scored AS (
+  SELECT doc_id, source, lang, text,
+         round(0.4 * least(1.0, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0)
+             + 0.3 * (CAST(len(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS DOUBLE)
+                      / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0))
+             + 0.3 * least(1.0, CAST(len(list_intersect(
+                     list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> '')),
+                     ['the','a','of','and','is','to','in','that'])) AS DOUBLE) / 3.0), 6) AS quality
+  FROM documents
+), rng AS (
+  SELECT min(quality) AS lo, max(quality) AS hi FROM scored
+), binned AS (
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE least(CAST(floor((quality - lo) / (hi - lo) * 1000) AS BIGINT), 999)
+         END AS b,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM scored CROSS JOIN rng
+), per_bin AS (
+  SELECT b, sum(y) AS pos, sum(1 - y) AS neg FROM binned GROUP BY b
+), ranked AS (
+  SELECT pos, neg,
+         coalesce(sum(neg) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+  FROM per_bin
+), auc AS (
+  SELECT round((sum(pos * neg_below) + sum(pos * neg * 0.5))
+               / (sum(pos) * sum(neg)), 6) AS auc
+  FROM ranked
+), kept AS (
+  SELECT doc_id, source, lang, text FROM scored WHERE quality >= 0.45
+), words AS (
+  SELECT doc_id, source, lang,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM kept
+), grams AS (
+  SELECT doc_id, source, lang,
+         unnest(w || list_transform(w[1:greatest(len(w)-1, 0)],
+                                    (x, i) -> x || ' ' || w[i+1])) AS gram
+  FROM words
+), bk AS (
+  SELECT doc_id, source, lang,
+         ('0x' || substr(md5(gram), 1, 8))::BIGINT % 10000 AS b
+  FROM grams
+), raw_ct AS (
+  SELECT b, count(*) AS cr,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+  FROM bk GROUP BY b
+), tot AS (
+  SELECT sum(cr) AS tr, sum(ct) AS tt FROM raw_ct
+), ratio AS (
+  SELECT b, ln((ct + 1.0) / (tt + 10000.0)) - ln((cr + 1.0) / (tr + 10000.0)) AS lr
+  FROM raw_ct CROSS JOIN tot
+), weighted AS (
+  SELECT doc_id, any_value(source) AS source, sum(lr) AS dsir_logw
+  FROM bk JOIN ratio USING (b)
+  GROUP BY doc_id
+), top AS (
+  SELECT * FROM weighted ORDER BY dsir_logw DESC, doc_id LIMIT 100
+)
+SELECT source, count(*) AS n_selected,
+       round(avg(dsir_logw), 4) AS avg_logw,
+       (SELECT auc FROM auc) AS auc
+FROM top GROUP BY source
+"""
+
+
+QUERIES["corpus_classifier_loop"] = Query(
+    corpus_classifier_loop, CORPUS_CLASSIFIER_LOOP_ORACLE,
+    ("corpus", "curation", "flagship", "metrics", "dsir"),
+)
