@@ -573,8 +573,13 @@ def _replace_ident_outside_subqueries(sql: str, ident: str, repl: str) -> str:
     """Replace bare (unqualified, non-call) references to ``ident`` with
     ``repl`` everywhere except inside string literals and inside
     subqueries — ClickHouse's unaliased ``ARRAY JOIN arr`` shadows the
-    array column ``arr`` throughout the enclosing query only."""
-    pat = re.compile(rf"(?is)(?<![\w.$]){re.escape(ident)}(?![\w.$])(?!\s*\()")
+    array column ``arr`` throughout the enclosing query only.
+
+    A trailing ``.field`` is allowed to follow (and keeps following) the
+    rewritten name: ``ARRAY JOIN n`` over a Nested column must rebind
+    ``n.url`` to the exploded element's struct field (CH scoping); a
+    TABLE-alias-qualified ``t.n`` stays untouched via the lookBEHIND."""
+    pat = re.compile(rf"(?is)(?<![\w.$]){re.escape(ident)}(?![\w$])(?!\s*\()")
     out, i, n = [], 0, len(sql)
     while i < n:
         ch = sql[i]
@@ -1567,7 +1572,15 @@ class TensorBaseEngine:
     def _table_props(self, qualified: str) -> dict:
         """tb.* properties of a MANAGED engine table; {} for temp views /
         missing tables without going through a failing (and noisily logged)
-        SHOW TBLPROPERTIES analysis."""
+        SHOW TBLPROPERTIES analysis.
+
+        Read through the JVM catalog metadata, NOT ``SHOW TBLPROPERTIES``:
+        the SQL command redacts any property whose key OR value matches
+        ``spark.sql.redaction.options.regex`` (default ``(?i)url``) — a
+        column literally NAMED ``url`` in ``tb.columns`` came back as
+        ``*********(redacted)`` and silently broke insert typing, DESC and
+        partition-spec recovery.  The engine's own metadata is not a
+        credential; the redacted SQL surface remains for users."""
         try:
             t = self.spark.catalog.getTable(qualified)
         except Exception:
@@ -1575,6 +1588,27 @@ class TensorBaseEngine:
         if (t.tableType or "").upper() not in ("MANAGED", "EXTERNAL"):
             return {}
         try:
+            jvm = self.spark.sparkContext._jvm
+            db, _, tbl = qualified.rpartition(".")
+            if not db:
+                db = self.spark.catalog.currentDatabase()
+            ident = jvm.org.apache.spark.sql.catalyst.TableIdentifier(
+                tbl, jvm.scala.Option.apply(db)
+            )
+            meta = (
+                self.spark._jsparkSession.sessionState()
+                .catalog()
+                .getTableMetadata(ident)
+            )
+            it = meta.properties().iterator()
+            out: dict = {}
+            while it.hasNext():
+                kv = it.next()
+                out[kv._1()] = kv._2()
+            return out
+        except Exception:
+            pass
+        try:  # fallback: the (redaction-subject) SQL surface
             rows = self.spark.sql(f"SHOW TBLPROPERTIES {qualified}").collect()
         except Exception:
             return {}
@@ -3910,6 +3944,50 @@ class TensorBaseEngine:
         bql_cols = self._bql_cols_for(name)
 
         targets = subset or [f.name for f in schema]
+        nested = {
+            n: p.nested_fields for n, p in bql_cols.items() if p.nested_fields
+        }
+        if (
+            not subset
+            and nested
+            and len(src.columns)
+            == len(targets) + sum(len(v) - 1 for v in nested.values())
+        ):
+            # CH flattened-insert shape for Nested columns: one ARRAY per
+            # subcolumn, in declaration order.  Zip each group into the
+            # array<struct> storage column, enforcing CH's equal-lengths
+            # rule in-plan (same guard style as FixedString/Enum).
+            from functools import reduce as _reduce
+
+            tmp = src.toDF(*[f"__c{i}" for i in range(len(src.columns))])
+            sel0, i0 = [], 0
+            for f in schema:
+                nf = nested.get(f.name)
+                if not nf:
+                    sel0.append(F.col(f"__c{i0}").alias(f.name))
+                    i0 += 1
+                    continue
+                subs = [F.col(f"__c{i0 + j}") for j in range(len(nf))]
+                i0 += len(nf)
+                same_len = _reduce(
+                    lambda a, b: a & b,
+                    [F.size(s2) == F.size(subs[0]) for s2 in subs[1:]],
+                    F.lit(True),
+                )
+                z = F.arrays_zip(*[s2.alias(fn) for s2, fn in zip(subs, nf)])
+                sel0.append(
+                    F.when(same_len, z)
+                    .otherwise(
+                        F.raise_error(
+                            F.lit(
+                                f"Nested column {f.name}: subcolumn arrays "
+                                "must have equal lengths (CH contract)"
+                            )
+                        )
+                    )
+                    .alias(f.name)
+                )
+            src = tmp.select(*sel0)
         if len(src.columns) != len(targets):
             raise ValueError(
                 f"INSERT column count {len(src.columns)} != target {len(targets)}"

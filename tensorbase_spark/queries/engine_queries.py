@@ -2363,3 +2363,59 @@ QUERIES["engine_backup_restore"] = Query(
     engine_backup_restore, ENGINE_BACKUP_ORACLE,
     ("engine", "backup", "ops"),
 )
+
+
+def engine_nested_type(spark, sf_dir):
+    """Nested(a T, b U) column type (types.py _NESTED_RE; CH's
+    table-in-a-cell).  Storage is ONE array<struct> column — `items.pk`
+    extracts Array(T) and ARRAY JOIN items explodes to lockstep scalars,
+    both exactly CH's read surface; inserts arrive CH-style as
+    per-subcolumn arrays and zip at the write boundary with the
+    equal-lengths guard.  Line items nest under their order, then ARRAY
+    JOIN must reconstitute the source aggregates exactly."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "nst")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("nst_src")
+    eng.sql(
+        "create table ord_n(ok Int64, items Nested(pk Int64, qty Float64))"
+    )
+    eng.sql(
+        # ONE sorted tuple array feeds both subcolumns — sorting pk and qty
+        # independently would mis-pair them wherever the first sort key
+        # duplicates (CH inserts also supply pre-aligned arrays)
+        "insert into ord_n select l_orderkey, "
+        "arrayMap(t -> tupleElement(t, 2), "
+        "  arraySort(groupArray(tuple(l_linenumber, l_partkey, l_quantity)))), "
+        "arrayMap(t -> tupleElement(t, 3), "
+        "  arraySort(groupArray(tuple(l_linenumber, l_partkey, l_quantity)))) "
+        "from nst_src where l_orderkey % 7 = 0 group by l_orderkey"
+    )
+    return eng.sql(
+        "select items.pk % 10 as grp, count(*) as n, "
+        "round(sum(items.qty), 1) as sq, "
+        "max((select cast(size(items) as bigint) from ord_n "
+        "     order by ok limit 1)) as first_width "
+        "from ord_n array join items "
+        "group by items.pk % 10"
+    )
+
+
+ENGINE_NESTED_ORACLE = """
+WITH w AS (
+  SELECT CAST(count(*) AS BIGINT) AS first_width FROM lineitem
+  WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem
+                      WHERE l_orderkey % 7 = 0)
+)
+SELECT l_partkey % 10 AS grp, count(*) AS n,
+       round(sum(l_quantity), 1) AS sq,
+       (SELECT first_width FROM w) AS first_width
+FROM lineitem WHERE l_orderkey % 7 = 0
+GROUP BY l_partkey % 10
+"""
+
+
+QUERIES["engine_nested_type"] = Query(
+    engine_nested_type, ENGINE_NESTED_ORACLE,
+    ("engine", "types", "nested"),
+)

@@ -74,6 +74,7 @@ _ARRAY_RE = re.compile(r"(?i)^array\s*\((.*)\)$", re.DOTALL)
 _MAP_RE = re.compile(r"(?i)^map\s*\((.*)\)$", re.DOTALL)
 _TUPLE_RE = re.compile(r"(?i)^tuple\s*\((.*)\)$", re.DOTALL)
 _ENUM_RE = re.compile(r"(?i)^enum(?:8|16)?\s*\((.*)\)$", re.DOTALL)
+_NESTED_RE = re.compile(r"(?i)^nested\s*\((.*)\)$", re.DOTALL)
 _CODEC_RE = re.compile(r"(?is)\s+codec\s*\(.*\)\s*$")
 
 
@@ -117,6 +118,7 @@ class ParsedType:
     tz: str | None = None  # DateTime('TZ') display timezone
     enum_values: tuple | None = None  # Enum8/16 allowed strings, enforced on write
     agg_fn: str | None = None  # AggregateFunction(fn, ...) column's fn name
+    nested_fields: tuple | None = None  # Nested(...) subcolumn names, insert-zip
 
 
 def parse_bql_type(name: str) -> ParsedType:
@@ -191,6 +193,36 @@ def parse_bql_type(name: str) -> ParsedType:
             raise ValueError(f"Map needs exactly (K, V): {name}")
         k, v = parse_bql_type(parts[0]), parse_bql_type(parts[1])
         return ParsedType(T.MapType(k.spark_type, v.spark_type, True))
+
+    m = _NESTED_RE.match(s)
+    if m:
+        # Nested(a T, b U) — CH's table-in-a-cell.  CH physically flattens
+        # it to parallel `n.a Array(T)` columns with per-row equal lengths;
+        # the Spark-native equivalent carrying the SAME query surface is
+        # ONE array<struct<...>> column: `n.a` extracts array<T> (Spark
+        # resolves field access over arrays of structs), ARRAY JOIN n
+        # explodes to per-element rows where n.a is the scalar field —
+        # both exactly CH's read semantics.  Inserts arrive CH-style as
+        # per-subcolumn arrays and zip at the write boundary
+        # (engine.insert_df), where equal lengths are enforced like CH.
+        fields = []
+        subnames = []
+        for part in _split_commas(m.group(1)):
+            nm = re.match(r"(?i)^(?P<fname>[a-z_]\w*)\s+(?P<ftyp>.+)$", part)
+            if not nm:
+                raise ValueError(f"cannot parse Nested element: {part!r}")
+            fields.append(
+                T.StructField(
+                    nm.group("fname"),
+                    parse_bql_type(nm.group("ftyp")).spark_type,
+                    True,
+                )
+            )
+            subnames.append(nm.group("fname"))
+        return ParsedType(
+            T.ArrayType(T.StructType(fields), True),
+            nested_fields=tuple(subnames),
+        )
 
     m = _TUPLE_RE.match(s)
     if m:

@@ -2725,3 +2725,25 @@ def test_modify_setting_and_comments(engine, spark):
     }
     assert "tb.setting.index_granularity" not in props
     assert props["tb.setting.ttl_only_drop_parts"] == "1"
+
+
+def test_nested_column_end_to_end(engine):
+    """Nested(a, b): CH flattened insert zips into array<struct>; n.a
+    extracts arrays; ARRAY JOIN n gives lockstep scalars (n.a rebinds to
+    the exploded element's field); unequal subarray lengths refuse."""
+    engine.sql("create table nv (uid Int64, g Nested(url String, dur Int64))")
+    engine.sql(
+        "insert into nv values (1, array('a','b'), array(10, 20)), "
+        "(2, array('c'), array(5))"
+    )
+    rows = engine.sql(
+        "select uid, g.url as u, g.dur as d from nv array join g "
+        "order by uid, u"
+    ).collect()
+    assert [(r.uid, r.u, r.d) for r in rows] == [
+        (1, "a", 10), (1, "b", 20), (2, "c", 5)
+    ]
+    arr = engine.sql("select g.url as urls from nv where uid = 1").collect()[0]
+    assert arr.urls == ["a", "b"]
+    with pytest.raises(Exception, match="equal lengths"):
+        engine.sql("insert into nv values (3, array('x'), array(1, 2))")

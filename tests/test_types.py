@@ -112,3 +112,13 @@ def test_touint64_widens_to_decimal20(spark):
     df = spark.sql(translate_sql("select toUInt64(9223372036854775807) as u"))
     assert dict(df.dtypes)["u"] == "decimal(20,0)"
     assert int(df.collect()[0].u) == 9223372036854775807
+
+
+def test_nested_type_mapping():
+    """Nested(a T, b U) -> array<struct<a,b>> with subfield names recorded
+    for the insert-zip boundary."""
+    from tensorbase_spark.types import parse_bql_type
+
+    p = parse_bql_type("Nested(url String, dur Int64)")
+    assert p.spark_type.simpleString() == "array<struct<url:string,dur:bigint>>"
+    assert p.nested_fields == ("url", "dur")
