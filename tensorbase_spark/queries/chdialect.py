@@ -1170,3 +1170,54 @@ FROM lineitem GROUP BY l_returnflag
 QUERIES["ch_combinators2"] = Query(
     ch_combinators2, CH_COMBINATORS2_ORACLE, ("dialect", "combinators")
 )
+
+
+def ch_everyday_funcs6(spark, sf_dir):
+    """Sixth everyday tier: bar() unicode bars (CH's eighth-block glyph
+    set, clamped), formatReadableQuantity units, simpleLinearRegression
+    tuple elements over group aggregates — all deterministic string/
+    moment expressions, value-hashed against DuckDB reproducing the same
+    glyph math."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e6")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "bar(count(*), 0, (select count(*) from ord_e6), 20) as share_bar, "
+        "formatReadableQuantity(round(sum(o_totalprice), 0)) as s_readable, "
+        "round(tupleElement(simpleLinearRegression("
+        "  o_orderkey % 1000, o_totalprice), 1), 6) as k_fit "
+        "from ord_e6 group by o_orderstatus"
+    )
+
+
+CH_EVERYDAY6_ORACLE = """
+WITH tot AS (SELECT count(*) AS n FROM orders),
+g AS (
+  SELECT o_orderstatus AS st, count(*) AS cnt,
+         round(sum(o_totalprice), 0) AS s,
+         covar_pop(o_orderkey % 1000, o_totalprice)
+           / var_pop(o_orderkey % 1000) AS k
+  FROM orders GROUP BY o_orderstatus
+), u AS (
+  SELECT st, cnt, s, k,
+         CAST(floor(greatest(least(CAST(cnt AS DOUBLE) / n, 1.0), 0.0)
+                    * 20 * 8) AS BIGINT) AS units
+  FROM g CROSS JOIN tot
+)
+SELECT st,
+       repeat('█', CAST(units // 8 AS INT))
+         || CASE WHEN units % 8 > 0
+                 THEN substring('▏▎▍▌▋▊▉', CAST(units % 8 AS INT), 1)
+                 ELSE '' END AS share_bar,
+       CASE WHEN abs(s) >= 1e9 THEN CAST(round(s / 1e9, 2) AS VARCHAR) || ' billion'
+            WHEN abs(s) >= 1e6 THEN CAST(round(s / 1e6, 2) AS VARCHAR) || ' million'
+            WHEN abs(s) >= 1e3 THEN CAST(round(s / 1e3, 2) AS VARCHAR) || ' thousand'
+            ELSE CAST(round(CAST(s AS DOUBLE), 2) AS VARCHAR) END AS s_readable,
+       round(k, 6) AS k_fit
+FROM u
+"""
+
+
+QUERIES["ch_everyday_funcs6"] = Query(
+    ch_everyday_funcs6, CH_EVERYDAY6_ORACLE, ("dialect", "functions")
+)
