@@ -119,6 +119,13 @@ def engine(spark):
 
 @pytest.mark.parametrize("script", SCRIPTS)
 def test_sql_script(engine, script):
+    # scripts may export/backup under /tmp/tb_sqs_*; BACKUP refuses to
+    # overwrite (CH contract), so a prior run's leftovers must go first
+    import glob as _glob
+    import shutil as _shutil
+
+    for p in _glob.glob("/tmp/tb_sqs_*"):
+        _shutil.rmtree(p, ignore_errors=True)
     n = run_script(engine, SCRIPT_DIR / script)
     assert n > 0
 
