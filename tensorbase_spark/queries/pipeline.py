@@ -2063,3 +2063,82 @@ QUERIES["metrics_binary_auc"] = Query(
 QUERIES["metrics_pr_points"] = Query(
     metrics_pr_points, METRICS_PR_ORACLE, ("metrics", "eval")
 )
+
+
+def text_html_extract(spark, sf_dir):
+    """HTML boilerplate stripping (pipeline/text.py html_to_text) over
+    documents wrapped in deterministic synthetic HTML (head+script blocks,
+    paragraph structure from sentence breaks, a comment, entities) — the
+    oracle reproduces the identical wrap and the same RE2-compatible
+    regex chain, so the extraction is value-checked end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    wrapped = d.withColumn(
+        "text",
+        F.expr(
+            "concat('<html><head><title>d</title>"
+            "<script>var x = 1 < 2;</script>"
+            "<style>p { color: red }</style></head><body><h1>Doc ', "
+            "cast(doc_id as string), "
+            "'</h1><p>', replace(text, ' the ', '</p><p>'), "
+            "'</p><!-- crawler: &amp; -->'"
+            ", '<div>tail &lt;EOF&gt;</div></body></html>')"
+        ),
+    )
+    out = text.html_to_text(wrapped)
+    return out.select(
+        "doc_id",
+        "n_clean_chars",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+def _html_oracle() -> str:
+    """Build the DuckDB regex chain PROGRAMMATICALLY in the exact order of
+    pipeline/text.py html_to_text — hand-nesting 14 calls is how paren
+    bugs happen."""
+    expr = "html"
+    for blk in ("script", "style", "head", "noscript"):
+        expr = f"regexp_replace({expr}, '(?is)<{blk}[^>]*>.*?</{blk}>', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '(?s)<!--.*?-->', ' ', 'g')"
+    expr = (
+        f"regexp_replace({expr}, "
+        "'(?i)<br[^>]*>|</p>|</div>|</li>|</h[1-6]>|</tr>', chr(10), 'g')"
+    )
+    expr = f"regexp_replace({expr}, '<[^>]*>', ' ', 'g')"
+    for ent, ch in (
+        ("&nbsp;", "' '"), ("&lt;", "'<'"), ("&gt;", "'>'"),
+        ("&quot;", chr(39) + '"' + chr(39)), ("&#39;", "chr(39)"),
+        ("&amp;", "'&'"),
+    ):
+        expr = f"replace({expr}, '{ent}', {ch})"
+    expr = f"regexp_replace({expr}, '[ ' || chr(9) || ']+', ' ', 'g')"
+    expr = f"regexp_replace({expr}, ' ?' || chr(10) || ' ?', chr(10), 'g')"
+    expr = f"regexp_replace({expr}, chr(10) || '{{2,}}', chr(10), 'g')"
+    expr = (
+        f"regexp_replace({expr}, '^' || chr(10) || '+|' || chr(10) || '+$', '', 'g')"
+    )
+    return f"""
+WITH wrapped AS (
+  SELECT doc_id,
+         '<html><head><title>d</title><script>var x = 1 < 2;</script>'
+         || '<style>p {{ color: red }}</style></head><body><h1>Doc '
+         || CAST(doc_id AS VARCHAR) || '</h1><p>'
+         || replace(text, ' the ', '</p><p>')
+         || '</p><!-- crawler: &amp; --><div>tail &lt;EOF&gt;</div></body></html>'
+         AS html
+  FROM documents
+), stripped AS (
+  SELECT doc_id, trim({expr}) AS clean_text FROM wrapped
+)
+SELECT doc_id, CAST(length(clean_text) AS BIGINT) AS n_clean_chars,
+       md5(clean_text) AS clean_md5
+FROM stripped
+"""
+
+
+TEXT_HTML_ORACLE = _html_oracle()
+
+
+QUERIES["text_html_extract"] = Query(
+    text_html_extract, TEXT_HTML_ORACLE, ("text", "extraction", "html")
+)

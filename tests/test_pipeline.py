@@ -1310,3 +1310,21 @@ def test_precision_recall_points(spark):
     assert r[0.5].n_kept == 3
     assert abs(r[0.5].precision - 2 / 3) < 1e-6
     assert abs(r[0.5].recall - 2 / 3) < 1e-6
+
+
+def test_html_to_text(spark):
+    """Script/style/head blocks die wholesale; block closers become
+    newlines; entities decode (amp last so &amp;lt; stays literal <-ish);
+    whitespace collapses."""
+    from tensorbase_spark.pipeline import text as _t
+
+    html = (
+        "<html><head><title>T</title><script>if (1<2) x();</script></head>"
+        "<body><h1>Hi &amp; bye</h1><p>a  b</p><p>c &lt;tag&gt;</p>"
+        "<!-- secret -->\t<div>d&nbsp;e</div></body></html>"
+    )
+    docs = spark.createDataFrame([(1, html)], "doc_id long, text string")
+    r = _t.html_to_text(docs).collect()[0]
+    assert r.clean_text == "Hi & bye\na b\nc <tag>\nd e"
+    assert "secret" not in r.clean_text and "if (1<2)" not in r.clean_text
+    assert r.n_clean_chars == len(r.clean_text)
