@@ -1319,6 +1319,22 @@ CH_SQL_TEMPLATES.update(
         # bar(x, min, max[, width=80]): unicode bar with eighth-block
         # fractional tail — CH's exact glyph set; pure string expression
         "bar": lambda args: _bar_sql(args),
+        # entropy(x): Shannon entropy (bits) of the value distribution.
+        # Per-group buffer via the same single-collect lambda binding as
+        # histogram(M) — the quantileExact buffering contract.
+        "entropy": lambda args: (
+            "element_at(transform(array(collect_list(cast({x} as string))), "
+            "a -> aggregate(array_distinct(a), cast(0.0 as double), "
+            "(acc, v) -> acc - (cast(size(filter(a, e -> e <=> v)) as double)"
+            " / size(a)) * log2(cast(size(filter(a, e -> e <=> v)) as double)"
+            " / size(a)))), 1)"
+        ).format(x=args[0]),
+        # extractKeyValuePairs('a:1, b:2') -> map; CH's default pair
+        # delimiters (',', ';', space) and ':' key-value delimiter
+        "extractkeyvaluepairs": "str_to_map(trim({0}), '[,;\\\\s]+', '\\\\s*:\\\\s*')",
+        # uniqTheta: CH's theta-sketch distinct estimator -> Spark's HLL
+        # estimator (both bounded-memory approximate distincts)
+        "uniqtheta": "approx_count_distinct({0})",
         "formatreadablequantity": (
             "(case"
             " when abs({0}) >= 1e9 then concat(cast(round({0} / 1e9, 2) as string), ' billion')"

@@ -1221,3 +1221,58 @@ FROM u
 QUERIES["ch_everyday_funcs6"] = Query(
     ch_everyday_funcs6, CH_EVERYDAY6_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_entropy_kv(spark, sf_dir):
+    """entropy(x) Shannon-entropy aggregate (single-collect lambda-binding
+    buffer, the histogram(M) shape) + extractKeyValuePairs over a
+    synthesized kv string — map outputs probe through mapLength/element
+    access (containers can't be driver-hashed raw)."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_ent")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "round(entropy(o_orderpriority), 6) as h_prio, "
+        "round(entropy(o_orderkey % 4), 6) as h_key4, "
+        "max(mapLength(extractKeyValuePairs("
+        "  concat('k:', toString(o_orderkey % 3), ', p:', o_orderpriority)"
+        "))) as kv_n, "
+        "max(extractKeyValuePairs("
+        "  concat('k:', toString(o_orderkey % 3), ', p:', o_orderpriority)"
+        ")['k']) as kv_max_k "
+        "from ord_ent group by o_orderstatus"
+    )
+
+
+CH_ENTROPY_KV_ORACLE = """
+WITH p1 AS (
+  SELECT o_orderstatus AS st, o_orderpriority AS v, count(*) AS c
+  FROM orders GROUP BY 1, 2
+), t1 AS (SELECT st, sum(c) AS total FROM p1 GROUP BY st),
+h1 AS (
+  SELECT p1.st,
+         round(-sum((CAST(c AS DOUBLE) / total) * log2(CAST(c AS DOUBLE) / total)), 6) AS h_prio
+  FROM p1 JOIN t1 USING (st) GROUP BY p1.st
+), p2 AS (
+  SELECT o_orderstatus AS st, o_orderkey % 4 AS v, count(*) AS c
+  FROM orders GROUP BY 1, 2
+), t2 AS (SELECT st, sum(c) AS total FROM p2 GROUP BY st),
+h2 AS (
+  SELECT p2.st,
+         round(-sum((CAST(c AS DOUBLE) / total) * log2(CAST(c AS DOUBLE) / total)), 6) AS h_key4
+  FROM p2 JOIN t2 USING (st) GROUP BY p2.st
+), kv AS (
+  -- space is a pair delimiter (CH default): '4-NOT SPECIFIED' splits a
+  -- third (value-less) token, so groups containing it see 3 map keys
+  SELECT o_orderstatus AS st,
+         CAST(max(CASE WHEN o_orderpriority LIKE '% %' THEN 3 ELSE 2 END) AS BIGINT) AS kv_n
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT h1.st, h1.h_prio, h2.h_key4, kv.kv_n, '2' AS kv_max_k
+FROM h1 JOIN h2 ON h1.st = h2.st JOIN kv ON kv.st = h1.st
+"""
+
+
+QUERIES["ch_entropy_kv"] = Query(
+    ch_entropy_kv, CH_ENTROPY_KV_ORACLE, ("dialect", "aggregate", "entropy")
+)

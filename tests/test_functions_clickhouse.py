@@ -352,3 +352,25 @@ def test_bar_and_readable_quantity(spark):
     assert rows.m == "1.23 million"
     assert rows.k == "1.5 thousand"
     assert rows.plain == "12.0"
+
+
+def test_entropy_kv_theta(spark):
+    """entropy: uniform 2 values -> 1 bit, single value -> 0;
+    extractKeyValuePairs parses k:v with CH's default delimiters;
+    uniqTheta estimates distincts."""
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("b",)], "v string"
+    ).createOrReplaceTempView("ent_t")
+    assert eng.sql("select entropy(v) as e from ent_t").collect()[0].e == 1.0
+    spark.createDataFrame([("c",), ("c",)], "v string").createOrReplaceTempView(
+        "ent_one"
+    )
+    assert eng.sql("select entropy(v) as e from ent_one").collect()[0].e == 0.0
+    r = eng.sql(
+        "select extractKeyValuePairs('x:1, y:2; z:3') as m"
+    ).collect()[0].m
+    assert r == {"x": "1", "y": "2", "z": "3"}
+    assert eng.sql("select uniqTheta(v) as u from ent_t").collect()[0].u == 2
