@@ -267,3 +267,38 @@ def test_projection_rollup_scans_hidden_table(spark, queries):
     partial table, not the base table scan."""
     plan = _formatted(spark, queries["engine_projection_rollup"](spark, SF))
     assert "proj_orders_q__proj_by_st_pri" in plan, plan
+
+
+def test_round6_ops_stay_jvm_side(spark, queries):
+    """Every round-6 text/metrics/curation operator is EvalPython-free —
+    the whole surface is built-in expressions."""
+    for name in (
+        "text_gopher_rules", "text_c4_clean", "text_boilerplate_lines",
+        "text_html_extract", "metrics_binary_auc", "metrics_pr_points",
+        "corpus_dsir_weights", "corpus_classifier_loop",
+    ):
+        plan = _formatted(spark, queries[name](spark, SF))
+        assert "EvalPython" not in plan, f"{name} fell off the codegen path"
+
+
+def test_dsir_ratio_broadcasts(spark, queries):
+    """DSIR's score pass joins the ≤buckets-row log-ratio table as a
+    BROADCAST onto the doc-gram explode — never a data-sized shuffle
+    join."""
+    plan = _formatted(spark, queries["corpus_dsir_weights"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_binary_auc_no_data_sort(spark, queries):
+    """The AUC 'rank' is windows over ≤bins rows: the plan's only Sort
+    nodes sit ABOVE the per-bin aggregate (bin table), never on the raw
+    scored rows (no data-sized global sort)."""
+    plan = _formatted(spark, queries["metrics_binary_auc"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    # the tree prints root-first: every Sort must have a HashAggregate
+    # BELOW it (deeper in the printout) — the per-bin reduction happens
+    # before the window's sort, so the sort input is bins, not rows
+    i = tree.find("Sort")
+    while i != -1:
+        assert tree.find("HashAggregate", i) != -1, "Sort over raw rows"
+        i = tree.find("Sort", i + 1)
