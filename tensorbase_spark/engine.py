@@ -1710,7 +1710,11 @@ class TensorBaseEngine:
                 return self.spark.createDataFrame(probe, schema=out.schema)
             return out  # over the cap: skip caching, stay lazy
         if kind not in (
-            "select", "with", "explain", "show", "describe", "desc", "use"
+            # read-only verbs keep the cache epoch: exists/check/backup
+            # never change table data (RESTORE does and is NOT listed);
+            # system's only data-affecting verb clears the cache itself
+            "select", "with", "explain", "show", "describe", "desc", "use",
+            "exists", "check", "backup", "system",
         ):
             # any possibly-mutating statement starts a new cache epoch
             self._cache_version += 1

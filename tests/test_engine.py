@@ -2747,3 +2747,25 @@ def test_nested_column_end_to_end(engine):
     assert arr.urls == ["a", "b"]
     with pytest.raises(Exception, match="equal lengths"):
         engine.sql("insert into nv values (3, array('x'), array(1, 2))")
+
+
+def test_read_only_verbs_keep_cache_epoch(engine):
+    """EXISTS/CHECK/BACKUP/SYSTEM(non-cache) don't invalidate the query
+    cache; DELETE FROM and RESTORE do."""
+    import uuid as _uuid
+
+    engine.sql("create table ce_t (k Int64)")
+    engine.sql("insert into ce_t values (1),(2)")
+    engine.sql("set use_query_cache = 1")
+    engine.sql("select sum(k) as s from ce_t")
+    engine.sql("exists table ce_t")
+    engine.sql("check table ce_t")
+    engine.sql("system flush logs")
+    engine.sql("select sum(k) as s from ce_t")  # still a hit
+    hits = engine.sql(
+        "select count(*) as n from system.query_log where type = 'QueryCacheHit'"
+    ).collect()[0][0]
+    assert hits == 1
+    engine.sql("delete from ce_t where k = 1")  # mutation -> new epoch
+    assert engine.sql("select sum(k) as s from ce_t").collect()[0].s == 2
+    engine.sql("set use_query_cache = 0")
