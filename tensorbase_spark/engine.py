@@ -4591,7 +4591,9 @@ class TensorBaseEngine:
           references it (CH's SELECT * likewise omits it); ``__ptk`` is
           dropped per member (partition exprs may differ across members).
         """
-        pat = re.compile(r"(?is)\b(from|join)\s+(merge|view|file|url)\s*\(")
+        pat = re.compile(
+            r"(?is)\b(from|join)\s+(merge|view|file|url|generaterandom)\s*\("
+        )
         while True:
             m = pat.search(q)
             if not m:
@@ -4612,6 +4614,56 @@ class TensorBaseEngine:
             inner = q[m.end() : j - 1]
             if m.group(2).lower() == "view":
                 q = f"{q[: m.start()]}{m.group(1)} ({inner}){q[j:]}"
+                continue
+            if m.group(2).lower() == "generaterandom":
+                # generateRandom('schema'[, seed[, rows]]) — CH's synthetic
+                # data source.  DETERMINISTIC given the seed (values derive
+                # from xxhash64(row_id, seed) — CH's own is seeded-PRNG
+                # reproducible too), so tests and oracles can replay it.
+                # rows defaults to 1000 when no LIMIT reaches the range.
+                gargs = [a.strip() for a in _split_depth0(inner)]
+                if not gargs:
+                    raise ValueError("generateRandom needs a 'schema' string")
+                gschema = gargs[0].strip().strip("'\"")
+                gseed = int(gargs[1]) if len(gargs) > 1 else 0
+                grows = int(gargs[2]) if len(gargs) > 2 else 1000
+                gdf = self.spark.range(grows)
+                for part in _split_depth0(gschema):
+                    cn, _, ct = part.strip().partition(" ")
+                    p = parse_bql_type(ct.strip())
+                    h = F.xxhash64(F.col("id"), F.lit(gseed), F.lit(cn))
+                    st = p.spark_type.simpleString()
+                    if st in ("tinyint", "smallint", "int", "bigint"):
+                        col = F.pmod(h, F.lit(10_000)).cast(p.spark_type)
+                    elif st in ("float", "double"):
+                        col = (
+                            F.pmod(h, F.lit(1_000_000)).cast("double") / 1e4
+                        ).cast(p.spark_type)
+                    elif st == "date":
+                        col = F.date_add(
+                            F.lit("2020-01-01").cast("date"),
+                            F.pmod(h, F.lit(3650)).cast("int"),
+                        )
+                    elif st == "timestamp":
+                        col = F.timestamp_seconds(
+                            F.lit(1577836800) + F.pmod(h, F.lit(86400 * 365))
+                        )
+                    elif st == "string":
+                        col = F.concat(
+                            F.lit("s"), F.pmod(h, F.lit(100_000)).cast("string")
+                        )
+                    elif st == "boolean":
+                        col = F.pmod(h, F.lit(2)) == 1
+                    else:
+                        raise ValueError(
+                            f"generateRandom: unsupported type {ct!r}"
+                        )
+                    gdf = gdf.withColumn(cn, col)
+                gdf = gdf.drop("id")
+                self._merge_tf_n += 1
+                vname = f"tb_genrand_tf_{self._merge_tf_n}"
+                gdf.createOrReplaceTempView(vname)
+                q = f"{q[: m.start()]}{m.group(1)} {vname}{q[j:]}"
                 continue
             if m.group(2).lower() in ("file", "url"):
                 # file('path'[, 'Format'[, 'col Type, ...']]) — upstream-CH
@@ -4715,7 +4767,10 @@ class TensorBaseEngine:
         if re.search(r"(?is)\bfinal\b", q):
             q = self._rewrite_final(q)
         q = _rewrite_array_join(_preprocess_ch_clauses(q.strip()))
-        if re.search(r"(?is)\b(?:from|join)\s+(?:merge|view|file|url)\s*\(", q):
+        if re.search(
+            r"(?is)\b(?:from|join)\s+(?:merge|view|file|url|generaterandom)\s*\(",
+            q,
+        ):
             q = self._rewrite_table_tf(q)
         if "{" in q:
             q = self._bind_query_params(q)

@@ -2769,3 +2769,21 @@ def test_read_only_verbs_keep_cache_epoch(engine):
     engine.sql("delete from ce_t where k = 1")  # mutation -> new epoch
     assert engine.sql("select sum(k) as s from ce_t").collect()[0].s == 2
     engine.sql("set use_query_cache = 0")
+
+
+def test_generate_random_table_function(engine):
+    """generateRandom('schema', seed, rows): deterministic given the seed
+    (replayable by tests/oracles, like CH's seeded PRNG); distinct seeds
+    diverge; every declared type materializes."""
+    q = (
+        "select count(*) as n, sum(k) as s, count(distinct st) as u "
+        "from generateRandom('k Int64, v Float64, d Date, st String, b Boolean',"
+        " 42, 300)"
+    )
+    a = engine.sql(q).collect()[0]
+    b = engine.sql(q).collect()[0]
+    assert (a.n, a.s, a.u) == (b.n, b.s, b.u) and a.n == 300
+    c = engine.sql(q.replace("42", "43")).collect()[0]
+    assert c.s != a.s
+    with pytest.raises(Exception, match="unsupported type"):
+        engine.sql("select * from generateRandom('x Array(Int64)', 1, 5)")
