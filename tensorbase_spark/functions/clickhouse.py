@@ -587,6 +587,19 @@ CH_PARAMETRIC_TEMPLATES = {
     # "up to N, N+1 means more than N")
     "uniqupto": lambda p, a: f"least(count(distinct {a[0]}), {p[0]} + 1)",
     "sequencematch": _sequence_match_tmpl,
+    # topKWeighted(k)(x, w): weight-summed heavy hitters.  CH's is a
+    # SpaceSaving sketch (approximate under eviction); the deterministic
+    # analogue sums exact weights per value over the single-collect
+    # lambda-binding buffer (the quantileExact contract) and takes the
+    # top k by (weight desc, value asc) — a total order, tie-stable.
+    "topkweighted": lambda p, a: (
+        "element_at(transform(array(collect_list(named_struct("
+        "'x', cast({x} as string), 'w', cast({w} as double)))), "
+        "arr -> slice(transform(array_sort(transform("
+        "array_distinct(transform(arr, q -> q.x)), v -> named_struct("
+        "'nw', -aggregate(filter(arr, q -> q.x <=> v), cast(0.0 as double), "
+        "(acc, q) -> acc + q.w), 'v', v))), s -> s.v), 1, {k})), 1)"
+    ).format(x=a[0], w=a[1], k=int(p[0].strip())),
     # histogram(M)(x): CH's is an ADAPTIVE streaming histogram whose bin
     # edges depend on arrival order (documented non-deterministic); the
     # deterministic analogue is M equi-width bins over [min, max] — the

@@ -154,7 +154,7 @@ PRIORITY_HEAD = [
     "engine_file_url_roundtrip", "metrics_binary_auc", "metrics_pr_points",
     "ch_histogram_agg", "engine_backup_restore", "ch_combinators2",
     "corpus_classifier_loop", "engine_nested_type", "ch_everyday_funcs6",
-    "text_html_extract", "ch_entropy_kv",
+    "text_html_extract", "ch_entropy_kv", "ch_topk_weighted",
 ]
 
 

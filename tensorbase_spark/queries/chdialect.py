@@ -1276,3 +1276,36 @@ FROM h1 JOIN h2 ON h1.st = h2.st JOIN kv ON kv.st = h1.st
 QUERIES["ch_entropy_kv"] = Query(
     ch_entropy_kv, CH_ENTROPY_KV_ORACLE, ("dialect", "aggregate", "entropy")
 )
+
+
+def ch_topk_weighted(spark, sf_dir):
+    """topKWeighted(k)(x, w) — weight-summed heavy hitters per group
+    (functions/clickhouse.py; deterministic exact analogue of CH's
+    SpaceSaving sketch, single-collect buffer, total (weight desc, value)
+    order).  Top-3 order priorities by total price within each status,
+    serialized for the hash."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_tkw")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "arrayStringConcat(topKWeighted(3)(o_orderpriority, o_totalprice), '|') "
+        "as top3 from ord_tkw group by o_orderstatus"
+    )
+
+
+CH_TOPK_WEIGHTED_ORACLE = """
+WITH w AS (
+  SELECT o_orderstatus AS st, o_orderpriority AS v, sum(o_totalprice) AS tw
+  FROM orders GROUP BY 1, 2
+), r AS (
+  SELECT st, v, row_number() OVER (PARTITION BY st ORDER BY tw DESC, v) AS rk
+  FROM w
+)
+SELECT st, string_agg(v, '|' ORDER BY rk) AS top3
+FROM r WHERE rk <= 3 GROUP BY st
+"""
+
+
+QUERIES["ch_topk_weighted"] = Query(
+    ch_topk_weighted, CH_TOPK_WEIGHTED_ORACLE, ("dialect", "aggregate", "topk")
+)
