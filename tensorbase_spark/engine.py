@@ -79,6 +79,30 @@ _STAR_REPLACE_RE = re.compile(
 )
 
 
+def _rewrite_order_by_all(sql: str) -> str:
+    """``ORDER BY ALL`` (upstream CH 23.4+/DuckDB): order by every
+    select-list item, as ordinals.  Conservative: only the top-level
+    statement of a plain ``SELECT ... FROM ... ORDER BY ALL`` shape is
+    rewritten (subquery select-lists are ambiguous textually); unmatched
+    forms pass through and fail loudly in Catalyst."""
+    m = re.search(
+        r"(?is)\border\s+by\s+all\b"
+        r"(?P<tail>\s*(?:limit\b[^()]*|offset\b[^()]*)?)\s*$",
+        sql,
+    )
+    sm = re.match(r"(?is)^\s*select\s+(?:distinct\s+)?(?P<body>.*)$", sql)
+    if not (m and sm):
+        return sql
+    # depth-0 FROM bounds the select list
+    body = sm.group("body")
+    fm = _scan_depth0(body, 0, re.compile(r"(?is)\bfrom\b").match)
+    if fm is None:
+        return sql
+    n = len(_split_depth0(body[: fm.start()]))
+    ordinals = ", ".join(str(i) for i in range(1, n + 1))
+    return sql[: m.start()] + f" order by {ordinals}" + (m.group("tail") or "")
+
+
 def _rewrite_star_replace(sql: str) -> str:
     """``* [EXCEPT (...)] REPLACE(expr AS col, ...)`` -> ``* EXCEPT
     (cols...), expr AS col, ...`` (see _preprocess_ch_clauses)."""
@@ -4574,6 +4598,37 @@ class TensorBaseEngine:
 
         return self._FINAL_REF_RE.sub(_sub, q)
 
+    def _rewrite_star_apply(self, q: str) -> str:
+        """CH column-matcher modifier ``* [EXCEPT (cols)] APPLY(f)``:
+        expand to ``f(col) AS `f(col)``` per column of the (single) FROM
+        table — CH's output naming exactly.  Spark has native `* EXCEPT`
+        but no APPLY; the expansion needs the catalog, hence engine-level.
+        Multi-table FROMs are rejected loudly (CH's matcher scopes per
+        table; one table covers the idiom's real use)."""
+        m = re.search(
+            r"(?is)\*\s+(?:except\s*\(\s*(?P<exc>[^()]*)\)\s*)?"
+            r"apply\s*\(\s*(?P<fn>\w+)\s*\)",
+            q,
+        )
+        if not m:
+            return q
+        refs = re.findall(r"(?is)\b(?:from|join)\s+([A-Za-z_][\w.]*)", q)
+        if len(refs) != 1:
+            raise ValueError("* APPLY(f) needs exactly one FROM table")
+        exc = {
+            c.strip().lower()
+            for c in (m.group("exc") or "").split(",")
+            if c.strip()
+        }
+        fn = m.group("fn")
+        cols = [
+            c
+            for c in self.spark.table(self._qualify(refs[0])).columns
+            if c != PTK_COL and c.lower() not in exc
+        ]
+        expanded = ", ".join(f"{fn}({c}) AS `{fn}({c})`" for c in cols)
+        return q[: m.start()] + expanded + q[m.end() :]
+
     def _rewrite_table_tf(self, q: str) -> str:
         """Upstream-CH table functions in FROM/JOIN position beyond
         numbers()/remote() (the reference's grammar stops at those,
@@ -4772,6 +4827,10 @@ class TensorBaseEngine:
             q,
         ):
             q = self._rewrite_table_tf(q)
+        if re.search(r"(?is)\*\s+(?:except\s*\([^()]*\)\s*)?apply\s*\(", q):
+            q = self._rewrite_star_apply(q)
+        if re.search(r"(?is)\border\s+by\s+all\b", q):
+            q = _rewrite_order_by_all(q)
         if "{" in q:
             q = self._bind_query_params(q)
         if re.match(r"(?is)^\s*with\b", q):

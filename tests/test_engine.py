@@ -2787,3 +2787,21 @@ def test_generate_random_table_function(engine):
     assert c.s != a.s
     with pytest.raises(Exception, match="unsupported type"):
         engine.sql("select * from generateRandom('x Array(Int64)', 1, 5)")
+
+
+def test_star_apply_and_order_by_all(engine):
+    """* [EXCEPT(...)] APPLY(f) expands per column with CH's output
+    naming; ORDER BY ALL orders by every select item; multi-table APPLY
+    refuses."""
+    engine.sql("create table ap_t (a Int64, b Int64, c Float64)")
+    engine.sql("insert into ap_t values (1, 10, 0.5), (2, 20, 1.5)")
+    r = engine.sql("select * apply(sum) from ap_t").collect()[0]
+    assert r["sum(a)"] == 3 and r["sum(b)"] == 30 and r["sum(c)"] == 2.0
+    r2 = engine.sql("select * except (c) apply(max) from ap_t").collect()[0]
+    assert r2["max(a)"] == 2 and "max(c)" not in r2.asDict()
+    rows = engine.sql("select b, a from ap_t order by all").collect()
+    assert [(x.b, x.a) for x in rows] == [(10, 1), (20, 2)]
+    with pytest.raises(Exception, match="one FROM table"):
+        engine.sql(
+            "select * apply(sum) from ap_t join ap_t x on ap_t.a = x.a"
+        )
