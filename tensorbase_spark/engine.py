@@ -4621,10 +4621,12 @@ class TensorBaseEngine:
             if c.strip()
         }
         fn = m.group("fn")
+        try:  # temp views resolve unqualified; engine tables via _qualify
+            tcols = self.spark.table(refs[0]).columns
+        except Exception:
+            tcols = self.spark.table(self._qualify(refs[0])).columns
         cols = [
-            c
-            for c in self.spark.table(self._qualify(refs[0])).columns
-            if c != PTK_COL and c.lower() not in exc
+            c for c in tcols if c != PTK_COL and c.lower() not in exc
         ]
         expanded = ", ".join(f"{fn}({c}) AS `{fn}({c})`" for c in cols)
         return q[: m.start()] + expanded + q[m.end() :]
