@@ -4060,6 +4060,22 @@ class TensorBaseEngine:
                     raise ValueError(f"column {f.name} has no default and is NOT NULL")
                 sel.append(F.lit(None).cast(f.dataType).alias(f.name))
         out = renamed.select(*sel)
+        if (self._table_props(name).get("tb.engine") or "").lower() == "null":
+            # ENGINE = Null: the write is discarded, reads stay empty — but
+            # MV insert triggers still fire over the cast block (CH's
+            # standard ingest-through-Null fan-out idiom).  Checked BEFORE
+            # the partition guard/shuffle: a discard must not pay a job.
+            if self._mvs.get(name):
+                if self._mv_depth >= 8:
+                    raise ValueError(
+                        "materialized-view chain deeper than 8 (cycle?)"
+                    )
+                self._mv_depth += 1
+                try:
+                    self._propagate_mvs(name, out)
+                finally:
+                    self._mv_depth -= 1
+            return self.spark.sql("SELECT 1 AS ok")
         if spec is not None:
             out = out.withColumn(PTK_COL, spec.ptk_column())
             if spec.fn == "rem" and spec.rem_n < MAX_PARTS_PER_INSERT:
@@ -4094,23 +4110,6 @@ class TensorBaseEngine:
             if nparts > 1:
                 width = min(nparts, max(self.spark.sparkContext.defaultParallelism, 8))
                 out = out.repartition(width, F.col(PTK_COL))
-        if (self._table_props(name).get("tb.engine") or "").lower() == "null":
-            # ENGINE = Null: the write is discarded, reads stay empty — but
-            # MV insert triggers still fire over the cast block (CH's
-            # standard ingest-through-Null fan-out idiom)
-            if self._mvs.get(name):
-                if self._mv_depth >= 8:
-                    raise ValueError(
-                        "materialized-view chain deeper than 8 (cycle?)"
-                    )
-                self._mv_depth += 1
-                try:
-                    self._propagate_mvs(
-                        name, out.drop(PTK_COL) if PTK_COL in out.columns else out
-                    )
-                finally:
-                    self._mv_depth -= 1
-            return self.spark.sql("SELECT 1 AS ok")
         bloom = [
             c.strip()
             for c in self._table_props(name).get("tb.bloom_cols", "").split(",")
