@@ -1538,6 +1538,38 @@ class TensorBaseEngine:
             "rows long, bytes_on_disk long, part_count long",
         ).createOrReplaceGlobalTempView("tb_system_detached_parts")
 
+    def _refresh_system_settings(self) -> None:
+        """``system.settings`` (upstream-CH introspection): the engine's
+        session knobs — query cache, compaction target, bound query
+        parameters, merges state — as (name, value, changed) rows, CH's
+        most-read columns."""
+        defaults = {
+            "use_query_cache": "0",
+            "optimize_target_file_bytes": str(128 * 1024 * 1024),
+        }
+        rows = [
+            (
+                "use_query_cache",
+                "1" if self._use_query_cache else "0",
+                self._use_query_cache,
+            ),
+            (
+                "optimize_target_file_bytes",
+                str(getattr(self, "_optimize_file_bytes", 128 * 1024 * 1024)),
+                str(getattr(self, "_optimize_file_bytes", 128 * 1024 * 1024))
+                != defaults["optimize_target_file_bytes"],
+            ),
+            (
+                "merges_stopped_for",
+                ",".join(sorted(self._merges_stopped)),
+                bool(self._merges_stopped),
+            ),
+        ]
+        rows += [(f"param_{k}", v, True) for k, v in sorted(self._params.items())]
+        self.spark.createDataFrame(
+            rows, "name string, value string, changed boolean"
+        ).createOrReplaceGlobalTempView("tb_system_settings")
+
     def _refresh_system_tables(self) -> None:
         """``system.tables`` / ``system.columns`` (upstream-CH introspection;
         the reference reads the same from sled for SHOW/DESC, mgmt.rs:484-532):
@@ -1817,6 +1849,23 @@ class TensorBaseEngine:
                 c = re.sub(
                     r"(?is)\bsystem\.query_log\b",
                     "global_temp.tb_system_query_log",
+                    c,
+                )
+            if re.search(r"(?is)\bsystem\.settings\b", c):
+                self._refresh_system_settings()
+                c = re.sub(
+                    r"(?is)\bsystem\.settings\b",
+                    "global_temp.tb_system_settings",
+                    c,
+                )
+            if re.search(r"(?is)\bsystem\.databases\b", c):
+                self.spark.createDataFrame(
+                    [(d.name,) for d in self.spark.catalog.listDatabases()],
+                    "name string",
+                ).createOrReplaceGlobalTempView("tb_system_databases")
+                c = re.sub(
+                    r"(?is)\bsystem\.databases\b",
+                    "global_temp.tb_system_databases",
                     c,
                 )
         low = c.lower()

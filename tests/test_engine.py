@@ -2805,3 +2805,22 @@ def test_star_apply_and_order_by_all(engine):
         engine.sql(
             "select * apply(sum) from ap_t join ap_t x on ap_t.a = x.a"
         )
+
+
+def test_system_settings_and_databases(engine):
+    """system.settings reflects session knobs and bound query params;
+    system.databases lists catalog databases."""
+    engine.sql("set use_query_cache = 1")
+    engine.sql("set param_x = '7'")
+    rows = {
+        r.name: r.value
+        for r in engine.sql(
+            "select name, value from system.settings where changed"
+        ).collect()
+    }
+    assert rows["use_query_cache"] == "1" and rows["param_x"] == "7"
+    engine.sql("set use_query_cache = 0")
+    n = engine.sql(
+        "select count(*) as n from system.databases where name = 'default'"
+    ).collect()[0].n
+    assert n == 1
