@@ -298,3 +298,163 @@ def thumbnails(assets: DataFrame, max_dim: int = 64) -> DataFrame:
             )
 
     return assets.mapInPandas(_thumb, THUMB_SCHEMA)
+
+
+def png_decode_gray(payload: bytes | None) -> list[list[int]] | None:
+    """Full grayscale-8 PNG pixel decode, stdlib only: concatenated IDAT
+    inflate + the five standard scanline filters (None/Sub/Up/Average/
+    Paeth — the public PNG spec, RFC 2083 §6).  Returns rows of 0..255,
+    or None for non-PNG / unsupported color types (honest None, never
+    fabricated pixels)."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i, w = 8, None
+    idat = b""
+    bit_depth = color_type = None
+    while i + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[i : i + 4])
+        tag = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + length]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack(">IIBB", data[:10])
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        i += 12 + length
+    if w is None or bit_depth != 8 or color_type != 0:
+        return None
+    raw = zlib.decompress(idat)
+    stride = w + 1
+    rows: list[list[int]] = []
+    prev = [0] * w
+    for y in range(h):
+        line = raw[y * stride : (y + 1) * stride]
+        f, cur = line[0], list(line[1:])
+        for x in range(w):
+            a = cur[x - 1] if x else 0
+            up = prev[x]
+            c = (rows[-1][x - 1] if (rows and x) else 0) if y else 0
+            if f == 1:
+                cur[x] = (cur[x] + a) & 0xFF
+            elif f == 2:
+                cur[x] = (cur[x] + up) & 0xFF
+            elif f == 3:
+                cur[x] = (cur[x] + (a + up) // 2) & 0xFF
+            elif f == 4:  # Paeth predictor
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+            a = cur[x]
+        rows.append(cur)
+        prev = cur
+    return rows
+
+
+def average_hash(payload: bytes | None, hash_size: int = 8) -> int | None:
+    """Perceptual average-hash (public aHash scheme): decode, block-average
+    down to hash_size², threshold each cell by the grid mean, pack
+    row-major into an int.  Stable under noise that keeps block means on
+    their side of the global mean — the property dedup relies on."""
+    px = png_decode_gray(payload)
+    if not px:
+        return None
+    h, w = len(px), len(px[0])
+    if h < hash_size or w < hash_size:
+        return None
+    grid = []
+    for gy in range(hash_size):
+        y0, y1 = gy * h // hash_size, (gy + 1) * h // hash_size
+        for gx in range(hash_size):
+            x0, x1 = gx * w // hash_size, (gx + 1) * w // hash_size
+            s = sum(sum(row[x0:x1]) for row in px[y0:y1])
+            grid.append(s / ((y1 - y0) * (x1 - x0)))
+    mean = sum(grid) / len(grid)
+    bits = 0
+    for v in grid:
+        bits = (bits << 1) | (1 if v > mean else 0)
+    # two's-complement into a signed 64-bit slot (Spark LongType)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("ahash", T.LongType(), True),
+    ]
+)
+
+
+def image_ahash(assets: DataFrame) -> DataFrame:
+    """Perceptual hash per asset: the ONLY Python step of image dedup —
+    Arrow-batched mapInPandas over the binary column (decode + aHash per
+    payload); everything downstream (banding, hamming, grouping) is JVM.
+    At 100 TB this is one map-only pass; like extract_features, a
+    size-aware repartition first keeps giant-asset tails off single
+    workers."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = pdf["payload"].map(
+                lambda p: decode_image_meta(None if p is None else bytes(p))[0]
+            )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "format": metas,
+                    "ahash": pdf["payload"].map(average_hash),
+                }
+            )
+
+    return assets.mapInPandas(_go, AHASH_SCHEMA)
+
+
+def image_neardup_pairs(hashed: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Near-duplicate image pairs by aHash hamming distance ≤ max_hamming.
+
+    The pigeonhole banding the repo's SimHash dedup uses: a 64-bit hash
+    splits into 4 × 16-bit bands; any pair within hamming ≤ 3 must agree
+    on ≥ 1 band exactly (and ≤ 4 still collides with high probability —
+    callers needing the guarantee at 4 use 5+ bands).  Candidates come
+    from an equi-join on (band_idx, band_value) — never all-pairs — and
+    the exact hamming verify is one codegen'd bit_count(xor).  Candidate
+    volume ∝ band collisions, the LSH contract at any corpus size."""
+    bands = F.array(
+        *[
+            F.shiftright(F.col("ahash"), k * 16).bitwiseAND(F.lit(0xFFFF))
+            for k in range(4)
+        ]
+    )
+    ex = (
+        hashed.filter(F.col("ahash").isNotNull())
+        .select("asset_id", "ahash", F.posexplode(bands).alias("b_idx", "b_val"))
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.b_idx") == F.col("b.b_idx"))
+            & (F.col("a.b_val") == F.col("b.b_val"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("id_a"),
+            F.col("b.asset_id").alias("id_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -2142,3 +2142,75 @@ TEXT_HTML_ORACLE = _html_oracle()
 QUERIES["text_html_extract"] = Query(
     text_html_extract, TEXT_HTML_ORACLE, ("text", "extraction", "html")
 )
+
+
+def multimodal_ahash_dedup(spark, sf_dir):
+    """Perceptual image dedup end to end (pipeline/multimodal.py
+    image_ahash + image_neardup_pairs): every doc synthesizes a REAL
+    16×16 grayscale PNG whose pattern class is doc_id % 8 — members of a
+    class differ by ±(doc_id % 3) low-bit noise that provably cannot move
+    an 8×8 block mean across the global mean (base pixels sit at 40/200),
+    so aHash is identical within a class and the hamming-0 pair count per
+    class is EXACTLY C(m, 2).  The oracle computes that combinatorially
+    from doc_id arithmetic — the hash can only match if PNG encode →
+    full pixel decode (all five scanline filters) → block-mean aHash →
+    band join → hamming verify is faithful end to end."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    assets = d.select(F.col("doc_id").alias("asset_id"))
+
+    def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids = pdf["asset_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                cls, noise = i % 8, i % 3
+
+                def px(x, y, cls=cls, noise=noise):
+                    # class pattern: a distinct half-plane per class over
+                    # far-from-mean levels; noise stays in low bits
+                    on = (x + (cls % 4) * y) % 8 < (cls % 7) + 1
+                    return (200 if on else 40) + noise
+
+                payloads.append(multimodal.encode_png(16, 16, px))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    pngs = assets.mapInPandas(
+        _synth,
+        T.StructType(
+            [
+                T.StructField("asset_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), True),
+            ]
+        ),
+    )
+    hashed = multimodal.image_ahash(pngs)
+    pairs = multimodal.image_neardup_pairs(hashed, max_hamming=0)
+    return (
+        pairs.withColumn("cls", F.col("id_a") % 8)
+        .groupBy("cls")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("cls")
+    )
+
+
+MULTIMODAL_AHASH_ORACLE = """
+WITH members AS (
+  SELECT doc_id % 8 AS cls, count(*) AS m
+  FROM documents WHERE doc_id < 200
+  GROUP BY doc_id % 8
+)
+SELECT cls, CAST(m * (m - 1) / 2 AS BIGINT) AS n_pairs
+FROM members WHERE m >= 2 ORDER BY cls
+"""
+
+
+QUERIES["multimodal_ahash_dedup"] = Query(
+    multimodal_ahash_dedup, MULTIMODAL_AHASH_ORACLE,
+    ("multimodal", "dedup", "perceptual-hash"),
+)

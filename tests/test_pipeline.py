@@ -1328,3 +1328,84 @@ def test_html_to_text(spark):
     assert r.clean_text == "Hi & bye\na b\nc <tag>\nd e"
     assert "secret" not in r.clean_text and "if (1<2)" not in r.clean_text
     assert r.n_clean_chars == len(r.clean_text)
+
+
+def test_png_pixel_decode_roundtrip():
+    """Full pixel decode inverts the stdlib encoder exactly (filter 0),
+    and reconstructs Sub/Up/Average/Paeth-filtered scanlines correctly."""
+    import struct
+    import zlib
+
+    from tensorbase_spark.pipeline import multimodal as M
+
+    pix = lambda x, y: (x * 7 + y * 13) & 0xFF  # noqa: E731
+    b = M.encode_png(9, 5, pix)
+    rows = M.png_decode_gray(b)
+    assert rows == [[pix(x, y) for x in range(9)] for y in range(5)]
+
+    # hand-build a PNG exercising every filter type on known data
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    want = [[10, 20, 30], [15, 25, 35], [17, 27, 37], [20, 30, 40], [25, 35, 45]]
+    raw = bytearray()
+    prev = [0, 0, 0]
+    for y, (f, row) in enumerate(zip([0, 1, 2, 3, 4], want)):
+        raw.append(f)
+        for x, v in enumerate(row):
+            a = row[x - 1] if x else 0
+            up = prev[x]
+            c = (want[y - 1][x - 1] if (y and x) else 0)
+            if f == 0:
+                enc = v
+            elif f == 1:
+                enc = (v - a) & 0xFF
+            elif f == 2:
+                enc = (v - up) & 0xFF
+            elif f == 3:
+                enc = (v - (a + up) // 2) & 0xFF
+            else:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                enc = (v - pred) & 0xFF
+            raw.append(enc)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", 3, 5, 8, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert M.png_decode_gray(png) == want
+    assert M.png_decode_gray(b"not a png") is None
+
+
+def test_average_hash_and_neardup(spark):
+    """aHash: identical images hash equal; low-bit noise on far-from-mean
+    levels doesn't move the hash; inverting a block flips exactly its
+    bit; the band join finds the hamming-1 pair."""
+    from tensorbase_spark.pipeline import multimodal as M
+
+    base = M.encode_png(16, 16, lambda x, y: 200 if x < 8 else 40)
+    noisy = M.encode_png(16, 16, lambda x, y: (200 if x < 8 else 40) + 2)
+    h0, h1 = M.average_hash(base), M.average_hash(noisy)
+    assert h0 == h1
+    # flip one 2x2 block region (top-left cell of the 8x8 grid)
+    flipped = M.encode_png(
+        16, 16, lambda x, y: (40 if (x < 2 and y < 2) else (200 if x < 8 else 40))
+    )
+    h2 = M.average_hash(flipped)
+    assert bin((h0 ^ h2) & ((1 << 64) - 1)).count("1") == 1
+    hashed = spark.createDataFrame(
+        [(1, "png", h0), (2, "png", h1), (3, "png", h2)],
+        "asset_id long, format string, ahash long",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in M.image_neardup_pairs(hashed, max_hamming=1).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 1 and pairs[(2, 3)] == 1
