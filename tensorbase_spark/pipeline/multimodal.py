@@ -458,3 +458,76 @@ def image_neardup_pairs(hashed: DataFrame, max_hamming: int = 4) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def wav_decode_pcm16(payload: bytes | None) -> list[int] | None:
+    """PCM16 mono WAV sample decode, stdlib only: walk RIFF chunks to the
+    'data' chunk and unpack little-endian int16 — the read half of
+    encode_wav.  None for non-WAV / non-PCM16 payloads (honest None)."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, bits, channels = 12, None, None
+    while i + 8 <= len(b):
+        tag = b[i : i + 4]
+        (length,) = struct.unpack("<I", b[i + 4 : i + 8])
+        body = b[i + 8 : i + 8 + length]
+        if tag == b"fmt ":
+            fmt_code, channels = struct.unpack("<HH", body[:4])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_code != 1:
+                return None  # compressed — out of the PCM contract
+        elif tag == b"data":
+            if bits != 16 or channels != 1:
+                return None
+            n = len(body) // 2
+            return list(struct.unpack(f"<{n}h", body[: n * 2]))
+        i += 8 + length + (length & 1)  # RIFF pads odd chunks
+    return None
+
+
+def audio_energy_fingerprint(
+    payload: bytes | None, frames: int = 32
+) -> int | None:
+    """Energy-delta audio fingerprint (the public Shazam-lite shape,
+    Haitsma-Kalker 2002 family): split the signal into ``frames`` equal
+    windows, compute per-window energy, emit bit i = energy[i] >
+    energy[i-1] — robust to gain changes (monotone transforms of energy
+    preserve every comparison) and to low-amplitude noise.  Packs into a
+    signed 64-bit slot like average_hash."""
+    samples = wav_decode_pcm16(payload)
+    if not samples or len(samples) < frames * 2:
+        return None
+    n = len(samples)
+    energies = []
+    for f in range(frames):
+        lo, hi = f * n // frames, (f + 1) * n // frames
+        energies.append(sum(s * s for s in samples[lo:hi]) / (hi - lo))
+    bits = 0
+    for i in range(1, frames):
+        bits = (bits << 1) | (1 if energies[i] > energies[i - 1] else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def audio_fingerprints(assets: DataFrame) -> DataFrame:
+    """Fingerprint per asset — one Arrow-batched mapInPandas pass (the
+    only Python step; near-dup pairing reuses image_neardup_pairs'
+    JVM banding on the shared (asset_id, ahash) shape)."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "format": pdf["payload"].map(
+                        lambda p: "wav"
+                        if p is not None and bytes(p)[:4] == b"RIFF"
+                        else "bin"
+                    ),
+                    "ahash": pdf["payload"].map(audio_energy_fingerprint),
+                }
+            )
+
+    return assets.mapInPandas(_go, AHASH_SCHEMA)

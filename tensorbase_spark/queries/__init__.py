@@ -155,7 +155,7 @@ PRIORITY_HEAD = [
     "ch_histogram_agg", "engine_backup_restore", "ch_combinators2",
     "corpus_classifier_loop", "engine_nested_type", "ch_everyday_funcs6",
     "text_html_extract", "ch_entropy_kv", "ch_topk_weighted",
-    "multimodal_ahash_dedup",
+    "multimodal_ahash_dedup", "multimodal_audio_dedup",
 ]
 
 

@@ -2214,3 +2214,74 @@ QUERIES["multimodal_ahash_dedup"] = Query(
     multimodal_ahash_dedup, MULTIMODAL_AHASH_ORACLE,
     ("multimodal", "dedup", "perceptual-hash"),
 )
+
+
+def multimodal_audio_dedup(spark, sf_dir):
+    """Audio near-dedup end to end (pipeline/multimodal.py
+    audio_fingerprints + the shared banded-hamming pairing): every doc
+    synthesizes a REAL PCM16 WAV whose energy ENVELOPE class is
+    doc_id % 6 — members differ by per-doc gain (amplitude × (1 + id%4))
+    and the energy-delta fingerprint is gain-invariant by construction,
+    so hamming-0 pairs per class are exactly C(m, 2); the oracle counts
+    them combinatorially.  Faithful only if WAV encode → RIFF/PCM16
+    decode → windowed energies → delta bits → band join → verify hold."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    assets = d.select(F.col("doc_id").alias("asset_id"))
+
+    def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids = pdf["asset_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                cls, gain = i % 6, 1 + (i % 4)
+
+                def s_fn(j, cls=cls, gain=gain):
+                    # class envelope: amplitude steps in a per-class walk;
+                    # 64 samples per fingerprint window (2048 total / 32)
+                    step = (j // 64) % 7
+                    amp = 500 * ((step * (cls + 2)) % 7 + 1)
+                    return ((-1) ** j) * amp * gain
+
+                payloads.append(multimodal.encode_wav(2048, 16000, s_fn))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    wavs = assets.mapInPandas(
+        _synth,
+        T.StructType(
+            [
+                T.StructField("asset_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), True),
+            ]
+        ),
+    )
+    hashed = multimodal.audio_fingerprints(wavs)
+    pairs = multimodal.image_neardup_pairs(hashed, max_hamming=0)
+    return (
+        pairs.withColumn("cls", F.col("id_a") % 6)
+        .groupBy("cls")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("cls")
+    )
+
+
+MULTIMODAL_AUDIO_ORACLE = """
+WITH members AS (
+  SELECT doc_id % 6 AS cls, count(*) AS m
+  FROM documents WHERE doc_id < 150
+  GROUP BY doc_id % 6
+)
+SELECT cls, CAST(m * (m - 1) / 2 AS BIGINT) AS n_pairs
+FROM members WHERE m >= 2 ORDER BY cls
+"""
+
+
+QUERIES["multimodal_audio_dedup"] = Query(
+    multimodal_audio_dedup, MULTIMODAL_AUDIO_ORACLE,
+    ("multimodal", "dedup", "audio-fingerprint"),
+)

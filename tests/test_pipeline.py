@@ -1409,3 +1409,24 @@ def test_average_hash_and_neardup(spark):
         for r in M.image_neardup_pairs(hashed, max_hamming=1).collect()
     }
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 1 and pairs[(2, 3)] == 1
+
+
+def test_wav_decode_and_audio_fingerprint(spark):
+    """RIFF/PCM16 decode inverts encode_wav; the energy-delta fingerprint
+    is gain-invariant and envelope-sensitive."""
+    from tensorbase_spark.pipeline import multimodal as M
+
+    wav = M.encode_wav(256, 16000, lambda i: (i % 100) - 50)
+    samples = M.wav_decode_pcm16(wav)
+    assert samples == [(i % 100) - 50 for i in range(256)]
+    assert M.wav_decode_pcm16(b"junk") is None
+
+    def env(j, scale):
+        return ((-1) ** j) * 300 * ((j // 64) % 5 + 1) * scale
+
+    a = M.encode_wav(2048, 16000, lambda j: env(j, 1))
+    b = M.encode_wav(2048, 16000, lambda j: env(j, 3))  # gain x3
+    c = M.encode_wav(2048, 16000, lambda j: ((-1) ** j) * 300 * (5 - (j // 64) % 5))
+    fa, fb, fc = (M.audio_energy_fingerprint(x) for x in (a, b, c))
+    assert fa == fb  # gain-invariant
+    assert fa != fc  # different envelope -> different fingerprint
