@@ -98,7 +98,17 @@ def _rewrite_order_by_all(sql: str) -> str:
     fm = _scan_depth0(body, 0, re.compile(r"(?is)\bfrom\b").match)
     if fm is None:
         return sql
-    n = len(_split_depth0(body[: fm.start()]))
+    items = _split_depth0(body[: fm.start()])
+    # A `*` / `t.*` select item expands to an unknown column count at this
+    # (textual) layer — ordinal rewrite would silently sort by col 1 only.
+    # Pass through unchanged so Catalyst rejects `ORDER BY ALL` loudly
+    # instead of producing a wrong row order (ADVICE r6 #1).
+    if any(
+        re.match(r"(?is)^\s*(?:\w+\.)?\*\s*(?:except\b|replace\b|$)", it)
+        for it in items
+    ):
+        return sql
+    n = len(items)
     ordinals = ", ".join(str(i) for i in range(1, n + 1))
     return sql[: m.start()] + f" order by {ordinals}" + (m.group("tail") or "")
 
@@ -736,7 +746,9 @@ def _rewrite_array_join(sql: str) -> str:
 
 _PASTE_JOIN_RE = re.compile(r"(?is)\)\s*paste\s+join\s*\(")
 _TRAILING_ORDER_RE = re.compile(
-    r"(?is)\border\s+by\s+(?P<k>[^()]+?)"
+    # keys may contain one paren nesting level so function-call sort keys
+    # (`ORDER BY f(x)`, `ORDER BY round(x, 2) DESC`) parse (ADVICE r6 #4)
+    r"(?is)\border\s+by\s+(?P<k>(?:[^()]|\([^()]*\))+?)"
     r"(?:\s+limit\s+\d+(?:\s+offset\s+\d+)?)?\s*$"
 )
 
@@ -1670,6 +1682,43 @@ class TensorBaseEngine:
             return {}
         return {r.key: r.value for r in rows}
 
+    def _resolve_alias(self, qualified: str) -> str:
+        """Distributed/Buffer alias -> local target table.  The in-memory
+        dict is a cache; the durable record is the ``tb.alias_target`` view
+        property written at CREATE, so a fresh engine over the same
+        warehouse redirects writes/DROP correctly (ADVICE r6 #3)."""
+        hit = self._alias_targets.get(qualified)
+        if hit:
+            return hit
+        try:
+            t = self.spark.catalog.getTable(qualified)
+        except Exception:
+            return qualified
+        if (t.tableType or "").upper() != "VIEW":
+            return qualified
+        try:
+            jvm = self.spark.sparkContext._jvm
+            db, _, tbl = qualified.rpartition(".")
+            if not db:
+                db = self.spark.catalog.currentDatabase()
+            ident = jvm.org.apache.spark.sql.catalyst.TableIdentifier(
+                tbl, jvm.scala.Option.apply(db)
+            )
+            meta = (
+                self.spark._jsparkSession.sessionState()
+                .catalog()
+                .getTableMetadata(ident)
+            )
+            it = meta.properties().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "tb.alias_target":
+                    self._alias_targets[qualified] = kv._2()
+                    return kv._2()
+        except Exception:
+            pass
+        return qualified
+
     def _spec_for(self, name: str) -> PartitionSpec | None:
         q = self._qualify(name)
         if q in self._partition_specs:
@@ -2415,11 +2464,18 @@ class TensorBaseEngine:
                     for col in self.spark.table(target).columns
                     if col != PTK_COL
                 ]
+                # the target is persisted as a view property so a FRESH
+                # engine over the same warehouse can rebuild the redirect
+                # (insert_df / DROP would otherwise hit the bare view —
+                # ADVICE r6 #3)
+                esc = c.replace("'", "\\'")
                 self.spark.sql(
-                    f"CREATE VIEW {name} AS SELECT {', '.join(tcols)} "
-                    f"FROM {target}"
+                    f"CREATE VIEW {name} "
+                    f"TBLPROPERTIES ('tb.alias_target' = '{target}', "
+                    f"'tb.create_script' = '{esc}') "
+                    f"AS SELECT {', '.join(tcols)} FROM {target}"
                 )
-                self._alias_targets[name] = target
+                self._alias_targets[name] = target  # name is qualified here
                 self._create_scripts[name] = c
                 return self.spark.sql("SELECT 1 AS ok")
             if eng_name.lower() == "replacingmergetree" and args:
@@ -2506,9 +2562,18 @@ class TensorBaseEngine:
         name = m.group("name")
         if kind == "TABLE":
             q = self._qualify(name)
-            if q in self._alias_targets:  # Distributed/Buffer are views
-                self._alias_targets.pop(q)
+            if self._resolve_alias(q) != q:  # Distributed/Buffer are views
+                self._alias_targets.pop(q, None)
                 return self.spark.sql(f"DROP VIEW {ie}{name}")
+            try:  # DROP TABLE on any other persistent view: CH accepts it
+                if (
+                    self.spark.catalog.tableExists(q)
+                    and (self.spark.catalog.getTable(q).tableType or "").upper()
+                    == "VIEW"
+                ):
+                    return self.spark.sql(f"DROP VIEW {ie}{name}")
+            except Exception:
+                pass
             self._partition_specs.pop(q, None)
             for spec in self._projections.pop(q, []):  # projections die too
                 self.spark.sql(f"DROP TABLE IF EXISTS {spec.table}")
@@ -4015,7 +4080,7 @@ class TensorBaseEngine:
         and the >=1000-parts-per-block guard (write.rs:52-56)."""
         name = self._qualify(name)
         # Distributed/Buffer alias: writes land in the local target table
-        name = self._alias_targets.get(name, name)
+        name = self._resolve_alias(name)
         schema = [f for f in self.spark.table(name).schema.fields if f.name != PTK_COL]
         spec = self._spec_for(name)
         bql_cols = self._bql_cols_for(name)
@@ -4449,11 +4514,16 @@ class TensorBaseEngine:
             w_rn = Window.partitionBy(*slice_keys, sign).orderBy(
                 *[F.col(o) for o in others] or [F.lit(1)]
             )
+            # CH collapses +1/-1 PAIRS within a (key, version) slice; the
+            # surplus of the dominant sign stays visible.  net>0 -> net
+            # surviving +1 rows; net<0 -> |net| surviving -1 rows (unmatched
+            # cancel rows are NOT dropped — ADVICE r6 #5).
             return (
                 df.withColumn("__vc_net", F.sum(sign).over(w_net))
                 .withColumn("__vc_rn", F.row_number().over(w_rn))
                 .filter(
-                    (F.col(sign) == 1) & (F.col("__vc_rn") <= F.col("__vc_net"))
+                    (F.col(sign) * F.col("__vc_net") > 0)
+                    & (F.col("__vc_rn") <= F.abs(F.col("__vc_net")))
                 )
                 .drop("__vc_net", "__vc_rn")
             )
@@ -4591,7 +4661,11 @@ class TensorBaseEngine:
                     f"sum({sign}) over (partition by {slice_keys}) as __vc_net, "
                     f"row_number() over (partition by {slice_keys}, {sign} "
                     f"order by {rn_order}) as __vc_rn from {name}) "
-                    f"where {sign} = 1 and __vc_rn <= __vc_net) {alias}"
+                    # net>0 -> net +1 rows; net<0 -> |net| surplus -1 rows
+                    # stay visible (CH leaves unmatched cancel rows,
+                    # ADVICE r6 #5)
+                    f"where {sign} * __vc_net > 0 "
+                    f"and __vc_rn <= abs(__vc_net)) {alias}"
                 )
             elif eng == "aggregatingmergetree":
                 fns = dict(

@@ -417,19 +417,27 @@ def image_ahash(assets: DataFrame) -> DataFrame:
 def image_neardup_pairs(hashed: DataFrame, max_hamming: int = 4) -> DataFrame:
     """Near-duplicate image pairs by aHash hamming distance ≤ max_hamming.
 
-    The pigeonhole banding the repo's SimHash dedup uses: a 64-bit hash
-    splits into 4 × 16-bit bands; any pair within hamming ≤ 3 must agree
-    on ≥ 1 band exactly (and ≤ 4 still collides with high probability —
-    callers needing the guarantee at 4 use 5+ bands).  Candidates come
-    from an equi-join on (band_idx, band_value) — never all-pairs — and
-    the exact hamming verify is one codegen'd bit_count(xor).  Candidate
-    volume ∝ band collisions, the LSH contract at any corpus size."""
-    bands = F.array(
-        *[
-            F.shiftright(F.col("ahash"), k * 16).bitwiseAND(F.lit(0xFFFF))
-            for k in range(4)
-        ]
-    )
+    The pigeonhole banding the repo's SimHash dedup uses: the 64-bit hash
+    splits into ``max_hamming + 1`` bands, so any pair within the distance
+    budget must agree on ≥ 1 band EXACTLY (pigeonhole — max_hamming flipped
+    bits cannot touch every one of max_hamming+1 bands).  The band count
+    tracks the parameter, so the default (4 → 5 bands of ~13 bits) carries
+    the full recall guarantee (ADVICE r6 #2).  Candidates come from an
+    equi-join on (band_idx, band_value) — never all-pairs — and the exact
+    hamming verify is one codegen'd bit_count(xor).  Candidate volume ∝
+    band collisions, the LSH contract at any corpus size."""
+    n_bands = max_hamming + 1
+    base, extra = divmod(64, n_bands)
+    cols, off = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < extra else 0)
+        mask = (1 << w) - 1  # two's-complement into the signed lit slot
+        mask = mask - (1 << 64) if mask >= (1 << 63) else mask
+        cols.append(
+            F.shiftrightunsigned(F.col("ahash"), off).bitwiseAND(F.lit(mask))
+        )
+        off += w
+    bands = F.array(*cols)
     ex = (
         hashed.filter(F.col("ahash").isNotNull())
         .select("asset_id", "ahash", F.posexplode(bands).alias("b_idx", "b_val"))

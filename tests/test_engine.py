@@ -2169,6 +2169,15 @@ def test_paste_join_positional(engine, spark):
         ).collect()
     )
     assert rows == [("a", 3), ("b", 2), ("c", 1)]  # reversed zips ascending
+    # function-call sort keys parse (one paren nesting level, ADVICE r6 #4)
+    rows2 = sorted(
+        tuple(r)
+        for r in engine.sql(
+            "select s, rk from (select k, s from pjt order by negate(k)) "
+            "paste join (select k as rk from pjt order by abs(rk) asc)"
+        ).collect()
+    )
+    assert rows2 == [("a", 3), ("b", 2), ("c", 1)]
     with pytest.raises(ValueError, match="ORDER BY"):
         engine.sql(
             "select * from (select k from pjt) paste join "
@@ -2322,6 +2331,17 @@ def test_versioned_collapsing_merge_tree(engine):
     ] == [(1,)]
     engine.sql("optimize table vct final")
     assert engine.sql("select count(*) as n from vct").collect()[0][0] == 1
+    # net-NEGATIVE slice: surplus cancel rows stay visible, matching CH's
+    # unmatched-row behavior (ADVICE r6 #5)
+    engine.sql("insert into vct values (3, 9.0, -1, 1), (3, 9.0, -1, 1)")
+    engine.sql("insert into vct values (3, 9.0, 1, 1)")
+    surplus = [
+        tuple(r)
+        for r in engine.sql(
+            "select uid, sign from vct final where uid = 3"
+        ).collect()
+    ]
+    assert surplus == [(3, -1)]
     with pytest.raises(ValueError, match="VersionedCollapsingMergeTree"):
         engine.sql(
             "create table clt (k Int64, sign Int8) "
@@ -2578,9 +2598,14 @@ def test_distributed_and_buffer_alias_engines(engine):
     assert engine.sql("select count(*) as n from ab_local").collect()[0].n == 3
     assert engine.sql("select count(*) as n from ab_dist").collect()[0].n == 3
     assert engine.sql("select count(*) as n from ab_buf").collect()[0].n == 3
+    # the redirect survives an engine restart: the target is a persisted
+    # view property, not only the in-memory dict (ADVICE r6 #3)
+    fresh = TensorBaseEngine(engine.spark)
+    fresh.sql("insert into ab_dist values (4, 'd')")
+    assert fresh.sql("select count(*) as n from ab_local").collect()[0].n == 4
+    fresh.sql("drop table ab_buf")  # DROP TABLE on the alias = DROP VIEW
     engine.sql("drop table ab_dist")
-    engine.sql("drop table ab_buf")
-    assert engine.sql("select count(*) as n from ab_local").collect()[0].n == 3
+    assert engine.sql("select count(*) as n from ab_local").collect()[0].n == 4
     with pytest.raises(Exception, match="does not exist"):
         engine.sql(
             "create table ab_bad (k Int64) ENGINE = Distributed(c1, nodb, notbl)"
@@ -2801,6 +2826,12 @@ def test_star_apply_and_order_by_all(engine):
     assert r2["max(a)"] == 2 and "max(c)" not in r2.asDict()
     rows = engine.sql("select b, a from ap_t order by all").collect()
     assert [(x.b, x.a) for x in rows] == [(10, 1), (20, 2)]
+    # a `*` select item defeats the textual ordinal rewrite — it passes
+    # through to Spark's NATIVE ORDER BY ALL, which sorts by every column
+    # (ADVICE r6 #1: previously silently sorted by column 1 only)
+    engine.sql("insert into ap_t values (1, 5, 9.0)")
+    srows = engine.sql("select * from ap_t order by all").collect()
+    assert [(x.a, x.b) for x in srows] == [(1, 5), (1, 10), (2, 20)]
     with pytest.raises(Exception, match="one FROM table"):
         engine.sql(
             "select * apply(sum) from ap_t join ap_t x on ap_t.a = x.a"

@@ -1409,6 +1409,20 @@ def test_average_hash_and_neardup(spark):
         for r in M.image_neardup_pairs(hashed, max_hamming=1).collect()
     }
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 1 and pairs[(2, 3)] == 1
+    # pigeonhole guarantee AT the default max_hamming=4: a pair with one
+    # flipped bit in each of four 16-bit quarters defeated the old 4-band
+    # scheme; 5 bands (max_hamming+1) must still find it (ADVICE r6 #2)
+    adversarial = h0 ^ (1 << 2) ^ (1 << 18) ^ (1 << 34) ^ (1 << 50)
+    adversarial = adversarial - (1 << 64) if adversarial >= (1 << 63) else adversarial
+    hashed4 = spark.createDataFrame(
+        [(1, "png", h0), (9, "png", adversarial)],
+        "asset_id long, format string, ahash long",
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in M.image_neardup_pairs(hashed4).collect()
+    }
+    assert got == {(1, 9): 4}
 
 
 def test_wav_decode_and_audio_fingerprint(spark):
