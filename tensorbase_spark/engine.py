@@ -113,6 +113,194 @@ def _rewrite_order_by_all(sql: str) -> str:
     return sql[: m.start()] + f" order by {ordinals}" + (m.group("tail") or "")
 
 
+_DIST_AGG_RE = re.compile(r"(?is)\b(topkweighted|topk|histogram|entropy)\s*\(")
+# aggregate-looking call names that defeat the two-level lowering (the
+# level-1 pre-aggregation can't re-express them) — conservative: a false
+# positive only keeps the buffered single-pass form
+_OTHER_AGG_RE = re.compile(
+    r"(?is)\b(count|sum|avg|min|max|median\w*|quantile\w*|uniq\w*|any\w*|"
+    r"arg(?:max|min)|stddev\w*|var\w*|corr|covar\w*|collect_\w+|"
+    r"group\w+|first(?:_value)?|last(?:_value)?|array_agg|string_agg|"
+    r"approx\w*|\w+state|\w+merge|\w+if)\s*\("
+)
+_DIST_TAIL_RE = re.compile(r"(?is)\b(order|limit|having|window|qualify)\b")
+
+
+def _rewrite_dist_aggs(sql: str) -> str:
+    """Two-level lowering for value-DISTRIBUTION aggregates — topK(k)(x),
+    topKWeighted(k)(x, w), histogram(M)(x), entropy(x).
+
+    Their naive form buffers every raw row per group (collect_list), which
+    is the one aggregate shape whole-stage partial aggregation can't help:
+    a pathological single group at 100 TB is a task OOM.  The lowering
+    rewrites the statement to aggregate TWICE:
+
+        level 1  GROUP BY keys, x  ->  count(*) [, sum(w)]   (map-side
+                 combinable: the big shuffle carries (key, value) partial
+                 counts, never raw rows)
+        level 2  GROUP BY keys with the buffer over DISTINCT (value, count)
+                 pairs — memory ∝ distinct values per group, not rows.
+
+    The dist-agg calls are swapped for internal pair-form templates
+    (__topkpairs/__histpairs/__entropypairs, functions/clickhouse.py) that
+    translate_sql expands as usual.  Applies only to the simple aggregate
+    shape (one unaliased source, WHERE, plain-identifier GROUP BY keys, no
+    other aggregates); every unmatched shape keeps the documented buffered
+    form, so this is a strict plan improvement, never a semantics change
+    (VERDICT r6 #4)."""
+    if not _DIST_AGG_RE.search(sql):
+        return sql
+    sm = re.match(r"(?is)^\s*select\s+(?P<body>.*)$", sql.strip(), re.S)
+    if not sm or re.match(r"(?is)^\s*distinct\b", sm.group("body")):
+        return sql
+    body = sm.group("body")
+    fm = _scan_depth0(body, 0, re.compile(r"(?is)\bfrom\b").match)
+    if fm is None:
+        return sql
+    items_txt, rest = body[: fm.start()], body[fm.end() :]
+    rm = re.match(r"(?is)^\s*(?P<src>[\w.]+)\s*(?P<tail>.*)$", rest, re.S)
+    if not rm:
+        return sql
+    src, tail = rm.group("src"), rm.group("tail")
+    gm = _scan_depth0(tail, 0, re.compile(r"(?is)\bgroup\s+by\b").match)
+    if gm is not None:
+        pre, post = tail[: gm.start()], tail[gm.end() :]
+        om = _scan_depth0(post, 0, _DIST_TAIL_RE.match)
+        if om is not None and om.group(1).lower() in ("having", "window", "qualify"):
+            return sql
+        keys_txt = post[: om.start()] if om else post
+        outer_tail = post[om.start() :] if om else ""
+        keys = [k.strip() for k in _split_depth0(keys_txt) if k.strip()]
+        if not keys or any(not re.fullmatch(r"\w+", k) or k.isdigit() for k in keys):
+            return sql
+    else:
+        om = _scan_depth0(tail, 0, _DIST_TAIL_RE.match)
+        if om is not None and om.group(1).lower() in ("having", "window", "qualify"):
+            return sql
+        pre = tail[: om.start()] if om else tail
+        outer_tail = tail[om.start() :] if om else ""
+        keys = []
+    s = pre.strip()
+    if s and not re.match(r"(?is)^where\b", s):
+        return sql  # JOIN / alias / SAMPLE between FROM and GROUP BY: bail
+    where_txt = re.sub(r"(?is)^where\b", "", s).strip() or None
+
+    # mask string literals so a quoted 'histogram(' can't confuse the scan
+    lits: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x01{len(lits) - 1}\x01"
+
+    def _unmask(t: str) -> str:
+        return re.sub(r"\x01(\d+)\x01", lambda m: lits[int(m.group(1))], t)
+
+    masked = re.sub(r"'(?:[^']|'')*'", _mask, items_txt)
+
+    def _paren_group(t: str, open_idx: int):
+        depth, j, n = 1, open_idx + 1, len(t)
+        while j < n and depth:
+            if t[j] == "(":
+                depth += 1
+            elif t[j] == ")":
+                depth -= 1
+            j += 1
+        return (t[open_idx + 1 : j - 1], j) if depth == 0 else (None, n)
+
+    spans: list[tuple[int, int, str]] = []
+    xs: set[str] = set()
+    wsrc: set[str] = set()
+    x_raw = w_raw = None
+    needs_w = False
+    consumed = 0
+
+    def _norm(t: str) -> str:
+        return re.sub(r"\s+", " ", t.strip().lower())
+
+    for m in _DIST_AGG_RE.finditer(masked):
+        if m.start() < consumed:
+            return sql  # nested dist-agg calls: keep the buffered form
+        name = m.group(1).lower()
+        g1, after1 = _paren_group(masked, m.end() - 1)
+        if g1 is None:
+            return sql
+        if name == "entropy":
+            args = _split_top_level_args(g1)
+            if len(args) != 1:
+                return sql
+            x = _unmask(args[0])
+            repl = "__entropypairs(__dv, __dc)"
+        else:
+            k = after1
+            while k < len(masked) and masked[k] in " \t\r\n":
+                k += 1
+            if k >= len(masked) or masked[k] != "(":
+                return sql  # parametric call without the args group
+            g2, after1 = _paren_group(masked, k)
+            if g2 is None:
+                return sql
+            args = _split_top_level_args(g2)
+            param = g1.strip()
+            if not re.fullmatch(r"\d+", param):
+                return sql
+            if name == "topkweighted":
+                if len(args) != 2:
+                    return sql
+                x, w = _unmask(args[0]), _unmask(args[1])
+                if w_raw is None:
+                    w_raw = w
+                wsrc.add(_norm(w))
+                needs_w = True
+                repl = f"__topkpairs({param})(__dv, __dw)"
+            elif name == "topk":
+                if len(args) != 1:
+                    return sql
+                x = _unmask(args[0])
+                repl = f"__topkpairs({param})(__dv, __dc)"
+            else:  # histogram
+                if len(args) != 1:
+                    return sql
+                x = _unmask(args[0])
+                repl = f"__histpairs({param})(__dv, __dc)"
+        if x_raw is None:
+            x_raw = x
+        xs.add(_norm(x))
+        spans.append((m.start(), after1, repl))
+        consumed = after1
+    if not spans or len(xs) != 1 or (needs_w and len(wsrc) != 1):
+        return sql
+    if re.search(r"(?is)\bover\b", masked):
+        return sql  # window over the lowered rows would change meaning
+    residue = masked
+    for st, en, _ in reversed(spans):
+        residue = residue[:st] + " " + residue[en:]
+    # count(*) is the one companion aggregate the level-1 rows re-express
+    # exactly: the pair counts sum back to the raw row count
+    count_star = re.compile(r"(?is)\bcount\s*\(\s*\*\s*\)")
+    residue = count_star.sub(" ", residue)
+    if _OTHER_AGG_RE.search(residue):
+        return sql
+    new_items = masked
+    for st, en, repl in reversed(spans):
+        new_items = new_items[:st] + repl + new_items[en:]
+    new_items = count_star.sub("cast(sum(__dc) as bigint)", new_items)
+    new_items = _unmask(new_items)
+
+    l1 = keys + [f"{x_raw} as __dv", "count(*) as __dc"]
+    if needs_w:
+        l1.append(f"sum(cast({w_raw} as double)) as __dw")
+    inner = f"select {', '.join(l1)} from {src}"
+    if where_txt:
+        inner += f" where {where_txt}"
+    inner += " group by " + ", ".join([*keys, x_raw])
+    out = f"select {new_items.strip()} from ({inner}) __tb_dist"
+    if keys:
+        out += " group by " + ", ".join(keys)
+    if outer_tail.strip():
+        out += " " + outer_tail.strip()
+    return out
+
+
 def _rewrite_star_replace(sql: str) -> str:
     """``* [EXCEPT (...)] REPLACE(expr AS col, ...)`` -> ``* EXCEPT
     (cols...), expr AS col, ...`` (see _preprocess_ch_clauses)."""
@@ -4969,6 +5157,8 @@ class TensorBaseEngine:
             q = _rewrite_limit_with_ties(q)
         if re.search(r"(?is)\bsample\s", q):
             q = self._rewrite_sample(q)
+        if _DIST_AGG_RE.search(q):
+            q = _rewrite_dist_aggs(q)
         q = translate_sql(q.strip())
         # WHERE-rewrite: for each known partitioned table referenced, derive
         # __ptk predicates from source-column comparisons and AND them in.

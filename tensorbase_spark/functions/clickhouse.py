@@ -607,6 +607,21 @@ CH_PARAMETRIC_TEMPLATES = {
     # M conditional sums expand inline, all inside one partial->final
     # aggregate pass.
     "histogram": lambda p, a: _histogram_tmpl(int(p[0].strip()), a[0]),
+    # -- internal pair-form distribution aggregates ----------------------
+    # Emitted ONLY by engine._rewrite_dist_aggs' two-level lowering: the
+    # caller pre-aggregated to one row per (group, value) with __dc =
+    # count(*) / __dw = sum(weight), so the buffer here holds DISTINCT
+    # values (already map-side combined) instead of raw rows — the 100 TB
+    # shape for topK/topKWeighted/histogram/entropy.
+    # __topkpairs(k)(v, score): top-k values by (score desc, value asc);
+    # v is distinct per group by construction, nulls skipped like
+    # collect_list does in the single-pass form.
+    "__topkpairs": lambda p, a: (
+        f"transform(slice(array_sort(collect_list(case when {a[0]} is not "
+        f"null then named_struct('negs', -({a[1]}), 'v', {a[0]}) end)), "
+        f"1, {int(p[0].strip())}), __q -> __q.v)"
+    ),
+    "__histpairs": lambda p, a: _histpairs_tmpl(int(p[0].strip()), a[0], a[1]),
 }
 
 
@@ -643,6 +658,52 @@ def _histogram_tmpl(m: int, x: str) -> str:
         f"element_at(transform(array(collect_list(cast({x} as double))), "
         f"arr -> array({', '.join(bins)})), 1)"
     )
+
+
+def _histpairs_tmpl(m: int, v: str, c: str) -> str:
+    """Pair-form equi-width histogram (see __topkpairs note): ``v`` is the
+    distinct value, ``c`` its pre-aggregated count.  Identical (lo, hi,
+    height) output to _histogram_tmpl — heights sum the pair counts instead
+    of sizing a raw-row buffer; min/max are native combinable aggregates."""
+    if not 1 <= m <= 64:
+        raise ValueError("histogram(M): M must be in [1, 64]")
+    lo, hi = f"min(cast({v} as double))", f"max(cast({v} as double))"
+    w = f"(({hi}) - ({lo})) / {m}.0"
+    bins = []
+    for i in range(m):
+        b_lo = f"({lo}) + {i} * ({w})"
+        b_hi = f"({lo}) + {i + 1} * ({w})"
+        upper = f"__q.v < {b_hi}" if i < m - 1 else f"__q.v <= ({hi})"
+        cnt = (
+            f"aggregate(filter(arr, __q -> __q.v >= ({b_lo}) and {upper}), "
+            f"cast(0 as bigint), (acc, __q) -> acc + __q.c)"
+        )
+        bins.append(
+            f"named_struct('_1', {b_lo}, '_2', {b_hi}, "
+            f"'_3', cast({cnt} as double))"
+        )
+    return (
+        f"element_at(transform(array(collect_list(case when {v} is not null "
+        f"then named_struct('v', cast({v} as double), 'c', {c}) end)), "
+        f"arr -> array({', '.join(bins)})), 1)"
+    )
+
+
+def _entropypairs_sql(args: list[str]) -> str:
+    """Pair-form Shannon entropy: args = (value, count).  N and the p*log2 p
+    sum both derive from the ≤distinct-size count array inside one lambda
+    chain (the single-collect binding idiom)."""
+    v, c = args[0], args[1]
+    return (
+        f"element_at(transform(array(collect_list(case when {v} is not null "
+        f"then cast({c} as double) end)), __a -> element_at(transform("
+        f"array(aggregate(__a, cast(0.0 as double), (__s, __c) -> __s + __c)), "
+        f"__n -> aggregate(__a, cast(0.0 as double), "
+        f"(__acc, __c) -> __acc - (__c / __n) * log2(__c / __n))), 1)), 1)"
+    )
+
+
+CH_SQL_TEMPLATES["__entropypairs"] = _entropypairs_sql
 
 
 def _json_tmpl(fmt: str):
@@ -1114,10 +1175,11 @@ CH_SQL_TEMPLATES.update(
 )
 
 # topK(k)(x): CH's heavy-hitter aggregate (SpaceSaving sketch).  The rewrite
-# is the deterministic exact form — frequency-desc, value-asc tie-break —
-# buffered per group like collect_list; the truly-sketched path at 100 TB is
-# the windowed groupBy in queries/pipeline.py (agg_top_k_words).  Returns
-# the top-k VALUES as an array, like CH.
+# is the deterministic exact form — frequency-desc, value-asc tie-break.
+# This template is the single-pass FALLBACK for complex statement shapes;
+# simple aggregate queries are lowered by engine._rewrite_dist_aggs to the
+# two-level pair form (__topkpairs), whose big shuffle is map-side combined
+# and whose buffer holds distinct values only — the 100 TB shape.
 CH_PARAMETRIC_TEMPLATES["topk"] = lambda p, a: (
     f"transform(slice(array_sort(transform(array_distinct(collect_list({a[0]})), "
     f"v -> struct(-size(filter(collect_list({a[0]}), y -> y <=> v)) as negn, "
@@ -1377,9 +1439,11 @@ def _bar_sql(args: list[str]) -> str:
 
 # topK(k)(x): CH's is an approximate space-saving sketch; this is the
 # EXACT superset — most-frequent k elements, ties by value, as an array
-# (stringify for driver hashing).  O(n·distinct) per group in HOFs over
-# the collected list: correct for the grouped-analytics shape topK serves;
-# corpus-scale frequency work uses the dedicated pipeline operators.
+# (stringify for driver hashing).  Single-pass FALLBACK form: simple
+# aggregate statements are lowered to the pair form (__topkpairs above) by
+# engine._rewrite_dist_aggs, which pre-combines counts map-side and buffers
+# distinct values only; this O(n·distinct)-in-HOFs form remains for shapes
+# the lowering can't prove safe.
 CH_PARAMETRIC_TEMPLATES.update(
     {
         "topk": lambda p, a: (
