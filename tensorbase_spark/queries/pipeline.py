@@ -1736,10 +1736,18 @@ WITH base AS (
   SELECT doc_id, substr(lower(text), 1, 12) AS blk,
          substr(lower(text), 1, 80) AS cmp
   FROM documents
+), ranked AS (
+  SELECT *, length(cmp) AS lc,
+         row_number() OVER (PARTITION BY blk ORDER BY length(cmp), cmp,
+                            doc_id) AS rk
+  FROM base
 ), pairs AS (
+  -- sorted-neighborhood candidates: the banded rank join in Spark is a
+  -- DISTRIBUTION strategy; the candidate SET is exactly this condition
   SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          levenshtein(a.cmp, b.cmp) AS dist
-  FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id <> b.doc_id
+  FROM ranked a JOIN ranked b ON a.blk = b.blk AND a.doc_id <> b.doc_id
+   AND abs(a.rk - b.rk) <= 16 AND abs(a.lc - b.lc) <= 20
 ), nn AS (
   SELECT a_id AS doc_id, b_id AS nn_id, dist AS nn_dist,
          row_number() OVER (PARTITION BY a_id ORDER BY dist, b_id) AS rn

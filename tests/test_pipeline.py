@@ -1155,6 +1155,9 @@ def test_edit_distance_neardups_blocked(spark):
             (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
             (3, "alpha beta gamma delta epsilon zetX"),   # 1 edit from 1/2
             (4, "omega psi chi phi upsilon tau"),          # different block
+            # same prefix block but 34 chars longer than 1/2/3: outside the
+            # len_gap=20 length window -> provably-far, never a candidate
+            (5, "alpha beta gamma delta epsilon zeta " + "x" * 34),
         ],
         "doc_id long, text string",
     )
@@ -1164,6 +1167,17 @@ def test_edit_distance_neardups_blocked(spark):
     assert nn[2] == (1, 0)
     assert nn[3][1] == 1
     assert 4 not in nn  # alone in its block -> no candidate pair
+    assert 5 not in nn  # length-banded out of the shared prefix block
+    # a pair STRADDLING a band boundary (lengths 39 vs 41, bands 1 vs 2)
+    # still collides via the ±1 band explode
+    edge = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta abc"),
+         (11, "alpha beta gamma delta epsilon zeta abcXY")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.nn_id, r.nn_dist)
+           for r in edit_distance_neardups(edge).collect()}
+    assert got == {10: (11, 2), 11: (10, 2)}
 
 
 def test_zipf_stats_slope_shape(spark):
