@@ -87,6 +87,50 @@ def main() -> None:
         f"bulk: {total} rows in {bulk_elapsed:.1f}s = "
         f"{total/bulk_elapsed/1e6:.2f} Mrows/s"
     )
+
+    # --- bulk grain under the reinterpret storage mode --------------------
+    # SET uint64_storage='reinterpret' stores UInt64 as Int64 two's-
+    # complement (types.ParsedType.reinterp): same logical rows, plain
+    # INT64 parquet encode — measures how much of the UInt64 tax the mode
+    # recovers vs the Int64 floor below.
+    eng.sql("drop table if exists test_tab")
+    eng.sql("set uint64_storage = 'reinterpret'")
+    eng.sql(
+        "CREATE TABLE test_tab(a UInt64, b UInt64) PARTITION BY rem(a,100)"
+    )
+    eng.sql("set uint64_storage = 'decimal'")
+    t0 = time.perf_counter()
+    eng.sql(
+        f"insert into test_tab select id % {NROWS_BLK} as a, "
+        f"(id % {NROWS_BLK}) * 2 as b from range({total})"
+    )
+    ri_elapsed = time.perf_counter() - t0
+    got = eng.sql(
+        "select sum(a) as sa, sum(b) as sb, count(*) as n from test_tab"
+    ).collect()[0]
+    assert (int(got.sa), int(got.sb), got.n) == (exp_a, 2 * exp_a, total), got
+    print(
+        f"bulk reinterpret: {total} rows in {ri_elapsed:.1f}s = "
+        f"{total/ri_elapsed/1e6:.2f} Mrows/s"
+    )
+
+    # --- Int64 floor (the encode-tax denominator, PLANS.md §10) -----------
+    eng.sql("drop table if exists test_tab")
+    eng.sql(
+        "CREATE TABLE test_tab(a Int64, b Int64) PARTITION BY rem(a,100)"
+    )
+    t0 = time.perf_counter()
+    eng.sql(
+        f"insert into test_tab select id % {NROWS_BLK} as a, "
+        f"(id % {NROWS_BLK}) * 2 as b from range({total})"
+    )
+    i64_elapsed = time.perf_counter() - t0
+    print(
+        f"bulk int64 floor: {total} rows in {i64_elapsed:.1f}s = "
+        f"{total/i64_elapsed/1e6:.2f} Mrows/s; "
+        f"reinterp/int64 = {ri_elapsed/i64_elapsed:.2f}x, "
+        f"decimal/int64 = {bulk_elapsed/i64_elapsed:.2f}x"
+    )
     eng.sql("drop database if exists ing_db")
 
 

@@ -1631,6 +1631,11 @@ class TensorBaseEngine:
         # CH query parameters: SET param_x = v binds {x:Type} placeholders
         self._params: dict[str, str] = {}
         self._use_query_cache: bool = False
+        # SET uint64_storage = 'decimal' (default, lossless Decimal(20,0))
+        # | 'reinterpret' (Int64 two's-complement — see types.ParsedType.
+        # reinterp for the semantics ledger).  Applies at CREATE TABLE
+        # time; the choice is stamped per column, not re-read per query.
+        self._uint64_storage: str = "decimal"
         self._cache_version: int = 0
         self._result_cache: dict[str, tuple] = {}
         self._query_cache_max_rows: int = 100_000
@@ -1748,6 +1753,11 @@ class TensorBaseEngine:
             "optimize_target_file_bytes": str(128 * 1024 * 1024),
         }
         rows = [
+            (
+                "uint64_storage",
+                self._uint64_storage,
+                self._uint64_storage != "decimal",
+            ),
             (
                 "use_query_cache",
                 "1" if self._use_query_cache else "0",
@@ -2230,6 +2240,12 @@ class TensorBaseEngine:
                     self._use_query_cache = v.strip().lower() in ("1", "true")
                     if not self._use_query_cache:
                         self._result_cache.clear()
+                elif k == "uint64_storage":
+                    if v.lower() not in ("decimal", "reinterpret"):
+                        raise ValueError(
+                            "uint64_storage: 'decimal' or 'reinterpret'"
+                        )
+                    self._uint64_storage = v.lower()
                 elif k.startswith("param_") and len(k) > 6:
                     # CH query parameters: SET param_x = v binds {x:Type}
                     self._params[k[6:]] = v
@@ -2532,7 +2548,17 @@ class TensorBaseEngine:
             toks = part.strip().split(None, 1)
             if len(toks) != 2:
                 raise ValueError(f"cannot parse column def: {part!r}")
-            cols.append((toks[0], toks[1]))
+            ctype = toks[1]
+            if self._uint64_storage == "reinterpret":
+                # stamp the session choice into the stored spelling so the
+                # table's physical type is decided ONCE at CREATE (SURVEY
+                # §1.2 'decide-early') and every later reader/writer —
+                # including a fresh engine — sees it (types.ParsedType.
+                # reinterp has the semantics ledger)
+                ctype = re.sub(
+                    r"(?i)\buint64\b(?!reinterp)", "UInt64Reinterp", ctype
+                )
+            cols.append((toks[0], ctype))
 
         pm = _PARTITION_BY_RE.search(tail)
         spec = parse_partition_expr(pm.group("expr")) if pm else None
@@ -4328,6 +4354,22 @@ class TensorBaseEngine:
         for f in schema:
             if f.name in targets:
                 col = F.col(f.name).cast(f.dataType)
+                p0 = bql_cols.get(f.name)
+                if p0 is not None and p0.reinterp:
+                    # UInt64Reinterp write boundary: inputs above 2^63-1
+                    # (decimal/double/string sources) wrap two's-complement
+                    # instead of overflowing to null; integral inputs can't
+                    # exceed the range and keep the plain (free) cast
+                    in_t = renamed.schema[f.name].dataType.simpleString()
+                    if in_t not in ("bigint", "int", "smallint", "tinyint"):
+                        big = F.col(f.name).cast(T.DecimalType(21, 0))
+                        two64 = F.lit("18446744073709551616").cast(
+                            T.DecimalType(21, 0)
+                        )  # 2^64 exceeds a Python-long lit slot
+                        col = F.when(
+                            big > F.lit(2**63 - 1).cast(T.DecimalType(21, 0)),
+                            (big - two64).cast("long"),
+                        ).otherwise(big.cast("long"))
                 if f.dataType.simpleString() == "timestamp":
                     col = F.date_trunc("second", col)
                 p = bql_cols.get(f.name)

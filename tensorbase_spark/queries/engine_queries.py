@@ -2211,6 +2211,41 @@ QUERIES["engine_ingest_partitioned"] = Query(
 )
 
 
+def engine_ingest_reinterp(spark, sf_dir):
+    """The same full write path as engine_ingest_partitioned but with the
+    key declared UInt64 under ``SET uint64_storage = 'reinterpret'``
+    (types.ParsedType.reinterp): stores as Int64 two's-complement, closing
+    the measured 1.6x Decimal(20,0) encode tax (PLANS.md §10 round-7 A/B:
+    parity with the Int64 floor).  l_orderkey values are far below 2^63,
+    so every aggregate here is range-exact; the verify read-back must
+    therefore match the plain-Int64 oracle bit for bit."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "ingr")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("ingr_src")
+    eng.sql("set uint64_storage = 'reinterpret'")
+    eng.sql(
+        "create table li_ri(ok UInt64, qty Float64, price Float64) "
+        "partition by rem(ok, 32)"
+    )
+    eng.sql("set uint64_storage = 'decimal'")
+    eng.sql(
+        "insert into li_ri select l_orderkey, l_quantity, l_extendedprice "
+        "from ingr_src"
+    )
+    return eng.sql(
+        "select count(*) as n, cast(sum(cast(qty as bigint)) as bigint) as sq, "
+        "round(sum(price), 2) as sp, "
+        "cast(count(distinct ok % 32) as bigint) as n_parts from li_ri"
+    )
+
+
+QUERIES["engine_ingest_reinterp"] = Query(
+    engine_ingest_reinterp, ENGINE_INGEST_ORACLE,
+    ("engine", "ingest", "write-path", "types"), bench=True,
+)
+
+
 def engine_null_distributed(spark, sf_dir):
     """ENGINE = Null + MV fan-out + Distributed/Buffer alias engines
     (engine.py _create_table alias branch / insert_df Null branch).  The

@@ -119,6 +119,20 @@ class ParsedType:
     enum_values: tuple | None = None  # Enum8/16 allowed strings, enforced on write
     agg_fn: str | None = None  # AggregateFunction(fn, ...) column's fn name
     nested_fields: tuple | None = None  # Nested(...) subcolumn names, insert-zip
+    # UInt64Reinterp: UInt64 stored as Int64 with two's-complement
+    # reinterpretation (opt-in via SET uint64_storage = 'reinterpret';
+    # default UInt64 stays the lossless Decimal(20, 0)).  Closes the
+    # measured 1.6x Decimal ENCODE tax on the bulk-ingest path (PLANS.md
+    # §10) for u64 id/hash workloads.  Semantics under reinterpretation:
+    # equality, grouping, joins, count/countDistinct and partition hashing
+    # are EXACT for the full u64 range (bijective bit mapping); ordering,
+    # range predicates, min/max, sum and arithmetic follow the SIGNED
+    # values, so they only match unsigned semantics while the data stays
+    # below 2^63 — the id/hash case.  Values >= 2^63 appear negative;
+    # toUInt64OrDefault-style display math is the caller's job.  Inserts
+    # accept the full u64 range and wrap at the write boundary
+    # (engine.insert_df).
+    reinterp: bool = False
 
 
 def parse_bql_type(name: str) -> ParsedType:
@@ -263,7 +277,8 @@ def parse_bql_type(name: str) -> ParsedType:
     if m:
         inner = parse_bql_type(m.group(1))
         return ParsedType(
-            inner.spark_type, True, inner.fixed_len, inner.tz, inner.enum_values
+            inner.spark_type, True, inner.fixed_len, inner.tz,
+            inner.enum_values, reinterp=inner.reinterp,
         )
 
     m = _LOWCARD_RE.match(s)
@@ -276,6 +291,9 @@ def parse_bql_type(name: str) -> ParsedType:
             inner.tz,
             inner.enum_values,
         )
+
+    if low == "uint64reinterp":  # see ParsedType.reinterp
+        return ParsedType(T.LongType(), reinterp=True)
 
     if low in _SIMPLE:
         return ParsedType(_SIMPLE[low])

@@ -2579,6 +2579,55 @@ def test_null_engine_discards_but_fires_mv(engine):
     assert got == {1: 5.0, 2: 5.0}
 
 
+def test_uint64_storage_reinterpret(engine):
+    """SET uint64_storage = 'reinterpret': UInt64 columns created under the
+    setting store as Int64 (closing the measured Decimal(20,0) encode tax,
+    PLANS.md §10); full-range inserts wrap two's-complement at the write
+    boundary; equality/grouping stay exact; the default mode still stores
+    lossless Decimal(20,0)."""
+    engine.sql("create table u64_dec (k UInt64, v Int64)")
+    engine.sql(
+        "insert into u64_dec values (18446744073709551615, 1), (5, 2)"
+    )
+    dec_rows = {
+        int(r.k): r.v for r in engine.sql("select k, v from u64_dec").collect()
+    }
+    assert dec_rows == {18446744073709551615: 1, 5: 2}  # lossless default
+    assert (
+        "decimal(20,0)"
+        in engine.spark.table(engine._qualify("u64_dec")).schema["k"]
+        .dataType.simpleString()
+    )
+    engine.sql("set uint64_storage = 'reinterpret'")
+    engine.sql("create table u64_ri (k UInt64, v Int64)")
+    engine.sql("set uint64_storage = 'decimal'")  # applies at CREATE time
+    engine.sql(
+        "insert into u64_ri values (18446744073709551615, 1), (5, 2)"
+    )
+    assert (
+        engine.spark.table(engine._qualify("u64_ri")).schema["k"]
+        .dataType.simpleString()
+        == "bigint"
+    )
+    ri_rows = {r.k: r.v for r in engine.sql("select k, v from u64_ri").collect()}
+    assert ri_rows == {-1: 1, 5: 2}  # 2^64-1 reinterprets as -1
+    # equality and grouping are exact over the bit-mapped values
+    assert (
+        engine.sql(
+            "select count(*) as n from u64_ri where k = 18446744073709551615 - 18446744073709551616"
+        ).collect()[0].n
+        == 1
+    )
+    desc = {
+        r[0]: r[1] for r in engine.sql("desc table u64_ri").collect()
+    }
+    assert "bigint" in desc["k"].lower() or "int64" in desc["k"].lower() or "reinterp" in desc["k"].lower()
+    with pytest.raises(ValueError, match="uint64_storage"):
+        engine.sql("set uint64_storage = 'nope'")
+    engine.sql("drop table u64_dec")
+    engine.sql("drop table u64_ri")
+
+
 def test_distributed_and_buffer_alias_engines(engine):
     """Distributed/Buffer route reads AND writes to the local target; DROP
     removes only the alias view, never target data."""
