@@ -1645,6 +1645,11 @@ class TensorBaseEngine:
         self._merge_tf_n: int = 0
         # alias engines (Distributed/Buffer): qualified name -> target table
         self._alias_targets: dict[str, str] = {}
+        self._alias_kinds: dict[str, str] = {}  # 'buffer' | 'distributed'
+        # ENGINE = Buffer pending blocks per alias (cast, unwritten).  CH's
+        # buffer is likewise process-memory: rows not yet flushed are lost
+        # on an abnormal exit — the documented Buffer durability contract.
+        self._buffer_pending: dict[str, list[DataFrame]] = {}
 
     def bootstrap_system(self) -> None:
         """Create the ``system`` database + empty ``system.numbers (number
@@ -1894,6 +1899,36 @@ class TensorBaseEngine:
             return qualified
         if (t.tableType or "").upper() != "VIEW":
             return qualified
+        props = self._table_props_view(qualified)
+        tgt = props.get("tb.alias_target")
+        if tgt:
+            self._alias_targets[qualified] = tgt
+            kind = props.get("tb.alias_kind")
+            if kind:
+                self._alias_kinds[qualified] = kind
+            return tgt
+        return qualified
+
+    def _alias_kind(self, qualified: str) -> str | None:
+        """'buffer' / 'distributed' for an alias-engine view, else None."""
+        if qualified not in self._alias_kinds:
+            self._resolve_alias(qualified)  # lazily rebuilds both caches
+        return self._alias_kinds.get(qualified)
+
+    def _buffer_flush_blocks(self, alias: str) -> int:
+        """Pending-block count that triggers a flush.  CH flushes on its
+        min/max row/byte/time thresholds; rows and bytes are lazy here (a
+        count per arriving block would cost the very job the buffer
+        amortizes), so the deterministic analogue is the num_layers engine
+        argument as a block budget — each 'layer' holds one block."""
+        spec = self._table_props_view(alias).get("tb.buffer_layers")
+        try:
+            return max(1, int(spec))
+        except (TypeError, ValueError):
+            return 16
+
+    def _table_props_view(self, qualified: str) -> dict:
+        """View properties via the JVM catalog (tb.* on alias views)."""
         try:
             jvm = self.spark.sparkContext._jvm
             db, _, tbl = qualified.rpartition(".")
@@ -1908,14 +1943,28 @@ class TensorBaseEngine:
                 .getTableMetadata(ident)
             )
             it = meta.properties().iterator()
+            out: dict = {}
             while it.hasNext():
                 kv = it.next()
-                if kv._1() == "tb.alias_target":
-                    self._alias_targets[qualified] = kv._2()
-                    return kv._2()
+                out[kv._1()] = kv._2()
+            return out
         except Exception:
-            pass
-        return qualified
+            return {}
+
+    def flush_buffer(self, alias: str) -> None:
+        """Flush a Buffer alias's pending blocks to its target as ONE
+        partitioned write (the amortization the block-grain ingest tax
+        needs, PLANS.md §10) — also fired by OPTIMIZE TABLE and DROP TABLE
+        on the alias, matching CH's flush-on-drop."""
+        alias = self._qualify(alias)
+        pend = self._buffer_pending.get(alias) or []
+        if not pend:
+            return
+        out = pend[0]
+        for b in pend[1:]:
+            out = out.unionByName(b)
+        self._buffer_pending[alias] = []
+        self._write_block(self._resolve_alias(alias), out)
 
     def _spec_for(self, name: str) -> PartitionSpec | None:
         q = self._qualify(name)
@@ -2683,13 +2732,22 @@ class TensorBaseEngine:
                 # (insert_df / DROP would otherwise hit the bare view —
                 # ADVICE r6 #3)
                 esc = c.replace("'", "\\'")
+                kind = eng_name.lower()
+                layers = ""
+                if kind == "buffer" and len(a) > 2 and a[2].strip().isdigit():
+                    # num_layers doubles as the pending-block flush budget
+                    # (_buffer_flush_blocks) — CH's layer count is likewise
+                    # its write-buffer parallelism knob
+                    layers = f", 'tb.buffer_layers' = '{a[2].strip()}'"
                 self.spark.sql(
                     f"CREATE VIEW {name} "
                     f"TBLPROPERTIES ('tb.alias_target' = '{target}', "
+                    f"'tb.alias_kind' = '{kind}'{layers}, "
                     f"'tb.create_script' = '{esc}') "
                     f"AS SELECT {', '.join(tcols)} FROM {target}"
                 )
                 self._alias_targets[name] = target  # name is qualified here
+                self._alias_kinds[name] = kind
                 self._create_scripts[name] = c
                 return self.spark.sql("SELECT 1 AS ok")
             if eng_name.lower() == "replacingmergetree" and args:
@@ -2777,7 +2835,11 @@ class TensorBaseEngine:
         if kind == "TABLE":
             q = self._qualify(name)
             if self._resolve_alias(q) != q:  # Distributed/Buffer are views
+                if self._alias_kind(q) == "buffer":
+                    self.flush_buffer(q)  # CH flushes Buffer on drop
                 self._alias_targets.pop(q, None)
+                self._alias_kinds.pop(q, None)
+                self._buffer_pending.pop(q, None)
                 return self.spark.sql(f"DROP VIEW {ie}{name}")
             try:  # DROP TABLE on any other persistent view: CH accepts it
                 if (
@@ -2844,6 +2906,10 @@ class TensorBaseEngine:
         if not m:
             raise ValueError(f"cannot parse: {c}")
         name = self._qualify(m.group("name"))
+        if self._alias_kind(name) == "buffer":
+            # CH: OPTIMIZE on a Buffer table flushes it to the target
+            self.flush_buffer(name)
+            return self.spark.sql("SELECT 1 AS ok")
         if "*" in self._merges_stopped or name in self._merges_stopped:
             # CH: OPTIMIZE cannot proceed while merges are stopped for the
             # table (SYSTEM STOP MERGES); fail loudly rather than queue
@@ -4293,12 +4359,36 @@ class TensorBaseEngine:
         crates/arrow/src/datatypes/datatype.rs:95), partition-key computation,
         and the >=1000-parts-per-block guard (write.rs:52-56)."""
         name = self._qualify(name)
-        # Distributed/Buffer alias: writes land in the local target table
+        if self._alias_kind(name) == "buffer":
+            # ENGINE = Buffer: the block parks in the in-memory pending list
+            # (cast to the target schema NOW, so bad rows fail at insert
+            # like CH); reads of the alias see target + pending
+            # (_rewrite_buffer_reads); the flush threshold amortizes many
+            # block-grain arrivals into ONE partitioned write (CH's whole
+            # point for this engine; PLANS.md §10 block-grain tax).
+            alias = name
+            target = self._resolve_alias(name)
+            block = self._cast_block(target, src, subset)
+            pend = self._buffer_pending.setdefault(alias, [])
+            pend.append(block)
+            if len(pend) >= self._buffer_flush_blocks(alias):
+                self.flush_buffer(alias)
+            return self.spark.sql("SELECT 1 AS ok")
+        # Distributed alias: writes land in the local target table
         name = self._resolve_alias(name)
-        schema = [f for f in self.spark.table(name).schema.fields if f.name != PTK_COL]
-        spec = self._spec_for(name)
-        bql_cols = self._bql_cols_for(name)
+        out = self._cast_block(name, src, subset)
+        return self._write_block(name, out)
 
+    def _cast_block(
+        self, name: str, src: DataFrame, subset: list[str] | None = None
+    ) -> DataFrame:
+        """Positional cast of a source block to table ``name``'s schema:
+        Nested zip, type casts (incl. the UInt64Reinterp wrap), DateTime
+        second-truncation, FixedString/Enum write guards.  Shared by the
+        direct write path and Buffer pending blocks (which cast at insert
+        time, like CH, but write at flush time)."""
+        schema = [f for f in self.spark.table(name).schema.fields if f.name != PTK_COL]
+        bql_cols = self._bql_cols_for(name)
         targets = subset or [f.name for f in schema]
         nested = {
             n: p.nested_fields for n, p in bql_cols.items() if p.nested_fields
@@ -4403,7 +4493,54 @@ class TensorBaseEngine:
                 if not f.nullable:
                     raise ValueError(f"column {f.name} has no default and is NOT NULL")
                 sel.append(F.lit(None).cast(f.dataType).alias(f.name))
-        out = renamed.select(*sel)
+        return renamed.select(*sel)
+
+    def _rewrite_buffer_reads(self, q: str) -> str:
+        """Reads of a Buffer alias see the target PLUS the unflushed
+        pending blocks (the CH Buffer read contract): each referenced
+        alias with pending rows swaps for a target-UNION-pending subquery
+        bound under the alias name.  Plain ``FROM/JOIN name`` references
+        only — a user-supplied extra alias on the buffer table is not
+        rewritten (use the flushed target for exotic shapes)."""
+        for alias, pend in self._buffer_pending.items():
+            if not pend:
+                continue
+            short = alias.split(".")[-1]
+            if not re.search(rf"(?i)\b{re.escape(short)}\b", q):
+                continue
+            out = pend[0]
+            for b in pend[1:]:
+                out = out.unionByName(b)
+            vname = f"__tb_bufpend_{short}"
+            out.createOrReplaceTempView(vname)
+            target = self._resolve_alias(alias)
+            cols = ", ".join(out.columns)
+            union = (
+                f"(select {cols} from {target} union all "
+                f"select {cols} from {vname})"
+            )
+
+            def _swap(m: re.Match) -> str:
+                al = m.group("al")
+                if al and al.lower() in _NON_ALIAS_KEYWORDS:
+                    # not an alias — the next clause keyword: re-emit it
+                    return f"{m.group(1)} {union} {short} {al}"
+                return f"{m.group(1)} {union} {al or short}"
+
+            for nm in (alias, short):
+                q = re.sub(
+                    rf"(?is)\b(from|join)\s+{re.escape(nm)}"
+                    rf"(?:\s+(?:as\s+)?(?P<al>[A-Za-z_]\w*))?(?![\w.])",
+                    _swap,
+                    q,
+                )
+        return q
+
+    def _write_block(self, name: str, out: DataFrame) -> DataFrame:
+        """Write tail of the insert path: Null-engine discard, partition-key
+        computation + the >=1000-parts guard, partition-aligned shuffle,
+        bloom writer options, MV insert triggers."""
+        spec = self._spec_for(name)
         if (self._table_props(name).get("tb.engine") or "").lower() == "null":
             # ENGINE = Null: the write is discarded, reads stay empty — but
             # MV insert triggers still fire over the cast block (CH's
@@ -5176,6 +5313,8 @@ class TensorBaseEngine:
         if re.search(r"(?is)\bfinal\b", q):
             q = self._rewrite_final(q)
         q = _rewrite_array_join(_preprocess_ch_clauses(q.strip()))
+        if any(self._buffer_pending.values()):
+            q = self._rewrite_buffer_reads(q)
         if re.search(
             r"(?is)\b(?:from|join)\s+(?:merge|view|file|url|generaterandom)\s*\(",
             q,

@@ -2629,8 +2629,11 @@ def test_uint64_storage_reinterpret(engine):
 
 
 def test_distributed_and_buffer_alias_engines(engine):
-    """Distributed/Buffer route reads AND writes to the local target; DROP
-    removes only the alias view, never target data."""
+    """Distributed routes reads AND writes to the local target; Buffer
+    PARKS inserted blocks in memory — alias reads see target + pending
+    (the CH Buffer read contract), the target sees them only after a
+    flush (OPTIMIZE TABLE / num_layers block budget / DROP); DROP removes
+    only the alias view, never target data."""
     engine.sql("create table ab_local (k Int64, v String)")
     engine.sql("insert into ab_local values (1, 'a')")
     engine.sql(
@@ -2644,21 +2647,60 @@ def test_distributed_and_buffer_alias_engines(engine):
     )
     engine.sql("insert into ab_dist values (2, 'b')")
     engine.sql("insert into ab_buf values (3, 'c')")
-    assert engine.sql("select count(*) as n from ab_local").collect()[0].n == 3
-    assert engine.sql("select count(*) as n from ab_dist").collect()[0].n == 3
+    # unflushed: the buffer alias sees the pending row, the target doesn't
+    assert engine.sql("select count(*) as n from ab_local").collect()[0].n == 2
+    assert engine.sql("select count(*) as n from ab_dist").collect()[0].n == 2
     assert engine.sql("select count(*) as n from ab_buf").collect()[0].n == 3
+    assert engine.sql(
+        "select v from ab_buf where k = 3"
+    ).collect()[0].v == "c"
+    engine.sql("optimize table ab_buf")  # CH: OPTIMIZE flushes a Buffer
+    assert engine.sql("select count(*) as n from ab_local").collect()[0].n == 3
+    assert engine.sql("select count(*) as n from ab_buf").collect()[0].n == 3
+    engine.sql("insert into ab_buf values (4, 'd')")
+    engine.sql("drop table ab_buf")  # CH flushes Buffer contents on DROP
+    assert engine.sql("select count(*) as n from ab_local").collect()[0].n == 4
     # the redirect survives an engine restart: the target is a persisted
     # view property, not only the in-memory dict (ADVICE r6 #3)
     fresh = TensorBaseEngine(engine.spark)
-    fresh.sql("insert into ab_dist values (4, 'd')")
-    assert fresh.sql("select count(*) as n from ab_local").collect()[0].n == 4
-    fresh.sql("drop table ab_buf")  # DROP TABLE on the alias = DROP VIEW
+    fresh.sql("insert into ab_dist values (5, 'e')")
+    assert fresh.sql("select count(*) as n from ab_local").collect()[0].n == 5
     engine.sql("drop table ab_dist")
-    assert engine.sql("select count(*) as n from ab_local").collect()[0].n == 4
+    assert engine.sql("select count(*) as n from ab_local").collect()[0].n == 5
     with pytest.raises(Exception, match="does not exist"):
         engine.sql(
             "create table ab_bad (k Int64) ENGINE = Distributed(c1, nodb, notbl)"
         )
+
+
+def test_buffer_engine_block_budget_flush(engine):
+    """num_layers is the pending-block flush budget: the Nth block-grain
+    insert triggers ONE amortized partitioned write of all pending blocks
+    (the reference's 256Ki-row-RPC arrival shape, PLANS.md §10); joins
+    against the alias also see pending rows."""
+    engine.sql(
+        "create table bb_tgt (k Int64, v Int64) partition by rem(k, 4)"
+    )
+    engine.sql(
+        "create table bb_buf (k Int64, v Int64) "
+        "ENGINE = Buffer(currentDatabase(), bb_tgt, 3, 10, 100, "
+        "10000, 1000000, 10000000, 100000000)"
+    )
+    engine.sql("insert into bb_buf values (1, 10), (2, 20)")
+    engine.sql("insert into bb_buf values (3, 30)")
+    assert engine.sql("select count(*) as n from bb_tgt").collect()[0].n == 0
+    # pending rows are visible through joins on the alias
+    got = engine.sql(
+        "select sum(b.v) as s from bb_buf b join bb_buf c on b.k = c.k"
+    ).collect()[0].s
+    assert got == 60
+    engine.sql("insert into bb_buf values (4, 40)")  # 3rd block: flush
+    assert engine.sql("select count(*) as n from bb_tgt").collect()[0].n == 4
+    assert engine.sql(
+        "select sum(v) as s from bb_buf"
+    ).collect()[0].s == 100
+    engine.sql("drop table bb_buf")
+    engine.sql("drop table bb_tgt")
 
 
 def test_window_timeseries_functions(engine, spark):
