@@ -376,9 +376,10 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     probes: int = 8,
     exact: bool = False,
+    target_bucket: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
     cos >= threshold and id_a < id_b.
@@ -396,13 +397,18 @@ def embedding_near_dup_pairs(
     a 2000-vector corpus: 11.1 s -> this plan 0.9 s, same results.
 
     The quadratic term is bounded by bucket size, GEMM-at-C-speed per
-    bucket.  At 100 TB: raise n_centroids so corpus/n_centroids fits an
-    executor's applyInPandas group (65k centroids for ~10^10 docs), keep
-    probes small (2-4 at production thresholds ~0.95; the fixture default
-    8/16 holds 100% recall at the test threshold 0.4 on all three fixture
-    SFs — far below any real near-dup bar, so it needs more probes than
-    production would — verified exhaustively against the exact path in
-    tests and against the all-pairs DuckDB oracle at sf0.1).
+    bucket — and the bucket size is now held CONSTANT as the corpus grows:
+    ``n_centroids`` defaults to ceil(n x probes / target_bucket) with a
+    floor of 16, so total GEMM work stays linear in n (the round-7 sf1
+    sweep caught the fixed-16 default going quadratic: 8.1x time at 10x
+    data; auto-scaled, the same sweep is linear — PLANS.md §17).  The
+    floor keeps every fixture SF on the exact historical 16-bucket layout,
+    where 8 probes hold 100% recall at the test threshold 0.4 on all three
+    fixture SFs — far below any real near-dup bar, so it needs more probes
+    than production would — verified exhaustively against the exact path
+    in tests and against the all-pairs DuckDB oracle at sf0.1.  At 100 TB
+    pass probes 2-4 at production thresholds ~0.95 and let n_centroids
+    scale (65k centroids for ~10^10 docs).
     A skewed bucket is one task but constant memory: the GEMM is chunked
     1024 rows at a time.
 
@@ -419,6 +425,12 @@ def embedding_near_dup_pairs(
 
     from pyspark.sql import types as T
 
+    if n_centroids is None:
+        # hold the expected bucket size (n x probes / k) at target_bucket
+        # so per-bucket GEMM work — the only quadratic term — is constant
+        # and total work is linear in corpus size
+        n = emb.count()
+        n_centroids = max(16, -(-n * probes // max(1, target_bucket)))
     cents = _train_centroids_np(emb, n_centroids, id_col, vec_col)
     k = len(cents)
     n_probe = min(probes, k)
