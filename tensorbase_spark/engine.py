@@ -457,6 +457,21 @@ def _rewrite_bracket_arrays(sql: str) -> str:
     return "".join(out)
 
 
+_CAST_TYPE_MAP = {
+    "int8": "tinyint", "int16": "smallint", "int32": "int", "int64": "bigint",
+    "uint8": "smallint", "uint16": "int", "uint32": "bigint",
+    "uint64": "decimal(20,0)",  # lossless widening, same as the DDL layer
+    "float32": "float", "float64": "double",
+    "largeutf8": "string", "datetime": "timestamp", "datetime64": "timestamp",
+    "uuid": "string",
+}
+_CAST_TYPE_RE = re.compile(
+    r"(?is)(?P<pre>\bas\s+|::\s*)(?P<t>"
+    + "|".join(sorted(_CAST_TYPE_MAP, key=len, reverse=True))
+    + r")\b(?=\s*[),\s]|$)"
+)
+
+
 def _preprocess_ch_clauses(sql: str) -> str:
     """Clause-level ClickHouse tolerance so real CH queries run unmodified:
 
@@ -494,6 +509,14 @@ def _preprocess_ch_clauses(sql: str) -> str:
     # distinction applies: a '[' after a value (identifier, ')', ']', or a
     # masked literal) subscripts; anywhere else it opens an array literal.
     out = _rewrite_bracket_arrays(out)
+    # BQL/CH type names inside CAST(x AS T) / x::T (the reference's cast
+    # surface, sanity_checks.rs:623-800): map to the same Spark types the
+    # DDL layer uses (types.py _SIMPLE), so `cast(a as Int64)` runs
+    # unmodified.  Names Spark already knows (int, bigint, double, ...)
+    # never match this table and pass through.
+    out = _CAST_TYPE_RE.sub(
+        lambda m: m.group("pre") + _CAST_TYPE_MAP[m.group("t").lower()], out
+    )
     # bind to the GROUP BY immediately preceding WITH TOTALS: a tempered
     # capture that cannot cross another GROUP BY, so a subquery/CTE group-by
     # earlier in the statement is never swallowed into the grouping sets

@@ -229,6 +229,30 @@ CH_SQL_TEMPLATES = {
     "endswith": "endswith({0}, {1})",
     "startswith": "startswith({0}, {1})",
     "generateuuidv4": "uuid()",
+    # UUID family in the SQL-text layer (mirrors the Column builders above;
+    # reference golden: sanity_checks.rs:1204, clickhouse.rs:63-106)
+    "touuid": (
+        "(case when lower(trim({0})) rlike "
+        "'^[0-9a-f]{{8}}-[0-9a-f]{{4}}-[0-9a-f]{{4}}-[0-9a-f]{{4}}-"
+        "[0-9a-f]{{12}}$' then lower(trim({0})) end)"
+    ),
+    "touuidornull": (
+        "(case when lower(trim({0})) rlike "
+        "'^[0-9a-f]{{8}}-[0-9a-f]{{4}}-[0-9a-f]{{4}}-[0-9a-f]{{4}}-"
+        "[0-9a-f]{{12}}$' then lower(trim({0})) end)"
+    ),
+    "touuidorzero": (
+        "coalesce(case when lower(trim({0})) rlike "
+        "'^[0-9a-f]{{8}}-[0-9a-f]{{4}}-[0-9a-f]{{4}}-[0-9a-f]{{4}}-"
+        "[0-9a-f]{{12}}$' then lower(trim({0})) end, "
+        "'00000000-0000-0000-0000-000000000000')"
+    ),
+    "uuidstringtonum": "unhex(replace(lower(trim({0})), '-', ''))",
+    "uuidnumtostring": (
+        "concat_ws('-', substring(lower(hex({0})), 1, 8), "
+        "substring(lower(hex({0})), 9, 4), substring(lower(hex({0})), 13, 4), "
+        "substring(lower(hex({0})), 17, 4), substring(lower(hex({0})), 21, 12))"
+    ),
     # introspection (upstream-CH session functions; SHOW-adjacent surface)
     "currentdatabase": "current_database()",
     "currentuser": "current_user()",
