@@ -129,33 +129,45 @@ R05_VERIFIED = frozenset(
     text_bpe_tokenize text_ngram_novelty window_interval_range""".split()
 )
 
-# Round-6 head: the driver checks roughly the FIRST 45-50 registry entries
-# per round.  Slot #1 is the single remaining red row — ch_everyday_funcs3,
-# whose oracle's uncast TINYINT sum (DuckDB HUGEINT -> pandas float64 vs
-# Spark int64) failed the r4 AND r5 driver hashes; the oracle is now cast
-# to BIGINT and the local gate is dtype-faithful (oracle.py
-# assert_dtype_faithful) so the class cannot recur.  Then every NEW
-# round-6 oracle-backed query, appended as implemented.  Everything else
-# is driver-verified across r1..r5 and yields its head slot.
+# Round-6 driver-verified set (CORRECTNESS_r06.json, 50/50 green): with
+# these, every registry query has cumulative driver evidence — they all
+# yield their head slots.
+R06_VERIFIED = frozenset(
+    """ch_everyday_funcs3 stream_corpus_maintenance engine_replacing_final
+    engine_summing_final ch_rollup_cube_suffix engine_plain_view
+    dedup_keep_best text_zipf_slope ch_weighted_aggs ch_bracket_arrays
+    ch_with_fill_dates ch_everyday_funcs5 engine_lightweight_delete
+    ch_merge_table_function text_gopher_rules text_c4_clean
+    text_boilerplate_lines ch_window_timeseries corpus_dsir_weights
+    engine_file_url_roundtrip metrics_binary_auc metrics_pr_points
+    engine_backup_restore ch_combinators2 corpus_classifier_loop
+    ch_everyday_funcs6 text_html_extract multimodal_audio_dedup
+    join_skew_salted""".split()
+)
+
+# Round-7 head: every head slot buys FRESH evidence (VERDICT r6 #7) —
+# (a) the four queries NEW this round, then (b) every query whose
+# IMPLEMENTATION changed behavior or plan in round 7 and therefore needs
+# a fresh driver hash even though an old round verified the old code:
+# the distribution-aggregate two-level lowering (histogram/topK/entropy/
+# everyday4/top-k-words), the sorted-neighborhood edit-distance rewrite,
+# the auto-scaled embedding buckets, the max_hamming+1 image banding, the
+# net-negative collapsing fix, the PASTE JOIN key parser, the persisted
+# alias targets, and the _cast_block/_write_block insert-path refactor
+# under every insert-heavy row.  Everything else is driver-verified
+# r1..r6 and yields its slot.
 PRIORITY_HEAD = [
-    "ch_everyday_funcs3",
-    # new round-6 oracle-backed queries (appended as implemented)
-    "stream_corpus_maintenance",
-    "engine_replacing_final", "engine_summing_final",
-    "ch_paste_join", "ch_rollup_cube_suffix", "engine_plain_view",
-    "dedup_keep_best", "dedup_edit_distance", "text_zipf_slope",
-    "ch_weighted_aggs", "engine_aggregating_mv", "engine_collapsing_cdc",
-    "ch_bracket_arrays", "ch_everyday_funcs4", "ch_with_fill_dates",
-    "ch_everyday_funcs5",
-    "engine_lightweight_delete", "ch_merge_table_function",
-    "text_gopher_rules", "text_c4_clean", "text_boilerplate_lines",
-    "engine_ingest_partitioned", "engine_null_distributed",
-    "ch_window_timeseries", "corpus_dsir_weights",
-    "engine_file_url_roundtrip", "metrics_binary_auc", "metrics_pr_points",
-    "ch_histogram_agg", "engine_backup_restore", "ch_combinators2",
-    "corpus_classifier_loop", "engine_nested_type", "ch_everyday_funcs6",
-    "text_html_extract", "ch_entropy_kv", "ch_topk_weighted",
-    "multimodal_ahash_dedup", "multimodal_audio_dedup",
+    # (a) new round-7 queries
+    "engine_ingest_reinterp", "engine_buffer_flush",
+    "ch_cast_type_names", "ch_uuid_text_funcs",
+    # (b) round-7 behavior-changed implementations
+    "dedup_edit_distance", "dedup_embedding_cosine",
+    "multimodal_ahash_dedup", "engine_collapsing_cdc", "ch_paste_join",
+    "engine_null_distributed", "ch_histogram_agg", "ch_topk_weighted",
+    "ch_entropy_kv", "ch_everyday_funcs4", "agg_top_k_words",
+    "engine_ingest_partitioned", "engine_ddl_insert_select",
+    "engine_nested_type", "engine_aggregating_mv", "ch_uuid_roundtrip",
+    "case_cast",
 ]
 
 
@@ -196,7 +208,8 @@ def registry() -> dict[str, Query]:
             out[name] = q
 
     verified = (
-        R01_VERIFIED | R02_VERIFIED | R03_VERIFIED | R04_VERIFIED | R05_VERIFIED
+        R01_VERIFIED | R02_VERIFIED | R03_VERIFIED | R04_VERIFIED
+        | R05_VERIFIED | R06_VERIFIED
     )
     head = [n for n in PRIORITY_HEAD if n in out]
     mid_unverified = [

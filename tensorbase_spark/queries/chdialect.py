@@ -1309,3 +1309,94 @@ FROM r WHERE rk <= 3 GROUP BY st
 QUERIES["ch_topk_weighted"] = Query(
     ch_topk_weighted, CH_TOPK_WEIGHTED_ORACLE, ("dialect", "aggregate", "topk")
 )
+
+
+def ch_cast_type_names(spark, sf_dir):
+    """BQL/CH type names as CAST targets and ``::`` postfix casts
+    (engine.py _CAST_TYPE_RE, round 7; reference cast surface
+    sanity_checks.rs:623-800): Int64/Int32/UInt32/Float64/Float32/String/
+    DateTime all translate to the same Spark types the DDL layer maps
+    (types.py), so the reference's own cast queries run as SQL text."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_ct")
+    return eng.sql(
+        "select cast(o_orderkey % 7 as Int32) as k, "
+        "cast(count(*) as Int64) as n, "
+        "cast(sum(cast(o_totalprice as Int64)) as Int64) as s_i64, "
+        "cast(max(o_orderkey) as UInt32) as mx_u32, "
+        "floor(sum(o_totalprice :: Float64) / 100) as s_f64, "
+        "max(cast(o_orderdate as String)) as mx_str, "
+        "max(toYear(cast(cast(o_orderdate as String) as DateTime))) as y "
+        "from ord_ct group by cast(o_orderkey % 7 as Int32)"
+    )
+
+
+CH_CAST_TYPE_NAMES_ORACLE = """
+SELECT CAST(o_orderkey % 7 AS INTEGER) AS k,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(trunc(o_totalprice) AS BIGINT)) AS BIGINT) AS s_i64,  -- Spark/CH float->int casts truncate; DuckDB rounds
+       CAST(max(o_orderkey) AS BIGINT) AS mx_u32,
+       CAST(floor(sum(o_totalprice :: DOUBLE) / 100) AS BIGINT) AS s_f64,
+       max(strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')) AS mx_str,
+       CAST(max(year(o_orderdate)) AS BIGINT) AS y
+FROM orders GROUP BY 1
+"""
+
+
+QUERIES["ch_cast_type_names"] = Query(
+    ch_cast_type_names, CH_CAST_TYPE_NAMES_ORACLE, ("dialect", "cast", "types")
+)
+
+
+def ch_uuid_text_funcs(spark, sf_dir):
+    """UUID family through the SQL-TEXT dialect layer (round 7 — the
+    Column builders existed since r2, but UUIDStringToNum / UUIDNumToString
+    / toUUID* were unreachable from ``engine.sql`` text until the
+    CH_SQL_TEMPLATES entries landed; reference golden
+    sanity_checks.rs:1204).  UUIDs synthesized from doc ids via md5, the
+    num form asserted via length + round-trip like the reference."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("doc_uu")
+    return eng.sql(
+        "select doc_id, "
+        "toUUID(concat_ws('-', substring(md5(cast(doc_id as String)), 1, 8), "
+        " substring(md5(cast(doc_id as String)), 9, 4), "
+        " substring(md5(cast(doc_id as String)), 13, 4), "
+        " substring(md5(cast(doc_id as String)), 17, 4), "
+        " substring(md5(cast(doc_id as String)), 21, 12))) as u, "
+        "length(UUIDStringToNum(concat_ws('-', "
+        " substring(md5(cast(doc_id as String)), 1, 8), "
+        " substring(md5(cast(doc_id as String)), 9, 4), "
+        " substring(md5(cast(doc_id as String)), 13, 4), "
+        " substring(md5(cast(doc_id as String)), 17, 4), "
+        " substring(md5(cast(doc_id as String)), 21, 12)))) as num_len, "
+        "UUIDNumToString(UUIDStringToNum(concat_ws('-', "
+        " substring(md5(cast(doc_id as String)), 1, 8), "
+        " substring(md5(cast(doc_id as String)), 9, 4), "
+        " substring(md5(cast(doc_id as String)), 13, 4), "
+        " substring(md5(cast(doc_id as String)), 17, 4), "
+        " substring(md5(cast(doc_id as String)), 21, 12)))) as u_rt, "
+        "toUUIDOrZero(lang) as u_zero "
+        "from doc_uu"
+    )
+
+
+CH_UUID_TEXT_ORACLE = """
+WITH d AS (
+  SELECT doc_id, lang,
+         concat_ws('-', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                        substring(md5(CAST(doc_id AS VARCHAR)), 9, 4),
+                        substring(md5(CAST(doc_id AS VARCHAR)), 13, 4),
+                        substring(md5(CAST(doc_id AS VARCHAR)), 17, 4),
+                        substring(md5(CAST(doc_id AS VARCHAR)), 21, 12)) AS u
+  FROM documents
+)
+SELECT doc_id, u, CAST(16 AS INTEGER) AS num_len, u AS u_rt,
+       '00000000-0000-0000-0000-000000000000' AS u_zero
+FROM d
+"""
+
+
+QUERIES["ch_uuid_text_funcs"] = Query(
+    ch_uuid_text_funcs, CH_UUID_TEXT_ORACLE, ("dialect", "uuid")
+)

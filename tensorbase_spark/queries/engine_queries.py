@@ -2246,6 +2246,64 @@ QUERIES["engine_ingest_reinterp"] = Query(
 )
 
 
+def engine_buffer_flush(spark, sf_dir):
+    """ENGINE = Buffer with REAL buffering semantics (round 7): inserted
+    blocks park in memory — the target stays empty and reads THROUGH the
+    alias see target + pending (the CH Buffer read contract) — until
+    OPTIMIZE TABLE flushes all pending blocks as one partitioned write
+    (engine.py flush_buffer; CH flushes on OPTIMIZE/DROP the same way).
+    The pre-flush counts ride along as literal columns so the driver's
+    one hash checks the visibility rule AND the flushed result."""
+    from pyspark.sql import functions as F
+
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "bfl")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("bfl_src")
+    eng.sql("create table bfl_tgt(ok Int64, qty Float64)")
+    eng.sql(
+        "create table bfl_buf(ok Int64, qty Float64) ENGINE = "
+        "Buffer(currentDatabase(), bfl_tgt, 64, 10, 100, 10000, 1000000, "
+        "10000000, 100000000)"
+    )
+    eng.sql(
+        "insert into bfl_buf select l_orderkey, l_quantity from bfl_src "
+        "where l_orderkey % 3 = 0"
+    )
+    eng.sql(
+        "insert into bfl_buf select l_orderkey, l_quantity from bfl_src "
+        "where l_orderkey % 3 = 1"
+    )
+    pre_tgt = eng.sql("select count(*) as n from bfl_tgt").collect()[0].n
+    pre_buf = eng.sql("select count(*) as n from bfl_buf").collect()[0].n
+    eng.sql("optimize table bfl_buf")  # flush
+    return eng.sql(
+        "select count(*) as post_rows, "
+        "cast(sum(cast(qty as bigint)) as bigint) as post_qty "
+        "from bfl_tgt"
+    ).select(
+        F.lit(int(pre_tgt)).cast("long").alias("pre_tgt_rows"),
+        F.lit(int(pre_buf)).cast("long").alias("pre_buf_rows"),
+        F.col("post_rows"),
+        F.col("post_qty"),
+    )
+
+
+ENGINE_BUFFER_FLUSH_ORACLE = """
+SELECT CAST(0 AS BIGINT) AS pre_tgt_rows,
+       CAST(count(*) AS BIGINT) AS pre_buf_rows,
+       CAST(count(*) AS BIGINT) AS post_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS post_qty
+FROM lineitem WHERE l_orderkey % 3 IN (0, 1)
+"""
+
+
+QUERIES["engine_buffer_flush"] = Query(
+    engine_buffer_flush, ENGINE_BUFFER_FLUSH_ORACLE,
+    ("engine", "buffer", "ingest"),
+)
+
+
 def engine_null_distributed(spark, sf_dir):
     """ENGINE = Null + MV fan-out + Distributed/Buffer alias engines
     (engine.py _create_table alias branch / insert_df Null branch).  The
