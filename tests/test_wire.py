@@ -1,0 +1,80 @@
+"""Wire front door: a STOCK HiveServer2 client (the beeline pyspark ships)
+connects over a real TCP socket and reads engine-created tables — the
+Spark-native analogue of the reference's dual wire protocols
+(crates/server/src/server.rs:94-132, crates/server_mysql/src/lib.rs:520).
+"""
+
+from __future__ import annotations
+
+import subprocess
+import time
+import uuid
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def thrift_port(spark):
+    from tensorbase_spark.sources.wire import beeline_path, start_thrift_server
+
+    if beeline_path() is None:
+        pytest.skip("beeline client not shipped with this pyspark")
+    port = start_thrift_server(spark)
+    time.sleep(2)  # server warmup before the first connection
+    yield port
+
+
+def _beeline(port: int, db: str, sql: str) -> str:
+    from tensorbase_spark.sources.wire import beeline_path
+
+    r = subprocess.run(
+        [
+            beeline_path(),
+            "-u",
+            f"jdbc:hive2://localhost:{port}/{db}",
+            "--silent=true",
+            "--outputformat=csv2",
+            "-e",
+            sql,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=180,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    return r.stdout
+
+
+def test_stock_jdbc_client_reads_engine_tables(spark, thrift_port):
+    """beeline (stock JDBC) sees an engine-created partitioned table, a
+    registry-style aggregate over it, and the engine's alias view — over
+    the socket, zero engine code on the client side."""
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    db = f"wire_{uuid.uuid4().hex[:8]}"
+    eng.sql(f"create database {db}")
+    eng.sql(f"use {db}")
+    try:
+        eng.sql(
+            "create table wt(a Int64, b String) partition by rem(a, 4)"
+        )
+        eng.sql("insert into wt values (1, 'x'), (2, 'y'), (3, 'z')")
+        eng.sql(
+            "create table wt_dist(a Int64, b String) "
+            f"ENGINE = Distributed(c1, {db}, wt, rand())"
+        )
+        out = _beeline(thrift_port, db, "select a, b from wt order by a")
+        assert "1,x" in out and "2,y" in out and "3,z" in out
+        agg = _beeline(
+            thrift_port, db,
+            "select count(*) as n, sum(a) as s from wt where a % 4 != 0",
+        )
+        assert "3,6" in agg
+        via_alias = _beeline(
+            thrift_port, db, "select count(*) as n from wt_dist"
+        )
+        assert "\n3" in via_alias.replace("\r", "")
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        eng.sql(f"drop database if exists {db}")
