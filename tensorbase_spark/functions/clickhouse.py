@@ -903,7 +903,20 @@ CH_SQL_TEMPLATES.update(
         "arrayfirst": "element_at(filter({1}, {0}), 1)",
         # both engines return 0 for "no match" (Spark array_position contract)
         "arrayfirstindex": "array_position(transform({1}, {0}), true)",
-        "arrayzip": "arrays_zip({0}, {1})",
+        # CH arrayZip names tuple fields _1.._n (tupleElement(t, k) must
+        # resolve); Spark's arrays_zip names fields after the inputs, so
+        # zip manually via the 2-arg transform lambda's index.  Unequal
+        # lengths pad with NULL (Spark element_at OOB), a documented
+        # softening of CH's error.
+        "arrayzip": lambda args: (
+            "transform({0}, (__x, __i) -> named_struct('_1', __x{rest}))".format(
+                args[0],
+                rest="".join(
+                    f", '_{k}', element_at({a}, __i + 1)"
+                    for k, a in enumerate(args[1:], 2)
+                ),
+            )
+        ),
         # adjacent deltas, first element 0 — zip with the 1-shifted array.
         # Empty-array guard: slice(x, 1, size-1) would get length -1 and
         # throw; CH returns [] there, so short-circuit size() = 0.
@@ -1321,6 +1334,16 @@ def _age_sql(args: list[str]) -> str:
             f"cast(floor(months_between(cast({b} as date), "
             f"cast({a} as date)) / 12) as bigint)"
         )
+    if unit == "week":
+        return (
+            f"cast(floor(datediff(cast({b} as date), cast({a} as date)) / 7)"
+            " as bigint)"
+        )
+    if unit == "quarter":
+        return (
+            f"cast(floor(months_between(cast({b} as date), "
+            f"cast({a} as date)) / 3) as bigint)"
+        )
     if unit in ("hour", "minute", "second"):
         div = {"hour": 3600, "minute": 60, "second": 1}[unit]
         return (
@@ -1478,6 +1501,72 @@ CH_PARAMETRIC_TEMPLATES.update(
         ),
     }
 )
+
+
+def _gcd_sql(args: list[str]) -> str:
+    """gcd(a, b) — Euclid unrolled through ``aggregate`` over a constant
+    92-step ladder (the 64-bit worst case is ~91 iterations, consecutive
+    Fibonacci numbers); each step is a codegen'd struct swap, no UDF."""
+    a, b = args[0], args[1]
+    return (
+        f"aggregate(sequence(1, 92), named_struct("
+        f"'a', abs(cast({a} as bigint)), 'b', abs(cast({b} as bigint))), "
+        f"(__g, __i) -> if(__g.b = 0, __g, "
+        f"named_struct('a', __g.b, 'b', __g.a % __g.b)), __g -> __g.a)"
+    )
+
+
+def _lcm_sql(args: list[str]) -> str:
+    a, b = args[0], args[1]
+    g = _gcd_sql(args)
+    return (
+        f"(case when {g} = 0 then cast(0 as bigint) else "
+        f"abs(cast({a} as bigint) div ({g}) * cast({b} as bigint)) end)"
+    )
+
+
+# everyday tier 7 (upstream-CH surface the round-7 gap probe found missing)
+CH_SQL_TEMPLATES.update(
+    {
+        "gcd": _gcd_sql,
+        "lcm": _lcm_sql,
+        # ifNotFinite(x, y): y when x is NaN/±Inf
+        "ifnotfinite": (
+            "(case when isnan(cast({0} as double)) or "
+            "abs(cast({0} as double)) = double('Infinity') "
+            "then {1} else {0} end)"
+        ),
+        # Modified Julian Day epoch is 1858-11-17
+        "tomodifiedjulianday": "datediff(cast({0} as date), date'1858-11-17')",
+        "frommodifiedjulianday": "date_add(date'1858-11-17', cast({0} as int))",
+        "jsonextractkeys": "json_object_keys({0})",
+        # arrayShuffle(arr[, seed]): with a seed, a DETERMINISTIC
+        # hash-order permutation (engine-reproducible — CH's seeded form is
+        # likewise deterministic, rng-based); unseeded falls through to
+        # Spark's shuffle().
+        "arrayshuffle": lambda args: (
+            f"shuffle({args[0]})"
+            if len(args) == 1
+            else (
+                f"transform(array_sort(transform({args[0]}, "
+                f"__x -> named_struct('k', xxhash64(__x, {args[1]}), "
+                f"'v', __x))), __s -> __s.v)"
+            )
+        ),
+    }
+)
+
+# emptyArray<T>() family: typed empty arrays
+for _n, _t in (
+    ("int8", "tinyint"), ("int16", "smallint"), ("int32", "int"),
+    ("int64", "bigint"), ("uint8", "smallint"), ("uint16", "int"),
+    ("uint32", "bigint"), ("uint64", "decimal(20,0)"),
+    ("float32", "float"), ("float64", "double"), ("string", "string"),
+    ("date", "date"), ("datetime", "timestamp"),
+):
+    CH_SQL_TEMPLATES[f"emptyarray{_n}"] = (
+        "cast(array() as array<" + _t + ">)"
+    )
 
 
 def _round_bankers_sql(args: list[str]) -> str:

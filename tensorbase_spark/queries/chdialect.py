@@ -1400,3 +1400,52 @@ FROM d
 QUERIES["ch_uuid_text_funcs"] = Query(
     ch_uuid_text_funcs, CH_UUID_TEXT_ORACLE, ("dialect", "uuid")
 )
+
+
+def ch_everyday_funcs7(spark, sf_dir):
+    """Everyday upstream-CH tier 7 (round-7 gap probe): gcd/lcm (Euclid
+    unrolled through a codegen'd aggregate ladder), ifNotFinite,
+    to/fromModifiedJulianDay, age('week'), JSONExtractKeys, typed
+    emptyArray<T>(), CH-named arrayZip tuples (_1.._n fields so
+    tupleElement resolves), seeded deterministic arrayShuffle."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e7")
+    return eng.sql(
+        "select cast(o_orderkey % 6 as Int32) as k, "
+        "cast(sum(gcd(o_orderkey, 36)) as Int64) as g, "
+        "cast(sum(lcm(o_orderkey % 7 + 1, 6)) as Int64) as l, "
+        "round(sum(ifNotFinite(o_totalprice / 10, -1.0)), 2) as fin, "
+        "max(toModifiedJulianDay(o_orderdate)) as mjd, "
+        "cast(max(cast(fromModifiedJulianDay("
+        "  toModifiedJulianDay(o_orderdate)) as string)) as String) as mjd_rt, "
+        "max(age('week', date'1995-01-01', o_orderdate)) as wk, "
+        "arrayStringConcat(JSONExtractKeys('{\"x\":1,\"y\":2}'), ',') as jk, "
+        "cast(size(emptyArrayInt64()) as Int32) as ez, "
+        "max(tupleElement(arrayZip([o_orderkey % 5, 2], [30, 40])[1], 1)) as zp, "
+        "cast(arrayShuffle([3, 1, 2], 7) = arrayShuffle([3, 1, 2], 7) "
+        "  as Boolean) as shf "
+        "from ord_e7 group by cast(o_orderkey % 6 as Int32)"
+    )
+
+
+CH_EVERYDAY7_ORACLE = """
+SELECT CAST(o_orderkey % 6 AS INTEGER) AS k,
+       CAST(sum(gcd(o_orderkey, 36)) AS BIGINT) AS g,
+       CAST(sum(lcm(o_orderkey % 7 + 1, 6)) AS BIGINT) AS l,
+       round(sum(o_totalprice / 10), 2) AS fin,
+       CAST(max(date_diff('day', DATE '1858-11-17',
+                CAST(o_orderdate AS DATE))) AS INTEGER) AS mjd,
+       max(strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')) AS mjd_rt,
+       CAST(max(floor(date_diff('day', DATE '1995-01-01',
+                CAST(o_orderdate AS DATE)) / 7)) AS BIGINT) AS wk,
+       'x,y' AS jk,
+       CAST(0 AS INTEGER) AS ez,
+       CAST(max(o_orderkey % 5) AS BIGINT) AS zp,
+       true AS shf
+FROM orders GROUP BY 1
+"""
+
+
+QUERIES["ch_everyday_funcs7"] = Query(
+    ch_everyday_funcs7, CH_EVERYDAY7_ORACLE, ("dialect", "functions")
+)
