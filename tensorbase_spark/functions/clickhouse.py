@@ -1556,6 +1556,92 @@ CH_SQL_TEMPLATES.update(
     }
 )
 
+def _sum_map_sql(args: list[str]) -> str:
+    """sumMap(m): per-key value sums across the group, returned as CH's
+    (sorted keys, values) tuple — named _1/_2 so tupleElement works.  The
+    buffer is the group's map ENTRIES (collect_list of map_entries), the
+    per-group analytics contract of quantileExact/topK; corpus-scale
+    keyed sums use a plain explode + GROUP BY."""
+    m = args[0]
+    return (
+        f"element_at(transform(array(flatten(collect_list(map_entries({m})))), "
+        f"__ps -> named_struct("
+        f"'_1', array_sort(array_distinct(transform(__ps, __p -> __p.key))), "
+        f"'_2', transform(array_sort(array_distinct(transform(__ps, __p -> __p.key))), "
+        f"__k -> aggregate(filter(__ps, __p -> __p.key <=> __k), "
+        f"cast(0.0 as double), (__a, __p) -> __a + __p.value)))), 1)"
+    )
+
+
+def _minmax_map_sql(fn: str):
+    def _f(args: list[str]) -> str:
+        m = args[0]
+        return (
+            f"element_at(transform(array(flatten(collect_list(map_entries({m})))), "
+            f"__ps -> named_struct("
+            f"'_1', array_sort(array_distinct(transform(__ps, __p -> __p.key))), "
+            f"'_2', transform(array_sort(array_distinct(transform(__ps, __p -> __p.key))), "
+            f"__k -> array_{fn}(transform(filter(__ps, __p -> __p.key <=> __k), "
+            f"__p -> __p.value))))), 1)"
+        )
+
+    return _f
+
+
+def _format_sql(args: list[str]) -> str:
+    """format('{}-{}', a, b): CH brace placeholders -> format_string.  The
+    pattern must be a string literal (CH requires a constant pattern too);
+    indexed {0} placeholders map to %1$s-style positions."""
+    pat = args[0].strip()
+    if not (pat.startswith("'") and pat.endswith("'")):
+        raise ValueError("format: the pattern must be a string literal")
+    body = pat[1:-1].replace("%", "%%").replace("{}", "%s")
+    body = _re.sub(r"\{(\d+)\}", lambda m: f"%{int(m.group(1)) + 1}$s", body)
+    rest = ", ".join(f"cast({a} as string)" for a in args[1:])
+    return f"format_string('{body}'" + (f", {rest})" if rest else ")")
+
+
+CH_SQL_TEMPLATES.update(
+    {
+        "summap": _sum_map_sql,
+        "minmap": _minmax_map_sql("min"),
+        "maxmap": _minmax_map_sql("max"),
+        # sumCount(x) -> (sum, count) tuple
+        "sumcount": (
+            "named_struct('_1', sum({0}), '_2', count({0}))"
+        ),
+        "format": _format_sql,
+        "initcaputf8": "initcap({0})",
+        "corrstable": "corr({0}, {1})",
+        "covarpopstable": "covar_pop({0}, {1})",
+        "covarsampstable": "covar_samp({0}, {1})",
+        "levenshteindistance": "levenshtein({0}, {1})",
+        "editdistance": "levenshtein({0}, {1})",
+        "editdistanceutf8": "levenshtein({0}, {1})",
+        # add*/subtract* calendar family completeness (addDays/addMonths/...
+        # exist upstream in this file; these are the missing mirrors)
+        "addweeks": "date_add(cast({0} as date), 7 * cast({1} as int))",
+        "subtractdays": "date_sub(cast({0} as date), cast({1} as int))",
+        "subtractweeks": "date_sub(cast({0} as date), 7 * cast({1} as int))",
+        "subtractmonths": "add_months(cast({0} as date), -cast({1} as int))",
+        "subtractyears": "add_months(cast({0} as date), -12 * cast({1} as int))",
+        "subtracthours": "(cast({0} as timestamp) - make_dt_interval(0, cast({1} as int)))",
+        "subtractminutes": "(cast({0} as timestamp) - make_dt_interval(0, 0, cast({1} as int)))",
+        "subtractseconds": "(cast({0} as timestamp) - make_dt_interval(0, 0, 0, cast({1} as double)))",
+        # toRelative<unit>Num: units since epoch (CH's relative counters)
+        "torelativedaynum": "datediff(cast({0} as date), date'1970-01-01')",
+        "torelativehournum": (
+            "cast(floor(unix_timestamp(cast({0} as timestamp)) / 3600) as bigint)"
+        ),
+        "torelativeminutenum": (
+            "cast(floor(unix_timestamp(cast({0} as timestamp)) / 60) as bigint)"
+        ),
+        "torelativesecondnum": (
+            "unix_timestamp(cast({0} as timestamp))"
+        ),
+    }
+)
+
 # emptyArray<T>() family: typed empty arrays
 for _n, _t in (
     ("int8", "tinyint"), ("int16", "smallint"), ("int32", "int"),

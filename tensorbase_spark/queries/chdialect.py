@@ -1449,3 +1449,58 @@ FROM orders GROUP BY 1
 QUERIES["ch_everyday_funcs7"] = Query(
     ch_everyday_funcs7, CH_EVERYDAY7_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs8(spark, sf_dir):
+    """Everyday upstream-CH tier 8 (round-7 gap probe, second pass):
+    sumMap/minMap/maxMap (per-key map aggregation as CH's sorted
+    (keys, values) tuple), sumCount, format('{}...') brace placeholders,
+    editDistance, the subtract* calendar mirrors, toRelativeDayNum,
+    corrStable."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e8")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "arrayStringConcat(tupleElement(sumMap(map(o_orderpriority, "
+        "  cast(1 as Float64))), 1), ',') as sm_keys, "
+        "arrayStringConcat(arrayMap(x -> toString(toInt64(x)), "
+        "  tupleElement(sumMap(map(o_orderpriority, cast(1 as Float64))), 2)),"
+        "  ',') as sm_counts, "
+        "toInt64(tupleElement(sumCount(o_totalprice), 2)) as sc_n, "
+        "max(format('{}#{}', o_orderpriority, o_orderkey % 10)) as fmt, "
+        "max(editDistance(o_orderpriority, '1-URGENT')) as ed, "
+        "max(cast(subtractWeeks(o_orderdate, 2) as String)) as sw, "
+        "max(toRelativeDayNum(o_orderdate)) as rdn, "
+        "round(corrStable(cast(o_orderkey % 100 as Float64), "
+        "  o_totalprice), 4) as corr_v "
+        "from ord_e8 group by o_orderstatus"
+    )
+
+
+CH_EVERYDAY8_ORACLE = """
+WITH pk AS (
+  SELECT o_orderstatus AS st, o_orderpriority AS p, count(*) AS c
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderstatus AS st,
+       (SELECT string_agg(p, ',' ORDER BY p) FROM pk
+         WHERE pk.st = o_orderstatus) AS sm_keys,
+       (SELECT string_agg(CAST(c AS VARCHAR), ',' ORDER BY p) FROM pk
+         WHERE pk.st = o_orderstatus) AS sm_counts,
+       CAST(count(o_totalprice) AS BIGINT) AS sc_n,
+       max(o_orderpriority || '#' ||
+           CAST(o_orderkey % 10 AS VARCHAR)) AS fmt,
+       CAST(max(levenshtein(o_orderpriority, '1-URGENT')) AS INTEGER) AS ed,
+       max(strftime(CAST(o_orderdate AS DATE) - INTERVAL 14 DAY,
+           '%Y-%m-%d')) AS sw,
+       CAST(max(date_diff('day', DATE '1970-01-01',
+           CAST(o_orderdate AS DATE))) AS INTEGER) AS rdn,
+       round(corr(CAST(o_orderkey % 100 AS DOUBLE), o_totalprice), 4)
+         AS corr_v
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES["ch_everyday_funcs8"] = Query(
+    ch_everyday_funcs8, CH_EVERYDAY8_ORACLE, ("dialect", "functions")
+)
