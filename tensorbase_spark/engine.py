@@ -1669,6 +1669,7 @@ class TensorBaseEngine:
         # alias engines (Distributed/Buffer): qualified name -> target table
         self._alias_targets: dict[str, str] = {}
         self._alias_kinds: dict[str, str] = {}  # 'buffer' | 'distributed'
+        self._non_alias: set[str] = set()  # negative cache (plain tables)
         # ENGINE = Buffer pending blocks per alias (cast, unwritten).  CH's
         # buffer is likewise process-memory: rows not yet flushed are lost
         # on an abnormal exit — the documented Buffer durability contract.
@@ -1922,6 +1923,8 @@ class TensorBaseEngine:
             return qualified
         if (t.tableType or "").upper() != "VIEW":
             return qualified
+        if qualified in self._non_alias:
+            return qualified
         props = self._table_props_view(qualified)
         tgt = props.get("tb.alias_target")
         if tgt:
@@ -1930,6 +1933,11 @@ class TensorBaseEngine:
             if kind:
                 self._alias_kinds[qualified] = kind
             return tgt
+        # negative cache: a plain table pays the JVM metadata fetch ONCE,
+        # not on every block-grain insert (CREATE TABLE ... ENGINE=Buffer/
+        # Distributed of the same name invalidates via _create_table's
+        # dict writes happening first)
+        self._non_alias.add(qualified)
         return qualified
 
     def _alias_kind(self, qualified: str) -> str | None:
