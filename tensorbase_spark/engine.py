@@ -465,10 +465,13 @@ _CAST_TYPE_MAP = {
     "largeutf8": "string", "datetime": "timestamp", "datetime64": "timestamp",
     "uuid": "string",
 }
+# only the unambiguous `x::Type` postfix form rewrites here; `CAST(x AS
+# Type)` is handled INSIDE translate_sql's cast-call walker so an alias
+# merely SPELLED like a type (`select x as datetime`) is never touched
 _CAST_TYPE_RE = re.compile(
-    r"(?is)(?P<pre>\bas\s+|::\s*)(?P<t>"
+    r"(?is)(?P<pre>::\s*)(?P<t>"
     + "|".join(sorted(_CAST_TYPE_MAP, key=len, reverse=True))
-    + r")\b(?=\s*[),\s]|$)"
+    + r")\b"
 )
 
 
@@ -1323,6 +1326,21 @@ def translate_sql(sql: str) -> str:
                     out.append(ptmpl(args, args2))
                     i = j2
                     continue
+            if name.lower() == "cast" and len(args) == 1:
+                # CAST(x AS <BQL type>): rewrite the TRAILING type name only
+                # inside the cast call — a select-item alias that happens to
+                # be spelled like a type (``x as datetime``) is never touched
+                # (reference cast surface, sanity_checks.rs:623-800)
+                args[0] = re.sub(
+                    r"(?is)(\bas\s+)("
+                    + "|".join(sorted(_CAST_TYPE_MAP, key=len, reverse=True))
+                    + r")\s*$",
+                    lambda m: m.group(1) + _CAST_TYPE_MAP[m.group(2).lower()],
+                    args[0],
+                )
+                out.append(f"cast({args[0]})")
+                i = j
+                continue
             tmpl = CH_SQL_TEMPLATES.get(name.lower())
             # Generic ClickHouse -If combinator: <Agg>If(args..., cond) works
             # on EVERY aggregate in CH.  When no explicit template exists
