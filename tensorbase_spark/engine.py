@@ -2213,6 +2213,14 @@ class TensorBaseEngine:
                     "global_temp.tb_system_databases",
                     c,
                 )
+            if re.search(r"(?is)\bsystem\.one\b", c):
+                # CH's 1-row ping table (dummy UInt8 = 0): clients probe
+                # liveness with `SELECT 1 FROM system.one`
+                c = re.sub(
+                    r"(?is)\bsystem\.one\b",
+                    "(select cast(0 as smallint) as dummy)",
+                    c,
+                )
         low = c.lower()
 
         if low.startswith("create database"):

@@ -2579,6 +2579,57 @@ def test_null_engine_discards_but_fires_mv(engine):
     assert got == {1: 5.0, 2: 5.0}
 
 
+def test_dist_agg_lowering_edges(engine, spark):
+    """_rewrite_dist_aggs edge behavior: GLOBAL (no GROUP BY) aggregates
+    lower too; WHERE and the ORDER BY/LIMIT tail survive the rewrite;
+    string literals containing a dist-agg name stay opaque; bail shapes
+    (HAVING, joined source, mixed aggregates, two value exprs) keep the
+    buffered form and return correct results either way."""
+    from tensorbase_spark.engine import _rewrite_dist_aggs
+
+    spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "x", 2.0), ("a", "y", 3.0), ("b", "z", 4.0)],
+        "k string, v string, w double",
+    ).createOrReplaceTempView("dle_t")
+    # global aggregate lowers (level-1 group by the value alone)
+    low = _rewrite_dist_aggs("select entropy(v) as e from dle_t")
+    assert "__entropypairs" in low and "group by v" in low
+    assert abs(
+        engine.sql("select round(entropy(v), 6) as e from dle_t").collect()[0].e
+        - 1.5
+    ) < 1e-9
+    # WHERE + ORDER BY/LIMIT tail survive
+    low2 = _rewrite_dist_aggs(
+        "select k, topK(2)(v) as t from dle_t where w > 1.0 "
+        "group by k order by k limit 5"
+    )
+    assert "where w > 1.0" in low2 and low2.rstrip().endswith("limit 5")
+    rows = engine.sql(
+        "select k, arrayStringConcat(topK(2)(v), '|') as t from dle_t "
+        "where w > 1.0 group by k order by k limit 5"
+    ).collect()
+    assert [(r.k, r.t) for r in rows] == [("a", "x|y"), ("b", "z")]
+    # a literal containing 'histogram(' is data, not a call
+    lit = _rewrite_dist_aggs(
+        "select k, topK(1)(v) as t, 'histogram(9)(x)' as s from dle_t group by k"
+    )
+    assert "__topkpairs" in lit and "'histogram(9)(x)'" in lit
+    # bail shapes pass through unchanged
+    for q in (
+        "select k, entropy(v) as e from dle_t group by k having count(*) > 1",
+        "select k, entropy(v) as e from dle_t a join dle_t b on a.k = b.k group by k",
+        "select k, entropy(v) as e, max(w) as m from dle_t group by k",
+        "select k, topK(1)(v) as t, topK(1)(k) as u from dle_t group by k",
+    ):
+        assert _rewrite_dist_aggs(q) == q
+
+
+def test_system_one(engine):
+    """system.one — CH's 1-row ping table (dummy UInt8 = 0)."""
+    r = engine.sql("select 1 as ping, dummy from system.one").collect()
+    assert [(x.ping, x.dummy) for x in r] == [(1, 0)]
+
+
 def test_uint64_storage_reinterpret(engine):
     """SET uint64_storage = 'reinterpret': UInt64 columns created under the
     setting store as Int64 (closing the measured Decimal(20,0) encode tax,
