@@ -160,7 +160,7 @@ PRIORITY_HEAD = [
     # (a) new round-7 queries
     "engine_ingest_reinterp", "engine_buffer_flush",
     "ch_cast_type_names", "ch_uuid_text_funcs", "ch_everyday_funcs7",
-    "ch_everyday_funcs8",
+    "ch_everyday_funcs8", "corpus_semantic_dedup",
     # (b) round-7 behavior-changed implementations
     "dedup_edit_distance", "dedup_embedding_cosine",
     "multimodal_ahash_dedup", "engine_collapsing_cdc", "ch_paste_join",

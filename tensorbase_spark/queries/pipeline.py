@@ -2293,3 +2293,63 @@ QUERIES["multimodal_audio_dedup"] = Query(
     multimodal_audio_dedup, MULTIMODAL_AUDIO_ORACLE,
     ("multimodal", "dedup", "audio-fingerprint"),
 )
+
+
+def corpus_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    embedding near-dup pairs (bucketed k-means + per-bucket GEMM, never
+    all-pairs) -> connected components (min-label propagation) -> one kept
+    REPRESENTATIVE per semantic cluster, every other member pruned.  The
+    deterministic keep rule is max(vec_id) per cluster (distinct from the
+    min-id cluster label, so the rule is visibly a choice, not the label);
+    singletons keep themselves.  Returns the per-vector dedup verdict the
+    corpus build consumes.  The iterative component step is the
+    transitive-closure fixpoint, replayed exactly by DuckDB's recursive
+    CTE — full value-hash oracle despite the non-SQL Spark loop."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.4)
+    cc = dedup.connected_components(pairs).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    j = emb.select("vec_id").join(cc, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce(F.col("cluster_id"), F.col("vec_id")).alias("cluster_id"),
+    )
+    w = W.partitionBy("cluster_id")
+    return j.select(
+        "vec_id",
+        "cluster_id",
+        (F.col("vec_id") == F.max("vec_id").over(w)).alias("keep"),
+    )
+
+
+CORPUS_SEMDEDUP_ORACLE = f"""
+WITH RECURSIVE epairs AS (
+  SELECT id_a, id_b FROM ({DEDUP_EMB_ORACLE.strip()}) p
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM epairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM epairs
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach AS (
+  SELECT id AS src, id AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), cc AS (
+  SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src
+), verdicts AS (
+  SELECT e.vec_id,
+         coalesce(cc.cluster_id, e.vec_id) AS cluster_id
+  FROM embeddings e LEFT JOIN cc ON cc.vec_id = e.vec_id
+)
+SELECT vec_id, cluster_id,
+       vec_id = max(vec_id) OVER (PARTITION BY cluster_id) AS keep
+FROM verdicts
+"""
+
+
+QUERIES["corpus_semantic_dedup"] = Query(
+    corpus_semantic_dedup, CORPUS_SEMDEDUP_ORACLE,
+    ("dedup", "similarity", "curation"),
+)
