@@ -327,6 +327,62 @@ def test_dist_agg_two_level_lowering(spark, queries):
     assert "__entropypairs" not in kept
 
 
+def test_reinterp_ingest_plan_is_int64(spark):
+    """UInt64Reinterp write plan: the cast pipeline contains NO decimal
+    node for integral inputs — the reinterpret mode's whole point is the
+    plain bigint encode (PLANS.md §10)."""
+    import uuid as _uuid
+
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    db = f"pl_ri_{_uuid.uuid4().hex[:8]}"
+    eng.sql(f"create database {db}")
+    eng.sql(f"use {db}")
+    try:
+        eng.sql("set uint64_storage = 'reinterpret'")
+        eng.sql("create table ri_t(a UInt64) partition by rem(a, 4)")
+        eng.sql("set uint64_storage = 'decimal'")
+        src = spark.range(100).selectExpr("id as a")
+        out = eng._cast_block(f"{db}.ri_t", src)
+        plan = _formatted(spark, out)
+        assert "decimal" not in plan.lower()
+        assert out.schema["a"].dataType.simpleString() == "bigint"
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        eng.sql(f"drop database if exists {db}")
+
+
+def test_buffer_read_union_plan(spark):
+    """A buffered-alias read plans as target UNION pending (both sides
+    plain scans — the pending view is the in-memory blocks, no write
+    happened), and the empty-pending alias reads as the bare view."""
+    import uuid as _uuid
+
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    db = f"pl_bf_{_uuid.uuid4().hex[:8]}"
+    eng.sql(f"create database {db}")
+    eng.sql(f"use {db}")
+    try:
+        eng.sql("create table bt(a Int64)")
+        eng.sql(
+            "create table bb(a Int64) ENGINE = Buffer(currentDatabase(), "
+            "bt, 16, 10, 100, 10000, 1000000, 10000000, 100000000)"
+        )
+        q0 = eng._translate_query("select count(*) as n from bb")
+        assert "__tb_bufpend" not in q0  # empty pending: bare view read
+        eng.sql("insert into bb values (1), (2)")
+        q1 = eng._translate_query("select count(*) as n from bb")
+        assert "union all" in q1.lower() and "__tb_bufpend_bb" in q1
+        plan = _formatted(spark, eng.sql("select count(*) as n from bb"))
+        assert "Union" in plan
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        eng.sql(f"drop database if exists {db}")
+
+
 def test_binary_auc_no_data_sort(spark, queries):
     """The AUC 'rank' is windows over ≤bins rows: the plan's only Sort
     nodes sit ABOVE the per-bin aggregate (bin table), never on the raw
