@@ -166,7 +166,7 @@ def _rewrite_dist_aggs(sql: str) -> str:
     if gm is not None:
         pre, post = tail[: gm.start()], tail[gm.end() :]
         om = _scan_depth0(post, 0, _DIST_TAIL_RE.match)
-        if om is not None and om.group(1).lower() in ("having", "window", "qualify"):
+        if om is not None and om.group(1).lower() in ("window", "qualify"):
             return sql
         keys_txt = post[: om.start()] if om else post
         outer_tail = post[om.start() :] if om else ""
@@ -175,7 +175,7 @@ def _rewrite_dist_aggs(sql: str) -> str:
             return sql
     else:
         om = _scan_depth0(tail, 0, _DIST_TAIL_RE.match)
-        if om is not None and om.group(1).lower() in ("having", "window", "qualify"):
+        if om is not None and om.group(1).lower() in ("window", "qualify"):
             return sql
         pre = tail[: om.start()] if om else tail
         outer_tail = tail[om.start() :] if om else ""
@@ -195,7 +195,17 @@ def _rewrite_dist_aggs(sql: str) -> str:
     def _unmask(t: str) -> str:
         return re.sub(r"\x01(\d+)\x01", lambda m: lits[int(m.group(1))], t)
 
-    masked = re.sub(r"'(?:[^']|'')*'", _mask, items_txt)
+    # The HAVING / ORDER BY tail is processed with the SAME machinery as the
+    # select list (ADVICE r7 #1: a count(*) in ORDER BY must become
+    # sum(__dc) too, and any other aggregate there defeats the lowering the
+    # same way it does in the select list).  \x02 joins the two regions so
+    # one scan covers both; parens never balance across it in valid SQL, so
+    # a call spanning the boundary falls into the _paren_group bail.
+    masked = (
+        re.sub(r"'(?:[^']|'')*'", _mask, items_txt)
+        + "\x02"
+        + re.sub(r"'(?:[^']|'')*'", _mask, outer_tail)
+    )
 
     def _paren_group(t: str, open_idx: int):
         depth, j, n = 1, open_idx + 1, len(t)
@@ -280,11 +290,15 @@ def _rewrite_dist_aggs(sql: str) -> str:
     residue = count_star.sub(" ", residue)
     if _OTHER_AGG_RE.search(residue):
         return sql
-    new_items = masked
+    rewritten = masked
     for st, en, repl in reversed(spans):
-        new_items = new_items[:st] + repl + new_items[en:]
-    new_items = count_star.sub("cast(sum(__dc) as bigint)", new_items)
-    new_items = _unmask(new_items)
+        rewritten = rewritten[:st] + repl + rewritten[en:]
+    # coalesce: on an EMPTY ungrouped source count(*) is 0 while sum(__dc)
+    # is NULL (ADVICE r7 #5); with GROUP BY every group has >=1 pair so the
+    # coalesce is inert
+    rewritten = count_star.sub("coalesce(cast(sum(__dc) as bigint), 0)", rewritten)
+    rewritten = _unmask(rewritten)
+    new_items, _, new_tail = rewritten.partition("\x02")
 
     l1 = keys + [f"{x_raw} as __dv", "count(*) as __dc"]
     if needs_w:
@@ -296,8 +310,8 @@ def _rewrite_dist_aggs(sql: str) -> str:
     out = f"select {new_items.strip()} from ({inner}) __tb_dist"
     if keys:
         out += " group by " + ", ".join(keys)
-    if outer_tail.strip():
-        out += " " + outer_tail.strip()
+    if new_tail.strip():
+        out += " " + new_tail.strip()
     return out
 
 
@@ -1935,13 +1949,19 @@ class TensorBaseEngine:
         hit = self._alias_targets.get(qualified)
         if hit:
             return hit
+        # negative cache FIRST: plain tables and non-alias views must hit a
+        # pure dict lookup on the block-grain insert path, not a JVM
+        # catalog fetch per call (ADVICE r7 #4).  A later CREATE ...
+        # ENGINE=Buffer/Distributed of the same name wins via the
+        # _alias_targets check above, which _create_table populates.
+        if qualified in self._non_alias:
+            return qualified
         try:
             t = self.spark.catalog.getTable(qualified)
         except Exception:
             return qualified
         if (t.tableType or "").upper() != "VIEW":
-            return qualified
-        if qualified in self._non_alias:
+            self._non_alias.add(qualified)
             return qualified
         props = self._table_props_view(qualified)
         tgt = props.get("tb.alias_target")
@@ -2660,9 +2680,21 @@ class TensorBaseEngine:
                 # table's physical type is decided ONCE at CREATE (SURVEY
                 # §1.2 'decide-early') and every later reader/writer —
                 # including a fresh engine — sees it (types.ParsedType.
-                # reinterp has the semantics ledger)
+                # reinterp has the semantics ledger).  Top-level UInt64 /
+                # Nullable(UInt64) ONLY: parse_bql_type carries no reinterp
+                # flag for Array/Map/Tuple elements, so stamping a composite
+                # would lose the two's-complement wrap on insert (values >=
+                # 2^63 -> NULL) — composites keep the lossless Decimal(20,0)
+                # default instead (ADVICE r7 #2).
                 ctype = re.sub(
-                    r"(?i)\buint64\b(?!reinterp)", "UInt64Reinterp", ctype
+                    r"(?i)^(\s*)(uint64)\b(?!reinterp)",
+                    r"\1UInt64Reinterp",
+                    ctype,
+                )
+                ctype = re.sub(
+                    r"(?i)^(\s*nullable\s*\(\s*)(uint64)(?!reinterp)(\s*\))",
+                    r"\1UInt64Reinterp\3",
+                    ctype,
                 )
             cols.append((toks[0], ctype))
 
@@ -4584,7 +4616,18 @@ class TensorBaseEngine:
                     return f"{m.group(1)} {union} {short} {al}"
                 return f"{m.group(1)} {union} {al or short}"
 
-            for nm in (alias, short):
+            # the bare short name resolves to the CURRENT database — only
+            # rewrite it when that is the buffer's own database, else a
+            # session sitting in db2 reading its own `buf` would silently
+            # get db1.buf's pending blocks (ADVICE r7 #3)
+            buf_db = alias.rsplit(".", 1)[0] if "." in alias else None
+            names = (
+                (alias, short)
+                if buf_db is None
+                or buf_db == self.spark.catalog.currentDatabase()
+                else (alias,)
+            )
+            for nm in names:
                 q = re.sub(
                     rf"(?is)\b(from|join)\s+{re.escape(nm)}"
                     rf"(?:\s+(?:as\s+)?(?P<al>[A-Za-z_]\w*))?(?![\w.])",

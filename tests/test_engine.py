@@ -2616,12 +2616,69 @@ def test_dist_agg_lowering_edges(engine, spark):
     assert "__topkpairs" in lit and "'histogram(9)(x)'" in lit
     # bail shapes pass through unchanged
     for q in (
-        "select k, entropy(v) as e from dle_t group by k having count(*) > 1",
         "select k, entropy(v) as e from dle_t a join dle_t b on a.k = b.k group by k",
         "select k, entropy(v) as e, max(w) as m from dle_t group by k",
         "select k, topK(1)(v) as t, topK(1)(k) as u from dle_t group by k",
+        # an OTHER aggregate in the ORDER BY tail defeats the lowering the
+        # same way it does in the select list (ADVICE r7 #1)
+        "select k, topK(2)(v) as t from dle_t group by k order by sum(w) desc",
+        # ... and in HAVING
+        "select k, entropy(v) as e from dle_t group by k having max(w) > 1",
     ):
         assert _rewrite_dist_aggs(q) == q
+
+
+def test_dist_agg_lowering_tail_aggregates(engine, spark):
+    """r8: count(*) in the HAVING / ORDER BY tail gets the same
+    sum(__dc) substitution as the select list — previously the tail was
+    appended verbatim, so `order by count(*)` counted DISTINCT (k, v)
+    pairs instead of raw rows after lowering (ADVICE r7 #1), and HAVING
+    bailed entirely (VERDICT r7 #5)."""
+    from tensorbase_spark.engine import _rewrite_dist_aggs
+
+    spark.createDataFrame(
+        [("a", "x")] * 5 + [("a", "y")] + [("b", "z")] * 3 + [("b", "w")] * 3,
+        "k string, v string",
+    ).createOrReplaceTempView("dlt_t")
+    # ORDER BY count(*): group a has 6 raw rows over 2 distinct values,
+    # group b has 6 raw rows over 2 values — tie broken by k; with the
+    # r7 bug a's pair-count (2) vs b's (2) also tied, but a 4-row vs
+    # 2-pair split would reorder.  Use an asymmetric check instead:
+    low = _rewrite_dist_aggs(
+        "select k, topK(1)(v) as t from dlt_t group by k "
+        "order by count(*) desc, k limit 1"
+    )
+    assert "order by coalesce(cast(sum(__dc) as bigint), 0) desc" in low
+    spark.createDataFrame(
+        [("a", "x")] * 2 + [("a", "y")] + [("b", "z")] * 5,
+        "k string, v string",
+    ).createOrReplaceTempView("dlt_u")
+    # raw-row ordering: b (5 rows, 1 pair) must beat a (3 rows, 2 pairs);
+    # pair-counting would put a first
+    r = engine.sql(
+        "select k, arrayStringConcat(topK(1)(v), '|') as t from dlt_u "
+        "group by k order by count(*) desc, k limit 1"
+    ).collect()
+    assert [(x.k, x.t) for x in r] == [("b", "z")]
+    # HAVING count(*) lowers (VERDICT r7 #5) and filters on RAW rows
+    low2 = _rewrite_dist_aggs(
+        "select k, topK(1)(v) as t from dlt_u group by k having count(*) > 3"
+    )
+    assert "__topkpairs" in low2 and "having coalesce(cast(sum(__dc)" in low2
+    r2 = engine.sql(
+        "select k, arrayStringConcat(topK(1)(v), '|') as t from dlt_u "
+        "group by k having count(*) > 3"
+    ).collect()
+    assert [(x.k, x.t) for x in r2] == [("b", "z")]
+    # GLOBAL empty-source count(*) stays 0 after lowering (ADVICE r7 #5)
+    spark.createDataFrame([], "k string, v string").createOrReplaceTempView(
+        "dlt_e"
+    )
+    low3 = _rewrite_dist_aggs("select entropy(v) as e, count(*) as n from dlt_e")
+    assert "coalesce(cast(sum(__dc) as bigint), 0)" in low3
+    assert engine.sql(
+        "select count(*) as n, entropy(v) as e from dlt_e"
+    ).collect()[0].n == 0
 
 
 def test_system_one(engine):
@@ -2677,6 +2734,32 @@ def test_uint64_storage_reinterpret(engine):
         engine.sql("set uint64_storage = 'nope'")
     engine.sql("drop table u64_dec")
     engine.sql("drop table u64_ri")
+
+
+def test_uint64_reinterpret_composites_stay_decimal(engine):
+    """Under SET uint64_storage='reinterpret', only TOP-LEVEL UInt64 /
+    Nullable(UInt64) columns reinterpret; UInt64 inside Array/Map/Tuple
+    keeps the lossless Decimal(20,0) default — parse_bql_type carries no
+    reinterp flag for composite elements, so stamping them would silently
+    NULL values >= 2^63 on insert (ADVICE r7 #2)."""
+    engine.sql("set uint64_storage = 'reinterpret'")
+    engine.sql(
+        "create table u64_comp (k UInt64, n Nullable(UInt64), a Array(UInt64))"
+    )
+    engine.sql("set uint64_storage = 'decimal'")
+    sch = engine.spark.table(engine._qualify("u64_comp")).schema
+    assert sch["k"].dataType.simpleString() == "bigint"
+    assert sch["n"].dataType.simpleString() == "bigint"
+    assert sch["a"].dataType.simpleString() == "array<decimal(20,0)>"
+    engine.sql(
+        "insert into u64_comp values "
+        "(18446744073709551615, 18446744073709551615, "
+        "array(18446744073709551615, 5))"
+    )
+    r = engine.sql("select k, n, a from u64_comp").collect()[0]
+    assert r.k == -1 and r.n == -1  # top-level wraps
+    assert [int(x) for x in r.a] == [18446744073709551615, 5]  # lossless
+    engine.sql("drop table u64_comp")
 
 
 def test_distributed_and_buffer_alias_engines(engine):
@@ -2752,6 +2835,62 @@ def test_buffer_engine_block_budget_flush(engine):
     ).collect()[0].s == 100
     engine.sql("drop table bb_buf")
     engine.sql("drop table bb_tgt")
+
+
+def test_buffer_short_name_scoped_to_own_database(engine):
+    """A pending buffer in db1 must NOT hijack a bare `from buf` issued
+    while the session sits in db2 with its own table named buf — the
+    short-name rewrite applies only when currentDatabase() is the
+    buffer's database (ADVICE r7 #3); the qualified name still resolves
+    from anywhere."""
+    cur = engine.spark.catalog.currentDatabase()
+    engine.sql("create database if not exists bsn_db1")
+    engine.sql("create database if not exists bsn_db2")
+    try:
+        engine.sql("use bsn_db1")
+        engine.sql("create table tgt (k Int64)")
+        engine.sql(
+            "create table buf (k Int64) ENGINE = Buffer(bsn_db1, tgt, 16, "
+            "10, 100, 10000, 1000000, 10000000, 100000000)"
+        )
+        engine.sql("insert into buf values (1), (2)")  # pending, unflushed
+        engine.sql("use bsn_db2")
+        engine.sql("create table buf (k Int64)")
+        engine.sql("insert into buf values (9)")
+        # db2's own buf: must NOT see db1's pending blocks
+        assert engine.sql("select count(*) as n from buf").collect()[0].n == 1
+        # the qualified form still reads target+pending from anywhere
+        assert (
+            engine.sql("select count(*) as n from bsn_db1.buf").collect()[0].n
+            == 2
+        )
+        engine.sql("use bsn_db1")
+        assert engine.sql("select count(*) as n from buf").collect()[0].n == 2
+    finally:
+        engine.sql(f"use {cur}")
+        # drop the buffer FIRST so its pending blocks flush + clear
+        engine.sql("drop table if exists bsn_db1.buf")
+        engine.sql("drop database bsn_db1")
+        engine.sql("drop database bsn_db2")
+
+
+def test_resolve_alias_caches_plain_tables(engine):
+    """_resolve_alias hits the negative cache for plain tables: the
+    block-grain insert path pays the JVM catalog fetch once, then pure
+    dict lookups (ADVICE r7 #4)."""
+    engine.sql("create table rac_t (k Int64)")
+    q = engine._qualify("rac_t")
+    engine._resolve_alias(q)
+    assert q in engine._non_alias
+    calls = []
+    orig = engine.spark.catalog.getTable
+    engine.spark.catalog.getTable = lambda n: (calls.append(n), orig(n))[1]
+    try:
+        assert engine._resolve_alias(q) == q
+        assert calls == []  # cached: no catalog fetch
+    finally:
+        engine.spark.catalog.getTable = orig
+        engine.sql("drop table rac_t")
 
 
 def test_window_timeseries_functions(engine, spark):
