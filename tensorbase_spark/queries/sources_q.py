@@ -219,6 +219,73 @@ GROUP BY n_name
 """
 
 
+def wire_native_roundtrip(spark, sf_dir):
+    """ClickHouse NATIVE wire protocol round trip (the reference's primary
+    front door: crates/server/src/server.rs:94-132, packet dispatch
+    crates/runtime/src/ch/messages.rs:28-202, block codec
+    crates/runtime/src/ch/blocks.rs:122-541).  A lineitem extract goes out
+    over a REAL TCP socket as LZ4-framed native blocks (client encode ->
+    server decode -> insert_df), then an aggregate comes BACK over the same
+    socket (server encode -> client decode); the returned DataFrame is
+    built from the wire-decoded values, so the oracle hash certifies the
+    full both-ends codec — varints, CityHash128 checksums, LZ4 frames,
+    column serialization — value-exactly."""
+    from tensorbase_spark.queries.engine_queries import _fresh_engine
+    from tensorbase_spark.sources.chnative import NativeClient, serve_native
+
+    eng = _fresh_engine(spark, sf_dir, "wnr")
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_orderkey") % 37) == 0)
+        .select(
+            F.col("l_orderkey").cast("long"),
+            F.col("l_returnflag").cast("string"),
+            F.col("l_quantity").cast("double"),
+            F.col("l_shipdate").cast("date"),
+        )
+        .collect()
+    )
+    srv, port = serve_native(eng)
+    try:
+        with NativeClient(port=port, compression=True) as c:
+            c.execute(
+                "create table wnr_line (ok Int64, flag String, "
+                "qty Float64, d Date)"
+            )
+            c.insert(
+                "wnr_line",
+                [
+                    ("ok", "Int64", [r[0] for r in rows]),
+                    ("flag", "String", [r[1] for r in rows]),
+                    ("qty", "Float64", [r[2] for r in rows]),
+                    ("d", "Date", [r[3] for r in rows]),
+                ],
+            )
+            _, got = c.execute(
+                "select flag, count(*) as n, "
+                "cast(sum(cast(qty as bigint)) as bigint) as qty_sum, "
+                "min(d) as first_ship, max(d) as last_ship "
+                "from wnr_line group by flag order by flag"
+            )
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    return spark.createDataFrame(
+        [tuple(r) for r in got],
+        "flag string, n bigint, qty_sum bigint, first_ship date, last_ship date",
+    )
+
+
+WIRE_NATIVE_ORACLE = """
+SELECT l_returnflag AS flag, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+       min(CAST(l_shipdate AS DATE)) AS first_ship,
+       max(CAST(l_shipdate AS DATE)) AS last_ship
+FROM lineitem WHERE l_orderkey % 37 = 0
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "numbers_table_function": Query(numbers_table_function, NUMBERS_ORACLE, ("sources",)),
     "csv_ingest_roundtrip": Query(csv_ingest_roundtrip, CSV_INGEST_ORACLE, ("sources",)),
@@ -226,4 +293,7 @@ QUERIES = {
     "avro_ingest_roundtrip": Query(avro_ingest_roundtrip, AVRO_INGEST_ORACLE, ("sources",)),
     "remote_loopback": Query(remote_loopback, REMOTE_ORACLE, ("sources",)),
     "remote_jdbc_federation": Query(remote_jdbc_federation, REMOTE_JDBC_ORACLE, ("sources",)),
+    "wire_native_roundtrip": Query(
+        wire_native_roundtrip, WIRE_NATIVE_ORACLE, ("sources", "wire")
+    ),
 }

@@ -1,0 +1,1185 @@
+"""ClickHouse native TCP protocol — the reference's PRIMARY front door.
+
+The reference serves its engine over the ClickHouse native protocol
+(``crates/server/src/server.rs:94-132`` accept loop; packet dispatch
+``crates/runtime/src/ch/messages.rs:28-202``; block codec
+``crates/runtime/src/ch/blocks.rs:122-541``; varint/string codecs
+``crates/runtime/src/types.rs:210-320``).  This module implements BOTH ends
+in pure Python over ``TensorBaseEngine`` — the same both-ends pattern that
+closed the Avro gap (``sources/avro_py.py``):
+
+* ``serve_native(engine)`` — a threaded TCP server speaking the protocol:
+  Hello/Ping/Query client packets; Hello/Pong/Data/Exception/EndOfStream
+  server packets; LZ4-framed or raw blocks; the reference's three-step
+  INSERT dance (query -> header block -> client data blocks -> empty
+  block).
+* ``NativeClient`` — the minimal client needed to drive it (and any
+  protocol-compatible server) from tests.
+
+Wire-format parity is pinned by golden-byte tests mirrored from the
+reference's own unit tests (``messages.rs:610-750``, ``blocks.rs:552-866``):
+the varint vector ``\\x7f\\x03127``, the 12-byte raw and 38-byte compressed
+empty client blocks (``blocks.rs:142-150``), and the two block-header encode
+vectors (``blocks.rs:643-675``).  The 38-byte compressed golden pins the
+whole compressed frame stack at once — CityHash128 checksum, LZ4 body,
+CSZ/DSZ framing (``blocks.rs:62-70``).
+
+Scale note: this endpoint is the STOCK-CLIENT front door, not the bulk data
+path (that is parquet + the Spark readers).  Pure-Python LZ4/CityHash run at
+front-door speeds; blocks are chunked (8192 rows) far under the reference's
+4 MiB frame guard (``messages.rs:414``).
+
+Compression framing (``blocks.rs:62-70``)::
+
+     CTH ALG CSZ DSZ LZ4-BLK
+    |---| - |---|---|-------|
+    CTH  16-byte CityHash128 (v1.0.2) of [ALG..end]
+    ALG  0x82 = LZ4 (``protocol.rs:7``)
+    CSZ  u32le compressed size counted from ALG (9 + len(lz4))
+    DSZ  u32le raw size
+"""
+
+from __future__ import annotations
+
+import re
+import socket
+import socketserver
+import struct
+import threading
+from datetime import date, datetime, timezone
+from decimal import Decimal
+from typing import Any, Callable
+
+# ---------------------------------------------------------------------------
+# protocol constants (protocol.rs:12-22, 141-156; messages.rs:17-22)
+# ---------------------------------------------------------------------------
+
+CLIENT_HELLO, CLIENT_QUERY, CLIENT_DATA, CLIENT_CANCEL, CLIENT_PING = 0, 1, 2, 3, 4
+(
+    SERVER_HELLO,
+    SERVER_DATA,
+    SERVER_EXCEPTION,
+    SERVER_PROGRESS,
+    SERVER_PONG,
+    SERVER_END_OF_STREAM,
+) = (0, 1, 2, 3, 4, 5)
+
+LZ4_METHOD = 0x82  # protocol.rs:7
+DBMS_NAME = "TensorBase"  # messages.rs:17
+DBMS_VERSION_MAJOR = 2021  # messages.rs:19
+DBMS_VERSION_MINOR = 7  # messages.rs:20
+REVISION = 54405  # messages.rs:21 — also the minimum client revision
+DBMS_VERSION_PATCH = 0
+MAX_FRAME_BYTES = 4 * 1024 * 1024  # messages.rs:414
+BLOCK_ROWS = 8192  # response chunking
+
+# ---------------------------------------------------------------------------
+# varint / string codecs (types.rs:216-236 write, :264-299 read)
+# ---------------------------------------------------------------------------
+
+
+def write_varint(out: bytearray, v: int) -> None:
+    """Unsigned LEB128 (types.rs:216, protobuf encode_varint64)."""
+    if v < 0:
+        raise ValueError("varint is unsigned")
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def write_str(out: bytearray, s: str) -> None:
+    write_varbytes(out, s.encode("utf-8"))
+
+
+def write_varbytes(out: bytearray, b: bytes) -> None:
+    write_varint(out, len(b))
+    out += b
+
+
+class Reader:
+    """Exact-read cursor over a bytes buffer or a blocking socket file.
+
+    The reference juggles IncompletedWireFormat retries over nonblocking
+    BytesMut reads (messages.rs:204-232); blocking exact reads make the
+    Python state machine trivial — a legitimately different transport
+    architecture for the same wire format."""
+
+    def __init__(self, src: bytes | Any):
+        if isinstance(src, (bytes, bytearray, memoryview)):
+            self._buf, self._pos, self._f = bytes(src), 0, None
+        else:
+            self._buf, self._pos, self._f = b"", 0, src  # file-like
+
+    def read(self, n: int) -> bytes:
+        if self._f is None:
+            if self._pos + n > len(self._buf):
+                raise EOFError("wire format underrun")
+            out = self._buf[self._pos : self._pos + n]
+            self._pos += n
+            return out
+        out = bytearray()
+        while len(out) < n:
+            chunk = self._f.read(n - len(out))
+            if not chunk:
+                raise EOFError("peer closed connection")
+            out += chunk
+        return bytes(out)
+
+    def at_end(self) -> bool:
+        return self._f is None and self._pos >= len(self._buf)
+
+    def read_varint(self) -> int:
+        shift, v = 0, 0
+        while True:
+            b = self.read(1)[0]
+            v |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return v
+            shift += 7
+            if shift > 63:
+                raise ValueError("varint too long")
+
+    def read_varbytes(self) -> bytes:
+        return self.read(self.read_varint())
+
+    def read_str(self) -> str:
+        return self.read_varbytes().decode("utf-8")
+
+    def read_u8(self) -> int:
+        return self.read(1)[0]
+
+    def read_u32le(self) -> int:
+        return struct.unpack("<I", self.read(4))[0]
+
+    def read_i32le(self) -> int:
+        return struct.unpack("<i", self.read(4))[0]
+
+    def read_u64le(self) -> int:
+        return struct.unpack("<Q", self.read(8))[0]
+
+
+# ---------------------------------------------------------------------------
+# CityHash128 v1.0.2 (the checksum CH block framing uses; the reference binds
+# it via clickhouse_rs_cityhash_sys, blocks.rs:5,289).  Pure-Python port of
+# the public-domain city.cc 1.0.2.  The short paths (<128 bytes — every
+# frame header/empty block) are pinned by the reference's 38-byte golden;
+# the >=128 path follows city.cc and is exercised by round-trip tests.
+# ---------------------------------------------------------------------------
+
+_M64 = (1 << 64) - 1
+_K0 = 0xC3A5C85C97CB3127
+_K1 = 0xB492B66FBE98F273
+_K2 = 0x9AE16A3B2F90404F
+_K3 = 0xC949D7C7509E6557
+_KMUL = 0x9DDFEA08EB382D69
+
+
+def _f64(s: bytes, i: int) -> int:
+    return int.from_bytes(s[i : i + 8], "little")
+
+
+def _f32(s: bytes, i: int) -> int:
+    return int.from_bytes(s[i : i + 4], "little")
+
+
+def _rotr(v: int, n: int) -> int:
+    return ((v >> n) | (v << (64 - n))) & _M64 if n else v
+
+
+def _shift_mix(v: int) -> int:
+    return (v ^ (v >> 47)) & _M64
+
+
+def _hash_len_16(u: int, v: int) -> int:
+    a = ((u ^ v) * _KMUL) & _M64
+    a ^= a >> 47
+    b = ((v ^ a) * _KMUL) & _M64
+    b ^= b >> 47
+    return (b * _KMUL) & _M64
+
+
+def _hash_len_0_to_16(s: bytes) -> int:
+    ln = len(s)
+    if ln > 8:
+        a, b = _f64(s, 0), _f64(s, ln - 8)
+        return (_hash_len_16(a, _rotr((b + ln) & _M64, ln & 63)) ^ b) & _M64
+    if ln >= 4:
+        a = _f32(s, 0)
+        return _hash_len_16((ln + (a << 3)) & _M64, _f32(s, ln - 4))
+    if ln > 0:
+        y = (s[0] + (s[ln >> 1] << 8)) & 0xFFFFFFFF
+        z = (ln + (s[ln - 1] << 2)) & 0xFFFFFFFF
+        return (_shift_mix((y * _K2 ^ z * _K3) & _M64) * _K2) & _M64
+    return _K2
+
+
+def _city_murmur(s: bytes, seed_lo: int, seed_hi: int) -> tuple[int, int]:
+    a, b, c, d = seed_lo, seed_hi, 0, 0
+    ln = len(s)
+    l = ln - 16
+    if l <= 0:
+        a = (_shift_mix((a * _K1) & _M64) * _K1) & _M64
+        c = (b * _K1 + _hash_len_0_to_16(s)) & _M64
+        d = _shift_mix((a + (_f64(s, 0) if ln >= 8 else c)) & _M64)
+    else:
+        c = _hash_len_16((_f64(s, ln - 8) + _K1) & _M64, a)
+        d = _hash_len_16((b + ln) & _M64, (c + _f64(s, ln - 16)) & _M64)
+        a = (a + d) & _M64
+        pos = 0
+        while True:
+            a ^= (_shift_mix((_f64(s, pos) * _K1) & _M64) * _K1) & _M64
+            a = (a * _K1) & _M64
+            b ^= a
+            c ^= (_shift_mix((_f64(s, pos + 8) * _K1) & _M64) * _K1) & _M64
+            c = (c * _K1) & _M64
+            d ^= c
+            pos += 16
+            l -= 16
+            if l <= 0:
+                break
+    a = _hash_len_16(a, c)
+    b = _hash_len_16(d, b)
+    return (a ^ b) & _M64, _hash_len_16(b, a)
+
+
+def _weak_hash_len_32(s: bytes, pos: int, a: int, b: int) -> tuple[int, int]:
+    w, x = _f64(s, pos), _f64(s, pos + 8)
+    y, z = _f64(s, pos + 16), _f64(s, pos + 24)
+    a = (a + w) & _M64
+    b = _rotr((b + a + z) & _M64, 21)
+    c = a
+    a = (a + x + y) & _M64
+    b = (b + _rotr(a, 44)) & _M64
+    return (a + z) & _M64, (b + c) & _M64
+
+
+def _city_hash_128_with_seed(
+    s: bytes, seed_lo: int, seed_hi: int
+) -> tuple[int, int]:
+    ln = len(s)
+    if ln < 128:
+        return _city_murmur(s, seed_lo, seed_hi)
+    x, y = seed_lo, seed_hi
+    z = (ln * _K1) & _M64
+    v0 = (_rotr((y ^ _K1) & _M64, 49) * _K1 + _f64(s, 0)) & _M64
+    v1 = (_rotr(v0, 42) * _K1 + _f64(s, 8)) & _M64
+    w0 = (_rotr((y + z) & _M64, 35) * _K1 + x) & _M64
+    w1 = (_rotr((x + _f64(s, 88)) & _M64, 53) * _K1) & _M64
+    pos, rem = 0, ln
+    while True:
+        for _ in range(2):  # the manually-unrolled 64B halves (city.cc)
+            x = (_rotr((x + y + v0 + _f64(s, pos + 16)) & _M64, 37) * _K1) & _M64
+            y = (_rotr((y + v1 + _f64(s, pos + 48)) & _M64, 42) * _K1) & _M64
+            x ^= w1
+            y ^= v0
+            z = _rotr((z ^ w0) & _M64, 33)
+            v0, v1 = _weak_hash_len_32(s, pos, (v1 * _K1) & _M64, (x + w0) & _M64)
+            w0, w1 = _weak_hash_len_32(s, pos + 32, (z + w1) & _M64, y)
+            z, x = x, z
+            pos += 64
+        rem -= 128
+        if rem < 128:
+            break
+    y = (y + _rotr(w0, 37) * _K0 + z) & _M64
+    x = (x + _rotr((v0 + z) & _M64, 49) * _K0) & _M64
+    tail_done = 0
+    while tail_done < rem:
+        tail_done += 32
+        y = (_rotr((y - x) & _M64, 42) * _K0 + v1) & _M64
+        w0 = (w0 + _f64(s, pos + rem - tail_done + 16)) & _M64
+        x = (_rotr(x, 49) * _K0 + w0) & _M64
+        w0 = (w0 + v0) & _M64
+        v0, v1 = _weak_hash_len_32(s, pos + rem - tail_done, v0, v1)
+    x = _hash_len_16(x, v0)
+    y = _hash_len_16(y, w0)
+    return (
+        (_hash_len_16((x + v1) & _M64, w1) + y) & _M64,
+        _hash_len_16((x + w1) & _M64, (y + v1) & _M64),
+    )
+
+
+def city_hash_128(s: bytes) -> tuple[int, int]:
+    """(lo, hi) CityHash128 v1.0.2 — NOTE the 1.0 seed uses k3 (1.1+ moved
+    to k2; CH stayed on 1.0.2, which is why the sys crate exists)."""
+    ln = len(s)
+    if ln >= 16:
+        return _city_hash_128_with_seed(
+            s[16:], (_f64(s, 0) ^ _K3) & _M64, _f64(s, 8)
+        )
+    if ln >= 8:
+        return _city_hash_128_with_seed(
+            b"",
+            (_f64(s, 0) ^ ((ln * _K0) & _M64)) & _M64,
+            (_f64(s, ln - 8) ^ _K1) & _M64,
+        )
+    return _city_hash_128_with_seed(s, _K0, _K1)
+
+
+# ---------------------------------------------------------------------------
+# LZ4 block codec.  Decompress implements the full sequence grammar (any
+# compliant encoder's output decodes); compress emits the always-valid
+# literals-only form — which is byte-identical to the reference's lz4 output
+# for small/incompressible payloads (the 38-byte golden proves it for the
+# empty block).  Wire compression is a front-door nicety here, not the bulk
+# path, so trading ratio for a dependency-free encoder is deliberate.
+# ---------------------------------------------------------------------------
+
+
+def lz4_decompress(src: bytes, raw_size: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        out += src[i : i + lit]
+        i += lit
+        if i >= n:
+            break  # last sequence is literals-only
+        off = src[i] | (src[i + 1] << 8)
+        i += 2
+        if off == 0:
+            raise ValueError("invalid LZ4 offset 0")
+        mlen = token & 0x0F
+        if mlen == 15:
+            while True:
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        mlen += 4
+        start = len(out) - off
+        if start < 0:
+            raise ValueError("LZ4 offset before window start")
+        for j in range(mlen):  # byte-wise: overlapping matches are the norm
+            out.append(out[start + j])
+    if len(out) != raw_size:
+        raise ValueError(f"LZ4 raw size mismatch: {len(out)} != {raw_size}")
+    return bytes(out)
+
+
+def lz4_compress(data: bytes) -> bytes:
+    n = len(data)
+    out = bytearray()
+    if n < 15:
+        out.append(n << 4)
+    else:
+        out.append(0xF0)
+        r = n - 15
+        while r >= 255:
+            out.append(255)
+            r -= 255
+        out.append(r)
+    out += data
+    return bytes(out)
+
+
+def compress_frame(body: bytes) -> bytes:
+    """CTH+ALG+CSZ+DSZ+LZ4 frame (blocks.rs:246-295 encode_to)."""
+    lz = lz4_compress(body)
+    payload = bytearray([LZ4_METHOD])
+    payload += struct.pack("<I", 9 + len(lz))
+    payload += struct.pack("<I", len(body))
+    payload += lz
+    lo, hi = city_hash_128(bytes(payload))
+    return struct.pack("<QQ", lo, hi) + bytes(payload)
+
+
+def read_frame(r: Reader) -> bytes:
+    """Read + verify one compressed frame, return the raw body
+    (messages.rs:415-505 process_data_blk)."""
+    lo, hi = struct.unpack("<QQ", r.read(16))
+    payload = bytearray(r.read(1 + 4 + 4))
+    if payload[0] != LZ4_METHOD:
+        raise ValueError(f"unsupported compression method 0x{payload[0]:02x}")
+    csz = struct.unpack("<I", payload[1:5])[0]
+    dsz = struct.unpack("<I", payload[5:9])[0]
+    if csz < 9 or csz - 9 > MAX_FRAME_BYTES:
+        raise ValueError("bad compressed frame size")  # messages.rs:444
+    payload += r.read(csz - 9)
+    got_lo, got_hi = city_hash_128(bytes(payload))
+    if (got_lo, got_hi) != (lo, hi):
+        raise ValueError("compressed frame checksum mismatch")
+    return lz4_decompress(bytes(payload[9:]), dsz)
+
+
+# ---------------------------------------------------------------------------
+# column codec (blocks.rs:394-541).  A column is (name, ch_type, values):
+# python values in, python values out; fixed-width scalars little-endian,
+# String as varint-length + bytes, Nullable as a 1-byte-per-row null map
+# BEFORE the data with defaults in the null slots (blocks.rs:106-108).
+# ---------------------------------------------------------------------------
+
+_EPOCH_DATE = date(1970, 1, 1)
+_FIXED = {
+    "Int8": ("<b", 1),
+    "Int16": ("<h", 2),
+    "Int32": ("<i", 4),
+    "Int64": ("<q", 8),
+    "UInt8": ("<B", 1),
+    "UInt16": ("<H", 2),
+    "UInt32": ("<I", 4),
+    "UInt64": ("<Q", 8),
+    "Float32": ("<f", 4),
+    "Float64": ("<d", 8),
+}
+
+
+def _strip_nullable(t: str) -> tuple[str, bool]:
+    m = re.fullmatch(r"Nullable\((.*)\)", t)
+    return (m.group(1), True) if m else (t, False)
+
+
+def _default_for(base: str) -> Any:
+    if base == "String" or base.startswith("FixedString"):
+        return ""
+    if base == "Date":
+        return _EPOCH_DATE
+    if base.startswith("DateTime"):
+        return datetime(1970, 1, 1, tzinfo=timezone.utc)
+    if base.startswith("Decimal"):
+        return Decimal(0)
+    if base == "UUID":
+        return "00000000-0000-0000-0000-000000000000"
+    if base.startswith("Float"):
+        return 0.0
+    return 0
+
+
+def _decimal_params(t: str) -> tuple[int, int]:
+    m = re.fullmatch(r"Decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+    if not m:
+        raise ValueError(f"cannot parse decimal type {t!r}")
+    return int(m.group(1)), int(m.group(2))
+
+
+def encode_column(out: bytearray, name: str, ch_type: str, values: list) -> None:
+    write_str(out, name)
+    write_str(out, ch_type)
+    base, nullable = _strip_nullable(ch_type)
+    if nullable:
+        out += bytes(1 if v is None else 0 for v in values)
+        dflt = _default_for(base)
+        values = [dflt if v is None else v for v in values]
+    if not values:
+        # zero-row header column: name + type only (blocks.rs:301-313
+        # new_block_header carries no data) — also the one place a
+        # LowCardinality(String) column header round-trips on encode
+        return
+    if base in _FIXED:
+        fmt, _ = _FIXED[base]
+        cast = float if base in ("Float32", "Float64") else int
+        out += struct.pack(f"<{len(values)}{fmt[1]}", *[cast(v) for v in values])
+    elif base == "String":
+        for v in values:
+            write_varbytes(out, v.encode("utf-8") if isinstance(v, str) else bytes(v))
+    elif base.startswith("FixedString"):
+        n = int(re.fullmatch(r"FixedString\((\d+)\)", base).group(1))
+        for v in values:
+            b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            if len(b) > n:
+                raise ValueError(f"value longer than FixedString({n})")
+            out += b.ljust(n, b"\x00")
+    elif base == "Date":
+        for v in values:
+            d = v.date() if isinstance(v, datetime) else v
+            out += struct.pack("<H", (d - _EPOCH_DATE).days)
+    elif base.startswith("DateTime"):
+        for v in values:
+            ts = int(v.timestamp()) if isinstance(v, datetime) else int(v)
+            out += struct.pack("<I", ts & 0xFFFFFFFF)
+    elif base.startswith("Decimal"):
+        p, s = _decimal_params(base)
+        fmt = "<i" if p <= 9 else "<q"  # meta/src/types.rs:145-152
+        if p > 18:
+            raise ValueError("Decimal precision > 18 unsupported on the wire")
+        q = Decimal(10) ** -s
+        for v in values:
+            out += struct.pack(fmt, int(Decimal(v).quantize(q) * (10 ** s)))
+    elif base == "UUID":
+        for v in values:
+            u = int(str(v).replace("-", ""), 16)
+            out += struct.pack("<QQ", (u >> 64) & _M64, u & _M64)
+    else:
+        raise ValueError(f"unsupported wire type {ch_type!r}")
+
+
+def decode_column(r: Reader, nrows: int) -> tuple[str, str, list]:
+    name = r.read_str()
+    ch_type = r.read_str()
+    if ch_type == "LowCardinality(String)":  # blocks.rs:480-534 (decode-only)
+        ver = r.read_u64le()
+        if ver != 1:
+            raise ValueError("unsupported LowCardinality dict version")
+        flags = r.read_u64le()
+        if (flags & 0x0100) or not (flags & 0x0200):
+            raise ValueError("unsupported LowCardinality serialization")
+        key_size = [1, 2, 4, 8][flags & 0x0F]
+        ndict = r.read_u64le()
+        dictionary = [r.read_varbytes().decode("utf-8") for _ in range(ndict)]
+        size = r.read_u64le()
+        if size != nrows:
+            raise ValueError("LowCardinality row count mismatch")
+        keys = struct.unpack(
+            f"<{nrows}{'BHIQ'[[1, 2, 4, 8].index(key_size)]}", r.read(nrows * key_size)
+        )
+        return name, "String", [dictionary[k] for k in keys]
+    base, nullable = _strip_nullable(ch_type)
+    null_map = list(r.read(nrows)) if nullable else None
+    if base in _FIXED:
+        fmt, width = _FIXED[base]
+        values = list(struct.unpack(f"<{nrows}{fmt[1]}", r.read(nrows * width)))
+    elif base == "String":
+        values = [r.read_varbytes().decode("utf-8", "replace") for _ in range(nrows)]
+    elif base.startswith("FixedString"):
+        n = int(re.fullmatch(r"FixedString\((\d+)\)", base).group(1))
+        values = [
+            r.read(n).rstrip(b"\x00").decode("utf-8", "replace") for _ in range(nrows)
+        ]
+    elif base == "Date":
+        values = [
+            date.fromordinal(_EPOCH_DATE.toordinal() + d)
+            for d in struct.unpack(f"<{nrows}H", r.read(nrows * 2))
+        ]
+    elif base.startswith("DateTime"):
+        values = [
+            datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None)
+            for t in struct.unpack(f"<{nrows}I", r.read(nrows * 4))
+        ]
+    elif base.startswith("Decimal"):
+        p, s = _decimal_params(base)
+        if p > 18:
+            raise ValueError("Decimal precision > 18 unsupported on the wire")
+        fmt = "i" if p <= 9 else "q"
+        width = 4 if p <= 9 else 8
+        values = [
+            Decimal(raw) / (10 ** s)
+            for raw in struct.unpack(f"<{nrows}{fmt}", r.read(nrows * width))
+        ]
+    elif base == "UUID":
+        values = []
+        for _ in range(nrows):
+            hi, lo = struct.unpack("<QQ", r.read(16))
+            h = f"{(hi << 64) | lo:032x}"
+            values.append(f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}")
+    else:
+        raise ValueError(f"unsupported wire type {ch_type!r}")
+    if null_map is not None:
+        values = [None if null_map[i] else v for i, v in enumerate(values)]
+    return name, ch_type, values
+
+
+# ---------------------------------------------------------------------------
+# Block (blocks.rs:122-381)
+# ---------------------------------------------------------------------------
+
+
+class Block:
+    """columns: list of (name, ch_type, values).  ``bucket`` mirrors the
+    reference: -1 default, 0 for blocks built from data (blocks.rs:130-162)."""
+
+    def __init__(
+        self,
+        columns: list[tuple[str, str, list]] | None = None,
+        nrows: int | None = None,
+        overflow: bool = False,
+        bucket: int = -1,
+    ):
+        self.columns = columns or []
+        self.nrows = (
+            nrows if nrows is not None
+            else (len(self.columns[0][2]) if self.columns else 0)
+        )
+        self.overflow = overflow
+        self.bucket = bucket
+
+    @property
+    def is_empty(self) -> bool:
+        return not self.columns and self.nrows == 0
+
+    def encode_body(self) -> bytes:
+        """BlockInfo + ncols + nrows + columns (blocks.rs:192-210)."""
+        out = bytearray()
+        write_varint(out, 1)
+        out.append(1 if self.overflow else 0)
+        write_varint(out, 2)
+        out += struct.pack("<i", self.bucket)
+        write_varint(out, 0)
+        write_varint(out, len(self.columns))
+        write_varint(out, self.nrows)
+        for name, ch_type, values in self.columns:
+            encode_column(out, name, ch_type, values)
+        return bytes(out)
+
+    @classmethod
+    def decode_body(cls, r: Reader) -> "Block":
+        r.read_varint()  # field 1
+        overflow = r.read_u8() != 0
+        r.read_varint()  # field 2
+        bucket = r.read_i32le()
+        r.read_varint()  # terminator 0
+        ncols = r.read_varint()
+        nrows = r.read_varint()
+        cols = [decode_column(r, nrows) for _ in range(ncols)]
+        return cls(cols, nrows=nrows, overflow=overflow, bucket=bucket)
+
+    def header(self) -> "Block":
+        """Zero-row structure block (blocks.rs:301-313)."""
+        return Block(
+            [(n, t, []) for n, t, _ in self.columns], nrows=0, bucket=0
+        )
+
+
+def write_data_packet(
+    out: bytearray, block: Block, compressed: bool, server: bool
+) -> None:
+    write_varint(out, SERVER_DATA if server else CLIENT_DATA)
+    write_str(out, "")  # temporary table name
+    body = block.encode_body()
+    out += compress_frame(body) if compressed else body
+
+
+def read_data_packet_body(r: Reader, compressed: bool) -> Block:
+    """After the packet-id varint: tmp-name + (frame|raw block)."""
+    r.read_str()  # temporary table name
+    if compressed:
+        return Block.decode_body(Reader(read_frame(r)))
+    return Block.decode_body(r)
+
+
+# ---------------------------------------------------------------------------
+# Spark <-> CH type mapping
+# ---------------------------------------------------------------------------
+
+_SPARK_TO_CH = {
+    "tinyint": "Int8",
+    "smallint": "Int16",
+    "int": "Int32",
+    "bigint": "Int64",
+    "float": "Float32",
+    "double": "Float64",
+    "string": "String",
+    "boolean": "UInt8",
+    "date": "Date",
+    "timestamp": "DateTime",
+    "timestamp_ntz": "DateTime",
+}
+
+
+def spark_field_to_ch(field) -> str:
+    """Spark StructField -> CH wire type.  decimal(20,0) is this engine's
+    lossless UInt64 storage (types.py:36) — it goes back on the wire as the
+    UInt64 it represents, exactly the reference's native u64 surface."""
+    s = field.dataType.simpleString()
+    if s in _SPARK_TO_CH:
+        base = _SPARK_TO_CH[s]
+    elif s == "decimal(20,0)":
+        base = "UInt64"
+    elif s.startswith("decimal("):
+        p, sc = s[8:-1].split(",")
+        if int(p) > 18:
+            raise ValueError(f"wire cannot carry {s} (precision > 18)")
+        base = f"Decimal({int(p)},{int(sc)})"
+    else:
+        raise ValueError(f"type {s!r} has no native-wire mapping")
+    return f"Nullable({base})" if field.nullable else base
+
+
+def bql_type_to_ch(bql: str) -> str:
+    """Declared BQL column type -> wire spelling.  UInt64Reinterp stores as
+    Int64 two's complement, whose bytes ARE the u64 bits — wire UInt64."""
+    t = bql.strip()
+    t = re.sub(r"(?is)\s+codec\s*\(.*\)$", "", t).strip()
+    t = re.sub(r"(?i)\bUInt64Reinterp\b", "UInt64", t)
+    t = re.sub(r"(?i)\bLowCardinality\s*\(\s*(String|TinyText)\s*\)", "String", t)
+    t = re.sub(r"(?i)\bTinyText\b|\bText\b|\bMediumText\b|\bLongText\b", "String", t)
+    return t
+
+
+def _wire_value(base: str, v: Any) -> Any:
+    """Normalize one collected-Spark value for encode_column."""
+    if v is None:
+        return None
+    if base == "UInt8" and isinstance(v, bool):
+        return 1 if v else 0
+    if base == "UInt64" and isinstance(v, Decimal):
+        iv = int(v)
+        if not 0 <= iv < (1 << 64):
+            raise ValueError(f"decimal(20,0) value {v} outside UInt64 range")
+        return iv
+    return v
+
+
+def df_to_blocks(df) -> tuple[Block, list[Block]]:
+    """Collect a (bounded: the wire response) DataFrame into header + data
+    blocks of BLOCK_ROWS rows."""
+    fields = df.schema.fields
+    ch_types = [spark_field_to_ch(f) for f in fields]
+    names = [f.name for f in fields]
+    rows = df.collect()
+    header = Block([(n, t, []) for n, t in zip(names, ch_types)], nrows=0, bucket=0)
+    blocks = []
+    for i in range(0, len(rows), BLOCK_ROWS):
+        chunk = rows[i : i + BLOCK_ROWS]
+        cols = []
+        for j, (n, t) in enumerate(zip(names, ch_types)):
+            base, _ = _strip_nullable(t)
+            cols.append((n, t, [_wire_value(base, r[j]) for r in chunk]))
+        blocks.append(Block(cols, nrows=len(chunk), bucket=0))
+    return header, blocks
+
+
+# ---------------------------------------------------------------------------
+# server
+# ---------------------------------------------------------------------------
+
+_INSERT_WIRE_RE = re.compile(
+    r"(?is)^\s*insert\s+into\s+(?:table\s+)?(?P<tab>[\w.]+)\s*"
+    r"(?:\(\s*(?P<cols>[\w\s,]+?)\s*\)\s*)?"
+    r"(?:values|format\s+\w+)?\s*$"
+)
+
+
+class _Conn(socketserver.StreamRequestHandler):
+    """One client connection: Hello handshake, then a packet loop
+    (messages.rs:28-202 response_to, restructured around blocking reads)."""
+
+    def handle(self) -> None:  # noqa: C901 — the protocol state machine
+        engine = self.server.engine  # type: ignore[attr-defined]
+        r = Reader(self.rfile)
+        try:
+            code = r.read_varint()
+        except EOFError:
+            return
+        if code != CLIENT_HELLO:
+            return
+        try:
+            self._hello(r)
+        except _WireError as e:
+            self._send(self._exception_packet(e))
+            return
+        while True:
+            try:
+                code = r.read_varint()
+            except EOFError:
+                return
+            try:
+                if code == CLIENT_PING:
+                    out = bytearray()
+                    write_varint(out, SERVER_PONG)
+                    self._send(out)
+                elif code == CLIENT_QUERY:
+                    self._query(r, engine)
+                elif code == CLIENT_DATA:
+                    # stray data packet outside an insert: consume politely
+                    read_data_packet_body(r, self._compressed)
+                elif code == CLIENT_CANCEL:
+                    continue
+                else:
+                    raise _WireError(21, f"unsupported client packet {code}")
+            except EOFError:
+                return
+            # an Exception packet TERMINATES the response stream (no EOS
+            # after it — clients treat it as the stream end)
+            except _WireError as e:
+                self._send(self._exception_packet(e))
+            except Exception as e:  # engine errors -> Exception packet
+                msg = str(e).split("\n", 1)[0][:500] or type(e).__name__
+                self._send(self._exception_packet(_WireError(1, msg)))
+
+    # -- handshake ----------------------------------------------------------
+
+    def _hello(self, r: Reader) -> None:
+        r.read_str()  # client name
+        r.read_varint()  # ver major
+        r.read_varint()  # ver minor
+        client_rev = r.read_varint()
+        self._database = r.read_str() or "default"
+        r.read_str()  # user
+        r.read_str()  # password
+        if client_rev < REVISION:  # messages.rs:255-257
+            raise _WireError(22, "unsupported client version")
+        self._compressed = True
+        out = bytearray()
+        write_varint(out, SERVER_HELLO)  # messages.rs:260-267
+        write_str(out, DBMS_NAME)
+        write_varint(out, DBMS_VERSION_MAJOR)
+        write_varint(out, DBMS_VERSION_MINOR)
+        write_varint(out, REVISION)
+        write_str(out, "UTC")
+        write_str(out, DBMS_NAME)
+        write_varint(out, DBMS_VERSION_PATCH)
+        self._send(out)
+
+    # -- query --------------------------------------------------------------
+
+    def _query(self, r: Reader, engine) -> None:
+        r.read_str()  # query id
+        # client info (messages.rs:287-301)
+        r.read_varint()  # query kind
+        for _ in range(3):
+            r.read_str()  # initial user / query id / address
+        r.read_varint()  # interface
+        for _ in range(3):
+            r.read_str()  # os user / hostname / client name
+        for _ in range(3):
+            r.read_varint()  # ver major / minor / tcp protocol
+        r.read_str()  # quota key
+        r.read_varint()  # ver patch
+        # settings: negotiated revision (min(client, 54405)) predates the
+        # strings-with-flags format, so only the empty terminator is
+        # accepted — the reference's stance (messages.rs:313-327)
+        name = r.read_str()
+        if name:
+            raise _WireError(26, "per-query settings are not supported")
+        r.read_varint()  # stage
+        compression = r.read_varint()
+        self._compressed = compression == 1
+        query = r.read_str()
+
+        m = _INSERT_WIRE_RE.match(query)
+        if m and not re.search(r"(?is)\bselect\b", query):
+            self._insert_dance(r, engine, m)
+            return
+        # external-tables data: packets until the empty block (the reference
+        # instead clears its read buffer, messages.rs:189 — same protocol
+        # position, handled properly here)
+        self._drain_external_tables(r)
+        df = engine.sql(query)
+        out = bytearray()
+        if df is not None and df.columns:
+            try:
+                header, blocks = df_to_blocks(df)
+            except ValueError as e:
+                raise _WireError(23, str(e))
+            write_data_packet(out, header, self._compressed, server=True)
+            for blk in blocks:
+                write_data_packet(out, blk, self._compressed, server=True)
+        out += self._eos()
+        self._send(out)
+
+    def _insert_dance(self, r: Reader, engine, m: re.Match) -> None:
+        """INSERT without inline rows: header -> data blocks -> empty block
+        (messages.rs:386-405 + the DataEODPInsertQuery/DataPacket stages)."""
+        table = m.group("tab")
+        subset = (
+            [c.strip() for c in m.group("cols").split(",")]
+            if m.group("cols")
+            else None
+        )
+        qualified = (
+            table if "." in table else f"{engine.spark.catalog.currentDatabase()}.{table}"
+        )
+        target = engine._resolve_alias(qualified)
+        cols_txt = engine._table_props(target).get("tb.columns")
+        if not cols_txt:
+            raise _WireError(24, f"unknown engine table {table}")
+        from tensorbase_spark.engine import _split_top_level_args
+
+        declared = []
+        for part in _split_top_level_args(cols_txt):
+            cname, ctype = part.strip().split(None, 1)
+            declared.append((cname, bql_type_to_ch(ctype)))
+        if subset:
+            by_name = dict(declared)
+            declared = [(c, by_name[c]) for c in subset]
+        header = Block([(n, t, []) for n, t in declared], nrows=0, bucket=0)
+        out = bytearray()
+        write_data_packet(out, header, self._compressed, server=True)
+        self._send(out)
+        # first empty block = external-tables EOD (DataEODPInsertQuery),
+        # then data blocks until the closing empty block (DataPacket)
+        self._drain_external_tables(r)
+        got_any = False
+        while True:
+            code = r.read_varint()
+            if code != CLIENT_DATA:
+                raise _WireError(104, f"expected data packet, got {code}")
+            blk = read_data_packet_body(r, self._compressed)
+            if blk.is_empty:
+                break
+            got_any = True
+            self._write_block(engine, qualified, blk, subset)
+        if not got_any:
+            pass  # zero-row insert is legal
+        self._send(self._eos())
+
+    def _drain_external_tables(self, r: Reader) -> None:
+        while True:
+            code = r.read_varint()
+            if code == CLIENT_DATA:
+                blk = read_data_packet_body(r, self._compressed)
+                if blk.is_empty:
+                    return
+                # non-empty external tables unsupported, like the reference
+                raise _WireError(25, "external tables are not supported")
+            raise _WireError(104, f"expected data packet, got {code}")
+
+    def _write_block(self, engine, qualified: str, blk: Block, subset) -> None:
+        names = [c[0] for c in blk.columns]
+        rows = list(zip(*[c[2] for c in blk.columns])) if blk.columns else []
+        from pyspark.sql import types as T
+
+        def _spark_type(ch: str):
+            base, _ = _strip_nullable(ch)
+            m = {
+                "Int8": T.ByteType(), "Int16": T.ShortType(),
+                "Int32": T.IntegerType(), "Int64": T.LongType(),
+                "UInt8": T.ShortType(), "UInt16": T.IntegerType(),
+                "UInt32": T.LongType(), "UInt64": T.DecimalType(20, 0),
+                "Float32": T.FloatType(), "Float64": T.DoubleType(),
+                "String": T.StringType(), "Date": T.DateType(),
+            }
+            if base in m:
+                return m[base]
+            if base.startswith("DateTime"):
+                return T.TimestampType()
+            if base.startswith("Decimal"):
+                p, s = _decimal_params(base)
+                return T.DecimalType(p, s)
+            if base.startswith("FixedString") or base == "UUID":
+                return T.StringType()
+            raise _WireError(29, f"no ingest mapping for {ch}")
+
+        schema = T.StructType(
+            [T.StructField(n, _spark_type(t), True) for n, t, _ in blk.columns]
+        )
+
+        def _conv(base: str, v):
+            if v is None:
+                return None
+            if base == "UInt64":
+                return Decimal(v)
+            return v
+
+        conv_rows = [
+            tuple(
+                _conv(_strip_nullable(t)[0], v)
+                for (n, t, _), v in zip(blk.columns, row)
+            )
+            for row in rows
+        ]
+        src = engine.spark.createDataFrame(conv_rows, schema)
+        engine.insert_df(qualified, src, subset=names if subset else None)
+
+    # -- plumbing -------------------------------------------------------------
+
+    def _send(self, out: bytes | bytearray) -> None:
+        self.wfile.write(bytes(out))
+        self.wfile.flush()
+
+    def _eos(self) -> bytes:
+        out = bytearray()
+        write_varint(out, SERVER_END_OF_STREAM)
+        return bytes(out)
+
+    def _exception_packet(self, e: "_WireError") -> bytes:
+        """codecs.rs:91-98 write_as_exception."""
+        out = bytearray()
+        write_varint(out, SERVER_EXCEPTION)
+        out += struct.pack("<I", e.code)
+        write_str(out, f"WireError({e.code})")
+        write_str(out, str(e))
+        write_str(out, "")  # stack trace
+        write_varint(out, 0)  # no nested exception
+        return bytes(out)
+
+
+class _WireError(Exception):
+    """Error surfaced as an Exception packet; codes mirror errs.rs:166-196."""
+
+    def __init__(self, code: int, msg: str):
+        super().__init__(msg)
+        self.code = code
+
+
+class NativeServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+        super().__init__((host, port), _Conn)
+        self.engine = engine
+
+
+def serve_native(engine, host: str = "127.0.0.1", port: int = 0):
+    """Start the native-protocol endpoint on a background thread; returns
+    (server, bound_port).  server.shutdown() stops it."""
+    srv = NativeServer(engine, host, port)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, srv.server_address[1]
+
+
+# ---------------------------------------------------------------------------
+# client
+# ---------------------------------------------------------------------------
+
+
+class NativeClient:
+    """Minimal native-protocol client: hello/ping/select/insert.  Exists so
+    the protocol is testable both-ends in-repo (the Avro pattern); speaks
+    exactly what a stock driver sends in the reference's supported subset."""
+
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 9000,
+        database: str = "default",
+        user: str = "default",
+        password: str = "",
+        compression: bool = True,
+    ):
+        self._sock = socket.create_connection((host, port))
+        self._rf = self._sock.makefile("rb")
+        self._r = Reader(self._rf)
+        self._compression = compression
+        self.server_info: dict[str, Any] = {}
+        out = bytearray()
+        write_varint(out, CLIENT_HELLO)
+        write_str(out, "tensorbase-spark-native")
+        write_varint(out, 1)
+        write_varint(out, 1)
+        write_varint(out, REVISION)
+        write_str(out, database)
+        write_str(out, user)
+        write_str(out, password)
+        self._send(out)
+        code = self._r.read_varint()
+        if code == SERVER_EXCEPTION:
+            raise self._read_exception()
+        if code != SERVER_HELLO:
+            raise ValueError(f"unexpected hello response {code}")
+        self.server_info = {
+            "name": self._r.read_str(),
+            "version_major": self._r.read_varint(),
+            "version_minor": self._r.read_varint(),
+            "revision": self._r.read_varint(),
+            "timezone": self._r.read_str(),
+            "display_name": self._r.read_str(),
+            "version_patch": self._r.read_varint(),
+        }
+
+    def close(self) -> None:
+        try:
+            self._rf.close()
+        finally:
+            self._sock.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def ping(self) -> bool:
+        out = bytearray()
+        write_varint(out, CLIENT_PING)
+        self._send(out)
+        return self._r.read_varint() == SERVER_PONG
+
+    def execute(self, query: str) -> tuple[list[tuple[str, str]], list[tuple]]:
+        """Run a SELECT/DDL; returns ([(col, ch_type)], rows)."""
+        self._send_query(query)
+        self._send_empty_block()  # external-tables EOD
+        schema: list[tuple[str, str]] = []
+        rows: list[tuple] = []
+        while True:
+            code = self._r.read_varint()
+            if code == SERVER_DATA:
+                blk = read_data_packet_body(self._r, self._compression)
+                if blk.columns and not schema:
+                    schema = [(n, t) for n, t, _ in blk.columns]
+                if blk.nrows:
+                    rows.extend(zip(*[c[2] for c in blk.columns]))
+            elif code == SERVER_END_OF_STREAM:
+                return schema, rows
+            elif code == SERVER_EXCEPTION:
+                raise self._read_exception()
+            elif code in (SERVER_PROGRESS,):
+                raise ValueError("unexpected progress packet")
+            else:
+                raise ValueError(f"unexpected server packet {code}")
+
+    def insert(
+        self, table: str, columns: list[tuple[str, str, list]]
+    ) -> list[tuple[str, str]]:
+        """Native-block INSERT: the client half of the reference's
+        three-step dance (messages.rs:516-522).  ``columns`` is
+        [(name, ch_type, values)]; returns the server's header schema."""
+        names = ", ".join(c[0] for c in columns)
+        self._send_query(f"INSERT INTO {table} ({names}) VALUES")
+        self._send_empty_block()  # external-tables EOD
+        code = self._r.read_varint()
+        if code == SERVER_EXCEPTION:
+            raise self._read_exception()
+        if code != SERVER_DATA:
+            raise ValueError(f"expected insert header, got packet {code}")
+        header = read_data_packet_body(self._r, self._compression)
+        out = bytearray()
+        write_data_packet(
+            out, Block(columns, bucket=0), self._compression, server=False
+        )
+        self._send(out)
+        self._send_empty_block()  # end of data packets
+        code = self._r.read_varint()
+        if code == SERVER_EXCEPTION:
+            raise self._read_exception()
+        if code != SERVER_END_OF_STREAM:
+            raise ValueError(f"expected end of stream, got packet {code}")
+        return [(n, t) for n, t, _ in header.columns]
+
+    # -- plumbing -------------------------------------------------------------
+
+    def _send(self, out: bytes | bytearray) -> None:
+        self._sock.sendall(bytes(out))
+
+    def _send_query(self, query: str) -> None:
+        out = bytearray()
+        write_varint(out, CLIENT_QUERY)
+        write_str(out, "")  # query id (server assigns)
+        # client info
+        write_varint(out, 1)  # QueryKind::InitialQuery
+        write_str(out, "default")  # initial user
+        write_str(out, "")  # initial query id
+        write_str(out, "0.0.0.0:0")  # initial address
+        write_varint(out, 1)  # Interface::TCP
+        write_str(out, "user")
+        write_str(out, "localhost")
+        write_str(out, "tensorbase-spark-native")
+        write_varint(out, 1)
+        write_varint(out, 1)
+        write_varint(out, REVISION)
+        write_str(out, "")  # quota key
+        write_varint(out, 0)  # version patch
+        write_str(out, "")  # settings terminator
+        write_varint(out, 2)  # stage: Complete
+        write_varint(out, 1 if self._compression else 0)
+        write_str(out, query)
+        self._send(out)
+
+    def _send_empty_block(self) -> None:
+        out = bytearray()
+        write_data_packet(out, Block(), self._compression, server=False)
+        self._send(out)
+
+    def _read_exception(self) -> Exception:
+        code = self._r.read_u32le()
+        name = self._r.read_str()
+        msg = self._r.read_str()
+        self._r.read_str()  # stack trace
+        self._r.read_varint()  # nested flag
+        return RuntimeError(f"server exception [{code}] {name}: {msg}")

@@ -1,0 +1,308 @@
+"""ClickHouse native wire protocol tests.
+
+Golden-byte vectors are mirrored from the reference's OWN unit tests —
+``messages.rs:667-672`` (varint+str), ``blocks.rs:142-150`` (empty client
+blocks, raw and LZ4+CityHash compressed), ``blocks.rs:599-675`` (empty
+server block + two block-header encodes) — so the Python codec is pinned to
+the reference byte-for-byte, then exercised end-to-end over a real TCP
+socket: hello, ping, SELECT, the three-step native INSERT, exception
+packets, both compression modes."""
+
+from __future__ import annotations
+
+import uuid
+from datetime import date, datetime
+from decimal import Decimal
+
+import pytest
+
+from tensorbase_spark.engine import TensorBaseEngine
+from tensorbase_spark.sources.chnative import (
+    Block,
+    NativeClient,
+    Reader,
+    city_hash_128,
+    compress_frame,
+    decode_column,
+    lz4_compress,
+    lz4_decompress,
+    read_frame,
+    serve_native,
+    write_data_packet,
+    write_str,
+    write_varint,
+)
+
+
+@pytest.fixture()
+def engine(spark):
+    eng = TensorBaseEngine(spark)
+    db = f"wdb_{uuid.uuid4().hex[:8]}"
+    eng.sql(f"create database {db}")
+    eng.sql(f"use {db}")
+    yield eng
+    spark.catalog.setCurrentDatabase("default")
+    eng.sql(f"drop database if exists {db}")
+
+
+@pytest.fixture()
+def served(engine):
+    srv, port = serve_native(engine)
+    yield engine, port
+    srv.shutdown()
+    srv.server_close()
+
+
+# ---------------------------------------------------------------------------
+# golden bytes (reference unit tests)
+# ---------------------------------------------------------------------------
+
+
+def test_varint_str_golden():
+    """messages.rs:667-672: varint(127) + str("127") == b"\\x7f\\x03127"."""
+    out = bytearray()
+    write_varint(out, 127)
+    write_str(out, "127")
+    assert bytes(out) == b"\x7f\x03127"
+    r = Reader(bytes(out))
+    assert r.read_varint() == 127
+    assert r.read_str() == "127"
+    assert r.at_end()
+    # multi-byte varints round-trip (messages.rs:629-647 sanity range)
+    for v in (0, 1, 127, 128, 300, 1234567, 2**32, 2**63):
+        b = bytearray()
+        write_varint(b, v)
+        assert Reader(bytes(b)).read_varint() == v
+
+
+def test_empty_block_golden_raw_and_compressed():
+    """blocks.rs:142-150 + 599-624: the 12-byte raw and 38-byte compressed
+    empty client blocks, and the raw empty server block.  The compressed
+    vector pins CityHash128 v1.0.2 + LZ4 framing in one shot."""
+    raw_client = bytes(
+        [0x02, 0x00, 0x01, 0x00, 0x02, 0xFF, 0xFF, 0xFF, 0xFF, 0x00, 0x00, 0x00]
+    )
+    out = bytearray()
+    write_data_packet(out, Block(), compressed=False, server=False)
+    assert bytes(out) == raw_client
+
+    out = bytearray()
+    write_data_packet(out, Block(), compressed=False, server=True)
+    assert bytes(out) == bytes([0x01]) + raw_client[1:]  # blocks.rs:605-608
+
+    compressed_client = bytes(
+        [
+            0x02, 0x00, 0xA7, 0x83, 0xAC, 0x6C, 0xD5, 0x5C, 0x7A, 0x7C, 0xB5,
+            0xAC, 0x46, 0xBD, 0xDB, 0x86, 0xE2, 0x14, 0x82, 0x14, 0x00, 0x00,
+            0x00, 0x0A, 0x00, 0x00, 0x00, 0xA0, 0x01, 0x00, 0x02, 0xFF, 0xFF,
+            0xFF, 0xFF, 0x00, 0x00, 0x00,
+        ]
+    )
+    out = bytearray()
+    write_data_packet(out, Block(), compressed=True, server=False)
+    assert bytes(out) == compressed_client
+
+
+def test_block_header_encode_golden():
+    """blocks.rs:627-675 test_blockinfo_encode: the two header vectors."""
+    blk = Block(
+        [("a", "LowCardinality(String)", []), ("b", "Nullable(UInt64)", [])],
+        nrows=0,
+        bucket=-1,
+    )
+    out = bytearray()
+    write_data_packet(out, blk, compressed=False, server=True)
+    expected = bytes(
+        [
+            0x01, 0x00, 0x01, 0x00, 0x02, 0xFF, 0xFF, 0xFF, 0xFF, 0x00, 0x02,
+            0x00, 0x01, 0x61, 0x16,
+        ]
+    ) + b"LowCardinality(String)" + bytes([0x01, 0x62, 0x10]) + b"Nullable(UInt64)"
+    assert bytes(out) == expected
+
+    blk2 = Block(
+        [("trip_id", "UInt32", []), ("pickup_datetime", "DateTime", [])],
+        nrows=0,
+        bucket=-1,
+    )
+    out = bytearray()
+    write_data_packet(out, blk2, compressed=False, server=True)
+    expected2 = bytes(
+        [0x01, 0x00, 0x01, 0x00, 0x02, 0xFF, 0xFF, 0xFF, 0xFF, 0x00, 0x02, 0x00]
+    ) + bytes([0x07]) + b"trip_id" + bytes([0x06]) + b"UInt32" + bytes(
+        [0x0F]
+    ) + b"pickup_datetime" + bytes([0x08]) + b"DateTime"
+    assert bytes(out) == expected2
+
+
+def test_lz4_and_frame_roundtrip():
+    """Literals-only compress decodes under the full LZ4 grammar; frames
+    (checksum + sizes) verify and reject corruption; a handcrafted
+    match-sequence payload (the shape a real encoder emits) decodes."""
+    for payload in (b"", b"x", b"abc" * 100, bytes(range(256)) * 40):
+        assert lz4_decompress(lz4_compress(payload), len(payload)) == payload
+        frame = compress_frame(payload)
+        assert read_frame(Reader(frame)) == payload
+        if payload:
+            bad = bytearray(frame)
+            bad[-1] ^= 0xFF
+            with pytest.raises(ValueError, match="checksum"):
+                read_frame(Reader(bytes(bad)))
+    # token 0x14: 1 literal 'A', match len 4+1... wait 0x4 -> 4+4=8? no:
+    # low nibble 4 => match 4+4. offset 1 replicates 'A' eight times,
+    # then a last literals-only sequence "BC".
+    seq = bytes([0x14]) + b"A" + bytes([0x01, 0x00]) + bytes([0x20]) + b"BC"
+    assert lz4_decompress(seq, 11) == b"A" + b"A" * 8 + b"BC"
+
+
+def test_city_hash_128_paths():
+    """The <16B, 8-16B and >=128B code paths: short values pinned by the
+    golden frame test above; here the long path is pinned to itself
+    (regression) and distinguishes adjacent inputs."""
+    a = city_hash_128(bytes(range(200)))
+    b = city_hash_128(bytes(range(199)) + b"\xff")
+    assert a != b
+    assert city_hash_128(b"") == city_hash_128(b"")
+    # empty-block frame checksum, extracted from the 38-byte golden
+    lo, hi = city_hash_128(
+        bytes([0x82, 0x14, 0, 0, 0, 0x0A, 0, 0, 0, 0xA0, 0x01, 0x00, 0x02])
+        + b"\xff\xff\xff\xff\x00\x00\x00"
+    )
+    assert lo == 0x7C7A5CD56CAC83A7 and hi == 0x14E286DBBD46ACB5
+
+
+def test_column_codec_all_types_roundtrip():
+    """Every supported wire type encodes -> decodes to equal values,
+    including Nullable null slots and LowCardinality(String) decode
+    (blocks.rs:480-534)."""
+    cols = [
+        ("i8", "Int8", [-128, 0, 127]),
+        ("u8", "UInt8", [0, 1, 255]),
+        ("i16", "Int16", [-32768, 5, 32767]),
+        ("u16", "UInt16", [0, 5, 65535]),
+        ("i32", "Int32", [-(2**31), 7, 2**31 - 1]),
+        ("u32", "UInt32", [0, 7, 2**32 - 1]),
+        ("i64", "Int64", [-(2**63), 9, 2**63 - 1]),
+        ("u64", "UInt64", [0, 9, 2**64 - 1]),
+        ("f32", "Float32", [0.0, -1.5, 2.25]),
+        ("f64", "Float64", [0.0, -1.5, 3.141592653589793]),
+        ("s", "String", ["", "abcDEF", "héllo"]),
+        ("fs", "FixedString(6)", ["abc", "abcDEF", ""]),
+        ("d", "Date", [date(1970, 1, 1), date(2021, 6, 1), date(2106, 1, 1)]),
+        (
+            "dt",
+            "DateTime",
+            [
+                datetime(1970, 1, 1, 0, 0, 0),
+                datetime(2021, 6, 1, 12, 34, 56),
+                datetime(2038, 1, 19, 3, 14, 7),
+            ],
+        ),
+        ("dec4", "Decimal(9,2)", [Decimal("0.00"), Decimal("-12.34"), Decimal("5.5")]),
+        ("dec8", "Decimal(18,4)", [Decimal("1.2345"), Decimal("-9.0001"), Decimal(0)]),
+        (
+            "u",
+            "UUID",
+            [
+                "00000000-0000-0000-0000-000000000000",
+                "61f0c404-5cb3-11e7-907b-a6006ad3dba0",
+                "ffffffff-ffff-ffff-ffff-ffffffffffff",
+            ],
+        ),
+        ("ni", "Nullable(Int64)", [1, None, 3]),
+        ("ns", "Nullable(String)", [None, "x", None]),
+        ("nd", "Nullable(Date)", [date(2021, 1, 1), None, date(2021, 1, 3)]),
+    ]
+    blk = Block(cols, bucket=0)
+    body = blk.encode_body()
+    got = Block.decode_body(Reader(body))
+    assert got.nrows == 3 and got.bucket == 0
+    for (n, t, vals), (gn, gt, gvals) in zip(cols, got.columns):
+        assert (gn, gt) == (n, t)
+        if t == "Decimal(18,4)":
+            vals = [Decimal(v).quantize(Decimal("0.0001")) for v in vals]
+        if t == "Decimal(9,2)":
+            vals = [Decimal(v).quantize(Decimal("0.01")) for v in vals]
+        assert gvals == vals, (n, gvals, vals)
+    # compressed round trip of the same block
+    frame = compress_frame(body)
+    got2 = Block.decode_body(Reader(read_frame(Reader(frame))))
+    assert got2.nrows == 3 and [c[0] for c in got2.columns] == [c[0] for c in cols]
+
+
+def test_low_cardinality_decode():
+    """LC(String) additional-keys serialization decodes to plain strings."""
+    import struct
+
+    out = bytearray()
+    write_str(out, "lc")
+    write_str(out, "LowCardinality(String)")
+    out += struct.pack("<Q", 1)  # dict version
+    out += struct.pack("<Q", 0x0200 | 1)  # additional keys, UInt16 indexes
+    out += struct.pack("<Q", 3)  # dict size
+    for s in ("aa", "bb", "cc"):
+        write_str(out, s)
+    out += struct.pack("<Q", 5)  # row count
+    out += struct.pack("<5H", 2, 0, 1, 1, 2)
+    name, t, vals = decode_column(Reader(bytes(out)), 5)
+    assert (name, t) == ("lc", "String")
+    assert vals == ["cc", "aa", "bb", "bb", "cc"]
+
+
+# ---------------------------------------------------------------------------
+# end-to-end over a real socket
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("compression", [True, False])
+def test_native_e2e_roundtrip(served, compression):
+    """connect -> hello -> ping -> CREATE -> native-block INSERT -> SELECT
+    back -> values equal; both compression modes (the reference defaults
+    compressed, protocol.rs:245)."""
+    engine, port = served
+    with NativeClient(port=port, compression=compression) as c:
+        assert c.server_info["name"] == "TensorBase"
+        assert c.server_info["revision"] == 54405
+        assert c.ping()
+        c.execute(
+            "create table wt (k Int64, v String, w Float64, d Date, u UInt64)"
+        )
+        header = c.insert(
+            "wt",
+            [
+                ("k", "Int64", [1, 2, 3]),
+                ("v", "String", ["a", "bb", "ccc"]),
+                ("w", "Float64", [1.5, -2.0, 0.0]),
+                ("d", "Date", [date(2021, 1, 1), date(2021, 1, 2), date(2021, 1, 3)]),
+                ("u", "UInt64", [0, 5, 2**64 - 1]),
+            ],
+        )
+        assert ("k", "Int64") in header and ("u", "UInt64") in header
+        schema, rows = c.execute(
+            "select k, v, w, d, u from wt order by k"
+        )
+        assert [s[0] for s in schema] == ["k", "v", "w", "d", "u"]
+        assert rows[0][:3] == (1, "a", 1.5)
+        assert rows[2][1] == "ccc"
+        assert rows[0][3] == date(2021, 1, 1)
+        assert [r[4] for r in rows] == [0, 5, 2**64 - 1]  # u64 full range
+        # aggregate through the CH dialect layer over the wire
+        schema2, rows2 = c.execute("select count(*) as n, sum(k) as s from wt")
+        assert rows2 == [(3, 6)]
+
+
+def test_native_inline_insert_and_exception(served):
+    """INSERT with inline VALUES runs server-side like the reference's
+    InsertFormatInlineValues (messages.rs:361-364); a bad query returns an
+    Exception packet, and the connection stays usable."""
+    engine, port = served
+    with NativeClient(port=port) as c:
+        c.execute("create table wt2 (k Int64, v Nullable(String))")
+        c.execute("insert into wt2 values (1, 'a'), (2, NULL)")
+        schema, rows = c.execute("select k, v from wt2 order by k")
+        assert rows == [(1, "a"), (2, None)]
+        with pytest.raises(RuntimeError, match="server exception"):
+            c.execute("select definitely_not_a_column from wt2")
+        # connection survives the exception (reference keeps the conn open)
+        _, rows3 = c.execute("select count(*) as n from wt2")
+        assert rows3 == [(2,)]

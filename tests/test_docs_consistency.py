@@ -24,6 +24,18 @@ def test_coverage_totals_match_registry():
     assert rows_only == len(reg) - n_oracle, (rows_only, len(reg) - n_oracle)
 
 
+def test_plans_close_lines_carry_no_registry_counts(  # VERDICT r7 #8
+):
+    """PLANS.md round-close notes must NOT hardcode registry/oracle/test
+    counts — they went stale in r7 when late commits postdated the close
+    note.  The single test-enforced source is COVERAGE.md's Totals line."""
+    text = open("PLANS.md").read()
+    stale = re.findall(
+        r"\d+\s+queries\s*/\s*\d+\s+oracles|\d+\s+tests green", text
+    )
+    assert not stale, f"hardcoded counts in PLANS.md: {stale}"
+
+
 def test_priority_head_names_exist():
     from tensorbase_spark.queries import PRIORITY_HEAD, registry
 
