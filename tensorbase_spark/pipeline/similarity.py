@@ -255,20 +255,52 @@ def assign_centroids(
     return cents, assigned
 
 
+def auto_n_centroids(n: int, target_bucket: int, floor: int = 16, probes: int = 1) -> int:
+    """Corpus-derived centroid count: hold expected bucket size
+    (n x probes / k) at ``target_bucket`` so per-bucket quadratic work is
+    constant and total work is linear in n (the r7 sweep fix, PLANS §17).
+    The floor preserves small-fixture layouts that recall tests pin."""
+    return max(floor, -(-n * probes // max(1, target_bucket)))
+
+
+def auto_n_bits(n: int, target_bucket: int, min_bits: int = 10) -> int:
+    """Corpus-derived LSH width: ceil(log2(n / target_bucket)) with a
+    fixture-preserving floor — expected bucket size n / 2^bits stays at or
+    under ``target_bucket`` once n clears the floor's capacity."""
+    ratio = max(2, -(-n // max(1, target_bucket)))
+    return max(min_bits, (ratio - 1).bit_length())
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n: int | None = None,
+    target_bucket: int = 1024,
 ) -> DataFrame:
     """Approximate top-k: probe the nprobe nearest centroid buckets only.
 
     Join order: query -> its nprobe centroids -> only matching corpus
     buckets.  The corpus-side join key is centroid_id, so Catalyst prunes
-    all other buckets before any dot product runs."""
+    all other buckets before any dot product runs.
+
+    ``n_centroids`` defaults to ceil(n / target_bucket), floor 16 — the
+    same corpus-derived sizing that fixed the r7 embedding-near-dup
+    quadratic (the r7 sweep measured the FIXED-16 default at 4.85x per 10x
+    data: per-query candidates grow with bucket size; auto-scaled, bucket
+    size — and so per-query probe cost — stays constant).  The floor keeps
+    every fixture SF on the historical 16-centroid layout the recall tests
+    pin.  Callers with a known corpus size pass ``n`` to skip the sizing
+    count job; the persisted-index twins take nlist as an explicit build
+    parameter, which remains the steady-state story."""
+    if n_centroids is None:
+        if n is None:
+            n = emb.count()
+        n_centroids = auto_n_centroids(n, target_bucket)
     cents, assigned = assign_centroids(emb, n_centroids, id_col, vec_col)
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     q_cent = q.crossJoin(F.broadcast(cents)).withColumn(
@@ -305,10 +337,13 @@ def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_bits: int = 10,
+    n_bits: int | None = None,
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n: int | None = None,
+    target_bucket: int = 1024,
+    min_bits: int = 10,
 ) -> DataFrame:
     """Sign-LSH (random hyperplane) bucketed ANN — the alternative scale
     path to IVF: each vector hashes to one bucket per table (sign bits of
@@ -320,7 +355,19 @@ def lsh_topk(
     tuned by n_tables instead of nprobe, buckets are 2^n_bits per table.
     At 100 TB: one corpus pass computes all signatures (Arrow-batched),
     bucket keys are near-uniform by construction (no centroid skew), and
-    the join is the same bounded band-join topology as MinHash."""
+    the join is the same bounded band-join topology as MinHash.
+
+    ``n_bits`` defaults to ceil(log2(n / target_bucket)), floor ``min_bits``
+    (default 10, the historical fixed default): expected bucket size
+    n / 2^n_bits — the per-query candidate volume the r7 sweep saw growing
+    4.77x per 10x data under a fixed width — stays ~constant, so total
+    candidate work stays linear.  A caller tuned for a small fixture layout
+    lowers ``min_bits`` to keep that layout below the scaling point.  Pass
+    ``n`` when known to skip the sizing count job."""
+    if n_bits is None:
+        if n is None:
+            n = emb.count()
+        n_bits = auto_n_bits(n, target_bucket, min_bits)
     dim = len(
         emb.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0]
     )
@@ -380,6 +427,7 @@ def embedding_near_dup_pairs(
     probes: int = 8,
     exact: bool = False,
     target_bucket: int = 4096,
+    n: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
     cos >= threshold and id_a < id_b.
@@ -428,9 +476,13 @@ def embedding_near_dup_pairs(
     if n_centroids is None:
         # hold the expected bucket size (n x probes / k) at target_bucket
         # so per-bucket GEMM work — the only quadratic term — is constant
-        # and total work is linear in corpus size
-        n = emb.count()
-        n_centroids = max(16, -(-n * probes // max(1, target_bucket)))
+        # and total work is linear in corpus size.  Callers that know the
+        # corpus size (catalog stats, parquet footers) pass ``n`` and the
+        # sizing count job disappears from the hot path (ADVICE r7 nit /
+        # VERDICT r7 #2 — the count was the r7 bench regression).
+        if n is None:
+            n = emb.count()
+        n_centroids = auto_n_centroids(n, target_bucket, probes=probes)
     cents = _train_centroids_np(emb, n_centroids, id_col, vec_col)
     k = len(cents)
     n_probe = min(probes, k)

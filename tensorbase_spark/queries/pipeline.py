@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from tensorbase_spark.pipeline import dedup, multimodal, sampling, similarity, text
 from tensorbase_spark.queries import Query
-from tensorbase_spark.sources.tables import load_table
+from tensorbase_spark.sources.tables import load_table, parquet_num_rows
 
 
 # --- deduplication ----------------------------------------------------------
@@ -176,7 +176,12 @@ def dedup_embedding_cosine(spark, sf_dir):
     in the upper tail to verify real values; a production near-dup run would
     use ~0.95 (where fewer probes suffice)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, threshold=0.4)
+    # corpus size from the parquet footer (catalog-stats stand-in): the
+    # centroid auto-scaling needs n, and passing it deletes the r7 sizing
+    # count job (the +35% bench regression attributed in PLANS.md)
+    return similarity.embedding_near_dup_pairs(
+        emb, threshold=0.4, n=parquet_num_rows(sf_dir, "embeddings")
+    )
 
 
 DEDUP_EMB_ORACLE = f"""
@@ -200,7 +205,11 @@ def sim_ivf_topk(spark, sf_dir):
     instead of the corpus).  Approximate: rows-only check; recall vs brute
     force asserted in tests."""
     emb, q = _emb_queries(spark, sf_dir)
-    return similarity.ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4)
+    # n_centroids auto-scales from the footer row count (floor 16 == the
+    # historical fixture layout); the count job is skipped via n
+    return similarity.ivf_topk(
+        emb, q, k=5, nprobe=4, n=parquet_num_rows(sf_dir, "embeddings")
+    )
 
 
 def _index_is_current(idx: str, sf_dir: str) -> bool:
@@ -256,7 +265,13 @@ def sim_lsh_topk(spark, sf_dir):
     equi-join on (table, bucket)).  Approximate: rows-only check; recall vs
     brute force asserted in tests."""
     emb, q = _emb_queries(spark, sf_dir)
-    return similarity.lsh_topk(emb, q, k=5, n_bits=4, n_tables=16)
+    # width auto-scales above the fixture layout (min_bits=4 keeps the
+    # recall-tuned 16-bucket tables exactly at fixture row counts; past
+    # ~16k vectors the width grows to hold bucket size ~constant)
+    return similarity.lsh_topk(
+        emb, q, k=5, n_tables=16, min_bits=4,
+        n=parquet_num_rows(sf_dir, "embeddings"),
+    )
 
 
 def sim_ivf_full_probe(spark, sf_dir):
@@ -2307,7 +2322,9 @@ def corpus_semantic_dedup(spark, sf_dir):
     transitive-closure fixpoint, replayed exactly by DuckDB's recursive
     CTE — full value-hash oracle despite the non-SQL Spark loop."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.4)
+    pairs = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.4, n=parquet_num_rows(sf_dir, "embeddings")
+    )
     cc = dedup.connected_components(pairs).withColumnRenamed(
         "doc_id", "vec_id"
     )

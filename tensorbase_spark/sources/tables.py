@@ -35,6 +35,16 @@ TABLE_NAMES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+def parquet_num_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from the parquet FOOTER — a metadata read, no Spark
+    job.  This is the fixture-layout stand-in for catalog statistics: at
+    100 TB the corpus size that parameter auto-scaling needs (ANN centroid
+    counts, LSH widths) comes from table stats, never a count scan."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":

@@ -88,6 +88,30 @@ def test_simhash_near_pairs(spark):
         assert r.hamming <= 3
 
 
+def test_ann_parameter_auto_scaling():
+    """r8 (VERDICT r7 #2): the in-memory ANN defaults auto-scale from the
+    corpus size the way the r7 embedding fix proved necessary — bucket size
+    held ~constant, fixture layouts preserved by the floors."""
+    from tensorbase_spark.pipeline.similarity import auto_n_bits, auto_n_centroids
+
+    # floors hold at fixture scale (500 / 2000 embeddings)
+    assert auto_n_centroids(500, 1024) == 16
+    assert auto_n_centroids(2000, 1024) == 16
+    assert auto_n_bits(2000, 1024) == 10
+    assert auto_n_bits(2000, 1024, min_bits=4) == 4
+    # above the floor: bucket size stays at or under target
+    for n in (100_000, 1_000_000, 10_000_000):
+        k = auto_n_centroids(n, 1024)
+        assert n / k <= 1024
+        bits = auto_n_bits(n, 1024)
+        assert n / (2 ** bits) <= 1024
+        assert n / (2 ** (bits - 1)) > 1024 or bits == 10  # minimal width
+    # probes multiplier (the embedding near-dup shape: n x probes rows)
+    assert auto_n_centroids(100_000, 4096, probes=8) == -(-100_000 * 8 // 4096)
+    # 10x data -> ~10x centroids, not ~10x bucket size (the r7 quadratic)
+    assert 8 <= auto_n_centroids(10_000_000, 1024) / auto_n_centroids(1_000_000, 1024) <= 12
+
+
 def test_ivf_recall_vs_brute_force(spark):
     emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") % 100 == 0)
