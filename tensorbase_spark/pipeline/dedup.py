@@ -16,8 +16,10 @@ Scale design (100 TB of documents, 1000 executors):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from tensorbase_spark.pipeline import hashing
 
@@ -255,6 +257,9 @@ def ngram_jaccard_pairs(
     n_chars_col: str = "n_chars",
     lang_col: str = "lang",
     threshold: float = 0.6,
+    common_grams: int = 1024,
+    n_docs: int | None = None,
+    demote_min_docs: int = 20000,
 ) -> DataFrame:
     """Exact word-bigram Jaccard near-dup pairs over (same lang, |n_chars|
     within 20) — fully SQL-expressible, so this one has a DuckDB oracle.
@@ -278,9 +283,31 @@ def ngram_jaccard_pairs(
     old blocking join while scaling an asymptotic class better).  The
     cheap (lang, +/-20 chars) predicates ride along as join residuals,
     preserving the operator's documented pair domain and its oracle.
-    (df-ascending gram order — the other half of textbook ppjoin — was
-    measured and cut candidates by only 3% on this corpus while adding two
-    shuffles; hash order keeps the plan two stages shorter.)"""
+
+    The GLOBAL GRAM ORDER is df-demoted (r8, VERDICT r7 #3): the
+    ``common_grams`` highest-document-frequency grams sort AFTER every
+    other gram, so template phrases fall out of prefixes whenever a doc
+    has enough rarer grams — prefix filtering stays lossless under ANY
+    total order (the Bayardo proof never uses which order), only candidate
+    volume changes.  Instrumented at the r7 sf1 sweep fixture: the
+    hash-order prefixes produced 6.7M raw prefix pairs / 3.2M positional
+    survivors for 10x data (26.7x the sf0.1 volume — 90.5% of the
+    pair volume came from the top-1024 grams, df ~ n_docs/4); df-demotion
+    removes exactly that head.  This is textbook ppjoin df-ascending order
+    approximated by a two-class order — the df HEAD is what matters, and a
+    two-class order needs one bounded aggregate + a broadcast set instead
+    of the full df join the r7 version measured at two extra shuffles.
+    At 100 TB the common-gram head comes from a sampled sketch or the
+    previous run; here it is exact and deterministic (ties on gram).
+
+    Demotion is COST-BASED: the head aggregation + Arrow prefix pass cost
+    ~0.7 s of fixed work at local scale, which a small corpus's candidate
+    volume cannot repay (measured sf0.1: hash order 2.0 s vs demoted
+    2.7 s; sf1: demoted 4.0 s vs hash order ~7.4 s).  Callers that know
+    the corpus size pass ``n_docs`` (catalog stats / parquet footer) and
+    corpora under ``demote_min_docs`` keep the cheaper hash order; unknown
+    size defaults to demoting — the scale-safe choice.  Both orders are
+    lossless, so the RESULT is identical either way (pinned by test)."""
     from tensorbase_spark.session import default_parallelism
 
     W = 20
@@ -320,11 +347,73 @@ def ngram_jaccard_pairs(
     # join key is the single gram hash (high cardinality, clean shuffle).
     # posexplode keeps each gram's RANK in the full sorted set for the
     # positional filter below.
-    plen = (F.floor(F.size("bg") * F.lit(1.0 - threshold)) + 1).cast("int")
-    pref = d.select(
-        "doc_id", "lang", "nc", F.size("bg").alias("sz"),
-        F.posexplode(F.slice(F.array_sort("bg"), F.lit(1), plen)).alias("pos", "gram"),
-    )
+    if n_docs is None or n_docs >= demote_min_docs:
+        # the df head: ONE bounded aggregation (explode -> count -> top-K),
+        # the result is a broadcastable set, never joined back at the corpus
+        common = frozenset(
+            r.gram
+            for r in d.select(F.explode("bg").alias("gram"))
+            .groupBy("gram")
+            .agg(F.count("*").alias("df"))
+            .orderBy(F.desc("df"), "gram")
+            .limit(common_grams)
+            .collect()
+        )
+        thr_f = float(threshold)
+
+        from pyspark.sql import types as T
+
+        _pref_schema = T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("pos", T.IntegerType()),
+                    T.StructField("gram", T.LongType()),
+                ]
+            )
+        )
+
+        import numpy as np
+
+        common_np = np.sort(
+            np.fromiter(common, dtype=np.int64, count=len(common))
+        )
+
+        @pandas_udf(_pref_schema)
+        def _prefix(bg: pd.Series) -> pd.Series:
+            # per-doc prefix under the (is_common, gram) total order,
+            # carrying each prefix gram's RANK in the doc's fully-sorted
+            # gram list (the positional filter needs ranks, not prefix
+            # offsets); vectorized — isin against the sorted head + one
+            # lexsort per doc
+            out = []
+            for arr in bg:
+                if arr is None or len(arr) == 0:
+                    out.append([])
+                    continue
+                a = np.asarray(arr, dtype=np.int64)
+                order = np.lexsort((a, np.isin(a, common_np)))
+                plen = int(len(a) * (1.0 - thr_f)) + 1
+                out.append(
+                    [(i, int(g)) for i, g in enumerate(a[order[:plen]])]
+                )
+            return pd.Series(out)
+
+        pref = d.select(
+            "doc_id", "lang", "nc", F.size("bg").alias("sz"),
+            F.explode(_prefix(F.col("bg"))).alias("pg"),
+        ).select(
+            "doc_id", "lang", "nc", "sz",
+            F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"),
+        )
+    else:
+        # small known corpus: plain 64-bit hash order, all-JVM prefix
+        plen = (F.floor(F.size("bg") * F.lit(1.0 - threshold)) + 1).cast("int")
+        pref = d.select(
+            "doc_id", "lang", "nc", F.size("bg").alias("sz"),
+            F.posexplode(
+                F.slice(F.array_sort("bg"), F.lit(1), plen)
+            ).alias("pos", "gram"),
+        )
     a_keys = pref.alias("a")
     b_keys = pref.alias("b")
     # Positional filter (ppjoin): the pair's smallest shared gram x (= the

@@ -106,7 +106,11 @@ def dedup_simhash(spark, sf_dir):
 
 def dedup_ngram_jaccard(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, threshold=0.6)
+    # footer row count drives the cost-based gram-order choice (demotion
+    # pays above ~20k docs; identical results either way)
+    return dedup.ngram_jaccard_pairs(
+        d, threshold=0.6, n_docs=parquet_num_rows(sf_dir, "documents")
+    )
 
 
 NGRAM_JACCARD_ORACLE = """
@@ -1093,7 +1097,9 @@ def dedup_neardup_clusters(spark, sf_dir):
     which DuckDB's recursive CTE can replay exactly, so this iterative
     operator still gets a full value-hash oracle."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.6)
+    pairs = dedup.ngram_jaccard_pairs(
+        d, threshold=0.6, n_docs=parquet_num_rows(sf_dir, "documents")
+    )
     cc = dedup.connected_components(pairs)
     sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return cc.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")

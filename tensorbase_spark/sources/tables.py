@@ -42,7 +42,14 @@ def parquet_num_rows(sf_dir: str, name: str) -> int:
     counts, LSH widths) comes from table stats, never a count scan."""
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):  # Spark-written layout: a directory of parts
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

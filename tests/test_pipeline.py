@@ -88,6 +88,34 @@ def test_simhash_near_pairs(spark):
         assert r.hamming <= 3
 
 
+def test_ngram_jaccard_order_invariance(spark):
+    """r8 (VERDICT r7 #3): prefix filtering is lossless under ANY total gram
+    order, so the df-demoted order (big known corpora / unknown size) and
+    the plain hash order (small known corpora) must return IDENTICAL pairs
+    — the order only changes candidate volume, never results."""
+    from tensorbase_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    demoted = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, threshold=0.6).collect())
+    )
+    hash_order = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(docs, threshold=0.6, n_docs=500).collect(),
+        )
+    )
+    assert demoted == hash_order and len(demoted) > 0
+    # tiny common set stresses the demotion boundary: still identical
+    tiny_head = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(docs, threshold=0.6, common_grams=3).collect(),
+        )
+    )
+    assert tiny_head == demoted
+
+
 def test_ann_parameter_auto_scaling():
     """r8 (VERDICT r7 #2): the in-memory ANN defaults auto-scale from the
     corpus size the way the r7 embedding fix proved necessary — bucket size
