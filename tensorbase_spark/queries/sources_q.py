@@ -219,6 +219,58 @@ GROUP BY n_name
 """
 
 
+def remote_thrift_federation(spark, sf_dir):
+    """remote() pointed at the engine's OWN Thrift/HiveServer2 endpoint
+    over the stock hive-jdbc driver already on Spark's classpath — the
+    reference's remote() story (crates/engine/src/remote.rs:8,49,
+    read.rs:151-228) proven against the engine's own wire server rather
+    than a third-party store (Derby covers that, `remote_jdbc_federation`):
+    an engine-created table is served over a genuine TCP socket and read
+    back through the JDBC datasource, then joined with a local dimension.
+    Column-name round-trip correctness is the load-bearing part — Spark's
+    JDBC source double-quotes pushed column lists, which the Spark-SQL
+    dialect on the server side reads as string literals unless the ANSI
+    identifier conf rides in the hive2 URL (sources/external.py remote)."""
+    import time
+
+    from tensorbase_spark.queries.engine_queries import _fresh_engine
+    from tensorbase_spark.sources.wire import start_thrift_server
+
+    eng = _fresh_engine(spark, sf_dir, "tft")
+    db = spark.catalog.currentDatabase()
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("tft_src")
+    eng.sql(
+        "create table tft_supplier (sk Int64, nk Int64, bal Float64)"
+    )
+    eng.sql(
+        "insert into tft_supplier select s_suppkey, s_nationkey, s_acctbal "
+        "from tft_src"
+    )
+    port = start_thrift_server(spark)
+    time.sleep(0.5)  # only the very first call needs warmup; cheap after
+    r = external.remote(
+        spark, f"jdbc:hive2://localhost:{port}/{db}", "tft_supplier"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        r.filter(F.col("bal") > 0)
+        .join(F.broadcast(nation), r.nk == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("bal"), 2).alias("total_bal"),
+        )
+    )
+
+
+REMOTE_THRIFT_ORACLE = """
+SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal > 0
+GROUP BY n_name
+"""
+
+
 def wire_native_roundtrip(spark, sf_dir):
     """ClickHouse NATIVE wire protocol round trip (the reference's primary
     front door: crates/server/src/server.rs:94-132, packet dispatch
@@ -295,5 +347,8 @@ QUERIES = {
     "remote_jdbc_federation": Query(remote_jdbc_federation, REMOTE_JDBC_ORACLE, ("sources",)),
     "wire_native_roundtrip": Query(
         wire_native_roundtrip, WIRE_NATIVE_ORACLE, ("sources", "wire")
+    ),
+    "remote_thrift_federation": Query(
+        remote_thrift_federation, REMOTE_THRIFT_ORACLE, ("sources", "wire")
     ),
 }

@@ -70,14 +70,33 @@ def remote(
                                             classpath; raises a clear error
                                             otherwise)
       'jdbc:clickhouse://host:8123/db'   -> JDBC via the ClickHouse driver
+      'jdbc:hive2://host:port/db'        -> HiveServer2/Spark-Thrift (the
+                                            hive-jdbc driver ships in
+                                            Spark's own classpath, so this
+                                            one federates TWO engine
+                                            processes with zero extra jars)
       'local:'                           -> loopback: serves spark.table(table),
                                             exercising the same call path
                                             without a network (test mode)
+
+    hive2 quirk, handled here: Spark's JDBC source quotes pushed-down
+    column lists with double quotes, which Spark SQL (the dialect the
+    thrift server executes) parses as STRING LITERALS unless ANSI
+    double-quoted identifiers are on — silently returning column NAMES as
+    row values.  The hive2 URL therefore gets the two session confs
+    appended (HiveDriver passes `?k=v;k=v` to the server per session), so
+    the generated `SELECT "col" FROM t` resolves as identifiers.
     """
     if addr.startswith("local:"):
         return spark.table(table)
     if not addr.startswith("jdbc:"):
         raise ValueError(f"unsupported remote address: {addr!r}")
+    if addr.startswith("jdbc:hive2:") and "?" not in addr:
+        addr += (
+            "?spark.sql.ansi.enabled=true"
+            ";spark.sql.ansi.doubleQuotedIdentifiers=true"
+        )
+        driver = driver or "org.apache.hive.jdbc.HiveDriver"
     reader = (
         spark.read.format("jdbc")
         .option("url", addr)

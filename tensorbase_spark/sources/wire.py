@@ -30,18 +30,27 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+_THRIFT_PORT: int | None = None
+
+
 def start_thrift_server(spark: SparkSession, port: int | None = None) -> int:
     """Start the HiveServer2 Thrift endpoint bound to ``spark``'s catalog.
 
-    Returns the bound port.  Idempotence is the caller's concern (Spark
-    hosts ONE thrift server per JVM); the server lives until the JVM
-    exits — the same lifetime as the reference's server task."""
+    Returns the bound port.  IDEMPOTENT per process (r8): Spark hosts ONE
+    thrift server per JVM, so the first call starts it and every later
+    call — another test module, a registry query — reuses the recorded
+    port.  The server lives until the JVM exits, the same lifetime as the
+    reference's server task."""
+    global _THRIFT_PORT
+    if _THRIFT_PORT is not None:
+        return _THRIFT_PORT
     port = port or _free_port()
     spark.conf.set("hive.server2.thrift.port", str(port))
     jvm = spark.sparkContext._jvm
     jvm.org.apache.spark.sql.hive.thriftserver.HiveThriftServer2.startWithContext(
         spark._jsparkSession.sqlContext()
     )
+    _THRIFT_PORT = port
     return port
 
 
