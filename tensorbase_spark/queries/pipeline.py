@@ -210,9 +210,13 @@ def sim_ivf_topk(spark, sf_dir):
     force asserted in tests."""
     emb, q = _emb_queries(spark, sf_dir)
     # n_centroids auto-scales from the footer row count (floor 16 == the
-    # historical fixture layout); the count job is skipped via n
+    # historical fixture layout, and 2000/128 -> exactly 16 at sf0.1, so
+    # every fixture keeps its r7 bucket layout); the count job is skipped
+    # via n.  target_bucket=128 holds per-query candidate volume constant
+    # from sf0.1 upward (the r7 sweep watch-item).
     return similarity.ivf_topk(
-        emb, q, k=5, nprobe=4, n=parquet_num_rows(sf_dir, "embeddings")
+        emb, q, k=5, nprobe=4, n=parquet_num_rows(sf_dir, "embeddings"),
+        target_bucket=128,
     )
 
 
@@ -258,7 +262,15 @@ def sim_ivf_indexed(spark, sf_dir):
     emb, q = _emb_queries(spark, sf_dir)
     idx = f"/tmp/tbs_ivf_index/{os.path.basename(sf_dir.rstrip('/'))}"
     if not _index_is_current(idx, sf_dir):
-        similarity.build_ivf_index(emb, idx, n_centroids=16)
+        # nlist is a BUILD parameter (the scale-safe place for it): sized
+        # from the footer row count with the same bucket-constant rule as
+        # the in-memory paths — fixtures and sf0.1 keep the historical 16
+        similarity.build_ivf_index(
+            emb, idx,
+            n_centroids=similarity.auto_n_centroids(
+                parquet_num_rows(sf_dir, "embeddings"), 128
+            ),
+        )
         _write_index_stamp(idx, sf_dir)
     return similarity.ivf_search_indexed(spark, idx, q, k=5, nprobe=4)
 
@@ -270,11 +282,13 @@ def sim_lsh_topk(spark, sf_dir):
     brute force asserted in tests."""
     emb, q = _emb_queries(spark, sf_dir)
     # width auto-scales above the fixture layout (min_bits=4 keeps the
-    # recall-tuned 16-bucket tables exactly at fixture row counts; past
-    # ~16k vectors the width grows to hold bucket size ~constant)
+    # recall-tuned 16-bucket tables exactly at fixture row counts —
+    # target_bucket=128 gives bits=4 at sf0.1's 2000 vectors exactly;
+    # above that, width grows to hold per-table bucket size ~128, so
+    # per-query candidate volume stays ~constant — the r7 sweep item)
     return similarity.lsh_topk(
         emb, q, k=5, n_tables=16, min_bits=4,
-        n=parquet_num_rows(sf_dir, "embeddings"),
+        n=parquet_num_rows(sf_dir, "embeddings"), target_bucket=128,
     )
 
 
