@@ -145,30 +145,45 @@ R06_VERIFIED = frozenset(
     join_skew_salted""".split()
 )
 
-# Round-7 head: every head slot buys FRESH evidence (VERDICT r6 #7) —
-# (a) the four queries NEW this round, then (b) every query whose
-# IMPLEMENTATION changed behavior or plan in round 7 and therefore needs
-# a fresh driver hash even though an old round verified the old code:
-# the distribution-aggregate two-level lowering (histogram/topK/entropy/
-# everyday4/top-k-words), the sorted-neighborhood edit-distance rewrite,
-# the auto-scaled embedding buckets, the max_hamming+1 image banding, the
-# net-negative collapsing fix, the PASTE JOIN key parser, the persisted
-# alias targets, and the _cast_block/_write_block insert-path refactor
-# under every insert-heavy row.  Everything else is driver-verified
-# r1..r6 and yields its slot.
+# Round-7 driver-verified set (CORRECTNESS_r07.json, 50/50 green).
+R07_VERIFIED = frozenset(
+    """engine_ingest_reinterp engine_buffer_flush ch_cast_type_names
+    ch_uuid_text_funcs ch_everyday_funcs7 ch_everyday_funcs8
+    corpus_semantic_dedup dedup_edit_distance dedup_embedding_cosine
+    multimodal_ahash_dedup engine_collapsing_cdc ch_paste_join
+    engine_null_distributed ch_histogram_agg ch_topk_weighted
+    ch_entropy_kv ch_everyday_funcs4 agg_top_k_words
+    engine_ingest_partitioned engine_ddl_insert_select engine_nested_type
+    engine_aggregating_mv ch_uuid_roundtrip case_cast q1_pricing_summary
+    join_skew_salted q3_shipping_priority q5_local_supplier
+    filter_predicates between_in_null join_inner_agg join_left_count
+    join_right_full join_cross_filter join_semi join_anti join_using
+    agg_basic_stats agg_count_distinct agg_having agg_group_by_expr
+    count_star orderby_limit_topk sort_multi_key setop_union_all
+    setop_union setop_intersect setop_except distinct_select
+    cte_revenue""".split()
+)
+
+# Round-8 head: every head slot buys FRESH evidence (VERDICT r7 #7) —
+# (a) the two queries NEW this round (the ClickHouse NATIVE wire round
+# trip and the Thrift/hive-jdbc self-federation), then (b) every query
+# whose IMPLEMENTATION changed behavior or plan in round 8: the
+# distribution-aggregate tail/HAVING lowering (histogram/topK/entropy/
+# everyday4), the UInt64Reinterp composite-stamping and buffer-scoping
+# and alias-cache fixes under the ingest-path rows, the df-demoted
+# ngram-jaccard prefix order (+ its clusters consumer), and the
+# auto-scaled / footer-sized ANN paths.  Everything else is
+# driver-verified r1..r7 and yields its slot.
 PRIORITY_HEAD = [
-    # (a) new round-7 queries
-    "engine_ingest_reinterp", "engine_buffer_flush",
-    "ch_cast_type_names", "ch_uuid_text_funcs", "ch_everyday_funcs7",
-    "ch_everyday_funcs8", "corpus_semantic_dedup",
-    # (b) round-7 behavior-changed implementations
-    "dedup_edit_distance", "dedup_embedding_cosine",
-    "multimodal_ahash_dedup", "engine_collapsing_cdc", "ch_paste_join",
-    "engine_null_distributed", "ch_histogram_agg", "ch_topk_weighted",
-    "ch_entropy_kv", "ch_everyday_funcs4", "agg_top_k_words",
-    "engine_ingest_partitioned", "engine_ddl_insert_select",
-    "engine_nested_type", "engine_aggregating_mv", "ch_uuid_roundtrip",
-    "case_cast",
+    # (a) new round-8 queries
+    "wire_native_roundtrip", "remote_thrift_federation",
+    # (b) round-8 behavior-changed implementations
+    "ch_histogram_agg", "ch_topk_weighted", "ch_entropy_kv",
+    "ch_everyday_funcs4", "engine_ingest_reinterp", "engine_buffer_flush",
+    "engine_null_distributed", "engine_ddl_insert_select",
+    "dedup_embedding_cosine", "corpus_semantic_dedup",
+    "dedup_ngram_jaccard", "dedup_neardup_clusters",
+    "sim_ivf_topk", "sim_lsh_topk", "sim_ivf_indexed",
 ]
 
 
@@ -208,19 +223,29 @@ def registry() -> dict[str, Query]:
                 raise ValueError(f"duplicate query name: {name}")
             out[name] = q
 
-    verified = (
-        R01_VERIFIED | R02_VERIFIED | R03_VERIFIED | R04_VERIFIED
-        | R05_VERIFIED | R06_VERIFIED
-    )
+    rounds = [
+        R01_VERIFIED, R02_VERIFIED, R03_VERIFIED, R04_VERIFIED,
+        R05_VERIFIED, R06_VERIFIED, R07_VERIFIED,
+    ]
+    verified = frozenset().union(*rounds)
     head = [n for n in PRIORITY_HEAD if n in out]
     mid_unverified = [
         n for n in out if n not in PRIORITY_HEAD and n not in verified
     ]
     # oracle-backed before rows-only: a hash row is a stronger signal
     mid_unverified.sort(key=lambda n: out[n].oracle is None)
-    tail_verified = [
-        n for n in out if n in verified and n not in PRIORITY_HEAD
-    ]
+    # staleness rotation (r8): the driver re-hashes only the ~50-entry
+    # window head, so order the verified tail by the round that LAST
+    # checked each query, oldest first — spare window slots continuously
+    # refresh the stalest evidence instead of re-checking the same
+    # insertion-order prefix every round
+    def _last_verified(n: str) -> int:
+        return max(i for i, r in enumerate(rounds) if n in r)
+
+    tail_verified = sorted(
+        (n for n in out if n in verified and n not in PRIORITY_HEAD),
+        key=lambda n: (_last_verified(n), n),
+    )
     ordered = head + mid_unverified + tail_verified
     assert len(ordered) == len(out)
     return {n: out[n] for n in ordered}

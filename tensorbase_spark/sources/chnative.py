@@ -469,6 +469,14 @@ def _decimal_params(t: str) -> tuple[int, int]:
 def encode_column(out: bytearray, name: str, ch_type: str, values: list) -> None:
     write_str(out, name)
     write_str(out, ch_type)
+    _encode_values(out, ch_type, values)
+
+
+def _encode_values(out: bytearray, ch_type: str, values: list) -> None:
+    """Type-specific body encode — separated from the name/type header so
+    Array(T) can recurse into its element type (upstream-CH native arrays:
+    cumulative u64le offsets, then flattened elements; the reference's
+    scalar-only wire is a strict subset)."""
     base, nullable = _strip_nullable(ch_type)
     if nullable:
         out += bytes(1 if v is None else 0 for v in values)
@@ -478,6 +486,17 @@ def encode_column(out: bytearray, name: str, ch_type: str, values: list) -> None
         # zero-row header column: name + type only (blocks.rs:301-313
         # new_block_header carries no data) — also the one place a
         # LowCardinality(String) column header round-trips on encode
+        return
+    if base.startswith("Array("):
+        inner = base[6:-1]
+        offsets, flat, total = [], [], 0
+        for v in values:
+            elems = [] if v is None else list(v)  # CH arrays: None -> []
+            total += len(elems)
+            offsets.append(total)
+            flat.extend(elems)
+        out += struct.pack(f"<{len(offsets)}Q", *offsets)
+        _encode_values(out, inner, flat)
         return
     if base in _FIXED:
         fmt, _ = _FIXED[base]
@@ -537,7 +556,20 @@ def decode_column(r: Reader, nrows: int) -> tuple[str, str, list]:
             f"<{nrows}{'BHIQ'[[1, 2, 4, 8].index(key_size)]}", r.read(nrows * key_size)
         )
         return name, "String", [dictionary[k] for k in keys]
+    return name, ch_type, _decode_values(r, ch_type, nrows)
+
+
+def _decode_values(r: Reader, ch_type: str, nrows: int) -> list:
     base, nullable = _strip_nullable(ch_type)
+    if base.startswith("Array("):
+        inner = base[6:-1]
+        offsets = struct.unpack(f"<{nrows}Q", r.read(nrows * 8))
+        flat = _decode_values(r, inner, offsets[-1] if nrows else 0)
+        out, start = [], 0
+        for end in offsets:
+            out.append(flat[start:end])
+            start = end
+        return out
     null_map = list(r.read(nrows)) if nullable else None
     if base in _FIXED:
         fmt, width = _FIXED[base]
@@ -579,7 +611,7 @@ def decode_column(r: Reader, nrows: int) -> tuple[str, str, list]:
         raise ValueError(f"unsupported wire type {ch_type!r}")
     if null_map is not None:
         values = [None if null_map[i] else v for i, v in enumerate(values)]
-    return name, ch_type, values
+    return values
 
 
 # ---------------------------------------------------------------------------
@@ -679,22 +711,30 @@ _SPARK_TO_CH = {
 }
 
 
-def spark_field_to_ch(field) -> str:
-    """Spark StructField -> CH wire type.  decimal(20,0) is this engine's
-    lossless UInt64 storage (types.py:36) — it goes back on the wire as the
-    UInt64 it represents, exactly the reference's native u64 surface."""
-    s = field.dataType.simpleString()
+def _simple_to_ch(s: str) -> str:
     if s in _SPARK_TO_CH:
-        base = _SPARK_TO_CH[s]
-    elif s == "decimal(20,0)":
-        base = "UInt64"
-    elif s.startswith("decimal("):
+        return _SPARK_TO_CH[s]
+    if s == "decimal(20,0)":
+        return "UInt64"
+    if s.startswith("decimal("):
         p, sc = s[8:-1].split(",")
         if int(p) > 18:
             raise ValueError(f"wire cannot carry {s} (precision > 18)")
-        base = f"Decimal({int(p)},{int(sc)})"
-    else:
-        raise ValueError(f"type {s!r} has no native-wire mapping")
+        return f"Decimal({int(p)},{int(sc)})"
+    if s.startswith("array<") and s.endswith(">"):
+        return f"Array({_simple_to_ch(s[6:-1])})"
+    raise ValueError(f"type {s!r} has no native-wire mapping")
+
+
+def spark_field_to_ch(field) -> str:
+    """Spark StructField -> CH wire type.  decimal(20,0) is this engine's
+    lossless UInt64 storage (types.py:36) — it goes back on the wire as the
+    UInt64 it represents, exactly the reference's native u64 surface.
+    array<T> maps to Array(T) (upstream-CH wire shape — never Nullable at
+    the array level, CH arrays aren't nullable; NULL rows become [])."""
+    base = _simple_to_ch(field.dataType.simpleString())
+    if base.startswith("Array("):
+        return base
     return f"Nullable({base})" if field.nullable else base
 
 
@@ -720,6 +760,9 @@ def _wire_value(base: str, v: Any) -> Any:
         if not 0 <= iv < (1 << 64):
             raise ValueError(f"decimal(20,0) value {v} outside UInt64 range")
         return iv
+    if base.startswith("Array("):
+        inner, _ = _strip_nullable(base[6:-1])
+        return [_wire_value(inner, x) for x in v]
     return v
 
 
@@ -952,6 +995,8 @@ class _Conn(socketserver.StreamRequestHandler):
                 return T.DecimalType(p, s)
             if base.startswith("FixedString") or base == "UUID":
                 return T.StringType()
+            if base.startswith("Array("):
+                return T.ArrayType(_spark_type(base[6:-1]))
             raise _WireError(29, f"no ingest mapping for {ch}")
 
         schema = T.StructType(
@@ -963,6 +1008,9 @@ class _Conn(socketserver.StreamRequestHandler):
                 return None
             if base == "UInt64":
                 return Decimal(v)
+            if base.startswith("Array("):
+                inner, _ = _strip_nullable(base[6:-1])
+                return [_conv(inner, x) for x in v]
             return v
 
         conv_rows = [

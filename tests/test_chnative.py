@@ -230,6 +230,52 @@ def test_column_codec_all_types_roundtrip():
     assert got2.nrows == 3 and [c[0] for c in got2.columns] == [c[0] for c in cols]
 
 
+def test_array_column_codec_roundtrip():
+    """Array(T) wire columns (upstream-CH native shape: cumulative u64le
+    offsets then flattened elements; the reference's scalar-only wire is a
+    strict subset) — scalars, strings, nullable elements, empty arrays."""
+    cols = [
+        ("af", "Array(Float64)", [[1.5, -2.0], [], [0.0, 3.25, 9.5]]),
+        ("ai", "Array(Int64)", [[-(2**63)], [1, 2, 3], []]),
+        ("au", "Array(UInt64)", [[2**64 - 1, 0], [], [5]]),
+        ("as", "Array(String)", [["a", ""], ["xyz"], []]),
+        ("an", "Array(Nullable(Int32))", [[1, None], [], [None, None, 7]]),
+    ]
+    blk = Block(cols, bucket=0)
+    got = Block.decode_body(Reader(blk.encode_body()))
+    for (n, t, vals), (gn, gt, gvals) in zip(cols, got.columns):
+        assert (gn, gt) == (n, t)
+        assert gvals == vals, (n, gvals, vals)
+    # compressed variant
+    got2 = Block.decode_body(
+        Reader(read_frame(Reader(compress_frame(blk.encode_body()))))
+    )
+    assert got2.columns[0][2] == cols[0][2]
+
+
+def test_native_e2e_array_embeddings(served):
+    """Embedding-shaped round trip over the socket: Array(Float64) vectors
+    in as native blocks, a JVM-side aggregate over the array column back."""
+    engine, port = served
+    with NativeClient(port=port) as c:
+        c.execute("create table wemb (k Int64, v Array(Float64))")
+        c.insert(
+            "wemb",
+            [
+                ("k", "Int64", [1, 2, 3]),
+                ("v", "Array(Float64)", [[1.0, 2.0], [0.5, -1.5], []]),
+            ],
+        )
+        schema, rows = c.execute(
+            "select k, v, size(v) as n, "
+            "round(aggregate(v, cast(0.0 as double), (a, x) -> a + x), 2) as s "
+            "from wemb order by k"
+        )
+        assert [r[1] for r in rows] == [[1.0, 2.0], [0.5, -1.5], []]
+        assert [r[2] for r in rows] == [2, 2, 0]
+        assert [r[3] for r in rows] == [3.0, -1.0, 0.0]
+
+
 def test_low_cardinality_decode():
     """LC(String) additional-keys serialization decodes to plain strings."""
     import struct
