@@ -798,7 +798,15 @@ _INSERT_WIRE_RE = re.compile(
 
 class _Conn(socketserver.StreamRequestHandler):
     """One client connection: Hello handshake, then a packet loop
-    (messages.rs:28-202 response_to, restructured around blocking reads)."""
+    (messages.rs:28-202 response_to, restructured around blocking reads).
+
+    Sessions share ONE engine/Spark catalog: the hello `database` field is
+    accepted but not isolated per connection, and a `USE db` affects the
+    shared engine (the reference keeps current_db per ConnCtx,
+    protocol.rs:199-209; this endpoint is a single-tenant front door over
+    a driver-owned session, so the shared catalog IS the semantics).
+    Spark job submission is thread-safe, so concurrent connections
+    interleave safely as long as they target distinct tables."""
 
     def handle(self) -> None:  # noqa: C901 — the protocol state machine
         engine = self.server.engine  # type: ignore[attr-defined]

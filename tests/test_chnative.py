@@ -276,6 +276,58 @@ def test_native_e2e_array_embeddings(served):
         assert [r[3] for r in rows] == [3.0, -1.0, 0.0]
 
 
+def test_native_concurrent_clients(served):
+    """The threaded server interleaves connections: two clients insert into
+    distinct tables concurrently and both read back complete data."""
+    import threading
+
+    engine, port = served
+    with NativeClient(port=port) as setup:
+        setup.execute("create table wc1 (k Int64)")
+        setup.execute("create table wc2 (k Int64)")
+    errs = []
+
+    def work(table, base):
+        try:
+            with NativeClient(port=port) as c:
+                for i in range(3):
+                    c.insert(table, [("k", "Int64", [base + i * 10 + j for j in range(50)])])
+        except Exception as e:  # surface into the main thread
+            errs.append(e)
+
+    t1 = threading.Thread(target=work, args=("wc1", 1000))
+    t2 = threading.Thread(target=work, args=("wc2", 2000))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    with NativeClient(port=port) as c:
+        _, r1 = c.execute("select count(*) as n, min(k) as lo from wc1")
+        _, r2 = c.execute("select count(*) as n, max(k) as hi from wc2")
+        assert r1 == [(150, 1000)]
+        assert r2 == [(150, 2069)]
+
+
+def test_native_insert_into_buffer_alias(served):
+    """Wire INSERT into an ENGINE=Buffer alias parks the block (the CH
+    Buffer contract holds over the native protocol too): the target stays
+    empty, alias reads see pending rows, OPTIMIZE flushes — all driven by
+    a wire client."""
+    engine, port = served
+    with NativeClient(port=port) as c:
+        c.execute("create table wb_tgt (k Int64, v Float64)")
+        c.execute(
+            "create table wb_buf (k Int64, v Float64) ENGINE = "
+            "Buffer(currentDatabase(), wb_tgt, 16, 10, 100, 10000, "
+            "1000000, 10000000, 100000000)"
+        )
+        c.insert("wb_buf", [("k", "Int64", [1, 2]), ("v", "Float64", [0.5, 1.5])])
+        _, tgt = c.execute("select count(*) as n from wb_tgt")
+        _, buf = c.execute("select count(*) as n from wb_buf")
+        assert tgt == [(0,)] and buf == [(2,)]  # parked, visible via alias
+        c.execute("optimize table wb_buf")  # flush over the wire
+        _, tgt2 = c.execute("select count(*) as n from wb_tgt")
+        assert tgt2 == [(2,)]
+
+
 def test_low_cardinality_decode():
     """LC(String) additional-keys serialization decodes to plain strings."""
     import struct
