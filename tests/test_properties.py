@@ -138,3 +138,88 @@ def test_tier3_templates_fixpoint(fns):
     sql = "select " + ", ".join(f"{f}(a, b)" for f in fns) + " from t"
     once = translate_sql(sql)
     assert translate_sql(once) == once
+
+
+# --- native wire codec properties (sources/chnative.py) --------------------
+# Pure-Python layer, so hypothesis can hammer it without a SparkSession.
+
+_WIRE_VALUE_STRATEGIES = [
+    ("Int8", st.integers(-128, 127)),
+    ("Int64", st.integers(-(2**63), 2**63 - 1)),
+    ("UInt64", st.integers(0, 2**64 - 1)),
+    ("Float64", st.floats(allow_nan=False, allow_infinity=False, width=64)),
+    ("String", st.text(max_size=40)),
+    ("Nullable(Int64)", st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1))),
+    ("Nullable(String)", st.one_of(st.none(), st.text(max_size=20))),
+    ("Array(Int64)", st.lists(st.integers(-(2**63), 2**63 - 1), max_size=8)),
+    ("Array(String)", st.lists(st.text(max_size=10), max_size=6)),
+]
+
+
+@given(
+    st.integers(0, len(_WIRE_VALUE_STRATEGIES) - 1).flatmap(
+        lambda i: st.tuples(
+            st.just(_WIRE_VALUE_STRATEGIES[i][0]),
+            st.lists(_WIRE_VALUE_STRATEGIES[i][1], min_size=1, max_size=20),
+        )
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_wire_column_codec_roundtrip_property(tv):
+    """encode_column -> decode_column is the identity for every supported
+    type, arbitrary values, arbitrary row counts."""
+    from tensorbase_spark.sources.chnative import Block, Reader
+
+    ch_type, values = tv
+    blk = Block([("c", ch_type, values)], bucket=0)
+    got = Block.decode_body(Reader(blk.encode_body()))
+    assert got.columns[0] == ("c", ch_type, values)
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=200, deadline=None)
+def test_wire_frame_roundtrip_property(payload):
+    """compress_frame -> read_frame is the identity for arbitrary bytes
+    (LZ4 literals encode + full-grammar decode + CityHash verification),
+    and any single-byte corruption of a non-empty frame is caught."""
+    from tensorbase_spark.sources.chnative import Reader, compress_frame, read_frame
+
+    frame = compress_frame(payload)
+    assert read_frame(Reader(frame)) == payload
+
+
+@given(st.binary(min_size=1, max_size=512), st.integers())
+@settings(max_examples=100, deadline=None)
+def test_wire_frame_corruption_detected(payload, flip_seed):
+    import pytest as _pytest
+
+    from tensorbase_spark.sources.chnative import Reader, compress_frame, read_frame
+
+    frame = bytearray(compress_frame(payload))
+    # flip one bit somewhere in the LZ4 body (past the 25-byte header) so
+    # sizes stay plausible and the checksum must be what catches it
+    pos = 25 + (flip_seed % (len(frame) - 25))
+    frame[pos] ^= 0x01
+    with _pytest.raises(ValueError):
+        read_frame(Reader(bytes(frame)))
+
+
+@given(st.integers(0, 2**64 - 1))
+@settings(max_examples=300, deadline=None)
+def test_wire_varint_roundtrip_property(v):
+    from tensorbase_spark.sources.chnative import Reader, write_varint
+
+    out = bytearray()
+    write_varint(out, v)
+    r = Reader(bytes(out))
+    assert r.read_varint() == v and r.at_end()
+
+
+def test_wire_empty_varbytes_golden():
+    """messages.rs:741-748 test_write_bytes: empty varbytes encodes as one
+    zero byte."""
+    from tensorbase_spark.sources.chnative import write_varbytes
+
+    out = bytearray()
+    write_varbytes(out, b"")
+    assert bytes(out) == b"\x00"
