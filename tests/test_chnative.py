@@ -328,6 +328,53 @@ def test_native_insert_into_buffer_alias(served):
         assert tgt2 == [(2,)]
 
 
+def test_native_insert_error_paths(served):
+    """INSERT into a missing table answers with an Exception packet (not a
+    header), and the connection survives; a client data packet arriving
+    outside an insert is consumed politely."""
+    engine, port = served
+    with NativeClient(port=port) as c:
+        with pytest.raises(RuntimeError, match="server exception"):
+            c.insert("no_such_table", [("k", "Int64", [1])])
+        # connection still usable after the failed dance
+        _, rows = c.execute("select 1 as one")
+        assert rows == [(1,)]
+
+
+def test_remote_hive2_url_conf():
+    """remote() appends the ANSI-identifier session confs to hive2 URLs
+    (without them Spark's quoted column pushdown silently returns column
+    NAMES as values) and leaves explicit ?conf URLs alone."""
+    from unittest import mock
+
+    from tensorbase_spark.sources import external
+
+    seen = {}
+
+    class _Reader:
+        def format(self, f):
+            return self
+
+        def option(self, k, v):
+            seen[k] = v
+            return self
+
+        def load(self):
+            return "ok"
+
+    spark = mock.Mock()
+    spark.read = _Reader()
+    assert external.remote(spark, "jdbc:hive2://h:1/db", "t") == "ok"
+    assert seen["url"].startswith("jdbc:hive2://h:1/db?spark.sql.ansi.enabled=true")
+    assert "doubleQuotedIdentifiers=true" in seen["url"]
+    assert seen["driver"] == "org.apache.hive.jdbc.HiveDriver"
+    seen.clear()
+    spark.read = _Reader()
+    external.remote(spark, "jdbc:hive2://h:1/db?my.conf=1", "t", driver="x.Y")
+    assert seen["url"] == "jdbc:hive2://h:1/db?my.conf=1"  # untouched
+    assert seen["driver"] == "x.Y"
+
+
 def test_low_cardinality_decode():
     """LC(String) additional-keys serialization decodes to plain strings."""
     import struct
