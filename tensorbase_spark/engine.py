@@ -297,8 +297,11 @@ def _rewrite_dist_aggs(sql: str) -> str:
     # is NULL (ADVICE r7 #5); with GROUP BY every group has >=1 pair so the
     # coalesce is inert
     rewritten = count_star.sub("coalesce(cast(sum(__dc) as bigint), 0)", rewritten)
-    rewritten = _unmask(rewritten)
+    # split at the region marker BEFORE unmasking: literals are still
+    # \x01N\x01 tokens here, so a literal that itself contains \x02 cannot
+    # move the split point (it reappears only after _unmask below)
     new_items, _, new_tail = rewritten.partition("\x02")
+    new_items, new_tail = _unmask(new_items), _unmask(new_tail)
 
     l1 = keys + [f"{x_raw} as __dv", "count(*) as __dc"]
     if needs_w:

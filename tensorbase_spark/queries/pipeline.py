@@ -220,30 +220,46 @@ def sim_ivf_topk(spark, sf_dir):
     )
 
 
-def _index_is_current(idx: str, sf_dir: str) -> bool:
-    """True when ``idx`` was built from the CURRENT embeddings parquet.
-    The marker records the source file's (mtime_ns, size); a regenerated
-    testdata dir invalidates the index automatically."""
+def _index_stamp(sf_dir: str, params: str) -> str:
+    """Source identity (mtime_ns:size — directory layouts sum over parts)
+    + the BUILD PARAMETERS: an index built with a different nlist/codebook
+    must rebuild even when the source parquet is unchanged (r8 review —
+    the footer-sized nlist change would otherwise silently keep searching
+    a stale fixed-16 index)."""
     import os
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    if os.path.isdir(src):
+        sts = [
+            os.stat(os.path.join(src, f))
+            for f in sorted(os.listdir(src))
+            if f.endswith(".parquet")
+        ]
+        ident = ";".join(f"{st.st_mtime_ns}:{st.st_size}" for st in sts)
+    else:
+        st = os.stat(src)
+        ident = f"{st.st_mtime_ns}:{st.st_size}"
+    return f"{ident}|{params}"
+
+
+def _index_is_current(idx: str, sf_dir: str, params: str = "") -> bool:
+    """True when ``idx`` was built from the CURRENT embeddings parquet with
+    the SAME build parameters."""
+    import os
+
     marker = os.path.join(idx, "_SOURCE_STAMP")
     try:
         with open(marker) as f:
-            return f.read().strip() == stamp
+            return f.read().strip() == _index_stamp(sf_dir, params)
     except OSError:
         return False
 
 
-def _write_index_stamp(idx: str, sf_dir: str) -> None:
+def _write_index_stamp(idx: str, sf_dir: str, params: str = "") -> None:
     import os
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
     with open(os.path.join(idx, "_SOURCE_STAMP"), "w") as f:
-        f.write(f"{st.st_mtime_ns}:{st.st_size}")
+        f.write(_index_stamp(sf_dir, params))
 
 
 def sim_ivf_indexed(spark, sf_dir):
@@ -261,17 +277,15 @@ def sim_ivf_indexed(spark, sf_dir):
 
     emb, q = _emb_queries(spark, sf_dir)
     idx = f"/tmp/tbs_ivf_index/{os.path.basename(sf_dir.rstrip('/'))}"
-    if not _index_is_current(idx, sf_dir):
+    nlist = similarity.auto_n_centroids(
+        parquet_num_rows(sf_dir, "embeddings"), 128
+    )
+    if not _index_is_current(idx, sf_dir, f"nlist={nlist}"):
         # nlist is a BUILD parameter (the scale-safe place for it): sized
         # from the footer row count with the same bucket-constant rule as
         # the in-memory paths — fixtures and sf0.1 keep the historical 16
-        similarity.build_ivf_index(
-            emb, idx,
-            n_centroids=similarity.auto_n_centroids(
-                parquet_num_rows(sf_dir, "embeddings"), 128
-            ),
-        )
-        _write_index_stamp(idx, sf_dir)
+        similarity.build_ivf_index(emb, idx, n_centroids=nlist)
+        _write_index_stamp(idx, sf_dir, f"nlist={nlist}")
     return similarity.ivf_search_indexed(spark, idx, q, k=5, nprobe=4)
 
 
@@ -453,9 +467,9 @@ def sim_ivfpq_indexed(spark, sf_dir):
     idx = f"/tmp/tbs_ivfpq_index/{os.path.basename(sf_dir.rstrip('/'))}"
     # build-once behind a source stamp, like sim_ivf_indexed: repeated
     # invocations time the steady-state search (probe + ADC + re-rank)
-    if not _index_is_current(idx, sf_dir):
+    if not _index_is_current(idx, sf_dir, "nlist=16"):
         similarity.build_ivfpq_index(emb, idx, n_centroids=16)
-        _write_index_stamp(idx, sf_dir)
+        _write_index_stamp(idx, sf_dir, "nlist=16")
     return similarity.ivfpq_search_indexed(spark, idx, emb, q, k=5, nprobe=8)
 
 

@@ -517,8 +517,16 @@ def _encode_values(out: bytearray, ch_type: str, values: list) -> None:
             d = v.date() if isinstance(v, datetime) else v
             out += struct.pack("<H", (d - _EPOCH_DATE).days)
     elif base.startswith("DateTime"):
+        # wire DateTime is epoch SECONDS; the codec's convention for naive
+        # python datetimes is UTC wall clock (the timezone the hello
+        # advertises) — producers holding OS-local naive values (Spark
+        # collect) attach their zone BEFORE encoding (_wire_value)
         for v in values:
-            ts = int(v.timestamp()) if isinstance(v, datetime) else int(v)
+            if isinstance(v, datetime):
+                aware = v.replace(tzinfo=timezone.utc) if v.tzinfo is None else v
+                ts = int(aware.timestamp())
+            else:
+                ts = int(v)
             out += struct.pack("<I", ts & 0xFFFFFFFF)
     elif base.startswith("Decimal"):
         p, s = _decimal_params(base)
@@ -674,13 +682,35 @@ class Block:
             [(n, t, []) for n, t, _ in self.columns], nrows=0, bucket=0
         )
 
+    def slice_rows(self, start: int, end: int) -> "Block":
+        return Block(
+            [(n, t, vals[start:end]) for n, t, vals in self.columns],
+            nrows=end - start,
+            overflow=self.overflow,
+            bucket=self.bucket,
+        )
+
+
+# Raw-body budget per data packet: one literals-only LZ4 frame adds
+# ~len/255 + 11 bytes, so 3.5 MiB raw stays safely under the reference's
+# 4 MiB compressed-frame guard (messages.rs:414).
+BODY_BYTES_BUDGET = 3_500_000
+
 
 def write_data_packet(
     out: bytearray, block: Block, compressed: bool, server: bool
 ) -> None:
+    """One data packet per block — SPLIT by rows whenever the encoded body
+    would overflow the peer's frame guard (the protocol allows any number
+    of data packets; a single unsplittable row still goes out whole)."""
+    body = block.encode_body()
+    if len(body) > BODY_BYTES_BUDGET and block.nrows > 1:
+        mid = block.nrows // 2
+        write_data_packet(out, block.slice_rows(0, mid), compressed, server)
+        write_data_packet(out, block.slice_rows(mid, block.nrows), compressed, server)
+        return
     write_varint(out, SERVER_DATA if server else CLIENT_DATA)
     write_str(out, "")  # temporary table name
-    body = block.encode_body()
     out += compress_frame(body) if compressed else body
 
 
@@ -760,6 +790,11 @@ def _wire_value(base: str, v: Any) -> Any:
         if not 0 <= iv < (1 << 64):
             raise ValueError(f"decimal(20,0) value {v} outside UInt64 range")
         return iv
+    if base.startswith("DateTime") and isinstance(v, datetime) and v.tzinfo is None:
+        # Spark collect() renders instants as OS-LOCAL naive datetimes;
+        # attach that zone so the codec's naive==UTC convention cannot
+        # shift the instant on a non-UTC host
+        return v.astimezone()
     if base.startswith("Array("):
         inner, _ = _strip_nullable(base[6:-1])
         return [_wire_value(inner, x) for x in v]
@@ -1016,6 +1051,11 @@ class _Conn(socketserver.StreamRequestHandler):
                 return None
             if base == "UInt64":
                 return Decimal(v)
+            if base.startswith("DateTime") and isinstance(v, datetime) and v.tzinfo is None:
+                # decode produces UTC-naive; pyspark's toInternal would
+                # re-interpret a naive value in OS-LOCAL time — make the
+                # instant explicit so non-UTC hosts don't shift it
+                return v.replace(tzinfo=timezone.utc)
             if base.startswith("Array("):
                 inner, _ = _strip_nullable(base[6:-1])
                 return [_conv(inner, x) for x in v]

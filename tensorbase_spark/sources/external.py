@@ -91,11 +91,18 @@ def remote(
         return spark.table(table)
     if not addr.startswith("jdbc:"):
         raise ValueError(f"unsupported remote address: {addr!r}")
-    if addr.startswith("jdbc:hive2:") and "?" not in addr:
-        addr += (
-            "?spark.sql.ansi.enabled=true"
-            ";spark.sql.ansi.doubleQuotedIdentifiers=true"
-        )
+    if addr.startswith("jdbc:hive2:"):
+        # append to an existing ?conf list rather than skipping (a caller
+        # URL carrying its own confs still needs the identifier fix); only
+        # an explicit doubleQuotedIdentifiers setting is left alone
+        if "spark.sql.ansi.doubleQuotedIdentifiers" not in addr:
+            base_url, hash_sep, frag = addr.partition("#")
+            sep = ";" if "?" in base_url else "?"
+            base_url += (
+                sep + "spark.sql.ansi.enabled=true"
+                ";spark.sql.ansi.doubleQuotedIdentifiers=true"
+            )
+            addr = base_url + hash_sep + frag
         driver = driver or "org.apache.hive.jdbc.HiveDriver"
     reader = (
         spark.read.format("jdbc")

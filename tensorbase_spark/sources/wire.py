@@ -43,7 +43,18 @@ def start_thrift_server(spark: SparkSession, port: int | None = None) -> int:
     reference's server task."""
     global _THRIFT_PORT
     if _THRIFT_PORT is not None:
-        return _THRIFT_PORT
+        if port is not None and port != _THRIFT_PORT:
+            raise ValueError(
+                f"thrift server already on port {_THRIFT_PORT}; "
+                f"cannot rebind to {port} (one server per JVM)"
+            )
+        # liveness probe: a recorded port can outlive its JVM (SparkSession
+        # stopped and recreated) — only reuse a port that still accepts
+        try:
+            with socket.create_connection(("127.0.0.1", _THRIFT_PORT), 2):
+                return _THRIFT_PORT
+        except OSError:
+            _THRIFT_PORT = None  # stale: fall through and start fresh
     port = port or _free_port()
     spark.conf.set("hive.server2.thrift.port", str(port))
     jvm = spark.sparkContext._jvm

@@ -370,12 +370,60 @@ def test_remote_hive2_url_conf():
     assert seen["driver"] == "org.apache.hive.jdbc.HiveDriver"
     seen.clear()
     spark.read = _Reader()
+    # a URL with its own conf list still gets the identifier fix APPENDED
     external.remote(spark, "jdbc:hive2://h:1/db?my.conf=1", "t", driver="x.Y")
-    assert seen["url"] == "jdbc:hive2://h:1/db?my.conf=1"  # untouched
+    assert seen["url"] == (
+        "jdbc:hive2://h:1/db?my.conf=1;spark.sql.ansi.enabled=true"
+        ";spark.sql.ansi.doubleQuotedIdentifiers=true"
+    )
     assert seen["driver"] == "x.Y"
+    seen.clear()
+    spark.read = _Reader()
+    # an explicit doubleQuotedIdentifiers choice is respected verbatim
+    explicit = "jdbc:hive2://h:1/db?spark.sql.ansi.doubleQuotedIdentifiers=false"
+    external.remote(spark, explicit, "t")
+    assert seen["url"] == explicit
 
 
-def test_low_cardinality_decode():
+def test_oversize_block_splits_into_multiple_packets():
+    """A block whose body would overflow the reference's 4 MiB frame guard
+    (messages.rs:414) splits by rows into multiple data packets — the
+    protocol allows any number — and reassembles losslessly."""
+    from tensorbase_spark.sources.chnative import (
+        CLIENT_DATA,
+        read_data_packet_body,
+    )
+
+    big = Block([("s", "String", ["x" * 1000] * 5000)], bucket=0)  # ~5 MB
+    out = bytearray()
+    write_data_packet(out, big, compressed=True, server=False)
+    r = Reader(bytes(out))
+    rows, packets = 0, 0
+    while not r.at_end():
+        assert r.read_varint() == CLIENT_DATA
+        blk = read_data_packet_body(r, True)
+        rows += blk.nrows
+        packets += 1
+        assert blk.columns[0][2][0] == "x" * 1000
+    assert rows == 5000 and packets >= 2
+
+
+def test_datetime_wire_convention_is_utc():
+    """Wire DateTime = epoch seconds; NAIVE python datetimes at the codec
+    boundary mean UTC wall clock (the hello-advertised server timezone),
+    and tz-AWARE inputs encode their true instant — so values cannot shift
+    on a non-UTC host (r8 review)."""
+    from datetime import timedelta, timezone as tz
+
+    from tensorbase_spark.sources.chnative import decode_column, encode_column
+
+    plus5 = tz(timedelta(hours=5))
+    naive_utc = datetime(2024, 1, 1, 12, 0, 0)
+    aware_plus5 = datetime(2024, 1, 1, 17, 0, 0, tzinfo=plus5)  # same instant
+    out = bytearray()
+    encode_column(out, "dt", "DateTime", [naive_utc, aware_plus5])
+    name, t, vals = decode_column(Reader(bytes(out)), 2)
+    assert vals[0] == vals[1] == naive_utc  # both decode to UTC-naive
     """LC(String) additional-keys serialization decodes to plain strings."""
     import struct
 

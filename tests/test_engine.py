@@ -2670,6 +2670,16 @@ def test_dist_agg_lowering_tail_aggregates(engine, spark):
         "group by k having count(*) > 3"
     ).collect()
     assert [(x.k, x.t) for x in r2] == [("b", "z")]
+    # a string literal containing \x02 must not move the items/tail split
+    # (the split happens on MASKED text, before literals are restored)
+    low_lit = _rewrite_dist_aggs(
+        "select k, topK(1)(v) as t, 'a\x02b' as tag from dlt_u "
+        "group by k order by count(*) desc"
+    )
+    assert "'a\x02b' as tag" in low_lit and "__topkpairs" in low_lit
+    assert low_lit.rstrip().endswith(
+        "order by coalesce(cast(sum(__dc) as bigint), 0) desc"
+    )
     # GLOBAL empty-source count(*) stays 0 after lowering (ADVICE r7 #5)
     spark.createDataFrame([], "k string, v string").createOrReplaceTempView(
         "dlt_e"
