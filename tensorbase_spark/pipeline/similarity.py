@@ -224,18 +224,41 @@ def _assign_multi(
     vec_col: str,
 ) -> DataFrame:
     """Assign every vector to its ``probes`` nearest centroids (multi-probe).
-    One broadcast of the tiny centroid table + one window — a single pass
-    over the corpus, no corpus shuffle."""
-    scored = emb.select(
+
+    The centroid matrix rides INSIDE an Arrow-batched UDF (the same shape
+    the r7 fix gave embedding_near_dup_pairs._probe_ids): one corpus pass,
+    one GEMM per batch, n x probes output rows — never the old
+    crossJoin+window, which materialized n x k (vector, centroid) ROWS and
+    went quadratic once auto-sized k started growing with n (r8 sf10 sweep:
+    200k vectors x 196 centroids = 39M wide rows stalled the stage; this
+    pass finishes in seconds).  Ranking is identical to the old window —
+    cosine desc, centroid_id asc — because centroid rows are unit vectors,
+    so per-vector dot order == cosine order; NULL/zero vectors score 0
+    against every centroid and fall to the lowest centroid ids, exactly the
+    old NULLS-LAST + tie-break outcome."""
+    rows = cents.orderBy("centroid_id").collect()
+    C = np.array([r.cent_vec for r in rows], dtype=np.float64)
+    ids = np.array([r.centroid_id for r in rows], dtype=np.int64)
+    n_probe = min(probes, len(ids))
+
+    from pyspark.sql import types as T
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _top(v: pd.Series) -> pd.Series:
+        vals = [
+            np.zeros(C.shape[1]) if x is None else np.asarray(x, dtype=np.float64)
+            for x in v
+        ]
+        if not vals:
+            return pd.Series([], dtype=object)
+        S = np.stack(vals) @ C.T
+        order = np.lexsort((np.broadcast_to(ids, S.shape), -S), axis=1)
+        return pd.Series([ids[t].tolist() for t in order[:, :n_probe]])
+
+    return emb.select(
         F.col(id_col).alias("v_id"), F.col(vec_col).alias("v_vec")
-    ).crossJoin(F.broadcast(cents)).withColumn(
-        "cos_c", cosine(F.col("v_vec"), F.col("cent_vec"))
-    )
-    w = W.partitionBy("v_id").orderBy(F.col("cos_c").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= probes)
-        .select("v_id", "v_vec", "centroid_id")
+    ).select(
+        "v_id", "v_vec", F.explode(_top(F.col("v_vec"))).alias("centroid_id")
     )
 
 
