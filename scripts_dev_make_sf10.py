@@ -46,6 +46,11 @@ def main() -> None:
         spark.read.parquet(f"{SRC}/documents.parquet"),
         {"doc_id": STRIDE["documents"]},
     )
+    # TWO salt characters (676 variants), not one: with 100 cumulative
+    # copies a 26-way suffix domain saturates the gram vocabulary (measured
+    # 114k distinct bigrams for 500k docs — every gram becomes corpus-wide
+    # "common", which manufactures cross-copy similarity no real corpus
+    # has; web-scale vocabularies grow ~linearly with corpus size)
     salted = docs.withColumn(
         "text",
         F.when(F.col("__copy") == SALT, F.col("text")).otherwise(
@@ -53,7 +58,8 @@ def main() -> None:
                 F.expr(
                     "transform(split(text, ' '), (w, j) -> case when "
                     "(j + __copy) % 3 = 0 and length(w) > 0 then "
-                    "concat(w, char(97 + pmod(xxhash64(w, __copy), 26))) "
+                    "concat(w, char(97 + pmod(xxhash64(w, __copy), 26)), "
+                    "char(97 + pmod(xxhash64(w, __copy, 7), 26))) "
                     "else w end)"
                 ),
                 " ",

@@ -257,7 +257,7 @@ def ngram_jaccard_pairs(
     n_chars_col: str = "n_chars",
     lang_col: str = "lang",
     threshold: float = 0.6,
-    common_grams: int = 1024,
+    df_map_limit: int = 4_000_000,
     n_docs: int | None = None,
     demote_min_docs: int = 20000,
 ) -> DataFrame:
@@ -284,21 +284,23 @@ def ngram_jaccard_pairs(
     cheap (lang, +/-20 chars) predicates ride along as join residuals,
     preserving the operator's documented pair domain and its oracle.
 
-    The GLOBAL GRAM ORDER is df-demoted (r8, VERDICT r7 #3): the
-    ``common_grams`` highest-document-frequency grams sort AFTER every
-    other gram, so template phrases fall out of prefixes whenever a doc
-    has enough rarer grams — prefix filtering stays lossless under ANY
-    total order (the Bayardo proof never uses which order), only candidate
-    volume changes.  Instrumented at the r7 sf1 sweep fixture: the
-    hash-order prefixes produced 6.7M raw prefix pairs / 3.2M positional
-    survivors for 10x data (26.7x the sf0.1 volume — 90.5% of the
-    pair volume came from the top-1024 grams, df ~ n_docs/4); df-demotion
-    removes exactly that head.  This is textbook ppjoin df-ascending order
-    approximated by a two-class order — the df HEAD is what matters, and a
-    two-class order needs one bounded aggregate + a broadcast set instead
-    of the full df join the r7 version measured at two extra shuffles.
-    At 100 TB the common-gram head comes from a sampled sketch or the
-    previous run; here it is exact and deterministic (ties on gram).
+    The GLOBAL GRAM ORDER is df-ASCENDING — textbook ppjoin (r8, VERDICT
+    r7 #3): each doc's prefix holds its RAREST grams, so candidate pairs
+    form only on grams rare for BOTH docs.  Prefix filtering stays
+    lossless under ANY total order (the Bayardo proof never uses which
+    order), only candidate volume changes.  The evidence trail: hash-order
+    prefixes produced 26.7x candidate volume for 10x data (90.5% of pair
+    volume from the top-1024 grams); a two-class top-K-demoted order fixed
+    the 10x step but left 24M candidates at 100x — this synthetic corpus's
+    gram vocabulary saturates (mean df grows with n), so only the FULL df
+    order keeps prefixes rare.  The (gram -> df) map rides in the Arrow
+    UDF closure as two sorted numpy arrays (searchsorted lookup): grams
+    with df==1 are omitted (absent = df 1; they cannot pair anyway), and
+    the map is capped at ``df_map_limit`` highest-df grams — beyond the
+    cap the order degrades gracefully to the two-class shape (any
+    deterministic map still yields ONE consistent total order).  At 100 TB
+    the map becomes a broadcast df join / sampled sketch; same plan shape.
+    Deterministic: ties break on gram hash everywhere.
 
     Demotion is COST-BASED: the head aggregation + Arrow prefix pass cost
     ~0.7 s of fixed work at local scale, which a small corpus's candidate
@@ -348,17 +350,26 @@ def ngram_jaccard_pairs(
     # posexplode keeps each gram's RANK in the full sorted set for the
     # positional filter below.
     if n_docs is None or n_docs >= demote_min_docs:
-        # the df head: ONE bounded aggregation (explode -> count -> top-K),
-        # the result is a broadcastable set, never joined back at the corpus
-        common = frozenset(
-            r.gram
-            for r in d.select(F.explode("bg").alias("gram"))
+        # the (gram -> df) map: ONE aggregation (explode -> count), df==1
+        # grams omitted (absent means df 1 — a hapax gram can never form a
+        # pair), capped at the df_map_limit HIGHEST dfs.  The map ships in
+        # the Arrow UDF closure as two gram-sorted numpy arrays; lookup is
+        # one vectorized searchsorted per doc.
+        df_rows = (
+            d.select(F.explode("bg").alias("gram"))
             .groupBy("gram")
             .agg(F.count("*").alias("df"))
+            .filter(F.col("df") >= 2)
             .orderBy(F.desc("df"), "gram")
-            .limit(common_grams)
+            .limit(df_map_limit)
             .collect()
         )
+        import numpy as np
+
+        _G = np.array([r.gram for r in df_rows], dtype=np.int64)
+        _DF = np.array([r.df for r in df_rows], dtype=np.int64)
+        _order = np.argsort(_G)
+        G_sorted, DF_sorted = _G[_order], _DF[_order]
         thr_f = float(threshold)
 
         from pyspark.sql import types as T
@@ -372,26 +383,26 @@ def ngram_jaccard_pairs(
             )
         )
 
-        import numpy as np
-
-        common_np = np.sort(
-            np.fromiter(common, dtype=np.int64, count=len(common))
-        )
-
         @pandas_udf(_pref_schema)
         def _prefix(bg: pd.Series) -> pd.Series:
-            # per-doc prefix under the (is_common, gram) total order,
-            # carrying each prefix gram's RANK in the doc's fully-sorted
-            # gram list (the positional filter needs ranks, not prefix
-            # offsets); vectorized — isin against the sorted head + one
-            # lexsort per doc
+            # per-doc prefix under the (df, gram) total order, carrying
+            # each prefix gram's RANK in the doc's fully-sorted gram list
+            # (the positional filter needs ranks, not prefix offsets);
+            # vectorized — searchsorted df lookup + one lexsort per doc
             out = []
             for arr in bg:
                 if arr is None or len(arr) == 0:
                     out.append([])
                     continue
                 a = np.asarray(arr, dtype=np.int64)
-                order = np.lexsort((a, np.isin(a, common_np)))
+                if len(G_sorted):
+                    idx = np.searchsorted(G_sorted, a)
+                    idx_c = np.minimum(idx, len(G_sorted) - 1)
+                    hit = G_sorted[idx_c] == a
+                    df_a = np.where(hit, DF_sorted[idx_c], 1)
+                else:
+                    df_a = np.ones(len(a), dtype=np.int64)
+                order = np.lexsort((a, df_a))
                 plen = int(len(a) * (1.0 - thr_f)) + 1
                 out.append(
                     [(i, int(g)) for i, g in enumerate(a[order[:plen]])]

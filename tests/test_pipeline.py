@@ -106,14 +106,15 @@ def test_ngram_jaccard_order_invariance(spark):
         )
     )
     assert demoted == hash_order and len(demoted) > 0
-    # tiny common set stresses the demotion boundary: still identical
-    tiny_head = sorted(
+    # a truncated df map (only the 3 highest-df grams keep real dfs, the
+    # rest default to 1) is a DIFFERENT total order — still lossless
+    tiny_map = sorted(
         map(
             tuple,
-            ngram_jaccard_pairs(docs, threshold=0.6, common_grams=3).collect(),
+            ngram_jaccard_pairs(docs, threshold=0.6, df_map_limit=3).collect(),
         )
     )
-    assert tiny_head == demoted
+    assert tiny_map == demoted
 
 
 def test_ann_parameter_auto_scaling():
