@@ -302,14 +302,16 @@ def ngram_jaccard_pairs(
     the map becomes a broadcast df join / sampled sketch; same plan shape.
     Deterministic: ties break on gram hash everywhere.
 
-    Demotion is COST-BASED: the head aggregation + Arrow prefix pass cost
-    ~0.7 s of fixed work at local scale, which a small corpus's candidate
-    volume cannot repay (measured sf0.1: hash order 2.0 s vs demoted
-    2.7 s; sf1: demoted 4.0 s vs hash order ~7.4 s).  Callers that know
-    the corpus size pass ``n_docs`` (catalog stats / parquet footer) and
+    The df order is COST-BASED: the df aggregation + Arrow prefix pass
+    cost ~0.5 s of fixed work at local scale, which a small corpus's
+    candidate volume cannot repay (measured: sf0.1 hash order 1.9-2.1 s vs
+    df order 2.2 s; sf1 df order 4.3 s vs hash order ~7.4 s; sf10 df order
+    21.9 s vs two-class 44-82 s — PLANS §19/§21).  Callers that know the
+    corpus size pass ``n_docs`` (catalog stats / parquet footer) and
     corpora under ``demote_min_docs`` keep the cheaper hash order; unknown
-    size defaults to demoting — the scale-safe choice.  Both orders are
-    lossless, so the RESULT is identical either way (pinned by test)."""
+    size defaults to the df order — the scale-safe choice.  All orders
+    are lossless, so the RESULT is identical either way (pinned by
+    test)."""
     from tensorbase_spark.session import default_parallelism
 
     W = 20
