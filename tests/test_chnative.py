@@ -424,8 +424,13 @@ def test_datetime_wire_convention_is_utc():
     encode_column(out, "dt", "DateTime", [naive_utc, aware_plus5])
     name, t, vals = decode_column(Reader(bytes(out)), 2)
     assert vals[0] == vals[1] == naive_utc  # both decode to UTC-naive
+
+
+def test_low_cardinality_decode():
     """LC(String) additional-keys serialization decodes to plain strings."""
     import struct
+
+    from tensorbase_spark.sources.chnative import decode_column
 
     out = bytearray()
     write_str(out, "lc")
@@ -440,6 +445,57 @@ def test_datetime_wire_convention_is_utc():
     name, t, vals = decode_column(Reader(bytes(out)), 5)
     assert (name, t) == ("lc", "String")
     assert vals == ["cc", "aa", "bb", "bb", "cc"]
+
+
+def test_native_rejects_old_client_revision(served):
+    """messages.rs:255-257: client revisions below the server's 54405 are
+    rejected with an Exception packet at hello time."""
+    import socket as _socket
+
+    from tensorbase_spark.sources.chnative import (
+        CLIENT_HELLO,
+        SERVER_EXCEPTION,
+        write_str,
+        write_varint,
+    )
+
+    engine, port = served
+    s = _socket.create_connection(("127.0.0.1", port))
+    try:
+        out = bytearray()
+        write_varint(out, CLIENT_HELLO)
+        write_str(out, "old-client")
+        write_varint(out, 1)
+        write_varint(out, 1)
+        write_varint(out, 54300)  # < REVISION
+        write_str(out, "default")
+        write_str(out, "u")
+        write_str(out, "")
+        s.sendall(bytes(out))
+        rf = s.makefile("rb")
+        r = Reader(rf)
+        assert r.read_varint() == SERVER_EXCEPTION
+        assert r.read_u32le() == 22  # UnsupportedClientVersion (errs.rs:182)
+    finally:
+        s.close()
+
+
+def test_native_set_and_ddl_over_wire(served):
+    """Session commands flow over the wire like any statement: SET changes
+    engine state for subsequent wire statements in the shared session.
+    Under reinterpret storage the wire INSERT wraps u64 values two's
+    complement at the write boundary and SELECT exposes the stored Int64
+    bits — the documented reinterp trade (types.py ParsedType.reinterp:
+    display math is the caller's job) holds on every read surface."""
+    engine, port = served
+    with NativeClient(port=port) as c:
+        c.execute("set uint64_storage = 'reinterpret'")
+        c.execute("create table wset (k UInt64)")
+        c.execute("set uint64_storage = 'decimal'")
+        c.insert("wset", [("k", "UInt64", [2**64 - 1, 7])])
+        schema, rows = c.execute("select k from wset order by k")
+        assert ("k", "Nullable(Int64)") in schema  # stored-bits surface
+        assert sorted(r[0] for r in rows) == [-1, 7]  # 2^64-1 -> -1
 
 
 # ---------------------------------------------------------------------------
