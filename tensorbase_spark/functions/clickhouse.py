@@ -256,6 +256,64 @@ CH_SQL_TEMPLATES = {
     # introspection (upstream-CH session functions; SHOW-adjacent surface)
     "currentdatabase": "current_database()",
     "currentuser": "current_user()",
+    # --- tier 9 (round-8 gap probe): bit distance/rotation, lenient
+    # datetime parsing, clamped cumulative sums, bucket rounding, query
+    # normalization.  All pure Spark SQL expressions; plain builtins the
+    # dialect already passes through (hex/unhex/bin/repeat/least/greatest/
+    # initcap/ascii) need no entries here. -------------------------------
+    "bithammingdistance": (
+        "cast(bit_count(cast({0} as bigint) ^ cast({1} as bigint)) as int)"
+    ),
+    "bitrotateleft": (
+        "(shiftleft(cast({0} as bigint), {1}) | "
+        "shiftrightunsigned(cast({0} as bigint), 64 - ({1})))"
+    ),
+    "bitrotateright": (
+        "(shiftrightunsigned(cast({0} as bigint), {1}) | "
+        "shiftleft(cast({0} as bigint), 64 - ({1})))"
+    ),
+    # CH best-effort: try the common layouts in order; null only when all
+    # fail (the OrNull spelling is the same expression; plain CH would
+    # throw, and the engine's non-ANSI session yields null instead — the
+    # lenient edge documented for toDate as well)
+    "parsedatetimebesteffort": (
+        "coalesce(cast({0} as timestamp), "
+        "try_to_timestamp({0}, 'dd/MM/yyyy HH:mm:ss'), "
+        "try_to_timestamp({0}, 'dd/MM/yyyy'), "
+        "try_to_timestamp({0}, 'dd.MM.yyyy'), "
+        "try_to_timestamp({0}, 'yyyyMMddHHmmss'), "
+        "try_to_timestamp({0}, 'yyyyMMdd'))"
+    ),
+    "parsedatetimebesteffortornull": (
+        "coalesce(cast({0} as timestamp), "
+        "try_to_timestamp({0}, 'dd/MM/yyyy HH:mm:ss'), "
+        "try_to_timestamp({0}, 'dd/MM/yyyy'), "
+        "try_to_timestamp({0}, 'dd.MM.yyyy'), "
+        "try_to_timestamp({0}, 'yyyyMMddHHmmss'), "
+        "try_to_timestamp({0}, 'yyyyMMdd'))"
+    ),
+    # running sum clamped at zero, CH semantics: a clamp RESETS the base
+    "arraycumsumnonnegative": (
+        "aggregate({0}, "
+        "named_struct('a', cast(array() as array<double>), "
+        "'s', cast(0.0 as double)), "
+        "(acc, x) -> named_struct("
+        "'a', concat(acc.a, array(greatest(acc.s + x, cast(0.0 as double)))), "
+        "'s', greatest(acc.s + x, cast(0.0 as double))), "
+        "acc -> acc.a)"
+    ),
+    # largest bucket bound <= x; below the smallest bound CH returns the
+    # first element
+    "rounddown": (
+        "coalesce(array_max(filter({1}, __e -> __e <= {0})), "
+        "element_at({1}, 1))"
+    ),
+    # literals -> '?' (CH normalizeQuery's core behavior: string literals
+    # first, then bare numbers not inside identifiers)
+    "normalizequery": (
+        "regexp_replace(regexp_replace({0}, \"'[^']*'\", '?'), "
+        "'(?<![a-zA-Z0-9_])[0-9]+(\\\\.[0-9]+)?', '?')"
+    ),
 }
 
 

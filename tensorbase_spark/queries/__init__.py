@@ -177,6 +177,7 @@ R07_VERIFIED = frozenset(
 PRIORITY_HEAD = [
     # (a) new round-8 queries
     "wire_native_roundtrip", "remote_thrift_federation",
+    "ch_everyday_funcs9",
     # (b) round-8 behavior-changed implementations
     "ch_histogram_agg", "ch_topk_weighted", "ch_entropy_kv",
     "ch_everyday_funcs4", "engine_ingest_reinterp", "engine_buffer_flush",

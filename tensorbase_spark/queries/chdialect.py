@@ -1504,3 +1504,59 @@ FROM orders GROUP BY o_orderstatus
 QUERIES["ch_everyday_funcs8"] = Query(
     ch_everyday_funcs8, CH_EVERYDAY8_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs9(spark, sf_dir):
+    """Everyday upstream-CH tier 9 (round-8 gap probe): bitHammingDistance,
+    bitRotateLeft, parseDateTimeBestEffort (lenient multi-layout parse),
+    arrayCumSumNonNegative (clamped running sum — a clamp RESETS the base),
+    roundDown (bucket floor), normalizeQuery (literals -> ?), plus the
+    hex/unhex pass-through builtins proving the dialect leaves Spark
+    builtins intact."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e9")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "max(bitHammingDistance(o_orderkey, o_custkey)) as bhd, "
+        "max(bitRotateLeft(o_orderkey % 256, 3)) as brl, "
+        "count(case when parseDateTimeBestEffort("
+        "  date_format(o_orderdate, 'dd/MM/yyyy')) = "
+        "  cast(to_date(o_orderdate) as timestamp) then 1 end) as pd_ok, "
+        "arrayStringConcat(arrayMap(x -> toString(round(x, 2)), "
+        "  arrayCumSumNonNegative(array(round(max(o_totalprice), 2), "
+        "    -2 * round(max(o_totalprice), 2), "
+        "    round(max(o_totalprice), 2) / 2))), ',') as acsnn, "
+        "round(max(roundDown(o_totalprice, "
+        "  array(0.0, 50000.0, 100000.0, 200000.0, 300000.0, 400000.0))), 1)"
+        "  as rd, "
+        "max(normalizeQuery(concat('select * from t where id = ', "
+        "  o_orderkey, \" and name = 'x'\"))) as nq, "
+        "max(cast(unhex(hex(o_orderpriority)) as string)) as hx "
+        "from ord_e9 group by o_orderstatus"
+    )
+
+
+CH_EVERYDAY9_ORACLE = """
+SELECT o_orderstatus AS st,
+       CAST(max(bit_count(xor(o_orderkey, o_custkey))) AS INTEGER) AS bhd,
+       CAST(max((o_orderkey % 256) * 8) AS BIGINT) AS brl,
+       CAST(count(*) AS BIGINT) AS pd_ok,
+       CAST(round(max(o_totalprice), 2) AS VARCHAR) || ',0.0,' ||
+         CAST(round(round(max(o_totalprice), 2) / 2, 2) AS VARCHAR)
+         AS acsnn,
+       round(max(CASE
+         WHEN o_totalprice >= 400000 THEN 400000.0
+         WHEN o_totalprice >= 300000 THEN 300000.0
+         WHEN o_totalprice >= 200000 THEN 200000.0
+         WHEN o_totalprice >= 100000 THEN 100000.0
+         WHEN o_totalprice >= 50000 THEN 50000.0
+         ELSE 0.0 END), 1) AS rd,
+       'select * from t where id = ? and name = ?' AS nq,
+       max(o_orderpriority) AS hx
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES["ch_everyday_funcs9"] = Query(
+    ch_everyday_funcs9, CH_EVERYDAY9_ORACLE, ("dialect", "functions")
+)

@@ -374,3 +374,31 @@ def test_entropy_kv_theta(spark):
     ).collect()[0].m
     assert r == {"x": "1", "y": "2", "z": "3"}
     assert eng.sql("select uniqTheta(v) as u from ent_t").collect()[0].u == 2
+
+
+def test_tier9_everyday_functions(spark):
+    """Tier-9 semantics pinned at the SQL-text layer: clamp RESETS the
+    running-sum base (not just floors the output), bucket-floor falls back
+    to the first element, the lenient parser takes multiple layouts and
+    yields NULL when all fail, bit distance/rotation, normalizeQuery."""
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    r = eng.sql(
+        "select arrayCumSumNonNegative(array(1.0, -4.0, 3.0)) as a, "
+        "roundDown(7.0, array(1.0, 5.0, 10.0)) as rd, "
+        "roundDown(0.5, array(1.0, 5.0, 10.0)) as rd_low, "
+        "parseDateTimeBestEffort('31/12/2021') as p1, "
+        "parseDateTimeBestEffort('20211231') as p2, "
+        "parseDateTimeBestEffortOrNull('not a date') as p3, "
+        "bitHammingDistance(12, 10) as bhd, "
+        "bitRotateLeft(3, 2) as brl, "
+        "normalizeQuery(\"select a from t where b = 5 and c = 'x7'\") as nq"
+    ).collect()[0]
+    # clamp resets: 1, max(1-4,0)=0, 0+3=3 (plain cumsum would end at 0)
+    assert r.a == [1.0, 0.0, 3.0]
+    assert r.rd == 5.0 and r.rd_low == 1.0
+    assert str(r.p1).startswith("2021-12-31") and str(r.p2).startswith("2021-12-31")
+    assert r.p3 is None
+    assert r.bhd == 2 and r.brl == 12  # 12^10=0b0110 -> 2 bits; 3<<2
+    assert r.nq == "select a from t where b = ? and c = ?"
