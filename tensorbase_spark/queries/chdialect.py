@@ -1526,9 +1526,9 @@ def ch_everyday_funcs9(spark, sf_dir):
         "  arrayCumSumNonNegative(array(round(max(o_totalprice), 2), "
         "    -2 * round(max(o_totalprice), 2), "
         "    round(max(o_totalprice), 2) / 2))), ',') as acsnn, "
-        "round(max(roundDown(o_totalprice, "
-        "  array(0.0, 50000.0, 100000.0, 200000.0, 300000.0, 400000.0))), 1)"
-        "  as rd, "
+        "round(cast(max(roundDown(o_totalprice, "
+        "  array(0.0, 50000.0, 100000.0, 200000.0, 300000.0, 400000.0))) "
+        "  as Float64), 1) as rd, "
         "max(normalizeQuery(concat('select * from t where id = ', "
         "  o_orderkey, \" and name = 'x'\"))) as nq, "
         "max(cast(unhex(hex(o_orderpriority)) as string)) as hx "
@@ -1544,13 +1544,13 @@ SELECT o_orderstatus AS st,
        CAST(round(max(o_totalprice), 2) AS VARCHAR) || ',0.0,' ||
          CAST(round(round(max(o_totalprice), 2) / 2, 2) AS VARCHAR)
          AS acsnn,
-       round(max(CASE
+       round(CAST(max(CASE
          WHEN o_totalprice >= 400000 THEN 400000.0
          WHEN o_totalprice >= 300000 THEN 300000.0
          WHEN o_totalprice >= 200000 THEN 200000.0
          WHEN o_totalprice >= 100000 THEN 100000.0
          WHEN o_totalprice >= 50000 THEN 50000.0
-         ELSE 0.0 END), 1) AS rd,
+         ELSE 0.0 END) AS DOUBLE), 1) AS rd,
        'select * from t where id = ? and name = ?' AS nq,
        max(o_orderpriority) AS hx
 FROM orders GROUP BY o_orderstatus
