@@ -149,6 +149,27 @@ def test_embedding_near_dup_equijoin(spark, queries):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_assignment_no_corpus_crossjoin(spark, queries):
+    """r8 pin: IVF centroid assignment is ONE Arrow pass with the centroid
+    matrix in the UDF closure — the corpus must never cross-join the
+    centroid table (the old crossJoin+window shape materialized n x k
+    rows and went O(n^2/target_bucket) once auto-sized k grew with n;
+    the 100x sweep caught it stage-stalled, PLANS §21)."""
+    import re
+
+    plan = _formatted(spark, queries["sim_ivf_topk"](spark, SF))
+    # the only nested-loop join allowed is the TINY query-side probe
+    # ranking (bounded query set x centroid table); the corpus side must
+    # reach the probe equi-join through ArrowEvalPython assignment only.
+    # Count NODES (each appears once in the tree and once as a "(n) Name"
+    # detail block in formatted mode).
+    assert "ArrowEvalPython" in plan, plan
+    nl_nodes = re.findall(
+        r"\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)", plan
+    )
+    assert len(nl_nodes) <= 1, (nl_nodes, plan)
+
+
 def test_lsh_topk_bucket_equijoin(spark, queries):
     """sim_lsh_topk candidates come from an equi-join on (table_idx, bucket)
     — never a cross join of query x corpus."""
