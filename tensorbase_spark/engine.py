@@ -1574,7 +1574,7 @@ _INSERT_REMOTE_RE = re.compile(
 )
 _INSERT_RE = re.compile(
     r"^insert\s+into\s+(?P<name>[A-Za-z_][A-Za-z0-9_.]*)\s*(?:\((?P<cols>[^)]*)\)\s*)?"
-    r"(?P<rest>values\s+.*|select\s+.*|format\s+\w+\s+.*)$",
+    r"(?P<rest>values\b.*|select\s+.*|format\s+\w+\s+.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 

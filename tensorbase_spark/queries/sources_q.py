@@ -328,6 +328,73 @@ def wire_native_roundtrip(spark, sf_dir):
     )
 
 
+def wire_mysql_roundtrip(spark, sf_dir):
+    """MySQL wire protocol round trip (the reference's second stock front
+    door: crates/server_mysql/src/lib.rs:520 AsyncMysqlIntermediary,
+    text resultset crates/server_mysql/src/resultset.rs:103-349, query
+    dispatch crates/runtime/src/mysql/mod.rs:102-147).  An orders extract
+    goes out over a REAL TCP socket as text-protocol INSERT VALUES
+    batches (client frame -> server parse -> engine insert), then an
+    aggregate comes BACK over the same socket as a text resultset (server
+    lenenc encode -> client decode by column type); the returned
+    DataFrame is built from the wire-decoded values, so the oracle hash
+    certifies the full both-ends path — packet framing, handshake,
+    COM_QUERY dispatch, column definitions, lenenc text rows —
+    value-exactly."""
+    from tensorbase_spark.queries.engine_queries import _fresh_engine
+    from tensorbase_spark.sources.mysqlwire import MySQLClient, serve_mysql
+
+    eng = _fresh_engine(spark, sf_dir, "wmr")
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 41) == 0)
+        .select(
+            F.col("o_orderkey").cast("long"),
+            F.col("o_orderstatus").cast("string"),
+            F.col("o_totalprice").cast("double"),
+            F.col("o_orderdate").cast("date"),
+        )
+        .collect()
+    )
+    srv, port = serve_mysql(eng)
+    try:
+        with MySQLClient(port=port) as c:
+            c.query_drop(
+                "create table wmr_orders (ok Int64, status String, "
+                "price Float64, d Date)"
+            )
+            for i in range(0, len(rows), 500):
+                chunk = rows[i : i + 500]
+                values = ",".join(
+                    f"({r[0]},'{r[1]}',{r[2]!r},'{r[3]}')" for r in chunk
+                )
+                c.query_drop(f"insert into wmr_orders values {values}")
+            _, got = c.query(
+                "select status, count(*) as n, "
+                "cast(sum(cast(price as bigint)) as bigint) as price_sum, "
+                "min(d) as first_order, max(d) as last_order "
+                "from wmr_orders group by status order by status"
+            )
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    return spark.createDataFrame(
+        [tuple(r) for r in got],
+        "status string, n bigint, price_sum bigint, "
+        "first_order date, last_order date",
+    )
+
+
+WIRE_MYSQL_ORACLE = """
+SELECT o_orderstatus AS status, count(*) AS n,
+       CAST(sum(CAST(trunc(o_totalprice) AS BIGINT)) AS BIGINT) AS price_sum,
+       min(CAST(o_orderdate AS DATE)) AS first_order,
+       max(CAST(o_orderdate AS DATE)) AS last_order
+FROM orders WHERE o_orderkey % 41 = 0
+GROUP BY o_orderstatus
+"""
+
+
 WIRE_NATIVE_ORACLE = """
 SELECT l_returnflag AS flag, count(*) AS n,
        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
@@ -347,6 +414,9 @@ QUERIES = {
     "remote_jdbc_federation": Query(remote_jdbc_federation, REMOTE_JDBC_ORACLE, ("sources",)),
     "wire_native_roundtrip": Query(
         wire_native_roundtrip, WIRE_NATIVE_ORACLE, ("sources", "wire")
+    ),
+    "wire_mysql_roundtrip": Query(
+        wire_mysql_roundtrip, WIRE_MYSQL_ORACLE, ("sources", "wire")
     ),
     "remote_thrift_federation": Query(
         remote_thrift_federation, REMOTE_THRIFT_ORACLE, ("sources", "wire")

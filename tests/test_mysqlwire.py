@@ -1,0 +1,468 @@
+"""MySQL wire protocol tests.
+
+Golden-byte vectors follow the reference's own byte layouts
+(crates/server_mysql/src/writers.rs:9-156 for OK/EOF/ERR/handshake/column
+definitions, value/encode.rs for text values) and its parser test vectors
+(crates/server_mysql/src/commands.rs:215-280 — the HandshakeResponse41 and
+COM_QUERY packets are byte-identical mirrors).  The e2e section ports the
+reference's MySQL integration suite
+(crates/tests_integ/tests/sanity_checks_mysql.rs:9-1092) through a REAL
+TCP socket via the in-repo MySQLClient: DDL stress, inserts of every basic
+type, insert-select, desc, select *, partition-pruned scans.
+
+Port note: the reference's DESC assertions expect BQL type names
+("UInt64"); this engine's DESC answers in Spark type vocabulary
+("decimal(20,0)") — the ported test asserts the same invariant (stable
+name/type rows) in the engine's own spelling.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import threading
+import uuid
+from datetime import date, datetime
+from decimal import Decimal
+
+import pytest
+
+from tensorbase_spark.engine import TensorBaseEngine
+from tensorbase_spark.sources.mysqlwire import (
+    MAX_PAYLOAD,
+    MYSQL_TYPE_DATE,
+    MYSQL_TYPE_DATETIME,
+    MYSQL_TYPE_DECIMAL,
+    MYSQL_TYPE_DOUBLE,
+    MYSQL_TYPE_LONG,
+    MYSQL_TYPE_LONGLONG,
+    MYSQL_TYPE_SHORT,
+    MYSQL_TYPE_VARCHAR,
+    MySQLClient,
+    PacketIO,
+    UNSIGNED_FLAG,
+    build_column_definition,
+    build_eof,
+    build_err,
+    build_handshake,
+    build_ok,
+    encode_text_value,
+    ER_BAD_DB_ERROR,
+    ER_UNSUPPORTED_PS,
+    parse_handshake_response,
+    read_lenenc_int,
+    serve_mysql,
+    spark_type_to_mysql,
+    write_lenenc_int,
+)
+
+
+@pytest.fixture()
+def engine(spark):
+    eng = TensorBaseEngine(spark)
+    db = f"mydb_{uuid.uuid4().hex[:8]}"
+    eng.sql(f"create database {db}")
+    eng.sql(f"use {db}")
+    yield eng
+    spark.catalog.setCurrentDatabase("default")
+    eng.sql(f"drop database if exists {db}")
+
+
+@pytest.fixture()
+def served(engine):
+    srv, port = serve_mysql(engine)
+    yield engine, port
+    srv.shutdown()
+    srv.server_close()
+
+
+def _client(port: int) -> MySQLClient:
+    return MySQLClient(port=port)
+
+
+# ---------------------------------------------------------------------------
+# golden bytes
+# ---------------------------------------------------------------------------
+
+
+def test_ok_eof_err_golden():
+    """writers.rs:9-30/78-89 exact bytes."""
+    assert build_ok() == b"\x00\x00\x00\x00\x00\x00\x00"
+    assert build_ok(rows=3, last_insert_id=7) == b"\x00\x03\x07\x00\x00\x00\x00"
+    assert build_eof() == b"\xfe\x00\x00\x00\x00"
+    assert build_eof(status=0x0008) == b"\xfe\x00\x00\x08\x00"
+    err = build_err(ER_BAD_DB_ERROR, "nope")
+    assert err == b"\xff" + struct.pack("<H", 1049) + b"#42000nope"
+
+
+def test_handshake_golden():
+    """writers.rs:45-76 write_handshake_packet byte-for-byte with the
+    fixed nonce (the reference's own seed split, lib.rs:331+339)."""
+    hs = build_handshake(connection_id=8, nonce=b";X,po_k}>o6^Wz!/kM}N")
+    expect = bytearray()
+    expect += b"\x0a"  # protocol 10
+    expect += b"5.1.10-alpha-msql-proxy\x00"
+    expect += b"\x08\x00\x00\x00"  # connection id
+    expect += b";X,po_k}\x00"  # scramble part 1 + NUL
+    expect += b"\x08\x82"  # capabilities lower (0x8208 LE)
+    expect += b"\x21"  # UTF8_GENERAL_CI
+    expect += b"\x00\x00"  # status
+    expect += b"\x08\x00"  # capabilities upper (PLUGIN_AUTH >> 16)
+    expect += b"\x15"  # scramble len 21
+    expect += b"\x00" * 10  # fillers
+    expect += b">o6^Wz!/kM}N\x00"  # scramble part 2 + NUL
+    expect += b"mysql_native_password\x00"
+    assert hs == bytes(expect)
+
+
+def test_client_handshake_parse_reference_vector():
+    """commands.rs:216-243 it_parses_handshake — same payload bytes."""
+    payload = bytes(
+        [0x85, 0xA6, 0x3F, 0x20, 0x00, 0x00, 0x00, 0x01, 0x21]
+        + [0x00] * 23
+        + [0x6A, 0x6F, 0x6E, 0x00, 0x00, 0x00, 0x00]
+    )
+    hs = parse_handshake_response(payload)
+    assert hs["username"] == b"jon"
+    assert hs["maxps"] == 16777216
+    assert hs["collation"] == 0x21
+    assert hs["capabilities"] & 0x00000001  # CLIENT_LONG_PASSWORD
+    assert hs["capabilities"] & 0x00020000  # CLIENT_MULTI_RESULTS
+    assert not hs["capabilities"] & 0x00000008  # no CONNECT_WITH_DB
+    assert hs["database"] is None
+
+
+def test_com_query_packet_reference_vector():
+    """commands.rs:246-260 it_parses_request: the framed COM_QUERY bytes."""
+    raw = bytes(
+        [0x21, 0x00, 0x00, 0x00, 0x03]
+    ) + b"select @@version_comment limit 1"
+    pio = PacketIO(io.BytesIO(raw), io.BytesIO())
+    payload = pio.recv()
+    assert payload[0] == 0x03
+    assert payload[1:] == b"select @@version_comment limit 1"
+    assert pio.seq == 1  # response must start at seq 1
+
+
+def test_column_definition_golden():
+    """writers.rs:122-149 layout: lenenc strs, 0x0C, charset 33, len 1024."""
+    pkt = build_column_definition("foo", "a", MYSQL_TYPE_LONGLONG, 0)
+    expect = (
+        b"\x03def" + b"\x00" + b"\x03foo" + b"\x00" + b"\x01a" + b"\x00"
+        + b"\x0c" + struct.pack("<H", 33) + struct.pack("<I", 1024)
+        + bytes([MYSQL_TYPE_LONGLONG]) + b"\x00\x00" + b"\x00" + b"\x00\x00"
+    )
+    assert pkt == expect
+
+
+def test_text_value_encoding():
+    """value/encode.rs to_mysql_text: lenenc strings, 0xFB NULL,
+    zero-padded dates, micros only when nonzero."""
+    out = bytearray()
+    encode_text_value(out, None)
+    assert bytes(out) == b"\xfb"
+    out = bytearray()
+    encode_text_value(out, 42)
+    assert bytes(out) == b"\x0242"
+    out = bytearray()
+    encode_text_value(out, date(2020, 1, 7))
+    assert bytes(out) == b"\x0a2020-01-07"
+    out = bytearray()
+    encode_text_value(out, datetime(2021, 3, 4, 5, 6, 7))
+    assert bytes(out) == b"\x132021-03-04 05:06:07"
+    out = bytearray()
+    encode_text_value(out, datetime(2021, 3, 4, 5, 6, 7, 123))
+    assert bytes(out) == b"\x1a2021-03-04 05:06:07.000123"
+    out = bytearray()
+    encode_text_value(out, Decimal("10.02"))
+    assert bytes(out) == b"\x0510.02"
+
+
+def test_lenenc_int_roundtrip():
+    for v in (0, 1, 0xFA, 0xFB, 0xFFFF, 0x10000, 0xFFFFFF, 0x1000000, 2**40):
+        out = bytearray()
+        write_lenenc_int(out, v)
+        got, pos = read_lenenc_int(bytes(out), 0)
+        assert got == v and pos == len(out)
+
+
+def test_packet_split_reassembly():
+    """packet.rs:194-281: payloads split at 16 MiB - 1 with a terminator
+    frame at the exact boundary, and reassemble transparently."""
+    for size in (0, 1, MAX_PAYLOAD - 1, MAX_PAYLOAD, MAX_PAYLOAD + 5):
+        payload = bytes(size % 251 for _ in range(0)) or b"x" * size
+        buf = io.BytesIO()
+        PacketIO(io.BytesIO(), buf).send(payload)
+        raw = buf.getvalue()
+        got = PacketIO(io.BytesIO(raw), io.BytesIO()).recv()
+        assert got == payload, size
+    # exact-boundary framing detail: MAX_PAYLOAD bytes -> 2 frames
+    buf = io.BytesIO()
+    PacketIO(io.BytesIO(), buf).send(b"x" * MAX_PAYLOAD)
+    raw = buf.getvalue()
+    assert raw[:3] == b"\xff\xff\xff" and raw[3] == 0
+    tail = raw[4 + MAX_PAYLOAD :]
+    assert tail == b"\x00\x00\x00\x01"  # zero-length continuation, seq 1
+
+
+def test_spark_type_mapping(spark):
+    """mysql/mod.rs:346-362 arrow_type_to_mysql_type parity."""
+    from pyspark.sql import types as T
+
+    assert spark_type_to_mysql(T.LongType()) == (MYSQL_TYPE_LONGLONG, 0)
+    assert spark_type_to_mysql(T.IntegerType()) == (MYSQL_TYPE_LONG, 0)
+    assert spark_type_to_mysql(T.ShortType()) == (MYSQL_TYPE_SHORT, 0)
+    assert spark_type_to_mysql(T.DoubleType()) == (MYSQL_TYPE_DOUBLE, 0)
+    assert spark_type_to_mysql(T.DateType()) == (MYSQL_TYPE_DATE, 0)
+    assert spark_type_to_mysql(T.TimestampType()) == (MYSQL_TYPE_DATETIME, 0)
+    assert spark_type_to_mysql(T.StringType()) == (MYSQL_TYPE_VARCHAR, 0)
+    assert spark_type_to_mysql(T.DecimalType(9, 2)) == (MYSQL_TYPE_DECIMAL, 0)
+    # the engine's UInt64 carrier surfaces as unsigned BIGINT
+    assert spark_type_to_mysql(T.DecimalType(20, 0)) == (
+        MYSQL_TYPE_LONGLONG,
+        UNSIGNED_FLAG,
+    )
+
+
+# ---------------------------------------------------------------------------
+# e2e over a real socket (sanity_checks_mysql.rs ports)
+# ---------------------------------------------------------------------------
+
+
+def test_mysql_handshake_ping_version(served):
+    _, port = served
+    with _client(port) as c:
+        assert c.server_version == "5.1.10-alpha-msql-proxy"
+        assert c.ping()
+        assert c.ping()  # sequence ids reset per command
+
+
+def test_mysql_at_at_variables(served):
+    """lib.rs:661-680: @@max_allowed_packet answered, other @@ -> OK."""
+    _, port = served
+    with _client(port) as c:
+        cols, rows = c.query("SELECT @@max_allowed_packet")
+        assert cols[0][0] == "@@max_allowed_packet"
+        assert rows == [(67108864,)]
+        cols, rows = c.query("select @@version_comment limit 1")
+        assert (cols, rows) == ([], [])
+
+
+def test_mysql_stress_ddl(served):
+    """sanity_checks_mysql.rs:9-27 (10 tables instead of 100)."""
+    _, port = served
+    with _client(port) as c:
+        for i in range(10):
+            tn = f"test_tab_{i}"
+            c.query_drop(f"DROP TABLE IF EXISTS {tn}")
+            c.query_drop(f"CREATE TABLE {tn}(x Int64)")
+            c.query_drop(f"TRUNCATE TABLE {tn}")
+            c.query_drop(f"DROP TABLE {tn}")
+
+
+def test_mysql_basic_insert(served):
+    """sanity_checks_mysql.rs:29-63."""
+    _, port = served
+    with _client(port) as c:
+        c.query_drop("CREATE TABLE test_tab(a Int64)")
+        data = [1, 3, 5, 7, 9, 11]
+        for a in data:
+            c.query_drop(f"INSERT INTO test_tab values ({a})")
+        _, rows = c.query("select count(a) from test_tab")
+        assert rows == [(len(data),)]
+        _, rows = c.query("select sum(a) from test_tab")
+        assert rows == [(sum(data),)]
+
+
+def test_mysql_insert_select(served):
+    """sanity_checks_mysql.rs:65-141 both halves: numeric insert-select and
+    the quote-escaped funky strings."""
+    _, port = served
+    with _client(port) as c:
+        c.query_drop("create table test_t1(a UInt64, b UInt8)")
+        c.query_drop("create table test_t2(a UInt64, b UInt8)")
+        c.query_drop("insert into test_t1 values(1, 3), (2, 4), (3, 5)")
+        c.query_drop("insert into test_t2 select * from test_t1")
+        _, rows = c.query("select * from test_t2 order by a")
+        for i, row in enumerate(rows):
+            assert int(row[0]) == i + 1
+            assert int(row[1]) == i + 3
+
+        c.query_drop("create table test_t3(a String)")
+        c.query_drop("create table test_t4(a String)")
+        data = ["aelvbs a1 233 🀄️", "b^&#*-['&**%%%", "c;;;;\n\t"]
+        for s in data:
+            esc = s.replace("'", "''")
+            c.query_drop(f"insert into test_t3 values ('{esc}')")
+        c.query_drop("insert into test_t4 select * from test_t3")
+        c.query_drop(
+            "insert into test_t4(a) select a from test_t3 order by a limit 1"
+        )
+        _, rows = c.query("select count(*) from test_t4")
+        assert rows == [(4,)]
+        _, rows = c.query("select * from test_t4 order by a limit 1")
+        assert rows == [("aelvbs a1 233 🀄️",)]
+
+
+def test_mysql_insert_float(served):
+    """sanity_checks_mysql.rs:142-187."""
+    _, port = served
+    with _client(port) as c:
+        c.query_drop("CREATE TABLE test_tab(a Float64)")
+        data = [1.1, 1.2, 1.3]
+        for a in data:
+            c.query_drop(f"insert into test_tab values ({a})")
+        _, rows = c.query("select count(a) from test_tab")
+        assert rows == [(3,)]
+        _, rows = c.query("select sum(a) from test_tab")
+        assert rows[0][0] == pytest.approx(sum(data), abs=1e-12)
+
+
+def test_mysql_insert_decimal32(served):
+    """sanity_checks_mysql.rs:189-222: Decimal(9,2) values come back with
+    scale-2 text exactly."""
+    _, port = served
+    with _client(port) as c:
+        c.query_drop("CREATE TABLE test_tab_dec(a Decimal(9,2))")
+        for a in ("123.00", "10.02"):
+            c.query_drop(f"insert into test_tab_dec values ({a})")
+        cols, rows = c.query("select a from test_tab_dec order by a")
+        assert cols[0][1] == MYSQL_TYPE_DECIMAL
+        assert [str(r[0]) for r in rows] == ["10.02", "123.00"]
+
+
+def test_mysql_insert_decimal64(served):
+    """sanity_checks_mysql.rs:223-256: Decimal(12,2)."""
+    _, port = served
+    with _client(port) as c:
+        c.query_drop("CREATE TABLE test_tab_dec(a Decimal(12,2))")
+        for a in ("123.00", "1002003001.20"):
+            c.query_drop(f"insert into test_tab_dec values ({a})")
+        _, rows = c.query("select a from test_tab_dec order by a")
+        assert [str(r[0]) for r in rows] == ["123.00", "1002003001.20"]
+
+
+def test_mysql_insert_date(served):
+    """sanity_checks_mysql.rs:257-295."""
+    _, port = served
+    with _client(port) as c:
+        c.query_drop("CREATE TABLE test_tab_date(a Date)")
+        for a in ("2010-10-20", "2020-01-07"):
+            c.query_drop(f"insert into test_tab_date values ('{a}')")
+        cols, rows = c.query("select a from test_tab_date order by a")
+        assert cols[0][1] == MYSQL_TYPE_DATE
+        assert rows == [(date(2010, 10, 20),), (date(2020, 1, 7),)]
+
+
+def test_mysql_insert_string(served):
+    """sanity_checks_mysql.rs:296-328."""
+    _, port = served
+    with _client(port) as c:
+        c.query_drop("CREATE TABLE test_tab(s String)")
+        for s in ("a", "ab", "abc"):
+            c.query_drop(f"insert into test_tab values ('{s}')")
+        _, rows = c.query("select s from test_tab order by s")
+        assert [r[0] for r in rows] == ["a", "ab", "abc"]
+
+
+def test_mysql_insert_fixed_string(served):
+    """sanity_checks_mysql.rs:329-374."""
+    _, port = served
+    with _client(port) as c:
+        c.query_drop("CREATE TABLE test_tab(s FixedString(3))")
+        for s in ("a  ", "ab ", "abc"):
+            c.query_drop(f"insert into test_tab values ('{s}')")
+        _, rows = c.query("select s from test_tab order by s")
+        assert [r[0] for r in rows] == ["a  ", "ab ", "abc"]
+        _, rows = c.query("select count(s) from test_tab")
+        assert rows == [(3,)]
+
+
+def test_mysql_desc_table(served):
+    """sanity_checks_mysql.rs:376-424 — desc/describe/desc table all give
+    the same stable (name, type) rows (types in Spark vocabulary)."""
+    _, port = served
+    with _client(port) as c:
+        c.query_drop("create table test(a UInt64, b String)")
+        for sql in ("desc test", "describe test", "desc table test"):
+            _, rows = c.query(sql)
+            assert [r[0] for r in rows] == ["a", "b"]
+            assert [r[1] for r in rows] == ["decimal(20,0)", "string"]
+
+
+def test_mysql_select_all(served):
+    """sanity_checks_mysql.rs:1039-1067."""
+    _, port = served
+    with _client(port) as c:
+        c.query_drop("create table test1_tab(a UInt64, b UInt64)")
+        c.query_drop("insert into test1_tab values(1,1),(2,2)")
+        cols, rows = c.query("select * from test1_tab where b = 1")
+        assert len(cols) == 2
+        assert rows == [(1, 1)]
+
+
+def test_mysql_partition_prune(served):
+    """sanity_checks_mysql.rs:1069-1092: partitioned table over the wire."""
+    _, port = served
+    with _client(port) as c:
+        c.query_drop(
+            "create table test1_tab(a UInt64, b UInt64) "
+            "engine=BaseStorage partition by a"
+        )
+        c.query_drop("insert into test1_tab values(1,1),(2,2)")
+        _, rows = c.query("select a from test1_tab where b = 1")
+        assert len(rows) == 1
+
+
+def test_mysql_use_and_init_db(served):
+    """lib.rs:681-689 USE routing + COM_INIT_DB (mysql/mod.rs:83-100),
+    including the ER_BAD_DB_ERROR path."""
+    engine, port = served
+    db = engine.spark.catalog.currentDatabase()
+    with _client(port) as c:
+        c.use(db)  # COM_INIT_DB
+        c.query_drop(f"USE `{db}`;")  # USE via COM_QUERY, backticked
+        with pytest.raises(RuntimeError, match="1049"):
+            c.use("no_such_db_xyz")
+
+
+def test_mysql_errors(served):
+    """ERR packets: parse error, missing table, unsupported PS."""
+    _, port = served
+    with _client(port) as c:
+        with pytest.raises(RuntimeError, match="MySQL error"):
+            c.query("select * from definitely_missing_tab")
+        # prepared statements answer a clean ER_UNSUPPORTED_PS (the
+        # reference's on_prepare is todo!(), mysql/mod.rs:60-66)
+        c.pio.seq = 0
+        c.pio.send(bytes([0x16]) + b"select ?")
+        resp = c.pio.recv()
+        assert resp[0] == 0xFF
+        assert struct.unpack_from("<H", resp, 1)[0] == ER_UNSUPPORTED_PS[0]
+        # connection still usable afterwards
+        assert c.ping()
+
+
+def test_mysql_concurrent_clients(served):
+    """Two clients on distinct tables interleave safely (the server is
+    thread-per-connection like the reference's per-conn tokio task)."""
+    _, port = served
+    errs: list[Exception] = []
+
+    def work(tag: str) -> None:
+        try:
+            with _client(port) as c:
+                c.query_drop(f"create table conc_{tag}(x Int64)")
+                for i in range(3):
+                    c.query_drop(f"insert into conc_{tag} values ({i})")
+                _, rows = c.query(f"select sum(x) from conc_{tag}")
+                assert rows == [(3,)]
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    ts = [threading.Thread(target=work, args=(t,)) for t in ("aa", "bb")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
