@@ -297,8 +297,11 @@ def _city_hash_128_with_seed(
         v0, v1 = _weak_hash_len_32(s, pos + rem - tail_done, v0, v1)
     x = _hash_len_16(x, v0)
     y = _hash_len_16(y, w0)
+    # final combine (city.cc 1.0.2): low mixes w.FIRST, high mixes w.second
+    # — pinned by the C cross-implementation vectors in
+    # tests/test_chnative.py::test_city_hash_128_long_known_answers
     return (
-        (_hash_len_16((x + v1) & _M64, w1) + y) & _M64,
+        (_hash_len_16((x + v1) & _M64, w0) + y) & _M64,
         _hash_len_16((x + w1) & _M64, (y + v1) & _M64),
     )
 
@@ -515,7 +518,12 @@ def _encode_values(out: bytearray, ch_type: str, values: list) -> None:
     elif base == "Date":
         for v in values:
             d = v.date() if isinstance(v, datetime) else v
-            out += struct.pack("<H", (d - _EPOCH_DATE).days)
+            days = (d - _EPOCH_DATE).days
+            if not 0 <= days <= 0xFFFF:  # wire Date is u16 days-since-epoch
+                raise ValueError(
+                    f"Date {d} outside the wire range 1970-01-01..2149-06-06"
+                )
+            out += struct.pack("<H", days)
     elif base.startswith("DateTime"):
         # wire DateTime is epoch SECONDS; the codec's convention for naive
         # python datetimes is UTC wall clock (the timezone the hello
@@ -527,7 +535,12 @@ def _encode_values(out: bytearray, ch_type: str, values: list) -> None:
                 ts = int(aware.timestamp())
             else:
                 ts = int(v)
-            out += struct.pack("<I", ts & 0xFFFFFFFF)
+            if not 0 <= ts <= 0xFFFFFFFF:  # wire DateTime is u32 seconds
+                raise ValueError(
+                    f"DateTime {v} outside the wire range "
+                    "1970-01-01..2106-02-07 (u32 epoch seconds)"
+                )
+            out += struct.pack("<I", ts)
     elif base.startswith("Decimal"):
         p, s = _decimal_params(base)
         fmt = "<i" if p <= 9 else "<q"  # meta/src/types.rs:145-152
