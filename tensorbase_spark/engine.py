@@ -117,6 +117,39 @@ _DIST_AGG_RE = re.compile(r"(?is)\b(topkweighted|topk|histogram|entropy)\s*\(")
 # aggregate-looking call names that defeat the two-level lowering (the
 # level-1 pre-aggregation can't re-express them) — conservative: a false
 # positive only keeps the buffered single-pass form
+def _subquery_spans(text: str) -> list[tuple[int, int]]:
+    """Spans of parenthesized groups that open a nested SELECT (literals
+    must already be masked, so parens inside strings cannot mislead)."""
+    spans: list[tuple[int, int]] = []
+    for m in re.finditer(r"(?is)\(\s*select\b", text):
+        start = m.start()
+        if any(s <= start < e for s, e in spans):
+            continue  # already inside an outer subquery group
+        depth, j, n = 1, m.end(), len(text)
+        while j < n and depth:
+            if text[j] == "(":
+                depth += 1
+            elif text[j] == ")":
+                depth -= 1
+            j += 1
+        spans.append((start, j))
+    return spans
+
+
+def _sub_outside_subqueries(pat: re.Pattern, repl: str, text: str) -> str:
+    """re.sub, but matches inside nested (select ...) groups are left
+    untouched — they belong to the inner query's scope."""
+    spans = _subquery_spans(text)
+    if not spans:
+        return pat.sub(repl, text)
+    return pat.sub(
+        lambda m: m.group(0)
+        if any(s <= m.start() < e for s, e in spans)
+        else repl,
+        text,
+    )
+
+
 _OTHER_AGG_RE = re.compile(
     r"(?is)\b(count|sum|avg|min|max|median\w*|quantile\w*|uniq\w*|any\w*|"
     r"arg(?:max|min)|stddev\w*|var\w*|corr|covar\w*|collect_\w+|"
@@ -285,9 +318,13 @@ def _rewrite_dist_aggs(sql: str) -> str:
     for st, en, _ in reversed(spans):
         residue = residue[:st] + " " + residue[en:]
     # count(*) is the one companion aggregate the level-1 rows re-express
-    # exactly: the pair counts sum back to the raw row count
+    # exactly: the pair counts sum back to the raw row count.  A count(*)
+    # inside a NESTED subquery belongs to that scope, not this
+    # aggregation level — substituting it would reference __tb_dist
+    # columns out of scope (ADVICE r8 #2); leaving it untouched in the
+    # residue makes _OTHER_AGG_RE bail conservatively instead
     count_star = re.compile(r"(?is)\bcount\s*\(\s*\*\s*\)")
-    residue = count_star.sub(" ", residue)
+    residue = _sub_outside_subqueries(count_star, " ", residue)
     if _OTHER_AGG_RE.search(residue):
         return sql
     rewritten = masked
@@ -296,7 +333,9 @@ def _rewrite_dist_aggs(sql: str) -> str:
     # coalesce: on an EMPTY ungrouped source count(*) is 0 while sum(__dc)
     # is NULL (ADVICE r7 #5); with GROUP BY every group has >=1 pair so the
     # coalesce is inert
-    rewritten = count_star.sub("coalesce(cast(sum(__dc) as bigint), 0)", rewritten)
+    rewritten = _sub_outside_subqueries(
+        count_star, "coalesce(cast(sum(__dc) as bigint), 0)", rewritten
+    )
     # split at the region marker BEFORE unmasking: literals are still
     # \x01N\x01 tokens here, so a literal that itself contains \x02 cannot
     # move the split point (it reappears only after _unmask below)

@@ -257,7 +257,7 @@ def ngram_jaccard_pairs(
     n_chars_col: str = "n_chars",
     lang_col: str = "lang",
     threshold: float = 0.6,
-    df_map_limit: int = 4_000_000,
+    df_map_limit: int = 1_000_000,
     n_docs: int | None = None,
     demote_min_docs: int = 20000,
 ) -> DataFrame:
@@ -298,8 +298,11 @@ def ngram_jaccard_pairs(
     with df==1 are omitted (absent = df 1; they cannot pair anyway), and
     the map is capped at ``df_map_limit`` highest-df grams — beyond the
     cap the order degrades gracefully to the two-class shape (any
-    deterministic map still yields ONE consistent total order).  At 100 TB
-    the map becomes a broadcast df join / sampled sketch; same plan shape.
+    deterministic map still yields ONE consistent total order).  The map
+    arrives via Arrow (``toPandas`` -> two int64 numpy arrays, ~16 MB at
+    the 1M-gram default) rather than Row objects, and ships once per
+    executor in the UDF closure.  At 100 TB the map becomes a broadcast
+    df join / sampled sketch; same plan shape.
     Deterministic: ties break on gram hash everywhere.
 
     The df order is COST-BASED: the df aggregation + Arrow prefix pass
@@ -357,19 +360,23 @@ def ngram_jaccard_pairs(
         # pair), capped at the df_map_limit HIGHEST dfs.  The map ships in
         # the Arrow UDF closure as two gram-sorted numpy arrays; lookup is
         # one vectorized searchsorted per doc.
-        df_rows = (
+        # Arrow collect (toPandas), NOT Row objects: at the cap this is two
+        # contiguous 8-byte columns (~2x8 MB at the 1M default) instead of
+        # hundreds of MB of driver-side Row objects (ADVICE r8 #5); the UDF
+        # closure then pickles just the two numpy arrays
+        df_pdf = (
             d.select(F.explode("bg").alias("gram"))
             .groupBy("gram")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") >= 2)
             .orderBy(F.desc("df"), "gram")
             .limit(df_map_limit)
-            .collect()
+            .toPandas()
         )
         import numpy as np
 
-        _G = np.array([r.gram for r in df_rows], dtype=np.int64)
-        _DF = np.array([r.df for r in df_rows], dtype=np.int64)
+        _G = df_pdf["gram"].to_numpy(dtype=np.int64)
+        _DF = df_pdf["df"].to_numpy(dtype=np.int64)
         _order = np.argsort(_G)
         G_sorted, DF_sorted = _G[_order], _DF[_order]
         thr_f = float(threshold)

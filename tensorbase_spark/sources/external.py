@@ -86,6 +86,19 @@ def remote(
     row values.  The hive2 URL therefore gets the two session confs
     appended (HiveDriver passes `?k=v;k=v` to the server per session), so
     the generated `SELECT "col" FROM t` resolves as identifiers.
+
+    SEMANTIC SCOPE of that fix (ADVICE r8 #4): doubleQuotedIdentifiers
+    requires ansi.enabled, and ANSI mode also switches every expression
+    the JDBC source pushes down to the REMOTE session — filters, casts —
+    to strict ANSI semantics: an overflowing cast or bad parse RAISES
+    there instead of returning NULL, diverging from this engine's
+    non-ANSI sessions.  Plain column projections and equality/range
+    filters (everything remote() is used for in-repo) behave identically
+    under both modes; push down a lossy cast and the error surface
+    differs.  Callers needing non-ANSI remote evaluation should read
+    unfiltered and apply the expression locally, or pre-set
+    doubleQuotedIdentifiers in their URL (which this function then leaves
+    alone).
     """
     if addr.startswith("local:"):
         return spark.table(table)

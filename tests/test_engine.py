@@ -2691,6 +2691,39 @@ def test_dist_agg_lowering_tail_aggregates(engine, spark):
     ).collect()[0].n == 0
 
 
+def test_dist_agg_lowering_nested_subquery_count(engine, spark):
+    """ADVICE r8 #2: a count(*) that belongs to a NESTED scalar subquery
+    must not be rewritten to sum(__dc) (out-of-scope __tb_dist columns).
+    The conservative outcome is a full bail — the subquery's count stays
+    in the residue and _OTHER_AGG_RE refuses the lowering — and the query
+    still evaluates correctly through the buffered form."""
+    from tensorbase_spark.engine import _rewrite_dist_aggs
+
+    spark.createDataFrame(
+        [("a", "x")] * 2 + [("b", "y")] * 3, "k string, v string"
+    ).createOrReplaceTempView("dns_t")
+    spark.createDataFrame([(1,), (2,)], "z int").createOrReplaceTempView(
+        "dns_other"
+    )
+    q = (
+        "select k, topK(1)(v) as t from dns_t group by k "
+        "order by (select count(*) from dns_other), k"
+    )
+    assert _rewrite_dist_aggs(q) == q  # bail, not a broken rewrite
+    r = engine.sql(
+        "select k, arrayStringConcat(topK(1)(v), '|') as t from dns_t "
+        "group by k order by (select count(*) from dns_other), k"
+    ).collect()
+    assert [(x.k, x.t) for x in r] == [("a", "x"), ("b", "y")]
+    # ... while a depth>0 count(*) in a plain FUNCTION call still lowers
+    # (it is this scope's aggregate, just wrapped)
+    low = _rewrite_dist_aggs(
+        "select k, topK(1)(v) as t, cast(count(*) as double) as n "
+        "from dns_t group by k"
+    )
+    assert "cast(coalesce(cast(sum(__dc) as bigint), 0) as double)" in low
+
+
 def test_system_one(engine):
     """system.one — CH's 1-row ping table (dummy UInt8 = 0)."""
     r = engine.sql("select 1 as ping, dummy from system.one").collect()
