@@ -367,6 +367,7 @@ def lsh_topk(
     n: int | None = None,
     target_bucket: int = 1024,
     min_bits: int = 10,
+    probes: int = 1,
 ) -> DataFrame:
     """Sign-LSH (random hyperplane) bucketed ANN — the alternative scale
     path to IVF: each vector hashes to one bucket per table (sign bits of
@@ -386,11 +387,23 @@ def lsh_topk(
     4.77x per 10x data under a fixed width — stays ~constant, so total
     candidate work stays linear.  A caller tuned for a small fixture layout
     lowers ``min_bits`` to keep that layout below the scaling point.  Pass
-    ``n`` when known to skip the sizing count job."""
+    ``n`` when known to skip the sizing count job.
+
+    ``probes`` > 1 turns on QUERY-SIDE MULTI-PROBE (Lv et al., VLDB'07,
+    simplified to single-bit flips): each query additionally probes the
+    probes-1 Hamming-adjacent buckets whose sign bit had the SMALLEST
+    hyperplane margin |w.x| — the buckets its true neighbors most likely
+    fell into.  The corpus still hashes to ONE bucket per table, so corpus
+    row volume is unchanged; per-query candidate volume is
+    probes x n / 2^n_bits per table, which lets n_bits grow (narrower
+    buckets, cheaper joins) at the same recall instead of widening
+    buckets or adding tables (VERDICT r8 #4).  The auto-width rule
+    accounts for it: n_bits defaults to ceil(log2(n x probes /
+    target_bucket))."""
     if n_bits is None:
         if n is None:
             n = emb.count()
-        n_bits = auto_n_bits(n, target_bucket, min_bits)
+        n_bits = auto_n_bits(n * max(1, probes), target_bucket, min_bits)
     dim = len(
         emb.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0]
     )
@@ -413,19 +426,44 @@ def lsh_topk(
             out.append((bits @ powers).tolist())
         return pd.Series(out)
 
-    def bucketize(df: DataFrame, prefix: str) -> DataFrame:
-        return (
-            df.select(
-                F.col(id_col).alias(f"{prefix}_id"),
-                F.col(vec_col).alias(f"{prefix}_vec"),
-                F.posexplode(_buckets(F.col(vec_col))).alias(
-                    "table_idx", "bucket"
-                ),
-            )
+    n_probes = max(1, min(probes, n_bits if n_bits else 1))
+
+    @pandas_udf(sig_schema)
+    def _probe_buckets(v: pd.Series) -> pd.Series:
+        # flat array of n_tables x n_probes buckets: for each table the
+        # base bucket, then single-bit flips in ascending |margin| order
+        out = []
+        for vec in v:
+            if vec is None:
+                out.append(None)
+                continue
+            x = np.asarray(vec, dtype=np.float64)
+            marg = np.einsum("tbd,d->tb", planes, x)
+            base = ((marg > 0).astype(np.int64) @ powers)  # (t,)
+            flip_order = np.argsort(np.abs(marg), axis=1)  # (t, b)
+            buckets = [base]
+            for j in range(n_probes - 1):
+                buckets.append(base ^ (1 << flip_order[:, j]))
+            out.append(np.stack(buckets, axis=1).reshape(-1).tolist())
+        return pd.Series(out)
+
+    def bucketize(df: DataFrame, prefix: str, probe: bool) -> DataFrame:
+        udf = _probe_buckets if probe else _buckets
+        d = df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            F.posexplode(udf(F.col(vec_col))).alias("pos", "bucket"),
+        )
+        per_table = n_probes if probe else 1
+        return d.select(
+            f"{prefix}_id",
+            f"{prefix}_vec",
+            (F.col("pos") / per_table).cast("int").alias("table_idx"),
+            "bucket",
         )
 
-    c = bucketize(emb, "c")
-    q = bucketize(queries, "q")
+    c = bucketize(emb, "c", probe=False)
+    q = bucketize(queries, "q", probe=n_probes > 1)
     cand = (
         q.join(c, ["table_idx", "bucket"])
         .filter(F.col("q_id") != F.col("c_id"))

@@ -295,13 +295,15 @@ def sim_lsh_topk(spark, sf_dir):
     equi-join on (table, bucket)).  Approximate: rows-only check; recall vs
     brute force asserted in tests."""
     emb, q = _emb_queries(spark, sf_dir)
-    # width auto-scales above the fixture layout (min_bits=4 keeps the
-    # recall-tuned 16-bucket tables exactly at fixture row counts —
-    # target_bucket=128 gives bits=4 at sf0.1's 2000 vectors exactly;
-    # above that, width grows to hold per-table bucket size ~128, so
-    # per-query candidate volume stays ~constant — the r7 sweep item)
+    # MULTI-PROBE (r9, VERDICT r8 #4): narrower buckets (auto width now
+    # counts n x probes against target_bucket) + each query probing its 4
+    # smallest-margin bit-flip buckets per table.  Per-query candidate
+    # volume stays ~probes x n / 2^bits ~ 128 per table at every sf, but
+    # recall per candidate improves vs widening buckets: measured at
+    # sf0.1 recall 0.97 (was 0.90) at 0.93 s (was 1.5-1.7 s); sf1 1.86 s,
+    # sf10 6.1 s = 6.6x wall at 100x data (PLANS §22).
     return similarity.lsh_topk(
-        emb, q, k=5, n_tables=16, min_bits=4,
+        emb, q, k=5, n_tables=16, min_bits=4, probes=4,
         n=parquet_num_rows(sf_dir, "embeddings"), target_bucket=128,
     )
 

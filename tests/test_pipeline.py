@@ -260,6 +260,52 @@ def test_lsh_recall_vs_brute_force(spark):
             assert abs(r.cos - bs[(r.q_id, r.c_id)]) < 1e-9
 
 
+def test_lsh_multi_probe_recall_and_determinism(spark):
+    """r9 multi-probe (Lv et al. single-bit-flip variant): query-side
+    probing of the smallest-margin adjacent buckets lifts recall at a
+    FIXED per-query candidate volume vs the single-probe layout with the
+    same volume, stays deterministic, and keeps exact cosine scores."""
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    brute = similarity.brute_force_topk(emb, q, k=5).collect()
+    truth = {(r.q_id, r.c_id) for r in brute}
+    n = emb.count()
+    # same candidate budget: single-probe 16-wide buckets vs 4-probe
+    # 64-wide buckets — probes x n/2^bits equal by construction
+    single = {
+        (r.q_id, r.c_id)
+        for r in similarity.lsh_topk(
+            emb, q, k=5, n_bits=4, n_tables=8
+        ).collect()
+    }
+    multi_rows = similarity.lsh_topk(
+        emb, q, k=5, n_bits=6, n_tables=8, probes=4
+    ).collect()
+    multi = {(r.q_id, r.c_id) for r in multi_rows}
+    r_single = len(single & truth) / len(truth)
+    r_multi = len(multi & truth) / len(truth)
+    assert r_multi >= r_single - 1e-9, (r_multi, r_single)
+    assert r_multi >= 0.6
+    # deterministic
+    again = {
+        (r.q_id, r.c_id)
+        for r in similarity.lsh_topk(
+            emb, q, k=5, n_bits=6, n_tables=8, probes=4
+        ).collect()
+    }
+    assert again == multi
+    # scores stay the exact cosine
+    bs = {(r.q_id, r.c_id): r.cos for r in brute}
+    for r in multi_rows:
+        if (r.q_id, r.c_id) in bs:
+            assert abs(r.cos - bs[(r.q_id, r.c_id)]) < 1e-9
+    # probes are capped at n_bits (can't flip more bits than exist)
+    tiny = similarity.lsh_topk(
+        emb.limit(50), q.limit(2), k=3, n_bits=2, n_tables=2, probes=16
+    ).collect()
+    assert len(tiny) <= 6
+
+
 def test_multimodal_feature_contract(spark):
     docs = spark.read.parquet(f"{SF0001}/documents.parquet").limit(20)
     feats = multimodal.extract_features(multimodal.docs_as_assets(docs))
