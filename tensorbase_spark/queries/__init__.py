@@ -164,27 +164,48 @@ R07_VERIFIED = frozenset(
     cte_revenue""".split()
 )
 
-# Round-8 head: every head slot buys FRESH evidence (VERDICT r7 #7) —
-# (a) the two queries NEW this round (the ClickHouse NATIVE wire round
-# trip and the Thrift/hive-jdbc self-federation), then (b) every query
-# whose IMPLEMENTATION changed behavior or plan in round 8: the
-# distribution-aggregate tail/HAVING lowering (histogram/topK/entropy/
-# everyday4), the UInt64Reinterp composite-stamping and buffer-scoping
-# and alias-cache fixes under the ingest-path rows, the df-demoted
-# ngram-jaccard prefix order (+ its clusters consumer), and the
-# auto-scaled / footer-sized ANN paths.  Everything else is
-# driver-verified r1..r7 and yields its slot.
+# Round-8 driver-verified set (CORRECTNESS_r08.json, 47 hash-green + the
+# 3 rows-only ANN approximates that were deliberately re-headed after
+# their auto-sizing change).
+R08_VERIFIED = frozenset(
+    """agg_array_collect ch_aggregate_combinators ch_array_hofs
+    ch_date_parts ch_entropy_kv ch_everyday_funcs4 ch_everyday_funcs9
+    ch_histogram_agg ch_json_extract ch_limit_by ch_math_funcs
+    ch_split_pad ch_topk_weighted corpus_semantic_dedup
+    dedup_embedding_cosine dedup_neardup_clusters dedup_ngram_jaccard
+    engine_buffer_flush engine_ddl_insert_select engine_ingest_reinterp
+    engine_null_distributed join_range_bands q10_returned_items
+    q11_important_part_share q12_shipmode_priority
+    q13_customer_distribution q14_promo_effect q15_top_supplier
+    q16_supplier_relationship q17_small_quantity_revenue q18_large_orders
+    q19_disjunctive_predicates q20_potential_promotion
+    q21_suppliers_kept_waiting q22_global_sales_opportunity
+    q2_min_cost_supplier q4_order_priority q6_forecast_revenue
+    q7_volume_shipping q8_market_share q9_product_type_profit
+    remote_thrift_federation rollup_hierarchy scalar_subquery_agg
+    sim_ivf_indexed sim_ivf_topk sim_lsh_topk window_rank_dense
+    window_row_number wire_native_roundtrip""".split()
+)
+
+# Round-9 head: every head slot buys FRESH evidence (VERDICT r8 #7) —
+# (a) the query NEW this round (the MySQL wire protocol round trip),
+# then (b) every query whose IMPLEMENTATION changed behavior or plan in
+# round 9: the native wire round trip (CityHash128 >=128B final-combine
+# fix changes large-frame checksum bytes; Date/DateTime range checks),
+# multi-probe LSH (+ its full-cover companion, same hashing module), the
+# Arrow df-map collect under ngram-jaccard (+ its clusters consumer),
+# and the dist-agg queries riding the nested-subquery count(*) scope
+# change.  Everything else is driver-verified r1..r8 and yields its
+# slot to the staleness-ordered tail.
 PRIORITY_HEAD = [
-    # (a) new round-8 queries
-    "wire_native_roundtrip", "remote_thrift_federation",
-    "ch_everyday_funcs9",
-    # (b) round-8 behavior-changed implementations
-    "ch_histogram_agg", "ch_topk_weighted", "ch_entropy_kv",
-    "ch_everyday_funcs4", "engine_ingest_reinterp", "engine_buffer_flush",
-    "engine_null_distributed", "engine_ddl_insert_select",
-    "dedup_embedding_cosine", "corpus_semantic_dedup",
+    # (a) new round-9 queries
+    "wire_mysql_roundtrip",
+    # (b) round-9 behavior-changed implementations
+    "wire_native_roundtrip",
+    "sim_lsh_topk", "sim_lsh_full_cover",
     "dedup_ngram_jaccard", "dedup_neardup_clusters",
-    "sim_ivf_topk", "sim_lsh_topk", "sim_ivf_indexed",
+    "ch_histogram_agg", "ch_topk_weighted", "ch_entropy_kv",
+    "ch_everyday_funcs4",
 ]
 
 
@@ -226,7 +247,7 @@ def registry() -> dict[str, Query]:
 
     rounds = [
         R01_VERIFIED, R02_VERIFIED, R03_VERIFIED, R04_VERIFIED,
-        R05_VERIFIED, R06_VERIFIED, R07_VERIFIED,
+        R05_VERIFIED, R06_VERIFIED, R07_VERIFIED, R08_VERIFIED,
     ]
     verified = frozenset().union(*rounds)
     head = [n for n in PRIORITY_HEAD if n in out]

@@ -31,7 +31,11 @@ def test_plans_close_lines_carry_no_registry_counts(  # VERDICT r7 #8
     note.  The single test-enforced source is COVERAGE.md's Totals line."""
     text = open("PLANS.md").read()
     stale = re.findall(
-        r"\d+\s+queries\s*/\s*\d+\s+oracles|\d+\s+tests green", text
+        r"\d+\s+queries\s*/\s*\d+\s+oracles|\d+\s+tests green"
+        # r8 nit shape: "267/267 oracle rows" went one-commit stale —
+        # any N/N-oracle-row spelling is likewise banned from close notes
+        r"|\d+\s*/\s*\d+\s+oracle",
+        text,
     )
     assert not stale, f"hardcoded counts in PLANS.md: {stale}"
 
