@@ -466,3 +466,42 @@ def test_mysql_concurrent_clients(served):
     for t in ts:
         t.join()
     assert not errs
+
+
+def test_mysql_per_type_roundtrip(served):
+    """Wide-table per-type inventory over the MySQL wire (the mysql twin
+    of test_chnative.py::test_native_per_type_socket_roundtrip): every
+    text-protocol value codec exercised end-to-end — ints, floats,
+    decimals (scale preserved), date, datetime (micros truncate at the
+    engine's DateTime seconds resolution), strings, NULLs."""
+    _, port = served
+    with _client(port) as c:
+        c.query_drop(
+            "create table wide(id Int32, i64v Int64, u64v UInt64, "
+            "f Float64, s String, d Date, dt DateTime, "
+            "dec9 Decimal(9,2), nn Nullable(Int64))"
+        )
+        c.query_drop(
+            "insert into wide values "
+            "(1, -9223372036854775808, 0, -1.5, '', '1970-01-01', "
+            "'1970-01-01 00:00:00', 123.00, 7), "
+            "(2, 9223372036854775807, 18446744073709551615, 2.25, 'héllo', "
+            "'2149-06-06', '2106-02-06 01:02:03', -9999999.99, NULL)"
+        )
+        cols, rows = c.query(
+            "select id, i64v, u64v, f, s, d, dt, dec9, nn "
+            "from wide order by id"
+        )
+        assert rows[0] == (
+            1, -(2**63), 0, -1.5, "", date(1970, 1, 1),
+            datetime(1970, 1, 1, 0, 0), Decimal("123.00"), 7,
+        )
+        assert rows[1] == (
+            2, 2**63 - 1, 2**64 - 1, 2.25, "héllo", date(2149, 6, 6),
+            datetime(2106, 2, 6, 1, 2, 3), Decimal("-9999999.99"), None,
+        )
+        types = dict(cols)
+        assert types["u64v"] == MYSQL_TYPE_LONGLONG  # unsigned carrier
+        assert types["d"] == MYSQL_TYPE_DATE
+        assert types["dt"] == MYSQL_TYPE_DATETIME
+        assert types["dec9"] == MYSQL_TYPE_DECIMAL
