@@ -108,18 +108,31 @@ def main() -> None:
         "events",
     )
 
-    # linear-density embeddings: per-(dim, copy) sign flips
-    emb = copies(src("embeddings"), {"vec_id": STRIDE["embeddings"]})
-    flipped = emb.withColumn(
-        "embedding",
-        F.when(F.col("__copy") == 0, F.col("embedding")).otherwise(
-            F.expr(
-                "transform(embedding, (x, j) -> cast(x * "
-                "(1 - 2 * pmod(xxhash64(j, __copy), 2)) as float))"
+    # linear-density embeddings: 100 sign-flip copies derived DIRECTLY
+    # from sf0.1 (not from sf1 — the sf1 +-0.1 noise keeps its 10 copies
+    # mutually pairing at the fixture threshold 0.4, so any further
+    # scaling of sf1 carries that quadratic core along; measured 7.6M
+    # pairs where linear density predicts ~92k).  Sign patterns are
+    # uncorrelated across copies (cross-copy cos ~ N(0, 1/sqrt(dim)), a
+    # >5-sigma miss at 0.4) while within-copy cosines are EXACT, so true
+    # pairs = copies x sf0.1 pairs.
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    outs = []
+    for i in range(100):
+        c = base.withColumn("vec_id", F.col("vec_id") + F.lit(i * 2000))
+        if i:
+            c = c.withColumn(
+                "embedding",
+                F.expr(
+                    f"transform(embedding, (x, j) -> cast(x * "
+                    f"(1 - 2 * pmod(xxhash64(j, {i}), 2)) as float))"
+                ),
             )
-        ),
-    )
-    write(flipped.drop("__copy"), "embeddings_lin")
+        outs.append(c)
+    lin = outs[0]
+    for o in outs[1:]:
+        lin = lin.unionByName(o)
+    write(lin, "embeddings_lin")
     spark.stop()
 
 
