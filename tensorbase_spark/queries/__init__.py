@@ -199,7 +199,7 @@ R08_VERIFIED = frozenset(
 # slot to the staleness-ordered tail.
 PRIORITY_HEAD = [
     # (a) new round-9 queries
-    "wire_mysql_roundtrip",
+    "wire_mysql_roundtrip", "remote_mysql_federation",
     # (b) round-9 behavior-changed implementations
     "wire_native_roundtrip",
     "sim_lsh_topk", "sim_lsh_full_cover",

@@ -328,6 +328,53 @@ def wire_native_roundtrip(spark, sf_dir):
     )
 
 
+def remote_mysql_federation(spark, sf_dir):
+    """remote() over the MYSQL wire protocol — the reference's remote()
+    speaks MySQL natively (crates/engine/src/remote.rs:49); here the
+    engine serves its own MySQL endpoint (sources/mysqlwire.py) and
+    remote('mysql://...') reads a published table back through it, then
+    joins with the local nation dim.  Engine -> MySQL wire -> engine,
+    no JDBC jar involved; typed values (Int64/Float64) survive the
+    text-protocol round trip, certified by the value hash."""
+    from tensorbase_spark.queries.engine_queries import _fresh_engine
+    from tensorbase_spark.sources.mysqlwire import serve_mysql
+
+    eng = _fresh_engine(spark, sf_dir, "rmf")
+    db = spark.catalog.currentDatabase()
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("rmf_src")
+    eng.sql("create table rmf_supplier (sk Int64, nk Int64, bal Float64)")
+    eng.sql(
+        "insert into rmf_supplier select s_suppkey, s_nationkey, s_acctbal "
+        "from rmf_src"
+    )
+    srv, port = serve_mysql(eng)
+    try:
+        r = external.remote(
+            spark, f"mysql://127.0.0.1:{port}/{db}", "rmf_supplier"
+        )
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        r.filter(F.col("bal") > 0)
+        .join(F.broadcast(nation), r.nk == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("bal"), 2).alias("total_bal"),
+        )
+    )
+
+
+REMOTE_MYSQL_ORACLE = """
+SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal > 0
+GROUP BY n_name
+"""
+
+
 def wire_mysql_roundtrip(spark, sf_dir):
     """MySQL wire protocol round trip (the reference's second stock front
     door: crates/server_mysql/src/lib.rs:520 AsyncMysqlIntermediary,
@@ -417,6 +464,9 @@ QUERIES = {
     ),
     "wire_mysql_roundtrip": Query(
         wire_mysql_roundtrip, WIRE_MYSQL_ORACLE, ("sources", "wire")
+    ),
+    "remote_mysql_federation": Query(
+        remote_mysql_federation, REMOTE_MYSQL_ORACLE, ("sources", "wire")
     ),
     "remote_thrift_federation": Query(
         remote_thrift_federation, REMOTE_THRIFT_ORACLE, ("sources", "wire")

@@ -55,6 +55,74 @@ def read_ndjson(
     return spark.read.options(**options).json(path, schema=bql_schema(cols))
 
 
+def _remote_mysql(spark: SparkSession, addr: str, table: str) -> DataFrame:
+    """mysql://host:port[/db] federation over the in-repo MySQL-protocol
+    client (sources/mysqlwire.py) — no JDBC jar, no pushdown: a full
+    SELECT * materializes at the driver and becomes a local DataFrame,
+    the reference remote()'s block-concat shape (read.rs:151-228)."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from tensorbase_spark.sources.mysqlwire import (
+        MYSQL_TYPE_DATE,
+        MYSQL_TYPE_DATETIME,
+        MYSQL_TYPE_DECIMAL,
+        MYSQL_TYPE_DOUBLE,
+        MYSQL_TYPE_FLOAT,
+        MYSQL_TYPE_LONG,
+        MYSQL_TYPE_LONGLONG,
+        MYSQL_TYPE_SHORT,
+        MYSQL_TYPE_TIMESTAMP,
+        MYSQL_TYPE_TINY,
+        MySQLClient,
+    )
+
+    hostport, _, db = addr[len("mysql://"):].partition("/")
+    host, _, port = hostport.partition(":")
+    with MySQLClient(host=host or "127.0.0.1", port=int(port or 3306)) as c:
+        if db:
+            c.use(db)
+        cols, rows = c.query(f"select * from {table}")
+
+    def spark_type(coltype: int, idx: int):
+        if coltype in (MYSQL_TYPE_TINY, MYSQL_TYPE_SHORT, MYSQL_TYPE_LONG):
+            return T.IntegerType(), None
+        if coltype == MYSQL_TYPE_LONGLONG:
+            # unsigned values above i64 arrive as plain ints; promote the
+            # column to Decimal(20,0) (the engine's UInt64 carrier)
+            if any(r[idx] is not None and r[idx] > 2**63 - 1 for r in rows):
+                return T.DecimalType(20, 0), lambda v: Decimal(v)
+            return T.LongType(), None
+        if coltype == MYSQL_TYPE_FLOAT:
+            return T.FloatType(), None
+        if coltype == MYSQL_TYPE_DOUBLE:
+            return T.DoubleType(), None
+        if coltype == MYSQL_TYPE_DECIMAL:
+            sample = next((r[idx] for r in rows if r[idx] is not None), None)
+            scale = -sample.as_tuple().exponent if sample is not None else 0
+            return T.DecimalType(38, max(0, scale)), None
+        if coltype == MYSQL_TYPE_DATE:
+            return T.DateType(), None
+        if coltype in (MYSQL_TYPE_DATETIME, MYSQL_TYPE_TIMESTAMP):
+            return T.TimestampType(), None
+        return T.StringType(), None
+
+    fields, convs = [], []
+    for i, (name, coltype) in enumerate(cols):
+        st, conv = spark_type(coltype, i)
+        fields.append(T.StructField(name, st, True))
+        convs.append(conv)
+    data = [
+        tuple(
+            (convs[i](v) if convs[i] and v is not None else v)
+            for i, v in enumerate(r)
+        )
+        for r in rows
+    ]
+    return spark.createDataFrame(data, T.StructType(fields))
+
+
 def remote(
     spark: SparkSession,
     addr: str,
@@ -75,6 +143,10 @@ def remote(
                                             Spark's own classpath, so this
                                             one federates TWO engine
                                             processes with zero extra jars)
+      'mysql://host:port[/db]'           -> MySQL wire protocol via the
+                                            in-repo pure-Python client
+                                            (the reference's native MySQL
+                                            remote, remote.rs:49)
       'local:'                           -> loopback: serves spark.table(table),
                                             exercising the same call path
                                             without a network (test mode)
@@ -102,6 +174,14 @@ def remote(
     """
     if addr.startswith("local:"):
         return spark.table(table)
+    if addr.startswith("mysql://"):
+        # driver-less MySQL-protocol federation via the in-repo client —
+        # the reference's remote() speaks MySQL natively
+        # (crates/engine/src/remote.rs:49, mysql crate) rather than
+        # through JDBC; this is the same stance in pure Python.  Rows
+        # materialize at the driver like the reference's block concat
+        # (read.rs:151-228) — dimension-table scale by contract.
+        return _remote_mysql(spark, addr, table)
     if not addr.startswith("jdbc:"):
         raise ValueError(f"unsupported remote address: {addr!r}")
     if addr.startswith("jdbc:hive2:"):

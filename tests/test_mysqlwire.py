@@ -505,3 +505,73 @@ def test_mysql_per_type_roundtrip(served):
         assert types["d"] == MYSQL_TYPE_DATE
         assert types["dt"] == MYSQL_TYPE_DATETIME
         assert types["dec9"] == MYSQL_TYPE_DECIMAL
+
+
+def test_mysql_cast_large_utf8(served):
+    """sanity_checks_mysql.rs:426-470."""
+    _, port = served
+    with _client(port) as c:
+        c.query_drop("CREATE TABLE test_tab(s String)")
+        for s in ("a", "ab", "abc"):
+            c.query_drop(f"insert into test_tab values ('{s}')")
+        _, rows = c.query("select count(s) from test_tab")
+        assert rows == [(3,)]
+        _, rows = c.query("select count(s) from test_tab where s = 'ab'")
+        assert rows == [(1,)]
+
+
+def test_mysql_cast_simple_datatype(served):
+    """sanity_checks_mysql.rs:473-541: cast literals over the wire + a
+    sum(cast(Int32 as Int64)) that would overflow Int32."""
+    _, port = served
+    with _client(port) as c:
+        _, rows = c.query("select cast(2147483647 as Int64) as v")
+        assert rows == [(2**31 - 1,)]
+        _, rows = c.query("select cast(-2147483648 as Int64) as v")
+        assert rows == [(-(2**31),)]
+        _, rows = c.query("select cast(0.000001 as Float64) as v")
+        assert rows[0][0] == 0.000001
+        c.query_drop("CREATE TABLE test_tab(a Int32)")
+        vals = list(range(10**9, 10**9 + 100))
+        c.query_drop(
+            "insert into test_tab values "
+            + ",".join(f"({v})" for v in vals)
+        )
+        _, rows = c.query("select sum(cast(a as Int64)) from test_tab")
+        assert rows == [(sum(vals),)]
+
+
+def test_mysql_date_cast_filter(served):
+    """sanity_checks_mysql.rs:543-594: date string comparison filter."""
+    _, port = served
+    with _client(port) as c:
+        c.query_drop("CREATE TABLE test_tab_date(a Date)")
+        c.query_drop(
+            "insert into test_tab_date values ('2010-10-20'), ('2020-01-07')"
+        )
+        _, rows = c.query(
+            "select count(1) from test_tab_date where a < '2011-11-11'"
+        )
+        assert rows == [(1,)]
+
+
+def test_mysql_uuid_functions(served):
+    """sanity_checks_mysql.rs:982-1037: the UUID function family over the
+    wire — generateUUIDv4 uniqueness, toUUID normalization, and the
+    UUIDStringToNum/UUIDNumToString inverse pair (asserted as an inverse
+    round trip in this engine's byte-string spelling)."""
+    _, port = served
+    u = "612f3c40-5d3b-217e-707b-6a546a3d7b29"
+    with _client(port) as c:
+        c.query_drop("CREATE TABLE test_tab_uuid(b String)")
+        c.query_drop(f"insert into test_tab_uuid values('{u}')")
+        _, rows = c.query(
+            "select generateUUIDv4() as u0, generateUUIDv4() as u1, "
+            "cast(toUUID(b) as String) as tu, "
+            "UUIDNumToString(UUIDStringToNum(b)) as rt "
+            "from test_tab_uuid"
+        )
+        (u0, u1, tu, rt), = rows
+        assert u0 != u1 and len(u0) == 36 and len(u1) == 36
+        assert tu == u
+        assert rt == u
