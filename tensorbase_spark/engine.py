@@ -4400,10 +4400,25 @@ class TensorBaseEngine:
                         f"JDBC driver jar must be on spark.jars: {e}"
                     ) from e
                 return self.spark.sql("SELECT 1 AS ok")
+            if addr.startswith("mysql://"):
+                # push over the MySQL wire via the in-repo client — the
+                # reference's remote-insert speaks MySQL natively
+                # (mgmt.rs:744-770 + engine/src/remote.rs:49)
+                from tensorbase_spark.sources.external import (
+                    remote_insert_mysql,
+                )
+
+                rest = rm.group("rest")
+                if rest.lower().startswith("values"):
+                    src = self.spark.sql(f"SELECT * FROM {rest}")
+                else:
+                    src = self.spark.sql(self._translate_query(rest))
+                remote_insert_mysql(addr, rm.group("name"), src)
+                return self.spark.sql("SELECT 1 AS ok")
             if not addr.startswith("local:"):
                 raise ValueError(
                     f"insert into function remote({addr!r}): unsupported "
-                    "address scheme (local: or jdbc:)"
+                    "address scheme (local:, jdbc: or mysql://)"
                 )
             c = f"insert into {rm.group('name')} {rm.group('rest')}"
         m = _INSERT_RE.match(c)

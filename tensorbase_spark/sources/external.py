@@ -123,6 +123,44 @@ def _remote_mysql(spark: SparkSession, addr: str, table: str) -> DataFrame:
     return spark.createDataFrame(data, T.StructType(fields))
 
 
+def remote_insert_mysql(addr: str, table: str, df: DataFrame) -> int:
+    """INSERT INTO FUNCTION remote('mysql://...', t) — push a DataFrame's
+    rows to a MySQL-protocol endpoint as batched text INSERT VALUES (the
+    reference's remote-insert over its native MySQL connection,
+    mgmt.rs:744-770).  Rows materialize at the driver (the reference
+    ships whole blocks the same way); returns the row count."""
+    import datetime as _dt
+
+    from tensorbase_spark.sources.mysqlwire import MySQLClient
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "1" if v else "0"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, _dt.datetime):
+            return "'" + v.strftime("%Y-%m-%d %H:%M:%S") + "'"
+        if isinstance(v, (_dt.date,)):
+            return f"'{v}'"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    hostport, _, db = addr[len("mysql://"):].partition("/")
+    host, _, port = hostport.partition(":")
+    rows = df.collect()
+    with MySQLClient(host=host or "127.0.0.1", port=int(port or 3306)) as c:
+        if db:
+            c.use(db)
+        for i in range(0, len(rows), 500):
+            chunk = rows[i : i + 500]
+            values = ",".join(
+                "(" + ",".join(lit(v) for v in r) + ")" for r in chunk
+            )
+            c.query_drop(f"insert into {table} values {values}")
+    return len(rows)
+
+
 def remote(
     spark: SparkSession,
     addr: str,

@@ -575,3 +575,38 @@ def test_mysql_uuid_functions(served):
         assert u0 != u1 and len(u0) == 36 and len(u1) == 36
         assert tu == u
         assert rt == u
+
+
+def test_mysql_insert_into_remote_function(served):
+    """sanity_checks_mysql.rs:672-745 (the reference marks it #[ignore]
+    because ITS MySQL server lacks remote functions — this engine runs
+    it): INSERT INTO FUNCTION remote('mysql://...', t) SELECT pushes rows
+    over the engine's own MySQL endpoint, then the target reads back
+    correct over the same wire."""
+    engine, port = served
+    db = engine.spark.catalog.currentDatabase()
+    engine.sql(
+        "create table test_remote_func(a UInt8, b UInt16, c UInt32, "
+        "d UInt64, i String)"
+    )
+    engine.sql("create table test_src(a UInt8, b UInt16, c UInt32, "
+               "d UInt64, i String)")
+    engine.sql(
+        "insert into test_src values (1,1,1,1,'abc'), (2,2,2,2,'efg'), "
+        "(3,3,3,3,'hello world')"
+    )
+    engine.sql(
+        f"insert into function remote('mysql://127.0.0.1:{port}/{db}', "
+        "test_remote_func) select * from test_src"
+    )
+    with _client(port) as c:
+        c.use(db)
+        _, rows = c.query(
+            "select count(*) as n, sum(a) as sa, sum(d) as sd, "
+            "min(i) as mi from test_remote_func"
+        )
+        assert rows == [(3, 6, 6, "abc")]
+        _, rows = c.query(
+            "select i from test_remote_func order by a desc limit 1"
+        )
+        assert rows == [("hello world",)]
