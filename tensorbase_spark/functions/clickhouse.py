@@ -79,11 +79,20 @@ def toSecond(col):
 
 
 def toDate(col):
-    """int -> days-since-epoch date is NOT the CH semantic; CH toDate(int)
-    treats the int as unix *seconds* (tests clickhouse.rs:14-80:
-    toDate(536457600) = '1987-01-01')."""
+    """CH toDate(int) is VALUE-dispatched: ints in the u16 Date domain
+    (0..65535) are days-since-epoch (the reference's own MySQL suite:
+    toDate(14610) = '2010-01-01', sanity_checks_mysql.rs:756-980), larger
+    ints are unix seconds (datafusion golden clickhouse.rs:14-80:
+    toDate(536457600) = '1987-01-01').  Strings/dates/timestamps take the
+    cast path."""
     c = _c(col)
-    return F.to_date(_as_ts(c))
+    # via string: try_cast(date/timestamp AS decimal) is an ANALYSIS
+    # error in Spark 4.x, while anything casts to string
+    as_num = c.cast("string").try_cast("decimal(20,0)")
+    days = as_num.isNotNull() & (as_num >= 0) & (as_num <= 65535)
+    return F.when(
+        days, F.date_add(F.lit("1970-01-01").cast("date"), as_num.cast("int"))
+    ).otherwise(F.to_date(_as_ts(c)))
 
 
 def toDateTime(col):
@@ -221,7 +230,11 @@ CH_SQL_TEMPLATES = {
     "tohour": "hour({0})",
     "tominute": "minute({0})",
     "tosecond": "second({0})",
-    "todate": "to_date(cast({0} as timestamp))",
+    "todate": (
+        "(case when try_cast(cast({0} as string) as decimal(20,0)) between 0 and 65535 "
+        "then date_add(date'1970-01-01', cast({0} as int)) "
+        "else to_date(cast({0} as timestamp)) end)"
+    ),
     "todatetime": "cast({0} as timestamp)",
     "toyyyymm": "cast(year({0})*100 + month({0}) as bigint)",
     "toyyyymmdd": "cast(year({0})*10000 + month({0})*100 + dayofmonth({0}) as bigint)",

@@ -610,3 +610,62 @@ def test_mysql_insert_into_remote_function(served):
             "select i from test_remote_func order by a desc limit 1"
         )
         assert rows == [("hello world",)]
+
+
+def test_mysql_date_time_functions(served):
+    """sanity_checks_mysql.rs:756-980 condensed: the toYear/toMonth/
+    toQuarter/toDayOf*/toHour/toMinute/toSecond family and toDate over
+    Date, DateTime, loose date STRINGS and epoch-day Int64 — same six
+    fixture rows, asserted over the wire.  (The reference's extra
+    tz-parameterized DateTime('Etc/GMT+5') columns are covered in-engine
+    by ch_time_parts/timestamp_family; this port pins the wire path.)"""
+    _, port = served
+    # reference fixture rows, pre-sorted by date (the query orders by a;
+    # the reference iterates in insert order, where the last two rows are
+    # 08-31 then 06-27)
+    dates = ["2010-01-01", "2011-02-28", "2012-02-29",
+             "2012-03-04", "2021-06-27", "2021-08-31"]
+    dts = ["2010-01-01 01:01:01", "2011-02-28 02:05:06",
+           "2012-02-29 23:59:59", "2012-03-04 05:06:07",
+           "2021-06-27 17:44:32", "2021-08-31 14:32:03"]
+    loose = ["2010-1-1", "2011-2-28", "2012-02-29",
+             "2012-03-4", "2021-6-27", "2021-8-31"]
+    days = [14610, 15033, 15399, 15403, 18805, 18870]
+    years = [2010, 2011, 2012, 2012, 2021, 2021]
+    months = [1, 2, 2, 3, 6, 8]
+    quarters = [1, 1, 1, 1, 2, 3]
+    day_of_years = [1, 59, 60, 64, 178, 243]
+    day_of_months = [1, 28, 29, 4, 27, 31]
+    day_of_weeks = [5, 1, 3, 7, 7, 2]  # CH: Monday=1..Sunday=7
+    hours = [1, 2, 23, 5, 17, 14]
+    minutes = [1, 5, 59, 6, 44, 32]
+    seconds = [1, 6, 59, 7, 32, 3]
+    with _client(port) as c:
+        c.query_drop(
+            "CREATE TABLE test_tab_date(a Date, b DateTime, c String, "
+            "d Int64)"
+        )
+        c.query_drop(
+            "insert into test_tab_date values "
+            + ",".join(
+                f"('{dates[i]}','{dts[i]}','{loose[i]}',{days[i]})"
+                for i in range(6)
+            )
+        )
+        _, rows = c.query(
+            "select toYear(a), toYear(b), toMonth(a), toMonth(b), "
+            "toQuarter(a), toQuarter(b), toDayOfYear(a), toDayOfMonth(a), "
+            "toDayOfWeek(a), toHour(b), toMinute(b), toSecond(b), "
+            "cast(toDate(a) as String), cast(toDate(b) as String), "
+            "cast(toDate(c) as String), cast(toDate(d) as String) "
+            "from test_tab_date order by a"
+        )
+        for i, r in enumerate(rows):
+            assert r[0] == r[1] == years[i]
+            assert r[2] == r[3] == months[i]
+            assert r[4] == r[5] == quarters[i]
+            assert r[6] == day_of_years[i]
+            assert r[7] == day_of_months[i]
+            assert r[8] == day_of_weeks[i]
+            assert (r[9], r[10], r[11]) == (hours[i], minutes[i], seconds[i])
+            assert r[12] == r[13] == r[14] == r[15] == dates[i]
