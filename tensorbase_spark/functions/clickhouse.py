@@ -230,9 +230,14 @@ CH_SQL_TEMPLATES = {
     "tohour": "hour({0})",
     "tominute": "minute({0})",
     "tosecond": "second({0})",
+    # both CASE branches must ANALYZE for every input type (a timestamp
+    # arg never takes the days branch at runtime, but cast(ts as int) is
+    # an analysis error) — so the days branch reuses the string-mediated
+    # numeric, which is castable from anything
     "todate": (
-        "(case when try_cast(cast({0} as string) as decimal(20,0)) between 0 and 65535 "
-        "then date_add(date'1970-01-01', cast({0} as int)) "
+        "(case when try_cast(cast({0} as string) as decimal(20,0)) "
+        "between 0 and 65535 then date_add(date'1970-01-01', "
+        "cast(try_cast(cast({0} as string) as decimal(20,0)) as int)) "
         "else to_date(cast({0} as timestamp)) end)"
     ),
     "todatetime": "cast({0} as timestamp)",

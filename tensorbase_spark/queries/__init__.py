@@ -206,6 +206,10 @@ PRIORITY_HEAD = [
     "dedup_ngram_jaccard", "dedup_neardup_clusters",
     "ch_histogram_agg", "ch_topk_weighted", "ch_entropy_kv",
     "ch_everyday_funcs4",
+    # toDate(int) value-dispatch change (r9): the Column fn + the SQL
+    # template (the latter re-plans every textual toDate consumer)
+    "ch_to_date_datetime", "ch_everyday_funcs5", "stream_mv_ingest",
+    "engine_aggregating_mv",
 ]
 
 
