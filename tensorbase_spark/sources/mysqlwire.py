@@ -353,6 +353,142 @@ def spark_type_to_mysql(dt) -> tuple[int, int]:
 
 
 # ---------------------------------------------------------------------------
+# binary protocol value codecs (value/encode.rs to_mysql_bin / decode.rs)
+# ---------------------------------------------------------------------------
+
+
+def encode_bin_value(out: bytearray, v: Any, coltype: int) -> None:
+    """Binary-protocol value encode for one NON-NULL cell (NULLs live in
+    the row's null bitmap); layouts per value/encode.rs to_mysql_bin."""
+    if coltype == MYSQL_TYPE_TINY:
+        out += struct.pack("<b", int(v))
+    elif coltype in (MYSQL_TYPE_SHORT, MYSQL_TYPE_YEAR):
+        out += struct.pack("<h", int(v))
+    elif coltype in (MYSQL_TYPE_LONG, MYSQL_TYPE_INT24):
+        out += struct.pack("<i", int(v))
+    elif coltype == MYSQL_TYPE_LONGLONG:
+        n = int(v)
+        out += struct.pack("<q", n) if n < 2**63 else struct.pack("<Q", n)
+    elif coltype == MYSQL_TYPE_FLOAT:
+        out += struct.pack("<f", float(v))
+    elif coltype == MYSQL_TYPE_DOUBLE:
+        out += struct.pack("<d", float(v))
+    elif coltype == MYSQL_TYPE_DATE:
+        out.append(4)  # encode.rs:427-434
+        out += struct.pack("<H", v.year)
+        out.append(v.month)
+        out.append(v.day)
+    elif coltype in (MYSQL_TYPE_DATETIME, MYSQL_TYPE_TIMESTAMP):
+        us = v.microsecond  # encode.rs:475-500
+        out.append(11 if us else 7)
+        out += struct.pack("<H", v.year)
+        out.append(v.month)
+        out.append(v.day)
+        out.append(v.hour)
+        out.append(v.minute)
+        out.append(v.second)
+        if us:
+            out += struct.pack("<I", us)
+    else:  # DECIMAL and every string-ish type: lenenc bytes
+        if isinstance(v, (bytes, bytearray)):
+            b = bytes(v)
+        else:
+            b = str(v).encode("utf-8")
+        write_lenenc_bytes(out, b)
+
+
+def decode_bin_value(buf: bytes, pos: int, coltype: int) -> tuple[Any, int]:
+    """Binary-protocol value decode (value/decode.rs read_bin_value)."""
+    if coltype == MYSQL_TYPE_TINY:
+        return struct.unpack_from("<b", buf, pos)[0], pos + 1
+    if coltype in (MYSQL_TYPE_SHORT, MYSQL_TYPE_YEAR):
+        return struct.unpack_from("<h", buf, pos)[0], pos + 2
+    if coltype in (MYSQL_TYPE_LONG, MYSQL_TYPE_INT24):
+        return struct.unpack_from("<i", buf, pos)[0], pos + 4
+    if coltype == MYSQL_TYPE_LONGLONG:
+        return struct.unpack_from("<q", buf, pos)[0], pos + 8
+    if coltype == MYSQL_TYPE_FLOAT:
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if coltype == MYSQL_TYPE_DOUBLE:
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if coltype in (MYSQL_TYPE_DATE, MYSQL_TYPE_DATETIME, MYSQL_TYPE_TIMESTAMP):
+        n = buf[pos]
+        pos += 1
+        if n == 0:
+            d = _dt.datetime(1970, 1, 1)
+        else:
+            y, = struct.unpack_from("<H", buf, pos)
+            mo, dy = buf[pos + 2], buf[pos + 3]
+            h = mi = s = us = 0
+            if n >= 7:
+                h, mi, s = buf[pos + 4], buf[pos + 5], buf[pos + 6]
+            if n >= 11:
+                us, = struct.unpack_from("<I", buf, pos + 7)
+            d = _dt.datetime(y, mo, dy, h, mi, s, us)
+        pos += n
+        if coltype == MYSQL_TYPE_DATE:
+            return d.date(), pos
+        return d, pos
+    # string-ish / decimal: lenenc
+    b, pos = read_lenenc_bytes(buf, pos)
+    if coltype == MYSQL_TYPE_DECIMAL:
+        return Decimal(b.decode()), pos
+    return b.decode("utf-8", "replace"), pos
+
+
+def sql_literal(v: Any) -> str:
+    """Render a decoded parameter as a SQL literal for substitution."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, (int, Decimal)):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        return "'" + v.strftime("%Y-%m-%d %H:%M:%S") + "'"
+    if isinstance(v, _dt.date):
+        return f"'{v}'"
+    if isinstance(v, (bytes, bytearray)):
+        v = bytes(v).decode("utf-8", "replace")
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def substitute_placeholders(sql: str, params: list) -> str:
+    """Replace ? placeholders outside string literals with SQL literals."""
+    out: list[str] = []
+    it = iter(params)
+    quote: str | None = None
+    for ch in sql:
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            out.append(ch)
+        elif ch == "?":
+            out.append(sql_literal(next(it)))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def count_placeholders(sql: str) -> int:
+    n, quote = 0, None
+    for ch in sql:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "?":
+            n += 1
+    return n
+
+
+# ---------------------------------------------------------------------------
 # server
 # ---------------------------------------------------------------------------
 
@@ -373,6 +509,8 @@ class _MyConn(socketserver.StreamRequestHandler):
     def handle(self) -> None:  # noqa: C901 — protocol state machine
         engine = self.server.engine  # type: ignore[attr-defined]
         pio = PacketIO(self.rfile, self.wfile)
+        self._stmts: dict[int, dict] = {}
+        self._next_stmt_id = 1
         # -- connection phase -------------------------------------------
         pio.seq = 0
         pio.send(build_handshake(connection_id=8, nonce=_NONCE))
@@ -418,18 +556,26 @@ class _MyConn(socketserver.StreamRequestHandler):
                         )
                     )
                     pio.send(build_eof())
-                elif cmd in (
-                    COM_STMT_PREPARE,
-                    COM_STMT_EXECUTE,
-                    COM_STMT_SEND_LONG_DATA,
-                    COM_STMT_CLOSE,
-                ):
-                    pio.send(
-                        build_err(
-                            ER_UNSUPPORTED_PS,
-                            "prepared statements are not supported",
-                        )
-                    )
+                elif cmd == COM_STMT_PREPARE:
+                    # beyond the reference runtime (its on_prepare is
+                    # todo!(), mysql/mod.rs:60-66) but exactly the
+                    # library surface it ships (writers.rs:93-120
+                    # write_prepare_ok, params.rs, value codecs)
+                    self._stmt_prepare(pio, rest.decode("utf-8"))
+                elif cmd == COM_STMT_EXECUTE:
+                    self._stmt_execute(pio, engine, rest)
+                elif cmd == COM_STMT_SEND_LONG_DATA:
+                    # lib.rs:731-747: accumulate, no response
+                    stmt, = struct.unpack_from("<I", rest, 0)
+                    param, = struct.unpack_from("<H", rest, 4)
+                    st = self._stmts.get(stmt)
+                    if st is not None:
+                        st["long_data"].setdefault(param, bytearray()
+                                                   ).extend(rest[6:])
+                elif cmd == COM_STMT_CLOSE:
+                    # spec dictates no response (lib.rs:748-752)
+                    stmt, = struct.unpack_from("<I", rest, 0)
+                    self._stmts.pop(stmt, None)
                 else:
                     pio.send(
                         build_err(ER_UNKNOWN_COM_ERROR, f"unknown command {cmd}")
@@ -489,11 +635,94 @@ class _MyConn(socketserver.StreamRequestHandler):
         ]
         self._send_resultset(pio, cols, (tuple(r) for r in df.toLocalIterator()))
 
+    def _stmt_prepare(self, pio: PacketIO, sql: str) -> None:
+        """COM_STMT_PREPARE_OK (writers.rs:93-120): stmt id, column count
+        0 (the result schema is defined by the execute-time resultset,
+        which clients accept), param count = ? placeholders outside
+        string literals, one generic param definition each."""
+        stmt_id = self._next_stmt_id
+        self._next_stmt_id += 1
+        n_params = count_placeholders(sql)
+        self._stmts[stmt_id] = {
+            "sql": sql,
+            "params": n_params,
+            "types": None,
+            "long_data": {},
+        }
+        out = bytearray([0x00])
+        out += struct.pack("<I", stmt_id)
+        out += struct.pack("<H", 0)  # result columns announced at execute
+        out += struct.pack("<H", n_params)
+        out += b"\x00"
+        out += struct.pack("<H", 0)  # warnings
+        pio.send(bytes(out))
+        if n_params:
+            for _ in range(n_params):
+                pio.send(
+                    build_column_definition("", "?", MYSQL_TYPE_VARCHAR, 0)
+                )
+            pio.send(build_eof())
+
+    def _stmt_execute(self, pio: PacketIO, engine, rest: bytes) -> None:
+        """COM_STMT_EXECUTE: decode the binary-bound params (params.rs),
+        splice them as SQL literals, run, answer a BINARY resultset."""
+        stmt, = struct.unpack_from("<I", rest, 0)
+        st = self._stmts.get(stmt)
+        if st is None:
+            pio.send(build_err(ER_UNKNOWN_ERROR, f"unknown statement {stmt}"))
+            return
+        pos = 4 + 1 + 4  # stmt + flags + iteration count
+        n = st["params"]
+        params: list[Any] = []
+        if n:
+            nullmap = rest[pos : pos + (n + 7) // 8]
+            pos += (n + 7) // 8
+            new_bound = rest[pos]
+            pos += 1
+            if new_bound:
+                st["types"] = [
+                    (rest[pos + 2 * i], rest[pos + 2 * i + 1])
+                    for i in range(n)
+                ]
+                pos += 2 * n
+            types = st["types"]
+            if types is None:
+                pio.send(build_err(ER_UNKNOWN_ERROR, "params never bound"))
+                return
+            for i in range(n):
+                if nullmap[i // 8] & (1 << (i % 8)):
+                    params.append(None)
+                elif i in st["long_data"]:
+                    params.append(bytes(st["long_data"][i]))
+                else:
+                    coltype, flags = types[i]
+                    v, pos = decode_bin_value(rest, pos, coltype)
+                    if (
+                        coltype == MYSQL_TYPE_LONGLONG
+                        and flags & 0x80  # UNSIGNED param flag
+                        and v < 0
+                    ):
+                        v += 2**64
+                    params.append(v)
+        st["long_data"].clear()
+        df = engine.sql(substitute_placeholders(st["sql"], params))
+        if df is None or not df.columns:
+            pio.send(build_ok())
+            return
+        cols = [
+            ("", f.name) + spark_type_to_mysql(f.dataType)
+            for f in df.schema.fields
+        ]
+        self._send_resultset(
+            pio, cols, (tuple(r) for r in df.toLocalIterator()), binary=True
+        )
+
     def _send_resultset(
         self,
         pio: PacketIO,
         cols: list[tuple[str, str, int, int]],
         rows: Iterable[tuple],
+        binary: bool = False,
     ) -> None:
         """resultset.rs:139-349 start/write_row/finish over the text
         protocol: column count, definitions, EOF, rows, EOF."""
@@ -503,10 +732,23 @@ class _MyConn(socketserver.StreamRequestHandler):
         for table, name, ctype, flags in cols:
             pio.send(build_column_definition(table, name, ctype, flags))
         pio.send(build_eof())
+        bitmap_len = (len(cols) + 7 + 2) // 8  # resultset.rs:219
         for row in rows:
             out = bytearray()
-            for v in row:
-                encode_text_value(out, v)
+            if binary:
+                # binary row: 0x00 header + null bitmap (offset 2) + values
+                out.append(0x00)
+                bitmap = bytearray(bitmap_len)
+                body = bytearray()
+                for i, v in enumerate(row):
+                    if v is None:
+                        bitmap[(i + 2) // 8] |= 1 << ((i + 2) % 8)
+                    else:
+                        encode_bin_value(body, v, cols[i][2])
+                out += bitmap + body
+            else:
+                for v in row:
+                    encode_text_value(out, v)
             pio.send(bytes(out))
         pio.send(build_eof())
 
@@ -682,6 +924,105 @@ class MySQLClient:
     def query_drop(self, sql: str) -> None:
         self.query(sql)
 
+    # -- prepared statements (binary protocol) --------------------------------
+
+    def prepare(self, sql: str) -> tuple[int, int]:
+        """COM_STMT_PREPARE; returns (statement id, parameter count)."""
+        self.pio.seq = 0
+        self.pio.send(bytes([COM_STMT_PREPARE]) + sql.encode())
+        first = self.pio.recv()
+        if first is None or first[0] == 0xFF:
+            raise RuntimeError(self._err_msg(first or b""))
+        stmt_id, = struct.unpack_from("<I", first, 1)
+        ncols, = struct.unpack_from("<H", first, 5)
+        nparams, = struct.unpack_from("<H", first, 7)
+        for _ in range(nparams):
+            self.pio.recv()  # param definitions
+        if nparams:
+            self._expect_eof()
+        for _ in range(ncols):
+            self.pio.recv()  # column definitions
+        if ncols:
+            self._expect_eof()
+        return stmt_id, nparams
+
+    def execute_stmt(
+        self, stmt_id: int, params: tuple = ()
+    ) -> tuple[list[tuple[str, int]], list[tuple]]:
+        """COM_STMT_EXECUTE with binary-bound params; returns the decoded
+        BINARY resultset as ([(name, coltype)], rows)."""
+        out = bytearray([COM_STMT_EXECUTE])
+        out += struct.pack("<I", stmt_id)
+        out.append(0)  # flags: CURSOR_TYPE_NO_CURSOR
+        out += struct.pack("<I", 1)  # iteration count
+        n = len(params)
+        if n:
+            bitmap = bytearray((n + 7) // 8)
+            types = bytearray()
+            body = bytearray()
+            for i, v in enumerate(params):
+                t = _param_type(v)
+                unsigned = (
+                    t == MYSQL_TYPE_LONGLONG
+                    and not isinstance(v, bool)
+                    and v > 2**63 - 1
+                )
+                types += bytes([t, 0x80 if unsigned else 0x00])
+                if v is None:
+                    bitmap[i // 8] |= 1 << (i % 8)
+                else:
+                    encode_bin_value(body, v, t)
+            out += bitmap
+            out.append(1)  # new-params-bound
+            out += types + body
+        self.pio.seq = 0
+        self.pio.send(bytes(out))
+        first = self.pio.recv()
+        if first is None:
+            raise ConnectionError("server closed mid-execute")
+        if first[0] == 0xFF:
+            raise RuntimeError(self._err_msg(first))
+        if first[0] == 0x00:
+            return [], []
+        ncols, _ = read_lenenc_int(first, 0)
+        full = [
+            self._parse_column_def_full(self.pio.recv()) for _ in range(ncols)
+        ]
+        self._expect_eof()
+        rows: list[tuple] = []
+        while True:
+            pkt = self.pio.recv()
+            if pkt is None:
+                raise ConnectionError("server closed mid-resultset")
+            if pkt[0] == 0xFF:
+                raise RuntimeError(self._err_msg(pkt))
+            if pkt[0] == 0xFE and len(pkt) < 9:
+                break
+            rows.append(self._parse_bin_row(pkt, full))
+        return [(n, t) for n, t, _ in full], rows
+
+    def close_stmt(self, stmt_id: int) -> None:
+        self.pio.seq = 0
+        self.pio.send(bytes([COM_STMT_CLOSE]) + struct.pack("<I", stmt_id))
+
+    @staticmethod
+    def _parse_bin_row(
+        pkt: bytes, cols: list[tuple[str, int, int]]
+    ) -> tuple:
+        bitmap_len = (len(cols) + 7 + 2) // 8
+        bitmap = pkt[1 : 1 + bitmap_len]
+        pos = 1 + bitmap_len
+        vals: list[Any] = []
+        for i, (_, coltype, flags) in enumerate(cols):
+            if bitmap[(i + 2) // 8] & (1 << ((i + 2) % 8)):
+                vals.append(None)
+                continue
+            v, pos = decode_bin_value(pkt, pos, coltype)
+            if coltype == MYSQL_TYPE_LONGLONG and flags & UNSIGNED_FLAG and v < 0:
+                v += 2**64
+            vals.append(v)
+        return tuple(vals)
+
     # -- decode helpers ---------------------------------------------------------
 
     def _expect_eof(self) -> None:
@@ -698,7 +1039,7 @@ class MySQLClient:
         return f"MySQL error {code}: {msg}"
 
     @staticmethod
-    def _parse_column_def(pkt: bytes) -> tuple[str, int]:
+    def _parse_column_def_full(pkt: bytes) -> tuple[str, int, int]:
         pos = 0
         fields = []
         for _ in range(6):  # catalog, schema, table, org_table, name, org_name
@@ -707,7 +1048,13 @@ class MySQLClient:
         _, pos = read_lenenc_int(pkt, pos)  # fixed-length block length
         pos += 2 + 4  # charset + column length
         coltype = pkt[pos]
-        return fields[4].decode(), coltype
+        flags, = struct.unpack_from("<H", pkt, pos + 1)
+        return fields[4].decode(), coltype, flags
+
+    @classmethod
+    def _parse_column_def(cls, pkt: bytes) -> tuple[str, int]:
+        name, coltype, _ = cls._parse_column_def_full(pkt)
+        return name, coltype
 
     @staticmethod
     def _parse_text_row(pkt: bytes, cols: list[tuple[str, int]]) -> tuple:
@@ -721,6 +1068,25 @@ class MySQLClient:
             raw, pos = read_lenenc_bytes(pkt, pos)
             vals.append(_from_text(raw, coltype))
         return tuple(vals)
+
+
+def _param_type(v: Any) -> int:
+    """Pick the binary-protocol type tag for a Python parameter value."""
+    if v is None:
+        return MYSQL_TYPE_NULL
+    if isinstance(v, bool):
+        return MYSQL_TYPE_TINY
+    if isinstance(v, int):
+        return MYSQL_TYPE_LONGLONG
+    if isinstance(v, float):
+        return MYSQL_TYPE_DOUBLE
+    if isinstance(v, _dt.datetime):
+        return MYSQL_TYPE_DATETIME
+    if isinstance(v, _dt.date):
+        return MYSQL_TYPE_DATE
+    if isinstance(v, (bytes, bytearray)):
+        return MYSQL_TYPE_BLOB
+    return MYSQL_TYPE_VARCHAR  # str / Decimal as text
 
 
 def _from_text(raw: bytes, coltype: int) -> Any:

@@ -432,13 +432,20 @@ def test_mysql_errors(served):
     with _client(port) as c:
         with pytest.raises(RuntimeError, match="MySQL error"):
             c.query("select * from definitely_missing_tab")
-        # prepared statements answer a clean ER_UNSUPPORTED_PS (the
-        # reference's on_prepare is todo!(), mysql/mod.rs:60-66)
+        # a raw COM_STMT_PREPARE now answers COM_STMT_PREPARE_OK (r9 —
+        # the reference's runtime panics here, todo!() mysql/mod.rs:60-66;
+        # full coverage in test_mysql_prepared_statements)
         c.pio.seq = 0
         c.pio.send(bytes([0x16]) + b"select ?")
         resp = c.pio.recv()
+        assert resp[0] == 0x00
+        c.pio.recv()  # the one param definition
+        c.pio.recv()  # EOF
+        # an unknown command byte errors cleanly
+        c.pio.seq = 0
+        c.pio.send(bytes([0x77]))
+        resp = c.pio.recv()
         assert resp[0] == 0xFF
-        assert struct.unpack_from("<H", resp, 1)[0] == ER_UNSUPPORTED_PS[0]
         # connection still usable afterwards
         assert c.ping()
 
@@ -669,3 +676,133 @@ def test_mysql_date_time_functions(served):
             assert r[8] == day_of_weeks[i]
             assert (r[9], r[10], r[11]) == (hours[i], minutes[i], seconds[i])
             assert r[12] == r[13] == r[14] == r[15] == dates[i]
+
+
+# ---------------------------------------------------------------------------
+# prepared statements (binary protocol) — beyond the reference runtime
+# (its on_prepare is todo!(), crates/runtime/src/mysql/mod.rs:60-66), but
+# exactly the library surface the reference ships (writers.rs:93-120,
+# value/encode.rs to_mysql_bin, params.rs)
+# ---------------------------------------------------------------------------
+
+
+def test_binary_value_codec_golden():
+    """value/encode.rs to_mysql_bin layouts: fixed-width LE ints/floats,
+    lenenc strings, length-prefixed date (4) / datetime (7 or 11 with
+    micros)."""
+    from tensorbase_spark.sources.mysqlwire import (
+        MYSQL_TYPE_TINY,
+        decode_bin_value,
+        encode_bin_value,
+    )
+
+    out = bytearray()
+    encode_bin_value(out, -5, MYSQL_TYPE_TINY)
+    assert bytes(out) == b"\xfb"  # -5 as i8
+    out = bytearray()
+    encode_bin_value(out, 1 << 40, MYSQL_TYPE_LONGLONG)
+    assert bytes(out) == struct.pack("<q", 1 << 40)
+    out = bytearray()
+    encode_bin_value(out, 1.5, MYSQL_TYPE_DOUBLE)
+    assert bytes(out) == struct.pack("<d", 1.5)
+    out = bytearray()
+    encode_bin_value(out, date(2020, 1, 7), MYSQL_TYPE_DATE)
+    assert bytes(out) == b"\x04" + struct.pack("<H", 2020) + b"\x01\x07"
+    out = bytearray()
+    encode_bin_value(out, datetime(2021, 3, 4, 5, 6, 7), MYSQL_TYPE_DATETIME)
+    assert bytes(out) == (
+        b"\x07" + struct.pack("<H", 2021) + b"\x03\x04\x05\x06\x07"
+    )
+    out = bytearray()
+    encode_bin_value(
+        out, datetime(2021, 3, 4, 5, 6, 7, 123), MYSQL_TYPE_DATETIME
+    )
+    assert bytes(out) == (
+        b"\x0b" + struct.pack("<H", 2021) + b"\x03\x04\x05\x06\x07"
+        + struct.pack("<I", 123)
+    )
+    out = bytearray()
+    encode_bin_value(out, "héllo", MYSQL_TYPE_VARCHAR)
+    assert bytes(out) == b"\x06h\xc3\xa9llo"
+    # round trips
+    for v, t in [
+        (-5, MYSQL_TYPE_TINY), (12345, MYSQL_TYPE_SHORT),
+        (-(2**31), MYSQL_TYPE_LONG), (2**62, MYSQL_TYPE_LONGLONG),
+        (2.25, MYSQL_TYPE_DOUBLE), ("abc", MYSQL_TYPE_VARCHAR),
+        (date(1970, 1, 1), MYSQL_TYPE_DATE),
+        (datetime(2106, 2, 6, 1, 2, 3), MYSQL_TYPE_DATETIME),
+        (Decimal("10.02"), MYSQL_TYPE_DECIMAL),
+    ]:
+        buf = bytearray()
+        encode_bin_value(buf, v, t)
+        got, pos = decode_bin_value(bytes(buf), 0, t)
+        assert got == v and pos == len(buf), (v, t)
+
+
+def test_placeholder_substitution():
+    from tensorbase_spark.sources.mysqlwire import (
+        count_placeholders,
+        substitute_placeholders,
+    )
+
+    sql = "select * from t where a = ? and b = '?' and c = ?"
+    assert count_placeholders(sql) == 2
+    got = substitute_placeholders(sql, [1, "x'y"])
+    assert got == "select * from t where a = 1 and b = '?' and c = 'x''y'"
+
+
+def test_mysql_prepared_statements(served):
+    """e2e: prepare once, execute many with rebinding — ints, strings,
+    NULL via the null bitmap, dates; binary resultset decodes every
+    type; COM_STMT_CLOSE frees the id; unknown id errors cleanly."""
+    _, port = served
+    with _client(port) as c:
+        c.query_drop(
+            "create table pst(a Int64, s String, d Date, f Float64)"
+        )
+        sid, np = c.prepare("insert into pst values (?, ?, ?, ?)")
+        assert np == 4
+        c.execute_stmt(sid, (1, "one", date(2020, 1, 7), 1.5))
+        c.execute_stmt(sid, (2, "two's", date(2021, 6, 1), -2.25))
+        c.execute_stmt(sid, (3, None, None, None))  # NULLs via bitmap
+        c.close_stmt(sid)
+        qid, npq = c.prepare("select a, s, d, f from pst where a >= ? order by a")
+        assert npq == 1
+        cols, rows = c.execute_stmt(qid, (2,))
+        assert [n for n, _ in cols] == ["a", "s", "d", "f"]
+        assert rows == [
+            (2, "two's", date(2021, 6, 1), -2.25),
+            (3, None, None, None),
+        ]
+        # rebind: different param value reuses the statement
+        _, rows = c.execute_stmt(qid, (1,))
+        assert len(rows) == 3 and rows[0][1] == "one"
+        # aggregate through the binary resultset
+        aid, _ = c.prepare("select count(*) as n, sum(a) as s from pst")
+        _, rows = c.execute_stmt(aid)
+        assert rows == [(3, 6)]
+        # unknown statement id -> clean ERR, connection stays usable
+        c.close_stmt(qid)
+        with pytest.raises(RuntimeError, match="MySQL error"):
+            c.execute_stmt(99999, (1,))
+        assert c.ping()
+
+
+def test_mysql_prepared_statement_long_data(served):
+    """COM_STMT_SEND_LONG_DATA accumulates chunks for a param slot and
+    an execute consumes them (lib.rs:731-747)."""
+    _, port = served
+    with _client(port) as c:
+        c.query_drop("create table pld(k Int64, v String)")
+        sid, _ = c.prepare("insert into pld values (?, ?)")
+        # send param 1 in two chunks
+        for chunk in (b"hello ", b"world"):
+            c.pio.seq = 0
+            c.pio.send(
+                bytes([0x18]) + struct.pack("<I", sid)
+                + struct.pack("<H", 1) + chunk
+            )
+        # bitmap marks nothing NULL; param 1's value comes from long data
+        c.execute_stmt(sid, (7, ""))  # placeholder value for slot 1 unused
+        _, rows = c.query("select k, v from pld")
+        assert rows == [(7, "hello world")]
