@@ -565,6 +565,53 @@ CH_SQL_TEMPLATES.update(
         "roundtoexp2": "cast(power(2, floor(log2({0}))) as bigint)",
         "ord": "ascii({0})",
         "unbin": "conv({0}, 2, 10)",
+        # tier 10 (r9).  bin() pads to whole bytes like CH (CH pads to the
+        # TYPE width; widths are erased here, so the spec is the minimal
+        # byte width of the VALUE — deterministic, and what the oracle
+        # computes).  byteSwap is the 64-bit swap over non-negative ints
+        # (shiftrightunsigned keeps the byte lanes clean).
+        "bin": (
+            "lpad(conv(cast({0} as bigint), 10, 2), cast(ceil(length("
+            "conv(cast({0} as bigint), 10, 2)) / 8.0) * 8 as int), '0')"
+        ),
+        "byteswap": (
+            "(shiftleft(cast({0} as bigint) & 255, 56)"
+            " + shiftleft(shiftrightunsigned(cast({0} as bigint), 8) & 255, 48)"
+            " + shiftleft(shiftrightunsigned(cast({0} as bigint), 16) & 255, 40)"
+            " + shiftleft(shiftrightunsigned(cast({0} as bigint), 24) & 255, 32)"
+            " + shiftleft(shiftrightunsigned(cast({0} as bigint), 32) & 255, 24)"
+            " + shiftleft(shiftrightunsigned(cast({0} as bigint), 40) & 255, 16)"
+            " + shiftleft(shiftrightunsigned(cast({0} as bigint), 48) & 255, 8)"
+            " + (shiftrightunsigned(cast({0} as bigint), 56) & 255))"
+        ),
+        # character-SET Jaccard (DuckDB's jaccard() has the same spec);
+        # the trailing-empty token from split(s, '') is filtered out
+        "stringjaccardindex": (
+            "(cast(size(array_intersect("
+            "filter(split({0}, ''), __t -> __t <> ''), "
+            "filter(split({1}, ''), __t -> __t <> ''))) as double)"
+            " / size(array_union("
+            "filter(split({0}, ''), __t -> __t <> ''), "
+            "filter(split({1}, ''), __t -> __t <> ''))))"
+        ),
+        "arrayrotateleft": (
+            "concat(slice({0}, ({1} % size({0})) + 1, "
+            "size({0}) - ({1} % size({0}))), "
+            "slice({0}, 1, {1} % size({0})))"
+        ),
+        "arrayrotateright": (
+            "concat(slice({0}, size({0}) - ({1} % size({0})) + 1, "
+            "{1} % size({0})), "
+            "slice({0}, 1, size({0}) - ({1} % size({0}))))"
+        ),
+        "arrayshiftleft": (
+            "concat(slice({0}, {1} + 1, size({0}) - {1}), "
+            "array_repeat({2}, {1}))"
+        ),
+        "arrayshiftright": (
+            "concat(array_repeat({2}, {1}), "
+            "slice({0}, 1, size({0}) - {1}))"
+        ),
         "appendtrailingcharifabsent": "if(endswith({0}, {1}), {0}, concat({0}, {1}))",
         "tonullable": "({0})",
         "assumenotnull": "({0})",

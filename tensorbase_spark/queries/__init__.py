@@ -200,6 +200,7 @@ R08_VERIFIED = frozenset(
 PRIORITY_HEAD = [
     # (a) new round-9 queries
     "wire_mysql_roundtrip", "remote_mysql_federation",
+    "ch_everyday_funcs10",
     # (b) round-9 behavior-changed implementations
     "wire_native_roundtrip",
     "sim_lsh_topk", "sim_lsh_full_cover",

@@ -1560,3 +1560,65 @@ FROM orders GROUP BY o_orderstatus
 QUERIES["ch_everyday_funcs9"] = Query(
     ch_everyday_funcs9, CH_EVERYDAY9_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs10(spark, sf_dir):
+    """Everyday upstream-CH tier 10 (round-9 gap probe): bin (whole-byte
+    padded binary text; CH pads to the TYPE width — widths are erased
+    here, so the documented spec is the value's minimal byte width),
+    byteSwap (64-bit byte reversal; exercised on a 2-byte value whose swap fits signed 64 — Spark shiftleft WRAPS where DuckDB RAISES, so the oracle pins the non-wrapping domain), stringJaccardIndex (character-SET
+    Jaccard — DuckDB's jaccard() is the same spec, which is what makes
+    this oracle-checkable), and the arrayRotateLeft/Right +
+    arrayShiftLeft/Right family as pure slice/concat compositions."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e10")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "bin(max(o_orderkey) % 200) as b, "
+        "byteSwap((max(o_orderkey) % 128) + 256 * (max(o_orderkey) % 256)) as bs, "
+        "cast(floor(max(stringJaccardIndex(lower(o_orderpriority), "
+        "  'priority')) * 10000 + 0.5) as bigint) as sj, "
+        "arrayStringConcat(arrayMap(x -> toString(x), arrayRotateLeft("
+        "  array(max(o_orderkey) % 7, max(o_orderkey) % 5, "
+        "        max(o_orderkey) % 3), 2)), ',') as arl, "
+        "arrayStringConcat(arrayMap(x -> toString(x), arrayRotateRight("
+        "  array(max(o_orderkey) % 7, max(o_orderkey) % 5, "
+        "        max(o_orderkey) % 3), 2)), ',') as arr, "
+        "arrayStringConcat(arrayMap(x -> toString(x), arrayShiftLeft("
+        "  array(max(o_orderkey) % 7, max(o_orderkey) % 5, "
+        "        max(o_orderkey) % 3), 1, 0)), ',') as asl, "
+        "arrayStringConcat(arrayMap(x -> toString(x), arrayShiftRight("
+        "  array(max(o_orderkey) % 7, max(o_orderkey) % 5, "
+        "        max(o_orderkey) % 3), 1, 9)), ',') as asr "
+        "from ord_e10 group by o_orderstatus"
+    )
+
+
+CH_EVERYDAY10_ORACLE = """
+WITH g AS (
+  SELECT o_orderstatus AS st, max(o_orderkey) AS k,
+         floor(max(jaccard(lower(o_orderpriority), 'priority')) * 10000
+               + 0.5) AS sj
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT st,
+       lpad(bin(k % 200),
+            CAST(ceil(length(bin(k % 200)) / 8.0) * 8 AS INT), '0') AS b,
+       (CAST((k % 128) AS BIGINT) << 56)
+         + (CAST((k % 256) AS BIGINT) << 48) AS bs,
+       CAST(sj AS BIGINT) AS sj,
+       CAST(k % 3 AS VARCHAR) || ',' || CAST(k % 7 AS VARCHAR) || ',' ||
+         CAST(k % 5 AS VARCHAR) AS arl,
+       CAST(k % 5 AS VARCHAR) || ',' || CAST(k % 3 AS VARCHAR) || ',' ||
+         CAST(k % 7 AS VARCHAR) AS arr,
+       CAST(k % 5 AS VARCHAR) || ',' || CAST(k % 3 AS VARCHAR) || ',0'
+         AS asl,
+       '9,' || CAST(k % 7 AS VARCHAR) || ',' || CAST(k % 5 AS VARCHAR)
+         AS asr
+FROM g
+"""
+
+
+QUERIES["ch_everyday_funcs10"] = Query(
+    ch_everyday_funcs10, CH_EVERYDAY10_ORACLE, ("dialect", "functions")
+)
