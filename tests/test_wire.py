@@ -78,3 +78,50 @@ def test_stock_jdbc_client_reads_engine_tables(spark, thrift_port):
     finally:
         spark.catalog.setCurrentDatabase("default")
         eng.sql(f"drop database if exists {db}")
+
+
+def test_all_front_doors_share_one_catalog(spark):
+    """All three wire front doors — ClickHouse native TCP, MySQL
+    protocol, and HiveServer2 Thrift — serve the SAME engine catalog
+    concurrently: a table created over the native wire is read back over
+    the MySQL wire, then through a remote() federation against the
+    Thrift endpoint, with identical values.  (The reference runs its two
+    protocols against one BMS instance the same way, server.rs +
+    mysql_server.rs.)"""
+    import uuid as _uuid
+
+    from tensorbase_spark.engine import TensorBaseEngine
+    from tensorbase_spark.sources import external
+    from tensorbase_spark.sources.chnative import NativeClient, serve_native
+    from tensorbase_spark.sources.mysqlwire import MySQLClient, serve_mysql
+    from tensorbase_spark.sources.wire import start_thrift_server
+
+    eng = TensorBaseEngine(spark)
+    db = f"fd_{_uuid.uuid4().hex[:8]}"
+    eng.sql(f"create database {db}")
+    eng.sql(f"use {db}")
+    nsrv, nport = serve_native(eng)
+    msrv, mport = serve_mysql(eng)
+    try:
+        with NativeClient(port=nport) as nc:
+            nc.execute("create table fd_t (k Int64, v String)")
+            nc.execute("insert into fd_t values (1,'a'), (2,'b'), (3,'c')")
+        with MySQLClient(port=mport, database=db) as mc:
+            _, rows = mc.query("select k, v from fd_t order by k")
+            assert rows == [(1, "a"), (2, "b"), (3, "c")]
+        port = start_thrift_server(spark)
+        r = external.remote(spark, f"jdbc:hive2://localhost:{port}/{db}", "fd_t")
+        assert sorted((x.k, x.v) for x in r.collect()) == [
+            (1, "a"), (2, "b"), (3, "c"),
+        ]
+        # and the mysql:// federation path sees the same rows
+        r2 = external.remote(spark, f"mysql://127.0.0.1:{mport}/{db}", "fd_t")
+        assert sorted((x.k, x.v) for x in r2.collect()) == [
+            (1, "a"), (2, "b"), (3, "c"),
+        ]
+    finally:
+        for srv in (nsrv, msrv):
+            srv.shutdown()
+            srv.server_close()
+        spark.catalog.setCurrentDatabase("default")
+        eng.sql(f"drop database if exists {db}")
