@@ -4324,8 +4324,8 @@ class TensorBaseEngine:
     # -- INSERT paths -------------------------------------------------------
 
     _INSERT_FILE_RE = re.compile(
-        r"(?is)^insert\s+into\s+(?:table\s+)?function\s+(?:file|url)\s*\(\s*"
-        r"(?P<args>[^()]*)\)\s+(?P<rest>.+)$"
+        r"(?is)^insert\s+into\s+(?:table\s+)?function\s+(?P<fn>file|url)"
+        r"\s*\(\s*(?P<args>[^()]*)\)\s+(?P<rest>.+)$"
     )
 
     def _insert(self, c: str) -> DataFrame:
@@ -4339,14 +4339,51 @@ class TensorBaseEngine:
             if not args:
                 raise ValueError("file()/url() needs a path")
             path = args[0]
+            fmt = (args[1] if len(args) > 1 else "parquet").lower()
+            rest = fm.group("rest")
+            if re.match(r"(?i)^https?://", path):
+                # INSERT INTO FUNCTION url('http://...', 'Format') — POST
+                # the formatted rows to the endpoint (upstream-CH url()
+                # write half; against the engine's own HTTP front door
+                # this is wire-level self-federation)
+                if rest.lower().startswith("values"):
+                    src = self.spark.sql(f"SELECT * FROM {rest}")
+                else:
+                    src = self.spark.sql(self._translate_query(rest))
+                from tensorbase_spark.sources.chnative import (
+                    spark_field_to_ch,
+                )
+                from tensorbase_spark.sources.external import post_url
+                from tensorbase_spark.sources.httpwire import (
+                    canonical_format,
+                    encode_rows,
+                )
+
+                canon = canonical_format(
+                    args[1] if len(args) > 1 else "JSONEachRow"
+                )
+                names = [f.name for f in src.schema.fields]
+                ch_types = []
+                for f in src.schema.fields:
+                    try:
+                        ch_types.append(spark_field_to_ch(f))
+                    except ValueError:
+                        ch_types.append("String")
+                body = b"".join(
+                    encode_rows(
+                        canon, names, ch_types,
+                        (tuple(r) for r in src.toLocalIterator()),
+                    )
+                )
+                post_url(path, body)
+                return self.spark.sql("SELECT 1 AS ok")
             if path.startswith("file://"):
                 path = path[len("file://"):]
             elif re.match(r"(?i)^[a-z][a-z0-9+.-]*://", path):
                 raise ValueError(
-                    f"url({path!r}): only file:// is reachable here (no network)"
+                    f"url({path!r}): only file:// and http(s):// are "
+                    "reachable here"
                 )
-            fmt = (args[1] if len(args) > 1 else "parquet").lower()
-            rest = fm.group("rest")
             if rest.lower().startswith("values"):
                 src = self.spark.sql(f"SELECT * FROM {rest}")
             else:
@@ -5370,8 +5407,10 @@ class TensorBaseEngine:
                 continue
             if m.group(2).lower() in ("file", "url"):
                 # file('path'[, 'Format'[, 'col Type, ...']]) — upstream-CH
-                # file source; url() reads the same for file:// (no network
-                # here — http fails loudly).  Declared structure beats
+                # file source; url() additionally fetches http(s) targets
+                # (single-stream download to a driver temp file, CH's own
+                # url() shape — the engine's HTTP front door makes this a
+                # self-federation path).  Declared structure beats
                 # inference (the reference's fixed-schema model); CSV
                 # without one falls back to header/inference.
                 fargs = [
@@ -5382,10 +5421,16 @@ class TensorBaseEngine:
                 fpath = fargs[0]
                 if fpath.startswith("file://"):
                     fpath = fpath[len("file://"):]
+                elif re.match(r"(?i)^https?://", fpath):
+                    from tensorbase_spark.sources.external import (
+                        fetch_url_to_temp,
+                    )
+
+                    fpath = fetch_url_to_temp(fpath)
                 elif re.match(r"(?i)^[a-z][a-z0-9+.-]*://", fpath):
                     raise ValueError(
-                        f"url({fpath!r}): only file:// is reachable here "
-                        "(no network)"
+                        f"url({fpath!r}): only file:// and http(s):// are "
+                        "reachable here"
                     )
                 ffmt = (fargs[1] if len(fargs) > 1 else "parquet").lower()
                 schema = None

@@ -199,6 +199,7 @@ R08_VERIFIED = frozenset(
 # slot to the staleness-ordered tail.
 PRIORITY_HEAD = [
     # (a) new round-9 queries
+    "wire_http_roundtrip", "url_http_federation",
     "wire_mysql_roundtrip", "remote_mysql_federation",
     "ch_everyday_funcs10",
     # (b) round-9 behavior-changed implementations

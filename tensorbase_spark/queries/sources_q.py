@@ -442,6 +442,131 @@ GROUP BY o_orderstatus
 """
 
 
+def wire_http_roundtrip(spark, sf_dir):
+    """HTTP front-door round trip (upstream-CH's most used interface —
+    the beyond-reference protocol next to the reference's native TCP
+    server, crates/server/src/server.rs:94-132, and MySQL server,
+    crates/server_mysql/).  A customer extract goes out over a REAL HTTP
+    socket as a JSONEachRow POST body (client encode -> server parse ->
+    typed insert), then an aggregate comes BACK as
+    TabSeparatedWithNamesAndTypes (server escape/encode -> client typed
+    decode); the returned DataFrame is built from the wire-decoded
+    values, so the oracle hash certifies the full both-ends path —
+    query-in-URL dispatch, INSERT body decoding, TSV escapes, CH type
+    names, chunked streaming — value-exactly."""
+    from tensorbase_spark.queries.engine_queries import _fresh_engine
+    from tensorbase_spark.sources.httpwire import HttpClient, serve_http
+
+    eng = _fresh_engine(spark, sf_dir, "whr")
+    rows = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") % 11) == 0)
+        .select(
+            F.col("c_custkey").cast("long"),
+            F.col("c_mktsegment").cast("string"),
+            F.col("c_acctbal").cast("double"),
+        )
+        .collect()
+    )
+    srv, port = serve_http(eng)
+    try:
+        with HttpClient(port=port) as c:
+            c.execute(
+                "create table whr_cust (ck Int64, seg String, bal Float64)"
+            )
+            for i in range(0, len(rows), 2000):
+                chunk = rows[i : i + 2000]
+                c.insert_rows(
+                    "whr_cust", ["ck", "seg", "bal"],
+                    [tuple(r) for r in chunk],
+                )
+            _, _, got = c.execute(
+                "select seg, count(*) as n, "
+                "cast(sum(cast(bal as bigint)) as bigint) as bal_sum, "
+                "min(ck) as first_ck, max(ck) as last_ck "
+                "from whr_cust group by seg order by seg"
+            )
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    return spark.createDataFrame(
+        [tuple(r) for r in got],
+        "seg string, n bigint, bal_sum bigint, first_ck bigint, "
+        "last_ck bigint",
+    )
+
+
+WIRE_HTTP_ORACLE = """
+SELECT c_mktsegment AS seg, count(*) AS n,
+       CAST(sum(CAST(trunc(c_acctbal) AS BIGINT)) AS BIGINT) AS bal_sum,
+       CAST(min(c_custkey) AS BIGINT) AS first_ck,
+       CAST(max(c_custkey) AS BIGINT) AS last_ck
+FROM customer WHERE c_custkey % 11 = 0
+GROUP BY c_mktsegment
+"""
+
+
+def url_http_federation(spark, sf_dir):
+    """url() table function over the engine's OWN HTTP endpoint, both
+    halves (upstream-CH url(); the reference's closest shape is
+    remote(), crates/engine/src/remote.rs:49): INSERT INTO FUNCTION
+    url('http://...') POSTs formatted rows out over the wire into a
+    second table, then url('http://...?query=...FORMAT JSONEachRow')
+    reads an extract back through the same endpoint and joins it with
+    the local nation dim.  Engine -> HTTP wire -> engine, no driver jar
+    involved; typed values survive the JSONEachRow round trip
+    (64-bit quoting disabled via the public setting), certified by the
+    value hash."""
+    from urllib.parse import quote as _q
+
+    from tensorbase_spark.queries.engine_queries import _fresh_engine
+    from tensorbase_spark.sources.httpwire import serve_http
+
+    eng = _fresh_engine(spark, sf_dir, "uhf")
+    db = spark.catalog.currentDatabase()
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("uhf_src")
+    eng.sql("create table uhf_supplier (sk Int64, nk Int64, bal Float64)")
+    srv, port = serve_http(eng)
+    try:
+        ins = _q(f"INSERT INTO {db}.uhf_supplier FORMAT JSONEachRow")
+        eng.sql(
+            f"insert into function url('http://127.0.0.1:{port}/"
+            f"?query={ins}', 'JSONEachRow') "
+            "select s_suppkey as sk, s_nationkey as nk, s_acctbal as bal "
+            "from uhf_src"
+        )
+        sel = _q(
+            f"SELECT sk, nk, bal FROM {db}.uhf_supplier "
+            "WHERE bal > 0 FORMAT JSONEachRow"
+        )
+        r = eng.sql(
+            f"select sk, nk, bal from url('http://127.0.0.1:{port}/"
+            f"?query={sel}&output_format_json_quote_64bit_integers=0', "
+            "'JSONEachRow')"
+        )
+        r = r.localCheckpoint(eager=True)  # drain before the server stops
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        r.join(F.broadcast(nation), r.nk == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("bal"), 2).alias("total_bal"),
+        )
+    )
+
+
+URL_HTTP_ORACLE = """
+SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal > 0
+GROUP BY n_name
+"""
+
+
 WIRE_NATIVE_ORACLE = """
 SELECT l_returnflag AS flag, count(*) AS n,
        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
@@ -467,6 +592,12 @@ QUERIES = {
     ),
     "remote_mysql_federation": Query(
         remote_mysql_federation, REMOTE_MYSQL_ORACLE, ("sources", "wire")
+    ),
+    "wire_http_roundtrip": Query(
+        wire_http_roundtrip, WIRE_HTTP_ORACLE, ("sources", "wire")
+    ),
+    "url_http_federation": Query(
+        url_http_federation, URL_HTTP_ORACLE, ("sources", "wire")
     ),
     "remote_thrift_federation": Query(
         remote_thrift_federation, REMOTE_THRIFT_ORACLE, ("sources", "wire")

@@ -1,0 +1,1359 @@
+"""ClickHouse HTTP interface — both ends, pure stdlib Python.
+
+The reference ships two stock front doors: the ClickHouse native TCP
+protocol (crates/server/src/server.rs:94-132, mirrored by
+sources/chnative.py) and the MySQL protocol (crates/server_mysql/,
+mirrored by sources/mysqlwire.py).  Upstream ClickHouse's MOST used
+front door, however, is the HTTP interface on :8123 — `curl
+'http://host:8123/?query=...'` — which every language driver without a
+native codec speaks, and which the reference's users coming from stock
+ClickHouse expect.  This module plays that role over
+:class:`TensorBaseEngine`, following the chnative.py both-ends pattern:
+a threaded HTTP server AND a stdlib client so the surface is
+golden-byte- and round-trip-testable in-repo with no third-party
+packages.
+
+Surface (mirrors the public upstream-CH HTTP semantics):
+
+* ``GET /`` with no query -> ``Ok.\\n`` (health probe); ``/ping`` and
+  ``/replicas_status`` likewise;
+* the query text may arrive in the ``query`` URL parameter, the POST
+  body, or both (parameter first, newline-joined) — for INSERT the body
+  after ``FORMAT <name>`` is the data payload;
+* ``database``, ``default_format``, ``query_id``, ``session_id`` and
+  ``param_<name>`` URL parameters (the latter bind ``{name:Type}``
+  placeholders via the engine's existing ``SET param_x`` machinery);
+  other recognized engine settings are applied per-request and restored
+  afterwards (CH's per-request settings scope) unless a ``session_id``
+  pins them;
+* output FORMATs: TabSeparated family (incl. Raw/WithNames/
+  WithNamesAndTypes), CSV family, JSON, JSONCompact, JSONEachRow,
+  JSONCompactEachRow, Values, Pretty, PrettyCompact, RowBinary,
+  RowBinaryWithNamesAndTypes, Null;
+* INSERT body FORMATs: TabSeparated, CSV, JSONEachRow,
+  JSONCompactEachRow, Values (each with the CH text escapes);
+* compression: ``Accept-Encoding: gzip`` + ``enable_http_compression=1``
+  -> gzip responses; ``Content-Encoding: gzip`` request bodies;
+  ``compress=1`` / ``decompress=1`` -> ClickHouse-internal LZ4 block
+  framing with CityHash128 checksums (the exact frame codec shared with
+  the native protocol, sources/chnative.py);
+* ``X-ClickHouse-*`` response headers (Query-Id, Format, Timezone,
+  Summary, Server-Display-Name) and exception mapping to HTTP statuses
+  with ``X-ClickHouse-Exception-Code`` + a ``Code: N. DB::Exception:``
+  body, per the public interface;
+* SELECT results stream out CHUNKED — rows leave via
+  ``toLocalIterator()`` in bounded bites, so a result never needs to fit
+  on the driver heap; the query itself still runs fully distributed (the
+  HTTP endpoint is only the collect boundary).
+
+Authentication is accept-all, matching the reference's native front
+door (its ``on_auth`` accepts unconditionally).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import gzip as _gzip
+import io
+import json as _json
+import math
+import re
+import threading
+import zlib as _zlib
+import uuid as _uuid
+from decimal import Decimal
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable, Iterable, Iterator
+from urllib.parse import parse_qs, quote, urlsplit
+
+from tensorbase_spark.sources.chnative import (
+    Reader,
+    compress_frame,
+    read_frame,
+    spark_field_to_ch,
+    write_varint,
+)
+
+# ---------------------------------------------------------------------------
+# value -> text rendering (one shared vocabulary for every text format)
+# ---------------------------------------------------------------------------
+
+_TSV_ESC = {
+    "\\": "\\\\", "\t": "\\t", "\n": "\\n", "\r": "\\r",
+    "\0": "\\0", "\b": "\\b", "\f": "\\f",
+}
+_TSV_ESC_RE = re.compile("[\\\\\t\n\r\0\b\f]")
+_TSV_UNESC = {
+    "\\": "\\", "t": "\t", "n": "\n", "r": "\r", "0": "\0",
+    "b": "\b", "f": "\f", "N": None, "'": "'", '"': '"',
+}
+
+
+def tsv_escape(s: str) -> str:
+    return _TSV_ESC_RE.sub(lambda m: _TSV_ESC[m.group(0)], s)
+
+
+def tsv_unescape(s: str) -> str:
+    out, i, n = [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            rep = _TSV_UNESC.get(s[i + 1])
+            if rep is not None:
+                out.append(rep)
+                i += 2
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _fmt_float(v: float) -> str:
+    """CH prints floats shortest-round-trip; integral values drop the
+    fraction (SELECT 1.0 FORMAT TSV -> ``1``)."""
+    if math.isnan(v):
+        return "nan"
+    if math.isinf(v):
+        return "inf" if v > 0 else "-inf"
+    s = repr(float(v))
+    return s[:-2] if s.endswith(".0") else s
+
+
+def _plain_text(v: Any) -> str:
+    """Unescaped text for one non-NULL value (shared by every format;
+    each format then applies its own quoting/escaping to strings)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return _fmt_float(v)
+    if isinstance(v, Decimal):
+        return format(v, "f")
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return str(v)
+
+
+def _array_text(v: list) -> str:
+    """CH array text form: [1,2], ['a','b'], [NULL,3] — element strings
+    single-quoted with backslash escapes."""
+    parts = []
+    for x in v:
+        if x is None:
+            parts.append("NULL")
+        elif isinstance(x, str):
+            parts.append("'" + tsv_escape(x).replace("'", "\\'") + "'")
+        elif isinstance(x, list):
+            parts.append(_array_text(x))
+        else:
+            parts.append(_plain_text(x))
+    return "[" + ",".join(parts) + "]"
+
+
+def _tsv_field(v: Any, raw: bool = False) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, list):
+        return _array_text(v)
+    if isinstance(v, str):
+        return v if raw else tsv_escape(v)
+    return _plain_text(v)
+
+
+def _csv_field(v: Any) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, list):
+        return '"' + _array_text(v).replace('"', '""') + '"'
+    if isinstance(v, (str, _dt.date, _dt.datetime)):
+        # CH CSV output double-quotes strings and date/times
+        return '"' + _plain_text(v).replace('"', '""') + '"'
+    return _plain_text(v)
+
+
+def _values_field(v: Any) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, list):
+        return _array_text(v)
+    if isinstance(v, (str, _dt.date, _dt.datetime)):
+        s = _plain_text(v)
+        if isinstance(v, str):
+            s = tsv_escape(s).replace("'", "\\'")
+        return "'" + s + "'"
+    return _plain_text(v)
+
+
+def _json_value(v: Any, ch_type: str, quote64: bool) -> Any:
+    """Python value -> JSON-serializable per CH JSON conventions:
+    Int64/UInt64 quoted when ``output_format_json_quote_64bit_integers``
+    (the CH default), nan/inf -> null, date/times as strings."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, list):
+        inner = ch_type
+        if inner.startswith("Array(") and inner.endswith(")"):
+            inner = inner[6:-1]
+        return [_json_value(x, inner, quote64) for x in v]
+    if isinstance(v, float):
+        return None if (math.isnan(v) or math.isinf(v)) else v
+    if isinstance(v, Decimal):
+        return format(v, "f")
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return _plain_text(v)
+    if isinstance(v, int) and quote64 and _is_64bit(ch_type):
+        return str(v)
+    return v
+
+
+def _is_64bit(ch_type: str) -> bool:
+    base = ch_type
+    if base.startswith("Nullable(") and base.endswith(")"):
+        base = base[9:-1]
+    return base in ("Int64", "UInt64")
+
+
+# ---------------------------------------------------------------------------
+# output format encoders — generators of bytes chunks
+# ---------------------------------------------------------------------------
+
+_CANON_FMT = {
+    "tabseparated": "TabSeparated", "tsv": "TabSeparated",
+    "tabseparatedraw": "TabSeparatedRaw", "tsvraw": "TabSeparatedRaw",
+    "tabseparatedwithnames": "TabSeparatedWithNames",
+    "tsvwithnames": "TabSeparatedWithNames",
+    "tabseparatedwithnamesandtypes": "TabSeparatedWithNamesAndTypes",
+    "tsvwithnamesandtypes": "TabSeparatedWithNamesAndTypes",
+    "csv": "CSV", "csvwithnames": "CSVWithNames",
+    "csvwithnamesandtypes": "CSVWithNamesAndTypes",
+    "json": "JSON", "jsoncompact": "JSONCompact",
+    "jsoneachrow": "JSONEachRow", "ndjson": "JSONEachRow",
+    "jsoncompacteachrow": "JSONCompactEachRow",
+    "values": "Values",
+    "pretty": "Pretty", "prettycompact": "PrettyCompact",
+    "rowbinary": "RowBinary",
+    "rowbinarywithnamesandtypes": "RowBinaryWithNamesAndTypes",
+    "null": "Null",
+}
+
+_CONTENT_TYPE = {
+    "TabSeparated": "text/tab-separated-values; charset=UTF-8",
+    "TabSeparatedRaw": "text/tab-separated-values; charset=UTF-8",
+    "TabSeparatedWithNames": "text/tab-separated-values; charset=UTF-8",
+    "TabSeparatedWithNamesAndTypes": "text/tab-separated-values; charset=UTF-8",
+    "CSV": "text/csv; charset=UTF-8; header=absent",
+    "CSVWithNames": "text/csv; charset=UTF-8; header=present",
+    "CSVWithNamesAndTypes": "text/csv; charset=UTF-8; header=present",
+    "JSON": "application/json; charset=UTF-8",
+    "JSONCompact": "application/json; charset=UTF-8",
+    "JSONEachRow": "application/x-ndjson; charset=UTF-8",
+    "JSONCompactEachRow": "application/x-ndjson; charset=UTF-8",
+    "Values": "text/plain; charset=UTF-8",
+    "Pretty": "text/plain; charset=UTF-8",
+    "PrettyCompact": "text/plain; charset=UTF-8",
+    "RowBinary": "application/octet-stream",
+    "RowBinaryWithNamesAndTypes": "application/octet-stream",
+    "Null": "text/plain; charset=UTF-8",
+}
+
+PRETTY_MAX_ROWS = 10_000  # upstream-CH Pretty formats cap at 10k rows
+
+
+def canonical_format(name: str) -> str:
+    canon = _CANON_FMT.get((name or "").strip().lower())
+    if canon is None:
+        raise ValueError(f"unknown FORMAT {name!r}")
+    return canon
+
+
+def encode_rows(
+    fmt: str,
+    names: list[str],
+    ch_types: list[str],
+    rows: Iterable[tuple],
+    quote64: bool = True,
+) -> Iterator[bytes]:
+    """Encode an iterable of plain-Python tuples as FORMAT ``fmt``,
+    yielding bytes chunks (one per row batch for the streaming formats;
+    the Pretty/JSON envelope formats buffer by construction)."""
+    if fmt == "Null":
+        for _ in rows:
+            pass
+        return
+    if fmt.startswith("TabSeparated"):
+        raw = fmt == "TabSeparatedRaw"
+        if fmt == "TabSeparatedWithNames":
+            yield ("\t".join(tsv_escape(n) for n in names) + "\n").encode()
+        elif fmt == "TabSeparatedWithNamesAndTypes":
+            yield ("\t".join(tsv_escape(n) for n in names) + "\n").encode()
+            yield ("\t".join(ch_types) + "\n").encode()
+        for r in rows:
+            yield ("\t".join(_tsv_field(v, raw) for v in r) + "\n").encode()
+        return
+    if fmt.startswith("CSV"):
+        if fmt in ("CSVWithNames", "CSVWithNamesAndTypes"):
+            yield (",".join('"%s"' % n.replace('"', '""') for n in names)
+                   + "\n").encode()
+        if fmt == "CSVWithNamesAndTypes":
+            yield (",".join('"%s"' % t.replace('"', '""') for t in ch_types)
+                   + "\n").encode()
+        for r in rows:
+            yield (",".join(_csv_field(v) for v in r) + "\n").encode()
+        return
+    if fmt == "JSONEachRow":
+        for r in rows:
+            obj = {
+                n: _json_value(v, t, quote64)
+                for n, t, v in zip(names, ch_types, r)
+            }
+            yield (_json.dumps(obj, ensure_ascii=False, separators=(",", ":"))
+                   + "\n").encode()
+        return
+    if fmt == "JSONCompactEachRow":
+        for r in rows:
+            arr = [_json_value(v, t, quote64) for t, v in zip(ch_types, r)]
+            yield (_json.dumps(arr, ensure_ascii=False, separators=(",", ":"))
+                   + "\n").encode()
+        return
+    if fmt in ("JSON", "JSONCompact"):
+        yield from _encode_json_envelope(fmt, names, ch_types, rows, quote64)
+        return
+    if fmt == "Values":
+        first = True
+        for r in rows:
+            pre = "" if first else ","
+            first = False
+            yield (pre + "(" + ",".join(_values_field(v) for v in r)
+                   + ")").encode()
+        yield b"\n"
+        return
+    if fmt in ("Pretty", "PrettyCompact"):
+        yield _encode_pretty(fmt, names, rows)
+        return
+    if fmt in ("RowBinary", "RowBinaryWithNamesAndTypes"):
+        yield from _encode_rowbinary(fmt, names, ch_types, rows)
+        return
+    raise ValueError(f"unknown FORMAT {fmt!r}")
+
+
+def _encode_json_envelope(fmt, names, ch_types, rows, quote64):
+    head = {"meta": [{"name": n, "type": t} for n, t in zip(names, ch_types)]}
+    buf = _json.dumps(head, ensure_ascii=False)[:-1] + ',\n"data":\n[\n'
+    yield buf.encode()
+    nrows = 0
+    for r in rows:
+        if fmt == "JSON":
+            item = {
+                n: _json_value(v, t, quote64)
+                for n, t, v in zip(names, ch_types, r)
+            }
+        else:
+            item = [_json_value(v, t, quote64) for t, v in zip(ch_types, r)]
+        pre = ",\n" if nrows else ""
+        nrows += 1
+        yield (pre + _json.dumps(item, ensure_ascii=False,
+                                 separators=(",", ":"))).encode()
+    tail = '\n],\n"rows": %d\n}\n' % nrows
+    yield tail.encode()
+
+
+def _encode_pretty(fmt: str, names: list[str], rows: Iterable[tuple]) -> bytes:
+    """Pretty / PrettyCompact box tables (buffered: CH caps these human
+    formats at 10k rows; numbers right-aligned like CH)."""
+    mat, overflow = [], 0
+    for r in rows:
+        if len(mat) >= PRETTY_MAX_ROWS:
+            overflow += 1
+            continue
+        mat.append([
+            "ᴺᵁᴸᴸ" if v is None
+            else (_array_text(v) if isinstance(v, list) else _plain_text(v))
+            for v in r
+        ])
+    widths = [len(n) for n in names]
+    numeric = [True] * len(names)
+    for r in mat:
+        for j, cell in enumerate(r):
+            widths[j] = max(widths[j], len(cell))
+            if cell and not re.fullmatch(r"-?[\d.]+(e-?\d+)?", cell):
+                numeric[j] = False
+    out = io.StringIO()
+
+    def _row(cells, sl, sm, sr, pad=" "):
+        out.write(sl)
+        out.write(sm.join(
+            pad + c.rjust(widths[j]) + pad if numeric[j]
+            else pad + c.ljust(widths[j]) + pad
+            for j, c in enumerate(cells)
+        ))
+        out.write(sr + "\n")
+
+    if fmt == "Pretty":
+        out.write("┏" + "┳".join("━" * (w + 2) for w in widths) + "┓\n")
+        _row(names, "┃", "┃", "┃")
+        out.write("┡" + "╇".join("━" * (w + 2) for w in widths) + "┩\n")
+        for r in mat:
+            _row(r, "│", "│", "│")
+        out.write("└" + "┴".join("─" * (w + 2) for w in widths) + "┘\n")
+    else:  # PrettyCompact: header embedded in the top border
+        segs = []
+        for j, n in enumerate(names):
+            segs.append("─" + n + "─" * (widths[j] - len(n) + 1))
+        out.write("┌" + "┬".join(segs) + "┐\n")
+        for r in mat:
+            _row(r, "│", "│", "│")
+        out.write("└" + "┴".join("─" * (w + 2) for w in widths) + "┘\n")
+    if overflow:
+        out.write(f"Showed first {PRETTY_MAX_ROWS}.\n")
+    return out.getvalue().encode()
+
+
+# ---------------------------------------------------------------------------
+# RowBinary — row-major fixed-width codec (public CH format spec)
+# ---------------------------------------------------------------------------
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_INT_SPEC = {
+    "Int8": (1, True), "Int16": (2, True), "Int32": (4, True),
+    "Int64": (8, True), "UInt8": (1, False), "UInt16": (2, False),
+    "UInt32": (4, False), "UInt64": (8, False),
+}
+
+
+def _rb_encode_value(out: bytearray, base: str, v: Any) -> None:
+    if base in _INT_SPEC:
+        size, signed = _INT_SPEC[base]
+        iv = int(v)
+        if isinstance(v, bool):
+            iv = 1 if v else 0
+        out += iv.to_bytes(size, "little", signed=signed)
+    elif base == "Float64":
+        import struct
+        out += struct.pack("<d", float(v))
+    elif base == "Float32":
+        import struct
+        out += struct.pack("<f", float(v))
+    elif base == "String":
+        b = str(v).encode()
+        write_varint(out, len(b))
+        out += b
+    elif base == "Date":
+        days = (v - _EPOCH_DATE).days if isinstance(v, _dt.date) else int(v)
+        if not 0 <= days <= 0xFFFF:
+            raise ValueError(f"Date {v!r} outside u16 day range")
+        out += days.to_bytes(2, "little")
+    elif base.startswith("DateTime"):
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is None:
+                v = v.astimezone()
+            ts = int(v.timestamp())
+        else:
+            ts = int(v)
+        if not 0 <= ts <= 0xFFFFFFFF:
+            raise ValueError(f"DateTime {v!r} outside u32 second range")
+        out += ts.to_bytes(4, "little")
+    elif base.startswith("Decimal("):
+        p, s = base[8:-1].split(",")
+        scaled = int(Decimal(v).scaleb(int(s)).to_integral_value())
+        size = 4 if int(p) <= 9 else 8
+        out += scaled.to_bytes(size, "little", signed=True)
+    elif base.startswith("Array("):
+        write_varint(out, len(v))
+        inner = base[6:-1]
+        for x in v:
+            _rb_encode_nullable(out, inner, x)
+    else:
+        raise ValueError(f"RowBinary: unsupported type {base!r}")
+
+
+def _rb_encode_nullable(out: bytearray, ch_type: str, v: Any) -> None:
+    if ch_type.startswith("Nullable(") and ch_type.endswith(")"):
+        base = ch_type[9:-1]
+        if v is None:
+            out += b"\x01"
+            # a default value follows the NULL marker per the spec
+            _rb_encode_value(out, base, _rb_default(base))
+            return
+        out += b"\x00"
+        _rb_encode_value(out, base, v)
+        return
+    if v is None:
+        _rb_encode_value(out, ch_type, _rb_default(ch_type))
+        return
+    _rb_encode_value(out, ch_type, v)
+
+
+def _rb_default(base: str) -> Any:
+    if base == "String":
+        return ""
+    if base == "Date":
+        return _EPOCH_DATE
+    if base.startswith("DateTime"):
+        return 0
+    if base.startswith("Decimal("):
+        return Decimal(0)
+    if base.startswith("Array("):
+        return []
+    return 0
+
+
+def _encode_rowbinary(fmt, names, ch_types, rows):
+    if fmt == "RowBinaryWithNamesAndTypes":
+        head = bytearray()
+        write_varint(head, len(names))
+        for n in names:
+            b = n.encode()
+            write_varint(head, len(b))
+            head += b
+        for t in ch_types:
+            b = t.encode()
+            write_varint(head, len(b))
+            head += b
+        yield bytes(head)
+    batch = bytearray()
+    for r in rows:
+        for t, v in zip(ch_types, r):
+            _rb_encode_nullable(batch, t, v)
+        if len(batch) >= 1 << 16:
+            yield bytes(batch)
+            batch = bytearray()
+    if batch:
+        yield bytes(batch)
+
+
+def _rb_decode_value(r: Reader, base: str) -> Any:
+    import struct
+    if base in _INT_SPEC:
+        size, signed = _INT_SPEC[base]
+        return int.from_bytes(r.read(size), "little", signed=signed)
+    if base == "Float64":
+        return struct.unpack("<d", r.read(8))[0]
+    if base == "Float32":
+        return struct.unpack("<f", r.read(4))[0]
+    if base == "String":
+        return r.read(r.read_varint()).decode()
+    if base == "Date":
+        return _EPOCH_DATE + _dt.timedelta(
+            days=int.from_bytes(r.read(2), "little"))
+    if base.startswith("DateTime"):
+        ts = int.from_bytes(r.read(4), "little")
+        return _dt.datetime.fromtimestamp(ts)
+    if base.startswith("Decimal("):
+        p, s = base[8:-1].split(",")
+        size = 4 if int(p) <= 9 else 8
+        raw = int.from_bytes(r.read(size), "little", signed=True)
+        return Decimal(raw).scaleb(-int(s))
+    if base.startswith("Array("):
+        n = r.read_varint()
+        inner = base[6:-1]
+        return [_rb_decode_nullable(r, inner) for _ in range(n)]
+    raise ValueError(f"RowBinary: unsupported type {base!r}")
+
+
+def _rb_decode_nullable(r: Reader, ch_type: str) -> Any:
+    if ch_type.startswith("Nullable(") and ch_type.endswith(")"):
+        isnull = r.read(1)[0]
+        v = _rb_decode_value(r, ch_type[9:-1])
+        return None if isnull else v
+    return _rb_decode_value(r, ch_type)
+
+
+def decode_rowbinary_with_names_and_types(data: bytes):
+    """Decode a RowBinaryWithNamesAndTypes payload ->
+    (names, ch_types, rows)."""
+    r = Reader(data)
+    ncols = r.read_varint()
+    names = [r.read(r.read_varint()).decode() for _ in range(ncols)]
+    types = [r.read(r.read_varint()).decode() for _ in range(ncols)]
+    rows = []
+    while not r.at_end():
+        rows.append(tuple(_rb_decode_nullable(r, t) for t in types))
+    return names, types, rows
+
+
+# ---------------------------------------------------------------------------
+# input format decoders (INSERT body data -> rows of text-or-typed values)
+# ---------------------------------------------------------------------------
+
+def _split_csv_line(line: str) -> list:
+    out, field, i, n, quoted = [], [], 0, len(line), False
+    while i < n:
+        c = line[i]
+        if quoted:
+            if c == '"':
+                if i + 1 < n and line[i + 1] == '"':
+                    field.append('"')
+                    i += 2
+                    continue
+                quoted = False
+                i += 1
+                continue
+            field.append(c)
+            i += 1
+            continue
+        if c == '"' and not field:
+            quoted = True
+            i += 1
+            continue
+        if c == ",":
+            out.append("".join(field))
+            field = []
+            i += 1
+            continue
+        field.append(c)
+        i += 1
+    out.append("".join(field))
+    return out
+
+
+def decode_body_rows(fmt: str, data: bytes) -> tuple[list, list | None]:
+    """INSERT payload -> (rows, col_names_from_data_or_None).  Text rows
+    carry strings (``None`` for NULL); JSON rows carry typed values."""
+    fmt = canonical_format(fmt)
+    text = data.decode()
+    if fmt == "JSONEachRow":
+        rows, names = [], None
+        for line in text.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            obj = _json.loads(line)
+            if names is None:
+                names = list(obj.keys())
+            rows.append([obj.get(k) for k in names])
+        return rows, names
+    if fmt == "JSONCompactEachRow":
+        return [
+            _json.loads(line) for line in text.splitlines() if line.strip()
+        ], None
+    if fmt.startswith("CSV"):
+        lines = [ln for ln in text.split("\n") if ln != ""]
+        names = None
+        if fmt in ("CSVWithNames", "CSVWithNamesAndTypes"):
+            names = _split_csv_line(lines.pop(0).rstrip("\r"))
+        if fmt == "CSVWithNamesAndTypes":
+            lines.pop(0)
+        rows = []
+        for ln in lines:
+            rows.append([
+                None if f == "\\N" else f
+                for f in _split_csv_line(ln.rstrip("\r"))
+            ])
+        return rows, names
+    if fmt.startswith("TabSeparated"):
+        lines = [ln for ln in text.split("\n") if ln != ""]
+        names = None
+        if fmt in ("TabSeparatedWithNames", "TabSeparatedWithNamesAndTypes"):
+            names = [tsv_unescape(f) for f in lines.pop(0).split("\t")]
+        if fmt == "TabSeparatedWithNamesAndTypes":
+            lines.pop(0)
+        rows = []
+        for ln in lines:
+            vals = []
+            for f in ln.split("\t"):
+                vals.append(None if f == "\\N" else tsv_unescape(f))
+            rows.append(vals)
+        return rows, names
+    raise ValueError(f"INSERT FORMAT {fmt}: unsupported body format")
+
+
+def _coerce(v: Any, simple: str) -> Any:
+    """Text-or-JSON value -> the Python value Spark expects for a column
+    of simpleString type ``simple``."""
+    if v is None:
+        return None
+    if simple in ("tinyint", "smallint", "int", "bigint"):
+        return int(v)
+    if simple in ("float", "double"):
+        return float(v)
+    if simple.startswith("decimal("):
+        return Decimal(str(v))
+    if simple == "boolean":
+        if isinstance(v, bool):
+            return v
+        return str(v).strip().lower() in ("1", "true", "t", "yes")
+    if simple == "date":
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            return v
+        return _dt.date.fromisoformat(str(v).strip())
+    if simple in ("timestamp", "timestamp_ntz"):
+        if isinstance(v, _dt.datetime):
+            return v
+        s = str(v).strip()
+        if re.fullmatch(r"\d+", s):
+            return _dt.datetime.fromtimestamp(int(s))
+        return _dt.datetime.fromisoformat(s)
+    if simple.startswith("array<") and simple.endswith(">"):
+        inner = simple[6:-1]
+        if isinstance(v, list):
+            return [_coerce(x, inner) for x in v]
+        return [_coerce(x, inner) for x in _parse_array_text(str(v))]
+    return str(v)
+
+
+def _parse_array_text(s: str) -> list:
+    """Parse the CH bracketed array text form ('[1,2]', "['a','b']")."""
+    s = s.strip()
+    if not (s.startswith("[") and s.endswith("]")):
+        raise ValueError(f"not an array literal: {s!r}")
+    body, out, field, depth, i, n = s[1:-1], [], [], 0, 0, len(s) - 2
+    inq = False
+    while i < n:
+        c = body[i]
+        if inq:
+            if c == "\\" and i + 1 < n:
+                field.append(body[i:i + 2])
+                i += 2
+                continue
+            if c == "'":
+                inq = False
+            field.append(c)
+            i += 1
+            continue
+        if c == "'":
+            inq = True
+            field.append(c)
+        elif c == "[":
+            depth += 1
+            field.append(c)
+        elif c == "]":
+            depth -= 1
+            field.append(c)
+        elif c == "," and depth == 0:
+            out.append("".join(field).strip())
+            field = []
+        else:
+            field.append(c)
+        i += 1
+    if field:
+        out.append("".join(field).strip())
+    vals = []
+    for f in out:
+        if f == "NULL":
+            vals.append(None)
+        elif f.startswith("'") and f.endswith("'"):
+            vals.append(tsv_unescape(f[1:-1]).replace("\\'", "'"))
+        else:
+            vals.append(f)
+    return vals
+
+
+# ---------------------------------------------------------------------------
+# the server
+# ---------------------------------------------------------------------------
+
+_RESERVED_PARAMS = frozenset(
+    """query database default_format query_id session_id session_timeout
+    session_check compress decompress enable_http_compression user password
+    quota_key wait_end_of_query buffer_size send_progress_in_http_headers
+    http_headers_progress_interval_ms output_format_json_quote_64bit_integers
+    add_http_cors_header""".split()
+)
+
+# CH exception codes used on this surface (public errorCodes list)
+ERR_UNKNOWN = 1002
+ERR_SYNTAX = 62
+ERR_UNKNOWN_TABLE = 60
+ERR_UNKNOWN_DATABASE = 81
+ERR_UNKNOWN_FORMAT = 73
+
+# matched on BYTES: the data tail may be arbitrary (even binary) payload,
+# and byte offsets must stay exact regardless of its encoding
+_INSERT_DATA_RE = re.compile(
+    rb"(?is)^\s*insert\s+into\s+(?:table\s+)?"
+    rb"(?P<name>[A-Za-z_][\w.]*)\s*"
+    rb"(?:\((?P<cols>[^()]*)\)\s*)?"
+    rb"format\s+(?P<fmt>[A-Za-z]+)[ \t]*\r?\n?(?P<data>.*)$",
+    re.DOTALL,
+)
+_TRAILING_FORMAT_RE = re.compile(r"(?is)\bformat\s+([A-Za-z]+)\s*;?\s*$")
+
+
+class HttpChServer(ThreadingHTTPServer):
+    daemon_threads = True
+    allow_reuse_address = True
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+        super().__init__((host, port), _HttpHandler)
+        self.engine = engine
+        self.lock = threading.Lock()  # serializes engine session mutation
+        self.sessions: dict[str, dict] = {}
+        self.display_name = "tensorbase-spark"
+
+
+def serve_http(engine, host: str = "127.0.0.1", port: int = 0):
+    """Start the HTTP front door on ``port`` (0 = ephemeral); returns
+    (server, bound_port).  Call server.shutdown(); server.server_close()
+    to stop."""
+    srv = HttpChServer(engine, host, port)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, srv.server_address[1]
+
+
+def _engine_snapshot(eng) -> dict:
+    return {
+        "params": dict(eng._params),
+        "use_query_cache": eng._use_query_cache,
+        "uint64_storage": eng._uint64_storage,
+        "optimize_file_bytes": eng._optimize_file_bytes,
+        "database": eng.spark.catalog.currentDatabase(),
+    }
+
+
+def _engine_restore(eng, snap: dict) -> None:
+    eng._params = dict(snap["params"])
+    eng._use_query_cache = snap["use_query_cache"]
+    eng._uint64_storage = snap["uint64_storage"]
+    eng._optimize_file_bytes = snap["optimize_file_bytes"]
+    try:
+        eng.spark.catalog.setCurrentDatabase(snap["database"])
+    except Exception:
+        pass  # the request may have dropped its own database
+
+
+class _HttpHandler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    server_version = "TensorBaseSparkHTTP/1.0"
+
+    _response_started = False
+
+    def log_message(self, fmt, *args):  # silence per-request stderr lines
+        pass
+
+    def send_response(self, code, message=None):
+        self._response_started = True
+        super().send_response(code, message)
+
+    # -- entry points -------------------------------------------------------
+
+    def do_GET(self):
+        self._route(has_body=False)
+
+    def do_HEAD(self):
+        self._route(has_body=False, head_only=True)
+
+    def do_POST(self):
+        self._route(has_body=True)
+
+    # -- plumbing -----------------------------------------------------------
+
+    def _route(self, has_body: bool, head_only: bool = False):
+        self._response_started = False
+        try:
+            parts = urlsplit(self.path)
+            qs = parse_qs(parts.query, keep_blank_values=True)
+            one = {k: v[-1] for k, v in qs.items()}
+            if parts.path in ("/ping", "/replicas_status"):
+                self._fixed(200, b"Ok.\n", head_only=head_only)
+                return
+            body = self._read_body(one) if has_body else b""
+            qparam = one.get("query", "")
+            if not qparam and not body:
+                self._fixed(200, b"Ok.\n", head_only=head_only)
+                return
+            self._run(one, qparam, body, head_only)
+        except BrokenPipeError:
+            pass
+        except Exception as e:  # anything else -> CH-style exception body
+            try:
+                self._exception(e)
+            except Exception:
+                pass
+
+    def _read_body(self, one: dict) -> bytes:
+        n = int(self.headers.get("Content-Length") or 0)
+        data = self.rfile.read(n) if n else b""
+        if (self.headers.get("Content-Encoding") or "").lower() == "gzip":
+            data = _gzip.decompress(data)
+        elif one.get("decompress") == "1":
+            r = Reader(data)
+            out = bytearray()
+            while not r.at_end():
+                out += read_frame(r)
+            data = bytes(out)
+        return data
+
+    # -- request execution --------------------------------------------------
+
+    def _run(self, one: dict, qparam: str, body: bytes, head_only: bool):
+        srv: HttpChServer = self.server  # type: ignore[assignment]
+        eng = srv.engine
+        session_id = one.get("session_id")
+        quote64 = one.get(
+            "output_format_json_quote_64bit_integers", "1"
+        ) != "0"
+
+        # the query text is parameter + body, newline-joined (public CH
+        # contract); for INSERT the tail after FORMAT is the data payload
+        if qparam and body:
+            combined = qparam.encode() + b"\n" + body
+        else:
+            combined = qparam.encode() or body
+
+        # classify the statement on the raw bytes — the data tail after
+        # ``FORMAT <name>`` must keep exact byte offsets
+        im = _INSERT_DATA_RE.match(combined)
+        is_insert_data = bool(
+            im and canonical_format_or_none(im.group("fmt").decode())
+            not in (None, "Values")
+        )
+
+        with srv.lock:
+            snap = _engine_snapshot(eng)
+            sess = srv.sessions.get(session_id) if session_id else None
+            try:
+                if sess:
+                    _engine_restore(eng, sess)
+                if "database" in one:
+                    eng.spark.catalog.setCurrentDatabase(one["database"])
+                xdb = self.headers.get("X-ClickHouse-Database")
+                if xdb:
+                    eng.spark.catalog.setCurrentDatabase(xdb)
+                for k, v in one.items():
+                    if k in _RESERVED_PARAMS or not re.fullmatch(r"\w+", k):
+                        continue
+                    # engine-recognized settings (incl. param_* query
+                    # parameters); unknown ones are accepted-and-ignored
+                    # by the engine's own SET, matching CH leniency
+                    eng.sql(f"SET {k} = '{v}'" if not v.isdigit()
+                            else f"SET {k} = {v}")
+                if is_insert_data:
+                    written = self._insert_with_data(eng, combined, im)
+                    if session_id:
+                        srv.sessions[session_id] = _engine_snapshot(eng)
+                    self._ok_empty(one, written=written,
+                                   head_only=head_only)
+                    return
+                text = combined.decode()
+                fmt = None
+                fm = _TRAILING_FORMAT_RE.search(text)
+                if fm and not re.search(
+                    r"(?is)\binsert\b.*\bvalues\b", text[:fm.start()]
+                ):
+                    fmt = canonical_format(fm.group(1))
+                    text = text[:fm.start()]
+                df = eng.sql(text)
+                eager_rows = None
+                if re.search(r"(?i)current_?(database|schema|catalog)",
+                             text):
+                    # catalog-state builtins evaluate at FETCH time, which
+                    # happens after the per-request state is restored —
+                    # materialize these (small introspection results)
+                    # while the request's database is still current
+                    eager_rows = [tuple(r) for r in df.collect()]
+                if session_id:
+                    srv.sessions[session_id] = _engine_snapshot(eng)
+            except Exception as e:
+                _engine_restore(eng, snap)
+                self._exception(e)
+                return
+            _engine_restore(eng, snap)
+
+        kind = (re.match(r"\s*(\w+)", text) or [None, ""])[1].lower()
+        if kind not in (
+            "select", "with", "show", "describe", "desc", "explain",
+            "exists", "check",
+        ):
+            # DDL / engine commands: CH answers an empty 200 body
+            self._ok_empty(one, head_only=head_only)
+            return
+        if fmt is None:
+            fmt = canonical_format(
+                one.get("default_format")
+                or self.headers.get("X-ClickHouse-Format")
+                or "TabSeparated"
+            )
+        fields = df.schema.fields
+        names = [f.name for f in fields]
+        ch_types = [_ch_type_or_string(f) for f in fields]
+        if eager_rows is not None:
+            rows: Iterable[tuple] = eager_rows
+        else:
+            rows = (tuple(r) for r in df.toLocalIterator())
+        chunks = encode_rows(fmt, names, ch_types, rows, quote64=quote64)
+        self._stream(one, fmt, chunks, head_only=head_only)
+
+    def _insert_with_data(self, eng, combined: bytes, im) -> int:
+        data = combined[im.start("data"):]
+        fmt = im.group("fmt").decode()
+        name = im.group("name").decode()
+        cols = None
+        if im.group("cols"):
+            cols = [
+                c.strip().strip('`"')
+                for c in im.group("cols").decode().split(",")
+            ]
+        rows, data_names = decode_body_rows(fmt, data)
+        qualified = eng._qualify(name)
+        schema = eng.spark.table(qualified).schema
+        target_cols = cols or data_names or [
+            f.name for f in schema.fields if not f.name.startswith("__")
+        ]
+        if data_names and cols:
+            # column list wins; reorder JSON fields to it
+            idx = [data_names.index(c) for c in cols]
+            rows = [[r[i] for i in idx] for r in rows]
+        by_name = {f.name: f for f in schema.fields}
+        unknown = [c for c in target_cols if c not in by_name]
+        if unknown:
+            raise ValueError(
+                f"INSERT into {name}: unknown column(s) {unknown} "
+                f"(table has {sorted(by_name)})"
+            )
+        simples = [by_name[c].dataType.simpleString() for c in target_cols]
+        typed = [
+            tuple(_coerce(v, s) for v, s in zip(r, simples)) for r in rows
+        ]
+        from pyspark.sql import types as T
+        sub_schema = T.StructType([by_name[c] for c in target_cols])
+        src = eng.spark.createDataFrame(typed, schema=sub_schema)
+        eng.insert_df(qualified, src, subset=target_cols)
+        return len(typed)
+
+    # -- response writers ---------------------------------------------------
+
+    def _common_headers(self, one: dict, fmt: str | None):
+        self.send_header("X-ClickHouse-Server-Display-Name",
+                         self.server.display_name)  # type: ignore[attr-defined]
+        qid = one.get("query_id") or str(_uuid.uuid4())
+        self.send_header("X-ClickHouse-Query-Id", qid)
+        if fmt:
+            self.send_header("X-ClickHouse-Format", fmt)
+        tz = None
+        try:
+            tz = self.server.engine.spark.conf.get(  # type: ignore
+                "spark.sql.session.timeZone", None)
+        except Exception:
+            pass
+        if not tz:
+            tz = _dt.datetime.now().astimezone().tzname() or "UTC"
+        self.send_header("X-ClickHouse-Timezone", tz)
+        if one.get("add_http_cors_header") == "1":
+            self.send_header("Access-Control-Allow-Origin", "*")
+
+    def _fixed(self, status: int, body: bytes, ctype="text/plain; charset=UTF-8",
+               head_only=False, extra=()):
+        self.send_response(status)
+        self.send_header("Content-Type", ctype)
+        for k, v in extra:
+            self.send_header(k, v)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        if not head_only:
+            self.wfile.write(body)
+
+    def _ok_empty(self, one: dict, written: int = 0, head_only=False):
+        self.send_response(200)
+        self._common_headers(one, None)
+        summary = {
+            "read_rows": "0", "read_bytes": "0",
+            "written_rows": str(written), "written_bytes": "0",
+            "total_rows_to_read": "0",
+            "result_rows": str(written), "result_bytes": "0",
+        }
+        self.send_header("X-ClickHouse-Summary",
+                         _json.dumps(summary, separators=(",", ":")))
+        self.send_header("Content-Type", "text/plain; charset=UTF-8")
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    def _stream(self, one: dict, fmt: str, chunks: Iterator[bytes],
+                head_only=False):
+        use_gzip = (
+            one.get("enable_http_compression") == "1"
+            and "gzip" in (self.headers.get("Accept-Encoding") or "")
+        )
+        use_lz4 = one.get("compress") == "1"
+        self.send_response(200)
+        self._common_headers(one, fmt)
+        self.send_header("Content-Type", _CONTENT_TYPE[fmt])
+        if use_gzip:
+            self.send_header("Content-Encoding", "gzip")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+        if head_only:
+            return
+
+        def _chunk(b: bytes):
+            if b:
+                self.wfile.write(("%x\r\n" % len(b)).encode() + b + b"\r\n")
+
+        # wbits=31 -> gzip-framed deflate stream (zlib's public spelling)
+        gz = (
+            _zlib.compressobj(6, _zlib.DEFLATED, 16 + _zlib.MAX_WBITS)
+            if use_gzip else None
+        )
+        pend = bytearray()
+        try:
+            for c in chunks:
+                if gz:
+                    c = gz.compress(c)
+                    if c:
+                        _chunk(c)
+                elif use_lz4:
+                    pend += c
+                    if len(pend) >= 1 << 20:
+                        _chunk(compress_frame(bytes(pend)))
+                        pend = bytearray()
+                else:
+                    _chunk(c)
+        except Exception as e:
+            # mid-stream failure: CH appends the exception text into the
+            # stream (headers already went out) and closes the connection
+            msg = f"\nCode: {ERR_UNKNOWN}. DB::Exception: {e}\n".encode()
+            if gz:
+                _chunk(gz.compress(msg) + gz.flush())
+            else:
+                _chunk(msg)
+            self.wfile.write(b"0\r\n\r\n")
+            self.close_connection = True
+            return
+        if gz:
+            tail = gz.flush()
+            if tail:
+                _chunk(tail)
+        elif use_lz4 and pend:
+            _chunk(compress_frame(bytes(pend)))
+        self.wfile.write(b"0\r\n\r\n")
+
+    def _exception(self, e: Exception):
+        code, status = _map_exception(e)
+        if self._response_started:
+            # headers already on the wire: a second status line would
+            # corrupt the stream — CH aborts the connection here too
+            self.close_connection = True
+            try:
+                self.wfile.write(b"0\r\n\r\n")
+            except Exception:
+                pass
+            return
+        body = f"Code: {code}. DB::Exception: {e}\n".encode()
+        self._fixed(
+            status, body,
+            extra=(("X-ClickHouse-Exception-Code", str(code)),),
+        )
+        self.close_connection = True
+
+
+def canonical_format_or_none(name: str):
+    try:
+        return canonical_format(name)
+    except ValueError:
+        return None
+
+
+def _ch_type_or_string(field) -> str:
+    """CH wire type name for the meta rows; exotic Spark types that the
+    native mapping refuses (map/struct) degrade to String — their text
+    form still renders."""
+    try:
+        return spark_field_to_ch(field)
+    except ValueError:
+        return "String"
+
+
+def _map_exception(e: Exception) -> tuple[int, int]:
+    name = type(e).__name__
+    s = str(e)
+    if "TABLE_OR_VIEW_NOT_FOUND" in s or "Table or view not found" in s:
+        return ERR_UNKNOWN_TABLE, 404
+    if "SCHEMA_NOT_FOUND" in s or "Database" in s and "not found" in s.lower():
+        return ERR_UNKNOWN_DATABASE, 404
+    if name in ("ParseException",):
+        return ERR_SYNTAX, 400
+    if "unknown FORMAT" in s:
+        return ERR_UNKNOWN_FORMAT, 400
+    if name in ("ValueError",):
+        return ERR_SYNTAX, 400
+    return ERR_UNKNOWN, 500
+
+
+# ---------------------------------------------------------------------------
+# the client
+# ---------------------------------------------------------------------------
+
+_CH_TO_PY: dict[str, Callable[[str], Any]] = {}
+
+
+def _typed_from_text(s: str | None, ch_type: str) -> Any:
+    if s is None:
+        return None
+    base = ch_type
+    if base.startswith("Nullable(") and base.endswith(")"):
+        base = base[9:-1]
+    if base in _INT_SPEC or base == "Bool":
+        return int(s)
+    if base in ("Float32", "Float64"):
+        return float(s)
+    if base.startswith("Decimal("):
+        return Decimal(s)
+    if base == "Date":
+        return _dt.date.fromisoformat(s)
+    if base.startswith("DateTime"):
+        return _dt.datetime.fromisoformat(s)
+    if base.startswith("Array("):
+        return [
+            _typed_from_text(x, base[6:-1]) if x is not None else None
+            for x in _parse_array_text(s)
+        ]
+    return s
+
+
+class HttpClient:
+    """Minimal stdlib client for the HTTP front door (and for any stock
+    ClickHouse server speaking the same public interface)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 8123,
+                 database: str | None = None, compress: bool = False,
+                 session_id: str | None = None):
+        import http.client
+        self.host, self.port = host, port
+        self.database = database
+        self.compress = compress
+        self.session_id = session_id
+        self._conn = http.client.HTTPConnection(host, port, timeout=60)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def close(self):
+        self._conn.close()
+
+    # -- raw ----------------------------------------------------------------
+
+    def raw(self, query: str = "", body: bytes = b"",
+            params: dict | None = None, path: str = "/",
+            headers: dict | None = None):
+        """POST (or GET when there is no body and no query) -> (status,
+        headers, body bytes) with compression undone."""
+        p = dict(params or {})
+        if query:
+            p["query"] = query
+        if self.database and "database" not in p:
+            p["database"] = self.database
+        if self.session_id and "session_id" not in p:
+            p["session_id"] = self.session_id
+        if self.compress:
+            p.setdefault("compress", "1")
+        qs = "&".join(f"{k}={quote(str(v))}" for k, v in p.items())
+        url = path + ("?" + qs if qs else "")
+        method = "POST" if (body or query) else "GET"
+        import http.client
+        try:
+            self._conn.request(method, url, body=body or None,
+                               headers=headers or {})
+            resp = self._conn.getresponse()
+        except (http.client.RemoteDisconnected, BrokenPipeError,
+                ConnectionError):
+            # the server closes the connection after an exception
+            # response; reconnect once and retry
+            self._conn.close()
+            self._conn = http.client.HTTPConnection(
+                self.host, self.port, timeout=60)
+            self._conn.request(method, url, body=body or None,
+                               headers=headers or {})
+            resp = self._conn.getresponse()
+        data = resp.read()
+        hdrs = dict(resp.getheaders())
+        if hdrs.get("Content-Encoding") == "gzip":
+            data = _gzip.decompress(data)
+        elif self.compress and resp.status == 200 and data and \
+                hdrs.get("X-ClickHouse-Format"):
+            r = Reader(data)
+            out = bytearray()
+            while not r.at_end():
+                out += read_frame(r)
+            data = bytes(out)
+        return resp.status, hdrs, data
+
+    def ping(self) -> bool:
+        status, _h, data = self.raw(path="/ping")
+        return status == 200 and data == b"Ok.\n"
+
+    # -- typed --------------------------------------------------------------
+
+    def execute(self, query: str, params: dict | None = None):
+        """Run a statement.  SELECT-ish statements return (names, types,
+        typed rows) via TabSeparatedWithNamesAndTypes; everything else
+        returns ([], [], [])."""
+        q = query.strip().rstrip(";")
+        is_read = bool(re.match(
+            r"(?is)^(select|with|show|desc|describe|explain|exists)\b", q))
+        if is_read and not _TRAILING_FORMAT_RE.search(q):
+            q += " FORMAT TabSeparatedWithNamesAndTypes"
+        status, hdrs, data = self.raw(query=q, params=params)
+        if status != 200:
+            raise RuntimeError(
+                f"HTTP {status} "
+                f"[code {hdrs.get('X-ClickHouse-Exception-Code')}]: "
+                f"{data.decode(errors='replace').strip()}"
+            )
+        if not is_read:
+            return [], [], []
+        lines = data.decode().split("\n")
+        names = [tsv_unescape(x) for x in lines[0].split("\t")] if lines[0] else []
+        types = lines[1].split("\t") if len(lines) > 1 else []
+        rows = []
+        for ln in lines[2:]:
+            if ln == "":
+                continue
+            cells = ln.split("\t")
+            rows.append(tuple(
+                _typed_from_text(
+                    None if c == "\\N" else tsv_unescape(c), t
+                )
+                for c, t in zip(cells, types)
+            ))
+        return names, types, rows
+
+    def insert_rows(self, table: str, names: list[str], rows: list[tuple],
+                    fmt: str = "JSONEachRow") -> None:
+        """INSERT via a data-bearing POST body in ``fmt``."""
+        canon = canonical_format(fmt)
+        if canon == "JSONEachRow":
+            body = b"".join(
+                _json.dumps(
+                    {n: _jsonable(v) for n, v in zip(names, r)},
+                    ensure_ascii=False, separators=(",", ":"),
+                ).encode() + b"\n"
+                for r in rows
+            )
+        elif canon == "TabSeparated":
+            body = b"".join(
+                ("\t".join(_tsv_field(v) for v in r) + "\n").encode()
+                for r in rows
+            )
+        elif canon == "CSV":
+            body = b"".join(
+                (",".join(_csv_field(v) for v in r) + "\n").encode()
+                for r in rows
+            )
+        else:
+            raise ValueError(f"insert_rows: unsupported format {fmt}")
+        cols = ", ".join(names)
+        status, hdrs, data = self.raw(
+            query=f"INSERT INTO {table} ({cols}) FORMAT {canon}",
+            body=body,
+        )
+        if status != 200:
+            raise RuntimeError(
+                f"HTTP {status}: {data.decode(errors='replace').strip()}")
+
+
+def _jsonable(v: Any) -> Any:
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        return format(v, "f")
+    if isinstance(v, list):
+        return [_jsonable(x) for x in v]
+    return v

@@ -1,0 +1,498 @@
+"""HTTP front-door tests (sources/httpwire.py).
+
+The golden strings mirror the PUBLIC upstream-ClickHouse HTTP interface
+semantics: ``?query=`` / POST-body queries, FORMAT output grammars (TSV
+escapes, CSV quoting, the JSON envelope with quoted 64-bit integers,
+Values literals, RowBinary layout), ``param_*`` binding, per-request
+settings scope, ``session_id``, gzip + the CH-internal LZ4 ``compress=1``
+framing (shared byte-exactly with the native protocol codec,
+sources/chnative.py), and ``X-ClickHouse-*`` response headers.
+
+The reference itself ships native-TCP + MySQL front doors
+(crates/server/src/server.rs, crates/server_mysql/) — HTTP is the
+beyond-reference surface stock-ClickHouse users expect first.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import json
+import threading
+import uuid
+from decimal import Decimal
+
+import pytest
+
+from tensorbase_spark.engine import TensorBaseEngine
+from tensorbase_spark.sources.chnative import Reader, read_frame
+from tensorbase_spark.sources.httpwire import (
+    HttpClient,
+    canonical_format,
+    decode_body_rows,
+    decode_rowbinary_with_names_and_types,
+    encode_rows,
+    serve_http,
+    tsv_escape,
+    tsv_unescape,
+    _fmt_float,
+    _parse_array_text,
+)
+
+
+# ---------------------------------------------------------------------------
+# unit: text rendering / format encoders (no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_tsv_escape_roundtrip():
+    s = "a\tb\nc\\d\re\0f\bg\fh"
+    assert tsv_unescape(tsv_escape(s)) == s
+    assert tsv_escape("a\tb") == "a\\tb"
+    # whole-field \N is NULL and is handled BEFORE unescape; as a mere
+    # escape sequence it passes through untouched
+    assert tsv_unescape("\\N") == "\\N"
+
+
+def test_float_format():
+    assert _fmt_float(1.0) == "1"
+    assert _fmt_float(1.5) == "1.5"
+    assert _fmt_float(float("nan")) == "nan"
+    assert _fmt_float(float("inf")) == "inf"
+    assert _fmt_float(float("-inf")) == "-inf"
+    assert _fmt_float(0.1) == "0.1"
+
+
+ROWS = [
+    (1, "a\tb", 1.5, dt.date(2020, 1, 2), None),
+    (2, "x", 3.0, dt.date(2021, 5, 6), "ok"),
+]
+NAMES = ["i", "s", "f", "d", "n"]
+TYPES = ["Int64", "String", "Float64", "Date", "Nullable(String)"]
+
+
+def _enc(fmt, rows=ROWS, **kw):
+    return b"".join(encode_rows(fmt, NAMES, TYPES, iter(rows), **kw)).decode()
+
+
+def test_tabseparated_golden():
+    assert _enc("TabSeparated") == (
+        "1\ta\\tb\t1.5\t2020-01-02\t\\N\n2\tx\t3\t2021-05-06\tok\n"
+    )
+
+
+def test_tsv_with_names_and_types_golden():
+    out = _enc("TabSeparatedWithNamesAndTypes")
+    lines = out.split("\n")
+    assert lines[0] == "i\ts\tf\td\tn"
+    assert lines[1] == "Int64\tString\tFloat64\tDate\tNullable(String)"
+    assert lines[2].startswith("1\t")
+
+
+def test_csv_golden():
+    assert _enc("CSV") == (
+        '1,"a\tb",1.5,"2020-01-02",\\N\n2,"x",3,"2021-05-06","ok"\n'
+    )
+
+
+def test_jsoneachrow_quote64():
+    out = _enc("JSONEachRow")
+    first = json.loads(out.splitlines()[0])
+    # Int64 quoted per CH default output_format_json_quote_64bit_integers=1
+    assert first["i"] == "1" and first["n"] is None
+    out0 = _enc("JSONEachRow", quote64=False)
+    assert json.loads(out0.splitlines()[0])["i"] == 1
+
+
+def test_json_envelope():
+    doc = json.loads(_enc("JSON"))
+    assert doc["meta"] == [
+        {"name": n, "type": t} for n, t in zip(NAMES, TYPES)
+    ]
+    assert doc["rows"] == 2
+    assert doc["data"][0]["s"] == "a\tb"
+    compact = json.loads(_enc("JSONCompact"))
+    assert compact["data"][1] == ["2", "x", 3.0, "2021-05-06", "ok"]
+
+
+def test_values_golden():
+    assert _enc("Values") == (
+        "(1,'a\\tb',1.5,'2020-01-02',NULL),(2,'x',3,'2021-05-06','ok')\n"
+    )
+
+
+def test_pretty_shapes():
+    compact = _enc("PrettyCompact")
+    assert compact.startswith("┌─i─┬─s")
+    assert "ᴺᵁᴸᴸ" in compact
+    full = _enc("Pretty")
+    assert full.startswith("┏━━━┳")
+    assert full.count("│ 2 │") == 1
+
+
+def test_null_format_consumes():
+    assert _enc("Null") == ""
+
+
+def test_canonical_format():
+    assert canonical_format("tsv") == "TabSeparated"
+    assert canonical_format("NDJSON") == "JSONEachRow"
+    with pytest.raises(ValueError):
+        canonical_format("NotAFormat")
+
+
+def test_rowbinary_roundtrip():
+    types = [
+        "Int64", "Nullable(String)", "Float64", "Date", "DateTime",
+        "Decimal(9,2)", "Decimal(18,4)", "Array(Int32)", "UInt8",
+    ]
+    names = [f"c{i}" for i in range(len(types))]
+    rows = [
+        (1, "héllo", 1.25, dt.date(2020, 1, 1),
+         dt.datetime(2021, 3, 4, 5, 6, 7), Decimal("12.34"),
+         Decimal("-7.0001"), [1, 2, 3], 255),
+        (-5, None, -0.5, dt.date(1970, 1, 1),
+         dt.datetime(1970, 1, 1, 0, 0, 0, tzinfo=dt.timezone.utc),
+         Decimal("-0.01"), Decimal("0.0000"), [], 0),
+    ]
+    payload = b"".join(
+        encode_rows("RowBinaryWithNamesAndTypes", names, types, iter(rows))
+    )
+    got_names, got_types, got = decode_rowbinary_with_names_and_types(payload)
+    assert got_names == names and got_types == types
+    assert got[0][0] == 1 and got[0][1] == "héllo"
+    assert got[0][5] == Decimal("12.34") and got[0][6] == Decimal("-7.0001")
+    assert got[0][7] == [1, 2, 3]
+    assert got[1][1] is None and got[1][7] == []
+    assert got[1][3] == dt.date(1970, 1, 1)
+
+
+def test_rowbinary_range_checks():
+    with pytest.raises(ValueError):
+        b"".join(encode_rows("RowBinary", ["d"], ["Date"],
+                             iter([(dt.date(1969, 12, 31),)])))
+    with pytest.raises(ValueError):
+        b"".join(encode_rows(
+            "RowBinary", ["t"], ["DateTime"],
+            iter([(dt.datetime(1969, 1, 1, tzinfo=dt.timezone.utc),)]),
+        ))
+
+
+# ---------------------------------------------------------------------------
+# unit: INSERT body decoders
+# ---------------------------------------------------------------------------
+
+
+def test_decode_csv_body():
+    rows, names = decode_body_rows(
+        "CSVWithNames", b'a,b\n1,"x,y"\n2,\\N\n3,"with ""q"""\n'
+    )
+    assert names == ["a", "b"]
+    assert rows == [["1", "x,y"], ["2", None], ["3", 'with "q"']]
+
+
+def test_decode_tsv_body():
+    rows, names = decode_body_rows("TabSeparated", b"1\ta\\tb\n2\t\\N\n")
+    assert names is None
+    assert rows == [["1", "a\tb"], ["2", None]]
+
+
+def test_decode_jsoneachrow_body():
+    rows, names = decode_body_rows(
+        "JSONEachRow",
+        b'{"a": 1, "b": "x"}\n{"a": 2, "b": null}\n',
+    )
+    assert names == ["a", "b"]
+    assert rows == [[1, "x"], [2, None]]
+
+
+def test_parse_array_text():
+    assert _parse_array_text("[1,2,3]") == ["1", "2", "3"]
+    assert _parse_array_text("['a,b','c\\'d',NULL]") == ["a,b", "c'd", None]
+    assert _parse_array_text("[]") == []
+
+
+# ---------------------------------------------------------------------------
+# e2e over a real socket
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def engine(spark):
+    eng = TensorBaseEngine(spark)
+    db = f"httpdb_{uuid.uuid4().hex[:8]}"
+    eng.sql(f"create database {db}")
+    eng.sql(f"use {db}")
+    yield eng
+    spark.catalog.setCurrentDatabase("default")
+    eng.sql(f"drop database if exists {db}")
+
+
+@pytest.fixture()
+def served(engine):
+    srv, port = serve_http(engine)
+    yield engine, port
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_health_endpoints(served):
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        assert c.ping()
+        st, _h, data = c.raw(path="/replicas_status")
+        assert st == 200 and data == b"Ok.\n"
+        st, _h, data = c.raw(path="/")  # bare GET / -> Ok.
+        assert st == 200 and data == b"Ok.\n"
+
+
+def test_select_headers_and_formats(served):
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        st, h, data = c.raw(query="select 1 as x, 'a' as s FORMAT TSV")
+        assert st == 200
+        assert h["X-ClickHouse-Format"] == "TabSeparated"
+        assert "X-ClickHouse-Query-Id" in h
+        assert h["X-ClickHouse-Server-Display-Name"] == "tensorbase-spark"
+        assert data == b"1\ta\n"
+        st, _h, data = c.raw(query="select 1 as x FORMAT JSONEachRow")
+        assert json.loads(data)["x"] == 1  # Int32: unquoted
+        st, _h, data = c.raw(
+            query="select 1 as x", params={"default_format": "Values"})
+        assert data == b"(1)\n"
+
+
+def test_insert_select_per_type_roundtrip(served):
+    """Every §1.2 basic type through the HTTP wire: INSERT JSONEachRow
+    body -> typed SELECT back via TSVWithNamesAndTypes."""
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        c.execute(
+            "create table wide (i8 Int8, i16 Int16, i32 Int32, i64 Int64, "
+            "f32 Float32, f64 Float64, s String, d Date, t DateTime, "
+            "dec Decimal(9,2), big Decimal(18,4))"
+        )
+        rows = [
+            (-128, -32768, -2147483648, -9223372036854775808,
+             0.5, 2.25, "fünky\tstring\nline", dt.date(1970, 1, 1),
+             dt.datetime(2021, 6, 7, 8, 9, 10), Decimal("123.45"),
+             Decimal("-9999.0001")),
+            (127, 32767, 2147483647, 9223372036854775807,
+             -1.5, -0.125, "", dt.date(2149, 6, 6),
+             dt.datetime(1970, 1, 1, 0, 0, 1), Decimal("-0.01"),
+             Decimal("0.0000")),
+        ]
+        names = ["i8", "i16", "i32", "i64", "f32", "f64", "s", "d", "t",
+                 "dec", "big"]
+        c.insert_rows("wide", names, rows)
+        got_names, got_types, got = c.execute(
+            "select * from wide order by i8")
+        assert got_names == names
+        assert got[0][0] == -128 and got[1][3] == 9223372036854775807
+        assert got[0][6] == "fünky\tstring\nline"
+        assert got[1][7] == dt.date(2149, 6, 6)
+        assert got[0][8] == dt.datetime(2021, 6, 7, 8, 9, 10)
+        assert got[0][9] == Decimal("123.45")
+        assert got[1][10] == Decimal("0.0000")
+
+
+def test_insert_csv_and_tsv_bodies(served):
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        c.execute("create table t2 (a Int64, b String)")
+        st, h, _ = c.raw(
+            query="INSERT INTO t2 (a, b) FORMAT CSV",
+            body=b'1,"x"\n2,"y,z"\n',
+        )
+        assert st == 200
+        assert json.loads(h["X-ClickHouse-Summary"])["written_rows"] == "2"
+        st, _h, _ = c.raw(
+            query="INSERT INTO t2 (a, b) FORMAT TabSeparated",
+            body=b"3\ttab\\there\n",
+        )
+        assert st == 200
+        _n, _t, got = c.execute("select a, b from t2 order by a")
+        assert got == [(1, "x"), (2, "y,z"), (3, "tab\there")]
+
+
+def test_insert_query_entirely_in_body(served):
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        c.execute("create table t3 (a Int64)")
+        st, _h, _ = c.raw(
+            body=b'INSERT INTO t3 (a) FORMAT JSONEachRow\n{"a": 7}\n{"a": 8}\n'
+        )
+        assert st == 200
+        assert c.execute("select sum(a) as s from t3")[2] == [(15,)]
+
+
+def test_insert_values_passthrough(served):
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        c.execute("create table t4 (a Int64, b String)")
+        st, _h, _ = c.raw(
+            query="INSERT INTO t4 VALUES (1, 'x'), (2, 'y')")
+        assert st == 200
+        assert c.execute("select count(*) as n from t4")[2] == [(2,)]
+
+
+def test_param_binding_and_settings_restore(served):
+    eng, port = served
+    with HttpClient(port=port) as c:
+        st, _h, data = c.raw(
+            query="select {p:Int64} * 2 as v FORMAT TSV",
+            params={"param_p": "21"},
+        )
+        assert st == 200 and data == b"42\n"
+    # per-request scope: the engine's own params must not leak
+    assert eng._params == {}
+
+
+def test_database_param_and_session(served):
+    eng, port = served
+    home = eng.spark.catalog.currentDatabase()
+    with HttpClient(port=port) as c:
+        c.raw(query="create database http_sess_db")
+        try:
+            with HttpClient(port=port, session_id="sess_a") as s:
+                s.raw(query="use http_sess_db")
+                _n, _t, got = s.execute("select currentDatabase() as db")
+                assert got == [("http_sess_db",)]
+            with HttpClient(port=port, database="http_sess_db") as d:
+                _n, _t, got = d.execute("select currentDatabase() as db")
+                assert got == [("http_sess_db",)]
+            # the shared engine state is untouched afterwards
+            assert eng.spark.catalog.currentDatabase() == home
+        finally:
+            c.raw(query="drop database http_sess_db")
+
+
+def test_errors(served):
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        st, h, data = c.raw(query="select * from missing_table_xyz")
+        assert st == 404
+        assert h["X-ClickHouse-Exception-Code"] == "60"
+        assert data.startswith(b"Code: 60. DB::Exception:")
+        st, h, _ = c.raw(query="select 1 FORMAT NotAFormat")
+        assert st == 400
+        with pytest.raises(RuntimeError):
+            c.execute("select * from missing_table_xyz")
+
+
+def test_gzip_response_and_request(served):
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        c.execute("create table gz (a Int64)")
+        # gzip request body
+        body = gzip.compress(b'{"a": 5}\n{"a": 6}\n')
+        st, _h, _ = c.raw(
+            query="INSERT INTO gz (a) FORMAT JSONEachRow",
+            body=body, headers={"Content-Encoding": "gzip"},
+        )
+        assert st == 200
+        # gzip response (client's raw() un-gzips transparently)
+        st, h, data = c.raw(
+            query="select a from gz order by a FORMAT CSV",
+            params={"enable_http_compression": "1"},
+            headers={"Accept-Encoding": "gzip"},
+        )
+        assert st == 200 and h.get("Content-Encoding") == "gzip"
+        assert data == b"5\n6\n"
+
+
+def test_lz4_compress_both_directions(served):
+    """``compress=1`` responses and ``decompress=1`` request bodies use
+    the CH-internal LZ4 frame codec shared with the native protocol."""
+    _eng, port = served
+    with HttpClient(port=port, compress=True) as c:
+        c.execute("create table lz (a Int64, s String)")
+        c.insert_rows("lz", ["a", "s"], [(1, "x" * 200), (2, "y" * 200)])
+        _n, _t, got = c.execute("select a, s from lz order by a")
+        assert got[0] == (1, "x" * 200) and got[1][0] == 2
+    # decompress=1: LZ4-framed INSERT body
+    from tensorbase_spark.sources.chnative import compress_frame
+    with HttpClient(port=port) as c:
+        framed = compress_frame(b'{"a": 3, "s": "z"}\n')
+        st, _h, _ = c.raw(
+            query="INSERT INTO lz (a, s) FORMAT JSONEachRow",
+            body=framed, params={"decompress": "1"},
+        )
+        assert st == 200
+        assert c.execute("select count(*) as n from lz")[2] == [(3,)]
+
+
+def test_lz4_response_frames_verify(served):
+    """The compress=1 response body is genuine CH framing: decode it with
+    the native codec's read_frame directly."""
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        st, h, raw = c.raw(
+            query="select 42 as v FORMAT TSV", params={"compress": "1"})
+        assert st == 200
+        r = Reader(raw)
+        out = bytearray()
+        while not r.at_end():
+            out += read_frame(r)
+        assert bytes(out) == b"42\n"
+
+
+def test_rowbinary_over_wire(served):
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        c.execute("create table rb (a Int64, b String, d Date)")
+        c.insert_rows("rb", ["a", "b", "d"],
+                      [(1, "x", dt.date(2020, 2, 2))])
+        st, _h, data = c.raw(
+            query="select a, b, d from rb FORMAT RowBinaryWithNamesAndTypes")
+        names, types, rows = decode_rowbinary_with_names_and_types(data)
+        assert names == ["a", "b", "d"]
+        assert rows == [(1, "x", dt.date(2020, 2, 2))]
+
+
+def test_streaming_many_rows(served):
+    """A result bigger than one write buffer streams out chunked."""
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        st, _h, data = c.raw(
+            query="select number, number * 2 as d from numbers(50000) "
+                  "FORMAT TSV")
+        assert st == 200
+        lines = data.decode().rstrip("\n").split("\n")
+        assert len(lines) == 50000
+        assert lines[0] == "0\t0" and lines[-1] == "49999\t99998"
+
+
+def test_concurrent_clients(served):
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        c.execute("create table cc (a Int64)")
+        c.insert_rows("cc", ["a"], [(i,) for i in range(100)])
+    results, errors = [], []
+
+    def worker(k):
+        try:
+            with HttpClient(port=port) as c:
+                _n, _t, got = c.execute(
+                    f"select sum(a) + {k} as s from cc")
+                results.append(got[0][0])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(k,)) for k in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert sorted(results) == [4950 + k for k in range(6)]
+
+
+def test_ddl_empty_body_and_summary(served):
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        st, h, data = c.raw(query="create table ddl1 (a Int64)")
+        assert st == 200 and data == b""
+        assert "X-ClickHouse-Summary" in h
+        st, _h, data = c.raw(query="show tables FORMAT TSV")
+        assert b"ddl1" in data

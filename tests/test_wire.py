@@ -81,18 +81,20 @@ def test_stock_jdbc_client_reads_engine_tables(spark, thrift_port):
 
 
 def test_all_front_doors_share_one_catalog(spark):
-    """All three wire front doors — ClickHouse native TCP, MySQL
-    protocol, and HiveServer2 Thrift — serve the SAME engine catalog
-    concurrently: a table created over the native wire is read back over
-    the MySQL wire, then through a remote() federation against the
-    Thrift endpoint, with identical values.  (The reference runs its two
-    protocols against one BMS instance the same way, server.rs +
-    mysql_server.rs.)"""
+    """All four wire front doors — ClickHouse native TCP, MySQL
+    protocol, HTTP, and HiveServer2 Thrift — serve the SAME engine
+    catalog concurrently: a table created over the native wire is read
+    back over the MySQL wire and the HTTP interface (which also inserts
+    a row the native side then sees), then through a remote() federation
+    against the Thrift endpoint, with identical values.  (The reference
+    runs its two protocols against one BMS instance the same way,
+    server.rs + mysql_server.rs.)"""
     import uuid as _uuid
 
     from tensorbase_spark.engine import TensorBaseEngine
     from tensorbase_spark.sources import external
     from tensorbase_spark.sources.chnative import NativeClient, serve_native
+    from tensorbase_spark.sources.httpwire import HttpClient, serve_http
     from tensorbase_spark.sources.mysqlwire import MySQLClient, serve_mysql
     from tensorbase_spark.sources.wire import start_thrift_server
 
@@ -102,6 +104,7 @@ def test_all_front_doors_share_one_catalog(spark):
     eng.sql(f"use {db}")
     nsrv, nport = serve_native(eng)
     msrv, mport = serve_mysql(eng)
+    hsrv, hport = serve_http(eng)
     try:
         with NativeClient(port=nport) as nc:
             nc.execute("create table fd_t (k Int64, v String)")
@@ -109,18 +112,26 @@ def test_all_front_doors_share_one_catalog(spark):
         with MySQLClient(port=mport, database=db) as mc:
             _, rows = mc.query("select k, v from fd_t order by k")
             assert rows == [(1, "a"), (2, "b"), (3, "c")]
+        with HttpClient(port=hport, database=db) as hc:
+            _n, _t, hrows = hc.execute("select k, v from fd_t order by k")
+            assert hrows == [(1, "a"), (2, "b"), (3, "c")]
+            hc.insert_rows("fd_t", ["k", "v"], [(4, "d")])
+        with NativeClient(port=nport) as nc:
+            _, back = nc.execute(
+                "select count(*) as n, max(k) as mk from fd_t")
+            assert [tuple(r) for r in back] == [(4, 4)]
         port = start_thrift_server(spark)
         r = external.remote(spark, f"jdbc:hive2://localhost:{port}/{db}", "fd_t")
         assert sorted((x.k, x.v) for x in r.collect()) == [
-            (1, "a"), (2, "b"), (3, "c"),
+            (1, "a"), (2, "b"), (3, "c"), (4, "d"),
         ]
         # and the mysql:// federation path sees the same rows
         r2 = external.remote(spark, f"mysql://127.0.0.1:{mport}/{db}", "fd_t")
         assert sorted((x.k, x.v) for x in r2.collect()) == [
-            (1, "a"), (2, "b"), (3, "c"),
+            (1, "a"), (2, "b"), (3, "c"), (4, "d"),
         ]
     finally:
-        for srv in (nsrv, msrv):
+        for srv in (nsrv, msrv, hsrv):
             srv.shutdown()
             srv.server_close()
         spark.catalog.setCurrentDatabase("default")
