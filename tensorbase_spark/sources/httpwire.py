@@ -236,6 +236,7 @@ _CANON_FMT = {
     "pretty": "Pretty", "prettycompact": "PrettyCompact",
     "rowbinary": "RowBinary",
     "rowbinarywithnamesandtypes": "RowBinaryWithNamesAndTypes",
+    "native": "Native",
     "null": "Null",
 }
 
@@ -256,6 +257,7 @@ _CONTENT_TYPE = {
     "PrettyCompact": "text/plain; charset=UTF-8",
     "RowBinary": "application/octet-stream",
     "RowBinaryWithNamesAndTypes": "application/octet-stream",
+    "Native": "application/octet-stream",
     "Null": "text/plain; charset=UTF-8",
 }
 
@@ -336,6 +338,9 @@ def encode_rows(
     if fmt in ("RowBinary", "RowBinaryWithNamesAndTypes"):
         yield from _encode_rowbinary(fmt, names, ch_types, rows)
         return
+    if fmt == "Native":
+        yield from _encode_native(names, ch_types, rows)
+        return
     raise ValueError(f"unknown FORMAT {fmt!r}")
 
 
@@ -409,6 +414,59 @@ def _encode_pretty(fmt: str, names: list[str], rows: Iterable[tuple]) -> bytes:
     if overflow:
         out.write(f"Showed first {PRETTY_MAX_ROWS}.\n")
     return out.getvalue().encode()
+
+
+# ---------------------------------------------------------------------------
+# Native — the native-protocol block stream as an HTTP FORMAT (what
+# clickhouse-connect-style drivers use over HTTP); the block codec is the
+# one shared with sources/chnative.py, byte-exactly
+# ---------------------------------------------------------------------------
+
+NATIVE_BLOCK_ROWS = 8192
+
+
+def _encode_native(names, ch_types, rows):
+    from tensorbase_spark.sources.chnative import (
+        Block,
+        _strip_nullable,
+        _wire_value,
+    )
+
+    bases = [_strip_nullable(t)[0] for t in ch_types]
+
+    def _flush(batch):
+        cols = [
+            (n, t, [_wire_value(b, r[j]) for r in batch])
+            for j, (n, t, b) in enumerate(zip(names, ch_types, bases))
+        ]
+        return Block(cols, nrows=len(batch), bucket=0).encode_body()
+
+    batch, any_out = [], False
+    for r in rows:
+        batch.append(r)
+        if len(batch) >= NATIVE_BLOCK_ROWS:
+            any_out = True
+            yield _flush(batch)
+            batch = []
+    if batch or not any_out:
+        # zero-row structure block when the result is empty (CH's shape)
+        yield _flush(batch)
+
+
+def decode_native(data: bytes):
+    """Decode a FORMAT Native payload -> (names, ch_types, rows)."""
+    from tensorbase_spark.sources.chnative import Block, Reader as _R
+
+    r = _R(data)
+    names, types, rows = None, None, []
+    while not r.at_end():
+        blk = Block.decode_body(r)
+        if names is None:
+            names = [c[0] for c in blk.columns]
+            types = [c[1] for c in blk.columns]
+        if blk.nrows:
+            rows.extend(zip(*[c[2] for c in blk.columns]))
+    return names or [], types or [], [tuple(t) for t in rows]
 
 
 # ---------------------------------------------------------------------------
@@ -613,6 +671,9 @@ def decode_body_rows(fmt: str, data: bytes) -> tuple[list, list | None]:
     """INSERT payload -> (rows, col_names_from_data_or_None).  Text rows
     carry strings (``None`` for NULL); JSON rows carry typed values."""
     fmt = canonical_format(fmt)
+    if fmt == "Native":
+        names, _types, rows = decode_native(data)
+        return [list(r) for r in rows], names
     text = data.decode()
     if fmt == "JSONEachRow":
         rows, names = [], None
@@ -1314,10 +1375,16 @@ class HttpClient:
         return names, types, rows
 
     def insert_rows(self, table: str, names: list[str], rows: list[tuple],
-                    fmt: str = "JSONEachRow") -> None:
-        """INSERT via a data-bearing POST body in ``fmt``."""
+                    fmt: str = "JSONEachRow",
+                    ch_types: list[str] | None = None) -> None:
+        """INSERT via a data-bearing POST body in ``fmt``.  FORMAT Native
+        needs explicit ``ch_types`` (the block codec is typed)."""
         canon = canonical_format(fmt)
-        if canon == "JSONEachRow":
+        if canon == "Native":
+            if not ch_types:
+                raise ValueError("insert_rows(Native) needs ch_types")
+            body = b"".join(_encode_native(names, ch_types, iter(rows)))
+        elif canon == "JSONEachRow":
             body = b"".join(
                 _json.dumps(
                     {n: _jsonable(v) for n, v in zip(names, r)},

@@ -30,6 +30,7 @@ from tensorbase_spark.sources.httpwire import (
     HttpClient,
     canonical_format,
     decode_body_rows,
+    decode_native,
     decode_rowbinary_with_names_and_types,
     encode_rows,
     serve_http,
@@ -165,6 +166,30 @@ def test_rowbinary_roundtrip():
     assert got[0][7] == [1, 2, 3]
     assert got[1][1] is None and got[1][7] == []
     assert got[1][3] == dt.date(1970, 1, 1)
+
+
+def test_native_format_roundtrip_unit():
+    """FORMAT Native is the native-protocol block stream; the payload
+    must decode with the chnative Block codec directly (one shared
+    implementation)."""
+    from tensorbase_spark.sources.chnative import Block, Reader
+
+    types = ["Int64", "Nullable(String)", "Float64", "Date"]
+    names = ["a", "b", "c", "d"]
+    rows = [
+        (1, "x", 0.5, dt.date(2020, 1, 1)),
+        (2, None, -1.5, dt.date(2021, 2, 3)),
+    ]
+    payload = b"".join(encode_rows("Native", names, types, iter(rows)))
+    blk = Block.decode_body(Reader(payload))
+    assert [c[0] for c in blk.columns] == names and blk.nrows == 2
+    got_names, got_types, got = decode_native(payload)
+    assert got_names == names and got_types == types
+    assert got == rows
+    # empty result still carries the structure block
+    empty = b"".join(encode_rows("Native", names, types, iter([])))
+    n2, t2, r2 = decode_native(empty)
+    assert n2 == names and r2 == []
 
 
 def test_rowbinary_range_checks():
@@ -448,6 +473,27 @@ def test_rowbinary_over_wire(served):
         names, types, rows = decode_rowbinary_with_names_and_types(data)
         assert names == ["a", "b", "d"]
         assert rows == [(1, "x", dt.date(2020, 2, 2))]
+
+
+def test_native_format_over_wire(served):
+    """INSERT FORMAT Native body + SELECT FORMAT Native response — the
+    typed block stream both directions through the HTTP socket."""
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        c.execute("create table nat (a Int64, s String, d Date)")
+        c.insert_rows(
+            "nat", ["a", "s", "d"],
+            [(1, "x", dt.date(2020, 5, 5)), (2, "y\tz", dt.date(2021, 6, 6))],
+            fmt="Native", ch_types=["Int64", "String", "Date"],
+        )
+        st, h, data = c.raw(
+            query="select a, s, d from nat order by a FORMAT Native")
+        assert st == 200 and h["X-ClickHouse-Format"] == "Native"
+        names, types, rows = decode_native(data)
+        assert names == ["a", "s", "d"]
+        assert rows == [
+            (1, "x", dt.date(2020, 5, 5)), (2, "y\tz", dt.date(2021, 6, 6)),
+        ]
 
 
 def test_streaming_many_rows(served):
