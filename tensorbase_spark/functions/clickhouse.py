@@ -332,6 +332,23 @@ CH_SQL_TEMPLATES = {
         "regexp_replace(regexp_replace({0}, \"'[^']*'\", '?'), "
         "'(?<![a-zA-Z0-9_])[0-9]+(\\\\.[0-9]+)?', '?')"
     ),
+    # ---- tier 11 (everyday date/time arithmetic gaps) -------------------
+    "tolastdayofmonth": "last_day(cast({0} as date))",
+    # Spark weekofyear IS the ISO week number
+    "toisoweek": "weekofyear(cast({0} as date))",
+    # ISO year = calendar year of the Thursday of that ISO week; Spark has
+    # no isoyear builtin, so shift to the week's Thursday first
+    # (isodow = ((dayofweek+5) % 7) + 1, Monday=1)
+    "toisoyear": (
+        "year(date_add(cast({0} as date), "
+        "4 - (pmod(dayofweek(cast({0} as date)) + 5, 7) + 1)))"
+    ),
+    # days since the MJD epoch 1858-11-17 (inverse of fromModifiedJulianDay)
+    "tomodifiedjulianday": "datediff(cast({0} as date), date'1858-11-17')",
+    "fromunixtimestamp64milli": "timestamp_millis(cast({0} as bigint))",
+    "tounixtimestamp64milli": "unix_millis(cast({0} as timestamp))",
+    "addquarters": "add_months({0}, 3 * ({1}))",
+    "subtractquarters": "add_months({0}, -3 * ({1}))",
 }
 
 

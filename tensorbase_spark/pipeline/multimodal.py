@@ -414,6 +414,116 @@ def image_ahash(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(_go, AHASH_SCHEMA)
 
 
+def dhash(payload: bytes | None, hash_size: int = 8) -> int | None:
+    """Perceptual difference-hash (public dHash scheme): block-average to
+    a hash_size×(hash_size+1) grid, bit = left cell > right neighbor.
+    The bits are horizontal GRADIENTS, so a constant per-image brightness
+    offset provably cannot change any bit — the invariance the dedup
+    oracle exercises."""
+    px = png_decode_gray(payload)
+    if not px:
+        return None
+    h, w = len(px), len(px[0])
+    gw = hash_size + 1
+    if h < hash_size or w < gw:
+        return None
+    grid = []
+    for gy in range(hash_size):
+        y0, y1 = gy * h // hash_size, (gy + 1) * h // hash_size
+        row = []
+        for gx in range(gw):
+            x0, x1 = gx * w // gw, (gx + 1) * w // gw
+            s = sum(sum(r[x0:x1]) for r in px[y0:y1])
+            row.append(s / ((y1 - y0) * (x1 - x0)))
+        grid.append(row)
+    bits = 0
+    for row in grid:
+        for x in range(hash_size):
+            bits = (bits << 1) | (1 if row[x] > row[x + 1] else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def phash(payload: bytes | None, hash_size: int = 8,
+          dct_size: int = 32) -> int | None:
+    """Perceptual DCT hash (public pHash scheme): nearest-neighbor
+    resample to dct_size², orthonormal 2-D DCT-II, keep the top-left
+    hash_size² low-frequency block EXCLUDING the DC term, threshold each
+    coefficient by the median of those 63.  Every retained basis row has
+    zero sum, so a constant brightness offset changes NOTHING, and a
+    positive per-image gain scales coefficients and median together —
+    both invariances are provable, which is what makes the dedup oracle
+    combinatorial."""
+    px = png_decode_gray(payload)
+    if not px:
+        return None
+    import numpy as np
+
+    a = np.asarray(px, dtype=np.float64)
+    h, w = a.shape
+    ys = (np.arange(dct_size) * h) // dct_size
+    xs = (np.arange(dct_size) * w) // dct_size
+    small = a[np.ix_(ys, xs)]
+    n = dct_size
+    k = np.arange(n).reshape(-1, 1)
+    m = np.arange(n).reshape(1, -1)
+    c = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    c[0, :] *= 1.0 / np.sqrt(2.0)
+    coef = c @ small @ c.T
+    low = coef[:hash_size, :hash_size].flatten()[1:]  # drop DC
+    med = float(np.median(low))
+    # deterministic tie handling: structural zeros cluster AT the median
+    # (symmetric patterns), where bare float noise would flip bits.  The
+    # margin is RELATIVE to the coefficient scale, so a gain g scales
+    # v, med and eps together and the bit pattern is exactly invariant.
+    eps = 1e-9 * max(1.0, float(np.max(np.abs(low))))
+    bits = 0
+    for v in low:
+        bits = (bits << 1) | (1 if v > med + eps else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def image_dhash(assets: DataFrame) -> DataFrame:
+    """dHash per asset — same Arrow-batched map-only shape as
+    image_ahash; the hash lands in the shared ``ahash`` LongType slot so
+    the banded pairing below applies unchanged."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = pdf["payload"].map(
+                lambda p: decode_image_meta(None if p is None else bytes(p))[0]
+            )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "format": metas,
+                    "ahash": pdf["payload"].map(dhash),
+                }
+            )
+
+    return assets.mapInPandas(_go, AHASH_SCHEMA)
+
+
+def image_phash(assets: DataFrame) -> DataFrame:
+    """pHash per asset — same Arrow-batched map-only shape as
+    image_ahash; the hash lands in the shared ``ahash`` LongType slot so
+    the banded pairing below applies unchanged."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = pdf["payload"].map(
+                lambda p: decode_image_meta(None if p is None else bytes(p))[0]
+            )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "format": metas,
+                    "ahash": pdf["payload"].map(phash),
+                }
+            )
+
+    return assets.mapInPandas(_go, AHASH_SCHEMA)
+
+
 def image_neardup_pairs(hashed: DataFrame, max_hamming: int = 4) -> DataFrame:
     """Near-duplicate image pairs by aHash hamming distance ≤ max_hamming.
 

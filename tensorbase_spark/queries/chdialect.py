@@ -1622,3 +1622,62 @@ FROM g
 QUERIES["ch_everyday_funcs10"] = Query(
     ch_everyday_funcs10, CH_EVERYDAY10_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs11(spark, sf_dir):
+    """Everyday upstream-CH tier 11 (round-9 session-2 gap probe): the
+    date-arithmetic stragglers — toLastDayOfMonth, toISOWeek/toISOYear
+    (Spark weekofyear IS ISO; ISO year via the shift-to-Thursday
+    identity), toModifiedJulianDay (inverse of the already-shipped
+    fromModifiedJulianDay), the 64Milli unix-timestamp pair, and
+    addQuarters/subtractQuarters completing the add/subtract interval
+    family; plus the left/right/repeat/translate string passthroughs
+    (Spark builtins, template-free)."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e11")
+    return eng.sql(
+        "select o_orderpriority as pri, "
+        "max(toLastDayOfMonth(o_orderdate)) as eom, "
+        "max(toISOWeek(o_orderdate)) as iw, "
+        "min(toISOYear(o_orderdate)) as iy, "
+        "max(toModifiedJulianDay(o_orderdate)) as mjd, "
+        "max(toUnixTimestamp64Milli(toDateTime(o_orderdate))) as ms, "
+        "max(toDate(fromUnixTimestamp64Milli(86400000 * "
+        "  (o_orderkey % 1000)))) as from_ms, "
+        "max(addQuarters(o_orderdate, 2)) as plus2q, "
+        "min(subtractQuarters(o_orderdate, 3)) as minus3q, "
+        "max(left(o_orderpriority, 4)) as l4, "
+        "max(right(o_orderpriority, 3)) as r3, "
+        "max(repeat(o_orderstatus, 3)) as rep, "
+        "max(translate(o_orderstatus, 'OFP', 'ofp')) as tr "
+        "from ord_e11 group by o_orderpriority"
+    )
+
+
+CH_EVERYDAY11_ORACLE = """
+SELECT o_orderpriority AS pri,
+       max(last_day(CAST(o_orderdate AS DATE))) AS eom,
+       CAST(max(date_part('week', CAST(o_orderdate AS DATE))) AS INT) AS iw,
+       CAST(min(date_part('isoyear', CAST(o_orderdate AS DATE))) AS INT)
+         AS iy,
+       CAST(max(CAST(o_orderdate AS DATE) - DATE '1858-11-17') AS INT)
+         AS mjd,
+       max(CAST(epoch_ms(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP))
+           AS BIGINT)) AS ms,
+       max(CAST(epoch_ms(CAST(86400000 * (o_orderkey % 1000) AS BIGINT))
+           AS DATE)) AS from_ms,
+       max(CAST(CAST(o_orderdate AS DATE) + INTERVAL 6 MONTH AS DATE))
+         AS plus2q,
+       min(CAST(CAST(o_orderdate AS DATE) - INTERVAL 9 MONTH AS DATE))
+         AS minus3q,
+       max(left(o_orderpriority, 4)) AS l4,
+       max(right(o_orderpriority, 3)) AS r3,
+       max(repeat(o_orderstatus, 3)) AS rep,
+       max(translate(o_orderstatus, 'OFP', 'ofp')) AS tr
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+QUERIES["ch_everyday_funcs11"] = Query(
+    ch_everyday_funcs11, CH_EVERYDAY11_ORACLE, ("dialect", "functions")
+)

@@ -2275,6 +2275,102 @@ QUERIES["multimodal_ahash_dedup"] = Query(
 )
 
 
+def multimodal_phash_dedup(spark, sf_dir):
+    """DCT perceptual-hash image dedup end to end (pipeline/multimodal.py
+    phash + dhash + the shared banded pairing): every doc synthesizes a
+    REAL 16×16 grayscale PNG whose pattern class is doc_id % 8 — members
+    of a class differ by a per-doc AFFINE brightness map (gain
+    1 + doc_id % 3, offset 12 × (doc_id % 5); integer-exact, no
+    clamping).  pHash excludes the DC term and thresholds by the AC
+    median, and dHash compares adjacent block means, so BOTH are provably
+    invariant under any positive affine map — within a class the hashes
+    are identical and the hamming-0 same-class pair count is EXACTLY
+    C(m, 2) for each.  The oracle computes that combinatorially from
+    doc_id arithmetic — it can only match if PNG encode → scanline
+    decode → resample → DCT / gradient bits → band join → verify is
+    faithful end to end for both hash schemes."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    assets = d.select(F.col("doc_id").alias("asset_id"))
+
+    def _synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids = pdf["asset_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                cls, gain, off = i % 8, 1 + i % 3, 12 * (i % 5)
+
+                def px(x, y, cls=cls, gain=gain, off=off):
+                    # a RICH 16-level class pattern: every DCT coefficient
+                    # sits far from the AC median, so the float-noise of
+                    # scaled re-computation can never cross a threshold
+                    # (a blocky 2-level pattern leaves many coefficients
+                    # exactly 0 == median, where ties flip)
+                    base = 4 + 4 * (
+                        (x * (3 + cls % 5) + y * (7 + cls % 3) + x * y) % 16
+                    )
+                    return base * gain + off  # ≤ 64·3 + 48 = 240
+
+                payloads.append(multimodal.encode_png(16, 16, px))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    pngs = assets.mapInPandas(
+        _synth,
+        T.StructType(
+            [
+                T.StructField("asset_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), True),
+            ]
+        ),
+    ).localCheckpoint(eager=False)
+
+    def _pairs_per_class(hashed):
+        p = multimodal.image_neardup_pairs(hashed, max_hamming=0)
+        return (
+            p.filter((F.col("id_a") % 8) == (F.col("id_b") % 8))
+            .withColumn("cls", F.col("id_a") % 8)
+            .groupBy("cls")
+            .agg(F.count("*").alias("n_pairs"))
+        )
+
+    ph = _pairs_per_class(multimodal.image_phash(pngs))
+    dh = _pairs_per_class(multimodal.image_dhash(pngs)).withColumnRenamed(
+        "n_pairs", "n_pairs_dhash"
+    )
+    return (
+        ph.join(dh, "cls", "full")
+        .select(
+            "cls",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs_phash"),
+            F.coalesce("n_pairs_dhash", F.lit(0)).alias("n_pairs_dhash"),
+        )
+        .orderBy("cls")
+    )
+
+
+MULTIMODAL_PHASH_ORACLE = """
+WITH members AS (
+  SELECT doc_id % 8 AS cls, count(*) AS m
+  FROM documents WHERE doc_id < 200
+  GROUP BY doc_id % 8
+)
+SELECT cls, CAST(m * (m - 1) / 2 AS BIGINT) AS n_pairs_phash,
+       CAST(m * (m - 1) / 2 AS BIGINT) AS n_pairs_dhash
+FROM members WHERE m >= 2 ORDER BY cls
+"""
+
+
+QUERIES["multimodal_phash_dedup"] = Query(
+    multimodal_phash_dedup, MULTIMODAL_PHASH_ORACLE,
+    ("multimodal", "dedup", "perceptual-hash"),
+)
+
+
 def multimodal_audio_dedup(spark, sf_dir):
     """Audio near-dedup end to end (pipeline/multimodal.py
     audio_fingerprints + the shared banded-hamming pairing): every doc

@@ -1538,6 +1538,40 @@ def test_average_hash_and_neardup(spark):
     assert got == {(1, 9): 4}
 
 
+def test_dhash_phash_affine_invariance(spark):
+    """dHash (gradient bits) and pHash (DC-free DCT bits) are exactly
+    invariant under positive affine brightness maps, and both change for
+    a genuinely different pattern; the shared band join pairs them."""
+    from tensorbase_spark.pipeline import multimodal as M
+
+    def pat(x, y):
+        return 4 + 4 * ((x * 3 + y * 7 + x * y) % 16)
+
+    base = M.encode_png(16, 16, pat)
+    affine = M.encode_png(16, 16, lambda x, y: pat(x, y) * 3 + 40)
+    other = M.encode_png(16, 16, lambda x, y: 4 + 4 * ((x * 5 + y * 2) % 16))
+    for hf in (M.dhash, M.phash):
+        h0, h1, h2 = hf(base), hf(affine), hf(other)
+        assert h0 == h1, hf.__name__
+        assert h0 != h2, hf.__name__
+        assert hf(b"not a png") is None
+    # tiny images refuse cleanly rather than hashing garbage
+    tiny = M.encode_png(4, 4, pat)
+    assert M.dhash(tiny) is None
+    # the DataFrame ops land the hash in the shared slot for the pairing
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(affine)), (3, bytearray(other))],
+        "asset_id long, payload binary",
+    )
+    for op in (M.image_dhash, M.image_phash):
+        hashed = op(df)
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in M.image_neardup_pairs(hashed, max_hamming=0).collect()
+        }
+        assert (1, 2) in pairs and (1, 3) not in pairs
+
+
 def test_wav_decode_and_audio_fingerprint(spark):
     """RIFF/PCM16 decode inverts encode_wav; the energy-delta fingerprint
     is gain-invariant and envelope-sensitive."""
