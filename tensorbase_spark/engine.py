@@ -4437,6 +4437,21 @@ class TensorBaseEngine:
                         f"JDBC driver jar must be on spark.jars: {e}"
                     ) from e
                 return self.spark.sql("SELECT 1 AS ok")
+            if addr.startswith(("ch://", "clickhouse://", "tb://")):
+                # push over the CH NATIVE wire as typed columnar blocks —
+                # the reference remote-insert's primary transport
+                # (mgmt.rs:744-770 + engine/src/remote.rs:8)
+                from tensorbase_spark.sources.external import (
+                    remote_insert_native,
+                )
+
+                rest = rm.group("rest")
+                if rest.lower().startswith("values"):
+                    src = self.spark.sql(f"SELECT * FROM {rest}")
+                else:
+                    src = self.spark.sql(self._translate_query(rest))
+                remote_insert_native(addr, rm.group("name"), src)
+                return self.spark.sql("SELECT 1 AS ok")
             if addr.startswith("mysql://"):
                 # push over the MySQL wire via the in-repo client — the
                 # reference's remote-insert speaks MySQL natively

@@ -442,6 +442,56 @@ GROUP BY o_orderstatus
 """
 
 
+def remote_native_federation(spark, sf_dir):
+    """remote() over the CH NATIVE protocol — the reference remote()'s
+    PRIMARY transport (crates/engine/src/remote.rs:8 connects with the
+    clickhouse-rs native client; block concat read.rs:151-228).  Both
+    halves run against the engine's own native endpoint
+    (sources/chnative.py): INSERT INTO FUNCTION remote('ch://...')
+    pushes a part extract out as typed LZ4-framed columnar blocks, then
+    remote('ch://...') reads the table back over the same wire and
+    aggregates by brand.  Engine -> native wire -> engine; the value
+    hash certifies the full block codec round trip."""
+    from tensorbase_spark.queries.engine_queries import _fresh_engine
+    from tensorbase_spark.sources.chnative import serve_native
+
+    eng = _fresh_engine(spark, sf_dir, "rnf")
+    db = spark.catalog.currentDatabase()
+    load_table(spark, sf_dir, "part").filter(
+        (F.col("p_partkey") % 7) == 0
+    ).createOrReplaceTempView("rnf_src")
+    eng.sql("create table rnf_part (pk Int64, brand String, price Float64)")
+    srv, port = serve_native(eng)
+    try:
+        eng.sql(
+            f"insert into function remote('ch://127.0.0.1:{port}/{db}', "
+            "rnf_part) select p_partkey as pk, p_brand as brand, "
+            "p_retailprice as price from rnf_src"
+        )
+        r = external.remote(spark, f"ch://127.0.0.1:{port}/{db}", "rnf_part")
+        r = r.localCheckpoint(eager=True)  # drain before the server stops
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    return (
+        r.groupBy("brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+            F.max("pk").alias("max_pk"),
+        )
+    )
+
+
+REMOTE_NATIVE_ORACLE = """
+SELECT p_brand AS brand, count(*) AS n_parts,
+       round(sum(p_retailprice), 2) AS total_price,
+       CAST(max(p_partkey) AS BIGINT) AS max_pk
+FROM part WHERE p_partkey % 7 = 0
+GROUP BY p_brand
+"""
+
+
 def wire_http_roundtrip(spark, sf_dir):
     """HTTP front-door round trip (upstream-CH's most used interface —
     the beyond-reference protocol next to the reference's native TCP
@@ -598,6 +648,9 @@ QUERIES = {
     ),
     "url_http_federation": Query(
         url_http_federation, URL_HTTP_ORACLE, ("sources", "wire")
+    ),
+    "remote_native_federation": Query(
+        remote_native_federation, REMOTE_NATIVE_ORACLE, ("sources", "wire")
     ),
     "remote_thrift_federation": Query(
         remote_thrift_federation, REMOTE_THRIFT_ORACLE, ("sources", "wire")

@@ -168,6 +168,102 @@ def _remote_mysql(spark: SparkSession, addr: str, table: str) -> DataFrame:
     return spark.createDataFrame(data, T.StructType(fields))
 
 
+def _ch_to_spark_type(ch: str):
+    """CH wire type name -> (SparkType, converter) for remote() results."""
+    from decimal import Decimal as _D
+
+    from pyspark.sql import types as T
+
+    if ch.startswith("Nullable(") and ch.endswith(")"):
+        ch = ch[9:-1]
+    if ch.startswith("Array(") and ch.endswith(")"):
+        inner, conv = _ch_to_spark_type(ch[6:-1])
+        return (
+            T.ArrayType(inner),
+            (lambda v: [conv(x) for x in v]) if conv else None,
+        )
+    if ch in ("Int8", "Int16", "Int32"):
+        return T.IntegerType(), None
+    if ch in ("UInt8", "UInt16", "UInt32"):
+        return T.IntegerType(), None
+    if ch == "Int64":
+        return T.LongType(), None
+    if ch == "UInt64":
+        return T.DecimalType(20, 0), lambda v: _D(v)
+    if ch == "Float32":
+        return T.FloatType(), None
+    if ch == "Float64":
+        return T.DoubleType(), None
+    if ch == "Date":
+        return T.DateType(), None
+    if ch.startswith("DateTime"):
+        return T.TimestampType(), None
+    if ch.startswith("Decimal("):
+        p, s = ch[8:-1].split(",")
+        return T.DecimalType(int(p), int(s)), None
+    return T.StringType(), None
+
+
+def _remote_native(spark: SparkSession, addr: str, table: str) -> DataFrame:
+    """ch://host:port[/db] federation over the in-repo ClickHouse NATIVE
+    protocol client (sources/chnative.py) — the reference remote()'s
+    PRIMARY transport (crates/engine/src/remote.rs:8 speaks the CH native
+    protocol; block concat read.rs:151-228).  A full SELECT * streams
+    back as LZ4-framed native blocks and materializes at the driver —
+    dimension-table scale by contract, like the reference."""
+    from pyspark.sql import types as T
+
+    from tensorbase_spark.sources.chnative import NativeClient
+
+    hostport, _, db = addr.split("://", 1)[1].partition("/")
+    host, _, port = hostport.partition(":")
+    qualified = f"{db}.{table}" if db else table
+    with NativeClient(
+        host=host or "127.0.0.1", port=int(port or 9000), compression=True
+    ) as c:
+        cols, rows = c.execute(f"select * from {qualified}")
+    fields, convs = [], []
+    for name, ch_type in cols:
+        st, conv = _ch_to_spark_type(ch_type)
+        fields.append(T.StructField(name, st, True))
+        convs.append(conv)
+    data = [
+        tuple(
+            (convs[i](v) if convs[i] and v is not None else v)
+            for i, v in enumerate(r)
+        )
+        for r in rows
+    ]
+    return spark.createDataFrame(data, T.StructType(fields))
+
+
+def remote_insert_native(addr: str, table: str, df: DataFrame) -> int:
+    """INSERT INTO FUNCTION remote('ch://...', t) — push a DataFrame over
+    the CH NATIVE wire as typed columnar blocks (the reference's
+    remote-insert block path, mgmt.rs:744-770).  Rows materialize at the
+    driver (the reference ships whole blocks the same way)."""
+    from tensorbase_spark.sources.chnative import (
+        NativeClient,
+        spark_field_to_ch,
+    )
+
+    hostport, _, db = addr.split("://", 1)[1].partition("/")
+    host, _, port = hostport.partition(":")
+    qualified = f"{db}.{table}" if db else table
+    fields = df.schema.fields
+    ch_types = [spark_field_to_ch(f) for f in fields]
+    rows = df.collect()
+    cols = [
+        (f.name, t, [r[i] for r in rows])
+        for i, (f, t) in enumerate(zip(fields, ch_types))
+    ]
+    with NativeClient(
+        host=host or "127.0.0.1", port=int(port or 9000), compression=True
+    ) as c:
+        c.insert(qualified, cols)
+    return len(rows)
+
+
 def remote_insert_mysql(addr: str, table: str, df: DataFrame) -> int:
     """INSERT INTO FUNCTION remote('mysql://...', t) — push a DataFrame's
     rows to a MySQL-protocol endpoint as batched text INSERT VALUES (the
@@ -265,6 +361,10 @@ def remote(
         # materialize at the driver like the reference's block concat
         # (read.rs:151-228) — dimension-table scale by contract.
         return _remote_mysql(spark, addr, table)
+    if addr.startswith(("ch://", "clickhouse://", "tb://")):
+        # the reference remote()'s PRIMARY transport: the CH native
+        # protocol (engine/src/remote.rs:8) — typed LZ4-framed blocks
+        return _remote_native(spark, addr, table)
     if not addr.startswith("jdbc:"):
         raise ValueError(f"unsupported remote address: {addr!r}")
     if addr.startswith("jdbc:hive2:"):

@@ -707,3 +707,37 @@ def test_native_per_type_socket_roundtrip(served):
         assert types["u64v"] == "UInt64"
         assert types["d"] == "Date"
         assert types["dt"].startswith("DateTime")
+
+
+def test_remote_native_federation_both_halves(served, spark):
+    """remote('ch://...') — the reference remote()'s primary transport
+    (engine/src/remote.rs:8): INSERT INTO FUNCTION pushes typed blocks
+    over the native wire, remote() reads them back with exact types
+    (Int64, Nullable String, Float64, Date, UInt64 -> Decimal(20,0))."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from tensorbase_spark.sources import external
+
+    eng, port = served
+    db = spark.catalog.currentDatabase()
+    eng.sql(
+        "create table rnf_t (a Int64, s String, f Float64, d Date, "
+        "u UInt64)"
+    )
+    spark.createDataFrame(
+        [
+            (1, "x", 0.5, dt.date(2020, 1, 1), Decimal(2**63 + 7)),
+            (2, None, -1.25, dt.date(2021, 2, 2), Decimal(3)),
+        ],
+        "a long, s string, f double, d date, u decimal(20,0)",
+    ).createOrReplaceTempView("rnf_src_t")
+    eng.sql(
+        f"insert into function remote('ch://127.0.0.1:{port}/{db}', rnf_t) "
+        "select * from rnf_src_t"
+    )
+    r = external.remote(spark, f"ch://127.0.0.1:{port}/{db}", "rnf_t")
+    rows = sorted((tuple(x) for x in r.collect()), key=lambda t: t[0])
+    assert rows[0] == (1, "x", 0.5, dt.date(2020, 1, 1), Decimal(2**63 + 7))
+    assert rows[1][1] is None and rows[1][4] == Decimal(3)
+    assert dict(r.dtypes)["u"] == "decimal(20,0)"
