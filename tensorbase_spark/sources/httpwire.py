@@ -237,6 +237,9 @@ _CANON_FMT = {
     "rowbinary": "RowBinary",
     "rowbinarywithnamesandtypes": "RowBinaryWithNamesAndTypes",
     "native": "Native",
+    "arrow": "Arrow",
+    "arrowstream": "ArrowStream",
+    "parquet": "Parquet",
     "null": "Null",
 }
 
@@ -258,6 +261,9 @@ _CONTENT_TYPE = {
     "RowBinary": "application/octet-stream",
     "RowBinaryWithNamesAndTypes": "application/octet-stream",
     "Native": "application/octet-stream",
+    "Arrow": "application/octet-stream",
+    "ArrowStream": "application/vnd.apache.arrow.stream",
+    "Parquet": "application/octet-stream",
     "Null": "text/plain; charset=UTF-8",
 }
 
@@ -340,6 +346,9 @@ def encode_rows(
         return
     if fmt == "Native":
         yield from _encode_native(names, ch_types, rows)
+        return
+    if fmt in ("Arrow", "ArrowStream", "Parquet"):
+        yield from _encode_arrow(fmt, names, ch_types, rows)
         return
     raise ValueError(f"unknown FORMAT {fmt!r}")
 
@@ -432,6 +441,9 @@ def _encode_native(names, ch_types, rows):
         _wire_value,
     )
 
+    # the block codec speaks UInt8 for booleans (Bool is the TEXT-format
+    # spelling; the native wire carries u8, like chnative's own mapping)
+    ch_types = [re.sub(r"\bBool\b", "UInt8", t) for t in ch_types]
     bases = [_strip_nullable(t)[0] for t in ch_types]
 
     def _flush(batch):
@@ -470,6 +482,115 @@ def decode_native(data: bytes):
 
 
 # ---------------------------------------------------------------------------
+# Arrow / ArrowStream / Parquet — the columnar interchange FORMATs the
+# dataframe ecosystem consumes directly (pyarrow does the byte work; this
+# layer only maps CH types to Arrow types, mirroring CH's own mapping)
+# ---------------------------------------------------------------------------
+
+
+def _pa_type(ch: str):
+    import pyarrow as pa
+
+    if ch.startswith("Nullable(") and ch.endswith(")"):
+        ch = ch[9:-1]
+    if ch.startswith("Array(") and ch.endswith(")"):
+        return pa.list_(_pa_type(ch[6:-1]))
+    m = {
+        "Int8": pa.int8(), "Int16": pa.int16(), "Int32": pa.int32(),
+        "Int64": pa.int64(), "UInt8": pa.uint8(), "UInt16": pa.uint16(),
+        "UInt32": pa.uint32(), "UInt64": pa.uint64(),
+        "Float32": pa.float32(), "Float64": pa.float64(),
+        "String": pa.string(), "Date": pa.date32(), "Bool": pa.bool_(),
+    }
+    if ch in m:
+        return m[ch]
+    if ch.startswith("DateTime"):
+        return pa.timestamp("s")
+    if ch.startswith("Decimal("):
+        p, s = ch[8:-1].split(",")
+        return pa.decimal128(int(p), int(s))
+    return pa.string()
+
+
+def _arrow_cell(v: Any, ch: str):
+    """Python value -> what pyarrow expects for the mapped type."""
+    if v is None:
+        return None
+    base = ch
+    if base.startswith("Nullable(") and base.endswith(")"):
+        base = base[9:-1]
+    if base == "UInt64" and isinstance(v, Decimal):
+        return int(v)
+    if base == "UInt8" and isinstance(v, bool):
+        return 1 if v else 0
+    if base.startswith("DateTime") and isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.astimezone()
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    if base.startswith("Array(") and isinstance(v, list):
+        return [_arrow_cell(x, base[6:-1]) for x in v]
+    return v
+
+
+def _rows_to_pa_batch(names, ch_types, batch):
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [pa.field(n, _pa_type(t)) for n, t in zip(names, ch_types)]
+    )
+    arrays = [
+        pa.array(
+            [_arrow_cell(r[j], t) for r in batch], type=_pa_type(t)
+        )
+        for j, t in enumerate(ch_types)
+    ]
+    return pa.record_batch(arrays, schema=schema)
+
+
+def _encode_arrow(fmt, names, ch_types, rows):
+    import pyarrow as pa
+
+    batches, batch = [], []
+    for r in rows:
+        batch.append(r)
+        if len(batch) >= NATIVE_BLOCK_ROWS:
+            batches.append(_rows_to_pa_batch(names, ch_types, batch))
+            batch = []
+    if batch or not batches:
+        batches.append(_rows_to_pa_batch(names, ch_types, batch))
+    sink = io.BytesIO()
+    if fmt == "Parquet":
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_batches(batches), sink)
+    else:
+        opener = pa.ipc.new_file if fmt == "Arrow" else pa.ipc.new_stream
+        with opener(sink, batches[0].schema) as w:
+            for b in batches:
+                w.write_batch(b)
+    yield sink.getvalue()
+
+
+def decode_arrow_body(fmt: str, data: bytes):
+    """Arrow/ArrowStream/Parquet INSERT payload -> (names, rows of
+    plain-Python values)."""
+    import pyarrow as pa
+
+    src = io.BytesIO(data)
+    if fmt == "Parquet":
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(src)
+    elif fmt == "Arrow":
+        table = pa.ipc.open_file(src).read_all()
+    else:
+        table = pa.ipc.open_stream(src).read_all()
+    names = table.column_names
+    rows = list(zip(*[c.to_pylist() for c in table.columns]))
+    return names, [list(r) for r in rows]
+
+
+# ---------------------------------------------------------------------------
 # RowBinary — row-major fixed-width codec (public CH format spec)
 # ---------------------------------------------------------------------------
 
@@ -478,6 +599,7 @@ _INT_SPEC = {
     "Int8": (1, True), "Int16": (2, True), "Int32": (4, True),
     "Int64": (8, True), "UInt8": (1, False), "UInt16": (2, False),
     "UInt32": (4, False), "UInt64": (8, False),
+    "Bool": (1, False),  # RowBinary carries Bool as one byte
 }
 
 
@@ -674,6 +796,9 @@ def decode_body_rows(fmt: str, data: bytes) -> tuple[list, list | None]:
     if fmt == "Native":
         names, _types, rows = decode_native(data)
         return [list(r) for r in rows], names
+    if fmt in ("Arrow", "ArrowStream", "Parquet"):
+        names, rows = decode_arrow_body(fmt, data)
+        return rows, names
     text = data.decode()
     if fmt == "JSONEachRow":
         rows, names = [], None
@@ -1210,7 +1335,11 @@ def canonical_format_or_none(name: str):
 def _ch_type_or_string(field) -> str:
     """CH wire type name for the meta rows; exotic Spark types that the
     native mapping refuses (map/struct) degrade to String — their text
-    form still renders."""
+    form still renders.  Booleans are CH ``Bool`` here (the native-block
+    codec stores them as UInt8, but the TEXT formats print true/false,
+    which is Bool's contract, not UInt8's)."""
+    if field.dataType.simpleString() == "boolean":
+        return "Nullable(Bool)" if field.nullable else "Bool"
     try:
         return spark_field_to_ch(field)
     except ValueError:
@@ -1246,7 +1375,9 @@ def _typed_from_text(s: str | None, ch_type: str) -> Any:
     base = ch_type
     if base.startswith("Nullable(") and base.endswith(")"):
         base = base[9:-1]
-    if base in _INT_SPEC or base == "Bool":
+    if base == "Bool":
+        return s.strip().lower() in ("true", "1", "t")
+    if base in _INT_SPEC:
         return int(s)
     if base in ("Float32", "Float64"):
         return float(s)

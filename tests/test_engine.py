@@ -2997,8 +2997,13 @@ def test_file_url_table_functions(engine):
         ).collect()[0].n
         == 3
     )
-    with pytest.raises(Exception, match="only file://"):
-        engine.sql("select 1 from url('http://x.test/a.csv', 'CSV')")
+    # http(s) is now a REAL transport (the engine's own HTTP front door);
+    # an unreachable host fails loudly with the urllib error
+    with pytest.raises(Exception, match="urlopen error|Name or service"):
+        engine.sql("select 1 from url('http://x.invalid/a.csv', 'CSV')")
+    # non-file, non-http schemes are still rejected up front
+    with pytest.raises(Exception, match="only file:// and http"):
+        engine.sql("select 1 from url('ftp://x.test/a.csv', 'CSV')")
     with pytest.raises(Exception, match="unsupported"):
         engine.sql("select 1 from file('/tmp/tb_test_ff_parq', 'Pretty')")
 

@@ -192,6 +192,35 @@ def test_native_format_roundtrip_unit():
     assert n2 == names and r2 == []
 
 
+def test_arrow_formats_roundtrip_unit():
+    """Arrow / ArrowStream / Parquet payloads open with stock pyarrow and
+    carry the typed values (UInt64 -> uint64, Decimal -> decimal128)."""
+    import pyarrow as pa
+
+    from tensorbase_spark.sources.httpwire import decode_arrow_body
+
+    types = ["Int64", "Nullable(String)", "Float64", "Date",
+             "Decimal(9,2)", "UInt64"]
+    names = ["a", "s", "f", "d", "dec", "u"]
+    rows = [
+        (1, "x", 0.5, dt.date(2020, 1, 1), Decimal("1.25"),
+         Decimal(2**63 + 9)),
+        (2, None, -1.5, dt.date(2021, 2, 3), Decimal("-0.01"), Decimal(7)),
+    ]
+    for fmt in ("Arrow", "ArrowStream", "Parquet"):
+        payload = b"".join(encode_rows(fmt, names, types, iter(rows)))
+        got_names, got = decode_arrow_body(fmt, payload)
+        assert got_names == names
+        assert got[0][0] == 1 and got[1][1] is None
+        assert got[0][4] == Decimal("1.25")
+        assert got[0][5] == 2**63 + 9  # uint64 survives beyond i64
+    # the stream format is plain pyarrow IPC — open it directly
+    payload = b"".join(encode_rows("ArrowStream", names, types, iter(rows)))
+    t = pa.ipc.open_stream(payload).read_all()
+    assert t.schema.field("u").type == pa.uint64()
+    assert t.schema.field("d").type == pa.date32()
+
+
 def test_rowbinary_range_checks():
     with pytest.raises(ValueError):
         b"".join(encode_rows("RowBinary", ["d"], ["Date"],
@@ -496,6 +525,44 @@ def test_native_format_over_wire(served):
         ]
 
 
+def test_arrow_formats_over_wire(served):
+    """SELECT FORMAT ArrowStream/Parquet responses open with pyarrow;
+    INSERT FORMAT ArrowStream body decodes into typed rows."""
+    import pyarrow as pa
+
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        c.execute("create table arw (a Int64, s String, d Date)")
+        # INSERT body as an Arrow IPC stream
+        batch = pa.record_batch(
+            {
+                "a": pa.array([1, 2], pa.int64()),
+                "s": pa.array(["x", "y"], pa.string()),
+                "d": pa.array(
+                    [dt.date(2020, 5, 5), dt.date(2021, 6, 6)], pa.date32()),
+            }
+        )
+        sink = __import__("io").BytesIO()
+        with pa.ipc.new_stream(sink, batch.schema) as w:
+            w.write_batch(batch)
+        st, _h, _ = c.raw(
+            query="INSERT INTO arw (a, s, d) FORMAT ArrowStream",
+            body=sink.getvalue(),
+        )
+        assert st == 200
+        st, _h, data = c.raw(
+            query="select a, s, d from arw order by a FORMAT ArrowStream")
+        t = pa.ipc.open_stream(data).read_all()
+        assert t.column("a").to_pylist() == [1, 2]
+        assert t.column("d").to_pylist() == [
+            dt.date(2020, 5, 5), dt.date(2021, 6, 6)]
+        st, _h, data = c.raw(
+            query="select count(*) as n from arw FORMAT Parquet")
+        import pyarrow.parquet as pq
+        tp = pq.read_table(__import__("io").BytesIO(data))
+        assert tp.column("n").to_pylist() == [2]
+
+
 def test_streaming_many_rows(served):
     """A result bigger than one write buffer streams out chunked."""
     _eng, port = served
@@ -532,6 +599,99 @@ def test_concurrent_clients(served):
         t.join()
     assert not errors
     assert sorted(results) == [4950 + k for k in range(6)]
+
+
+# ---------------------------------------------------------------------------
+# e2e ports of the reference's integration suite shapes, through HTTP —
+# the same sanity_checks.rs / sanity_checks_mysql.rs cases the native and
+# MySQL endpoints mirror, so all three protocols carry one test family
+# ---------------------------------------------------------------------------
+
+
+def test_http_insert_select_funky_strings(served):
+    """sanity_checks_mysql.rs:65-141 shape: numeric insert-select + the
+    quote-escaped funky strings, through the HTTP door."""
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        c.execute("create table ht1 (a UInt64, b UInt8)")
+        c.execute("create table ht2 (a UInt64, b UInt8)")
+        c.execute("insert into ht1 values (1, 3), (2, 4), (3, 5)")
+        c.execute("insert into ht2 select * from ht1")
+        _n, _t, rows = c.execute("select * from ht2 order by a")
+        assert [(int(a), int(b)) for a, b in rows] == [
+            (1, 3), (2, 4), (3, 5)]
+        c.execute("create table ht3 (a String)")
+        data = ["aelvbs a1 233 🀄️", "b^&#*-['&**%%%", "c;;;;\n\t"]
+        c.insert_rows("ht3", ["a"], [(s,) for s in data])
+        _n, _t, rows = c.execute("select a from ht3 order by a limit 1")
+        assert rows == [("aelvbs a1 233 🀄️",)]
+        _n, _t, rows = c.execute("select count(*) as n from ht3")
+        assert rows == [(3,)]
+
+
+def test_http_partition_prune(served):
+    """sanity_checks_mysql.rs:1069-1092 shape: partitioned table through
+    the wire."""
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        c.execute(
+            "create table hpt (a UInt64, b UInt64) "
+            "engine=BaseStorage partition by a"
+        )
+        c.execute("insert into hpt values (1,1), (2,2)")
+        _n, _t, rows = c.execute("select a from hpt where b = 1")
+        assert len(rows) == 1 and int(rows[0][0]) == 1
+
+
+def test_http_ddl_stress(served):
+    """sanity_checks_mysql.rs DDL-stress shape: create/insert/read/drop a
+    table family in a loop over one connection."""
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        for i in range(6):
+            c.execute(f"create table hds_{i} (a Int64)")
+            c.execute(f"insert into hds_{i} values ({i})")
+        _n, cols_t, rows = c.execute("show tables")
+        # Spark SHOW TABLES shape: (namespace, tableName, isTemporary)
+        names = {r[1] for r in rows}
+        assert {f"hds_{i}" for i in range(6)} <= names
+        for i in range(6):
+            _n, _t, got = c.execute(f"select a from hds_{i}")
+            assert got == [(i,)]
+            c.execute(f"drop table hds_{i}")
+        _n, _t, rows = c.execute("show tables")
+        assert not any(r[1].startswith("hds_") for r in rows)
+
+
+def test_http_date_cast_filter(served):
+    """sanity_checks_mysql.rs date-cast shape: Date roundtrip + filter by
+    a cast literal."""
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        c.execute("create table hdt (d Date, v Int64)")
+        c.execute(
+            "insert into hdt values ('2020-01-01', 1), ('2021-06-15', 2)")
+        _n, _t, rows = c.execute(
+            "select v from hdt where d > cast('2020-12-31' as Date)")
+        assert rows == [(2,)]
+        _n, _t, rows = c.execute(
+            "select toYYYYMM(d) as ym from hdt order by d")
+        assert [int(r[0]) for r in rows] == [202001, 202106]
+
+
+def test_http_uuid_and_cast_family(served):
+    """sanity_checks_mysql.rs UUID/cast shapes through HTTP: UUID text
+    functions and CAST to BQL type names."""
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        _n, _t, rows = c.execute(
+            "select toUUID('61f0c404-5cb3-11e7-907b-a6006ad3dba0') as u")
+        assert rows == [("61f0c404-5cb3-11e7-907b-a6006ad3dba0",)]
+        _n, _t, rows = c.execute(
+            "select cast('42' as UInt64) as a, cast(1.9 as Int32) as b, "
+            "cast('2020-02-02' as Date) as d")
+        assert int(rows[0][0]) == 42 and rows[0][1] == 1
+        assert rows[0][2] == dt.date(2020, 2, 2)
 
 
 def test_ddl_empty_body_and_summary(served):
