@@ -758,37 +758,6 @@ def decode_rowbinary_with_names_and_types(data: bytes):
 # input format decoders (INSERT body data -> rows of text-or-typed values)
 # ---------------------------------------------------------------------------
 
-def _split_csv_line(line: str) -> list:
-    out, field, i, n, quoted = [], [], 0, len(line), False
-    while i < n:
-        c = line[i]
-        if quoted:
-            if c == '"':
-                if i + 1 < n and line[i + 1] == '"':
-                    field.append('"')
-                    i += 2
-                    continue
-                quoted = False
-                i += 1
-                continue
-            field.append(c)
-            i += 1
-            continue
-        if c == '"' and not field:
-            quoted = True
-            i += 1
-            continue
-        if c == ",":
-            out.append("".join(field))
-            field = []
-            i += 1
-            continue
-        field.append(c)
-        i += 1
-    out.append("".join(field))
-    return out
-
-
 def decode_body_rows(fmt: str, data: bytes) -> tuple[list, list | None]:
     """INSERT payload -> (rows, col_names_from_data_or_None).  Text rows
     carry strings (``None`` for NULL); JSON rows carry typed values."""
@@ -816,18 +785,17 @@ def decode_body_rows(fmt: str, data: bytes) -> tuple[list, list | None]:
             _json.loads(line) for line in text.splitlines() if line.strip()
         ], None
     if fmt.startswith("CSV"):
-        lines = [ln for ln in text.split("\n") if ln != ""]
+        # the csv module is stateful across lines, so quoted fields may
+        # embed newlines (the CH CSV contract a naive splitlines breaks)
+        import csv as _csv
+
+        recs = [r for r in _csv.reader(io.StringIO(text)) if r]
         names = None
         if fmt in ("CSVWithNames", "CSVWithNamesAndTypes"):
-            names = _split_csv_line(lines.pop(0).rstrip("\r"))
+            names = recs.pop(0)
         if fmt == "CSVWithNamesAndTypes":
-            lines.pop(0)
-        rows = []
-        for ln in lines:
-            rows.append([
-                None if f == "\\N" else f
-                for f in _split_csv_line(ln.rstrip("\r"))
-            ])
+            recs.pop(0)
+        rows = [[None if f == "\\N" else f for f in r] for r in recs]
         return rows, names
     if fmt.startswith("TabSeparated"):
         lines = [ln for ln in text.split("\n") if ln != ""]

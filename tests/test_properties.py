@@ -223,3 +223,102 @@ def test_wire_empty_varbytes_golden():
     out = bytearray()
     write_varbytes(out, b"")
     assert bytes(out) == b"\x00"
+
+
+# ---------------------------------------------------------------------------
+# HTTP format codecs (sources/httpwire.py) — encode/decode round trips
+# ---------------------------------------------------------------------------
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_http_tsv_escape_roundtrip(s):
+    from tensorbase_spark.sources.httpwire import tsv_escape, tsv_unescape
+
+    assert tsv_unescape(tsv_escape(s)) == s
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.one_of(st.none(), st.text(max_size=40)),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.dates(min_value=dt.date(1970, 1, 1),
+                     max_value=dt.date(2149, 6, 6)),
+            st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1),
+                     max_size=5),
+        ),
+        max_size=20,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_http_rowbinary_property_roundtrip(rows):
+    from tensorbase_spark.sources.httpwire import (
+        decode_rowbinary_with_names_and_types,
+        encode_rows,
+    )
+
+    names = ["a", "s", "f", "d", "arr"]
+    types = ["Int64", "Nullable(String)", "Float64", "Date", "Array(Int32)"]
+    payload = b"".join(
+        encode_rows("RowBinaryWithNamesAndTypes", names, types, iter(rows))
+    )
+    got_names, got_types, got = decode_rowbinary_with_names_and_types(payload)
+    assert got_names == names and got_types == types
+    assert [tuple(r) for r in got] == [
+        (a, s, f, d, list(arr)) for a, s, f, d, arr in rows
+    ]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.one_of(st.none(), st.text(max_size=40)),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+        ),
+        max_size=20,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_http_native_format_property_roundtrip(rows):
+    from tensorbase_spark.sources.httpwire import decode_native, encode_rows
+
+    names = ["a", "s", "f"]
+    types = ["Int64", "Nullable(String)", "Float64"]
+    payload = b"".join(encode_rows("Native", names, types, iter(rows)))
+    got_names, got_types, got = decode_native(payload)
+    assert got_names == names
+    assert [tuple(r) for r in got] == [tuple(r) for r in rows]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.one_of(
+                st.none(),
+                # \r excluded: universal-newline ambiguity in the csv
+                # module; a bare "\N" string is CH's unquoted NULL token
+                st.text(max_size=40).filter(
+                    lambda s: "\r" not in s and s != "\\N"),
+            ),
+        ),
+        max_size=20,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_http_csv_body_roundtrip(rows):
+    """CSV INSERT-body decode inverts the CSV encoder, including quoted
+    fields that embed commas, quotes, and NEWLINES (stateful csv parse,
+    not a splitlines)."""
+    from tensorbase_spark.sources.httpwire import (
+        decode_body_rows,
+        encode_rows,
+    )
+
+    names, types = ["a", "s"], ["Int64", "Nullable(String)"]
+    payload = b"".join(encode_rows("CSV", names, types, iter(rows)))
+    got, _names = decode_body_rows("CSV", payload)
+    assert [(int(r[0]), r[1]) for r in got] == [tuple(r) for r in rows]
