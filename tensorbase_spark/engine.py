@@ -1727,6 +1727,9 @@ class TensorBaseEngine:
         # file writes) is invisible — enable it for engine-table workloads
         # CH query parameters: SET param_x = v binds {x:Type} placeholders
         self._params: dict[str, str] = {}
+        # CH parameterized views: qualified name -> raw stored SELECT text
+        # (placeholders bind per call site, SELECT * FROM v(p = 3))
+        self._param_views: dict[str, str] = {}
         self._use_query_cache: bool = False
         # SET uint64_storage = 'decimal' (default, lossless Decimal(20,0))
         # | 'reinterpret' (Int64 two's-complement — see types.ParsedType.
@@ -2963,6 +2966,11 @@ class TensorBaseEngine:
         ie = "IF EXISTS " if m.group("ie") else ""
         kind = m.group("kind").upper()
         name = m.group("name")
+        if kind in ("TABLE", "VIEW") and self._param_views.pop(
+            self._qualify(name), None
+        ) is not None:
+            # parameterized views live in the engine dict, not the catalog
+            return self.spark.sql("SELECT 1 AS ok")
         if kind == "TABLE":
             q = self._qualify(name)
             if self._resolve_alias(q) != q:  # Distributed/Buffer are views
@@ -3005,6 +3013,17 @@ class TensorBaseEngine:
         if not m:
             raise ValueError(f"cannot parse: {c}")
         name = self._qualify(m.group("name"))
+        if self._PARAM_RE.search(m.group("q")):
+            # upstream-CH PARAMETERIZED view: the body keeps its
+            # {name:Type} placeholders and binds them per call site
+            # (SELECT * FROM v(p = 3)); stored as raw text, translated at
+            # read time after substitution
+            if m.group("ine") and name in self._param_views:
+                return self.spark.sql("SELECT 1 AS ok")
+            if name in self._param_views and not m.group("orr"):
+                raise ValueError(f"view {name} already exists")
+            self._param_views[name] = m.group("q").strip()
+            return self.spark.sql("SELECT 1 AS ok")
         if m.group("ine") and self.spark.catalog.tableExists(name):
             return self.spark.sql("SELECT 1 AS ok")
         orr = "OR REPLACE " if m.group("orr") else ""
@@ -4954,6 +4973,73 @@ class TensorBaseEngine:
         )
 
     _PARAM_RE = re.compile(r"\{(?P<n>\w+)\s*:\s*(?P<t>[^{}]+)\}")
+    _PVIEW_CALL_RE = re.compile(r"(?is)\b(from|join)\s+([\w.]+)\s*\(")
+
+    def _rewrite_param_views(self, q: str, depth: int = 0) -> str:
+        """Upstream-CH parameterized views at their call sites:
+        ``FROM v(p = 3, s = 'x')`` inlines the stored SELECT with each
+        ``{p:Type}`` placeholder bound to the call's typed literal
+        (CAST('v' AS t) — injection-safe, constant-folded).  Unbound
+        placeholders fall through to the session ``SET param_*`` binding.
+        Views may reference other parameterized views (depth-capped)."""
+        if depth > 8:
+            raise ValueError("parameterized-view nesting too deep")
+        for m in list(self._PVIEW_CALL_RE.finditer(q)):
+            name = self._qualify(m.group(2))
+            if name not in self._param_views:
+                continue
+            # paren-match the argument list from the opening '('
+            d, j, n = 1, m.end(), len(q)
+            while j < n and d:
+                if q[j] in "'\"":
+                    quote = q[j]
+                    j += 1
+                    while j < n and q[j] != quote:
+                        j += 1
+                elif q[j] == "(":
+                    d += 1
+                elif q[j] == ")":
+                    d -= 1
+                j += 1
+            args = {}
+            inner = q[m.end() : j - 1].strip()
+            for part in _split_depth0(inner) if inner else []:
+                am = re.match(r"(?s)^\s*(\w+)\s*=\s*(.+?)\s*$", part)
+                if not am:
+                    raise ValueError(
+                        f"parameterized view {name}: cannot parse "
+                        f"argument {part!r}"
+                    )
+                args[am.group(1)] = am.group(2).strip()
+            body = self._param_views[name]
+
+            def bind(pm: re.Match) -> str:
+                pname = pm.group("n")
+                if pname not in args:
+                    return pm.group(0)  # session SET param_* binds later
+                t = parse_bql_type(
+                    pm.group("t").strip()
+                ).spark_type.simpleString()
+                raw = args[pname]
+                if re.fullmatch(r"-?\d+(\.\d+)?", raw) or (
+                    len(raw) >= 2 and raw[0] in "'\"" and raw[-1] == raw[0]
+                ):
+                    # bare literal -> typed, injection-safe constant
+                    v = raw.strip("'\"").replace("'", "''")
+                    return f"CAST('{v}' AS {t})"
+                # expression argument (nested view call passing its own
+                # {p:Type}, arithmetic, a column of the outer query):
+                # inline it raw — later passes bind/translate it
+                return f"CAST(({raw}) AS {t})"
+
+            body = self._PARAM_RE.sub(bind, body)
+            alias = name.split(".")[-1]
+            q = (
+                f"{q[: m.start()]}{m.group(1)} "
+                f"({body}) AS {alias}{q[j:]}"
+            )
+            return self._rewrite_param_views(q, depth + 1)
+        return q
 
     def _bind_query_params(self, q: str) -> str:
         """ClickHouse query parameters: ``{name:Type}`` placeholders bound
@@ -5530,6 +5616,8 @@ class TensorBaseEngine:
         if re.search(r"(?is)\bfinal\b", q):
             q = self._rewrite_final(q)
         q = _rewrite_array_join(_preprocess_ch_clauses(q.strip()))
+        if self._param_views:
+            q = self._rewrite_param_views(q)
         if any(self._buffer_pending.values()):
             q = self._rewrite_buffer_reads(q)
         if re.search(

@@ -2512,3 +2512,61 @@ QUERIES["engine_nested_type"] = Query(
     engine_nested_type, ENGINE_NESTED_ORACLE,
     ("engine", "types", "nested"),
 )
+
+
+def ch_parameterized_view(spark, sf_dir):
+    """Upstream-CH PARAMETERIZED views (the reference's grammar has plain
+    views only): CREATE VIEW keeps its {name:Type} placeholders and binds
+    them per call site — SELECT ... FROM v(lo = ..., hi = ...) — with
+    typed injection-safe literals; views may nest (a view calling another
+    parameterized view, forwarding its own placeholder), and unbound
+    placeholders fall back to the session SET param_* binding.  The query
+    aggregates orders through a band-filtered view three ways (call-site
+    literals, nested forwarding, session fallback) and the oracle
+    recomputes each band directly."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "pview")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("pv_orders")
+    eng.sql(
+        "create view pv_band as select o_orderkey as k, o_totalprice as p "
+        "from pv_orders where o_orderkey >= {lo:Int64} "
+        "and o_orderkey <= {hi:Int64}"
+    )
+    eng.sql(
+        "create view pv_stats as select count(*) as n, "
+        "cast(floor(sum(p)) as bigint) as total "
+        "from pv_band(lo = {lo:Int64}, hi = 2000)"
+    )
+    eng.sql("set param_lo = 1200, param_hi = 1800")
+    return eng.sql(
+        "select 'literals' as variant, count(*) as n, "
+        "cast(floor(sum(p)) as bigint) as total "
+        "from pv_band(lo = 100, hi = 900) "
+        "union all "
+        "select 'nested' as variant, n, total from pv_stats(lo = 500) "
+        "union all "
+        "select 'session' as variant, count(*) as n, "
+        "cast(floor(sum(p)) as bigint) as total from pv_band(lo = {lo:Int64}, "
+        "hi = {hi:Int64})"
+    )
+
+
+CH_PARAMETERIZED_VIEW_ORACLE = """
+SELECT 'literals' AS variant, count(*) AS n,
+       CAST(floor(sum(o_totalprice)) AS BIGINT) AS total
+FROM orders WHERE o_orderkey BETWEEN 100 AND 900
+UNION ALL
+SELECT 'nested', count(*),
+       CAST(floor(sum(o_totalprice)) AS BIGINT)
+FROM orders WHERE o_orderkey BETWEEN 500 AND 2000
+UNION ALL
+SELECT 'session', count(*),
+       CAST(floor(sum(o_totalprice)) AS BIGINT)
+FROM orders WHERE o_orderkey BETWEEN 1200 AND 1800
+"""
+
+
+QUERIES["ch_parameterized_view"] = Query(
+    ch_parameterized_view, CH_PARAMETERIZED_VIEW_ORACLE, ("engine", "views")
+)

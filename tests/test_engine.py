@@ -3184,3 +3184,49 @@ def test_system_settings_and_databases(engine):
         "select count(*) as n from system.databases where name = 'default'"
     ).collect()[0].n
     assert n == 1
+
+
+def test_parameterized_views(engine):
+    """CH parameterized views: per-call binding, expression and nested
+    arguments, session fallback, IF NOT EXISTS / duplicate / DROP, and
+    the unbound-placeholder error."""
+    import pytest as _pt
+
+    engine.sql("create table pvt (a Int64, s String)")
+    engine.sql("insert into pvt values (1,'x'),(2,'y'),(3,'x'),(4,'z')")
+    engine.sql(
+        "create view pv as select a, s from pvt "
+        "where a >= {lo:Int64} and a <= {hi:Int64}"
+    )
+    got = engine.sql(
+        "select count(*) as n, sum(a) as sa from pv(lo = 2, hi = 3)"
+    ).collect()
+    assert (got[0].n, got[0].sa) == (2, 5)
+    # expression arguments
+    got = engine.sql("select count(*) as n from pv(lo = 1 + 1, hi = 2 + 2)")
+    assert got.collect()[0].n == 3
+    # nested: a parameterized view calling another, forwarding a param
+    engine.sql(
+        "create view pv2 as select s, count(*) as n "
+        "from pv(lo = 1, hi = {hi:Int64}) group by s"
+    )
+    rows = sorted(
+        tuple(r) for r in engine.sql("select * from pv2(hi = 3)").collect()
+    )
+    assert rows == [("x", 2), ("y", 1)]
+    # unbound placeholder with no session param: loud error
+    with _pt.raises(ValueError, match="not set"):
+        engine.sql("select * from pv(lo = 1)").collect()
+    # session SET param_* fallback
+    engine.sql("set param_hi = 4")
+    assert engine.sql(
+        "select count(*) as n from pv(lo = 1)"
+    ).collect()[0].n == 4
+    # IF NOT EXISTS is a no-op; a duplicate without it errors
+    engine.sql(
+        "create view if not exists pv as select 1 as x where 1 = {p:Int64}")
+    with _pt.raises(ValueError, match="already exists"):
+        engine.sql("create view pv as select 1 as x where 1 = {p:Int64}")
+    engine.sql("drop view pv2")
+    with _pt.raises(Exception):
+        engine.sql("select * from pv2(hi = 3)").collect()
