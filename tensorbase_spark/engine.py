@@ -3017,15 +3017,31 @@ class TensorBaseEngine:
             # upstream-CH PARAMETERIZED view: the body keeps its
             # {name:Type} placeholders and binds them per call site
             # (SELECT * FROM v(p = 3)); stored as raw text, translated at
-            # read time after substitution
-            if m.group("ine") and name in self._param_views:
+            # read time after substitution.  The name must be free in
+            # BOTH homes (engine dict + catalog); OR REPLACE evicts both.
+            if m.group("ine") and (
+                name in self._param_views
+                or self.spark.catalog.tableExists(name)
+            ):
                 return self.spark.sql("SELECT 1 AS ok")
-            if name in self._param_views and not m.group("orr"):
+            if not m.group("orr") and (
+                name in self._param_views
+                or self.spark.catalog.tableExists(name)
+            ):
                 raise ValueError(f"view {name} already exists")
+            if m.group("orr"):
+                self.spark.sql(f"DROP VIEW IF EXISTS {name}")
             self._param_views[name] = m.group("q").strip()
             return self.spark.sql("SELECT 1 AS ok")
-        if m.group("ine") and self.spark.catalog.tableExists(name):
+        if m.group("ine") and (
+            self.spark.catalog.tableExists(name)
+            or name in self._param_views
+        ):
             return self.spark.sql("SELECT 1 AS ok")
+        if name in self._param_views:
+            if not m.group("orr"):
+                raise ValueError(f"view {name} already exists")
+            self._param_views.pop(name, None)  # OR REPLACE evicts it
         orr = "OR REPLACE " if m.group("orr") else ""
         body = self._translate_query(m.group("q"))
         return self.spark.sql(f"CREATE {orr}VIEW {name} AS {body}")
@@ -4981,9 +4997,14 @@ class TensorBaseEngine:
         ``{p:Type}`` placeholder bound to the call's typed literal
         (CAST('v' AS t) — injection-safe, constant-folded).  Unbound
         placeholders fall through to the session ``SET param_*`` binding.
-        Views may reference other parameterized views (depth-capped)."""
-        if depth > 8:
-            raise ValueError("parameterized-view nesting too deep")
+        Views may reference other parameterized views.  ``depth`` counts
+        TOTAL substitutions, so the cap is a runaway guard (cyclic view
+        definitions), not a flat-reference limit."""
+        if depth > 100:
+            raise ValueError(
+                "parameterized-view expansion did not converge "
+                "(cyclic view definitions?)"
+            )
         for m in list(self._PVIEW_CALL_RE.finditer(q)):
             name = self._qualify(m.group(2))
             if name not in self._param_views:
@@ -5033,11 +5054,20 @@ class TensorBaseEngine:
                 return f"CAST(({raw}) AS {t})"
 
             body = self._PARAM_RE.sub(bind, body)
-            alias = name.split(".")[-1]
-            q = (
-                f"{q[: m.start()]}{m.group(1)} "
-                f"({body}) AS {alias}{q[j:]}"
+            # honor a caller-supplied alias (``FROM v(p=1) AS b`` or the
+            # bare ``FROM v(p=1) b``) — adding ours would double-alias
+            tail = q[j:]
+            has_alias = bool(
+                re.match(r"(?is)^\s+as\s+[A-Za-z_]\w*", tail)
+            ) or bool(
+                re.match(r"(?is)^\s+(?!(?:join|left|right|inner|cross|"
+                         r"full|on|where|group|order|having|limit|union|"
+                         r"intersect|except|settings|qualify|window|"
+                         r"sample|asof|any|global|prewhere|format|using|"
+                         r"semi|anti|natural|paste)\b)[A-Za-z_]\w*", tail)
             )
+            alias = "" if has_alias else f" AS {name.split('.')[-1]}"
+            q = f"{q[: m.start()]}{m.group(1)} ({body}){alias}{tail}"
             return self._rewrite_param_views(q, depth + 1)
         return q
 

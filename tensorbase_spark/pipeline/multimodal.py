@@ -390,13 +390,14 @@ AHASH_SCHEMA = T.StructType(
 )
 
 
-def image_ahash(assets: DataFrame) -> DataFrame:
-    """Perceptual hash per asset: the ONLY Python step of image dedup —
-    Arrow-batched mapInPandas over the binary column (decode + aHash per
+def _image_hash_op(assets: DataFrame, hash_fn) -> DataFrame:
+    """Shared perceptual-hash pass: the ONLY Python step of image dedup —
+    Arrow-batched mapInPandas over the binary column (decode + hash per
     payload); everything downstream (banding, hamming, grouping) is JVM.
     At 100 TB this is one map-only pass; like extract_features, a
     size-aware repartition first keeps giant-asset tails off single
-    workers."""
+    workers.  Whichever scheme ran, the 64-bit hash lands in the shared
+    ``ahash`` LongType slot so image_neardup_pairs applies unchanged."""
 
     def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -407,11 +408,16 @@ def image_ahash(assets: DataFrame) -> DataFrame:
                 {
                     "asset_id": pdf["asset_id"],
                     "format": metas,
-                    "ahash": pdf["payload"].map(average_hash),
+                    "ahash": pdf["payload"].map(hash_fn),
                 }
             )
 
     return assets.mapInPandas(_go, AHASH_SCHEMA)
+
+
+def image_ahash(assets: DataFrame) -> DataFrame:
+    """Average-hash per asset (see _image_hash_op)."""
+    return _image_hash_op(assets, average_hash)
 
 
 def dhash(payload: bytes | None, hash_size: int = 8) -> int | None:
@@ -483,45 +489,13 @@ def phash(payload: bytes | None, hash_size: int = 8,
 
 
 def image_dhash(assets: DataFrame) -> DataFrame:
-    """dHash per asset — same Arrow-batched map-only shape as
-    image_ahash; the hash lands in the shared ``ahash`` LongType slot so
-    the banded pairing below applies unchanged."""
-
-    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            metas = pdf["payload"].map(
-                lambda p: decode_image_meta(None if p is None else bytes(p))[0]
-            )
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "format": metas,
-                    "ahash": pdf["payload"].map(dhash),
-                }
-            )
-
-    return assets.mapInPandas(_go, AHASH_SCHEMA)
+    """Difference-hash per asset (see _image_hash_op)."""
+    return _image_hash_op(assets, dhash)
 
 
 def image_phash(assets: DataFrame) -> DataFrame:
-    """pHash per asset — same Arrow-batched map-only shape as
-    image_ahash; the hash lands in the shared ``ahash`` LongType slot so
-    the banded pairing below applies unchanged."""
-
-    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            metas = pdf["payload"].map(
-                lambda p: decode_image_meta(None if p is None else bytes(p))[0]
-            )
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "format": metas,
-                    "ahash": pdf["payload"].map(phash),
-                }
-            )
-
-    return assets.mapInPandas(_go, AHASH_SCHEMA)
+    """DCT perceptual hash per asset (see _image_hash_op)."""
+    return _image_hash_op(assets, phash)
 
 
 def image_neardup_pairs(hashed: DataFrame, max_hamming: int = 4) -> DataFrame:

@@ -244,6 +244,8 @@ def remote_insert_native(addr: str, table: str, df: DataFrame) -> int:
     driver (the reference ships whole blocks the same way)."""
     from tensorbase_spark.sources.chnative import (
         NativeClient,
+        _strip_nullable,
+        _wire_value,
         spark_field_to_ch,
     )
 
@@ -253,8 +255,11 @@ def remote_insert_native(addr: str, table: str, df: DataFrame) -> int:
     fields = df.schema.fields
     ch_types = [spark_field_to_ch(f) for f in fields]
     rows = df.collect()
+    # _wire_value normalizes collected values for the codec — notably it
+    # attaches the OS zone to Spark's local-naive datetimes so the
+    # naive==UTC wire convention cannot shift the instant (chnative.py)
     cols = [
-        (f.name, t, [r[i] for r in rows])
+        (f.name, t, [_wire_value(_strip_nullable(t)[0], r[i]) for r in rows])
         for i, (f, t) in enumerate(zip(fields, ch_types))
     ]
     with NativeClient(

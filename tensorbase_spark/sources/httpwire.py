@@ -63,7 +63,7 @@ import zlib as _zlib
 import uuid as _uuid
 from decimal import Decimal
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any, Callable, Iterable, Iterator
+from typing import Any, Iterable, Iterator
 from urllib.parse import parse_qs, quote, urlsplit
 
 from tensorbase_spark.sources.chnative import (
@@ -524,9 +524,11 @@ def _arrow_cell(v: Any, ch: str):
     if base == "UInt8" and isinstance(v, bool):
         return 1 if v else 0
     if base.startswith("DateTime") and isinstance(v, _dt.datetime):
-        if v.tzinfo is None:
-            v = v.astimezone()
-        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        # local-naive wall time, symmetric with the TSV/RowBinary paths
+        # (a round trip through Arrow must not shift the instant)
+        if v.tzinfo is not None:
+            v = v.astimezone().replace(tzinfo=None)
+        return v.replace(microsecond=0)
     if base.startswith("Array(") and isinstance(v, list):
         return [_arrow_cell(x, base[6:-1]) for x in v]
     return v
@@ -1019,8 +1021,23 @@ class _HttpHandler(BaseHTTPRequestHandler):
                 pass
 
     def _read_body(self, one: dict) -> bytes:
-        n = int(self.headers.get("Content-Length") or 0)
-        data = self.rfile.read(n) if n else b""
+        te = (self.headers.get("Transfer-Encoding") or "").lower()
+        if "chunked" in te:
+            # streaming clients (curl -T -, driver streamed inserts) send
+            # chunked bodies with no Content-Length — decode the chunks
+            parts = []
+            while True:
+                size_line = self.rfile.readline().split(b";", 1)[0].strip()
+                size = int(size_line or b"0", 16)
+                if size == 0:
+                    self.rfile.readline()  # trailing CRLF after last-chunk
+                    break
+                parts.append(self.rfile.read(size))
+                self.rfile.readline()  # CRLF after each chunk
+            data = b"".join(parts)
+        else:
+            n = int(self.headers.get("Content-Length") or 0)
+            data = self.rfile.read(n) if n else b""
         if (self.headers.get("Content-Encoding") or "").lower() == "gzip":
             data = _gzip.decompress(data)
         elif one.get("decompress") == "1":
@@ -1079,6 +1096,7 @@ class _HttpHandler(BaseHTTPRequestHandler):
                     written = self._insert_with_data(eng, combined, im)
                     if session_id:
                         srv.sessions[session_id] = _engine_snapshot(eng)
+                    _engine_restore(eng, snap)  # per-request scope ends
                     self._ok_empty(one, written=written,
                                    head_only=head_only)
                     return
@@ -1257,10 +1275,16 @@ class _HttpHandler(BaseHTTPRequestHandler):
                     _chunk(c)
         except Exception as e:
             # mid-stream failure: CH appends the exception text into the
-            # stream (headers already went out) and closes the connection
+            # stream (headers already went out) and closes the connection.
+            # Under compress=1 the text must itself be framed (a raw tail
+            # after LZ4 frames would fail the client's checksum decode).
             msg = f"\nCode: {ERR_UNKNOWN}. DB::Exception: {e}\n".encode()
             if gz:
                 _chunk(gz.compress(msg) + gz.flush())
+            elif use_lz4:
+                if pend:
+                    _chunk(compress_frame(bytes(pend)))
+                _chunk(compress_frame(msg))
             else:
                 _chunk(msg)
             self.wfile.write(b"0\r\n\r\n")
@@ -1333,9 +1357,6 @@ def _map_exception(e: Exception) -> tuple[int, int]:
 # ---------------------------------------------------------------------------
 # the client
 # ---------------------------------------------------------------------------
-
-_CH_TO_PY: dict[str, Callable[[str], Any]] = {}
-
 
 def _typed_from_text(s: str | None, ch_type: str) -> Any:
     if s is None:

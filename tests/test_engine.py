@@ -3227,6 +3227,26 @@ def test_parameterized_views(engine):
         "create view if not exists pv as select 1 as x where 1 = {p:Int64}")
     with _pt.raises(ValueError, match="already exists"):
         engine.sql("create view pv as select 1 as x where 1 = {p:Int64}")
+    # caller-supplied aliases survive (no double-alias)
+    rows = engine.sql(
+        "select b.a from pv(lo = 1, hi = 2) as b "
+        "join pvt p on b.a = p.a order by b.a"
+    ).collect()
+    assert [r.a for r in rows] == [1, 2]
+    rows = engine.sql(
+        "select c.a from pv(lo = 3, hi = 4) c order by c.a").collect()
+    assert [r.a for r in rows] == [3, 4]
+    # OR REPLACE transitions between parameterized and plain homes
+    engine.sql("create or replace view pv as select 42 as x")
+    assert engine.sql("select x from pv").collect()[0].x == 42
+    engine.sql(
+        "create or replace view pv as select a from pvt "
+        "where a = {p:Int64}"
+    )
+    assert engine.sql("select a from pv(p = 2)").collect()[0].a == 2
+    engine.sql("drop view pv")
+    with _pt.raises(Exception):
+        engine.sql("select * from pv(p = 2)").collect()
     engine.sql("drop view pv2")
     with _pt.raises(Exception):
         engine.sql("select * from pv2(hi = 3)").collect()

@@ -402,6 +402,78 @@ def test_param_binding_and_settings_restore(served):
     assert eng._params == {}
 
 
+def test_insert_path_restores_state(served):
+    """The INSERT-with-data path must restore per-request database and
+    settings exactly like the SELECT path (the per-request scope
+    contract)."""
+    eng, port = served
+    home = eng.spark.catalog.currentDatabase()
+    with HttpClient(port=port) as c:
+        c.raw(query="create database http_ins_db")
+        try:
+            c.raw(
+                query="create table http_ins_db.it (a Int64)",
+            )
+            st, _h, _ = c.raw(
+                query="INSERT INTO it (a) FORMAT JSONEachRow",
+                body=b'{"a": 1}\n',
+                params={"database": "http_ins_db", "param_zz": "5"},
+            )
+            assert st == 200
+            assert eng.spark.catalog.currentDatabase() == home
+            assert eng._params == {}
+            _n, _t, got = c.execute(
+                "select count(*) as n from http_ins_db.it")
+            assert got == [(1,)]
+        finally:
+            c.raw(query="drop database http_ins_db")
+
+
+def test_chunked_request_body(served):
+    """A chunked INSERT body (no Content-Length) decodes fully — silent
+    0-row inserts from streaming clients would be data loss."""
+    import http.client
+
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        c.execute("create table chk (a Int64)")
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    body_iter = iter([b'{"a": 1}\n', b'{"a": 2}\n', b'{"a": 3}\n'])
+    conn.request(
+        "POST", "/?query=INSERT%20INTO%20chk%20(a)%20FORMAT%20JSONEachRow",
+        body=body_iter, encode_chunked=True,
+        headers={"Transfer-Encoding": "chunked"},
+    )
+    resp = conn.getresponse()
+    assert resp.status == 200
+    summary = json.loads(resp.getheaders()
+                         and dict(resp.getheaders())["X-ClickHouse-Summary"])
+    assert summary["written_rows"] == "3"
+    resp.read()
+    conn.close()
+    with HttpClient(port=port) as c:
+        assert c.execute("select sum(a) as s from chk")[2] == [(6,)]
+
+
+def test_arrow_datetime_roundtrip_symmetric(served):
+    """engine -> Arrow -> engine must not shift DateTime instants."""
+    import pyarrow as pa
+
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        c.execute("create table adt (t DateTime)")
+        c.insert_rows("adt", ["t"], [(dt.datetime(2021, 3, 4, 5, 6, 7),)])
+        _st, _h, data = c.raw(query="select t from adt FORMAT ArrowStream")
+        vals = pa.ipc.open_stream(data).read_all().column("t").to_pylist()
+        assert vals == [dt.datetime(2021, 3, 4, 5, 6, 7)]
+        # re-insert the Arrow payload: the value must come back identical
+        st, _h2, _ = c.raw(
+            query="INSERT INTO adt (t) FORMAT ArrowStream", body=data)
+        assert st == 200
+        _n, _t, got = c.execute("select t from adt order by t")
+        assert got == [(dt.datetime(2021, 3, 4, 5, 6, 7),)] * 2
+
+
 def test_database_param_and_session(served):
     eng, port = served
     home = eng.spark.catalog.currentDatabase()
