@@ -483,6 +483,67 @@ def remote_native_federation(spark, sf_dir):
     )
 
 
+def remote_sharded_scatter(spark, sf_dir):
+    """remote() SHARD PATTERNS — CH's scatter-gather address lists
+    (the reference's remote() takes one address, read.rs:151-228; the
+    upstream pattern grammar adds comma lists and {a,b}/{1..N} braces).
+    The supplier table splits by s_suppkey parity into two shard
+    databases served by TWO independent native TCP endpoints; one
+    remote() call with a brace-alternation address scatters to both,
+    unions the blocks, and aggregates — per-shard partial aggregation is
+    Spark's normal unionByName push-down, the 100 TB scatter shape."""
+    from tensorbase_spark.queries.engine_queries import _fresh_engine
+    from tensorbase_spark.sources.chnative import serve_native
+
+    eng1 = _fresh_engine(spark, sf_dir, "shard1")
+    db1 = spark.catalog.currentDatabase()
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("rss_src")
+    eng1.sql("create table rss_sup (sk Int64, nk Int64, bal Float64)")
+    eng1.sql(
+        "insert into rss_sup select s_suppkey, s_nationkey, s_acctbal "
+        "from rss_src where s_suppkey % 2 = 0"
+    )
+    eng2 = _fresh_engine(spark, sf_dir, "shard2")
+    db2 = spark.catalog.currentDatabase()
+    eng2.sql("create table rss_sup (sk Int64, nk Int64, bal Float64)")
+    eng2.sql(
+        "insert into rss_sup select s_suppkey, s_nationkey, s_acctbal "
+        "from rss_src where s_suppkey % 2 = 1"
+    )
+    srv1, p1 = serve_native(eng1)
+    srv2, p2 = serve_native(eng2)
+    try:
+        r = external.remote(
+            spark,
+            f"ch://127.0.0.1:{p1}/{db1},ch://127.0.0.1:{p2}/{db2}",
+            "rss_sup",
+        )
+        r = r.localCheckpoint(eager=True)
+    finally:
+        for s in (srv1, srv2):
+            s.shutdown()
+            s.server_close()
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        r.join(F.broadcast(nation), r.nk == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("bal"), 2).alias("total_bal"),
+            F.max("sk").alias("max_sk"),
+        )
+    )
+
+
+REMOTE_SHARDED_ORACLE = """
+SELECT n_name, count(*) AS n_suppliers,
+       round(sum(s_acctbal), 2) AS total_bal,
+       CAST(max(s_suppkey) AS BIGINT) AS max_sk
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 REMOTE_NATIVE_ORACLE = """
 SELECT p_brand AS brand, count(*) AS n_parts,
        round(sum(p_retailprice), 2) AS total_price,
@@ -651,6 +712,9 @@ QUERIES = {
     ),
     "remote_native_federation": Query(
         remote_native_federation, REMOTE_NATIVE_ORACLE, ("sources", "wire")
+    ),
+    "remote_sharded_scatter": Query(
+        remote_sharded_scatter, REMOTE_SHARDED_ORACLE, ("sources", "wire")
     ),
     "remote_thrift_federation": Query(
         remote_thrift_federation, REMOTE_THRIFT_ORACLE, ("sources", "wire")

@@ -204,6 +204,45 @@ def _ch_to_spark_type(ch: str):
     return T.StringType(), None
 
 
+def expand_shard_addresses(addr: str) -> list[str]:
+    """Upstream-CH remote() address patterns -> concrete shard list:
+    comma-separated addresses, ``{1..3}`` numeric ranges and ``{a,b}``
+    alternation (one brace group per piece, like CH's shard patterns).
+    ``remote('ch://h:9000/db1,ch://h:9001/db2', t)`` scatters to both."""
+    out: list[str] = []
+    depth, piece, pieces = 0, [], []
+    for ch in addr:
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            pieces.append("".join(piece))
+            piece = []
+        else:
+            piece.append(ch)
+    pieces.append("".join(piece))
+    import re as _re
+
+    for p in pieces:
+        p = p.strip()
+        m = _re.search(r"\{(\d+)\.\.(\d+)\}", p)
+        if m:
+            lo, hi = int(m.group(1)), int(m.group(2))
+            width = len(m.group(1)) if m.group(1).startswith("0") else 0
+            for i in range(lo, hi + 1):
+                out.append(
+                    p[: m.start()] + str(i).zfill(width) + p[m.end():])
+            continue
+        m = _re.search(r"\{([^{}]*,[^{}]*)\}", p)
+        if m:
+            for alt in m.group(1).split(","):
+                out.append(p[: m.start()] + alt.strip() + p[m.end():])
+            continue
+        out.append(p)
+    return [p for p in out if p]
+
+
 def _remote_native(spark: SparkSession, addr: str, table: str) -> DataFrame:
     """ch://host:port[/db] federation over the in-repo ClickHouse NATIVE
     protocol client (sources/chnative.py) — the reference remote()'s
@@ -356,6 +395,20 @@ def remote(
     doubleQuotedIdentifiers in their URL (which this function then leaves
     alone).
     """
+    # jdbc: URLs may embed commas themselves (failover host lists) — CH
+    # shard patterns apply to the native/mysql/local address forms only
+    shards = [addr] if addr.startswith("jdbc:") else expand_shard_addresses(addr)
+    if len(shards) > 1:
+        # CH scatter-gather: query EVERY shard and concat the blocks
+        # (read.rs:151-228 scatters the same way); each shard read is
+        # independent and the union is Spark-lazy, so downstream
+        # aggregation pushes partials per shard like any unionByName
+        from functools import reduce
+
+        parts = [
+            remote(spark, s, table, user, password, driver) for s in shards
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts)
     if addr.startswith("local:"):
         return spark.table(table)
     if addr.startswith("mysql://"):

@@ -741,3 +741,22 @@ def test_remote_native_federation_both_halves(served, spark):
     assert rows[0] == (1, "x", 0.5, dt.date(2020, 1, 1), Decimal(2**63 + 7))
     assert rows[1][1] is None and rows[1][4] == Decimal(3)
     assert dict(r.dtypes)["u"] == "decimal(20,0)"
+
+
+def test_expand_shard_addresses():
+    """CH shard patterns: comma lists, {1..N} ranges (zero-pad aware),
+    {a,b} alternation; plain addresses pass through."""
+    from tensorbase_spark.sources.external import expand_shard_addresses as x
+
+    assert x("ch://h:9000/db") == ["ch://h:9000/db"]
+    assert x("ch://h:9000/a,ch://h:9001/b") == [
+        "ch://h:9000/a", "ch://h:9001/b"]
+    assert x("ch://h{1..3}:9000/db") == [
+        "ch://h1:9000/db", "ch://h2:9000/db", "ch://h3:9000/db"]
+    assert x("ch://h{01..03}:9000/db") == [
+        "ch://h01:9000/db", "ch://h02:9000/db", "ch://h03:9000/db"]
+    assert x("ch://{alpha,beta}:9000/db") == [
+        "ch://alpha:9000/db", "ch://beta:9000/db"]
+    # commas inside braces don't split shards
+    assert x("ch://h{a,b}:1/x,ch://k:2/y") == [
+        "ch://ha:1/x", "ch://hb:1/x", "ch://k:2/y"]
