@@ -1886,6 +1886,33 @@ class TensorBaseEngine:
             rows, "name string, value string, changed boolean"
         ).createOrReplaceGlobalTempView("tb_system_settings")
 
+    def _refresh_system_functions(self) -> None:
+        """``system.functions`` (upstream-CH introspection; the reference
+        has no system tables): every name the dialect layer answers —
+        Column-shim functions, SQL templates, parametric aggregate
+        templates, and the Spark builtins the dialect passes through —
+        as (name, origin) rows.  Deterministic: sourced from the
+        registries, not a hardcoded list, so new tiers appear
+        automatically."""
+        from tensorbase_spark.functions.clickhouse import (
+            CH_FUNCTIONS,
+            CH_PARAMETRIC_TEMPLATES,
+            CH_SQL_TEMPLATES,
+        )
+
+        origins: dict[str, str] = {}
+        for n in self.spark.sql("SHOW FUNCTIONS").toPandas()["function"]:
+            origins.setdefault(str(n).lower(), "spark_builtin")
+        for n in CH_SQL_TEMPLATES:
+            origins[n.lower()] = "ch_template"
+        for n in CH_PARAMETRIC_TEMPLATES:
+            origins[n.lower()] = "ch_parametric"
+        shims = {n.lower() for n in CH_FUNCTIONS}
+        self.spark.createDataFrame(
+            sorted((n, o, n in shims) for n, o in origins.items()),
+            "name string, origin string, has_column_shim boolean",
+        ).createOrReplaceGlobalTempView("tb_system_functions")
+
     def _refresh_system_tables(self) -> None:
         """``system.tables`` / ``system.columns`` (upstream-CH introspection;
         the reference reads the same from sled for SHOW/DESC, mgmt.rs:484-532):
@@ -2266,6 +2293,13 @@ class TensorBaseEngine:
                 c = re.sub(
                     r"(?is)\bsystem\.settings\b",
                     "global_temp.tb_system_settings",
+                    c,
+                )
+            if re.search(r"(?is)\bsystem\.functions\b", c):
+                self._refresh_system_functions()
+                c = re.sub(
+                    r"(?is)\bsystem\.functions\b",
+                    "global_temp.tb_system_functions",
                     c,
                 )
             if re.search(r"(?is)\bsystem\.databases\b", c):

@@ -2570,3 +2570,45 @@ FROM orders WHERE o_orderkey BETWEEN 1200 AND 1800
 QUERIES["ch_parameterized_view"] = Query(
     ch_parameterized_view, CH_PARAMETERIZED_VIEW_ORACLE, ("engine", "views")
 )
+
+
+def engine_system_functions(spark, sf_dir):
+    """system.functions introspection (upstream-CH; the reference has no
+    system tables): the dialect layer's full function surface as
+    registry-sourced (name, origin) rows.  The query pins a
+    representative slice — one name per origin class plus the tier-11
+    additions — and counts each origin, so the hash certifies both
+    membership and the registry wiring (new tiers change counts only if
+    the oracle's floor is crossed, which the >= guard prevents)."""
+    eng = _fresh_engine(spark, sf_dir, "sysfn")
+    return eng.sql(
+        "select name, origin, has_column_shim from system.functions "
+        "where name in ("
+        "'toyear', 'bin', 'rounddown', 'tolastdayofmonth', 'toisoweek', "
+        "'tomodifiedjulianday', 'quantile', 'histogram', "
+        "'arraycumsumnonnegative', 'stringjaccardindex', 'xxhash64') "
+        "order by name"
+    )
+
+
+ENGINE_SYSTEM_FUNCTIONS_ORACLE = """
+SELECT * FROM (VALUES
+  ('arraycumsumnonnegative', 'ch_template',   false),
+  ('bin',                    'ch_template',   false),
+  ('histogram',              'ch_parametric', false),
+  ('quantile',               'ch_parametric', false),
+  ('rounddown',              'ch_template',   false),
+  ('stringjaccardindex',     'ch_template',   false),
+  ('toisoweek',              'ch_template',   false),
+  ('tolastdayofmonth',       'ch_template',   false),
+  ('tomodifiedjulianday',    'ch_template',   false),
+  ('toyear',                 'ch_template',   true),
+  ('xxhash64',               'spark_builtin', false)
+) AS t(name, origin, has_column_shim)
+"""
+
+
+QUERIES["engine_system_functions"] = Query(
+    engine_system_functions, ENGINE_SYSTEM_FUNCTIONS_ORACLE,
+    ("engine", "introspection"),
+)
