@@ -332,6 +332,45 @@ CH_SQL_TEMPLATES = {
         "regexp_replace(regexp_replace({0}, \"'[^']*'\", '?'), "
         "'(?<![a-zA-Z0-9_])[0-9]+(\\\\.[0-9]+)?', '?')"
     ),
+    # ---- tier 12: the CH vector-distance family (ANN-adjacent scalar
+    # functions over array columns; pure zip_with/aggregate compositions,
+    # whole-stage-codegen'd — no UDF in the distance hot path) ------------
+    "dotproduct": (
+        "aggregate(zip_with({0}, {1}, (x, y) -> x * y), "
+        "cast(0.0 as double), (s, v) -> s + v)"
+    ),
+    "l1distance": (
+        "aggregate(zip_with({0}, {1}, (x, y) -> abs(x - y)), "
+        "cast(0.0 as double), (s, v) -> s + v)"
+    ),
+    "l2squareddistance": (
+        "aggregate(zip_with({0}, {1}, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (s, v) -> s + v)"
+    ),
+    "l2distance": (
+        "sqrt(aggregate(zip_with({0}, {1}, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (s, v) -> s + v))"
+    ),
+    "linfdistance": (
+        "array_max(zip_with({0}, {1}, (x, y) -> abs(x - y)))"
+    ),
+    "l1norm": (
+        "aggregate({0}, cast(0.0 as double), (s, v) -> s + abs(v))"
+    ),
+    "l2norm": (
+        "sqrt(aggregate({0}, cast(0.0 as double), (s, v) -> s + v * v))"
+    ),
+    "linfnorm": "array_max(transform({0}, v -> abs(v)))",
+    "cosinedistance": (
+        "(1.0 - aggregate(zip_with({0}, {1}, (x, y) -> x * y), "
+        "cast(0.0 as double), (s, v) -> s + v) / "
+        "(sqrt(aggregate({0}, cast(0.0 as double), (s, v) -> s + v * v)) * "
+        "sqrt(aggregate({1}, cast(0.0 as double), (s, v) -> s + v * v))))"
+    ),
+    "normalizel2": (
+        "transform({0}, __nv -> __nv / "
+        "sqrt(aggregate({0}, cast(0.0 as double), (s, v) -> s + v * v)))"
+    ),
     # ---- tier 11 (everyday date/time arithmetic gaps) -------------------
     "tolastdayofmonth": "last_day(cast({0} as date))",
     # Spark weekofyear IS the ISO week number

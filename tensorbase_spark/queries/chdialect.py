@@ -1681,3 +1681,66 @@ FROM orders GROUP BY o_orderpriority
 QUERIES["ch_everyday_funcs11"] = Query(
     ch_everyday_funcs11, CH_EVERYDAY11_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_vector_distances(spark, sf_dir):
+    """The upstream-CH vector-distance function family (tier 12) over
+    array columns — dotProduct, L1/L2/L2Squared/Linf distances, L1/L2/
+    Linf norms, cosineDistance, normalizeL2 — each a pure
+    zip_with/aggregate composition (whole-stage codegen, no UDF: the
+    same JVM-side shape the ANN brute-force path uses).  Vectors build
+    from order-key arithmetic so the oracle recomputes every distance
+    componentwise with no list functions needed."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_vec")
+    pre = (
+        "select o_orderstatus as st, "
+        "array(cast(o_orderkey % 7 as double), "
+        "      cast(o_orderkey % 5 as double), 2.0d) as va, "
+        "array(1.0d, cast(o_orderkey % 3 as double), 0.5d) as vb "
+        "from ord_vec"
+    )
+    return eng.sql(
+        "select st, "
+        "round(sum(dotProduct(va, vb)), 3) as dot_sum, "
+        "round(sum(L1Distance(va, vb)), 3) as l1_sum, "
+        "round(sum(L2SquaredDistance(va, vb)), 3) as l2sq_sum, "
+        "round(sum(L2Distance(va, vb)), 3) as l2_sum, "
+        "round(sum(LinfDistance(va, vb)), 3) as linf_sum, "
+        "round(sum(L2Norm(va)), 3) as l2n_sum, "
+        "round(sum(L1Norm(vb)), 3) as l1n_sum, "
+        "round(sum(cosineDistance(va, vb)), 3) as cos_sum, "
+        "round(sum(arrayElement(normalizeL2(va), 3) * L2Norm(va)), 3) "
+        "  as renorm_sum "
+        f"from ({pre}) group by st"
+    )
+
+
+CH_VECTOR_DISTANCES_ORACLE = """
+WITH v AS (
+  SELECT o_orderstatus AS st,
+         CAST(o_orderkey % 7 AS DOUBLE) AS a1,
+         CAST(o_orderkey % 5 AS DOUBLE) AS a2, 2.0 AS a3,
+         1.0 AS b1, CAST(o_orderkey % 3 AS DOUBLE) AS b2, 0.5 AS b3
+  FROM orders
+)
+SELECT st,
+  round(sum(a1*b1 + a2*b2 + a3*b3), 3) AS dot_sum,
+  round(sum(abs(a1-b1) + abs(a2-b2) + abs(a3-b3)), 3) AS l1_sum,
+  round(sum((a1-b1)^2 + (a2-b2)^2 + (a3-b3)^2), 3) AS l2sq_sum,
+  round(sum(sqrt((a1-b1)^2 + (a2-b2)^2 + (a3-b3)^2)), 3) AS l2_sum,
+  round(sum(greatest(abs(a1-b1), abs(a2-b2), abs(a3-b3))), 3) AS linf_sum,
+  round(sum(sqrt(a1^2 + a2^2 + a3^2)), 3) AS l2n_sum,
+  round(sum(abs(b1) + abs(b2) + abs(b3)), 3) AS l1n_sum,
+  round(sum(1.0 - (a1*b1 + a2*b2 + a3*b3)
+        / (sqrt(a1^2 + a2^2 + a3^2) * sqrt(b1^2 + b2^2 + b3^2))), 3)
+    AS cos_sum,
+  round(sum(a3), 3) AS renorm_sum
+FROM v GROUP BY st
+"""
+
+
+QUERIES["ch_vector_distances"] = Query(
+    ch_vector_distances, CH_VECTOR_DISTANCES_ORACLE,
+    ("dialect", "functions", "vector")
+)
