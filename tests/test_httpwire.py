@@ -774,3 +774,57 @@ def test_ddl_empty_body_and_summary(served):
         assert "X-ClickHouse-Summary" in h
         st, _h, data = c.raw(query="show tables FORMAT TSV")
         assert b"ddl1" in data
+
+
+# ---------------------------------------------------------------------------
+# the reference's sql_test_runner.rs script shape, THROUGH the HTTP door:
+# one session (session_id pins USE/SET state), every statement over the
+# wire, the same :expected assertions as tests/test_sql_scripts.py
+# ---------------------------------------------------------------------------
+
+_HTTP_SCRIPTS = [
+    "basic_checks.sql", "cast_checks.sql", "partition_prune.sql",
+    "ddl_stress.sql", "select_all_prune.sql",
+]
+
+
+@pytest.mark.parametrize("script", _HTTP_SCRIPTS)
+def test_sql_script_over_http(served, script):
+    import math
+    import pathlib
+
+    from tests.test_sql_scripts import parse_script
+
+    def _norm(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6g}"
+        if isinstance(v, Decimal):
+            return f"{float(v):.6g}"
+        return str(v)
+
+    _eng, port = served
+    path = pathlib.Path(__file__).parent / "sql_scripts" / script
+    blocks = parse_script(path.read_text())
+    with HttpClient(port=port, session_id=f"script_{script}") as c:
+        for i, (expected, expect_error, stmt) in enumerate(blocks):
+            if expect_error:
+                with pytest.raises(RuntimeError):
+                    c.execute(stmt)
+                continue
+            try:
+                _n, _t, rows = c.execute(stmt)
+            except RuntimeError as e:
+                raise AssertionError(
+                    f"{script} statement#{i} failed over HTTP: {e}\n{stmt}"
+                ) from e
+            if expected is not None:
+                got = sorted(",".join(_norm(x) for x in r) for r in rows)
+                want = sorted(e.replace(", ", ",") for e in expected)
+                assert got == want, (
+                    f"{script} statement#{i} over HTTP:\n{stmt}\n"
+                    f"expected {want}\n     got {got}"
+                )
