@@ -2974,7 +2974,19 @@ class TensorBaseEngine:
     def _desc_table(self, c: str) -> DataFrame:
         """Name/type/nullable rows from stored metadata (the reference's DESC
         also reads the metastore, mgmt.rs:532 — parquet file-source schemas
-        come back force-nullable, so the catalog props are authoritative)."""
+        come back force-nullable, so the catalog props are authoritative).
+        ``DESCRIBE (SELECT ...)`` (upstream-CH) describes the QUERY's
+        output schema instead — analysis only, nothing executes."""
+        body = re.sub(r"(?is)^\s*desc(?:ribe)?\s+(?:table\s+)?", "", c).strip()
+        if body.startswith("("):
+            df = self.spark.sql(self._translate_query(body[1:-1].strip()))
+            return self.spark.createDataFrame(
+                [
+                    (f.name, f.dataType.simpleString(), f.nullable)
+                    for f in df.schema.fields
+                ],
+                "col_name: string, data_type: string, nullable: boolean",
+            )
         name = self._qualify(c.split()[-1])
         cols_txt = self._table_props(name).get("tb.columns")
         if cols_txt:

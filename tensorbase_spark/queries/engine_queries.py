@@ -2612,3 +2612,38 @@ QUERIES["engine_system_functions"] = Query(
     engine_system_functions, ENGINE_SYSTEM_FUNCTIONS_ORACLE,
     ("engine", "introspection"),
 )
+
+
+def ch_describe_query(spark, sf_dir):
+    """DESCRIBE (SELECT ...) — upstream-CH query-schema introspection
+    (the reference's DESC reads table metadata only, mgmt.rs:532): the
+    output schema of an arbitrary query, analysis-only.  The described
+    query exercises the dialect layer (toYear, a CH cast target, an
+    aggregate alias), so the hash certifies the TRANSLATED plan's
+    schema."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "descq")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("dq_orders")
+    return eng.sql(
+        "describe (select toYear(o_orderdate) as y, "
+        "cast(o_orderkey as UInt64) as k64, "
+        "sum(o_totalprice) as total, count(*) as n "
+        "from dq_orders group by toYear(o_orderdate), "
+        "cast(o_orderkey as UInt64))"
+    )
+
+
+CH_DESCRIBE_QUERY_ORACLE = """
+SELECT * FROM (VALUES
+  ('y',     'int',           true),
+  ('k64',   'decimal(20,0)', true),
+  ('total', 'double',        true),
+  ('n',     'bigint',        false)
+) AS t(col_name, data_type, nullable)
+"""
+
+
+QUERIES["ch_describe_query"] = Query(
+    ch_describe_query, CH_DESCRIBE_QUERY_ORACLE, ("engine", "introspection")
+)
