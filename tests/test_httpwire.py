@@ -828,3 +828,50 @@ def test_sql_script_over_http(served, script):
                     f"{script} statement#{i} over HTTP:\n{stmt}\n"
                     f"expected {want}\n     got {got}"
                 )
+
+
+def test_concurrent_sessions_and_inserts_stress(served):
+    """Race the per-request state machinery: parallel clients with
+    DISTINCT session databases interleave USE-dependent selects, data
+    inserts, and settings-scoped reads; every thread must see exactly
+    its own state (the lock serializes engine mutation, streaming runs
+    outside it)."""
+    eng, port = served
+    home = eng.spark.catalog.currentDatabase()
+    with HttpClient(port=port) as c:
+        for i in range(3):
+            c.raw(query=f"create database http_race_{i}")
+            c.raw(query=f"create table http_race_{i}.t (a Int64)")
+    errors = []
+
+    def worker(i):
+        try:
+            with HttpClient(port=port, session_id=f"race_{i}") as c:
+                c.raw(query=f"use http_race_{i}")
+                for k in range(5):
+                    c.raw(
+                        query="INSERT INTO t (a) FORMAT JSONEachRow",
+                        body=f'{{"a": {i * 100 + k}}}\n'.encode(),
+                    )
+                    _n, _t, got = c.execute(
+                        "select count(*) as n, max(a) as m, "
+                        "currentDatabase() as db from t")
+                    n, m, db = got[0]
+                    assert db == f"http_race_{i}", (i, db)
+                    assert n == k + 1 and m == i * 100 + k, (i, k, got)
+        except Exception as e:
+            errors.append((i, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert eng.spark.catalog.currentDatabase() == home
+    with HttpClient(port=port) as c:
+        for i in range(3):
+            _n, _t, got = c.execute(
+                f"select count(*) as n from http_race_{i}.t")
+            assert got == [(5,)]
+            c.raw(query=f"drop database http_race_{i}")
