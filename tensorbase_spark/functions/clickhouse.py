@@ -371,6 +371,22 @@ CH_SQL_TEMPLATES = {
         "transform({0}, __nv -> __nv / "
         "sqrt(aggregate({0}, cast(0.0 as double), (s, v) -> s + v * v)))"
     ),
+    # ---- tier 13 (time buckets, array-set similarity, map lambdas) ------
+    "tostartoffiveminutes": (
+        "timestamp_seconds(cast(floor(unix_timestamp("
+        "cast({0} as timestamp)) / 300) * 300 as bigint))"
+    ),
+    "tostartoffifteenminutes": (
+        "timestamp_seconds(cast(floor(unix_timestamp("
+        "cast({0} as timestamp)) / 900) * 900 as bigint))"
+    ),
+    "arrayjaccardindex": (
+        "(cast(size(array_intersect({0}, {1})) as double) / "
+        "cast(size(array_union({0}, {1})) as double))"
+    ),
+    # CH mapFilter(func, map) -> Spark map_filter(map, func); the lambda
+    # grammar is identical, only the argument order swaps
+    "mapfilter": "map_filter({1}, {0})",
     # ---- tier 11 (everyday date/time arithmetic gaps) -------------------
     "tolastdayofmonth": "last_day(cast({0} as date))",
     # Spark weekofyear IS the ISO week number

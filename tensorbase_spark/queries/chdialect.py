@@ -1744,3 +1744,43 @@ QUERIES["ch_vector_distances"] = Query(
     ch_vector_distances, CH_VECTOR_DISTANCES_ORACLE,
     ("dialect", "functions", "vector")
 )
+
+
+def ch_everyday_funcs13(spark, sf_dir):
+    """Everyday upstream-CH tier 13: the five/fifteen-minute time
+    buckets (completing the toStartOf* family), arrayJaccardIndex
+    (array-set similarity — the scalar cousin of the pipeline's ngram
+    Jaccard), and mapFilter (CH map lambda; identical lambda grammar,
+    swapped argument order vs Spark's map_filter)."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ev_e13")
+    return eng.sql(
+        "select event_type as et, "
+        "count(distinct toStartOfFiveMinutes(ts)) as b5, "
+        "count(distinct toStartOfFifteenMinutes(ts)) as b15, "
+        "round(sum(arrayJaccardIndex("
+        "  array(event_id % 5, event_id % 5 + 1, 7), "
+        "  array(event_id % 5 + 1, 7, 99))), 3) as jac_sum, "
+        "sum(mapLength(mapFilter((mk, mv) -> mv > 0, "
+        "  map(1, event_id % 3, 2, event_id % 7, 3, 0)))) as pos_vals "
+        "from ev_e13 group by event_type"
+    )
+
+
+CH_EVERYDAY13_ORACLE = """
+SELECT event_type AS et,
+  count(DISTINCT to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP))
+        / 300) * 300)) AS b5,
+  count(DISTINCT to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP))
+        / 900) * 900)) AS b15,
+  round(sum(0.5), 3) AS jac_sum,
+  CAST(sum(CASE WHEN event_id % 3 > 0 THEN 1 ELSE 0 END
+         + CASE WHEN event_id % 7 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS pos_vals
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES["ch_everyday_funcs13"] = Query(
+    ch_everyday_funcs13, CH_EVERYDAY13_ORACLE, ("dialect", "functions")
+)
