@@ -2340,7 +2340,36 @@ class TensorBaseEngine:
         if low.startswith("create table"):
             return self._create_table(c)
         if low in ("show databases", "show tables"):
-            return self.spark.sql(c)
+            out = self.spark.sql(c)
+            if low == "show tables":
+                # detached tables are parked under a reserved suffix and
+                # must not surface (CH hides detached tables entirely)
+                out = out.filter("tableName NOT LIKE '%__detached_tbl'")
+            return out
+        if low.startswith(("detach table", "attach table")):
+            # upstream-CH DETACH/ATTACH TABLE: the table disappears from
+            # the catalog surface but its data stays on disk; ATTACH
+            # restores it.  Spelled as a rename to a reserved suffix (the
+            # rename machinery re-keys MVs/projections), so no data moves.
+            m = re.match(
+                r"(?is)^(?P<verb>detach|attach)\s+table\s+"
+                r"(?P<ie>if\s+exists\s+)?(?P<name>[\w.]+)\s*$", c
+            )
+            if not m:
+                raise ValueError(f"cannot parse: {c}")
+            name = self._qualify(m.group("name"))
+            parked = f"{name}__detached_tbl"
+            if m.group("verb").lower() == "detach":
+                if not self.spark.catalog.tableExists(name):
+                    if m.group("ie"):
+                        return self.spark.sql("SELECT 1 AS ok")
+                    raise ValueError(f"table {name} does not exist")
+                return self._rename_tables(f"rename table {name} to {parked}")
+            if not self.spark.catalog.tableExists(parked):
+                if m.group("ie"):
+                    return self.spark.sql("SELECT 1 AS ok")
+                raise ValueError(f"table {name} has no detached state")
+            return self._rename_tables(f"rename table {parked} to {name}")
         if low.startswith("show create table"):
             return self._show_create_table(c)
         if low.startswith(("desc table", "describe table", "desc ", "describe ")):

@@ -2647,3 +2647,54 @@ SELECT * FROM (VALUES
 QUERIES["ch_describe_query"] = Query(
     ch_describe_query, CH_DESCRIBE_QUERY_ORACLE, ("engine", "introspection")
 )
+
+
+def engine_detach_attach(spark, sf_dir):
+    """DETACH TABLE / ATTACH TABLE (upstream-CH catalog ops; the
+    reference's meta layer has create/drop only, mgmt.rs:802-814): a
+    detached table vanishes from SHOW TABLES and from name resolution
+    while its data stays on disk; ATTACH restores it intact.  The query
+    returns the lifecycle counts the oracle recomputes from the orders
+    fixture."""
+    from tensorbase_spark.sources.tables import load_table
+
+    eng = _fresh_engine(spark, sf_dir, "detach")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("da_orders")
+    eng.sql("create table da_t (k Int64, p Float64)")
+    eng.sql(
+        "insert into da_t select o_orderkey, o_totalprice from da_orders "
+        "where o_orderkey % 13 = 0"
+    )
+    def _visible():
+        return eng.sql("show tables").filter("tableName = 'da_t'").count()
+    vis_before = _visible()
+    eng.sql("detach table da_t")
+    vis_during = _visible()
+    resolvable_during = 1
+    try:
+        eng.sql("select count(*) from da_t").collect()
+    except Exception:
+        resolvable_during = 0
+    eng.sql("attach table da_t")
+    row = eng.sql(
+        "select count(*) as n, cast(floor(sum(p)) as bigint) as total "
+        "from da_t"
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(vis_before, vis_during, resolvable_during, row.n, row.total)],
+        "vis_before int, vis_during int, resolvable_during int, "
+        "n bigint, total bigint",
+    )
+
+
+ENGINE_DETACH_ATTACH_ORACLE = """
+SELECT 1 AS vis_before, 0 AS vis_during, 0 AS resolvable_during,
+       count(*) AS n,
+       CAST(floor(sum(o_totalprice)) AS BIGINT) AS total
+FROM orders WHERE o_orderkey % 13 = 0
+"""
+
+
+QUERIES["engine_detach_attach"] = Query(
+    engine_detach_attach, ENGINE_DETACH_ATTACH_ORACLE, ("engine", "ddl")
+)

@@ -3250,3 +3250,29 @@ def test_parameterized_views(engine):
     engine.sql("drop view pv2")
     with _pt.raises(Exception):
         engine.sql("select * from pv2(hi = 3)").collect()
+
+
+def test_detach_attach_table(engine):
+    """DETACH hides the table (SHOW TABLES + resolution) keeping data;
+    ATTACH restores; IF EXISTS variants are no-ops; double-detach and
+    attach-without-detach error."""
+    import pytest as _pt
+
+    engine.sql("create table datt (a Int64)")
+    engine.sql("insert into datt values (1),(2)")
+    assert engine.sql("show tables").filter(
+        "tableName = 'datt'").count() == 1
+    engine.sql("detach table datt")
+    assert engine.sql("show tables").filter(
+        "tableName like 'datt%'").count() == 0
+    with _pt.raises(Exception):
+        engine.sql("select * from datt").collect()
+    with _pt.raises(ValueError, match="does not exist"):
+        engine.sql("detach table datt")
+    engine.sql("detach table if exists datt")  # no-op
+    engine.sql("attach table datt")
+    assert engine.sql("select sum(a) as s from datt").collect()[0].s == 3
+    with _pt.raises(ValueError, match="no detached state"):
+        engine.sql("attach table datt")
+    engine.sql("attach table if exists datt")  # no-op
+    engine.sql("drop table datt")
