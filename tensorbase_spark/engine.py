@@ -2343,8 +2343,10 @@ class TensorBaseEngine:
             out = self.spark.sql(c)
             if low == "show tables":
                 # detached tables are parked under a reserved suffix and
-                # must not surface (CH hides detached tables entirely)
-                out = out.filter("tableName NOT LIKE '%__detached_tbl'")
+                # must not surface (CH hides detached tables entirely).
+                # endswith, not LIKE — LIKE's `_` wildcard would also hide
+                # names that merely end in "detached_tbl"
+                out = out.filter("NOT endswith(tableName, '__detached_tbl')")
             return out
         if low.startswith(("detach table", "attach table")):
             # upstream-CH DETACH/ATTACH TABLE: the table disappears from
