@@ -417,3 +417,44 @@ def test_binary_auc_no_data_sort(spark, queries):
     while i != -1:
         assert tree.find("HashAggregate", i) != -1, "Sort over raw rows"
         i = tree.find("Sort", i + 1)
+
+
+def test_vector_distances_stay_codegen(spark, queries):
+    """The vector-distance templates must compile to JVM higher-order
+    functions — no Python evaluation anywhere in the plan — and
+    aggregate partial/final like any codegen aggregate."""
+    plan = _formatted(spark, queries["ch_vector_distances"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_param_view_binding_pushes_down(spark):
+    """A parameterized-view call site binds to typed CONSTANTS that
+    Catalyst folds and pushes into the parquet scan — the view adds no
+    plan overhead over writing the WHERE by hand."""
+    import uuid
+
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    db = f"pvplan_{uuid.uuid4().hex[:8]}"
+    eng.sql(f"create database {db}")
+    eng.sql(f"use {db}")
+    try:
+        eng.sql("create table pvp (k Int64, v Float64)")
+        eng.sql("insert into pvp values (1, 0.5), (200, 1.5)")
+        eng.sql(
+            "create view pv_band as select k, v from pvp "
+            "where k >= {lo:Int64} and k <= {hi:Int64}"
+        )
+        plan = _formatted(
+            spark, eng.sql("select sum(v) as s from pv_band(lo = 10, hi = 90)")
+        )
+        assert "BatchEvalPython" not in plan
+        # the bound literals reach the scan as pushed range predicates
+        assert "PushedFilters" in plan
+        assert "GreaterThanOrEqual(k,10)" in plan.replace(" ", "") or \
+               "GreaterThanOrEqual(k, 10)" in plan
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        eng.sql(f"drop database if exists {db}")
