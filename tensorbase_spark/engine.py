@@ -1778,6 +1778,8 @@ class TensorBaseEngine:
         for t in self.spark.catalog.listTables(db):
             if (t.tableType or "").upper() not in ("MANAGED", "EXTERNAL"):
                 continue
+            if t.name.endswith("__detached_tbl"):
+                continue  # CH hides detached tables from system.* too
             qualified = f"{db}.{t.name}"
             try:
                 loc = (
@@ -1904,8 +1906,12 @@ class TensorBaseEngine:
         for n in self.spark.sql("SHOW FUNCTIONS").toPandas()["function"]:
             origins.setdefault(str(n).lower(), "spark_builtin")
         for n in CH_SQL_TEMPLATES:
+            if n.startswith("__"):
+                continue  # private helper keys are not public functions
             origins[n.lower()] = "ch_template"
         for n in CH_PARAMETRIC_TEMPLATES:
+            if n.startswith("__"):
+                continue  # private helper keys are not public functions
             origins[n.lower()] = "ch_parametric"
         shims = {n.lower() for n in CH_FUNCTIONS}
         self.spark.createDataFrame(
@@ -1923,6 +1929,8 @@ class TensorBaseEngine:
         for t in self.spark.catalog.listTables(db):
             if (t.tableType or "").upper() not in ("MANAGED", "EXTERNAL"):
                 continue
+            if t.name.endswith("__detached_tbl"):
+                continue  # CH hides detached tables from system.* too
             qualified = f"{db}.{t.name}"
             props = self._table_props(qualified)
             trows.append(
@@ -2339,13 +2347,14 @@ class TensorBaseEngine:
             ).filter("name != ''")
         if low.startswith("create table"):
             return self._create_table(c)
-        if low in ("show databases", "show tables"):
+        if low == "show databases" or low.startswith("show tables"):
             out = self.spark.sql(c)
-            if low == "show tables":
+            if low.startswith("show tables"):
                 # detached tables are parked under a reserved suffix and
-                # must not surface (CH hides detached tables entirely).
-                # endswith, not LIKE — LIKE's `_` wildcard would also hide
-                # names that merely end in "detached_tbl"
+                # must not surface (CH hides detached tables entirely) —
+                # including the LIKE/FROM/IN variants.  endswith, not
+                # LIKE: LIKE's `_` wildcard would also hide names that
+                # merely end in "detached_tbl"
                 out = out.filter("NOT endswith(tableName, '__detached_tbl')")
             return out
         if low.startswith(("detach table", "attach table")):
@@ -2366,6 +2375,21 @@ class TensorBaseEngine:
                     if m.group("ie"):
                         return self.spark.sql("SELECT 1 AS ok")
                     raise ValueError(f"table {name} does not exist")
+                try:
+                    if (
+                        self.spark.catalog.getTable(name).tableType or ""
+                    ).upper() == "VIEW":
+                        raise ValueError(
+                            f"DETACH TABLE cannot detach the view {name}"
+                        )
+                except ValueError:
+                    raise
+                except Exception:
+                    pass  # temp views have no catalog entry; rename errors
+                if self.spark.catalog.tableExists(parked):
+                    raise ValueError(
+                        f"table {name} already has a detached state"
+                    )
                 return self._rename_tables(f"rename table {name} to {parked}")
             if not self.spark.catalog.tableExists(parked):
                 if m.group("ie"):
@@ -3010,7 +3034,10 @@ class TensorBaseEngine:
         output schema instead — analysis only, nothing executes."""
         body = re.sub(r"(?is)^\s*desc(?:ribe)?\s+(?:table\s+)?", "", c).strip()
         if body.startswith("("):
-            df = self.spark.sql(self._translate_query(body[1:-1].strip()))
+            # dispatch the inner query through the full SELECT path so
+            # system.* rewrites and every clause pass apply (a DESCRIBE
+            # must accept exactly what a SELECT accepts)
+            df = self._dispatch(body[1:-1].strip())
             return self.spark.createDataFrame(
                 [
                     (f.name, f.dataType.simpleString(), f.nullable)
@@ -5693,6 +5720,7 @@ class TensorBaseEngine:
                 t.name
                 for t in self.spark.catalog.listTables(db)
                 if (t.tableType or "").upper() in ("MANAGED", "EXTERNAL")
+                and not t.name.endswith("__detached_tbl")  # CH hides them
                 and rex.search(t.name)
             )
             if not names:

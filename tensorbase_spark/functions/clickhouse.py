@@ -361,15 +361,19 @@ CH_SQL_TEMPLATES = {
         "sqrt(aggregate({0}, cast(0.0 as double), (s, v) -> s + v * v))"
     ),
     "linfnorm": "array_max(transform({0}, v -> abs(v)))",
+    # zero-magnitude vectors: CH answers nan (Spark's non-ANSI 0/0 would
+    # silently NULL out of aggregates instead) — coalesce restores nan
     "cosinedistance": (
-        "(1.0 - aggregate(zip_with({0}, {1}, (x, y) -> x * y), "
+        "coalesce(1.0 - aggregate(zip_with({0}, {1}, (x, y) -> x * y), "
         "cast(0.0 as double), (s, v) -> s + v) / "
         "(sqrt(aggregate({0}, cast(0.0 as double), (s, v) -> s + v * v)) * "
-        "sqrt(aggregate({1}, cast(0.0 as double), (s, v) -> s + v * v))))"
+        "sqrt(aggregate({1}, cast(0.0 as double), (s, v) -> s + v * v))), "
+        "cast('NaN' as double))"
     ),
     "normalizel2": (
-        "transform({0}, __nv -> __nv / "
-        "sqrt(aggregate({0}, cast(0.0 as double), (s, v) -> s + v * v)))"
+        "transform({0}, __nv -> coalesce(__nv / "
+        "sqrt(aggregate({0}, cast(0.0 as double), (s, v) -> s + v * v)), "
+        "cast('NaN' as double)))"
     ),
     # ---- tier 13 (time buckets, array-set similarity, map lambdas) ------
     "tostartoffiveminutes": (
@@ -380,9 +384,12 @@ CH_SQL_TEMPLATES = {
         "timestamp_seconds(cast(floor(unix_timestamp("
         "cast({0} as timestamp)) / 900) * 900 as bigint))"
     ),
+    # two empty arrays: 0/0 is nan in CH; Spark's non-ANSI NULL is
+    # restored to nan so aggregates poison instead of silently skipping
     "arrayjaccardindex": (
-        "(cast(size(array_intersect({0}, {1})) as double) / "
-        "cast(size(array_union({0}, {1})) as double))"
+        "coalesce(cast(size(array_intersect({0}, {1})) as double) / "
+        "cast(size(array_union({0}, {1})) as double), "
+        "cast('NaN' as double))"
     ),
     # CH mapFilter(func, map) -> Spark map_filter(map, func); the lambda
     # grammar is identical, only the argument order swaps

@@ -398,6 +398,9 @@ def remote(
     # jdbc: URLs may embed commas themselves (failover host lists) — CH
     # shard patterns apply to the native/mysql/local address forms only
     shards = [addr] if addr.startswith("jdbc:") else expand_shard_addresses(addr)
+    if not shards:
+        raise ValueError(f"remote({addr!r}): shard pattern expands to nothing")
+    addr = shards[0]  # a single-shard pattern still needed its expansion
     if len(shards) > 1:
         # CH scatter-gather: query EVERY shard and concat the blocks
         # (read.rs:151-228 scatters the same way); each shard read is

@@ -3276,3 +3276,51 @@ def test_detach_attach_table(engine):
         engine.sql("attach table datt")
     engine.sql("attach table if exists datt")  # no-op
     engine.sql("drop table datt")
+
+
+def test_review_fixes_session2(engine):
+    """Regression pins for the second self-review pass: DESCRIBE over
+    system tables, detached-table hiding across every catalog surface,
+    detach-view / double-detach validation, and nan (not NULL) for the
+    vector/Jaccard zero cases."""
+    import math
+
+    import pytest as _pt
+
+    # DESCRIBE (SELECT ...) must accept exactly what SELECT accepts,
+    # including system.* rewrites
+    rows = engine.sql(
+        "describe (select name, origin from system.functions)").collect()
+    assert [r.col_name for r in rows] == ["name", "origin"]
+    # system.functions hides private helper keys
+    assert engine.sql(
+        "select count(*) as n from system.functions "
+        "where startsWith(name, '__')"
+    ).collect()[0].n == 0
+    # detached tables vanish from system.tables, SHOW TABLES LIKE, merge()
+    engine.sql("create table rf_t (a Int64)")
+    engine.sql("insert into rf_t values (1)")
+    engine.sql("detach table rf_t")
+    assert engine.sql(
+        "select count(*) as n from system.tables where name like 'rf%'"
+    ).collect()[0].n == 0
+    assert engine.sql("show tables like 'rf*'").count() == 0
+    with _pt.raises(Exception):
+        engine.sql("select * from merge('rf_.*')").collect()
+    engine.sql("attach table rf_t")
+    # a view refuses DETACH with an engine-level error
+    engine.sql("create view rf_v as select 1 as x")
+    with _pt.raises(ValueError, match="cannot detach the view"):
+        engine.sql("detach table rf_v")
+    # name-collision double-detach refuses cleanly
+    engine.sql("detach table rf_t")
+    engine.sql("create table rf_t (a Int64)")
+    with _pt.raises(ValueError, match="already has a detached state"):
+        engine.sql("detach table rf_t")
+    # zero-magnitude vectors answer nan like CH, never NULL
+    row = engine.sql(
+        "select cosineDistance(array(0.0d, 0.0d), array(1.0d, 0.0d)) as c, "
+        "arrayJaccardIndex(array(), array()) as j, "
+        "arrayElement(normalizeL2(array(0.0d)), 1) as z"
+    ).collect()[0]
+    assert math.isnan(row.c) and math.isnan(row.j) and math.isnan(row.z)
