@@ -375,6 +375,25 @@ CH_SQL_TEMPLATES = {
         "sqrt(aggregate({0}, cast(0.0 as double), (s, v) -> s + v * v)), "
         "cast('NaN' as double)))"
     ),
+    # ---- tier 14 (sub-milli unix timestamps, URL-safe base64) -----------
+    "tounixtimestamp64micro": "unix_micros(cast({0} as timestamp))",
+    "fromunixtimestamp64micro": "timestamp_micros(cast({0} as bigint))",
+    # Spark timestamps are microsecond-grained: the Nano pair truncates
+    # to whole microseconds (documented precision difference)
+    "tounixtimestamp64nano": (
+        "(unix_micros(cast({0} as timestamp)) * cast(1000 as bigint))"
+    ),
+    "fromunixtimestamp64nano": (
+        "timestamp_micros(cast(cast({0} as bigint) / 1000 as bigint))"
+    ),
+    # CH base64URLEncode: URL-safe alphabet, padding stripped
+    "base64urlencode": (
+        "rtrim('=', translate(base64(cast({0} as binary)), '+/', '-_'))"
+    ),
+    "base64urldecode": (
+        "cast(unbase64(concat(translate({0}, '-_', '+/'), "
+        "repeat('=', (4 - length({0}) % 4) % 4))) as string)"
+    ),
     # ---- tier 13 (time buckets, array-set similarity, map lambdas) ------
     "tostartoffiveminutes": (
         "timestamp_seconds(cast(floor(unix_timestamp("

@@ -1784,3 +1784,45 @@ FROM events GROUP BY event_type
 QUERIES["ch_everyday_funcs13"] = Query(
     ch_everyday_funcs13, CH_EVERYDAY13_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs14(spark, sf_dir):
+    """Everyday upstream-CH tier 14: the sub-millisecond unix-timestamp
+    pairs (to/fromUnixTimestamp64Micro and the Nano pair, truncated to
+    Spark's microsecond grain — documented precision difference) and the
+    URL-safe base64 variants (base64URLEncode strips padding and swaps
+    the +/ alphabet; the decode re-pads).  The decode half is certified
+    by an in-query round-trip equality count."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e14")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "max(toUnixTimestamp64Micro(toDateTime(o_orderdate))) as us, "
+        "max(toUnixTimestamp64Nano(toDateTime(o_orderdate))) as ns, "
+        "max(toDate(fromUnixTimestamp64Micro(86400000000 * "
+        "  (o_orderkey % 500)))) as from_us, "
+        "max(base64URLEncode(o_orderpriority)) as b64u, "
+        "cast(sum(case when base64URLDecode(base64URLEncode("
+        "  o_orderpriority)) = o_orderpriority then 1 else 0 end) "
+        "  as bigint) as rt_ok "
+        "from ord_e14 group by o_orderstatus"
+    )
+
+
+CH_EVERYDAY14_ORACLE = """
+SELECT o_orderstatus AS st,
+  max(epoch_us(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP))) AS us,
+  max(epoch_us(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) * 1000)
+    AS ns,
+  max(CAST(make_timestamp(86400000000 * (o_orderkey % 500)) AS DATE))
+    AS from_us,
+  max(rtrim(replace(replace(to_base64(CAST(o_orderpriority AS BLOB)),
+      '+', '-'), '/', '_'), '=')) AS b64u,
+  CAST(count(*) AS BIGINT) AS rt_ok
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES["ch_everyday_funcs14"] = Query(
+    ch_everyday_funcs14, CH_EVERYDAY14_ORACLE, ("dialect", "functions")
+)
