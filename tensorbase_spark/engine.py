@@ -2427,6 +2427,14 @@ class TensorBaseEngine:
             return self._alter(
                 f"alter table {dm.group(1)} delete where {dm.group(2)}"
             )
+        if low.startswith("kill query"):
+            # upstream-CH KILL QUERY WHERE <cond>: execution here is
+            # synchronous (SHOW PROCESSLIST is empty by construction), so
+            # there is never a query to kill — answer CH's empty result
+            # shape rather than erroring, so operational scripts run
+            return self.spark.createDataFrame(
+                [], "kill_status string, query_id string, user string"
+            )
         if low.startswith("system "):
             return self._system(c)
         if low.startswith("exists table ") or re.match(

@@ -3324,3 +3324,11 @@ def test_review_fixes_session2(engine):
         "arrayElement(normalizeL2(array(0.0d)), 1) as z"
     ).collect()[0]
     assert math.isnan(row.c) and math.isnan(row.j) and math.isnan(row.z)
+
+
+def test_kill_query_accepted_empty(engine):
+    """KILL QUERY: synchronous execution means nothing is ever running
+    to kill — the statement answers CH's empty result shape."""
+    out = engine.sql("kill query where query_id = 'nope'")
+    assert out.columns == ["kill_status", "query_id", "user"]
+    assert out.count() == 0
