@@ -375,6 +375,31 @@ CH_SQL_TEMPLATES = {
         "sqrt(aggregate({0}, cast(0.0 as double), (s, v) -> s + v * v)), "
         "cast('NaN' as double)))"
     ),
+    # ---- tier 15: URL prefix ladders (web-corpus analytics).  Path
+    # SEGMENT levels (CH also emits ?/# levels; this is the documented
+    # path-segment subset): intermediate levels keep the trailing slash,
+    # the full path does not. ---------------------------------------------
+    "urlpathhierarchy": (
+        "case when size(filter(split(parse_url({0}, 'PATH'), '/'), "
+        "__us -> __us != '')) = 0 then array() else "
+        "transform(sequence(1, size(filter(split(parse_url({0}, 'PATH'), "
+        "'/'), __us -> __us != ''))), __ui -> concat('/', "
+        "array_join(slice(filter(split(parse_url({0}, 'PATH'), '/'), "
+        "__us -> __us != ''), 1, __ui), '/'), "
+        "if(__ui < size(filter(split(parse_url({0}, 'PATH'), '/'), "
+        "__us -> __us != '')), '/', ''))) end"
+    ),
+    "urlhierarchy": (
+        "case when size(filter(split(parse_url({0}, 'PATH'), '/'), "
+        "__us -> __us != '')) = 0 then array() else "
+        "transform(sequence(1, size(filter(split(parse_url({0}, 'PATH'), "
+        "'/'), __us -> __us != ''))), __ui -> concat("
+        "regexp_extract({0}, '^([a-zA-Z]+://[^/]+)', 1), '/', "
+        "array_join(slice(filter(split(parse_url({0}, 'PATH'), '/'), "
+        "__us -> __us != ''), 1, __ui), '/'), "
+        "if(__ui < size(filter(split(parse_url({0}, 'PATH'), '/'), "
+        "__us -> __us != '')), '/', ''))) end"
+    ),
     # ---- tier 14 (sub-milli unix timestamps, URL-safe base64) -----------
     "tounixtimestamp64micro": "unix_micros(cast({0} as timestamp))",
     "fromunixtimestamp64micro": "timestamp_micros(cast({0} as bigint))",

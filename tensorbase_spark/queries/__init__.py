@@ -202,7 +202,7 @@ PRIORITY_HEAD = [
     "wire_http_roundtrip", "url_http_federation",
     "remote_native_federation", "remote_sharded_scatter",
     "engine_system_functions", "ch_vector_distances", "ch_describe_query",
-    "ch_everyday_funcs13", "ch_everyday_funcs14", "engine_detach_attach",
+    "ch_everyday_funcs13", "ch_everyday_funcs14", "ch_url_hierarchy", "engine_detach_attach",
     "ch_parameterized_view",
     "multimodal_phash_dedup", "ch_everyday_funcs11",
     "wire_mysql_roundtrip", "remote_mysql_federation",

@@ -1826,3 +1826,45 @@ FROM orders GROUP BY o_orderstatus
 QUERIES["ch_everyday_funcs14"] = Query(
     ch_everyday_funcs14, CH_EVERYDAY14_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_url_hierarchy(spark, sf_dir):
+    """URLHierarchy / URLPathHierarchy (tier 15 — the CH web-analytics
+    prefix ladders, path-segment subset documented in the template):
+    URLs built from order-key arithmetic so the oracle constructs the
+    expected ladders directly; arrays stringify for the driver hash."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e15")
+    pre = (
+        "select o_orderstatus as st, "
+        "concat('https://ex', o_orderkey % 3, '.com/cat', o_orderkey % 4, "
+        "'/item', o_orderkey % 7) as url from ord_e15"
+    )
+    return eng.sql(
+        "select st, "
+        "max(arrayStringConcat(URLPathHierarchy(url), '|')) as ph, "
+        "max(arrayStringConcat(URLHierarchy(url), '|')) as fh, "
+        "max(size(URLPathHierarchy('https://x.test/'))) as empty_levels "
+        f"from ({pre}) group by st"
+    )
+
+
+CH_URL_HIERARCHY_ORACLE = """
+WITH u AS (
+  SELECT o_orderstatus AS st,
+         'https://ex' || (o_orderkey % 3) || '.com' AS host,
+         '/cat' || (o_orderkey % 4) AS seg1,
+         '/item' || (o_orderkey % 7) AS seg2
+  FROM orders
+)
+SELECT st,
+  max(seg1 || '/' || '|' || seg1 || seg2) AS ph,
+  max(host || seg1 || '/' || '|' || host || seg1 || seg2) AS fh,
+  0 AS empty_levels
+FROM u GROUP BY st
+"""
+
+
+QUERIES["ch_url_hierarchy"] = Query(
+    ch_url_hierarchy, CH_URL_HIERARCHY_ORACLE, ("dialect", "functions", "url")
+)
