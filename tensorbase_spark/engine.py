@@ -2141,6 +2141,36 @@ class TensorBaseEngine:
         r"current_time|unix_timestamp|remote|numbers)\s*\("
     )
 
+    def apply_setting(self, key: str, value: str) -> None:
+        """One SET assignment with key and value ALREADY parsed.
+
+        The public API for per-request settings (the HTTP front door
+        passes raw URL-parameter values here, so a quote or comma inside
+        the value can never be re-parsed as SQL — ADVICE r9).  ``SET``
+        statements route through this too; unknown keys are
+        accepted-and-ignored, matching CH leniency."""
+        mapped = {
+            "max_threads": "spark.sql.shuffle.partitions",
+            "max_memory_usage": None,  # executor memory is launch-time
+            "join_algorithm": None,  # AQE picks strategies
+        }
+        k, v = key.lower(), value
+        if k == "optimize_target_file_bytes":
+            self._optimize_file_bytes = max(1, int(v))
+        elif k == "use_query_cache":
+            self._use_query_cache = v.strip().lower() in ("1", "true")
+            if not self._use_query_cache:
+                self._result_cache.clear()
+        elif k == "uint64_storage":
+            if v.lower() not in ("decimal", "reinterpret"):
+                raise ValueError("uint64_storage: 'decimal' or 'reinterpret'")
+            self._uint64_storage = v.lower()
+        elif k.startswith("param_") and len(k) > 6:
+            # CH query parameters: SET param_x = v binds {x:Type}
+            self._params[k[6:]] = v
+        elif k in mapped and mapped[k]:
+            self.spark.conf.set(mapped[k], v)
+
     def sql(self, command: str) -> DataFrame:
         """Run one dialect command and log it into ``system.query_log``
         (upstream-CH's query journal; one row per top-level engine.sql call
@@ -2492,33 +2522,13 @@ class TensorBaseEngine:
             # that rejects them can't run real CH scripts).  CH allows
             # multi-assignment (SET a = 1, b = 'x') — split on depth-0
             # commas so a later assignment never leaks into the prior value.
-            mapped = {
-                "max_threads": "spark.sql.shuffle.partitions",
-                "max_memory_usage": None,  # executor memory is launch-time
-                "join_algorithm": None,  # AQE picks strategies
-            }
             for assign in _split_depth0(c[4:]):
                 sm = re.match(r"(?is)^\s*(\w+)\s*=\s*(.+?)\s*$", assign)
                 if not sm:
                     raise ValueError(f"cannot parse SET assignment: {assign!r}")
-                k, v = sm.group(1).lower(), sm.group(2).strip().strip("'\"")
-                if k == "optimize_target_file_bytes":
-                    self._optimize_file_bytes = max(1, int(v))
-                elif k == "use_query_cache":
-                    self._use_query_cache = v.strip().lower() in ("1", "true")
-                    if not self._use_query_cache:
-                        self._result_cache.clear()
-                elif k == "uint64_storage":
-                    if v.lower() not in ("decimal", "reinterpret"):
-                        raise ValueError(
-                            "uint64_storage: 'decimal' or 'reinterpret'"
-                        )
-                    self._uint64_storage = v.lower()
-                elif k.startswith("param_") and len(k) > 6:
-                    # CH query parameters: SET param_x = v binds {x:Type}
-                    self._params[k[6:]] = v
-                elif k in mapped and mapped[k]:
-                    self.spark.conf.set(mapped[k], v)
+                self.apply_setting(
+                    sm.group(1), sm.group(2).strip().strip("'\"")
+                )
             return self.spark.sql("SELECT 1 AS ok")
         if low.startswith("explain analyze"):
             # AnalyzeExec analogue (physical_plan/analyze.rs:39): execute the
@@ -5178,7 +5188,20 @@ class TensorBaseEngine:
                          r"sample|asof|any|global|prewhere|format|using|"
                          r"semi|anti|natural|paste)\b)[A-Za-z_]\w*", tail)
             )
-            alias = "" if has_alias else f" AS {name.split('.')[-1]}"
+            if has_alias:
+                alias = ""
+            else:
+                # auto-alias with the view's bare name, but suffix a
+                # counter when that alias already exists in the query —
+                # two unaliased call sites of the same view (self-join,
+                # twice in one UNION branch) would otherwise expand to
+                # identical aliases and fail analysis (ADVICE r9)
+                bare = name.split(".")[-1]
+                taken = len(re.findall(
+                    rf"(?i)\bAS\s+{re.escape(bare)}(?:__\d+)?(?![\w])", q
+                ))
+                alias = (f" AS {bare}" if taken == 0
+                         else f" AS {bare}__{taken + 1}")
             q = f"{q[: m.start()]}{m.group(1)} ({body}){alias}{tail}"
             return self._rewrite_param_views(q, depth + 1)
         return q

@@ -1068,14 +1068,24 @@ class _HttpHandler(BaseHTTPRequestHandler):
         # classify the statement on the raw bytes — the data tail after
         # ``FORMAT <name>`` must keep exact byte offsets
         im = _INSERT_DATA_RE.match(combined)
+        if im and canonical_format_or_none(im.group("fmt").decode()) == "Values":
+            # the standard CH HTTP Values-insert idiom: `INSERT INTO t
+            # FORMAT Values (…)` — the engine's own VALUES parser handles
+            # the tail (expressions included), so rewrite to INSERT…VALUES
+            # and dispatch as a plain statement (ADVICE r9)
+            cols = (b"(" + im.group("cols") + b") ") if im.group("cols") else b""
+            combined = (b"INSERT INTO " + im.group("name") + b" " + cols
+                        + b"VALUES " + combined[im.start("data"):])
+            im = None
         is_insert_data = bool(
             im and canonical_format_or_none(im.group("fmt").decode())
-            not in (None, "Values")
         )
 
+        written = 0
         with srv.lock:
             snap = _engine_snapshot(eng)
             sess = srv.sessions.get(session_id) if session_id else None
+            error = None
             try:
                 if sess:
                     _engine_restore(eng, sess)
@@ -1088,42 +1098,46 @@ class _HttpHandler(BaseHTTPRequestHandler):
                     if k in _RESERVED_PARAMS or not re.fullmatch(r"\w+", k):
                         continue
                     # engine-recognized settings (incl. param_* query
-                    # parameters); unknown ones are accepted-and-ignored
-                    # by the engine's own SET, matching CH leniency
-                    eng.sql(f"SET {k} = '{v}'" if not v.isdigit()
-                            else f"SET {k} = {v}")
+                    # parameters) applied through the parsed-value API —
+                    # never re-serialized to SQL, so a quote or comma in
+                    # the value cannot be re-parsed (ADVICE r9); unknown
+                    # keys are accepted-and-ignored, matching CH leniency
+                    eng.apply_setting(k, v)
                 if is_insert_data:
                     written = self._insert_with_data(eng, combined, im)
-                    if session_id:
-                        srv.sessions[session_id] = _engine_snapshot(eng)
-                    _engine_restore(eng, snap)  # per-request scope ends
-                    self._ok_empty(one, written=written,
-                                   head_only=head_only)
-                    return
-                text = combined.decode()
-                fmt = None
-                fm = _TRAILING_FORMAT_RE.search(text)
-                if fm and not re.search(
-                    r"(?is)\binsert\b.*\bvalues\b", text[:fm.start()]
-                ):
-                    fmt = canonical_format(fm.group(1))
-                    text = text[:fm.start()]
-                df = eng.sql(text)
-                eager_rows = None
-                if re.search(r"(?i)current_?(database|schema|catalog)",
-                             text):
-                    # catalog-state builtins evaluate at FETCH time, which
-                    # happens after the per-request state is restored —
-                    # materialize these (small introspection results)
-                    # while the request's database is still current
-                    eager_rows = [tuple(r) for r in df.collect()]
+                else:
+                    text = combined.decode()
+                    fmt = None
+                    fm = _TRAILING_FORMAT_RE.search(text)
+                    if fm and not re.search(
+                        r"(?is)\binsert\b.*\bvalues\b", text[:fm.start()]
+                    ):
+                        fmt = canonical_format(fm.group(1))
+                        text = text[:fm.start()]
+                    df = eng.sql(text)
+                    eager_rows = None
+                    if re.search(r"(?i)current_?(database|schema|catalog)",
+                                 text):
+                        # catalog-state builtins evaluate at FETCH time,
+                        # which happens after the per-request state is
+                        # restored — materialize these (small
+                        # introspection results) while the request's
+                        # database is still current
+                        eager_rows = [tuple(r) for r in df.collect()]
                 if session_id:
                     srv.sessions[session_id] = _engine_snapshot(eng)
             except Exception as e:
-                _engine_restore(eng, snap)
-                self._exception(e)
-                return
-            _engine_restore(eng, snap)
+                error = e
+            finally:
+                _engine_restore(eng, snap)  # per-request scope ends
+        # every wfile write happens OUTSIDE srv.lock — a slow or stalled
+        # client must never block the other front doors (ADVICE r9)
+        if error is not None:
+            self._exception(error)
+            return
+        if is_insert_data:
+            self._ok_empty(one, written=written, head_only=head_only)
+            return
 
         kind = (re.match(r"\s*(\w+)", text) or [None, ""])[1].lower()
         if kind not in (
@@ -1176,6 +1190,16 @@ class _HttpHandler(BaseHTTPRequestHandler):
                 f"INSERT into {name}: unknown column(s) {unknown} "
                 f"(table has {sorted(by_name)})"
             )
+        for i, r in enumerate(rows):
+            # zip() below would silently truncate a too-wide row and a
+            # too-narrow one would only fail later with an opaque
+            # createDataFrame error — CH rejects arity mismatches loudly
+            if len(r) != len(target_cols):
+                raise ValueError(
+                    f"Cannot parse input: INSERT into {name} expects "
+                    f"{len(target_cols)} columns but row {i + 1} has "
+                    f"{len(r)}"
+                )
         simples = [by_name[c].dataType.simpleString() for c in target_cols]
         typed = [
             tuple(_coerce(v, s) for v, s in zip(r, simples)) for r in rows

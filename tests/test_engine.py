@@ -3252,6 +3252,29 @@ def test_parameterized_views(engine):
         engine.sql("select * from pv2(hi = 3)").collect()
 
 
+def test_parameterized_view_duplicate_call_sites(engine):
+    """Two unaliased call sites of the same parameterized view in one
+    scope (self-join / one UNION branch): the auto-alias counter keeps
+    the expansions distinct instead of failing analysis (ADVICE r9)."""
+    engine.sql("create table pvd (a Int64)")
+    engine.sql("insert into pvd values (1),(2),(3),(4)")
+    engine.sql(
+        "create view pvv as select a from pvd "
+        "where a >= {lo:Int64} and a <= {hi:Int64}"
+    )
+    n = engine.sql(
+        "select count(*) as n from pvv(lo = 1, hi = 2) "
+        "cross join pvv(lo = 3, hi = 4)"
+    ).collect()[0].n
+    assert n == 4
+    # explicit aliases still take precedence over the counter
+    rows = engine.sql(
+        "select x.a, y.a as b from pvv(lo = 1, hi = 1) x "
+        "cross join pvv(lo = 4, hi = 4) y"
+    ).collect()
+    assert [(r.a, r.b) for r in rows] == [(1, 4)]
+
+
 def test_detach_attach_table(engine):
     """DETACH hides the table (SHOW TABLES + resolution) keeping data;
     ATTACH restores; IF EXISTS variants are no-ops; double-detach and

@@ -390,6 +390,56 @@ def test_insert_values_passthrough(served):
         assert c.execute("select count(*) as n from t4")[2] == [(2,)]
 
 
+def test_insert_format_values_idiom(served):
+    """The standard CH HTTP Values-insert: `INSERT INTO t FORMAT Values
+    (…)` in the query parameter, or split with the data in the body —
+    both route through the engine's VALUES parser (ADVICE r9)."""
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        c.execute("create table tfv (a Int64, b String)")
+        st, _h, _ = c.raw(query="INSERT INTO tfv FORMAT Values (1, 'x'), (2, 'y')")
+        assert st == 200
+        st, _h, _ = c.raw(
+            query="INSERT INTO tfv (a, b) FORMAT Values",
+            body=b"(3, 'z''q'), (4, concat('w', 'v'))",
+        )
+        assert st == 200
+        _n, _t, got = c.execute("select a, b from tfv order by a")
+        assert got == [(1, "x"), (2, "y"), (3, "z'q"), (4, "wv")]
+
+
+def test_settings_value_quote_and_comma(served):
+    """A URL parameter value containing a quote plus a comma must bind
+    verbatim — the server applies settings via the parsed-value engine
+    API, never by re-serializing to SQL (ADVICE r9 injection fix)."""
+    eng, port = served
+    with HttpClient(port=port) as c:
+        st, _h, data = c.raw(
+            query="select {s:String} as v FORMAT TSV",
+            params={"param_s": "a',b"},
+        )
+        assert st == 200 and data == b"a',b\n"
+    assert eng._params == {}
+
+
+def test_insert_arity_mismatch_rejected(served):
+    """CSV rows wider or narrower than the target column list must be
+    rejected loudly with the row number, not silently truncated."""
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        c.execute("create table tar (a Int64, b String)")
+        st, _h, data = c.raw(
+            query="INSERT INTO tar FORMAT CSV",
+            body=b"1,x\n2,y,EXTRA\n",
+        )
+        assert st != 200 and b"row 2" in data and b"2 columns" in data
+        st, _h, data = c.raw(
+            query="INSERT INTO tar FORMAT CSV", body=b"1\n")
+        assert st != 200 and b"row 1" in data
+        _n, _t, got = c.execute("select count(*) as n from tar")
+        assert got == [(0,)]
+
+
 def test_param_binding_and_settings_restore(served):
     eng, port = served
     with HttpClient(port=port) as c:
