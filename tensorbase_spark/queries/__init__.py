@@ -198,25 +198,15 @@ R08_VERIFIED = frozenset(
 # change.  Everything else is driver-verified r1..r8 and yields its
 # slot to the staleness-ordered tail.
 PRIORITY_HEAD = [
-    # (a) new round-9 queries
-    "wire_http_roundtrip", "url_http_federation",
-    "remote_native_federation", "remote_sharded_scatter",
-    "engine_system_functions", "ch_vector_distances", "ch_describe_query",
-    "ch_everyday_funcs13", "ch_everyday_funcs14", "ch_url_hierarchy", "engine_detach_attach",
-    "ch_parameterized_view",
-    "multimodal_phash_dedup", "ch_everyday_funcs11",
-    "wire_mysql_roundtrip", "remote_mysql_federation",
-    "ch_everyday_funcs10",
-    # (b) round-9 behavior-changed implementations
-    "wire_native_roundtrip",
-    "sim_lsh_topk", "sim_lsh_full_cover",
-    "dedup_ngram_jaccard", "dedup_neardup_clusters",
-    "ch_histogram_agg", "ch_topk_weighted", "ch_entropy_kv",
-    "ch_everyday_funcs4",
-    # toDate(int) value-dispatch change (r9): the Column fn + the SQL
-    # template (the latter re-plans every textual toDate consumer)
-    "ch_to_date_datetime", "ch_everyday_funcs5", "stream_mv_ingest",
-    "engine_aggregating_mv",
+    # (a) new round-10 queries
+    "engine_kill_query",
+    # (b) round-10 behavior-changed implementations: the HTTP request
+    # path was restructured (track_query + lock scope + parsed-value
+    # settings) and parameterized-view expansion gained alias counters —
+    # re-hash their representative rows; everything else rotates by
+    # staleness so the r2/r3-era evidence tail drains (VERDICT r9 #3)
+    "wire_http_roundtrip", "url_http_federation", "ch_parameterized_view",
+    "wire_mysql_roundtrip", "wire_native_roundtrip",
 ]
 
 

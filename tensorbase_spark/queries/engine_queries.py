@@ -2698,3 +2698,95 @@ FROM orders WHERE o_orderkey % 13 = 0
 QUERIES["engine_detach_attach"] = Query(
     engine_detach_attach, ENGINE_DETACH_ATTACH_ORACLE, ("engine", "ddl")
 )
+
+
+def engine_kill_query(spark, sf_dir):
+    """Live processlist + KILL QUERY end-to-end over the HTTP front door
+    (upstream-CH ProcessList semantics; the reference's runtime is
+    strictly synchronous with no processlist, mgmt.rs:984-1057 — this is
+    the beyond-ref surface its concurrent front doors need).  A long
+    scan started from one connection is listed in ``system.processes``
+    from a SECOND connection; ``KILL QUERY … SYNC`` cancels its Spark
+    job group mid-flight (interrupt-on-cancel); the victim's response
+    dies instead of completing; the registry drains.  Returns the
+    deterministic post-kill state."""
+    import re as _re
+    import threading
+    import time
+
+    from tensorbase_spark.sources.httpwire import HttpClient, serve_http
+
+    eng = _fresh_engine(spark, sf_dir, "killq")
+    srv, port = serve_http(eng)
+    result: dict = {}
+    try:
+        def victim():
+            try:
+                with HttpClient(port=port) as c:
+                    st, _h, data = c.raw(
+                        query="select sum(cityHash64(toString(number)) "
+                              "% 1000000) as s "
+                              "from numbers(30000000000) FORMAT TSV",
+                        params={"query_id": "kill-victim"},
+                    )
+                    result["status"], result["data"] = st, data
+            except Exception as e:  # chunked stream aborted mid-kill
+                result["error"] = repr(e)
+
+        t = threading.Thread(target=victim, daemon=True)
+        t.start()
+        sc = spark.sparkContext
+        deadline = time.time() + 60
+        listed = False
+        after = [None]
+        with HttpClient(port=port) as c:
+            while time.time() < deadline:
+                _n, _t2, rows = c.execute(
+                    "select query_id, user, interface "
+                    "from system.processes "
+                    "where query_id = 'kill-victim'"
+                )
+                if rows and sc.statusTracker().getJobIdsForGroup(
+                    "kill-victim"
+                ):
+                    listed = rows == [("kill-victim", "default", "http")]
+                    break
+                time.sleep(0.1)
+            _n, _t2, krows = c.execute(
+                "kill query where query_id = 'kill-victim' sync"
+            )
+            t.join(30)
+            victim_cancelled = (not t.is_alive()) and (
+                "error" in result
+                or not _re.fullmatch(rb"\d+\n", result.get("data", b""))
+            )
+            deadline = time.time() + 10
+            while time.time() < deadline:
+                _n, _t2, after = c.execute("show processlist")
+                if not after:
+                    break
+                time.sleep(0.1)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    return spark.createDataFrame(
+        [(
+            int(listed),
+            krows[0][0] if krows else "none",
+            int(bool(victim_cancelled)),
+            len(after),
+        )],
+        "listed int, kill_status string, victim_cancelled int, "
+        "processes_after int",
+    )
+
+
+ENGINE_KILL_QUERY_ORACLE = """
+SELECT 1 AS listed, 'finished' AS kill_status, 1 AS victim_cancelled,
+       0 AS processes_after
+"""
+
+
+QUERIES["engine_kill_query"] = Query(
+    engine_kill_query, ENGINE_KILL_QUERY_ORACLE, ("engine", "processlist")
+)

@@ -926,7 +926,7 @@ class _Conn(socketserver.StreamRequestHandler):
     # -- query --------------------------------------------------------------
 
     def _query(self, r: Reader, engine) -> None:
-        r.read_str()  # query id
+        client_qid = r.read_str()  # query id (tracked in the processlist)
         # client info (messages.rs:287-301)
         r.read_varint()  # query kind
         for _ in range(3):
@@ -957,18 +957,23 @@ class _Conn(socketserver.StreamRequestHandler):
         # instead clears its read buffer, messages.rs:189 — same protocol
         # position, handled properly here)
         self._drain_external_tables(r)
-        df = engine.sql(query)
-        out = bytearray()
-        if df is not None and df.columns:
-            try:
-                header, blocks = df_to_blocks(df)
-            except ValueError as e:
-                raise _WireError(23, str(e))
-            write_data_packet(out, header, self._compressed, server=True)
-            for blk in blocks:
-                write_data_packet(out, blk, self._compressed, server=True)
-        out += self._eos()
-        self._send(out)
+        # live-processlist entry for the whole request incl. block
+        # encoding — listable/killable from another connection
+        with engine.track_query(
+            query, query_id=client_qid or None, interface="native"
+        ):
+            df = engine.sql(query)
+            out = bytearray()
+            if df is not None and df.columns:
+                try:
+                    header, blocks = df_to_blocks(df)
+                except ValueError as e:
+                    raise _WireError(23, str(e))
+                write_data_packet(out, header, self._compressed, server=True)
+                for blk in blocks:
+                    write_data_packet(out, blk, self._compressed, server=True)
+            out += self._eos()
+            self._send(out)
 
     def _insert_dance(self, r: Reader, engine, m: re.Match) -> None:
         """INSERT without inline rows: header -> data blocks -> empty block

@@ -624,16 +624,21 @@ class _MyConn(socketserver.StreamRequestHandler):
         if _USE_RE.match(text):
             self._init_db(pio, engine, text[4:])
             return
-        df = engine.sql(text)
-        if df is None or not df.columns:
-            # DDL / INSERT / session command (mysql/mod.rs:110-134)
-            pio.send(build_ok())
-            return
-        cols = [
-            ("", f.name) + spark_type_to_mysql(f.dataType)
-            for f in df.schema.fields
-        ]
-        self._send_resultset(pio, cols, (tuple(r) for r in df.toLocalIterator()))
+        # live-processlist entry for the whole request incl. the
+        # streaming fetch — listable/killable from another connection
+        with engine.track_query(text, interface="mysql"):
+            df = engine.sql(text)
+            if df is None or not df.columns:
+                # DDL / INSERT / session command (mysql/mod.rs:110-134)
+                pio.send(build_ok())
+                return
+            cols = [
+                ("", f.name) + spark_type_to_mysql(f.dataType)
+                for f in df.schema.fields
+            ]
+            self._send_resultset(
+                pio, cols, (tuple(r) for r in df.toLocalIterator())
+            )
 
     def _stmt_prepare(self, pio: PacketIO, sql: str) -> None:
         """COM_STMT_PREPARE_OK (writers.rs:93-120): stmt id, column count
@@ -705,17 +710,20 @@ class _MyConn(socketserver.StreamRequestHandler):
                         v += 2**64
                     params.append(v)
         st["long_data"].clear()
-        df = engine.sql(substitute_placeholders(st["sql"], params))
-        if df is None or not df.columns:
-            pio.send(build_ok())
-            return
-        cols = [
-            ("", f.name) + spark_type_to_mysql(f.dataType)
-            for f in df.schema.fields
-        ]
-        self._send_resultset(
-            pio, cols, (tuple(r) for r in df.toLocalIterator()), binary=True
-        )
+        bound = substitute_placeholders(st["sql"], params)
+        with engine.track_query(bound, interface="mysql"):
+            df = engine.sql(bound)
+            if df is None or not df.columns:
+                pio.send(build_ok())
+                return
+            cols = [
+                ("", f.name) + spark_type_to_mysql(f.dataType)
+                for f in df.schema.fields
+            ]
+            self._send_resultset(
+                pio, cols, (tuple(r) for r in df.toLocalIterator()),
+                binary=True,
+            )
 
     def _send_resultset(
         self,

@@ -390,6 +390,124 @@ def test_insert_values_passthrough(served):
         assert c.execute("select count(*) as n from t4")[2] == [(2,)]
 
 
+def test_streaming_insert_bounded_memory(engine, monkeypatch):
+    """A POST body far larger than the batch cap is decoded + inserted
+    in bounded batches — peak in-server buffering stays near the cap,
+    never the body size — and the values are hash-equal to the buffered
+    path (VERDICT r9 #2)."""
+    from tensorbase_spark.sources.httpwire import serve_http
+
+    cap = 64 << 10
+    monkeypatch.setenv("TB_HTTP_INSERT_BATCH_BYTES", str(cap))
+    srv, port = serve_http(engine)
+    try:
+        n = 60_000
+        body = b"".join(
+            b'%d,"str-%d,\xc3\xa9"\n' % (i, i) for i in range(n)
+        )
+        assert len(body) > 10 * cap
+        with HttpClient(port=port) as c:
+            c.execute("create table tstream (a Int64, s String)")
+            st, _h, _ = c.raw(
+                query="INSERT INTO tstream FORMAT CSV", body=body)
+            assert st == 200
+            _n, _t, got = c.execute(
+                "select count(*) as n, sum(a) as s, "
+                "count(distinct s) as d from tstream")
+            assert got == [(n, n * (n - 1) // 2, n)]
+        # bounded: batch cap + one transport chunk + one row of slack
+        assert 0 < srv.max_insert_buffer <= cap + (256 << 10) + 1024
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_streaming_insert_withnames_gzip(engine, monkeypatch):
+    """Streamed INSERT keeps the CSVWithNames header only in the first
+    batch, and works through the incremental gzip content decoding
+    (chunked transfer goes through the same reader —
+    test_chunked_request_body)."""
+    import gzip as _gz
+
+    from tensorbase_spark.sources.httpwire import serve_http
+
+    monkeypatch.setenv("TB_HTTP_INSERT_BATCH_BYTES", "4096")
+    srv, port = serve_http(engine)
+    try:
+        n = 5000
+        body = b"s,a\n" + b"".join(
+            b"row-%d,%d\n" % (i, i) for i in range(n)
+        )
+        with HttpClient(port=port) as c:
+            c.execute("create table tsw (a Int64, s String)")
+            st, _h, _ = c.raw(
+                query="INSERT INTO tsw FORMAT CSVWithNames",
+                body=_gz.compress(body),
+                headers={"Content-Encoding": "gzip"},
+            )
+            assert st == 200
+            _n, _t, got = c.execute(
+                "select count(*) as n, sum(a) as sa, min(s) as lo "
+                "from tsw")
+            assert got == [(n, n * (n - 1) // 2, "row-0")]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_processlist_and_kill_over_http(served):
+    """E2e: a long scan started over HTTP is visible in system.processes
+    from a second connection and KILL QUERY … SYNC cancels it mid-flight;
+    the victim's response dies instead of completing (VERDICT r9 #1)."""
+    import re
+    import threading
+    import time
+
+    eng, port = served
+    result = {}
+
+    def victim():
+        try:
+            with HttpClient(port=port) as c:
+                st, _h, data = c.raw(
+                    query="select sum(cityHash64(toString(number)) % 1000000) as s "
+                          "from numbers(30000000000) FORMAT TSV",
+                    params={"query_id": "http-victim"},
+                )
+                result["status"], result["data"] = st, data
+        except Exception as e:
+            result["error"] = repr(e)
+
+    t = threading.Thread(target=victim, daemon=True)
+    t.start()
+    sc = eng.spark.sparkContext
+    deadline = time.time() + 30
+    seen = False
+    with HttpClient(port=port) as c:
+        while time.time() < deadline:
+            _n, _t2, rows = c.execute(
+                "select query_id, interface from system.processes "
+                "where query_id = 'http-victim'")
+            if rows and sc.statusTracker().getJobIdsForGroup("http-victim"):
+                seen = True
+                break
+            time.sleep(0.1)
+        assert seen, "victim never appeared in the live processlist"
+        assert rows == [("http-victim", "http")]
+        _n, _t2, krows = c.execute(
+            "kill query where query_id = 'http-victim' sync")
+        assert krows == [("finished", "http-victim", "default")]
+        t.join(20)
+        assert not t.is_alive()
+        # the victim's response must NOT be a completed result: either the
+        # chunked stream aborted (error), or the body is not a plain sum
+        assert "error" in result or not re.fullmatch(
+            rb"\d+\n", result.get("data", b""))
+        # registry drained again from the second connection's view
+        _n, _t2, rows = c.execute("show processlist")
+        assert rows == []
+
+
 def test_insert_format_values_idiom(served):
     """The standard CH HTTP Values-insert: `INSERT INTO t FORMAT Values
     (…)` in the query parameter, or split with the data in the body —
