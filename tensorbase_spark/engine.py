@@ -1754,6 +1754,14 @@ class TensorBaseEngine:
         # buffer is likewise process-memory: rows not yet flushed are lost
         # on an abnormal exit — the documented Buffer durability contract.
         self._buffer_pending: dict[str, list[DataFrame]] = {}
+        # concurrent front-door ingest (the reference's ingest bench pools
+        # 12 connections, bench_ingestion.rs:6-40): _buffer_lock guards
+        # the pending-list bookkeeping (append/steal must not lose a block
+        # arriving mid-flush); _buffer_write_lock serializes the actual
+        # flush writes (two concurrent Spark appends to one table race on
+        # the committer's _temporary dir)
+        self._buffer_lock = threading.Lock()
+        self._buffer_write_lock = threading.Lock()
         # live query registry (system.processes / SHOW PROCESSLIST / KILL
         # QUERY): query_id -> in-flight entry.  Populated by track_query()
         # — the HTTP/native/MySQL front doors wrap each request, and
@@ -2118,14 +2126,24 @@ class TensorBaseEngine:
         needs, PLANS.md §10) — also fired by OPTIMIZE TABLE and DROP TABLE
         on the alias, matching CH's flush-on-drop."""
         alias = self._qualify(alias)
-        pend = self._buffer_pending.get(alias) or []
+        with self._buffer_lock:
+            # steal the whole pending list atomically — a block appended
+            # by a concurrent connection either rides this flush or stays
+            # queued for the next one, never both and never neither
+            pend = self._buffer_pending.get(alias) or []
+            self._buffer_pending[alias] = []
         if not pend:
             return
         out = pend[0]
         for b in pend[1:]:
             out = out.unionByName(b)
-        self._buffer_pending[alias] = []
-        self._write_block(self._resolve_alias(alias), out)
+        # each wire-grain block arrives as its own small multi-partition
+        # local DataFrame; a union of N of them would launch N*default
+        # partitions of near-empty write tasks — coalesce (no shuffle)
+        # back to the core count before the one partitioned write
+        out = out.coalesce(self.spark.sparkContext.defaultParallelism)
+        with self._buffer_write_lock:
+            self._write_block(self._resolve_alias(alias), out)
 
     def _spec_for(self, name: str) -> PartitionSpec | None:
         q = self._qualify(name)
@@ -4902,9 +4920,11 @@ class TensorBaseEngine:
             alias = name
             target = self._resolve_alias(name)
             block = self._cast_block(target, src, subset)
-            pend = self._buffer_pending.setdefault(alias, [])
-            pend.append(block)
-            if len(pend) >= self._buffer_flush_blocks(alias):
+            with self._buffer_lock:
+                pend = self._buffer_pending.setdefault(alias, [])
+                pend.append(block)
+                do_flush = len(pend) >= self._buffer_flush_blocks(alias)
+            if do_flush:
                 self.flush_buffer(alias)
             return self.spark.sql("SELECT 1 AS ok")
         # Distributed alias: writes land in the local target table

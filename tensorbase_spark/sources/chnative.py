@@ -951,7 +951,10 @@ class _Conn(socketserver.StreamRequestHandler):
 
         m = _INSERT_WIRE_RE.match(query)
         if m and not re.search(r"(?is)\bselect\b", query):
-            self._insert_dance(r, engine, m)
+            with engine.track_query(
+                query, query_id=client_qid or None, interface="native"
+            ):
+                self._insert_dance(r, engine, m)
             return
         # external-tables data: packets until the empty block (the reference
         # instead clears its read buffer, messages.rs:189 — same protocol
@@ -1297,3 +1300,76 @@ class NativeClient:
         self._r.read_str()  # stack trace
         self._r.read_varint()  # nested flag
         return RuntimeError(f"server exception [{code}] {name}: {msg}")
+
+
+class NativeClientPool:
+    """Fixed-size native-protocol connection pool for concurrent ingest,
+    mirroring the reference's ingest-bench harness
+    (crates/tests_integ/benches/bench_ingestion.rs:6-40: a 12-connection
+    pool pushing LZ4 native blocks into one table).  Each worker thread
+    owns ONE connection (a NativeClient is not itself thread-safe); the
+    engine's Buffer bookkeeping locks make the concurrent appends
+    lose/duplicate-free."""
+
+    def __init__(self, port: int, n: int = 12, host: str = "127.0.0.1",
+                 database: str = "default", compression: bool = True):
+        self.clients = [
+            NativeClient(host=host, port=port, database=database,
+                         compression=compression)
+            for _ in range(n)
+        ]
+
+    def insert_batches(
+        self, table: str, batches: list[list[tuple[str, str, list]]]
+    ) -> int:
+        """Insert every column-block batch, distributed over the pool.
+        Returns the number of batches sent; raises the first worker
+        error, if any."""
+        import queue
+
+        q: queue.Queue = queue.Queue()
+        for b in batches:
+            q.put(b)
+        errors: list[Exception] = []
+        done = [0]
+        lock = threading.Lock()
+
+        def worker(client: NativeClient) -> None:
+            while True:
+                try:
+                    b = q.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    client.insert(table, b)
+                    with lock:
+                        done[0] += 1
+                except Exception as e:  # first error wins, drain stops
+                    with lock:
+                        errors.append(e)
+                    return
+
+        threads = [
+            threading.Thread(target=worker, args=(c,), daemon=True)
+            for c in self.clients
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
+        return done[0]
+
+    def close(self) -> None:
+        for c in self.clients:
+            try:
+                c.close()
+            except Exception:
+                pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -760,3 +760,42 @@ def test_expand_shard_addresses():
     # commas inside braces don't split shards
     assert x("ch://h{a,b}:1/x,ch://k:2/y") == [
         "ch://ha:1/x", "ch://hb:1/x", "ch://k:2/y"]
+
+
+def test_pooled_concurrent_ingest(served):
+    """12 pooled connections inserting LZ4 native blocks concurrently
+    into one table through ENGINE=Buffer (the reference's ingest-bench
+    harness shape, bench_ingestion.rs:6-40): no lost and no duplicated
+    rows under concurrency — count + checksum oracle — and the victim
+    partitioning (`partition by rem(a, 10)`) stays intact."""
+    from tensorbase_spark.sources.chnative import NativeClientPool
+
+    engine, port = served
+    engine.sql(
+        "create table pool_t (a Int64, s String) partition by rem(a, 10)"
+    )
+    engine.sql(
+        "create table pool_buf (a Int64, s String) "
+        "engine = Buffer(currentDatabase(), pool_t, 16, 10, 100, "
+        "8, 4096, 1000000, 10000000)"
+    )
+    n_batches, rows_per = 48, 500
+    batches = []
+    for b in range(n_batches):
+        base = b * rows_per
+        batches.append([
+            ("a", "Int64", list(range(base, base + rows_per))),
+            ("s", "String", [f"r-{base + i}" for i in range(rows_per)]),
+        ])
+    with NativeClientPool(port=port, n=12) as pool:
+        sent = pool.insert_batches("pool_buf", batches)
+    assert sent == n_batches
+    engine.sql("optimize table pool_buf")  # flush the Buffer remainder
+    total = n_batches * rows_per
+    got = engine.sql(
+        "select count(*) as n, count(distinct a) as d, "
+        "cast(sum(a) as bigint) as s from pool_t"
+    ).collect()[0]
+    assert (got.n, got.d, got.s) == (
+        total, total, total * (total - 1) // 2
+    )
