@@ -60,6 +60,7 @@ import math
 import os
 import re
 import threading
+import time as _time
 import zlib as _zlib
 import uuid as _uuid
 from decimal import Decimal
@@ -1082,6 +1083,9 @@ class HttpChServer(ThreadingHTTPServer):
         self.engine = engine
         self.lock = threading.Lock()  # serializes engine session mutation
         self.sessions: dict[str, dict] = {}
+        # session_id -> absolute expiry (CH session_timeout, default 60 s);
+        # swept opportunistically on each request under self.lock
+        self.session_expiry: dict[str, float] = {}
         self.display_name = "tensorbase-spark"
 
 
@@ -1239,10 +1243,23 @@ class _HttpHandler(BaseHTTPRequestHandler):
         ) != "0"
         written = 0
         with srv.lock:
+            # sweep expired sessions (CH session_timeout semantics)
+            now = _time.monotonic()
+            for sid in [s for s, exp in srv.session_expiry.items()
+                        if exp < now]:
+                srv.sessions.pop(sid, None)
+                srv.session_expiry.pop(sid, None)
             snap = _engine_snapshot(eng)
             sess = srv.sessions.get(session_id) if session_id else None
             error = None
             try:
+                if (session_id and sess is None
+                        and one.get("session_check") == "1"):
+                    # CH SESSION_NOT_FOUND (code 372): the client asked
+                    # to bind an EXISTING session only
+                    raise ValueError(
+                        f"Session {session_id} not found (session_check=1)"
+                    )
                 if sess:
                     _engine_restore(eng, sess)
                 if "database" in one:
@@ -1292,6 +1309,10 @@ class _HttpHandler(BaseHTTPRequestHandler):
                         eager_rows = [tuple(r) for r in df.collect()]
                 if session_id:
                     srv.sessions[session_id] = _engine_snapshot(eng)
+                    srv.session_expiry[session_id] = (
+                        _time.monotonic()
+                        + float(one.get("session_timeout") or 60)
+                    )
             except Exception as e:
                 error = e
             finally:
@@ -1482,6 +1503,81 @@ class _HttpHandler(BaseHTTPRequestHandler):
         self.send_header("Content-Length", "0")
         self.end_headers()
 
+    def _flush_header_buffer(self):
+        """Push buffered status/header lines to the socket now — the
+        progress headers stream out DURING query execution (upstream-CH
+        send_progress_in_http_headers behavior), not at end_headers."""
+        buf = getattr(self, "_headers_buffer", None)
+        if buf:
+            self.wfile.write(b"".join(buf))
+            self._headers_buffer = []
+
+    def _progress_prefetch(self, one: dict, chunks: Iterator[bytes]) -> list:
+        """Compute the FIRST result chunk on a helper thread while this
+        thread emits ``X-ClickHouse-Progress`` headers from the Spark
+        status tracker at ``http_headers_progress_interval_ms``.  The
+        ratio is task-based (completed/total tasks of the request's job
+        group) — Spark's tracker has no live row counts, so the fields
+        carry task units; drivers consume the ratio (documented
+        deviation from CH's true row counts).  Returns the prefetched
+        chunk (as a 0/1-element list) to prepend to the body."""
+        eng = self.server.engine  # type: ignore[attr-defined]
+        sc = eng.spark.sparkContext
+        qid = one.get("query_id") or ""
+        interval = max(
+            int(one.get("http_headers_progress_interval_ms") or 100), 10
+        ) / 1000.0
+        got: list = []
+        err: list = []
+
+        def pull():
+            # a fresh Python thread carries no Spark local properties —
+            # rebind the request's job group so the prefetched job stays
+            # in the group and killable via KILL QUERY
+            try:
+                sc.setLocalProperty("spark.jobGroup.id", qid)
+                sc.setLocalProperty("spark.job.interruptOnCancel", "true")
+                c = next(chunks, None)
+                if c is not None:
+                    got.append(c)
+            except Exception as e:
+                err.append(e)
+
+        def emit(read: int, total: int):
+            self.send_header(
+                "X-ClickHouse-Progress",
+                _json.dumps(
+                    {"read_rows": str(read), "read_bytes": "0",
+                     "total_rows_to_read": str(total)},
+                    separators=(",", ":"),
+                ),
+            )
+            self._flush_header_buffer()
+
+        emit(0, 0)
+        t = threading.Thread(target=pull, daemon=True)
+        t.start()
+        while t.is_alive():
+            t.join(interval)
+            if not t.is_alive():
+                break
+            done = tot = 0
+            try:
+                st = sc.statusTracker()
+                for jid in st.getJobIdsForGroup(qid):
+                    ji = st.getJobInfo(jid)
+                    for sid in (ji.stageIds if ji else []):
+                        si = st.getStageInfo(sid)
+                        if si:
+                            done += si.numCompletedTasks
+                            tot += si.numTasks
+            except Exception:
+                pass
+            emit(done, tot)
+        if err:
+            raise err[0]
+        return got
+
     def _stream(self, one: dict, fmt: str, chunks: Iterator[bytes],
                 head_only=False):
         use_gzip = (
@@ -1495,9 +1591,14 @@ class _HttpHandler(BaseHTTPRequestHandler):
         if use_gzip:
             self.send_header("Content-Encoding", "gzip")
         self.send_header("Transfer-Encoding", "chunked")
+        first_chunks: list = []
+        if (one.get("send_progress_in_http_headers") == "1"
+                and not head_only):
+            first_chunks = self._progress_prefetch(one, chunks)
         self.end_headers()
         if head_only:
             return
+        chunks = _chain_chunks(first_chunks, chunks)
 
         def _chunk(b: bytes):
             if b:
@@ -1564,6 +1665,11 @@ class _HttpHandler(BaseHTTPRequestHandler):
             extra=(("X-ClickHouse-Exception-Code", str(code)),),
         )
         self.close_connection = True
+
+
+def _chain_chunks(head: list, rest: Iterator[bytes]) -> Iterator[bytes]:
+    yield from head
+    yield from rest
 
 
 def canonical_format_or_none(name: str):

@@ -455,6 +455,75 @@ def test_streaming_insert_withnames_gzip(engine, monkeypatch):
         srv.server_close()
 
 
+def test_progress_headers_stream_during_query(served):
+    """send_progress_in_http_headers=1: X-ClickHouse-Progress headers
+    stream out WHILE the query runs (before the body), with the final
+    response still intact (VERDICT r9 #6)."""
+    import socket as _socket
+
+    _eng, port = served
+    q = ("select sum(cityHash64(toString(number)) % 1000) as s "
+         "from numbers(120000000) FORMAT TSV")
+    from urllib.parse import quote as _q
+
+    path = (f"/?query={_q(q)}&send_progress_in_http_headers=1"
+            f"&http_headers_progress_interval_ms=50&query_id=prog-1")
+    with _socket.create_connection(("127.0.0.1", port), timeout=120) as s:
+        s.sendall(
+            f"GET {path} HTTP/1.1\r\nHost: x\r\n"
+            "Connection: close\r\n\r\n".encode()
+        )
+        buf = b""
+        while True:
+            piece = s.recv(65536)
+            if not piece:
+                break
+            buf += piece
+    head, _, body = buf.partition(b"\r\n\r\n")
+    prog = [ln for ln in head.split(b"\r\n")
+            if ln.lower().startswith(b"x-clickhouse-progress:")]
+    assert prog and prog[0].endswith(
+        b'{"read_rows":"0","read_bytes":"0","total_rows_to_read":"0"}')
+    # progress payloads are well-formed JSON with the CH field names
+    for ln in prog:
+        doc = json.loads(ln.split(b":", 1)[1].strip())
+        assert set(doc) == {"read_rows", "read_bytes", "total_rows_to_read"}
+    # the chunked body still carries the complete result (one TSV int)
+    import re as _re
+
+    assert _re.fullmatch(rb"-?\d+\n", body.split(b"\r\n")[1])
+
+
+def test_session_timeout_and_check(served):
+    """Sessions expire after session_timeout seconds (swept on the next
+    request); session_check=1 on a missing/expired session errors with
+    CH's SESSION_NOT_FOUND shape instead of silently starting fresh."""
+    import time
+
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        # unknown session + session_check=1 -> loud error
+        st, _h, data = c.raw(
+            query="select 1 as x",
+            params={"session_id": "nope", "session_check": "1"})
+        assert st != 200 and b"not found" in data
+        # create a session with a 1-second timeout, bind a param in it
+        st, _h, _ = c.raw(
+            query="set param_p = 7",
+            params={"session_id": "sess-t", "session_timeout": "1"})
+        assert st == 200
+        st, _h, data = c.raw(
+            query="select {p:Int64} as v FORMAT TSV",
+            params={"session_id": "sess-t", "session_timeout": "1",
+                    "session_check": "1"})
+        assert st == 200 and data == b"7\n"
+        time.sleep(1.3)
+        st, _h, data = c.raw(
+            query="select 1 as x",
+            params={"session_id": "sess-t", "session_check": "1"})
+        assert st != 200 and b"not found" in data
+
+
 def test_processlist_and_kill_over_http(served):
     """E2e: a long scan started over HTTP is visible in system.processes
     from a second connection and KILL QUERY … SYNC cancels it mid-flight;
