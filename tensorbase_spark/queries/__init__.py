@@ -197,6 +197,27 @@ R08_VERIFIED = frozenset(
 # and the dist-agg queries riding the nested-subquery count(*) scope
 # change.  Everything else is driver-verified r1..r8 and yields its
 # slot to the staleness-ordered tail.
+R09_VERIFIED = frozenset(
+    """ch_describe_query ch_entropy_kv ch_everyday_funcs10
+    ch_everyday_funcs11 ch_everyday_funcs13 ch_everyday_funcs14
+    ch_everyday_funcs4 ch_everyday_funcs5 ch_histogram_agg
+    ch_parameterized_view ch_string_funcs ch_time_parts
+    ch_to_date_datetime ch_topk_weighted ch_url_hierarchy
+    ch_vector_distances crypto_hash_funcs csv_ingest_roundtrip
+    datetime_extract_trunc dedup_exact dedup_neardup_clusters
+    dedup_ngram_jaccard dedup_stats_by_source embedding_quantize_int8
+    engine_aggregating_mv engine_detach_attach engine_join_prune
+    engine_partition_prune engine_system_functions events_sessionize
+    events_tumbling_window grouping_sets_rollup math_trig_funcs
+    multimodal_phash_dedup multimodal_png_decode ndjson_ingest_roundtrip
+    nullif_coalesce numbers_table_function regex_funcs
+    remote_jdbc_federation remote_mysql_federation
+    remote_native_federation remote_sharded_scatter sim_lsh_full_cover
+    stream_mv_ingest url_http_federation wire_http_roundtrip
+    wire_mysql_roundtrip wire_native_roundtrip""".split()
+)
+
+
 PRIORITY_HEAD = [
     # (a) new round-10 queries
     "engine_kill_query",
@@ -249,6 +270,7 @@ def registry() -> dict[str, Query]:
     rounds = [
         R01_VERIFIED, R02_VERIFIED, R03_VERIFIED, R04_VERIFIED,
         R05_VERIFIED, R06_VERIFIED, R07_VERIFIED, R08_VERIFIED,
+        R09_VERIFIED,
     ]
     verified = frozenset().union(*rounds)
     head = [n for n in PRIORITY_HEAD if n in out]
