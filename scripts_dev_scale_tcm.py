@@ -41,7 +41,8 @@ def main() -> int:
         ("sf1", "/tmp/sf1_scale"),
         ("sf10", "/tmp/sf10_scale"),
     ]
-    names = [
+    import sys
+    names = [] if "--phash-only" in sys.argv else [
         "text_bm25_topk", "corpus_build_end_to_end",
         "corpus_bloom_decontaminate",
     ]
@@ -72,12 +73,16 @@ def main() -> int:
                     i = int(i)
                     cls, gain, off = i % cls_n, 1 + i % 3, 12 * (i % 5)
 
-                    def px(x, y, cls=cls, gain=gain, off=off):
-                        base = 4 + 4 * (
-                            (x * (3 + cls % 5) + y * (7 + cls % 3)
-                             + x * y + cls // 7) % 16
-                        )
-                        return min(base * gain + off, 255)
+                    # a per-class 64-bit key drives an 8x8 block SIGN
+                    # pattern — pHash's bits mirror the block structure,
+                    # so distinct classes land on distinct hashes (smooth
+                    # per-pixel formulas collapsed many classes onto one
+                    # hash and made the pair count superlinear)
+                    key = (cls * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+
+                    def px(x, y, key=key, gain=gain, off=off):
+                        bit = (key >> ((x // 2) * 8 + y // 2)) & 1
+                        return (10 + 40 * bit) * gain + off
 
                     payloads.append(multimodal.encode_png(16, 16, px))
                 yield pd.DataFrame(
@@ -106,6 +111,8 @@ def main() -> int:
               f"pairs={n_pairs} wall={dt:.2f}s", flush=True)
         return dt
 
+    run_phash(2000)  # warm-up (Arrow/UDF/codegen) — discard
+    print("-- warm --", flush=True)
     for n in (2000, 20000, 200000):
         run_phash(n)
     spark.stop()
