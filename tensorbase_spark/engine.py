@@ -2397,12 +2397,24 @@ class TensorBaseEngine:
                 )
                 return self.spark.createDataFrame(pdf, schema=schema)
         try:
-            # inline processlist entry for the dispatch itself: brief for
-            # lazy SELECTs (planning only — the front doors track their
-            # own materialization), but real for synchronous commands
-            # (INSERT…SELECT, OPTIMIZE, CTAS), which become killable
-            with self.track_query(c_norm or command, interface="inline"):
+            # inline processlist entry for statements that EXECUTE inside
+            # the dispatch (INSERT…SELECT, OPTIMIZE, CTAS, ALTER, …) —
+            # those become listable/killable.  Lazy kinds (plain SELECT:
+            # dispatch only plans; the caller's action runs after this
+            # scope restores the job group, so tracking them buys nothing
+            # and costs six py4j property calls per statement; the front
+            # doors track their own materialization instead)
+            lazy = kind in (
+                "select", "with", "show", "describe", "desc", "exists",
+                "check", "set", "use", "explain",
+            ) and not self._OUTFILE_RE.search(c_norm) and not re.match(
+                r"(?is)^explain\s+analyze\b", c_norm
+            )
+            if lazy or getattr(self._track_tls, "depth", 0):
                 out = self._dispatch(command)
+            else:
+                with self.track_query(c_norm or command, interface="inline"):
+                    out = self._dispatch(command)
         except Exception as e:
             self._query_log.append(
                 (

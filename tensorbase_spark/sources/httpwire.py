@@ -928,14 +928,18 @@ class _BodyReader:
         self.lz4 = one.get("decompress") == "1"
         self._lz4_buf = bytearray()
         self.eof = False
+        self._transport_eof = False
 
     def _read_raw(self) -> bytes:
-        """One transport-level piece; b"" at transport EOF."""
+        """One transport-level piece; b"" at transport EOF (idempotent)."""
+        if self._transport_eof:
+            return b""
         if self.chunked:
             size_line = self.rfile.readline().split(b";", 1)[0].strip()
             size = int(size_line or b"0", 16)
             if size == 0:
                 self.rfile.readline()  # trailing CRLF after last-chunk
+                self._transport_eof = True
                 return b""
             data = self.rfile.read(size)
             self.rfile.readline()  # CRLF after each chunk
@@ -963,9 +967,24 @@ class _BodyReader:
         return bytes(out)
 
     def read_piece(self) -> bytes:
+        # a compressed piece may expand beyond RAM bounds (deflate is up
+        # to ~1000x) — cap each decompressed piece and keep the remainder
+        # in the decompressor's unconsumed_tail for the next call
+        GZ_MAX = 8 << 20
+        if self.gz and self.gz.unconsumed_tail:
+            out = self.gz.decompress(self.gz.unconsumed_tail, GZ_MAX)
+            if out:
+                return out
         while not self.eof:
             raw = self._read_raw()
             if raw == b"":
+                if self.gz and self.gz.unconsumed_tail:
+                    # cap-deferred compressed input outlives the
+                    # transport — keep draining before flush
+                    out = self.gz.decompress(
+                        self.gz.unconsumed_tail, GZ_MAX)
+                    if out:
+                        return out
                 self.eof = True
                 if self.gz:
                     tail = self.gz.flush()
@@ -977,7 +996,7 @@ class _BodyReader:
                     )
                 return b""
             if self.gz:
-                out = self.gz.decompress(raw)
+                out = self.gz.decompress(raw, GZ_MAX)
                 if out:
                     return out
                 continue
@@ -1018,12 +1037,23 @@ class _LineBatcher:
         self._buf += piece
         self.max_buffered = max(self.max_buffered, len(self._buf))
         if self.quoted_csv:
-            for i in range(start, len(self._buf)):
-                b = self._buf[i]
-                if b == 0x22:  # '"'
-                    self._in_quotes = not self._in_quotes
-                elif b == 0x0A and not self._in_quotes:
-                    self._safe = i + 1
+            # O(#quotes) scan with C-speed find/rfind: between quote
+            # characters the in-quotes state is constant, so the last
+            # newline of each outside-quotes span is a row boundary (a
+            # per-byte Python loop here costs ~minutes on multi-100-MB
+            # bodies)
+            buf, pos = self._buf, start
+            while True:
+                q = buf.find(b'"', pos)
+                span_end = len(buf) if q < 0 else q
+                if not self._in_quotes:
+                    nl = buf.rfind(b"\n", pos, span_end)
+                    if nl >= 0:
+                        self._safe = nl + 1
+                if q < 0:
+                    break
+                self._in_quotes = not self._in_quotes
+                pos = q + 1
         else:
             nl = self._buf.rfind(b"\n", start)
             if nl >= 0:

@@ -390,6 +390,51 @@ def test_insert_values_passthrough(served):
         assert c.execute("select count(*) as n from t4")[2] == [(2,)]
 
 
+def test_line_batcher_csv_quote_boundaries():
+    """Batches split only at row boundaries OUTSIDE quoted CSV fields —
+    embedded newlines and doubled quotes never split a row — and the
+    concatenation is lossless."""
+    from tensorbase_spark.sources.httpwire import _LineBatcher
+
+    src = b'1,"a\nb"\n2,"c""d,\n"\n3,x\n4,"y"\n'
+    for cut in range(1, len(src)):
+        b = _LineBatcher(True, batch_bytes=6)
+        out = list(b.feed(src[:cut])) + list(b.feed(src[cut:]))
+        out += list(b.finish())
+        assert b"".join(out) == src
+        whole = []
+        for chunk in out:
+            rows, _ = decode_body_rows("CSV", chunk)
+            whole += rows
+        assert whole == [
+            ["1", "a\nb"], ["2", 'c"d,\n'], ["3", "x"], ["4", "y"]]
+
+
+def test_body_reader_gzip_bounded_pieces():
+    """A tiny gzip body expanding to tens of MB comes out of _BodyReader
+    in bounded pieces (the decompression-bomb guard), losslessly."""
+    import io
+
+    from tensorbase_spark.sources.httpwire import _BodyReader
+
+    raw = b"ab" * (24 << 20)  # 48 MB, compresses to ~100 KB
+    comp = gzip.compress(raw)
+    rfile = io.BytesIO(comp)
+    headers = {"Content-Length": str(len(comp)),
+               "Content-Encoding": "gzip"}
+    br = _BodyReader(rfile, headers, {})
+    total, biggest, n = 0, 0, 0
+    while True:
+        piece = br.read_piece()
+        if not piece:
+            break
+        total += len(piece)
+        biggest = max(biggest, len(piece))
+        n += 1
+    assert total == len(raw) and n > 1
+    assert biggest <= 8 << 20
+
+
 def test_streaming_insert_bounded_memory(engine, monkeypatch):
     """A POST body far larger than the batch cap is decoded + inserted
     in bounded batches — peak in-server buffering stays near the cap,
