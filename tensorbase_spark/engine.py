@@ -2673,6 +2673,16 @@ class TensorBaseEngine:
             )
         if low.startswith("kill query"):
             return self._kill_query(c)
+        if low.startswith("kill mutation"):
+            # ALTER mutations execute synchronously inside _alter, so a
+            # pending mutation never exists — answer CH's empty result
+            # shape so operational scripts run (same stance KILL QUERY
+            # took before the front doors went concurrent)
+            return self._local_values_df(
+                [],
+                [("kill_status", "STRING"), ("mutation_id", "STRING"),
+                 ("database", "STRING"), ("table", "STRING")],
+            )
         if low.startswith("system "):
             return self._system(c)
         if low.startswith("exists table ") or re.match(

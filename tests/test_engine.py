@@ -3408,3 +3408,11 @@ def test_track_query_registry_and_kill(engine):
     # registry drained — and TEST mode would list nothing
     assert engine.sql("show processlist").count() == 0
     assert engine.sql("kill query where 1 = 1 test").count() == 0
+
+
+def test_kill_mutation_accepted_empty(engine):
+    """KILL MUTATION: mutations execute synchronously, so nothing is
+    ever pending — CH's empty result shape for script compatibility."""
+    out = engine.sql("kill mutation where database = 'd'")
+    assert out.columns == ["kill_status", "mutation_id", "database", "table"]
+    assert out.count() == 0
