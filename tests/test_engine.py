@@ -3416,3 +3416,22 @@ def test_kill_mutation_accepted_empty(engine):
     out = engine.sql("kill mutation where database = 'd'")
     assert out.columns == ["kill_status", "mutation_id", "database", "table"]
     assert out.count() == 0
+
+
+def test_local_values_df_escaping(engine):
+    """The jobless LocalRelation builder must round-trip quotes,
+    backslashes, newlines, and NULLs exactly (processlist rows carry
+    arbitrary query text)."""
+    rows = [
+        ("it's", 1.5, True),
+        ("a\\b\nc\td", 0.0, False),
+        (None, None, None),
+        ("-- ; drop table x; '", 2.25, True),
+    ]
+    spec = [("s", "STRING"), ("d", "DOUBLE"), ("b", "BOOLEAN")]
+    got = [tuple(r) for r in engine._local_values_df(rows, spec).collect()]
+    assert got == rows
+    # and the plan is a LocalRelation — collect() without a Spark job
+    plan = engine._local_values_df(rows, spec)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "LocalRelation" in plan
