@@ -31,7 +31,13 @@ Surface (mirrors the public upstream-CH HTTP semantics):
   JSONCompactEachRow, Values, Pretty, PrettyCompact, RowBinary,
   RowBinaryWithNamesAndTypes, Null;
 * INSERT body FORMATs: TabSeparated, CSV, JSONEachRow,
-  JSONCompactEachRow, Values (each with the CH text escapes);
+  JSONCompactEachRow, Values (each with the CH text escapes — Values
+  routes through the engine's VALUES parser, expressions included),
+  RowBinary (headerless; layout from the table's declared types),
+  RowBinaryWithNamesAndTypes, Native, Arrow, ArrowStream, Parquet;
+  line-delimited formats stream in bounded batches
+  (TB_HTTP_INSERT_BATCH_BYTES), so a multi-GB POST never materializes
+  in server RAM;
 * compression: ``Accept-Encoding: gzip`` + ``enable_http_compression=1``
   -> gzip responses; ``Content-Encoding: gzip`` request bodies;
   ``compress=1`` / ``decompress=1`` -> ClickHouse-internal LZ4 block
@@ -769,6 +775,9 @@ def decode_body_rows(fmt: str, data: bytes) -> tuple[list, list | None]:
     if fmt == "Native":
         names, _types, rows = decode_native(data)
         return [list(r) for r in rows], names
+    if fmt == "RowBinaryWithNamesAndTypes":
+        names, _types, rows = decode_rowbinary_with_names_and_types(data)
+        return [list(r) for r in rows], names
     if fmt in ("Arrow", "ArrowStream", "Parquet"):
         names, rows = decode_arrow_body(fmt, data)
         return rows, names
@@ -1410,6 +1419,40 @@ class _HttpHandler(BaseHTTPRequestHandler):
             # binary block formats (Native/Arrow/Parquet) need the whole
             # payload for their footers/stream markers
             data += stream.drain()
+        if fmt == "RowBinary":
+            # headerless: the row layout comes from the TARGET table's
+            # DECLARED column types (CH semantics — a stock client
+            # encodes per CREATE TABLE, where nullability is explicit;
+            # the Spark schema would report parquet's all-nullable and
+            # desync the null-byte prefixes).  Same derivation as the
+            # native protocol's INSERT dance (chnative._insert_dance).
+            from tensorbase_spark.engine import _split_top_level_args
+            from tensorbase_spark.sources.chnative import bql_type_to_ch
+
+            target = eng._resolve_alias(eng._qualify(name))
+            cols_txt = eng._table_props(target).get("tb.columns")
+            declared, order = {}, []
+            if cols_txt:
+                for part in _split_top_level_args(cols_txt):
+                    cname, ctype = part.strip().split(None, 1)
+                    declared[cname] = bql_type_to_ch(ctype)
+                    order.append(cname)
+            else:  # non-engine table: fall back to the Spark schema
+                for f in eng.spark.table(target).schema.fields:
+                    declared[f.name] = _ch_type_or_string(f)
+                    order.append(f.name)
+            tcols = cols or [c for c in order if not c.startswith("__")]
+            unknown = [c for c in tcols if c not in declared]
+            if unknown:
+                raise ValueError(
+                    f"INSERT into {name}: unknown column(s) {unknown}"
+                )
+            types = [declared[c] for c in tcols]
+            r = Reader(data)
+            rows = []
+            while not r.at_end():
+                rows.append([_rb_decode_nullable(r, t) for t in types])
+            return self._typed_insert(eng, name, cols, rows, None)
         rows, data_names = decode_body_rows(fmt, data)
         return self._typed_insert(eng, name, cols, rows, data_names)
 

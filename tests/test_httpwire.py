@@ -390,6 +390,36 @@ def test_insert_values_passthrough(served):
         assert c.execute("select count(*) as n from t4")[2] == [(2,)]
 
 
+def test_rowbinary_insert_bodies(served):
+    """INSERT bodies in RowBinary (headerless — layout from the target
+    table schema) and RowBinaryWithNamesAndTypes (self-describing,
+    column subset + reorder honored) round-trip typed values."""
+    _eng, port = served
+    rows = [
+        (1, "héllo", 1.25),
+        (2, None, -0.5),
+    ]
+    with HttpClient(port=port) as c:
+        c.execute(
+            "create table trb (a Int64, s Nullable(String), f Float64)")
+        payload = b"".join(encode_rows(
+            "RowBinary", ["a", "s", "f"],
+            ["Int64", "Nullable(String)", "Float64"], iter(rows)))
+        st, _h, _ = c.raw(
+            query="INSERT INTO trb FORMAT RowBinary", body=payload)
+        assert st == 200
+        # self-describing variant, reordered subset of columns
+        payload2 = b"".join(encode_rows(
+            "RowBinaryWithNamesAndTypes", ["f", "a"],
+            ["Float64", "Int64"], iter([(9.5, 3)])))
+        st, _h, _ = c.raw(
+            query="INSERT INTO trb (a, f) FORMAT RowBinaryWithNamesAndTypes",
+            body=payload2)
+        assert st == 200
+        _n, _t, got = c.execute("select a, s, f from trb order by a")
+        assert got == [(1, "héllo", 1.25), (2, None, -0.5), (3, None, 9.5)]
+
+
 def test_line_batcher_csv_quote_boundaries():
     """Batches split only at row boundaries OUTSIDE quoted CSV fields —
     embedded newlines and doubled quotes never split a row — and the
