@@ -1415,9 +1415,14 @@ class _HttpHandler(BaseHTTPRequestHandler):
             # decode + insert in bounded batches instead of buffering the
             # whole POST in RAM (VERDICT r9 #2)
             return self._insert_streaming(eng, name, cols, fmt, data, stream)
+        if fmt == "Native" and stream is not None and not stream.eof:
+            # the native block stream is self-delimiting: decode + insert
+            # block group by block group, never materializing the POST
+            return self._insert_native_streaming(eng, name, cols, data,
+                                                 stream)
         if stream is not None and not stream.eof:
-            # binary block formats (Native/Arrow/Parquet) need the whole
-            # payload for their footers/stream markers
+            # the remaining binary formats (Arrow/Parquet/RowBinary) need
+            # the whole payload for their footers/stream markers
             data += stream.drain()
         if fmt == "RowBinary":
             # headerless: the row layout comes from the TARGET table's
@@ -1490,6 +1495,71 @@ class _HttpHandler(BaseHTTPRequestHandler):
         srv.max_insert_buffer = max(  # test observability (bounded-RAM)
             getattr(srv, "max_insert_buffer", 0), batcher.max_buffered
         )
+        return written
+
+    def _insert_native_streaming(self, eng, name, cols,
+                                 data0: bytes, stream) -> int:
+        """FORMAT Native INSERT body decoded block by block off the
+        stream — groups of blocks are inserted once they reach the batch
+        row threshold, so the bulk CH interchange format also ingests in
+        bounded memory (the line-format streaming counterpart)."""
+        from tensorbase_spark.sources.chnative import Block
+        from tensorbase_spark.sources.chnative import Reader as _R
+
+        class _StreamFile:
+            """Exact-read file adapter over (prefix bytes + _BodyReader)."""
+
+            def __init__(self, first: bytes, src):
+                self._buf = bytearray(first)
+                self._src = src
+                self.max_buffered = len(first)
+
+            def at_eof(self) -> bool:
+                if self._buf:
+                    return False
+                piece = self._src.read_piece()
+                if not piece:
+                    return True
+                self._buf += piece
+                self.max_buffered = max(self.max_buffered, len(self._buf))
+                return False
+
+            def read(self, n: int) -> bytes:
+                while len(self._buf) < n:
+                    piece = self._src.read_piece()
+                    if not piece:
+                        break
+                    self._buf += piece
+                    self.max_buffered = max(
+                        self.max_buffered, len(self._buf))
+                out = bytes(self._buf[:n])
+                del self._buf[:n]
+                return out
+
+        sf = _StreamFile(data0, stream)
+        r = _R(sf)
+        batch_rows = max(
+            1,
+            int(os.environ.get("TB_HTTP_INSERT_BATCH_BYTES", str(8 << 20)))
+            // 64,
+        )
+        written, names, pend = 0, None, []
+        while not sf.at_eof():
+            blk = Block.decode_body(r)
+            if names is None and blk.columns:
+                names = [c[0] for c in blk.columns]
+            if blk.nrows:
+                pend.extend(zip(*[c[2] for c in blk.columns]))
+            if len(pend) >= batch_rows:
+                written += self._typed_insert(
+                    eng, name, cols, [list(t) for t in pend], names)
+                pend = []
+        if pend:
+            written += self._typed_insert(
+                eng, name, cols, [list(t) for t in pend], names)
+        srv = self.server
+        srv.max_insert_buffer = max(
+            getattr(srv, "max_insert_buffer", 0), sf.max_buffered)
         return written
 
     def _typed_insert(self, eng, name: str, cols, rows, data_names) -> int:

@@ -420,6 +420,31 @@ def test_rowbinary_insert_bodies(served):
         assert got == [(1, "héllo", 1.25), (2, None, -0.5), (3, None, 9.5)]
 
 
+def test_streaming_native_insert_bounded(engine, monkeypatch):
+    """A FORMAT Native INSERT body larger than the classification
+    prefix decodes block by block off the stream with bounded
+    buffering, and the values land exactly."""
+    from tensorbase_spark.sources.httpwire import serve_http
+
+    monkeypatch.setenv("TB_HTTP_INSERT_BATCH_BYTES", "65536")
+    srv, port = serve_http(engine)
+    try:
+        n = 60_000
+        rows = [(i, f"nat-{i}") for i in range(n)]
+        with HttpClient(port=port) as c:
+            c.execute("create table tnat (a Int64, s String)")
+            c.insert_rows("tnat", ["a", "s"], rows, fmt="Native",
+                          ch_types=["Int64", "String"])
+            _n, _t, got = c.execute(
+                "select count(*) as n, cast(sum(a) as bigint) as sa, "
+                "count(distinct s) as d from tnat")
+            assert got == [(n, n * (n - 1) // 2, n)]
+        assert 0 < srv.max_insert_buffer < (4 << 20)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_line_batcher_csv_quote_boundaries():
     """Batches split only at row boundaries OUTSIDE quoted CSV fields —
     embedded newlines and doubled quotes never split a row — and the
