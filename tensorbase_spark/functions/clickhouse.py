@@ -1965,3 +1965,120 @@ CH_SQL_TEMPLATES.update(
         ),
     }
 )
+
+
+# ---- tier 16 (r10): phonetic + regex string utilities, shingle windows,
+# contiguous-subsequence search, domain heuristics, readable time deltas,
+# CH rounding ladders, 2-D morton interleave, IPv4 CIDR membership.  All
+# pure Spark SQL compositions (whole-stage codegen, zero UDFs). ------------
+
+
+def _first_significant_subdomain_sql(args: list[str]) -> str:
+    """CH firstSignificantSubdomain heuristic: the label left of the
+    effective TLD — when the second-to-last label is a generic registry
+    (com/net/org/…) under a ccTLD, step one label further left."""
+    host = f"split(parse_url({args[0]}, 'HOST'), '\\\\.')"
+    second = f"element_at({host}, -2)"
+    return (
+        f"case when size({host}) < 2 then '' "
+        f"when size({host}) >= 3 and {second} in ('com', 'net', 'org', "
+        f"'co', 'gov', 'edu', 'mil', 'biz', 'info') "
+        f"then element_at({host}, -3) else {second} end"
+    )
+
+
+def _format_readable_time_delta_sql(args: list[str]) -> str:
+    """CH formatReadableTimeDelta, days-and-below subset (upstream's
+    default maximum_unit is years with calendar-approximate months; this
+    matches CH exactly for maximum_unit='days', i.e. any delta where
+    calendar months don't enter)."""
+    s = f"cast(floor({args[0]}) as bigint)"
+    parts = []
+    for name, div, hi in (
+        ("day", 86400, None), ("hour", 3600, 86400),
+        ("minute", 60, 3600), ("second", 1, 60),
+    ):
+        n = (f"cast({s} / {div} as bigint)" if hi is None
+             else f"cast(({s} % {hi}) / {div} as bigint)")
+        parts.append(
+            f"if({n} > 0, concat({n}, ' {name}', if({n} = 1, '', 's')), "
+            f"null)"
+        )
+    arr = (f"filter(array({', '.join(parts)}), "
+           f"__fp -> __fp is not null)")
+    return (
+        f"case when size({arr}) = 0 then '0 seconds' "
+        f"when size({arr}) = 1 then element_at({arr}, 1) "
+        f"else concat(array_join(slice({arr}, 1, size({arr}) - 1), ', '), "
+        f"' and ', element_at({arr}, -1)) end"
+    )
+
+
+def _is_ipv4_in_range_sql(args: list[str]) -> str:
+    """CH isIPAddressInRange, IPv4 subset: prefix-compare the numeric
+    forms (a /0 mask shifts both sides fully away -> always true)."""
+    num = _ipv4stringtonum_sql([args[0]])
+    base = _ipv4stringtonum_sql([f"element_at(split({args[1]}, '/'), 1)"])
+    bits = f"cast(element_at(split({args[1]}, '/'), 2) as int)"
+    return (
+        f"(shiftright({num}, 32 - {bits}) = "
+        f"shiftright({base}, 32 - {bits}))"
+    )
+
+
+CH_SQL_TEMPLATES.update(
+    {
+        "soundex": "soundex({0})",
+        "translateutf8": "translate({0}, {1}, {2})",
+        # regex metacharacter escaping (CH escape set; \x7b spells the
+        # opening brace so the str.format template keeps no literal brace)
+        "regexpquotemeta": (
+            "regexp_replace({0}, '([\\\\\\\\|()^$.\\\\[\\\\]?*+\\\\x7b:-])', "
+            "'\\\\\\\\$1')"
+        ),
+        "toyyyymmddhhmmss": (
+            "cast(date_format(cast({0} as timestamp), 'yyyyMMddHHmmss') "
+            "as bigint)"
+        ),
+        "arrayshingles": (
+            "case when {1} < 1 or size({0}) < {1} then array() else "
+            "transform(sequence(1, size({0}) - {1} + 1), "
+            "__si -> slice({0}, __si, {1})) end"
+        ),
+        "hassubstr": (
+            "case when size({1}) = 0 then true "
+            "when size({0}) < size({1}) then false "
+            "else exists(sequence(1, size({0}) - size({1}) + 1), "
+            "__hi -> slice({0}, __hi, size({1})) = {1}) end"
+        ),
+        "firstsignificantsubdomain": _first_significant_subdomain_sql,
+        "formatreadabletimedelta": _format_readable_time_delta_sql,
+        # CH roundDuration / roundAge bucket ladders (web-analytics)
+        "roundduration": (
+            "case when {0} < 1 then 0 when {0} < 10 then 1 "
+            "when {0} < 30 then 10 when {0} < 60 then 30 "
+            "when {0} < 120 then 60 when {0} < 180 then 120 "
+            "when {0} < 240 then 180 when {0} < 300 then 240 "
+            "when {0} < 600 then 300 when {0} < 1200 then 600 "
+            "when {0} < 1800 then 1200 when {0} < 3600 then 1800 "
+            "when {0} < 7200 then 3600 when {0} < 18000 then 7200 "
+            "when {0} < 36000 then 18000 else 36000 end"
+        ),
+        "roundage": (
+            "case when {0} < 1 then 0 when {0} < 18 then 17 "
+            "when {0} < 25 then 18 when {0} < 35 then 25 "
+            "when {0} < 45 then 35 when {0} < 55 then 45 else 55 end"
+        ),
+        "todecimalstring": "cast(cast({0} as decimal(38, {1})) as string)",
+        # 2-D morton interleave over 32-bit halves; the sign bit lands in
+        # bit 63, so the result is the UInt64 pattern read as Int64
+        # two's-complement (the engine's documented UInt64 stance)
+        "mortonencode": (
+            "aggregate(sequence(0, 31), cast(0 as bigint), (__ma, __mi) -> "
+            "__ma | shiftleft(shiftright(cast({0} as bigint), __mi) & 1, "
+            "2 * __mi) | shiftleft(shiftright(cast({1} as bigint), __mi) "
+            "& 1, 2 * __mi + 1))"
+        ),
+        "isipaddressinrange": _is_ipv4_in_range_sql,
+    }
+)

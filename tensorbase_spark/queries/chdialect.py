@@ -1868,3 +1868,84 @@ FROM u GROUP BY st
 QUERIES["ch_url_hierarchy"] = Query(
     ch_url_hierarchy, CH_URL_HIERARCHY_ORACLE, ("dialect", "functions", "url")
 )
+
+
+def ch_everyday_funcs16(spark, sf_dir):
+    """Everyday upstream-CH tier 16: compact timestamp keys
+    (toYYYYMMDDhhmmss), the web-analytics rounding ladders
+    (roundDuration / roundAge), fixed-scale decimal rendering
+    (toDecimalString), character translation (translateUTF8), IPv4 CIDR
+    membership (isIPAddressInRange), verbose time deltas
+    (formatReadableTimeDelta, days-and-below subset), and the effective
+    TLD heuristic (firstSignificantSubdomain).  The oracle recomputes
+    every value from first principles on the same rows."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e16")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "max(toYYYYMMDDhhmmss(toDateTime(o_orderdate))) as ymd, "
+        "cast(sum(roundDuration(o_orderkey % 40000)) as bigint) as rdur, "
+        "cast(sum(roundAge(o_orderkey % 80)) as bigint) as rage, "
+        "max(toDecimalString(o_orderkey, 2)) as tds, "
+        "max(translateUTF8(o_orderpriority, '-', '_')) as tr, "
+        "cast(sum(case when isIPAddressInRange("
+        "  concat('10.', cast(o_orderkey % 256 as string), '.0.1'), "
+        "  '10.128.0.0/9') then 1 else 0 end) as bigint) as ipr, "
+        "max(formatReadableTimeDelta(o_orderkey % 100000)) as frtd, "
+        "max(firstSignificantSubdomain(concat('https://www.shop', "
+        "  cast(o_orderkey % 7 as string), '.co.uk/x'))) as fsd "
+        "from ord_e16 group by o_orderstatus"
+    )
+
+
+CH_EVERYDAY16_ORACLE = """
+WITH base AS (
+  SELECT o_orderstatus, o_orderkey AS k, o_orderdate, o_orderpriority,
+    o_orderkey % 100000 AS sec
+  FROM orders
+), frtd AS (
+  SELECT *, list_filter([
+      CASE WHEN sec // 86400 > 0 THEN (sec // 86400) || ' day' ||
+        CASE WHEN sec // 86400 = 1 THEN '' ELSE 's' END END,
+      CASE WHEN (sec % 86400) // 3600 > 0 THEN ((sec % 86400) // 3600)
+        || ' hour' ||
+        CASE WHEN (sec % 86400) // 3600 = 1 THEN '' ELSE 's' END END,
+      CASE WHEN (sec % 3600) // 60 > 0 THEN ((sec % 3600) // 60)
+        || ' minute' ||
+        CASE WHEN (sec % 3600) // 60 = 1 THEN '' ELSE 's' END END,
+      CASE WHEN sec % 60 > 0 THEN (sec % 60) || ' second' ||
+        CASE WHEN sec % 60 = 1 THEN '' ELSE 's' END END
+    ], x -> x IS NOT NULL) AS u
+  FROM base
+)
+SELECT o_orderstatus AS st,
+  max(CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d%H%M%S')
+      AS BIGINT)) AS ymd,
+  CAST(sum(CASE WHEN k % 40000 < 1 THEN 0 WHEN k % 40000 < 10 THEN 1
+    WHEN k % 40000 < 30 THEN 10 WHEN k % 40000 < 60 THEN 30
+    WHEN k % 40000 < 120 THEN 60 WHEN k % 40000 < 180 THEN 120
+    WHEN k % 40000 < 240 THEN 180 WHEN k % 40000 < 300 THEN 240
+    WHEN k % 40000 < 600 THEN 300 WHEN k % 40000 < 1200 THEN 600
+    WHEN k % 40000 < 1800 THEN 1200 WHEN k % 40000 < 3600 THEN 1800
+    WHEN k % 40000 < 7200 THEN 3600 WHEN k % 40000 < 18000 THEN 7200
+    WHEN k % 40000 < 36000 THEN 18000 ELSE 36000 END) AS BIGINT) AS rdur,
+  CAST(sum(CASE WHEN k % 80 < 1 THEN 0 WHEN k % 80 < 18 THEN 17
+    WHEN k % 80 < 25 THEN 18 WHEN k % 80 < 35 THEN 25
+    WHEN k % 80 < 45 THEN 35 WHEN k % 80 < 55 THEN 45 ELSE 55 END)
+    AS BIGINT) AS rage,
+  max(CAST(CAST(k AS DECIMAL(38,2)) AS VARCHAR)) AS tds,
+  max(replace(o_orderpriority, '-', '_')) AS tr,
+  CAST(sum(CASE WHEN k % 256 >= 128 THEN 1 ELSE 0 END) AS BIGINT) AS ipr,
+  max((SELECT CASE WHEN len(u) = 0 THEN '0 seconds'
+       WHEN len(u) = 1 THEN u[1]
+       ELSE array_to_string(u[1:len(u)-1], ', ') || ' and ' || u[-1]
+       END)) AS frtd,
+  max('shop' || CAST(k % 7 AS VARCHAR)) AS fsd
+FROM frtd
+GROUP BY o_orderstatus
+"""
+
+
+QUERIES["ch_everyday_funcs16"] = Query(
+    ch_everyday_funcs16, CH_EVERYDAY16_ORACLE, ("dialect", "functions")
+)

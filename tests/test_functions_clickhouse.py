@@ -402,3 +402,52 @@ def test_tier9_everyday_functions(spark):
     assert r.p3 is None
     assert r.bhd == 2 and r.brl == 12  # 12^10=0b0110 -> 2 bits; 3<<2
     assert r.nq == "select a from t where b = ? and c = ?"
+
+
+def test_tier16_everyday_functions(spark):
+    """Tier-16 goldens: formatReadableTimeDelta matches the CH docs
+    example, firstSignificantSubdomain both heuristic branches, shingle
+    windows, contiguous-subsequence search edge cases, rounding ladders,
+    CIDR membership incl. /0, morton interleave, regex metachar escape."""
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    r = eng.sql(
+        "select soundex('Robert') as sx, "
+        "translateUTF8('abcd', 'ac', 'xy') as tr, "
+        "regexpQuoteMeta('a.b*c{d') as rq, "
+        "toYYYYMMDDhhmmss(toDateTime('2021-03-04 05:06:07')) as ymd, "
+        "arrayShingles(array(1,2,3,4), 3) as sh, "
+        "arrayShingles(array(1,2), 5) as sh_short, "
+        "hasSubstr(array(1,2,3,4), array(2,3)) as hs_yes, "
+        "hasSubstr(array(1,2,3,4), array(2,4)) as hs_no, "
+        "hasSubstr(array(1,2), array()) as hs_empty, "
+        "firstSignificantSubdomain('https://news.clickhouse.com.tr/p') "
+        "  as fsd_cc, "
+        "firstSignificantSubdomain('http://a.b.example.org/x') as fsd, "
+        "formatReadableTimeDelta(7690) as frtd, "
+        "formatReadableTimeDelta(0) as frtd0, "
+        "formatReadableTimeDelta(90061) as frtd2, "
+        "roundDuration(230) as rd, roundAge(29) as ra, "
+        "toDecimalString(1.5, 4) as tds, "
+        "mortonEncode(3, 1) as me, "
+        "isIPAddressInRange('192.168.1.77', '192.168.0.0/16') as ip_in, "
+        "isIPAddressInRange('10.0.0.1', '192.168.0.0/16') as ip_out, "
+        "isIPAddressInRange('1.2.3.4', '0.0.0.0/0') as ip_all"
+    ).collect()[0]
+    assert r.sx == "R163"
+    assert r.tr == "xbyd"
+    assert r.rq == "a\\.b\\*c\\{d"
+    assert r.ymd == 20210304050607
+    assert r.sh == [[1, 2, 3], [2, 3, 4]] and r.sh_short == []
+    assert (r.hs_yes, r.hs_no, r.hs_empty) == (True, False, True)
+    assert r.fsd_cc == "clickhouse" and r.fsd == "example"
+    # the CH docs example for formatReadableTimeDelta(7690)
+    assert r.frtd == "2 hours, 8 minutes and 10 seconds"
+    assert r.frtd0 == "0 seconds"
+    assert r.frtd2 == "1 day, 1 hour, 1 minute and 1 second"
+    assert r.rd == 180 and r.ra == 25
+    assert r.tds == "1.5000"
+    # x=3 -> even bits 0,2; y=1 -> odd bit 1 -> 0b111
+    assert r.me == 7
+    assert (r.ip_in, r.ip_out, r.ip_all) == (True, False, True)
