@@ -1771,6 +1771,7 @@ class TensorBaseEngine:
         self._proc_lock = threading.Lock()
         self._processes: dict[str, dict] = {}
         self._track_tls = threading.local()
+        self._proc_views: list[str] = []  # snapshot views pending GC
 
     def bootstrap_system(self) -> None:
         """Create the ``system`` database + empty ``system.numbers (number
@@ -2194,6 +2195,20 @@ class TensorBaseEngine:
                 tls.depth = depth
             return
         qid = query_id or str(_uuid.uuid4())
+        with self._proc_lock:
+            if qid in self._processes:
+                # upstream-CH QUERY_WITH_SAME_ID_IS_ALREADY_RUNNING: a
+                # silent overwrite would let the first finisher pop the
+                # shared entry, leaving the survivor unlistable and
+                # unkillable (r10 review)
+                raise ValueError(
+                    f"Query with id = '{qid}' is already running"
+                )
+            self._processes[qid] = {
+                "query_id": qid, "query": query.strip()[:8192],
+                "user": user, "interface": interface,
+                "started": _time.time(), "killed": False,
+            }
         sc = self.spark.sparkContext
         props = ("spark.jobGroup.id", "spark.job.description",
                  "spark.job.interruptOnCancel")
@@ -2201,12 +2216,6 @@ class TensorBaseEngine:
         sc.setLocalProperty("spark.jobGroup.id", qid)
         sc.setLocalProperty("spark.job.description", query.strip()[:200])
         sc.setLocalProperty("spark.job.interruptOnCancel", "true")
-        with self._proc_lock:
-            self._processes[qid] = {
-                "query_id": qid, "query": query.strip()[:8192],
-                "user": user, "interface": interface,
-                "started": _time.time(), "killed": False,
-            }
         tls.depth, tls.qid = 1, qid
         try:
             yield qid
@@ -2532,12 +2541,29 @@ class TensorBaseEngine:
                     c,
                 )
             if re.search(r"(?is)\bsystem\.processes\b", c):
+                # UNIQUE view per rewrite: a shared name lets a second
+                # concurrent introspection swap the snapshot between this
+                # rewrite and its analysis, breaking the never-lists-
+                # itself contract (r10 review).  Old snapshots are GC'd
+                # once a few rewrites behind (analysis binds the local
+                # relation inside this dispatch, so dropping is safe).
+                vname = f"tb_system_processes_{_uuid.uuid4().hex[:8]}"
                 self._processes_snapshot_df().createOrReplaceGlobalTempView(
-                    "tb_system_processes"
+                    vname
                 )
+                with self._proc_lock:
+                    self._proc_views.append(vname)
+                    stale = (self._proc_views[:-4]
+                             if len(self._proc_views) > 4 else [])
+                    self._proc_views = self._proc_views[-4:]
+                for old in stale:
+                    try:
+                        self.spark.catalog.dropGlobalTempView(old)
+                    except Exception:
+                        pass
                 c = re.sub(
                     r"(?is)\bsystem\.processes\b",
-                    "global_temp.tb_system_processes",
+                    f"global_temp.{vname}",
                     c,
                 )
             if re.search(r"(?is)\bsystem\.settings\b", c):
@@ -4952,7 +4978,11 @@ class TensorBaseEngine:
         # Distributed alias: writes land in the local target table
         name = self._resolve_alias(name)
         out = self._cast_block(name, src, subset)
-        return self._write_block(name, out)
+        # serialize appends: two concurrent front-door inserts into one
+        # table race on the committer's _temporary dir (engine-wide lock,
+        # conservative; within one job the write itself is parallel)
+        with self._buffer_write_lock:
+            return self._write_block(name, out)
 
     def _cast_block(
         self, name: str, src: DataFrame, subset: list[str] | None = None

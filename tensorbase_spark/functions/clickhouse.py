@@ -1977,7 +1977,12 @@ def _first_significant_subdomain_sql(args: list[str]) -> str:
     """CH firstSignificantSubdomain heuristic: the label left of the
     effective TLD — when the second-to-last label is a generic registry
     (com/net/org/…) under a ccTLD, step one label further left."""
-    host = f"split(parse_url({args[0]}, 'HOST'), '\\\\.')"
+    # CH accepts bare hostnames too — parse_url needs a scheme, so fall
+    # back to prefixing one (r10 review)
+    host = (
+        f"split(coalesce(parse_url({args[0]}, 'HOST'), "
+        f"parse_url(concat('http://', {args[0]}), 'HOST'), ''), '\\\\.')"
+    )
     second = f"element_at({host}, -2)"
     return (
         f"case when size({host}) < 2 then '' "

@@ -811,6 +811,10 @@ def decode_body_rows(fmt: str, data: bytes) -> tuple[list, list | None]:
         rows = [[None if f == "\\N" else f for f in r] for r in recs]
         return rows, names
     if fmt.startswith("TabSeparated"):
+        # Raw = NO escaping and NO \N null form (its contract IS
+        # "bytes pass through"); unescaping it corrupts literal
+        # backslash sequences (r10 review)
+        raw = fmt == "TabSeparatedRaw"
         lines = [ln for ln in text.split("\n") if ln != ""]
         names = None
         if fmt in ("TabSeparatedWithNames", "TabSeparatedWithNamesAndTypes"):
@@ -821,7 +825,10 @@ def decode_body_rows(fmt: str, data: bytes) -> tuple[list, list | None]:
         for ln in lines:
             vals = []
             for f in ln.split("\t"):
-                vals.append(None if f == "\\N" else tsv_unescape(f))
+                if raw:
+                    vals.append(f)
+                else:
+                    vals.append(None if f == "\\N" else tsv_unescape(f))
             rows.append(vals)
         return rows, names
     raise ValueError(f"INSERT FORMAT {fmt}: unsupported body format")
@@ -975,23 +982,41 @@ class _BodyReader:
             del buf[:total]
         return bytes(out)
 
+    GZ_MAX = 8 << 20  # decompressed-piece cap (deflate is up to ~1000x)
+
+    def _gz_pull(self, raw: bytes) -> bytes:
+        """Feed compressed bytes, returning up to GZ_MAX decompressed
+        bytes.  Handles cap-deferred leftovers (unconsumed_tail) AND
+        concatenated gzip members — `cat a.gz b.gz` is a valid gzip
+        stream; a single decompressobj would silently drop everything
+        after the first member (r10 review)."""
+        out = bytearray()
+        pending = raw
+        while len(out) < self.GZ_MAX:
+            if self.gz.unconsumed_tail:
+                pending = self.gz.unconsumed_tail + pending
+            if self.gz.eof:
+                extra = self.gz.unused_data + pending
+                if not extra:
+                    break
+                self.gz = _zlib.decompressobj(16 + _zlib.MAX_WBITS)
+                pending = extra
+            if not pending:
+                break
+            out += self.gz.decompress(pending, self.GZ_MAX - len(out))
+            pending = b""
+        return bytes(out)
+
     def read_piece(self) -> bytes:
-        # a compressed piece may expand beyond RAM bounds (deflate is up
-        # to ~1000x) — cap each decompressed piece and keep the remainder
-        # in the decompressor's unconsumed_tail for the next call
-        GZ_MAX = 8 << 20
-        if self.gz and self.gz.unconsumed_tail:
-            out = self.gz.decompress(self.gz.unconsumed_tail, GZ_MAX)
+        if self.gz:
+            out = self._gz_pull(b"")
             if out:
                 return out
         while not self.eof:
             raw = self._read_raw()
             if raw == b"":
-                if self.gz and self.gz.unconsumed_tail:
-                    # cap-deferred compressed input outlives the
-                    # transport — keep draining before flush
-                    out = self.gz.decompress(
-                        self.gz.unconsumed_tail, GZ_MAX)
+                if self.gz:
+                    out = self._gz_pull(b"")
                     if out:
                         return out
                 self.eof = True
@@ -1005,7 +1030,7 @@ class _BodyReader:
                     )
                 return b""
             if self.gz:
-                out = self.gz.decompress(raw, GZ_MAX)
+                out = self._gz_pull(raw)
                 if out:
                     return out
                 continue
@@ -1280,7 +1305,37 @@ class _HttpHandler(BaseHTTPRequestHandler):
         quote64 = one.get(
             "output_format_json_quote_64bit_integers", "1"
         ) != "0"
+        if not is_insert_data and re.match(rb"\s*kill\b", combined, re.I):
+            # KILL touches no per-request session state; running it
+            # OUTSIDE srv.lock keeps a SYNC wait (up to 10 s) from
+            # stalling every other request behind the lock
+            try:
+                text = combined.decode()
+                kfmt = None
+                fm = _TRAILING_FORMAT_RE.search(text)
+                if fm:
+                    kfmt = canonical_format(fm.group(1))
+                    text = text[:fm.start()]
+                df = eng.sql(text)
+                eager = [tuple(r) for r in df.collect()]
+            except Exception as e:
+                self._exception(e)
+                return
+            self._respond(one, text, kfmt, df, eager, head_only, quote64)
+            return
+        deferred_fmt = None
+        if is_insert_data and stream is not None and not stream.eof:
+            fmt_name = canonical_format_or_none(im.group("fmt").decode())
+            if fmt_name in self._LINE_FMTS or fmt_name == "Native":
+                # decode+insert AFTER the lock releases — the body's
+                # socket reads must never block other requests
+                deferred_fmt = fmt_name
+            else:
+                # whole-payload binary formats: drain PRE-lock for the
+                # same reason (a slow uploader must not hold the lock)
+                combined += stream.drain()
         written = 0
+        qualified = None
         with srv.lock:
             # sweep expired sessions (CH session_timeout semantics)
             now = _time.monotonic()
@@ -1315,9 +1370,13 @@ class _HttpHandler(BaseHTTPRequestHandler):
                     # the value cannot be re-parsed (ADVICE r9); unknown
                     # keys are accepted-and-ignored, matching CH leniency
                     eng.apply_setting(k, v)
-                if is_insert_data:
+                if is_insert_data and deferred_fmt is not None:
+                    # resolve the db-dependent name under the per-request
+                    # state; the streamed decode runs after the lock
+                    qualified = eng._qualify(im.group("name").decode())
+                elif is_insert_data:
                     written = self._insert_with_data(
-                        eng, combined, im, stream
+                        eng, combined, im, None
                     )
                 else:
                     text = combined.decode()
@@ -1356,15 +1415,34 @@ class _HttpHandler(BaseHTTPRequestHandler):
                 error = e
             finally:
                 _engine_restore(eng, snap)  # per-request scope ends
-        # every wfile write happens OUTSIDE srv.lock — a slow or stalled
-        # client must never block the other front doors (ADVICE r9)
+        # every wfile write AND every streamed-body socket read happens
+        # OUTSIDE srv.lock — a slow or stalled client must never block
+        # the other front doors (ADVICE r9; r10 review)
+        if error is None and deferred_fmt is not None:
+            try:
+                cols = None
+                if im.group("cols"):
+                    cols = [c.strip().strip('`"')
+                            for c in im.group("cols").decode().split(",")]
+                data0 = combined[im.start("data"):]
+                if deferred_fmt == "Native":
+                    written = self._insert_native_streaming(
+                        eng, qualified, cols, data0, stream)
+                else:
+                    written = self._insert_streaming(
+                        eng, qualified, cols, deferred_fmt, data0, stream)
+            except Exception as e:
+                error = e
         if error is not None:
             self._exception(error)
             return
         if is_insert_data:
             self._ok_empty(one, written=written, head_only=head_only)
             return
+        self._respond(one, text, fmt, df, eager_rows, head_only, quote64)
 
+    def _respond(self, one: dict, text: str, fmt, df, eager_rows,
+                 head_only: bool, quote64: bool):
         kind = (re.match(r"\s*(\w+)", text) or [None, ""])[1].lower()
         if kind not in (
             "select", "with", "show", "describe", "desc", "explain",
@@ -1401,6 +1479,10 @@ class _HttpHandler(BaseHTTPRequestHandler):
     )
 
     def _insert_with_data(self, eng, combined: bytes, im, stream=None) -> int:
+        """Fully-buffered INSERT decode.  The STREAMING dispatch lives in
+        _execute, which routes still-arriving line/Native bodies to the
+        _insert_*streaming paths and drains binary bodies BEFORE taking
+        the server lock — socket reads must never happen under it."""
         fmt = canonical_format(im.group("fmt").decode())
         name = im.group("name").decode()
         cols = None
@@ -1410,19 +1492,7 @@ class _HttpHandler(BaseHTTPRequestHandler):
                 for c in im.group("cols").decode().split(",")
             ]
         data = combined[im.start("data"):]
-        if stream is not None and not stream.eof and fmt in self._LINE_FMTS:
-            # body still arriving and the format is line-delimited:
-            # decode + insert in bounded batches instead of buffering the
-            # whole POST in RAM (VERDICT r9 #2)
-            return self._insert_streaming(eng, name, cols, fmt, data, stream)
-        if fmt == "Native" and stream is not None and not stream.eof:
-            # the native block stream is self-delimiting: decode + insert
-            # block group by block group, never materializing the POST
-            return self._insert_native_streaming(eng, name, cols, data,
-                                                 stream)
         if stream is not None and not stream.eof:
-            # the remaining binary formats (Arrow/Parquet/RowBinary) need
-            # the whole payload for their footers/stream markers
             data += stream.drain()
         if fmt == "RowBinary":
             # headerless: the row layout comes from the TARGET table's

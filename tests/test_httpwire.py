@@ -445,6 +445,74 @@ def test_streaming_native_insert_bounded(engine, monkeypatch):
         srv.server_close()
 
 
+def test_body_reader_multimember_gzip():
+    """`cat a.gz b.gz` is a valid gzip stream — all members decode."""
+    import io
+
+    from tensorbase_spark.sources.httpwire import _BodyReader
+
+    comp = gzip.compress(b"alpha\n") + gzip.compress(b"beta\n")
+    br = _BodyReader(io.BytesIO(comp),
+                     {"Content-Length": str(len(comp)),
+                      "Content-Encoding": "gzip"}, {})
+    assert b"".join(iter(br.read_piece, b"")) == b"alpha\nbeta\n"
+
+
+def test_tsv_raw_insert_no_unescape(served):
+    """TabSeparatedRaw INSERT bodies pass bytes through — a literal
+    backslash-n stays two characters and \\N is NOT a NULL."""
+    _eng, port = served
+    with HttpClient(port=port) as c:
+        c.execute("create table traw (a Int64, s String)")
+        st, _h, _ = c.raw(
+            query="INSERT INTO traw FORMAT TabSeparatedRaw",
+            body=b"1\ta\\nb\n2\t\\N\n")
+        assert st == 200
+        _n, _t, got = c.execute(
+            "select a, length(s) as n from traw order by a")
+        assert got == [(1, 4), (2, 2)]
+
+
+def test_duplicate_query_id_rejected(served):
+    """Two in-flight queries sharing a query_id would corrupt the
+    registry (first finisher pops the shared key) — the second is
+    rejected with CH's already-running error."""
+    import threading
+    import time
+
+    eng, port = served
+    res = {}
+
+    def victim():
+        try:
+            with HttpClient(port=port) as c:
+                res["v"] = c.raw(
+                    query="select sum(cityHash64(toString(number)) "
+                          "% 1000000) as s from numbers(20000000000) "
+                          "FORMAT TSV",
+                    params={"query_id": "dup-1"})
+        except Exception as e:
+            res["verr"] = repr(e)
+
+    t = threading.Thread(target=victim, daemon=True)
+    t.start()
+    deadline = time.time() + 30
+    with eng._proc_lock:
+        pass
+    while time.time() < deadline:
+        with eng._proc_lock:
+            if "dup-1" in eng._processes:
+                break
+        time.sleep(0.05)
+    with HttpClient(port=port) as c:
+        st, _h, data = c.raw(query="select 1 as x FORMAT TSV",
+                             params={"query_id": "dup-1"})
+        assert st != 200 and b"already running" in data
+        c.execute("kill query where query_id = 'dup-1' sync")
+    t.join(20)
+    assert not t.is_alive()
+
+
 def test_line_batcher_csv_quote_boundaries():
     """Batches split only at row boundaries OUTSIDE quoted CSV fields —
     embedded newlines and doubled quotes never split a row — and the
