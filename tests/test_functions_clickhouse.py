@@ -442,6 +442,11 @@ def test_tier16_everyday_functions(spark):
     assert r.sh == [[1, 2, 3], [2, 3, 4]] and r.sh_short == []
     assert (r.hs_yes, r.hs_no, r.hs_empty) == (True, False, True)
     assert r.fsd_cc == "clickhouse" and r.fsd == "example"
+    # bare hostname (no scheme) — CH accepts it; parse_url alone would NULL
+    r2 = eng.sql(
+        "select firstSignificantSubdomain('news.clickhouse.com.tr') as f"
+    ).collect()[0]
+    assert r2.f == "clickhouse"
     # the CH docs example for formatReadableTimeDelta(7690)
     assert r.frtd == "2 hours, 8 minutes and 10 seconds"
     assert r.frtd0 == "0 seconds"
