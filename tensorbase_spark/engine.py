@@ -1761,7 +1761,10 @@ class TensorBaseEngine:
         # flush writes (two concurrent Spark appends to one table race on
         # the committer's _temporary dir)
         self._buffer_lock = threading.Lock()
-        self._buffer_write_lock = threading.Lock()
+        # REENTRANT: _write_block fires materialized-view propagation,
+        # which re-enters insert_df (and thus this lock) on the same
+        # thread — a plain Lock self-deadlocks on any MV-equipped table
+        self._buffer_write_lock = threading.RLock()
         # live query registry (system.processes / SHOW PROCESSLIST / KILL
         # QUERY): query_id -> in-flight entry.  Populated by track_query()
         # — the HTTP/native/MySQL front doors wrap each request, and
