@@ -3435,3 +3435,43 @@ def test_local_values_df_escaping(engine):
     plan = engine._local_values_df(rows, spec)._jdf.queryExecution() \
         .optimizedPlan().toString()
     assert "LocalRelation" in plan
+
+
+def test_concurrent_mv_inserts_reentrant_lock(engine):
+    """Concurrent inserts into an MV-equipped table: the append-write
+    serialization must be REENTRANT (insert -> MV propagation re-enters
+    insert_df on the same thread; a plain Lock deadlocked here) and
+    lose/duplicate-free across threads."""
+    import threading
+
+    engine.sql("create table cmv_raw(k String, v Int64)")
+    engine.sql("create table cmv_agg(k String, s Int64)")
+    engine.sql(
+        "create materialized view cmv_mv to cmv_agg as "
+        "select k, sum(v) as s from cmv_raw group by k"
+    )
+    errs = []
+
+    def worker(tag: str):
+        try:
+            for i in range(4):
+                engine.sql(
+                    f"insert into cmv_raw values ('{tag}', {i + 1})"
+                )
+        except Exception as e:
+            errs.append(repr(e))
+
+    ts = [threading.Thread(target=worker, args=(t,), daemon=True)
+          for t in ("x", "y", "z")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(120)
+    assert not errs and not any(t.is_alive() for t in ts)
+    raw = {r.k: (r.n, r.s) for r in engine.sql(
+        "select k, count(*) as n, sum(v) as s from cmv_raw group by k"
+    ).collect()}
+    agg = {r.k: r.s for r in engine.sql(
+        "select k, sum(s) as s from cmv_agg group by k").collect()}
+    assert raw == {t: (4, 10) for t in ("x", "y", "z")}
+    assert agg == {t: 10 for t in ("x", "y", "z")}
