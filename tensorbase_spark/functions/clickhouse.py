@@ -2087,3 +2087,61 @@ CH_SQL_TEMPLATES.update(
         "isipaddressinrange": _is_ipv4_in_range_sql,
     }
 )
+
+
+# ---- tier 17 (r10): bit introspection, non-alpha tokenization, year-zero
+# day counts, partial sort, server constants.  Pure SQL compositions. ------
+
+
+def _bit_test_sql(op: str):
+    """bitTestAll/Any(v, b1, b2, …): variadic bit positions -> one mask
+    compare (All: every bit set; Any: at least one)."""
+
+    def tmpl(args: list[str]) -> str:
+        mask = " | ".join(
+            f"shiftleft(cast(1 as bigint), cast({b} as int))"
+            for b in args[1:]
+        )
+        v = f"(cast({args[0]} as bigint) & ({mask}))"
+        return (f"({v} = ({mask}))" if op == "all" else f"({v} != 0)")
+
+    return tmpl
+
+
+def _split_by_non_alpha_sql(args: list[str]) -> str:
+    # unicode letters+digits survive; everything else splits (the regex
+    # braces live here, outside the str.format template namespace)
+    return (
+        f"filter(split({args[0]}, '[^\\\\p{{L}}\\\\p{{N}}]+'), "
+        f"__sw -> __sw != '')"
+    )
+
+
+CH_SQL_TEMPLATES.update(
+    {
+        "cbrt": "cbrt({0})",
+        # "1,4,16" — ascending powers of two present in the mask
+        "bitmasktolist": (
+            "array_join(filter(transform(sequence(0, 62), __bi -> "
+            "if((shiftright(cast({0} as bigint), __bi) & 1) = 1, "
+            "cast(shiftleft(cast(1 as bigint), __bi) as string), null)), "
+            "__bv -> __bv is not null), ',')"
+        ),
+        "bittestall": _bit_test_sql("all"),
+        "bittestany": _bit_test_sql("any"),
+        "splitbynonalpha": _split_by_non_alpha_sql,
+        # CH's year-zero day count: their documented example
+        # toDaysSinceYearZero('2023-09-08') = 738771 pins the offset at
+        # datediff-from-0001-01-01 + 1 (CH treats year 0 as 365 days)
+        "todayssinceyearzero": (
+            "(datediff(cast({0} as date), cast('0001-01-01' as date)) "
+            "+ 1)"
+        ),
+        # CH contract: first `limit` elements sorted, the rest in
+        # unspecified order — a full sort is a conforming implementation
+        "arraypartialsort": "array_sort({1})",
+        "nowinblock": "current_timestamp()",
+        "fqdn": "'localhost'",
+        "tcpport": "cast(9000 as int)",
+    }
+)

@@ -220,7 +220,7 @@ R09_VERIFIED = frozenset(
 
 PRIORITY_HEAD = [
     # (a) new round-10 queries
-    "engine_kill_query", "ch_everyday_funcs16",
+    "engine_kill_query", "ch_everyday_funcs16", "ch_everyday_funcs17",
     # (b) round-10 behavior-changed implementations: the HTTP request
     # path was restructured (track_query + lock scope + parsed-value
     # settings) and parameterized-view expansion gained alias counters —

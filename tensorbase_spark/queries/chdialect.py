@@ -1949,3 +1949,51 @@ GROUP BY o_orderstatus
 QUERIES["ch_everyday_funcs16"] = Query(
     ch_everyday_funcs16, CH_EVERYDAY16_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs17(spark, sf_dir):
+    """Everyday upstream-CH tier 17: bit-mask introspection
+    (bitmaskToList, variadic bitTestAll/Any), unicode tokenization
+    (splitByNonAlpha), the year-zero day count (toDaysSinceYearZero,
+    pinned to the CH docs example), and partial sort (arrayPartialSort —
+    full sort is a conforming implementation of its unspecified-tail
+    contract).  The oracle recomputes each from first principles."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e17")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "max(bitmaskToList(o_orderkey % 64)) as bl, "
+        "cast(sum(case when bitTestAll(o_orderkey, 0, 2) then 1 else 0 "
+        "  end) as bigint) as bta, "
+        "cast(sum(case when bitTestAny(o_orderkey, 1, 4) then 1 else 0 "
+        "  end) as bigint) as bany, "
+        "max(arrayStringConcat(splitByNonAlpha(o_orderpriority), '|')) "
+        "  as sp, "
+        "max(toDaysSinceYearZero(toDate(o_orderdate))) as dz, "
+        "max(arrayStringConcat(arrayMap(x -> toString(x), "
+        "  arrayPartialSort(2, array(o_orderkey % 7, o_orderkey % 5, "
+        "  o_orderkey % 3))), ',')) as ps "
+        "from ord_e17 group by o_orderstatus"
+    )
+
+
+CH_EVERYDAY17_ORACLE = """
+SELECT o_orderstatus AS st,
+  max(array_to_string(list_filter([1, 2, 4, 8, 16, 32],
+      x -> (o_orderkey % 64) & x != 0), ',')) AS bl,
+  CAST(sum(CASE WHEN (o_orderkey & 5) = 5 THEN 1 ELSE 0 END)
+    AS BIGINT) AS bta,
+  CAST(sum(CASE WHEN (o_orderkey & 18) != 0 THEN 1 ELSE 0 END)
+    AS BIGINT) AS bany,
+  max(replace(o_orderpriority, '-', '|')) AS sp,
+  max(datediff('day', DATE '0001-01-01', CAST(o_orderdate AS DATE)) + 1)
+    AS dz,
+  max(array_to_string(list_sort([o_orderkey % 7, o_orderkey % 5,
+      o_orderkey % 3]), ',')) AS ps
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES["ch_everyday_funcs17"] = Query(
+    ch_everyday_funcs17, CH_EVERYDAY17_ORACLE, ("dialect", "functions")
+)

@@ -456,3 +456,33 @@ def test_tier16_everyday_functions(spark):
     # x=3 -> even bits 0,2; y=1 -> odd bit 1 -> 0b111
     assert r.me == 7
     assert (r.ip_in, r.ip_out, r.ip_all) == (True, False, True)
+
+
+def test_tier17_everyday_functions(spark):
+    """Tier-17 goldens: bitmaskToList power decomposition, variadic
+    bitTestAll/Any, unicode non-alpha splitting, the CH year-zero day
+    count (docs example 738771), partial sort, server constants."""
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    r = eng.sql(
+        "select cbrt(27.0) as c, "
+        "bitmaskToList(21) as bl, "
+        "bitTestAll(43, 0, 1, 3, 5) as bta, "
+        "bitTestAll(41, 0, 1, 3, 5) as btf, "
+        "bitTestAny(43, 6, 3) as bany, "
+        "bitTestAny(16, 0, 1) as bnone, "
+        "arrayStringConcat(splitByNonAlpha('hello, wörld_42! ok'), '|') "
+        "  as sp, "
+        "toDaysSinceYearZero(toDate('2023-09-08')) as dz, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "  arrayPartialSort(2, array(3,1,2))), ',') as ps, "
+        "fqdn() as f, tcpPort() as tp"
+    ).collect()[0]
+    assert r.c == 3.0
+    assert r.bl == "1,4,16"
+    assert (r.bta, r.btf, r.bany, r.bnone) == (True, False, True, False)
+    assert r.sp == "hello|wörld|42|ok"
+    assert r.dz == 738771  # the CH docs example value
+    assert r.ps == "1,2,3"
+    assert r.f == "localhost" and r.tp == 9000
