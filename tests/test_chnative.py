@@ -799,3 +799,52 @@ def test_pooled_concurrent_ingest(served):
     assert (got.n, got.d, got.s) == (
         total, total, total * (total - 1) // 2
     )
+
+
+def test_processlist_and_kill_over_native(served):
+    """A long scan over the NATIVE wire is listed in system.processes
+    with interface='native' and KILL QUERY (matched on the query text)
+    cancels it mid-flight; the victim's connection gets an Exception
+    packet instead of a result."""
+    import threading
+    import time
+
+    engine, port = served
+    res = {}
+
+    def victim():
+        try:
+            c = NativeClient(port=port)
+            res["out"] = c.execute(
+                "select sum(cityHash64(toString(number)) % 1000000) "
+                "as native_kill_marker from numbers(30000000000)"
+            )
+            c.close()
+        except Exception as e:
+            res["err"] = repr(e)
+
+    t = threading.Thread(target=victim, daemon=True)
+    t.start()
+    sc = engine.spark.sparkContext
+    deadline = time.time() + 30
+    row = None
+    while time.time() < deadline:
+        rows = engine.sql(
+            "select query_id, interface from system.processes "
+            "where query like '%native_kill_marker%'"
+        ).collect()
+        if rows and sc.statusTracker().getJobIdsForGroup(
+            rows[0].query_id
+        ):
+            row = rows[0]
+            break
+        time.sleep(0.1)
+    assert row is not None and row.interface == "native"
+    got = engine.sql(
+        "kill query where query like '%native_kill_marker%' sync"
+    ).collect()
+    assert [r.kill_status for r in got] == ["finished"]
+    t.join(20)
+    assert not t.is_alive()
+    assert "err" in res and "out" not in res
+    assert engine.sql("show processlist").count() == 0

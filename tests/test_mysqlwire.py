@@ -806,3 +806,50 @@ def test_mysql_prepared_statement_long_data(served):
         c.execute_stmt(sid, (7, ""))  # placeholder value for slot 1 unused
         _, rows = c.query("select k, v from pld")
         assert rows == [(7, "hello world")]
+
+
+def test_processlist_and_kill_over_mysql(served):
+    """A long scan over the MySQL wire is listed in system.processes
+    with interface='mysql' and KILL QUERY cancels it mid-flight; the
+    victim's connection gets an ERR packet instead of a resultset."""
+    import threading
+    import time
+
+    engine, port = served
+    res = {}
+
+    def victim():
+        try:
+            c = _client(port)
+            res["out"] = c.query(
+                "select sum(cityHash64(toString(number)) % 1000000) "
+                "as mysql_kill_marker from numbers(30000000000)"
+            )
+        except Exception as e:
+            res["err"] = repr(e)
+
+    t = threading.Thread(target=victim, daemon=True)
+    t.start()
+    sc = engine.spark.sparkContext
+    deadline = time.time() + 30
+    row = None
+    while time.time() < deadline:
+        rows = engine.sql(
+            "select query_id, interface from system.processes "
+            "where query like '%mysql_kill_marker%'"
+        ).collect()
+        if rows and sc.statusTracker().getJobIdsForGroup(
+            rows[0].query_id
+        ):
+            row = rows[0]
+            break
+        time.sleep(0.1)
+    assert row is not None and row.interface == "mysql"
+    got = engine.sql(
+        "kill query where query like '%mysql_kill_marker%' sync"
+    ).collect()
+    assert [r.kill_status for r in got] == ["finished"]
+    t.join(20)
+    assert not t.is_alive()
+    assert "err" in res and "out" not in res
+    assert engine.sql("show processlist").count() == 0
