@@ -428,6 +428,18 @@ def test_vector_distances_stay_codegen(spark, queries):
     assert "HashAggregate" in plan
 
 
+def test_everyday_tiers_16_17_stay_codegen(spark, queries):
+    """The tier-16/17 templates (readable time deltas, bit ladders,
+    morton interleave, non-alpha splits, partial sort) must compile to
+    pure JVM expressions — no Python evaluation anywhere in the plan."""
+    for name in ("ch_everyday_funcs16", "ch_everyday_funcs17"):
+        plan = _formatted(spark, queries[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        # string max buffers force SortAggregate — still JVM codegen
+        assert ("HashAggregate" in plan or "SortAggregate" in plan), name
+
+
 def test_param_view_binding_pushes_down(spark):
     """A parameterized-view call site binds to typed CONSTANTS that
     Catalyst folds and pushes into the parquet scan — the view adds no
