@@ -2306,10 +2306,16 @@ class TensorBaseEngine:
         )
         if not m:
             raise ValueError(f"cannot parse KILL QUERY: {c!r}")
+        if not m.group("w"):
+            # upstream CH requires the WHERE clause; a bare KILL QUERY
+            # (typo / truncated script) must not mass-cancel everything
+            raise ValueError(
+                "KILL QUERY requires a WHERE clause "
+                "(e.g. KILL QUERY WHERE query_id = '...')"
+            )
         mode = (m.group("mode") or "async").lower()
         df = self._processes_snapshot_df()
-        if m.group("w"):
-            df = df.filter(F.expr(m.group("w")))
+        df = df.filter(F.expr(m.group("w")))
         victims = [(r.query_id, r.user) for r in df.collect()]
         out, sc = [], self.spark.sparkContext
         for qid, user in victims:

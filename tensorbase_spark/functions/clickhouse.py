@@ -2130,12 +2130,14 @@ CH_SQL_TEMPLATES.update(
         "bittestall": _bit_test_sql("all"),
         "bittestany": _bit_test_sql("any"),
         "splitbynonalpha": _split_by_non_alpha_sql,
-        # CH's year-zero day count: their documented example
-        # toDaysSinceYearZero('2023-09-08') = 738771 pins the offset at
-        # datediff-from-0001-01-01 + 1 (CH treats year 0 as 365 days)
+        # CH's year-zero day count matches MySQL TO_DAYS: year 0 is a
+        # 366-day proleptic-Gregorian leap year (CH pins
+        # DAYS_BETWEEN_YEARS_0_AND_1970 = 719528), so
+        # toDaysSinceYearZero('2023-09-08') = 739136 =
+        # datediff-from-0001-01-01 + 366.
         "todayssinceyearzero": (
             "(datediff(cast({0} as date), cast('0001-01-01' as date)) "
-            "+ 1)"
+            "+ 366)"
         ),
         # CH contract: first `limit` elements sorted, the rest in
         # unspecified order — a full sort is a conforming implementation

@@ -218,16 +218,38 @@ R09_VERIFIED = frozenset(
 )
 
 
+R10_VERIFIED = frozenset(
+    """agg_approx_distinct_check agg_quantiles array_functions
+    avro_ingest_roundtrip ch_array_hofs2 ch_cast_multiif
+    ch_everyday_funcs16 ch_minute_buckets
+    ch_parameterized_view contamination_semantic corpus_build_end_to_end
+    corpus_cap_per_source corpus_contamination_scan
+    corpus_quality_pipeline corpus_sample_stratified
+    corpus_shuffle_shards corpus_split_train_val_test
+    corpus_temperature_sample dedup_incremental_index
+    dedup_minhash_bands_sql dedup_simhash_fp_sql engine_alter_columns
+    engine_bucketed_join engine_kill_query engine_meta_lifecycle
+    engine_system_parts events_json_extract events_retention
+    events_window_funnel join_asof remote_loopback sim_brute_force_topk
+    sim_knn_classify string_parts_funcs string_width_funcs text_lang_id
+    text_quality_scores text_token_counts timestamp_family
+    url_http_federation window_cume_dist window_first_last_ntile
+    window_lag_lead window_nth_value window_range_frame
+    window_running_sum wire_http_roundtrip wire_mysql_roundtrip
+    wire_native_roundtrip""".split()
+)
+# ch_everyday_funcs17 was r10-green but its toDaysSinceYearZero offset
+# changed in r11 (ADVICE fix) — listed in PRIORITY_HEAD instead.
+
+
 PRIORITY_HEAD = [
-    # (a) new round-10 queries
-    "engine_kill_query", "ch_everyday_funcs16", "ch_everyday_funcs17",
-    # (b) round-10 behavior-changed implementations: the HTTP request
-    # path was restructured (track_query + lock scope + parsed-value
-    # settings) and parameterized-view expansion gained alias counters —
-    # re-hash their representative rows; everything else rotates by
-    # staleness so the r2/r3-era evidence tail drains (VERDICT r9 #3)
-    "wire_http_roundtrip", "url_http_federation", "ch_parameterized_view",
-    "wire_mysql_roundtrip", "wire_native_roundtrip",
+    # round-11 behavior-changed implementations: toDaysSinceYearZero
+    # moved to the TO_DAYS-compatible +366 offset (ADVICE r10 medium) —
+    # ch_everyday_funcs17's oracle changed with it; the HTTP INSERT body
+    # path gained truncation errors + csv-module quote rules and the
+    # native door streams SELECT results; everything else rotates by
+    # staleness so the r3/r4 evidence tail drains (VERDICT r10 #3)
+    "ch_everyday_funcs17", "wire_http_roundtrip", "wire_native_roundtrip",
 ]
 
 
@@ -270,7 +292,7 @@ def registry() -> dict[str, Query]:
     rounds = [
         R01_VERIFIED, R02_VERIFIED, R03_VERIFIED, R04_VERIFIED,
         R05_VERIFIED, R06_VERIFIED, R07_VERIFIED, R08_VERIFIED,
-        R09_VERIFIED,
+        R09_VERIFIED, R10_VERIFIED,
     ]
     verified = frozenset().union(*rounds)
     head = [n for n in PRIORITY_HEAD if n in out]

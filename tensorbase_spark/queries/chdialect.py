@@ -1955,7 +1955,9 @@ def ch_everyday_funcs17(spark, sf_dir):
     """Everyday upstream-CH tier 17: bit-mask introspection
     (bitmaskToList, variadic bitTestAll/Any), unicode tokenization
     (splitByNonAlpha), the year-zero day count (toDaysSinceYearZero,
-    pinned to the CH docs example), and partial sort (arrayPartialSort —
+    MySQL TO_DAYS-compatible: year 0 is a 366-day proleptic leap year,
+    CH's DAYS_BETWEEN_YEARS_0_AND_1970 = 719528), and partial sort
+    (arrayPartialSort —
     full sort is a conforming implementation of its unspecified-tail
     contract).  The oracle recomputes each from first principles."""
     eng = TensorBaseEngine(spark)
@@ -1986,7 +1988,7 @@ SELECT o_orderstatus AS st,
   CAST(sum(CASE WHEN (o_orderkey & 18) != 0 THEN 1 ELSE 0 END)
     AS BIGINT) AS bany,
   max(replace(o_orderpriority, '-', '|')) AS sp,
-  max(datediff('day', DATE '0001-01-01', CAST(o_orderdate AS DATE)) + 1)
+  max(datediff('day', DATE '0001-01-01', CAST(o_orderdate AS DATE)) + 366)
     AS dz,
   max(array_to_string(list_sort([o_orderkey % 7, o_orderkey % 5,
       o_orderkey % 3]), ',')) AS ps

@@ -945,6 +945,7 @@ class _BodyReader:
         self._lz4_buf = bytearray()
         self.eof = False
         self._transport_eof = False
+        self._gz_any = False  # any compressed bytes fed yet
 
     def _read_raw(self) -> bytes:
         """One transport-level piece; b"" at transport EOF (idempotent)."""
@@ -958,12 +959,25 @@ class _BodyReader:
                 self._transport_eof = True
                 return b""
             data = self.rfile.read(size)
+            if len(data) < size:
+                # client disconnected mid-chunk: committing the batches
+                # received so far with a 200 would silently truncate the
+                # INSERT (CH: UNEXPECTED_END_OF_FILE)
+                raise ValueError(
+                    "unexpected end of request body (disconnect inside "
+                    f"a {size}-byte chunk)"
+                )
             self.rfile.readline()  # CRLF after each chunk
             return data
         if not self.remaining:
             return b""
         n = min(self.remaining, self.CHUNK)
         data = self.rfile.read(n)
+        if not data:
+            raise ValueError(
+                "unexpected end of request body "
+                f"({self.remaining} Content-Length bytes missing)"
+            )
         self.remaining -= len(data)
         return data
 
@@ -1021,6 +1035,14 @@ class _BodyReader:
                         return out
                 self.eof = True
                 if self.gz:
+                    if self._gz_any and not self.gz.eof:
+                        # transport ended mid-gzip-member: flush() never
+                        # errors, so without this check a truncated body
+                        # would commit partial batches (CH:
+                        # CANNOT_DECOMPRESS) — mirror the LZ4 branch
+                        raise ValueError(
+                            "truncated gzip member at end of request body"
+                        )
                     tail = self.gz.flush()
                     if tail:
                         return tail
@@ -1030,6 +1052,7 @@ class _BodyReader:
                     )
                 return b""
             if self.gz:
+                self._gz_any = True
                 out = self._gz_pull(raw)
                 if out:
                     return out
@@ -1063,11 +1086,11 @@ class _LineBatcher:
         self._buf = bytearray()
         self._in_quotes = False
         self._safe = 0  # bytes [0:_safe] end at a row boundary
+        self._scan = 0  # bytes [0:_scan] have resolved quote state
         self.max_buffered = 0
 
     def feed(self, piece: bytes):
         """Add bytes; yield zero or more complete-row batches."""
-        start = len(self._buf)
         self._buf += piece
         self.max_buffered = max(self.max_buffered, len(self._buf))
         if self.quoted_csv:
@@ -1075,36 +1098,58 @@ class _LineBatcher:
             # characters the in-quotes state is constant, so the last
             # newline of each outside-quotes span is a row boundary (a
             # per-byte Python loop here costs ~minutes on multi-100-MB
-            # bodies)
-            buf, pos = self._buf, start
-            while True:
+            # bodies).  csv-module quote rules, not bare parity: a quote
+            # OPENS a field only at field start (after , \n \r or the
+            # stream start — a stray " mid-field is literal, as CH and
+            # Python's csv treat it); inside quotes "" is an escaped
+            # quote, a lone " closes.  A closing-candidate quote that is
+            # the final buffered byte is ambiguous ("" vs ") — scanning
+            # resumes there on the next feed (self._scan).
+            buf, end = self._buf, len(self._buf)
+            pos = self._scan
+            while pos < end:
                 q = buf.find(b'"', pos)
-                span_end = len(buf) if q < 0 else q
+                span_end = end if q < 0 else q
                 if not self._in_quotes:
                     nl = buf.rfind(b"\n", pos, span_end)
                     if nl >= 0:
                         self._safe = nl + 1
                 if q < 0:
+                    pos = end
                     break
-                self._in_quotes = not self._in_quotes
-                pos = q + 1
+                if self._in_quotes:
+                    if q + 1 >= end:
+                        pos = q  # need the next byte to disambiguate
+                        break
+                    if buf[q + 1] == 0x22:  # "" escape — still quoted
+                        pos = q + 2
+                    else:
+                        self._in_quotes = False
+                        pos = q + 1
+                else:
+                    prev = buf[q - 1] if q > 0 else 0x0A
+                    if prev in (0x2C, 0x0A, 0x0D):  # , \n \r
+                        self._in_quotes = True
+                    pos = q + 1
+            self._scan = pos
         else:
-            nl = self._buf.rfind(b"\n", start)
+            nl = self._buf.rfind(b"\n", self._scan)
             if nl >= 0:
                 self._safe = nl + 1
+            self._scan = len(self._buf)
         while self._safe >= self.batch_bytes:
             out = bytes(self._buf[: self._safe])
             del self._buf[: self._safe]
-            self._safe = 0
+            self._scan -= len(out)  # ≥ _safe: boundaries only resolve
+            self._safe = 0          # inside scanned spans
             yield out
-            # remaining buffered bytes have no complete boundary scan
-            # state to redo — _safe only ever pointed inside `out`
 
     def finish(self):
         """Yield the final partial batch (trailing row may lack \\n)."""
         if self._buf:
             yield bytes(self._buf)
             self._buf = bytearray()
+            self._scan = self._safe = 0
 
 
 # ---------------------------------------------------------------------------

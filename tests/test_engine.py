@@ -3357,6 +3357,16 @@ def test_kill_query_accepted_empty(engine):
     assert out.count() == 0
 
 
+def test_kill_query_bare_rejected(engine):
+    """A bare KILL QUERY (no WHERE) must error like upstream CH, not
+    mass-cancel every in-flight query (ADVICE r10)."""
+    import pytest as _pt
+
+    for cmd in ("kill query", "KILL QUERY SYNC", "kill query async"):
+        with _pt.raises(ValueError, match="WHERE"):
+            engine.sql(cmd)
+
+
 def test_track_query_registry_and_kill(engine):
     """The live query registry: a tracked query on another thread is
     visible in SHOW PROCESSLIST / system.processes and KILL QUERY …

@@ -461,7 +461,7 @@ def test_tier16_everyday_functions(spark):
 def test_tier17_everyday_functions(spark):
     """Tier-17 goldens: bitmaskToList power decomposition, variadic
     bitTestAll/Any, unicode non-alpha splitting, the CH year-zero day
-    count (docs example 738771), partial sort, server constants."""
+    count (TO_DAYS-compatible 739136), partial sort, server constants."""
     from tensorbase_spark.engine import TensorBaseEngine
 
     eng = TensorBaseEngine(spark)
@@ -483,6 +483,6 @@ def test_tier17_everyday_functions(spark):
     assert r.bl == "1,4,16"
     assert (r.bta, r.btf, r.bany, r.bnone) == (True, False, True, False)
     assert r.sp == "hello|wörld|42|ok"
-    assert r.dz == 738771  # the CH docs example value
+    assert r.dz == 739136  # MySQL TO_DAYS('2023-09-08'); CH matches
     assert r.ps == "1,2,3"
     assert r.f == "localhost" and r.tp == 9000

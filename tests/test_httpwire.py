@@ -533,6 +533,68 @@ def test_line_batcher_csv_quote_boundaries():
             ["1", "a\nb"], ["2", 'c"d,\n'], ["3", "x"], ["4", "y"]]
 
 
+def test_line_batcher_stray_midfield_quote():
+    """A bare quote inside an UNQUOTED field (e.g. a"b,c) is literal —
+    CH and Python's csv agree — and must not desync the boundary scan:
+    batch boundaries still land at real row ends (ADVICE r10)."""
+    from tensorbase_spark.sources.httpwire import _LineBatcher
+
+    src = b'1,a"b,c\n2,x"y\n3,"q,\n""z"\n4,plain\n5,t"\n'
+    for cut in range(1, len(src)):
+        b = _LineBatcher(True, batch_bytes=4)
+        out = list(b.feed(src[:cut])) + list(b.feed(src[cut:]))
+        out += list(b.finish())
+        assert b"".join(out) == src
+        # every batch ends exactly at a row boundary (the quoted row
+        # with the embedded newline stays whole inside one batch)
+        for chunk in out[:-1]:
+            assert chunk.endswith(b"\n")
+        whole = []
+        for chunk in out:
+            rows, _ = decode_body_rows("CSV", chunk)
+            whole += rows
+        assert [r[0] for r in whole] == ["1", "2", "3", "4", "5"]
+        assert whole[2][1] == 'q,\n"z'
+
+
+def test_body_reader_truncated_bodies_raise():
+    """Client disconnect mid-Content-Length, mid-chunk, or mid-gzip-
+    member must RAISE (CH: UNEXPECTED_END_OF_FILE / CANNOT_DECOMPRESS),
+    never silently commit the batches received so far (ADVICE r10)."""
+    import io
+
+    import pytest as _pt
+
+    from tensorbase_spark.sources.httpwire import _BodyReader
+
+    # Content-Length promises more than the transport delivers
+    br = _BodyReader(io.BytesIO(b"1,a\n2,"),
+                     {"Content-Length": "100"}, {})
+    with _pt.raises(ValueError, match="end of request body"):
+        b"".join(iter(br.read_piece, b""))
+
+    # chunked framing cut inside a chunk
+    br = _BodyReader(io.BytesIO(b"20\r\n1,a\n"),
+                     {"Transfer-Encoding": "chunked"}, {})
+    with _pt.raises(ValueError, match="chunk"):
+        b"".join(iter(br.read_piece, b""))
+
+    # gzip member truncated (flush() alone would not error)
+    comp = gzip.compress(b"1,a\n" * 1000)
+    cut = comp[: len(comp) - 8]
+    br = _BodyReader(io.BytesIO(cut),
+                     {"Content-Length": str(len(cut)),
+                      "Content-Encoding": "gzip"}, {})
+    with _pt.raises(ValueError, match="gzip"):
+        b"".join(iter(br.read_piece, b""))
+
+    # …but a COMPLETE gzip body still decodes clean (no false positive)
+    br = _BodyReader(io.BytesIO(comp),
+                     {"Content-Length": str(len(comp)),
+                      "Content-Encoding": "gzip"}, {})
+    assert b"".join(iter(br.read_piece, b"")) == b"1,a\n" * 1000
+
+
 def test_body_reader_gzip_bounded_pieces():
     """A tiny gzip body expanding to tens of MB comes out of _BodyReader
     in bounded pieces (the decompression-bomb guard), losslessly."""
