@@ -1775,6 +1775,7 @@ class TensorBaseEngine:
         self._processes: dict[str, dict] = {}
         self._track_tls = threading.local()
         self._proc_views: list[str] = []  # snapshot views pending GC
+        self._max_execution_time = 0.0  # seconds; 0 = unlimited (CH)
 
     def bootstrap_system(self) -> None:
         """Create the ``system`` database + empty ``system.numbers (number
@@ -2177,7 +2178,8 @@ class TensorBaseEngine:
 
     @contextlib.contextmanager
     def track_query(self, query: str, query_id: str | None = None,
-                    user: str = "default", interface: str = "inline"):
+                    user: str = "default", interface: str = "inline",
+                    max_execution_time: float | None = None):
         """Register an in-flight query in the live process registry and
         bind this thread's Spark jobs to a cancellable job group, so
         ``KILL QUERY WHERE query_id = '…'`` can cancel them mid-flight
@@ -2220,14 +2222,79 @@ class TensorBaseEngine:
         sc.setLocalProperty("spark.job.description", query.strip()[:200])
         sc.setLocalProperty("spark.job.interruptOnCancel", "true")
         tls.depth, tls.qid = 1, qid
+        # upstream-CH max_execution_time: a watchdog cancels the job
+        # group once the budget elapses (re-cancelling until the victim
+        # exits, since cancelJobGroup has no tombstone between jobs) and
+        # flags the entry, so the query thread's failure is converted to
+        # CH's TIMEOUT_EXCEEDED shape below.  Streamed INSERT loops see
+        # the same flag through check_not_killed().
+        met = float(
+            max_execution_time if max_execution_time is not None
+            else (self._max_execution_time or 0)
+        )
+        done_evt: threading.Event | None = None
+        if met > 0:
+            done_evt = threading.Event()
+
+            def _watchdog(evt=done_evt, budget=met):
+                if evt.wait(budget):
+                    return
+                while not evt.is_set():
+                    with self._proc_lock:
+                        e = self._processes.get(qid)
+                        if e is None:
+                            return
+                        e["killed"] = True
+                        e["timed_out"] = True
+                    sc.cancelJobGroup(qid)
+                    if evt.wait(0.1):
+                        return
+
+            threading.Thread(
+                target=_watchdog, daemon=True,
+                name=f"tb-met-{qid[:12]}",
+            ).start()
         try:
             yield qid
+        except BaseException as exc:
+            with self._proc_lock:
+                e = self._processes.get(qid)
+                timed = bool(e and e.get("timed_out"))
+            if timed:
+                raise TimeoutError(
+                    "Timeout exceeded: maximum execution time of "
+                    f"{met:g} seconds exceeded (max_execution_time)"
+                ) from exc
+            raise
         finally:
+            if done_evt is not None:
+                done_evt.set()
             tls.depth, tls.qid = 0, None
             with self._proc_lock:
                 self._processes.pop(qid, None)
             for k in props:
                 sc.setLocalProperty(k, prev[k])
+
+    def check_not_killed(self) -> None:
+        """Raise if this thread's tracked query was KILLed (or timed
+        out) — wire INSERT loops poll this between batches so a kill
+        aborts the body stream cleanly mid-upload instead of after the
+        whole body has been consumed (VERDICT r10 #6)."""
+        qid = getattr(self._track_tls, "qid", None)
+        if not qid:
+            return
+        with self._proc_lock:
+            e = self._processes.get(qid)
+            killed = bool(e and e.get("killed"))
+            timed = bool(e and e.get("timed_out"))
+        if timed:
+            raise TimeoutError(
+                "Timeout exceeded: maximum execution time of "
+                f"{float(self._max_execution_time or 0):g} seconds "
+                "exceeded (max_execution_time)"
+            )
+        if killed:
+            raise ValueError(f"Query '{qid}' was cancelled (KILL QUERY)")
 
     def _local_values_df(
         self, rows: list[tuple], colspec: list[tuple[str, str]]
@@ -2367,6 +2434,14 @@ class TensorBaseEngine:
             self._use_query_cache = v.strip().lower() in ("1", "true")
             if not self._use_query_cache:
                 self._result_cache.clear()
+        elif k == "max_execution_time":
+            # CH: seconds, 0 disables — enforced by track_query's
+            # watchdog (cancelJobGroup) + check_not_killed() in the
+            # streamed-INSERT loops
+            met = float(v)
+            if met < 0:
+                raise ValueError("max_execution_time must be >= 0")
+            self._max_execution_time = met
         elif k == "uint64_storage":
             if v.lower() not in ("decimal", "reinterpret"):
                 raise ValueError("uint64_storage: 'decimal' or 'reinterpret'")

@@ -2147,3 +2147,115 @@ CH_SQL_TEMPLATES.update(
         "tcpport": "cast(9000 as int)",
     }
 )
+
+
+def _cut_to_first_significant_subdomain_sql(args: list[str]) -> str:
+    """CH cutToFirstSignificantSubdomain: the firstSignificantSubdomain
+    plus everything to its right ('news.clickhouse.com.tr' ->
+    'clickhouse.com.tr'), using the same generic-registry heuristic as
+    firstSignificantSubdomain (and the same bare-hostname fallback)."""
+    host = (
+        f"split(coalesce(parse_url({args[0]}, 'HOST'), "
+        f"parse_url(concat('http://', {args[0]}), 'HOST'), ''), '\\\\.')"
+    )
+    second = f"element_at({host}, -2)"
+    return (
+        f"case when size({host}) < 2 then '' "
+        f"when size({host}) >= 3 and {second} in ('com', 'net', 'org', "
+        f"'co', 'gov', 'edu', 'mil', 'biz', 'info') "
+        f"then array_join(slice({host}, -3, 3), '.') "
+        f"else array_join(slice({host}, -2, 2), '.') end"
+    )
+
+
+def _format_readable_decimal_size_sql(args: list[str]) -> str:
+    """CH formatReadableDecimalSize — like formatReadableSize but
+    powers of 1000 ('123.46 MB')."""
+    x = f"cast({args[0]} as double)"
+    tiers = [("B", 1), ("KB", 1000.0), ("MB", 1000.0**2),
+             ("GB", 1000.0**3), ("TB", 1000.0**4)]
+    sql = f"format_string('%.2f PB', {x} / {1000.0**5})"
+    for unit, div in reversed(tiers):
+        cond = f"abs({x}) < {div * 1000.0}"
+        sql = (
+            f"case when {cond} then format_string('%.2f {unit}', {x} / {div}) "
+            f"else {sql} end"
+        )
+    return f"({sql})"
+
+
+def _time_slots_sql(args: list[str]) -> str:
+    """CH timeSlots(start, duration[, size=1800]): every size-second
+    grid point from floor(start) through floor(start + duration)."""
+    sz = args[2] if len(args) > 2 else "1800"
+    ut = f"unix_timestamp({args[0]})"
+    return (
+        f"transform(sequence("
+        f"cast(floor({ut} / ({sz})) * ({sz}) as bigint), "
+        f"cast(floor(({ut} + ({args[1]})) / ({sz})) * ({sz}) as bigint), "
+        f"cast({sz} as bigint)), __ts -> timestamp_seconds(__ts))"
+    )
+
+
+# Everyday tier 18: URL hierarchy cuts, URL parameter lists, week-end
+# rounding, numeric bucketing, decimal readable sizes, the simpleJSON*
+# canonical aliases of visitParam*, LIKE-filtered map lookups, time-slot
+# grids, and first-match needle indexing.  All pure Spark built-in
+# expressions (JVM codegen; plan-pinned in tests/test_plans.py).
+CH_SQL_TEMPLATES.update(
+    {
+        "cuttofirstsignificantsubdomain": (
+            _cut_to_first_significant_subdomain_sql
+        ),
+        # raw 'k=v' pairs of the query string, in order
+        "extracturlparameters": (
+            "filter(split(coalesce(parse_url({0}, 'QUERY'), ''), '&'), "
+            "__kv -> __kv != '')"
+        ),
+        # week starts Sunday here (mode 0, same as toStartOfWeek above),
+        # so the last day is the following Saturday
+        "tolastdayofweek": (
+            "date_add(date_sub(to_date({0}), (dayofweek({0}) - 1)), 6)"
+        ),
+        "widthbucket": "width_bucket({0}, {1}, {2}, {3})",
+        "formatreadabledecimalsize": _format_readable_decimal_size_sql,
+        # Spark strings are decoded with invalid-byte replacement before
+        # any expression sees them, so at the Column level toValidUTF8's
+        # replace-invalid-sequences contract is already satisfied
+        "tovalidutf8": "{0}",
+        # simpleJSON* = the canonical upstream names for visitParam*
+        "simplejsonextractstring": (
+            "get_json_object({0}, concat('$.', {1}))"
+        ),
+        "simplejsonextractraw": "get_json_object({0}, concat('$.', {1}))",
+        "simplejsonextractint": (
+            "cast(get_json_object({0}, concat('$.', {1})) as bigint)"
+        ),
+        "simplejsonextractfloat": (
+            "cast(get_json_object({0}, concat('$.', {1})) as double)"
+        ),
+        "simplejsonextractbool": (
+            "coalesce(cast(get_json_object({0}, concat('$.', {1})) "
+            "as boolean), false)"
+        ),
+        "simplejsonhas": (
+            "get_json_object({0}, concat('$.', {1})) is not null"
+        ),
+        "mapcontainskeylike": (
+            "exists(map_keys({0}), __k -> __k like {1})"
+        ),
+        "mapextractkeylike": (
+            "map_filter({0}, (__k, __v) -> __k like {1})"
+        ),
+        "timeslots": _time_slots_sql,
+        # 1-based index of the needle matching EARLIEST in the haystack
+        # (0 when none match); ties go to the lowest needle index because
+        # array_position returns the first occurrence
+        "multisearchfirstindex": (
+            "cast(coalesce(array_position("
+            "transform({1}, __n -> instr({0}, __n)), "
+            "array_min(filter(transform({1}, __n -> instr({0}, __n)), "
+            "__p -> __p > 0))), 0) as bigint)"
+        ),
+    }
+)

@@ -1999,3 +1999,86 @@ FROM orders GROUP BY o_orderstatus
 QUERIES["ch_everyday_funcs17"] = Query(
     ch_everyday_funcs17, CH_EVERYDAY17_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs18(spark, sf_dir):
+    """Everyday upstream-CH tier 18: URL hierarchy cut
+    (cutToFirstSignificantSubdomain), URL parameter lists, Saturday
+    week-end rounding (toLastDayOfWeek mode 0), widthBucket,
+    formatReadableDecimalSize, the simpleJSON* canonical aliases,
+    LIKE-filtered map lookups (mapContainsKeyLike / mapExtractKeyLike),
+    the timeSlots grid, and multiSearchFirstIndex.  The oracle
+    recomputes every column from first principles in DuckDB (the JSON
+    extraction reduces to the embedded source column, the slot grid to
+    its two fixed wall-times, the needle index to a CASE ladder)."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e18")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "max(cutToFirstSignificantSubdomain(concat('https://a.b.shop', "
+        "  o_orderkey % 3, '.com.tr/x'))) as c1, "
+        "max(arrayStringConcat(extractURLParameters(concat("
+        "  'http://e.com/?k=', o_orderkey % 7, '&s=', o_orderstatus)), "
+        "  '|')) as up, "
+        "max(toLastDayOfWeek(toDate(o_orderdate))) as ld, "
+        "cast(sum(widthBucket(o_totalprice, 0.0, 600000.0, 10)) "
+        "  as bigint) as wb, "
+        "max(formatReadableDecimalSize(o_orderkey * 10 + 1)) as frd, "
+        "max(simpleJSONExtractString(concat('{\"p\": \"', "
+        "  o_orderpriority, '\"}'), 'p')) as js, "
+        "cast(sum(simpleJSONExtractInt(concat('{\"k\": ', "
+        "  o_orderkey % 100, '}'), 'k')) as bigint) as ji, "
+        "cast(sum(case when mapContainsKeyLike(map(concat('st_', "
+        "  o_orderstatus), 1), 'st_O%') then 1 else 0 end) as bigint) "
+        "  as mc, "
+        "max(arrayStringConcat(arrayMap(x -> toString(x), "
+        "  timeSlots(toDateTime(concat(toString(toDate(o_orderdate)), "
+        "  ' 12:20:00')), 1200, 900)), '|')) as ts, "
+        "cast(sum(multiSearchFirstIndex(o_orderpriority, "
+        "  array('URGENT', 'HIGH', 'MEDIUM'))) as bigint) as mi, "
+        "cast(sum(element_at(mapExtractKeyLike(map('k1', "
+        "  o_orderkey % 97, 'x2', 0), 'k%'), 'k1')) as bigint) as mk "
+        "from ord_e18 group by o_orderstatus"
+    )
+
+
+CH_EVERYDAY18_ORACLE = """
+SELECT o_orderstatus AS st,
+  max('shop' || CAST(o_orderkey % 3 AS VARCHAR) || '.com.tr') AS c1,
+  max('k=' || CAST(o_orderkey % 7 AS VARCHAR) || '|s=' || o_orderstatus)
+    AS up,
+  max(CAST(CAST(o_orderdate AS DATE) + CAST(
+      (6 - dayofweek(CAST(o_orderdate AS DATE))) || ' days'
+      AS INTERVAL) AS DATE)) AS ld,
+  CAST(sum(CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000 THEN 11
+                ELSE CAST(FLOOR(o_totalprice / 600000.0 * 10) AS BIGINT)
+                     + 1 END) AS BIGINT) AS wb,
+  max(CASE
+    WHEN (o_orderkey * 10 + 1) < 1000
+      THEN printf('%.2f B', CAST(o_orderkey * 10 + 1 AS DOUBLE))
+    WHEN (o_orderkey * 10 + 1) < 1000000
+      THEN printf('%.2f KB', (o_orderkey * 10 + 1) / 1000.0)
+    WHEN (o_orderkey * 10 + 1) < 1000000000
+      THEN printf('%.2f MB', (o_orderkey * 10 + 1) / 1000000.0)
+    ELSE printf('%.2f GB', (o_orderkey * 10 + 1) / 1000000000.0)
+  END) AS frd,
+  max(o_orderpriority) AS js,
+  CAST(sum(o_orderkey % 100) AS BIGINT) AS ji,
+  CAST(sum(CASE WHEN o_orderstatus LIKE 'O%' THEN 1 ELSE 0 END)
+    AS BIGINT) AS mc,
+  max(strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') || ' 12:15:00|'
+      || strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+      || ' 12:30:00') AS ts,
+  CAST(sum(CASE WHEN o_orderpriority LIKE '%URGENT%' THEN 1
+                WHEN o_orderpriority LIKE '%HIGH%' THEN 2
+                WHEN o_orderpriority LIKE '%MEDIUM%' THEN 3
+                ELSE 0 END) AS BIGINT) AS mi,
+  CAST(sum(o_orderkey % 97) AS BIGINT) AS mk
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES["ch_everyday_funcs18"] = Query(
+    ch_everyday_funcs18, CH_EVERYDAY18_ORACLE, ("dialect", "functions")
+)

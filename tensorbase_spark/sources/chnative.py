@@ -1051,6 +1051,7 @@ class _Conn(socketserver.StreamRequestHandler):
         self._drain_external_tables(r)
         got_any = False
         while True:
+            engine.check_not_killed()  # kill aborts between wire blocks
             code = r.read_varint()
             if code != CLIENT_DATA:
                 raise _WireError(104, f"expected data packet, got {code}")

@@ -1214,6 +1214,7 @@ def _engine_snapshot(eng) -> dict:
         "use_query_cache": eng._use_query_cache,
         "uint64_storage": eng._uint64_storage,
         "optimize_file_bytes": eng._optimize_file_bytes,
+        "max_execution_time": eng._max_execution_time,
         "database": eng.spark.catalog.currentDatabase(),
     }
 
@@ -1223,6 +1224,7 @@ def _engine_restore(eng, snap: dict) -> None:
     eng._use_query_cache = snap["use_query_cache"]
     eng._uint64_storage = snap["uint64_storage"]
     eng._optimize_file_bytes = snap["optimize_file_bytes"]
+    eng._max_execution_time = snap.get("max_execution_time", 0.0)
     try:
         eng.spark.catalog.setCurrentDatabase(snap["database"])
     except Exception:
@@ -1335,9 +1337,18 @@ class _HttpHandler(BaseHTTPRequestHandler):
         qid = one.get("query_id") or str(_uuid.uuid4())
         one["query_id"] = qid  # response headers echo the tracked id
         qtext = combined[: im.start("data") if im else 4096]
+        # the URL-parameter settings apply later (inside the lock), but
+        # the timeout watchdog must cover the WHOLE request — pass the
+        # per-request budget at track time
+        try:
+            met = float(one["max_execution_time"]) \
+                if "max_execution_time" in one else None
+        except ValueError:
+            met = None
         with eng.track_query(
             qtext.decode("utf-8", "replace").strip(), query_id=qid,
             user=one.get("user") or "default", interface="http",
+            max_execution_time=met,
         ):
             self._execute(one, combined, im, is_insert_data,
                           stream if is_insert_data else None, head_only)
@@ -1586,6 +1597,10 @@ class _HttpHandler(BaseHTTPRequestHandler):
 
         def flush(chunk: bytes):
             nonlocal written, first, saved_names
+            # a KILL (or max_execution_time) mid-upload aborts between
+            # batches — already-committed batches stay, like CH's
+            # per-block INSERT semantics (VERDICT r10 #6)
+            eng.check_not_killed()
             f = fmt if first else self._HEADLESS.get(fmt, fmt)
             rows, data_names = decode_body_rows(f, chunk)
             if data_names is not None:
@@ -1660,6 +1675,7 @@ class _HttpHandler(BaseHTTPRequestHandler):
         )
         written, names, pend = 0, None, []
         while not sf.at_eof():
+            eng.check_not_killed()  # kill aborts between wire blocks
             blk = Block.decode_body(r)
             if names is None and blk.columns:
                 names = [c[0] for c in blk.columns]

@@ -831,6 +831,29 @@ def test_pooled_concurrent_ingest(served):
     )
 
 
+def test_max_execution_time_over_native(served):
+    """SET max_execution_time over the native wire: a scan that blows
+    the budget dies with an Exception packet carrying CH's
+    TIMEOUT_EXCEEDED text; the connection stays usable and the registry
+    drains (VERDICT r10 #6)."""
+    import pytest as _pt
+
+    engine, port = served
+    with NativeClient(port=port) as c:
+        c.execute("set max_execution_time = 1")
+        try:
+            with _pt.raises(Exception, match="Timeout exceeded"):
+                c.execute(
+                    "select sum(cityHash64(toString(number)) % 1000000) "
+                    "as s from numbers(30000000000)"
+                )
+        finally:
+            c.execute("set max_execution_time = 0")
+        _sch, rows = c.execute("select 1 as x")
+        assert rows == [(1,)]
+    assert engine.sql("show processlist").count() == 0
+
+
 def test_processlist_and_kill_over_native(served):
     """A long scan over the NATIVE wire is listed in system.processes
     with interface='native' and KILL QUERY (matched on the query text)

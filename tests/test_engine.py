@@ -3357,6 +3357,34 @@ def test_kill_query_accepted_empty(engine):
     assert out.count() == 0
 
 
+def test_max_execution_time_enforced(engine):
+    """SET max_execution_time = N: the track_query watchdog cancels the
+    job group once the budget elapses and the failure surfaces as CH's
+    TIMEOUT_EXCEEDED shape; a query under the limit is untouched
+    (VERDICT r10 #6)."""
+    import pytest as _pt
+
+    engine.sql("set max_execution_time = 30")
+    with engine.track_query("fast", query_id="met-fast"):
+        got = engine.sql(
+            "select count(*) as n from numbers(1000)").collect()
+        assert got[0].n == 1000
+    engine.sql("set max_execution_time = 1")
+    try:
+        with _pt.raises(TimeoutError, match="Timeout exceeded"):
+            with engine.track_query("slow scan", query_id="met-victim"):
+                engine.sql(
+                    "select sum(cityHash64(toString(number)) % 1000000) "
+                    "as s from numbers(30000000000)"
+                ).collect()
+    finally:
+        engine.sql("set max_execution_time = 0")
+    # registry drained; watchdog did not leave a ghost entry
+    assert engine.sql("show processlist").count() == 0
+    with _pt.raises(ValueError):
+        engine.apply_setting("max_execution_time", "-5")
+
+
 def test_kill_query_bare_rejected(engine):
     """A bare KILL QUERY (no WHERE) must error like upstream CH, not
     mass-cancel every in-flight query (ADVICE r10)."""

@@ -486,3 +486,50 @@ def test_tier17_everyday_functions(spark):
     assert r.dz == 739136  # MySQL TO_DAYS('2023-09-08'); CH matches
     assert r.ps == "1,2,3"
     assert r.f == "localhost" and r.tp == 9000
+
+
+def test_tier18_everyday_functions(spark):
+    """Tier-18 goldens: URL hierarchy cut (CH docs example), URL param
+    list, Saturday week-end rounding, width_bucket, decimal readable
+    size, simpleJSON* aliases, LIKE-filtered maps, the timeSlots grid
+    (CH docs example), first-match needle index."""
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    r = eng.sql(
+        "select "
+        "cutToFirstSignificantSubdomain("
+        "  'https://news.clickhouse.com.tr/path') as c1, "
+        "cutToFirstSignificantSubdomain('paul.www.example.com') as c2, "
+        "arrayStringConcat("
+        "  extractURLParameters('http://e.com/?a=1&b=2&c='), '|') as up, "
+        "toLastDayOfWeek(toDate('2023-09-08')) as ld, "
+        "widthBucket(7.5, 0.0, 10.0, 5) as wb, "
+        "formatReadableDecimalSize(123456789) as frd, "
+        "toValidUTF8('abc') as tv, "
+        "simpleJSONExtractString('{\"a\": \"x\"}', 'a') as js, "
+        "simpleJSONExtractInt('{\"b\": 2}', 'b') as ji, "
+        "simpleJSONExtractBool('{\"f\": true}', 'f') as jb, "
+        "simpleJSONHas('{\"a\": 1}', 'z') as jn, "
+        "mapContainsKeyLike(map('abc', 1, 'def', 2), 'a%') as mc, "
+        "arrayStringConcat(mapKeys("
+        "  mapExtractKeyLike(map('abc', 1, 'def', 2), 'd%'))) as mk, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "  timeSlots(toDateTime('2012-01-01 12:20:00'), 600)), '|') as ts, "
+        "multiSearchFirstIndex('Hello World', "
+        "  array('World', 'Hello')) as mi, "
+        "multiSearchFirstIndex('Hello', array('x', 'y')) as m0"
+    ).collect()[0]
+    assert r.c1 == "clickhouse.com.tr"  # the CH docs example
+    assert r.c2 == "example.com"
+    assert r.up == "a=1|b=2|c="
+    assert str(r.ld) == "2023-09-09"  # Friday -> Saturday (mode 0)
+    assert r.wb == 4
+    assert r.frd == "123.46 MB"
+    assert r.tv == "abc"
+    assert (r.js, r.ji, r.jb, r.jn) == ("x", 2, True, False)
+    assert r.mc is True and r.mk == "def"
+    # the CH docs example: two 1800s slots, 12:00 and 12:30
+    assert r.ts == "2012-01-01 12:00:00|2012-01-01 12:30:00"
+    # 'Hello' (needle 2) matches earliest; no match -> 0
+    assert r.mi == 2 and r.m0 == 0

@@ -808,6 +808,28 @@ def test_mysql_prepared_statement_long_data(served):
         assert rows == [(7, "hello world")]
 
 
+def test_max_execution_time_over_mysql(served):
+    """SET max_execution_time over the MySQL wire: an over-budget scan
+    dies with an ERR packet carrying CH's TIMEOUT_EXCEEDED text; the
+    connection stays usable and the registry drains (VERDICT r10 #6)."""
+    import pytest as _pt
+
+    engine, port = served
+    c = _client(port)
+    c.query("set max_execution_time = 1")
+    try:
+        with _pt.raises(Exception, match="Timeout exceeded"):
+            c.query(
+                "select sum(cityHash64(toString(number)) % 1000000) "
+                "as s from numbers(30000000000)"
+            )
+    finally:
+        c.query("set max_execution_time = 0")
+    cols, rows = c.query("select 1 as x")
+    assert rows == [(1,)]
+    assert engine.sql("show processlist").count() == 0
+
+
 def test_processlist_and_kill_over_mysql(served):
     """A long scan over the MySQL wire is listed in system.processes
     with interface='mysql' and KILL QUERY cancels it mid-flight; the

@@ -428,11 +428,13 @@ def test_vector_distances_stay_codegen(spark, queries):
     assert "HashAggregate" in plan
 
 
-def test_everyday_tiers_16_17_stay_codegen(spark, queries):
-    """The tier-16/17 templates (readable time deltas, bit ladders,
-    morton interleave, non-alpha splits, partial sort) must compile to
+def test_everyday_tiers_16_17_18_stay_codegen(spark, queries):
+    """The tier-16/17/18 templates (readable time deltas, bit ladders,
+    morton interleave, non-alpha splits, partial sort, URL cuts, map
+    LIKE filters, time-slot grids, needle indexing) must compile to
     pure JVM expressions — no Python evaluation anywhere in the plan."""
-    for name in ("ch_everyday_funcs16", "ch_everyday_funcs17"):
+    for name in ("ch_everyday_funcs16", "ch_everyday_funcs17",
+                 "ch_everyday_funcs18"):
         plan = _formatted(spark, queries[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
