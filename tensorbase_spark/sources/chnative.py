@@ -1006,9 +1006,20 @@ class _Conn(socketserver.StreamRequestHandler):
             srv = self.server
             try:
                 for blk in block_iter:
-                    out = bytearray()
+                    data = bytearray()
                     write_data_packet(
-                        out, blk, self._compressed, server=True)
+                        data, blk, self._compressed, server=True)
+                    # upstream-CH interleaves Progress packets with the
+                    # result stream; negotiated revision is <= 54405, so
+                    # the layout is three varints (rows, bytes,
+                    # total_rows) — emitted rows/bytes are the telemetry
+                    # available at this sink
+                    out = bytearray()
+                    write_varint(out, SERVER_PROGRESS)
+                    write_varint(out, blk.nrows)
+                    write_varint(out, len(data))
+                    write_varint(out, 0)  # total_rows unknown (CH: 0)
+                    out += data
                     # test observability: peak per-send buffering
                     srv.max_result_buffer = max(
                         getattr(srv, "max_result_buffer", 0), len(out))
@@ -1205,6 +1216,9 @@ class NativeClient:
         self._r = Reader(self._rf)
         self._compression = compression
         self.server_info: dict[str, Any] = {}
+        # cumulative server Progress telemetry, reset per execute()
+        self.progress: dict[str, int] = {
+            "rows": 0, "bytes": 0, "total_rows": 0}
         out = bytearray()
         write_varint(out, CLIENT_HELLO)
         write_str(out, "tensorbase-spark-native")
@@ -1250,6 +1264,7 @@ class NativeClient:
 
     def execute(self, query: str) -> tuple[list[tuple[str, str]], list[tuple]]:
         """Run a SELECT/DDL; returns ([(col, ch_type)], rows)."""
+        self.progress = {"rows": 0, "bytes": 0, "total_rows": 0}
         self._send_query(query)
         self._send_empty_block()  # external-tables EOD
         schema: list[tuple[str, str]] = []
@@ -1266,8 +1281,11 @@ class NativeClient:
                 return schema, rows
             elif code == SERVER_EXCEPTION:
                 raise self._read_exception()
-            elif code in (SERVER_PROGRESS,):
-                raise ValueError("unexpected progress packet")
+            elif code == SERVER_PROGRESS:
+                # rev <= 54405 layout: rows, bytes, total_rows varints
+                self.progress["rows"] += self._r.read_varint()
+                self.progress["bytes"] += self._r.read_varint()
+                self.progress["total_rows"] = self._r.read_varint()
             else:
                 raise ValueError(f"unexpected server packet {code}")
 

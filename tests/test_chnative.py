@@ -565,6 +565,8 @@ def test_native_select_streams_blocks(engine):
         total = sum(9 + len(r[1]) + 1 for r in rows)
         peak = srv.max_result_buffer
         assert 0 < peak < total / 3
+        # upstream-CH Progress packets rode along, one per block
+        assert c.progress["rows"] == n and c.progress["bytes"] > 0
     finally:
         srv.shutdown()
         srv.server_close()
