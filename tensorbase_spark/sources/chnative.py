@@ -987,7 +987,7 @@ class _Conn(socketserver.StreamRequestHandler):
         # encoding — listable/killable from another connection
         with engine.track_query(
             query, query_id=client_qid or None, interface="native"
-        ):
+        ) as qid:
             df = engine.sql(query)
             if df is None or not df.columns:
                 self._send(self._eos())
@@ -1006,6 +1006,13 @@ class _Conn(socketserver.StreamRequestHandler):
             srv = self.server
             try:
                 for blk in block_iter:
+                    # a stock client's Cancel packet mid-stream stops the
+                    # result (CH answers the truncated stream with EOS);
+                    # cancel the job group too so abandoned partitions of
+                    # the local iterator stop computing
+                    if self._cancel_requested(r):
+                        engine.spark.sparkContext.cancelJobGroup(qid)
+                        break
                     data = bytearray()
                     write_data_packet(
                         data, blk, self._compressed, server=True)
@@ -1148,6 +1155,25 @@ class _Conn(socketserver.StreamRequestHandler):
     def _send(self, out: bytes | bytearray) -> None:
         self.wfile.write(bytes(out))
         self.wfile.flush()
+
+    def _cancel_requested(self, r: Reader) -> bool:
+        """Non-blocking check for a CLIENT_CANCEL packet between result
+        blocks.  Mid-query the only legal client packet is Cancel, so a
+        readable socket means a pending varint; anything else is read
+        and ignored (the reference clears its buffer the same way,
+        messages.rs:189)."""
+        import select as _select
+
+        try:
+            ready, _, _ = _select.select([self.connection], [], [], 0)
+        except (OSError, ValueError):
+            return True  # socket gone: stop streaming
+        if not ready:
+            return False
+        try:
+            return r.read_varint() == CLIENT_CANCEL
+        except EOFError:
+            return True  # client hung up: stop streaming
 
     def _eos(self) -> bytes:
         out = bytearray()

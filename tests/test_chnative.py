@@ -572,6 +572,70 @@ def test_native_select_streams_blocks(engine):
         srv.server_close()
 
 
+def test_client_cancel_stops_stream(engine):
+    """A stock client's Cancel packet mid-result stops the stream: the
+    server answers with EOS after at most a few more blocks (socket
+    backpressure bounds the overshoot) instead of pushing the whole
+    result, and the connection stays usable (messages.rs cancel
+    semantics)."""
+    from tensorbase_spark.sources.chnative import (
+        BLOCK_ROWS,
+        CLIENT_CANCEL,
+        SERVER_DATA,
+        SERVER_END_OF_STREAM,
+        SERVER_EXCEPTION,
+        SERVER_PROGRESS,
+        read_data_packet_body,
+        serve_native,
+        write_varint,
+    )
+
+    srv, port = serve_native(engine)
+    try:
+        n = 40 * BLOCK_ROWS
+        c = NativeClient(port=port, compression=False)
+        c._send_query(
+            f"select number as k, repeat('x', 64) as s from numbers({n})"
+        )
+        c._send_empty_block()
+        rows, data_packets = 0, 0
+        while data_packets < 3:  # header + two data blocks
+            code = c._r.read_varint()
+            if code == SERVER_DATA:
+                blk = read_data_packet_body(c._r, False)
+                rows += blk.nrows
+                if blk.nrows:
+                    data_packets += 1
+            elif code == SERVER_PROGRESS:
+                for _ in range(3):
+                    c._r.read_varint()
+            elif code == SERVER_EXCEPTION:
+                raise c._read_exception()
+            else:
+                raise AssertionError(f"unexpected packet {code}")
+        out = bytearray()
+        write_varint(out, CLIENT_CANCEL)
+        c._send(out)
+        while True:
+            code = c._r.read_varint()
+            if code == SERVER_END_OF_STREAM:
+                break
+            if code == SERVER_DATA:
+                rows += read_data_packet_body(c._r, False).nrows
+            elif code == SERVER_PROGRESS:
+                for _ in range(3):
+                    c._r.read_varint()
+            elif code == SERVER_EXCEPTION:
+                raise c._read_exception()
+        assert rows < n, "cancel did not truncate the stream"
+        _sch, got = c.execute("select 1 as x")  # connection still live
+        assert got == [(1,)]
+        c.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_native_inline_insert_and_exception(served):
     """INSERT with inline VALUES runs server-side like the reference's
     InsertFormatInlineValues (messages.rs:361-364); a bad query returns an
