@@ -322,3 +322,52 @@ def test_http_csv_body_roundtrip(rows):
     payload = b"".join(encode_rows("CSV", names, types, iter(rows)))
     got, _names = decode_body_rows("CSV", payload)
     assert [(int(r[0]), r[1]) for r in got] == [tuple(r) for r in rows]
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.sampled_from(list('ab,"\n\'x0 ')),
+                max_size=8,
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(1, 64),
+    st.integers(1, 24),
+)
+@settings(max_examples=150, deadline=None)
+def test_line_batcher_parses_like_csv_module(rows, batch_bytes, cut):
+    """_LineBatcher's C-speed boundary scan must agree with Python's
+    stateful csv parser for ANY field content — embedded newlines,
+    doubled quotes, and stray quotes inside unquoted fields — at any
+    batch size and any transport split point: re-parsing the batches
+    independently yields exactly the whole-document parse (ADVICE r10)."""
+    import csv
+    import io
+
+    from tensorbase_spark.sources.httpwire import _LineBatcher
+
+    out = io.StringIO()
+    csv.writer(out, lineterminator="\n").writerows(rows)
+    src = out.getvalue().encode()
+    # sprinkle stray (unquoted) quotes after a non-delimiter byte: the
+    # csv module treats them as literal field bytes
+    src = src.replace(b"x", b'x"')
+    expect = list(csv.reader(io.StringIO(src.decode())))
+
+    b = _LineBatcher(True, batch_bytes=batch_bytes)
+    pieces = [src[i:i + cut] for i in range(0, len(src), cut)]
+    batches = []
+    for p in pieces:
+        batches.extend(b.feed(p))
+    batches.extend(b.finish())
+    assert b"".join(batches) == src
+    got = []
+    for chunk in batches:
+        got.extend(csv.reader(io.StringIO(chunk.decode())))
+    assert got == expect
