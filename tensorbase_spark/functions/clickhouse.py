@@ -2197,10 +2197,84 @@ def _time_slots_sql(args: list[str]) -> str:
     )
 
 
+_MYSQL_FMT_TO_SPARK = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
+    "H": "HH", "k": "H", "h": "hh", "l": "h", "i": "mm", "s": "ss",
+    "S": "ss", "p": "a", "M": "MMMM", "b": "MMM", "a": "EEE",
+    "j": "DDD", "T": "HH:mm:ss", "r": "hh:mm:ss a",
+}
+
+
+def _parse_datetime_sql(args: list[str]) -> str:
+    """CH parseDateTime(str, format): MySQL % specifiers translated to
+    Spark's pattern letters at rewrite time.  The format must be a
+    string LITERAL (CH requires a constant format too); literal letters
+    in the format are quoted for Spark's pattern grammar."""
+    fmt = args[1].strip()
+    if not (fmt.startswith("'") and fmt.endswith("'")):
+        raise ValueError("parseDateTime: format must be a string literal")
+    src, out, i = fmt[1:-1], [], 0
+    while i < len(src):
+        ch = src[i]
+        if ch == "%":
+            i += 1
+            if i >= len(src):
+                raise ValueError("parseDateTime: dangling % in format")
+            spec = src[i]
+            if spec == "%":
+                out.append("%")
+            elif spec in _MYSQL_FMT_TO_SPARK:
+                out.append(_MYSQL_FMT_TO_SPARK[spec])
+            else:
+                raise ValueError(
+                    f"parseDateTime: unsupported specifier %{spec}"
+                )
+        elif ch.isalpha():
+            out.append(f"''{ch}''")  # literal letter, quoted for Spark
+        else:
+            out.append(ch)
+        i += 1
+    return f"to_timestamp({args[0]}, '{''.join(out)}')"
+
+
+def _json_length_sql(args: list[str]) -> str:
+    """CH JSONLength(json[, key]): element count of an array or object,
+    0 for scalars/invalid (CH returns 0 when not applicable)."""
+    if len(args) > 1:
+        key = args[1].strip().strip("'\"")
+        t = f"get_json_object({args[0]}, '$.{key}')"
+    else:
+        t = args[0]
+    # size(NULL) is -1 under legacy sizeOfNull — nullif routes scalars
+    # (where json_object_keys is NULL) to CH's 0
+    return (
+        f"coalesce(json_array_length({t}), "
+        f"nullif(size(json_object_keys({t})), -1), 0)"
+    )
+
+
+def _map_arith_sql(op: str):
+    """CH mapAdd/mapSubtract(m1, m2): union of keys, values combined
+    with +/- (a missing key contributes 0)."""
+
+    def f(args: list[str]) -> str:
+        keys = f"array_union(map_keys({args[0]}), map_keys({args[1]}))"
+        return (
+            f"map_from_arrays({keys}, transform({keys}, __k -> "
+            f"coalesce(element_at({args[0]}, __k), 0) {op} "
+            f"coalesce(element_at({args[1]}, __k), 0)))"
+        )
+
+    return f
+
+
 # Everyday tier 18: URL hierarchy cuts, URL parameter lists, week-end
 # rounding, numeric bucketing, decimal readable sizes, the simpleJSON*
 # canonical aliases of visitParam*, LIKE-filtered map lookups, time-slot
-# grids, and first-match needle indexing.  All pure Spark built-in
+# grids, and first-match needle indexing.  Tier 19 rides in the same
+# block: second truncation, DateTime64 casts, MySQL-format parsing,
+# the JSONExtractBool/Raw/Length tail of the JSON family, and map
+# arithmetic (mapAdd/mapSubtract/mapUpdate).  All pure Spark built-in
 # expressions (JVM codegen; plan-pinned in tests/test_plans.py).
 CH_SQL_TEMPLATES.update(
     {
@@ -2248,6 +2322,22 @@ CH_SQL_TEMPLATES.update(
             "map_filter({0}, (__k, __v) -> __k like {1})"
         ),
         "timeslots": _time_slots_sql,
+        "tostartofsecond": "date_trunc('second', {0})",
+        # Spark timestamps are fixed micros — scales beyond 6 cap there
+        "todatetime64": lambda args: f"cast({args[0]} as timestamp)",
+        "parsedatetime": _parse_datetime_sql,
+        "jsonextractbool": _json_tmpl(
+            "coalesce(cast(get_json_object({0}, {1}) as boolean), false)"
+        ),
+        "jsonextractraw": _json_tmpl("get_json_object({0}, {1})"),
+        "jsonlength": _json_length_sql,
+        "mapadd": _map_arith_sql("+"),
+        "mapsubtract": _map_arith_sql("-"),
+        # keys of {1} insert-or-replace into {0} (upstream mapUpdate)
+        "mapupdate": (
+            "map_concat(map_filter({0}, (__k, __v) -> "
+            "not array_contains(map_keys({1}), __k)), {1})"
+        ),
         # 1-based index of the needle matching EARLIEST in the haystack
         # (0 when none match); ties go to the lowest needle index because
         # array_position returns the first occurrence

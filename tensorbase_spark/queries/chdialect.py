@@ -2082,3 +2082,59 @@ FROM orders GROUP BY o_orderstatus
 QUERIES["ch_everyday_funcs18"] = Query(
     ch_everyday_funcs18, CH_EVERYDAY18_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs19(spark, sf_dir):
+    """Everyday upstream-CH tier 19: MySQL-format datetime parsing
+    (parseDateTime), DateTime64 casts, the JSONExtractBool/Raw/Length
+    tail of the JSON family, and map arithmetic
+    (mapAdd/mapSubtract/mapUpdate).  The oracle recomputes each from
+    first principles (the parse round-trips the embedded date string,
+    JSON extraction reduces to the embedded expression, map arithmetic
+    to plain integer arithmetic)."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e19")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "max(toString(parseDateTime(concat(toString(toDate(o_orderdate)),"
+        "  '+12:30:45'), '%Y-%m-%d+%H:%i:%s'))) as pd, "
+        "max(toString(toDateTime64(concat(toString(toDate(o_orderdate)), "
+        "  ' 01:02:03'), 3))) as d64, "
+        "cast(sum(case when JSONExtractBool(concat('{\"u\": ', "
+        "  if(o_orderkey % 2 = 0, 'true', 'false'), '}'), 'u') "
+        "  then 1 else 0 end) as bigint) as jb, "
+        "max(JSONExtractRaw(concat('{\"a\": {\"k\": ', o_orderkey % 5, "
+        "  '}}'), 'a')) as jr, "
+        "cast(sum(JSONLength(concat('[', repeat('1,', o_orderkey % 4), "
+        "  '9]'))) as bigint) as jl, "
+        "cast(sum(arrayElement(mapAdd(map('x', o_orderkey % 10), "
+        "  map('x', 7)), 'x')) as bigint) as ma, "
+        "cast(sum(arrayElement(mapSubtract(map('x', o_orderkey % 11), "
+        "  map('x', 3)), 'x')) as bigint) as ms, "
+        "cast(sum(arrayElement(mapUpdate(map('x', 1, 'y', "
+        "  o_orderkey % 3), map('y', o_orderkey % 5)), 'y')) as bigint) "
+        "  as mu "
+        "from ord_e19 group by o_orderstatus"
+    )
+
+
+CH_EVERYDAY19_ORACLE = """
+SELECT o_orderstatus AS st,
+  max(strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') || ' 12:30:45')
+    AS pd,
+  max(strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') || ' 01:02:03')
+    AS d64,
+  CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS jb,
+  max('{"k":' || CAST(o_orderkey % 5 AS VARCHAR) || '}') AS jr,
+  CAST(sum(o_orderkey % 4 + 1) AS BIGINT) AS jl,
+  CAST(sum(o_orderkey % 10 + 7) AS BIGINT) AS ma,
+  CAST(sum(o_orderkey % 11 - 3) AS BIGINT) AS ms,
+  CAST(sum(o_orderkey % 5) AS BIGINT) AS mu
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES["ch_everyday_funcs19"] = Query(
+    ch_everyday_funcs19, CH_EVERYDAY19_ORACLE, ("dialect", "functions")
+)

@@ -533,3 +533,43 @@ def test_tier18_everyday_functions(spark):
     assert r.ts == "2012-01-01 12:00:00|2012-01-01 12:30:00"
     # 'Hello' (needle 2) matches earliest; no match -> 0
     assert r.mi == 2 and r.m0 == 0
+
+
+def test_tier19_everyday_functions(spark):
+    """Tier-19 goldens: second truncation, DateTime64 casts, MySQL
+    %-format parsing (incl. quoted literal letters like T), the
+    JSONExtractBool/Raw/Length tail, and map arithmetic."""
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    r = eng.sql(
+        "select "
+        "toString(toStartOfSecond(toDateTime('2021-03-04 05:06:07')))"
+        "  as ss, "
+        "toString(toDateTime64('2021-03-04 05:06:07.125', 3)) as d64, "
+        "toString(parseDateTime('2021-01-04+23:00:01', "
+        "  '%Y-%m-%d+%H:%i:%s')) as pd, "
+        "toString(parseDateTime('2023-09-08T11:22:33', "
+        "  '%Y-%m-%dT%H:%i:%s')) as pdt, "
+        "JSONExtractBool('{\"f\": true}', 'f') as jb, "
+        "JSONExtractBool('{\"f\": true}', 'z') as jz, "
+        "JSONExtractRaw('{\"a\": {\"b\": [1,2]}}', 'a') as jr, "
+        "JSONLength('[1,2,3]') as jl1, "
+        "JSONLength('{\"a\":1,\"b\":2}') as jl2, "
+        "JSONLength('{\"a\": [1,2,3,4]}', 'a') as jl3, "
+        "JSONLength('\"scalar\"') as jl0, "
+        "arrayElement(mapAdd(map('a', 1, 'b', 2), map('b', 10, 'c', 3)),"
+        "  'b') as ma, "
+        "arrayElement(mapSubtract(map('a', 5), map('a', 2, 'z', 1)), "
+        "  'z') as ms, "
+        "arrayElement(mapUpdate(map('k', 1, 'j', 9), map('k', 7)), 'k')"
+        "  as mu"
+    ).collect()[0]
+    assert r.ss == "2021-03-04 05:06:07"
+    assert r.d64 == "2021-03-04 05:06:07.125"
+    assert r.pd == "2021-01-04 23:00:01"  # the CH docs example
+    assert r.pdt == "2023-09-08 11:22:33"
+    assert (r.jb, r.jz) == (True, False)
+    assert r.jr == '{"b":[1,2]}'
+    assert (r.jl1, r.jl2, r.jl3, r.jl0) == (3, 2, 4, 0)
+    assert (r.ma, r.ms, r.mu) == (12, -1, 7)
