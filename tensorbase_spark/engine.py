@@ -2213,6 +2213,10 @@ class TensorBaseEngine:
                 "query_id": qid, "query": query.strip()[:8192],
                 "user": user, "interface": interface,
                 "started": _time.time(), "killed": False,
+                "met": float(
+                    max_execution_time if max_execution_time is not None
+                    else (self._max_execution_time or 0)
+                ),
             }
         sc = self.spark.sparkContext
         props = ("spark.jobGroup.id", "spark.job.description",
@@ -2228,10 +2232,8 @@ class TensorBaseEngine:
         # flags the entry, so the query thread's failure is converted to
         # CH's TIMEOUT_EXCEEDED shape below.  Streamed INSERT loops see
         # the same flag through check_not_killed().
-        met = float(
-            max_execution_time if max_execution_time is not None
-            else (self._max_execution_time or 0)
-        )
+        with self._proc_lock:
+            met = self._processes[qid]["met"]
         done_evt: threading.Event | None = None
         if met > 0:
             done_evt = threading.Event()
@@ -2287,11 +2289,11 @@ class TensorBaseEngine:
             e = self._processes.get(qid)
             killed = bool(e and e.get("killed"))
             timed = bool(e and e.get("timed_out"))
+            met = float(e.get("met", 0)) if e else 0.0
         if timed:
             raise TimeoutError(
                 "Timeout exceeded: maximum execution time of "
-                f"{float(self._max_execution_time or 0):g} seconds "
-                "exceeded (max_execution_time)"
+                f"{met:g} seconds exceeded (max_execution_time)"
             )
         if killed:
             raise ValueError(f"Query '{qid}' was cancelled (KILL QUERY)")
