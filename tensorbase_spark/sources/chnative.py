@@ -814,10 +814,25 @@ def _wire_value(base: str, v: Any) -> Any:
     return v
 
 
+def _passthrough(base: str) -> bool:
+    """True when _wire_value is the identity for every value of `base`
+    (the per-value call is pure overhead in the hot encode loop)."""
+    return (
+        base in ("Int8", "Int16", "Int32", "Int64", "UInt16", "UInt32",
+                 "Float32", "Float64", "String", "Date", "Date32")
+        or base.startswith("Decimal")
+        or base.startswith("FixedString")
+    )
+
+
 def _rows_to_block(names, ch_types, bases, chunk) -> Block:
     cols = []
     for j, (n, t, base) in enumerate(zip(names, ch_types, bases)):
-        cols.append((n, t, [_wire_value(base, r[j]) for r in chunk]))
+        if _passthrough(base):
+            vals = [r[j] for r in chunk]
+        else:
+            vals = [_wire_value(base, r[j]) for r in chunk]
+        cols.append((n, t, vals))
     return Block(cols, nrows=len(chunk), bucket=0)
 
 

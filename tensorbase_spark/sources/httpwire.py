@@ -1519,7 +1519,7 @@ class _HttpHandler(BaseHTTPRequestHandler):
         if eager_rows is not None:
             rows: Iterable[tuple] = eager_rows
         else:
-            rows = (tuple(r) for r in df.toLocalIterator())
+            rows = (tuple(r) for r in df.toLocalIterator(prefetchPartitions=True))
         chunks = encode_rows(fmt, names, ch_types, rows, quote64=quote64)
         self._stream(one, fmt, chunks, head_only=head_only)
 

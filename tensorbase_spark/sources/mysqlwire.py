@@ -637,7 +637,7 @@ class _MyConn(socketserver.StreamRequestHandler):
                 for f in df.schema.fields
             ]
             self._send_resultset(
-                pio, cols, (tuple(r) for r in df.toLocalIterator())
+                pio, cols, (tuple(r) for r in df.toLocalIterator(prefetchPartitions=True))
             )
 
     def _stmt_prepare(self, pio: PacketIO, sql: str) -> None:
@@ -721,7 +721,7 @@ class _MyConn(socketserver.StreamRequestHandler):
                 for f in df.schema.fields
             ]
             self._send_resultset(
-                pio, cols, (tuple(r) for r in df.toLocalIterator()),
+                pio, cols, (tuple(r) for r in df.toLocalIterator(prefetchPartitions=True)),
                 binary=True,
             )
 
