@@ -2253,6 +2253,73 @@ def _json_length_sql(args: list[str]) -> str:
     )
 
 
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_encode_sql(args: list[str]) -> str:
+    """CH geohashEncode(longitude, latitude[, precision=12]) as a pure
+    Spark expression.  Closed form (no interval-halving loop): global
+    bit g is bit (g div 2) of the normalized longitude when g is even,
+    of the latitude when odd; bit i of x in [0,1) is
+    floor(x * 2^(i+1)) mod 2.  Each output char packs five global bits
+    into one base-32 digit.  Doubles hold 2^31 exactly, so precision up
+    to 12 (30 bits per dimension) is lossless."""
+    lon, lat = args[0], args[1]
+    prec = args[2] if len(args) > 2 else "12"
+    lonn = f"((({lon}) + 180.0d) / 360.0d)"
+    latn = f"((({lat}) + 90.0d) / 180.0d)"
+    g = "(5 * __gp + __gb)"
+    bit = (
+        f"if({g} % 2 = 0, "
+        f"cast(floor({lonn} * power(2.0d, cast({g} div 2 as double) "
+        f"+ 1.0d)) as bigint) % 2, "
+        f"cast(floor({latn} * power(2.0d, cast({g} div 2 as double) "
+        f"+ 1.0d)) as bigint) % 2)"
+    )
+    val = (
+        f"aggregate(sequence(0, 4), cast(0 as bigint), "
+        f"(__ga, __gb) -> __ga * 2 + {bit})"
+    )
+    return (
+        f"array_join(transform(sequence(0, cast({prec} as int) - 1), "
+        f"__gp -> substring('{_GEOHASH32}', cast({val} as int) + 1, 1)),"
+        f" '')"
+    )
+
+
+def _geohash_decode_sql(args: list[str]) -> str:
+    """CH geohashDecode(hash) -> tuple(longitude, latitude) of the CELL
+    CENTER (the CH docs example: 'ezs42' -> (-5.60302734375,
+    42.60498046875)).  Inverse of the closed form above: fold the
+    global bits into one integer per dimension, then denormalize the
+    midpoint (v + 0.5) / 2^bits."""
+    h = args[0]
+    n5 = f"(5 * length({h}))"
+    idx = (
+        f"(instr('{_GEOHASH32}', substring({h}, __gg div 5 + 1, 1)) - 1)"
+    )
+    bit = f"(shiftright(cast({idx} as int), 4 - (__gg % 5)) % 2)"
+    lonv = (
+        f"aggregate(sequence(0, {n5} - 1), cast(0 as bigint), "
+        f"(__gacc, __gg) -> if(__gg % 2 = 0, __gacc * 2 + {bit}, __gacc))"
+    )
+    latv = (
+        f"aggregate(sequence(0, {n5} - 1), cast(0 as bigint), "
+        f"(__gacc, __gg) -> if(__gg % 2 = 1, __gacc * 2 + {bit}, __gacc))"
+    )
+    lonbits = f"(({n5} + 1) div 2)"
+    latbits = f"({n5} div 2)"
+    lon = (
+        f"((cast({lonv} as double) + 0.5d) "
+        f"/ power(2.0d, cast({lonbits} as double)) * 360.0d - 180.0d)"
+    )
+    lat = (
+        f"((cast({latv} as double) + 0.5d) "
+        f"/ power(2.0d, cast({latbits} as double)) * 180.0d - 90.0d)"
+    )
+    return f"named_struct('_1', {lon}, '_2', {lat})"
+
+
 def _map_arith_sql(op: str):
     """CH mapAdd/mapSubtract(m1, m2): union of keys, values combined
     with +/- (a missing key contributes 0)."""
@@ -2338,6 +2405,30 @@ CH_SQL_TEMPLATES.update(
             "map_concat(map_filter({0}, (__k, __v) -> "
             "not array_contains(map_keys({1}), __k)), {1})"
         ),
+        # tier 20: exact distinct over unrolled group arrays, canonical
+        # IPv4 parse, central angles, and pure-SQL geohash
+        "uniqarray": (
+            "cast(size(array_distinct(flatten(collect_list("
+            "array_distinct({0}))))) as bigint)"
+        ),
+        # canonical dotted-quad: parse to the u32 then re-render (the
+        # num<->string pair above composed at rewrite time)
+        "toipv4": lambda args: (
+            "concat(cast(({n} div 16777216) % 256 as string), '.', "
+            "cast(({n} div 65536) % 256 as string), '.', "
+            "cast(({n} div 256) % 256 as string), '.', "
+            "cast({n} % 256 as string))".format(
+                n=_ipv4stringtonum_sql(args)
+            )
+        ),
+        "greatcircleangle": (
+            "degrees(2 * asin(sqrt("
+            "power(sin(radians(({3}) - ({1})) / 2), 2) + "
+            "cos(radians({1})) * cos(radians({3})) * "
+            "power(sin(radians(({2}) - ({0})) / 2), 2))))"
+        ),
+        "geohashencode": _geohash_encode_sql,
+        "geohashdecode": _geohash_decode_sql,
         # 1-based index of the needle matching EARLIEST in the haystack
         # (0 when none match); ties go to the lowest needle index because
         # array_position returns the first occurrence

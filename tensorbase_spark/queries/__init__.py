@@ -251,7 +251,7 @@ PRIORITY_HEAD = [
     # staleness so the r3/r4 evidence tail drains (VERDICT r10 #3)
     "ch_everyday_funcs17", "wire_http_roundtrip", "wire_native_roundtrip",
     # (b) new round-11 queries
-    "ch_everyday_funcs18", "ch_everyday_funcs19",
+    "ch_everyday_funcs18", "ch_everyday_funcs19", "ch_everyday_funcs20",
 ]
 
 

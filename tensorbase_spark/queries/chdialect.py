@@ -2138,3 +2138,84 @@ FROM orders GROUP BY o_orderstatus
 QUERIES["ch_everyday_funcs19"] = Query(
     ch_everyday_funcs19, CH_EVERYDAY19_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs20(spark, sf_dir):
+    """Everyday upstream-CH tier 20: pure-SQL geohash encode + decode
+    (closed-form bit extraction, no interval-halving loop; golden tests
+    pin the CH docs examples 'ezs42' both directions), IPv4
+    canonicalization (toIPv4), central angles (greatCircleAngle), and
+    exact distinct over unrolled group arrays (uniqArray).  The oracle
+    regenerates the geohash from the IDENTICAL closed form in DuckDB
+    (same IEEE expression order, so the doubles agree bit-for-bit), the
+    decode from the midpoint formula, and uniqArray from a lateral
+    UNNEST."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e20")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "max(geohashEncode((o_orderkey % 360) - 180 + 0.5d, "
+        "  (o_orderkey % 180) - 90 + 0.5d, 6)) as gh, "
+        "max(round(tupleElement(geohashDecode(geohashEncode("
+        "  (o_orderkey % 360) - 180 + 0.5d, "
+        "  (o_orderkey % 180) - 90 + 0.5d, 6)), 1), 6)) as dlon, "
+        "max(toIPv4(concat('010.', o_orderkey % 256, '.000.1'))) as ip, "
+        "max(round(greatCircleAngle(0.0d, 0.0d, "
+        "  cast(o_orderkey % 90 as double), 10.0d), 6)) as gca, "
+        "uniqArray(array(o_orderkey % 7, o_orderkey % 11)) as ua "
+        "from ord_e20 group by o_orderstatus"
+    )
+
+
+def _duck_geohash_expr(prec: int, lonn: str, latn: str) -> str:
+    """DuckDB text of the same closed-form geohash used by the Spark
+    template (identical IEEE expression order per bit)."""
+    chars = []
+    for p in range(prec):
+        terms = []
+        for b in range(5):
+            g = 5 * p + b
+            x = lonn if g % 2 == 0 else latn
+            terms.append(
+                f"(CAST(floor({x} * {2.0 ** (g // 2 + 1)!r}) AS BIGINT) "
+                f"% 2) * {1 << (4 - b)}"
+            )
+        val = " + ".join(terms)
+        chars.append(
+            "substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+            f"1 + CAST({val} AS INT), 1)"
+        )
+    return " || ".join(chars)
+
+
+_E20_LONN = "(((o_orderkey % 360) - 180 + 0.5) + 180.0) / 360.0"
+_E20_LATN = "(((o_orderkey % 180) - 90 + 0.5) + 90.0) / 180.0"
+
+CH_EVERYDAY20_ORACLE = f"""
+WITH main AS (
+  SELECT o_orderstatus AS st,
+    max({_duck_geohash_expr(6, f'({_E20_LONN})', f'({_E20_LATN})')}) AS gh,
+    max(round((floor(({_E20_LONN}) * 32768.0) + 0.5) / 32768.0
+        * 360.0 - 180.0, 6)) AS dlon,
+    max('10.' || CAST(o_orderkey % 256 AS VARCHAR) || '.0.1') AS ip,
+    max(round(degrees(2 * asin(sqrt(
+        power(sin(radians(10.0 - 0.0) / 2), 2) +
+        cos(radians(0.0)) * cos(radians(10.0)) *
+        power(sin(radians(CAST(o_orderkey % 90 AS DOUBLE) - 0.0) / 2),
+              2)))), 6)) AS gca
+  FROM orders GROUP BY o_orderstatus
+), ua AS (
+  SELECT st, CAST(count(DISTINCT v) AS BIGINT) AS ua FROM (
+    SELECT o_orderstatus AS st, o_orderkey % 7 AS v FROM orders
+    UNION ALL
+    SELECT o_orderstatus, o_orderkey % 11 FROM orders
+  ) GROUP BY st
+)
+SELECT main.st AS st, gh, dlon, ip, gca, ua
+FROM main JOIN ua ON main.st = ua.st
+"""
+
+
+QUERIES["ch_everyday_funcs20"] = Query(
+    ch_everyday_funcs20, CH_EVERYDAY20_ORACLE, ("dialect", "functions")
+)

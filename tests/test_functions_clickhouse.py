@@ -573,3 +573,38 @@ def test_tier19_everyday_functions(spark):
     assert r.jr == '{"b":[1,2]}'
     assert (r.jl1, r.jl2, r.jl3, r.jl0) == (3, 2, 4, 0)
     assert (r.ma, r.ms, r.mu) == (12, -1, 7)
+
+
+def test_tier20_everyday_functions(spark):
+    """Tier-20 goldens: pure-SQL geohash encode/decode against the CH
+    docs examples ('ezs42' both directions), IPv4 canonicalization,
+    central angles, and exact distinct over unrolled arrays."""
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    r = eng.sql(
+        "select "
+        "geohashEncode(-5.60302734375, 42.60498046875, 5) as gh5, "
+        "geohashEncode(-122.4194, 37.7749, 9) as sf9, "
+        "tupleElement(geohashDecode('ezs42'), 1) as dlon, "
+        "tupleElement(geohashDecode('ezs42'), 2) as dlat, "
+        "geohashEncode(tupleElement(geohashDecode('9q8yyk8yt'), 1), "
+        "  tupleElement(geohashDecode('9q8yyk8yt'), 2), 9) as rt, "
+        "toIPv4('010.001.002.003') as ip, "
+        "round(greatCircleAngle(-55.3, -23.5, -55.3, -22.5), 4) as gca"
+    ).collect()[0]
+    assert r.gh5 == "ezs42"  # the CH docs example
+    assert r.sf9 == "9q8yyk8yt"
+    # the CH docs example decode, exact: cell-center semantics
+    assert (r.dlon, r.dlat) == (-5.60302734375, 42.60498046875)
+    assert r.rt == "9q8yyk8yt"  # decode -> encode fixpoint
+    assert r.ip == "10.1.2.3"
+    assert r.gca == 1.0  # one degree of latitude = 1 degree of arc
+    spark.sql(
+        "select * from values (1, array(1,2)), (1, array(2,3)), "
+        "(2, array(5)) as t(g, a)"
+    ).createOrReplaceTempView("ua20")
+    got = eng.sql(
+        "select g, uniqArray(a) as u from ua20 group by g order by g"
+    ).collect()
+    assert [(x.g, x.u) for x in got] == [(1, 3), (2, 1)]
