@@ -920,6 +920,68 @@ def test_max_execution_time_over_native(served):
     assert engine.sql("show processlist").count() == 0
 
 
+def test_kill_during_native_insert(engine):
+    """KILL QUERY lands between data blocks of a native INSERT dance:
+    the block in flight at kill time may commit (per-block semantics),
+    every later block is refused with an Exception packet, and nothing
+    after the kill is ingested (VERDICT r10 #6, native-door half)."""
+    import time
+
+    from tensorbase_spark.sources.chnative import (
+        SERVER_DATA,
+        SERVER_EXCEPTION,
+        Block,
+        read_data_packet_body,
+        serve_native,
+        write_data_packet,
+    )
+
+    srv, port = serve_native(engine)
+    try:
+        with NativeClient(port=port) as setup:
+            setup.execute("create table tnk (a Int64)")
+        c = NativeClient(port=port, compression=False)
+        c._send_query("INSERT INTO tnk (a) VALUES")
+        c._send_empty_block()  # external-tables EOD
+        assert c._r.read_varint() == SERVER_DATA
+        read_data_packet_body(c._r, False)  # header block
+        out = bytearray()
+        write_data_packet(
+            out, Block([("a", "Int64", [1, 2, 3])], bucket=0),
+            False, server=False)
+        c._send(out)
+        deadline = time.time() + 60
+        killed = []
+        while time.time() < deadline and not killed:
+            killed = engine.sql(
+                "kill query where query like '%INSERT INTO tnk%' async"
+            ).collect()
+            time.sleep(0.1)
+        assert killed and killed[0].kill_status == "waiting"
+        # two more blocks: at most the one in flight at kill time lands
+        for vals in ([4, 5], [6, 7]):
+            out = bytearray()
+            write_data_packet(
+                out, Block([("a", "Int64", vals)], bucket=0),
+                False, server=False)
+            c._send(out)
+        c._send_empty_block()
+        assert c._r.read_varint() == SERVER_EXCEPTION
+        exc = c._read_exception()
+        assert "cancelled" in str(exc)
+        c.close()
+        with NativeClient(port=port) as v:
+            _s, rows = v.execute(
+                "select count(*) as n, coalesce(max(a), -1) as m from tnk"
+            )
+        n, m = rows[0]
+        assert n in (3, 5) and m <= 5  # blocks after the kill never land
+        assert engine.sql("show processlist").count() == 0
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_processlist_and_kill_over_native(served):
     """A long scan over the NATIVE wire is listed in system.processes
     with interface='native' and KILL QUERY (matched on the query text)
