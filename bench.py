@@ -120,17 +120,20 @@ def main() -> int:
     )
     io_w: list[float] = []
     io_r: list[float] = []
-    for _ in range(runs):
+    try:
+        for _ in range(runs):
+            shutil.rmtree(io_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            probe.write.mode("overwrite").parquet(io_dir)
+            io_w.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            spark.read.parquet(io_dir).selectExpr(
+                "sum(length(s)) as n", "sum(v) as sv"
+            ).write.format("noop").mode("overwrite").save()
+            io_r.append(time.perf_counter() - t0)
+    finally:
+        # an aborted probe must not leave ~220 MB behind in the repo
         shutil.rmtree(io_dir, ignore_errors=True)
-        t0 = time.perf_counter()
-        probe.write.mode("overwrite").parquet(io_dir)
-        io_w.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        spark.read.parquet(io_dir).selectExpr(
-            "sum(length(s)) as n", "sum(v) as sv"
-        ).write.format("noop").mode("overwrite").save()
-        io_r.append(time.perf_counter() - t0)
-    shutil.rmtree(io_dir, ignore_errors=True)
     io_w.sort()
     io_r.sort()
     calibration["io_write_best"] = round(io_w[0], 4)

@@ -2233,18 +2233,22 @@ class TensorBaseEngine:
         # CH's TIMEOUT_EXCEEDED shape below.  Streamed INSERT loops see
         # the same flag through check_not_killed().
         with self._proc_lock:
-            met = self._processes[qid]["met"]
+            entry = self._processes[qid]
+            met = entry["met"]
         done_evt: threading.Event | None = None
         if met > 0:
             done_evt = threading.Event()
 
-            def _watchdog(evt=done_evt, budget=met):
+            def _watchdog(evt=done_evt, budget=met, own=entry):
                 if evt.wait(budget):
                     return
                 while not evt.is_set():
                     with self._proc_lock:
                         e = self._processes.get(qid)
-                        if e is None:
+                        # identity check: a finished victim's query_id
+                        # may be reused by a successor before this
+                        # thread wakes — never flag someone else's entry
+                        if e is not own:
                             return
                         e["killed"] = True
                         e["timed_out"] = True

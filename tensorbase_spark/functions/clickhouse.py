@@ -2237,6 +2237,25 @@ def _parse_datetime_sql(args: list[str]) -> str:
     return f"to_timestamp({args[0]}, '{''.join(out)}')"
 
 
+def _to_datetime64_sql(args: list[str]) -> str:
+    """CH toDateTime64(expr, scale): truncate the fractional seconds to
+    `scale` digits (Spark timestamps are fixed micros, so scales beyond
+    6 cap there).  A non-literal scale falls back to scale 6."""
+    scale = 6
+    if len(args) > 1:
+        s = args[1].strip().strip("'\"")
+        if s.isdigit():
+            scale = min(6, int(s))
+    f = 10 ** (6 - scale)
+    ts = f"cast({args[0]} as timestamp)"
+    if f == 1:
+        return ts
+    return (
+        f"timestamp_micros(cast(floor(unix_micros({ts}) / {f}) * {f} "
+        f"as bigint))"
+    )
+
+
 def _json_length_sql(args: list[str]) -> str:
     """CH JSONLength(json[, key]): element count of an array or object,
     0 for scalars/invalid (CH returns 0 when not applicable)."""
@@ -2390,8 +2409,7 @@ CH_SQL_TEMPLATES.update(
         ),
         "timeslots": _time_slots_sql,
         "tostartofsecond": "date_trunc('second', {0})",
-        # Spark timestamps are fixed micros — scales beyond 6 cap there
-        "todatetime64": lambda args: f"cast({args[0]} as timestamp)",
+        "todatetime64": _to_datetime64_sql,
         "parsedatetime": _parse_datetime_sql,
         "jsonextractbool": _json_tmpl(
             "coalesce(cast(get_json_object({0}, {1}) as boolean), false)"

@@ -1176,22 +1176,28 @@ class _Conn(socketserver.StreamRequestHandler):
 
     def _cancel_requested(self, r: Reader) -> bool:
         """Non-blocking check for a CLIENT_CANCEL packet between result
-        blocks.  Mid-query the only legal client packet is Cancel, so a
-        readable socket means a pending varint; anything else is read
-        and ignored (the reference clears its buffer the same way,
-        messages.rs:189)."""
-        import select as _select
-
+        blocks.  The read goes through the BUFFERED rfile in momentary
+        non-blocking mode — a select() on the raw socket would miss a
+        Cancel that an earlier buffered read already pulled into the
+        BufferedReader's readahead (r11 review).  Mid-query the only
+        legal client packet is Cancel (a single-byte varint); anything
+        else is read and ignored (the reference clears its buffer the
+        same way, messages.rs:189)."""
         try:
-            ready, _, _ = _select.select([self.connection], [], [], 0)
+            self.connection.settimeout(0.0)
+            try:
+                b = self.rfile.read(1)
+            finally:
+                self.connection.settimeout(None)
+        except (BlockingIOError, InterruptedError):
+            return False  # no pending bytes
         except (OSError, ValueError):
             return True  # socket gone: stop streaming
-        if not ready:
-            return False
-        try:
-            return r.read_varint() == CLIENT_CANCEL
-        except EOFError:
+        if b is None:
+            return False  # non-blocking read: nothing buffered
+        if b == b"":
             return True  # client hung up: stop streaming
+        return b[0] == CLIENT_CANCEL
 
     def _eos(self) -> bytes:
         out = bytearray()

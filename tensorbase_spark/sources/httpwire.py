@@ -952,7 +952,17 @@ class _BodyReader:
         if self._transport_eof:
             return b""
         if self.chunked:
-            size_line = self.rfile.readline().split(b";", 1)[0].strip()
+            line = self.rfile.readline()
+            if not line:
+                # EOF where a chunk-size line belongs: the client died
+                # at a chunk boundary — without this, int(b'' or b'0')
+                # would read as the terminating 0-chunk and silently
+                # commit a truncated INSERT
+                raise ValueError(
+                    "unexpected end of request body (disconnect at a "
+                    "chunk boundary, no terminating 0-chunk)"
+                )
+            size_line = line.split(b";", 1)[0].strip()
             size = int(size_line or b"0", 16)
             if size == 0:
                 self.rfile.readline()  # trailing CRLF after last-chunk
@@ -1214,7 +1224,10 @@ def _engine_snapshot(eng) -> dict:
         "use_query_cache": eng._use_query_cache,
         "uint64_storage": eng._uint64_storage,
         "optimize_file_bytes": eng._optimize_file_bytes,
-        "max_execution_time": eng._max_execution_time,
+        # max_execution_time deliberately NOT round-tripped through the
+        # shared engine: the per-request/per-session budget is resolved
+        # at track time in _run, so it can never arm a watchdog on a
+        # concurrent door's query (r11 review)
         "database": eng.spark.catalog.currentDatabase(),
     }
 
@@ -1224,7 +1237,6 @@ def _engine_restore(eng, snap: dict) -> None:
     eng._use_query_cache = snap["use_query_cache"]
     eng._uint64_storage = snap["uint64_storage"]
     eng._optimize_file_bytes = snap["optimize_file_bytes"]
-    eng._max_execution_time = snap.get("max_execution_time", 0.0)
     try:
         eng.spark.catalog.setCurrentDatabase(snap["database"])
     except Exception:
@@ -1337,14 +1349,19 @@ class _HttpHandler(BaseHTTPRequestHandler):
         qid = one.get("query_id") or str(_uuid.uuid4())
         one["query_id"] = qid  # response headers echo the tracked id
         qtext = combined[: im.start("data") if im else 4096]
-        # the URL-parameter settings apply later (inside the lock), but
-        # the timeout watchdog must cover the WHOLE request — pass the
-        # per-request budget at track time
+        # the timeout watchdog must cover the WHOLE request, so the
+        # budget is resolved HERE: per-request URL parameter first, then
+        # the session's persisted setting (never via the shared engine
+        # global — see the settings loop)
         try:
             met = float(one["max_execution_time"]) \
                 if "max_execution_time" in one else None
         except ValueError:
             met = None
+        if met is None:
+            sess = self.server.sessions.get(one.get("session_id") or "")
+            if sess and sess.get("max_execution_time"):
+                met = float(sess["max_execution_time"])
         with eng.track_query(
             qtext.decode("utf-8", "replace").strip(), query_id=qid,
             user=one.get("user") or "default", interface="http",
@@ -1420,6 +1437,13 @@ class _HttpHandler(BaseHTTPRequestHandler):
                 for k, v in one.items():
                     if k in _RESERVED_PARAMS or not re.fullmatch(r"\w+", k):
                         continue
+                    if k == "max_execution_time":
+                        # handled at track time (below, before the lock);
+                        # writing it to the shared engine here would arm
+                        # 1-second watchdogs on CONCURRENT native/MySQL/
+                        # inline queries that read the global as their
+                        # fallback budget (r11 review)
+                        continue
                     # engine-recognized settings (incl. param_* query
                     # parameters) applied through the parsed-value API —
                     # never re-serialized to SQL, so a quote or comma in
@@ -1462,7 +1486,17 @@ class _HttpHandler(BaseHTTPRequestHandler):
                         # FIFO scheduler (the whole point of KILL QUERY)
                         eager_rows = [tuple(r) for r in df.collect()]
                 if session_id:
-                    srv.sessions[session_id] = _engine_snapshot(eng)
+                    snap2 = _engine_snapshot(eng)
+                    if "max_execution_time" in one:
+                        # persisted per-session like any other setting,
+                        # though it is applied at track time, not via
+                        # the shared engine global
+                        try:
+                            snap2["max_execution_time"] = float(
+                                one["max_execution_time"])
+                        except ValueError:
+                            pass
+                    srv.sessions[session_id] = snap2
                     srv.session_expiry[session_id] = (
                         _time.monotonic()
                         + float(one.get("session_timeout") or 60)

@@ -547,6 +547,8 @@ def test_tier19_everyday_functions(spark):
         "toString(toStartOfSecond(toDateTime('2021-03-04 05:06:07')))"
         "  as ss, "
         "toString(toDateTime64('2021-03-04 05:06:07.125', 3)) as d64, "
+        "toString(toDateTime64('2021-03-04 05:06:07.125', 0)) as d640, "
+        "toString(toDateTime64('2021-03-04 05:06:07.129', 2)) as d642, "
         "toString(parseDateTime('2021-01-04+23:00:01', "
         "  '%Y-%m-%d+%H:%i:%s')) as pd, "
         "toString(parseDateTime('2023-09-08T11:22:33', "
@@ -567,6 +569,9 @@ def test_tier19_everyday_functions(spark):
     ).collect()[0]
     assert r.ss == "2021-03-04 05:06:07"
     assert r.d64 == "2021-03-04 05:06:07.125"
+    # scale truncates (not rounds) the fractional digits, like CH
+    assert r.d640 == "2021-03-04 05:06:07"
+    assert r.d642 == "2021-03-04 05:06:07.12"
     assert r.pd == "2021-01-04 23:00:01"  # the CH docs example
     assert r.pdt == "2023-09-08 11:22:33"
     assert (r.jb, r.jz) == (True, False)

@@ -579,6 +579,13 @@ def test_body_reader_truncated_bodies_raise():
     with _pt.raises(ValueError, match="chunk"):
         b"".join(iter(br.read_piece, b""))
 
+    # chunked framing cut AT a chunk boundary (complete chunk, then
+    # EOF where the next size line / terminating 0-chunk belongs)
+    br = _BodyReader(io.BytesIO(b"8\r\n1,a\n2,b\r\n"),
+                     {"Transfer-Encoding": "chunked"}, {})
+    with _pt.raises(ValueError, match="boundary"):
+        b"".join(iter(br.read_piece, b""))
+
     # gzip member truncated (flush() alone would not error)
     comp = gzip.compress(b"1,a\n" * 1000)
     cut = comp[: len(comp) - 8]
@@ -828,6 +835,18 @@ def test_max_execution_time_over_http(served):
         assert st == 200 and data == b"100\n"
         _n, _t, rows = c.execute("show processlist")
         assert rows == []
+        # a budget passed WITH a session_id persists for the session
+        # (resolved at track time, never through the shared engine
+        # global — a concurrent door must not inherit it)
+        st, _h, data = c.raw(
+            query="select 1 as x FORMAT TSV",
+            params={"session_id": "met-sess", "max_execution_time": "1"})
+        assert st == 200
+        st, _h, data = c.raw(
+            query="select sum(cityHash64(toString(number)) % 1000000) "
+                  "as s from numbers(30000000000) FORMAT TSV",
+            params={"session_id": "met-sess"})
+        assert st != 200 and b"Timeout exceeded" in data
 
 
 def test_kill_async_over_http(served):
