@@ -2237,6 +2237,39 @@ def _parse_datetime_sql(args: list[str]) -> str:
     return f"to_timestamp({args[0]}, '{''.join(out)}')"
 
 
+def _extract_groups_sql(args: list[str]) -> str:
+    """CH extractGroups(haystack, pattern): array of every capture
+    group of the FIRST match (empty strings when unmatched).  The
+    pattern must be a string literal (CH requires a constant too) —
+    the group count is derived at rewrite time by scanning for
+    unescaped, non-(?:...) opening parens."""
+    pat = args[1].strip()
+    if not (pat.startswith("'") and pat.endswith("'")):
+        raise ValueError("extractGroups: pattern must be a string literal")
+    body = pat[1:-1]
+    n, i, in_class = 0, 0, False
+    while i < len(body):
+        ch = body[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            in_class = True
+        elif ch == "(" and not body.startswith("(?", i):
+            n += 1
+        i += 1
+    if n == 0:
+        return "array()"
+    parts = ", ".join(
+        f"regexp_extract({args[0]}, {pat}, {g})" for g in range(1, n + 1)
+    )
+    # CH returns the EMPTY array when nothing matches (not [''])
+    return f"if({args[0]} rlike {pat}, array({parts}), array())"
+
+
 def _to_datetime64_sql(args: list[str]) -> str:
     """CH toDateTime64(expr, scale): truncate the fractional seconds to
     `scale` digits (Spark timestamps are fixed micros, so scales beyond
@@ -2447,6 +2480,38 @@ CH_SQL_TEMPLATES.update(
         ),
         "geohashencode": _geohash_encode_sql,
         "geohashdecode": _geohash_decode_sql,
+        # tier 21: compact-integer date forms, Snowflake-ID time
+        # extraction, sub-second truncation, first-match group capture
+        "yyyymmddtodate": (
+            "to_date(lpad(cast(cast({0} as bigint) as string), 8, '0'), "
+            "'yyyyMMdd')"
+        ),
+        "yyyymmddhhmmsstodatetime": (
+            "to_timestamp(lpad(cast(cast({0} as bigint) as string), 14, "
+            "'0'), 'yyyyMMddHHmmss')"
+        ),
+        # Twitter-epoch Snowflake IDs: milliseconds live in bits 22+
+        # (epoch 1288834974657 = 2010-11-04T01:42:54.657Z)
+        "snowflaketodatetime": (
+            "timestamp_millis(shiftright(cast({0} as bigint), 22) "
+            "+ 1288834974657)"
+        ),
+        "datetimetosnowflake": (
+            "shiftleft(unix_millis(cast({0} as timestamp)) "
+            "- 1288834974657, 22)"
+        ),
+        "tostartofmillisecond": (
+            "timestamp_micros(cast(floor(unix_micros(cast({0} as "
+            "timestamp)) / 1000) * 1000 as bigint))"
+        ),
+        "tostartofmicrosecond": "cast({0} as timestamp)",
+        # quarter = 3 months (make_interval has no quarter slot)
+        "tointervalquarter": (
+            "make_interval(0, 3 * ({0}), 0, 0, 0, 0, 0)"
+        ),
+        "extractgroups": _extract_groups_sql,
+        # a stable server identity constant, like fqdn()/tcpPort() above
+        "serveruuid": "'7e6fa0a1-7e6f-a0a1-7e6f-a0a17e6fa0a1'",
         # 1-based index of the needle matching EARLIEST in the haystack
         # (0 when none match); ties go to the lowest needle index because
         # array_position returns the first occurrence

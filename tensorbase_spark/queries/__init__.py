@@ -252,6 +252,7 @@ PRIORITY_HEAD = [
     "ch_everyday_funcs17", "wire_http_roundtrip", "wire_native_roundtrip",
     # (b) new round-11 queries
     "ch_everyday_funcs18", "ch_everyday_funcs19", "ch_everyday_funcs20",
+    "ch_everyday_funcs21",
 ]
 
 

@@ -2219,3 +2219,62 @@ FROM main JOIN ua ON main.st = ua.st
 QUERIES["ch_everyday_funcs20"] = Query(
     ch_everyday_funcs20, CH_EVERYDAY20_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs21(spark, sf_dir):
+    """Everyday upstream-CH tier 21: compact-integer date forms
+    (YYYYMMDDToDate / YYYYMMDDhhmmssToDateTime), Snowflake-ID time
+    extraction both directions (Twitter epoch 1288834974657, ms in
+    bits 22+), sub-second truncation (toStartOfMillisecond),
+    first-match group capture (extractGroups), and quarter intervals.
+    The oracle recomputes each from first principles: strptime of the
+    same padded digits, the same shift/epoch arithmetic via epoch_ms,
+    string reassembly for the truncated fraction and captures, and
+    month-clamped +3 months for the quarter."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e21")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "max(toString(YYYYMMDDToDate(20230100 + o_orderkey % 28 + 1))) "
+        "  as d, "
+        "max(toString(YYYYMMDDhhmmssToDateTime(20230911131400 "
+        "  + o_orderkey % 60))) as dt, "
+        "max(toString(snowflakeToDateTime(dateTimeToSnowflake("
+        "  toDateTime('2021-08-15 18:57:56')) "
+        "  + (o_orderkey % 60) * 1000 * 4194304))) as sf, "
+        "max(dateTimeToSnowflake(toDateTime('2021-08-15 18:57:56')) "
+        "  + (o_orderkey % 60) * 1000 * 4194304) as sfi, "
+        "max(toString(toStartOfMillisecond(toDateTime64(concat("
+        "  toString(toDate(o_orderdate)), ' 01:02:03.123456'), 6)))) "
+        "  as ms, "
+        "max(arrayStringConcat(extractGroups(concat('k=', "
+        "  o_orderkey % 100), '([a-z])=([0-9]+)'), '|')) as eg, "
+        "max(toString(toDate(o_orderdate) + toIntervalQuarter(1))) as q "
+        "from ord_e21 group by o_orderstatus"
+    )
+
+
+CH_EVERYDAY21_ORACLE = """
+SELECT o_orderstatus AS st,
+  max(strftime(strptime(CAST(20230100 + o_orderkey % 28 + 1 AS VARCHAR),
+      '%Y%m%d'), '%Y-%m-%d')) AS d,
+  max(strftime(strptime(CAST(20230911131400 + o_orderkey % 60
+      AS VARCHAR), '%Y%m%d%H%M%S'), '%Y-%m-%d %H:%M:%S')) AS dt,
+  max(strftime(TIMESTAMP '2021-08-15 18:57:56'
+      + CAST((o_orderkey % 60) || ' seconds' AS INTERVAL),
+      '%Y-%m-%d %H:%M:%S')) AS sf,
+  max((CAST(epoch_ms(TIMESTAMP '2021-08-15 18:57:56') AS BIGINT)
+       - 1288834974657) * 4194304
+      + (o_orderkey % 60) * 1000 * 4194304) AS sfi,
+  max(strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+      || ' 01:02:03.123') AS ms,
+  max('k|' || CAST(o_orderkey % 100 AS VARCHAR)) AS eg,
+  max(strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH
+      AS DATE), '%Y-%m-%d')) AS q
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES["ch_everyday_funcs21"] = Query(
+    ch_everyday_funcs21, CH_EVERYDAY21_ORACLE, ("dialect", "functions")
+)

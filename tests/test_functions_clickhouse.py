@@ -613,3 +613,39 @@ def test_tier20_everyday_functions(spark):
         "select g, uniqArray(a) as u from ua20 group by g order by g"
     ).collect()
     assert [(x.g, x.u) for x in got] == [(1, 3), (2, 1)]
+
+
+def test_tier21_everyday_functions(spark):
+    """Tier-21 goldens: compact-integer date forms, Snowflake-ID time
+    extraction (CH docs example, UTC rendering), sub-second
+    truncation, first-match group capture (CH docs example), quarter
+    intervals, server identity constant."""
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    r = eng.sql(
+        "select "
+        "toString(YYYYMMDDToDate(20230911)) as d, "
+        "toString(YYYYMMDDhhmmssToDateTime(20230911131415)) as dt, "
+        "toString(snowflakeToDateTime(1426860702823350272)) as sf, "
+        "toString(snowflakeToDateTime(dateTimeToSnowflake("
+        "  toDateTime('2021-08-15 18:57:56')))) as rt, "
+        "toString(toStartOfMillisecond(toDateTime64("
+        "  '2021-03-04 05:06:07.123456', 6))) as ms, "
+        "arrayStringConcat(extractGroups('hello abc=111, def=2', "
+        "  '([a-z]+)=([0-9]+)'), '|') as eg, "
+        "size(extractGroups('none', '([0-9]+)')) as eg0, "
+        "size(extractGroups('x', 'no[?:]groups')) as egn, "
+        "toString(toDate('2023-01-31') + toIntervalQuarter(1)) as q, "
+        "serverUUID() as su"
+    ).collect()[0]
+    assert r.d == "2023-09-11"
+    assert r.dt == "2023-09-11 13:14:15"
+    # the CH docs example id, rendered in UTC (docs show Asia/Shanghai)
+    assert r.sf == "2021-08-15 10:57:56"
+    assert r.rt == "2021-08-15 18:57:56"  # snowflake roundtrip
+    assert r.ms == "2021-03-04 05:06:07.123"
+    assert r.eg == "abc|111"  # the CH docs example (first match)
+    assert r.eg0 == 0 and r.egn == 0  # no match / no groups -> []
+    assert r.q == "2023-04-30"  # month-end clamped, like CH
+    assert r.su == "7e6fa0a1-7e6f-a0a1-7e6f-a0a17e6fa0a1"
