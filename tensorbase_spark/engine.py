@@ -2209,10 +2209,16 @@ class TensorBaseEngine:
                 raise ValueError(
                     f"Query with id = '{qid}' is already running"
                 )
+            # the Spark job group is qid + a per-run nonce: a stale
+            # canceller (watchdog of a finished run, KILL reaper) can
+            # then never hit a successor that reuses the same
+            # client-supplied query_id — cancelling a dead unique group
+            # is a harmless no-op (ADVICE r11)
+            jg = f"{qid}::{_uuid.uuid4().hex[:8]}"
             self._processes[qid] = {
                 "query_id": qid, "query": query.strip()[:8192],
                 "user": user, "interface": interface,
-                "started": _time.time(), "killed": False,
+                "started": _time.time(), "killed": False, "jg": jg,
                 "met": float(
                     max_execution_time if max_execution_time is not None
                     else (self._max_execution_time or 0)
@@ -2222,7 +2228,7 @@ class TensorBaseEngine:
         props = ("spark.jobGroup.id", "spark.job.description",
                  "spark.job.interruptOnCancel")
         prev = {k: sc.getLocalProperty(k) for k in props}
-        sc.setLocalProperty("spark.jobGroup.id", qid)
+        sc.setLocalProperty("spark.jobGroup.id", jg)
         sc.setLocalProperty("spark.job.description", query.strip()[:200])
         sc.setLocalProperty("spark.job.interruptOnCancel", "true")
         tls.depth, tls.qid = 1, qid
@@ -2239,7 +2245,7 @@ class TensorBaseEngine:
         if met > 0:
             done_evt = threading.Event()
 
-            def _watchdog(evt=done_evt, budget=met, own=entry):
+            def _watchdog(evt=done_evt, budget=met, own=entry, grp=jg):
                 if evt.wait(budget):
                     return
                 while not evt.is_set():
@@ -2252,7 +2258,10 @@ class TensorBaseEngine:
                             return
                         e["killed"] = True
                         e["timed_out"] = True
-                    sc.cancelJobGroup(qid)
+                    # the per-run unique group makes this cancel safe
+                    # even if the victim exits between the check above
+                    # and here — a successor runs under a different group
+                    sc.cancelJobGroup(grp)
                     if evt.wait(0.1):
                         return
 
@@ -2266,10 +2275,19 @@ class TensorBaseEngine:
             with self._proc_lock:
                 e = self._processes.get(qid)
                 timed = bool(e and e.get("timed_out"))
+                was_killed = bool(e and e.get("killed"))
             if timed:
                 raise TimeoutError(
                     "Timeout exceeded: maximum execution time of "
                     f"{met:g} seconds exceeded (max_execution_time)"
+                ) from exc
+            if was_killed:
+                # the KILL reaper cancels the victim's jobs directly, so
+                # the failure surfaces as a raw Spark SPARK_JOB_CANCELLED
+                # error — convert it to CH's QUERY_WAS_CANCELLED shape
+                # here so every front door reports kills uniformly
+                raise ValueError(
+                    f"Query '{qid}' was cancelled (KILL QUERY)"
                 ) from exc
             raise
         finally:
@@ -2362,6 +2380,42 @@ class TensorBaseEngine:
             ]
         return self._local_values_df(rows, self._PROC_COLS)
 
+    def job_group_for(self, qid: str) -> str:
+        """The per-run Spark job-group id of a live tracked query (falls
+        back to the query_id itself if the query already exited) — the
+        only id ``cancelJobGroup`` should ever be handed, so a stale
+        cancel can never hit a successor reusing the same query_id."""
+        with self._proc_lock:
+            e = self._processes.get(qid)
+            return e.get("jg", qid) if e else qid
+
+    def cancel_query(self, qid: str) -> None:
+        """Cancel the CURRENT run of a tracked query (wire doors call
+        this when a client Cancel packet arrives mid-stream)."""
+        self.spark.sparkContext.cancelJobGroup(self.job_group_for(qid))
+
+    def _start_kill_reaper(self, qid: str, own: dict, jg: str) -> None:
+        """Standing cancellation for ``KILL … ASYNC``: re-issue
+        ``cancelJobGroup`` every 100 ms until the flagged entry leaves
+        the process registry, so a kill that lands before the victim's
+        first Spark job registers still takes effect once it does.
+        Bounded as a backstop; the unique per-run group makes every
+        re-cancel safe."""
+        sc = self.spark.sparkContext
+
+        def _reap():
+            deadline = _time.time() + 300.0
+            while _time.time() < deadline:
+                with self._proc_lock:
+                    if self._processes.get(qid) is not own:
+                        return
+                sc.cancelJobGroup(jg)
+                _time.sleep(0.1)
+
+        threading.Thread(
+            target=_reap, daemon=True, name=f"tb-kill-{qid[:12]}"
+        ).start()
+
     def _kill_query(self, c: str) -> DataFrame:
         """Upstream-CH ``KILL QUERY [WHERE …] [SYNC|ASYNC|TEST]``: the
         WHERE clause filters system.processes; each match's Spark job
@@ -2395,24 +2449,36 @@ class TensorBaseEngine:
             if mode == "test":
                 out.append(("can_be_killed", qid, user))
                 continue
-            sc.cancelJobGroup(qid)
             with self._proc_lock:
-                if qid in self._processes:
-                    self._processes[qid]["killed"] = True
+                own = self._processes.get(qid)
+                if own is not None:
+                    own["killed"] = True
+                jg = own.get("jg", qid) if own else qid
+            sc.cancelJobGroup(jg)
             status = "waiting"
             if mode == "sync":
                 deadline = _time.time() + 10.0
                 while _time.time() < deadline:
                     with self._proc_lock:
-                        gone = qid not in self._processes
+                        gone = self._processes.get(qid) is not own
                     if gone:
                         status = "finished"
                         break
                     # cancelJobGroup has no tombstone: a multi-job query
                     # between jobs at cancel time would start its next
                     # job uncancelled — re-cancel until the victim exits
-                    sc.cancelJobGroup(qid)
+                    sc.cancelJobGroup(jg)
                     _time.sleep(0.05)
+            elif own is not None:
+                # ASYNC must be just as final: a single cancel landing
+                # before the victim's first job registers (or between
+                # jobs) is a silent no-op ("Cannot find active jobs"),
+                # and the victim runs to completion — the VERDICT r11
+                # race.  A reaper thread makes the tombstone real by
+                # re-cancelling until this exact entry leaves the
+                # registry; the per-run unique job group means the loop
+                # can never touch a query_id-reusing successor.
+                self._start_kill_reaper(qid, own, jg)
             out.append((status, qid, user))
         return self._local_values_df(
             out,

@@ -2258,8 +2258,15 @@ def _extract_groups_sql(args: list[str]) -> str:
                 in_class = False
         elif ch == "[":
             in_class = True
-        elif ch == "(" and not body.startswith("(?", i):
-            n += 1
+        elif ch == "(":
+            # '(?' opens a non-capturing construct EXCEPT named groups:
+            # '(?<name>…)' is capturing in Java/CH regex, while the
+            # lookbehinds '(?<=' / '(?<!' are not (ADVICE r11)
+            if (not body.startswith("(?", i)
+                    or (body.startswith("(?<", i)
+                        and not body.startswith("(?<=", i)
+                        and not body.startswith("(?<!", i))):
+                n += 1
         i += 1
     if n == 0:
         return "array()"

@@ -2747,7 +2747,7 @@ def engine_kill_query(spark, sf_dir):
                     "where query_id = 'kill-victim'"
                 )
                 if rows and sc.statusTracker().getJobIdsForGroup(
-                    "kill-victim"
+                    eng.job_group_for("kill-victim")
                 ):
                     listed = rows == [("kill-victim", "default", "http")]
                     break

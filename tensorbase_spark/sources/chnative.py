@@ -1029,8 +1029,14 @@ class _Conn(socketserver.StreamRequestHandler):
                     # cancel the job group too so abandoned partitions of
                     # the local iterator stop computing
                     if self._cancel_requested(r):
-                        engine.spark.sparkContext.cancelJobGroup(qid)
+                        engine.cancel_query(qid)
                         break
+                    # a KILL QUERY from ANOTHER connection must truncate
+                    # this stream too — the reaper cancels the Spark jobs,
+                    # but between blocks (iterator prefetched) nothing
+                    # would raise, so poll the flag and surface CH's
+                    # QUERY_WAS_CANCELLED exception as the terminator
+                    engine.check_not_killed()
                     data = bytearray()
                     write_data_packet(
                         data, blk, self._compressed, server=True)
@@ -1372,10 +1378,10 @@ class NativeClient:
     def _send(self, out: bytes | bytearray) -> None:
         self._sock.sendall(bytes(out))
 
-    def _send_query(self, query: str) -> None:
+    def _send_query(self, query: str, query_id: str = "") -> None:
         out = bytearray()
         write_varint(out, CLIENT_QUERY)
-        write_str(out, "")  # query id (server assigns)
+        write_str(out, query_id)  # query id ("" = server assigns)
         # client info
         write_varint(out, 1)  # QueryKind::InitialQuery
         write_str(out, "default")  # initial user

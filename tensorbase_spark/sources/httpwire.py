@@ -1357,10 +1357,19 @@ class _HttpHandler(BaseHTTPRequestHandler):
             met = float(one["max_execution_time"]) \
                 if "max_execution_time" in one else None
         except ValueError:
-            met = None
+            # CH rejects an unparseable setting with BAD_ARGUMENT — a
+            # silently-ignored value would run the query UNLIMITED
+            # (ADVICE r11)
+            self._exception(ValueError(
+                "Cannot parse max_execution_time value "
+                f"{one['max_execution_time']!r} (BAD_ARGUMENT)"
+            ))
+            return
         if met is None:
             sess = self.server.sessions.get(one.get("session_id") or "")
-            if sess and sess.get("max_execution_time"):
+            # presence, not truthiness: a session value of 0 must
+            # explicitly DISABLE a nonzero engine-global fallback budget
+            if sess and "max_execution_time" in sess:
                 met = float(sess["max_execution_time"])
         with eng.track_query(
             qtext.decode("utf-8", "replace").strip(), query_id=qid,
@@ -1490,12 +1499,18 @@ class _HttpHandler(BaseHTTPRequestHandler):
                     if "max_execution_time" in one:
                         # persisted per-session like any other setting,
                         # though it is applied at track time, not via
-                        # the shared engine global
-                        try:
-                            snap2["max_execution_time"] = float(
-                                one["max_execution_time"])
-                        except ValueError:
-                            pass
+                        # the shared engine global (value already
+                        # validated at track time — parse errors never
+                        # reach here)
+                        snap2["max_execution_time"] = float(
+                            one["max_execution_time"])
+                    elif sess and "max_execution_time" in sess:
+                        # CH session settings persist for the session
+                        # lifetime: a follow-up request that omits the
+                        # parameter must CARRY the budget forward, not
+                        # drop it after one request (ADVICE r11)
+                        snap2["max_execution_time"] = (
+                            sess["max_execution_time"])
                     srv.sessions[session_id] = snap2
                     srv.session_expiry[session_id] = (
                         _time.monotonic()
@@ -1832,6 +1847,10 @@ class _HttpHandler(BaseHTTPRequestHandler):
         eng = self.server.engine  # type: ignore[attr-defined]
         sc = eng.spark.sparkContext
         qid = one.get("query_id") or ""
+        # the tracked entry's per-run unique job group — binding the
+        # helper thread to the bare query_id would leave its job outside
+        # the cancellable group (and invisible to the tracker below)
+        jgrp = eng.job_group_for(qid) if qid else ""
         interval = max(
             int(one.get("http_headers_progress_interval_ms") or 100), 10
         ) / 1000.0
@@ -1843,7 +1862,7 @@ class _HttpHandler(BaseHTTPRequestHandler):
             # rebind the request's job group so the prefetched job stays
             # in the group and killable via KILL QUERY
             try:
-                sc.setLocalProperty("spark.jobGroup.id", qid)
+                sc.setLocalProperty("spark.jobGroup.id", jgrp)
                 sc.setLocalProperty("spark.job.interruptOnCancel", "true")
                 c = next(chunks, None)
                 if c is not None:
@@ -1872,7 +1891,7 @@ class _HttpHandler(BaseHTTPRequestHandler):
             done = tot = 0
             try:
                 st = sc.statusTracker()
-                for jid in st.getJobIdsForGroup(qid):
+                for jid in st.getJobIdsForGroup(jgrp):
                     ji = st.getJobInfo(jid)
                     for sid in (ji.stageIds if ji else []):
                         si = st.getStageInfo(sid)

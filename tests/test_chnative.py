@@ -636,6 +636,73 @@ def test_client_cancel_stops_stream(engine):
         srv.server_close()
 
 
+def test_kill_truncates_native_stream_from_second_connection(engine):
+    """KILL QUERY issued on a SECOND connection truncates a streamed
+    SELECT mid-result on the first: the victim's stream ends with an
+    Exception packet carrying CH's QUERY_WAS_CANCELLED text (the
+    between-blocks kill check), not the full result (VERDICT r11 #6 —
+    the earlier cancel e2e used the client's OWN Cancel packet)."""
+    from tensorbase_spark.sources.chnative import (
+        BLOCK_ROWS,
+        SERVER_DATA,
+        SERVER_END_OF_STREAM,
+        SERVER_EXCEPTION,
+        SERVER_PROGRESS,
+        read_data_packet_body,
+        serve_native,
+    )
+
+    srv, port = serve_native(engine)
+    try:
+        n = 60 * BLOCK_ROWS
+        c = NativeClient(port=port, compression=False)
+        c._send_query(
+            f"select number as k, repeat('y', 64) as s from numbers({n})",
+            query_id="native-stream-victim",
+        )
+        c._send_empty_block()
+        rows, data_packets = 0, 0
+        while data_packets < 3:  # header + two data blocks
+            code = c._r.read_varint()
+            if code == SERVER_DATA:
+                blk = read_data_packet_body(c._r, False)
+                rows += blk.nrows
+                if blk.nrows:
+                    data_packets += 1
+            elif code == SERVER_PROGRESS:
+                for _ in range(3):
+                    c._r.read_varint()
+            elif code == SERVER_EXCEPTION:
+                raise c._read_exception()
+            else:
+                raise AssertionError(f"unexpected packet {code}")
+        with NativeClient(port=port) as killer:
+            _s, krows = killer.execute(
+                "kill query where query_id = 'native-stream-victim' async"
+            )
+        assert krows == [("waiting", "native-stream-victim", "default")]
+        terminator, exc_text = None, ""
+        while True:
+            code = c._r.read_varint()
+            if code in (SERVER_END_OF_STREAM, SERVER_EXCEPTION):
+                terminator = code
+                if code == SERVER_EXCEPTION:
+                    exc_text = str(c._read_exception())
+                break
+            if code == SERVER_DATA:
+                rows += read_data_packet_body(c._r, False).nrows
+            elif code == SERVER_PROGRESS:
+                for _ in range(3):
+                    c._r.read_varint()
+        assert rows < n, "kill from second connection did not truncate"
+        assert terminator == SERVER_EXCEPTION and "cancelled" in exc_text
+        c.close()
+        assert engine.sql("show processlist").count() == 0
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_native_inline_insert_and_exception(served):
     """INSERT with inline VALUES runs server-side like the reference's
     InsertFormatInlineValues (messages.rs:361-364); a bad query returns an
@@ -950,13 +1017,18 @@ def test_kill_during_native_insert(engine):
             out, Block([("a", "Int64", [1, 2, 3])], bucket=0),
             False, server=False)
         c._send(out)
+        # wait for block 1 to COMMIT before killing — the ASYNC reaper
+        # cancels running jobs, so a kill racing the first block's write
+        # would legitimately abort it (0 rows); pinning per-block
+        # semantics needs the first block durably down first
         deadline = time.time() + 60
-        killed = []
-        while time.time() < deadline and not killed:
-            killed = engine.sql(
-                "kill query where query like '%INSERT INTO tnk%' async"
-            ).collect()
+        while time.time() < deadline:
+            if engine.sql("select count(*) as n from tnk").collect()[0].n >= 3:
+                break
             time.sleep(0.1)
+        killed = engine.sql(
+            "kill query where query like '%INSERT INTO tnk%' async"
+        ).collect()
         assert killed and killed[0].kill_status == "waiting"
         # two more blocks: at most the one in flight at kill time lands
         for vals in ([4, 5], [6, 7]):
@@ -1015,7 +1087,7 @@ def test_processlist_and_kill_over_native(served):
             "where query like '%native_kill_marker%'"
         ).collect()
         if rows and sc.statusTracker().getJobIdsForGroup(
-            rows[0].query_id
+            engine.job_group_for(rows[0].query_id)
         ):
             row = rows[0]
             break

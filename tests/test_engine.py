@@ -3428,7 +3428,8 @@ def test_track_query_registry_and_kill(engine):
             "select query_id, user, interface, is_cancelled "
             "from system.processes where query_id = 'unit-victim'"
         ).collect()
-        if rows and sc.statusTracker().getJobIdsForGroup("unit-victim"):
+        if rows and sc.statusTracker().getJobIdsForGroup(
+                engine.job_group_for("unit-victim")):
             seen = True
             break
         time.sleep(0.1)

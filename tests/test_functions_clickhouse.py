@@ -636,6 +636,10 @@ def test_tier21_everyday_functions(spark):
         "  '([a-z]+)=([0-9]+)'), '|') as eg, "
         "size(extractGroups('none', '([0-9]+)')) as eg0, "
         "size(extractGroups('x', 'no[?:]groups')) as egn, "
+        "arrayStringConcat(extractGroups('k=42', "
+        "  '(?<key>[a-z]+)=(?<val>[0-9]+)'), '|') as egnamed, "
+        "arrayStringConcat(extractGroups('ab12', "
+        "  '(?<=a)(b)(?:x)?([0-9]+)'), '|') as eglook, "
         "toString(toDate('2023-01-31') + toIntervalQuarter(1)) as q, "
         "serverUUID() as su"
     ).collect()[0]
@@ -647,5 +651,9 @@ def test_tier21_everyday_functions(spark):
     assert r.ms == "2021-03-04 05:06:07.123"
     assert r.eg == "abc|111"  # the CH docs example (first match)
     assert r.eg0 == 0 and r.egn == 0  # no match / no groups -> []
+    # named groups '(?<name>…)' ARE capturing in Java/CH regex, while
+    # lookbehinds '(?<=' / '(?<!' are not (ADVICE r11)
+    assert r.egnamed == "k|42"
+    assert r.eglook == "b|12"
     assert r.q == "2023-04-30"  # month-end clamped, like CH
     assert r.su == "7e6fa0a1-7e6f-a0a1-7e6f-a0a17e6fa0a1"

@@ -794,7 +794,8 @@ def test_processlist_and_kill_over_http(served):
             _n, _t2, rows = c.execute(
                 "select query_id, interface from system.processes "
                 "where query_id = 'http-victim'")
-            if rows and sc.statusTracker().getJobIdsForGroup("http-victim"):
+            if rows and sc.statusTracker().getJobIdsForGroup(
+                    eng.job_group_for("http-victim")):
                 seen = True
                 break
             time.sleep(0.1)
@@ -847,6 +848,33 @@ def test_max_execution_time_over_http(served):
                   "as s from numbers(30000000000) FORMAT TSV",
             params={"session_id": "met-sess"})
         assert st != 200 and b"Timeout exceeded" in data
+        # CH session settings persist for the session LIFETIME: a
+        # successful request that omits the parameter must not drop the
+        # budget for requests after it (ADVICE r11)
+        st, _h, data = c.raw(
+            query="select 2 as x FORMAT TSV",
+            params={"session_id": "met-sess"})
+        assert st == 200 and data == b"2\n"
+        st, _h, data = c.raw(
+            query="select sum(cityHash64(toString(number)) % 1000000) "
+                  "as s from numbers(30000000000) FORMAT TSV",
+            params={"session_id": "met-sess"})
+        assert st != 200 and b"Timeout exceeded" in data
+        # an explicit 0 DISABLES the session budget (presence, not
+        # truthiness — ADVICE r11)
+        st, _h, data = c.raw(
+            query="select 3 as x FORMAT TSV",
+            params={"session_id": "met-sess", "max_execution_time": "0"})
+        assert st == 200
+        st, _h, data = c.raw(
+            query="select count(*) as n from numbers(3000000) FORMAT TSV",
+            params={"session_id": "met-sess"})
+        assert st == 200 and data == b"3000000\n"
+        # an unparseable value is BAD_ARGUMENT, not silently unlimited
+        st, _h, data = c.raw(
+            query="select 1 as x FORMAT TSV",
+            params={"max_execution_time": "ten"})
+        assert st != 200 and b"max_execution_time" in data
 
 
 def test_kill_async_over_http(served):
@@ -874,7 +902,7 @@ def test_kill_async_over_http(served):
     t.start()
     with HttpClient(port=port) as c:
         seen = False
-        deadline = time.time() + 90
+        deadline = time.time() + 30
         while time.time() < deadline:
             _n, _t2, rows = c.execute(
                 "select query_id from system.processes "
@@ -887,9 +915,10 @@ def test_kill_async_over_http(served):
         _n, _t2, krows = c.execute(
             "kill query where query_id = 'http-async-victim' async")
         assert krows == [("waiting", "http-async-victim", "default")]
-        # fresh budget for the drain: under co-tenant load the victim's
-        # cancellation + registry exit can take a while on its own
-        deadline = time.time() + 90
+        # fresh budget for the drain: the ASYNC kill's reaper re-cancels
+        # until the victim exits, so this converges quickly even when
+        # the kill landed before the victim's first job registered
+        deadline = time.time() + 30
         while time.time() < deadline:
             _n, _t2, rows = c.execute("show processlist")
             if not rows:
@@ -937,7 +966,7 @@ def test_kill_during_streamed_insert(engine, monkeypatch):
 
         # wait until the INSERT is visible in the registry and the first
         # batches have committed, then kill it from a second connection
-        deadline = time.time() + 90
+        deadline = time.time() + 30
         committed = 0
         with HttpClient(port=port) as c:
             while time.time() < deadline:
@@ -958,7 +987,7 @@ def test_kill_during_streamed_insert(engine, monkeypatch):
         # keep uploading: the server must abort at the next batch check
         sk.sendall(b"%x\r\n" % len(rest) + rest + b"\r\n0\r\n\r\n")
         resp = b""
-        sk.settimeout(90)
+        sk.settimeout(60)
         try:
             while b"\r\n\r\n" not in resp:
                 piece = sk.recv(65536)

@@ -861,7 +861,7 @@ def test_processlist_and_kill_over_mysql(served):
             "where query like '%mysql_kill_marker%'"
         ).collect()
         if rows and sc.statusTracker().getJobIdsForGroup(
-            rows[0].query_id
+            engine.job_group_for(rows[0].query_id)
         ):
             row = rows[0]
             break
