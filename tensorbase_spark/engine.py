@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import contextlib
 import datetime as _dt
+import os as _os
 import re
 import threading
 import time as _time
@@ -3429,11 +3430,37 @@ class TensorBaseEngine:
             f"CREATE TABLE {ine}{name} ({', '.join(col_sql)}) USING parquet"
             f"{opt_sql}{part_sql}{bucket_sql} TBLPROPERTIES ({', '.join(props)})"
         )
+        self._reconcile_orphan_location(name)
         out = self.spark.sql(ddl)
         if spec is not None:
             self._partition_specs[name] = spec
         self._create_scripts[name] = c
         return out
+
+    def _reconcile_orphan_location(self, name: str) -> None:
+        """Remove a crash-orphaned managed-table location before CREATE.
+        A query KILLed (or a process dying) mid-write can leave the
+        table's warehouse directory on disk after the catalog entry is
+        gone; Spark then refuses the next CREATE with
+        LOCATION_ALREADY_EXISTS.  Upstream CH reconciles disk state on
+        CREATE after a crash — match that, but ONLY when the catalog
+        confirms no table owns the path (never touch a live table's
+        data)."""
+        import shutil
+
+        if self.spark.catalog.tableExists(name):
+            return  # IF NOT EXISTS path / genuine conflict: let Spark act
+        db, _, tab = name.rpartition(".")
+        db = db or self.spark.catalog.currentDatabase()
+        try:
+            loc = self.spark.catalog.getDatabase(db).locationUri
+        except Exception:
+            return  # unknown database: CREATE will raise the right error
+        if not loc.startswith("file:"):
+            return  # only local managed warehouses are reconciled
+        path = _os.path.join(loc[len("file:"):], tab.lower())
+        if _os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
 
     def _show_create_table(self, c: str) -> DataFrame:
         name = self._qualify(c.split()[-1])

@@ -242,16 +242,37 @@ R10_VERIFIED = frozenset(
 # changed in r11 (ADVICE fix) — listed in PRIORITY_HEAD instead.
 
 
+R11_VERIFIED = frozenset(
+    """ch_agg_extras ch_array_join_clause ch_asof_join_sql
+    ch_calendar_funcs ch_dictionary_lookup ch_distinct_on
+    ch_everyday_funcs17 ch_everyday_funcs18 ch_everyday_funcs19
+    ch_everyday_funcs20 ch_join_strictness
+    ch_map_tuple_funcs ch_qualify_dedup ch_quantile_family
+    ch_sample_clause ch_sequence_uniq ch_star_modifiers ch_state_merge
+    ch_stats_family ch_string_replace_extract ch_url_ip_funcs
+    ch_with_fill ch_with_totals corpus_bloom_decontaminate
+    corpus_mixture_to_budget corpus_pack_sequences dedup_lines_global
+    multimodal_features multimodal_frame_plan multimodal_thumbnails
+    multimodal_wav_decode pivot_status sim_ivf_full_probe
+    stream_append_ingest stream_dedup_users stream_incremental_dedup
+    stream_session_window stream_sliding_window stream_stateful_rollup
+    stream_stream_join stream_tumbling_window text_chunking
+    text_fingerprints text_pii_redaction text_url_extract""".split()
+)
+# ch_everyday_funcs21 and the wire roundtrips were r11-green but their
+# implementations changed in r12 (extractGroups named groups; kill-aware
+# stream loop / per-run job groups) — listed in PRIORITY_HEAD instead.
+
+
 PRIORITY_HEAD = [
-    # round-11 behavior-changed implementations: toDaysSinceYearZero
-    # moved to the TO_DAYS-compatible +366 offset (ADVICE r10 medium) —
-    # ch_everyday_funcs17's oracle changed with it; the HTTP INSERT body
-    # path gained truncation errors + csv-module quote rules and the
-    # native door streams SELECT results; everything else rotates by
-    # staleness so the r3/r4 evidence tail drains (VERDICT r10 #3)
-    "ch_everyday_funcs17", "wire_http_roundtrip", "wire_native_roundtrip",
-    # (b) new round-11 queries
-    "ch_everyday_funcs18", "ch_everyday_funcs19", "ch_everyday_funcs20",
+    # round-12 behavior-changed implementations: KILL QUERY gained the
+    # per-run unique job group + ASYNC reaper (VERDICT r11 #1) and the
+    # native stream loop polls the kill flag between blocks; the HTTP
+    # door's max_execution_time session persistence changed (ADVICE);
+    # extractGroups counts named groups (ADVICE) — funcs21 covers it.
+    # Everything else rotates by staleness so the r4 tail drains
+    # (VERDICT r11 #2).
+    "engine_kill_query", "wire_http_roundtrip", "wire_native_roundtrip",
     "ch_everyday_funcs21",
 ]
 
@@ -295,7 +316,7 @@ def registry() -> dict[str, Query]:
     rounds = [
         R01_VERIFIED, R02_VERIFIED, R03_VERIFIED, R04_VERIFIED,
         R05_VERIFIED, R06_VERIFIED, R07_VERIFIED, R08_VERIFIED,
-        R09_VERIFIED, R10_VERIFIED,
+        R09_VERIFIED, R10_VERIFIED, R11_VERIFIED,
     ]
     verified = frozenset().union(*rounds)
     head = [n for n in PRIORITY_HEAD if n in out]

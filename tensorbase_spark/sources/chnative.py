@@ -41,6 +41,7 @@ Compression framing (``blocks.rs:62-70``)::
 
 from __future__ import annotations
 
+import contextlib
 import re
 import socket
 import socketserver
@@ -889,13 +890,40 @@ class _Conn(socketserver.StreamRequestHandler):
     """One client connection: Hello handshake, then a packet loop
     (messages.rs:28-202 response_to, restructured around blocking reads).
 
-    Sessions share ONE engine/Spark catalog: the hello `database` field is
-    accepted but not isolated per connection, and a `USE db` affects the
-    shared engine (the reference keeps current_db per ConnCtx,
-    protocol.rs:199-209; this endpoint is a single-tenant front door over
-    a driver-owned session, so the shared catalog IS the semantics).
-    Spark job submission is thread-safe, so concurrent connections
-    interleave safely as long as they target distinct tables."""
+    Each connection carries its OWN current database, mirroring the
+    reference's per-connection ConnCtx.current_db (protocol.rs:199-225):
+    seeded from the hello `database` field, updated by this connection's
+    `USE db`, and bound to the shared Spark catalog only for the
+    analysis window of each statement (under the server's catalog lock,
+    restored after) — so two concurrent connections pointed at different
+    databases resolve unqualified names independently, exactly the
+    reference's concurrent-client shape (sanity_checks.rs).  Spark job
+    submission is thread-safe, so the post-analysis streaming fetch runs
+    outside the lock."""
+
+    @contextlib.contextmanager
+    def _bind_db(self, engine):
+        """Bind this connection's current database to the shared catalog
+        for the (eager) parse/analysis of one statement.  Name
+        resolution happens inside ``spark.sql`` at call time, so the
+        lock covers only that window; the returned DataFrame's plan is
+        already resolved when the lock drops.  A ``USE db`` executed by
+        the statement lands in the per-connection state, not the shared
+        catalog."""
+        srv = self.server  # type: ignore[attr-defined]
+        cat = engine.spark.catalog
+        with srv.catalog_lock:
+            prev = cat.currentDatabase()
+            if self._database != prev:
+                cat.setCurrentDatabase(self._database)
+            try:
+                yield
+                self._database = cat.currentDatabase()
+            finally:
+                try:
+                    cat.setCurrentDatabase(prev)
+                except Exception:
+                    pass  # the statement may have dropped that database
 
     def handle(self) -> None:  # noqa: C901 — the protocol state machine
         engine = self.server.engine  # type: ignore[attr-defined]
@@ -947,7 +975,11 @@ class _Conn(socketserver.StreamRequestHandler):
         r.read_varint()  # ver major
         r.read_varint()  # ver minor
         client_rev = r.read_varint()
-        self._database = r.read_str() or "default"
+        # per-connection current_db seed (ConnCtx, protocol.rs:199-225):
+        # an empty hello field inherits the engine's ambient database,
+        # preserving single-tenant behavior for stock clients
+        self._database = r.read_str() or \
+            self.server.engine.spark.catalog.currentDatabase()
         r.read_str()  # user
         r.read_str()  # password
         if client_rev < REVISION:  # messages.rs:255-257
@@ -1006,7 +1038,8 @@ class _Conn(socketserver.StreamRequestHandler):
         with engine.track_query(
             query, query_id=client_qid or None, interface="native"
         ) as qid:
-            df = engine.sql(query)
+            with self._bind_db(engine):
+                df = engine.sql(query)
             if df is None or not df.columns:
                 self._send(self._eos())
                 return
@@ -1068,8 +1101,11 @@ class _Conn(socketserver.StreamRequestHandler):
             if m.group("cols")
             else None
         )
+        # per-connection current database (ConnCtx.current_db) — never
+        # the shared catalog's, which a concurrent connection may have
+        # pointed elsewhere
         qualified = (
-            table if "." in table else f"{engine.spark.catalog.currentDatabase()}.{table}"
+            table if "." in table else f"{self._database}.{table}"
         )
         target = engine._resolve_alias(qualified)
         cols_txt = engine._table_props(target).get("tb.columns")
@@ -1237,6 +1273,9 @@ class NativeServer(socketserver.ThreadingTCPServer):
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
         super().__init__((host, port), _Conn)
         self.engine = engine
+        # serializes the per-statement bind of a connection's current
+        # database to the shared Spark catalog (analysis window only)
+        self.catalog_lock = threading.Lock()
 
 
 def serve_native(engine, host: str = "127.0.0.1", port: int = 0):
@@ -1262,11 +1301,14 @@ class NativeClient:
         self,
         host: str = "127.0.0.1",
         port: int = 9000,
-        database: str = "default",
+        database: str = "",
         user: str = "default",
         password: str = "",
         compression: bool = True,
     ):
+        # database="" inherits the server's ambient default at hello
+        # time (the server honors a non-empty hello field as this
+        # connection's current_db, ConnCtx semantics)
         self._sock = socket.create_connection((host, port))
         self._rf = self._sock.makefile("rb")
         self._r = Reader(self._rf)
@@ -1426,7 +1468,7 @@ class NativeClientPool:
     lose/duplicate-free."""
 
     def __init__(self, port: int, n: int = 12, host: str = "127.0.0.1",
-                 database: str = "default", compression: bool = True):
+                 database: str = "", compression: bool = True):
         self.clients = [
             NativeClient(host=host, port=port, database=database,
                          compression=compression)

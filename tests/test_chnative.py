@@ -636,6 +636,55 @@ def test_client_cancel_stops_stream(engine):
         srv.server_close()
 
 
+def test_per_connection_current_db(engine):
+    """Per-connection current database (the reference's
+    ConnCtx.current_db, protocol.rs:199-225): two concurrent native
+    connections pointed at DIFFERENT databases — one via the hello
+    `database` field, one via its own USE — each resolve unqualified
+    table names independently; one connection's USE never leaks into
+    the other (the reference's sanity_checks.rs concurrent-client
+    shape)."""
+    from tensorbase_spark.sources.chnative import serve_native
+
+    srv, port = serve_native(engine)
+    try:
+        with NativeClient(port=port) as setup:
+            setup.execute("create database if not exists dbx")
+            setup.execute("create database if not exists dby")
+            setup.execute("create table dbx.t (v Int64)")
+            setup.execute("create table dby.t (v Int64)")
+            setup.execute("insert into dbx.t values (1)")
+            setup.execute("insert into dby.t values (2)")
+        # connection A: database from the hello handshake
+        a = NativeClient(port=port, database="dbx")
+        # connection B: database from its own USE statement
+        b = NativeClient(port=port)
+        b.execute("use dby")
+        _s, arows = a.execute("select v from t")
+        _s, brows = b.execute("select v from t")
+        assert arows == [(1,)] and brows == [(2,)]
+        # B's USE did not leak into A — and A can switch independently
+        a.execute("use dby")
+        _s, arows2 = a.execute("select v from t")
+        assert arows2 == [(2,)]
+        _s, brows2 = b.execute("select v from t")
+        assert brows2 == [(2,)]
+        # an unqualified wire-INSERT dance resolves through the
+        # connection's db too
+        b.execute("use dbx")
+        b.insert("t", [("v", "Int64", [7])])
+        _s, cnt = b.execute("select count(*) as n from dbx.t")
+        assert cnt == [(2,)]
+        a.close()
+        b.close()
+    finally:
+        with NativeClient(port=port) as cleanup:
+            cleanup.execute("drop database if exists dbx")
+            cleanup.execute("drop database if exists dby")
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_kill_truncates_native_stream_from_second_connection(engine):
     """KILL QUERY issued on a SECOND connection truncates a streamed
     SELECT mid-result on the first: the victim's stream ends with an
