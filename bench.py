@@ -146,6 +146,53 @@ def main() -> int:
           f"{calibration['io_read_best']:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+
+    # Probe-normalized cross-round comparison (VERDICT r11 #5): instead
+    # of narrating co-tenant contention after the fact, compare this run
+    # against the newest recorded BENCH_r{N}.json at the same sf and
+    # flag only the per-query deltas that exceed the noise band the
+    # probes themselves imply.  The band is the worst probe swing
+    # (cpu / io-write / io-read, both directions) with a 15% floor for
+    # best-of-3 sampling noise — a query inside the band moved WITH the
+    # box, not because its plan changed.
+    vs_prev = None
+    prev_name, prev = _latest_recorded_bench(
+        os.path.dirname(os.path.abspath(__file__)), sf
+    )
+    if prev:
+        pc = prev.get("calibration", {})
+        probe_ratios = {}
+        for key in ("best", "io_write_best", "io_read_best"):
+            a, b = calibration.get(key), pc.get(key)
+            if a and b:
+                probe_ratios[key] = round(a / b, 3)
+        band = max(
+            [max(r, 1.0 / r) for r in probe_ratios.values()] or [1.0]
+        )
+        band = max(round(band, 3), 1.15)
+        flagged = {}
+        for name, t in timings.items():
+            pt = prev.get("queries", {}).get(name)
+            if pt:
+                ratio = t / pt
+                if ratio > band or ratio < 1.0 / band:
+                    flagged[name] = round(ratio, 3)
+        vs_prev = {
+            "prev": prev_name,
+            "probe_ratios": probe_ratios,
+            "noise_band": band,
+            "total_ratio": (
+                round(total / prev["value"], 3) if prev.get("value") else None
+            ),
+            "flagged_beyond_band": flagged,
+        }
+        print(
+            f"  _vs {prev_name}: total x{vs_prev['total_ratio']} | "
+            f"probes {probe_ratios} -> band x{band} | "
+            f"{len(flagged)} queries beyond band: {flagged}",
+            file=sys.stderr,
+        )
+
     print(
         json.dumps(
             {
@@ -156,11 +203,40 @@ def main() -> int:
                 "queries_p50": p50s,
                 "total_p50": round(sum(p50s.values()), 4),
                 "calibration": calibration,
+                "vs_prev": vs_prev,
                 "sf": sf,
             }
         )
     )
     return 0
+
+
+def _latest_recorded_bench(repo_dir: str, sf: float):
+    """The newest driver-recorded BENCH_r{N}.json at the same sf, as
+    (basename, parsed dict) — (None, None) when no comparable record
+    exists (first round at a new sf, or running outside the repo)."""
+    import glob
+    import re as _re
+
+    best: tuple[int, str, dict] | None = None
+    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = _re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except Exception:
+            continue
+        # the round driver wraps the bench line in an envelope with the
+        # payload under "parsed" — unwrap either shape
+        if isinstance(d.get("parsed"), dict):
+            d = d["parsed"]
+        if d.get("sf") == sf and d.get("queries"):
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, os.path.basename(p), d)
+    return (best[1], best[2]) if best else (None, None)
 
 
 if __name__ == "__main__":

@@ -2237,15 +2237,13 @@ def _parse_datetime_sql(args: list[str]) -> str:
     return f"to_timestamp({args[0]}, '{''.join(out)}')"
 
 
-def _extract_groups_sql(args: list[str]) -> str:
-    """CH extractGroups(haystack, pattern): array of every capture
-    group of the FIRST match (empty strings when unmatched).  The
-    pattern must be a string literal (CH requires a constant too) —
-    the group count is derived at rewrite time by scanning for
-    unescaped, non-(?:...) opening parens."""
-    pat = args[1].strip()
+def _count_capture_groups(pat: str, fn: str) -> int:
+    """Rewrite-time capture-group count of a string-literal regex (CH
+    requires a constant pattern for the group-capture family too).
+    Scans for unescaped opening parens outside character classes."""
+    pat = pat.strip()
     if not (pat.startswith("'") and pat.endswith("'")):
-        raise ValueError("extractGroups: pattern must be a string literal")
+        raise ValueError(f"{fn}: pattern must be a string literal")
     body = pat[1:-1]
     n, i, in_class = 0, 0, False
     while i < len(body):
@@ -2268,6 +2266,17 @@ def _extract_groups_sql(args: list[str]) -> str:
                         and not body.startswith("(?<!", i))):
                 n += 1
         i += 1
+    return n
+
+
+def _extract_groups_sql(args: list[str]) -> str:
+    """CH extractGroups(haystack, pattern): array of every capture
+    group of the FIRST match (empty strings when unmatched).  The
+    pattern must be a string literal (CH requires a constant too) —
+    the group count is derived at rewrite time by scanning for
+    unescaped, non-(?:...) opening parens."""
+    pat = args[1].strip()
+    n = _count_capture_groups(pat, "extractGroups")
     if n == 0:
         return "array()"
     parts = ", ".join(
@@ -2275,6 +2284,59 @@ def _extract_groups_sql(args: list[str]) -> str:
     )
     # CH returns the EMPTY array when nothing matches (not [''])
     return f"if({args[0]} rlike {pat}, array({parts}), array())"
+
+
+def _extract_all_groups_vertical_sql(args: list[str]) -> str:
+    """CH extractAllGroupsVertical (alias extractAllGroups): one inner
+    array [g1, g2, …] PER MATCH.  Every match substring is re-captured
+    with the same literal pattern — its first (and only full) match is
+    itself, so per-group regexp_extract over it yields that match's
+    captures (tier 22)."""
+    pat = args[1].strip()
+    n = _count_capture_groups(pat, "extractAllGroups")
+    if n == 0:
+        raise ValueError("extractAllGroups: pattern has no capture groups")
+    inner = ", ".join(
+        f"regexp_extract(__m, {pat}, {g})" for g in range(1, n + 1)
+    )
+    return (
+        f"transform(regexp_extract_all({args[0]}, {pat}, 0), "
+        f"__m -> array({inner}))"
+    )
+
+
+def _extract_all_groups_horizontal_sql(args: list[str]) -> str:
+    """CH extractAllGroupsHorizontal: one inner array PER GROUP, each
+    holding that group's capture from every match (tier 22)."""
+    pat = args[1].strip()
+    n = _count_capture_groups(pat, "extractAllGroupsHorizontal")
+    if n == 0:
+        raise ValueError(
+            "extractAllGroupsHorizontal: pattern has no capture groups"
+        )
+    per_group = ", ".join(
+        f"regexp_extract_all({args[0]}, {pat}, {g})" for g in range(1, n + 1)
+    )
+    return f"array({per_group})"
+
+
+def _mac_num_to_string_sql(args: list[str]) -> str:
+    """CH MACNumToString: lower-case colon-separated hex pairs of the
+    low 48 bits (tier 22)."""
+    h = f"lpad(lower(hex(cast({args[0]} as bigint))), 12, '0')"
+    parts = ", ".join(f"substring({h}, {i}, 2)" for i in (1, 3, 5, 7, 9, 11))
+    return f"concat_ws(':', {parts})"
+
+
+def _pad_utf8_sql(fn: str):
+    """CH leftPadUTF8/rightPadUTF8 -> lpad/rpad (Spark pads are already
+    character-based); the pad string defaults to a space (tier 22)."""
+
+    def t(args: list[str]) -> str:
+        pad = args[2] if len(args) > 2 else "' '"
+        return f"{fn}({args[0]}, cast({args[1]} as int), {pad})"
+
+    return t
 
 
 def _to_datetime64_sql(args: list[str]) -> str:
@@ -2528,5 +2590,52 @@ CH_SQL_TEMPLATES.update(
             "array_min(filter(transform({1}, __n -> instr({0}, __n)), "
             "__p -> __p > 0))), 0) as bigint)"
         ),
+        # tier 22: relative date numbers, per-match group capture, MAC
+        # address codecs, map sorting, dense array enumeration, clamps
+        # (all pure built-ins; each formula restated first-principles in
+        # the tier's DuckDB oracle)
+        "torelativeyearnum": "year(cast({0} as date))",
+        # months on the year*12+month grid (CH DateLUT RelativeMonthNum)
+        "torelativemonthnum": (
+            "year(cast({0} as date)) * 12 + month(cast({0} as date))"
+        ),
+        # inverse of toDaysSinceYearZero (+366: year-0 is a leap year on
+        # the proleptic grid CH counts over, tier 17)
+        "fromdayssinceyearzero": (
+            "date_add(date'0001-01-01', cast({0} as int) - 366)"
+        ),
+        # CH timeDiff(first, second) = seconds of (second - first)
+        "timediff": (
+            "unix_timestamp(cast({1} as timestamp)) "
+            "- unix_timestamp(cast({0} as timestamp))"
+        ),
+        "utctimestamp": "current_timestamp()",
+        "macstringtonum": (
+            "cast(conv(replace(replace({0}, ':', ''), '-', ''), 16, 10) "
+            "as bigint)"
+        ),
+        "macnumtostring": _mac_num_to_string_sql,
+        # 1-based position of EACH needle (0 when absent), CH order
+        "multisearchallpositions": (
+            "transform({1}, __n -> cast(locate(__n, {0}) as bigint))"
+        ),
+        "extractallgroups": _extract_all_groups_vertical_sql,
+        "extractallgroupsvertical": _extract_all_groups_vertical_sql,
+        "extractallgroupshorizontal": _extract_all_groups_horizontal_sql,
+        "jsonarraylength": "json_array_length({0})",
+        "leftpadutf8": _pad_utf8_sql("lpad"),
+        "rightpadutf8": _pad_utf8_sql("rpad"),
+        "substringindexutf8": "substring_index({0}, {1}, {2})",
+        # struct arrays sort lexicographically, i.e. by key first
+        "mapsort": "map_from_entries(array_sort(map_entries({0})))",
+        "mapreversesort": (
+            "map_from_entries(sort_array(map_entries({0}), false))"
+        ),
+        # dense 1-based ids in order of first appearance
+        "arrayenumeratedense": (
+            "transform({0}, __x -> "
+            "cast(array_position(array_distinct({0}), __x) as int))"
+        ),
+        "clamp": "greatest({1}, least({2}, {0}))",
     }
 )

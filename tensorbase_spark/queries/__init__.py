@@ -274,6 +274,8 @@ PRIORITY_HEAD = [
     # (VERDICT r11 #2).
     "engine_kill_query", "wire_http_roundtrip", "wire_native_roundtrip",
     "ch_everyday_funcs21",
+    # (b) new round-12 queries
+    "ch_everyday_funcs22",
 ]
 
 

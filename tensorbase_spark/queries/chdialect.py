@@ -2278,3 +2278,90 @@ FROM orders GROUP BY o_orderstatus
 QUERIES["ch_everyday_funcs21"] = Query(
     ch_everyday_funcs21, CH_EVERYDAY21_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs22(spark, sf_dir):
+    """Everyday upstream-CH tier 22: relative date numbers
+    (toRelativeYearNum/MonthNum on the year*12+month grid),
+    fromDaysSinceYearZero (inverse of tier 17's +366 day count),
+    timeDiff, MAC address codecs both directions, multi-needle
+    positions, per-match group capture (extractAllGroups, both
+    orientations), JSON array length, UTF8 pads, substringIndex, map
+    sorting, dense array enumeration, and clamp.  The oracle recomputes
+    every formula from first principles: the same year/month grid, day
+    offsets from DATE '0001-01-01' (-366), hex arithmetic via printf,
+    1-based strpos positions, and string reassembly of the captures."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e22")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "max(toRelativeYearNum(toDate(o_orderdate))) as ry, "
+        "max(toRelativeMonthNum(toDate(o_orderdate))) as rm, "
+        "max(toString(fromDaysSinceYearZero(719528 + o_orderkey % 1000)))"
+        "  as fd, "
+        "max(timeDiff(toDateTime(concat(toString(toDate(o_orderdate)), "
+        "  ' 01:00:03')), toDateTime(concat(toString(toDate(o_orderdate)),"
+        "  ' 01:', leftPadUTF8(toString(o_orderkey % 60), 2, '0'), "
+        "  ':03')))) as td, "
+        "max(MACStringToNum(MACNumToString(187723572702720 "
+        "  + o_orderkey % 256))) as mn, "
+        "max(MACNumToString(187723572702720 + o_orderkey % 256)) as ms, "
+        "max(arrayStringConcat(arrayMap(__p -> toString(__p), "
+        "  multiSearchAllPositions(o_orderpriority, "
+        "  ['URGENT', '-', 'zz'])), ',')) as mp, "
+        "max(arrayStringConcat(arrayMap(__g -> arrayStringConcat(__g, "
+        "  ':'), extractAllGroups(concat('k=', toString(o_orderkey % "
+        "  100), ' v=', toString(o_orderkey % 7)), "
+        "  '([a-z]+)=([0-9]+)')), '|')) as eag, "
+        "max(arrayStringConcat(arrayMap(__g -> arrayStringConcat(__g, "
+        "  ','), extractAllGroupsHorizontal(concat('k=', "
+        "  toString(o_orderkey % 100), ' v=', toString(o_orderkey % 7)), "
+        "  '([a-z]+)=([0-9]+)')), '|')) as eagh, "
+        "max(JSONArrayLength(concat('[', repeat('1,', o_orderkey % 5), "
+        "  '1]'))) as jal, "
+        "max(rightPadUTF8(toString(o_orderkey % 100), 5, '.')) as rp, "
+        "max(substringIndexUTF8(o_orderpriority, '-', 1)) as si, "
+        "max(arrayStringConcat(map_keys(mapSort(map(toString(o_orderkey "
+        "  % 7), 1, 'z', 2))), ',')) as mks, "
+        "max(arrayStringConcat(map_keys(mapReverseSort(map(toString("
+        "  o_orderkey % 7), 1, 'z', 2))), ',')) as mkr, "
+        "max(arrayStringConcat(arrayMap(__x -> toString(__x), "
+        "  arrayEnumerateDense([o_orderkey % 7, 5, o_orderkey % 7])), "
+        "  ',')) as aed, "
+        "max(clamp(o_orderkey % 20, 5, 15)) as cl "
+        "from ord_e22 group by o_orderstatus"
+    )
+
+
+CH_EVERYDAY22_ORACLE = """
+SELECT o_orderstatus AS st,
+  max(year(CAST(o_orderdate AS DATE))) AS ry,
+  max(year(CAST(o_orderdate AS DATE)) * 12
+      + month(CAST(o_orderdate AS DATE))) AS rm,
+  max(strftime(DATE '0001-01-01'
+      + CAST(719528 + o_orderkey % 1000 - 366 AS INTEGER),
+      '%Y-%m-%d')) AS fd,
+  max((o_orderkey % 60) * 60 - 0) AS td,
+  max(187723572702720 + o_orderkey % 256) AS mn,
+  max('aa:bb:cc:dd:ee:' || printf('%02x', o_orderkey % 256)) AS ms,
+  max(CAST(strpos(o_orderpriority, 'URGENT') AS VARCHAR) || ','
+      || CAST(strpos(o_orderpriority, '-') AS VARCHAR) || ','
+      || CAST(strpos(o_orderpriority, 'zz') AS VARCHAR)) AS mp,
+  max('k:' || CAST(o_orderkey % 100 AS VARCHAR)
+      || '|v:' || CAST(o_orderkey % 7 AS VARCHAR)) AS eag,
+  max('k,v|' || CAST(o_orderkey % 100 AS VARCHAR) || ','
+      || CAST(o_orderkey % 7 AS VARCHAR)) AS eagh,
+  max(o_orderkey % 5 + 1) AS jal,
+  max(rpad(CAST(o_orderkey % 100 AS VARCHAR), 5, '.')) AS rp,
+  max(split_part(o_orderpriority, '-', 1)) AS si,
+  max(CAST(o_orderkey % 7 AS VARCHAR) || ',z') AS mks,
+  max('z,' || CAST(o_orderkey % 7 AS VARCHAR)) AS mkr,
+  max(CASE WHEN o_orderkey % 7 = 5 THEN '1,1,1' ELSE '1,2,1' END) AS aed,
+  max(greatest(5, least(15, o_orderkey % 20))) AS cl
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES["ch_everyday_funcs22"] = Query(
+    ch_everyday_funcs22, CH_EVERYDAY22_ORACLE, ("dialect", "functions")
+)

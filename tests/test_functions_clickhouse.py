@@ -657,3 +657,54 @@ def test_tier21_everyday_functions(spark):
     assert r.eglook == "b|12"
     assert r.q == "2023-04-30"  # month-end clamped, like CH
     assert r.su == "7e6fa0a1-7e6f-a0a1-7e6f-a0a17e6fa0a1"
+
+
+def test_tier22_everyday_functions(spark):
+    """Tier-22 goldens: relative date numbers, days-since-year-zero
+    inverse, second-difference, MAC codecs (CH docs example), per-match
+    group capture both orientations (CH docs example), multi-needle
+    positions (CH docs example), UTF8 pads, map sorting, dense array
+    enumeration, clamp."""
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    r = eng.sql(
+        "select "
+        "toRelativeYearNum(toDate('2023-04-01')) as ry, "
+        "toRelativeMonthNum(toDate('2023-04-01')) as rm, "
+        "toString(fromDaysSinceYearZero(739136)) as fd, "
+        "toDaysSinceYearZero(fromDaysSinceYearZero(739136)) as fdrt, "
+        "timeDiff(toDateTime('2023-01-01 00:00:00'), "
+        "  toDateTime('2023-01-01 00:01:40')) as td, "
+        "MACStringToNum('aa:bb:cc:dd:ee:ff') as mn, "
+        "MACNumToString(MACStringToNum('aa:bb:cc:dd:ee:ff')) as mrt, "
+        "multiSearchAllPositions('Hello, World!', "
+        "  ['hello', '!', 'world']) as mp, "
+        "extractAllGroups('abc=111, def=222', "
+        "  '([a-z]+)=([0-9]+)') as eag, "
+        "extractAllGroupsHorizontal('abc=111, def=222', "
+        "  '([a-z]+)=([0-9]+)') as eagh, "
+        "JSONArrayLength('[1,2,3]') as jal, "
+        "leftPadUTF8('abc', 7, '*') as lp, "
+        "rightPadUTF8('abc', 5) as rp, "
+        "substringIndexUTF8('www.spark.apache.org', '.', 2) as si, "
+        "map_keys(mapSort(map('c', 3, 'a', 1, 'b', 2))) as mks, "
+        "map_keys(mapReverseSort(map('c', 3, 'a', 1, 'b', 2))) as mkr, "
+        "arrayEnumerateDense([10, 20, 10, 30]) as aed, "
+        "clamp(15, 0, 10) as cl, clamp(-3, 0, 10) as cl2, "
+        "clamp(5, 0, 10) as cl3"
+    ).collect()[0]
+    assert (r.ry, r.rm) == (2023, 2023 * 12 + 4)
+    assert r.fd == "2023-09-08" and r.fdrt == 739136  # tier-17 inverse
+    assert r.td == 100
+    assert r.mn == 0xAABBCCDDEEFF and r.mrt == "aa:bb:cc:dd:ee:ff"
+    assert r.mp == [0, 13, 0]  # the CH docs example (case-sensitive)
+    # the CH docs examples: vertical = per match, horizontal = per group
+    assert r.eag == [["abc", "111"], ["def", "222"]]
+    assert r.eagh == [["abc", "def"], ["111", "222"]]
+    assert r.jal == 3
+    assert (r.lp, r.rp) == ("****abc", "abc  ")
+    assert r.si == "www.spark"
+    assert r.mks == ["a", "b", "c"] and r.mkr == ["c", "b", "a"]
+    assert r.aed == [1, 2, 1, 3]
+    assert (r.cl, r.cl2, r.cl3) == (10, 0, 5)

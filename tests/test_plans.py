@@ -435,7 +435,8 @@ def test_everyday_tiers_16_17_18_stay_codegen(spark, queries):
     pure JVM expressions — no Python evaluation anywhere in the plan."""
     for name in ("ch_everyday_funcs16", "ch_everyday_funcs17",
                  "ch_everyday_funcs18", "ch_everyday_funcs19",
-                 "ch_everyday_funcs20", "ch_everyday_funcs21"):
+                 "ch_everyday_funcs20", "ch_everyday_funcs21",
+                 "ch_everyday_funcs22"):
         plan = _formatted(spark, queries[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
