@@ -1568,7 +1568,25 @@ class _HttpHandler(BaseHTTPRequestHandler):
         if eager_rows is not None:
             rows: Iterable[tuple] = eager_rows
         else:
-            rows = (tuple(r) for r in df.toLocalIterator(prefetchPartitions=True))
+            # kill poll every few thousand rows: a KILL from another
+            # connection cancels the Spark jobs, but between jobs
+            # (iterator prefetched) nothing would raise — _stream's
+            # mid-stream handler appends CH's exception text and closes
+            # (VERDICT r11 #6, HTTP half)
+            # toLocalIterator is called EAGERLY (like the genexp it
+            # replaces): prefetch submits the first job here, so an
+            # immediate failure (timeout, analysis) surfaces BEFORE the
+            # 200 status line goes out
+            it = df.toLocalIterator(prefetchPartitions=True)
+
+            def _rows_kill_checked(it=it):
+                eng = self.server.engine  # type: ignore[attr-defined]
+                for n, r in enumerate(it):
+                    if n % 4096 == 4095:
+                        eng.check_not_killed()
+                    yield tuple(r)
+
+            rows = _rows_kill_checked()
         chunks = encode_rows(fmt, names, ch_types, rows, quote64=quote64)
         self._stream(one, fmt, chunks, head_only=head_only)
 

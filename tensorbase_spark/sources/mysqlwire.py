@@ -733,7 +733,13 @@ class _MyConn(socketserver.StreamRequestHandler):
         binary: bool = False,
     ) -> None:
         """resultset.rs:139-349 start/write_row/finish over the text
-        protocol: column count, definitions, EOF, rows, EOF."""
+        protocol: column count, definitions, EOF, rows, EOF.
+
+        Polls the kill flag every few thousand rows: a KILL QUERY from
+        another connection cancels the victim's Spark jobs, but between
+        jobs (iterator prefetched) nothing would raise — same seam the
+        native door closes between blocks (VERDICT r11 #6)."""
+        engine = self.server.engine  # type: ignore[attr-defined]
         head = bytearray()
         write_lenenc_int(head, len(cols))
         pio.send(bytes(head))
@@ -741,7 +747,9 @@ class _MyConn(socketserver.StreamRequestHandler):
             pio.send(build_column_definition(table, name, ctype, flags))
         pio.send(build_eof())
         bitmap_len = (len(cols) + 7 + 2) // 8  # resultset.rs:219
-        for row in rows:
+        for nrow, row in enumerate(rows):
+            if nrow % 4096 == 4095:
+                engine.check_not_killed()
             out = bytearray()
             if binary:
                 # binary row: 0x00 header + null bitmap (offset 2) + values
