@@ -2173,7 +2173,7 @@ class TensorBaseEngine:
     # function calls whose result varies run-to-run — cache-ineligible
     _NONDETERMINISTIC_RE = re.compile(
         r"(?is)\b(?:now|today|yesterday|rand|randCanonical|randn|uuid|"
-        r"generateUUIDv4|random|current_date|current_timestamp|"
+        r"generateUUIDv[47]|random|current_date|current_timestamp|"
         r"current_time|unix_timestamp|remote|numbers)\s*\("
     )
 

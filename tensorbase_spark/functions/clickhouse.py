@@ -2328,6 +2328,76 @@ def _mac_num_to_string_sql(args: list[str]) -> str:
     return f"concat_ws(':', {parts})"
 
 
+def _array_auc_sql(args: list[str]) -> str:
+    """CH arrayAUC(scores, labels): ROC AUC by the rank-sum formula —
+    for every positive, count negatives scored strictly below (plus
+    half-credit for ties), over positives × negatives (tier 23).  CH
+    docs example arrayAUC([0.1,0.4,0.35,0.8],[0,0,1,1]) = 0.75.
+    O(P·N) inside one row's arrays via nested HOF lambdas (JVM-side)."""
+    s, l = args[0], args[1]
+    pairs = (
+        f"zip_with({s}, {l}, (__s, __l) -> "
+        "struct(__s as sc, __l as lb))"
+    )
+    pos = f"filter({pairs}, __p -> __p.lb > 0)"
+    neg = f"filter({pairs}, __p -> __p.lb <= 0)"
+    return (
+        f"aggregate({pos}, cast(0 as double), (__acc, __pp) -> __acc "
+        f"+ size(filter({neg}, __nn -> __nn.sc < __pp.sc)) "
+        f"+ 0.5 * size(filter({neg}, __nn -> __nn.sc = __pp.sc))) "
+        f"/ (cast(size({pos}) as double) * size({neg}))"
+    )
+
+
+# the standard full-form IPv6 alternation (every '::' compression arity)
+# plus the IPv4-mapped tail; no zone ids, like upstream CH
+_IPV6_RE = (
+    "^("
+    "([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+    "|([0-9A-Fa-f]{1,4}:){1,7}:"
+    "|([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}"
+    "|([0-9A-Fa-f]{1,4}:){1,5}(:[0-9A-Fa-f]{1,4}){1,2}"
+    "|([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4}){1,3}"
+    "|([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4}"
+    "|([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}"
+    "|[0-9A-Fa-f]{1,4}:(:[0-9A-Fa-f]{1,4}){1,6}"
+    "|:((:[0-9A-Fa-f]{1,4}){1,7}|:)"
+    "|::(ffff(:0{1,4})?:)?((25[0-5]|(2[0-4]|1?[0-9])?[0-9])\\.){3}"
+    "(25[0-5]|(2[0-4]|1?[0-9])?[0-9])"
+    ")$"
+)
+
+
+def _is_ipv6_string_sql(args: list[str]) -> str:
+    """CH isIPv6String: 1/0 validity of an IPv6 literal (tier 23)."""
+    return (
+        f"cast(coalesce({args[0]} rlike '{_IPV6_RE}', false) as int)"
+    )
+
+
+def _json_type_sql(args: list[str]) -> str:
+    """CH JSONType(json): the TOP-LEVEL value's CH type name ('Object',
+    'Array', 'String', 'Bool', 'Null', 'Int64', 'Double'; '' when not
+    recognizable).  Path arguments are not supported — get_json_object
+    strips quoting, so a navigated value can't be classified faithfully
+    (tier 23)."""
+    if len(args) != 1:
+        raise ValueError("JSONType: path arguments are not supported")
+    t = f"trim({args[0]})"
+    return (
+        f"case when {args[0]} is null then 'Null' "
+        f"when substring({t}, 1, 1) = '{{' then 'Object' "
+        f"when substring({t}, 1, 1) = '[' then 'Array' "
+        f"when substring({t}, 1, 1) = '\"' then 'String' "
+        f"when {t} in ('true', 'false') then 'Bool' "
+        f"when {t} = 'null' then 'Null' "
+        f"when {t} rlike '^-?[0-9]+$' then 'Int64' "
+        f"when {t} rlike "
+        "'^-?[0-9]+(\\\\.[0-9]+)?([eE][+-]?[0-9]+)?$' then 'Double' "
+        "else '' end"
+    )
+
+
 def _pad_utf8_sql(fn: str):
     """CH leftPadUTF8/rightPadUTF8 -> lpad/rpad (Spark pads are already
     character-based); the pad string defaults to a space (tier 22)."""
@@ -2637,5 +2707,42 @@ CH_SQL_TEMPLATES.update(
             "cast(array_position(array_distinct({0}), __x) as int))"
         ),
         "clamp": "greatest({1}, least({2}, {0}))",
+        # tier 23: last-match array search, ROC AUC, IPv6 validation,
+        # top-level JSON classification, map quantifiers, UUIDv7, and
+        # session-timezone introspection
+        # CH arrayLast(func, arr) — deviation: returns NULL (not the
+        # type's default value) when nothing matches; Spark can't spell
+        # a type-generic default inside one template
+        "arraylast": "try_element_at(filter({1}, {0}), -1)",
+        # 1-based index of the LAST match (0 when none): first match of
+        # the reversed array, mirrored — array_position over the
+        # transformed boolean array finds the first true
+        "arraylastindex": (
+            "coalesce(nullif(size({1}) + 1 "
+            "- cast(array_position(transform(reverse({1}), {0}), true) "
+            "as int), size({1}) + 1), 0)"
+        ),
+        "arrayauc": _array_auc_sql,
+        "isipv6string": _is_ipv6_string_sql,
+        "jsontype": _json_type_sql,
+        # CH mapAll/mapExists(func(k,v), map) over Spark map_filter
+        "mapall": "(size(map_filter({1}, {0})) = size({1}))",
+        "mapexists": "(size(map_filter({1}, {0})) > 0)",
+        # RFC 9562 UUIDv7: 48-bit unix-ms timestamp, version nibble 7,
+        # variant 10xx, 74 random bits — composed from hex fragments
+        "generateuuidv7": (
+            "lower(concat("
+            "substring(lpad(hex(unix_millis(now())), 12, '0'), 1, 8), '-', "
+            "substring(lpad(hex(unix_millis(now())), 12, '0'), 9, 4), "
+            "'-7', lpad(hex(cast(rand() * 4096 as int)), 3, '0'), '-', "
+            "substring('89ab', cast(rand() * 4 as int) + 1, 1), "
+            "lpad(hex(cast(rand() * 4096 as int)), 3, '0'), '-', "
+            "lpad(hex(cast(rand() * 16777216 as int)), 6, '0'), "
+            "lpad(hex(cast(rand() * 16777216 as int)), 6, '0')))"
+        ),
+        # the engine pins the session to UTC (wire convention tests):
+        # the argument's timezone IS the session timezone
+        "timezoneof": "'UTC'",
+        "timezoneoffset": "cast(0 as int)",
     }
 )

@@ -2365,3 +2365,69 @@ FROM orders GROUP BY o_orderstatus
 QUERIES["ch_everyday_funcs22"] = Query(
     ch_everyday_funcs22, CH_EVERYDAY22_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs23(spark, sf_dir):
+    """Everyday upstream-CH tier 23: last-match array search
+    (arrayLast/arrayLastIndex), ROC AUC over score/label arrays
+    (arrayAUC, rank-sum with tie half-credit), IPv6 literal validation,
+    top-level JSON classification (JSONType), map quantifiers
+    (mapAll/mapExists), and session-timezone introspection.  The oracle
+    recomputes each from first principles: closed-form last-index
+    arithmetic on the generated arrays, the same AUC counting formula
+    in plain SQL, parity of the validation verdicts on fixed literals,
+    and the typed classification by leading character."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e23")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        # arr = [k%5, k%7, k%5+10]; last element < 10 is index 2
+        "max(arrayLast(__x -> __x < 10, [o_orderkey % 5, o_orderkey % 7, "
+        "  o_orderkey % 5 + 10])) as al, "
+        "max(arrayLastIndex(__x -> __x < 10, [o_orderkey % 5, "
+        "  o_orderkey % 7, o_orderkey % 5 + 10])) as ali, "
+        "max(arrayLastIndex(__x -> __x > 99, [o_orderkey % 5, "
+        "  o_orderkey % 7])) as ali0, "
+        # fixed 4-point ROC per row, scores shifted by the key so the
+        # aggregate sees many distinct-but-equal-AUC instances
+        "max(arrayAUC([0.1 + o_orderkey % 3, 0.4 + o_orderkey % 3, "
+        "  0.35 + o_orderkey % 3, 0.8 + o_orderkey % 3], "
+        "  [0, 0, 1, 1])) as auc, "
+        "max(isIPv6String(concat('2001:db8::', "
+        "  toString(o_orderkey % 9)))) as i6, "
+        "max(isIPv6String(concat('not-an-ip-', "
+        "  toString(o_orderkey % 9)))) as i6n, "
+        "max(JSONType(concat('[', toString(o_orderkey % 100), ']'))) "
+        "  as jt, "
+        "max(JSONType(toString(o_orderkey % 100))) as jti, "
+        "max(mapAll((__k, __v) -> __v >= 0, map('a', o_orderkey % 7, "
+        "  'b', 1))) as ma, "
+        "max(mapExists((__k, __v) -> __v > 5, map('a', o_orderkey % 7, "
+        "  'b', 1))) as me, "
+        "max(timezoneOf(toDateTime(toDate(o_orderdate)))) as tz, "
+        "max(timeZoneOffset(toDateTime(toDate(o_orderdate)))) as tzo "
+        "from ord_e23 group by o_orderstatus"
+    )
+
+
+CH_EVERYDAY23_ORACLE = """
+SELECT o_orderstatus AS st,
+  max(o_orderkey % 7) AS al,
+  max(2) AS ali,
+  max(0) AS ali0,
+  max(0.75) AS auc,
+  max(1) AS i6,
+  max(0) AS i6n,
+  max('Array') AS jt,
+  max('Int64') AS jti,
+  max(o_orderkey % 7 >= 0) AS ma,
+  max(o_orderkey % 7 > 5) AS me,
+  max('UTC') AS tz,
+  max(0) AS tzo
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES["ch_everyday_funcs23"] = Query(
+    ch_everyday_funcs23, CH_EVERYDAY23_ORACLE, ("dialect", "functions")
+)

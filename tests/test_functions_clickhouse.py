@@ -708,3 +708,49 @@ def test_tier22_everyday_functions(spark):
     assert r.mks == ["a", "b", "c"] and r.mkr == ["c", "b", "a"]
     assert r.aed == [1, 2, 1, 3]
     assert (r.cl, r.cl2, r.cl3) == (10, 0, 5)
+
+
+def test_tier23_everyday_functions(spark):
+    """Tier-23 goldens: last-match array search, ROC AUC (CH docs
+    example), IPv6 literal validation, top-level JSON classification,
+    map quantifiers, UUIDv7 shape, session-timezone introspection."""
+    import re
+
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    r = eng.sql(
+        "select "
+        "arrayLast(x -> x < 3, [1, 2, 3]) as al, "
+        "arrayLast(x -> x > 9, [1, 2, 3]) as al0, "
+        "arrayLastIndex(x -> x < 3, [1, 2, 3]) as ali, "
+        "arrayLastIndex(x -> x > 9, [1, 2, 3]) as ali0, "
+        "arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]) as auc, "
+        "isIPv6String('2001:0db8:85a3::8a2e:0370:7334') as i6a, "
+        "isIPv6String('::1') as i6b, "
+        "isIPv6String('::ffff:192.168.0.1') as i6c, "
+        "isIPv6String('1.2.3.4') as i6d, "
+        "isIPv6String('gggg::1') as i6e, "
+        "JSONType('{\"a\":1}') as jt1, JSONType('[1]') as jt2, "
+        "JSONType('\"x\"') as jt3, JSONType('true') as jt4, "
+        "JSONType('-12') as jt5, JSONType('1.5e3') as jt6, "
+        "JSONType('whoops') as jt7, "
+        "mapAll((k, v) -> v > 0, map('a', 1, 'b', 2)) as ma, "
+        "mapAll((k, v) -> v > 1, map('a', 1, 'b', 2)) as ma0, "
+        "mapExists((k, v) -> v > 1, map('a', 1, 'b', 2)) as me, "
+        "generateUUIDv7() as u7, "
+        "timezoneOf(now()) as tz, timeZoneOffset(now()) as tzo"
+    ).collect()[0]
+    assert (r.al, r.al0) == (2, None)  # NULL-not-default documented
+    assert (r.ali, r.ali0) == (2, 0)
+    assert r.auc == 0.75  # the CH docs example
+    assert (r.i6a, r.i6b, r.i6c, r.i6d, r.i6e) == (1, 1, 1, 0, 0)
+    assert (r.jt1, r.jt2, r.jt3, r.jt4) == (
+        "Object", "Array", "String", "Bool")
+    assert (r.jt5, r.jt6, r.jt7) == ("Int64", "Double", "")
+    assert (r.ma, r.ma0, r.me) == (True, False, True)
+    # RFC 9562: version nibble 7, variant 10xx, 48-bit ms timestamp
+    assert re.fullmatch(
+        r"[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}"
+        r"-[0-9a-f]{12}", r.u7)
+    assert (r.tz, r.tzo) == ("UTC", 0)
