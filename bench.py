@@ -22,10 +22,8 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # sf from the dir name, e.g. .../sf0.1
     base = os.path.basename(sf_dir.rstrip("/"))
-    try:
-        sf = float(base.replace("sf", ""))
-    except ValueError:
-        sf = -1.0
+    m = __import__("re").match(r"sf(\d+(?:\.\d+)?)", base)
+    sf = float(m.group(1)) if m else -1.0
 
     from tensorbase_spark.queries import registry
     from tensorbase_spark.session import get_spark
@@ -219,8 +217,11 @@ def _latest_recorded_bench(repo_dir: str, sf: float):
     import re as _re
 
     best: tuple[int, str, dict] | None = None
-    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
-        m = _re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+    for p in glob.glob(os.path.join(repo_dir, "BENCH_*r*.json")):
+        m = _re.fullmatch(
+            r"BENCH_(?:sf(?P<fsf>[\d.]+)_)?r(?P<n>\d+)\.json",
+            os.path.basename(p),
+        )
         if not m:
             continue
         try:
@@ -232,8 +233,11 @@ def _latest_recorded_bench(repo_dir: str, sf: float):
         # payload under "parsed" — unwrap either shape
         if isinstance(d.get("parsed"), dict):
             d = d["parsed"]
-        if d.get("sf") == sf and d.get("queries"):
-            n = int(m.group(1))
+        # a filename-encoded sf (BENCH_sf1_r11.json) is authoritative —
+        # older artifacts recorded sf=-1 for fixture dirs like sf1_scale
+        rec_sf = float(m.group("fsf")) if m.group("fsf") else d.get("sf")
+        if rec_sf == sf and d.get("queries"):
+            n = int(m.group("n"))
             if best is None or n > best[0]:
                 best = (n, os.path.basename(p), d)
     return (best[1], best[2]) if best else (None, None)
