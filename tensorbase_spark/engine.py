@@ -1773,6 +1773,12 @@ class TensorBaseEngine:
         # that the wire servers execute concurrently, in-flight queries
         # are listable and cancellable (VERDICT r9 #1)
         self._proc_lock = threading.Lock()
+        # serializes every mutation of the shared catalog's current
+        # database across ALL front doors (native per-connection bind,
+        # HTTP per-request database/session scope) — a door-private lock
+        # would let another door's analysis window observe the bind
+        # (r12 review)
+        self.catalog_lock = threading.RLock()
         self._processes: dict[str, dict] = {}
         self._track_tls = threading.local()
         self._proc_views: list[str] = []  # snapshot views pending GC
@@ -2173,7 +2179,8 @@ class TensorBaseEngine:
     # function calls whose result varies run-to-run — cache-ineligible
     _NONDETERMINISTIC_RE = re.compile(
         r"(?is)\b(?:now|today|yesterday|rand|randCanonical|randn|uuid|"
-        r"generateUUIDv[47]|random|current_date|current_timestamp|"
+        r"generateUUIDv[47]|UTCTimestamp|random|current_date|"
+        r"current_timestamp|"
         r"current_time|unix_timestamp|remote|numbers)\s*\("
     )
 
@@ -2300,12 +2307,14 @@ class TensorBaseEngine:
             for k in props:
                 sc.setLocalProperty(k, prev[k])
 
-    def check_not_killed(self) -> None:
+    def check_not_killed(self, qid: str | None = None) -> None:
         """Raise if this thread's tracked query was KILLed (or timed
         out) — wire INSERT loops poll this between batches so a kill
         aborts the body stream cleanly mid-upload instead of after the
-        whole body has been consumed (VERDICT r10 #6)."""
-        qid = getattr(self._track_tls, "qid", None)
+        whole body has been consumed (VERDICT r10 #6).  Pass ``qid``
+        explicitly from helper threads: the thread-local binding only
+        exists on the thread that entered track_query (r12 review)."""
+        qid = qid or getattr(self._track_tls, "qid", None)
         if not qid:
             return
         with self._proc_lock:
@@ -2320,6 +2329,27 @@ class TensorBaseEngine:
             )
         if killed:
             raise ValueError(f"Query '{qid}' was cancelled (KILL QUERY)")
+
+    def kill_checked(self, it, qid: str | None = None, every: int = 4096):
+        """Wrap a row iterator with a periodic kill/timeout poll — the
+        ONE implementation every front door's result stream shares.  A
+        KILL from another connection cancels the victim's Spark jobs,
+        but once the local iterator has prefetched its partitions
+        nothing is left to cancel; this poll is what truncates the
+        stream (VERDICT r11 #6, r12 review dedup).  ``qid`` binds the
+        check to the tracked query regardless of which thread consumes
+        the iterator."""
+        # resolve the thread-local binding EAGERLY (a generator body
+        # runs lazily, possibly on a helper thread with no binding)
+        qid = qid or getattr(self._track_tls, "qid", None)
+
+        def _gen():
+            for n, row in enumerate(it):
+                if n % every == every - 1:
+                    self.check_not_killed(qid)
+                yield row
+
+        return _gen()
 
     def _local_values_df(
         self, rows: list[tuple], colspec: list[tuple[str, str]]
@@ -2455,6 +2485,13 @@ class TensorBaseEngine:
                 if own is not None:
                     own["killed"] = True
                 jg = own.get("jg", qid) if own else qid
+            if own is None:
+                # the victim exited between the processlist snapshot and
+                # now — nothing to cancel, and the SYNC wait below would
+                # spin its whole deadline on `get(qid) is not None` being
+                # permanently False (r12 review)
+                out.append(("finished", qid, user))
+                continue
             sc.cancelJobGroup(jg)
             status = "waiting"
             if mode == "sync":
@@ -2470,7 +2507,7 @@ class TensorBaseEngine:
                     # job uncancelled — re-cancel until the victim exits
                     sc.cancelJobGroup(jg)
                     _time.sleep(0.05)
-            elif own is not None:
+            else:
                 # ASYNC must be just as final: a single cancel landing
                 # before the victim's first job registers (or between
                 # jobs) is a silent no-op ("Cannot find active jobs"),
@@ -3459,8 +3496,24 @@ class TensorBaseEngine:
         if not loc.startswith("file:"):
             return  # only local managed warehouses are reconciled
         path = _os.path.join(loc[len("file:"):], tab.lower())
-        if _os.path.isdir(path):
-            shutil.rmtree(path, ignore_errors=True)
+        if not _os.path.isdir(path):
+            return
+        # NAME absence is not PATH absence: an external table registered
+        # under a different name may own this exact location — never
+        # delete a directory any live table points at (r12 review)
+        try:
+            for t in self.spark.catalog.listTables(db):
+                rows = self.spark.sql(
+                    f"describe formatted {db}.`{t.name}`"
+                ).collect()
+                for r in rows:
+                    if (r.col_name or "").strip() == "Location" and (
+                        r.data_type or ""
+                    ).rstrip("/").endswith(path.rstrip("/")):
+                        return
+        except Exception:
+            return  # cannot prove the path is orphaned: leave it alone
+        shutil.rmtree(path, ignore_errors=True)
 
     def _show_create_table(self, c: str) -> DataFrame:
         name = self._qualify(c.split()[-1])

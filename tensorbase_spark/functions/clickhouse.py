@@ -2322,8 +2322,12 @@ def _extract_all_groups_horizontal_sql(args: list[str]) -> str:
 
 def _mac_num_to_string_sql(args: list[str]) -> str:
     """CH MACNumToString: lower-case colon-separated hex pairs of the
-    low 48 bits (tier 22)."""
-    h = f"lpad(lower(hex(cast({args[0]} as bigint))), 12, '0')"
+    low 48 bits (tier 22).  The mask is what makes it the LOW 48 —
+    lpad truncates a >12-char hex string from the RIGHT (r12 review)."""
+    h = (
+        f"lpad(lower(hex(cast({args[0]} as bigint) "
+        "& 281474976710655)), 12, '0')"
+    )
     parts = ", ".join(f"substring({h}, {i}, 2)" for i in (1, 3, 5, 7, 9, 11))
     return f"concat_ws(':', {parts})"
 
@@ -2362,7 +2366,9 @@ _IPV6_RE = (
     "|([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}"
     "|[0-9A-Fa-f]{1,4}:(:[0-9A-Fa-f]{1,4}){1,6}"
     "|:((:[0-9A-Fa-f]{1,4}){1,7}|:)"
-    "|::(ffff(:0{1,4})?:)?((25[0-5]|(2[0-4]|1?[0-9])?[0-9])\\.){3}"
+    # the dot must reach the JVM regex as '\.': Spark unescapes the SQL
+    # string literal once, so the Python source needs FOUR backslashes
+    "|::(ffff(:0{1,4})?:)?((25[0-5]|(2[0-4]|1?[0-9])?[0-9])\\\\.){3}"
     "(25[0-5]|(2[0-4]|1?[0-9])?[0-9])"
     ")$"
 )

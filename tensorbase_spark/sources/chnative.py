@@ -909,10 +909,13 @@ class _Conn(socketserver.StreamRequestHandler):
         lock covers only that window; the returned DataFrame's plan is
         already resolved when the lock drops.  A ``USE db`` executed by
         the statement lands in the per-connection state, not the shared
-        catalog."""
-        srv = self.server  # type: ignore[attr-defined]
+        catalog.  The lock is the ENGINE's catalog lock — shared with
+        the HTTP door's per-request database scope, so no other door's
+        analysis window can observe this bind (r12 review).  Eagerly-
+        executing statements (DDL, INSERT…SELECT) complete under it,
+        matching the HTTP door's engine-state-region model."""
         cat = engine.spark.catalog
-        with srv.catalog_lock:
+        with engine.catalog_lock:
             prev = cat.currentDatabase()
             if self._database != prev:
                 cat.setCurrentDatabase(self._database)
@@ -1040,6 +1043,16 @@ class _Conn(socketserver.StreamRequestHandler):
         ) as qid:
             with self._bind_db(engine):
                 df = engine.sql(query)
+                if df is not None and df.columns and re.search(
+                    r"(?is)current_?(database|schema|catalog)"
+                    r"|\bcurrentDatabase\s*\(", query,
+                ):
+                    # catalog-state builtins evaluate at FETCH time,
+                    # after _bind_db restores the previous database —
+                    # materialize while this connection's db is current
+                    # (the HTTP door does the same; small results only)
+                    df = engine.spark.createDataFrame(
+                        df.collect(), df.schema)
             if df is None or not df.columns:
                 self._send(self._eos())
                 return
@@ -1273,9 +1286,6 @@ class NativeServer(socketserver.ThreadingTCPServer):
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
         super().__init__((host, port), _Conn)
         self.engine = engine
-        # serializes the per-statement bind of a connection's current
-        # database to the shared Spark catalog (analysis window only)
-        self.catalog_lock = threading.Lock()
 
 
 def serve_native(engine, host: str = "127.0.0.1", port: int = 0):

@@ -1418,7 +1418,13 @@ class _HttpHandler(BaseHTTPRequestHandler):
                 combined += stream.drain()
         written = 0
         qualified = None
-        with srv.lock:
+        # srv.lock serializes HTTP requests' engine-state regions against
+        # each other; eng.catalog_lock additionally serializes them
+        # against the NATIVE door's per-connection database bind, so no
+        # door's analysis window can observe another's current database
+        # (r12 review).  Order is always srv.lock -> catalog_lock, and
+        # the native door takes only catalog_lock — no deadlock cycle.
+        with srv.lock, eng.catalog_lock:
             # sweep expired sessions (CH session_timeout semantics)
             now = _time.monotonic()
             for sid in [s for s, exp in srv.session_expiry.items()
@@ -1568,25 +1574,22 @@ class _HttpHandler(BaseHTTPRequestHandler):
         if eager_rows is not None:
             rows: Iterable[tuple] = eager_rows
         else:
-            # kill poll every few thousand rows: a KILL from another
-            # connection cancels the Spark jobs, but between jobs
-            # (iterator prefetched) nothing would raise — _stream's
-            # mid-stream handler appends CH's exception text and closes
-            # (VERDICT r11 #6, HTTP half)
+            # kill poll every few thousand rows via the shared engine
+            # helper (explicit query_id: the first chunk may be pulled
+            # on the progress helper thread, which has no thread-local
+            # binding) — _stream's mid-stream handler appends CH's
+            # exception text and closes (VERDICT r11 #6, HTTP half).
             # toLocalIterator is called EAGERLY (like the genexp it
             # replaces): prefetch submits the first job here, so an
             # immediate failure (timeout, analysis) surfaces BEFORE the
             # 200 status line goes out
-            it = df.toLocalIterator(prefetchPartitions=True)
-
-            def _rows_kill_checked(it=it):
-                eng = self.server.engine  # type: ignore[attr-defined]
-                for n, r in enumerate(it):
-                    if n % 4096 == 4095:
-                        eng.check_not_killed()
-                    yield tuple(r)
-
-            rows = _rows_kill_checked()
+            eng = self.server.engine  # type: ignore[attr-defined]
+            rows = (
+                tuple(r) for r in eng.kill_checked(
+                    df.toLocalIterator(prefetchPartitions=True),
+                    qid=one.get("query_id"),
+                )
+            )
         chunks = encode_rows(fmt, names, ch_types, rows, quote64=quote64)
         self._stream(one, fmt, chunks, head_only=head_only)
 

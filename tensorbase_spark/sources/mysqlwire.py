@@ -735,9 +735,10 @@ class _MyConn(socketserver.StreamRequestHandler):
         """resultset.rs:139-349 start/write_row/finish over the text
         protocol: column count, definitions, EOF, rows, EOF.
 
-        Polls the kill flag every few thousand rows: a KILL QUERY from
-        another connection cancels the victim's Spark jobs, but between
-        jobs (iterator prefetched) nothing would raise — same seam the
+        Polls the kill flag every few thousand rows (the shared
+        engine.kill_checked helper): a KILL QUERY from another
+        connection cancels the victim's Spark jobs, but between jobs
+        (iterator prefetched) nothing would raise — same seam the
         native door closes between blocks (VERDICT r11 #6)."""
         engine = self.server.engine  # type: ignore[attr-defined]
         head = bytearray()
@@ -747,9 +748,7 @@ class _MyConn(socketserver.StreamRequestHandler):
             pio.send(build_column_definition(table, name, ctype, flags))
         pio.send(build_eof())
         bitmap_len = (len(cols) + 7 + 2) // 8  # resultset.rs:219
-        for nrow, row in enumerate(rows):
-            if nrow % 4096 == 4095:
-                engine.check_not_killed()
+        for row in engine.kill_checked(rows):
             out = bytearray()
             if binary:
                 # binary row: 0x00 header + null bitmap (offset 2) + values

@@ -663,6 +663,11 @@ def test_per_connection_current_db(engine):
         _s, arows = a.execute("select v from t")
         _s, brows = b.execute("select v from t")
         assert arows == [(1,)] and brows == [(2,)]
+        # currentDatabase() reports the CONNECTION's database (evaluated
+        # eagerly inside the bind — fetch time runs after the restore)
+        _s, acur = a.execute("select currentDatabase() as d")
+        _s, bcur = b.execute("select currentDatabase() as d")
+        assert acur == [("dbx",)] and bcur == [("dby",)]
         # B's USE did not leak into A — and A can switch independently
         a.execute("use dby")
         _s, arows2 = a.execute("select v from t")

@@ -678,6 +678,8 @@ def test_tier22_everyday_functions(spark):
         "  toDateTime('2023-01-01 00:01:40')) as td, "
         "MACStringToNum('aa:bb:cc:dd:ee:ff') as mn, "
         "MACNumToString(MACStringToNum('aa:bb:cc:dd:ee:ff')) as mrt, "
+        "MACNumToString(281474976710656) as m48, "
+        "MACNumToString(-1) as mneg, "
         "multiSearchAllPositions('Hello, World!', "
         "  ['hello', '!', 'world']) as mp, "
         "extractAllGroups('abc=111, def=222', "
@@ -698,6 +700,8 @@ def test_tier22_everyday_functions(spark):
     assert r.fd == "2023-09-08" and r.fdrt == 739136  # tier-17 inverse
     assert r.td == 100
     assert r.mn == 0xAABBCCDDEEFF and r.mrt == "aa:bb:cc:dd:ee:ff"
+    # LOW 48 bits exactly: 2^48 wraps to zero, -1 is all-ones (r12 review)
+    assert r.m48 == "00:00:00:00:00:00" and r.mneg == "ff:ff:ff:ff:ff:ff"
     assert r.mp == [0, 13, 0]  # the CH docs example (case-sensitive)
     # the CH docs examples: vertical = per match, horizontal = per group
     assert r.eag == [["abc", "111"], ["def", "222"]]
@@ -731,6 +735,7 @@ def test_tier23_everyday_functions(spark):
         "isIPv6String('::ffff:192.168.0.1') as i6c, "
         "isIPv6String('1.2.3.4') as i6d, "
         "isIPv6String('gggg::1') as i6e, "
+        "isIPv6String('::ffff:192x168x0x1') as i6f, "
         "JSONType('{\"a\":1}') as jt1, JSONType('[1]') as jt2, "
         "JSONType('\"x\"') as jt3, JSONType('true') as jt4, "
         "JSONType('-12') as jt5, JSONType('1.5e3') as jt6, "
@@ -744,7 +749,8 @@ def test_tier23_everyday_functions(spark):
     assert (r.al, r.al0) == (2, None)  # NULL-not-default documented
     assert (r.ali, r.ali0) == (2, 0)
     assert r.auc == 0.75  # the CH docs example
-    assert (r.i6a, r.i6b, r.i6c, r.i6d, r.i6e) == (1, 1, 1, 0, 0)
+    # i6f: the IPv4-mapped tail's dots must be LITERAL dots (r12 review)
+    assert (r.i6a, r.i6b, r.i6c, r.i6d, r.i6e, r.i6f) == (1, 1, 1, 0, 0, 0)
     assert (r.jt1, r.jt2, r.jt3, r.jt4) == (
         "Object", "Array", "String", "Bool")
     assert (r.jt5, r.jt6, r.jt7) == ("Int64", "Double", "")
