@@ -690,6 +690,70 @@ def test_per_connection_current_db(engine):
         srv.server_close()
 
 
+def test_cross_door_database_isolation(engine):
+    """The native door's per-connection database bind must never leak
+    into a CONCURRENT HTTP request's name resolution (both doors bind
+    through the engine's shared catalog lock — r12 review).  A native
+    connection hammers unqualified reads in its own database while HTTP
+    requests resolve the same unqualified name in the ambient database;
+    every response must come from the right table."""
+    import threading
+
+    from tensorbase_spark.sources.httpwire import HttpClient, serve_http
+    from tensorbase_spark.sources.chnative import serve_native
+
+    nsrv, nport = serve_native(engine)
+    hsrv, hport = serve_http(engine)
+    try:
+        ambient = engine.spark.catalog.currentDatabase()
+        with NativeClient(port=nport) as setup:
+            setup.execute("create database if not exists xdoor")
+            setup.execute("create table xdoor.t (v Int64)")
+            setup.execute("insert into xdoor.t values (111)")
+            setup.execute(f"create table {ambient}.t (v Int64)")
+            setup.execute(f"insert into {ambient}.t values (222)")
+        errors: list[str] = []
+
+        def native_side():
+            try:
+                c = NativeClient(port=nport, database="xdoor")
+                for _ in range(30):
+                    _s, rows = c.execute("select max(v) as m from t")
+                    if rows != [(111,)]:
+                        errors.append(f"native got {rows}")
+                        return
+                c.close()
+            except Exception as e:
+                errors.append(repr(e))
+
+        def http_side():
+            try:
+                with HttpClient(port=hport) as c:
+                    for _ in range(30):
+                        _n, _t, rows = c.execute("select max(v) as m from t")
+                        if rows != [(222,)]:
+                            errors.append(f"http got {rows}")
+                            return
+            except Exception as e:
+                errors.append(repr(e))
+
+        threads = [threading.Thread(target=native_side, daemon=True),
+                   threading.Thread(target=http_side, daemon=True)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(120)
+        assert not errors, errors
+    finally:
+        with NativeClient(port=nport) as cleanup:
+            cleanup.execute("drop database if exists xdoor")
+            cleanup.execute("drop table if exists t")
+        nsrv.shutdown()
+        nsrv.server_close()
+        hsrv.shutdown()
+        hsrv.server_close()
+
+
 def test_kill_truncates_native_stream_from_second_connection(engine):
     """KILL QUERY issued on a SECOND connection truncates a streamed
     SELECT mid-result on the first: the victim's stream ends with an
