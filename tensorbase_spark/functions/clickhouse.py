@@ -2404,6 +2404,71 @@ def _json_type_sql(args: list[str]) -> str:
     )
 
 
+def _ngrams_frag(s: str) -> str:
+    """SQL fragment: the 4-gram multiset of a string as an array (a
+    string shorter than 4 chars contributes itself as its one gram) —
+    the candidate unit of the CH ngram* text-similarity family."""
+    return (
+        f"transform(sequence(1, greatest(length({s}) - 3, 1)), "
+        f"__i -> substring({s}, __i, 4))"
+    )
+
+
+def _ngram_common_frag(ga: str, gb: str) -> str:
+    """SQL fragment: multiset-intersection size of two gram arrays —
+    sum over distinct grams of the smaller per-side count."""
+    return (
+        f"aggregate(array_distinct({ga}), 0, (__acc, __g) -> __acc "
+        f"+ least(size(filter({ga}, __x -> __x = __g)), "
+        f"size(filter({gb}, __x -> __x = __g))))"
+    )
+
+
+def _ngram_distance_sql(args: list[str], fold: str = "") -> str:
+    """CH ngramDistance(a, b): 4-gram multiset distance in [0, 1]
+    (0 = identical) — 1 minus the Sørensen–Dice overlap of the two
+    gram multisets, restated from first principles in the tier's
+    oracle (tier 24)."""
+    a = f"{fold}({args[0]})" if fold else args[0]
+    b = f"{fold}({args[1]})" if fold else args[1]
+    ga, gb = _ngrams_frag(a), _ngrams_frag(b)
+    return (
+        f"cast(1.0 - 2.0 * {_ngram_common_frag(ga, gb)} "
+        f"/ (size({ga}) + size({gb})) as double)"
+    )
+
+
+def _ngram_search_sql(args: list[str], fold: str = "") -> str:
+    """CH ngramSearch(haystack, needle): asymmetric 4-gram overlap in
+    [0, 1] (1 = every needle gram present in the haystack) (tier 24)."""
+    h = f"{fold}({args[0]})" if fold else args[0]
+    n = f"{fold}({args[1]})" if fold else args[1]
+    gh, gn = _ngrams_frag(h), _ngrams_frag(n)
+    return (
+        f"cast({_ngram_common_frag(gn, gh)} / cast(size({gn}) as double) "
+        "as double)"
+    )
+
+
+def _json_extract_keys_and_values_sql(args: list[str]) -> str:
+    """CH JSONExtractKeysAndValues(json, 'Type'): array of (key, value)
+    pairs of a flat JSON object, values parsed as the literal type
+    (tier 24)."""
+    spark_t = "string"
+    if len(args) > 1:
+        ch_t = args[1].strip().strip("'\"").lower()
+        spark_t = {
+            "string": "string", "int64": "bigint", "int32": "int",
+            "uint64": "bigint", "uint32": "bigint", "float64": "double",
+            "float32": "float", "bool": "boolean",
+        }.get(ch_t)
+        if spark_t is None:
+            raise ValueError(
+                f"JSONExtractKeysAndValues: unsupported type {args[1]}"
+            )
+    return f"map_entries(from_json({args[0]}, 'map<string,{spark_t}>'))"
+
+
 def _pad_utf8_sql(fn: str):
     """CH leftPadUTF8/rightPadUTF8 -> lpad/rpad (Spark pads are already
     character-based); the pad string defaults to a space (tier 22)."""
@@ -2750,5 +2815,37 @@ CH_SQL_TEMPLATES.update(
         # the argument's timezone IS the session timezone
         "timezoneof": "'UTC'",
         "timezoneoffset": "cast(0 as int)",
+        # tier 24: 4-gram text similarity, normalized-query hashing,
+        # relative week numbers, flat-JSON pair extraction, elementwise
+        # tuple arithmetic (the array tuple model of the vector family)
+        "ngramdistance": _ngram_distance_sql,
+        "ngramdistancecaseinsensitive": (
+            lambda a: _ngram_distance_sql(a, fold="lower")
+        ),
+        "ngramsearch": _ngram_search_sql,
+        "ngramsearchcaseinsensitive": (
+            lambda a: _ngram_search_sql(a, fold="lower")
+        ),
+        # hash of the literal-stripped query text (normalizeQuery above)
+        "normalizedqueryhash": (
+            "xxhash64(regexp_replace(regexp_replace({0}, \"'[^']*'\", "
+            "'?'), '(?<![a-zA-Z0-9_])[0-9]+(\\\\.[0-9]+)?', '?'))"
+        ),
+        # weeks since epoch on the Monday-rollover grid
+        # (DateLUT: (days + 8 - iso_dow) / 7)
+        "torelativeweeknum": (
+            "cast(floor((datediff(cast({0} as date), date'1970-01-01') "
+            "+ 8 - (pmod(dayofweek(cast({0} as date)) + 5, 7) + 1)) / 7) "
+            "as int)"
+        ),
+        "jsonextractkeysandvalues": _json_extract_keys_and_values_sql,
+        "identity": "{0}",
+        "tupleplus": "zip_with({0}, {1}, (__a, __b) -> __a + __b)",
+        "tupleminus": "zip_with({0}, {1}, (__a, __b) -> __a - __b)",
+        "tuplemultiply": "zip_with({0}, {1}, (__a, __b) -> __a * __b)",
+        "tupledivide": "zip_with({0}, {1}, (__a, __b) -> __a / __b)",
+        "tuplenegate": "transform({0}, __a -> -__a)",
+        "vectorsum": "zip_with({0}, {1}, (__a, __b) -> __a + __b)",
+        "vectordifference": "zip_with({0}, {1}, (__a, __b) -> __a - __b)",
     }
 )

@@ -275,7 +275,7 @@ PRIORITY_HEAD = [
     "engine_kill_query", "wire_http_roundtrip", "wire_native_roundtrip",
     "ch_everyday_funcs21",
     # (b) new round-12 queries
-    "ch_everyday_funcs22", "ch_everyday_funcs23",
+    "ch_everyday_funcs22", "ch_everyday_funcs23", "ch_everyday_funcs24",
 ]
 
 

@@ -2431,3 +2431,62 @@ FROM orders GROUP BY o_orderstatus
 QUERIES["ch_everyday_funcs23"] = Query(
     ch_everyday_funcs23, CH_EVERYDAY23_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs24(spark, sf_dir):
+    """Everyday upstream-CH tier 24: 4-gram text similarity
+    (ngramDistance/ngramSearch, multiset Sørensen–Dice), normalized
+    query hashing (literal-insensitive), Monday-rollover relative week
+    numbers, flat-JSON pair extraction, identity, and elementwise tuple
+    arithmetic on the array tuple model.  The oracle restates each from
+    first principles: closed-form gram overlap on the constructed
+    strings, hash-equality booleans, the (days + 8 - isodow) / 7 week
+    grid, and plain arithmetic for the tuple sums."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e24")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        # grams('abcdX') vs 'abcd0': common = 1 + [X = 0] of 2 per side
+        "max(ngramDistance(concat('abcd', toString(o_orderkey % 10)), "
+        "  'abcd0')) as nd, "
+        "min(ngramDistanceCaseInsensitive(concat('ABCD', "
+        "  toString(o_orderkey % 10)), concat('abcd', "
+        "  toString(o_orderkey % 10)))) as ndi, "
+        "max(ngramSearch(concat('abcd', toString(o_orderkey % 10)), "
+        "  'abcd')) as ns, "
+        "max(normalizedQueryHash(concat('select ', "
+        "  toString(o_orderkey % 100), ' from t')) "
+        "  = normalizedQueryHash('select 999 from t')) as nq, "
+        "max(toRelativeWeekNum(toDate(o_orderdate))) as rw, "
+        "max(arrayStringConcat(arrayMap(__p -> concat(__p.key, '=', "
+        "  toString(__p.value)), JSONExtractKeysAndValues(concat("
+        "  '{\"k\": ', toString(o_orderkey % 50), '}'), 'Int64')), "
+        "  ',')) as jkv, "
+        "max(identity(o_orderkey % 97)) as idn, "
+        "max(arraySum(tuplePlus([o_orderkey % 5, 1], "
+        "  [1, o_orderkey % 3]))) as tp, "
+        "max(arraySum(tupleMultiply([o_orderkey % 5, 2], "
+        "  [3, o_orderkey % 3]))) as tx "
+        "from ord_e24 group by o_orderstatus"
+    )
+
+
+CH_EVERYDAY24_ORACLE = """
+SELECT o_orderstatus AS st,
+  max(CASE WHEN o_orderkey % 10 = 0 THEN 0.0 ELSE 0.5 END) AS nd,
+  min(0.0) AS ndi,
+  max(1.0) AS ns,
+  max(TRUE) AS nq,
+  max(CAST(floor((CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+      + 8 - isodow(CAST(o_orderdate AS DATE))) / 7) AS INTEGER)) AS rw,
+  max('k=' || CAST(o_orderkey % 50 AS VARCHAR)) AS jkv,
+  max(o_orderkey % 97) AS idn,
+  max(CAST(o_orderkey % 5 + 1 + 1 + o_orderkey % 3 AS DOUBLE)) AS tp,
+  max(CAST(3 * (o_orderkey % 5) + 2 * (o_orderkey % 3) AS DOUBLE)) AS tx
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES["ch_everyday_funcs24"] = Query(
+    ch_everyday_funcs24, CH_EVERYDAY24_ORACLE, ("dialect", "functions")
+)

@@ -760,3 +760,54 @@ def test_tier23_everyday_functions(spark):
         r"[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}"
         r"-[0-9a-f]{12}", r.u7)
     assert (r.tz, r.tzo) == ("UTC", 0)
+
+
+def test_tier24_everyday_functions(spark):
+    """Tier-24 goldens: 4-gram text similarity (closed-form cases),
+    normalized-query hashing (literal-insensitive), Monday-rollover
+    relative week numbers, flat-JSON pair extraction, elementwise tuple
+    arithmetic on the array tuple model."""
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    r = eng.sql(
+        "select "
+        "ngramDistance('abcde', 'abcde') as nd0, "
+        "ngramDistance('abcde', 'vwxyz') as nd1, "
+        "ngramDistance('abcdef', 'abcdeg') as ndm, "
+        "ngramDistanceCaseInsensitive('ABCDE', 'abcde') as ndi, "
+        "ngramSearch('hello world', 'world') as ns1, "
+        "ngramSearch('hello world', 'zzzz') as ns0, "
+        "normalizedQueryHash(\"select 1 from t where x = 'a'\") "
+        "  = normalizedQueryHash(\"select 22 from t where x = 'bb'\") "
+        "  as nqsame, "
+        "normalizedQueryHash('select a from t') "
+        "  = normalizedQueryHash('select b from t') as nqdiff, "
+        "toRelativeWeekNum(toDate('1970-01-01')) as rw0, "
+        "toRelativeWeekNum(toDate('1970-01-05')) as rw1, "
+        "toRelativeWeekNum(toDate('1970-01-11')) as rw1b, "
+        "toRelativeWeekNum(toDate('1970-01-12')) as rw2, "
+        "arrayStringConcat(arrayMap(__p -> concat(__p.key, '=', "
+        "  toString(__p.value)), JSONExtractKeysAndValues("
+        "  '{\"a\": 1, \"b\": 2}', 'Int64')), ',') as jkv, "
+        "identity(42) as idn, "
+        "tuplePlus([1, 2], [10, 20]) as tp, "
+        "tupleMinus([10, 20], [1, 2]) as tm, "
+        "tupleMultiply([2, 3], [4, 5]) as tx, "
+        "tupleNegate([1, -2]) as tn, "
+        "vectorSum([1, 2], [3, 4]) as vs"
+    ).collect()[0]
+    # identical -> 0; disjoint -> 1; 'abcdef' vs 'abcdeg' share 2 of 3
+    # grams per side -> 1 - 2*2/6 = 1/3
+    assert (r.nd0, r.nd1) == (0.0, 1.0)
+    assert abs(r.ndm - 1 / 3) < 1e-9
+    assert r.ndi == 0.0
+    assert (r.ns1, r.ns0) == (1.0, 0.0)
+    # literals normalize to '?' -> same hash; different identifiers don't
+    assert r.nqsame is True and r.nqdiff is False
+    # weeks roll over on Monday (1970-01-05 was the first Monday)
+    assert (r.rw0, r.rw1, r.rw1b, r.rw2) == (0, 1, 1, 2)
+    assert r.jkv == "a=1,b=2"
+    assert r.idn == 42
+    assert r.tp == [11, 22] and r.tm == [9, 18]
+    assert r.tx == [8, 15] and r.tn == [-1, 2] and r.vs == [4, 6]
