@@ -892,7 +892,40 @@ CH_PARAMETRIC_TEMPLATES = {
         f"1, {int(p[0].strip())}), __q -> __q.v)"
     ),
     "__histpairs": lambda p, a: _histpairs_tmpl(int(p[0].strip()), a[0], a[1]),
+    # -- tier 25 ----------------------------------------------------------
+    # groupArraySorted(k)(x): the k smallest values in ascending order
+    "grouparraysorted": lambda p, a: (
+        f"slice(array_sort(collect_list({a[0]})), 1, {int(p[0].strip())})"
+    ),
+    # bfloat16 is another CH sketch-quantile; same bounded-memory analogue
+    "quantilebfloat16": lambda p, a: (
+        f"approx_percentile({a[0]}, {p[0]}, 10000)"
+    ),
+    # the determinator argument only stabilizes CH's reservoir sampling —
+    # the exact percentile is already deterministic, so it is ignored
+    "quantiledeterministic": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    # quantileExactWeighted(p)(x, w): the value whose running weight
+    # first reaches p * total over the value-sorted pairs (CH exact
+    # semantics).  One buffered collect per group (the quantileExact
+    # contract), all arithmetic in JVM lambdas.
+    "quantileexactweighted": lambda p, a: (
+        "element_at(transform(array(array_sort(collect_list("
+        "named_struct('x', cast({x} as double), 'w', cast({w} as "
+        "double))))), __arr -> element_at(transform(array(aggregate("
+        "__arr, cast(0.0 as double), (__s, __q) -> __s + __q.w)), "
+        "__tot -> aggregate(__arr, named_struct('cum', cast(0.0 as "
+        "double), 'ans', cast(null as double)), (__acc, __q) -> case "
+        "when __acc.ans is not null then __acc when __acc.cum + __q.w "
+        ">= {p} * __tot then named_struct('cum', __acc.cum + __q.w, "
+        "'ans', __q.x) else named_struct('cum', __acc.cum + __q.w, "
+        "'ans', __acc.ans) end, __acc -> __acc.ans)), 1)), 1)"
+    ).format(x=a[0], w=a[1], p=p[0]),
 }
+
+# plain topK(x) (no parameter list): upstream CH defaults to k = 10
+CH_SQL_TEMPLATES["topk"] = (
+    lambda a: CH_PARAMETRIC_TEMPLATES["topk"](["10"], a)
+)
 
 
 def _histogram_tmpl(m: int, x: str) -> str:
@@ -1326,6 +1359,36 @@ CH_SQL_TEMPLATES.update(
         "covarsamp": "covar_samp({0}, {1})",
         "skewpop": "skewness({0})",
         "kurtpop": "(kurtosis({0}) + 3)",
+        # tier 25: the sample-moment variants rescale the population
+        # forms by (n-1)/n powers — CH divides the central moments by n
+        # but the SAMPLE variance by n-1, so
+        # skewSamp = m3/varSamp^1.5 = skewPop * ((n-1)/n)^1.5 and
+        # kurtSamp = m4/varSamp^2 = kurtPop * ((n-1)/n)^2
+        "skewsamp": (
+            "(skewness({0}) * pow((count({0}) - 1) "
+            "/ cast(count({0}) as double), 1.5))"
+        ),
+        "kurtsamp": (
+            "((kurtosis({0}) + 3) * pow((count({0}) - 1) "
+            "/ cast(count({0}) as double), 2))"
+        ),
+        # CH uniqTheta is a theta sketch; Spark's bounded-memory
+        # analogue is the HLL++ estimate (same approximate contract)
+        "uniqthetasketch": "approx_count_distinct({0})",
+        # maxIntersections(start, end): peak number of concurrently
+        # open [start, end) intervals — sweep the sorted endpoint
+        # events (+1 at start, -1 at end; ties close-before-open via
+        # the struct sort order since -1 < 1) with a running maximum
+        "maxintersections": (
+            "element_at(transform(array(array_sort(flatten("
+            "collect_list(array(named_struct('t', cast({0} as double), "
+            "'d', 1), named_struct('t', cast({1} as double), "
+            "'d', -1)))))), __arr -> aggregate(__arr, "
+            "named_struct('cur', 0, 'mx', 0), (__acc, __q) -> "
+            "named_struct('cur', __acc.cur + __q.d, "
+            "'mx', greatest(__acc.mx, __acc.cur + __q.d)), "
+            "__acc -> __acc.mx)), 1)"
+        ),
     }
 )
 

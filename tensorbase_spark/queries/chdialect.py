@@ -2490,3 +2490,64 @@ FROM orders GROUP BY o_orderstatus
 QUERIES["ch_everyday_funcs24"] = Query(
     ch_everyday_funcs24, CH_EVERYDAY24_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs25(spark, sf_dir):
+    """Everyday upstream-CH tier 25 (aggregate-family gaps): sample
+    skewness/kurtosis (central moments over n, sample variance over
+    n-1), interval-overlap sweep (maxIntersections), sorted / exact
+    weighted / deterministic quantile variants, theta-sketch distinct,
+    plain topK.  The oracle recomputes every formula from first
+    principles: raw-moment skew/kurt over var_samp, a fully-overlapping
+    interval construction whose peak equals the row count, sorted list
+    slices, the cumulative-weight crossing by conditional counts, and
+    frequency-certain topK inputs."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e25")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "skewSamp(o_totalprice) as ss, "
+        "kurtSamp(o_totalprice) as ks, "
+        "uniqThetaSketch(o_orderpriority) as uts, "
+        # [0,2) and [1,3) intervals all overlap during [1,2): the peak
+        # equals the total interval count = rows in the group
+        "maxIntersections(least(o_orderkey % 3, 1), "
+        "  least(o_orderkey % 3, 1) + 2) as mi, "
+        "arrayStringConcat(arrayMap(__v -> toString(__v), "
+        "  groupArraySorted(3)(o_orderkey % 100)), ',') as gas, "
+        "quantileDeterministic(0.5, 42)(o_orderkey % 100) as qd, "
+        "quantileExactWeighted(0.5)(o_orderkey % 3, 1) as qew, "
+        "arrayStringConcat(topK(case when o_orderkey % 7 = 0 then 'a' "
+        "  else 'b' end), ',') as tk "
+        "from ord_e25 group by o_orderstatus"
+    )
+
+
+CH_EVERYDAY25_ORACLE = """
+SELECT o_orderstatus AS st,
+  (avg(o_totalprice * o_totalprice * o_totalprice)
+   - 3 * avg(o_totalprice) * avg(o_totalprice * o_totalprice)
+   + 2 * avg(o_totalprice) ^ 3) / var_samp(o_totalprice) ^ 1.5 AS ss,
+  (avg(o_totalprice ^ 4)
+   - 4 * avg(o_totalprice) * avg(o_totalprice ^ 3)
+   + 6 * avg(o_totalprice) ^ 2 * avg(o_totalprice * o_totalprice)
+   - 3 * avg(o_totalprice) ^ 4) / var_samp(o_totalprice) ^ 2 AS ks,
+  count(DISTINCT o_orderpriority) AS uts,
+  CAST(count(*) AS INTEGER) AS mi,
+  array_to_string(list_slice(list_sort(list(o_orderkey % 100)), 1, 3),
+                  ',') AS gas,
+  quantile_cont(o_orderkey % 100, 0.5) AS qd,
+  CAST(CASE
+    WHEN 2 * sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+         >= count(*) THEN 0
+    WHEN 2 * sum(CASE WHEN o_orderkey % 3 <= 1 THEN 1 ELSE 0 END)
+         >= count(*) THEN 1
+    ELSE 2 END AS DOUBLE) AS qew,
+  'b,a' AS tk
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES["ch_everyday_funcs25"] = Query(
+    ch_everyday_funcs25, CH_EVERYDAY25_ORACLE, ("dialect", "functions")
+)

@@ -811,3 +811,40 @@ def test_tier24_everyday_functions(spark):
     assert r.idn == 42
     assert r.tp == [11, 22] and r.tm == [9, 18]
     assert r.tx == [8, 15] and r.tn == [-1, 2] and r.vs == [4, 6]
+
+
+def test_tier25_aggregate_functions(spark):
+    """Tier-25 goldens: sample-moment skew/kurtosis ((n-1)/n rescale of
+    the population forms), theta-sketch alias, interval sweep
+    (maxIntersections), sorted/weighted/deterministic quantile
+    variants, plain topK (default k=10)."""
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    spark.sql(
+        "select * from values (1.0, 1.0, 0.0, 10.0), (2.0, 1.0, 5.0, "
+        "15.0), (3.0, 2.0, 8.0, 12.0), (4.0, 6.0, 20.0, 30.0), "
+        "(2.0, 1.0, 11.0, 14.0) as t(x, w, s, e)"
+    ).createOrReplaceTempView("t25")
+    r = eng.sql(
+        "select skewSamp(x) as ss, kurtSamp(x) as ks, skewPop(x) as sp, "
+        "kurtPop(x) as kp, uniqThetaSketch(x) as uts, "
+        "maxIntersections(s, e) as mi, groupArraySorted(3)(x) as gas, "
+        "quantileBFloat16(0.5)(x) as qb, "
+        "quantileDeterministic(0.5, 42)(x) as qd, "
+        "quantileExactWeighted(0.5)(x, w) as qew, topK(x) as tk "
+        "from t25"
+    ).collect()[0]
+    n = 5
+    assert abs(r.ss - r.sp * ((n - 1) / n) ** 1.5) < 1e-9
+    assert abs(r.ks - r.kp * ((n - 1) / n) ** 2) < 1e-9
+    assert r.uts == 4
+    # [0,10),[5,15),[8,12) are all open during [8,10) -> peak 3
+    assert r.mi == 3
+    assert [float(v) for v in r.gas] == [1.0, 2.0, 2.0]
+    assert float(r.qb) == 2.0 and r.qd == 2.0
+    # pairs (1,1),(2,1),(2,1),(3,2),(4,6): total 11, running weight
+    # first reaches 5.5 at x=4
+    assert r.qew == 4.0
+    # frequency desc, value asc: 2.0 twice, then 1/3/4 once each
+    assert [float(v) for v in r.tk] == [2.0, 1.0, 3.0, 4.0]
