@@ -2178,7 +2178,7 @@ class TensorBaseEngine:
     )
     # function calls whose result varies run-to-run — cache-ineligible
     _NONDETERMINISTIC_RE = re.compile(
-        r"(?is)\b(?:now|today|yesterday|rand|randCanonical|randn|uuid|"
+        r"(?is)\b(?:now|today|yesterday|rand\w*|uuid|"
         r"generateUUIDv[47]|UTCTimestamp|random|current_date|"
         r"current_timestamp|"
         r"current_time|unix_timestamp|remote|numbers)\s*\("

@@ -2532,6 +2532,54 @@ def _json_extract_keys_and_values_sql(args: list[str]) -> str:
     return f"map_entries(from_json({args[0]}, 'map<string,{spark_t}>'))"
 
 
+_ACCURATE_CAST_TYPES = {
+    "int8": "tinyint", "int16": "smallint", "int32": "int",
+    "int64": "bigint", "uint8": "smallint", "uint16": "int",
+    "uint32": "bigint", "uint64": "decimal(20,0)", "float32": "float",
+    "float64": "double", "string": "string", "date": "date",
+    "datetime": "timestamp", "bool": "boolean",
+}
+
+
+def _accurate_cast_sql(args: list[str], fn: str) -> str:
+    """CH accurateCast(x, 'Type') / accurateCastOrNull: the 2-arg cast
+    with a literal CH type name — strict (error) vs NULL on failure map
+    to cast vs try_cast (tier 26)."""
+    t = args[1].strip().strip("'\"").lower()
+    st = _ACCURATE_CAST_TYPES.get(t)
+    if st is None:
+        raise ValueError(f"accurateCast: unsupported type {args[1]}")
+    return f"{fn}({args[0]} as {st})"
+
+
+def _throw_if_sql(args: list[str]) -> str:
+    """CH throwIf(cond[, message]): raise when the condition holds,
+    else return 0 (tier 26)."""
+    msg = args[1] if len(args) > 1 else "'throwIf condition met'"
+    return (
+        f"if(cast({args[0]} as boolean), "
+        f"cast(raise_error({msg}) as int), 0)"
+    )
+
+
+def _morton_decode_sql(args: list[str]) -> str:
+    """CH mortonDecode(2, code): deinterleave a 2-D morton code back to
+    its (x, y) coordinates — inverse of mortonEncode (tier 26).  Only
+    the 2-tuple form is supported (the encode side's arity too)."""
+    if args[0].strip() != "2":
+        raise ValueError("mortonDecode: only tuple size 2 is supported")
+    code = f"cast({args[1]} as bigint)"
+
+    def half(off: int) -> str:
+        return (
+            f"aggregate(sequence(0, 31), cast(0 as bigint), "
+            f"(__a, __i) -> __a + shiftleft(shiftright({code}, "
+            f"2 * __i + {off}) & 1, __i))"
+        )
+
+    return f"array({half(0)}, {half(1)})"
+
+
 def _pad_utf8_sql(fn: str):
     """CH leftPadUTF8/rightPadUTF8 -> lpad/rpad (Spark pads are already
     character-based); the pad string defaults to a space (tier 22)."""
@@ -2903,6 +2951,41 @@ CH_SQL_TEMPLATES.update(
         ),
         "jsonextractkeysandvalues": _json_extract_keys_and_values_sql,
         "identity": "{0}",
+        # tier 26: digit counts, random distributions, bitmask
+        # explosion, morton deinterleave, strict casts, throwIf
+        "countdigits": (
+            "length(cast(abs(cast({0} as bigint)) as string))"
+        ),
+        "randuniform": "({0} + rand() * ({1} - ({0})))",
+        # Box–Muller from two independent uniforms
+        "randnormal": (
+            "({0} + ({1}) * sqrt(-2 * ln(rand())) * cos(2 * pi() "
+            "* rand()))"
+        ),
+        "randbernoulli": "cast(rand() < ({0}) as tinyint)",
+        "randexponential": "(-ln(rand()) / ({0}))",
+        "randprintableascii": (
+            "concat_ws('', transform(sequence(1, cast({0} as int)), "
+            "__i -> char(32 + cast(rand() * 95 as int))))"
+        ),
+        # ascending powers of two present in the mask
+        "bitmasktoarray": (
+            "filter(transform(sequence(0, 62), __i -> "
+            "shiftleft(cast(1 as bigint), __i)), "
+            "__p -> (cast({0} as bigint) & __p) != 0)"
+        ),
+        # ascending 0-based positions of the set bits
+        "bitpositionstoarray": (
+            "filter(sequence(cast(0 as bigint), cast(62 as bigint)), "
+            "__i -> (shiftright(cast({0} as bigint), cast(__i as int)) "
+            "& 1) = 1)"
+        ),
+        "tocolumntypename": "typeof({0})",
+        "tostringcuttozero": "substring_index({0}, char(0), 1)",
+        "throwif": _throw_if_sql,
+        "accuratecast": lambda a: _accurate_cast_sql(a, "cast"),
+        "accuratecastornull": lambda a: _accurate_cast_sql(a, "try_cast"),
+        "mortondecode": _morton_decode_sql,
         "tupleplus": "zip_with({0}, {1}, (__a, __b) -> __a + __b)",
         "tupleminus": "zip_with({0}, {1}, (__a, __b) -> __a - __b)",
         "tuplemultiply": "zip_with({0}, {1}, (__a, __b) -> __a * __b)",

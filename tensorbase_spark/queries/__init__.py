@@ -276,7 +276,7 @@ PRIORITY_HEAD = [
     "ch_everyday_funcs21",
     # (b) new round-12 queries
     "ch_everyday_funcs22", "ch_everyday_funcs23", "ch_everyday_funcs24",
-    "ch_everyday_funcs25",
+    "ch_everyday_funcs25", "ch_everyday_funcs26",
 ]
 
 

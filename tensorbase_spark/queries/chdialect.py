@@ -2551,3 +2551,62 @@ FROM orders GROUP BY o_orderstatus
 QUERIES["ch_everyday_funcs25"] = Query(
     ch_everyday_funcs25, CH_EVERYDAY25_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs26(spark, sf_dir):
+    """Everyday upstream-CH tier 26: decimal digit counts, bitmask
+    explosion both renderings (powers-of-two values and set-bit
+    positions), morton 2-D deinterleave (roundtrip through the tier-17
+    encoder), zero-byte string truncation, strict 2-arg casts
+    (accurateCast / accurateCastOrNull), column type introspection, and
+    throwIf's pass branch.  The oracle recomputes each from first
+    principles: digit length of the absolute value, DuckDB list
+    comprehension over the same bit tests, the (x, y) identity for the
+    morton roundtrip, chr(0) splits, and TRY_CAST parity."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e26")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "max(countDigits(o_orderkey)) as cd, "
+        "max(countDigits(-(o_orderkey % 1000))) as cdn, "
+        "max(arrayStringConcat(arrayMap(__v -> toString(__v), "
+        "  bitmaskToArray(o_orderkey % 64)), ',')) as bma, "
+        "max(arrayStringConcat(arrayMap(__v -> toString(__v), "
+        "  bitPositionsToArray(o_orderkey % 64)), ',')) as bpa, "
+        "max(arrayStringConcat(arrayMap(__v -> toString(__v), "
+        "  mortonDecode(2, mortonEncode(o_orderkey % 100, "
+        "  o_orderkey % 50))), ',')) as md, "
+        "max(toStringCutToZero(concat(toString(o_orderkey % 100), "
+        "  char(0), 'tail'))) as scz, "
+        "max(accurateCast(toString(o_orderkey % 1000), 'Int64')) as ac, "
+        "max(coalesce(accurateCastOrNull(concat('x', "
+        "  toString(o_orderkey)), 'Int64'), -1)) as acn, "
+        "max(toColumnTypeName(o_orderkey % 5)) as tct, "
+        "max(throwIf(o_orderkey < 0, 'impossible')) as ti "
+        "from ord_e26 group by o_orderstatus"
+    )
+
+
+CH_EVERYDAY26_ORACLE = """
+SELECT o_orderstatus AS st,
+  max(length(CAST(o_orderkey AS VARCHAR))) AS cd,
+  max(length(CAST(o_orderkey % 1000 AS VARCHAR))) AS cdn,
+  max(array_to_string(list_transform(list_filter(range(0, 63),
+      __i -> ((o_orderkey % 64) >> __i) & 1 = 1),
+      __i -> CAST(1::BIGINT << __i AS VARCHAR)), ',')) AS bma,
+  max(array_to_string(list_filter(range(0, 63),
+      __i -> ((o_orderkey % 64) >> __i) & 1 = 1), ',')) AS bpa,
+  max(CAST(o_orderkey % 100 AS VARCHAR) || ','
+      || CAST(o_orderkey % 50 AS VARCHAR)) AS md,
+  max(CAST(o_orderkey % 100 AS VARCHAR)) AS scz,
+  max(o_orderkey % 1000) AS ac,
+  max(-1) AS acn,
+  max('bigint') AS tct,
+  max(0) AS ti
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES["ch_everyday_funcs26"] = Query(
+    ch_everyday_funcs26, CH_EVERYDAY26_ORACLE, ("dialect", "functions")
+)

@@ -848,3 +848,37 @@ def test_tier25_aggregate_functions(spark):
     assert r.qew == 4.0
     # frequency desc, value asc: 2.0 twice, then 1/3/4 once each
     assert [float(v) for v in r.tk] == [2.0, 1.0, 3.0, 4.0]
+
+
+def test_tier26_everyday_functions(spark):
+    """Tier-26 goldens: digit counts, random-distribution shapes,
+    bitmask explosion, morton deinterleave roundtrip, strict casts,
+    throwIf both branches."""
+    import pytest as _pt
+
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    r = eng.sql(
+        "select "
+        "countDigits(12345) as cd, countDigits(0) as cd0, "
+        "countDigits(-987) as cdn, "
+        "randUniform(5, 10) as ru, randNormal(0, 1) as rn, "
+        "randBernoulli(0.5) as rb, randExponential(2.0) as re, "
+        "length(randPrintableASCII(12)) as rp, "
+        "bitmaskToArray(50) as bma, bitPositionsToArray(50) as bpa, "
+        "toColumnTypeName(1) as tct, "
+        "toStringCutToZero(concat('ab', char(0), 'cd')) as scz, "
+        "throwIf(1 > 2, 'nope') as ti, "
+        "accurateCast('123', 'Int64') as ac, "
+        "accurateCastOrNull('xx', 'Int64') as acn, "
+        "mortonDecode(2, mortonEncode(99, 17)) as md"
+    ).collect()[0]
+    assert (r.cd, r.cd0, r.cdn) == (5, 1, 3)
+    assert 5 <= r.ru < 10 and r.rb in (0, 1) and r.re >= 0 and r.rp == 12
+    assert r.bma == [2, 16, 32] and r.bpa == [1, 4, 5]  # 50 = 0b110010
+    assert r.tct == "int" and r.scz == "ab" and r.ti == 0
+    assert r.ac == 123 and r.acn is None
+    assert r.md == [99, 17]  # deinterleave inverts the encode
+    with _pt.raises(Exception, match="boom"):
+        eng.sql("select throwIf(2 > 1, 'boom') as x").collect()
