@@ -3499,21 +3499,34 @@ class TensorBaseEngine:
         if not _os.path.isdir(path):
             return
         # NAME absence is not PATH absence: an external table registered
-        # under a different name may own this exact location — never
-        # delete a directory any live table points at (r12 review)
+        # under a different name — in ANY database, not just the target
+        # one (r13 advice) — may own this exact location; never touch a
+        # directory any live table points at
         try:
-            for t in self.spark.catalog.listTables(db):
-                rows = self.spark.sql(
-                    f"describe formatted {db}.`{t.name}`"
-                ).collect()
-                for r in rows:
-                    if (r.col_name or "").strip() == "Location" and (
-                        r.data_type or ""
-                    ).rstrip("/").endswith(path.rstrip("/")):
-                        return
+            for d in self.spark.catalog.listDatabases():
+                for t in self.spark.catalog.listTables(d.name):
+                    rows = self.spark.sql(
+                        f"describe formatted `{d.name}`.`{t.name}`"
+                    ).collect()
+                    for r in rows:
+                        if (r.col_name or "").strip() == "Location" and (
+                            r.data_type or ""
+                        ).rstrip("/").endswith(path.rstrip("/")):
+                            return
         except Exception:
             return  # cannot prove the path is orphaned: leave it alone
-        shutil.rmtree(path, ignore_errors=True)
+        # Move the orphan ASIDE rather than deleting it: the proof above
+        # covers the catalog, but nothing can prove a path isn't shared
+        # out-of-catalog — a rename unblocks CREATE while keeping the
+        # bytes recoverable (r13 advice)
+        for i in range(1000):
+            aside = f"{path.rstrip('/')}.orphan-{i}"
+            if not _os.path.exists(aside):
+                try:
+                    _os.rename(path, aside)
+                except OSError:
+                    shutil.rmtree(path, ignore_errors=True)
+                return
 
     def _show_create_table(self, c: str) -> DataFrame:
         name = self._qualify(c.split()[-1])

@@ -2541,15 +2541,27 @@ _ACCURATE_CAST_TYPES = {
 }
 
 
-def _accurate_cast_sql(args: list[str], fn: str) -> str:
+def _accurate_cast_sql(args: list[str], strict: bool) -> str:
     """CH accurateCast(x, 'Type') / accurateCastOrNull: the 2-arg cast
-    with a literal CH type name — strict (error) vs NULL on failure map
-    to cast vs try_cast (tier 26)."""
+    with a literal CH type name.  The OrNull form is try_cast.  The
+    strict form must RAISE on a failed conversion (upstream CH's
+    defining semantic) — and the session pins spark.sql.ansi.enabled
+    =false, where a plain cast() silently returns NULL (strings) or
+    wraps (numeric overflow), so it is spelled explicitly: try_cast
+    probes convertibility (try_cast follows ANSI rules even with ANSI
+    off), and a non-NULL input that fails the probe raises (tier 26)."""
     t = args[1].strip().strip("'\"").lower()
     st = _ACCURATE_CAST_TYPES.get(t)
     if st is None:
         raise ValueError(f"accurateCast: unsupported type {args[1]}")
-    return f"{fn}({args[0]} as {st})"
+    if not strict:
+        return f"try_cast({args[0]} as {st})"
+    return (
+        f"if(try_cast({args[0]} as {st}) is null and ({args[0]}) is not "
+        f"null, cast(raise_error(concat('accurateCast: cannot convert ', "
+        f"cast({args[0]} as string), ' to {st}')) as {st}), "
+        f"try_cast({args[0]} as {st}))"
+    )
 
 
 def _throw_if_sql(args: list[str]) -> str:
@@ -2968,23 +2980,30 @@ CH_SQL_TEMPLATES.update(
             "concat_ws('', transform(sequence(1, cast({0} as int)), "
             "__i -> char(32 + cast(rand() * 95 as int))))"
         ),
-        # ascending powers of two present in the mask
+        # ascending powers of two present in the mask.  The full 64-bit
+        # domain: shiftleft(1, 63) wraps to the bigint sign bit, whose
+        # power-of-two component surfaces as Long.MIN_VALUE — the same
+        # signed reinterpretation the mask itself carries, and the & test
+        # round-trips it exactly.
         "bitmasktoarray": (
-            "filter(transform(sequence(0, 62), __i -> "
+            "filter(transform(sequence(0, 63), __i -> "
             "shiftleft(cast(1 as bigint), __i)), "
             "__p -> (cast({0} as bigint) & __p) != 0)"
         ),
-        # ascending 0-based positions of the set bits
+        # ascending 0-based positions of the set bits (bit 63 = the sign
+        # bit of the signed reinterpretation; arithmetic shiftright still
+        # reads it correctly since only bit 0 of the shifted value is
+        # tested)
         "bitpositionstoarray": (
-            "filter(sequence(cast(0 as bigint), cast(62 as bigint)), "
+            "filter(sequence(cast(0 as bigint), cast(63 as bigint)), "
             "__i -> (shiftright(cast({0} as bigint), cast(__i as int)) "
             "& 1) = 1)"
         ),
         "tocolumntypename": "typeof({0})",
         "tostringcuttozero": "substring_index({0}, char(0), 1)",
         "throwif": _throw_if_sql,
-        "accuratecast": lambda a: _accurate_cast_sql(a, "cast"),
-        "accuratecastornull": lambda a: _accurate_cast_sql(a, "try_cast"),
+        "accuratecast": lambda a: _accurate_cast_sql(a, strict=True),
+        "accuratecastornull": lambda a: _accurate_cast_sql(a, strict=False),
         "mortondecode": _morton_decode_sql,
         "tupleplus": "zip_with({0}, {1}, (__a, __b) -> __a + __b)",
         "tupleminus": "zip_with({0}, {1}, (__a, __b) -> __a - __b)",

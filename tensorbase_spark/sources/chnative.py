@@ -1043,9 +1043,12 @@ class _Conn(socketserver.StreamRequestHandler):
         ) as qid:
             with self._bind_db(engine):
                 df = engine.sql(query)
+                # require the CALL shape with word boundaries: a column
+                # named current_catalog_id or a string literal must not
+                # trigger the driver-side materialization (r13 advice)
                 if df is not None and df.columns and re.search(
-                    r"(?is)current_?(database|schema|catalog)"
-                    r"|\bcurrentDatabase\s*\(", query,
+                    r"(?is)\bcurrent_?(database|schema|catalog)\s*\(",
+                    query,
                 ):
                     # catalog-state builtins evaluate at FETCH time,
                     # after _bind_db restores the previous database —

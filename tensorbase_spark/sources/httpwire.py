@@ -1366,11 +1366,24 @@ class _HttpHandler(BaseHTTPRequestHandler):
             ))
             return
         if met is None:
-            sess = self.server.sessions.get(one.get("session_id") or "")
-            # presence, not truthiness: a session value of 0 must
-            # explicitly DISABLE a nonzero engine-global fallback budget
-            if sess and "max_execution_time" in sess:
-                met = float(sess["max_execution_time"])
+            srv0: HttpChServer = self.server  # type: ignore[assignment]
+            # read the session budget UNDER srv.lock — other request
+            # threads sweep/replace sessions and expiry under it, and an
+            # already-expired session's budget must not leak into this
+            # query (r13 advice); mirror the sweep's expiry test here
+            with srv0.lock:
+                sid = one.get("session_id") or ""
+                exp = srv0.session_expiry.get(sid)
+                sess = (
+                    srv0.sessions.get(sid)
+                    if exp is None or exp >= _time.monotonic()
+                    else None
+                )
+                # presence, not truthiness: a session value of 0 must
+                # explicitly DISABLE a nonzero engine-global fallback
+                # budget
+                if sess and "max_execution_time" in sess:
+                    met = float(sess["max_execution_time"])
         with eng.track_query(
             qtext.decode("utf-8", "replace").strip(), query_id=qid,
             user=one.get("user") or "default", interface="http",
@@ -1484,8 +1497,11 @@ class _HttpHandler(BaseHTTPRequestHandler):
                         text = text[:fm.start()]
                     df = eng.sql(text)
                     eager_rows = None
+                    # call shape with word boundaries only — a column
+                    # named current_catalog_id or a string literal must
+                    # not force a full driver-side collect (r13 advice)
                     if re.search(
-                        r"(?is)current_?(database|schema|catalog)"
+                        r"(?is)\bcurrent_?(database|schema|catalog)\s*\("
                         r"|^\s*kill\b|\bsystem\.processes\b"
                         r"|^\s*show\s+processlist",
                         text,

@@ -3514,3 +3514,52 @@ def test_concurrent_mv_inserts_reentrant_lock(engine):
         "select k, sum(s) as s from cmv_agg group by k").collect()}
     assert raw == {t: (4, 10) for t in ("x", "y", "z")}
     assert agg == {t: 10 for t in ("x", "y", "z")}
+
+
+def test_orphan_reconcile_cross_db_external_owner(engine, spark):
+    """_reconcile_orphan_location must never touch a directory owned by a
+    live table — including an EXTERNAL table registered in a DIFFERENT
+    database (r13 advice) — and a genuinely orphaned directory is moved
+    aside (recoverable), unblocking CREATE."""
+    import os
+
+    db = spark.catalog.currentDatabase()
+    wh = spark.catalog.getDatabase(db).locationUri
+    assert wh.startswith("file:")
+    wh_path = wh[len("file:"):]
+
+    # 1. a stray directory at the managed location of orc_t2 (simulates a
+    #    killed write after the catalog entry vanished)
+    stray = os.path.join(wh_path, "orc_t2")
+    os.makedirs(stray, exist_ok=True)
+    with open(os.path.join(stray, "junk.bin"), "wb") as f:
+        f.write(b"leftover")
+    engine.sql("create table orc_t2 (x Int64)")
+    engine.sql("insert into orc_t2 values (7)")
+    assert engine.sql("select sum(x) as s from orc_t2").collect()[0].s == 7
+    # the orphan was parked, not destroyed
+    aside = stray + ".orphan-0"
+    assert os.path.isdir(aside) and os.path.exists(
+        os.path.join(aside, "junk.bin")
+    )
+
+    # 2. an external table in ANOTHER database pointing at this db's
+    #    managed location for orc_t3: CREATE must refuse to reconcile
+    other = f"tdb_{os.urandom(4).hex()}"
+    engine.sql(f"create database {other}")
+    try:
+        ext_loc = os.path.join(wh_path, "orc_t3")
+        spark.range(3).selectExpr("id as x").write.parquet(ext_loc)
+        spark.sql(
+            f"create table {other}.ext_owner (x bigint) using parquet "
+            f"location 'file:{ext_loc}'"
+        )
+        import pytest as _pt
+
+        with _pt.raises(Exception):
+            engine.sql("create table orc_t3 (x Int64)")
+        # the external owner's data is intact
+        n = spark.sql(f"select count(*) as n from {other}.ext_owner")
+        assert n.collect()[0].n == 3
+    finally:
+        engine.sql(f"drop database if exists {other}")

@@ -882,3 +882,20 @@ def test_tier26_everyday_functions(spark):
     assert r.md == [99, 17]  # deinterleave inverts the encode
     with _pt.raises(Exception, match="boom"):
         eng.sql("select throwIf(2 > 1, 'boom') as x").collect()
+    # strict accurateCast RAISES on a failed conversion (upstream CH
+    # semantic) — both the unparseable-string and the numeric-overflow
+    # shapes; NULL input stays NULL without raising
+    with _pt.raises(Exception, match="accurateCast"):
+        eng.sql("select accurateCast('xx', 'Int64') as x").collect()
+    with _pt.raises(Exception, match="accurateCast"):
+        eng.sql("select accurateCast('300', 'Int8') as x").collect()
+    r2 = eng.sql(
+        "select accurateCast(cast(null as string), 'Int64') as acn, "
+        # bit 63 (the sign bit of the signed reinterpretation) is part of
+        # the UInt64 domain: the mask component surfaces as Long.MIN_VALUE
+        "bitmaskToArray(cast(-9223372036854775808 as bigint)) as hi, "
+        "bitPositionsToArray(-1) as allbits"
+    ).collect()[0]
+    assert r2.acn is None
+    assert r2.hi == [-9223372036854775808]
+    assert list(r2.allbits) == list(range(64))
