@@ -3014,3 +3014,176 @@ CH_SQL_TEMPLATES.update(
         "vectordifference": "zip_with({0}, {1}, (__a, __b) -> __a - __b)",
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Everyday tier 27: date construction, snowflake-ID codecs, subsequence
+# tests, time-delta parsing, jump consistent hashing, byte-level hamming,
+# path/line extraction (upstream-CH names; all pure JVM expressions).
+
+
+def _make_date_sql(args: list[str]) -> str:
+    """CH makeDate(year, month, day) / makeDate(year, day_of_year): both
+    arities (tier 27)."""
+    if len(args) >= 3:
+        return (
+            f"make_date(cast({args[0]} as int), cast({args[1]} as int), "
+            f"cast({args[2]} as int))"
+        )
+    return (
+        f"date_add(make_date(cast({args[0]} as int), 1, 1), "
+        f"cast({args[1]} as int) - 1)"
+    )
+
+
+def _make_datetime_sql(args: list[str]) -> str:
+    """CH makeDateTime(year, month, day, hour, minute, second[, tz])
+    (tier 27)."""
+    if len(args) < 6:
+        raise ValueError("makeDateTime needs (y, m, d, h, mi, s[, tz])")
+    cast6 = ", ".join(f"cast({a} as int)" for a in args[:6])
+    tz = f", {args[6]}" if len(args) > 6 else ""
+    return f"make_timestamp({cast6}{tz})"
+
+
+# Twitter snowflake epoch (ms): the upstream default for the ID codecs
+_SNOWFLAKE_EPOCH_MS = 1288834974657
+
+
+def _snowflake_id_to_datetime_sql(args: list[str]) -> str:
+    """CH snowflakeIDToDateTime(id[, epoch_ms]): bits 22+ are the
+    millisecond offset from the (Twitter) epoch (tier 27)."""
+    epoch = args[1] if len(args) > 1 else str(_SNOWFLAKE_EPOCH_MS)
+    return (
+        f"timestamp_millis(cast({epoch} as bigint) + "
+        f"shiftrightunsigned(cast({args[0]} as bigint), 22))"
+    )
+
+
+def _datetime_to_snowflake_id_sql(args: list[str]) -> str:
+    """CH dateTimeToSnowflakeID(dt[, epoch_ms]): inverse of the above —
+    machine/sequence bits zero, exactly as upstream documents (tier 27)."""
+    epoch = args[1] if len(args) > 1 else str(_SNOWFLAKE_EPOCH_MS)
+    return (
+        f"shiftleft(unix_millis(cast({args[0]} as timestamp)) - "
+        f"cast({epoch} as bigint), 22)"
+    )
+
+
+def _has_subsequence_sql(args: list[str], fold: str = "") -> str:
+    """CH hasSubsequence(haystack, needle) [+CaseInsensitive]: needle's
+    chars appear in order (not necessarily contiguously).  One pass over
+    the haystack advancing a needle cursor — a JVM aggregate, no UDF
+    (tier 27)."""
+    h = f"{fold}({args[0]})" if fold else args[0]
+    n = f"{fold}({args[1]})" if fold else args[1]
+    return (
+        f"cast(aggregate(split({h}, ''), 0, (__a, __c) -> "
+        f"if(__a < char_length({n}) and __c = substring({n}, __a + 1, 1), "
+        f"__a + 1, __a)) = char_length({n}) as tinyint)"
+    )
+
+
+# parseTimeDelta unit vocabulary (upstream's parser accepts these
+# spellings), in seconds
+_TIME_DELTA_UNITS = {
+    "ns": 1e-9, "nanosecond": 1e-9, "nanoseconds": 1e-9,
+    "us": 1e-6, "microsecond": 1e-6, "microseconds": 1e-6,
+    "ms": 1e-3, "millisecond": 1e-3, "milliseconds": 1e-3,
+    "s": 1.0, "sec": 1.0, "secs": 1.0, "second": 1.0, "seconds": 1.0,
+    "m": 60.0, "min": 60.0, "mins": 60.0, "minute": 60.0, "minutes": 60.0,
+    "h": 3600.0, "hr": 3600.0, "hour": 3600.0, "hours": 3600.0,
+    "d": 86400.0, "day": 86400.0, "days": 86400.0,
+    "w": 604800.0, "week": 604800.0, "weeks": 604800.0,
+}
+
+
+def _parse_time_delta_sql(args: list[str]) -> str:
+    """CH parseTimeDelta('1 min 35 seconds') -> Float64 seconds: extract
+    every number+unit token, scale by the unit vocabulary, sum
+    (tier 27).  [.] avoids regex-backslash escaping entirely."""
+    units = ", ".join(
+        f"'{u}', cast({v!r} as double)" for u, v in _TIME_DELTA_UNITS.items()
+    )
+    tok = "'[0-9]*[.]?[0-9]+ *[a-z]+'"
+    return (
+        f"aggregate(transform(regexp_extract_all(lower({args[0]}), {tok}, "
+        f"0), __t -> cast(regexp_extract(__t, '([0-9]*[.]?[0-9]+)', 1) "
+        f"as double) * coalesce(element_at(map({units}), "
+        f"regexp_extract(__t, '([a-z]+)', 1)), cast(0 as double))), "
+        f"cast(0 as double), (__a, __x) -> __a + __x)"
+    )
+
+
+def _jump_consistent_hash_sql(args: list[str]) -> str:
+    """CH jumpConsistentHash(key, buckets) — the Lamport/Veach jump
+    consistent hash (arXiv:1406.2294): b=j; key=key*2862933555777941757+1;
+    j=(b+1)*(2^31/((key>>33)+1)) until j>=buckets, return b.  Spark
+    bigint multiply wraps mod 2^64 exactly like the C uint64 (ANSI off),
+    shiftrightunsigned matches the unsigned >>, and cast(double as
+    bigint) truncates toward zero like the C conversion.  The loop is
+    unrolled as a 64-step JVM aggregate with an early-exit guard — j
+    strictly increases every step and multiplies by ~e in expectation,
+    so 64 steps is astronomically beyond any real bucket count
+    (tier 27)."""
+    key, n = f"cast({args[0]} as bigint)", f"cast({args[1]} as bigint)"
+    step = (
+        "named_struct('b', __s.j, "
+        "'j', cast(cast(__s.j + 1 as double) * (cast(2147483648 as double) "
+        "/ cast(shiftrightunsigned(__s.k * 2862933555777941757 + 1, 33) "
+        "+ 1 as double)) as bigint), "
+        "'k', __s.k * 2862933555777941757 + 1)"
+    )
+    return (
+        f"aggregate(sequence(1, 64), named_struct('b', "
+        f"cast(-1 as bigint), 'j', cast(0 as bigint), 'k', {key}), "
+        f"(__s, __i) -> if(__s.j >= {n}, __s, {step}), __s -> __s.b)"
+    )
+
+
+def _byte_hamming_distance_sql(args: list[str]) -> str:
+    """CH byteHammingDistance(a, b): differing BYTE positions over the
+    common prefix plus the length difference.  Byte-exact for any UTF-8
+    input: compare two-hex-digit slices of hex(encode(s)) so multi-byte
+    characters never alias (tier 27)."""
+    ha = f"hex(encode({args[0]}, 'utf-8'))"
+    hb = f"hex(encode({args[1]}, 'utf-8'))"
+    la, lb = f"octet_length({args[0]})", f"octet_length({args[1]})"
+    common = f"cast(least({la}, {lb}) as int)"
+    return (
+        f"(if({common} = 0, 0, aggregate(sequence(1, greatest({common}, "
+        f"1)), 0, (__a, __i) -> __a + if(substring({ha}, 2 * __i - 1, 2) "
+        f"= substring({hb}, 2 * __i - 1, 2), 0, 1))) "
+        f"+ abs({la} - {lb}))"
+    )
+
+
+CH_SQL_TEMPLATES.update(
+    {
+        "makedate": _make_date_sql,
+        "makedatetime": _make_datetime_sql,
+        "snowflakeidtodatetime": _snowflake_id_to_datetime_sql,
+        "datetimetosnowflakeid": _datetime_to_snowflake_id_sql,
+        "hassubsequence": _has_subsequence_sql,
+        "hassubsequencecaseinsensitive": lambda a: _has_subsequence_sql(
+            a, "lower"
+        ),
+        "parsetimedelta": _parse_time_delta_sql,
+        "tobool": "cast({0} as boolean)",
+        "jumpconsistenthash": _jump_consistent_hash_sql,
+        # leftmost 1-based position across all needles, 0 when none match
+        "multisearchfirstposition": (
+            "coalesce(array_min(filter(transform({1}, "
+            "__n -> locate(__n, {0})), __p -> __p > 0)), 0)"
+        ),
+        "countsubstringscaseinsensitive": (
+            "cast((char_length({0}) - char_length(replace(lower({0}), "
+            "lower({1}), ''))) / char_length({1}) as int)"
+        ),
+        "bytehammingdistance": _byte_hamming_distance_sql,
+        # the text before the first newline (upstream splits on \n only)
+        "firstline": "substring_index({0}, '\\n', 1)",
+        # the path component after the last '/' or '\' (CH handles both)
+        "basename": r"regexp_extract({0}, '[^/\\\\]*$', 0)",
+    }
+)

@@ -264,19 +264,60 @@ R11_VERIFIED = frozenset(
 # stream loop / per-run job groups) — listed in PRIORITY_HEAD instead.
 
 
+# Round-12 driver-verified set (CORRECTNESS_r12.json: 46 hash-green rows
+# + the 4 rows-only approximates that got their driver rows, each paired
+# with a hash-green companion — see APPROX_COMPANION).  Excludes
+# ch_everyday_funcs26 (its accurateCast / bitmask templates changed in
+# r13 — PRIORITY_HEAD) and the wire roundtrips (door request paths
+# changed in r13: collect-detection regex, session-budget locking).
+R12_VERIFIED = frozenset(
+    """ch_array_set_ops ch_everyday_funcs21 ch_everyday_funcs22
+    ch_everyday_funcs23 ch_everyday_funcs24 ch_everyday_funcs25
+    ch_group_by_all ch_ilike_ops ch_limit_with_ties ch_named_window
+    ch_prewhere ch_qualify_distinct ch_recursive_cte ch_scalar_with
+    ch_setop_all corpus_rag_prep_end_to_end dedup_substring_windows
+    dedup_url_canonical embedding_l2_normalize embedding_mean_pool
+    embedding_pca_variance engine_codec_compression engine_enum_case
+    engine_explain_catalog engine_kill_query engine_materialized_view
+    engine_mutations engine_optimize_compaction engine_optimize_dedup
+    engine_order_by_expr engine_outfile_roundtrip engine_partition_ops
+    engine_projection_alias engine_projection_rollup engine_query_log
+    engine_ttl_lifecycle engine_zorder_read events_anomaly_zscore
+    sim_ivfpq_full_cover sim_pq_rerank_full text_bpe_merges_check
+    text_repetition_filters text_unigram_logprob
+    agg_approx_distinct dedup_minhash_lsh dedup_simhash
+    sim_ivfpq_indexed""".split()
+)
+
+
+# Every rows-only approximate (oracle=None) and the hash-verified oracle
+# companion that backs it (COVERAGE.md's mapping table, VERDICT r11 #7).
+# The rotation couples them: a companion inherits the staleness rank of
+# its approximates, so whenever an approximate re-enters the driver's
+# check window its companion lands in the SAME window (VERDICT r12 #5) —
+# the rows-only evidence and the hash evidence stay contemporaneous.
+APPROX_COMPANION = {
+    "agg_approx_distinct": "agg_approx_distinct_check",
+    "dedup_minhash_lsh": "dedup_minhash_bands_sql",
+    "dedup_simhash": "dedup_simhash_fp_sql",
+    "sim_ivf_topk": "sim_ivf_full_probe",
+    "sim_ivf_indexed": "sim_ivf_full_probe",
+    "sim_lsh_topk": "sim_lsh_full_cover",
+    "sim_pq_topk": "sim_pq_rerank_full",
+    "sim_ivfpq_topk": "sim_ivfpq_full_cover",
+    "sim_ivfpq_indexed": "sim_ivfpq_full_cover",
+    "text_bpe_tokenize": "text_bpe_merges_check",
+}
+
+
 PRIORITY_HEAD = [
-    # round-12 behavior-changed implementations: KILL QUERY gained the
-    # per-run unique job group + ASYNC reaper (VERDICT r11 #1) and the
-    # native stream loop polls the kill flag between blocks; the HTTP
-    # door's max_execution_time session persistence changed (ADVICE);
-    # extractGroups counts named groups (ADVICE) — funcs21 covers it.
-    # Everything else rotates by staleness so the r4 tail drains
-    # (VERDICT r11 #2).
-    "engine_kill_query", "wire_http_roundtrip", "wire_native_roundtrip",
-    "ch_everyday_funcs21",
-    # (b) new round-12 queries
-    "ch_everyday_funcs22", "ch_everyday_funcs23", "ch_everyday_funcs24",
-    "ch_everyday_funcs25", "ch_everyday_funcs26",
+    # round-13 behavior-changed implementations: accurateCast is strict
+    # (raises on failed conversion) and bitmask explosions cover bit 63
+    # (funcs26); both wire doors' request paths changed (collect-shape
+    # detection regex; HTTP session budget read under srv.lock).
+    "ch_everyday_funcs26", "wire_http_roundtrip", "wire_native_roundtrip",
+    # (b) new round-13 queries
+    "ch_everyday_funcs27",
 ]
 
 
@@ -319,7 +360,7 @@ def registry() -> dict[str, Query]:
     rounds = [
         R01_VERIFIED, R02_VERIFIED, R03_VERIFIED, R04_VERIFIED,
         R05_VERIFIED, R06_VERIFIED, R07_VERIFIED, R08_VERIFIED,
-        R09_VERIFIED, R10_VERIFIED, R11_VERIFIED,
+        R09_VERIFIED, R10_VERIFIED, R11_VERIFIED, R12_VERIFIED,
     ]
     verified = frozenset().union(*rounds)
     head = [n for n in PRIORITY_HEAD if n in out]
@@ -336,9 +377,22 @@ def registry() -> dict[str, Query]:
     def _last_verified(n: str) -> int:
         return max(i for i, r in enumerate(rounds) if n in r)
 
+    def _rank(n: str) -> int:
+        own = _last_verified(n)
+        # a rows-only approximate's hash-verified companion inherits the
+        # approximate's staleness: both enter the driver's check window
+        # together, so the weaker rows-only evidence is always paired
+        # with a contemporaneous hash row (VERDICT r12 #5)
+        inherited = [
+            _last_verified(a)
+            for a, c in APPROX_COMPANION.items()
+            if c == n and a in verified and a not in PRIORITY_HEAD
+        ]
+        return min([own, *inherited])
+
     tail_verified = sorted(
         (n for n in out if n in verified and n not in PRIORITY_HEAD),
-        key=lambda n: (_last_verified(n), n),
+        key=lambda n: (_rank(n), n),
     )
     ordered = head + mid_unverified + tail_verified
     assert len(ordered) == len(out)

@@ -2610,3 +2610,99 @@ FROM orders GROUP BY o_orderstatus
 QUERIES["ch_everyday_funcs26"] = Query(
     ch_everyday_funcs26, CH_EVERYDAY26_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs27(spark, sf_dir):
+    """Everyday upstream-CH tier 27: date construction (both makeDate
+    arities, makeDateTime), snowflake-ID codec roundtrip, subsequence
+    tests (both casings), time-delta parsing, jump consistent hashing,
+    leftmost multi-needle position, case-insensitive substring counts,
+    byte hamming distance, first-line / basename extraction.  The oracle
+    re-derives each from first principles: calendar arithmetic, the
+    ordered-chars regex for subsequence, unit algebra for the time
+    delta, per-byte substring comparison (ASCII columns, so char==byte),
+    and the jump-hash goldens computed from the published algorithm
+    (arXiv:1406.2294) for the 8 residues."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e27")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "max(toString(makeDate(1995 + o_orderkey % 7, "
+        "  1 + o_orderkey % 12, 1 + o_orderkey % 28))) as md3, "
+        "max(toString(makeDate(2000 + o_orderkey % 20, "
+        "  1 + o_orderkey % 365))) as md2, "
+        "max(toString(makeDateTime(2020, 1 + o_orderkey % 12, "
+        "  1 + o_orderkey % 28, o_orderkey % 24, o_orderkey % 60, "
+        "  o_orderkey % 60))) as mdt, "
+        # epoch 0: the table's dates predate the default Twitter epoch,
+        # and a negative ms offset would not survive the bit packing
+        "max(toString(snowflakeIDToDateTime(dateTimeToSnowflakeID("
+        "  toDateTime(o_orderdate), 0), 0))) as sfrt, "
+        "sum(cast(hasSubsequence(o_orderpriority, 'URG') as bigint)) as hs, "
+        "sum(cast(hasSubsequenceCaseInsensitive(o_orderpriority, 'low') "
+        "  as bigint)) as hsc, "
+        "round(sum(parseTimeDelta(concat(toString(o_orderkey % 5), "
+        "  ' min ', toString(o_orderkey % 60), ' sec'))), 4) as ptd, "
+        "sum(cast(toBool(o_orderkey % 2) as bigint)) as tb, "
+        "sum(jumpConsistentHash(o_orderkey % 8, 16)) as jch, "
+        "max(multiSearchFirstPosition(o_orderpriority, "
+        "  array('URGENT', 'MEDIUM', 'LOW'))) as msfp, "
+        "sum(cast(countSubstringsCaseInsensitive(o_orderpriority, 'E') "
+        "  as bigint)) as cci, "
+        "sum(cast(byteHammingDistance(o_orderpriority, o_orderstatus) "
+        "  as bigint)) as bhd, "
+        "max(firstLine(concat(o_orderpriority, char(10), "
+        "  o_orderstatus))) as fl, "
+        "max(basename(concat('/spool/staging/', o_orderpriority))) as bn "
+        "from ord_e27 group by o_orderstatus"
+    )
+
+
+CH_EVERYDAY27_ORACLE = """
+SELECT o_orderstatus AS st,
+  max(CAST(make_date(CAST(1995 + o_orderkey % 7 AS INTEGER),
+      CAST(1 + o_orderkey % 12 AS INTEGER),
+      CAST(1 + o_orderkey % 28 AS INTEGER)) AS VARCHAR)) AS md3,
+  max(CAST(make_date(CAST(2000 + o_orderkey % 20 AS INTEGER), 1, 1)
+      + CAST(o_orderkey % 365 AS INTEGER) AS VARCHAR)) AS md2,
+  max(CAST(make_timestamp(CAST(2020 AS BIGINT),
+      CAST(1 + o_orderkey % 12 AS BIGINT),
+      CAST(1 + o_orderkey % 28 AS BIGINT),
+      CAST(o_orderkey % 24 AS BIGINT), CAST(o_orderkey % 60 AS BIGINT),
+      CAST(o_orderkey % 60 AS DOUBLE)) AS VARCHAR)) AS mdt,
+  -- the snowflake codec roundtrip is exact at millisecond precision,
+  -- so it reproduces the date's midnight timestamp
+  max(CAST(CAST(o_orderdate AS TIMESTAMP) AS VARCHAR)) AS sfrt,
+  CAST(sum(CASE WHEN regexp_matches(o_orderpriority, 'U.*R.*G')
+      THEN 1 ELSE 0 END) AS BIGINT) AS hs,
+  CAST(sum(CASE WHEN regexp_matches(lower(o_orderpriority), 'l.*o.*w')
+      THEN 1 ELSE 0 END) AS BIGINT) AS hsc,
+  round(sum((o_orderkey % 5) * 60.0 + (o_orderkey % 60)), 4) AS ptd,
+  CAST(sum(o_orderkey % 2) AS BIGINT) AS tb,
+  -- jump-hash goldens for residues 0..7 at 16 buckets, computed from
+  -- the published algorithm (arXiv:1406.2294): 0,6,15,8,12,10,9,13
+  CAST(sum(CASE o_orderkey % 8 WHEN 0 THEN 0 WHEN 1 THEN 6 WHEN 2 THEN 15
+      WHEN 3 THEN 8 WHEN 4 THEN 12 WHEN 5 THEN 10 WHEN 6 THEN 9
+      ELSE 13 END) AS BIGINT) AS jch,
+  max(coalesce(least(nullif(strpos(o_orderpriority, 'URGENT'), 0),
+      nullif(strpos(o_orderpriority, 'MEDIUM'), 0),
+      nullif(strpos(o_orderpriority, 'LOW'), 0)), 0)) AS msfp,
+  CAST(sum(length(o_orderpriority)
+      - length(replace(lower(o_orderpriority), 'e', ''))) AS BIGINT)
+      AS cci,
+  -- per-byte comparison over the common prefix + length delta (both
+  -- columns are ASCII, so character positions ARE byte positions)
+  CAST(sum(len(list_filter(range(1, 1 + least(length(o_orderpriority),
+      length(o_orderstatus))), __i -> o_orderpriority[__i:__i]
+      != o_orderstatus[__i:__i]))
+      + abs(length(o_orderpriority) - length(o_orderstatus)) )
+      AS BIGINT) AS bhd,
+  max(o_orderpriority) AS fl,
+  max(o_orderpriority) AS bn
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES["ch_everyday_funcs27"] = Query(
+    ch_everyday_funcs27, CH_EVERYDAY27_ORACLE, ("dialect", "functions")
+)

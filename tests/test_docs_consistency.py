@@ -53,3 +53,22 @@ def test_oracle_keys_subset_of_queries():
 
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
+
+
+def test_approx_companion_mapping_complete():
+    """Every rows-only approximate (oracle=None) must name a hash-verified
+    oracle companion in APPROX_COMPANION, and every companion must exist
+    with a full oracle — the rotation couples their window entries
+    (VERDICT r12 #5), so a broken mapping silently decouples evidence."""
+    from tensorbase_spark.queries import APPROX_COMPANION, registry
+
+    reg = registry()
+    rows_only = {n for n, q in reg.items() if q.oracle is None}
+    assert rows_only == set(APPROX_COMPANION), (
+        sorted(rows_only ^ set(APPROX_COMPANION))
+    )
+    for approx, comp in APPROX_COMPANION.items():
+        assert comp in reg, f"companion {comp} not in registry"
+        assert reg[comp].oracle is not None, (
+            f"companion {comp} must itself be hash-verified"
+        )

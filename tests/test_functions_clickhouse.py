@@ -899,3 +899,60 @@ def test_tier26_everyday_functions(spark):
     assert r2.acn is None
     assert r2.hi == [-9223372036854775808]
     assert list(r2.allbits) == list(range(64))
+
+
+def test_tier27_everyday_functions(spark):
+    """Tier-27 goldens: date construction (both makeDate arities),
+    snowflake-ID codecs, subsequence tests, time-delta parsing, jump
+    consistent hashing (goldens from the published algorithm,
+    arXiv:1406.2294), byte-level hamming, first-line / basename."""
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    r = eng.sql(
+        "select "
+        "toString(makeDate(2024, 2, 29)) as md3, "
+        "toString(makeDate(2024, 60)) as md2, "
+        "toString(makeDateTime(2024, 2, 29, 12, 30, 45)) as mdt, "
+        "dateTimeToSnowflakeID(toDateTime('2021-08-15 18:57:56')) as dtsf, "
+        "toString(snowflakeIDToDateTime(dateTimeToSnowflakeID("
+        "  toDateTime('2021-08-15 18:57:56')))) as sfrt, "
+        "hasSubsequence('garbage', 'arg') as hs1, "
+        "hasSubsequence('garbage', 'arbw') as hs0, "
+        "hasSubsequenceCaseInsensitive('garbage', 'ARG') as hsc, "
+        "parseTimeDelta('1 min 35 seconds') as ptd, "
+        "parseTimeDelta('0.5 h 2min') as ptd2, "
+        "toBool('true') as tb, toBool(0) as tb0, "
+        "jumpConsistentHash(0, 16) as j0, jumpConsistentHash(1, 16) as j1, "
+        "jumpConsistentHash(2, 16) as j2, jumpConsistentHash(7, 16) as j7, "
+        "jumpConsistentHash(12345, 16) as jk, "
+        "jumpConsistentHash(999999999999, 16) as jb, "
+        "multiSearchFirstPosition('hello world', "
+        "  array('or', 'lo', 'zz')) as msfp, "
+        "multiSearchFirstPosition('hello', array('zz')) as msfp0, "
+        "countSubstringsCaseInsensitive('AbaBab', 'ab') as cci, "
+        "byteHammingDistance('abc', 'abd') as bh1, "
+        "byteHammingDistance('abc', 'ab') as bh2, "
+        "byteHammingDistance('', 'xy') as bh3, "
+        "byteHammingDistance('héllo', 'hello') as bh4, "
+        "firstLine(concat('foo', char(10), 'bar')) as fl, "
+        "basename('/usr/local/bin/tool') as bn, "
+        "basename('C:\\\\win\\\\file.txt') as bn2, "
+        "basename('plain') as bn3"
+    ).collect()[0]
+    assert r.md3 == "2024-02-29" and r.md2 == "2024-02-29"
+    assert r.mdt == "2024-02-29 12:30:45"
+    assert r.sfrt == "2021-08-15 18:57:56"  # codec roundtrip
+    assert r.dtsf == 1426981498778550272  # (unix_ms - epoch) << 22
+    assert (r.hs1, r.hs0, r.hsc) == (1, 0, 1)
+    assert r.ptd == 95.0 and r.ptd2 == 1920.0
+    assert r.tb is True and r.tb0 is False
+    # goldens computed from the reference C algorithm (arXiv:1406.2294)
+    assert (r.j0, r.j1, r.j2, r.j7) == (0, 6, 15, 13)
+    assert (r.jk, r.jb) == (1, 12)
+    assert r.msfp == 4 and r.msfp0 == 0  # 'lo' at 4 beats 'or' at 8
+    assert r.cci == 3
+    # common-prefix byte diffs + length delta; é is TWO bytes
+    assert (r.bh1, r.bh2, r.bh3, r.bh4) == (1, 1, 2, 4)
+    assert r.fl == "foo"
+    assert (r.bn, r.bn2, r.bn3) == ("tool", "file.txt", "plain")
