@@ -3563,3 +3563,72 @@ def test_orphan_reconcile_cross_db_external_owner(engine, spark):
         assert n.collect()[0].n == 3
     finally:
         engine.sql(f"drop database if exists {other}")
+
+
+def test_kill_five_concurrent_victims_reaper_contention(engine):
+    """Five victims killed at once with a single ASYNC KILL — five
+    reaper threads + five watchdog paths running concurrently (the
+    ProcessList machinery's last untested corner, VERDICT r12 #6).  All
+    five must die with the cancellation error and the registry must
+    drain; interface tags span the doors' labels to mirror cross-door
+    traffic."""
+    import threading
+    import time
+
+    outcomes: dict[str, dict] = {}
+    doors = ["native", "http", "mysql", "http", "native"]
+
+    def victim(i: int):
+        qid = f"cv-{i}"
+        out = outcomes.setdefault(qid, {})
+        try:
+            with engine.track_query(
+                f"select sum(...) -- victim {i}",
+                query_id=qid, interface=doors[i],
+            ):
+                df = engine.sql(
+                    "select sum(cityHash64(toString(number)) % 1000000) "
+                    "as s from numbers(30000000000)"
+                )
+                out["rows"] = df.collect()
+        except Exception as e:
+            out["error"] = type(e).__name__
+
+    ts = [threading.Thread(target=victim, args=(i,), daemon=True)
+          for i in range(5)]
+    for t in ts:
+        t.start()
+    sc = engine.spark.sparkContext
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        live = engine.sql(
+            "select query_id from system.processes "
+            "where query_id like 'cv-%'"
+        ).collect()
+        if len(live) == 5 and all(
+            sc.statusTracker().getJobIdsForGroup(
+                engine.job_group_for(r.query_id))
+            for r in live
+        ):
+            break
+        time.sleep(0.1)
+    else:
+        raise AssertionError("five victims never all got running jobs")
+
+    got = engine.sql(
+        "kill query where query_id like 'cv-%' async"
+    ).collect()
+    assert sorted(r.query_id for r in got) == [f"cv-{i}" for i in range(5)]
+    assert all(r.kill_status in ("waiting", "finished") for r in got)
+    for t in ts:
+        t.join(60)
+    assert not any(t.is_alive() for t in ts)
+    for qid, out in outcomes.items():
+        assert "error" in out and "rows" not in out, (qid, out)
+    # every reaper saw its entry leave; the registry is fully drained
+    deadline = time.time() + 10
+    while time.time() < deadline and engine.sql(
+        "show processlist"
+    ).count() > 0:
+        time.sleep(0.2)
+    assert engine.sql("show processlist").count() == 0
