@@ -1808,8 +1808,46 @@ CH_PARAMETRIC_TEMPLATES.update(
             f"-size(filter(collect_list({a[0]}), __y -> __y = __v)), "
             f"'v', __v))), 1, {p[0]}), __s -> __s.v)"
         ),
+        "sparkbar": lambda p, a: _sparkbar_sql(p, a),
     }
 )
+
+
+def _sparkbar_sql(p: list[str], a: list[str]) -> str:
+    """CH sparkbar(width[, min_x, max_x])(x, y): bucket the x range into
+    `width` bins, sum y per bin, render each bin as one eighth-block
+    glyph scaled to the tallest bin (' ' for empty bins).  A JVM
+    aggregate over the collected (x, y) pairs — the pair list is bounded
+    by the group size, same contract as the other collect-based CH
+    aggregates (tier 28)."""
+    w = int(p[0].strip())
+    if not (1 <= w <= 1024):
+        raise ValueError("sparkbar width must be in [1, 1024]")
+    x = a[0]
+    y = a[1] if len(a) > 1 else "1"
+    lo = (f"cast({p[1]} as double)" if len(p) > 2
+          else f"min(cast({x} as double))")
+    hi = (f"cast({p[2]} as double)" if len(p) > 2
+          else f"max(cast({x} as double))")
+    pairs = (f"collect_list(named_struct('x', cast({x} as double), "
+             f"'y', cast({y} as double)))")
+    bidx = (f"least(cast(floor((__p.x - __g.lo) / "
+            f"nullif(__g.hi - __g.lo, 0.0) * {w}) as int), {w - 1})")
+    sums = (f"transform(sequence(0, {w - 1}), __b -> "
+            f"aggregate(filter(__g.ps, __p -> coalesce({bidx}, 0) = __b "
+            f"and __p.x >= __g.lo and __p.x <= __g.hi), "
+            f"cast(0 as double), (__acc, __p) -> __acc + __p.y))")
+    # ceil so a bin at exactly 1/8 of the max renders the one-eighth
+    # glyph and only the tallest bin reaches the full block
+    glyph = (f"if(__v <= 0, ' ', substring('▁▂▃▄▅▆▇█', "
+             f"greatest(least(cast(ceil(__v / array_max(__ss) * 8) "
+             f"as int), 8), 1), 1))")
+    return (
+        f"element_at(transform(array(named_struct('ps', {pairs}, "
+        f"'lo', {lo}, 'hi', {hi})), __g -> "
+        f"element_at(transform(array({sums}), __ss -> "
+        f"concat_ws('', transform(__ss, __v -> {glyph}))), 1)), 1)"
+    )
 
 
 def _gcd_sql(args: list[str]) -> str:
@@ -3185,5 +3223,242 @@ CH_SQL_TEMPLATES.update(
         "firstline": "substring_index({0}, '\\n', 1)",
         # the path component after the last '/' or '\' (CH handles both)
         "basename": r"regexp_extract({0}, '[^/\\\\]*$', 0)",
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Everyday tier 28: error functions, Jaro string similarities, two-sample
+# proportion z-test, A/B-test sample sizing, sparkbar rendering — all pure
+# JVM expressions; the normal-distribution pieces use published rational
+# approximations (Numerical Recipes erfc, |rel err| < 1.2e-7; Acklam's
+# inverse normal CDF, |rel err| < 1.15e-9), far below the 6-significant-
+# digit resolution the correctness hashes compare at.
+
+
+def _erfc_frag(x: str) -> str:
+    """Numerical Recipes erfc(x) for any real x: t = 1/(1+|x|/2),
+    erfc = t*exp(-x² + poly(t)), reflected for negative x."""
+    t = f"(1.0 / (1.0 + abs({x}) / 2.0))"
+    poly = (
+        "(-1.26551223 + __u * (1.00002368 + __u * (0.37409196 + __u * "
+        "(0.09678418 + __u * (-0.18628806 + __u * (0.27886807 + __u * "
+        "(-1.13520398 + __u * (1.48851587 + __u * (-0.82215223 + __u * "
+        "0.17087277)))))))))"
+    )
+    core = (
+        f"element_at(transform(array({t}), __u -> "
+        f"__u * exp(-({x}) * ({x}) + {poly})), 1)"
+    )
+    return f"if(({x}) >= 0, {core}, 2.0 - {core})"
+
+
+# Acklam inverse-normal-CDF coefficients
+_ACKLAM_A = (-3.969683028665376e+01, 2.209460984245205e+02,
+             -2.759285104469687e+02, 1.383577518672690e+02,
+             -3.066479806614716e+01, 2.506628277459239e+00)
+_ACKLAM_B = (-5.447609879822406e+01, 1.615858368580409e+02,
+             -1.556989798598866e+02, 6.680131188771972e+01,
+             -1.328068155288572e+01)
+_ACKLAM_C = (-7.784894002430293e-03, -3.223964580411365e-01,
+             -2.400758277161838e+00, -2.549732539343734e+00,
+             4.374664141464968e+00, 2.938163982698783e+00)
+_ACKLAM_D = (7.784695709041462e-03, 3.224671290700398e-01,
+             2.445134137142996e+00, 3.754408661907416e+00)
+
+
+def _norm_quantile_frag(p: str) -> str:
+    """Acklam's inverse normal CDF as SQL arithmetic: a central rational
+    approximation in q = p - 1/2 and a tail form in sqrt(-2 ln p),
+    mirrored for the upper tail."""
+    a, b, c, d = _ACKLAM_A, _ACKLAM_B, _ACKLAM_C, _ACKLAM_D
+    num_c = (f"((((({a[0]}*__r+{a[1]})*__r+{a[2]})*__r+{a[3]})*__r"
+             f"+{a[4]})*__r+{a[5]})")
+    den_c = (f"((((({b[0]}*__r+{b[1]})*__r+{b[2]})*__r+{b[3]})*__r"
+             f"+{b[4]})*__r+1.0)")
+    central = (f"element_at(transform(array((__q)*(__q)), __r -> "
+               f"(__q) * {num_c} / {den_c}), 1)")
+    central = (f"element_at(transform(array(({p}) - 0.5), __q -> "
+               f"{central}), 1)")
+    num_t = (f"((((({c[0]}*__r+{c[1]})*__r+{c[2]})*__r+{c[3]})*__r"
+             f"+{c[4]})*__r+{c[5]})")
+    den_t = (f"(((({d[0]}*__r+{d[1]})*__r+{d[2]})*__r+{d[3]})*__r+1.0)")
+    lower = (f"element_at(transform(array(sqrt(-2.0 * ln({p}))), __r -> "
+             f"{num_t} / {den_t}), 1)")
+    upper = (f"element_at(transform(array(sqrt(-2.0 * ln(1.0 - ({p})))), "
+             f"__r -> -({num_t} / {den_t})), 1)")
+    return (f"case when ({p}) < 0.02425 then {lower} "
+            f"when ({p}) > 0.97575 then {upper} else {central} end")
+
+
+def _jaro_sql(args: list[str]) -> str:
+    """CH jaroSimilarity(s1, s2): the classic Jaro similarity — greedy
+    in-window character matching (each character matched at most once),
+    transpositions = half the out-of-order matched pairs.  One JVM
+    aggregate over the first string's positions carrying (used flags,
+    matched chars, matched positions); empty input gives 0 (the same
+    convention the DuckDB oracle uses) (tier 28)."""
+    s1, s2 = args[0], args[1]
+    a, b = f"split({s1}, '')", f"split({s2}, '')"
+    cand = (
+        "element_at(filter(sequence(1, size(__t.b)), __j -> "
+        "__j >= __i - __t.w and __j <= __i + __t.w "
+        "and not element_at(__s.used, __j) "
+        "and element_at(__t.b, __j) = element_at(__t.a, __i)), 1)"
+    )
+    upd = (
+        f"element_at(transform(array({cand}), __j0 -> "
+        "if(__j0 is null, __s, named_struct("
+        "'used', transform(sequence(1, size(__t.b)), __k -> "
+        "  if(__k = __j0, true, element_at(__s.used, __k))), "
+        "'m1', concat(__s.m1, array(element_at(__t.a, __i))), "
+        "'mj', concat(__s.mj, array(__j0))))), 1)"
+    )
+    agg = (
+        "aggregate(sequence(1, size(__t.a)), "
+        "named_struct('used', transform(__t.b, __z -> false), "
+        "'m1', cast(array() as array<string>), "
+        "'mj', cast(array() as array<int>)), "
+        f"(__s, __i) -> {upd})"
+    )
+    # transpositions: INTEGER half of the out-of-order matched pairs
+    # (Winkler's original counting — an odd mismatch count floors, the
+    # same convention the DuckDB oracle uses)
+    formula = (
+        "if(size(__st.m1) = 0, cast(0 as double), "
+        "(cast(size(__st.m1) as double) / size(__t.a) "
+        "+ cast(size(__st.m1) as double) / size(__t.b) "
+        "+ cast(size(__st.m1) - (size(filter(zip_with(__st.m1, "
+        "transform(array_sort(__st.mj), __j -> element_at(__t.b, __j)), "
+        "(__x, __y) -> __x != __y), __z -> __z)) div 2) as double) "
+        "/ size(__st.m1)) / 3)"
+    )
+    body = f"element_at(transform(array({agg}), __st -> {formula}), 1)"
+    return (
+        f"if(char_length({s1}) = 0 or char_length({s2}) = 0, "
+        "cast(0 as double), "
+        f"element_at(transform(array(named_struct('a', {a}, 'b', {b}, "
+        f"'w', greatest(cast(floor(greatest(char_length({s1}), "
+        f"char_length({s2})) / 2) as int) - 1, 0))), "
+        f"__t -> {body}), 1))"
+    )
+
+
+def _jaro_winkler_sql(args: list[str]) -> str:
+    """CH jaroWinklerSimilarity(s1, s2): Jaro boosted by the common
+    prefix (up to 4 chars) at the standard 0.1 scaling, applied only
+    above the classic 0.7 boost threshold — Winkler's original
+    definition, and what the DuckDB oracle implements (tier 28)."""
+    s1, s2 = args[0], args[1]
+    j = _jaro_sql(args)
+    prefix = (
+        f"aggregate(sequence(1, 4), 0, (__acc, __i) -> "
+        f"if(__acc = __i - 1 and substring({s1}, __i, 1) = "
+        f"substring({s2}, __i, 1) and __i <= least(char_length({s1}), "
+        f"char_length({s2})), __i, __acc))"
+    )
+    return (
+        f"element_at(transform(array(cast({j} as double)), __jv -> "
+        f"if(__jv > 0.7, __jv + {prefix} * 0.1 * (1 - __jv), __jv)), 1)"
+    )
+
+
+def _proportions_ztest_sql(args: list[str]) -> str:
+    """CH proportionsZTest(successes_x, successes_y, trials_x, trials_y,
+    conf_level, usevar 'pooled'|'unpooled'): two-sample proportion
+    z-test.  Returns (z_statistic, p_value, ci_lower, ci_upper) — the
+    p-value is the two-sided erfc(|z|/√2); the confidence interval is on
+    the difference p_x − p_y with the unpooled standard error, at
+    conf_level (tier 28)."""
+    if len(args) < 6:
+        raise ValueError(
+            "proportionsZTest(sx, sy, tx, ty, conf_level, usevar)"
+        )
+    sx, sy, tx, ty, conf = (f"cast({a} as double)" for a in args[:5])
+    usevar = args[5].strip().strip("'\"").lower()
+    if usevar not in ("pooled", "unpooled"):
+        raise ValueError("proportionsZTest usevar: 'pooled'|'unpooled'")
+    p1, p2 = f"(({sx}) / ({tx}))", f"(({sy}) / ({ty}))"
+    if usevar == "pooled":
+        pp = f"((({sx}) + ({sy})) / (({tx}) + ({ty})))"
+        se_z = f"sqrt({pp} * (1.0 - {pp}) * (1.0 / ({tx}) + 1.0 / ({ty})))"
+    else:
+        se_z = (f"sqrt({p1} * (1.0 - {p1}) / ({tx}) "
+                f"+ {p2} * (1.0 - {p2}) / ({ty}))")
+    se_ci = (f"sqrt({p1} * (1.0 - {p1}) / ({tx}) "
+             f"+ {p2} * (1.0 - {p2}) / ({ty}))")
+    z = f"(({p1} - {p2}) / {se_z})"
+    zq = _norm_quantile_frag(f"(1.0 + {conf}) / 2.0")
+    pval = _erfc_frag("abs(__z) / sqrt(2.0)")
+    return (
+        f"element_at(transform(array({z}), __z -> named_struct("
+        f"'_1', __z, '_2', {pval}, "
+        f"'_3', ({p1} - {p2}) - ({zq}) * {se_ci}, "
+        f"'_4', ({p1} - {p2}) + ({zq}) * {se_ci})), 1)"
+    )
+
+
+def _min_sample_size_conversion_sql(args: list[str]) -> str:
+    """CH minSampleSizeConversion(baseline, mde, power, alpha): minimum
+    per-group sample size to detect an absolute `mde` change from the
+    baseline conversion at the given power/significance —
+    n = (z_{1−α/2} + z_{power})² · (p₁(1−p₁) + p₂(1−p₂)) / mde², with
+    the detectable range (baseline − mde, baseline + mde) (tier 28)."""
+    if len(args) < 4:
+        raise ValueError(
+            "minSampleSizeConversion(baseline, mde, power, alpha)"
+        )
+    base, mde, power, alpha = (f"cast({a} as double)" for a in args[:4])
+    za = _norm_quantile_frag(f"1.0 - ({alpha}) / 2.0")
+    zp = _norm_quantile_frag(f"({power})")
+    p2 = f"(({base}) + ({mde}))"
+    n = (
+        f"element_at(transform(array(({za}) + ({zp})), __zs -> "
+        f"__zs * __zs * (({base}) * (1.0 - ({base})) "
+        f"+ {p2} * (1.0 - {p2})) / (({mde}) * ({mde}))), 1)"
+    )
+    return (
+        f"named_struct('_1', {n}, '_2', ({base}) - ({mde}), "
+        f"'_3', ({base}) + ({mde}))"
+    )
+
+
+def _min_sample_size_continuous_sql(args: list[str]) -> str:
+    """CH minSampleSizeContinous(baseline, sigma, mde, power, alpha):
+    minimum per-group sample size to detect a RELATIVE `mde` change of
+    a continuous metric — n = 2·(z_{1−α/2} + z_{power})²·σ² /
+    (mde·baseline)², detectable range baseline·(1 ∓ mde) (tier 28; the
+    upstream name ships with the typo and the corrected alias)."""
+    if len(args) < 5:
+        raise ValueError(
+            "minSampleSizeContinous(baseline, sigma, mde, power, alpha)"
+        )
+    base, sigma, mde, power, alpha = (
+        f"cast({a} as double)" for a in args[:5]
+    )
+    za = _norm_quantile_frag(f"1.0 - ({alpha}) / 2.0")
+    zp = _norm_quantile_frag(f"({power})")
+    n = (
+        f"element_at(transform(array(({za}) + ({zp})), __zs -> "
+        f"2.0 * __zs * __zs * ({sigma}) * ({sigma}) "
+        f"/ (({mde}) * ({base}) * ({mde}) * ({base}))), 1)"
+    )
+    return (
+        f"named_struct('_1', {n}, "
+        f"'_2', ({base}) * (1.0 - ({mde})), "
+        f"'_3', ({base}) * (1.0 + ({mde})))"
+    )
+
+
+CH_SQL_TEMPLATES.update(
+    {
+        "erf": lambda a: f"(1.0 - {_erfc_frag(f'cast({a[0]} as double)')})",
+        "erfc": lambda a: _erfc_frag(f"cast({a[0]} as double)"),
+        "jarosimilarity": _jaro_sql,
+        "jarowinklersimilarity": _jaro_winkler_sql,
+        "proportionsztest": _proportions_ztest_sql,
+        "minsamplesizeconversion": _min_sample_size_conversion_sql,
+        "minsamplesizecontinous": _min_sample_size_continuous_sql,
+        "minsamplesizecontinuous": _min_sample_size_continuous_sql,
     }
 )

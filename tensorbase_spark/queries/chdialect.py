@@ -2706,3 +2706,126 @@ FROM orders GROUP BY o_orderstatus
 QUERIES["ch_everyday_funcs27"] = Query(
     ch_everyday_funcs27, CH_EVERYDAY27_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs28(spark, sf_dir):
+    """Everyday upstream-CH tier 28: error functions, Jaro /
+    Jaro-Winkler string similarity, the two-sample proportion z-test
+    (both pooled and unpooled), A/B-test sample sizing, and sparkbar
+    rendering.  The oracle re-derives everything independently: DuckDB's
+    NATIVE jaro_similarity / jaro_winkler_similarity check the Jaro
+    aggregate char-for-char; the z statistics are plain algebra over
+    re-derived counts; the p-value re-states the published Numerical
+    Recipes erfc polynomial in DuckDB SQL; sparkbar is rebuilt from a
+    list-comprehension bucketization; the two constant-folded sample
+    sizes are goldens from the published formulas (cross-checked against
+    Python's statistics.NormalDist in tests)."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e28")
+    zargs = (
+        "sum(case when o_orderkey % 7 = 0 then 1 else 0 end), "
+        "sum(case when o_custkey % 5 = 0 then 1 else 0 end), "
+        "count(*), count(*), 0.95"
+    )
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "round(avg(jaroSimilarity(o_orderpriority, 'MEDIUM-HIGH')), 6) "
+        "  as js, "
+        "round(avg(jaroWinklerSimilarity(o_orderpriority, "
+        "  '1-URGENTLY')), 6) as jw, "
+        # double literals (3.0D): a bare 3.0 is DECIMAL in Spark and the
+        # scale-6 decimal division would shift the erf argument by ~3e-7
+        "round(sum(erfc((o_orderkey % 9) / 4.0D - 1.0D)), 6) as ec, "
+        "round(sum(erf((o_orderkey % 7) / 3.0D)), 6) as ef, "
+        f"round((proportionsZTest({zargs}, 'unpooled'))._1, 6) as zu, "
+        f"round((proportionsZTest({zargs}, 'unpooled'))._2, 6) as pu, "
+        f"round((proportionsZTest({zargs}, 'pooled'))._1, 6) as zp, "
+        "round((minSampleSizeConversion(0.25, 0.03, 0.80, 0.05))._1, 4) "
+        "  as mssc, "
+        "round((minSampleSizeContinous(112.5, 21.1, 0.03, 0.80, "
+        "  0.05))._1, 4) as msst, "
+        "sparkbar(8)(o_orderkey % 32, o_totalprice) as sb "
+        "from ord_e28 group by o_orderstatus"
+    )
+
+
+def _duck_erfc(x: str) -> str:
+    """The Numerical Recipes erfc polynomial re-stated in DuckDB SQL
+    (list_transform binds t = 1/(1+|x|/2) like the Spark template binds
+    it through transform)."""
+    poly = (
+        "(-1.26551223 + __u * (1.00002368 + __u * (0.37409196 + __u * "
+        "(0.09678418 + __u * (-0.18628806 + __u * (0.27886807 + __u * "
+        "(-1.13520398 + __u * (1.48851587 + __u * (-0.82215223 + __u * "
+        "0.17087277)))))))))"
+    )
+    core = (
+        f"list_transform([1.0 / (1.0 + abs({x}) / 2.0)], __u -> "
+        f"__u * exp(-({x}) * ({x}) + {poly}))[1]"
+    )
+    return f"CASE WHEN ({x}) >= 0 THEN {core} ELSE 2.0 - {core} END"
+
+
+def _build_ch28_oracle() -> str:
+    p1 = "(sx / tx)"
+    p2 = "(sy / ty)"
+    se_u = f"sqrt({p1} * (1 - {p1}) / tx + {p2} * (1 - {p2}) / ty)"
+    se_p = ("sqrt(((sx + sy) / (tx + ty)) * (1 - (sx + sy) / (tx + ty)) "
+            "* (1 / tx + 1 / ty))")
+    zu = f"(({p1} - {p2}) / {se_u})"
+    zp = f"(({p1} - {p2}) / {se_p})"
+    pu = _duck_erfc(f"abs({zu}) / sqrt(2.0)")
+    bidx = ("least(CAST(floor((struct_extract(__p, 'x') - lo) / "
+            "nullif(hi - lo, 0) * 8) AS INTEGER), 7)")
+    sums = (
+        "list_transform(range(0, 8), __b -> coalesce(list_sum("
+        "list_transform(list_filter(ps, __p -> "
+        f"coalesce({bidx}, 0) = __b), __p -> "
+        "struct_extract(__p, 'y'))), 0.0))"
+    )
+    glyph = (
+        "CASE WHEN __v <= 0 THEN ' ' ELSE substring('▁▂▃▄▅▆▇█', "
+        "greatest(least(CAST(ceil(__v / list_aggregate(__ss, 'max') * 8) "
+        "AS INTEGER), 8), 1), 1) END"
+    )
+    sb = (
+        f"list_transform([{sums}], __ss -> array_to_string("
+        f"list_transform(__ss, __v -> {glyph}), ''))[1]"
+    )
+    return f"""
+SELECT st, js, jw, ec, ef,
+  round({zu}, 6) AS zu,
+  round({pu}, 6) AS pu,
+  round({zp}, 6) AS zp,
+  -- constant-folded sample sizes: goldens from the published formulas
+  -- n = (z_{{1-a/2}}+z_power)^2 (p1 q1 + p2 q2)/mde^2 and
+  -- n = 2 (z_{{1-a/2}}+z_power)^2 sigma^2/(mde*baseline)^2
+  3393.3323 AS mssc, 613.5572 AS msst,
+  {sb} AS sb
+FROM (
+  SELECT o_orderstatus AS st,
+    round(avg(jaro_similarity(o_orderpriority, 'MEDIUM-HIGH')), 6) AS js,
+    round(avg(jaro_winkler_similarity(o_orderpriority, '1-URGENTLY')), 6)
+      AS jw,
+    round(sum({_duck_erfc("(o_orderkey % 9) / 4.0 - 1.0")}), 6) AS ec,
+    round(sum(1.0 - {_duck_erfc("(o_orderkey % 7) / 3.0")}), 6) AS ef,
+    CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      AS sx,
+    CAST(sum(CASE WHEN o_custkey % 5 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      AS sy,
+    CAST(count(*) AS DOUBLE) AS tx, CAST(count(*) AS DOUBLE) AS ty,
+    list(struct_pack(x := CAST(o_orderkey % 32 AS DOUBLE),
+                     y := CAST(o_totalprice AS DOUBLE))) AS ps,
+    min(CAST(o_orderkey % 32 AS DOUBLE)) AS lo,
+    max(CAST(o_orderkey % 32 AS DOUBLE)) AS hi
+  FROM orders GROUP BY o_orderstatus
+)
+"""
+
+
+CH_EVERYDAY28_ORACLE = _build_ch28_oracle()
+
+
+QUERIES["ch_everyday_funcs28"] = Query(
+    ch_everyday_funcs28, CH_EVERYDAY28_ORACLE, ("dialect", "functions")
+)

@@ -956,3 +956,67 @@ def test_tier27_everyday_functions(spark):
     assert (r.bh1, r.bh2, r.bh3, r.bh4) == (1, 1, 2, 4)
     assert r.fl == "foo"
     assert (r.bn, r.bn2, r.bn3) == ("tool", "file.txt", "plain")
+
+
+def test_tier28_everyday_functions(spark):
+    """Tier-28 goldens: error functions (Numerical Recipes erfc, tol
+    2e-7), Jaro / Jaro-Winkler (classic textbook values), two-sample
+    proportion z-test (algebra exact; p-value via erfc; CI via Acklam's
+    inverse normal, tol 1e-8), A/B sample sizing, sparkbar rendering."""
+    import math
+    import statistics
+
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    r = eng.sql(
+        "select erf(0.5) as e1, erfc(1.0) as e2, erfc(-1.2) as e3, "
+        "jaroSimilarity('martha', 'marhta') as js, "
+        "jaroSimilarity('dwayne', 'duane') as js2, "
+        "jaroSimilarity('', 'abc') as js0, "
+        "jaroWinklerSimilarity('dixon', 'dicksonx') as jw, "
+        "jaroWinklerSimilarity('martha', 'marhta') as jw2, "
+        "proportionsZTest(120, 100, 1000, 1000, 0.95, 'unpooled') as zt, "
+        "proportionsZTest(120, 100, 1000, 1000, 0.95, 'pooled') as ztp, "
+        "minSampleSizeConversion(0.25, 0.03, 0.80, 0.05) as mssc, "
+        "minSampleSizeContinous(112.5, 21.1, 0.03, 0.80, 0.05) as msst"
+    ).collect()[0]
+    assert abs(r.e1 - math.erf(0.5)) < 2e-7
+    assert abs(r.e2 - math.erfc(1.0)) < 2e-7
+    assert abs(r.e3 - math.erfc(-1.2)) < 2e-7
+    assert abs(r.js - 0.9444444444444445) < 1e-12
+    assert abs(r.js2 - 0.8222222222222223) < 1e-12
+    assert r.js0 == 0.0
+    assert abs(r.jw - 0.8133333333333332) < 1e-12
+    assert abs(r.jw2 - 0.9611111111111111) < 1e-12
+    nd = statistics.NormalDist()
+    p1, p2, t1, t2 = 0.12, 0.10, 1000, 1000
+    se_u = math.sqrt(p1 * (1 - p1) / t1 + p2 * (1 - p2) / t2)
+    pp = 220 / 2000
+    se_p = math.sqrt(pp * (1 - pp) * (1 / t1 + 1 / t2))
+    zq = nd.inv_cdf(0.975)
+    assert abs(r.zt._1 - (p1 - p2) / se_u) < 1e-12
+    assert abs(r.zt._2 - math.erfc(abs(r.zt._1) / math.sqrt(2))) < 2e-7
+    assert abs(r.zt._3 - ((p1 - p2) - zq * se_u)) < 1e-8
+    assert abs(r.zt._4 - ((p1 - p2) + zq * se_u)) < 1e-8
+    assert abs(r.ztp._1 - (p1 - p2) / se_p) < 1e-12
+    zs = nd.inv_cdf(0.975) + nd.inv_cdf(0.80)
+    n_conv = zs * zs * (0.25 * 0.75 + 0.28 * 0.72) / (0.03 * 0.03)
+    assert abs(r.mssc._1 - n_conv) < 1e-4 * n_conv
+    assert (r.mssc._2, r.mssc._3) == (0.22, 0.28)
+    n_cont = 2 * zs * zs * 21.1 * 21.1 / (0.03 * 112.5) ** 2
+    assert abs(r.msst._1 - n_cont) < 1e-4 * n_cont
+    assert (r.msst._2, r.msst._3) == (109.125, 115.875)
+    # sparkbar: 4 buckets over x in 0..3, y weights 1,2,3,8 -> last bin
+    # is the full block, first is one eighth-level up from empty
+    spark.sql(
+        "select * from values (0, 1), (1, 2), (2, 3), (3, 8) as t(x, y)"
+    ).createOrReplaceTempView("sb_t")
+    got = eng.sql(
+        "select sparkbar(4)(x, y) as sb, "
+        "sparkbar(2)(x, y) as sb2 from sb_t"
+    ).collect()[0]
+    assert got.sb == "▁▂▃█"
+    # two bins: 1+2=3 vs 3+8=11 -> floor(3/11*8)=2 -> 3rd glyph? no:
+    # floor(24/11)=2 -> index 3 glyph '▃'; max bin '█'
+    assert got.sb2 == "▃█"
