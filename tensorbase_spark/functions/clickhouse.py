@@ -3462,3 +3462,180 @@ CH_SQL_TEMPLATES.update(
         "minsamplesizecontinuous": _min_sample_size_continuous_sql,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Everyday tier 29: true Damerau-Levenshtein, point-in-polygon, great-
+# circle distance, Java/Hive string hashes, CIDR ranges, nanosecond
+# arithmetic, unaligned zips — all pure JVM expressions.
+
+
+def _damerau_levenshtein_sql(args: list[str]) -> str:
+    """CH damerauLevenshteinDistance(s1, s2): the TRUE (unrestricted)
+    Damerau-Levenshtein distance — the full alphabet-map algorithm, so
+    'ca' -> 'abc' is 2, not the OSA variant's 3.  The DP runs as one JVM
+    aggregate over s1's positions; the outer state carries every
+    completed row (the transposition case reaches back to row da[ch]-1)
+    plus the last-occurrence map; the inner aggregate builds each row
+    left-to-right carrying the row-local last-match column (tier 29).
+    Verified character-for-character against DuckDB's native
+    damerau_levenshtein."""
+    s1, s2 = args[0], args[1]
+    a, b = f"split({s1}, '')", f"split({s2}, '')"
+    prevrow = "element_at(__o.rows, __i)"
+    k = "coalesce(element_at(__o.da, element_at(__t.b, __j)), 0)"
+    cost = "if(element_at(__t.a, __i) = element_at(__t.b, __j), 0, 1)"
+    maxd = "(size(__t.a) + size(__t.b))"
+    cell = (
+        f"least(element_at({prevrow}, __j) + {cost}, "
+        f"element_at(__n.r, __j) + 1, "
+        f"element_at({prevrow}, __j + 1) + 1, "
+        f"if(({k}) >= 1 and __n.db >= 1, "
+        f"element_at(element_at(__o.rows, {k}), __n.db), {maxd}) "
+        f"+ (__i - ({k}) - 1) + 1 + (__j - __n.db - 1))"
+    )
+    inner = (
+        f"aggregate(sequence(1, size(__t.b)), "
+        f"named_struct('r', array(__i), 'db', 0), "
+        f"(__n, __j) -> named_struct("
+        f"'r', concat(__n.r, array({cell})), "
+        f"'db', if({cost} = 0, __j, __n.db)))"
+    )
+    upd_da = (
+        "map_concat(map_filter(__o.da, (__k2, __v2) -> "
+        "__k2 != element_at(__t.a, __i)), "
+        "map(element_at(__t.a, __i), __i))"
+    )
+    outer = (
+        f"aggregate(sequence(1, size(__t.a)), "
+        f"named_struct('rows', array(sequence(0, size(__t.b))), "
+        f"'da', map('', 0)), "
+        f"(__o, __i) -> element_at(transform(array({inner}), __in -> "
+        f"named_struct('rows', concat(__o.rows, array(__in.r)), "
+        f"'da', {upd_da})), 1), "
+        f"__o -> element_at(element_at(__o.rows, size(__t.a) + 1), "
+        f"size(__t.b) + 1))"
+    )
+    return (
+        f"if(char_length({s1}) = 0 or char_length({s2}) = 0, "
+        f"char_length({s1}) + char_length({s2}), "
+        f"element_at(transform(array(named_struct('a', {a}, 'b', {b})), "
+        f"__t -> {outer}), 1))"
+    )
+
+
+def _point_in_polygon_sql(args: list[str]) -> str:
+    """CH pointInPolygon((x, y), [(x1, y1), ...]): even-odd ray casting
+    over the polygon's edges (the closing edge wraps last -> first); a
+    horizontal ray from the point crosses an edge when the edge spans
+    the point's y and the x intercept lies right of the point
+    (tier 29)."""
+    edges = (
+        "transform(sequence(1, size(__t.pg)), __i -> named_struct("
+        "'p', element_at(__t.pg, __i), "
+        "'q', element_at(__t.pg, (__i % size(__t.pg)) + 1)))"
+    )
+    crossing = (
+        "((__e.p._2 > __t.pt._2) != (__e.q._2 > __t.pt._2)) and "
+        "__t.pt._1 < (__e.q._1 - __e.p._1) * (__t.pt._2 - __e.p._2) "
+        "/ (__e.q._2 - __e.p._2) + __e.p._1"
+    )
+    return (
+        f"element_at(transform(array(named_struct('pt', {args[0]}, "
+        f"'pg', {args[1]})), __t -> cast(size(filter({edges}, "
+        f"__e -> {crossing})) % 2 as tinyint)), 1)"
+    )
+
+
+# CH's great-circle sphere radius (meters)
+_CH_EARTH_RADIUS_M = 6372797.560856
+
+
+def _great_circle_distance_sql(args: list[str]) -> str:
+    """CH greatCircleDistance(lon1, lat1, lon2, lat2) -> meters on the
+    sphere (haversine at the radius upstream uses) (tier 29)."""
+    lon1, lat1, lon2, lat2 = args[:4]
+    hav = (
+        f"power(sin(radians(cast({lat2} as double) "
+        f"- cast({lat1} as double)) / 2), 2) "
+        f"+ cos(radians(cast({lat1} as double))) "
+        f"* cos(radians(cast({lat2} as double))) "
+        f"* power(sin(radians(cast({lon2} as double) "
+        f"- cast({lon1} as double)) / 2), 2)"
+    )
+    return f"({2 * _CH_EARTH_RADIUS_M} * asin(sqrt({hav})))"
+
+
+def _ipv4_render(n: str) -> str:
+    return (
+        f"concat(cast(({n} div 16777216) % 256 as string), '.', "
+        f"cast(({n} div 65536) % 256 as string), '.', "
+        f"cast(({n} div 256) % 256 as string), '.', "
+        f"cast({n} % 256 as string))"
+    )
+
+
+def _ipv4_cidr_to_range_sql(args: list[str]) -> str:
+    """CH IPv4CIDRToRange(ip, prefix) -> (lowest, highest) addresses of
+    the subnet, rendered dotted-quad (tier 29)."""
+    num = _ipv4stringtonum_sql(args)
+    mask = (f"(shiftleft(cast(4294967295 as bigint), "
+            f"32 - cast({args[1]} as int)) & 4294967295)")
+    lo = f"(({num}) & {mask})"
+    hi = f"(({num}) | (4294967295 ^ {mask}))"
+    return (
+        f"named_struct('_1', {_ipv4_render(lo)}, "
+        f"'_2', {_ipv4_render(hi)})"
+    )
+
+
+CH_SQL_TEMPLATES.update(
+    {
+        "dameraulevenshteindistance": _damerau_levenshtein_sql,
+        # Spark's levenshtein is character-based — exactly the UTF8
+        # variants' contract
+        "levenshteindistanceutf8": "levenshtein({0}, {1})",
+        "editdistanceutf8": "levenshtein({0}, {1})",
+        "tounixtimestamp64second": "unix_seconds(cast({0} as timestamp))",
+        "fromunixtimestamp64second": "timestamp_seconds(cast({0} as bigint))",
+        # Spark timestamps are fixed micros: nanosecond arithmetic
+        # truncates to the containing microsecond (documented domain cap)
+        "addnanoseconds": (
+            "timestamp_micros(unix_micros(cast({0} as timestamp)) "
+            "+ cast({1} as bigint) div 1000)"
+        ),
+        "subtractnanoseconds": (
+            "timestamp_micros(unix_micros(cast({0} as timestamp)) "
+            "- cast({1} as bigint) div 1000)"
+        ),
+        # zip to the LONGER length, padding the short side with NULLs
+        # (plain arrayZip requires equal sizes, matching CH)
+        "arrayzipunaligned": (
+            "transform(sequence(1, greatest(size({0}), size({1}))), "
+            "__i -> named_struct('_1', element_at({0}, __i), "
+            "'_2', element_at({1}, __i)))"
+        ),
+        "pointinpolygon": _point_in_polygon_sql,
+        "greatcircledistance": _great_circle_distance_sql,
+        # Java String.hashCode: h = 31*h + c over UTF-16 units (BMP
+        # code points == their unit; int multiply wraps like the JVM)
+        "javahash": (
+            "aggregate(split({0}, ''), 0, "
+            "(__h, __c) -> __h * 31 + ascii(__c))"
+        ),
+        "hivehash": (
+            "(aggregate(split({0}, ''), 0, "
+            "(__h, __c) -> __h * 31 + ascii(__c)) & 2147483647)"
+        ),
+        "ipv4cidrtorange": _ipv4_cidr_to_range_sql,
+        "toipv4ordefault": (
+            "if({0} rlike '^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\\\.)"
+            "{{3}}(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$', {0}, "
+            "'0.0.0.0')"
+        ),
+        "toipv6ordefault": lambda a: (
+            f"if(coalesce({a[0]} rlike '{_IPV6_RE}', false), "
+            f"{a[0]}, '::')"
+        ),
+    }
+)

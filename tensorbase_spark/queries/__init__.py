@@ -317,7 +317,7 @@ PRIORITY_HEAD = [
     # detection regex; HTTP session budget read under srv.lock).
     "ch_everyday_funcs26", "wire_http_roundtrip", "wire_native_roundtrip",
     # (b) new round-13 queries
-    "ch_everyday_funcs27", "ch_everyday_funcs28",
+    "ch_everyday_funcs27", "ch_everyday_funcs28", "ch_everyday_funcs29",
 ]
 
 

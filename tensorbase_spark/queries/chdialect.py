@@ -2829,3 +2829,130 @@ CH_EVERYDAY28_ORACLE = _build_ch28_oracle()
 QUERIES["ch_everyday_funcs28"] = Query(
     ch_everyday_funcs28, CH_EVERYDAY28_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs29(spark, sf_dir):
+    """Everyday upstream-CH tier 29: true Damerau-Levenshtein distance,
+    UTF8 edit distance, second-precision ts64 codecs, nanosecond
+    arithmetic, unaligned array zip, even-odd point-in-polygon,
+    great-circle distances, Java/Hive string hashes, CIDR subnet
+    ranges, and OrDefault IP parses.  The oracle is maximally
+    independent: DuckDB's NATIVE damerau_levenshtein / levenshtein
+    check the DP aggregates row-for-row; javaHash re-derives through a
+    DuckDB list_reduce of the published recurrence; the polygon test,
+    haversine, CIDR arithmetic, and codec roundtrips are all re-stated
+    from first principles."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e29")
+    poly = ("array(tuple(6.0D, 0.0D), tuple(8.0D, 4.0D), "
+            "tuple(5.0D, 8.0D), tuple(0.0D, 2.0D))")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "sum(cast(damerauLevenshteinDistance(o_orderpriority, "
+        "  o_orderstatus) as bigint)) as dl, "
+        "sum(cast(levenshteinDistanceUTF8(o_orderpriority, "
+        "  '3-MEDIUM') as bigint)) as lv, "
+        "max(toUnixTimestamp64Second(toDateTime(o_orderdate))) as t64, "
+        "max(toString(fromUnixTimestamp64Second("
+        "  toUnixTimestamp64Second(toDateTime(o_orderdate))))) as f64, "
+        # k*1000 ns = k whole microseconds: exact at Spark's precision
+        "max(toUnixTimestamp64Micro(addNanoseconds("
+        "  toDateTime(o_orderdate), o_orderkey * 1000))) as an, "
+        "max(arrayStringConcat(arrayMap(__p -> concat("
+        "  coalesce(toString(__p._1), 'n'), ':', "
+        "  coalesce(toString(__p._2), 'n')), "
+        "  arrayZipUnaligned(array(o_orderkey % 5, o_orderkey % 3), "
+        "  array(o_orderkey % 2))), ',')) as azu, "
+        "sum(cast(pointInPolygon(tuple("
+        "  cast(o_orderkey % 10 as double), "
+        f"  cast(o_custkey % 10 as double)), {poly}) as bigint)) as pip, "
+        "round(avg(greatCircleDistance("
+        "  (o_orderkey % 360) - 180 + 0.25D, "
+        "  (o_orderkey % 160) * 0.5D - 40.0D, 10.5D, 20.25D)), 2) as gcd, "
+        "sum(cast(javaHash(o_orderpriority) as bigint)) as jh, "
+        "sum(cast(hiveHash(o_orderpriority) as bigint)) as hh, "
+        "max((IPv4CIDRToRange(concat('10.', "
+        "  toString(o_orderkey % 256), '.', toString(o_custkey % 256), "
+        "  '.9'), 20))._2) as chi, "
+        "max(toIPv4OrDefault(concat('10.0.0.', "
+        "  toString(o_orderkey % 300)))) as v4d, "
+        "max(toIPv6OrDefault(case when o_orderkey % 2 = 0 "
+        "  then '::1' else 'nope' end)) as v6d "
+        "from ord_e29 group by o_orderstatus"
+    )
+
+
+def _build_ch29_oracle() -> str:
+    # even-odd ray casting over the fixed polygon, re-stated with DuckDB
+    # list ops (x = k%10, y = c%10 as doubles)
+    edges = ("[{'px': 6.0, 'py': 0.0, 'qx': 8.0, 'qy': 4.0}, "
+             "{'px': 8.0, 'py': 4.0, 'qx': 5.0, 'qy': 8.0}, "
+             "{'px': 5.0, 'py': 8.0, 'qx': 0.0, 'qy': 2.0}, "
+             "{'px': 0.0, 'py': 2.0, 'qx': 6.0, 'qy': 0.0}]")
+    crossing = (
+        "((struct_extract(__e, 'py') > __y) != "
+        "(struct_extract(__e, 'qy') > __y)) AND "
+        "__x < (struct_extract(__e, 'qx') - struct_extract(__e, 'px')) "
+        "* (__y - struct_extract(__e, 'py')) "
+        "/ (struct_extract(__e, 'qy') - struct_extract(__e, 'py')) "
+        "+ struct_extract(__e, 'px')"
+    )
+    pip = (
+        f"list_transform([CAST(o_orderkey % 10 AS DOUBLE)], __x -> "
+        f"list_transform([CAST(o_custkey % 10 AS DOUBLE)], __y -> "
+        f"len(list_filter({edges}, __e -> {crossing})) % 2)[1])[1]"
+    )
+    # Java String.hashCode as a 32-bit-wrapping DuckDB fold
+    jhash = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(range(1, length(o_orderpriority) + 1), "
+        "__i -> ascii(substring(o_orderpriority, __i, 1))::BIGINT)), "
+        "(__h, __c) -> ((__h * 31 + __c) % 4294967296 + 4294967296) "
+        "% 4294967296)"
+    )
+    jh_signed = (f"(CASE WHEN {jhash} >= 2147483648 "
+                 f"THEN {jhash} - 4294967296 ELSE {jhash} END)")
+    hav = (
+        "power(sin(radians(20.25 - ((o_orderkey % 160) * 0.5 - 40.0)) "
+        "/ 2), 2) + cos(radians((o_orderkey % 160) * 0.5 - 40.0)) "
+        "* cos(radians(20.25)) "
+        "* power(sin(radians(10.5 - ((o_orderkey % 360) - 180 + 0.25)) "
+        "/ 2), 2)"
+    )
+    cidr_num = ("(167772160 + (o_orderkey % 256) * 65536 "
+                "+ (o_custkey % 256) * 256 + 9)")
+    cidr_hi = f"({cidr_num} | 4095)"  # /20: low 12 bits set
+    return f"""
+SELECT o_orderstatus AS st,
+  CAST(sum(damerau_levenshtein(o_orderpriority, o_orderstatus))
+      AS BIGINT) AS dl,
+  CAST(sum(levenshtein(o_orderpriority, '3-MEDIUM')) AS BIGINT) AS lv,
+  CAST(max(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS t64,
+  max(CAST(CAST(o_orderdate AS TIMESTAMP) AS VARCHAR)) AS f64,
+  CAST(max(epoch_us(CAST(o_orderdate AS TIMESTAMP)) + o_orderkey)
+      AS BIGINT) AS an,
+  max(CAST(o_orderkey % 5 AS VARCHAR) || ':'
+      || CAST(o_orderkey % 2 AS VARCHAR) || ','
+      || CAST(o_orderkey % 3 AS VARCHAR) || ':n') AS azu,
+  CAST(sum({pip}) AS BIGINT) AS pip,
+  round(avg({2 * 6372797.560856} * asin(sqrt({hav}))), 2) AS gcd,
+  CAST(sum({jh_signed}) AS BIGINT) AS jh,
+  CAST(sum({jhash} & 2147483647) AS BIGINT) AS hh,
+  max(CAST({cidr_hi} // 16777216 AS VARCHAR) || '.'
+      || CAST(({cidr_hi} // 65536) % 256 AS VARCHAR) || '.'
+      || CAST(({cidr_hi} // 256) % 256 AS VARCHAR) || '.'
+      || CAST({cidr_hi} % 256 AS VARCHAR)) AS chi,
+  max(CASE WHEN o_orderkey % 300 <= 255
+      THEN '10.0.0.' || CAST(o_orderkey % 300 AS VARCHAR)
+      ELSE '0.0.0.0' END) AS v4d,
+  max(CASE WHEN o_orderkey % 2 = 0 THEN '::1' ELSE '::' END) AS v6d
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+CH_EVERYDAY29_ORACLE = _build_ch29_oracle()
+
+
+QUERIES["ch_everyday_funcs29"] = Query(
+    ch_everyday_funcs29, CH_EVERYDAY29_ORACLE, ("dialect", "functions")
+)

@@ -1020,3 +1020,60 @@ def test_tier28_everyday_functions(spark):
     # two bins: 1+2=3 vs 3+8=11 -> floor(3/11*8)=2 -> 3rd glyph? no:
     # floor(24/11)=2 -> index 3 glyph '▃'; max bin '█'
     assert got.sb2 == "▃█"
+
+
+def test_tier29_everyday_functions(spark):
+    """Tier-29 goldens: true Damerau-Levenshtein (unrestricted — the
+    'ca'->'abc'=2 case OSA gets wrong), UTF8 edit distances, second-
+    precision ts64 codecs, nanosecond arithmetic (micro-truncating),
+    unaligned zip, even-odd point-in-polygon, great-circle meters,
+    Java/Hive string hashes (javaHash('Hello, world!') = -1880044555 is
+    the upstream docs example), CIDR ranges, OrDefault IP parses."""
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    r = eng.sql(
+        "select "
+        "damerauLevenshteinDistance('ca', 'abc') as dl1, "
+        "damerauLevenshteinDistance('abcd', 'acbd') as dl2, "
+        "damerauLevenshteinDistance('kitten', 'sitting') as dl3, "
+        "damerauLevenshteinDistance('', 'xy') as dl0, "
+        "levenshteinDistanceUTF8('kitten', 'sitting') as lv, "
+        "editDistanceUTF8('héllo', 'hello') as lvu, "
+        "toUnixTimestamp64Second(toDateTime('2021-08-15 18:57:56')) as t64, "
+        "toString(fromUnixTimestamp64Second(1629053876)) as f64, "
+        "toString(addNanoseconds(toDateTime('2021-01-01 00:00:00'), "
+        "  1500)) as an, "
+        "toString(subtractNanoseconds(toDateTime('2021-01-01 00:00:00'), "
+        "  2000)) as sn, "
+        "arrayZipUnaligned(array(1, 2, 3), array('a')) as azu, "
+        "pointInPolygon(tuple(3.0D, 3.0D), array(tuple(6.0D, 0.0D), "
+        "  tuple(8.0D, 4.0D), tuple(5.0D, 8.0D), tuple(0.0D, 2.0D))) "
+        "  as pin, "
+        "pointInPolygon(tuple(10.0D, 10.0D), array(tuple(6.0D, 0.0D), "
+        "  tuple(8.0D, 4.0D), tuple(5.0D, 8.0D), tuple(0.0D, 2.0D))) "
+        "  as pout, "
+        "round(greatCircleDistance(-86.5812D, 34.7306D, "
+        "  -86.5810D, 34.7305D), 1) as gcd, "
+        "javaHash('Hello, world!') as jh, javaHash('abc') as jha, "
+        "javaHash('') as jh0, hiveHash('Hello, world!') as hh, "
+        "(IPv4CIDRToRange('192.168.5.2', 16))._1 as clo, "
+        "(IPv4CIDRToRange('192.168.5.2', 16))._2 as chi, "
+        "toIPv4OrDefault('10.0.0.1') as v4, "
+        "toIPv4OrDefault('10.0.0.999') as v4b, "
+        "toIPv6OrDefault('2001:db8::1') as v6, "
+        "toIPv6OrDefault('nope') as v6b"
+    ).collect()[0]
+    assert (r.dl1, r.dl2, r.dl3, r.dl0) == (2, 1, 3, 2)
+    assert r.lv == 3 and r.lvu == 1  # char-based: é vs e is ONE edit
+    assert r.t64 == 1629053876 and r.f64 == "2021-08-15 18:57:56"
+    assert r.an == "2021-01-01 00:00:00.000001"  # 1500 ns -> 1 us
+    assert r.sn == "2020-12-31 23:59:59.999998"
+    assert [tuple(x) for x in r.azu] == [(1, "a"), (2, None), (3, None)]
+    assert (r.pin, r.pout) == (1, 0)
+    assert 15 < r.gcd < 30  # ~21 m for ~0.0002 deg
+    assert r.jh == -1880044555 and r.jha == 96354 and r.jh0 == 0
+    assert r.hh == -1880044555 & 0x7FFFFFFF
+    assert (r.clo, r.chi) == ("192.168.0.0", "192.168.255.255")
+    assert (r.v4, r.v4b) == ("10.0.0.1", "0.0.0.0")
+    assert (r.v6, r.v6b) == ("2001:db8::1", "::")
