@@ -2180,7 +2180,7 @@ class TensorBaseEngine:
     _NONDETERMINISTIC_RE = re.compile(
         r"(?is)\b(?:now|today|yesterday|rand\w*|uuid|"
         r"generateUUIDv[47]|UTCTimestamp|random|current_date|"
-        r"current_timestamp|"
+        r"current_timestamp|arrayRandomSample|shuffle|"
         r"current_time|unix_timestamp|remote|numbers)\s*\("
     )
 

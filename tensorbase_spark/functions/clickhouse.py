@@ -3639,3 +3639,132 @@ CH_SQL_TEMPLATES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Everyday tier 30: base58 codecs (full bignum long-division as JVM
+# aggregates), Joda-syntax datetime formatting, random array sampling.
+
+_BASE58_ALPHABET = (
+    "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+)
+
+
+def _base58_encode_sql(args: list[str]) -> str:
+    """CH base58Encode(s): Bitcoin-alphabet base58 of the string's
+    BYTES.  The value is treated as a big-endian base-256 number held as
+    a digit array (hex-pair extraction, so multi-byte characters are
+    byte-exact); each loop step long-divides the array by 58 and
+    prepends the remainder's glyph.  One output character per step: the
+    66-step unroll covers the 48-byte input cap ('Hello World!' ->
+    '2NEpo7TZRRrLZSi2U', the published test vector); leading zero bytes
+    render as leading '1's (tier 30)."""
+    s = args[0]
+    digits = (
+        f"transform(sequence(1, greatest(octet_length({s}), 1)), __i -> "
+        f"cast(conv(substring(hex(encode({s}, 'utf-8')), 2 * __i - 1, 2), "
+        f"16, 10) as int))"
+    )
+    divstep = (
+        "aggregate(__st.ds, named_struct('q', cast(array() as array<int>), "
+        "'r', 0), (__d, __x) -> named_struct("
+        "'q', concat(__d.q, array(cast((__d.r * 256 + __x) div 58 as int))), "
+        "'r', cast((__d.r * 256 + __x) % 58 as int)))"
+    )
+    step = (
+        f"if(array_max(__st.ds) = 0, __st, "
+        f"element_at(transform(array({divstep}), __d -> named_struct("
+        f"'ds', __d.q, "
+        f"'out', concat(substring('{_BASE58_ALPHABET}', __d.r + 1, 1), "
+        f"__st.out))), 1))"
+    )
+    loop = (
+        f"aggregate(sequence(1, 66), "
+        f"named_struct('ds', {digits}, 'out', ''), "
+        f"(__st, __n) -> {step}, __st -> __st.out)"
+    )
+    zeros = (
+        f"element_at(transform(array(array_position(transform({digits}, "
+        f"__d -> __d != 0), true)), __p -> if(__p = 0, "
+        f"octet_length({s}), cast(__p - 1 as int))), 1)"
+    )
+    return (
+        f"if(octet_length({s}) = 0, '', "
+        f"if(octet_length({s}) > 48, cast(raise_error("
+        f"'base58Encode: input longer than 48 bytes') as string), "
+        f"concat(repeat('1', {zeros}), {loop})))"
+    )
+
+
+def _base58_decode_body(s: str) -> str:
+    vals = (
+        f"transform(split({s}, ''), __c -> "
+        f"cast(locate(__c, '{_BASE58_ALPHABET}') - 1 as int))"
+    )
+    mulstep = (
+        "aggregate(__st.bs, named_struct('nb', cast(array() as array<int>), "
+        "'c', __v), (__m, __b) -> named_struct("
+        "'nb', concat(__m.nb, array(cast((__b * 58 + __m.c) % 256 as int))), "
+        "'c', cast((__b * 58 + __m.c) div 256 as int)))"
+    )
+    step = (
+        f"element_at(transform(array({mulstep}), __m -> "
+        f"if(__m.c > 0, concat(__m.nb, array(__m.c)), __m.nb)), 1)"
+    )
+    loop = (
+        f"aggregate({vals}, cast(array() as array<int>), "
+        f"(__bs, __v) -> element_at(transform(array(named_struct("
+        f"'bs', __bs)), __st -> {step}), 1))"
+    )
+    ones = (
+        f"element_at(transform(array(array_position(transform(split({s}, "
+        f"''), __c -> __c != '1'), true)), __p -> if(__p = 0, "
+        f"char_length({s}), cast(__p - 1 as int))), 1)"
+    )
+    return (
+        f"concat(repeat(char(0), {ones}), concat_ws('', "
+        f"transform(reverse({loop}), __b -> char(__b))))"
+    )
+
+
+def _base58_decode_sql(args: list[str], lenient: bool = False) -> str:
+    """CH base58Decode / tryBase58Decode: inverse multiply-accumulate
+    into a little-endian byte array (one aggregate per input glyph);
+    leading '1's restore leading zero bytes.  Bytes re-render through
+    char(), so printable/Latin-1 payloads round-trip exactly; the strict
+    form raises on a non-alphabet character, the try form returns ''
+    (tier 30)."""
+    s = args[0]
+    body = _base58_decode_body(s)
+    bad = (
+        "''" if lenient else
+        f"cast(raise_error(concat('base58Decode: invalid base58: ', "
+        f"{s})) as string)"
+    )
+    return (
+        f"if(char_length({s}) = 0, '', "
+        f"if({s} rlike '^[1-9A-HJ-NP-Za-km-z]+$', {body}, {bad}))"
+    )
+
+
+CH_SQL_TEMPLATES.update(
+    {
+        "base58encode": _base58_encode_sql,
+        "base58decode": lambda a: _base58_decode_sql(a, lenient=False),
+        "trybase58decode": lambda a: _base58_decode_sql(a, lenient=True),
+        # Spark's datetime patterns are the Joda/DateTimeFormatter
+        # letters these CH functions advertise — direct mapping
+        "formatdatetimeinjodasyntax": (
+            "date_format(cast({0} as timestamp), {1})"
+        ),
+        "fromunixtimestampinjodasyntax": (
+            "date_format(timestamp_seconds(cast({0} as bigint)), {1})"
+        ),
+        # nondeterministic (registered in the engine's cache-ineligible
+        # set); k beyond the array size returns the whole shuffled array,
+        # matching upstream
+        "arrayrandomsample": (
+            "slice(shuffle({0}), 1, least(cast({1} as int), size({0})))"
+        ),
+    }
+)

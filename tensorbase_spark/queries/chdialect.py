@@ -2956,3 +2956,50 @@ CH_EVERYDAY29_ORACLE = _build_ch29_oracle()
 QUERIES["ch_everyday_funcs29"] = Query(
     ch_everyday_funcs29, CH_EVERYDAY29_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs30(spark, sf_dir):
+    """Everyday upstream-CH tier 30: base58 codecs, Joda-syntax
+    datetime formatting, random array sampling.  Oracle strategy: the
+    codec pair is checked through the ROUNDTRIP LAW (decode(encode(x))
+    must be the identity — the oracle re-derives the right-hand side
+    directly) plus the published 'Hello World!' -> '2NEpo7TZRRrLZSi2U'
+    test vector; the Joda formats re-derive through strftime
+    (arrayRandomSample is nondeterministic — unit-tested like rand*)."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e30")
+    # the codec runs on the 3 aggregated values, not per input row —
+    # the roundtrip law is about the codec, not the scan
+    return eng.sql(
+        "select st, "
+        "base58Decode(base58Encode(mp)) as rtp, "
+        "base58Encode('Hello World!') as hw, "
+        "tryBase58Decode('ZiCa') as tdv, "
+        "concat('[', tryBase58Decode('0OIl'), ']') as tdb, "
+        "fj, fu from (select o_orderstatus as st, "
+        "max(o_orderpriority) as mp, "
+        "max(formatDateTimeInJodaSyntax(toDateTime(o_orderdate), "
+        "  'yyyyMMdd HHmmss')) as fj, "
+        "max(fromUnixTimestampInJodaSyntax(toUnixTimestamp64Second("
+        "  toDateTime(o_orderdate)), 'yyyy-DDD')) as fu "
+        "from ord_e30 group by o_orderstatus)"
+    )
+
+
+CH_EVERYDAY30_ORACLE = """
+SELECT o_orderstatus AS st,
+  -- the codec roundtrip law: decode(encode(x)) == x
+  max(o_orderpriority) AS rtp,
+  -- published base58 test vector
+  max('2NEpo7TZRRrLZSi2U') AS hw,
+  max('abc') AS tdv,
+  max('[]') AS tdb,
+  max(strftime(CAST(o_orderdate AS TIMESTAMP), '%Y%m%d %H%M%S')) AS fj,
+  max(strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%j')) AS fu
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES["ch_everyday_funcs30"] = Query(
+    ch_everyday_funcs30, CH_EVERYDAY30_ORACLE, ("dialect", "functions")
+)

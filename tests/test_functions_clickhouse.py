@@ -1077,3 +1077,39 @@ def test_tier29_everyday_functions(spark):
     assert (r.clo, r.chi) == ("192.168.0.0", "192.168.255.255")
     assert (r.v4, r.v4b) == ("10.0.0.1", "0.0.0.0")
     assert (r.v6, r.v6b) == ("2001:db8::1", "::")
+
+
+def test_tier30_everyday_functions(spark):
+    """Tier-30 goldens: base58 codecs (the published 'Hello World!'
+    vector, zero-byte padding, roundtrips, strict-vs-try decode), Joda
+    datetime formatting, random array sampling."""
+    import pytest as _pt
+
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    r = eng.sql(
+        "select base58Encode('Hello World!') as b1, "
+        "base58Encode('abc') as b2, base58Encode('') as b0, "
+        "base58Encode(concat(char(0), char(0), 'abc')) as bz, "
+        "base58Decode('2NEpo7TZRRrLZSi2U') as d1, "
+        "base58Decode(base58Encode('The quick brown fox')) as rt, "
+        "tryBase58Decode('ZiCa') as t1, tryBase58Decode('0OIl') as t0, "
+        "formatDateTimeInJodaSyntax(toDateTime('2010-04-30 18:20:55'), "
+        "  'yyyy-MM-dd HH:mm:ss') as fj, "
+        "fromUnixTimestampInJodaSyntax(1629053876, 'yyyyMMdd') as fu, "
+        "arrayRandomSample(array(1, 2, 3, 4, 5), 3) as ars, "
+        "arrayRandomSample(array(1, 2), 9) as ars2"
+    ).collect()[0]
+    assert r.b1 == "2NEpo7TZRRrLZSi2U"  # the published test vector
+    assert r.b2 == "ZiCa" and r.b0 == ""
+    assert r.bz == "11ZiCa"  # leading zero bytes -> leading '1's
+    assert r.d1 == "Hello World!"
+    assert r.rt == "The quick brown fox"
+    assert r.t1 == "abc" and r.t0 == ""  # 0OIl are not in the alphabet
+    assert r.fj == "2010-04-30 18:20:55"
+    assert r.fu == "20210815"
+    assert len(r.ars) == 3 and set(r.ars) <= {1, 2, 3, 4, 5}
+    assert sorted(r.ars2) == [1, 2]  # k beyond size: whole array
+    with _pt.raises(Exception, match="base58Decode"):
+        eng.sql("select base58Decode('0OIl') as x").collect()
