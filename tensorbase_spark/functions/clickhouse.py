@@ -3768,3 +3768,290 @@ CH_SQL_TEMPLATES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Everyday tier 31: categorical association measures (Cramér's V, Theil's
+# U, contingency coefficient), mean z-test, Mann-Whitney U, interval
+# sweeps, bounding ratio, delta sums, moving-window group arrays,
+# exponential moving average — the CH aggregate-statistics surface, all
+# as JVM aggregate expressions (collect-based folds where an order or a
+# contingency table is needed).
+
+
+def _pairs_frag(a: str, b: str) -> str:
+    return (
+        f"collect_list(named_struct('a', cast({a} as string), "
+        f"'b', cast({b} as string)))"
+    )
+
+
+_CHI2_FRAG = (
+    # chi-square over the contingency table derived from the collected
+    # pairs: cells = distinct pairs; expected = row_total*col_total/n
+    "aggregate(array_distinct(__ps), cast(0 as double), (__x2, __c) -> "
+    "__x2 + element_at(transform(array(named_struct("
+    "'o', cast(size(filter(__ps, __p -> __p = __c)) as double), "
+    "'e', cast(size(filter(__ps, __p -> __p.a = __c.a)) as double) "
+    "* size(filter(__ps, __p -> __p.b = __c.b)) / size(__ps))), "
+    "__t -> (__t.o - __t.e) * (__t.o - __t.e) / __t.e), 1))"
+)
+
+
+def _assoc_sql(args: list[str], kind: str) -> str:
+    """CH cramersV / cramersVBiasCorrected / contingency(a, b): the
+    chi-square association family over the two columns' contingency
+    table.  V = sqrt(chi2 / (n*(min(ka,kb)-1))); the bias-corrected form
+    is Bergsma's phi2+ / min(k+-1, r+-1); contingency = sqrt(chi2/
+    (chi2+n)) (tier 31)."""
+    ps = _pairs_frag(args[0], args[1])
+    ka = "size(array_distinct(transform(__ps, __p -> __p.a)))"
+    kb = "size(array_distinct(transform(__ps, __p -> __p.b)))"
+    n = "cast(size(__ps) as double)"
+    if kind == "v":
+        body = (
+            f"sqrt(__x2 / ({n} * (least({ka}, {kb}) - 1)))"
+        )
+    elif kind == "bias":
+        phi2c = (
+            f"greatest(__x2 / {n} - cast(({ka} - 1) as double) "
+            f"* ({kb} - 1) / ({n} - 1), cast(0 as double))"
+        )
+        kc = f"({ka} - cast(({ka} - 1) as double) * ({ka} - 1) / ({n} - 1))"
+        rc = f"({kb} - cast(({kb} - 1) as double) * ({kb} - 1) / ({n} - 1))"
+        body = f"sqrt({phi2c} / least({kc} - 1, {rc} - 1))"
+    else:  # contingency coefficient
+        body = f"sqrt(__x2 / (__x2 + {n}))"
+    return (
+        f"element_at(transform(array({ps}), __ps -> "
+        f"element_at(transform(array({_CHI2_FRAG}), __x2 -> {body}), "
+        f"1)), 1)"
+    )
+
+
+def _theils_u_sql(args: list[str]) -> str:
+    """CH theilsU(a, b): the uncertainty coefficient U(a|b) =
+    (H(a) − H(a|b)) / H(a), entropies from the collected contingency
+    table (tier 31)."""
+    ps = _pairs_frag(args[0], args[1])
+    n = "cast(size(__ps) as double)"
+    ha = (
+        "aggregate(array_distinct(transform(__ps, __p -> __p.a)), "
+        "cast(0 as double), (__h, __v) -> __h - "
+        f"element_at(transform(array(cast(size(filter(__ps, "
+        f"__p -> __p.a = __v)) as double) / {n}), __f -> "
+        "__f * ln(__f)), 1))"
+    )
+    # H(a|b) = -sum_ab p_ab * ln(p_ab / p_b)
+    hab = (
+        "aggregate(array_distinct(__ps), cast(0 as double), "
+        "(__h, __c) -> __h - element_at(transform(array(named_struct("
+        f"'pab', cast(size(filter(__ps, __p -> __p = __c)) as double) "
+        f"/ {n}, "
+        f"'pb', cast(size(filter(__ps, __p -> __p.b = __c.b)) "
+        f"as double) / {n})), "
+        "__t -> __t.pab * ln(__t.pab / __t.pb)), 1))"
+    )
+    return (
+        f"element_at(transform(array({ps}), __ps -> "
+        f"element_at(transform(array({ha}), __ha -> "
+        f"if(__ha = 0, cast(0 as double), (__ha - ({hab})) / __ha)), "
+        f"1)), 1)"
+    )
+
+
+def _mean_ztest_sql(p: list[str], a: list[str]) -> str:
+    """CH meanZTest(pop_var_x, pop_var_y, conf)(value, sample_index):
+    two-sample z-test on means with KNOWN population variances.
+    Returns (z_statistic, p_value, ci_low, ci_high) — p two-sided via
+    erfc, CI on the mean difference at conf (tier 31)."""
+    vx, vy, conf = (f"cast({x} as double)" for x in p[:3])
+    v, g = a[0], a[1]
+    mx = f"avg(if(cast({g} as int) = 0, cast({v} as double), null))"
+    my = f"avg(if(cast({g} as int) = 1, cast({v} as double), null))"
+    nx = f"sum(if(cast({g} as int) = 0, 1, 0))"
+    ny = f"sum(if(cast({g} as int) = 1, 1, 0))"
+    se = f"sqrt({vx} / ({nx}) + {vy} / ({ny}))"
+    zq = _norm_quantile_frag(f"(1.0 + {conf}) / 2.0")
+    pval = _erfc_frag("abs(__z) / sqrt(2.0)")
+    return (
+        f"element_at(transform(array((({mx}) - ({my})) / {se}), __z -> "
+        f"named_struct('_1', __z, '_2', {pval}, "
+        f"'_3', ({mx}) - ({my}) - ({zq}) * {se}, "
+        f"'_4', ({mx}) - ({my}) + ({zq}) * {se})), 1)"
+    )
+
+
+def _mann_whitney_sql(args: list[str]) -> str:
+    """CH mannWhitneyUTest(value, sample_index): rank-sum test.  U for
+    sample 0 from midranks (ties averaged), z against the tie-corrected
+    normal approximation, two-sided p via erfc — the same large-sample
+    approximation upstream documents.  Midranks come from per-distinct-
+    value counts (O(d·n), never O(n²)) (tier 31)."""
+    v, g = args[0], args[1]
+    ps = (
+        f"collect_list(named_struct('v', cast({v} as double), "
+        f"'g', cast({g} as int)))"
+    )
+    # per distinct value: less-than count, tie count, sample-0 tie count
+    cell = (
+        "named_struct("
+        "'lt', cast(size(filter(__ps, __p -> __p.v < __u)) as double), "
+        "'eq', cast(size(filter(__ps, __p -> __p.v = __u)) as double), "
+        "'e0', cast(size(filter(__ps, __p -> __p.v = __u and __p.g = 0)) "
+        "as double))"
+    )
+    # R1 = sum over values of midrank(value) * (#sample-0 ties at value);
+    # tiesum = sum (t^3 - t) for the tie-corrected sigma
+    fold = (
+        f"aggregate(array_distinct(transform(__ps, __p -> __p.v)), "
+        f"named_struct('r1', cast(0 as double), "
+        f"'ts', cast(0 as double)), "
+        f"(__s, __u) -> element_at(transform(array({cell}), __c -> "
+        f"named_struct("
+        f"'r1', __s.r1 + (__c.lt + (__c.eq + 1) / 2) * __c.e0, "
+        f"'ts', __s.ts + __c.eq * __c.eq * __c.eq - __c.eq)), 1))"
+    )
+    n1 = "cast(size(filter(__ps, __p -> __p.g = 0)) as double)"
+    n2 = "cast(size(filter(__ps, __p -> __p.g != 0)) as double)"
+    nn = "cast(size(__ps) as double)"
+    u = f"(__f.r1 - {n1} * ({n1} + 1) / 2)"
+    mu = f"({n1} * {n2} / 2)"
+    sig = (
+        f"sqrt({n1} * {n2} / 12 * (({nn} + 1) "
+        f"- __f.ts / ({nn} * ({nn} - 1))))"
+    )
+    pval = _erfc_frag("abs(__z) / sqrt(2.0)")
+    return (
+        f"element_at(transform(array({ps}), __ps -> "
+        f"element_at(transform(array({fold}), __f -> "
+        f"element_at(transform(array(({u} - {mu}) / {sig}), __z -> "
+        f"named_struct('_1', {u}, '_2', {pval})), 1)), 1)), 1)"
+    )
+
+
+def _interval_length_sum_sql(args: list[str]) -> str:
+    """CH intervalLengthSum(start, end): total length of the UNION of
+    the per-group intervals — sort by start, sweep with a cover-end
+    accumulator so overlaps never double-count (order-independent)
+    (tier 31)."""
+    ivs = (
+        f"array_sort(collect_list(named_struct("
+        f"'s', cast({args[0]} as double), 'e', cast({args[1]} as double))))"
+    )
+    # covered contribution: max(0, e - max(s, cover_end))
+    step = (
+        "named_struct("
+        "'c', greatest(__a.c, __iv.e), "
+        "'t', __a.t + greatest(__iv.e - greatest(__iv.s, __a.c), "
+        "cast(0 as double)))"
+    )
+    return (
+        f"aggregate({ivs}, named_struct("
+        f"'c', cast(-1e308 as double), 't', cast(0 as double)), "
+        f"(__a, __iv) -> {step}, __a -> __a.t)"
+    )
+
+
+def _ema_sql(p: list[str], a: list[str]) -> str:
+    """CH exponentialMovingAverage(half_decay)(value, time): fold over
+    the time-sorted points; both the value sum and the weight sum decay
+    by half every `half_decay` time units between points, so the result
+    is order-independent (tier 31)."""
+    h = f"cast({p[0]} as double)"
+    pts = (
+        f"array_sort(collect_list(named_struct("
+        f"'t', cast({a[1]} as double), 'v', cast({a[0]} as double))))"
+    )
+    decay = f"pow(0.5, (__p.t - __s.t) / {h})"
+    step = (
+        f"named_struct('t', __p.t, "
+        f"'s', __s.s * {decay} + __p.v, "
+        f"'w', __s.w * {decay} + 1.0)"
+    )
+    return (
+        f"aggregate({pts}, named_struct('t', cast(0 as double), "
+        f"'s', cast(0 as double), 'w', cast(0 as double)), "
+        f"(__s, __p) -> {step}, __s -> __s.s / __s.w)"
+    )
+
+
+CH_SQL_TEMPLATES.update(
+    {
+        "cramersv": lambda a: _assoc_sql(a, "v"),
+        "cramersvbiascorrected": lambda a: _assoc_sql(a, "bias"),
+        "contingency": lambda a: _assoc_sql(a, "c"),
+        "theilsu": _theils_u_sql,
+        "mannwhitneyutest": _mann_whitney_sql,
+        "intervallengthsum": _interval_length_sum_sql,
+        # slope between the leftmost and rightmost points (by x)
+        "boundingratio": (
+            "((max_by(cast({1} as double), cast({0} as double)) "
+            "- min_by(cast({1} as double), cast({0} as double))) "
+            "/ (max(cast({0} as double)) - min(cast({0} as double))))"
+        ),
+        # sum of positive steps between consecutive collected values
+        # (insertion-order dependent, exactly as upstream documents)
+        "deltasum": (
+            "aggregate(collect_list(cast({0} as double)), "
+            "named_struct('p', cast(null as double), "
+            "'s', cast(0 as double)), (__a, __x) -> named_struct("
+            "'p', __x, 's', __a.s + if(__a.p is not null "
+            "and __x > __a.p, __x - __a.p, cast(0 as double))), "
+            "__a -> __a.s)"
+        ),
+        # running-total array over the collected order
+        "grouparraymovingsum": (
+            "element_at(transform(array(collect_list("
+            "cast({0} as double))), __xs -> transform("
+            "sequence(1, size(__xs)), __i -> aggregate(slice(__xs, 1, "
+            "__i), cast(0 as double), (__a, __x) -> __a + __x))), 1)"
+        ),
+        "grouparraymovingavg": (
+            "element_at(transform(array(collect_list("
+            "cast({0} as double))), __xs -> transform("
+            "sequence(1, size(__xs)), __i -> aggregate(slice(__xs, 1, "
+            "__i), cast(0 as double), (__a, __x) -> __a + __x) "
+            "/ __i)), 1)"
+        ),
+    }
+)
+
+
+CH_PARAMETRIC_TEMPLATES.update(
+    {
+        "meanztest": _mean_ztest_sql,
+        "exponentialmovingaverage": _ema_sql,
+        # Greenwald-Khanna sketch quantile -> Spark's approx_percentile
+        # with the same accuracy knob
+        "quantilegk": lambda p, a: (
+            f"approx_percentile({a[0]}, "
+            f"{p[1] if len(p) > 1 else '0.5'}, {p[0]})"
+        ),
+        # last n collected elements (collection order)
+        "grouparraylast": lambda p, a: (
+            f"element_at(transform(array(collect_list({a[0]})), __xs -> "
+            f"slice(__xs, greatest(size(__xs) - cast({p[0]} as int) + 1, "
+            f"1), least(cast({p[0]} as int), size(__xs)))), 1)"
+        ),
+        # windowed forms: groupArrayMovingSum(w)(x) sums the trailing w
+        # collected elements at each position
+        "grouparraymovingsum": lambda p, a: (
+            f"element_at(transform(array(collect_list("
+            f"cast({a[0]} as double))), __xs -> transform("
+            f"sequence(1, size(__xs)), __i -> aggregate(slice(__xs, "
+            f"greatest(__i - cast({p[0]} as int) + 1, 1), "
+            f"least(cast({p[0]} as int), __i)), cast(0 as double), "
+            f"(__a, __x) -> __a + __x))), 1)"
+        ),
+        "grouparraymovingavg": lambda p, a: (
+            f"element_at(transform(array(collect_list("
+            f"cast({a[0]} as double))), __xs -> transform("
+            f"sequence(1, size(__xs)), __i -> aggregate(slice(__xs, "
+            f"greatest(__i - cast({p[0]} as int) + 1, 1), "
+            f"least(cast({p[0]} as int), __i)), cast(0 as double), "
+            f"(__a, __x) -> __a + __x) "
+            f"/ least(cast({p[0]} as int), __i))), 1)"
+        ),
+    }
+)

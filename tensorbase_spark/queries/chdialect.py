@@ -3003,3 +3003,160 @@ FROM orders GROUP BY o_orderstatus
 QUERIES["ch_everyday_funcs30"] = Query(
     ch_everyday_funcs30, CH_EVERYDAY30_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs31(spark, sf_dir):
+    """Everyday upstream-CH tier 31: the aggregate-statistics surface —
+    chi-square association family (Cramér's V plain and bias-corrected,
+    contingency coefficient, Theil's U), Mann-Whitney U test,
+    known-variance mean z-test, interval-union length, bounding ratio,
+    Greenwald-Khanna quantiles.  The oracle re-derives every statistic
+    through proper relational decompositions (contingency tables as
+    GROUP BY subqueries, midranks as windowed cumulative counts,
+    interval union as gaps-and-islands) — a genuinely different
+    computational path from the engine's collect-based JVM folds.  The
+    order-dependent folds of this tier (deltaSum, moving arrays, EMA)
+    are unit-tested on ordered single partitions instead, like rand*."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e31")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "round(cramersV(o_orderpriority, o_orderkey % 4), 6) as cv, "
+        "round(cramersVBiasCorrected(o_orderpriority, "
+        "  o_orderkey % 4), 6) as cvb, "
+        "round(contingency(o_orderpriority, o_orderkey % 4), 6) as cg, "
+        "round(theilsU(o_orderpriority, o_orderkey % 4), 6) as tu, "
+        "round((mannWhitneyUTest(o_orderkey % 7, o_custkey % 2))._1, 4) "
+        "  as mwu, "
+        "round((mannWhitneyUTest(o_orderkey % 7, o_custkey % 2))._2, 6) "
+        "  as mwp, "
+        "round((meanZTest(2.0, 2.0, 0.95)(o_orderkey % 5, "
+        "  o_custkey % 2))._1, 6) as mz, "
+        "round((meanZTest(2.0, 2.0, 0.95)(o_orderkey % 5, "
+        "  o_custkey % 2))._2, 6) as mzp, "
+        "intervalLengthSum(o_orderkey % 50, "
+        "  o_orderkey % 50 + o_custkey % 7) as ils, "
+        "round(boundingRatio(o_orderkey, o_totalprice), 6) as br, "
+        "quantileGK(10000)(o_orderkey % 7) as qgk "
+        "from ord_e31 group by o_orderstatus"
+    )
+
+
+def _build_ch31_oracle() -> str:
+    pu = _duck_erfc("abs((u1 - mnu) / sig) / sqrt(2.0)")
+    pz = _duck_erfc("abs(zst) / sqrt(2.0)")
+    return f"""
+WITH pairs AS (
+  SELECT o_orderstatus AS st, CAST(o_orderpriority AS VARCHAR) AS a,
+         CAST(o_orderkey % 4 AS VARCHAR) AS b
+  FROM orders),
+cells AS (SELECT st, a, b, count(*)::DOUBLE AS o FROM pairs
+          GROUP BY st, a, b),
+rowt AS (SELECT st, a, count(*)::DOUBLE AS ra FROM pairs GROUP BY st, a),
+colt AS (SELECT st, b, count(*)::DOUBLE AS cb FROM pairs GROUP BY st, b),
+tot AS (SELECT st, count(*)::DOUBLE AS n,
+               count(DISTINCT a)::DOUBLE AS ka,
+               count(DISTINCT b)::DOUBLE AS kb FROM pairs GROUP BY st),
+chi AS (
+  SELECT c.st,
+    sum((c.o - r.ra * l.cb / t.n) * (c.o - r.ra * l.cb / t.n)
+        / (r.ra * l.cb / t.n)) AS x2,
+    -- H(a|b) = -sum p_ab ln(p_ab / p_b) over the same cells
+    -sum((c.o / t.n) * ln((c.o / t.n) / (l.cb / t.n))) AS hab
+  FROM cells c
+  JOIN rowt r ON c.st = r.st AND c.a = r.a
+  JOIN colt l ON c.st = l.st AND c.b = l.b
+  JOIN tot t ON c.st = t.st
+  GROUP BY c.st),
+ent AS (SELECT r.st, -sum((r.ra / t.n) * ln(r.ra / t.n)) AS ha
+        FROM rowt r JOIN tot t ON r.st = t.st GROUP BY r.st),
+-- Mann-Whitney: midranks from windowed cumulative per-value counts
+mv AS (SELECT o_orderstatus AS st, (o_orderkey % 7)::DOUBLE AS v,
+              (o_custkey % 2)::INTEGER AS g FROM orders),
+pv AS (SELECT st, v, count(*)::DOUBLE AS c,
+              sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::DOUBLE AS e0
+       FROM mv GROUP BY st, v),
+pr AS (SELECT st, v, c, e0,
+              coalesce(sum(c) OVER (PARTITION BY st ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS lt
+       FROM pv),
+mw AS (
+  SELECT st, sum((lt + (c + 1) / 2) * e0) AS r1,
+         sum(c * c * c - c) AS ts, sum(e0) AS n1, sum(c - e0) AS n2,
+         sum(c) AS nn
+  FROM pr GROUP BY st),
+mws AS (
+  SELECT st, r1 - n1 * (n1 + 1) / 2 AS u1, n1 * n2 / 2 AS mnu,
+         sqrt(n1 * n2 / 12 * ((nn + 1) - ts / (nn * (nn - 1)))) AS sig
+  FROM mw),
+-- mean z-test with known variances 2.0 / 2.0
+mzs AS (
+  SELECT o_orderstatus AS st,
+    avg(CASE WHEN o_custkey % 2 = 0 THEN (o_orderkey % 5)::DOUBLE END)
+      AS m0,
+    avg(CASE WHEN o_custkey % 2 = 1 THEN (o_orderkey % 5)::DOUBLE END)
+      AS m1,
+    sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END)::DOUBLE AS n0,
+    sum(CASE WHEN o_custkey % 2 = 1 THEN 1 ELSE 0 END)::DOUBLE AS n1
+  FROM orders GROUP BY o_orderstatus),
+mz AS (SELECT st, (m0 - m1) / sqrt(2.0 / n0 + 2.0 / n1) AS zst FROM mzs),
+-- interval union: gaps-and-islands sweep
+iv AS (SELECT o_orderstatus AS st, (o_orderkey % 50)::DOUBLE AS s,
+              (o_orderkey % 50 + o_custkey % 7)::DOUBLE AS e
+       FROM orders),
+mx AS (SELECT st, s, e,
+              max(e) OVER (PARTITION BY st ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       FROM iv),
+fl AS (SELECT st, s, e,
+              CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nf
+       FROM mx),
+gr AS (SELECT st, s, e,
+              sum(nf) OVER (PARTITION BY st ORDER BY s, e
+                ROWS UNBOUNDED PRECEDING) AS gid
+       FROM fl),
+ils AS (SELECT st, sum(len) AS total FROM
+          (SELECT st, gid, max(e) - min(s) AS len FROM gr
+           GROUP BY st, gid) GROUP BY st),
+-- bounding ratio over unique x = o_orderkey
+br AS (SELECT o_orderstatus AS st,
+              (arg_max(o_totalprice, o_orderkey)
+               - arg_min(o_totalprice, o_orderkey))
+              / (max(o_orderkey) - min(o_orderkey))::DOUBLE AS slope
+       FROM orders GROUP BY o_orderstatus),
+-- GK quantile: k % 7 is uniform over 0..6 in every group -> median 3
+qm AS (SELECT st, quantile_disc(v, 0.5) AS q FROM mv GROUP BY st)
+SELECT t.st,
+  round(sqrt(c.x2 / (t.n * (least(t.ka, t.kb) - 1))), 6) AS cv,
+  round(sqrt(greatest(c.x2 / t.n
+      - (t.ka - 1) * (t.kb - 1) / (t.n - 1), 0)
+      / least(t.ka - (t.ka - 1) * (t.ka - 1) / (t.n - 1) - 1,
+              t.kb - (t.kb - 1) * (t.kb - 1) / (t.n - 1) - 1)), 6)
+      AS cvb,
+  round(sqrt(c.x2 / (c.x2 + t.n)), 6) AS cg,
+  round((e.ha - c.hab) / e.ha, 6) AS tu,
+  round(m.u1, 4) AS mwu,
+  round({pu}, 6) AS mwp,
+  round(z.zst, 6) AS mz,
+  round({pz}, 6) AS mzp,
+  i.total AS ils,
+  round(b.slope, 6) AS br,
+  CAST(q.q AS BIGINT) AS qgk
+FROM tot t
+JOIN chi c ON t.st = c.st
+JOIN ent e ON t.st = e.st
+JOIN mws m ON t.st = m.st
+JOIN mz z ON t.st = z.st
+JOIN ils i ON t.st = i.st
+JOIN br b ON t.st = b.st
+JOIN qm q ON t.st = q.st
+"""
+
+
+CH_EVERYDAY31_ORACLE = _build_ch31_oracle()
+
+
+QUERIES["ch_everyday_funcs31"] = Query(
+    ch_everyday_funcs31, CH_EVERYDAY31_ORACLE, ("dialect", "functions")
+)

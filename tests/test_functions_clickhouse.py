@@ -1113,3 +1113,105 @@ def test_tier30_everyday_functions(spark):
     assert sorted(r.ars2) == [1, 2]  # k beyond size: whole array
     with _pt.raises(Exception, match="base58Decode"):
         eng.sql("select base58Decode('0OIl') as x").collect()
+
+
+def test_tier31_everyday_functions(spark):
+    """Tier-31 goldens: chi-square association family (Cramér's V plain
+    and bias-corrected, contingency coefficient, Theil's U) against
+    first-principles Python counts; Mann-Whitney U (midranks + tie-
+    corrected normal approximation); known-variance mean z-test;
+    interval union length; bounding ratio; GK quantiles; and the
+    order-dependent folds (deltaSum, moving sum/avg windows,
+    groupArrayLast, exponential moving average) on a single-partition
+    ordered source."""
+    import math
+    from collections import Counter
+
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    spark.sql(
+        "select id, id % 3 as a, (id % 3 + id % 2) % 4 as b, "
+        "cast(id % 7 as double) as v, cast(id % 2 as int) as g "
+        "from range(200)"
+    ).createOrReplaceTempView("t31")
+    r = eng.sql(
+        "select cramersV(a, b) as cv, "
+        "cramersVBiasCorrected(a, b) as cvb, "
+        "contingency(a, b) as cg, theilsU(a, b) as tu, "
+        "mannWhitneyUTest(v, g) as mw, "
+        "meanZTest(4.0, 4.0, 0.95)(v, g) as mz, "
+        "intervalLengthSum(cast(id % 10 as double), "
+        "  cast(id % 10 + 3 as double)) as ils, "
+        "boundingRatio(cast(id as double), "
+        "  cast(id * 2 + 1 as double)) as br, "
+        "quantileGK(100)(v) as qgk, quantileGK(100, 0.25)(v) as q25 "
+        "from t31"
+    ).collect()[0]
+    rows = [(i % 3, (i % 3 + i % 2) % 4) for i in range(200)]
+    n = len(rows)
+    ca, cb = Counter(x for x, _ in rows), Counter(y for _, y in rows)
+    cab = Counter(rows)
+    chi2 = sum(
+        (c - ca[x] * cb[y] / n) ** 2 / (ca[x] * cb[y] / n)
+        for (x, y), c in cab.items()
+    )
+    assert math.isclose(
+        r.cv, math.sqrt(chi2 / (n * (min(len(ca), len(cb)) - 1)))
+    )
+    assert math.isclose(r.cg, math.sqrt(chi2 / (chi2 + n)))
+    phi2c = max(0.0, chi2 / n - (len(ca) - 1) * (len(cb) - 1) / (n - 1))
+    kc = len(ca) - (len(ca) - 1) ** 2 / (n - 1)
+    rc = len(cb) - (len(cb) - 1) ** 2 / (n - 1)
+    assert math.isclose(r.cvb, math.sqrt(phi2c / min(kc - 1, rc - 1)))
+    ha = -sum((c / n) * math.log(c / n) for c in ca.values())
+    hab = -sum(
+        (c / n) * math.log((c / n) / (cb[y] / n))
+        for (x, y), c in cab.items()
+    )
+    assert math.isclose(r.tu, (ha - hab) / ha)
+    # Mann-Whitney via midranks and tie-corrected sigma
+    vals = [(float(i % 7), i % 2) for i in range(200)]
+    cnt = Counter(v for v, _ in vals)
+    less, acc = {}, 0
+    for u in sorted(cnt):
+        less[u] = acc
+        acc += cnt[u]
+    n1 = sum(1 for _, gg in vals if gg == 0)
+    n2 = len(vals) - n1
+    r1 = sum(less[v] + (cnt[v] + 1) / 2 for v, gg in vals if gg == 0)
+    uu = r1 - n1 * (n1 + 1) / 2
+    ts = sum(c**3 - c for c in cnt.values())
+    nn = len(vals)
+    sig = math.sqrt(n1 * n2 / 12 * ((nn + 1) - ts / (nn * (nn - 1))))
+    z = (uu - n1 * n2 / 2) / sig
+    assert r.mw._1 == uu
+    assert abs(r.mw._2 - math.erfc(abs(z) / math.sqrt(2))) < 2e-7
+    m0 = sum(v for v, gg in vals if gg == 0) / n1
+    m1 = sum(v for v, gg in vals if gg == 1) / n2
+    se = math.sqrt(4.0 / n1 + 4.0 / n2)
+    assert math.isclose(r.mz._1, (m0 - m1) / se)
+    assert r.ils == 12.0  # [0,3]..[9,12] union = [0,12]
+    assert math.isclose(r.br, 2.0)
+    assert (float(r.qgk), float(r.q25)) == (3.0, 1.0)
+    # order-dependent folds on a single ordered partition
+    spark.sql(
+        "select * from values (1, 3.0, 1.0), (2, 1.0, 2.0), "
+        "(3, 4.0, 3.0), (4, 2.0, 4.0), (5, 6.0, 5.0) as t(i, v, ts)"
+    ).coalesce(1).createOrReplaceTempView("ord31")
+    r2 = eng.sql(
+        "select deltaSum(v) as ds, groupArrayMovingSum(v) as gms, "
+        "groupArrayMovingSum(2)(v) as gms2, "
+        "groupArrayMovingAvg(2)(v) as gma2, "
+        "groupArrayLast(3)(v) as gal, "
+        "exponentialMovingAverage(1)(v, ts) as ema from ord31"
+    ).collect()[0]
+    assert r2.ds == 7.0  # +3 (1->4) +4 (2->6)
+    assert r2.gms == [3.0, 4.0, 8.0, 10.0, 16.0]
+    assert r2.gms2 == [3.0, 4.0, 5.0, 6.0, 8.0]
+    assert r2.gma2 == [3.0, 2.0, 2.5, 3.0, 4.0]
+    assert [float(x) for x in r2.gal] == [4.0, 2.0, 6.0]
+    num = sum(v * 0.5 ** (5 - t) for v, t in
+              [(3, 1), (1, 2), (4, 3), (2, 4), (6, 5)])
+    den = sum(0.5 ** (5 - t) for t in [1, 2, 3, 4, 5])
+    assert abs(r2.ema - num / den) < 1e-12
