@@ -4018,6 +4018,158 @@ CH_SQL_TEMPLATES.update(
 )
 
 
+# ---------------------------------------------------------------------------
+# Everyday tier 32: the CH event-sequence aggregate family — windowFunnel,
+# retention, sequenceMatch, sequenceCount — as collect-sort-fold JVM
+# aggregates (the reference's runtime has none of these; upstream CH's
+# algorithm is mirrored step for step and re-implemented independently in
+# the DuckDB oracle via list_reduce with list-encoded state).
+
+
+def _window_funnel_sql(p: list[str], a: list[str]) -> str:
+    """CH windowFunnel(window)(timestamp, cond1, ..., condN): the length
+    of the longest event chain where each level's event lands within
+    `window` of the CHAIN START, mirroring upstream's algorithm exactly:
+    events sorted by (time, level); a level-1 event (re)starts a chain
+    (overwriting), level k>1 is set to the chain start when level k-1 is
+    set and t <= start + window; the answer is the count of set levels
+    (contiguous by construction).  Strict modes are not supported
+    (tier 32)."""
+    if len(p) > 1:
+        raise ValueError("windowFunnel: strict modes are not supported")
+    w = f"cast({p[0]} as double)"
+    ts = f"cast(cast({a[0]} as timestamp) as double)"
+    conds = a[1:]
+    if not conds:
+        raise ValueError("windowFunnel needs at least one condition")
+    n = len(conds)
+    per_row = "filter(array(" + ", ".join(
+        f"named_struct('t', {ts}, 'i', {k + 1}, "
+        f"'c', coalesce(cast({c} as boolean), false))"
+        for k, c in enumerate(conds)
+    ) + "), __e -> __e.c)"
+    per_row = (
+        f"transform({per_row}, __e -> "
+        f"named_struct('t', __e.t, 'i', __e.i))"
+    )
+    pairs = f"array_sort(flatten(collect_list({per_row})))"
+    upd = (
+        f"transform(sequence(1, {n}), __k -> "
+        f"if(__e.i = 1 and __k = 1, __e.t, "
+        f"if(__e.i = __k and __k > 1 "
+        f"and element_at(__s, __k - 1) is not null "
+        f"and __e.t <= element_at(__s, __k - 1) + {w}, "
+        f"element_at(__s, __k - 1), element_at(__s, __k))))"
+    )
+    init = f"transform(sequence(1, {n}), __k -> cast(null as double))"
+    return (
+        f"aggregate({pairs}, {init}, (__s, __e) -> {upd}, "
+        f"__s -> cast(size(filter(__s, __x -> __x is not null)) as int))"
+    )
+
+
+def _retention_sql(args: list[str]) -> str:
+    """CH retention(cond1, ..., condN): r[1] = cond1 ever held in the
+    group; r[k] = cond1 AND condk each held (on any rows) (tier 32)."""
+    if not args:
+        raise ValueError("retention needs at least one condition")
+    m = [
+        f"max(if(coalesce(cast({c} as boolean), false), 1, 0))"
+        for c in args
+    ]
+    parts = [f"cast({m[0]} as tinyint)"] + [
+        f"cast(least({m[0]}, {mk}) as tinyint)" for mk in m[1:]
+    ]
+    return "array(" + ", ".join(parts) + ")"
+
+
+def _parse_seq_pattern(pat: str, n_conds: int) -> list[int]:
+    """The supported sequenceMatch pattern subset: (?N) events separated
+    by '.*' (subsequence semantics).  Adjacency and time constraints
+    ((?t...) / bare concatenation) are rejected loudly rather than
+    silently mis-matched."""
+    s = pat.strip().strip("'\"")
+    out: list[int] = []
+    i = 0
+    while i < len(s):
+        if s.startswith(".*", i):
+            i += 2
+            continue
+        m = _re.match(r"\(\?(\d+)\)", s[i:])
+        if not m:
+            raise ValueError(
+                f"sequenceMatch: unsupported pattern {pat!r} — only "
+                "'(?N)' steps separated by '.*' are supported"
+            )
+        if out and not s[:i].endswith(".*"):
+            raise ValueError(
+                "sequenceMatch: adjacent steps (no '.*') are not "
+                "supported"
+            )
+        idx = int(m.group(1))
+        if not (1 <= idx <= n_conds):
+            raise ValueError(
+                f"sequenceMatch: (?{idx}) has no matching condition"
+            )
+        out.append(idx)
+        i += m.end()
+    if not out:
+        raise ValueError(f"sequenceMatch: empty pattern {pat!r}")
+    return out
+
+
+def _sequence_fold_sql(p: list[str], a: list[str], count: bool) -> str:
+    """CH sequenceMatch / sequenceCount('(?1).*(?2)')(ts, cond1, ...):
+    subsequence search over time-ordered events.  Each ROW is one event
+    carrying its condition bitmask (one row advances at most one pattern
+    position, exactly like upstream); a cursor walks the pattern and, in
+    the Count form, restarts after each complete (non-overlapping) match
+    (tier 32)."""
+    steps = _parse_seq_pattern(p[0], len(a) - 1)
+    ts = f"cast(cast({a[0]} as timestamp) as double)"
+    bits = ", ".join(
+        f"coalesce(cast({c} as boolean), false)" for c in a[1:]
+    )
+    rows = (
+        f"array_sort(collect_list(named_struct('t', {ts}, "
+        f"'bs', array({bits}))))"
+    )
+    m = len(steps)
+    step_arr = "array(" + ", ".join(str(s) for s in steps) + ")"
+    if count:
+        # state = (cursor, completed-count); full match restarts
+        upd = (
+            f"if(element_at(__e.bs, element_at({step_arr}, __s.c + 1)), "
+            f"if(__s.c + 1 = {m}, named_struct('c', 0, 'n', __s.n + 1), "
+            f"named_struct('c', __s.c + 1, 'n', __s.n)), __s)"
+        )
+        return (
+            f"aggregate({rows}, named_struct('c', 0, 'n', 0), "
+            f"(__s, __e) -> {upd}, "
+            f"__s -> cast(__s.n as bigint))"
+        )
+    upd = (
+        f"if(__s < {m} and element_at(__e.bs, "
+        f"element_at({step_arr}, __s + 1)), __s + 1, __s)"
+    )
+    return (
+        f"aggregate({rows}, 0, (__s, __e) -> {upd}, "
+        f"__s -> cast(if(__s = {m}, 1, 0) as tinyint))"
+    )
+
+
+CH_SQL_TEMPLATES.update({"retention": _retention_sql})
+
+
+CH_PARAMETRIC_TEMPLATES.update(
+    {
+        "windowfunnel": _window_funnel_sql,
+        "sequencematch": lambda p, a: _sequence_fold_sql(p, a, False),
+        "sequencecount": lambda p, a: _sequence_fold_sql(p, a, True),
+    }
+)
+
+
 CH_PARAMETRIC_TEMPLATES.update(
     {
         "meanztest": _mean_ztest_sql,

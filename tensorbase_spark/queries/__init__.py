@@ -318,7 +318,7 @@ PRIORITY_HEAD = [
     "ch_everyday_funcs26", "wire_http_roundtrip", "wire_native_roundtrip",
     # (b) new round-13 queries
     "ch_everyday_funcs27", "ch_everyday_funcs28", "ch_everyday_funcs29",
-    "ch_everyday_funcs30", "ch_everyday_funcs31",
+    "ch_everyday_funcs30", "ch_everyday_funcs31", "ch_everyday_funcs32",
 ]
 
 

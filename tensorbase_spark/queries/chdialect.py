@@ -3160,3 +3160,102 @@ CH_EVERYDAY31_ORACLE = _build_ch31_oracle()
 QUERIES["ch_everyday_funcs31"] = Query(
     ch_everyday_funcs31, CH_EVERYDAY31_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs32(spark, sf_dir):
+    """Everyday upstream-CH tier 32: the event-sequence aggregate
+    family — windowFunnel / retention / sequenceMatch / sequenceCount —
+    per user over the events table, rolled up by cohort.  The oracle
+    RE-IMPLEMENTS the same published algorithms independently in DuckDB:
+    a single recursive-CTE state machine walks each user's
+    time-ordered event list carrying (funnel chain starts, match
+    cursor, count cursor) — DuckDB 1.0's list_reduce leaks lambda
+    state across rows in multi-row vectors, so the oracle avoids
+    lambdas entirely — and retention decomposes into per-user boolean
+    aggregates; a wholly different mechanism computing the same
+    contracts."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ev_e32")
+    return eng.sql(
+        "select user_id % 3 as cohort, "
+        "sum(wf) as wf_sum, "
+        "sum(if(wf >= 3, 1, 0)) as wf_full, "
+        "sum(element_at(ret, 1)) as r1, "
+        "sum(element_at(ret, 2)) as r2, "
+        "sum(element_at(ret, 3)) as r3, "
+        "sum(sm) as sm, sum(sc) as sc, count(*) as nu "
+        "from (select user_id, "
+        "windowFunnel(86400)(ts, event_type = 'view', "
+        "  event_type = 'click', event_type = 'purchase') as wf, "
+        "retention(event_type = 'view', event_type = 'click', "
+        "  event_type = 'purchase') as ret, "
+        "sequenceMatch('(?1).*(?2)')(ts, event_type = 'view', "
+        "  event_type = 'purchase') as sm, "
+        "sequenceCount('(?1).*(?2)')(ts, event_type = 'view', "
+        "  event_type = 'click') as sc "
+        "from ev_e32 group by user_id) "
+        "group by user_id % 3"
+    )
+
+
+CH_EVERYDAY32_ORACLE = """
+WITH RECURSIVE users AS (SELECT DISTINCT user_id FROM events),
+ue AS (
+  SELECT user_id, list_sort(list([epoch_us(ts)::DOUBLE / 1000000.0,
+    CASE WHEN event_type = 'view' THEN 1.0 ELSE 0.0 END,
+    CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END,
+    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END])) AS es
+  FROM events GROUP BY user_id),
+walk AS (
+  SELECT user_id, es, 0 AS i,
+         CAST(NULL AS DOUBLE) AS f1, CAST(NULL AS DOUBLE) AS f2,
+         CAST(NULL AS DOUBLE) AS f3, 0 AS smc, 0 AS scc, 0 AS scn
+  FROM ue
+  UNION ALL
+  SELECT user_id, es, i + 1,
+    CASE WHEN es[i + 1][2] = 1.0 THEN es[i + 1][1] ELSE f1 END,
+    CASE WHEN es[i + 1][3] = 1.0 AND f1 IS NOT NULL
+          AND es[i + 1][1] <= f1 + 86400.0 THEN f1 ELSE f2 END,
+    CASE WHEN es[i + 1][4] = 1.0 AND f2 IS NOT NULL
+          AND es[i + 1][1] <= f2 + 86400.0 THEN f2 ELSE f3 END,
+    CASE WHEN smc = 0 AND es[i + 1][2] = 1.0 THEN 1
+         WHEN smc = 1 AND es[i + 1][4] = 1.0 THEN 2
+         ELSE smc END,
+    CASE WHEN scc = 0 AND es[i + 1][2] = 1.0 THEN 1
+         WHEN scc = 1 AND es[i + 1][3] = 1.0 THEN 0
+         ELSE scc END,
+    CASE WHEN scc = 1 AND es[i + 1][3] = 1.0 THEN scn + 1 ELSE scn END
+  FROM walk WHERE i < len(es)),
+fin AS (
+  SELECT user_id,
+    (CASE WHEN f1 IS NULL THEN 0 ELSE 1 END
+     + CASE WHEN f2 IS NULL THEN 0 ELSE 1 END
+     + CASE WHEN f3 IS NULL THEN 0 ELSE 1 END) AS wf,
+    CASE WHEN smc = 2 THEN 1 ELSE 0 END AS m,
+    scn AS n
+  FROM walk WHERE i = len(es)),
+ret AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS h1,
+    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS h2,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS h3
+  FROM events GROUP BY user_id)
+SELECT u.user_id % 3 AS cohort,
+  CAST(sum(f.wf) AS BIGINT) AS wf_sum,
+  CAST(sum(CASE WHEN f.wf >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS wf_full,
+  CAST(sum(r.h1) AS BIGINT) AS r1,
+  CAST(sum(least(r.h1, r.h2)) AS BIGINT) AS r2,
+  CAST(sum(least(r.h1, r.h3)) AS BIGINT) AS r3,
+  CAST(sum(f.m) AS BIGINT) AS sm,
+  CAST(sum(f.n) AS BIGINT) AS sc,
+  count(*) AS nu
+FROM users u
+JOIN fin f ON u.user_id = f.user_id
+JOIN ret r ON u.user_id = r.user_id
+GROUP BY u.user_id % 3
+"""
+
+
+QUERIES["ch_everyday_funcs32"] = Query(
+    ch_everyday_funcs32, CH_EVERYDAY32_ORACLE, ("dialect", "functions")
+)

@@ -1215,3 +1215,70 @@ def test_tier31_everyday_functions(spark):
               [(3, 1), (1, 2), (4, 3), (2, 4), (6, 5)])
     den = sum(0.5 ** (5 - t) for t in [1, 2, 3, 4, 5])
     assert abs(r2.ema - num / den) < 1e-12
+
+
+def test_tier32_event_sequence_aggregates(spark):
+    """Tier-32 goldens: windowFunnel (chain start propagation, window
+    cutoff, level-1 restart-overwrite rescuing a late funnel),
+    retention, sequenceMatch subsequence semantics (one ROW advances at
+    most one pattern position), sequenceCount non-overlapping counting,
+    and the loud rejection of unsupported pattern shapes."""
+    import pytest as _pt
+
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    rows = [
+        (1, 1.0, "view"), (1, 2.0, "click"), (1, 3.0, "purchase"),
+        (2, 1.0, "view"), (2, 20.0, "click"),
+        (3, 1.0, "view"), (3, 2.0, "purchase"),
+        (4, 1.0, "view"), (4, 15.0, "view"), (4, 16.0, "click"),
+        (4, 17.0, "purchase"),
+        (5, 1.0, "view"), (5, 2.0, "click"), (5, 3.0, "view"),
+        (5, 4.0, "click"),
+    ]
+    vals = ", ".join(
+        f"({u}, timestamp_seconds({t}), '{e}')" for u, t, e in rows
+    )
+    spark.sql(
+        f"select * from values {vals} as t(u, ts, et)"
+    ).createOrReplaceTempView("ev32")
+    got = eng.sql(
+        "select u, "
+        "windowFunnel(10)(ts, et = 'view', et = 'click', "
+        "  et = 'purchase') as wf, "
+        "retention(et = 'view', et = 'click', et = 'purchase') as ret, "
+        "sequenceMatch('(?1).*(?2)')(ts, et = 'view', "
+        "  et = 'purchase') as sm, "
+        "sequenceMatch('(?2).*(?1)')(ts, et = 'view', "
+        "  et = 'purchase') as smr, "
+        "sequenceCount('(?1).*(?2)')(ts, et = 'view', et = 'click') "
+        "  as sc "
+        "from ev32 group by u order by u"
+    ).collect()
+    exp = {
+        # user: (funnel, retention, match, reverse-match, count)
+        1: (3, [1, 1, 1], 1, 0, 1),
+        2: (1, [1, 1, 0], 0, 0, 1),  # click at t=20 misses window 10
+        3: (1, [1, 0, 1], 1, 0, 0),
+        4: (3, [1, 1, 1], 1, 0, 1),  # level-1 restart at t=15 rescues
+        5: (2, [1, 1, 0], 0, 0, 2),  # two non-overlapping view->click
+    }
+    for row in got:
+        wf, ret, sm, smr, sc = exp[row.u]
+        assert row.wf == wf, ("wf", row.u, row.wf)
+        assert list(row.ret) == ret, ("ret", row.u)
+        assert (row.sm, row.smr, row.sc) == (sm, smr, sc), ("seq", row.u)
+    # one row matching BOTH pattern steps cannot complete a 2-step match
+    one = eng.sql(
+        "select sequenceMatch('(?1).*(?2)')(ts, et = 'view', u = 3) "
+        "as x from ev32 where u = 3 and et = 'view'"
+    ).collect()[0].x
+    assert one == 0
+    # unsupported shapes are rejected loudly, never silently mis-matched
+    for pat in ["'(?1)(?2)'", "'(?t<=3600)(?1)'", "'(?1).*(?9)'"]:
+        with _pt.raises(Exception):
+            eng.sql(
+                f"select sequenceMatch({pat})(ts, et = 'view', "
+                "et = 'click') as x from ev32"
+            ).collect()
