@@ -4207,3 +4207,152 @@ CH_PARAMETRIC_TEMPLATES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Everyday tier 33: timezone conversion shims, date interval arithmetic,
+# UTF8-aware prefix/suffix with CH's negative-length semantics, variadic
+# array set algebra, human-readable size parsing, and the filtered /
+# single-value aggregate helpers.  All pure JVM built-in expressions.
+
+
+def _left_utf8_sql(args: list[str]) -> str:
+    """CH leftUTF8(s, n): first n characters; a NEGATIVE n keeps all but
+    the last |n| (Spark's left() returns '' for negative lengths, so the
+    negative branch is spelled out) (tier 33)."""
+    s, n = args[0], args[1]
+    return (
+        f"(case when ({n}) < 0 then substring({s}, 1, "
+        f"greatest(char_length({s}) + ({n}), 0)) "
+        f"else left({s}, {n}) end)"
+    )
+
+
+def _right_utf8_sql(args: list[str]) -> str:
+    """CH rightUTF8(s, n): last n characters; a NEGATIVE n keeps all but
+    the first |n| (tier 33)."""
+    s, n = args[0], args[1]
+    return (
+        f"(case when ({n}) < 0 then substring({s}, "
+        f"least(-({n}) + 1, char_length({s}) + 1)) "
+        f"else right({s}, {n}) end)"
+    )
+
+
+def _array_union_sql(args: list[str]) -> str:
+    """CH arrayUnion(a1, ..., aN): distinct union, variadic (Spark's
+    array_union is binary — fold pairwise) (tier 33)."""
+    if not args:
+        raise ValueError("arrayUnion needs at least one array")
+    if len(args) == 1:
+        return f"array_distinct({args[0]})"
+    out = args[0]
+    for a in args[1:]:
+        out = f"array_union({out}, {a})"
+    return out
+
+
+def _array_symdiff_sql(args: list[str]) -> str:
+    """CH arraySymmetricDifference(a1, ..., aN): elements present in at
+    least one argument but NOT in all of them (upstream's N-ary
+    definition, not the binary XOR) (tier 33)."""
+    if not args:
+        raise ValueError("arraySymmetricDifference needs arrays")
+    if len(args) == 1:
+        return f"filter(array_distinct({args[0]}), __x -> false)"
+    union = args[0]
+    for a in args[1:]:
+        union = f"array_union({union}, {a})"
+    in_all = " and ".join(f"array_contains({a}, __x)" for a in args)
+    return f"filter({union}, __x -> not ({in_all}))"
+
+
+_READABLE_SIZE_RE = (
+    r"^\\s*([0-9]+(?:\\.[0-9]+)?)\\s*((?i)[kmgtpe]i?b|b)\\s*$"
+)
+
+
+def _parse_readable_size_expr(arg: str) -> str:
+    """The shared bytes-or-null core of parseReadableSize*: extract the
+    numeric part and the unit, map binary (KiB..EiB) and decimal
+    (KB..EB) unit ladders, ceil to whole bytes like upstream
+    (tier 33)."""
+    num = f"try_cast(regexp_extract({arg}, '{_READABLE_SIZE_RE}', 1) as double)"
+    unit = f"lower(regexp_extract({arg}, '{_READABLE_SIZE_RE}', 2))"
+    mult = (
+        f"(case {unit} when 'b' then 1.0 "
+        f"when 'kib' then 1024.0 when 'kb' then 1000.0 "
+        f"when 'mib' then 1048576.0 when 'mb' then 1e6 "
+        f"when 'gib' then 1073741824.0 when 'gb' then 1e9 "
+        f"when 'tib' then 1099511627776.0 when 'tb' then 1e12 "
+        f"when 'pib' then 1125899906842624.0 when 'pb' then 1e15 "
+        f"when 'eib' then 1152921504606846976.0 when 'eb' then 1e18 "
+        f"end)"
+    )
+    return f"cast(ceil(({num}) * ({mult})) as bigint)"
+
+
+def _parse_readable_size_sql(args: list[str]) -> str:
+    """parseReadableSize(s): strict — raises on an unparseable non-NULL
+    input, mirroring upstream's CANNOT_PARSE (tier 33)."""
+    core = _parse_readable_size_expr(args[0])
+    return (
+        f"(case when ({core}) is null and ({args[0]}) is not null "
+        f"then cast(raise_error(concat('Cannot parse readable size: ', "
+        f"cast({args[0]} as string))) as bigint) else ({core}) end)"
+    )
+
+
+def _sum_map_filtered_sql(p: list[str], a: list[str]) -> str:
+    """sumMapFiltered(keys)(m): sumMap restricted to the given key list —
+    the filter runs per-entry BEFORE the fold so dropped keys never
+    enter the buffer (tier 33)."""
+    keys, m = p[0], a[0]
+    ent = (
+        f"filter(map_entries({m}), __q -> array_contains({keys}, __q.key))"
+    )
+    return (
+        f"element_at(transform(array(flatten(collect_list({ent}))), "
+        f"__ps -> named_struct("
+        f"'_1', array_sort(array_distinct(transform(__ps, __p -> __p.key))), "
+        f"'_2', transform(array_sort(array_distinct(transform(__ps, __p -> __p.key))), "
+        f"__k -> aggregate(filter(__ps, __p -> __p.key <=> __k), "
+        f"cast(0.0 as double), (__a, __p) -> __a + __p.value)))), 1)"
+    )
+
+
+CH_SQL_TEMPLATES.update(
+    {
+        # timezone conversion: interpret ts as wall-clock in tz -> UTC
+        # instant, and back (session tz is pinned to UTC in session.py)
+        "toutctimestamp": "to_utc_timestamp({0}, {1})",
+        "fromutctimestamp": "from_utc_timestamp({0}, {1})",
+        # CH snake-case alias of dateDiff
+        "date_diff": _datediff_sql,
+        # addDate/subDate(date, INTERVAL n unit)
+        "adddate": "({0} + {1})",
+        "subdate": "({0} - {1})",
+        "leftutf8": _left_utf8_sql,
+        "rightutf8": _right_utf8_sql,
+        "positivemodulo": "pmod({0}, {1})",
+        "positive_modulo": "pmod({0}, {1})",
+        "regexpextract": lambda args: (
+            f"regexp_extract({', '.join(args)})"
+        ),
+        "arrayunion": _array_union_sql,
+        "arraysymmetricdifference": _array_symdiff_sql,
+        "parsereadablesize": _parse_readable_size_sql,
+        "parsereadablesizeornull": lambda args: (
+            _parse_readable_size_expr(args[0])
+        ),
+        "parsereadablesizeorzero": lambda args: (
+            f"coalesce({_parse_readable_size_expr(args[0])}, cast(0 as bigint))"
+        ),
+        "singlevalueornull": (
+            "(case when count(distinct {0}) = 1 then max({0}) end)"
+        ),
+    }
+)
+
+
+CH_PARAMETRIC_TEMPLATES.update({"summapfiltered": _sum_map_filtered_sql})

@@ -3259,3 +3259,85 @@ GROUP BY u.user_id % 3
 QUERIES["ch_everyday_funcs32"] = Query(
     ch_everyday_funcs32, CH_EVERYDAY32_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs33(spark, sf_dir):
+    """Everyday upstream-CH tier 33: timezone conversion shims (pinned
+    to the no-DST IST offset so ICU and DuckDB tz databases cannot
+    diverge), addDate/subDate interval arithmetic, CH negative-length
+    UTF8 prefix/suffix, variadic array set algebra, human-readable size
+    parsing, positive modulo, and the filtered-map / single-value
+    aggregates.  The oracle re-derives each through DuckDB's native
+    operators (timezone()/epoch(), native negative-length left/right,
+    list algebra, conditional sums for the filtered map)."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e33")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "sum(unix_timestamp(toUTCTimestamp("
+        "  cast(o_orderdate as timestamp), 'Asia/Kolkata')) "
+        "  - unix_timestamp(cast(o_orderdate as timestamp))) as uo, "
+        "sum(unix_timestamp(fromUTCTimestamp("
+        "  cast(o_orderdate as timestamp), 'Asia/Kolkata')) "
+        "  - unix_timestamp(cast(o_orderdate as timestamp))) as fo, "
+        "sum(date_diff('day', subDate(o_orderdate, interval 2 day), "
+        "  addDate(o_orderdate, interval 3 day))) as dd, "
+        "min(leftUTF8(o_orderpriority, -3)) as lp, "
+        "max(rightUTF8(o_orderpriority, -2)) as rp, "
+        "sum(positiveModulo(-o_orderkey, 7)) as pm, "
+        "count(distinct regexpExtract(o_orderpriority, "
+        "  '(\\\\d+)-(\\\\w+)', 2)) as re2, "
+        "sum(size(arrayUnion(array(o_orderkey % 3), "
+        "  array(o_orderkey % 5), array(2)))) as au, "
+        "sum(size(arraySymmetricDifference("
+        "  array(o_orderkey % 3, 9), array(o_orderkey % 5, 9)))) as asd, "
+        "sum(parseReadableSize(concat(cast(o_orderkey % 100 as string), "
+        "  '.5 KiB'))) as prs, "
+        "sum(parseReadableSizeOrZero(if(o_orderkey % 2 = 0, "
+        "  '1 MB', 'junk'))) as prz, "
+        "count(parseReadableSizeOrNull('junk')) as prn, "
+        "coalesce(singleValueOrNull(o_orderstatus), 'MULTI') as sv, "
+        "coalesce(singleValueOrNull(o_orderpriority), 'MULTI') as mv, "
+        "round(element_at((sumMapFiltered(array('k0', 'k2'))("
+        "  map(concat('k', cast(o_orderkey % 3 as string)), "
+        "  cast(o_orderkey % 5 as double))))._2, 1), 4) as smf "
+        "from ord_e33 group by o_orderstatus"
+    )
+
+
+CH_EVERYDAY33_ORACLE = """
+SELECT o_orderstatus AS st,
+  CAST(sum(epoch(timezone('Asia/Kolkata', o_orderdate::TIMESTAMP))
+      - epoch(o_orderdate::TIMESTAMP)) AS BIGINT) AS uo,
+  CAST(sum(epoch(o_orderdate::TIMESTAMP)
+      - epoch(timezone('Asia/Kolkata', o_orderdate::TIMESTAMP)))
+      AS BIGINT) AS fo,
+  CAST(sum(5) AS BIGINT) AS dd,
+  min(left(o_orderpriority, -3)) AS lp,
+  max(right(o_orderpriority, -2)) AS rp,
+  CAST(sum(((-o_orderkey % 7) + 7) % 7) AS BIGINT) AS pm,
+  count(DISTINCT regexp_extract(o_orderpriority,
+      '(\\d+)-(\\w+)', 2)) AS re2,
+  CAST(sum(len(list_distinct([o_orderkey % 3, o_orderkey % 5, 2])))
+      AS BIGINT) AS au,
+  CAST(sum(len(list_filter(
+      list_distinct(list_cat([o_orderkey % 3, 9], [o_orderkey % 5, 9])),
+      __x -> NOT (list_contains([o_orderkey % 3, 9], __x)
+                  AND list_contains([o_orderkey % 5, 9], __x)))))
+      AS BIGINT) AS asd,
+  CAST(sum(ceil(((o_orderkey % 100) + 0.5) * 1024)) AS BIGINT) AS prs,
+  CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1000000 ELSE 0 END)
+      AS BIGINT) AS prz,
+  CAST(0 AS BIGINT) AS prn,
+  o_orderstatus AS sv,
+  CASE WHEN count(DISTINCT o_orderpriority) = 1
+       THEN min(o_orderpriority) ELSE 'MULTI' END AS mv,
+  round(sum(CASE WHEN o_orderkey % 3 = 0
+      THEN (o_orderkey % 5)::DOUBLE ELSE 0 END), 4) AS smf
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES["ch_everyday_funcs33"] = Query(
+    ch_everyday_funcs33, CH_EVERYDAY33_ORACLE, ("dialect", "functions")
+)

@@ -1282,3 +1282,66 @@ def test_tier32_event_sequence_aggregates(spark):
                 f"select sequenceMatch({pat})(ts, et = 'view', "
                 "et = 'click') as x from ev32"
             ).collect()
+
+
+def test_tier33_everyday_functions(spark):
+    """Tier-33 goldens: timezone shims against the no-DST IST offset,
+    interval add/sub, CH negative-length UTF8 prefix/suffix, variadic
+    array set algebra, readable-size parsing (binary + decimal ladders,
+    strict raise, OrNull/OrZero), positive modulo, and the filtered /
+    single-value aggregates."""
+    import pytest as _pt
+
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    r = eng.sql(
+        "select "
+        "unix_timestamp(toUTCTimestamp(timestamp'2024-03-15 12:00:00', "
+        "  'Asia/Kolkata')) - unix_timestamp("
+        "  timestamp'2024-03-15 12:00:00') as uo, "
+        "unix_timestamp(fromUTCTimestamp(timestamp'2024-03-15 12:00:00', "
+        "  'Asia/Kolkata')) - unix_timestamp("
+        "  timestamp'2024-03-15 12:00:00') as fo, "
+        "date_diff('day', date'2024-01-01', date'2024-03-01') as dd, "
+        "addDate(date'2024-01-01', interval 3 day) as ad, "
+        "subDate(date'2024-01-10', interval 3 day) as sd, "
+        "leftUTF8('héllo', 3) as l3, leftUTF8('héllo', -2) as lm2, "
+        "rightUTF8('héllo', 3) as r3, rightUTF8('héllo', -2) as rm2, "
+        "leftUTF8('ab', -5) as lneg, rightUTF8('ab', -5) as rneg, "
+        "positiveModulo(-7, 3) as pm, positive_modulo(7, 3) as pm2, "
+        "regexpExtract('1-URGENT', '(\\\\d+)-(\\\\w+)', 2) as re2, "
+        "regexpExtract('1-URGENT', '(\\\\d+)', 1) as re1, "
+        "arrayUnion(array(1,2), array(2,3), array(5)) as au, "
+        "arraySymmetricDifference(array(1,2,3), array(2,3,4)) as asd, "
+        "arraySymmetricDifference(array(1,9), array(2,9), array(3,9)) "
+        "  as asd3, "
+        "parseReadableSize('1.5 MiB') as prs, "
+        "parseReadableSize('3 KB') as prkb, "
+        "parseReadableSize('  2TiB ') as prt, "
+        "parseReadableSizeOrNull('garbage') as prn, "
+        "parseReadableSizeOrZero('garbage') as prz"
+    ).collect()[0]
+    assert (r.uo, r.fo, r.dd) == (-19800, 19800, 60)
+    assert (str(r.ad), str(r.sd)) == ("2024-01-04", "2024-01-07")
+    assert (r.l3, r.lm2, r.r3, r.rm2) == ("hél", "hél", "llo", "llo")
+    assert (r.lneg, r.rneg) == ("", "")
+    assert (r.pm, r.pm2) == (2, 1)
+    assert (r.re2, r.re1) == ("URGENT", "1")
+    assert sorted(r.au) == [1, 2, 3, 5]
+    assert sorted(r.asd) == [1, 4]
+    assert sorted(r.asd3) == [1, 2, 3]
+    assert r.prs == 1572864 and r.prkb == 3000
+    assert r.prt == 2 * 1024**4
+    assert r.prn is None and r.prz == 0
+    r2 = eng.sql(
+        "select singleValueOrNull(x) as s1, singleValueOrNull(y) as s2, "
+        "sumMapFiltered(array('a','c'))(m) as smf "
+        "from values (1, 1, map('a',1.0,'b',2.0)), "
+        "(1, 2, map('a',3.0,'c',4.0)) as t(x,y,m)"
+    ).collect()[0]
+    assert r2.s1 == 1 and r2.s2 is None
+    assert list(r2.smf._1) == ["a", "c"]
+    assert list(r2.smf._2) == [4.0, 4.0]
+    with _pt.raises(Exception):
+        eng.sql("select parseReadableSize('nope') as x").collect()
