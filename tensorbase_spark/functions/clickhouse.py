@@ -4356,3 +4356,166 @@ CH_SQL_TEMPLATES.update(
 
 
 CH_PARAMETRIC_TEMPLATES.update({"summapfiltered": _sum_map_filtered_sql})
+
+
+# ---------------------------------------------------------------------------
+# Everyday tier 34: ordered and time-decayed aggregates — Spearman rank
+# correlation with average-rank ties, timestamp-ordered positive-delta sums,
+# the exponentialTimeDecayed* family (decay measured back from the group's
+# latest time point), Excel-style exclusive/inclusive exact quantiles, and
+# group-wide array intersection.  All collect-sort-fold JVM aggregates under
+# the per-group analytics contract of quantileExact/topK (corpus-scale rank
+# work belongs in the pipeline's relational operators).
+
+
+def _rank_corr_sql(args: list[str]) -> str:
+    """rankCorr(x, y): Spearman rank correlation with average ranks for
+    ties — rank vectors are built against the group's sorted values
+    (min-rank via array_position plus half the tie span), then Pearson's
+    formula runs over the two rank arrays (tier 34)."""
+    x, y = args
+    pairs = (
+        f"array(collect_list(named_struct('x', cast({x} as double), "
+        f"'y', cast({y} as double))))"
+    )
+
+    def rank_arr(fld: str) -> str:
+        vals = f"transform(__ps, __p -> __p.{fld})"
+        return (
+            f"transform(__ps, __p -> "
+            f"cast(array_position(array_sort({vals}), __p.{fld}) as double) "
+            f"+ (size(filter({vals}, __v -> __v = __p.{fld})) - 1) / 2.0)"
+        )
+
+    acc = "cast(0.0 as double), (__a, __v) -> __a + __v"
+    return (
+        f"element_at(transform({pairs}, __ps -> "
+        f"element_at(transform(array(named_struct("
+        f"'rx', {rank_arr('x')}, 'ry', {rank_arr('y')})), __r -> "
+        f"(size(__r.rx) * aggregate(zip_with(__r.rx, __r.ry, "
+        f"(__a, __b) -> __a * __b), {acc}) "
+        f"- aggregate(__r.rx, {acc}) * aggregate(__r.ry, {acc})) "
+        f"/ sqrt((size(__r.rx) * aggregate(transform(__r.rx, "
+        f"__v -> __v * __v), {acc}) - aggregate(__r.rx, {acc}) "
+        f"* aggregate(__r.rx, {acc})) "
+        f"* (size(__r.ry) * aggregate(transform(__r.ry, "
+        f"__v -> __v * __v), {acc}) - aggregate(__r.ry, {acc}) "
+        f"* aggregate(__r.ry, {acc})))), 1)), 1)"
+    )
+
+
+def _delta_sum_timestamp_sql(args: list[str]) -> str:
+    """deltaSumTimestamp(v, t): sum of positive value deltas with rows
+    ordered by timestamp — the timestamp-keyed variant upstream adds so
+    merges of pre-aggregated states stay order-correct (tier 34)."""
+    v, t = args
+    pairs = (
+        f"array_sort(collect_list(named_struct("
+        f"'t', cast(cast({t} as timestamp) as double), "
+        f"'v', cast({v} as double))))"
+    )
+    return (
+        f"aggregate({pairs}, "
+        f"named_struct('s', cast(0.0 as double), "
+        f"'p', cast(null as double)), "
+        f"(__s, __e) -> named_struct('s', __s.s + "
+        f"(case when __s.p is not null and __e.v > __s.p "
+        f"then __e.v - __s.p else 0.0 end), 'p', __e.v), "
+        f"__s -> __s.s)"
+    )
+
+
+def _exp_time_decayed_sql(kind: str):
+    """exponentialTimeDecayed{Sum,Count,Avg,Max}(lambda)(v, t): each
+    value weighted by exp((t_i - t_latest) / lambda) with t_latest the
+    group's maximum time index — the plain-aggregate reading of
+    upstream's window family, decaying every point back from the most
+    recent one (tier 34)."""
+
+    def _f(p: list[str], a: list[str]) -> str:
+        lam = f"cast({p[0]} as double)"
+        v = f"cast({a[0]} as double)"
+        t = f"cast(cast({a[1]} as timestamp) as double)"
+        # sorted buffer -> deterministic fold order for the double sums
+        # (collect_list order is partition-dependent)
+        pairs = (
+            f"array(array_sort(collect_list(named_struct('v', {v}, "
+            f"'t', {t}))))"
+        )
+        tm = "array_max(transform(__ps, __p -> __p.t))"
+        w = f"exp((__p.t - {tm}) / {lam})"
+        ssum = (
+            f"aggregate(__ps, cast(0.0 as double), "
+            f"(__a, __p) -> __a + __p.v * {w})"
+        )
+        scnt = (
+            f"aggregate(__ps, cast(0.0 as double), "
+            f"(__a, __p) -> __a + {w})"
+        )
+        if kind == "sum":
+            body = ssum
+        elif kind == "count":
+            body = scnt
+        elif kind == "avg":
+            body = f"({ssum}) / ({scnt})"
+        else:  # max
+            body = f"array_max(transform(__ps, __p -> __p.v * {w}))"
+        return f"element_at(transform({pairs}, __ps -> {body}), 1)"
+
+    return _f
+
+
+def _quantile_exact_exclusive_sql(p: list[str], a: list[str]) -> str:
+    """quantileExactExclusive(p)(x): Excel PERCENTILE.EXC — h = p(n+1)
+    over the sorted values, linear interpolation, clamped to the ends
+    (tier 34)."""
+    q = f"cast({p[0]} as double)"
+    xs = f"array(array_sort(collect_list(cast({a[0]} as double))))"
+    h = f"({q} * (size(__xs) + 1))"
+    return (
+        f"element_at(transform({xs}, __xs -> "
+        f"element_at(transform(array(named_struct("
+        f"'h', {h}, 'k', cast(floor({h}) as int), 'n', size(__xs))), "
+        f"__q -> case when __q.n = 0 then cast(null as double) "
+        f"when __q.k < 1 then element_at(__xs, 1) "
+        f"when __q.k >= __q.n then element_at(__xs, __q.n) "
+        f"else element_at(__xs, __q.k) + (__q.h - __q.k) "
+        f"* (element_at(__xs, __q.k + 1) - element_at(__xs, __q.k)) "
+        f"end), 1)), 1)"
+    )
+
+
+def _group_array_intersect_sql(args: list[str]) -> str:
+    """groupArrayIntersect(arr): intersection of every array in the
+    group, returned sorted for a deterministic distributed result
+    (upstream's order is unspecified) (tier 34)."""
+    lists = f"array(collect_list({args[0]}))"
+    return (
+        f"element_at(transform({lists}, __ls -> "
+        f"array_sort(aggregate(slice(__ls, 2, size(__ls) - 1), "
+        f"array_distinct(element_at(__ls, 1)), "
+        f"(__a, __x) -> array_intersect(__a, __x)))), 1)"
+    )
+
+
+CH_SQL_TEMPLATES.update(
+    {
+        "rankcorr": _rank_corr_sql,
+        "deltasumtimestamp": _delta_sum_timestamp_sql,
+        "grouparrayintersect": _group_array_intersect_sql,
+    }
+)
+
+
+CH_PARAMETRIC_TEMPLATES.update(
+    {
+        "exponentialtimedecayedsum": _exp_time_decayed_sql("sum"),
+        "exponentialtimedecayedcount": _exp_time_decayed_sql("count"),
+        "exponentialtimedecayedavg": _exp_time_decayed_sql("avg"),
+        "exponentialtimedecayedmax": _exp_time_decayed_sql("max"),
+        "quantileexactexclusive": _quantile_exact_exclusive_sql,
+        "quantileexactinclusive": lambda p, a: (
+            f"percentile(cast({a[0]} as double), cast({p[0]} as double))"
+        ),
+    }
+)

@@ -3341,3 +3341,117 @@ FROM orders GROUP BY o_orderstatus
 QUERIES["ch_everyday_funcs33"] = Query(
     ch_everyday_funcs33, CH_EVERYDAY33_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs34(spark, sf_dir):
+    """Everyday upstream-CH tier 34: ordered and time-decayed
+    aggregates — Spearman rank correlation (average-rank ties),
+    timestamp-ordered positive-delta sum over exact cent values,
+    the exponentialTimeDecayed family anchored at each group's latest
+    date, exclusive/inclusive exact quantiles, and group-wide array
+    intersection.  The oracle re-derives each relationally: ranks as
+    windowed rank()+tie-span, deltas as lag() diffs, decay against a
+    windowed max(t), the exclusive quantile from an ordered list
+    aggregate.  rankCorr runs on a modulus-sampled subset — its
+    in-group rank build is quadratic by contract (per-group analytics,
+    like quantileExact/topK), so the input is bounded by construction."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e34")
+    return eng.sql(
+        "select o.o_orderstatus as st, "
+        "max(r.rc) as rc, "
+        "cast(deltaSumTimestamp(cast(o_totalprice * 100 as bigint), "
+        "  cast(o_orderdate as timestamp)) as bigint) as dst, "
+        "round(exponentialTimeDecayedSum(2592000)(o_orderkey % 100, "
+        "  cast(o_orderdate as timestamp)), 4) as es, "
+        "round(exponentialTimeDecayedCount(2592000)(o_orderkey % 100, "
+        "  cast(o_orderdate as timestamp)), 4) as ec, "
+        "round(exponentialTimeDecayedAvg(2592000)(o_orderkey % 100, "
+        "  cast(o_orderdate as timestamp)), 6) as ea, "
+        "round(exponentialTimeDecayedMax(2592000)(o_orderkey % 100, "
+        "  cast(o_orderdate as timestamp)), 4) as em, "
+        "round(quantileExactExclusive(0.3)(o_totalprice), 4) as qe, "
+        "round(quantileExactInclusive(0.3)(o_totalprice), 4) as qi, "
+        "aggregate(groupArrayIntersect("
+        "  array(o_orderkey % 3, o_orderkey % 5, 7)), "
+        "  cast(0 as bigint), (a, x) -> a + x) as gs, "
+        "size(groupArrayIntersect("
+        "  array(o_orderkey % 3, o_orderkey % 5, 7))) as gn "
+        "from ord_e34 o join (select o_orderstatus, "
+        "  round(rankCorr(o_orderkey % 97, o_custkey % 89), 6) as rc "
+        "  from ord_e34 where o_orderkey % 31 = 0 "
+        "  group by o_orderstatus) r using (o_orderstatus) "
+        "group by o.o_orderstatus"
+    )
+
+
+CH_EVERYDAY34_ORACLE = """
+WITH rsub AS (
+  SELECT o_orderstatus AS st,
+    rank() OVER (PARTITION BY o_orderstatus ORDER BY xk)
+      + (count(*) OVER (PARTITION BY o_orderstatus, xk) - 1) / 2.0 AS rx,
+    rank() OVER (PARTITION BY o_orderstatus ORDER BY yk)
+      + (count(*) OVER (PARTITION BY o_orderstatus, yk) - 1) / 2.0 AS ry
+  FROM (SELECT o_orderstatus, o_orderkey % 97 AS xk,
+               o_custkey % 89 AS yk
+        FROM orders WHERE o_orderkey % 31 = 0)),
+rc AS (SELECT st, round(corr(rx, ry), 6) AS rc FROM rsub GROUP BY st),
+dl AS (
+  SELECT o_orderstatus AS st,
+    v - lag(v) OVER (PARTITION BY o_orderstatus
+                     ORDER BY o_orderdate, v) AS dd
+  FROM (SELECT o_orderstatus, o_orderdate,
+               -- trunc, not ::BIGINT: DuckDB's double->int cast rounds
+               -- while Spark's truncates
+               trunc(o_totalprice * 100) AS v
+        FROM orders)),
+dst AS (SELECT st, CAST(sum(CASE WHEN dd > 0 THEN dd ELSE 0 END)
+                   AS BIGINT) AS dst FROM dl GROUP BY st),
+dec AS (
+  SELECT o_orderstatus AS st,
+    (o_orderkey % 100)::DOUBLE AS v,
+    exp((epoch(o_orderdate::TIMESTAMP)
+         - max(epoch(o_orderdate::TIMESTAMP))
+           OVER (PARTITION BY o_orderstatus)) / 2592000.0) AS w
+  FROM orders),
+ds AS (SELECT st, round(sum(v * w), 4) AS es, round(sum(w), 4) AS ec,
+              round(sum(v * w) / sum(w), 6) AS ea,
+              round(max(v * w), 4) AS em
+       FROM dec GROUP BY st),
+qs AS (
+  SELECT st, round(CASE WHEN k < 1 THEN l[1]
+    WHEN k >= n THEN l[n]
+    ELSE l[k] + (h - k) * (l[k + 1] - l[k]) END, 4) AS qe
+  FROM (SELECT o_orderstatus AS st,
+               list(o_totalprice ORDER BY o_totalprice) AS l,
+               count(*) AS n, 0.3 * (count(*) + 1) AS h,
+               floor(0.3 * (count(*) + 1))::INTEGER AS k
+        FROM orders GROUP BY o_orderstatus)),
+qi AS (SELECT o_orderstatus AS st,
+              round(quantile_cont(o_totalprice, 0.3), 4) AS qi
+       FROM orders GROUP BY o_orderstatus),
+rows_per AS (SELECT o_orderstatus AS st, count(*) AS nr
+             FROM orders GROUP BY st),
+el AS (
+  SELECT st, e, count(*) AS c FROM (
+    SELECT o_orderstatus AS st, o_orderkey AS rid,
+           unnest(list_distinct([o_orderkey % 3, o_orderkey % 5, 7]))
+             AS e
+    FROM orders) GROUP BY st, e),
+gi AS (SELECT e.st, CAST(coalesce(sum(e.e), 0) AS BIGINT) AS gs,
+              CAST(count(*) AS INTEGER) AS gn
+       FROM el e JOIN rows_per r ON e.st = r.st AND e.c = r.nr
+       GROUP BY e.st)
+SELECT rc.st, rc.rc, dst.dst, ds.es, ds.ec, ds.ea, ds.em,
+       qs.qe, qi.qi, gi.gs, gi.gn
+FROM rc JOIN dst ON rc.st = dst.st
+JOIN ds ON rc.st = ds.st
+JOIN qs ON rc.st = qs.st
+JOIN qi ON rc.st = qi.st
+JOIN gi ON rc.st = gi.st
+"""
+
+
+QUERIES["ch_everyday_funcs34"] = Query(
+    ch_everyday_funcs34, CH_EVERYDAY34_ORACLE, ("dialect", "functions")
+)

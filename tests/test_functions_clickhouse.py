@@ -1345,3 +1345,55 @@ def test_tier33_everyday_functions(spark):
     assert list(r2.smf._2) == [4.0, 4.0]
     with _pt.raises(Exception):
         eng.sql("select parseReadableSize('nope') as x").collect()
+
+
+def test_tier34_ordered_aggregates(spark):
+    """Tier-34 goldens: Spearman with and without ties (hand-computed),
+    timestamp-ordered positive-delta sum (with a same-t tie broken by
+    the struct sort), the exponentialTimeDecayed family against closed
+    forms, exclusive vs inclusive exact quantiles, and group array
+    intersection."""
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    r = eng.sql(
+        "select rankCorr(x, y) as rc from values "
+        "(1,2),(2,1),(3,4),(4,3),(5,5) as t(x,y)"
+    ).collect()[0]
+    assert abs(r.rc - 0.8) < 1e-12
+    r = eng.sql(
+        "select rankCorr(x, y) as rc from values "
+        "(1,1),(1,2),(2,3) as t(x,y)"
+    ).collect()[0]
+    assert abs(r.rc - 4.5 / (4.5 * 6.0) ** 0.5) < 1e-12
+    r = eng.sql(
+        "select deltaSumTimestamp(v, t) as ds, "
+        "exponentialTimeDecayedSum(10)(v2, t) as es, "
+        "exponentialTimeDecayedCount(10)(v2, t) as ec, "
+        "exponentialTimeDecayedAvg(10)(v2, t) as ea, "
+        "exponentialTimeDecayedMax(10)(v2, t) as em, "
+        "quantileExactExclusive(0.25)(x) as qe, "
+        "quantileExactInclusive(0.25)(x) as qi, "
+        "groupArrayIntersect(arr) as gi "
+        "from values (1, 5.0, 1.0, 0.0, array(1,2,3)), "
+        "(2, 3.0, 2.0, 10.0, array(2,3,4)), "
+        "(3, 8.0, 0.0, 5.0, array(3,2)), "
+        "(4, 6.0, 0.0, 5.0, array(2,3,9)) as t(x, v, v2, t, arr)"
+    ).collect()[0]
+    import math
+
+    assert r.ds == 3.0  # 5 -> 6 (+1) -> 8 (+2) -> 3 (dropped)
+    e1, eh = math.exp(-1.0), math.exp(-0.5)
+    assert abs(r.es - (e1 + 2.0)) < 1e-12
+    assert abs(r.ec - (e1 + 1.0 + 2 * eh)) < 1e-12
+    assert abs(r.ea - (e1 + 2.0) / (e1 + 1.0 + 2 * eh)) < 1e-12
+    assert r.em == 2.0
+    assert (r.qe, r.qi) == (1.25, 1.75)
+    assert list(r.gi) == [2, 3]
+    # exclusive quantile end clamping
+    r = eng.sql(
+        "select quantileExactExclusive(0.01)(x) as lo, "
+        "quantileExactExclusive(0.99)(x) as hi "
+        "from values (1),(2),(3) as t(x)"
+    ).collect()[0]
+    assert (r.lo, r.hi) == (1.0, 3.0)
