@@ -3455,3 +3455,102 @@ JOIN gi ON rc.st = gi.st
 QUERIES["ch_everyday_funcs34"] = Query(
     ch_everyday_funcs34, CH_EVERYDAY34_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs35(spark, sf_dir):
+    """Everyday upstream-CH tier 35: the t-test family with real
+    p-values — studentTTest / welchTTest (Lanczos log-gamma + Lentz
+    continued-fraction incomplete beta, entirely JVM scalar folds) and
+    the two-sample kolmogorovSmirnovTest (O(d·n) ECDF sup over pooled
+    distinct values, asymptotic Kolmogorov series).  The oracle takes a
+    wholly different numerical route: it integrates the Student t
+    DENSITY with Simpson's rule over a generate_series grid using
+    DuckDB's native lgamma for the normalizing constant, and rebuilds
+    the KS statistic from windowed cumulative ECDFs."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e35")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "round((studentTTest(o_totalprice, o_custkey % 2))._1, 6) as ts, "
+        "round((studentTTest(o_totalprice, o_custkey % 2))._2, 6) as ps, "
+        "round((welchTTest(o_totalprice, o_custkey % 2))._1, 6) as tw, "
+        "round((welchTTest(o_totalprice, o_custkey % 2))._2, 6) as pw, "
+        "round((kolmogorovSmirnovTest(o_orderkey % 23, "
+        "  o_custkey % 2))._1, 6) as kd, "
+        "round((kolmogorovSmirnovTest(o_orderkey % 23, "
+        "  o_custkey % 2))._2, 6) as kp "
+        "from ord_e35 group by o_orderstatus"
+    )
+
+
+CH_EVERYDAY35_ORACLE = """
+WITH mom AS (
+  SELECT o_orderstatus AS st,
+    count(*) FILTER (o_custkey % 2 = 0)::DOUBLE AS n0,
+    count(*) FILTER (o_custkey % 2 = 1)::DOUBLE AS n1,
+    avg(o_totalprice) FILTER (o_custkey % 2 = 0) AS m0,
+    avg(o_totalprice) FILTER (o_custkey % 2 = 1) AS m1,
+    var_samp(o_totalprice) FILTER (o_custkey % 2 = 0) AS v0,
+    var_samp(o_totalprice) FILTER (o_custkey % 2 = 1) AS v1
+  FROM orders GROUP BY o_orderstatus),
+par AS (
+  SELECT st, 'st' AS kind,
+    (m0 - m1) / sqrt(((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2)
+                     * (1 / n0 + 1 / n1)) AS t,
+    n0 + n1 - 2 AS nu
+  FROM mom
+  UNION ALL
+  SELECT st, 'we',
+    (m0 - m1) / sqrt(v0 / n0 + v1 / n1),
+    (v0 / n0 + v1 / n1) * (v0 / n0 + v1 / n1)
+      / ((v0 / n0) * (v0 / n0) / (n0 - 1)
+         + (v1 / n1) * (v1 / n1) / (n1 - 1))
+  FROM mom),
+-- two-sided p = 1 - 2 * integral_0^{|t|} f(u; nu) du, Simpson n=4000
+simp AS (
+  SELECT st, kind, t, nu,
+    1 - 2 * (abs(t) / 4000 / 3) * sum(
+      (CASE WHEN k = 0 OR k = 4000 THEN 1
+            WHEN k % 2 = 1 THEN 4 ELSE 2 END)
+      * exp(lgamma((nu + 1) / 2) - lgamma(nu / 2))
+        / sqrt(nu * pi())
+      * power(1 + (k * abs(t) / 4000) * (k * abs(t) / 4000) / nu,
+              -(nu + 1) / 2)) AS p
+  FROM par, generate_series(0, 4000) g(k)
+  GROUP BY st, kind, t, nu),
+kc AS (
+  SELECT o_orderstatus AS st, o_orderkey % 23 AS v,
+    count(*) FILTER (o_custkey % 2 = 0)::DOUBLE AS c0,
+    count(*) FILTER (o_custkey % 2 = 1)::DOUBLE AS c1
+  FROM orders GROUP BY st, v),
+kd AS (
+  SELECT st, v,
+    sum(c0) OVER (PARTITION BY st ORDER BY v) AS f0,
+    sum(c1) OVER (PARTITION BY st ORDER BY v) AS f1,
+    sum(c0) OVER (PARTITION BY st) AS n0,
+    sum(c1) OVER (PARTITION BY st) AS n1
+  FROM kc),
+ksd AS (SELECT st, max(abs(f0 / n0 - f1 / n1)) AS d,
+               any_value(n0) AS n0, any_value(n1) AS n1
+        FROM kd GROUP BY st),
+ksl AS (SELECT st, d, d * sqrt(n0 * n1 / (n0 + n1)) AS lam FROM ksd),
+ksr AS (
+  SELECT st, d,
+    CASE WHEN lam < 1e-12 THEN 1.0 ELSE least(1.0, greatest(0.0,
+      2 * (SELECT sum((CASE WHEN k % 2 = 1 THEN 1 ELSE -1 END)
+           * exp(-2 * k * k * lam * lam))
+           FROM generate_series(1, 100) s(k)))) END AS p
+  FROM ksl)
+SELECT s.st,
+  round(s.t, 6) AS ts, round(s.p, 6) AS ps,
+  round(w.t, 6) AS tw, round(w.p, 6) AS pw,
+  round(k.d, 6) AS kd, round(k.p, 6) AS kp
+FROM (SELECT * FROM simp WHERE kind = 'st') s
+JOIN (SELECT * FROM simp WHERE kind = 'we') w ON s.st = w.st
+JOIN ksr k ON s.st = k.st
+"""
+
+
+QUERIES["ch_everyday_funcs35"] = Query(
+    ch_everyday_funcs35, CH_EVERYDAY35_ORACLE, ("dialect", "functions")
+)

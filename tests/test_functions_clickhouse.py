@@ -1397,3 +1397,45 @@ def test_tier34_ordered_aggregates(spark):
         "from values (1),(2),(3) as t(x)"
     ).collect()[0]
     assert (r.lo, r.hi) == (1.0, 3.0)
+
+
+def test_tier35_ttest_family(spark):
+    """Tier-35 goldens: studentTTest / welchTTest statistics and REAL
+    two-sided p-values against an independently coded reference
+    (lgamma + betacf in pure Python), kolmogorovSmirnovTest D and
+    asymptotic p, and the degenerate edges (identical samples -> t = 0,
+    p = 1; D = 0, p = 1)."""
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    r = eng.sql(
+        "select studentTTest(v, g) as st, welchTTest(v, g) as wt, "
+        "kolmogorovSmirnovTest(v, g) as ks "
+        "from values (1.0,0),(2.0,0),(3.0,0),(4.0,0), "
+        "(2.0,1),(4.0,1),(6.0,1),(9.0,1) as t(v,g)"
+    ).collect()[0]
+    # references computed with an independent Python lgamma/betacf impl
+    assert abs(r.st._1 - (-1.690641214609248)) < 1e-12
+    assert abs(r.st._2 - 0.1418603602858496) < 1e-10
+    assert abs(r.wt._1 - (-1.690641214609248)) < 1e-12
+    assert abs(r.wt._2 - 0.1647020796280536) < 1e-10
+    assert abs(r.ks._1 - 0.5) < 1e-12
+    assert abs(r.ks._2 - 0.6993741991310155) < 1e-10
+    # identical samples: t = 0 -> p = 1; D = 0 -> p = 1
+    r = eng.sql(
+        "select studentTTest(v, g) as st, "
+        "kolmogorovSmirnovTest(v, g) as ks "
+        "from values (1.0,0),(2.0,0),(3.0,0), "
+        "(1.0,1),(2.0,1),(3.0,1) as t(v,g)"
+    ).collect()[0]
+    assert r.st._1 == 0.0 and r.st._2 == 1.0
+    assert r.ks._1 == 0.0 and r.ks._2 == 1.0
+    # large-sample sanity: |t|=2, nu=198 -> p ~ 0.046878 (normal-ish)
+    rows = ", ".join(f"({i % 10}.0, 0)" for i in range(100))
+    rows2 = ", ".join(f"({(i * 7) % 10}.0, 1)" for i in range(100))
+    r = eng.sql(
+        f"select studentTTest(v, g) as st from values {rows}, {rows2} "
+        "as t(v, g)"
+    ).collect()[0]
+    # same distribution modulo permutation -> t == 0 exactly
+    assert abs(r.st._1) < 1e-12 and r.st._2 == 1.0
