@@ -4026,6 +4026,86 @@ CH_SQL_TEMPLATES.update(
 # the DuckDB oracle via list_reduce with list-encoded state).
 
 
+def _window_funnel_strict_sql(
+    w: str, ts: str, conds: list[str], modes: set[str]
+) -> str:
+    """The strict-mode windowFunnel fold (tier 36): state is an array
+    of (chain_start, last_match) per level plus a frozen flag; in
+    'strict_order' mode rows matching NO condition enter the buffer as
+    level-0 chain breakers.  See _window_funnel_sql for the mode
+    contracts."""
+    n = len(conds)
+    matched = "filter(array(" + ", ".join(
+        f"named_struct('t', {ts}, 'i', {k + 1}, "
+        f"'c', coalesce(cast({c} as boolean), false))"
+        for k, c in enumerate(conds)
+    ) + "), __e -> __e.c)"
+    mapped = (
+        f"transform({matched}, __e -> "
+        f"named_struct('t', __e.t, 'i', __e.i))"
+    )
+    if "strict_order" in modes:
+        per_row = (
+            f"(case when size({matched}) = 0 then "
+            f"array(named_struct('t', {ts}, 'i', 0)) "
+            f"else {mapped} end)"
+        )
+    else:
+        per_row = mapped
+    pairs = f"array_sort(flatten(collect_list({per_row})))"
+    prev = "element_at(__s.a, __e.i - 1)"
+    adv1 = "true"
+    if "strict_order" in modes:
+        adv1 = "__L.L = 0"
+    if "strict_dedup" in modes:
+        adv1 = f"({adv1}) and __L.L < 1"
+    advk = (
+        f"{prev}.st is not null and __e.t <= {prev}.st + {w}"
+    )
+    if "strict_increase" in modes:
+        advk += f" and __e.t > {prev}.lt"
+    if "strict_order" in modes:
+        advk += " and __e.i = __L.L + 1"
+    if "strict_dedup" in modes:
+        advk += " and __e.i > __L.L"
+    ok = (
+        f"(case when __e.i = 1 then {adv1} "
+        f"when __e.i > 1 then {advk} else false end)"
+    )
+    freezes = []
+    if "strict_order" in modes:
+        freezes.append("(__L.L >= 1 and not __o.ok)")
+    if "strict_dedup" in modes:
+        freezes.append("(__e.i >= 1 and __e.i <= __L.L)")
+    freeze = " or ".join(freezes) if freezes else "false"
+    newa = (
+        f"transform(sequence(1, {n}), __k -> "
+        f"if(__k = __e.i, if(__e.i = 1, "
+        f"named_struct('st', __e.t, 'lt', __e.t), "
+        f"named_struct('st', {prev}.st, 'lt', __e.t)), "
+        f"element_at(__s.a, __k)))"
+    )
+    upd = (
+        f"element_at(transform(array(named_struct('L', "
+        f"size(filter(__s.a, __x -> __x.st is not null)))), __L -> "
+        f"element_at(transform(array(named_struct('ok', {ok})), __o -> "
+        f"case when __s.fz then __s "
+        f"when __o.ok then named_struct('a', {newa}, 'fz', false) "
+        f"when {freeze} then named_struct('a', __s.a, 'fz', true) "
+        f"else __s end), 1)), 1)"
+    )
+    init = (
+        f"named_struct('a', transform(sequence(1, {n}), __k -> "
+        f"named_struct('st', cast(null as double), "
+        f"'lt', cast(null as double))), 'fz', false)"
+    )
+    return (
+        f"aggregate({pairs}, {init}, (__s, __e) -> {upd}, "
+        f"__s -> cast(size(filter(__s.a, __x -> __x.st is not null)) "
+        f"as int))"
+    )
+
+
 def _window_funnel_sql(p: list[str], a: list[str]) -> str:
     """CH windowFunnel(window)(timestamp, cond1, ..., condN): the length
     of the longest event chain where each level's event lands within
@@ -4033,16 +4113,34 @@ def _window_funnel_sql(p: list[str], a: list[str]) -> str:
     events sorted by (time, level); a level-1 event (re)starts a chain
     (overwriting), level k>1 is set to the chain start when level k-1 is
     set and t <= start + window; the answer is the count of set levels
-    (contiguous by construction).  Strict modes are not supported
-    (tier 32)."""
-    if len(p) > 1:
-        raise ValueError("windowFunnel: strict modes are not supported")
+    (contiguous by construction) (tier 32).
+
+    Strict modes (tier 36, dialect-defined contracts pinned by unit
+    goldens — upstream documents the strict_order A->B->D->C example,
+    which this matches): 'strict_increase' — a level only advances when
+    its timestamp strictly exceeds the previous level's MATCHED event
+    time; 'strict_dedup' — an event repeating a condition already in
+    the chain (level <= current chain length) interrupts further
+    processing (the chain freezes at its current length);
+    'strict_order' — once a chain has started, any event that does not
+    successfully advance it (including events matching no condition)
+    freezes it."""
+    modes = set()
+    for mp in p[1:]:
+        mode = mp.strip().strip("'\"").lower()
+        if mode not in (
+            "strict_order", "strict_dedup", "strict_increase"
+        ):
+            raise ValueError(f"windowFunnel: unknown mode {mp!r}")
+        modes.add(mode)
     w = f"cast({p[0]} as double)"
     ts = f"cast(cast({a[0]} as timestamp) as double)"
     conds = a[1:]
     if not conds:
         raise ValueError("windowFunnel needs at least one condition")
     n = len(conds)
+    if modes:
+        return _window_funnel_strict_sql(w, ts, conds, modes)
     per_row = "filter(array(" + ", ".join(
         f"named_struct('t', {ts}, 'i', {k + 1}, "
         f"'c', coalesce(cast({c} as boolean), false))"
@@ -4083,39 +4181,132 @@ def _retention_sql(args: list[str]) -> str:
     return "array(" + ", ".join(parts) + ")"
 
 
-def _parse_seq_pattern(pat: str, n_conds: int) -> list[int]:
-    """The supported sequenceMatch pattern subset: (?N) events separated
-    by '.*' (subsequence semantics).  Adjacency and time constraints
-    ((?t...) / bare concatenation) are rejected loudly rather than
-    silently mis-matched."""
+def _parse_seq_pattern(
+    pat: str, n_conds: int
+) -> list[tuple[int, str | None, float | None]]:
+    """The supported sequenceMatch pattern subset: (?N) steps separated
+    by '.*' and/or a max-gap time constraint '(?t<=N)' / '(?t<N)'
+    (tier 36) — the constraint bounds the gap between the events
+    matching the two neighboring steps.  Returns (cond_idx, op, val)
+    per step; op/val describe the constraint BEFORE that step.
+    Min-gap constraints ((?t>=N) / (?t>N) / (?t==N)) and bare step
+    adjacency are rejected loudly rather than silently mis-matched:
+    the latest-feasible-time DP this compiles to is exact only for
+    max-gap constraints."""
     s = pat.strip().strip("'\"")
-    out: list[int] = []
+    out: list[tuple[int, str | None, float | None]] = []
     i = 0
+    sep = False  # a separator ('.*' or constraint) since the last step
+    op: str | None = None
+    val: float | None = None
     while i < len(s):
         if s.startswith(".*", i):
             i += 2
+            sep = True
+            continue
+        mt = _re.match(r"\(\?t(<=|<|>=|>|==)(\d+(?:\.\d+)?)\)", s[i:])
+        if mt:
+            if mt.group(1) not in ("<=", "<"):
+                raise ValueError(
+                    f"sequenceMatch: time constraint "
+                    f"'(?t{mt.group(1)}{mt.group(2)})' is not "
+                    "supported — only max-gap '<=' and '<' are"
+                )
+            if not out:
+                raise ValueError(
+                    "sequenceMatch: a time constraint cannot precede "
+                    "the first step"
+                )
+            if op is not None:
+                raise ValueError(
+                    "sequenceMatch: multiple time constraints between "
+                    "two steps are not supported"
+                )
+            op, val = mt.group(1), float(mt.group(2))
+            i += mt.end()
+            sep = True
             continue
         m = _re.match(r"\(\?(\d+)\)", s[i:])
         if not m:
             raise ValueError(
                 f"sequenceMatch: unsupported pattern {pat!r} — only "
-                "'(?N)' steps separated by '.*' are supported"
-            )
-        if out and not s[:i].endswith(".*"):
-            raise ValueError(
-                "sequenceMatch: adjacent steps (no '.*') are not "
+                "'(?N)' steps separated by '.*' or '(?t<=N)' are "
                 "supported"
+            )
+        if out and not sep:
+            raise ValueError(
+                "sequenceMatch: adjacent steps (no '.*' or time "
+                "constraint) are not supported"
             )
         idx = int(m.group(1))
         if not (1 <= idx <= n_conds):
             raise ValueError(
                 f"sequenceMatch: (?{idx}) has no matching condition"
             )
-        out.append(idx)
+        out.append((idx, op, val))
+        op, val, sep = None, None, False
         i += m.end()
+    if op is not None:
+        raise ValueError(
+            "sequenceMatch: a trailing time constraint has no "
+            "following step"
+        )
     if not out:
         raise ValueError(f"sequenceMatch: empty pattern {pat!r}")
     return out
+
+
+def _sequence_dp_sql(
+    parsed: list[tuple[int, str | None, float | None]],
+    rows: str,
+    count: bool,
+) -> str:
+    """Latest-feasible-time DP for time-constrained sequence patterns
+    (tier 36): slot k = latest event time completing pattern prefix k
+    (null if unreachable); every slot updates simultaneously from the
+    pre-event state, so one row still advances at most one position.
+    The Count form increments and fully resets when the final slot
+    fires (non-overlapping matches, like the unconstrained cursor)."""
+    m = len(parsed)
+
+    def slot_expr(state: str, k: int) -> str:
+        idx, op, val = parsed[k - 1]
+        hit = f"element_at(__e.bs, {idx})"
+        if k == 1:
+            return f"if({hit}, __e.t, element_at({state}, 1))"
+        prev = f"element_at({state}, {k - 1})"
+        gate = f"{hit} and {prev} is not null"
+        if op is not None:
+            gate += f" and __e.t - {prev} {op} {val!r}d"
+        return f"if({gate}, __e.t, element_at({state}, {k}))"
+
+    init_slots = ", ".join("cast(null as double)" for _ in range(m))
+    if count:
+        slots = ", ".join(slot_expr("__s.p", k) for k in range(1, m + 1))
+        idx_m, op_m, val_m = parsed[-1]
+        fire = f"element_at(__e.bs, {idx_m})"
+        if m > 1:
+            prev_m = f"element_at(__s.p, {m - 1})"
+            fire += f" and {prev_m} is not null"
+            if op_m is not None:
+                fire += f" and __e.t - {prev_m} {op_m} {val_m!r}d"
+        upd = (
+            f"if({fire}, named_struct('p', array({init_slots}), "
+            f"'n', __s.n + 1), named_struct('p', array({slots}), "
+            f"'n', __s.n))"
+        )
+        return (
+            f"aggregate({rows}, named_struct('p', array({init_slots}), "
+            f"'n', 0), (__s, __e) -> {upd}, "
+            f"__s -> cast(__s.n as bigint))"
+        )
+    slots = ", ".join(slot_expr("__s", k) for k in range(1, m + 1))
+    return (
+        f"aggregate({rows}, array({init_slots}), "
+        f"(__s, __e) -> array({slots}), "
+        f"__s -> cast(if(element_at(__s, {m}) is not null, 1, 0) "
+        f"as tinyint))"
+    )
 
 
 def _sequence_fold_sql(p: list[str], a: list[str], count: bool) -> str:
@@ -4124,8 +4315,14 @@ def _sequence_fold_sql(p: list[str], a: list[str], count: bool) -> str:
     carrying its condition bitmask (one row advances at most one pattern
     position, exactly like upstream); a cursor walks the pattern and, in
     the Count form, restarts after each complete (non-overlapping) match
-    (tier 32)."""
-    steps = _parse_seq_pattern(p[0], len(a) - 1)
+    (tier 32).  With '(?t<=N)' max-gap constraints (tier 36) the cursor
+    becomes a latest-feasible-time DP: slot i holds the LATEST event
+    time at which pattern prefix i can be completed — exact for max-gap
+    constraints, where a later prefix completion is always at least as
+    extendable as an earlier one (a plain greedy cursor would wrongly
+    reject e.g. A@0 A@95 B@100 for '(?1)(?t<=10)(?2)')."""
+    parsed = _parse_seq_pattern(p[0], len(a) - 1)
+    steps = [s[0] for s in parsed]
     ts = f"cast(cast({a[0]} as timestamp) as double)"
     bits = ", ".join(
         f"coalesce(cast({c} as boolean), false)" for c in a[1:]
@@ -4136,6 +4333,8 @@ def _sequence_fold_sql(p: list[str], a: list[str], count: bool) -> str:
     )
     m = len(steps)
     step_arr = "array(" + ", ".join(str(s) for s in steps) + ")"
+    if any(op is not None for _, op, _v in parsed):
+        return _sequence_dp_sql(parsed, rows, count)
     if count:
         # state = (cursor, completed-count); full match restarts
         upd = (

@@ -3554,3 +3554,144 @@ JOIN ksr k ON s.st = k.st
 QUERIES["ch_everyday_funcs35"] = Query(
     ch_everyday_funcs35, CH_EVERYDAY35_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs36(spark, sf_dir):
+    """Everyday upstream-CH tier 36: windowFunnel strict modes
+    (strict_order / strict_dedup / strict_increase) and '(?t<=N)'
+    max-gap sequence constraints, per user over events rolled up by
+    cohort.  The oracle extends the tier-32 recursive-CTE state machine
+    with one state column set per mode (chain starts + frozen flag;
+    last-match times for strict_increase) and the latest-feasible-time
+    DP slots for the constrained match/count — the same contracts
+    computed through per-row SQL CASE transitions instead of JVM
+    aggregate folds."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ev_e36")
+    return eng.sql(
+        "select user_id % 3 as cohort, "
+        "sum(wso) as so_sum, sum(if(wso >= 3, 1, 0)) as so_full, "
+        "sum(wsd) as sd_sum, sum(wsi) as si_sum, "
+        "sum(cm) as cm_sum, sum(cc) as cc_sum, count(*) as nu "
+        "from (select user_id, "
+        "windowFunnel(86400, 'strict_order')(ts, event_type = 'view', "
+        "  event_type = 'click', event_type = 'purchase') as wso, "
+        "windowFunnel(86400, 'strict_dedup')(ts, event_type = 'view', "
+        "  event_type = 'click', event_type = 'purchase') as wsd, "
+        "windowFunnel(86400, 'strict_increase')(ts, "
+        "  event_type = 'view', event_type = 'click', "
+        "  event_type = 'purchase') as wsi, "
+        "sequenceMatch('(?1)(?t<=172800)(?2)')(ts, "
+        "  event_type = 'view', event_type = 'purchase') as cm, "
+        "sequenceCount('(?1)(?t<=86400)(?2)')(ts, "
+        "  event_type = 'view', event_type = 'click') as cc "
+        "from ev_e36 group by user_id) "
+        "group by user_id % 3"
+    )
+
+
+CH_EVERYDAY36_ORACLE = """
+WITH RECURSIVE users AS (SELECT DISTINCT user_id FROM events),
+ue AS (
+  SELECT user_id, list_sort(list([epoch_us(ts)::DOUBLE / 1000000.0,
+    CASE WHEN event_type = 'view' THEN 1.0 ELSE 0.0 END,
+    CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END,
+    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END])) AS es
+  FROM events GROUP BY user_id),
+walk AS (
+  SELECT user_id, es, 0 AS i,
+    CAST(NULL AS DOUBLE) AS so1, CAST(NULL AS DOUBLE) AS so2,
+    CAST(NULL AS DOUBLE) AS so3, FALSE AS sofz,
+    CAST(NULL AS DOUBLE) AS sd1, CAST(NULL AS DOUBLE) AS sd2,
+    CAST(NULL AS DOUBLE) AS sd3, FALSE AS sdfz,
+    CAST(NULL AS DOUBLE) AS si1, CAST(NULL AS DOUBLE) AS sl1,
+    CAST(NULL AS DOUBLE) AS si2, CAST(NULL AS DOUBLE) AS sl2,
+    CAST(NULL AS DOUBLE) AS si3, CAST(NULL AS DOUBLE) AS sl3,
+    CAST(NULL AS DOUBLE) AS cm1, CAST(NULL AS DOUBLE) AS cm2,
+    CAST(NULL AS DOUBLE) AS cc1, 0 AS ccn
+  FROM ue
+  UNION ALL
+  SELECT user_id, es, i + 1,
+    -- strict_order: only a chain-starting view when nothing is set
+    CASE WHEN NOT sofz AND es[i+1][2] = 1.0
+          AND so1 IS NULL THEN es[i+1][1] ELSE so1 END,
+    CASE WHEN NOT sofz AND es[i+1][3] = 1.0 AND so1 IS NOT NULL
+          AND so2 IS NULL AND es[i+1][1] <= so1 + 86400.0
+         THEN so1 ELSE so2 END,
+    CASE WHEN NOT sofz AND es[i+1][4] = 1.0 AND so2 IS NOT NULL
+          AND so3 IS NULL AND es[i+1][1] <= so2 + 86400.0
+         THEN so2 ELSE so3 END,
+    sofz OR (so1 IS NOT NULL AND NOT (
+      (es[i+1][3] = 1.0 AND so1 IS NOT NULL AND so2 IS NULL
+        AND es[i+1][1] <= so1 + 86400.0) OR
+      (es[i+1][4] = 1.0 AND so2 IS NOT NULL AND so3 IS NULL
+        AND es[i+1][1] <= so2 + 86400.0))),
+    -- strict_dedup: a repeated condition freezes
+    CASE WHEN NOT sdfz AND es[i+1][2] = 1.0 AND sd1 IS NULL
+         THEN es[i+1][1] ELSE sd1 END,
+    CASE WHEN NOT sdfz AND es[i+1][3] = 1.0 AND sd1 IS NOT NULL
+          AND sd2 IS NULL AND es[i+1][1] <= sd1 + 86400.0
+         THEN sd1 ELSE sd2 END,
+    CASE WHEN NOT sdfz AND es[i+1][4] = 1.0 AND sd2 IS NOT NULL
+          AND sd3 IS NULL AND es[i+1][1] <= sd2 + 86400.0
+         THEN sd2 ELSE sd3 END,
+    sdfz OR (es[i+1][2] = 1.0 AND sd1 IS NOT NULL)
+         OR (es[i+1][3] = 1.0 AND sd2 IS NOT NULL)
+         OR (es[i+1][4] = 1.0 AND sd3 IS NOT NULL),
+    -- strict_increase: strictly later than the previous MATCH time
+    CASE WHEN es[i+1][2] = 1.0 THEN es[i+1][1] ELSE si1 END,
+    CASE WHEN es[i+1][2] = 1.0 THEN es[i+1][1] ELSE sl1 END,
+    CASE WHEN es[i+1][3] = 1.0 AND si1 IS NOT NULL
+          AND es[i+1][1] <= si1 + 86400.0 AND es[i+1][1] > sl1
+         THEN si1 ELSE si2 END,
+    CASE WHEN es[i+1][3] = 1.0 AND si1 IS NOT NULL
+          AND es[i+1][1] <= si1 + 86400.0 AND es[i+1][1] > sl1
+         THEN es[i+1][1] ELSE sl2 END,
+    CASE WHEN es[i+1][4] = 1.0 AND si2 IS NOT NULL
+          AND es[i+1][1] <= si2 + 86400.0 AND es[i+1][1] > sl2
+         THEN si2 ELSE si3 END,
+    CASE WHEN es[i+1][4] = 1.0 AND si2 IS NOT NULL
+          AND es[i+1][1] <= si2 + 86400.0 AND es[i+1][1] > sl2
+         THEN es[i+1][1] ELSE sl3 END,
+    -- constrained match DP (view -> purchase within 172800)
+    CASE WHEN es[i+1][2] = 1.0 THEN es[i+1][1] ELSE cm1 END,
+    CASE WHEN es[i+1][4] = 1.0 AND cm1 IS NOT NULL
+          AND es[i+1][1] - cm1 <= 172800.0 THEN es[i+1][1]
+         ELSE cm2 END,
+    -- constrained count DP (view -> click within 86400, reset on fire)
+    CASE WHEN es[i+1][3] = 1.0 AND cc1 IS NOT NULL
+          AND es[i+1][1] - cc1 <= 86400.0 THEN NULL
+         WHEN es[i+1][2] = 1.0 THEN es[i+1][1] ELSE cc1 END,
+    ccn + CASE WHEN es[i+1][3] = 1.0 AND cc1 IS NOT NULL
+               AND es[i+1][1] - cc1 <= 86400.0 THEN 1 ELSE 0 END
+  FROM walk WHERE i < len(es)),
+fin AS (
+  SELECT user_id,
+    (CASE WHEN so1 IS NULL THEN 0 ELSE 1 END
+     + CASE WHEN so2 IS NULL THEN 0 ELSE 1 END
+     + CASE WHEN so3 IS NULL THEN 0 ELSE 1 END) AS wso,
+    (CASE WHEN sd1 IS NULL THEN 0 ELSE 1 END
+     + CASE WHEN sd2 IS NULL THEN 0 ELSE 1 END
+     + CASE WHEN sd3 IS NULL THEN 0 ELSE 1 END) AS wsd,
+    (CASE WHEN si1 IS NULL THEN 0 ELSE 1 END
+     + CASE WHEN si2 IS NULL THEN 0 ELSE 1 END
+     + CASE WHEN si3 IS NULL THEN 0 ELSE 1 END) AS wsi,
+    CASE WHEN cm2 IS NULL THEN 0 ELSE 1 END AS cm, ccn AS cc
+  FROM walk WHERE i = len(es))
+SELECT u.user_id % 3 AS cohort,
+  CAST(sum(f.wso) AS BIGINT) AS so_sum,
+  CAST(sum(CASE WHEN f.wso >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+    AS so_full,
+  CAST(sum(f.wsd) AS BIGINT) AS sd_sum,
+  CAST(sum(f.wsi) AS BIGINT) AS si_sum,
+  CAST(sum(f.cm) AS BIGINT) AS cm_sum,
+  CAST(sum(f.cc) AS BIGINT) AS cc_sum,
+  count(*) AS nu
+FROM users u JOIN fin f ON u.user_id = f.user_id
+GROUP BY u.user_id % 3
+"""
+
+
+QUERIES["ch_everyday_funcs36"] = Query(
+    ch_everyday_funcs36, CH_EVERYDAY36_ORACLE, ("dialect", "functions")
+)

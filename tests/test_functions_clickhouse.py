@@ -1439,3 +1439,85 @@ def test_tier35_ttest_family(spark):
     ).collect()[0]
     # same distribution modulo permutation -> t == 0 exactly
     assert abs(r.st._1) < 1e-12 and r.st._2 == 1.0
+
+
+def test_tier36_strict_funnels_and_time_constraints(spark):
+    """Tier-36 goldens: windowFunnel strict modes (strict_order freezes
+    on any non-advancing event once a chain starts — upstream's
+    A->B->D->C doc example; strict_dedup freezes on a repeated
+    condition; strict_increase requires strictly increasing matched
+    times), and '(?t<=N)' max-gap sequence constraints via the
+    latest-feasible-time DP (including the case a greedy cursor gets
+    wrong), with min-gap forms still rejected loudly."""
+    import pytest as _pt
+
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    rows = [
+        (1, 1.0, "v"), (1, 2.0, "c"), (1, 3.0, "p"),
+        (2, 1.0, "v"), (2, 2.0, "x"), (2, 3.0, "c"), (2, 4.0, "p"),
+        (3, 1.0, "v"), (3, 2.0, "v"), (3, 3.0, "c"),
+        (4, 1.0, "v"), (4, 1.0, "c"), (4, 2.0, "p"),
+    ]
+    vals = ", ".join(
+        f"({u}, timestamp_seconds({t}), '{e}')" for u, t, e in rows
+    )
+    spark.sql(
+        f"select * from values {vals} as t(u, ts, et)"
+    ).createOrReplaceTempView("ev36")
+    got = {
+        r.u: r
+        for r in eng.sql(
+            "select u, "
+            "windowFunnel(10)(ts, et='v', et='c', et='p') as base, "
+            "windowFunnel(10, 'strict_order')(ts, et='v', et='c', "
+            "  et='p') as so, "
+            "windowFunnel(10, 'strict_dedup')(ts, et='v', et='c', "
+            "  et='p') as sd, "
+            "windowFunnel(10, 'strict_increase')(ts, et='v', et='c', "
+            "  et='p') as si "
+            "from ev36 group by u"
+        ).collect()
+    }
+    #           base so sd si
+    exp = {1: (3, 3, 3, 3),
+           2: (3, 1, 3, 3),   # intervening 'x' freezes strict_order
+           3: (2, 1, 1, 2),   # repeated 'v' freezes order AND dedup
+           4: (3, 3, 3, 1)}   # equal-ts c fails strict_increase
+    for u, (b, so, sd, si) in exp.items():
+        r = got[u]
+        assert (r.base, r.so, r.sd, r.si) == (b, so, sd, si), u
+    # the greedy-cursor-fails case: A@0 A@95 B@100 with max gap 10
+    r = eng.sql(
+        "select sequenceMatch('(?1)(?t<=10)(?2)')(ts, et='a', et='b') "
+        "as sm, "
+        "sequenceCount('(?1)(?t<=10)(?2)')(ts, et='a', et='b') as sc, "
+        "sequenceMatch('(?1)(?t<5)(?2)')(ts, et='a', et='b') as smx "
+        "from values (timestamp_seconds(0),'a'), "
+        "(timestamp_seconds(95),'a'), (timestamp_seconds(100),'b') "
+        "as t(ts, et)"
+    ).collect()[0]
+    assert (r.sm, r.sc, r.smx) == (1, 1, 0)
+    # non-overlapping constrained counting
+    r = eng.sql(
+        "select sequenceCount('(?1)(?t<=10)(?2)')(ts, et='a', et='b') "
+        "as sc from values (timestamp_seconds(0),'a'), "
+        "(timestamp_seconds(5),'b'), (timestamp_seconds(6),'a'), "
+        "(timestamp_seconds(30),'b'), (timestamp_seconds(31),'a'), "
+        "(timestamp_seconds(35),'b') as t(ts, et)"
+    ).collect()[0]
+    assert r.sc == 2  # 0->5 and 31->35; 6->30 exceeds the gap
+    # loud rejections: min-gap ops, leading/trailing/doubled constraints
+    for pat in ["'(?t<=3)(?1)'", "'(?1)(?t>=3)(?2)'", "'(?1)(?t<=3)'",
+                "'(?1)(?t<=3)(?t<5)(?2)'", "'(?1)(?t==3)(?2)'"]:
+        with _pt.raises(Exception):
+            eng.sql(
+                f"select sequenceMatch({pat})(ts, et='a', et='b') as x "
+                "from ev36"
+            ).collect()
+    with _pt.raises(Exception):
+        eng.sql(
+            "select windowFunnel(10, 'strict_orderx')(ts, et='v') as x "
+            "from ev36"
+        ).collect()
