@@ -4924,3 +4924,113 @@ CH_SQL_TEMPLATES.update(
         "kolmogorovsmirnovtest": _ks_test_sql,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Everyday tier 37: largestTriangleThreeBuckets — Steinarsson's LTTB time
+# series downsampling as a parametric aggregate (upstream CH 23.10+).  The
+# sequential bucket walk (each pick depends on the previously selected
+# point) folds over a literal bucket sequence; everything stays a JVM
+# expression.
+
+
+def _lttb_sql(p: list[str], a: list[str]) -> str:
+    """largestTriangleThreeBuckets(n)(x, y): sort the group's points by
+    (x, y), keep the first and last, split the interior into n-2 even
+    buckets, and from each bucket keep the point forming the largest
+    triangle with the PREVIOUSLY selected point and the next bucket's
+    average (the final bucket's "next" is the last point).  Ties keep
+    the earliest point (strict > in the argmax).  n <= 0 or n >= count
+    returns every point; n = 1 the first; n = 2 the endpoints
+    (tier 37)."""
+    try:
+        n = int(p[0].strip())
+    except ValueError as exc:
+        raise ValueError(
+            "largestTriangleThreeBuckets: the bucket count must be an "
+            "integer literal"
+        ) from exc
+    x = f"cast({a[0]} as double)"
+    y = f"cast({a[1]} as double)"
+    pts = (
+        f"array(array_sort(collect_list(named_struct('x', {x}, "
+        f"'y', {y}))))"
+    )
+    as_pairs = (
+        "transform({src}, __q -> named_struct('_1', __q.x, '_2', __q.y))"
+    )
+    if n <= 0:
+        return f"element_at(transform({pts}, __ps -> {as_pairs.format(src='__ps')}), 1)"
+    if n == 1:
+        return (
+            f"element_at(transform({pts}, __ps -> "
+            f"{as_pairs.format(src='slice(__ps, 1, 1)')}), 1)"
+        )
+    if n == 2:
+        two = (
+            "concat(slice(__ps, 1, 1), "
+            "slice(__ps, size(__ps), 1))"
+        )
+        return (
+            f"element_at(transform({pts}, __ps -> case "
+            f"when size(__ps) <= 2 then {as_pairs.format(src='__ps')} "
+            f"else {as_pairs.format(src=two)} end), 1)"
+        )
+    k = n - 2
+    # bucket k spans 1-based interior positions
+    #   [2 + floor((k-1)(N-2)/K), 2 + floor(k(N-2)/K) - 1]
+    bs = (
+        f"named_struct("
+        f"'s', 2 + cast(floor((__k - 1) * (size(__ps) - 2) / {k}.0) "
+        f"as int), "
+        f"'e', 1 + cast(floor(__k * (size(__ps) - 2) / {k}.0) as int), "
+        f"'ns', case when __k = {k} then size(__ps) else "
+        f"2 + cast(floor(__k * (size(__ps) - 2) / {k}.0) as int) end, "
+        f"'ne', case when __k = {k} then size(__ps) else "
+        f"1 + cast(floor((__k + 1) * (size(__ps) - 2) / {k}.0) as int) "
+        f"end)"
+    )
+    nxt = "slice(__ps, __bk.ns, __bk.ne - __bk.ns + 1)"
+    av = (
+        f"named_struct("
+        f"'ax', aggregate({nxt}, cast(0.0 as double), "
+        f"(__a, __q) -> __a + __q.x) / (__bk.ne - __bk.ns + 1), "
+        f"'ay', aggregate({nxt}, cast(0.0 as double), "
+        f"(__a, __q) -> __a + __q.y) / (__bk.ne - __bk.ns + 1))"
+    )
+    cand = "slice(__ps, __bk.s, __bk.e - __bk.s + 1)"
+    area = (
+        "abs((__st.prev.x - __av.ax) * (__q.y - __st.prev.y) "
+        "- (__st.prev.x - __q.x) * (__av.ay - __st.prev.y))"
+    )
+    best = (
+        f"aggregate({cand}, "
+        f"named_struct('p', element_at({cand}, 1), "
+        f"'a', cast(-1.0 as double)), "
+        f"(__b, __q) -> if({area} > __b.a, "
+        f"named_struct('p', __q, 'a', {area}), __b))"
+    )
+    step = (
+        f"element_at(transform(array({bs}), __bk -> "
+        f"element_at(transform(array({av}), __av -> "
+        f"element_at(transform(array({best}), __bp -> "
+        f"named_struct('sel', concat(__st.sel, array(__bp.p)), "
+        f"'prev', __bp.p)), 1)), 1)), 1)"
+    )
+    walk = (
+        f"aggregate(sequence(1, {k}), "
+        f"named_struct('sel', slice(__ps, 1, 1), "
+        f"'prev', element_at(__ps, 1)), "
+        f"(__st, __k) -> {step}, "
+        f"__s -> concat(__s.sel, slice(__ps, size(__ps), 1)))"
+    )
+    return (
+        f"element_at(transform({pts}, __ps -> case "
+        f"when size(__ps) <= {n} then {as_pairs.format(src='__ps')} "
+        f"else {as_pairs.format(src=walk)} end), 1)"
+    )
+
+
+CH_PARAMETRIC_TEMPLATES.update(
+    {"largesttrianglethreebuckets": _lttb_sql}
+)

@@ -3695,3 +3695,70 @@ GROUP BY u.user_id % 3
 QUERIES["ch_everyday_funcs36"] = Query(
     ch_everyday_funcs36, CH_EVERYDAY36_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs37(spark, sf_dir):
+    """Everyday upstream-CH tier 37: largestTriangleThreeBuckets —
+    Steinarsson's LTTB downsampling as a parametric aggregate (CH
+    23.10+).  The oracle re-walks the same bucket sequence as a DuckDB
+    recursive CTE (next-bucket list_avg anchor, first-max argmax via
+    list_position) and both sides must select IDENTICAL points — the
+    comparison sums the selected coordinates, so one differing pick
+    breaks the hash."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e37")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "round(aggregate(l, cast(0.0 as double), "
+        "  (a, q) -> a + q._1), 2) as lx, "
+        "round(aggregate(l, cast(0.0 as double), "
+        "  (a, q) -> a + q._2), 2) as ly, "
+        "size(l) as ln "
+        "from (select o_orderstatus, "
+        "largestTriangleThreeBuckets(20)(o_orderkey, o_totalprice) as l "
+        "from ord_e37 group by o_orderstatus)"
+    )
+
+
+CH_EVERYDAY37_ORACLE = """
+WITH RECURSIVE pts AS (
+  SELECT o_orderstatus AS st,
+         list_sort(list([o_orderkey::DOUBLE, o_totalprice::DOUBLE]))
+           AS ps,
+         count(*)::INTEGER AS n
+  FROM orders GROUP BY 1),
+walk AS (
+  SELECT st, ps, n, 0 AS k, ps[1][1] AS px, ps[1][2] AS py,
+         ps[1][1] AS sx, ps[1][2] AS sy
+  FROM pts
+  UNION ALL
+  SELECT st, ps, n, kk, b[1], b[2], sx + b[1], sy + b[2]
+  FROM (
+    SELECT st, ps, n, kk, sx, sy,
+           cand[list_position(areas, list_max(areas))] AS b
+    FROM (
+      SELECT st, ps, n, kk, px, py, sx, sy, cand,
+        list_transform(cand, __q -> abs((px - ax) * (__q[2] - py)
+                                  - (px - __q[1]) * (ay - py)))
+          AS areas
+      FROM (
+        SELECT st, ps, n, kk, px, py, sx, sy,
+          ps[2 + ((kk - 1) * (n - 2)) // 18 :
+             1 + (kk * (n - 2)) // 18] AS cand,
+          list_avg(list_transform(nb, __q -> __q[1])) AS ax,
+          list_avg(list_transform(nb, __q -> __q[2])) AS ay
+        FROM (
+          SELECT st, ps, n, k + 1 AS kk, px, py, sx, sy,
+            CASE WHEN k + 1 = 18 THEN ps[n:n]
+                 ELSE ps[2 + ((k + 1) * (n - 2)) // 18 :
+                        1 + ((k + 2) * (n - 2)) // 18] END AS nb
+          FROM walk WHERE k < 18)))))
+SELECT st, round(sx + ps[n][1], 2) AS lx, round(sy + ps[n][2], 2) AS ly,
+       CAST(k + 2 AS INTEGER) AS ln
+FROM walk WHERE k = 18
+"""
+
+
+QUERIES["ch_everyday_funcs37"] = Query(
+    ch_everyday_funcs37, CH_EVERYDAY37_ORACLE, ("dialect", "functions")
+)

@@ -1521,3 +1521,54 @@ def test_tier36_strict_funnels_and_time_constraints(spark):
             "select windowFunnel(10, 'strict_orderx')(ts, et='v') as x "
             "from ev36"
         ).collect()
+
+
+def test_tier37_lttb(spark):
+    """Tier-37 goldens: largestTriangleThreeBuckets against an
+    independently coded Python LTTB (even interior buckets, next-bucket
+    average anchor, previous-selection dependence, first-max ties), and
+    the n <= 0 / 1 / 2 / >= count edges."""
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    def lttb(pts, n):
+        pts = sorted(pts)
+        nn = len(pts)
+        if n <= 0 or n >= nn:
+            return pts
+        if n == 1:
+            return pts[:1]
+        if n == 2:
+            return [pts[0], pts[-1]] if nn > 2 else pts
+        kk = n - 2
+        sel = [pts[0]]
+        prev = pts[0]
+        for k in range(1, kk + 1):
+            s = 2 + (k - 1) * (nn - 2) // kk
+            e = 1 + k * (nn - 2) // kk
+            if k == kk:
+                ns, ne = nn, nn
+            else:
+                ns, ne = 2 + k * (nn - 2) // kk, 1 + (k + 1) * (nn - 2) // kk
+            nb = pts[ns - 1:ne]
+            ax = sum(q[0] for q in nb) / len(nb)
+            ay = sum(q[1] for q in nb) / len(nb)
+            best, ba = None, -1.0
+            for q in pts[s - 1:e]:
+                ar = abs((prev[0] - ax) * (q[1] - prev[1])
+                         - (prev[0] - q[0]) * (ay - prev[1]))
+                if ar > ba:
+                    best, ba = q, ar
+            sel.append(best)
+            prev = best
+        sel.append(pts[-1])
+        return sel
+
+    eng = TensorBaseEngine(spark)
+    pts = [(float(i), float((i * 37) % 101)) for i in range(50)]
+    vals = ", ".join(f"({x}, {y})" for x, y in pts)
+    for n in (10, 3, 0, 1, 2, 49, 50, 60):
+        r = eng.sql(
+            f"select largestTriangleThreeBuckets({n})(x, y) as l "
+            f"from values {vals} as t(x, y)"
+        ).collect()[0]
+        assert [(q._1, q._2) for q in r.l] == lttb(pts, n), n
