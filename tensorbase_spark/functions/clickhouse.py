@@ -5034,3 +5034,83 @@ def _lttb_sql(p: list[str], a: list[str]) -> str:
 CH_PARAMETRIC_TEMPLATES.update(
     {"largesttrianglethreebuckets": _lttb_sql}
 )
+
+
+# ---------------------------------------------------------------------------
+# Everyday tier 38: sequenceNextNode — the last of upstream's event-chain
+# aggregates.  sequenceNextNode(direction, base)(ts, value, base_cond,
+# event1, ..., eventN) walks the user's chronological event list from the
+# base point, checks that event1..eventN match CONSECUTIVE events in the
+# given direction, and returns the value of the next event past the chain
+# (NULL when the chain breaks or runs off either end).
+
+
+def _sequence_next_node_sql(p: list[str], a: list[str]) -> str:
+    """sequenceNextNode(direction, base): direction 'forward' steps +1
+    and 'backward' -1 from the base; base 'head' = first chronological
+    event, 'tail' = last, 'first_match' / 'last_match' = the first /
+    last event satisfying event1 AND the base condition.  The base
+    event must satisfy base_cond and event1; event values compare as
+    strings (the returned column is cast to string) (tier 38)."""
+    if len(p) != 2:
+        raise ValueError("sequenceNextNode needs (direction, base)")
+    direction = p[0].strip().strip("'\"").lower()
+    base = p[1].strip().strip("'\"").lower()
+    if direction not in ("forward", "backward"):
+        raise ValueError(
+            f"sequenceNextNode: unknown direction {p[0]!r}"
+        )
+    if base not in ("head", "tail", "first_match", "last_match"):
+        raise ValueError(f"sequenceNextNode: unknown base {p[1]!r}")
+    if len(a) < 4:
+        raise ValueError(
+            "sequenceNextNode needs (timestamp, value, base_condition, "
+            "event1, ...)"
+        )
+    ts = f"cast(cast({a[0]} as timestamp) as double)"
+    val = f"cast({a[1]} as string)"
+    bc = f"coalesce(cast({a[2]} as boolean), false)"
+    conds = [
+        f"coalesce(cast({c} as boolean), false)" for c in a[3:]
+    ]
+    n = len(conds)
+    d = 1 if direction == "forward" else -1
+    arr = (
+        f"array(array_sort(collect_list(named_struct('t', {ts}, "
+        f"'v', {val}, 'bc', {bc}, 'cs', array({', '.join(conds)})))))"
+    )
+    m1 = "transform(__ar, __e -> __e.bc and element_at(__e.cs, 1))"
+    if base == "head":
+        bidx = "1"
+    elif base == "tail":
+        bidx = "size(__ar)"
+    elif base == "first_match":
+        bidx = f"array_position({m1}, true)"
+    else:  # last_match
+        bidx = (
+            f"(case when array_position(reverse({m1}), true) = 0 "
+            f"then 0 else size(__ar) + 1 "
+            f"- array_position(reverse({m1}), true) end)"
+        )
+    nxt = f"(__bi.b + {n * d})"
+    checks = [
+        "__bi.b >= 1", "__bi.b <= size(__ar)",
+        f"{nxt} >= 1", f"{nxt} <= size(__ar)",
+        "element_at(__ar, __bi.b).bc",
+    ]
+    checks += [
+        f"element_at(element_at(__ar, __bi.b + {(j - 1) * d}).cs, {j})"
+        for j in range(1, n + 1)
+    ]
+    return (
+        f"element_at(transform({arr}, __ar -> "
+        f"element_at(transform(array(named_struct('b', cast({bidx} "
+        f"as int))), __bi -> "
+        f"case when {' and '.join(checks)} "
+        f"then element_at(__ar, {nxt}).v end), 1)), 1)"
+    )
+
+
+CH_PARAMETRIC_TEMPLATES.update(
+    {"sequencenextnode": _sequence_next_node_sql}
+)

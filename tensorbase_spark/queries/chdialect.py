@@ -3762,3 +3762,91 @@ FROM walk WHERE k = 18
 QUERIES["ch_everyday_funcs37"] = Query(
     ch_everyday_funcs37, CH_EVERYDAY37_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs38(spark, sf_dir):
+    """Everyday upstream-CH tier 38: sequenceNextNode over the events
+    table — forward/head, forward/first_match and backward/last_match
+    variants per user, rolled up by cohort as per-label counts.  The
+    oracle recomputes each variant through DuckDB list indexing over
+    alphabetically-coded event lists (codes ordered like the strings so
+    tie sorts agree), a different encoding of the same walk."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ev_e38")
+    return eng.sql(
+        "select user_id % 3 as cohort, "
+        "count(a) as a_n, sum(if(a = 'purchase', 1, 0)) as a_p, "
+        "sum(if(a = 'view', 1, 0)) as a_v, min(a) as a_min, "
+        "count(b) as b_n, sum(if(b = 'error', 1, 0)) as b_e, "
+        "max(b) as b_max, "
+        "count(c) as c_n, sum(if(c = 'click', 1, 0)) as c_c, "
+        "min(c) as c_min, count(*) as nu "
+        "from (select user_id, "
+        "sequenceNextNode('forward','head')(ts, event_type, "
+        "  event_type = 'view', event_type = 'view', "
+        "  event_type = 'click') as a, "
+        "sequenceNextNode('forward','first_match')(ts, event_type, "
+        "  event_type = 'view', event_type = 'view', "
+        "  event_type = 'click') as b, "
+        "sequenceNextNode('backward','last_match')(ts, event_type, "
+        "  event_type = 'purchase', event_type = 'purchase') as c "
+        "from ev_e38 group by user_id) "
+        "group by user_id % 3"
+    )
+
+
+CH_EVERYDAY38_ORACLE = """
+WITH ue AS (
+  SELECT user_id, list_sort(list([epoch_us(ts)::DOUBLE / 1000000.0,
+    CASE event_type WHEN 'click' THEN 1.0 WHEN 'error' THEN 2.0
+      WHEN 'purchase' THEN 3.0 WHEN 'signup' THEN 4.0 ELSE 5.0
+    END])) AS es
+  FROM events GROUP BY user_id),
+f AS (
+  SELECT user_id, es, len(es) AS n,
+    list_position(list_transform(es, __e -> __e[2] = 5.0), true)
+      AS fmv,
+    CASE WHEN list_position(list_transform(list_reverse(es),
+        __e -> __e[2] = 3.0), true) = 0 THEN 0
+      ELSE len(es) + 1 - list_position(list_transform(list_reverse(es),
+        __e -> __e[2] = 3.0), true) END AS lmp
+  FROM ue),
+g AS (
+  SELECT user_id,
+    CASE WHEN n >= 3 AND es[1][2] = 5.0 AND es[2][2] = 1.0
+         THEN es[3][2] END AS ac,
+    CASE WHEN fmv >= 1 AND fmv + 2 <= n AND es[fmv + 1][2] = 1.0
+         THEN es[fmv + 2][2] END AS bc,
+    CASE WHEN lmp >= 2 THEN es[lmp - 1][2] END AS cc
+  FROM f),
+dec AS (
+  SELECT user_id,
+    CASE ac WHEN 1.0 THEN 'click' WHEN 2.0 THEN 'error'
+      WHEN 3.0 THEN 'purchase' WHEN 4.0 THEN 'signup'
+      WHEN 5.0 THEN 'view' END AS a,
+    CASE bc WHEN 1.0 THEN 'click' WHEN 2.0 THEN 'error'
+      WHEN 3.0 THEN 'purchase' WHEN 4.0 THEN 'signup'
+      WHEN 5.0 THEN 'view' END AS b,
+    CASE cc WHEN 1.0 THEN 'click' WHEN 2.0 THEN 'error'
+      WHEN 3.0 THEN 'purchase' WHEN 4.0 THEN 'signup'
+      WHEN 5.0 THEN 'view' END AS c
+  FROM g)
+SELECT user_id % 3 AS cohort,
+  count(a) AS a_n,
+  CAST(sum(CASE WHEN a = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+    AS a_p,
+  CAST(sum(CASE WHEN a = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS a_v,
+  min(a) AS a_min,
+  count(b) AS b_n,
+  CAST(sum(CASE WHEN b = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS b_e,
+  max(b) AS b_max,
+  count(c) AS c_n,
+  CAST(sum(CASE WHEN c = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c_c,
+  min(c) AS c_min, count(*) AS nu
+FROM dec GROUP BY user_id % 3
+"""
+
+
+QUERIES["ch_everyday_funcs38"] = Query(
+    ch_everyday_funcs38, CH_EVERYDAY38_ORACLE, ("dialect", "functions")
+)

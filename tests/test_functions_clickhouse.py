@@ -1572,3 +1572,60 @@ def test_tier37_lttb(spark):
             f"from values {vals} as t(x, y)"
         ).collect()[0]
         assert [(q._1, q._2) for q in r.l] == lttb(pts, n), n
+
+
+def test_tier38_sequence_next_node(spark):
+    """Tier-38 goldens: sequenceNextNode across the four
+    direction/base pairings on the upstream docs' page-flow shapes —
+    consecutive chain matching, base-condition filtering, boundary
+    NULLs, and loud rejection of unknown direction/base values."""
+    import pytest as _pt
+
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    rows = [
+        (1, 1, "Home"), (1, 2, "Gift"), (1, 3, "Exit"),
+        (2, 1, "Home"), (2, 2, "Home"), (2, 3, "Gift"), (2, 4, "Basket"),
+        (3, 1, "Gift"), (3, 2, "Home"), (3, 3, "Gift"), (3, 4, "Basket"),
+    ]
+    vals = ", ".join(
+        f"({u}, timestamp_seconds({t}), '{p}')" for u, t, p in rows
+    )
+    spark.sql(
+        f"select * from values {vals} as t(u, ts, page)"
+    ).createOrReplaceTempView("nv38")
+    got = {
+        r.u: r
+        for r in eng.sql(
+            "select u, "
+            "sequenceNextNode('forward','head')(ts, page, page='Home', "
+            "  page='Home', page='Gift') as fh, "
+            "sequenceNextNode('backward','tail')(ts, page, "
+            "  page='Basket', page='Basket', page='Gift') as bt, "
+            "sequenceNextNode('forward','first_match')(ts, page, "
+            "  page='Gift', page='Gift') as ffm, "
+            "sequenceNextNode('backward','last_match')(ts, page, "
+            "  page='Gift', page='Gift') as blm "
+            "from nv38 group by u"
+        ).collect()
+    }
+    exp = {1: ("Exit", None, "Exit", "Home"),
+           2: (None, "Home", "Basket", "Home"),
+           3: (None, "Home", "Home", "Home")}
+    for u, e in exp.items():
+        r = got[u]
+        assert (r.fh, r.bt, r.ffm, r.blm) == e, u
+    # chain running off the end -> NULL (single event, next out of range)
+    r = eng.sql(
+        "select sequenceNextNode('forward','head')(ts, page, "
+        "page='Home', page='Home') as x "
+        "from values (timestamp_seconds(1), 'Home') as t(ts, page)"
+    ).collect()[0]
+    assert r.x is None
+    for bad in ["'sideways','head'", "'forward','middle'"]:
+        with _pt.raises(Exception):
+            eng.sql(
+                f"select sequenceNextNode({bad})(ts, page, "
+                "page='Home', page='Home') as x from nv38"
+            ).collect()
