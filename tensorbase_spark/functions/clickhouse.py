@@ -5114,3 +5114,163 @@ def _sequence_next_node_sql(p: list[str], a: list[str]) -> str:
 CH_PARAMETRIC_TEMPLATES.update(
     {"sequencenextnode": _sequence_next_node_sql}
 )
+
+
+# ---------------------------------------------------------------------------
+# Everyday tier 39: RFC 4648 base32 codecs and the bit-level substring.
+# Unlike base58's bignum long division (tier 30), base32 is fixed-block
+# transcoding: every 5-bit output group reads a 16-bit window of the byte
+# array, so the whole codec is index arithmetic over transform/sequence.
+
+
+_B32_ALPHABET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+
+
+def _bytes_digits(s: str) -> str:
+    """The string's bytes as an int array (hex-pair extraction, like
+    the tier-30 base58 codec) (tier 39)."""
+    return (
+        f"transform(sequence(1, greatest(octet_length({s}), 1)), __i -> "
+        f"cast(conv(substring(hex(encode({s}, 'utf-8')), 2 * __i - 1, "
+        f"2), 16, 10) as int))"
+    )
+
+
+def _base32_encode_sql(args: list[str]) -> str:
+    """CH base32Encode(s): RFC 4648 base32 (A-Z2-7, '=' padding to an
+    8-char block).  Output char k reads the 16-bit window holding bits
+    [5k, 5k+5) of the big-endian byte stream ('foobar' ->
+    'MZXW6YTBOI======', the RFC test vectors) (tier 39)."""
+    s = args[0]
+    ds = _bytes_digits(s)
+    v = (
+        "shiftright(element_at(__bs.d, cast((5 * (__k - 1)) div 8 as "
+        "int) + 1) * 256 + coalesce(element_at(__bs.d, "
+        "cast((5 * (__k - 1)) div 8 as int) + 2), 0), "
+        "11 - cast((5 * (__k - 1)) % 8 as int)) & 31"
+    )
+    body = (
+        f"array_join(transform(sequence(1, __bs.tot), __k -> "
+        f"if(__k <= __bs.nc, substring('{_B32_ALPHABET}', ({v}) + 1, 1), "
+        f"'=')), '')"
+    )
+    return (
+        f"if(octet_length({s}) = 0, '', "
+        f"element_at(transform(array(named_struct('d', {ds}, "
+        f"'nc', cast((8 * octet_length({s}) + 4) div 5 as int), "
+        f"'tot', cast(((octet_length({s}) + 4) div 5) * 8 as int))), "
+        f"__bs -> {body}), 1))"
+    )
+
+
+def _base32_decode_body(s: str) -> str:
+    """Bytes-from-groups core shared by base32Decode/tryBase32Decode:
+    NULL when any non-pad character falls outside the alphabet, else
+    the decoded string (tier 39)."""
+    raw = f"upper(regexp_replace({s}, '=+$', ''))"
+    groups = (
+        f"transform(sequence(1, greatest(char_length({raw}), 1)), "
+        f"__i -> cast(instr('{_B32_ALPHABET}', "
+        f"substring({raw}, __i, 1)) - 1 as int))"
+    )
+    byte = (
+        "shiftright(element_at(__gs.g, cast((8 * (__j - 1)) div 5 as "
+        "int) + 1) * 1024 + coalesce(element_at(__gs.g, "
+        "cast((8 * (__j - 1)) div 5 as int) + 2), 0) * 32 "
+        "+ coalesce(element_at(__gs.g, "
+        "cast((8 * (__j - 1)) div 5 as int) + 3), 0), "
+        "7 - cast((8 * (__j - 1)) % 5 as int)) & 255"
+    )
+    hexs = (
+        f"array_join(transform(sequence(1, __gs.nb), __j -> "
+        f"lpad(conv(cast(({byte}) as string), 10, 16), 2, '0')), '')"
+    )
+    return (
+        f"(case when char_length({raw}) = 0 then '' "
+        f"when array_min({groups}) < 0 then cast(null as string) "
+        f"else element_at(transform(array(named_struct('g', {groups}, "
+        f"'nb', cast((5 * char_length({raw})) div 8 as int))), "
+        f"__gs -> decode(unhex({hexs}), 'utf-8')), 1) end)"
+    )
+
+
+def _base32_decode_sql(args: list[str], lenient: bool = False) -> str:
+    """CH base32Decode / tryBase32Decode: inverse block transcode; the
+    strict form raises on characters outside the alphabet, the try
+    form yields NULL (tier 39)."""
+    s = args[0]
+    body = _base32_decode_body(s)
+    if lenient:
+        return body
+    return (
+        f"(case when ({body}) is null and ({s}) is not null then "
+        f"cast(raise_error(concat('base32Decode: invalid base32: ', "
+        f"{s})) as string) else ({body}) end)"
+    )
+
+
+def _bit_slice_sql(args: list[str]) -> str:
+    """CH bitSlice(s, offset[, length]): bit-level substring of the
+    string's bytes, 1-based bit offset; negative offset counts from
+    the end, negative length stops |length| bits before the end, and
+    the tail byte zero-pads.  Returns BINARY: Spark strings are
+    UTF-8-validated, so arbitrary bit patterns cannot round-trip
+    through STRING the way ClickHouse's byte-transparent String does
+    (tier 39)."""
+    s = args[0]
+    ds = _bytes_digits(s)
+    off, ln = args[1], (args[2] if len(args) > 2 else None)
+    tot = f"(8 * octet_length({s}))"
+    start = (
+        f"(case when ({off}) < 0 then greatest({tot} + ({off}) + 1, 1) "
+        f"else cast({off} as int) end)"
+    )
+    if ln is None:
+        length = f"({tot} - __sl.st + 1)"
+    else:
+        length = (
+            f"(case when ({ln}) < 0 then {tot} - __sl.st + 1 + ({ln}) "
+            f"else cast({ln} as int) end)"
+        )
+    bit = (
+        "shiftright(element_at(__sl.d, cast((__sl.st + __b - 2) div 8 "
+        "as int) + 1), 7 - cast((__sl.st + __b - 2) % 8 as int)) & 1"
+    )
+    byte = (
+        f"aggregate(sequence(1, 8), 0, (__a, __i) -> __a * 2 + "
+        f"(case when (__j - 1) * 8 + __i <= __sl.ln then "
+        f"element_at(__sl.bits, (__j - 1) * 8 + __i) else 0 end))"
+    )
+    hexs = (
+        f"array_join(transform(sequence(1, cast((__sl.ln + 7) div 8 "
+        f"as int)), __j -> lpad(conv(cast(({byte}) as string), 10, 16), "
+        f"2, '0')), '')"
+    )
+    inner = (
+        f"element_at(transform(array(named_struct('d', __sl0.d, "
+        f"'st', __sl0.st, 'ln', least({length.replace('__sl.', '__sl0.')}, "
+        f"{tot} - __sl0.st + 1), "
+        f"'bits', transform(sequence(1, greatest(least("
+        f"{length.replace('__sl.', '__sl0.')}, {tot} - __sl0.st + 1), 1)), "
+        f"__b -> {bit.replace('__sl.', '__sl0.')}))), __sl -> "
+        f"if(__sl.ln <= 0, unhex(''), unhex({hexs}))), 1)"
+    )
+    return (
+        f"(case when octet_length({s}) = 0 then unhex('') else "
+        f"element_at(transform(array(named_struct('d', {ds}, "
+        f"'st', {start})), __sl0 -> "
+        f"(case when __sl0.st > {tot} then unhex('') else {inner} "
+        f"end)), 1) end)"
+    )
+
+
+CH_SQL_TEMPLATES.update(
+    {
+        "base32encode": _base32_encode_sql,
+        "base32decode": _base32_decode_sql,
+        "trybase32decode": lambda args: _base32_decode_sql(
+            args, lenient=True
+        ),
+        "bitslice": _bit_slice_sql,
+    }
+)

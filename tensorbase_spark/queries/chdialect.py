@@ -3850,3 +3850,87 @@ FROM dec GROUP BY user_id % 3
 QUERIES["ch_everyday_funcs38"] = Query(
     ch_everyday_funcs38, CH_EVERYDAY38_ORACLE, ("dialect", "functions")
 )
+
+
+def _duck_base32(col: str) -> str:
+    """RFC 4648 base32 of an ASCII column, re-derived in DuckDB from
+    first principles: each output char reads a 16-bit window of the
+    byte stream via ascii()/shift/mask (tier 39 oracle)."""
+    alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    byte = (
+        "(CASE WHEN (5 * (__k - 1)) // 8 + {o} <= length(" + col + ") "
+        "THEN ascii(substr(" + col + ", ((5 * (__k - 1)) // 8 + {o})"
+        "::INTEGER, 1)) ELSE 0 END)"
+    )
+    return (
+        f"coalesce(array_to_string(list_transform("
+        f"range(1, ((length({col}) + 4) // 5) * 8 + 1), __k -> "
+        f"CASE WHEN __k <= (8 * length({col}) + 4) // 5 THEN "
+        f"substr('{alpha}', ((({byte.format(o=1)} * 256 "
+        f"+ {byte.format(o=2)}) "
+        f">> (11 - ((5 * (__k - 1)) % 8)::INTEGER)) & 31)::INTEGER + 1, "
+        f"1) ELSE '=' END), ''), '')"
+    )
+
+
+def _duck_bitslice_hex(col: str, off: int, ln: int) -> str:
+    """hex(bitSlice(col, off, ln)) for an ASCII column re-derived in
+    DuckDB: per output byte, eight bit reads off the ascii() byte
+    stream with tail zero-padding (tier 39 oracle)."""
+    L = f"least({ln}, 8 * length({col}) - {off} + 1)"
+    bit = (
+        f"(CASE WHEN (__j - 1) * 8 + __i <= {L} THEN "
+        f"(ascii(substr({col}, (({off} + (__j - 1) * 8 + __i - 2) // 8 "
+        f"+ 1)::INTEGER, 1)) >> (7 - (({off} + (__j - 1) * 8 + __i - 2) "
+        f"% 8)::INTEGER)) & 1 ELSE 0 END)"
+    )
+    byte = (
+        "(" + " + ".join(
+            f"({bit.replace('__i', str(i))}) * {2 ** (8 - i)}"
+            for i in range(1, 9)
+        ) + ")"
+    )
+    return (
+        f"array_to_string(list_transform(range(1, ({L} + 7) // 8 + 1), "
+        f"__j -> upper(lpad(to_hex({byte}), 2, '0'))), '')"
+    )
+
+
+def ch_everyday_funcs39(spark, sf_dir):
+    """Everyday upstream-CH tier 39: RFC 4648 base32 codecs and the
+    bit-level substring over order priorities.  The oracle re-derives
+    the base32 text and the bit windows from first principles in DuckDB
+    (ascii()/shift/mask windows) — not by echoing the engine; the
+    round-trip column only counts internal decode(encode(x)) = x
+    consistency."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e39")
+    return eng.sql(
+        "select st, min(e) as b32min, max(e) as b32max, "
+        "sum(if(tryBase32Decode(e) = p, 1, 0)) as rt, "
+        "count(tryBase32Decode('1!bad')) as tn, "
+        "count(distinct h) as bsn, min(h) as bsmin, max(h) as bsmax "
+        "from (select o_orderstatus as st, o_orderpriority as p, "
+        "base32Encode(o_orderpriority) as e, "
+        "hex(bitSlice(o_orderpriority, 3, 12)) as h from ord_e39) "
+        "group by st"
+    )
+
+
+CH_EVERYDAY39_ORACLE = f"""
+SELECT o_orderstatus AS st,
+  min({_duck_base32('o_orderpriority')}) AS b32min,
+  max({_duck_base32('o_orderpriority')}) AS b32max,
+  count(*) AS rt,
+  CAST(0 AS BIGINT) AS tn,
+  count(DISTINCT {_duck_bitslice_hex('o_orderpriority', 3, 12)})
+    AS bsn,
+  min({_duck_bitslice_hex('o_orderpriority', 3, 12)}) AS bsmin,
+  max({_duck_bitslice_hex('o_orderpriority', 3, 12)}) AS bsmax
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES["ch_everyday_funcs39"] = Query(
+    ch_everyday_funcs39, CH_EVERYDAY39_ORACLE, ("dialect", "functions")
+)

@@ -1629,3 +1629,45 @@ def test_tier38_sequence_next_node(spark):
                 f"select sequenceNextNode({bad})(ts, page, "
                 "page='Home', page='Home') as x from nv38"
             ).collect()
+
+
+def test_tier39_base32_and_bitslice(spark):
+    """Tier-39 goldens: the full RFC 4648 base32 test-vector table,
+    decode round-trips, try-form NULL on bad alphabet, strict raise,
+    and bitSlice bit windows (positive/negative offset and length, tail
+    zero-padding, out-of-range clamps) returning BINARY."""
+    import pytest as _pt
+
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    vec = {"": "", "f": "MY======", "fo": "MZXQ====", "foo": "MZXW6===",
+           "foob": "MZXW6YQ=", "fooba": "MZXW6YTB",
+           "foobar": "MZXW6YTBOI======"}
+    sels = ", ".join(
+        f"base32Encode('{k}') as e{i}, base32Decode('{v}') as d{i}"
+        for i, (k, v) in enumerate(vec.items())
+    )
+    r = eng.sql(
+        f"select {sels}, tryBase32Decode('1!bad') as tb"
+    ).collect()[0]
+    for i, (k, v) in enumerate(vec.items()):
+        assert getattr(r, f"e{i}") == v, k
+        assert getattr(r, f"d{i}") == k, v
+    assert r.tb is None
+    with _pt.raises(Exception):
+        eng.sql("select base32Decode('1!bad') as x").collect()
+    r = eng.sql(
+        "select cast(bitSlice('Hello', 1, 8) as string) as a, "
+        "cast(bitSlice('Hello', 9) as string) as b, "
+        "hex(bitSlice('Hello', 2, 8)) as c, "
+        "cast(bitSlice('Hello', -16) as string) as d, "
+        "cast(bitSlice('Hello', 1, -8) as string) as e, "
+        "hex(bitSlice('Hello', 2, 4)) as f, "
+        "hex(bitSlice('Hello', 41)) as g, "
+        "hex(bitSlice('Hello', 39, 10)) as h"
+    ).collect()[0]
+    assert (r.a, r.b, r.d, r.e) == ("H", "ello", "lo", "Hell")
+    # bits 2-9 of 0x48 0x65 -> 0x90; bits 2-5 zero-padded -> 0x90;
+    # offset past the end -> empty; clamped 2-bit tail '11' -> 0xC0
+    assert (r.c, r.f, r.g, r.h) == ("90", "90", "", "C0")
