@@ -616,7 +616,6 @@ CH_SQL_TEMPLATES.update(
         "argmax": "max_by({0}, {1})",
         "argmin": "min_by({0}, {1})",
         "avgweighted": "(sum(({0}) * ({1})) / sum({1}))",
-        "boundingratio": "((max({1}) - min({1})) / (max({0}) - min({0})))",
         # any(expr) aggregate vs `> ANY (subquery)` comparison: only the
         # aggregate form rewrites; a subquery argument passes through.  A
         # real subquery needs a SELECT/WITH *keyword* (word boundary, maybe
@@ -803,13 +802,6 @@ CH_SQL_TEMPLATES.update(
             f"arrayReduce({', '.join(args)})",  # unknown aggregator: pass through
         ),
         # CH greatCircleDistance(lon1, lat1, lon2, lat2) -> meters (haversine,
-        # CH uses R=6371km-based great-circle; documented 6371e3 sphere)
-        "greatcircledistance": (
-            "(2 * 6371000.0 * asin(sqrt("
-            "power(sin(radians(({3}) - ({1})) / 2), 2) + "
-            "cos(radians({1})) * cos(radians({3})) * "
-            "power(sin(radians(({2}) - ({0})) / 2), 2))))"
-        ),
     }
 )
 
@@ -4335,6 +4327,13 @@ def _sequence_fold_sql(p: list[str], a: list[str], count: bool) -> str:
     step_arr = "array(" + ", ".join(str(s) for s in steps) + ")"
     if any(op is not None for _, op, _v in parsed):
         return _sequence_dp_sql(parsed, rows, count)
+    if not count and steps == [1, 2]:
+        # the historic single-pass fast path: '(?1).*(?2)' needs no
+        # collected buffer at all — min(ts | c1) < max(ts | c2) in one
+        # aggregation (scale-optimal; the fold below buffers the group)
+        return (
+            f"cast({_sequence_match_tmpl(p, a)} as tinyint)"
+        )
     if count:
         # state = (cursor, completed-count); full match restarts
         upd = (

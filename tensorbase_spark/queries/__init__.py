@@ -314,8 +314,13 @@ PRIORITY_HEAD = [
     # round-13 behavior-changed implementations: accurateCast is strict
     # (raises on failed conversion) and bitmask explosions cover bit 63
     # (funcs26); both wire doors' request paths changed (collect-shape
-    # detection regex; HTTP session budget read under srv.lock).
+    # detection regex; HTTP session budget read under srv.lock); tier 29
+    # moved greatCircleDistance to CH's sphere radius (funcs3's gcd
+    # values), tier 31 corrected boundingRatio to the endpoint slope
+    # (ch_weighted_aggs), and tier 32's sequenceMatch returns tinyint
+    # where the old 2-step fast path returned boolean (ch_sequence_uniq).
     "ch_everyday_funcs26", "wire_http_roundtrip", "wire_native_roundtrip",
+    "ch_everyday_funcs3", "ch_weighted_aggs", "ch_sequence_uniq",
     # (b) new round-13 queries
     "ch_everyday_funcs27", "ch_everyday_funcs28", "ch_everyday_funcs29",
     "ch_everyday_funcs30", "ch_everyday_funcs31", "ch_everyday_funcs32",

@@ -810,7 +810,8 @@ def ch_weighted_aggs(spark, sf_dir):
     return eng.sql(
         "select l_returnflag, "
         "round(avgWeighted(l_extendedprice, l_quantity), 4) as w_price, "
-        "round(boundingRatio(l_orderkey, l_extendedprice), 6) as brat, "
+        "round(boundingRatio(l_orderkey * 8 + l_linenumber, "
+        "  l_extendedprice), 6) as brat, "
         "argMax(l_orderkey, l_extendedprice) as k_of_max_price, "
         "argMin(l_orderkey, l_extendedprice) as k_of_min_price "
         "from li_wa group by l_returnflag"
@@ -821,8 +822,12 @@ CH_WEIGHTED_AGGS_ORACLE = """
 SELECT l_returnflag,
        round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
          AS w_price,
-       round((max(l_extendedprice) - min(l_extendedprice))
-             / (max(l_orderkey) - min(l_orderkey)), 6) AS brat,
+       -- endpoint slope needs a TIE-FREE x: l_orderkey repeats per
+       -- line, so key on the unique (orderkey, linenumber) composite
+       round((arg_max(l_extendedprice, l_orderkey * 8 + l_linenumber)
+              - arg_min(l_extendedprice, l_orderkey * 8 + l_linenumber))
+             / (max(l_orderkey * 8 + l_linenumber)
+                - min(l_orderkey * 8 + l_linenumber)), 6) AS brat,
        arg_max(l_orderkey, l_extendedprice) AS k_of_max_price,
        arg_min(l_orderkey, l_extendedprice) AS k_of_min_price
 FROM lineitem GROUP BY l_returnflag

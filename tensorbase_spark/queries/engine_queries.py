@@ -508,7 +508,7 @@ SELECT o_orderstatus AS st,
        array_to_string(max(list_filter(string_split_regex(o_orderpriority,
                        '[^A-Za-z]+'), x -> x <> '')), ',')    AS toks,
        max(CAST(o_orderdate + INTERVAL 10 DAY AS TIMESTAMP))  AS d10,
-       round(max(2 * 6371000.0 * asin(sqrt(
+       round(max(2 * 6372797.560856 * asin(sqrt(
            power(sin(radians(48.8566 - 51.5074) / 2), 2)
            + cos(radians(51.5074)) * cos(radians(48.8566))
              * power(sin(radians(2.3522 - (-0.1278)) / 2), 2)))), 1) AS gcd_m
@@ -537,9 +537,10 @@ def ch_sequence_uniq(spark, sf_dir):
 
 CH_SEQUENCE_UNIQ_ORACLE = """
 SELECT user_id % 50 AS ub,
-       coalesce(min(CASE WHEN value < 10 THEN CAST(ts AS TIMESTAMP) END)
-                < max(CASE WHEN value > 90 THEN CAST(ts AS TIMESTAMP) END),
-                false)                                   AS esc,
+       CAST(coalesce(
+            min(CASE WHEN value < 10 THEN CAST(ts AS TIMESTAMP) END)
+            < max(CASE WHEN value > 90 THEN CAST(ts AS TIMESTAMP) END),
+            false) AS TINYINT)                           AS esc,
        least(count(DISTINCT event_type), 6)              AS u5,
        mode(CASE WHEN value > 1 THEN 'hi' ELSE 'lo' END) AS heavy,
        count(*)                                          AS n
