@@ -3505,6 +3505,12 @@ class TensorBaseEngine:
         try:
             for d in self.spark.catalog.listDatabases():
                 for t in self.spark.catalog.listTables(d.name):
+                    # listTables(db) also returns TEMP VIEWS, which have
+                    # no database — db-qualifying them makes DESCRIBE
+                    # throw and would abort the whole ownership proof.
+                    # A temp view cannot own a warehouse path: skip.
+                    if t.isTemporary:
+                        continue
                     rows = self.spark.sql(
                         f"describe formatted `{d.name}`.`{t.name}`"
                     ).collect()

@@ -807,14 +807,24 @@ def ch_weighted_aggs(spark, sf_dir):
     max_by/min_by)."""
     eng = TensorBaseEngine(spark)
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_wa")
+    # boundingRatio is the slope between the leftmost and rightmost
+    # points BY X, so the endpoints must be tie-free: the synthetic
+    # lineitem repeats even (orderkey, linenumber) pairs, so the inner
+    # query collapses each x to one deterministic y first.
     return eng.sql(
-        "select l_returnflag, "
+        "select a.l_returnflag, w_price, brat, "
+        "k_of_max_price, k_of_min_price "
+        "from (select l_returnflag, "
         "round(avgWeighted(l_extendedprice, l_quantity), 4) as w_price, "
-        "round(boundingRatio(l_orderkey * 8 + l_linenumber, "
-        "  l_extendedprice), 6) as brat, "
         "argMax(l_orderkey, l_extendedprice) as k_of_max_price, "
         "argMin(l_orderkey, l_extendedprice) as k_of_min_price "
-        "from li_wa group by l_returnflag"
+        "from li_wa group by l_returnflag) a join "
+        "(select l_returnflag, "
+        "round(boundingRatio(x, y), 6) as brat from "
+        "(select l_returnflag, l_orderkey * 8 + l_linenumber as x, "
+        "max(l_extendedprice) as y from li_wa "
+        "group by l_returnflag, l_orderkey * 8 + l_linenumber) "
+        "group by l_returnflag) b on a.l_returnflag = b.l_returnflag"
     )
 
 
@@ -822,12 +832,13 @@ CH_WEIGHTED_AGGS_ORACLE = """
 SELECT l_returnflag,
        round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
          AS w_price,
-       -- endpoint slope needs a TIE-FREE x: l_orderkey repeats per
-       -- line, so key on the unique (orderkey, linenumber) composite
-       round((arg_max(l_extendedprice, l_orderkey * 8 + l_linenumber)
-              - arg_min(l_extendedprice, l_orderkey * 8 + l_linenumber))
-             / (max(l_orderkey * 8 + l_linenumber)
-                - min(l_orderkey * 8 + l_linenumber)), 6) AS brat,
+       (SELECT round((arg_max(y, x) - arg_min(y, x))
+                     / (max(x) - min(x)), 6)
+        FROM (SELECT l_orderkey * 8 + l_linenumber AS x,
+                     max(l_extendedprice) AS y
+              FROM lineitem i
+              WHERE i.l_returnflag = lineitem.l_returnflag
+              GROUP BY 1) dd)                           AS brat,
        arg_max(l_orderkey, l_extendedprice) AS k_of_max_price,
        arg_min(l_orderkey, l_extendedprice) AS k_of_min_price
 FROM lineitem GROUP BY l_returnflag

@@ -3528,6 +3528,11 @@ def test_orphan_reconcile_cross_db_external_owner(engine, spark):
     assert wh.startswith("file:")
     wh_path = wh[len("file:"):]
 
+    # a TEMP view in the catalog must not abort the ownership proof —
+    # listTables returns it db-less and DESCRIBE on a db-qualified temp
+    # view throws (the full-suite leftovers caught this)
+    spark.range(1).createOrReplaceTempView("orc_tempview_probe")
+
     # 1. a stray directory at the managed location of orc_t2 (simulates a
     #    killed write after the catalog entry vanished)
     stray = os.path.join(wh_path, "orc_t2")
