@@ -5273,3 +5273,85 @@ CH_SQL_TEMPLATES.update(
         "bitslice": _bit_slice_sql,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Everyday tier 40: the case-insensitive text-search family, subsequence
+# search, token validation, and coarse HTML text extraction — string
+# templates and one O(n) character fold, all JVM expressions.
+
+
+def _has_subsequence_sql(args: list[str], ci: bool) -> str:
+    """hasSubsequence(haystack, needle): 1 when needle's characters
+    occur in haystack in order (not necessarily contiguously) — a
+    single left-to-right cursor fold; the CaseInsensitive form lowers
+    both sides first (tier 40)."""
+    h, n = args[0], args[1]
+    if ci:
+        h, n = f"lower({h})", f"lower({n})"
+    return (
+        f"cast(aggregate(split({h}, ''), 0, (__c, __ch) -> "
+        f"if(__c < char_length({n}) "
+        f"and __ch = substring({n}, __c + 1, 1), __c + 1, __c), "
+        f"__c -> if(__c >= char_length({n}), 1, 0)) as tinyint)"
+    )
+
+
+def _extract_text_from_html_sql(args: list[str]) -> str:
+    """extractTextFromHTML(s): coarse text extraction — drop
+    script/style/comment blocks, strip the remaining tags, decode the
+    five standard entities, collapse whitespace.  A documented
+    approximation of upstream's parser (tier 40)."""
+    s = args[0]
+    out = (
+        f"regexp_replace({s}, "
+        f"'(?is)<script\\\\b.*?</script\\\\s*>"
+        f"|<style\\\\b.*?</style\\\\s*>|<!--.*?-->', ' ')"
+    )
+    out = f"regexp_replace({out}, '(?s)<[^>]*>', ' ')"
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '\"'),
+                    ("&apos;", chr(39) * 2), ("&amp;", "&")):
+        rep = f"'{ch}'" if ch != chr(39) * 2 else "''''"
+        out = f"replace({out}, '{ent}', {rep})"
+    return f"trim(regexp_replace({out}, '\\\\s+', ' '))"
+
+
+CH_SQL_TEMPLATES.update(
+    {
+        "countmatchescaseinsensitive": (
+            "size(regexp_extract_all({0}, concat('(?i)', {1}), 0))"
+        ),
+        "countsubstringscaseinsensitive": (
+            "cast((char_length({0}) - char_length(replace(lower({0}), "
+            "lower({1}), ''))) / char_length({1}) as int)"
+        ),
+        "countsubstringscaseinsensitiveutf8": (
+            "cast((char_length({0}) - char_length(replace(lower({0}), "
+            "lower({1}), ''))) / char_length({1}) as int)"
+        ),
+        "positioncaseinsensitiveutf8": "instr(lower({0}), lower({1}))",
+        "multisearchfirstpositioncaseinsensitive": (
+            "coalesce(array_min(filter(transform({1}, "
+            "__n -> instr(lower({0}), lower(__n))), __p -> __p > 0)), 0)"
+        ),
+        "multisearchfirstposition": (
+            "coalesce(array_min(filter(transform({1}, "
+            "__n -> instr({0}, __n)), __p -> __p > 0)), 0)"
+        ),
+        # hasToken requires a separator-free needle; the OrNull form
+        # yields NULL for an invalid token instead of raising
+        "hastokenornull": (
+            "(case when {1} rlike '[^A-Za-z0-9]' then cast(null as "
+            "boolean) else array_contains(filter(split({0}, "
+            "'[^A-Za-z0-9]+'), __x -> __x != ''), {1}) end)"
+        ),
+        "hassubsequence": lambda args: _has_subsequence_sql(args, False),
+        "hassubsequencecaseinsensitive": lambda args: (
+            _has_subsequence_sql(args, True)
+        ),
+        "hassubsequenceutf8": lambda args: (
+            _has_subsequence_sql(args, False)
+        ),
+        "extracttextfromhtml": _extract_text_from_html_sql,
+    }
+)

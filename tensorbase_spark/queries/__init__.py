@@ -326,7 +326,7 @@ PRIORITY_HEAD = [
     "ch_everyday_funcs30", "ch_everyday_funcs31", "ch_everyday_funcs32",
     "ch_everyday_funcs33", "ch_everyday_funcs34", "ch_everyday_funcs35", "ch_everyday_funcs36",
     "ch_everyday_funcs37", "ch_everyday_funcs38",
-    "ch_everyday_funcs39",
+    "ch_everyday_funcs39", "ch_everyday_funcs40",
 ]
 
 

@@ -3950,3 +3950,84 @@ FROM orders GROUP BY o_orderstatus
 QUERIES["ch_everyday_funcs39"] = Query(
     ch_everyday_funcs39, CH_EVERYDAY39_ORACLE, ("dialect", "functions")
 )
+
+
+def ch_everyday_funcs40(spark, sf_dir):
+    """Everyday upstream-CH tier 40: the case-insensitive text-search
+    family, ordered subsequence search, hasTokenOrNull validation, and
+    coarse HTML text extraction over order priorities.  The oracle
+    re-derives each in DuckDB: regexp_extract_all counting, strpos
+    cascades for the subsequence checks (no lambda folds), token lists
+    via string_split_regex, and the same documented HTML-stripping
+    spec through RE2 with explicit global flags."""
+    eng = TensorBaseEngine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_e40")
+    return eng.sql(
+        "select o_orderstatus as st, "
+        "sum(countMatchesCaseInsensitive(o_orderpriority, 'e')) as cm, "
+        "sum(countSubstringsCaseInsensitive(o_orderpriority, 'E')) "
+        "  as cs, "
+        "sum(positionCaseInsensitiveUTF8(o_orderpriority, 'eNT')) "
+        "  as pos, "
+        "sum(multiSearchFirstPositionCaseInsensitive(o_orderpriority, "
+        "  array('gent', 'LOW', 'med'))) as mf, "
+        "sum(if(hasTokenOrNull(o_orderpriority, 'URGENT'), 1, 0)) "
+        "  as ht, "
+        "count(hasTokenOrNull(o_orderpriority, 'a-b')) as htn, "
+        "sum(hasSubsequence(o_orderpriority, 'UET')) as hs, "
+        "sum(hasSubsequenceCaseInsensitive(o_orderpriority, 'nT')) "
+        "  as hsc, "
+        "min(extractTextFromHTML(concat('<p>', o_orderpriority, "
+        "  ' &amp; co</p><script>x</script>'))) as et "
+        "from ord_e40 group by o_orderstatus"
+    )
+
+
+CH_EVERYDAY40_ORACLE = """
+SELECT o_orderstatus AS st,
+  CAST(sum(len(regexp_extract_all(o_orderpriority, '(?i)e', 0)))
+    AS BIGINT) AS cm,
+  CAST(sum((length(o_orderpriority)
+      - length(replace(lower(o_orderpriority), 'e', '')))) AS BIGINT)
+    AS cs,
+  CAST(sum(strpos(lower(o_orderpriority), 'ent')) AS BIGINT) AS pos,
+  CAST(sum(coalesce(list_min(list_filter(
+      [strpos(lower(o_orderpriority), 'gent'),
+       strpos(lower(o_orderpriority), 'low'),
+       strpos(lower(o_orderpriority), 'med')], __p -> __p > 0)), 0))
+    AS BIGINT) AS mf,
+  CAST(sum(CASE WHEN list_contains(list_filter(
+      string_split_regex(o_orderpriority, '[^A-Za-z0-9]+'),
+      __x -> __x <> ''), 'URGENT') THEN 1 ELSE 0 END) AS BIGINT) AS ht,
+  CAST(0 AS BIGINT) AS htn,
+  CAST(sum(CASE WHEN strpos(o_orderpriority, 'U') > 0
+      AND strpos(substr(o_orderpriority,
+                        strpos(o_orderpriority, 'U') + 1), 'E') > 0
+      AND strpos(substr(substr(o_orderpriority,
+                               strpos(o_orderpriority, 'U') + 1),
+                 strpos(substr(o_orderpriority,
+                               strpos(o_orderpriority, 'U') + 1), 'E')
+                 + 1), 'T') > 0
+    THEN 1 ELSE 0 END) AS BIGINT) AS hs,
+  CAST(sum(CASE WHEN strpos(lower(o_orderpriority), 'n') > 0
+      AND strpos(substr(lower(o_orderpriority),
+                        strpos(lower(o_orderpriority), 'n') + 1), 't')
+          > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hsc,
+  min(trim(regexp_replace(
+    replace(replace(replace(replace(replace(
+      regexp_replace(
+        regexp_replace(
+          '<p>' || o_orderpriority || ' &amp; co</p><script>x</script>',
+          '(?is)<script\\b.*?</script\\s*>|<style\\b.*?</style\\s*>|<!--.*?-->',
+          ' ', 'g'),
+        '(?s)<[^>]*>', ' ', 'g'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+      '&amp;', '&'),
+    '\\s+', ' ', 'g'))) AS et
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES["ch_everyday_funcs40"] = Query(
+    ch_everyday_funcs40, CH_EVERYDAY40_ORACLE, ("dialect", "functions")
+)

@@ -1676,3 +1676,39 @@ def test_tier39_base32_and_bitslice(spark):
     # bits 2-9 of 0x48 0x65 -> 0x90; bits 2-5 zero-padded -> 0x90;
     # offset past the end -> empty; clamped 2-bit tail '11' -> 0xC0
     assert (r.c, r.f, r.g, r.h) == ("90", "90", "", "C0")
+
+
+def test_tier40_text_search_family(spark):
+    """Tier-40 goldens: case-insensitive match/substring/position
+    counting, first-position multi-search, token validation with the
+    OrNull contract, ordered subsequence search, and coarse HTML text
+    extraction (script/style/comment blocks dropped, tags stripped,
+    the five standard entities decoded, whitespace collapsed)."""
+    from tensorbase_spark.engine import TensorBaseEngine
+
+    eng = TensorBaseEngine(spark)
+    r = eng.sql(
+        "select countMatchesCaseInsensitive('Hello hello HELLO', "
+        "  'hello') as cm, "
+        "countSubstringsCaseInsensitive('ababAB', 'ab') as cs, "
+        "countSubstringsCaseInsensitiveUTF8('ÉéÉ', 'é') as cu, "
+        "positionCaseInsensitiveUTF8('Hello World', 'WORLD') as pos, "
+        "multiSearchFirstPositionCaseInsensitive('Hello World', "
+        "  array('xx', 'WORLD', 'ello')) as mf, "
+        "multiSearchFirstPosition('Hello World', array('zz', 'World')) "
+        "  as mfp, "
+        "multiSearchFirstPosition('Hello', array('zz')) as mf0, "
+        "hasTokenOrNull('a-b c', 'b') as ht, "
+        "hasTokenOrNull('a-b c', 'b-c') as htn, "
+        "hasSubsequence('hello world', 'hlwd') as hs, "
+        "hasSubsequence('hello world', 'wh') as hsn, "
+        "hasSubsequence('abc', '') as hse, "
+        "hasSubsequenceCaseInsensitive('Hello World', 'HW') as hsc, "
+        "extractTextFromHTML('<html><script>var x=1;</script><body>"
+        "<p>Hi &amp; bye</p><!-- c --></body></html>') as et"
+    ).collect()[0]
+    assert (r.cm, r.cs, r.cu) == (3, 3, 3)
+    assert (r.pos, r.mf, r.mfp, r.mf0) == (7, 2, 7, 0)
+    assert r.ht is True and r.htn is None
+    assert (r.hs, r.hsn, r.hse, r.hsc) == (1, 0, 1, 1)
+    assert r.et == "Hi & bye"

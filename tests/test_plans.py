@@ -444,7 +444,8 @@ def test_everyday_tiers_16_17_18_stay_codegen(spark, queries):
                  "ch_everyday_funcs32", "ch_everyday_funcs33",
                  "ch_everyday_funcs34", "ch_everyday_funcs35",
                  "ch_everyday_funcs36", "ch_everyday_funcs37",
-                 "ch_everyday_funcs38", "ch_everyday_funcs39"):
+                 "ch_everyday_funcs38", "ch_everyday_funcs39",
+                 "ch_everyday_funcs40"):
         plan = _formatted(spark, queries[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
