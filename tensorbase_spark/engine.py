@@ -2180,7 +2180,7 @@ class TensorBaseEngine:
     _NONDETERMINISTIC_RE = re.compile(
         r"(?is)\b(?:now|today|yesterday|rand\w*|uuid|"
         r"generateUUIDv[47]|UTCTimestamp|random|current_date|"
-        r"current_timestamp|arrayRandomSample|shuffle|"
+        r"current_timestamp|arrayRandomSample|arrayShuffle|shuffle|"
         r"current_time|unix_timestamp|remote|numbers)\s*\("
     )
 
@@ -3530,9 +3530,18 @@ class TensorBaseEngine:
             if not _os.path.exists(aside):
                 try:
                     _os.rename(path, aside)
+                    return
                 except OSError:
-                    shutil.rmtree(path, ignore_errors=True)
-                return
+                    # a transient EACCES/EBUSY (or a racing creator of the
+                    # aside name) must not destroy the bytes the rename set
+                    # out to keep recoverable — try the next aside name
+                    # (r13 ADVICE)
+                    continue
+        raise RuntimeError(
+            f"cannot move orphan directory {path} aside: all "
+            ".orphan-N names are taken or renames failed; clear them "
+            "manually before re-creating a table at this location"
+        )
 
     def _show_create_table(self, c: str) -> DataFrame:
         name = self._qualify(c.split()[-1])

@@ -1812,6 +1812,14 @@ def _sparkbar_sql(p: list[str], a: list[str]) -> str:
     aggregate over the collected (x, y) pairs — the pair list is bounded
     by the group size, same contract as the other collect-based CH
     aggregates (tier 28)."""
+    if len(p) == 2:
+        # upstream CH rejects the 2-parameter arity (width, min_x with no
+        # max_x) — silently falling back to the data min/max would return
+        # a wrong bar instead of an error (r13 ADVICE)
+        raise ValueError(
+            "sparkbar takes 1 (width) or 3 (width, min_x, max_x) "
+            "parameters; got 2"
+        )
     w = int(p[0].strip())
     if not (1 <= w <= 1024):
         raise ValueError("sparkbar width must be in [1, 1024]")
@@ -3100,18 +3108,10 @@ def _datetime_to_snowflake_id_sql(args: list[str]) -> str:
     )
 
 
-def _has_subsequence_sql(args: list[str], fold: str = "") -> str:
-    """CH hasSubsequence(haystack, needle) [+CaseInsensitive]: needle's
-    chars appear in order (not necessarily contiguously).  One pass over
-    the haystack advancing a needle cursor — a JVM aggregate, no UDF
-    (tier 27)."""
-    h = f"{fold}({args[0]})" if fold else args[0]
-    n = f"{fold}({args[1]})" if fold else args[1]
-    return (
-        f"cast(aggregate(split({h}, ''), 0, (__a, __c) -> "
-        f"if(__a < char_length({n}) and __c = substring({n}, __a + 1, 1), "
-        f"__a + 1, __a)) = char_length({n}) as tinyint)"
-    )
+# hasSubsequence and its case-insensitive variant are registered by the
+# tier-40 case-insensitive search block (_has_subsequence_sql below),
+# which supersedes the original tier-27 definitions — the duplicates
+# were deleted per r13 ADVICE (silent later-wins re-registration).
 
 
 # parseTimeDelta unit vocabulary (upstream's parser accepts these
@@ -3194,22 +3194,9 @@ CH_SQL_TEMPLATES.update(
         "makedatetime": _make_datetime_sql,
         "snowflakeidtodatetime": _snowflake_id_to_datetime_sql,
         "datetimetosnowflakeid": _datetime_to_snowflake_id_sql,
-        "hassubsequence": _has_subsequence_sql,
-        "hassubsequencecaseinsensitive": lambda a: _has_subsequence_sql(
-            a, "lower"
-        ),
         "parsetimedelta": _parse_time_delta_sql,
         "tobool": "cast({0} as boolean)",
         "jumpconsistenthash": _jump_consistent_hash_sql,
-        # leftmost 1-based position across all needles, 0 when none match
-        "multisearchfirstposition": (
-            "coalesce(array_min(filter(transform({1}, "
-            "__n -> locate(__n, {0})), __p -> __p > 0)), 0)"
-        ),
-        "countsubstringscaseinsensitive": (
-            "cast((char_length({0}) - char_length(replace(lower({0}), "
-            "lower({1}), ''))) / char_length({1}) as int)"
-        ),
         "bytehammingdistance": _byte_hamming_distance_sql,
         # the text before the first newline (upstream splits on \n only)
         "firstline": "substring_index({0}, '\\n', 1)",

@@ -368,6 +368,7 @@ def lsh_topk(
     target_bucket: int = 1024,
     min_bits: int = 10,
     probes: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Sign-LSH (random hyperplane) bucketed ANN — the alternative scale
     path to IVF: each vector hashes to one bucket per table (sign bits of
@@ -404,9 +405,13 @@ def lsh_topk(
         if n is None:
             n = emb.count()
         n_bits = auto_n_bits(n * max(1, probes), target_bucket, min_bits)
-    dim = len(
-        emb.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0]
-    )
+    if dim is None:
+        # callers that know the embedding width (fixture metadata, catalog
+        # schema) pass ``dim`` and this probe job disappears (r14; it was
+        # one scheduled first() job per search)
+        dim = len(
+            emb.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0]
+        )
     planes = _hyperplanes(dim, n_bits, n_tables)
     powers = 1 << np.arange(n_bits)
 
@@ -464,6 +469,14 @@ def lsh_topk(
 
     c = bucketize(emb, "c", probe=False)
     q = bucketize(queries, "q", probe=n_probes > 1)
+    # NOTE (r14, measured): scoring BEFORE the pair dedup (to shuffle
+    # skinny (q_id, c_id, cos) rows instead of vector payloads) was tried
+    # and REVERTED — a close pair co-occurs in up to n_tables x probes
+    # buckets, so pre-dedup scoring multiplied the Arrow cosine rows by
+    # the duplication factor and lost ×1.32 at sf0.1 (control-normalized
+    # A/B).  Dedup-then-score stays the right order; at 100 TB the
+    # payload-shuffle concern is answered by PQ/IVF codes, not by
+    # reordering this plan.
     cand = (
         q.join(c, ["table_idx", "bucket"])
         .filter(F.col("q_id") != F.col("c_id"))
@@ -709,6 +722,16 @@ def ivf_index_append(
     )
 
 
+def _read_parquet_local(path: str):
+    """A tiny side table read driver-side with pyarrow — a metadata-scale
+    read that spends ZERO Spark jobs (r14: the per-search spark.read +
+    crossJoin + window + localCheckpoint + distinct-collect chain cost 4
+    scheduled jobs per invocation for a table of nlist rows)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path)
+
+
 def ivf_search_indexed(
     spark,
     path: str,
@@ -720,23 +743,59 @@ def ivf_search_indexed(
 ) -> DataFrame:
     """Search a persisted IVF index.  The probe set becomes an IN filter on
     the partition column, so the scan shows PartitionFilters and touches only
-    the probed directories (asserted in tests/test_plans.py)."""
-    cents = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    the probed directories (asserted in tests/test_plans.py).
+
+    r14: centroids load via pyarrow (no Spark job) and the per-query probe
+    ranking runs driver-side over the collected query matrix — the same
+    einsum float64 arithmetic `_cosine_pudf` applies, the same (cos desc,
+    centroid_id asc) order — replacing a crossJoin+window job, a
+    localCheckpoint materialization and a distinct-collect job with one
+    numpy pass (guide §1.2 step 1: remove whole jobs before tuning them).
+    Equality with the in-memory IVF path stays pinned in tests."""
+    crows = _read_parquet_local(f"{path}/centroids").to_pylist()
+    crows.sort(key=lambda r: r["centroid_id"])
+    C = np.array([r["cent_vec"] for r in crows], dtype=np.float64)
+    cent_ids = np.array([r["centroid_id"] for r in crows], dtype=np.int64)
     vecs = spark.read.parquet(f"{path}/vectors")
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    q_cent = q.crossJoin(cents).withColumn(
-        "cos_c", cosine(F.col("q_vec"), F.col("cent_vec"))
+    qrows = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    n_probe = min(nprobe, len(cent_ids))
+    probe_rows = []
+    probe_ids_set: set[int] = set()
+    for r in qrows:
+        if r.q_vec is None:
+            # _cosine_pudf yields NULL cosines for a NULL query vector;
+            # under (cos desc NULLS LAST, centroid_id asc) that means the
+            # first n_probe centroid ids — replicate exactly
+            chosen = cent_ids[:n_probe]
+        else:
+            qv = np.asarray(r.q_vec, dtype=np.float64)
+            ma = np.broadcast_to(qv, C.shape)
+            num = np.einsum("ij,ij->i", ma, C)
+            den = np.sqrt(np.einsum("ij,ij->i", ma, ma)) * np.sqrt(
+                np.einsum("ij,ij->i", C, C)
+            )
+            cos = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
+            order = np.lexsort((cent_ids, -cos))
+            chosen = cent_ids[order[:n_probe]]
+        for c in chosen:
+            probe_rows.append((r.q_id, r.q_vec, int(c)))
+            probe_ids_set.add(int(c))
+    from pyspark.sql import types as T
+
+    q_vec_type = queries.schema[vec_col].dataType
+    probes = spark.createDataFrame(
+        probe_rows,
+        T.StructType(
+            [
+                T.StructField("q_id", queries.schema[id_col].dataType),
+                T.StructField("q_vec", q_vec_type),
+                T.StructField("centroid_id", T.LongType()),
+            ]
+        ),
     )
-    wq = W.partitionBy("q_id").orderBy(F.col("cos_c").desc(), F.col("centroid_id"))
-    probes = (
-        q_cent.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("q_id", "q_vec", "centroid_id")
-        .localCheckpoint()  # the collect below would otherwise re-run the
-    )                       # centroid scoring when the returned plan executes
-    # partition-prune the index scan to the union of probed buckets (a tiny
-    # driver-side collect of at most n_queries * nprobe ints)
-    probe_ids = sorted({r.centroid_id for r in probes.select("centroid_id").distinct().collect()})
+    probe_ids = sorted(probe_ids_set)
     candidates = vecs.filter(F.col("centroid_id").isin(probe_ids))
     scored = (
         probes.join(candidates, "centroid_id")
@@ -868,7 +927,6 @@ def pq_topk(
     from pyspark.sql import types as T
 
     books = _train_pq_np(emb, m, ksub, id_col, vec_col)
-    codes = pq_encode(emb, books, id_col, vec_col)
 
     qrows = (
         queries.filter(F.col(vec_col).isNotNull())
@@ -886,18 +944,40 @@ def pq_topk(
     )
     k2 = k * cand_mult
 
+    vec_type = emb.schema[vec_col].dataType
     out_schema = T.StructType(
         [
             T.StructField("q_id", T.LongType()),
             T.StructField("c_id", T.LongType()),
             T.StructField("adc", T.DoubleType()),
+            T.StructField("c_vec", vec_type),
         ]
     )
 
-    def _adc_scan(batches):
+    def _encode_adc_scan(batches):
+        # r14: encode + ADC fused into ONE Arrow pass (was ArrowEvalPython
+        # _codes followed by MapInPandas _adc_scan — two Python boundary
+        # round trips in the same stage), and each surviving candidate row
+        # carries its RAW vector so the exact re-rank needs no second
+        # corpus scan and no candidate broadcast join (guide §8: move the
+        # heavy bytes once; the carried volume is bounded by
+        # batches x nq x (k2+1) rows, never corpus-sized).  The encode
+        # arithmetic is pq_encode's, element for element; the per-batch
+        # top-(k2+1) cut is batch-boundary-independent (any global top-k2
+        # row ranks <= k2 inside its own batch), so results are identical.
         for pdf in batches:
+            if not len(pdf):
+                continue
             ids = pdf["v_id"].to_numpy()
-            C = np.stack(pdf["codes"].to_numpy())  # (nb, m) int codes
+            raw = pdf["v"].to_numpy()
+            X = np.stack(raw).astype(np.float64)
+            n = np.linalg.norm(X, axis=1, keepdims=True)
+            Xn = X / np.where(n > 0, n, 1.0)
+            C = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                xs = Xn[:, j * dsub : (j + 1) * dsub]
+                d = -2.0 * (xs @ books[j].T) + (books[j] ** 2).sum(axis=1)
+                C[:, j] = np.argmin(d, axis=1)
             # sum_j LUT[j][:, C[:, j]] -> (nq, nb) approximate dot products
             s = lut[0][:, C[:, 0]]
             for j in range(1, m):
@@ -907,28 +987,30 @@ def pq_topk(
             # per-batch top candidates per query; ties -> lower c_id (lexsort)
             order = np.lexsort((np.broadcast_to(ids, s.shape), -s), axis=1)[:, :top]
             qi = np.repeat(np.arange(len(q_ids)), top)
+            flat = order.ravel()
             yield pd.DataFrame(
                 {
                     "q_id": q_ids[qi],
-                    "c_id": ids[order.ravel()],
+                    "c_id": ids[flat],
                     "adc": np.take_along_axis(s, order, axis=1).ravel(),
+                    "c_vec": raw[flat],
                 }
             )
 
-    adc = codes.mapInPandas(_adc_scan, schema=out_schema).filter(
-        F.col("q_id") != F.col("c_id")
+    adc = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("v_id"), F.col(vec_col).alias("v"))
+        .mapInPandas(_encode_adc_scan, schema=out_schema)
+        .filter(F.col("q_id") != F.col("c_id"))
     )
     wa = W.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("c_id"))
     cand = adc.withColumn("rn", F.row_number().over(wa)).filter(F.col("rn") <= k2)
-    # exact re-rank on the candidate set only
-    c = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    # exact re-rank on the candidate set only; the q_id-partitioned stream
+    # already satisfies the final window's distribution, so no new Exchange
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    scored = (
-        cand.select("q_id", "c_id")
-        .join(c, "c_id")
-        .join(F.broadcast(q), "q_id")
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
-    )
+    scored = cand.select("q_id", "c_id", "c_vec").join(
+        F.broadcast(q), "q_id"
+    ).withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1245,13 +1327,15 @@ def _ivfpq_search(
         ]
     )
 
-    def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        cid = int(pdf["centroid_id"].iloc[0])
+    def _score_slice(ids, C, cid):
+        """ADC-score one same-centroid slice against the queries probing
+        it; per-slice top-(k2+1) cut.  Any partitioning into slices gives
+        the same final result: a global top-k2 row ranks <= k2 inside any
+        slice that contains it, so the global window cut downstream sees
+        every survivor (same argument as the per-batch PQ cut)."""
         qi = probing.get(cid)
         if qi is None or not len(qi):
-            return pd.DataFrame({"q_id": [], "c_id": [], "adc": []})
-        ids = pdf["v_id"].to_numpy()
-        C = np.stack(pdf["codes"].to_numpy())
+            return None
         s = lut[0][qi][:, C[:, 0]]
         for j in range(1, m):
             s = s + lut[j][qi][:, C[:, j]]
@@ -1267,10 +1351,27 @@ def _ivfpq_search(
             }
         )
 
-    adc = (
-        enc.groupBy("centroid_id")
-        .applyInPandas(_score_bucket, schema=adc_schema)
-        .filter(F.col("q_id") != F.col("c_id"))
+    def _score_batches(batches):
+        # r14: mapInPandas over the (partition-pruned) code stream instead
+        # of groupBy(centroid_id).applyInPandas — the ADC score needs no
+        # cross-row grouping, only each row's OWN centroid id, so the
+        # bucket Exchange was a whole shuffle stage spent on nothing
+        # (guide §2.4).  Batches may mix centroids; score per same-cid
+        # slice within the batch.
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf["centroid_id"].to_numpy()
+            ids_all = pdf["v_id"].to_numpy()
+            C_all = np.stack(pdf["codes"].to_numpy())
+            for cid in np.unique(cids):
+                mask = cids == cid
+                out = _score_slice(ids_all[mask], C_all[mask], int(cid))
+                if out is not None and len(out):
+                    yield out
+
+    adc = enc.mapInPandas(_score_batches, schema=adc_schema).filter(
+        F.col("q_id") != F.col("c_id")
     )
     wa = W.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("c_id"))
     cand = adc.withColumn("rn", F.row_number().over(wa)).filter(F.col("rn") <= k2)
@@ -1353,17 +1454,22 @@ def ivfpq_search_indexed(
     partition column (PartitionFilters — only probed directories are read),
     ADC + exact re-rank run exactly as the in-memory path, so results are
     identical (asserted in tests)."""
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    # side tables are nlist / m*ksub rows — pyarrow reads them driver-side
+    # with zero Spark jobs (r14; was two scheduled read+collect jobs)
+    cent_rows = _read_parquet_local(f"{path}/centroids").to_pylist()
     cents = np.stack(
-        [np.asarray(r.vec) for r in sorted(cent_rows, key=lambda r: r.centroid_id)]
+        [
+            np.asarray(r["vec"])
+            for r in sorted(cent_rows, key=lambda r: r["centroid_id"])
+        ]
     )
-    book_rows = spark.read.parquet(f"{path}/codebooks").collect()
-    mm = max(r.subspace for r in book_rows) + 1
-    ks = max(r.code for r in book_rows) + 1
-    dsub = len(book_rows[0].vec)
+    book_rows = _read_parquet_local(f"{path}/codebooks").to_pylist()
+    mm = max(r["subspace"] for r in book_rows) + 1
+    ks = max(r["code"] for r in book_rows) + 1
+    dsub = len(book_rows[0]["vec"])
     books = np.empty((mm, ks, dsub))
     for r in book_rows:
-        books[r.subspace, r.code] = r.vec
+        books[r["subspace"], r["code"]] = r["vec"]
     # probe-set partition pruning: nprobe nearest centroids per query,
     # unioned into an IN filter on the partition column (a bounded
     # driver-side computation over the collected query matrix)

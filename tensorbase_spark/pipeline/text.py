@@ -478,6 +478,22 @@ def bm25_topk(
     """
     spark = docs.sparkSession
     term_lists = [(qid, list(dict.fromkeys(qs.lower().split()))) for qid, qs in queries]
+    all_terms = sorted({t for _, ts in term_lists for t in ts})
+    if all_terms and len(all_terms) <= 64:
+        # Small fixed query vocabularies (the retrieval-curation norm: a
+        # handful of probe queries) take the ONE-PASS path: the r14 plan
+        # audit showed this function scanning + re-tokenizing the corpus
+        # FOUR times (tf branch, dfreq branch, dl branch, stats branch —
+        # each its own Generate over the full token stream).  One
+        # doc-keyed aggregation with a conditional-sum column per query
+        # term computes tf AND dl together; corpus stats (avgdl, n_docs,
+        # df per term) come off the persisted per-doc table in one tiny
+        # job, and scores are a fixed JVM expression over the wide
+        # columns — one corpus tokenize per run, one map-side-combined
+        # shuffle whose rows are n_docs, not n_tokens (guide §2.3/§2.4).
+        return _bm25_topk_onepass(
+            docs, term_lists, all_terms, k, k1, b, text_col
+        )
     qdf = spark.createDataFrame(
         [(qid, t) for qid, ts in term_lists for t in ts],
         "q_id long, term string",
@@ -517,6 +533,105 @@ def bm25_topk(
         )
         .groupBy("q_id", "doc_id")
         .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "doc_id", "rank", "score")
+    )
+
+
+def _bm25_topk_onepass(
+    docs: DataFrame,
+    term_lists: list[tuple[int, list[str]]],
+    all_terms: list[str],
+    k: int,
+    k1: float,
+    b: float,
+    text_col: str,
+) -> DataFrame:
+    """One-corpus-pass BM25 for bounded query vocabularies (see bm25_topk).
+
+    Results are identical to the general path: tf per (doc, term) becomes a
+    conditional sum column, dl rides the same aggregation, df/avgdl/n_docs
+    are exact corpus stats read off the persisted per-doc table, and the
+    idf/weight arithmetic is the same JVM double expression (F.log), so the
+    only difference is double-summation order inside a round(…, 6) — the
+    registry's documented hash-stability convention."""
+    from pyspark.storagelevel import StorageLevel
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf_cols = [
+        F.sum(F.when(F.col("term") == F.lit(t), 1).otherwise(0))
+        .cast("long")
+        .alias(f"__tf{i}")
+        for i, t in enumerate(all_terms)
+    ]
+    perdoc = (
+        toks.groupBy("doc_id")
+        .agg(F.count("*").alias("dl"), *tf_cols)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # corpus stats in ONE job off the cached per-doc table: avgdl, n_docs
+    # (docs with >= 1 token, matching the general path's dl-table count),
+    # and per-term document frequencies
+    srow = perdoc.agg(
+        F.avg("dl").alias("avgdl"),
+        F.count("*").cast("double").alias("n_docs"),
+        *[
+            F.sum(F.when(F.col(f"__tf{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"__df{i}")
+            for i in range(len(all_terms))
+        ],
+    ).collect()[0]
+    avgdl, n_docs = float(srow.avgdl), float(srow.n_docs)
+    term_idx = {t: i for i, t in enumerate(all_terms)}
+
+    def _weight(i: int) -> F.Column:
+        tf = F.col(f"__tf{i}").cast("double")
+        # idf stays a JVM log over literal stats — bit-identical to the
+        # general path's expression on the broadcast-joined stats
+        idf = F.log(
+            (F.lit(n_docs) - F.lit(float(srow[f"__df{i}"])) + 0.5)
+            / (F.lit(float(srow[f"__df{i}"])) + 0.5)
+            + 1.0
+        )
+        denom = tf + k1 * (1 - b + b * F.col("dl").cast("double") / F.lit(avgdl))
+        return idf * (tf * (k1 + 1)) / denom  # tf = 0 contributes exactly 0
+
+    per_query = []
+    for qid, ts in term_lists:
+        idxs = [term_idx[t] for t in ts]
+        score = None
+        matched = None
+        for i in idxs:
+            w_i = _weight(i)
+            score = w_i if score is None else score + w_i
+            m_i = F.col(f"__tf{i}") > 0
+            matched = m_i if matched is None else matched | m_i
+        per_query.append(
+            F.struct(
+                F.lit(qid).cast("long").alias("q_id"),
+                F.round(score, 6).alias("score"),
+                matched.alias("__m"),
+            )
+        )
+    scored = (
+        perdoc.select("doc_id", F.explode(F.array(*per_query)).alias("qs"))
+        .select("doc_id", F.col("qs.q_id").alias("q_id"),
+                F.col("qs.score").alias("score"), F.col("qs.__m").alias("__m"))
+        # only docs containing >= 1 query term rank, exactly like the
+        # general path (absent tf rows there == unmatched docs here)
+        .filter(F.col("__m"))
     )
     from pyspark.sql import Window as _W
 

@@ -155,10 +155,22 @@ def corpus_build_end_to_end(spark, sf_dir):
     a pure map, pack window co-partitioned with the final groupBy — 3 data
     shuffles end to end, no Python."""
     from pyspark.sql import Window as W
+    from pyspark.storagelevel import StorageLevel
 
     d = load_table(spark, sf_dir, "documents")
     w_dd = W.partitionBy(F.md5("text")).orderBy("doc_id")
-    dd = d.withColumn("rn", F.row_number().over(w_dd)).filter(F.col("rn") == 1).drop("rn")
+    # persist the deduped corpus: THREE plan branches consume it (the
+    # clean stream plus both contamination sides) and the r14 plan audit
+    # showed the scan+md5-sort+Exchange+window subtree executing three
+    # times — the persist is the local stand-in for materializing the
+    # deduped corpus to storage, which a 100 TB build does anyway
+    # (guide §2.4: remove repeated shuffles outright)
+    dd = (
+        d.withColumn("rn", F.row_number().over(w_dd))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     bench = dd.filter(F.col("source") == "src0")
     corpus = dd.filter(F.col("source") != "src0")

@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 
 from tensorbase_spark.pipeline import dedup, multimodal, sampling, similarity, text
 from tensorbase_spark.queries import Query
-from tensorbase_spark.sources.tables import load_table, parquet_num_rows
+from tensorbase_spark.sources.tables import (
+    load_table,
+    parquet_array_dim,
+    parquet_num_rows,
+)
 
 
 # --- deduplication ----------------------------------------------------------
@@ -305,6 +309,9 @@ def sim_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(
         emb, q, k=5, n_tables=16, min_bits=4, probes=4,
         n=parquet_num_rows(sf_dir, "embeddings"), target_bucket=128,
+        # embedding width from the parquet footer (catalog-schema stand-in)
+        # — deletes the per-run first() probe job (r14)
+        dim=parquet_array_dim(sf_dir, "embeddings", "embedding"),
     )
 
 

@@ -46,6 +46,15 @@ _RUNTIME_CONFS = {
     # The driver's events table stores TIMESTAMP(NANOS) which Spark 4 rejects
     # by default; read as long and convert in the loader (sources/tables.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Commit protocol v2: task-commit moves files straight to the final
+    # location instead of the v1 two-phase job-commit rename cascade.  The
+    # partitioned INSERT paths (engine_ingest_*) commit 32+ task dirs per
+    # write; v1 pays one directory rename per task per partition at job
+    # commit — pure metadata syscalls, serial on the driver.  Safe here:
+    # no speculative execution, single writer, and a failed job leaves
+    # partial files only inside the overwritten-next-run scratch tables
+    # (r14; guide §6 small-files/commit note, §7.3 commit-protocol frames).
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
     # InferFiltersFromGenerate duplicates the generator input expression into
     # a Filter, where higher-order functions (transform/aggregate lambdas)
     # run INTERPRETED per row — measured 17x slower than the codegen Project

@@ -52,6 +52,27 @@ def parquet_num_rows(sf_dir: str, name: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def parquet_array_dim(sf_dir: str, name: str, col: str) -> int:
+    """Element count of an array column's first non-null cell, read
+    driver-side with pyarrow — the fixture stand-in for catalog schema
+    metadata (embedding width), replacing a per-query Spark first() job
+    (r14)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        path = next(
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+    for batch in pq.ParquetFile(path).iter_batches(columns=[col], batch_size=64):
+        for cell in batch.column(0):
+            if cell.is_valid:
+                return len(cell)
+    raise ValueError(f"{name}.{col}: no non-null array cell found")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
