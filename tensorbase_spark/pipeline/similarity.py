@@ -139,16 +139,14 @@ def semantic_contamination(
     )
 
 
-def _train_centroids_np(
-    emb: DataFrame,
-    n_centroids: int,
-    id_col: str,
-    vec_col: str,
-    sample_size: int = 4096,
-    iters: int = 5,
+def _collect_training_sample(
+    emb: DataFrame, id_col: str, vec_col: str, sample_size: int = 4096
 ) -> np.ndarray:
-    """Numpy core of train_centroids: deterministic spherical k-means on the
-    hash-ordered bounded sample.  Returns a (k, dim) unit-row matrix."""
+    """The bounded hash-ordered training sample as a UNIT-NORMALIZED
+    (n, dim) float64 matrix — one collect job, shared by every trainer
+    that needs the same sample (r14: IVF-PQ used to collect the identical
+    rows twice, once for coarse centroids and once for residual
+    codebooks)."""
     sample = (
         emb.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
@@ -158,7 +156,22 @@ def _train_centroids_np(
     )
     x = np.array([r.v for r in sample], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
-    x = x / np.where(norms > 0, norms, 1.0)
+    return x / np.where(norms > 0, norms, 1.0)
+
+
+def _train_centroids_np(
+    emb: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    sample_size: int = 4096,
+    iters: int = 5,
+    x: np.ndarray | None = None,
+) -> np.ndarray:
+    """Numpy core of train_centroids: deterministic spherical k-means on the
+    hash-ordered bounded sample.  Returns a (k, dim) unit-row matrix."""
+    if x is None:
+        x = _collect_training_sample(emb, id_col, vec_col, sample_size)
     k = min(n_centroids, len(x))
     # maximin init: start from row 0 (hash-ordered, so pseudo-random), then
     # repeatedly take the point least similar to its nearest chosen centroid
@@ -239,6 +252,20 @@ def _assign_multi(
     rows = cents.orderBy("centroid_id").collect()
     C = np.array([r.cent_vec for r in rows], dtype=np.float64)
     ids = np.array([r.centroid_id for r in rows], dtype=np.int64)
+    return _assign_multi_np(emb, C, ids, probes, id_col, vec_col)
+
+
+def _assign_multi_np(
+    emb: DataFrame,
+    C: np.ndarray,
+    ids: np.ndarray,
+    probes: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Numpy-core of _assign_multi: callers that already hold the centroid
+    matrix driver-side (they just trained it) skip the DataFrame
+    round-trip collect job (r14)."""
     n_probe = min(probes, len(ids))
 
     from pyspark.sql import types as T
@@ -273,8 +300,31 @@ def assign_centroids(
 
     Returns (centroids, assigned) where assigned has centroid_id per row.
     One broadcast join + one window — a single pass over the corpus."""
-    cents = train_centroids(emb, n_centroids, id_col, vec_col)
-    assigned = _assign_multi(emb, cents, 1, id_col, vec_col)
+    # train once, keep the matrix: building the centroid DataFrame AND
+    # collecting it back (the pre-r14 shape) paid a scheduled job just to
+    # round-trip numpy -> DataFrame -> numpy
+    cents_np = _train_centroids_np(emb, n_centroids, id_col, vec_col)
+    spark = emb.sparkSession
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.LongType(), False),
+            T.StructField("cent_vec", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(v) for v in cents_np[i]]) for i in range(len(cents_np))],
+        schema,
+    )
+    assigned = _assign_multi_np(
+        emb,
+        cents_np,
+        np.arange(len(cents_np), dtype=np.int64),
+        1,
+        id_col,
+        vec_col,
+    )
     return cents, assigned
 
 
@@ -818,6 +868,7 @@ def _train_pq_np(
     vec_col: str,
     sample_size: int = 4096,
     iters: int = 8,
+    x: np.ndarray | None = None,
 ) -> np.ndarray:
     """Deterministic product-quantizer training (FAISS PQ convention, public:
     Jégou et al. 2011 "Product Quantization for Nearest Neighbor Search"):
@@ -825,17 +876,10 @@ def _train_pq_np(
     independent small L2 k-means per subspace on the same bounded
     hash-ordered sample train_centroids uses.  Maximin init + fixed Lloyd
     count, ties to the lowest index — no seeds, bit-identical every run.
-    Returns codebooks of shape (m, ksub, dim//m)."""
-    sample = (
-        emb.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
-        .limit(sample_size)
-        .collect()
-    )
-    x = np.array([r.v for r in sample], dtype=np.float64)
-    norms = np.linalg.norm(x, axis=1, keepdims=True)
-    x = x / np.where(norms > 0, norms, 1.0)
+    Returns codebooks of shape (m, ksub, dim//m).  ``x``: a pre-collected
+    unit-normalized sample matrix (skips the collect job)."""
+    if x is None:
+        x = _collect_training_sample(emb, id_col, vec_col, sample_size)
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -926,15 +970,40 @@ def pq_topk(
     m ints per row in stage 3, k*cand_mult vectors per query in stage 4."""
     from pyspark.sql import types as T
 
-    books = _train_pq_np(emb, m, ksub, id_col, vec_col)
+    # ONE collect job fetches the training sample AND the query set (r14;
+    # they were two scheduled jobs): a tagged union, with the sample branch
+    # re-sorted driver-side by the exact Spark ordering key (md5 of the
+    # stringified id, then id — hashlib.md5 hexdigest == Spark md5() text)
+    # so training sees the identical row order regardless of how the union
+    # returns partitions.
+    import hashlib as _hashlib
 
-    qrows = (
-        queries.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-        .collect()
+    samp_b = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.lit(0).alias("b"),
+            F.col(id_col).alias("i"),
+            F.col(vec_col).alias("v"),
+        )
+        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
+        .limit(4096)
     )
-    q_ids = np.array([r.q_id for r in qrows])
-    Q = np.stack([np.asarray(r.q_vec, dtype=np.float64) for r in qrows])
+    q_b = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.lit(1).alias("b"), F.col(id_col).alias("i"), F.col(vec_col).alias("v")
+    )
+    rows = samp_b.unionByName(q_b).collect()
+    srows = sorted(
+        (r for r in rows if r["b"] == 0),
+        key=lambda r: (_hashlib.md5(str(r["i"]).encode()).hexdigest(), r["i"]),
+    )
+    xs = np.array([r["v"] for r in srows], dtype=np.float64)
+    nn = np.linalg.norm(xs, axis=1, keepdims=True)
+    xs = xs / np.where(nn > 0, nn, 1.0)
+    books = _train_pq_np(emb, m, ksub, id_col, vec_col, x=xs)
+
+    qrows = [r for r in rows if r["b"] == 1]
+    q_ids = np.array([r["i"] for r in qrows])
+    Q = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
     Qn = Q / np.where(qn > 0, qn, 1.0)
     dsub = Q.shape[1] // m
@@ -1202,18 +1271,13 @@ def _train_ivfpq_np(
     vec_col: str,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Driver-side IVF-PQ training on the bounded hash-ordered sample:
-    spherical coarse centroids + per-subspace residual codebooks."""
-    cents = _train_centroids_np(emb, n_centroids, id_col, vec_col)  # unit rows
-    sample = (
-        emb.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
-        .limit(4096)
-        .collect()
-    )
-    xs = np.stack([np.asarray(r.v, dtype=np.float64) for r in sample])
-    n = np.linalg.norm(xs, axis=1, keepdims=True)
-    xs = xs / np.where(n > 0, n, 1.0)
+    spherical coarse centroids + per-subspace residual codebooks.  The
+    sample is collected ONCE and shared between the coarse k-means and the
+    residual codebooks (r14; it was two identical collect jobs)."""
+    xs = _collect_training_sample(emb, id_col, vec_col)
+    cents = _train_centroids_np(
+        emb, n_centroids, id_col, vec_col, x=xs
+    )  # unit rows
     dim = xs.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

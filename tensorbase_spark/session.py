@@ -46,15 +46,12 @@ _RUNTIME_CONFS = {
     # The driver's events table stores TIMESTAMP(NANOS) which Spark 4 rejects
     # by default; read as long and convert in the loader (sources/tables.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
-    # Commit protocol v2: task-commit moves files straight to the final
-    # location instead of the v1 two-phase job-commit rename cascade.  The
-    # partitioned INSERT paths (engine_ingest_*) commit 32+ task dirs per
-    # write; v1 pays one directory rename per task per partition at job
-    # commit — pure metadata syscalls, serial on the driver.  Safe here:
-    # no speculative execution, single writer, and a failed job leaves
-    # partial files only inside the overwritten-next-run scratch tables
-    # (r14; guide §6 small-files/commit note, §7.3 commit-protocol frames).
-    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+    # NOTE (r14, measured): fileoutputcommitter.algorithm.version=2 was
+    # tried for the partitioned INSERT paths and REVERTED — an interleaved
+    # v1/v2 A/B on engine_ingest_partitioned read v1 best 2.20/2.23/2.41 s
+    # vs v2 2.61/2.76/2.90 s (~18% slower): on a local filesystem the v1
+    # job-commit renames are directory moves, while v2 pays per-task
+    # per-file moves inside the commit path.  Keep the v1 default.
     # InferFiltersFromGenerate duplicates the generator input expression into
     # a Filter, where higher-order functions (transform/aggregate lambdas)
     # run INTERPRETED per row — measured 17x slower than the codegen Project
