@@ -460,6 +460,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     text_col: str = "text",
+    onepass_max_terms: int = 64,
 ) -> DataFrame:
     """Distributed BM25 retrieval (Robertson/Spärck Jones; the lexical
     ranking half of every RAG / retrieval-curation pipeline): top-k
@@ -479,7 +480,7 @@ def bm25_topk(
     spark = docs.sparkSession
     term_lists = [(qid, list(dict.fromkeys(qs.lower().split()))) for qid, qs in queries]
     all_terms = sorted({t for _, ts in term_lists for t in ts})
-    if all_terms and len(all_terms) <= 64:
+    if all_terms and len(all_terms) <= onepass_max_terms:
         # Small fixed query vocabularies (the retrieval-curation norm: a
         # handful of probe queries) take the ONE-PASS path: the r14 plan
         # audit showed this function scanning + re-tokenizing the corpus

@@ -1591,3 +1591,56 @@ def test_wav_decode_and_audio_fingerprint(spark):
     fa, fb, fc = (M.audio_energy_fingerprint(x) for x in (a, b, c))
     assert fa == fb  # gain-invariant
     assert fa != fc  # different envelope -> different fingerprint
+
+
+# --- r14 optimization pins -------------------------------------------------
+
+def test_bm25_onepass_matches_general_path(spark):
+    """The r14 one-pass BM25 (tf as conditional sums + literal corpus
+    stats) must reproduce the general explode/join path exactly — same
+    docs, same ranks, same round(score, 6) values."""
+    from tensorbase_spark.pipeline import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark query engine spark spark"),
+            (2, "spark appears once here in a much longer document " + "pad " * 30),
+            (3, "nothing relevant whatsoever in this row"),
+            (4, "query engine without the main term engine"),
+            (5, ""),
+            (6, "query query spark engine table merge sort"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = [(1, "spark query"), (2, "engine table"), (3, "absentterm")]
+    one = sorted(
+        tuple(r) for r in T.bm25_topk(docs, qs, k=4).collect()
+    )
+    gen = sorted(
+        tuple(r)
+        for r in T.bm25_topk(docs, qs, k=4, onepass_max_terms=0).collect()
+    )
+    assert one == gen
+
+
+def test_pq_topk_batch_size_invariant(spark):
+    """The r14 fused encode+ADC emits per-batch top-(k2+1) candidates; the
+    global result must not depend on Arrow batch boundaries (any global
+    top-k2 row ranks <= k2 inside its own batch)."""
+    from tensorbase_spark.pipeline import similarity as S
+
+    SF = "/root/testdata/sf0.001"
+    from tensorbase_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        small = sorted(tuple(r) for r in S.pq_topk(emb, q, k=5).collect())
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        big = sorted(tuple(r) for r in S.pq_topk(emb, q, k=5).collect())
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert small == big

@@ -236,14 +236,17 @@ def test_repetition_filters_codegen_only(spark, queries):
 
 
 def test_ivfpq_bucket_topology(spark, queries):
-    """IVF-PQ's ADC stage must be the per-bucket applyInPandas over
-    centroid_id — the corpus shuffles ONCE on centroid_id and never
-    cross-joins itself."""
+    """IVF-PQ's ADC stage scores the code stream in place (r14): the score
+    needs only each row's OWN centroid id, so the encoded corpus must flow
+    scan -> mapInPandas with NO centroid_id Exchange at all (the pre-r14
+    groupBy(centroid_id).applyInPandas shuffle bought nothing), and the
+    corpus never cross-joins itself."""
     import re
 
     plan = _formatted(spark, queries["sim_ivfpq_topk"](spark, SF))
-    assert "FlatMapGroupsInPandas" in plan
-    assert re.search(r"hashpartitioning\(centroid_id", plan), plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert not re.search(r"hashpartitioning\(centroid_id", plan), plan
     assert "CartesianProduct" not in plan
 
 
