@@ -68,6 +68,18 @@ def main() -> int:
     for name, q in reg.items():
         samples: list[float] = []
         for _ in range(max(runs, 5) if name in noisy else runs):
+            # Measurement-hygiene fix (r15, VERDICT r14 "what's wrong" #2):
+            # queries that persist() an intermediate (bm25 per-doc table,
+            # corpus_build deduped stream, the dedup feature passes)
+            # register plans with the CacheManager, so reps 2..N of the
+            # same query silently reused rep 1's materialization and
+            # best-of-N timed a warm cache (and cached blocks accumulated
+            # across the whole bench).  Clearing between reps makes every
+            # rep compute from the parquet inputs.  This RAISES the
+            # recorded numbers for those queries vs r14's methodology —
+            # the old (warm-rep) numbers live in BENCH_r14.json; the delta
+            # is the cache, not a plan regression.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             # noop sink materializes EVERY column JVM-side (count() would let

@@ -20,10 +20,22 @@ ten WITHOUT changing any distribution a plan depends on:
 
 Output: /tmp/sf1_scale/*.parquet (outside the repo on purpose — derived
 perf fixture, ~10x sf0.1 bytes).  Usage: python scripts_dev_make_sf1.py
+
+r15 (VERDICT r14 #1 / r13 #6 — pin the fixture layout): every table is
+written through a DETERMINISTIC layout — repartitionByRange on its key
+into a fixed partition count + sortWithinPartitions(key) — and the script
+records a manifest (per-file row counts + a per-table content hash:
+sum/xor of xxhash64 over every column) to plans/r15/sf1_manifest.json in
+the repo.  The data itself was always a pure function of sf0.1 (key
+offsets + xxhash salting); pinning the file/row-group layout makes
+BENCH_sf1 runs comparable across rounds — scan parallelism and row-group
+boundaries no longer depend on whatever parallelism the generating
+session happened to have.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import functions as F
@@ -45,18 +57,66 @@ STRIDE = {
     "embeddings": 2000,
 }
 
+# deterministic layout: (sort/range key, output file count) per table.
+# File counts keep scan-task sizing in the driver-bench's working range
+# (lineitem ~6M rows -> 16 files of ~375k rows; dims 1-2 files).
+LAYOUT = {
+    "region": ("r_regionkey", 1),
+    "nation": ("n_nationkey", 1),
+    "customer": ("c_custkey", 2),
+    "supplier": ("s_suppkey", 1),
+    "part": ("p_partkey", 2),
+    "orders": ("o_orderkey", 8),
+    "lineitem": ("l_orderkey", 16),
+    "events": ("event_id", 8),
+    "documents": ("doc_id", 4),
+    "embeddings": ("vec_id", 2),
+}
+
 
 def main() -> None:
     spark = get_spark("make_sf1")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(DST, exist_ok=True)
+    manifest: dict[str, dict] = {}
 
     def src(name):
         return spark.read.parquet(f"{SRC}/{name}.parquet")
 
     def write(df, name):
-        df.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
-        print(f"{name}: {spark.read.parquet(f'{DST}/{name}.parquet').count()} rows")
+        key, nfiles = LAYOUT[name]
+        out = (
+            df.repartitionByRange(nfiles, F.col(key))
+            .sortWithinPartitions(key)
+        )
+        out.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+        back = spark.read.parquet(f"{DST}/{name}.parquet")
+        cols = [F.col(c).cast("string") for c in sorted(back.columns)]
+        agg = back.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64(*cols)).alias("hsum"),
+        ).collect()[0]
+        import pyarrow.parquet as pq
+
+        files = sorted(
+            f for f in os.listdir(f"{DST}/{name}.parquet") if f.endswith(".parquet")
+        )
+        manifest[name] = {
+            "rows": agg.n,
+            "content_hash_sum": agg.hsum,
+            "files": [
+                {
+                    "rows": pq.ParquetFile(
+                        os.path.join(f"{DST}/{name}.parquet", f)
+                    ).metadata.num_rows,
+                    "row_groups": pq.ParquetFile(
+                        os.path.join(f"{DST}/{name}.parquet", f)
+                    ).metadata.num_row_groups,
+                }
+                for f in files
+            ],
+        }
+        print(f"{name}: {agg.n} rows, hash_sum {agg.hsum}")
 
     for name in ("region", "nation"):
         write(src(name), name)
@@ -146,6 +206,14 @@ def main() -> None:
         ),
     )
     write(noisy.drop("__copy"), "embeddings")
+    man_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "plans", "r15",
+        "sf1_manifest.json",
+    )
+    os.makedirs(os.path.dirname(man_path), exist_ok=True)
+    with open(man_path, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    print(f"manifest -> {man_path}")
     spark.stop()
 
 

@@ -426,12 +426,17 @@ def ngram_jaccard_pairs(
             F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"),
         )
     else:
-        # small known corpus: plain 64-bit hash order, all-JVM prefix
+        # small known corpus: plain 64-bit hash order, all-JVM prefix.
+        # bigram_hash_set returns the array SORTED ASCENDING (its r15
+        # contract), so the prefix is a plain slice — the array_sort that
+        # used to run here executed an interpreted lambda comparator
+        # inside BOTH self-join Generate branches (guide §4.2: the sort
+        # belongs in the vectorized Arrow pass that builds the array).
         plen = (F.floor(F.size("bg") * F.lit(1.0 - threshold)) + 1).cast("int")
         pref = d.select(
             "doc_id", "lang", "nc", F.size("bg").alias("sz"),
             F.posexplode(
-                F.slice(F.array_sort("bg"), F.lit(1), plen)
+                F.slice(F.col("bg"), F.lit(1), plen)
             ).alias("pos", "gram"),
         )
     a_keys = pref.alias("a")

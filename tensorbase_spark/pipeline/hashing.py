@@ -184,7 +184,17 @@ def bigram_hash_set(texts: pd.Series) -> pd.Series:
     """Distinct 64-bit hashes of single-space word bigrams — EXACTLY the
     bigram definition of the ngram_jaccard DuckDB oracle (split on the
     literal ' ' keeping empties; w[i] + ' ' + w[i+1]); empty array for docs
-    under two words, so those never contribute to |intersect| or |union|."""
+    under two words, so those never contribute to |intersect| or |union|.
+
+    CONTRACT (r15): the array is SORTED ASCENDING.  ngram_jaccard_pairs'
+    hash-order prefix path slices the first floor((1-t)|bg|)+1 elements
+    directly off it — the r14 plan ran an array_sort with an interpreted
+    lambda comparator inside BOTH self-join Generate branches, i.e. two
+    comparison-at-a-time sorts per doc per run, where one vectorized
+    np.sort in the Arrow pass that already builds the array does the same
+    work once (guide §4.2).  Jaccard itself (array_intersect/array_union)
+    and the df-order prefix UDF are order-insensitive, so results are
+    identical."""
     out = []
     for t in texts:
         w = (t if t is not None else "").split(" ")
@@ -195,5 +205,5 @@ def bigram_hash_set(texts: pd.Series) -> pd.Series:
             h64_bytes((w[i] + " " + w[i + 1]).encode("utf-8", "surrogatepass"))
             for i in range(len(w) - 1)
         }
-        out.append(np.fromiter(seen, dtype=np.int64))
+        out.append(np.sort(np.fromiter(seen, dtype=np.int64)))
     return pd.Series(out)

@@ -790,6 +790,7 @@ def ivf_search_indexed(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_collect: int = 10000,
 ) -> DataFrame:
     """Search a persisted IVF index.  The probe set becomes an IN filter on
     the partition column, so the scan shows PartitionFilters and touches only
@@ -801,7 +802,15 @@ def ivf_search_indexed(
     centroid_id asc) order — replacing a crossJoin+window job, a
     localCheckpoint materialization and a distinct-collect job with one
     numpy pass (guide §1.2 step 1: remove whole jobs before tuning them).
-    Equality with the in-memory IVF path stays pinned in tests."""
+    Equality with the in-memory IVF path stays pinned in tests.
+
+    r15 (VERDICT r14 #6): the driver-side ranking only runs when the query
+    set is small enough to collect safely — above ``max_query_collect``
+    rows the pre-r14 distributed probe ranking (crossJoin + window over
+    broadcast centroids) takes over, so a large query table can never OOM
+    the driver.  Both paths produce identical results (pinned in tests:
+    the ranking is the same (cos desc, centroid_id asc) order with the
+    same NULLS-LAST behavior)."""
     crows = _read_parquet_local(f"{path}/centroids").to_pylist()
     crows.sort(key=lambda r: r["centroid_id"])
     C = np.array([r["cent_vec"] for r in crows], dtype=np.float64)
@@ -809,7 +818,11 @@ def ivf_search_indexed(
     vecs = spark.read.parquet(f"{path}/vectors")
     qrows = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-    ).collect()
+    ).limit(max_query_collect + 1).collect()
+    if len(qrows) > max_query_collect:
+        return _ivf_search_indexed_distributed(
+            spark, C, cent_ids, vecs, queries, k, nprobe, id_col, vec_col
+        )
     n_probe = min(nprobe, len(cent_ids))
     probe_rows = []
     probe_ids_set: set[int] = set()
@@ -857,6 +870,66 @@ def ivf_search_indexed(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", F.col(id_col).alias("c_id"), "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+def _ivf_search_indexed_distributed(
+    spark,
+    C: np.ndarray,
+    cent_ids: np.ndarray,
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Distributed probe ranking for query sets too large to collect (the
+    pre-r14 plan shape): queries stay a DataFrame, each crossJoins the
+    broadcast centroid table and a per-query window keeps the nprobe best
+    (cos desc, centroid_id asc) — identical ranking to the driver-side
+    numpy path, including NULL query vectors falling to the first nprobe
+    centroid ids (NULL cosines sort last, ties break on centroid_id)."""
+    from pyspark.sql import types as T
+
+    cent_schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.LongType(), False),
+            T.StructField("cent_vec", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+    cents = spark.createDataFrame(
+        [(int(cent_ids[i]), [float(x) for x in C[i]]) for i in range(len(cent_ids))],
+        cent_schema,
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    q_cent = q.crossJoin(F.broadcast(cents)).withColumn(
+        "cos_c", cosine(F.col("q_vec"), F.col("cent_vec"))
+    )
+    wq = W.partitionBy("q_id").orderBy(F.col("cos_c").desc(), F.col("centroid_id"))
+    probes = (
+        q_cent.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "q_vec", "centroid_id")
+        .localCheckpoint()  # the collect below would otherwise re-run the
+    )                       # centroid scoring when the returned plan executes
+    probe_ids = sorted(
+        {r.centroid_id for r in probes.select("centroid_id").distinct().collect()}
+    )
+    candidates = vecs.filter(F.col("centroid_id").isin(probe_ids))
+    scored = (
+        probes.join(candidates, "centroid_id")
+        .filter(F.col("q_id") != F.col(id_col))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col(vec_col)))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", F.col(id_col).alias("c_id"), "rank",
+            F.round("cos", 6).alias("cos"),
+        )
     )
 
 
@@ -978,6 +1051,19 @@ def pq_topk(
     # returns partitions.
     import hashlib as _hashlib
 
+    from pyspark.sql import types as _T
+
+    # the driver-side re-sort below replays Spark's md5(cast(id as string))
+    # ordering via hashlib.md5(str(id)) — only valid when Python's str()
+    # rendering equals Spark's string cast, i.e. integral/string ids
+    # (ADVICE r14: float/decimal/timestamp ids would silently reorder the
+    # training sample).  Other id types take the separate Spark-ordered
+    # sample collect instead.
+    _id_dt = emb.schema[id_col].dataType
+    _union_ok = isinstance(
+        _id_dt,
+        (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType, _T.StringType),
+    )
     samp_b = (
         emb.filter(F.col(vec_col).isNotNull())
         .select(
@@ -991,11 +1077,15 @@ def pq_topk(
     q_b = queries.filter(F.col(vec_col).isNotNull()).select(
         F.lit(1).alias("b"), F.col(id_col).alias("i"), F.col(vec_col).alias("v")
     )
-    rows = samp_b.unionByName(q_b).collect()
-    srows = sorted(
-        (r for r in rows if r["b"] == 0),
-        key=lambda r: (_hashlib.md5(str(r["i"]).encode()).hexdigest(), r["i"]),
-    )
+    if _union_ok:
+        rows = samp_b.unionByName(q_b).collect()
+        srows = sorted(
+            (r for r in rows if r["b"] == 0),
+            key=lambda r: (_hashlib.md5(str(r["i"]).encode()).hexdigest(), r["i"]),
+        )
+    else:
+        srows = samp_b.collect()  # Spark-ordered: no driver-side re-sort
+        rows = srows + q_b.collect()  # b-tags still partition the two sets
     xs = np.array([r["v"] for r in srows], dtype=np.float64)
     nn = np.linalg.norm(xs, axis=1, keepdims=True)
     xs = xs / np.where(nn > 0, nn, 1.0)
@@ -1013,27 +1103,31 @@ def pq_topk(
     )
     k2 = k * cand_mult
 
-    vec_type = emb.schema[vec_col].dataType
     out_schema = T.StructType(
         [
             T.StructField("q_id", T.LongType()),
             T.StructField("c_id", T.LongType()),
             T.StructField("adc", T.DoubleType()),
-            T.StructField("c_vec", vec_type),
+            T.StructField("cos", T.DoubleType()),
         ]
     )
 
     def _encode_adc_scan(batches):
-        # r14: encode + ADC fused into ONE Arrow pass (was ArrowEvalPython
-        # _codes followed by MapInPandas _adc_scan — two Python boundary
-        # round trips in the same stage), and each surviving candidate row
-        # carries its RAW vector so the exact re-rank needs no second
-        # corpus scan and no candidate broadcast join (guide §8: move the
-        # heavy bytes once; the carried volume is bounded by
-        # batches x nq x (k2+1) rows, never corpus-sized).  The encode
-        # arithmetic is pq_encode's, element for element; the per-batch
-        # top-(k2+1) cut is batch-boundary-independent (any global top-k2
-        # row ranks <= k2 inside its own batch), so results are identical.
+        # r14 fused encode + ADC into ONE Arrow pass; r15 (VERDICT r14 #5
+        # and what's-wrong #4) additionally computes the EXACT cosine for
+        # each per-batch survivor inside the same pass: the raw query
+        # matrix and the batch's raw vectors are both already in hand, so
+        # the re-rank's broadcast join + second Python eval + the
+        # post-ArrowEvalPython re-shuffle disappear from the plan, and
+        # candidate rows carry two doubles instead of the raw vector
+        # (the r14 carried-vector volume is gone entirely).  The cosine
+        # arithmetic is _cosine_pudf's, op for op: float64 stacks of the
+        # raw vectors, one einsum for num, two for the norms, 0.0 for
+        # zero norms — bit-identical to the r14 join re-rank (verified by
+        # result-set equality sweeps + the sim_pq_rerank_full oracle).
+        # The per-batch top-(k2+1) cut is batch-boundary-independent (any
+        # global top-k2 row ranks <= k2 inside its own batch), so results
+        # are identical under any partitioning.
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1057,12 +1151,19 @@ def pq_topk(
             order = np.lexsort((np.broadcast_to(ids, s.shape), -s), axis=1)[:, :top]
             qi = np.repeat(np.arange(len(q_ids)), top)
             flat = order.ravel()
+            ma = Q[qi]        # raw float64 queries, row per candidate pair
+            mb = X[flat]      # raw float64 batch vectors
+            num = np.einsum("ij,ij->i", ma, mb)
+            den = np.sqrt(np.einsum("ij,ij->i", ma, ma)) * np.sqrt(
+                np.einsum("ij,ij->i", mb, mb)
+            )
+            cos = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
             yield pd.DataFrame(
                 {
                     "q_id": q_ids[qi],
                     "c_id": ids[flat],
                     "adc": np.take_along_axis(s, order, axis=1).ravel(),
-                    "c_vec": raw[flat],
+                    "cos": cos,
                 }
             )
 
@@ -1074,15 +1175,11 @@ def pq_topk(
     )
     wa = W.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("c_id"))
     cand = adc.withColumn("rn", F.row_number().over(wa)).filter(F.col("rn") <= k2)
-    # exact re-rank on the candidate set only; the q_id-partitioned stream
-    # already satisfies the final window's distribution, so no new Exchange
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    scored = cand.select("q_id", "c_id", "c_vec").join(
-        F.broadcast(q), "q_id"
-    ).withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    # exact re-rank over the already-carried cos column: both windows are
+    # q_id-partitioned, so they share ONE Exchange — no joins after the scan
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "rank", F.round("cos", 6).alias("cos"))
     )
@@ -1256,9 +1353,133 @@ def ivfpq_topk(
     are centered near zero, so the same codebook budget quantizes them
     ~one centroid-radius finer than raw vectors."""
     cents, books = _train_ivfpq_np(emb, n_centroids, m, ksub, id_col, vec_col)
-    enc = _ivfpq_encode(emb, cents, books, id_col, vec_col)
-    return _ivfpq_search(
-        enc, emb, queries, cents, books, k, nprobe, cand_mult, id_col, vec_col
+    return _ivfpq_topk_fused(
+        emb, queries, cents, books, k, nprobe, cand_mult, id_col, vec_col
+    )
+
+
+def _ivfpq_topk_fused(
+    emb: DataFrame,
+    queries: DataFrame,
+    cents: np.ndarray,
+    books: np.ndarray,
+    k: int,
+    nprobe: int,
+    cand_mult: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """In-memory IVF-PQ search as ONE corpus pass (r15, VERDICT r14 #7):
+    encode (nearest centroid + residual codes), per-centroid-slice ADC,
+    AND the exact cosine for each per-slice survivor — all inside a single
+    mapInPandas over the raw embeddings.  The r14 shape ran TWO chained
+    Python stages (encode, then score) and re-ranked by joining the
+    candidate ids back against a SECOND full scan of the embeddings plus a
+    broadcast-join of the queries and a third Python eval; with the raw
+    vectors already in hand inside the scan, all of that collapses to two
+    q_id-partitioned windows sharing one Exchange.  Every piece of
+    arithmetic is element-for-element the r14 code's (_ivfpq_encode's
+    encode, _score_slice's LUT+sim_qc ADC, _cosine_pudf's float64 einsum
+    cosine), and per-slice top-(k2+1) cuts are slice-boundary-independent,
+    so results are bit-identical (pinned by the indexed-vs-memory equality
+    test and the sim_ivfpq_full_cover oracle).  The INDEXED path keeps the
+    join re-rank: its code table deliberately stores m-byte codes, not raw
+    vectors (_ivfpq_search)."""
+    from pyspark.sql import types as T
+
+    m, _ks, dsub = books.shape
+    nlist = len(cents)
+    qrows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .collect()
+    )
+    q_ids = np.array([r.q_id for r in qrows])
+    Q = np.stack([np.asarray(r.q_vec, dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / np.where(qn > 0, qn, 1.0)
+    sim_qc = Qn @ cents.T
+    order_q = np.argsort(-sim_qc, axis=1)[:, : min(nprobe, nlist)]
+    probing = {
+        int(c): np.nonzero((order_q == c).any(axis=1))[0] for c in range(nlist)
+    }
+    lut = np.stack(
+        [Qn[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)]
+    )
+    k2 = k * cand_mult
+
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("c_id", T.LongType()),
+            T.StructField("adc", T.DoubleType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def _scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["v_id"].to_numpy()
+            raw = pdf["v"].to_numpy()
+            X = np.stack(raw).astype(np.float64)
+            nn = np.linalg.norm(X, axis=1, keepdims=True)
+            Xn = X / np.where(nn > 0, nn, 1.0)
+            cid = np.argmax(Xn @ cents.T, axis=1)
+            R = Xn - cents[cid]
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                rj = R[:, j * dsub : (j + 1) * dsub]
+                d = -2.0 * (rj @ books[j].T) + (books[j] ** 2).sum(axis=1)
+                codes[:, j] = np.argmin(d, axis=1)
+            for c in np.unique(cid):
+                qi = probing.get(int(c))
+                if qi is None or not len(qi):
+                    continue
+                mask = cid == c
+                sids = ids[mask]
+                C = codes[mask]
+                s = lut[0][qi][:, C[:, 0]]
+                for j in range(1, m):
+                    s = s + lut[j][qi][:, C[:, j]]
+                s = s + sim_qc[qi, int(c)][:, None]
+                top = min(k2 + 1, len(sids))
+                o = np.lexsort((np.broadcast_to(sids, s.shape), -s), axis=1)[
+                    :, :top
+                ]
+                rep = np.repeat(qi, top)
+                flat = o.ravel()
+                sel = np.nonzero(mask)[0][flat]
+                ma = Q[rep]
+                mb = X[sel]
+                num = np.einsum("ij,ij->i", ma, mb)
+                den = np.sqrt(np.einsum("ij,ij->i", ma, ma)) * np.sqrt(
+                    np.einsum("ij,ij->i", mb, mb)
+                )
+                cos = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
+                yield pd.DataFrame(
+                    {
+                        "q_id": q_ids[rep],
+                        "c_id": sids[flat],
+                        "adc": np.take_along_axis(s, o, axis=1).ravel(),
+                        "cos": cos,
+                    }
+                )
+
+    adc = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("v_id"), F.col(vec_col).alias("v"))
+        .mapInPandas(_scan, schema=out_schema)
+        .filter(F.col("q_id") != F.col("c_id"))
+    )
+    wa = W.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("c_id"))
+    cand = adc.withColumn("rn", F.row_number().over(wa)).filter(F.col("rn") <= k2)
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", F.round("cos", 6).alias("cos"))
     )
 
 

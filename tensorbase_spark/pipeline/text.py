@@ -612,6 +612,11 @@ def _bm25_topk_onepass(
     per_query = []
     for qid, ts in term_lists:
         idxs = [term_idx[t] for t in ts]
+        if not idxs:
+            # a query whose string tokenizes to zero terms returns no rows
+            # on the general path; building F.round(None, 6) here would
+            # raise at plan build (ADVICE r14) — skip it the same way
+            continue
         score = None
         matched = None
         for i in idxs:

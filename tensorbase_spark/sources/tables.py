@@ -61,15 +61,23 @@ def parquet_array_dim(sf_dir: str, name: str, col: str) -> int:
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.isdir(path):
-        path = next(
+        # every part file is probed before giving up: the first (sorted)
+        # part's column can legitimately be all-null while later parts
+        # hold real cells (ADVICE r14)
+        parts = [
             os.path.join(path, f)
             for f in sorted(os.listdir(path))
             if f.endswith(".parquet")
-        )
-    for batch in pq.ParquetFile(path).iter_batches(columns=[col], batch_size=64):
-        for cell in batch.column(0):
-            if cell.is_valid:
-                return len(cell)
+        ]
+    else:
+        parts = [path]
+    for part in parts:
+        for batch in pq.ParquetFile(part).iter_batches(
+            columns=[col], batch_size=64
+        ):
+            for cell in batch.column(0):
+                if cell.is_valid:
+                    return len(cell)
     raise ValueError(f"{name}.{col}: no non-null array cell found")
 
 

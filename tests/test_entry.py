@@ -27,12 +27,24 @@ def test_queries_and_oracles_consistent():
     assert len(osql) >= 0.85 * len(qs)
 
 
-def test_all_queries_return_dataframe(spark):
-    SF0001 = "/root/testdata/sf0.001"
+def test_entry_queries_wrap_registry(spark):
+    """The entry wrappers must expose exactly the registry and build
+    working DataFrames through the tune_session wrapper.
 
+    r15 (VERDICT r14 #2): this test used to BUILD all ~321 queries — 437 s
+    of the 39-minute profile run — duplicating work the oracle sweep
+    already does: tests/test_oracle_parity.py builds AND EXECUTES every
+    registry query at sf0.001 (compare_query for the oracle-backed set,
+    count() for the rows-only set).  The entry contract itself — wrapper
+    keys match the registry, wrappers apply tune_session and return the
+    underlying DataFrame — is fully exercised by a spot-build."""
+    from tensorbase_spark.queries import registry
+
+    SF0001 = "/root/testdata/sf0.001"
     qs = entrymod.queries()
-    for name, fn in qs.items():
-        df = fn(spark, SF0001)
+    assert set(qs) == set(registry())
+    for name in ("q1_pricing_summary", "dedup_exact", "events_sessionize"):
+        df = qs[name](spark, SF0001)
         assert df.columns, f"{name} returned no columns"
 
 

@@ -2,13 +2,26 @@
 
 This is a local replica of the driver's CORRECTNESS gate (row count + sorted
 column names + order-insensitive value hash).  The driver runs the same
-procedure at sf0.01; sf0.001 keeps the suite fast for in-loop iteration."""
+procedure at sf0.01; sf0.001 keeps the suite fast for in-loop iteration.
+
+r15 (VERDICT r14 #2 — the 43-minute suite outran the driver's window, so
+tests_ok read false with zero failures): the sweep now runs STATELESS
+queries (pure reads of the fixture parquet — dialect scalars, TPC-H,
+text/dedup/similarity/corpus transforms) through a small thread pool,
+chunked so failures still name the query.  Spark's scheduler runs
+concurrent jobs from driver threads natively (optimization guide §2.6) and
+each worker thread holds its own DuckDB connection.  Queries with shared
+mutable state (engine DDL/catalog, wire doors, streaming checkpoints,
+source-file fixtures: tags engine/sources/wire/streaming) keep the
+sequential one-test-per-query form — concurrency there could race on
+catalog or filesystem state and manufacture flakes.  Coverage is
+IDENTICAL: every oracle-backed query still passes through compare_query."""
 
 from __future__ import annotations
 
 import pytest
 
-from tensorbase_spark.oracle import compare_query
+from tensorbase_spark.oracle import compare_query, duckdb_connection
 from tensorbase_spark.queries import registry
 
 SF0001 = "/root/testdata/sf0.001"
@@ -17,14 +30,67 @@ _REG = registry()
 _WITH_ORACLE = sorted(name for name, q in _REG.items() if q.oracle is not None)
 _ROWS_ONLY = sorted(name for name, q in _REG.items() if q.oracle is None)
 
+# tags whose queries mutate shared state (engine catalog/warehouse, wire
+# servers, streaming checkpoints, written source files) — never threaded
+_STATEFUL_TAGS = {"engine", "sources", "wire", "streaming"}
+_SEQ = [n for n in _WITH_ORACLE if set(_REG[n].tags) & _STATEFUL_TAGS]
+_PAR = [n for n in _WITH_ORACLE if not (set(_REG[n].tags) & _STATEFUL_TAGS)]
+_N_CHUNKS = 8
+_N_THREADS = 4
 
-@pytest.mark.parametrize("name", _WITH_ORACLE)
-def test_oracle_parity(spark, duck, name):
+
+def _check_one(spark, con, name: str) -> list[str]:
     q = _REG[name]
-    r = compare_query(spark, duck, name, q.fn, q.oracle, SF0001)
-    assert r.spark_rows == r.oracle_rows, f"{name}: row count {r.spark_rows} != {r.oracle_rows}"
-    assert r.cols_match, f"{name}: columns {r.spark_cols} != {r.oracle_cols}"
-    assert r.hash_match, f"{name}: value hash mismatch"
+    r = compare_query(spark, con, name, q.fn, q.oracle, SF0001)
+    errs = []
+    if r.spark_rows != r.oracle_rows:
+        errs.append(f"row count {r.spark_rows} != {r.oracle_rows}")
+    if not r.cols_match:
+        errs.append(f"columns {r.spark_cols} != {r.oracle_cols}")
+    if not r.hash_match:
+        errs.append("value hash mismatch")
+    return errs
+
+
+def _run_chunk(spark, chunk: int) -> list[str]:
+    con = duckdb_connection(SF0001)
+    bad = []
+    for name in _PAR[chunk::_N_CHUNKS]:
+        try:
+            errs = _check_one(spark, con, name)
+        except Exception as e:  # build/compare error — report, don't hang
+            errs = [f"{type(e).__name__}: {e}"]
+        if errs:
+            bad.append(f"{name}: " + "; ".join(errs))
+    return bad
+
+
+_sweep: dict = {}
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _background_sweep(spark):
+    """Launch the stateless-query sweep on a small thread pool as soon as
+    this module starts, so it overlaps the sequential stateful tests below
+    (guide §2.6: concurrent jobs from driver threads back-fill each
+    other's stage tails; most of these single-job queries leave almost
+    every core idle).  The PAR set touches no engine/wire/streaming state,
+    so it cannot race the sequential set; each worker owns a private
+    DuckDB connection.  test_oracle_parity_parallel joins and asserts."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(max_workers=_N_THREADS)
+    _sweep["futures"] = {
+        chunk: ex.submit(_run_chunk, spark, chunk) for chunk in range(_N_CHUNKS)
+    }
+    yield
+    ex.shutdown(wait=False, cancel_futures=True)
+
+
+@pytest.mark.parametrize("name", _SEQ)
+def test_oracle_parity(spark, duck, name):
+    errs = _check_one(spark, duck, name)
+    assert not errs, f"{name}: " + "; ".join(errs)
 
 
 def test_oracle_gate_rejects_array_outputs(spark, duck):
@@ -105,3 +171,13 @@ def test_rows_only_queries_run(spark, name):
     df = _REG[name].fn(spark, SF0001)
     assert df.columns, name
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize("chunk", range(_N_CHUNKS))
+def test_oracle_parity_parallel(chunk):
+    """Join one background chunk of the stateless sweep (chunk c holds
+    every _N_CHUNKS-th name of the PAR set); failures name the query.
+    Defined LAST in the module so every earlier test in this file overlaps
+    the pool's wall time."""
+    bad = _sweep["futures"][chunk].result(timeout=1800)
+    assert not bad, "\n".join(bad)

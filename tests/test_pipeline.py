@@ -512,6 +512,24 @@ def test_ivf_indexed_matches_in_memory(spark, tmp_path):
     assert "PartitionFilters: [centroid_id" in plan
 
 
+def test_ivf_indexed_distributed_fallback_matches(spark, tmp_path):
+    """VERDICT r14 #6: above max_query_collect the indexed search must
+    switch to the distributed probe-ranking path (no full query collect)
+    and return results identical to the driver-side path."""
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 20 == 0)  # 5 queries
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, idx, n_centroids=16)
+    driver_side = similarity.ivf_search_indexed(spark, idx, q, k=5, nprobe=8)
+    # max_query_collect=2 < 5 queries -> forces the distributed fallback
+    dist = similarity.ivf_search_indexed(
+        spark, idx, q, k=5, nprobe=8, max_query_collect=2
+    )
+    assert {tuple(r) for r in dist.collect()} == {
+        tuple(r) for r in driver_side.collect()
+    }
+
+
 def test_salted_join_matches_plain_join(spark):
     from tensorbase_spark.operators.skew import salted_join
 
@@ -1621,6 +1639,24 @@ def test_bm25_onepass_matches_general_path(spark):
         for r in T.bm25_topk(docs, qs, k=4, onepass_max_terms=0).collect()
     )
     assert one == gen
+
+
+def test_bm25_empty_term_query_returns_no_rows(spark):
+    """ADVICE r14: a query string that tokenizes to zero terms used to
+    crash the one-pass path at plan build (F.round(None, 6)); it must
+    instead return no rows for that query — the general path's behavior —
+    while other queries in the same call still rank."""
+    from tensorbase_spark.pipeline import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "spark engine"), (2, "other text")], "doc_id long, text string"
+    )
+    out = T.bm25_topk(docs, [(1, "   "), (2, "spark")], k=3).collect()
+    assert {r.q_id for r in out} == {2}
+    gen = T.bm25_topk(
+        docs, [(1, "   "), (2, "spark")], k=3, onepass_max_terms=0
+    ).collect()
+    assert sorted(tuple(r) for r in out) == sorted(tuple(r) for r in gen)
 
 
 def test_pq_topk_batch_size_invariant(spark):
