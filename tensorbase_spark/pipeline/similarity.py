@@ -77,26 +77,140 @@ def cosine(a, b) -> F.Column:
     return _cosine_pudf(a, b)
 
 
+def _spread(
+    df: DataFrame, id_col: str, n: int | None, rows_per_task: int = 2000
+) -> DataFrame:
+    """Spread a corpus DataFrame ahead of a compute-bound Python scan when
+    the scan is starved for parallelism — sized by DATA, never by core
+    count alone.
+
+    Why (r15): the driver's fixture embeddings are 1-2 parquet files (one
+    row group each — unsplittable), so every mapInPandas/Arrow pass over
+    them ran as 1-2 TASKS regardless of core count — PERF_r14's scaling
+    block read ~1.0 for the whole ANN family at 8 vs 32 cores because the
+    corpus scans were single-task, and the pinned sf1 fixture made
+    sim_pq_topk/sim_brute_force 4-6x slower than their probe-normalized
+    expectation.  The dedup module has spread its doc scans this way since
+    r2 (dedup._repartitioned).
+
+    Sizing: target = ceil(n / rows_per_task) capped at the configured
+    parallelism — ~2000-row slices amortize the per-task Arrow + numpy
+    fixed costs (a measured spread-to-32 of a 2000-row corpus LOST 15-25%
+    at sf0.1: 62-row batches are all overhead).  Callers pass ``n`` from
+    catalog stats / parquet footers (the registry wrappers do); with n
+    unknown the input is left alone — no surprise shuffles for library
+    callers or tiny test fixtures.  When the scan already has >= target
+    partitions (the 100 TB case: thousands of files) this is a no-op, so
+    the shuffle only ever exists where the file layout starves the scan
+    (guide §2: scale-adaptive partitioning, not a constant tuned for one
+    mode).  Row-level results are unaffected: every consumer is either
+    per-row (encode/bucketize/assign) or a per-batch top-cut proven
+    batch-boundary-independent."""
+    from tensorbase_spark.session import default_parallelism
+
+    if n is None:
+        return df
+    target = min(default_parallelism(), max(1, -(-int(n) // rows_per_task)))
+    if target <= 1 or df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(id_col))
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: every query x corpus pair, ranked per query.
 
-    queries is expected to be small (it is broadcast); the corpus side
-    streams — no shuffle of the corpus at all, and the per-query top-k is a
-    window over the query partition."""
-    q = queries.select(
+    r15: ONE mapInPandas over the corpus with the collected query matrix
+    in the closure, emitting each Arrow batch's top-(k+1) rows per query
+    (the +1 absorbs a query matching itself; any global top-k row ranks
+    <= k+1 inside its own batch, so the cut is batch-boundary
+    independent).  The r14 shape crossJoined corpus x broadcast(queries)
+    and scored the PAIR stream through a pandas UDF — n·nq materialized
+    JVM rows and every corpus vector crossing the Python boundary nq
+    times (at sf1: 4M pair rows ~ 4 GB of duplicated vectors through
+    Arrow).  Now the corpus crosses ONCE and the window input is
+    batches x nq x (k+1) skinny rows.  The per-pair arithmetic is
+    _cosine_pudf's float64 einsum, op for op — per-row reductions are
+    independent of batch composition, so scores are bit-identical
+    (verified old-vs-new at sf0.01/sf0.1 + the SQL oracle hash).
+    NULL semantics preserved exactly: a NULL query or corpus vector
+    scores NaN -> Arrow null -> Spark NULL, which sorts NULLS LAST under
+    cos DESC with the c_id tiebreak — np.lexsort places NaN last the
+    same way."""
+    from pyspark.sql import types as T
+
+    qrows = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    q_ids = np.array([r.q_id for r in qrows])
+    q_vecs = [
+        None if r.q_vec is None else np.asarray(r.q_vec, dtype=np.float64)
+        for r in qrows
+    ]
+    top_n = k + 1
+
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("c_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
     )
-    c = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+
+    def _scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["c_id"].to_numpy()
+            raw = pdf["c_vec"].to_numpy()
+            valid = np.array([v is not None for v in raw])
+            nb = len(ids)
+            X = (
+                np.stack(raw[valid]).astype(np.float64)
+                if valid.any()
+                else np.empty((0, 1))
+            )
+            nx = np.sqrt(np.einsum("ij,ij->i", X, X)) if len(X) else X[:, 0]
+            s = np.full((len(q_ids), nb), np.nan)
+            for qi, qv in enumerate(q_vecs):
+                if qv is None or not valid.any():
+                    continue
+                ma = np.broadcast_to(qv, X.shape)
+                num = np.einsum("ij,ij->i", ma, X)
+                den = np.sqrt(np.einsum("ij,ij->i", ma, ma)) * nx
+                s[qi, valid] = np.where(
+                    den > 0, num / np.where(den > 0, den, 1.0), 0.0
+                )
+            top = min(top_n, nb)
+            order = np.lexsort((np.broadcast_to(ids, s.shape), -s), axis=1)[
+                :, :top
+            ]
+            rep = np.repeat(np.arange(len(q_ids)), top)
+            flat = order.ravel()
+            yield pd.DataFrame(
+                {
+                    "q_id": q_ids[rep],
+                    "c_id": ids[flat],
+                    "cos": np.take_along_axis(s, order, axis=1).ravel(),
+                }
+            )
+
     scored = (
-        c.crossJoin(F.broadcast(q))
+        _spread(
+            emb.select(
+                F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+            ),
+            "c_id",
+            n,
+        )
+        .mapInPandas(_scan, schema=out_schema)
         .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
     return (
@@ -112,6 +226,7 @@ def semantic_contamination(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n: int | None = None,
 ) -> DataFrame:
     """Embedding-space benchmark-leak scan: corpus items whose embedding is
     near-identical (cosine >= threshold) to any benchmark item — catches the
@@ -123,8 +238,12 @@ def semantic_contamination(
     (same shape as brute_force_topk).  If the benchmark side ever outgrows
     the broadcast threshold, swap the benchmark side into the IVF index and
     probe per corpus row."""
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec")
+    c = _spread(
+        corpus.select(
+            F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "corpus_id",
+        n,
     )
     b = benchmark.select(
         F.col(id_col).alias("bench_id"), F.col(vec_col).alias("b_vec")
@@ -262,6 +381,7 @@ def _assign_multi_np(
     probes: int,
     id_col: str,
     vec_col: str,
+    n: int | None = None,
 ) -> DataFrame:
     """Numpy-core of _assign_multi: callers that already hold the centroid
     matrix driver-side (they just trained it) skip the DataFrame
@@ -282,8 +402,10 @@ def _assign_multi_np(
         order = np.lexsort((np.broadcast_to(ids, S.shape), -S), axis=1)
         return pd.Series([ids[t].tolist() for t in order[:, :n_probe]])
 
-    return emb.select(
-        F.col(id_col).alias("v_id"), F.col(vec_col).alias("v_vec")
+    return _spread(
+        emb.select(F.col(id_col).alias("v_id"), F.col(vec_col).alias("v_vec")),
+        "v_id",
+        n,
     ).select(
         "v_id", "v_vec", F.explode(_top(F.col("v_vec"))).alias("centroid_id")
     )
@@ -294,6 +416,7 @@ def assign_centroids(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF bucketing: deterministic k-means centroids (train_centroids);
     every vector is assigned to its nearest centroid by cosine.
@@ -324,6 +447,7 @@ def assign_centroids(
         1,
         id_col,
         vec_col,
+        n=n,
     )
     return cents, assigned
 
@@ -374,7 +498,7 @@ def ivf_topk(
         if n is None:
             n = emb.count()
         n_centroids = auto_n_centroids(n, target_bucket)
-    cents, assigned = assign_centroids(emb, n_centroids, id_col, vec_col)
+    cents, assigned = assign_centroids(emb, n_centroids, id_col, vec_col, n=n)
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     q_cent = q.crossJoin(F.broadcast(cents)).withColumn(
         "cos_c", cosine(F.col("q_vec"), F.col("cent_vec"))
@@ -504,10 +628,16 @@ def lsh_topk(
 
     def bucketize(df: DataFrame, prefix: str, probe: bool) -> DataFrame:
         udf = _probe_buckets if probe else _buckets
-        d = df.select(
+        base = df.select(
             F.col(id_col).alias(f"{prefix}_id"),
             F.col(vec_col).alias(f"{prefix}_vec"),
-            F.posexplode(udf(F.col(vec_col))).alias("pos", "bucket"),
+        )
+        if prefix == "c":  # corpus side: the signature UDF is the hot pass
+            base = _spread(base, f"{prefix}_id", n)
+        d = base.select(
+            f"{prefix}_id",
+            f"{prefix}_vec",
+            F.posexplode(udf(F.col(f"{prefix}_vec"))).alias("pos", "bucket"),
         )
         per_table = n_probes if probe else 1
         return d.select(
@@ -622,10 +752,14 @@ def embedding_near_dup_pairs(
         top = order[:, :n_probe]
         return pd.Series(list(top.astype(np.int64)))
 
-    assigned = (
-        emb.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("v_id"), F.col(vec_col).alias("v_vec"))
-        .select("v_id", "v_vec", F.explode(_probe_ids(F.col("v_vec"))).alias("centroid_id"))
+    assigned = _spread(
+        emb.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("v_id"), F.col(vec_col).alias("v_vec")
+        ),
+        "v_id",
+        n,
+    ).select(
+        "v_id", "v_vec", F.explode(_probe_ids(F.col("v_vec"))).alias("centroid_id")
     )
 
     id_type = emb.schema[id_col].dataType
@@ -681,13 +815,18 @@ def label_knn_classify(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    n: int | None = None,
 ) -> DataFrame:
     """kNN majority-vote over the label column — the standard embedding
     quality probe for a training-data pipeline."""
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    c = emb.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"),
-        F.col(label_col).alias("c_label"),
+    c = _spread(
+        emb.select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"),
+            F.col(label_col).alias("c_label"),
+        ),
+        "c_id",
+        n,
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -734,13 +873,14 @@ def build_ivf_index(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n: int | None = None,
 ) -> None:
     """Persist an IVF index: vectors written as parquet PARTITIONED BY
     centroid_id, centroids as a side table.  This is the storage layout that
     makes ANN work at 100 TB — a probe reads only nprobe/nlist of the corpus
     via *directory-level partition pruning*, before parquet even opens a
     footer.  Rebuild is a single pass (one broadcast join + window)."""
-    cents, assigned = assign_centroids(emb, n_centroids, id_col, vec_col)
+    cents, assigned = assign_centroids(emb, n_centroids, id_col, vec_col, n=n)
     assigned.select(
         F.col("v_id").alias(id_col), F.col("v_vec").alias(vec_col), "centroid_id"
     ).write.mode("overwrite").partitionBy("centroid_id").parquet(f"{path}/vectors")
@@ -1025,6 +1165,7 @@ def pq_topk(
     cand_mult: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n: int | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k with exact re-rank (the FAISS
     IVFPQ+refine shape):
@@ -1168,8 +1309,13 @@ def pq_topk(
             )
 
     adc = (
-        emb.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("v_id"), F.col(vec_col).alias("v"))
+        _spread(
+            emb.filter(F.col(vec_col).isNotNull()).select(
+                F.col(id_col).alias("v_id"), F.col(vec_col).alias("v")
+            ),
+            "v_id",
+            n,
+        )
         .mapInPandas(_encode_adc_scan, schema=out_schema)
         .filter(F.col("q_id") != F.col("c_id"))
     )
@@ -1337,6 +1483,7 @@ def ivfpq_topk(
     cand_mult: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n: int | None = None,
 ) -> DataFrame:
     """IVF-PQ — the production ANN index shape (FAISS IVFPQ, Jégou et al.
     2011): coarse k-means buckets prune the corpus to nprobe/nlist, residual
@@ -1354,7 +1501,7 @@ def ivfpq_topk(
     ~one centroid-radius finer than raw vectors."""
     cents, books = _train_ivfpq_np(emb, n_centroids, m, ksub, id_col, vec_col)
     return _ivfpq_topk_fused(
-        emb, queries, cents, books, k, nprobe, cand_mult, id_col, vec_col
+        emb, queries, cents, books, k, nprobe, cand_mult, id_col, vec_col, n=n
     )
 
 
@@ -1368,6 +1515,7 @@ def _ivfpq_topk_fused(
     cand_mult: int,
     id_col: str,
     vec_col: str,
+    n: int | None = None,
 ) -> DataFrame:
     """In-memory IVF-PQ search as ONE corpus pass (r15, VERDICT r14 #7):
     encode (nearest centroid + residual codes), per-centroid-slice ADC,
@@ -1468,8 +1616,13 @@ def _ivfpq_topk_fused(
                 )
 
     adc = (
-        emb.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("v_id"), F.col(vec_col).alias("v"))
+        _spread(
+            emb.filter(F.col(vec_col).isNotNull()).select(
+                F.col(id_col).alias("v_id"), F.col(vec_col).alias("v")
+            ),
+            "v_id",
+            n,
+        )
         .mapInPandas(_scan, schema=out_schema)
         .filter(F.col("q_id") != F.col("c_id"))
     )
@@ -1533,6 +1686,7 @@ def _ivfpq_encode(
     books: np.ndarray,
     id_col: str,
     vec_col: str,
+    n: int | None = None,
 ) -> DataFrame:
     """One Arrow pass: nearest centroid + residual codes per vector."""
     from pyspark.sql import types as T
@@ -1563,11 +1717,13 @@ def _ivfpq_encode(
                 {"v_id": ids, "centroid_id": cid.astype(np.int32), "codes": list(codes)}
             )
 
-    return (
-        emb.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("v_id"), F.col(vec_col).alias("v"))
-        .mapInPandas(_encode, schema=enc_schema)
-    )
+    return _spread(
+        emb.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("v_id"), F.col(vec_col).alias("v")
+        ),
+        "v_id",
+        n,
+    ).mapInPandas(_encode, schema=enc_schema)
 
 
 def _ivfpq_search(
@@ -1684,6 +1840,7 @@ def build_ivfpq_index(
     ksub: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n: int | None = None,
 ) -> None:
     """Persist an IVF-PQ index: the m-byte-per-vector code table written as
     parquet PARTITIONED BY centroid_id, plus the trained centroids and
@@ -1692,7 +1849,7 @@ def build_ivfpq_index(
     footer opens), and each directory holds m ints per vector instead of
     the raw embedding — pruning x compression compose."""
     cents, books = _train_ivfpq_np(emb, n_centroids, m, ksub, id_col, vec_col)
-    enc = _ivfpq_encode(emb, cents, books, id_col, vec_col)
+    enc = _ivfpq_encode(emb, cents, books, id_col, vec_col, n=n)
     enc.write.mode("overwrite").partitionBy("centroid_id").parquet(f"{path}/codes")
     spark = emb.sparkSession
     from pyspark.sql import types as T

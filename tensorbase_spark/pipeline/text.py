@@ -461,6 +461,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     onepass_max_terms: int = 64,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Distributed BM25 retrieval (Robertson/Spärck Jones; the lexical
     ranking half of every RAG / retrieval-curation pipeline): top-k
@@ -477,7 +478,18 @@ def bm25_topk(
     whole-stage codegen — the explode plan stays codegen'd end to end.
     PLANS.md §13.)
     """
+    from tensorbase_spark.pipeline.similarity import _spread
+
     spark = docs.sparkSession
+    # r15: the tokenize -> explode -> per-doc aggregation is the heavy
+    # stage of both BM25 paths, and on the single-file fixture layouts it
+    # ran as ONE scan task (same starvation the similarity family had —
+    # see similarity._spread).  The spread is gated on actual scan
+    # partitions, so it is a no-op on multi-file corpora; per-doc counts
+    # and dl sums are integer-exact in doubles, so results are identical
+    # under any partitioning (oracle hash-green at sf0.01/sf0.1).
+    docs = _spread(docs.select("doc_id", text_col), "doc_id", n_docs,
+                   rows_per_task=1000)
     term_lists = [(qid, list(dict.fromkeys(qs.lower().split()))) for qid, qs in queries]
     all_terms = sorted({t for _, ts in term_lists for t in ts})
     if all_terms and len(all_terms) <= onepass_max_terms:

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from tensorbase_spark.pipeline import curation, sampling
 from tensorbase_spark.queries import Query
-from tensorbase_spark.sources.tables import load_table
+from tensorbase_spark.sources.tables import load_table, parquet_num_rows
 
 
 def corpus_split_train_val_test(spark, sf_dir):
@@ -406,7 +406,10 @@ def contamination_semantic(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     bench = emb.filter(F.col("label") == 0)
     corpus = emb.filter(F.col("label") != 0)
-    return similarity.semantic_contamination(corpus, bench, threshold=0.35)
+    return similarity.semantic_contamination(
+        corpus, bench, threshold=0.35,
+        n=parquet_num_rows(sf_dir, "embeddings"),
+    )
 
 
 _COS_D = (

@@ -146,7 +146,8 @@ def _emb_queries(spark, sf_dir):
 
 def sim_brute_force_topk(spark, sf_dir):
     emb, q = _emb_queries(spark, sf_dir)
-    return similarity.brute_force_topk(emb, q, k=5)
+    # n from the parquet footer sizes the corpus-scan spread (r15)
+    return similarity.brute_force_topk(emb, q, k=5, n=parquet_num_rows(sf_dir, "embeddings"))
 
 
 _COS = (
@@ -288,7 +289,7 @@ def sim_ivf_indexed(spark, sf_dir):
         # nlist is a BUILD parameter (the scale-safe place for it): sized
         # from the footer row count with the same bucket-constant rule as
         # the in-memory paths — fixtures and sf0.1 keep the historical 16
-        similarity.build_ivf_index(emb, idx, n_centroids=nlist)
+        similarity.build_ivf_index(emb, idx, n_centroids=nlist, n=parquet_num_rows(sf_dir, "embeddings"))
         _write_index_stamp(idx, sf_dir, f"nlist={nlist}")
     return similarity.ivf_search_indexed(spark, idx, q, k=5, nprobe=4)
 
@@ -324,7 +325,10 @@ def sim_ivf_full_probe(spark, sf_dir):
     loses nothing when coverage is total; recall at partial nprobe stays
     asserted in tests/test_pipeline.py."""
     emb, q = _emb_queries(spark, sf_dir)
-    return similarity.ivf_topk(emb, q, k=5, n_centroids=8, nprobe=8)
+    return similarity.ivf_topk(
+        emb, q, k=5, n_centroids=8, nprobe=8,
+        n=parquet_num_rows(sf_dir, "embeddings"),
+    )
 
 
 def sim_pq_topk(spark, sf_dir):
@@ -334,7 +338,7 @@ def sim_pq_topk(spark, sf_dir):
     re-rank on k*cand_mult candidates.  Approximate: rows-only check; recall
     vs brute force asserted in tests."""
     emb, q = _emb_queries(spark, sf_dir)
-    return similarity.pq_topk(emb, q, k=5)
+    return similarity.pq_topk(emb, q, k=5, n=parquet_num_rows(sf_dir, "embeddings"))
 
 
 def sim_pq_rerank_full(spark, sf_dir):
@@ -346,7 +350,7 @@ def sim_pq_rerank_full(spark, sf_dir):
     joins) loses nothing when coverage is total; recall at the production
     cand_mult stays in tests/test_pipeline.py."""
     emb, q = _emb_queries(spark, sf_dir)
-    return similarity.pq_topk(emb, q, k=5, cand_mult=10**7)
+    return similarity.pq_topk(emb, q, k=5, cand_mult=10**7, n=parquet_num_rows(sf_dir, "embeddings"))
 
 
 def embedding_l2_normalize(spark, sf_dir):
@@ -450,7 +454,9 @@ def sim_ivfpq_topk(spark, sf_dir):
     compresses the rest to m bytes/vector, per-bucket ADC, exact re-rank.
     Approximate: rows-only; recall + full-cover equivalence in tests."""
     emb, q = _emb_queries(spark, sf_dir)
-    return similarity.ivfpq_topk(emb, q, k=5, n_centroids=16, nprobe=8)
+    return similarity.ivfpq_topk(
+        emb, q, k=5, n_centroids=16, nprobe=8, n=parquet_num_rows(sf_dir, "embeddings")
+    )
 
 
 def sim_ivfpq_full_cover(spark, sf_dir):
@@ -461,7 +467,7 @@ def sim_ivfpq_full_cover(spark, sf_dir):
     full coverage."""
     emb, q = _emb_queries(spark, sf_dir)
     return similarity.ivfpq_topk(
-        emb, q, k=5, n_centroids=16, nprobe=16, cand_mult=10**6
+        emb, q, k=5, n_centroids=16, nprobe=16, cand_mult=10**6, n=parquet_num_rows(sf_dir, "embeddings")
     )
 
 
@@ -477,7 +483,7 @@ def sim_ivfpq_indexed(spark, sf_dir):
     # build-once behind a source stamp, like sim_ivf_indexed: repeated
     # invocations time the steady-state search (probe + ADC + re-rank)
     if not _index_is_current(idx, sf_dir, "nlist=16"):
-        similarity.build_ivfpq_index(emb, idx, n_centroids=16)
+        similarity.build_ivfpq_index(emb, idx, n_centroids=16, n=parquet_num_rows(sf_dir, "embeddings"))
         _write_index_stamp(idx, sf_dir, "nlist=16")
     return similarity.ivfpq_search_indexed(spark, idx, emb, q, k=5, nprobe=8)
 
@@ -629,7 +635,7 @@ FROM votes GROUP BY doc_id
 
 def sim_knn_classify(spark, sf_dir):
     emb, q = _emb_queries(spark, sf_dir)
-    return similarity.label_knn_classify(emb, q, k=10)
+    return similarity.label_knn_classify(emb, q, k=10, n=parquet_num_rows(sf_dir, "embeddings"))
 
 
 SIM_KNN_ORACLE = f"""
@@ -1465,7 +1471,9 @@ def text_bm25_topk(spark, sf_dir):
     end.  Query-term broadcast restriction keeps the shuffles candidate-
     sized (see the operator docstring)."""
     d = load_table(spark, sf_dir, "documents")
-    return text.bm25_topk(d, _BM25_QUERIES, k=5)
+    return text.bm25_topk(
+        d, _BM25_QUERIES, k=5, n_docs=parquet_num_rows(sf_dir, "documents")
+    )
 
 
 BM25_ORACLE = """
