@@ -3380,7 +3380,9 @@ def test_max_execution_time_enforced(engine):
     finally:
         engine.sql("set max_execution_time = 0")
     # registry drained; watchdog did not leave a ghost entry
-    assert engine.sql("show processlist").count() == 0
+    # (eventual: the cancelled scan's task-kill unwind reaps the entry)
+    from util_drain import wait_processlist_drained
+    assert wait_processlist_drained(engine) == 0
     with _pt.raises(ValueError):
         engine.apply_setting("max_execution_time", "-5")
 

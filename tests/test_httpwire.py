@@ -834,7 +834,14 @@ def test_max_execution_time_over_http(served):
         st, _h, data = c.raw(
             query="select count(*) as n from numbers(100) FORMAT TSV")
         assert st == 200 and data == b"100\n"
-        _n, _t, rows = c.execute("show processlist")
+        # eventual drain: the timed-out scan's task-kill unwind reaps
+        # its registry entry asynchronously (see tests/util_drain.py)
+        import time as _time
+        for _ in range(80):
+            _n, _t, rows = c.execute("show processlist")
+            if rows == []:
+                break
+            _time.sleep(0.25)
         assert rows == []
         # a budget passed WITH a session_id persists for the session
         # (resolved at track time, never through the shared engine
